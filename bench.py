@@ -1,0 +1,73 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Each query is executed once as a warm-up-free timed run with a
+count()-style action that forces full evaluation without
+driver-side materialization of payload rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "c1_pricing_summary",
+    "c3_count_distinct",
+    "d1_orders_customer_join",
+    "d11_star_join_revenue",
+    "e1_rank_orders_per_cust",
+    "f1_exact_dedup",
+    "f4_topk_cosine",
+    "g1_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pdf2dataset_spark.queries import load_all
+    from pdf2dataset_spark.session import get_spark
+
+    spark = get_spark("pdf2dataset-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry] or list(registry)[:5]
+
+    # JVM/session warm-up so the first timed query doesn't pay startup.
+    registry[names[0]].fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Table IO (SURVEY.md §7 step 0).
+
+Every scan goes through ``spark.read.parquet`` so Catalyst gets the
+parquet relation directly: predicate pushdown, column pruning, and
+partition pruning all apply for free. No schema inference happens in
+production paths — we assert the footer schema matches the declared
+one instead (cheap; reads only metadata).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf2dataset_spark.schemas import TABLE_SCHEMAS
+
+TABLES = tuple(TABLE_SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    Parquet self-describes its schema; we deliberately do NOT pass an
+    explicit schema to ``read.parquet`` (that would disable nothing
+    but can fight NTZ inference) — instead the declared schema in
+    :mod:`pdf2dataset_spark.schemas` documents the contract and the
+    test suite asserts equality.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet_append(
+    df: DataFrame, path: str, compression: str = "gzip"
+) -> None:
+    """Chunked incremental sink (SURVEY §2 A10).
+
+    Executors write partitions directly — the driver never holds the
+    data, which is the Spark-native equivalent of the reference's
+    incremental pyarrow append. ``append`` mode makes re-runs additive;
+    pair with :func:`pdf2dataset_spark.operators.resume.resume_filter`
+    for idempotent resume.
+    """
+    df.write.mode("append").option("compression", compression).parquet(path)

@@ -1,0 +1,168 @@
+"""Typed feature registry + fused single-pass extraction UDF.
+
+Reference semantics (SURVEY.md §1.1, §2 A4–A8, [upstream-H/M];
+/root/reference was empty — no file:line citations possible, see
+SURVEY.md §0): the upstream's whole customization story is "declare a
+typed feature; the engine computes every selected feature for every
+(document, page) task, capturing per-row exception tracebacks in an
+``error`` column instead of failing the run".
+
+Spark-first re-expression:
+
+- A feature is ``Feature(name, pyarrow_type, fn(page: PageContext) ->
+  value)``; its declared **pyarrow type name** maps 1:1 onto a Spark
+  ``StructType`` field (schemas.PYARROW_TO_SPARK), so output schema is
+  *declared*, never inferred — same philosophy as upstream.
+- Document→page fan-out and *all* selected features run in ONE
+  ``mapInPandas`` pass (SURVEY §3.2: fuse features to avoid N
+  JVM⇄Python Arrow crossings — upstream likewise computes all
+  features in one task visit).
+- Heavy codec state (PDF renderer / OCR engine) initializes once per
+  Python worker, in the iterator-UDF style (SURVEY §2 H3).
+- Errors: document-level failures emit a single ``page = -1`` row;
+  page-level failures keep the row with ``error`` = traceback.
+
+At 100 TB: the pass is embarrassingly parallel (no shuffle), input
+splits come from the binaryFile source, and Arrow batch size caps
+memory when rows carry rendered-image bytes (session.py).
+"""
+
+from __future__ import annotations
+
+import traceback
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from pdf2dataset_spark.schemas import spark_type_for
+from pdf2dataset_spark.sources.codecs import DocumentCodec, default_codec
+
+ERROR_PAGE = -1  # sentinel page for document-level failures
+
+
+@dataclass(frozen=True)
+class PageContext:
+    """What a feature function sees for one (document, page) task."""
+
+    path: str
+    page: int  # 1-based
+    codec: DocumentCodec
+    handle: Any  # codec-specific open-document handle
+
+
+@dataclass(frozen=True)
+class Feature:
+    """A typed per-page feature (upstream: task-subclass + decorator)."""
+
+    name: str
+    pyarrow_type: str
+    fn: Callable[[PageContext], Any]
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return spark_type_for(self.pyarrow_type)
+
+
+def feature(name: str, pyarrow_type: str) -> Callable:
+    """Decorator mirror of upstream's typed-feature declaration."""
+
+    def deco(fn: Callable[[PageContext], Any]) -> Feature:
+        return Feature(name=name, pyarrow_type=pyarrow_type, fn=fn)
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Built-in features (upstream defaults: text, image, ocr)
+# ---------------------------------------------------------------------------
+
+text_feature = Feature("text", "string", lambda ctx: ctx.codec.page_text(ctx.handle, ctx.page))
+image_feature = Feature("image", "binary", lambda ctx: ctx.codec.page_image(ctx.handle, ctx.page))
+ocr_feature = Feature("ocr", "string", lambda ctx: ctx.codec.page_ocr(ctx.handle, ctx.page))
+
+BUILTIN_FEATURES: dict[str, Feature] = {
+    f.name: f for f in (text_feature, image_feature, ocr_feature)
+}
+
+
+def resolve_features(features: list[str | Feature]) -> list[Feature]:
+    out: list[Feature] = []
+    for f in features:
+        if isinstance(f, Feature):
+            out.append(f)
+        elif f in BUILTIN_FEATURES:
+            out.append(BUILTIN_FEATURES[f])
+        else:
+            raise KeyError(
+                f"unknown feature {f!r}; built-ins: {sorted(BUILTIN_FEATURES)}"
+            )
+    return out
+
+
+def output_schema(features: list[Feature]) -> T.StructType:
+    """Core schema (path, page) + declared feature columns + error."""
+    fields = [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), False),
+    ]
+    fields += [T.StructField(f.name, f.spark_type, True) for f in features]
+    fields.append(T.StructField("error", T.StringType(), True))
+    return T.StructType(fields)
+
+
+def extract_features(
+    manifest: DataFrame,
+    features: list[str | Feature],
+    codec: DocumentCodec | None = None,
+) -> DataFrame:
+    """Fused fan-out + feature extraction + error capture.
+
+    ``manifest`` must have columns ``path: string`` and
+    ``content: binary`` (from either source, SURVEY §2 A1/A2).
+    Returns the page-grain DataFrame with the declared schema.
+    """
+    feats = resolve_features(features)
+    schema = output_schema(feats)
+    out_cols = [f.name for f in schema.fields]
+    codec = codec or default_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-worker init happens here, once per Python worker process
+        # (iterator-UDF pattern, SURVEY §2 H3) — e.g. OCR engine spin-up.
+        codec.init_worker()
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    handle = codec.open(bytes(content))
+                    n_pages = codec.page_count(handle)
+                except Exception:
+                    rows.append(
+                        {
+                            "path": path,
+                            "page": ERROR_PAGE,
+                            "error": traceback.format_exc(),
+                        }
+                    )
+                    continue
+                for page in range(1, n_pages + 1):
+                    row: dict[str, Any] = {"path": path, "page": page, "error": None}
+                    errs = []
+                    for f in feats:
+                        ctx = PageContext(path=path, page=page, codec=codec, handle=handle)
+                        try:
+                            row[f.name] = f.fn(ctx)
+                        except Exception:
+                            row[f.name] = None
+                            errs.append(traceback.format_exc())
+                    if errs:
+                        row["error"] = "\n".join(errs)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return manifest.mapInPandas(run, schema=schema)

@@ -1,0 +1,53 @@
+"""Shared helpers for the query registry.
+
+The central correctness device is *decimal-exact arithmetic*: the
+testdata's double columns all carry exactly 2 decimal places
+(verified at sf0.01), so casting them to DECIMAL(p,2) is lossless in
+both Spark and DuckDB, decimal products/sums are exact and
+associative (order-independent — critical: Spark partial aggregation
+order is nondeterministic, catastrophically so on a 1000-executor
+cluster), and one final cast back to DOUBLE is deterministic and
+identical across engines. Raw double sums can never hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.io import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec(col: Column | str, prec: int = 12, scale: int = 2) -> Column:
+    """Lossless decimal view of a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(expr: Column | str) -> Column:
+    """Exact sum of a decimal expression, surfaced as double."""
+    e = dec(expr) if isinstance(expr, str) else expr
+    return F.sum(e).cast("double")
+
+
+def davg(expr: Column | str) -> Column:
+    """Order-independent average: exact decimal sum ÷ count (double div)."""
+    e = dec(expr) if isinstance(expr, str) else expr
+    return F.sum(e).cast("double") / F.count(F.lit(1))
+
+
+def sql_dec(expr: str, prec: int = 12, scale: int = 2) -> str:
+    return f"CAST({expr} AS DECIMAL({prec},{scale}))"
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB twin of :func:`dsum` for a plain 2-decimal column."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)"

@@ -1,0 +1,150 @@
+"""Document codecs — pluggable page access (SURVEY.md §7 step 3).
+
+Upstream binds directly to poppler (pdftotext), pdf2image, and
+pytesseract. Those native libraries are NOT available in this
+container (no network, SURVEY.md §0), so the codec boundary is
+explicit and pluggable:
+
+- :class:`TextBytesCodec` (default): treats document bytes as UTF-8
+  text whose pages are separated by form-feed ``\\f`` — exactly the
+  page separator pdftotext emits — so the whole pipeline (fan-out,
+  feature fusion, error rows, resume, sinks) is real and testable
+  end-to-end with deterministic fixtures.
+- :class:`PdfCodec`: the production binding; each method imports its
+  library lazily and raises ``NotImplementedError`` with a clear
+  message when the dependency is absent (clearly-marked stub per the
+  build mandate). The Spark-side plumbing (schema, batching, UDF
+  signature) is identical for both codecs and is what the tests
+  verify.
+
+OCR in the default codec is a deterministic fake (identity over the
+page text) so the ``ocr`` feature's plumbing is exercised.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+
+class DocumentCodec:
+    """Interface: open bytes → handle; page-indexed feature access."""
+
+    name = "abstract"
+
+    def init_worker(self) -> None:
+        """Called once per Python worker before any batch (H3 pattern)."""
+
+    def open(self, content: bytes) -> Any:
+        raise NotImplementedError
+
+    def page_count(self, handle: Any) -> int:
+        raise NotImplementedError
+
+    def page_text(self, handle: Any, page: int) -> str | None:
+        raise NotImplementedError
+
+    def page_image(self, handle: Any, page: int) -> bytes | None:
+        raise NotImplementedError
+
+    def page_ocr(self, handle: Any, page: int) -> str | None:
+        raise NotImplementedError
+
+
+@dataclass
+class TextBytesCodec(DocumentCodec):
+    """Deterministic test codec: bytes = UTF-8 text, pages = \\f-split."""
+
+    name = "textbytes"
+    page_sep: str = "\f"
+
+    def open(self, content: bytes) -> list[str]:
+        text = content.decode("utf-8")  # invalid UTF-8 → error row
+        return text.split(self.page_sep)
+
+    def page_count(self, handle: list[str]) -> int:
+        return len(handle)
+
+    def page_text(self, handle: list[str], page: int) -> str:
+        return handle[page - 1]
+
+    def page_image(self, handle: list[str], page: int) -> bytes:
+        # Deterministic fake render: tagged bytes of the page text.
+        return b"IMG\x00" + handle[page - 1].encode("utf-8")
+
+    def page_ocr(self, handle: list[str], page: int) -> str:
+        # Deterministic fake OCR: identity over page text.
+        return handle[page - 1]
+
+
+class PdfCodec(DocumentCodec):
+    """Production PDF binding (poppler / pdf2image / pytesseract).
+
+    STUB in this container: the native libraries are not installed
+    and there is no network. Each method attempts the import and
+    raises ``NotImplementedError`` naming the missing dependency.
+    """
+
+    name = "pdf"
+
+    def __init__(self, ocr_lang: str = "eng", image_format: str = "jpeg", dpi: int = 200):
+        self.ocr_lang = ocr_lang
+        self.image_format = image_format
+        self.dpi = dpi
+
+    def open(self, content: bytes) -> bytes:
+        return content
+
+    def page_count(self, handle: bytes) -> int:
+        try:
+            import pdfplumber  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError(
+                "PdfCodec requires a PDF library (pdfplumber/pypdf/poppler); "
+                "not installed in this environment"
+            ) from e
+        import io
+
+        with pdfplumber.open(io.BytesIO(handle)) as pdf:
+            return len(pdf.pages)
+
+    def page_text(self, handle: bytes, page: int) -> str:
+        try:
+            import pdfplumber  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError("PDF text extraction requires pdfplumber/poppler") from e
+        import io
+
+        with pdfplumber.open(io.BytesIO(handle)) as pdf:
+            return pdf.pages[page - 1].extract_text() or ""
+
+    def page_image(self, handle: bytes, page: int) -> bytes:
+        try:
+            from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError("page rendering requires pdf2image/poppler") from e
+        import io
+
+        imgs = convert_from_bytes(
+            handle, dpi=self.dpi, first_page=page, last_page=page
+        )
+        buf = io.BytesIO()
+        imgs[0].save(buf, format=self.image_format)
+        return buf.getvalue()
+
+    def page_ocr(self, handle: bytes, page: int) -> str:
+        try:
+            import pytesseract  # type: ignore[import-not-found]
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError("OCR requires pytesseract + PIL") from e
+        import io
+
+        return pytesseract.image_to_string(
+            Image.open(io.BytesIO(self.page_image(handle, page))),
+            lang=self.ocr_lang,
+        )
+
+
+def default_codec() -> DocumentCodec:
+    return TextBytesCodec()

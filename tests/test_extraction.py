@@ -1,0 +1,99 @@
+"""Extraction-pipeline tests mirroring upstream's style (SURVEY §5.1):
+small fixture documents incl. a corrupted one, golden rows sorted by
+(path, page), parametrized features, error-row semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pdf2dataset_spark.extraction import extract, extract_text
+from pdf2dataset_spark.operators.features import (
+    ERROR_PAGE,
+    Feature,
+    extract_features,
+    output_schema,
+    resolve_features,
+)
+from pdf2dataset_spark.sources import from_dict
+
+DOCS = {
+    "a.pdf": "page one text\fpage two text".encode(),
+    "sub/b.pdf": "only page".encode(),
+    "bad.pdf": b"\xff\xfe invalid utf-8 \xff",  # corrupted document
+}
+
+
+def test_small_mode_golden_rows(spark):
+    df = extract(DOCS, spark=spark, features=["text"], small=True)
+    assert isinstance(df, pd.DataFrame)
+    got = df.sort_values(["path", "page"]).reset_index(drop=True)
+    ok = got[got["error"].isna()][["path", "page", "text"]]
+    assert ok.values.tolist() == [
+        ["a.pdf", 1, "page one text"],
+        ["a.pdf", 2, "page two text"],
+        ["sub/b.pdf", 1, "only page"],
+    ]
+
+
+def test_error_row_kept_with_traceback(spark):
+    df = extract(DOCS, spark=spark, small=True)
+    bad = df[df["path"] == "bad.pdf"]
+    assert len(bad) == 1
+    assert bad["page"].iloc[0] == ERROR_PAGE
+    assert "UnicodeDecodeError" in bad["error"].iloc[0]
+    assert bad["text"].isna().all()
+
+
+def test_multi_feature_fused_pass(spark):
+    df = extract(DOCS, spark=spark, features=["text", "image"], ocr=True, small=True)
+    a1 = df[(df["path"] == "a.pdf") & (df["page"] == 1)].iloc[0]
+    assert a1["text"] == "page one text"
+    assert bytes(a1["image"]) == b"IMG\x00page one text"
+    assert a1["ocr"] == "page one text"  # fake OCR = identity
+
+
+def test_custom_feature_declared_type(spark):
+    n_words = Feature("n_words", "int32", lambda ctx: len(ctx.codec.page_text(ctx.handle, ctx.page).split()))
+    df = extract(DOCS, spark=spark, features=["text", n_words], small=True)
+    a = df[df["path"] == "a.pdf"].sort_values("page")
+    assert a["n_words"].tolist() == [3, 3]
+
+
+def test_declared_schema_matches_feature_types():
+    feats = resolve_features(["text", "image"])
+    schema = output_schema(feats)
+    assert [f.name for f in schema.fields] == ["path", "page", "text", "image", "error"]
+    assert schema["image"].dataType.typeName() == "binary"
+    assert schema["page"].dataType.typeName() == "integer"
+
+
+def test_extract_text_convenience(spark):
+    df = extract_text({"x.pdf": b"hello world"}, spark=spark)
+    assert df["text"].tolist() == ["hello world"]
+
+
+def test_big_mode_write_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    extract(DOCS, out_path=out, spark=spark)
+    first = spark.read.parquet(out)
+    assert first.count() == 4  # 3 ok pages + 1 error row
+    # Re-run: resume anti-join must skip everything → no new rows.
+    extract(DOCS, out_path=out, spark=spark)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_directory_scan_source(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.pdf").write_bytes(b"pg1\fpg2")
+    (tmp_path / "sub" / "c.pdf").write_bytes(b"deep")
+    (tmp_path / "ignore.txt").write_bytes(b"nope")
+    df = extract(str(tmp_path), spark=spark, small=True)
+    assert sorted(df["path"].tolist()) == ["a.pdf", "a.pdf", "sub/c.pdf"]
+
+
+def test_fanout_via_mapinpandas_schema(spark):
+    mf = from_dict(spark, DOCS)
+    pages = extract_features(mf, ["text"])
+    assert pages.schema["page"].dataType.typeName() == "integer"
+    assert pages.filter("error IS NULL").count() == 3
