@@ -8,6 +8,8 @@ matters at 100 TB. Decimal-exact money math per _util.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from pdf2dataset_spark.queries import query
@@ -61,4 +63,337 @@ def c1_pricing_summary(spark, sf_dir):
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------- C2
+@query(
+    "c2_global_agg",
+    sql="""
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_rev,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_day,
+           CAST(MAX(o_orderdate) AS DATE) AS last_day
+    FROM orders
+    """,
+    tier="C",
+)
+def c2_global_agg(spark, sf_dir):
+    """Global (no-group) aggregate (C2); min/max are exact on doubles."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        dsum("o_totalprice").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").cast("date").alias("first_day"),
+        F.max("o_orderdate").cast("date").alias("last_day"),
+    )
+
+
+# --------------------------------------------------------------- C3
+@query(
+    "c3_count_distinct",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c3_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) — planner two-phase expansion (C3)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------- C4
+@query("c4_approx_count_distinct", sql=None, tier="C")
+def c4_approx_count_distinct(spark, sf_dir):
+    """Approx distinct (HLL++) — randomized sketch, rows-only by design
+    (C4). The engine asserts the rsd bound in tests instead."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------- C5
+@query(
+    "c5_multi_distinct",
+    sql="""
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_returnflag) AS n_flags
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tier="C",
+)
+def c5_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one pass — planner Expand (C5)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_returnflag").alias("n_flags"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------- C6
+@query(
+    "c6_collect_set",
+    sql="""
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations,
+           CAST(len(list(DISTINCT n_name)) AS INTEGER) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tier="C",
+)
+def c6_collect_set(spark, sf_dir):
+    """collect_set with sort_array for deterministic output (C6)."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.size(F.collect_set("n_name")).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --------------------------------------------------------------- C7
+@query(
+    "c7_rollup",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    tier="C",
+)
+def c7_rollup(spark, sf_dir):
+    """ROLLUP grouping sets + grouping_id bitmask (C7)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+# --------------------------------------------------------------- C8
+@query(
+    "c8_stats_aggregates",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           sqrt((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                                     * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c8_stats_aggregates(spark, sf_dir):
+    """Stats aggregates via exact-moment formula (C8).
+
+    Built-in stddev/corr accumulate doubles in nondeterministic order
+    (verified: corr differs ~1e-17 across engines), so the moments are
+    computed as exact decimal sums and the closed-form runs in
+    identical IEEE double ops on both sides — bitwise-stable, and the
+    only formulation that stays deterministic at cluster scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    n = F.count(F.lit(1))
+    sx = F.sum(q).cast("double")
+    sxx = F.sum(q * q).cast("double")
+    std = F.sqrt(
+        (n * sxx - sx * sx) / (n.cast("double") * (n - F.lit(1)))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            sx.alias("sx"),
+            sxx.alias("sxx"),
+            std.alias("qty_stddev"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------- C9
+@query(
+    "c9_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.95) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c9_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (C9) — verified bitwise-equal
+    to DuckDB quantile_cont. approx_percentile is exercised rows-only
+    in the bench path."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("qty_p50"),
+            F.percentile("l_extendedprice", 0.25).alias("price_p25"),
+            F.percentile("l_extendedprice", 0.95).alias("price_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------- C10
+@query(
+    "c10_min_max_by",
+    sql="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * 1000000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * 1000000 + o_orderkey) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tier="C",
+)
+def c10_min_max_by(spark, sf_dir):
+    """max_by/min_by with an exact bigint-encoded (price, key) ordering
+    value for deterministic tie-breaks (C10) — DuckDB 1.0 arg_max
+    rejects struct values, so the composite is integer-encoded."""
+    o = t(spark, sf_dir, "orders")
+    ordv = (dec("o_totalprice") * 100).cast("bigint") * 1000000 + F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", ordv).alias("biggest_order"),
+            F.min_by("o_orderkey", ordv).alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------- C11
+@query(
+    "c11_pivot",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c11_pivot(spark, sf_dir):
+    """Pivot with explicit value list (C11) — ANSI twin is
+    SUM(CASE WHEN ...) columns."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------- C12
+@query(
+    "c12_custom_udaf",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS qty_centi_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c12_custom_udaf(spark, sf_dir):
+    """Custom UDAF via pandas_udf GROUPED_AGG (C12).
+
+    The UDAF sums integer centi-quantities so its result is exact and
+    order-independent — the pattern for writing oracle-checkable
+    custom aggregates (float UDAFs would be rows-only).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def centi_sum(v: pd.Series) -> np.int64:
+        return np.int64(np.rint(v.to_numpy() * 100).astype("int64").sum())
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(centi_sum("l_quantity").alias("qty_centi_sum"))
+        .orderBy("l_returnflag")
     )
