@@ -1,1 +1,325 @@
-"""Stub — populated in later build phases."""
+"""Tier D — joins (SURVEY.md §2 tier D).
+
+Scale posture per join: small dims (region/nation/part/supplier)
+are explicitly broadcast so the fact side never shuffles; the
+orders⋈customer equi-join relies on AQE to pick SMJ/SHJ vs broadcast
+by runtime stats; skew is AQE's skew-join splitting (D12 — config,
+session.py). The as-of join avoids a per-key Python path entirely:
+it's a window over a single shuffle by user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.queries import query
+from pdf2dataset_spark.queries._util import dec, dsum, t
+
+
+# --------------------------------------------------------------- D1
+@query(
+    "d1_orders_customer_join",
+    sql="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tier="D",
+)
+def d1_orders_customer_join(spark, sf_dir):
+    """Inner equi-join; planner/AQE picks the physical strategy (D1)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------- D2
+@query(
+    "d2_broadcast_part_join",
+    sql="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS brand_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tier="D",
+)
+def d2_broadcast_part_join(spark, sf_dir):
+    """Explicit broadcast hash join: the fact table never shuffles for
+    the join — only the tiny agg keyspace moves (D2)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("brand_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------- D3
+@query(
+    "d3_left_outer_join",
+    sql="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_big_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS big_total
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    GROUP BY c.c_custkey
+    """,
+    tier="D",
+)
+def d3_left_outer_join(spark, sf_dir):
+    """Left outer join with an extra join-side predicate; unmatched
+    customers keep NULL aggregates (D3)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000)
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            dsum("o_totalprice").alias("big_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------- D4
+@query(
+    "d4_cross_join",
+    sql="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tier="D",
+)
+def d4_cross_join(spark, sf_dir):
+    """Cartesian product of two tiny dims (D4)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------- D5
+@query(
+    "d5_theta_join",
+    sql="""
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal
+    """,
+    tier="D",
+)
+def d5_theta_join(spark, sf_dir):
+    """Theta (non-equi) join: equi key + inequality — planner uses the
+    equi part for partitioning, inequality as residual (D5)."""
+    a = t(spark, sf_dir, "supplier").alias("a")
+    b = t(spark, sf_dir, "supplier").alias("b")
+    cond = (F.col("a.s_nationkey") == F.col("b.s_nationkey")) & (
+        F.col("a.s_acctbal") > F.col("b.s_acctbal")
+    )
+    return a.join(b, cond).select(
+        F.col("a.s_suppkey").alias("s1"), F.col("b.s_suppkey").alias("s2")
+    )
+
+
+# --------------------------------------------------------------- D6
+@query(
+    "d6_semi_join",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    tier="D",
+)
+def d6_semi_join(spark, sf_dir):
+    """Left semi join ≡ WHERE EXISTS (D6)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------- D7
+@query(
+    "d7_anti_join_resume",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+    """,
+    tier="D",
+)
+def d7_anti_join_resume(spark, sf_dir):
+    """Left anti join ≡ NOT EXISTS — the same primitive as the
+    extraction pipeline's resume filter (SURVEY §2 A9/D7)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------- D8
+@query(
+    "d8_range_join",
+    sql="""
+    SELECT h.hour_start, COUNT(*) AS n_events
+    FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-31',
+                                        INTERVAL 1 HOUR)) AS hour_start) h
+    JOIN events e
+      ON e.ts >= h.hour_start AND e.ts < h.hour_start + INTERVAL 1 HOUR
+    GROUP BY h.hour_start
+    ORDER BY h.hour_start
+    """,
+    tier="D",
+)
+def d8_range_join(spark, sf_dir):
+    """Range/interval join of events against generated hour buckets
+    (D8). The bucket dim is broadcast; at 100 TB the equivalent
+    rewrite is a date_trunc equi-join (G1) — this form exists to
+    exercise non-equi range predicates."""
+    e = t(spark, sf_dir, "events")
+    hours = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp_ntz'2024-01-01 00:00:00',"
+                " timestamp_ntz'2024-01-31 00:00:00', interval 1 hour)"
+            )
+        ).alias("hour_start")
+    )
+    cond = (e.ts >= hours.hour_start) & (
+        e.ts < hours.hour_start + F.expr("interval 1 hour")
+    )
+    return (
+        hours.join(e, cond)
+        .groupBy("hour_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("hour_start")
+    )
+
+
+# --------------------------------------------------------------- D9
+@query(
+    "d9_asof_join",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts < e.ts) AS last_click_ts
+    FROM events e
+    WHERE e.event_type = 'purchase'
+    """,
+    tier="D",
+)
+def d9_asof_join(spark, sf_dir):
+    """As-of join: nearest prior 'click' per user for each purchase
+    (D9). Spark has no ASOF JOIN; the scalable expression is a single
+    window pass — last(click_ts, ignorenulls) over (user, ts) — one
+    shuffle by user_id, no Python. See operators/asof.py for the
+    applyInPandas merge_asof variant for arbitrary tolerance/direction.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        e.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --------------------------------------------------------------- D10
+@query(
+    "d10_self_join_pairs",
+    sql="""
+    SELECT a.n_name AS n1, b.n_name AS n2, a.n_regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tier="D",
+)
+def d10_self_join_pairs(spark, sf_dir):
+    """Self join: unordered nation pairs within a region (D10)."""
+    a = t(spark, sf_dir, "nation").alias("a")
+    b = t(spark, sf_dir, "nation").alias("b")
+    cond = (F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (
+        F.col("a.n_nationkey") < F.col("b.n_nationkey")
+    )
+    return a.join(b, cond).select(
+        F.col("a.n_name").alias("n1"),
+        F.col("b.n_name").alias("n2"),
+        F.col("a.n_regionkey").alias("n_regionkey"),
+    )
+
+
+# --------------------------------------------------------------- D11
+@query(
+    "d11_star_join_revenue",
+    sql="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tier="D",
+)
+def d11_star_join_revenue(spark, sf_dir):
+    """TPC-H Q5-shape multi-way star join (D11): three broadcast dims
+    + two fact-fact joins; CBO/AQE handles ordering. Revenue by
+    supplier nation within ASIA."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    c = t(spark, sf_dir, "customer")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )

@@ -1,1 +1,312 @@
-"""Stub — populated in later build phases."""
+"""Tier E — windows, sort, limit, set operations (SURVEY.md §2).
+
+Windows shuffle once on the partition key and sort within partitions;
+global sort is range-partitioned; ORDER BY + LIMIT lowers to
+TakeOrderedAndProject (no full sort at scale). Every ordering carries
+a unique tie-break key so results are deterministic — the driver's
+hash is order-insensitive but rank values themselves must be stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.queries import query
+from pdf2dataset_spark.queries._util import dec, t
+
+
+# --------------------------------------------------------------- E1
+@query(
+    "e1_rank_orders_per_cust",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tier="E",
+)
+def e1_rank_orders_per_cust(spark, sf_dir):
+    """Ranking family over a per-customer price ordering (E1)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+    )
+
+
+# --------------------------------------------------------------- E2
+@query(
+    "e2_lag_lead",
+    sql="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_val,
+           lag(ts) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tier="E",
+)
+def e2_lag_lead(spark, sf_dir):
+    """Analytic lag/lead/first over per-user event streams (E2)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+
+
+# --------------------------------------------------------------- E3
+@query(
+    "e3_running_sum_frame",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_3
+    FROM orders
+    """,
+    tier="E",
+)
+def e3_running_sum_frame(spark, sf_dir):
+    """Aggregates over explicit ROWS frames: running + rolling sums,
+    decimal-exact (E3)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = dec("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(price)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(price)
+        .over(w.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("rolling_3"),
+    )
+
+
+# --------------------------------------------------------------- E4
+@query(
+    "e4_topk_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tier="E",
+)
+def e4_topk_per_group(spark, sf_dir):
+    """Top-k per group via ranked-window filter (E4)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------- E5
+@query(
+    "e5_global_sort",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           row_number() OVER (ORDER BY o_orderstatus DESC,
+                              o_totalprice DESC, o_orderkey) AS global_rank
+    FROM orders
+    """,
+    tier="E",
+)
+def e5_global_sort(spark, sf_dir):
+    """Global multi-key sort, materialized as a rank column so the
+    order-insensitive hash still proves ordering (E5). The single-
+    partition window is the price of a *global* rank; plain orderBy
+    (range-partitioned sort) needs no such bottleneck."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_orderstatus").desc(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("global_rank"),
+    )
+
+
+# --------------------------------------------------------------- E6
+@query(
+    "e6_global_topk",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tier="E",
+)
+def e6_global_topk(spark, sf_dir):
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition top-k
+    then driver merge of k×partitions rows, no global sort (E6)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------- E7
+@query(
+    "e7_union_all",
+    sql="""
+    SELECT c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier
+    """,
+    tier="E",
+)
+def e7_union_all(spark, sf_dir):
+    """UNION ALL via unionByName (E7)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+# --------------------------------------------------------------- E8
+@query(
+    "e8_union_distinct",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tier="E",
+)
+def e8_union_distinct(spark, sf_dir):
+    """UNION with distinct semantics (E8)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# --------------------------------------------------------------- E9
+@query(
+    "e9_intersect",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tier="E",
+)
+def e9_intersect(spark, sf_dir):
+    """INTERSECT (distinct) (E9); intersectAll exercised in tests."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# --------------------------------------------------------------- E10
+@query(
+    "e10_except",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    tier="E",
+)
+def e10_except(spark, sf_dir):
+    """EXCEPT (distinct) (E10); exceptAll exercised in tests. The
+    supplier side is filtered so the difference is non-empty."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------- E11
+@query(
+    "e11_dedup_subset_keep_first",
+    sql="""
+    SELECT lang, source, doc_id AS first_doc
+    FROM (
+      SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+    tier="E",
+)
+def e11_dedup_subset_keep_first(spark, sf_dir):
+    """dropDuplicates(subset) with deterministic keep-first semantics
+    (E11). Spark's dropDuplicates keeps an *arbitrary* row, so the
+    engine's canonical dedup is the ranked-window form — same as the
+    exact-dedup operator (F1)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", F.col("doc_id").alias("first_doc"))
+    )
+
+
+# --------------------------------------------------------------- E12
+@query("e12_sample", sql=None, tier="E")
+def e12_sample(spark, sf_dir):
+    """Seeded Bernoulli sample (E12) — engines' RNG streams differ, so
+    rows-only by design; statistical properties asserted in tests."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
