@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines (tier F).
+
+Four families, all expressed as Catalyst-visible DataFrame plans:
+
+- **Exact** (`exact_dedup`): sha256 of normalized text; keep-first by
+  an explicit order column via ranked window (deterministic — Spark's
+  ``dropDuplicates`` keeps an arbitrary row, which is not acceptable
+  for reproducible corpus builds).
+- **MinHash + LSH** (`minhash_signature` / `lsh_candidate_pairs`):
+  shingle → 64-way minhash via seeded xxhash64 (all JVM higher-order
+  functions, no Python) → banding → bucket self-join for candidate
+  pairs → exact-Jaccard verification. At 100 TB the bucket join is
+  the only shuffle and its key (band_id, band_hash) is high-entropy,
+  so it distributes well; a hot bucket means near-identical docs and
+  is capped by `max_bucket` salting-style.
+- **SimHash** (`simhash64`): 64-bit sign-aggregated token-hash
+  fingerprint; near-dups = small Hamming distance.
+- **N-gram Jaccard** (`jaccard_pairs`): exact pairwise Jaccard over
+  shingle sets within a blocking key (never all-pairs at scale).
+
+Scale note: everything here is shuffle-minimal — per-row HOF compute,
+then one aggregation or one equi-join on a well-distributed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Whitespace-collapse + trim + lowercase — the canonical form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def text_hash(col: Column | str) -> Column:
+    """sha256 of the normalized text — the exact-dedup key."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    keep_hash: bool = True,
+) -> DataFrame:
+    """Keep the first row (by ``order_col``) of each normalized-text
+    hash group. Deterministic keep-first (SURVEY §2 F1/E11)."""
+    h = text_hash(text_col).alias("text_sha256")
+    w = Window.partitionBy("text_sha256").orderBy(order_col)
+    out = (
+        df.withColumn("text_sha256", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return out if keep_hash else out.drop("text_sha256")
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a text column (JVM HOFs)."""
+    toks = tokens(col, sep)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(
+    shingle_col: Column | str, num_hashes: int = 64
+) -> Column:
+    """MinHash signature: per seed s, min over shingles of
+    xxhash64(shingle, seed-salt). Pure JVM — no Python crossing."""
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, s))
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any (band_id, band_hash) bucket become a
+    candidate pair (id1 < id2, distinct)."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col(sig_col),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_distinct(F.concat(a, b))).cast("double")
+    return inter / union
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise Jaccard within a blocking key (F2 exact path).
+
+    All-pairs is O(n²); the block column (source, LSH bucket, length
+    band, ...) bounds each block so the join stays tractable at scale.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(set_col).alias("s")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    s = df.select(*cols)
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col is not None:
+        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(token_col: Column | str, bits: int = 64) -> Column:
+    """SimHash: sum ±1 per bit of each token's xxhash64, take sign
+    bits. Entirely JVM HOFs; the accumulator is a `bits`-int array.
+    Bit positions unroll in Python (Spark shift amounts must be
+    literal ints)."""
+    toks = F.col(token_col) if isinstance(token_col, str) else token_col
+
+    def contrib(tok: Column) -> Column:
+        h = F.xxhash64(tok)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
+        )
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, tok: F.zip_with(acc, contrib(tok), lambda x, y: x + y),
+    )
+    # Fold sign bits into one signed 64-bit fingerprint. `counts` must
+    # appear exactly ONCE in the expression tree — indexing it per bit
+    # would duplicate the whole aggregate subtree 64× and blow codegen.
+    bitvals = F.array(
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            bitvals,
+            lambda c, v: F.when(c > 0, v).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)

@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (tier F).
+
+- `cosine`: JVM-side cosine via zip_with + sequential aggregate —
+  verified bitwise-identical to DuckDB's list arithmetic, so results
+  are oracle-checkable.
+- `topk_cosine`: brute-force kNN — queries broadcast against the
+  corpus, ranked per query. The corpus is never shuffled: at 100 TB
+  the cost is one scan × |queries|, embarrassingly parallel.
+- `lsh_bucket_topk`: random-hyperplane LSH (sign-bit bucketing with
+  hyperplanes derived deterministically from a seed) — the scale
+  path: candidate set shrinks ~2^planes, then exact cosine re-ranks.
+- `ivf_topk`: IVF-style coarse quantization: corpus assigned to the
+  nearest of C deterministic centroids; queries probe `nprobe` lists.
+
+pyspark.ml's BucketedRandomProjectionLSH / MinHashLSH cover the
+Euclidean/Jaccard variants (see tests); these operators keep the
+DataFrame-native plan visible to Catalyst.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential dot product. Elements are cast to double BEFORE the
+    multiply so the arithmetic is pure float64 — bitwise-reproducible
+    against DuckDB's list arithmetic (float32 multiplies would round
+    differently per engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors per query vector (F4).
+
+    Queries are broadcast (small side by construction); the per-query
+    ranking uses (similarity DESC, corpus_id) so ties are
+    deterministic.
+    """
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    joined = corpus.select(F.col(corpus_id), F.col(corpus_vec)).crossJoin(
+        F.broadcast(q)
+    )
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    sim = cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        joined.select(query_id, corpus_id, sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bit bucket id from `planes` fixed random hyperplanes.
+
+    The plane loop unrolls in Python (shift amounts must be literal
+    ints in Spark), producing one flat JVM expression per plane.
+    """
+    hps = _hyperplanes(dim, planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec, F.lit(hps[p]), lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's bucket in ANY
+    of `tables` independent hash tables (standard LSH forest), then
+    exact cosine re-ranks (F5 scale path).
+
+    Recall ≈ 1 − (1 − p^planes)^tables where p = 1 − θ/π: tune
+    `planes` (bucket size ↓) against `tables` (recall ↑, cost ↑).
+    Each table is one column + one equi-join — at 100 TB the probe
+    side is broadcast and the corpus is scanned once with all table
+    buckets computed in a single projection.
+    """
+    cb = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(
+                            F.col(corpus_vec), dim, planes, seed + 1000 * t
+                        ).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(corpus_id, corpus_vec, "tb.tbl", "tb.bkt")
+    qb = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(
+                            F.col(query_vec), dim, planes, seed + 1000 * t
+                        ).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(query_id, query_vec, "tb.tbl", "tb.bkt")
+    joined = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(corpus_id, corpus_vec, query_id, query_vec)
+        .distinct()
+    )
+    sim = cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim")
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        joined.select(query_id, corpus_id, sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: the first `n_centroids` corpus vectors (by id —
+    deterministic) act as coarse centroids; every corpus vector is
+    assigned to its nearest centroid (inverted list); each query
+    probes its `nprobe` nearest lists and brute-forces only those.
+
+    A production build would k-means the centroids; the plan shape
+    (assign → probe-join → re-rank) is identical.
+    """
+    cents = (
+        corpus.select(F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec"))
+        .withColumn("__rn", F.row_number().over(Window.orderBy("cent_id")))
+        .filter(F.col("__rn") <= n_centroids)
+        .drop("__rn")
+    )
+
+    def assign(df: DataFrame, key: str, vec: str, n: int) -> DataFrame:
+        sim = cosine(F.col(vec), F.col("cent_vec")).alias("__sim")
+        w = Window.partitionBy(key).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .select(*df.columns, F.col("cent_id"), sim)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .withColumnRenamed("cent_id", "list_id")
+            .drop("__sim", "__r")
+        )
+
+    assigned = assign(corpus.select(corpus_id, corpus_vec), corpus_id, corpus_vec, 1)
+    probed = assign(queries.select(query_id, query_vec), query_id, query_vec, nprobe)
+
+    joined = assigned.join(probed, "list_id").filter(
+        F.col(corpus_id) != F.col(query_id)
+    )
+    sim = cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim")
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        joined.select(query_id, corpus_id, sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .distinct()
+    )

@@ -1,0 +1,134 @@
+"""Text analysis operators for training-data pipelines (tier F).
+
+Language ID (n-gram/stopword heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(rolling-hash winnowing-lite). All pure Catalyst expressions —
+per-row compute, no shuffle, no Python — so they run at scan speed
+on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language marker profiles (top function words). Used by
+# the heuristic language identifier; extend freely.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "von"],
+    "pt": ["o", "a", "os", "de", "e", "um", "uma", "que", "não", "para"],
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, single
+    punctuation — the usual byte-pair pre-split regex family."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_count(col: Column | str, bpe: bool = False) -> Column:
+    return F.size(bpe_ish_tokens(col) if bpe else ws_tokens(col))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are in `stopwords`."""
+    toks = ws_tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin([s.lower() for s in stopwords]))
+    )
+    return hits.cast("double") / F.size(toks)
+
+
+def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Array of (lang, score) structs, score = stopword hit ratio."""
+    profiles = profiles or LANG_PROFILES
+    toks = ws_tokens(col)
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            (
+                F.size(F.filter(toks, lambda t: F.lower(t).isin(words))).cast("double")
+                / F.size(toks)
+            ).alias("score"),
+        )
+        for lang, words in sorted(profiles.items())
+    ]
+    return F.array(*entries)
+
+
+def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Predicted language = argmax score, ties broken by lang name
+    (deterministic). Returns 'und' when nothing matches."""
+    scores = lang_scores(col, profiles)
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit("und").alias("lang"), F.lit(0.0).alias("score")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-signal columns: length, token stats, ratios.
+
+    All deterministic double arithmetic (counts divided by counts), so
+    downstream filters are oracle-checkable.
+    """
+    c = F.col(text_col)
+    toks = ws_tokens(text_col)
+    n_char = F.length(c)
+    n_tok = F.size(toks)
+    return df.withColumns(
+        {
+            "q_n_chars": n_char.cast("bigint"),
+            "q_n_tokens": n_tok,
+            "q_mean_token_len": (n_char - (n_tok - 1)).cast("double") / n_tok,
+            "q_type_token_ratio": F.size(F.array_distinct(toks)).cast("double")
+            / n_tok,
+            "q_alpha_ratio": (
+                F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double") / n_char
+            ),
+            "q_digit_ratio": (
+                F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double") / n_char
+            ),
+        }
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """Gopher-style length/shape filter built on quality_features."""
+    out = quality_features(df, text_col)
+    return out.filter(
+        (F.col("q_n_tokens") >= min_tokens)
+        & (F.col("q_n_tokens") <= max_tokens)
+        & (F.col("q_mean_token_len") >= min_mean_token_len)
+        & (F.col("q_mean_token_len") <= max_mean_token_len)
+    )
+
+
+def char_ngram_fingerprint(col: Column | str, width: int = 20) -> Column:
+    """Winnowing-lite document fingerprint: the lexicographic minimum
+    of md5 over all `width`-char windows (rolling-hash family). Equal
+    fingerprints ⇒ shared window ⇒ likely containment/near-dup."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (width - 1), F.lit(1)))
+    return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(c, i, width))))

@@ -1,1 +1,400 @@
-"""Stub — populated in later build phases."""
+"""Tier F — LLM-data-pipeline extensions (SURVEY.md §2 tier F).
+
+Dedup, similarity search, text analytics, multimodal — the operators
+a 100 TB training-data pipeline needs. Implementations live in
+pdf2dataset_spark/operators/{dedup,similarity,text,multimodal}.py;
+these queries exercise them against the driver testdata.
+
+The documents corpus has no duplicates (verified), so dedup queries
+construct perturbed copies in-query — the oracle then checks real
+collapse/candidate semantics instead of a trivially-empty result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.operators import dedup as dd
+from pdf2dataset_spark.operators import similarity as sim
+from pdf2dataset_spark.operators import text as tx
+from pdf2dataset_spark.operators.multimodal import attach_fake_media, decode_media
+from pdf2dataset_spark.queries import query
+from pdf2dataset_spark.queries._util import t
+
+# DuckDB twin of dedup.normalize_text + text_hash.
+_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SQL_HASH = f"sha256({_SQL_NORM})"
+
+# DuckDB twin of a doubled corpus: originals + uppercased copies
+# (ids offset by 1e6) that normalize to the same text.
+_SQL_DOUBLED = """
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, upper(text) AS text, source
+    FROM documents
+"""
+
+
+def _doubled_corpus(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copy = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        F.col("source"),
+    )
+    return d.unionByName(copy)
+
+
+# --------------------------------------------------------------- F1
+@query(
+    "f1_exact_dedup",
+    sql=f"""
+    SELECT doc_id, text_sha256 FROM (
+      SELECT doc_id, {_SQL_HASH} AS text_sha256,
+             row_number() OVER (PARTITION BY {_SQL_HASH} ORDER BY doc_id) AS rn
+      FROM ({_SQL_DOUBLED})
+    ) WHERE rn = 1
+    """,
+    tier="F",
+)
+def f1_exact_dedup(spark, sf_dir):
+    """Exact dedup: sha256(normalized text), deterministic keep-first
+    (F1). Each uppercased copy collapses onto its original."""
+    doubled = _doubled_corpus(spark, sf_dir)
+    return dd.exact_dedup(doubled, "text", "doc_id").select("doc_id", "text_sha256")
+
+
+# --------------------------------------------------------------- F2a
+@query("f2a_minhash_lsh_candidates", sql=None, tier="F")
+def f2a_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash(64) + LSH banding (16×4) candidate pairs (F2).
+
+    xxhash64 has no DuckDB twin → rows-only; candidate quality is
+    asserted in tests (each planted near-dup pair must be recalled).
+    Planted near-dups: copies missing their last word, ids +1e6.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    sigs = corpus.select(
+        "doc_id", dd.minhash_signature(dd.shingles("text", 3)).alias("minhash")
+    )
+    return dd.lsh_candidate_pairs(sigs, "doc_id", "minhash", bands=16, rows_per_band=4)
+
+
+# --------------------------------------------------------------- F2b
+_SQL_SHINGLES = """list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"""
+
+
+@query(
+    "f2b_jaccard_neardup",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, {_SQL_SHINGLES} AS sh FROM (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-1], ' '),
+               source
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM corpus a JOIN corpus b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+    tier="F",
+)
+def f2b_jaccard_neardup(spark, sf_dir):
+    """Exact n-gram-shingle Jaccard near-dup pairs, blocked by source
+    (F2 exact path). Planted truncated copies must pair with their
+    originals at J ≥ 0.8."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    toks = F.split(F.col("text"), " ")
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+        F.col("source"),
+    )
+    corpus = d.unionByName(near).withColumn("sh", dd.shingles("text", 3))
+    return dd.jaccard_pairs(corpus, "doc_id", "sh", block_col="source", threshold=0.8)
+
+
+# --------------------------------------------------------------- F3
+_SQL_DOT = """list_aggregate(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum')"""
+_SQL_NORM_A = """sqrt(list_aggregate(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))"""
+_SQL_NORM_Q = """sqrt(list_aggregate(list_transform(generate_series(1, 64),
+      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))"""
+
+
+@query(
+    "f3_cosine_similarity",
+    sql=f"""
+    SELECT a.vec_id,
+           {_SQL_DOT} AS dot_q,
+           {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) AS cos_sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """,
+    tier="F",
+)
+def f3_cosine_similarity(spark, sf_dir):
+    """Cosine similarity of every vector vs the vec_id=0 query vector
+    (F3) — sequential float64 list arithmetic, bitwise-checkable."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    joined = e.crossJoin(F.broadcast(q))
+    return joined.select(
+        "vec_id",
+        sim.dot(F.col("embedding"), F.col("qvec")).alias("dot_q"),
+        sim.cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+    )
+
+
+# --------------------------------------------------------------- F4
+@query(
+    "f4_topk_cosine",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id IN (0, 1, 2)),
+    sims AS (
+      SELECT q.query_id, a.vec_id,
+             {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) AS cos_sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+    tier="F",
+)
+def f4_topk_cosine(spark, sf_dir):
+    """Brute-force top-5 cosine neighbors for 3 query vectors (F4)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.topk_cosine(e, q, k=5)
+
+
+# --------------------------------------------------------------- F5
+@query("f5_lsh_approx_topk", sql=None, tier="F")
+def f5_lsh_approx_topk(spark, sf_dir):
+    """Random-hyperplane LSH bucketed approximate top-k (F5) — the
+    100 TB scale path for similarity search. Randomized bucketing →
+    rows-only; recall vs brute force asserted in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.lsh_bucket_topk(e, q, dim=64, k=5, planes=3, tables=8)
+
+
+# --------------------------------------------------------------- F5b
+@query("f5b_ivf_topk", sql=None, tier="F")
+def f5b_ivf_topk(spark, sf_dir):
+    """IVF-style coarse-quantized ANN (F5 variant): assign to nearest
+    centroid list, probe 2 lists per query. Rows-only."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_topk(e, q, n_centroids=16, nprobe=2, k=5)
+
+
+# --------------------------------------------------------------- F6
+@query(
+    "f6_text_statistics",
+    sql="""
+    SELECT doc_id,
+           length(text) AS q_n_chars,
+           len(string_split(text, ' ')) AS q_n_tokens,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS q_mean_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS q_type_token_ratio,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           (length(text) = n_chars) AS chars_invariant
+    FROM documents
+    """,
+    tier="F",
+)
+def f6_text_statistics(spark, sf_dir):
+    """Token/char statistics incl. BPE-ish token count and the
+    n_chars invariant (F6)."""
+    d = t(spark, sf_dir, "documents")
+    out = tx.quality_features(d)
+    return out.select(
+        "doc_id",
+        "q_n_chars",
+        F.col("q_n_tokens").cast("bigint").alias("q_n_tokens"),
+        "q_mean_token_len",
+        "q_type_token_ratio",
+        tx.token_count("text", bpe=True).cast("bigint").alias("n_bpe_ish"),
+        (F.length("text") == F.col("n_chars")).alias("chars_invariant"),
+    )
+
+
+# --------------------------------------------------------------- F7
+@query(
+    "f7_quality_language_filter",
+    sql="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS q_n_tokens
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+      AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
+      AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+    """,
+    tier="F",
+)
+def f7_quality_language_filter(spark, sf_dir):
+    """Language + quality gate (F7): declared-language whitelist ∧
+    token-count band ∧ mean-token-length band."""
+    d = t(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de", "fr"))
+    out = tx.quality_filter(d, min_tokens=10, max_tokens=1000)
+    return out.select(
+        "doc_id", "lang", F.col("q_n_tokens").cast("bigint").alias("q_n_tokens")
+    )
+
+
+# --------------------------------------------------------------- F8
+@query("f8_multimodal_decode", sql=None, tier="F")
+def f8_multimodal_decode(spark, sf_dir):
+    """Multimodal columns (F8): binary payload + typed metadata
+    struct, Arrow-batched mapInPandas decode (stubbed codec). The
+    decoded dims must round-trip the attached metadata — asserted in
+    tests; rows-only here (binary payloads aren't SQL-comparable)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_fake_media(d)
+    return decode_media(media).select(
+        "doc_id", "dec_width", "dec_height", "dec_frames", "dec_ok"
+    )
+
+
+# --------------------------------------------------------------- F9
+@query(
+    "f9_tfidf_top_terms",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df_count FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word AS top_term, tf, df_count, score FROM (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df_count,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df_count AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df_count DESC,
+                                         tf.word) AS rn
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ) WHERE rn = 1
+    """,
+    tier="F",
+)
+def f9_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF-style keyword extraction (F9): raw-ratio idf (tf·N/df)
+    keeps the math deterministic (ln is not cross-engine bitwise);
+    top term per document with deterministic tie-break."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_count = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df_count"))
+    n_docs = d.count()  # tiny scalar; at scale: a broadcast agg subquery
+    scored = tf.join(df_count, "word").withColumn(
+        "score", F.col("tf").cast("double") * F.lit(n_docs) / F.col("df_count")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("word").alias("top_term"), "tf", "df_count", "score"
+        )
+    )
+
+
+# --------------------------------------------------------------- F10
+@query(
+    "f10_doc_fingerprint",
+    sql="""
+    SELECT doc_id,
+           list_aggregate(list_transform(
+             generate_series(1, greatest(length(text) - 19, 1)),
+             i -> md5(substring(text, i, 20))), 'min') AS fingerprint
+    FROM documents
+    """,
+    tier="F",
+)
+def f10_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing-lite): min md5
+    over 20-char windows (F: fingerprinting)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.char_ngram_fingerprint("text", 20).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------- F11
+@query("f11_simhash_hamming", sql=None, tier="F")
+def f11_simhash_hamming(spark, sf_dir):
+    """SimHash64 fingerprints + Hamming distance to doc 0 (F2 family,
+    xxhash64-based → rows-only)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", dd.simhash64(tx.ws_tokens("text")).alias("simhash")
+    )
+    ref = d.filter(F.col("doc_id") == 0).select(
+        F.col("simhash").alias("ref_hash")
+    )
+    return d.crossJoin(F.broadcast(ref)).select(
+        "doc_id",
+        "simhash",
+        dd.hamming64(F.col("simhash"), F.col("ref_hash")).alias("hamming_to_doc0"),
+    )
+
+
+# --------------------------------------------------------------- F12
+@query(
+    "f12_lang_id_heuristic",
+    sql="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t)))
+             AS DOUBLE) / len(string_split(text, ' ')) AS en_score
+    FROM documents
+    """,
+    tier="F",
+)
+def f12_lang_id_heuristic(spark, sf_dir):
+    """Language-ID scoring primitive (F: language ID): per-language
+    stopword-hit ratio. The testdata vocabulary is language-neutral
+    (verified), so the oracle checks the en-profile *score*; the full
+    argmax classifier (operators/text.py lang_id) is tested on real
+    multilingual fixtures in tests/."""
+    d = t(spark, sf_dir, "documents")
+    en = tx.LANG_PROFILES["en"]
+    toks = tx.ws_tokens(F.lower(F.col("text")))
+    score = (
+        F.size(F.filter(toks, lambda tok: tok.isin(en))).cast("double")
+        / F.size(tx.ws_tokens("text"))
+    )
+    return d.select("doc_id", score.alias("en_score"))

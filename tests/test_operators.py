@@ -1,0 +1,192 @@
+"""Operator-quality tests for the rows-only (non-oracle) paths:
+randomized/approximate operators get semantic assertions here since
+the DuckDB gate can't hash-check them (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf2dataset_spark.operators import dedup as dd
+from pdf2dataset_spark.operators import similarity as sim
+from pdf2dataset_spark.operators import text as tx
+from pdf2dataset_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    resize_images,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ dedup
+def test_minhash_lsh_recalls_planted_neardups(spark, documents):
+    d = documents.select("doc_id", "text").limit(100)
+    toks = F.split("text", " ")
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    sigs = corpus.select(
+        "doc_id", dd.minhash_signature(dd.shingles("text", 3)).alias("minhash")
+    )
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", "minhash", 16, 4)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    planted = {(i, i + 1000000) for (i,) in d.select("doc_id").collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unrelated")],
+        "doc_id long, text string",
+    )
+    kept = dd.exact_dedup(df).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [1, 3]  # normalized dup collapses to first
+
+
+def test_simhash_neardup_small_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely different content about spark query engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = df.select("doc_id", dd.simhash64(tx.ws_tokens("text")).alias("h"))
+    rows = {r.doc_id: r.h for r in sh.collect()}
+    d12 = bin((rows[1] ^ rows[2]) & (2**64 - 1)).count("1")
+    d13 = bin((rows[1] ^ rows[3]) & (2**64 - 1)).count("1")
+    assert d12 < d13, f"near-dup hamming {d12} should beat unrelated {d13}"
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["a b c", "x y z"])],
+        "id long, sh array<string>",
+    )
+    pairs = dd.jaccard_pairs(df, "id", "sh", threshold=0.0).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == pytest.approx(1 / 3)  # {abc} of {abc,bcd,xyz}
+
+
+# -------------------------------------------------------- similarity
+def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.topk_cosine(embeddings, q, k=5).collect()
+    approx = sim.lsh_bucket_topk(
+        embeddings, q, dim=64, k=5, planes=3, tables=8
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"3-plane/8-table LSH recall too low: {recall}"
+
+
+def test_ivf_topk_shape_and_selfsim(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = sim.ivf_topk(embeddings, q, n_centroids=8, nprobe=2, k=3).collect()
+    assert 0 < len(res) <= 3
+    assert all(-1.0 <= r.cos_sim <= 1.0 + 1e-9 for r in res)
+
+
+def test_cosine_self_similarity_is_one(spark, embeddings):
+    row = embeddings.limit(1)
+    val = row.select(
+        sim.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()[0].c
+    assert val == pytest.approx(1.0, abs=1e-12)
+
+
+# -------------------------------------------------------------- text
+def test_lang_id_on_real_language_fixtures(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy for a while"),
+            (2, "le chat est sur le tapis et il est content pour un moment"),
+            (3, "el gato es feliz y la casa es grande por un momento"),
+            (4, "der hund ist gross und die katze ist nicht klein zu haus"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.lang for r in df.select(
+        "id", tx.lang_id("text").alias("lang")
+    ).collect()}
+    assert out == {1: "en", 2: "fr", 3: "es", 4: "de"}
+
+
+def test_quality_filter_drops_junk(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a decent looking sentence with enough normal words here"),
+            (2, "x"),  # too short
+            (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbb "
+                "cccccccccccccccccccc dddddddddddddddddddd eeeeeeeeeeeeeeeeeeee"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = tx.quality_filter(df, min_tokens=5).select("doc_id").toPandas()
+    assert kept["doc_id"].tolist() == [1]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "hello, world42!")], "id long, text string")
+    toks = df.select(tx.bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["hello", ",", "world", "42", "!"]
+
+
+# -------------------------------------------------------- multimodal
+def test_multimodal_decode_roundtrip(spark, documents):
+    d = documents.select("doc_id", "text").limit(50)
+    decoded = decode_media(attach_fake_media(d))
+    bad = decoded.filter(
+        (~F.col("dec_ok"))
+        | (F.col("dec_width") != F.col("media_meta.width"))
+        | (F.col("dec_height") != F.col("media_meta.height"))
+        | (F.col("dec_frames") != F.col("media_meta.n_frames"))
+    ).count()
+    assert bad == 0
+
+
+def test_multimodal_resize_and_frame_sampling(spark, documents):
+    d = attach_fake_media(documents.select("doc_id", "text").limit(10))
+    resized = resize_images(d, size=(224, 224))
+    metas = resized.select("media_meta.width", "media_meta.height").distinct().collect()
+    assert [(m.width, m.height) for m in metas] == [(224, 224)]
+    frames = sample_frames(attach_fake_media(documents.select("doc_id", "text").limit(10)), every_n=10)
+    got = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in got)
+
+
+def test_multimodal_real_codec_is_clearly_stubbed(spark, documents):
+    d = attach_fake_media(documents.select("doc_id", "text").limit(1))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_media(d, decoder="ffmpeg")
+
+
+# ------------------------------------------------- approx aggregates
+def test_approx_count_distinct_within_rsd(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+        F.countDistinct("l_partkey").alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.1
