@@ -1,1 +1,195 @@
-"""Stub — populated in later build phases."""
+"""Tier G — streaming (SURVEY.md §2 tier G).
+
+The reference is batch-only; streaming is mandated extension surface.
+Spark's windowing/dedup/join operators are engine-shared between
+batch and Structured Streaming, so each operator is oracle-checked
+here in batch mode on `events` and re-exercised as a true readStream
+→ memory-sink flow in tests/test_streaming.py (watermarks, state,
+foreachBatch — the streaming-only semantics — live there).
+
+The same plans run unchanged under `readStream`; helpers in
+pdf2dataset_spark/streaming/windows.py wrap them for both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.queries import query
+from pdf2dataset_spark.queries._util import t
+from pdf2dataset_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_counts,
+    tumbling_window_agg,
+)
+
+
+# --------------------------------------------------------------- G1
+@query(
+    "g1_tumbling_window",
+    sql="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tier="G",
+)
+def g1_tumbling_window(spark, sf_dir):
+    """Tumbling 10-minute window aggregation (G1). Spark's window()
+    and DuckDB's time_bucket share epoch-aligned bucket origins."""
+    e = t(spark, sf_dir, "events")
+    return tumbling_window_agg(e, "ts", "10 minutes", keys=["event_type"])
+
+
+# --------------------------------------------------------------- G2
+@query(
+    "g2_sliding_window",
+    sql="""
+    SELECT window_start, COUNT(*) AS n_events
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTES])
+               AS window_start
+      FROM events
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tier="G",
+)
+def g2_sliding_window(spark, sf_dir):
+    """Sliding windows: 10-minute length, 5-minute slide → every
+    event lands in exactly two windows (G2)."""
+    e = t(spark, sf_dir, "events")
+    return sliding_window_counts(e, "ts", "10 minutes", "5 minutes")
+
+
+# --------------------------------------------------------------- G3
+@query(
+    "g3_session_window",
+    sql="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tier="G",
+)
+def g3_session_window(spark, sf_dir):
+    """Session windows with a 5-minute gap (G3): Spark's native
+    session_window vs the ANSI gap-detection rewrite — session start
+    equals the first event's timestamp in both."""
+    e = t(spark, sf_dir, "events")
+    return session_window_agg(e, "ts", "5 minutes", keys=["user_id"])
+
+
+# --------------------------------------------------------------- G4
+@query("g4_watermark_passthrough", sql=None, tier="G")
+def g4_watermark_passthrough(spark, sf_dir):
+    """Watermark + windowed count (G4). In batch, withWatermark is a
+    no-op (documented Spark semantics) so this is rows-only; the
+    late-row-dropping behavior is asserted in the real streaming test
+    (tests/test_streaming.py::test_watermark_drops_late_rows)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+# --------------------------------------------------------------- G5
+@query(
+    "g5_streaming_dedup",
+    sql="""
+    SELECT user_id, event_type, event_id AS first_event
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tier="G",
+)
+def g5_streaming_dedup(spark, sf_dir):
+    """Keyed dedup keep-earliest (G5): the batch contract matching
+    streaming dropDuplicates/dropDuplicatesWithinWatermark (which are
+    arrival-order 'first'; event-time-deterministic here via ranked
+    window)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+    )
+
+
+# --------------------------------------------------------------- G6
+@query("g6_stateful_per_key", sql=None, tier="G")
+def g6_stateful_per_key(spark, sf_dir):
+    """Custom stateful per-key processing (G6): batch analog via
+    applyInPandas computing per-user event count, value sum and max
+    inter-event gap — the same keyed-state shape
+    transformWithStateInPandas maintains incrementally in streaming
+    (see tests/test_streaming.py). Rows-only: float gap arithmetic
+    via pandas."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "max_gap_s": [float(gaps.max()) if len(gaps) else 0.0],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id long, n_events long, max_gap_s double"
+    )
+
+
+# --------------------------------------------------------------- G7
+@query(
+    "g7_stream_static_join",
+    sql="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tier="G",
+)
+def g7_stream_static_join(spark, sf_dir):
+    """Stream–static enrichment join (G7): events against a broadcast
+    dimension; identical plan under readStream."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment"
+    )

@@ -1,0 +1,223 @@
+"""True Structured Streaming tests (SURVEY §2 tier G rows-only
+semantics): file-source micro-batches → memory sink, watermark
+late-data dropping, streaming dedup, stream-static join, stateful
+per-key processing, foreachBatch sink."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from pdf2dataset_spark.io import load_table
+from pdf2dataset_spark.streaming.windows import (
+    tumbling_window_agg,
+    watermarked_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events re-encoded at µs precision (readStream can't take the
+    raw NANOS parquet, same as batch — see io._load_events)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF, "events").write.parquet(path)
+    return path
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_dir):
+    batch = tumbling_window_agg(
+        spark.read.parquet(events_dir), "ts", "10 minutes", keys=["event_type"]
+    )
+    stream = tumbling_window_agg(
+        _stream(spark, events_dir), "ts", "10 minutes", keys=["event_type"]
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from t_tumbling").toPandas()
+    finally:
+        q.stop()
+    want = batch.toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:01"), (2, "2024-01-01 10:31:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    on_time.write.parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    counts = watermarked_tumbling_counts(stream, "ts", "10 minutes", "10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_watermark")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Late row: 10:05 is > 10 min behind max event time (10:31) →
+        # its window [10:00,10:10) has already been finalized+emitted.
+        late = spark.createDataFrame(
+            [(3, "2024-01-01 10:05:00")], "event_id long, ts_s string"
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        late.write.mode("append").parquet(str(src / "batch2"))
+        q.processAllAvailable()
+        # One more empty-ish advance so finalized windows flush.
+        time.sleep(0.2)
+        q.processAllAvailable()
+        got = spark.sql(
+            "select window_start, n_events from t_watermark order by window_start"
+        ).toPandas()
+    finally:
+        q.stop()
+    w10 = got[got.window_start == pd.Timestamp("2024-01-01 10:00:00")]
+    # The on-time event at 10:00:01 is counted once; the late event at
+    # 10:05 must NOT bump the finalized window.
+    assert (w10.n_events <= 1).all(), f"late row leaked into finalized window:\n{got}"
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "a-dup"), (3, "c"), (2, "b-dup")],
+        "event_id long, payload string",
+    )
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("event_id long, payload string").parquet(
+        str(src) + "/*"
+    )
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select event_id from t_dedup").toPandas()
+    finally:
+        q.stop()
+    assert sorted(got.event_id.tolist()) == [1, 2, 3]
+
+
+def test_stream_static_join(spark, events_dir):
+    customer = load_table(spark, SF, "customer")
+    stream = _stream(spark, events_dir)
+    joined = stream.join(F.broadcast(customer), stream.user_id == customer.c_custkey)
+    q = (
+        joined.select("event_id", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select count(*) n from t_ssjoin").collect()[0].n
+    finally:
+        q.stop()
+    batch_n = (
+        spark.read.parquet(events_dir)
+        .join(customer, F.col("user_id") == customer.c_custkey)
+        .count()
+    )
+    assert got == batch_n > 0
+
+
+def test_stateful_per_key_counts(spark, events_dir):
+    """applyInPandasWithState: running per-user counts maintained in
+    keyed state (G6 true-streaming path)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_fn(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = _stream(spark, events_dir)
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select user_id, max(n_events) n from t_state group by user_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .rename(columns={"count": "n"})
+    )
+    merged = got.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.n_got == merged.n_want).all()
+
+
+def test_foreachbatch_idempotent_upsert(spark, tmp_path):
+    """foreachBatch sink (G8): upsert-by-key into a target directory,
+    idempotent under re-delivery."""
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 11.0)], "k long, v double"
+    ).write.parquet(str(src / "b1"))
+
+    target: dict[int, float] = {}
+
+    def upsert(df, epoch_id):
+        for row in df.groupBy("k").agg(F.max("v").alias("v")).collect():
+            target[row.k] = max(row.v, target.get(row.k, float("-inf")))
+
+    stream = spark.readStream.schema("k long, v double").parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert target == {1: 11.0, 2: 20.0}
