@@ -23,11 +23,15 @@ HEADLINE = [
     "c1_pricing_summary",
     "c3_count_distinct",
     "d1_orders_customer_join",
+    "d2_broadcast_part_join",
     "d11_star_join_revenue",
     "e1_rank_orders_per_cust",
+    "e3_running_sum_frame",
     "f1_exact_dedup",
     "f4_topk_cosine",
+    "f9_tfidf_top_terms",
     "g1_tumbling_window",
+    "g3_session_window",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Physical-plan auditing (the 100 TB discipline, SURVEY.md §4).
+
+A query that is correct at sf0.01 but scans every column, misses a
+predicate pushdown, or shuffles a broadcastable dim will fall over at
+cluster scale. These helpers make the plan itself testable:
+tests/test_plans.py asserts pushdown/broadcast/codegen properties for
+the headline queries, so a regression in plan shape fails CI exactly
+like a wrong answer would.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what df.explain() prints)."""
+    jdf = df._jdf  # noqa: SLF001 - no public capture API
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(explain_mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters the parquet scan will apply at row-group level."""
+    plan = explain_string(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every parquet scan — column pruning evidence."""
+    plan = explain_string(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan)]
+
+
+def scan_columns(df: DataFrame) -> set[str]:
+    cols: set[str] = set()
+    for schema in read_schemas(df):
+        cols.update(re.findall(r"(\w+):", schema))
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_string(df) or "BroadcastNestedLoopJoin" in explain_string(df)
+
+
+def _nodes(df: DataFrame) -> list[str]:
+    """Distinct physical nodes as '(id) Name' from formatted explain."""
+    plan = explain_string(df)
+    seen: dict[str, str] = {}
+    for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE):
+        seen[m.group(1)] = m.group(2)
+    return list(seen.values())
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (broadcast exchanges excluded) —
+    the scale currency."""
+    return sum(1 for n in _nodes(df) if n == "Exchange")
+
+
+def broadcast_exchange_count(df: DataFrame) -> int:
+    return sum(1 for n in _nodes(df) if n == "BroadcastExchange")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans (from simple explain)."""
+    plan = explain_string(df, mode="simple")
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def audit(df: DataFrame) -> dict:
+    """One-stop plan summary for notebooks / PLAN_AUDIT reporting."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "scan_columns": sorted(scan_columns(df)),
+        "broadcast_join": has_broadcast_join(df),
+        "shuffles": shuffle_count(df),
+        "broadcasts": broadcast_exchange_count(df),
+        "codegen_stages": codegen_stage_count(df),
+    }

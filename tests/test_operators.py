@@ -190,3 +190,31 @@ def test_approx_count_distinct_within_rsd(spark):
         F.countDistinct("l_partkey").alias("e"),
     ).collect()[0]
     assert abs(row.a - row.e) / row.e < 0.1
+
+
+# -------------------------------------------------------------- asof
+def test_asof_strategies_agree(spark):
+    from pdf2dataset_spark.operators.asof import asof_join_pandas, asof_join_window
+
+    from pdf2dataset_spark.io import load_table
+
+    e = load_table(spark, SF, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    win = asof_join_window(purchases, clicks, on="ts", by="user_id")
+    pdres = asof_join_pandas(purchases, clicks, on="ts", by="user_id")
+
+    a = {r.event_id: r.asof_ts for r in win.collect()}
+    b = {r.event_id: r.asof_ts for r in pdres.collect()}
+    assert set(a) == set(b)
+    mismatches = {k for k in a if a[k] != b[k] and not (a[k] is None and pd_isnat(b[k]))}
+    assert not mismatches, f"{len(mismatches)} mismatching as-of results"
+
+
+def pd_isnat(v):
+    import pandas as pd
+
+    return v is None or (isinstance(v, type(pd.NaT)) and v is pd.NaT)

@@ -1,0 +1,101 @@
+"""Plan-shape regression tests (SURVEY §4 / 100 TB mandate): correct
+answers with a bad plan fail here."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf2dataset_spark.plans.audit import (
+    audit,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from pdf2dataset_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def q(registry, name, spark):
+    return registry[name].fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_parquet(spark, registry):
+    df = q(registry, "b2_filter_range", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf and "l_discount" in pf, pf
+
+
+def test_column_pruning_on_projection(spark, registry):
+    df = q(registry, "b1_project_compute", spark)
+    cols = scan_columns(df)
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}, cols
+
+
+def test_broadcast_join_for_small_dim(spark, registry):
+    assert has_broadcast_join(q(registry, "d2_broadcast_part_join", spark))
+
+
+def test_star_join_broadcasts_dims(spark, registry):
+    df = q(registry, "d11_star_join_revenue", spark)
+    assert has_broadcast_join(df)
+    # 3 dims broadcast; shuffles only for the two fact joins + agg +
+    # final sort: lineitem must never shuffle for a dim join.
+    assert shuffle_count(df) <= 6, audit(df)
+    from pdf2dataset_spark.plans.audit import broadcast_exchange_count
+
+    assert broadcast_exchange_count(df) >= 3, audit(df)
+
+
+def test_flagship_agg_is_partial_final(spark, registry):
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    from pdf2dataset_spark.plans.audit import _nodes
+
+    df = q(registry, "c1_pricing_summary", spark)
+    nodes = _nodes(df)
+    assert nodes.count("HashAggregate") == 2, nodes  # partial + final
+    # One shuffle for the tiny group keyspace (+ the final sort's
+    # range exchange); fact rows never move.
+    assert shuffle_count(df) <= 2, audit(df)
+
+
+def test_date_filter_pushdown_in_flagship(spark, registry):
+    df = q(registry, "c1_pricing_summary", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, pf
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "e6_global_topk", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_and_anti_join_planned_as_such(spark, registry):
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    assert "LeftSemi" in explain_string(q(registry, "d6_semi_join", spark))
+    assert "LeftAnti" in explain_string(q(registry, "d7_anti_join_resume", spark))
+
+
+def test_extraction_pipeline_has_no_shuffle(spark, registry):
+    """The document pipeline must stay embarrassingly parallel: scan →
+    mapInPandas → project, zero exchanges."""
+    df = q(registry, "a0_extract_pipeline", spark)
+    assert shuffle_count(df) == 0, audit(df)
+
+
+def test_no_cartesian_in_equi_joins(spark, registry):
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    for name in ("d1_orders_customer_join", "g7_stream_static_join"):
+        plan = explain_string(q(registry, name, spark))
+        assert "CartesianProduct" not in plan, name
