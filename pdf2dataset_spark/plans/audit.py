@@ -50,11 +50,22 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def _nodes(df: DataFrame) -> list[str]:
-    """Distinct physical nodes as '(id) Name' from formatted explain."""
+    """Distinct physical nodes as '(id) Name' from formatted explain.
+
+    After AQE execution the explain carries BOTH the final and the
+    initial plan; only the final one (before the 'Initial Plan'
+    marker) is counted.
+    """
     plan = explain_string(df)
+    # The tree comes first ('Name (id)' refs, with Final/Initial
+    # sections once AQE has run); node details ('(id) Name') follow.
+    tree = plan.split("== Initial Plan ==")[0]
     seen: dict[str, str] = {}
-    for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE):
-        seen[m.group(1)] = m.group(2)
+    for m in re.finditer(r"(\w+) \((\d+)\)", tree):
+        seen[m.group(2)] = m.group(1)
+    if not seen:  # pragma: no cover - defensive fallback
+        for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE):
+            seen[m.group(1)] = m.group(2)
     return list(seen.values())
 
 
@@ -69,8 +80,9 @@ def broadcast_exchange_count(df: DataFrame) -> int:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Distinct whole-stage-codegen spans (from simple explain)."""
-    plan = explain_string(df, mode="simple")
+    """Distinct whole-stage-codegen spans (from simple explain of the
+    final plan; 0 until an AQE plan has executed)."""
+    plan = explain_string(df, mode="simple").split("Initial Plan")[0]
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 

@@ -323,3 +323,77 @@ def d11_star_join_revenue(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+# ------------------------------------------------------------- SQL1
+@query(
+    "sql1_raw_sql_q3_shape",
+    sql="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-07'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tier="D",
+)
+def sql1_raw_sql_q3_shape(spark, sf_dir):
+    """Raw-SQL entry point (TPC-H Q3 shape): the engine's spark.sql
+    surface — temp views per table, identical twin text modulo
+    dialect. Proves users can run plain SQL against the engine."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP_NTZ '1998-01-07'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+# ------------------------------------------------------------- SQL2
+@query(
+    "sql2_correlated_scalar_subquery",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tier="D",
+)
+def sql2_correlated_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates to an
+    aggregate + join): orders worth twice their customer's average.
+    AVG over doubles is safe here because it feeds a strict >
+    comparison with a 2x margin, not the output hash."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

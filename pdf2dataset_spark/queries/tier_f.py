@@ -398,3 +398,41 @@ def f12_lang_id_heuristic(spark, sf_dir):
         / F.size(tx.ws_tokens("text"))
     )
     return d.select("doc_id", score.alias("en_score"))
+
+
+# --------------------------------------------------------------- F13
+@query(
+    "f13_embedding_neardup",
+    sql=f"""
+    SELECT a.vec_id AS id1, q.vec_id AS id2,
+           {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) AS cos_sim
+    FROM embeddings a
+    JOIN (SELECT vec_id, label, embedding FROM embeddings) q
+      ON a.label = q.label AND a.vec_id < q.vec_id
+    WHERE {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) >= 0.4
+    """,
+    tier="F",
+)
+def f13_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (F2 embedding variant):
+    pairwise cosine within a label block, threshold 0.4. At corpus
+    scale the block key becomes an LSH bucket (f5) — the plan shape
+    (block equi-join → HOF cosine → filter) is unchanged."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id1"),
+        F.col("label").alias("lbl_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("lbl_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = a.join(
+        b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id1") < F.col("id2"))
+    )
+    cos = sim.cosine(F.col("vec_a"), F.col("vec_b"))
+    return pairs.select("id1", "id2", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.4
+    )
