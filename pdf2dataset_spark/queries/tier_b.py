@@ -409,3 +409,41 @@ def b15_explode_tokens(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "word")
+
+
+# --------------------------------------------------------------- B16
+@query(
+    "b16_struct_array_json_misc",
+    sql="""
+    SELECT event_id,
+           to_json(json_object('id', event_id, 'type', event_type)) AS as_json,
+           array_to_string(['a', event_type, 'z'], '|') AS arr_join,
+           CAST(len(flatten([[1, 2], [3]])) AS INTEGER) AS flat_len,
+           CAST(list_aggregate([event_id % 10, 2, 3], 'max') AS BIGINT) AS arr_max,
+           array_to_string(list_reverse(['x', event_type]), '-') AS rev_join
+    FROM events
+    """,
+    tier="B",
+)
+def b16_struct_array_json_misc(spark, sf_dir):
+    """Remaining B-tier surface: to_json over a struct, array joins,
+    flatten, array_max, reverse (B12-B14 stragglers)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("as_json"),
+        F.concat_ws("|", F.array(F.lit("a"), F.col("event_type"), F.lit("z"))).alias(
+            "arr_join"
+        ),
+        F.size(
+            F.flatten(F.array(F.array(F.lit(1), F.lit(2)), F.array(F.lit(3))))
+        ).alias("flat_len"),
+        F.array_max(
+            F.array(F.col("event_id") % 10, F.lit(2).cast("bigint"), F.lit(3).cast("bigint"))
+        ).alias("arr_max"),
+        F.concat_ws("-", F.reverse(F.array(F.lit("x"), F.col("event_type")))).alias(
+            "rev_join"
+        ),
+    )

@@ -164,7 +164,7 @@ def c5_multi_distinct(spark, sf_dir):
     "c6_collect_set",
     sql="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv,
            CAST(len(list(DISTINCT n_name)) AS INTEGER) AS n_nations
     FROM nation
     GROUP BY n_regionkey
@@ -173,12 +173,16 @@ def c5_multi_distinct(spark, sf_dir):
     tier="C",
 )
 def c6_collect_set(spark, sf_dir):
-    """collect_set with sort_array for deterministic output (C6)."""
+    """collect_set + sort_array for deterministic output (C6). The
+    array is serialized to CSV for the oracle hash (array cells are
+    comparator-hostile); the array form itself is asserted in tests."""
     n = t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias(
+                "nations_csv"
+            ),
             F.size(F.collect_set("n_name")).alias("n_nations"),
         )
         .orderBy("n_regionkey")
@@ -396,4 +400,16 @@ def c12_custom_udaf(spark, sf_dir):
         li.groupBy("l_returnflag")
         .agg(centi_sum("l_quantity").alias("qty_centi_sum"))
         .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------- C9b
+@query("c9b_approx_percentile", sql=None, tier="C")
+def c9b_approx_percentile(spark, sf_dir):
+    """approx_percentile (C9 approx path): sketch-based → rows-only;
+    the bound |approx - exact| is asserted in tests."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
     )

@@ -57,14 +57,17 @@ def e1_rank_orders_per_cust(spark, sf_dir):
            lag(value) OVER w AS prev_value,
            lead(value) OVER w AS next_value,
            first_value(value) OVER w AS first_val,
-           lag(ts) OVER w AS prev_ts
+           lag(ts) OVER w AS prev_ts,
+           cume_dist() OVER w AS cdist
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tier="E",
 )
 def e2_lag_lead(spark, sf_dir):
-    """Analytic lag/lead/first over per-user event streams (E2)."""
+    """Analytic lag/lead/first/cume_dist over per-user streams (E2).
+    cume_dist is rank/count — identical integer division in both
+    engines, so it hash-checks."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
@@ -75,6 +78,7 @@ def e2_lag_lead(spark, sf_dir):
         F.lead("value").over(w).alias("next_value"),
         F.first("value").over(w).alias("first_val"),
         F.lag("ts").over(w).alias("prev_ts"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 

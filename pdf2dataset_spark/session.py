@@ -71,10 +71,14 @@ def apply_runtime_conf(spark: SparkSession) -> None:
 
     The verification driver creates its own SparkSession; query
     callables run under it, so anything correctness-relevant
-    (timezone, Arrow) must be settable post-hoc. Static confs are
-    skipped silently.
+    (timezone, Arrow) must be settable post-hoc — and so must
+    shuffle parallelism (a foreign session's default of 200
+    partitions would add pure scheduling overhead at local scale).
+    Static confs are skipped silently.
     """
-    for k, v in RUNTIME_CONF.items():
+    conf = dict(RUNTIME_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(_default_parallelism())
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -1,0 +1,81 @@
+"""pyspark.ml LSH variants (SURVEY §2 F2/F5): MinHashLSH for Jaccard
+and BucketedRandomProjectionLSH for Euclidean — the stock Spark ML
+implementations, complementing the DataFrame-native operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_ml_similarity_join(spark):
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.split("text", " ").alias("tokens"))
+        .limit(80)
+    )
+    near = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.slice("tokens", 1, F.size("tokens") - 1).alias("tokens"),
+    )
+    corpus = docs.unionByName(near)
+    cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True)
+    model = cv.fit(corpus)
+    vecs = model.transform(corpus)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    mh_model = mh.fit(vecs)
+    pairs = mh_model.approxSimilarityJoin(vecs, vecs, 0.3, distCol="jaccard_dist")
+    found = {
+        (r.datasetA.doc_id, r.datasetB.doc_id)
+        for r in pairs.collect()
+        if r.datasetA.doc_id < r.datasetB.doc_id
+    }
+    planted = {(i, i + 1000000) for (i,) in docs.select("doc_id").collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"ml MinHashLSH recall: {recall}"
+
+
+def test_brp_lsh_ml_nearest_neighbors(spark):
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", array_to_vector("embedding").alias("features"))
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = brp.fit(emb)
+    key = emb.filter(F.col("vec_id") == 0).collect()[0].features
+    neighbors = model.approxNearestNeighbors(emb, key, 5)
+    ids = [r.vec_id for r in neighbors.collect()]
+    assert len(ids) == 5
+    assert ids[0] == 0  # the vector itself is its own nearest neighbor
+
+
+def test_collect_set_array_form(spark):
+    """c6 serializes to CSV for the oracle; the array form itself."""
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    row = (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .filter(F.col("n_regionkey") == 0)
+        .collect()[0]
+    )
+    assert isinstance(row.nations, list) and len(row.nations) >= 1
+    assert row.nations == sorted(row.nations)
+
+
+def test_approx_percentile_close_to_exact(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
+        F.percentile("l_extendedprice", 0.5).alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.02
