@@ -397,3 +397,34 @@ def sql2_correlated_scalar_subquery(spark, sf_dir):
                                   WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+# --------------------------------------------------------------- D12
+@query(
+    "d12_salted_skew_join",
+    sql="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tier="D",
+)
+def d12_salted_skew_join(spark, sf_dir):
+    """Salted skew join (D12): the salt spreads each hot key over 8
+    subpartitions and the dim side explodes 8-fold — the result is
+    bit-identical to the plain join (that IS the oracle), while the
+    hottest key's partition shrinks 8x. AQE skew-split handles the
+    common case; salting is the explicit tool for single-key
+    pathologies it can't split further."""
+    from pdf2dataset_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    # salted_join joins on a shared column name; align part's key.
+    p = t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    out = salted_join(
+        li,
+        p,
+        on="l_partkey",
+        salt=8,
+        entropy_col=F.col("l_linenumber") + F.col("l_orderkey"),
+    )
+    return out.select("l_orderkey", "l_linenumber", "p_brand")
