@@ -413,3 +413,32 @@ def c9b_approx_percentile(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
     )
+
+
+# --------------------------------------------------------------- C13
+@query(
+    "c13_having",
+    sql="""
+    SELECT l_partkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 45
+    ORDER BY l_partkey
+    """,
+    tier="C",
+)
+def c13_having(spark, sf_dir):
+    """Post-aggregation HAVING filter (C-tier straggler): parts that
+    appear on at least 45 line items."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("n_lines") >= 45)
+        .orderBy("l_partkey")
+    )

@@ -428,3 +428,45 @@ def d12_salted_skew_join(spark, sf_dir):
         entropy_col=F.col("l_linenumber") + F.col("l_orderkey"),
     )
     return out.select("l_orderkey", "l_linenumber", "p_brand")
+
+
+# --------------------------------------------------------------- D13
+@query(
+    "d13_q10_returned_items",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS lost_revenue,
+           COUNT(*) AS n_returned_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tier="D",
+)
+def d13_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by returned-item revenue — the
+    classic fact-fact-dim join + agg + global top-k pattern."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -97,3 +97,35 @@ def test_fanout_via_mapinpandas_schema(spark):
     pages = extract_features(mf, ["text"])
     assert pages.schema["page"].dataType.typeName() == "integer"
     assert pages.filter("error IS NULL").count() == 3
+
+
+def test_cli_small_mode(spark, tmp_path, capsys):
+    """EP1 CLI surface (A13/A14 adjacent): argparse → pipeline."""
+    from pdf2dataset_spark.__main__ import main
+
+    (tmp_path / "x.pdf").write_bytes(b"pg1\fpg2")
+    rc = main([str(tmp_path), "--small", "--num-cpus", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "pg1" in out and "pg2" in out
+
+
+def test_cli_big_mode_writes_parquet(spark, tmp_path, capsys):
+    from pdf2dataset_spark.__main__ import main
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.pdf").write_bytes(b"one\ftwo\fthree")
+    out_path = str(tmp_path / "out.parquet")
+    rc = main([str(src), out_path])
+    assert rc == 0
+    assert "wrote 3 page rows" in capsys.readouterr().out
+    assert spark.read.parquet(out_path).count() == 3
+
+
+def test_progress_snapshot(spark):
+    from pdf2dataset_spark.plans.progress import progress_line, snapshot
+
+    s = snapshot(spark)
+    assert set(s) >= {"active_jobs", "active_stages", "tasks_done"}
+    assert isinstance(progress_line(spark), str)
