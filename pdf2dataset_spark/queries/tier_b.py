@@ -447,3 +447,41 @@ def b16_struct_array_json_misc(spark, sf_dir):
             "rev_join"
         ),
     )
+
+
+# --------------------------------------------------------------- B17
+@query(
+    "b17_json_tuple_map_entries",
+    sql="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k1,
+           json_extract_string(props, '$.nope') AS k2,
+           CAST(event_id % 7 AS BIGINT) AS from_map,
+           array_to_string([CAST(event_id AS VARCHAR), event_type], ':') AS zipped
+    FROM events
+    """,
+    tier="B",
+)
+def b17_json_tuple_map_entries(spark, sf_dir):
+    """B13/B14 stragglers: json_tuple multi-extract, map_from_entries
+    + element_at, arrays_zip (serialized — struct cells are
+    comparator-hostile)."""
+    e = t(spark, sf_dir, "events")
+    jt = F.json_tuple(F.col("props"), "k", "nope")
+    m = F.map_from_entries(
+        F.array(F.struct(F.lit("k").alias("key"), (F.col("event_id") % 7).alias("value")))
+    )
+    zipped = F.arrays_zip(
+        F.array(F.col("event_id").cast("string")), F.array(F.col("event_type"))
+    )
+    return e.select(
+        "event_id",
+        jt,
+        F.element_at(m, "k").alias("from_map"),
+        F.concat_ws(
+            ":",
+            F.flatten(
+                F.transform(zipped, lambda s: F.array(s["0"], s["1"]))
+            ),
+        ).alias("zipped"),
+    ).withColumnsRenamed({"c0": "k1", "c1": "k2"})

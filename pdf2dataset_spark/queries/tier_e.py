@@ -314,3 +314,40 @@ def e12_sample(spark, sf_dir):
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+# --------------------------------------------------------------- E3b
+@query(
+    "e3b_range_frame",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+             AS n_within_50k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_within_50k
+    FROM orders
+    """,
+    tier="E",
+)
+def e3b_range_frame(spark, sf_dir):
+    """RANGE frames (E3 value-based variant): peers within a 50k price
+    band below the current order. RANGE (unlike ROWS) is insensitive
+    to tie order, so the frame is deterministic without a tiebreak."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_50k"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_within_50k"),
+    )
