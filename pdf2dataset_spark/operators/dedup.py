@@ -44,17 +44,36 @@ def exact_dedup(
     text_col: str = "text",
     order_col: str = "doc_id",
     keep_hash: bool = True,
+    strategy: str = "window",
 ) -> DataFrame:
     """Keep the first row (by ``order_col``) of each normalized-text
-    hash group. Deterministic keep-first (SURVEY §2 F1/E11)."""
+    hash group. Deterministic keep-first (SURVEY §2 F1/E11).
+
+    strategy='window': rank within hash partitions. Catalyst prunes
+    unused columns before the shuffle, so if the caller selects only
+    narrow columns the wide text never moves; if the caller keeps
+    ALL columns, every surviving column shuffles.
+    strategy='join': aggregate min(order) per hash (two narrow
+    columns shuffle) and semi-join winners back — the wide-row scale
+    plan: the 100 TB text/media payload is never shuffled at all.
+    Both return identical rows.
+    """
     h = text_hash(text_col).alias("text_sha256")
-    w = Window.partitionBy("text_sha256").orderBy(order_col)
-    out = (
-        df.withColumn("text_sha256", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    hashed = df.withColumn("text_sha256", h)
+    if strategy == "join":
+        winners = hashed.groupBy("text_sha256").agg(
+            F.min(order_col).alias(order_col)
+        )
+        out = hashed.join(winners, ["text_sha256", order_col], "left_semi")
+    elif strategy == "window":
+        w = Window.partitionBy("text_sha256").orderBy(order_col)
+        out = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     return out if keep_hash else out.drop("text_sha256")
 
 

