@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pdf2dataset_spark.queries import query
-from pdf2dataset_spark.queries._util import dec, dsum, t
+from pdf2dataset_spark.queries._util import cents, csum, dec, dsum, t
 
 
 # --------------------------------------------------------------- D1
@@ -41,7 +41,7 @@ def d1_orders_customer_join(spark, sf_dir):
     sql="""
     SELECT p.p_brand,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100
              AS brand_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -59,7 +59,7 @@ def d2_broadcast_part_join(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum("l_extendedprice").alias("brand_revenue"),
+            csum("l_extendedprice").alias("brand_revenue"),
         )
         .orderBy("p_brand")
     )
@@ -280,9 +280,9 @@ def d10_self_join_pairs(spark, sf_dir):
     "d11_star_join_revenue",
     sql="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-             AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))) AS DOUBLE)
+             / (100*100) AS revenue,
            COUNT(*) AS n_lines
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -309,7 +309,7 @@ def d11_star_join_revenue(spark, sf_dir):
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
     )
     c = t(spark, sf_dir, "customer")
-    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4))
+    revenue_c = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -318,7 +318,7 @@ def d11_star_join_revenue(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue_c).cast("double") / (100 * 100)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("n_name")
@@ -435,9 +435,9 @@ def d12_salted_skew_join(spark, sf_dir):
     "d13_q10_returned_items",
     sql="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-             AS lost_revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))) AS DOUBLE)
+             / (100*100) AS lost_revenue,
            COUNT(*) AS n_returned_lines
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -458,13 +458,13 @@ def d13_q10_returned_items(spark, sf_dir):
         F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    revenue = dec("l_extendedprice") * (1 - dec("l_discount", 4))
+    revenue_c = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(revenue).cast("double").alias("lost_revenue"),
+            (F.sum(revenue_c).cast("double") / (100 * 100)).alias("lost_revenue"),
             F.count(F.lit(1)).alias("n_returned_lines"),
         )
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
