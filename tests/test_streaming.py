@@ -221,3 +221,58 @@ def test_foreachbatch_idempotent_upsert(spark, tmp_path):
     finally:
         q.stop()
     assert target == {1: 11.0, 2: 20.0}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (G5 watermarked variant): state
+    for a key is kept only watermark-long — the unbounded-state fix
+    for infinite streams."""
+    src = tmp_path / "wdsrc"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30"), (2, "2024-01-01 10:01:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_wdedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select event_id from t_wdedup").toPandas()
+    finally:
+        q.stop()
+    assert sorted(got.event_id.tolist()) == [1, 2]
+
+
+def test_rate_source_smoke(spark):
+    """Built-in rate source: the zero-dependency load-generator for
+    streaming pipelines (useful for throughput tests on a cluster)."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    q = (
+        stream.selectExpr("value % 5 AS k")
+        .groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time as _t
+
+        _t.sleep(2.5)
+        q.processAllAvailable()
+        n = spark.sql("select sum(count) c from t_rate").collect()[0].c or 0
+    finally:
+        q.stop()
+    assert n >= 0  # source started and the agg pipeline ran
