@@ -249,24 +249,40 @@ def c7_rollup(spark, sf_dir):
 @query(
     "c8_stats_aggregates",
     sql="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-           sqrt((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                                     * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                   * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
-                / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))) AS qty_stddev
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sxx,
+           sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS qty_stddev,
+           (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS qty_variance,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr,
+           ((sxxx / n) - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+             / (((sxx / n) - (sx / n) * (sx / n))
+                * sqrt((sxx / n) - (sx / n) * (sx / n))) AS qty_skewness
+    FROM m
     ORDER BY l_returnflag
     """,
     tier="C",
 )
 def c8_stats_aggregates(spark, sf_dir):
-    """Stats aggregates via exact-moment formula (C8).
+    """Stats aggregates via exact-moment formulas (C8): stddev,
+    variance, corr, skewness — kurtosis is the same fourth-moment
+    pattern.
 
     Built-in stddev/corr accumulate doubles in nondeterministic order
     (verified: corr differs ~1e-17 across engines), so the moments are
@@ -276,19 +292,40 @@ def c8_stats_aggregates(spark, sf_dir):
     """
     li = t(spark, sf_dir, "lineitem")
     q = dec("l_quantity")
-    n = F.count(F.lit(1))
-    sx = F.sum(q).cast("double")
-    sxx = F.sum(q * q).cast("double")
-    std = F.sqrt(
-        (n * sxx - sx * sx) / (n.cast("double") * (n - F.lit(1)))
+    y = dec("l_extendedprice")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(q * q * q).cast("double").alias("sxxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(q * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sxxx, sy, syy, sxy = F.col("sxxx"), F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (n * sxx - sx * sx) / (n.cast("double") * (n - F.lit(1)))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    mean = sx / n
+    m2 = (sxx / n) - mean * mean
+    # m2^1.5 as m2*sqrt(m2): multiply and sqrt are IEEE-correctly-
+    # rounded everywhere; pow(x,1.5) is not (differs by 1 ulp
+    # between JVM Math.pow and libm).
+    skew = ((sxxx / n) - 3 * mean * (sxx / n) + 2 * mean * mean * mean) / (
+        m2 * F.sqrt(m2)
     )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            n.alias("n"),
-            sx.alias("sx"),
-            sxx.alias("sxx"),
-            std.alias("qty_stddev"),
+        moments.select(
+            "l_returnflag",
+            "n",
+            "sx",
+            "sxx",
+            F.sqrt(var).alias("qty_stddev"),
+            var.alias("qty_variance"),
+            corr.alias("qty_price_corr"),
+            skew.alias("qty_skewness"),
         )
         .orderBy("l_returnflag")
     )
