@@ -276,3 +276,46 @@ def test_rate_source_smoke(spark):
     finally:
         q.stop()
     assert n >= 0  # source started and the agg pipeline ran
+
+
+def test_checkpoint_restart_resumes_without_duplicates(spark, tmp_path):
+    """Checkpointed restart (the streaming face of A9 resume): stop a
+    query mid-stream, add data, restart from the same checkpoint —
+    every input row is delivered exactly once to the sink."""
+    src = tmp_path / "cksrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    spark.createDataFrame([(1,), (2,)], "v long").write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("v long").parquet(str(src) + "/*")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame([(3,), (4,)], "v long").write.mode("append").parquet(
+        str(src / "b2")
+    )
+    stream2 = spark.readStream.schema("v long").parquet(str(src) + "/*")
+    q2 = (
+        stream2.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4]  # no duplicates, no losses

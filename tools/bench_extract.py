@@ -1,0 +1,68 @@
+"""Extraction-pipeline throughput bench (reference parity: upstream's
+whole job is docs→pages/sec; it publishes no numbers, so this records
+ours). Generates a synthetic corpus of multi-page documents, runs the
+big-volume pipeline (dir scan → fused fan-out+features → gzip parquet
+sink), and prints docs/s + pages/s.
+
+Usage: python tools/bench_extract.py [--docs 2000] [--pages 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--pages", type=int, default=10)
+    ap.add_argument("--words-per-page", type=int, default=120)
+    args = ap.parse_args()
+
+    from pdf2dataset_spark.extraction import ExtractionPipeline
+    from pdf2dataset_spark.session import get_spark
+
+    spark = get_spark("bench-extract")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        src = os.path.join(root, "corpus")
+        os.makedirs(src)
+        page = " ".join(f"w{i}" for i in range(args.words_per_page))
+        body = "\f".join(f"p{p} {page}" for p in range(args.pages)).encode()
+        for d in range(args.docs):
+            sub = os.path.join(src, f"s{d % 16:02d}")
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, f"doc{d:06d}.pdf"), "wb") as f:
+                f.write(b"doc-%06d\n" % d + body)
+
+        out = os.path.join(root, "out.parquet")
+        pipe = ExtractionPipeline(spark=spark, features=["text", "ocr"])
+        t0 = time.perf_counter()
+        pipe.run(src, out_path=out)
+        elapsed = time.perf_counter() - t0
+        n_pages = spark.read.parquet(out).count()
+        print(
+            {
+                "docs": args.docs,
+                "pages": n_pages,
+                "elapsed_s": round(elapsed, 2),
+                "docs_per_s": round(args.docs / elapsed, 1),
+                "pages_per_s": round(n_pages / elapsed, 1),
+                "features": ["text", "ocr"],
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
