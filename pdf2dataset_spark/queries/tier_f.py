@@ -436,3 +436,75 @@ def f13_embedding_neardup(spark, sf_dir):
     return pairs.select("id1", "id2", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= 0.4
     )
+
+
+# --------------------------------------------------------------- F14
+@query(
+    "f14_text_cleaning",
+    sql="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(concat('see http://ex.com/', doc_id,
+                              ' mail a', doc_id, '@b.co  ', text),
+                              'https?://[^ ]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             ' +', ' ', 'g') AS cleaned
+    FROM documents
+    """,
+    tier="F",
+)
+def f14_text_cleaning(spark, sf_dir):
+    """Boilerplate/PII scrubbing (training-data cleaning): URL and
+    email redaction + whitespace collapse, pure regexp_replace chain
+    (scan-speed at 100 TB). Noise is injected in-query so the
+    patterns actually fire on this corpus."""
+    d = t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("see http://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" mail a"),
+        F.col("doc_id").cast("string"),
+        F.lit("@b.co  "),
+        F.col("text"),
+    )
+    cleaned = F.regexp_replace(noisy, r"https?://[^ ]+", "<URL>")
+    cleaned = F.regexp_replace(
+        cleaned, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    cleaned = F.regexp_replace(cleaned, " +", " ")
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
+# --------------------------------------------------------------- F16
+@query("f16_stratified_sample", sql=None, tier="F")
+def f16_stratified_sample(spark, sf_dir):
+    """Stratified sampling by language (training-mix control):
+    sampleBy with per-stratum fractions — seeded RNG → rows-only;
+    per-stratum proportions asserted in tests."""
+    d = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 0.25}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------- F17
+@query(
+    "f17_hash_train_test_split",
+    sql="""
+    SELECT doc_id,
+           (md5(CAST(doc_id AS VARCHAR)) < 'e6666666') AS is_train
+    FROM documents
+    """,
+    tier="F",
+)
+def f17_hash_train_test_split(spark, sf_dir):
+    """Deterministic ~90/10 train/test split by content-stable hash:
+    md5 hex compares lexicographically, so the threshold 'e6666666'
+    keeps ≈ 0xe6666666/0x100000000 ≈ 90% in train — reproducible
+    across engines, runs, and cluster sizes (no RNG state), the
+    property that matters when re-materializing a 100 TB corpus."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.md5(F.col("doc_id").cast("string")) < "e6666666").alias("is_train"),
+    )

@@ -230,3 +230,16 @@ def test_exact_dedup_strategies_agree(spark):
     a = dd.exact_dedup(doubled, strategy="window").select("doc_id")
     b = dd.exact_dedup(doubled, strategy="join").select("doc_id")
     assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+
+
+def test_stratified_sample_proportions(spark):
+    from pdf2dataset_spark.io import load_table
+
+    d = load_table(spark, SF, "documents")
+    fractions = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 0.25}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    base = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    got = {r.lang: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    assert got.get("fr", 0) == base["fr"] and got.get("de", 0) == base["de"]
+    en_rate = got.get("en", 0) / base["en"]
+    assert 0.3 < en_rate < 0.7  # Bernoulli(0.5) within loose bounds
