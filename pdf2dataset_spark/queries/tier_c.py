@@ -368,10 +368,10 @@ def c9_percentiles(spark, sf_dir):
     SELECT o_orderpriority,
            arg_max(o_orderkey,
                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                   * 1000000 + o_orderkey) AS biggest_order,
+                   * 1000000000 + o_orderkey) AS biggest_order,
            arg_min(o_orderkey,
                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                   * 1000000 + o_orderkey) AS smallest_order,
+                   * 1000000000 + o_orderkey) AS smallest_order,
            MAX(o_totalprice) AS max_price
     FROM orders
     GROUP BY o_orderpriority
@@ -384,7 +384,11 @@ def c10_min_max_by(spark, sf_dir):
     value for deterministic tie-breaks (C10) — DuckDB 1.0 arg_max
     rejects struct values, so the composite is integer-encoded."""
     o = t(spark, sf_dir, "orders")
-    ordv = (dec("o_totalprice") * 100).cast("bigint") * 1000000 + F.col("o_orderkey")
+    # price_cents ≤ 5e7, so ×1e9 ≤ 5e16 stays in int64 with room for
+    # order keys below 1e9 (sf ≲ 600) — no collision at bench scales.
+    ordv = (dec("o_totalprice") * 100).cast("bigint") * 1000000000 + F.col(
+        "o_orderkey"
+    )
     return (
         o.groupBy("o_orderpriority")
         .agg(
