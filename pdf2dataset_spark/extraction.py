@@ -53,8 +53,21 @@ class ExtractionPipeline:
             df = df.repartition(self.num_partitions)
         return df
 
-    def pages(self, input_data: str | dict[str, bytes], resume_from: str | None = None) -> DataFrame:
-        """The page-grain result DataFrame (lazy; no action run)."""
+    def pages(
+        self,
+        input_data: str | dict[str, bytes],
+        resume_from: str | None = None,
+        page_range: tuple[int, int] | None = None,
+        observe: bool = False,
+    ) -> DataFrame:
+        """The page-grain result DataFrame (lazy; no action run).
+
+        ``page_range`` pushes a page predicate into the fan-out so
+        out-of-range pages are never extracted (SURVEY §4.2 stretch).
+        ``observe=True`` attaches an Observation named
+        ``extract_metrics`` (rows / error rows) populated when the
+        DataFrame executes — see :attr:`last_observation`.
+        """
         mf = self.manifest(input_data)
         if resume_from is not None:
             done = load_done(self.spark, resume_from, keys=["path"])
@@ -62,7 +75,23 @@ class ExtractionPipeline:
                 # Document-grain resume: a doc is redone only if any
                 # of it is missing; page-grain dedup happens on write.
                 mf = resume_filter(mf, done.withColumnRenamed("path", "path"), ["path"])
-        return extract_features(mf, self.features, codec=self.codec or default_codec())
+        out = extract_features(
+            mf,
+            self.features,
+            codec=self.codec or default_codec(),
+            page_range=page_range,
+        )
+        if observe:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            self.last_observation = Observation("extract_metrics")
+            out = out.observe(
+                self.last_observation,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("error").alias("n_errors"),
+            )
+        return out
 
     def run(
         self,

@@ -119,17 +119,27 @@ def extract_features(
     manifest: DataFrame,
     features: list[str | Feature],
     codec: DocumentCodec | None = None,
+    page_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Fused fan-out + feature extraction + error capture.
 
     ``manifest`` must have columns ``path: string`` and
     ``content: binary`` (from either source, SURVEY §2 A1/A2).
     Returns the page-grain DataFrame with the declared schema.
+
+    ``page_range=(lo, hi)`` pushes a page predicate INTO the fan-out
+    (SURVEY §4.2 stretch): pages outside the range are never
+    extracted/rendered at all — the operator-level analog of not
+    generating unwanted tasks, and far cheaper than filtering after
+    an expensive render. A Catalyst rule could derive this from a
+    downstream ``filter(page <= N)`` automatically; the explicit
+    parameter keeps the plan obvious.
     """
     feats = resolve_features(features)
     schema = output_schema(feats)
     out_cols = [f.name for f in schema.fields]
     codec = codec or default_codec()
+    lo, hi = page_range if page_range is not None else (1, None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-worker init happens here, once per Python worker process
@@ -150,7 +160,8 @@ def extract_features(
                         }
                     )
                     continue
-                for page in range(1, n_pages + 1):
+                last = n_pages if hi is None else min(hi, n_pages)
+                for page in range(max(lo, 1), last + 1):
                     row: dict[str, Any] = {"path": path, "page": page, "error": None}
                     errs = []
                     for f in feats:

@@ -129,3 +129,26 @@ def test_progress_snapshot(spark):
     s = snapshot(spark)
     assert set(s) >= {"active_jobs", "active_stages", "tasks_done"}
     assert isinstance(progress_line(spark), str)
+
+
+def test_page_range_pushdown_into_fanout(spark):
+    """SURVEY §4.2 stretch: pages outside the range are never
+    extracted (not just filtered after)."""
+    from pdf2dataset_spark.extraction import ExtractionPipeline
+
+    docs = {"big.pdf": "\f".join(f"p{i}" for i in range(1, 11)).encode()}
+    pipe = ExtractionPipeline(spark=spark, features=["text"])
+    got = pipe.pages(docs, page_range=(2, 4)).toPandas()
+    assert sorted(got.page.tolist()) == [2, 3, 4]
+    assert sorted(got.text.tolist()) == ["p2", "p3", "p4"]
+
+
+def test_observe_metrics(spark):
+    from pdf2dataset_spark.extraction import ExtractionPipeline
+
+    docs = {"a.pdf": b"x\fy", "bad.pdf": b"\xff\xfe"}
+    pipe = ExtractionPipeline(spark=spark, features=["text"])
+    df = pipe.pages(docs, observe=True)
+    df.count()  # trigger execution so the observation fills
+    m = pipe.last_observation.get
+    assert m["n_rows"] == 3 and m["n_errors"] == 1
