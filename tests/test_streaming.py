@@ -319,3 +319,82 @@ def test_checkpoint_restart_resumes_without_duplicates(spark, tmp_path):
 
     got = sorted(r.v for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4]  # no duplicates, no losses
+
+
+def test_transform_with_state_in_pandas(spark, events_dir):
+    """Spark 4's transformWithStateInPandas (G6 modern path): a
+    StatefulProcessor with ValueState keeping per-user running counts
+    across micro-batches.
+
+    Environment-gated: the TWS state-server protocol needs
+    google.protobuf, which is not installed in this container (no
+    network — verified crash: ImportError in StateMessage_pb2). The
+    applyInPandasWithState test above covers keyed streaming state on
+    the available runtime."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf (absent here)",
+    )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count_state = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.count_state.get()[0] if self.count_state.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.count_state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = _stream(spark, events_dir)
+    result = stream.groupBy("user_id").transformWithStateInPandas(
+        CountProcessor(),
+        outputStructType="user_id long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select user_id, max(n_events) n from t_tws group by user_id"
+        ).toPandas()
+    finally:
+        q.stop()
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .rename(columns={"count": "n"})
+    )
+    merged = got.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.n_got == merged.n_want).all()
