@@ -1,0 +1,43 @@
+"""Storage-layer behaviors a long-lived pipeline depends on: cache
+reuse, schema evolution on append, compression codecs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf2dataset_spark.io import load_table
+from pdf2dataset_spark.plans.audit import explain_string
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cache_reuse_in_plan(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    cached = li.cache()
+    try:
+        cached.count()  # materialize
+        plan = explain_string(cached.groupBy("l_orderkey").count())
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    finally:
+        cached.unpersist()
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appends with a new column are readable with mergeSchema — how
+    feature columns get added to an existing corpus without rewrite."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, text string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.mode("append").parquet(out)
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r.id: r.lang for r in df.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF, "region")
+    for codec in ("gzip", "snappy", "zstd"):
+        path = str(tmp_path / codec)
+        df.write.option("compression", codec).parquet(path)
+        assert spark.read.parquet(path).count() == 5
