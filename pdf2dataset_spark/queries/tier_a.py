@@ -160,3 +160,35 @@ def a12_chunk_concat(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
     )
+
+
+# --------------------------------------------------------------- A15
+@query("a15_pipeline_composition", sql=None, tier="A")
+def a15_pipeline_composition(spark, sf_dir):
+    """The actual use-case, end to end in ONE lazy plan: extract
+    (fused fan-out + features + error capture) → drop error rows →
+    quality filter → exact dedup → per-doc token stats. Every stage
+    is the operator the registry checks individually; this proves
+    they compose without materialization barriers (zero actions until
+    the driver collects)."""
+    from pyspark.sql import functions as F
+
+    from pdf2dataset_spark.extraction import ExtractionPipeline
+    from pdf2dataset_spark.operators.dedup import exact_dedup
+    from pdf2dataset_spark.operators.text import quality_filter
+
+    docs = {
+        "a.pdf": "spark query engine with enough words here\fsecond page text body".encode(),
+        "b.pdf": "spark query engine with enough words here".encode(),  # dup of a p1
+        "c.pdf": "tiny".encode(),  # fails quality filter
+        "bad.pdf": b"\xff\xfe",  # error row
+    }
+    pages = ExtractionPipeline(spark=spark, features=["text"]).pages(docs)
+    ok = pages.filter(F.col("error").isNull()).withColumn(
+        "doc_key", F.concat_ws("#", "path", F.col("page").cast("string"))
+    )
+    good = quality_filter(ok, min_tokens=4, min_mean_token_len=1.0)
+    deduped = exact_dedup(good, text_col="text", order_col="doc_key")
+    return deduped.select(
+        "path", "page", F.col("q_n_tokens").alias("n_tokens"), "text_sha256"
+    )
