@@ -508,3 +508,38 @@ def f17_hash_train_test_split(spark, sf_dir):
         "doc_id",
         (F.md5(F.col("doc_id").cast("string")) < "e6666666").alias("is_train"),
     )
+
+
+# --------------------------------------------------------------- F18
+@query("f18_neardup_clustering", sql=None, tier="F")
+def f18_neardup_clustering(spark, sf_dir):
+    """Near-dup pairs → connected components → one representative per
+    cluster (the final dedup step after LSH/Jaccard pair generation).
+    Iterative fixpoint → rows-only (SURVEY notes iterative algorithms
+    as the weaker-check class); multi-hop correctness is pytest-
+    asserted. Corpus: originals + TWO perturbed generations (A→A',
+    A'→A'') so components genuinely need transitivity — A and A''
+    never pair directly."""
+    from pdf2dataset_spark.operators.cluster import connected_components
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source").limit(100)
+    toks = F.split(F.col("text"), " ")
+    gen1 = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+        F.col("source"),
+    )
+    toks1 = F.split(F.col("text"), " ")
+    gen2 = gen1.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks1, 1, F.size(toks1) - 1)).alias("text"),
+        F.col("source"),
+    )
+    corpus = d.unionByName(gen1).unionByName(gen2).withColumn(
+        "sh", dd.shingles("text", 3)
+    )
+    pairs = dd.jaccard_pairs(corpus, "doc_id", "sh", block_col="source", threshold=0.8)
+    comp = connected_components(pairs.select("id1", "id2"))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

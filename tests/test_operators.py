@@ -243,3 +243,29 @@ def test_stratified_sample_proportions(spark):
     assert got.get("fr", 0) == base["fr"] and got.get("de", 0) == base["de"]
     en_rate = got.get("en", 0) / base["en"]
     assert 0.3 < en_rate < 0.7  # Bernoulli(0.5) within loose bounds
+
+
+# ------------------------------------------------------- clustering
+def test_connected_components_multi_hop(spark):
+    from pdf2dataset_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id1 long, id2 long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_by_components_keeps_representatives(spark):
+    from pdf2dataset_spark.operators.cluster import dedup_by_components
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 4, 10, 11, 50)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 long, id2 long"
+    )
+    kept = sorted(r.doc_id for r in dedup_by_components(df, pairs).collect())
+    assert kept == [1, 10, 50]  # one rep per cluster + the untouched doc
