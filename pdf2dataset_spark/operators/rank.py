@@ -1,0 +1,51 @@
+"""Scalable global ranking (SURVEY §2 E5 at 100 TB).
+
+``row_number() OVER (ORDER BY ...)`` forces every row through ONE
+partition — correct, and a guaranteed bottleneck at scale. The
+scalable equivalent splits it into:
+
+1. ``repartitionByRange`` on the sort keys (range partitioner ⇒
+   partition i holds strictly earlier keys than partition i+1);
+2. per-partition ``row_number`` (parallel, partition-local window);
+3. a tiny per-partition row-count table, cumulated into offsets and
+   broadcast-joined back: global_rank = offset + local row_number.
+
+Output is bit-identical to the single-partition window as long as
+the ordering is total (include a unique tie-break key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a dense global row number following ``order_cols``
+    (must be a total order) without a single-partition window."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__rn", F.row_number().over(w_local))
+    # Per-partition counts → running offsets (tiny: one row/partition).
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__offset", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__pid", "__offset")
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        rank_col, (F.col("__rn") + F.col("__offset")).cast("int")
+    )
+    return out.drop("__pid", "__rn", "__offset")

@@ -162,19 +162,22 @@ def e4_topk_per_group(spark, sf_dir):
 )
 def e5_global_sort(spark, sf_dir):
     """Global multi-key sort, materialized as a rank column so the
-    order-insensitive hash still proves ordering (E5). The single-
-    partition window is the price of a *global* rank; plain orderBy
-    (range-partitioned sort) needs no such bottleneck."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.col("o_orderstatus").desc(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    order-insensitive hash still proves ordering (E5). Computed with
+    the SCALABLE pattern (operators/rank.py): range repartition +
+    per-partition row_number + broadcast offset join — bit-identical
+    to `row_number() OVER (ORDER BY ...)` but with no single-
+    partition window bottleneck."""
+    from pdf2dataset_spark.operators.rank import global_rank
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.row_number().over(w).alias("global_rank"),
-    )
+    order = [
+        F.col("o_orderstatus").desc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ]
+    return global_rank(o, order)
 
 
 # --------------------------------------------------------------- E6

@@ -99,3 +99,14 @@ def test_no_cartesian_in_equi_joins(spark, registry):
     for name in ("d1_orders_customer_join", "g7_stream_static_join"):
         plan = explain_string(q(registry, name, spark))
         assert "CartesianProduct" not in plan, name
+
+
+def test_global_rank_avoids_single_partition_data_window(spark, registry):
+    """e5's scalable rank: the DATA flows through a range-partitioned
+    exchange and a partition-local window; only the 1-row-per-
+    partition offset table touches a single-partition window."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "e5_global_sort", spark))
+    assert "rangepartitioning" in plan, plan
+    assert "__pid" in plan  # partition-local window key
