@@ -507,3 +507,21 @@ def c13_having(spark, sf_dir):
         .filter(F.col("n_lines") >= 45)
         .orderBy("l_partkey")
     )
+
+
+# --------------------------------------------------------------- C14
+@query("c14_hll_sketch_union", sql=None, tier="C")
+def c14_hll_sketch_union(spark, sf_dir):
+    """Mergeable HLL sketches (C4 at cluster scale): per-group
+    hll_sketch_agg, then hll_union_agg to the global estimate —
+    sketches merge associatively, so distinct counts compose across
+    partitions/days/shards without reprocessing raw data. Sketch
+    bytes are engine-specific → rows-only; accuracy asserted in
+    tests."""
+    li = t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct_parts")
+    )

@@ -79,3 +79,20 @@ def test_approx_percentile_close_to_exact(spark):
         F.percentile("l_extendedprice", 0.5).alias("e"),
     ).collect()[0]
     assert abs(row.a - row.e) / row.e < 0.02
+
+
+def test_hll_sketch_union_accuracy(spark):
+    """Sketches built per group must union to a near-exact global
+    estimate (the mergeability property that matters at scale)."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    est = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(est - exact) / exact < 0.05
