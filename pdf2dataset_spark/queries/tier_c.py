@@ -249,32 +249,55 @@ def c7_rollup(spark, sf_dir):
 @query(
     "c8_stats_aggregates",
     sql="""
-    WITH m AS (
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity*100,0) AS BIGINT) AS xc,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS yc
+      FROM lineitem
+    ), m AS (
+      -- Moments accumulate as INTEGER-valued decimals and convert to
+      -- double with ONE int->double rounding. A scaled decimal cast
+      -- (value/10^scale) rounds twice in DuckDB (int128->double,
+      -- then divide) but once in Spark (BigDecimal.doubleValue) --
+      -- observed as a 1-ulp syy mismatch; integers dodge it.
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-      FROM lineitem
+             CAST(SUM(xc) AS DOUBLE) / 100 AS sx,
+             CAST(SUM(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(CAST((xc*xc)*xc AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxxx,
+             CAST(SUM(yc) AS DOUBLE) / 100 AS sy,
+             CAST(SUM(CAST(yc*yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(CAST(xc*yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy
+      FROM c
       GROUP BY l_returnflag
     )
+    , p AS (
+      -- every product staged into its own column: an expression that
+      -- mixes a multiply with +/- invites FMA contraction in C++
+      -- builds (different rounding than the JVM, 1-ulp mismatches)
+      SELECT l_returnflag, n, sx, sxx,
+             n * sxx AS nsxx, sx * sx AS sxsx,
+             n * sxy AS nsxy, sx * sy AS sxsy,
+             n * syy AS nsyy, sy * sy AS sysy,
+             CAST(n AS DOUBLE) * (n - 1) AS nn1,
+             sxxx / n AS m3raw,
+             3 * ((sx / n) * (sxx / n)) AS t1,
+             2 * (((sx / n) * (sx / n)) * (sx / n)) AS t2,
+             (sxx / n) AS m2a, (sx / n) * (sx / n) AS m2b
+      FROM m
+    ), q AS (
+      SELECT l_returnflag, n, sx, sxx,
+             (nsxx - sxsx) / nn1 AS qty_variance,
+             nsxx - sxsx AS dx, nsyy - sysy AS dy, nsxy - sxsy AS dxy,
+             m3raw - t1 + t2 AS m3, m2a - m2b AS m2
+      FROM p
+    )
     SELECT l_returnflag, n, sx, sxx,
-           sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS qty_stddev,
-           (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS qty_variance,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr,
-           ((sxxx / n) - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
-             / (((sxx / n) - (sx / n) * (sx / n))
-                * sqrt((sxx / n) - (sx / n) * (sx / n))) AS qty_skewness
-    FROM m
+           sqrt(qty_variance) AS qty_stddev,
+           qty_variance,
+           dxy / (sqrt(dx) * sqrt(dy)) AS qty_price_corr,
+           m3 / (m2 * sqrt(m2)) AS qty_skewness
+    FROM q
     ORDER BY l_returnflag
     """,
     tier="C",
@@ -291,41 +314,68 @@ def c8_stats_aggregates(spark, sf_dir):
     only formulation that stays deterministic at cluster scale.
     """
     li = t(spark, sf_dir, "lineitem")
-    q = dec("l_quantity")
-    y = dec("l_extendedprice")
-    moments = li.groupBy("l_returnflag").agg(
+    xc = cents("l_quantity")
+    yc = cents("l_extendedprice")
+    withc = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    x, v = F.col("xc"), F.col("yc")
+    d38 = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    moments = withc.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(q * q).cast("double").alias("sxx"),
-        F.sum(q * q * q).cast("double").alias("sxxx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(q * y).cast("double").alias("sxy"),
+        (F.sum(x).cast("double") / 100).alias("sx"),
+        (d38(x * x) / F.lit(10000.0)).alias("sxx"),
+        (d38((x * x) * x) / F.lit(1000000.0)).alias("sxxx"),
+        (F.sum(v).cast("double") / 100).alias("sy"),
+        (d38(v * v) / F.lit(10000.0)).alias("syy"),
+        (d38(x * v) / F.lit(10000.0)).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sxxx, sy, syy, sxy = F.col("sxxx"), F.col("sy"), F.col("syy"), F.col("sxy")
-    var = (n * sxx - sx * sx) / (n.cast("double") * (n - F.lit(1)))
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
     mean = sx / n
-    m2 = (sxx / n) - mean * mean
-    # m2^1.5 as m2*sqrt(m2): multiply and sqrt are IEEE-correctly-
-    # rounded everywhere; pow(x,1.5) is not (differs by 1 ulp
-    # between JVM Math.pow and libm).
-    skew = ((sxxx / n) - 3 * mean * (sxx / n) + 2 * mean * mean * mean) / (
-        m2 * F.sqrt(m2)
+    # Mirror the oracle's staging exactly: products live in their own
+    # expressions, never mixed with +/- in one formula — C++ builds
+    # (DuckDB) contract a*b-c*d into FMA with different rounding than
+    # the JVM, which surfaced as 1-ulp corr mismatches. m2^1.5 is
+    # m2*sqrt(m2) (pow(x,1.5) is likewise not correctly rounded).
+    staged = moments.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sxx",
+        (n * sxx).alias("nsxx"),
+        (sx * sx).alias("sxsx"),
+        (n * sxy).alias("nsxy"),
+        (sx * sy).alias("sxsy"),
+        (n * syy).alias("nsyy"),
+        (sy * sy).alias("sysy"),
+        (n.cast("double") * (n - F.lit(1))).alias("nn1"),
+        (sxxx / n).alias("m3raw"),
+        (F.lit(3) * ((sx / n) * (sxx / n))).alias("t1"),
+        (F.lit(2) * ((mean * mean) * mean)).alias("t2"),
+        (sxx / n).alias("m2a"),
+        (mean * mean).alias("m2b"),
+    )
+    combined = staged.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sxx",
+        ((F.col("nsxx") - F.col("sxsx")) / F.col("nn1")).alias("qty_variance"),
+        (F.col("nsxx") - F.col("sxsx")).alias("dx"),
+        (F.col("nsyy") - F.col("sysy")).alias("dy"),
+        (F.col("nsxy") - F.col("sxsy")).alias("dxy"),
+        (F.col("m3raw") - F.col("t1") + F.col("t2")).alias("m3"),
+        (F.col("m2a") - F.col("m2b")).alias("m2"),
     )
     return (
-        moments.select(
+        combined.select(
             "l_returnflag",
             "n",
             "sx",
             "sxx",
-            F.sqrt(var).alias("qty_stddev"),
-            var.alias("qty_variance"),
-            corr.alias("qty_price_corr"),
-            skew.alias("qty_skewness"),
+            F.sqrt("qty_variance").alias("qty_stddev"),
+            "qty_variance",
+            (F.col("dxy") / (F.sqrt("dx") * F.sqrt("dy"))).alias("qty_price_corr"),
+            (F.col("m3") / (F.col("m2") * F.sqrt("m2"))).alias("qty_skewness"),
         )
         .orderBy("l_returnflag")
     )
