@@ -470,3 +470,60 @@ def d13_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------- D14
+@query(
+    "d14_in_and_scalar_subquery",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 45)
+      AND l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)
+    """,
+    tier="D",
+)
+def d14_in_and_scalar_subquery(spark, sf_dir):
+    """Uncorrelated IN subquery (→ left semi join) + uncorrelated
+    scalar subquery (→ broadcast scalar) — the two remaining
+    RewritePredicateSubquery paths after d6/d7/sql2. AVG feeds a
+    strict > comparison, not the output hash, so double averaging is
+    safe here."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 45)
+          AND l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)
+        """
+    )
+
+
+# --------------------------------------------------------------- D15
+@query(
+    "d15_not_in_null_aware",
+    sql="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                            WHERE l_quantity >= 49)
+    """,
+    tier="D",
+)
+def d15_not_in_null_aware(spark, sf_dir):
+    """NOT IN subquery → Spark's null-aware anti join (a dedicated
+    physical operator: one NULL in the subquery legally empties the
+    result — here the key is non-null so it degenerates to anti join,
+    but the NAAJ plan path is what's exercised)."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity >= 49)
+        """
+    )

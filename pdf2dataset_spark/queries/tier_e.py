@@ -354,3 +354,71 @@ def e3b_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_within_50k"),
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_within_50k"),
     )
+
+
+# --------------------------------------------------------------- E13
+@query(
+    "e13_gap_fill_forward",
+    sql="""
+    WITH bounds AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', MIN(ts)) AS t0,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS t1
+      FROM events WHERE user_id < 10 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             COUNT(*) AS n
+      FROM events WHERE user_id < 10
+      GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.hour_start,
+           COALESCE(h.n, 0) AS n_events,
+           CAST(SUM(CASE WHEN h.n IS NOT NULL THEN 1 ELSE 0 END)
+                OVER (PARTITION BY g.user_id ORDER BY g.hour_start
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hours_active_so_far
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_start = h.hour_start
+    ORDER BY g.user_id, g.hour_start
+    """,
+    tier="E",
+)
+def e13_gap_fill_forward(spark, sf_dir):
+    """Time-series gap filling (E/G extension): generate each user's
+    dense hourly grid (sequence+explode), left-join the sparse hourly
+    counts, zero-fill gaps, and carry a running active-hours counter —
+    the standard densification step before resampling/forward-fill."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hour = lambda c: F.date_trunc("hour", c)  # noqa: E731
+    bounds = e.groupBy("user_id").agg(
+        hour(F.min("ts")).alias("t0"), hour(F.max("ts")).alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(t0, t1, interval 1 hour)")
+        ).alias("hour_start"),
+    )
+    hourly = (
+        e.groupBy("user_id", hour(F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = grid.join(hourly, ["user_id", "hour_start"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("hours_active_so_far"),
+    ).orderBy("user_id", "hour_start")

@@ -193,3 +193,63 @@ def g7_stream_static_join(spark, sf_dir):
     return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
         "event_id", "user_id", "c_mktsegment"
     )
+
+
+# --------------------------------------------------------------- G9
+@query(
+    "g9_reaggregation_rollup",
+    sql="""
+    WITH ten_min AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS b10,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100 AS v
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 hour', b10) AS hour_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(v*100,0) AS BIGINT)) AS DOUBLE)/100 AS total_value
+    FROM ten_min
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tier="G",
+)
+def g9_reaggregation_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup (G extension):
+    hourly totals computed FROM the 10-minute aggregate, not the raw
+    events — proving count/sum are re-aggregable, the property that
+    lets a 100 TB pipeline keep multi-resolution rollups incrementally
+    instead of rescanning raw data. Cents-exact so the two-level sum
+    equals the one-level sum bitwise."""
+    e = t(spark, sf_dir, "events")
+    v_cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    ten_min = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(v_cents).cast("double") / 100).alias("v"),
+        )
+        .select(F.col("w.start").alias("b10"), "event_type", "n", "v")
+    )
+    return (
+        ten_min.groupBy(
+            F.window("b10", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (
+                F.sum(F.round(F.col("v") * 100, 0).cast("bigint")).cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
