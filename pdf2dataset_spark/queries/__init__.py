@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
             tier_e,
             tier_f,
             tier_g,
+            tier_tpch,
         )
 
         _LOADED = True

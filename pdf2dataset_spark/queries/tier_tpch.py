@@ -1,0 +1,347 @@
+"""Classic TPC-H query shapes (SURVEY.md §2 tiers C/D composition).
+
+Beyond the per-operator tiers, these register full multi-operator
+TPC-H-pattern queries (Q7, Q11, Q12, Q14, Q18, Q19, Q22 shapes,
+adapted to the driver's TPC-H-ish schema — no partsupp, no
+l_shipmode/commitdate, synthetic names) so the judge can see whole
+realistic plans: conditional aggregation over joins, disjunctive
+join predicates, semi-joins against aggregated subqueries, global
+scalar-subquery thresholds, and multi-alias dimension joins.
+
+Scale posture: every dimension side is broadcast (nation/part/
+supplier/aggregated thresholds are tiny even at 100 TB fact scale);
+the fact table shuffles at most once per query, for its aggregation
+keyspace. Money math uses the integer-cents domain from _util so
+partial-aggregation order can never perturb the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.queries import query
+from pdf2dataset_spark.queries._util import (
+    cents,
+    csum,
+    dec,
+    sql_cents,
+    sql_csum,
+    t,
+)
+
+# Shared building block: discounted line revenue in the exact integer
+# domain (cents × (100 - discount_cents) → 1e-4 currency units).
+_REV_C = "CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))"
+
+
+def _rev_c():
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+# ------------------------------------------------------------- SQL3
+@query(
+    "sql3_q12_priority_lines",
+    sql="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tier="SQL",
+)
+def sql3_q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: conditional aggregation over a fact-fact
+    equi-join with a cross-table non-equi filter. The filter runs
+    post-join (it references both sides) but the join itself is a
+    plain equi-join AQE can plan; counts stay in the long domain."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ------------------------------------------------------------- SQL4
+@query(
+    "sql4_q14_promo_revenue",
+    sql=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_C}
+                         ELSE 0 END) AS DOUBLE) * 100
+             / CAST(SUM({_REV_C}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    tier="SQL",
+)
+def sql4_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of a conditional sum to a total sum —
+    percentage of revenue from promo parts in a date window. Both
+    sums are exact integers, so the final double division is the only
+    (correctly-rounded, cross-engine-identical) float step."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = _rev_c()
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).cast(
+                    "double"
+                )
+                * 100
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ------------------------------------------------------------- SQL5
+@query(
+    "sql5_q19_disjunctive_join",
+    sql=f"""
+    SELECT CAST(SUM({_REV_C}) AS DOUBLE)/(100*100) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tier="SQL",
+)
+def sql5_q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs mixed-table predicate over an
+    equi-join. Catalyst keeps the equi-join key extractable from the
+    disjunction (the join stays hash-based, not nested-loop) and
+    pushes the single-table parts of each disjunct to the scans."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(_rev_c()).cast("double") / (100 * 100)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ------------------------------------------------------------- SQL6
+@query(
+    "sql6_q18_large_orders",
+    sql=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           {sql_csum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_orderkey
+    """,
+    tier="SQL",
+)
+def sql6_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: semi-join against an aggregated subquery
+    (large-quantity orders), then re-aggregate with the customer dim.
+    The HAVING threshold compares an exact decimal sum, so the
+    qualifying set is identical across engines. The subquery and the
+    outer agg share the l_orderkey partitioning — on a cluster the
+    second shuffle reuses the first's distribution."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(csum("l_quantity").alias("total_qty"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ------------------------------------------------------------- SQL7
+@query(
+    "sql7_q11_revenue_share",
+    sql=f"""
+    WITH brand_rev AS (
+        SELECT p.p_brand, SUM({_REV_C}) AS rev_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, CAST(rev_c AS DOUBLE)/(100*100) AS brand_revenue
+    FROM brand_rev
+    WHERE rev_c * 25 > (SELECT SUM(rev_c) FROM brand_rev)
+    ORDER BY p_brand
+    """,
+    tier="SQL",
+)
+def sql7_q11_revenue_share(spark, sf_dir):
+    """TPC-H Q11 shape: keep groups whose revenue exceeds a fraction
+    of the global total (scalar subquery over the same aggregate).
+    The comparison stays in the integer domain (rev_c*25 > total) so
+    no float threshold can flip a group; the one-row total is
+    broadcast back against the per-brand aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    brand_rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_rev_c()).alias("rev_c"))
+    )
+    total = brand_rev.agg(F.sum("rev_c").alias("total_c"))
+    return (
+        brand_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_c") * 25 > F.col("total_c"))
+        .select(
+            "p_brand",
+            (F.col("rev_c").cast("double") / (100 * 100)).alias("brand_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ------------------------------------------------------------- SQL8
+@query(
+    "sql8_q22_idle_balance",
+    sql="""
+    SELECT substring(c_name, 17, 2) AS code,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totbal
+    FROM customer c
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY code
+    ORDER BY code
+    """,
+    tier="SQL",
+)
+def sql8_q22_idle_balance(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no
+    urgent orders, grouped by a name-derived code. Composes a
+    broadcast scalar threshold (exact decimal avg — bitwise-identical
+    on both engines, so the > comparison is deterministic), an anti
+    join with a pushed-down build-side predicate, and a computed-key
+    aggregation. (Anti-join condition is vs urgent orders because the
+    testdata has no order-less customers at any sf.)"""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 17, 2).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totbal"),
+        )
+        .orderBy("code")
+    )
+
+
+# ------------------------------------------------------------- SQL9
+@query(
+    "sql9_q7_nation_volume",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM({_REV_C}) AS DOUBLE)/(100*100) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_3','NATION_7')
+      AND n2.n_name IN ('NATION_3','NATION_7')
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tier="SQL",
+)
+def sql9_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the same dimension table joined twice under different
+    aliases (supplier nation vs customer nation). All four dims are
+    broadcast; lineitem and orders join on their natural keys and the
+    fact rows shuffle only into the tiny (nation,nation,year) agg."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum(_rev_c()).cast("double") / (100 * 100)).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
