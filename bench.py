@@ -48,14 +48,15 @@ def main() -> None:
     # JVM/session warm-up so the first timed query doesn't pay startup.
     registry[names[0]].fn(spark, sf_dir).limit(1).collect()
 
-    # Two iterations, report the best: local-mode Spark pays a fixed
+    # Three iterations, report the best: local-mode Spark pays a fixed
     # per-job planning/scheduling cost on first execution (codegen
     # compilation, broadcast build) that a long-lived cluster
-    # amortizes; the warm run is the steady-state number.
+    # amortizes; the warm run is the steady-state number, and best-of-3
+    # damps transient host-load outliers.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -10,6 +10,7 @@ one instead (cheap; reads only metadata).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -18,6 +19,17 @@ from pdf2dataset_spark.schemas import TABLE_SCHEMAS
 TABLES = tuple(TABLE_SCHEMAS)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Per-session relation cache: SparkSession -> {(sf_dir, name): DataFrame}.
+#: DataFrames are immutable logical plans, so handing the same object to
+#: every caller is safe and skips the repeated file listing + parquet
+#: footer read + py4j round-trips that spark.read.parquet pays on each
+#: call — the same role a catalog's cached relation metadata plays in a
+#: long-lived engine. Keyed weakly so a stopped session releases its
+#: entries.
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -35,9 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    cache = _RELATION_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        cache[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

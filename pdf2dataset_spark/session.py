@@ -28,6 +28,13 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce post-shuffle partitions by target SIZE, not up to the
+    # default parallelism — the Spark docs' recommended production
+    # setting. At small scale this collapses tiny shuffles to a
+    # handful of tasks (less scheduling); at 100 TB it yields
+    # right-sized reducers instead of defaulting to cluster width.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8MB",
 }
 
 
