@@ -345,3 +345,222 @@ def sql9_q7_nation_volume(spark, sf_dir):
         .agg((F.sum(_rev_c()).cast("double") / (100 * 100)).alias("volume"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ------------------------------------------------------------ SQL10
+@query(
+    "sql10_q15_top_supplier",
+    sql=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV_C}) AS total_rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_rev_c AS DOUBLE)/(100*100) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tier="SQL",
+)
+def sql10_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — a scalar
+    MAX subquery over an aggregated view, compared against the view
+    itself (ties kept, like the spec). Revenue stays in the exact
+    integer domain so the MAX comparison can never miss on float
+    noise. The aggregated view is supplier-cardinality (tiny at any
+    scale), so both the MAX row and the self-join side broadcast;
+    lineitem shuffles once, into the suppkey agg."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_c()).alias("total_rev_c"))
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("max_rev_c"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_c") == F.col("max_rev_c"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_c").cast("double") / (100 * 100)).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ------------------------------------------------------------ SQL11
+@query(
+    "sql11_q16_supplier_count",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1,5,9,14,20,25,30,36)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%33')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tier="SQL",
+)
+def sql11_q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, excluding a blacklisted supplier set. The NOT IN subquery
+    rewrites to a broadcast LEFT ANTI join (s_suppkey is non-null by
+    schema contract, so NOT IN == anti-join here — the null-aware
+    general case is exercised by d15). Part prunes before the join
+    and broadcasts; the only fact shuffle is the grouped distinct."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    p_f = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36)
+    )
+    excl = s.filter(F.col("s_name").like("%33")).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p_f), li.l_partkey == p_f.p_partkey)
+        .join(
+            F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ------------------------------------------------------------ SQL12
+@query(
+    "sql12_q20_nested_in",
+    sql="""
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%red%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+    ORDER BY s_name
+    """,
+    tier="SQL",
+)
+def sql12_q20_nested_in(spark, sf_dir):
+    """TPC-H Q20 shape: two nested IN subqueries — suppliers who
+    moved a large volume of 'red' parts in 1997. Inner IN becomes a
+    broadcast semi-join of lineitem against the pruned part keys;
+    the HAVING over the suppkey agg yields a supplier-cardinality
+    qualifying set that broadcasts into the outer semi-join, so the
+    supplier table is never shuffled. Quantities are integral by
+    data contract; summing them as BIGINT keeps the HAVING
+    threshold exact under any partial-agg order."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    red = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    qual = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ------------------------------------------------------------ SQL13
+@query(
+    "sql13_q21_sole_late_shipper",
+    sql="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+    tier="SQL",
+)
+def sql13_q21_sole_late_shipper(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: lateness = shipped >60 days after
+    order date, since this schema has no commit/receipt dates):
+    suppliers who were the ONLY late shipper on a finished
+    multi-supplier order. Correlated EXISTS → LEFT SEMI join,
+    correlated NOT EXISTS with an extra cross-table predicate
+    (l3 late w.r.t. the OUTER order's date) → LEFT ANTI join whose
+    condition mixes the equi key with non-equi terms. All three
+    lineitem legs shuffle on l_orderkey, so the exchange is planned
+    once and reused across the semi and anti joins."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    base = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .filter(late)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    return (
+        base.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey"))
+            & (
+                F.col("l3_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
