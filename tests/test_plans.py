@@ -110,3 +110,34 @@ def test_global_rank_avoids_single_partition_data_window(spark, registry):
     plan = explain_string(q(registry, "e5_global_sort", spark))
     assert "rangepartitioning" in plan, plan
     assert "__pid" in plan  # partition-local window key
+
+
+def test_q21_semi_then_anti_with_nonequi(spark, registry):
+    """sql13: the EXISTS leg must plan as LeftSemi, the NOT EXISTS
+    leg as LeftAnti carrying its cross-table non-equi lateness
+    predicate — not as a blow-up inner join + dedup."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "sql13_q21_sole_late_shipper", spark))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_supplier_never_shuffles(spark, registry):
+    """sql12: both IN subqueries reduce to broadcast semi-joins; the
+    supplier outer side must join without an exchange of its own."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    df = q(registry, "sql12_q20_nested_in", spark)
+    plan = explain_string(df)
+    assert "LeftSemi" in plan, plan
+    # shuffles: suppkey agg (+AQE reads); supplier side broadcast-joins.
+    assert has_broadcast_join(df), audit(df)
+
+
+def test_q15_max_subquery_broadcasts(spark, registry):
+    """sql10: the 1-row MAX side and the supplier dim both broadcast;
+    lineitem shuffles only into the suppkey aggregation."""
+    df = q(registry, "sql10_q15_top_supplier", spark)
+    assert has_broadcast_join(df), audit(df)
