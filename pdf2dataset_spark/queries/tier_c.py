@@ -575,3 +575,102 @@ def c14_hll_sketch_union(spark, sf_dir):
     return per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct_parts")
     )
+
+
+# --------------------------------------------------------------- C15
+@query(
+    "c15_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100
+             AS sum_price
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    tier="C",
+)
+def c15_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping-set combinations with the grouping_id
+    bitmask disambiguating natural NULLs from subtotal NULLs (C7's
+    rollup sibling). Spark expands the cube BEFORE the shuffle
+    (Expand node), so partial aggregation still applies per set —
+    the scale cost is k× map output, not k passes over the fact."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            csum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+# --------------------------------------------------------------- C16
+@query(
+    "c16_grouping_sets",
+    sql="""
+    SELECT l_returnflag, year(l_shipdate) AS ship_year,
+           GROUPING(l_returnflag, year(l_shipdate)) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+    ORDER BY gid, l_returnflag NULLS LAST, ship_year NULLS LAST
+    """,
+    tier="C",
+)
+def c16_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two disjoint single-column sets + the
+    grand total) via Spark 4's DataFrame.groupingSets — the general
+    form that rollup/cube are sugar for. Same Expand-then-partial-agg
+    execution as c15, so one fact pass covers every set."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["ship_year"], []], "l_returnflag", "ship_year"
+        )
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("ship_year").asc_nulls_last(),
+        )
+    )
+
+
+# --------------------------------------------------------------- C17
+@query(
+    "c17_string_agg",
+    sql="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tier="C",
+)
+def c17_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg). Determinism
+    device: collect_set (orderless, mergeable map-side) → array_sort
+    → array_join, which equals DuckDB's DISTINCT ... ORDER BY form
+    exactly — never collect_list, whose arrival order is partition-
+    nondeterministic on any real cluster."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+        .orderBy("o_orderstatus")
+    )

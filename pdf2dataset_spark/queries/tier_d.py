@@ -527,3 +527,39 @@ def d15_not_in_null_aware(spark, sf_dir):
                                 WHERE l_quantity >= 49)
         """
     )
+
+
+# --------------------------------------------------------------- D16
+@query(
+    "d16_nullsafe_join",
+    sql="""
+    WITH a AS (SELECT NULLIF(c_nationkey, 5) AS k, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+         b AS (SELECT NULLIF(s_nationkey, 5) AS k, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT a.k AS nation_key, n_cust, n_supp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY nation_key NULLS LAST
+    """,
+    tier="D",
+)
+def d16_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping out. eqNullSafe is a
+    hashable equi-predicate for Spark, so this still plans as a
+    (broadcast) hash join — not a theta join."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    a = (
+        c.groupBy(F.nullif(F.col("c_nationkey"), F.lit(5)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        s.groupBy(F.nullif(F.col("s_nationkey"), F.lit(5)).alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(b.bk))
+        .select(F.col("k").alias("nation_key"), "n_cust", "n_supp")
+        .orderBy(F.col("nation_key").asc_nulls_last())
+    )

@@ -422,3 +422,31 @@ def e13_gap_fill_forward(spark, sf_dir):
         .cast("bigint")
         .alias("hours_active_so_far"),
     ).orderBy("user_id", "hour_start")
+
+
+# --------------------------------------------------------------- E14
+@query(
+    "e14_unpivot",
+    sql="""
+    SELECT p_partkey, attr, val
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+                 p_retailprice FROM part)
+    UNPIVOT (val FOR attr IN (p_size, p_retailprice))
+    ORDER BY p_partkey, attr
+    """,
+    tier="E",
+)
+def e14_unpivot(spark, sf_dir):
+    """UNPIVOT / melt: wide→long reshaping via DataFrame.unpivot
+    (c11's pivot inverse). Narrow, shuffle-free Expand — each input
+    row emits one row per value column, so it streams at any scale."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "attr", "val")
+        .orderBy("p_partkey", "attr")
+    )
