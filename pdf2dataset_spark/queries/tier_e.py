@@ -450,3 +450,42 @@ def e14_unpivot(spark, sf_dir):
         .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "attr", "val")
         .orderBy("p_partkey", "attr")
     )
+
+
+# --------------------------------------------------------------- E15
+@query(
+    "e15_ntile_nth_value",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           nth_value(c_acctbal, 3) OVER
+             (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tier="E",
+)
+def e15_ntile_nth_value(spark, sf_dir):
+    """ntile + nth_value window functions (e1/e2 family stragglers):
+    balance quartile within market segment and the running
+    3rd-highest balance. Total order inside each partition (custkey
+    tie-break) + an explicit ROWS frame make both engines agree
+    bitwise; the window partitions by segment, so the data shuffles
+    once into segment-hash partitions — no global sort."""
+    c = t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("c_acctbal", 3)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("third_bal"),
+    ).orderBy("c_custkey")

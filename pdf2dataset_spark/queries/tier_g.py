@@ -253,3 +253,45 @@ def g9_reaggregation_rollup(spark, sf_dir):
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# -------------------------------------------------------------- G10
+@query(
+    "g10_interval_join",
+    sql="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    tier="G",
+)
+def g10_interval_join(spark, sf_dir):
+    """Stream-stream interval join analog (G10): clicks paired with
+    same-user purchases within the following hour. The time-bound
+    predicate is exactly what makes the streaming version's state
+    finite; the batch plan is an equi-join on user_id with the range
+    condition applied inside the co-partitioned join. Streaming
+    parity (two file streams + watermarks) in
+    tests/test_streaming.py::test_stream_stream_interval_join."""
+    from pdf2dataset_spark.streaming.windows import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        interval_join(clicks, buys, "user_id", "ts", "60 MINUTE")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.col("l_key").alias("user_id"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -82,3 +82,47 @@ def watermarked_tumbling_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    bound: str,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Time-bounded (interval) join: pair each left row with right
+    rows of the same ``key`` whose timestamp falls in
+    [left.ts, left.ts + bound). This is Spark's canonical
+    stream-stream join shape — the time bound is what lets the
+    engine expire join state; pass ``watermark`` when both sides are
+    streams (required for state cleanup; a no-op in batch).
+
+    Scale posture: the equi key shuffles both sides once; the range
+    predicate evaluates inside the joined partitions, and in
+    streaming the watermark bounds state to O(bound window) per key.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        *[c for c in left.columns if c not in (key, ts_col)],
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, ts_col)
+        ],
+    )
+    if watermark is not None:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {bound}")),
+    )

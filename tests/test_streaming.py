@@ -398,3 +398,43 @@ def test_transform_with_state_in_pandas(spark, events_dir):
     merged = got.merge(want, on="user_id", suffixes=("_got", "_want"))
     assert len(merged) == len(want)
     assert (merged.n_got == merged.n_want).all()
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """G10 true stream-stream join: both sides are file streams with
+    watermarks; the time-bound predicate lets Spark expire state.
+    Append-mode result must equal the batch interval join."""
+    from pdf2dataset_spark.streaming.windows import interval_join
+
+    ev = spark.read.parquet(events_dir)
+    schema = ev.schema
+    # withWatermark demands TIMESTAMP (not NTZ); session TZ is UTC so
+    # the cast is value-preserving.
+    sel = ["event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")]
+
+    def side(kind):
+        s = spark.readStream.schema(schema).parquet(events_dir)
+        return s.filter(F.col("event_type") == kind).select(*sel)
+
+    joined = interval_join(
+        side("click"), side("purchase"), "user_id", "ts", "60 MINUTE",
+        watermark="2 hours",
+    )
+    q = (
+        joined.select("event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("t_ivjoin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select count(*) n from t_ivjoin").collect()[0].n
+    finally:
+        q.stop()
+    batch_n = interval_join(
+        ev.filter(F.col("event_type") == "click").select(*sel),
+        ev.filter(F.col("event_type") == "purchase").select(*sel),
+        "user_id", "ts", "60 MINUTE",
+    ).count()
+    assert got == batch_n > 0
