@@ -674,3 +674,44 @@ def c17_string_agg(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------- C18
+@query(
+    "c18_histogram",
+    sql="""
+    SELECT LEAST(GREATEST((CAST(round(c_acctbal*100,0) AS BIGINT) + 100000)
+                          // 100000, 0), 11) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(c_acctbal*100,0) AS BIGINT)) AS DOUBLE)/100
+             AS total_bal
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    tier="C",
+)
+def c18_histogram(spark, sf_dir):
+    """Fixed-width histogram (width_bucket semantics, spelled out in
+    exact integer cents because DuckDB 1.0 lacks the function):
+    11 × 1000-currency buckets over [-1000, 10000), under/overflow
+    clamped to the edge buckets. Bucket assignment is integer
+    floor-division — no float boundary ambiguity — and the clamp
+    makes DuckDB's floor-div and Spark's trunc-div agree even for
+    out-of-range negatives. Single partial-agg shuffle on an
+    11-value keyspace."""
+    c = t(spark, sf_dir, "customer")
+    bal_c = cents("c_acctbal")
+    bucket = F.least(
+        F.greatest(
+            ((bal_c + F.lit(100000)) / F.lit(100000)).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(11),
+    )
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            csum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("bucket")
+    )

@@ -563,3 +563,38 @@ def d16_nullsafe_join(spark, sf_dir):
         .select(F.col("k").alias("nation_key"), "n_cust", "n_supp")
         .orderBy(F.col("nation_key").asc_nulls_last())
     )
+
+
+# --------------------------------------------------------------- D17
+@query(
+    "d17_lateral_topk_join",
+    sql="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    ORDER BY c_custkey, o_orderkey
+    """,
+    tier="D",
+)
+def d17_lateral_topk_join(spark, sf_dir):
+    """Correlated LATERAL subquery join: each customer's top-2
+    orders by price. Catalyst decorrelates the per-row LIMIT into a
+    WindowGroupLimit (partial top-k before the shuffle, final after)
+    joined back on the key — the scalable rewrite of what would
+    naively be one subquery execution per outer row. Identical twin
+    SQL runs on both engines; tie-break on o_orderkey keeps the
+    LIMIT deterministic."""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_orderkey
+        """
+    )
