@@ -715,3 +715,34 @@ def c18_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------- C19
+@query("c19_cms_heavy_hitters", sql=None, tier="C")
+def c19_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (c14's frequency sibling): build
+    a fixed-size mergeable CMS over lineitem.l_suppkey, then
+    point-estimate the exact top-10 suppliers by line count and report
+    exact vs estimate side by side. The sketch is depth*width rows
+    regardless of fact size and the estimate join broadcasts it, so
+    the same plan holds at 100 TB: one partial-agg shuffle to build,
+    zero shuffles to probe. Estimates are >= exact by construction
+    (one-sided CMS error); sketch hashing is engine-specific
+    (xxhash64) -> rows-only, accuracy bounds asserted in
+    tests/test_sketch.py."""
+    from pdf2dataset_spark.operators import sketch as sk
+
+    li = t(spark, sf_dir, "lineitem")
+    cms = sk.cms_build(li, "l_suppkey", depth=5, width=2048)
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_suppkey")
+        .limit(10)
+    )
+    return (
+        sk.cms_estimate(cms, top, "l_suppkey", depth=5, width=2048)
+        .join(top, "l_suppkey")
+        .select("l_suppkey", "exact_cnt", "est_cnt")
+        .orderBy(F.desc("exact_cnt"), "l_suppkey")
+    )
