@@ -564,3 +564,301 @@ def sql13_q21_sole_late_shipper(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ------------------------------------------------------------- SQL14
+@query(
+    "sql14_q4_priority_exists",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tier="SQL",
+)
+def sql14_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts over orders having at least one
+    line shipped after the order date — correlated EXISTS with a
+    cross-table non-equi conjunct, which Spark plans as a left-semi
+    hash join on the equi part with the non-equi conjunct as the join
+    residual (no fact-side blowup: semi join emits each order at most
+    once). The date filter prunes orders BEFORE the join (pushed
+    scan-side), so the probe side is a quarter's orders, not all."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------------------- SQL15
+@query(
+    "sql15_q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/10000
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    tier="SQL",
+)
+def sql15_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the canonical
+    pushdown probe — every predicate reaches the parquet scan
+    (PushedFilters), only 4 columns are read, and the single global
+    sum is a partial-agg all the way down (one row crosses the
+    exchange per map task). The discount band compares in exact
+    integer cents so the boundary rows agree across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & cents("l_discount").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")).cast("double") / 10000)
+        .alias("revenue")
+    )
+
+
+# ------------------------------------------------------------- SQL16
+@query(
+    "sql16_q8_market_share",
+    sql="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume_c ELSE 0 END)
+                AS DOUBLE)
+             / CAST(SUM(volume_c) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100,0) AS BIGINT)) AS volume_c,
+             n2.n_name AS nation
+      FROM part p, supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        AND s.s_nationkey = n2.n_nationkey
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tier="SQL",
+)
+def sql16_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — the widest join tree in
+    the suite (8 relations, nation aliased twice for the two join
+    roles). Every dimension side (part, supplier, customer-at-sf,
+    nation x2, region) broadcasts; the only fact-fact shuffle is
+    lineitem-orders. The share is a ratio of two exact integer sums,
+    divided once in double — deterministic under any partial-agg
+    order. Conditional numerator via CASE keeps it one aggregation
+    pass instead of two joins."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol_c = F.sum(
+        F.when(F.col("n2.n_name") == "NATION_5", _rev_c()).otherwise(F.lit(0))
+    ).cast("double")
+    den_c = F.sum(_rev_c()).cast("double")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey")
+        )
+        .join(
+            F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey")
+        )
+        .join(
+            F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey")
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((vol_c / den_c).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ------------------------------------------------------------- SQL17
+@query(
+    "sql17_q9_product_profit",
+    sql="""
+    SELECT nation, o_year,
+           CAST(SUM(amount_c) AS DOUBLE)/10000 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))
+             - CAST(round(p.p_retailprice*100,0) AS BIGINT)
+               * CAST(round(l.l_quantity*100,0) AS BIGINT) / 100 AS amount_c
+      FROM part p, supplier s, lineitem l, orders o, nation n
+      WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+        AND l.l_orderkey = o.o_orderkey AND s.s_nationkey = n.n_nationkey
+        AND p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tier="SQL",
+)
+def sql17_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape, adapted: product-line profit by supplier nation
+    and order year, with p_retailprice standing in for the absent
+    partsupp.ps_supplycost (schema has no partsupp — documented
+    adaptation, same plan shape). amount stays in the exact 1e-4
+    integer domain: the cost term cents(retail)*cents(qty) lands in
+    1e-4 units after one exact integer /100 (quantities are
+    integer-valued so cents(qty) is a multiple of 100 and the
+    division is exact). LIKE-filtered part broadcasts; lineitem-orders
+    is the lone fact shuffle; aggregation keyspace is nation x year."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    amount_c = _rev_c() - (
+        cents("p_retailprice") * cents("l_quantity") / F.lit(100)
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(amount_c).cast("double") / 10000).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ------------------------------------------------------------- SQL18
+@query(
+    "sql18_q13_order_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tier="SQL",
+)
+def sql18_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation over a left outer join
+    with an extra predicate in the ON clause (filters the RIGHT side
+    only — customers with zero qualifying orders must still appear
+    with c_count=0, which a WHERE would destroy). COUNT(o_orderkey)
+    counts non-null matches only. First agg shuffles on custkey, the
+    second on the tiny c_count keyspace — classic distribution
+    query."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ------------------------------------------------------------- SQL19
+@query(
+    "sql19_q17_small_qty_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT))
+                AS DOUBLE)/100/7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size <= 5
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(round(l2.l_quantity*100,0) AS BIGINT))
+                           AS DOUBLE)/100/COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tier="SQL",
+)
+def sql19_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a
+    correlated scalar AVG threshold per part. Expressed decorrelated
+    (per-part thresholds aggregated once, then a broadcast join-back),
+    which is exactly what Catalyst rewrites the correlated form into;
+    the threshold is computed from exact integer cents with the SAME
+    double-op sequence (sum/100/count*0.2) on both engines so the
+    boundary comparison is bit-identical. The unfiltered per-part agg
+    runs over lineitem once — at 100 TB that is the dominant cost and
+    is partial-aggregated map-side; the Brand/size filter then shrinks
+    the join-back to a handful of parts."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+    )
+    thresh = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(cents("l_quantity")).cast("double")
+                    / 100
+                    / F.count(F.lit(1))
+                )
+            ).alias("qty_thresh")
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(thresh), F.col("t_partkey") == F.col("l_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 100 / 7.0)
+            .alias("avg_yearly")
+        )
+    )
