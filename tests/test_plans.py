@@ -141,3 +141,45 @@ def test_q15_max_subquery_broadcasts(spark, registry):
     lineitem shuffles only into the suppkey aggregation."""
     df = q(registry, "sql10_q15_top_supplier", spark)
     assert has_broadcast_join(df), audit(df)
+
+
+def test_q6_all_predicates_pushed_scan_pruned(spark, registry):
+    df = q(registry, "sql15_q6_forecast_revenue", spark)
+    pf = " ".join(pushed_filters(df))
+    # shipdate range and quantity bound must reach the parquet reader
+    assert "l_shipdate" in pf and "l_quantity" in pf, pf
+    # 4-column query must not scan the 11-column fact
+    assert scan_columns(df) <= {
+        "l_shipdate",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    }, scan_columns(df)
+    # global scalar agg: one partial-final exchange, nothing else
+    assert shuffle_count(df) <= 1, audit(df)
+
+
+def test_q8_dims_broadcast_single_fact_shuffle_pair(spark, registry):
+    from pdf2dataset_spark.plans.audit import broadcast_exchange_count
+
+    df = q(registry, "sql16_q8_market_share", spark)
+    # part, supplier, customer, nation x2, region all broadcast
+    assert broadcast_exchange_count(df) >= 6, audit(df)
+    # shuffles: lineitem+orders for the one fact-fact join, agg, sort
+    assert shuffle_count(df) <= 4, audit(df)
+
+
+def test_q17_threshold_join_back_is_broadcast(spark, registry):
+    df = q(registry, "sql19_q17_small_qty_revenue", spark)
+    assert has_broadcast_join(df), audit(df)
+
+
+def test_q13_left_join_keeps_right_side_filter(spark, registry):
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    df = q(registry, "sql18_q13_order_distribution", spark)
+    plan = explain_string(df)
+    # the ON-clause predicate must filter orders BEFORE the join
+    # (scan-side), never customers
+    assert "1-URGENT" in plan, plan
+    assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan
