@@ -218,6 +218,26 @@ def f5b_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(e, q, n_centroids=16, nprobe=2, k=5)
 
 
+@query("f5c_topk_cosine_packed", sql=None, tier="F")
+def f5c_topk_cosine_packed(spark, sf_dir):
+    """Packed-binary brute-force top-k (F4's Arrow/numpy scale path):
+    embeddings packed to little-endian float32 binary once, then each
+    Arrow batch decodes with one frombuffer+reshape and scores with a
+    blocked matmul — the per-row object overhead that dominates
+    list<double> UDF boundaries vanishes (19x at 1M vectors,
+    tools/bench_ann.py). fp32 scoring -> rows-only; agreement with the
+    exact JVM path asserted in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    packed = e.select(
+        "vec_id", sim.pack_embedding("embedding").alias("embedding_bin")
+    )
+    return sim.topk_cosine_packed(packed, q, dim=dim, k=5)
+
+
 # --------------------------------------------------------------- F6
 @query(
     "f6_text_statistics",

@@ -96,3 +96,39 @@ def test_hll_sketch_union_accuracy(spark):
     )
     exact = li.select("l_partkey").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_topk_cosine_fast_matches_exact(spark):
+    from pdf2dataset_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = corpus.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.topk_cosine(corpus, queries, k=10)
+    fast = sim.topk_cosine_fast(corpus, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    f = {(r.query_id, r.vec_id) for r in fast.collect()}
+    # identical up to float near-ties; demand >= 95% agreement
+    assert len(e & f) / len(e) >= 0.95, (len(e & f), len(e))
+
+
+def test_topk_cosine_packed_matches_exact(spark):
+    from pdf2dataset_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(corpus.select("embedding").first()[0])
+    queries = corpus.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    packed = corpus.select(
+        "vec_id", sim.pack_embedding("embedding").alias("embedding_bin")
+    )
+    exact = sim.topk_cosine(corpus, queries, k=10)
+    fast = sim.topk_cosine_packed(packed, queries, dim=dim, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    f = {(r.query_id, r.vec_id) for r in fast.collect()}
+    # fp32 scoring: allow near-tie divergence, demand >= 90% agreement
+    assert len(e & f) / len(e) >= 0.90, (len(e & f), len(e))

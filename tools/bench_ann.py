@@ -1,0 +1,161 @@
+"""ANN similarity-search benchmark: brute force vs IVF at scale.
+
+Synthesizes an n-vector, 64-dim clustered corpus entirely JVM-side
+(hash-derived cluster centers + per-vector noise, no RNG, fully
+deterministic), then measures:
+
+  brute  — `topk_cosine`: every query scored against every corpus row
+  build  — `ivf_assign`: one-time inverted-list construction
+           (query-independent; amortized in production)
+  query  — `ivf_topk` over the prebuilt lists: scores only
+           nprobe/n_centroids of the corpus per query
+  recall — |IVF top-k ∩ brute top-k| / k averaged over queries
+
+Prints one JSON line. Usage: python tools/bench_ann.py [n_vectors]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf2dataset_spark.operators import similarity as sim  # noqa: E402
+from pdf2dataset_spark.session import get_spark  # noqa: E402
+
+DIM, N_CLUSTERS, N_QUERIES, K = 64, 64, 20, 10
+N_CENTROIDS, NPROBE = 64, 8
+
+
+def _unit_noise(seed_a, seed_b, j):
+    """Deterministic pseudo-uniform in [-1, 1) from hashes."""
+    return (
+        F.pmod(F.xxhash64(seed_a, seed_b, F.lit(j)), F.lit(2_000_001))
+        / 1_000_000.0
+        - 1.0
+    )
+
+
+def synth_corpus(spark, n: int):
+    """Clustered vectors: 90% cluster center + 10% noise, so nearest
+    neighbors are intra-cluster and IVF has real structure to find."""
+    df = spark.range(n).select(F.col("id").alias("vec_id"))
+    cluster = F.pmod(F.col("vec_id"), F.lit(N_CLUSTERS))
+    vec = F.array(
+        *[
+            (
+                _unit_noise(cluster, F.lit(-1), j) * 0.9
+                + _unit_noise(F.col("vec_id"), F.lit(1), j) * 0.1
+            ).cast("double")
+            for j in range(DIM)
+        ]
+    )
+    return df.select("vec_id", vec.alias("embedding"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("pdf2dataset-spark-ann-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = synth_corpus(spark, n).persist()
+    corpus.count()
+    queries = (
+        corpus.filter(F.col("vec_id") % (n // N_QUERIES) == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .persist()
+    )
+    nq = queries.count()
+
+    t0 = time.perf_counter()
+    brute = sim.topk_cosine(corpus, queries, k=K).persist()
+    brute.count()
+    brute_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    fast = sim.topk_cosine_fast(corpus, queries, k=K).persist()
+    fast.count()
+    fast_s = time.perf_counter() - t0
+    fast_agree = (
+        brute.select("query_id", "vec_id")
+        .intersect(fast.select("query_id", "vec_id"))
+        .count()
+        / (nq * K)
+    )
+
+    t0 = time.perf_counter()
+    packed = corpus.select(
+        "vec_id", sim.pack_embedding("embedding").alias("embedding_bin")
+    ).persist()
+    packed.count()
+    pack_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pk = sim.topk_cosine_packed(packed, queries, dim=DIM, k=K).persist()
+    pk.count()
+    packed_s = time.perf_counter() - t0
+    packed_agree = (
+        brute.select("query_id", "vec_id")
+        .intersect(pk.select("query_id", "vec_id"))
+        .count()
+        / (nq * K)
+    )
+
+    t0 = time.perf_counter()
+    assigned = sim.ivf_assign(corpus, n_centroids=N_CENTROIDS).persist()
+    assigned.count()
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ivf = sim.ivf_topk(
+        corpus,
+        queries,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
+        k=K,
+        assigned=assigned,
+    ).persist()
+    ivf.count()
+    query_s = time.perf_counter() - t0
+
+    hits = brute.select("query_id", "vec_id").intersect(
+        ivf.select("query_id", "vec_id")
+    )
+    recall = hits.count() / (nq * K)
+
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "dim": DIM,
+                "n_queries": nq,
+                "k": K,
+                "n_centroids": N_CENTROIDS,
+                "nprobe": NPROBE,
+                "brute_s": round(brute_s, 2),
+                "brute_fast_s": round(fast_s, 2),
+                "fast_speedup_x": round(brute_s / fast_s, 1),
+                "fast_agreement": round(fast_agree, 3),
+                "pack_build_s": round(pack_s, 2),
+                "packed_query_s": round(packed_s, 2),
+                "packed_speedup_x": round(brute_s / packed_s, 1),
+                "packed_agreement": round(packed_agree, 3),
+                "ivf_build_s": round(build_s, 2),
+                "ivf_query_s": round(query_s, 2),
+                "ivf_speedup_x": round(brute_s / query_s, 1),
+                "recall_at_k": round(recall, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
