@@ -132,3 +132,82 @@ def char_ngram_fingerprint(col: Column | str, width: int = 20) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (width - 1), F.lit(1)))
     return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(c, i, width))))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training chunking step (window tokens per sample, `overlap`
+    tokens of context carried across boundaries).
+
+    One row in, ceil((n_tokens - overlap) / stride) rows out, computed
+    entirely JVM-side: tokenize once, explode a chunk-index sequence,
+    slice per index. No shuffle — chunking is per-row, so at 100 TB it
+    pipelines inside the scan stage; exact integer index math keeps it
+    oracle-checkable against DuckDB list slicing.
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be < window")
+    stride = window - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window)
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - dup_bigram_frac: 1 - distinct-bigram/bigram ratio — boilerplate
+      and looping generations push this toward 1;
+    - top_token_frac: share of the single most frequent token.
+
+    Both are exact integer counts divided once in double, so the
+    column is oracle-checkable. The top-token count is O(distinct x n)
+    via JVM HOFs — bounded per row (documents, not corpora), no
+    shuffle, pipelined in the scan like all per-row ops.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double")
+        / F.size(bigrams).cast("double")
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        dup_frac.alias("dup_bigram_frac"),
+        (top_cnt.cast("double") / n.cast("double")).alias("top_token_frac"),
+    )

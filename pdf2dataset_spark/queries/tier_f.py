@@ -563,3 +563,70 @@ def f18_neardup_clustering(spark, sf_dir):
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "f19_token_chunking",
+    sql="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         c AS (SELECT doc_id, toks,
+                      greatest(CAST(floor((len(toks) - 8 + 23) / 24.0)
+                                    AS INT), 1) AS n_chunks
+               FROM d)
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(
+             list_slice(toks, i*24 + 1, least(i*24 + 32, len(toks))),
+             ' ') AS chunk_text,
+           least(i*24 + 32, len(toks)) - (i*24 + 1) + 1 AS chunk_tokens
+    FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    ORDER BY doc_id, chunk_id
+    """,
+    tier="F",
+)
+def f19_token_chunking(spark, sf_dir):
+    """Pre-training token-window chunking (window 32, overlap 8): each
+    document explodes into its overlapping chunks entirely inside the
+    scan stage — per-row op, zero shuffle, so at 100 TB it pipelines
+    with the parquet read. Exact integer index math makes the chunk
+    boundaries oracle-checkable against DuckDB list slicing."""
+    from pdf2dataset_spark.operators import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    return tx.chunk_tokens(docs, window=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "f20_repetition_stats",
+    sql="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         b AS (SELECT doc_id, toks,
+                      list_transform(
+                        generate_series(1, greatest(len(toks)-1, 1)),
+                        i -> array_to_string(
+                               list_slice(toks, i, least(i+1, len(toks))),
+                               ' ')) AS bg
+               FROM d)
+    SELECT doc_id, len(toks) AS n_tokens,
+           1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                 / CAST(len(bg) AS DOUBLE) AS dup_bigram_frac,
+           CAST(list_max(list_transform(list_distinct(toks),
+                  u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS top_token_frac
+    FROM b
+    ORDER BY doc_id
+    """,
+    tier="F",
+)
+def f20_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-bigram
+    fraction, top-token share) — exact integer counts divided once in
+    double so every value hash-matches DuckDB. Per-row HOFs, zero
+    shuffle."""
+    from pdf2dataset_spark.operators import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs).orderBy("doc_id")

@@ -269,3 +269,45 @@ def test_dedup_by_components_keeps_representatives(spark):
     )
     kept = sorted(r.doc_id for r in dedup_by_components(df, pairs).collect())
     assert kept == [1, 10, 50]  # one rep per cluster + the untouched doc
+
+
+def test_chunk_tokens_reconstructs_document(spark):
+    from pdf2dataset_spark.operators import text as tx
+
+    doc = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    chunks = tx.chunk_tokens(df, window=32, overlap=8).orderBy("chunk_id").collect()
+    # stride 24: starts 0,24,48,72 -> 4 chunks
+    assert len(chunks) == 4
+    assert all(c.chunk_tokens <= 32 for c in chunks)
+    # dropping the 8-token overlap from every chunk after the first
+    # reproduces the document exactly
+    rebuilt = chunks[0].chunk_text.split(" ")
+    for c in chunks[1:]:
+        rebuilt += c.chunk_text.split(" ")[8:]
+    assert rebuilt == doc.split(" ")
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    from pdf2dataset_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    [c] = tx.chunk_tokens(df, window=32, overlap=8).collect()
+    assert (c.chunk_id, c.chunk_text, c.chunk_tokens) == (0, "a b c", 3)
+
+
+def test_repetition_stats_flags_loops(spark):
+    from pdf2dataset_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all distinct tokens in this sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].dup_bigram_frac > 0.7
+    assert rows[2].dup_bigram_frac == 0.0
+    assert abs(rows[2].top_token_frac - 1 / 7) < 1e-12
