@@ -438,3 +438,58 @@ def test_stream_stream_interval_join(spark, events_dir):
         "user_id", "ts", "60 MINUTE",
     ).count()
     assert got == batch_n > 0
+
+
+def _poll(predicate, timeout_s=60):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_ttl_dedup_expires_and_reemits(spark, tmp_path):
+    """TTL-bounded streaming keep-first dedup (stateful.ttl_dedup_legacy
+    here; stateful.ttl_dedup is the transformWithState twin for
+    protobuf-equipped runtimes): a key is emitted once per TTL window,
+    state is REMOVED on processing-time timeout, and a key reappearing
+    after expiry is re-emitted — O(working set) state on an unbounded
+    key domain. processAllAvailable() cannot be used with
+    processing-time timeouts (the query runs continuous empty batches
+    to evaluate them), so assertions poll the sink with deadlines."""
+    from pdf2dataset_spark.streaming.stateful import ttl_dedup_legacy
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2")], "k long, payload string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = ttl_dedup_legacy(stream, ["k"], "k long, payload string", ttl_ms=4_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ttldedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        def rows():
+            return spark.sql("select * from t_ttldedup").toPandas()
+
+        # batch 1: keys 1 and 2 once each, despite 2 appearing twice
+        assert _poll(lambda: len(rows()) >= 2), rows()
+        got = rows()
+        assert sorted(got.k.tolist()) == [1, 2], got
+
+        # wait past the TTL so key 2's state is evicted, then replay it
+        time.sleep(8)
+        spark.createDataFrame(
+            [(2, "again"), (3, "c")], "k long, payload string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        assert _poll(lambda: len(rows()) >= 4), rows()
+        got = rows()
+        # 3 is new; 2 re-emitted because its state expired
+        assert sorted(got.k.tolist()) == [1, 2, 2, 3], got
+    finally:
+        q.stop()
