@@ -49,3 +49,74 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def zorder_key(cols, bits: int = 16, ranges=None):
+    """Interleaved-bit (Morton) sort key over 2+ numeric columns.
+
+    `ranges` maps each column to its (min, max); values are scaled to
+    [0, 2^bits) and their bits interleaved JVM-side (shift/AND/OR
+    expressions — no UDF). Sorting by this key clusters rows so that
+    EVERY participating column's min/max footprint per output file is
+    narrow — the multi-dimensional generalization of sort-by-one-column
+    layout, and what makes file/row-group stats pruning work for
+    filters on any of the z-ordered columns (Delta/Iceberg OPTIMIZE
+    ZORDER semantics, in plain Spark).
+    """
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    scaled = []
+    for c, (lo, hi) in zip(cols, ranges):
+        col = F.col(c).cast("double")
+        span = float(hi - lo) or 1.0
+        q = F.least(
+            F.greatest(
+                ((col - float(lo)) / span * ((1 << bits) - 1)).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit((1 << bits) - 1).cast("long"),
+        )
+        scaled.append(q)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(scaled):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols,
+    bits: int = 16,
+    n_files: int = 8,
+    compression: str = "snappy",
+) -> None:
+    """Write `df` range-partitioned and sorted by its z-order key.
+
+    Column ranges come from one tiny agg (2 scalars/column). The
+    range-repartition gives n_files near-equal files each covering a
+    compact z-range; the within-partition sort tightens row-group
+    stats inside each file. At 100 TB this is the layout-maintenance
+    job you run after ingest so that subsequent scans prune on any
+    z-ordered dimension.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).collect()[0]
+    ranges = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    z = zorder_key(cols, bits=bits, ranges=ranges).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

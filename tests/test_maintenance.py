@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import glob
+import os
 
 import pyspark.sql.functions as F
 
@@ -71,3 +72,58 @@ def test_dynamic_partition_overwrite_touches_only_matching(spark, tmp_path):
     assert after["O"] == totals_before["O"]  # untouched sibling
     assert after["P"] == totals_before["P"]
     assert 0 < after["F"] < totals_before["F"]  # only F replaced
+
+
+def test_zorder_layout_enables_multi_column_pruning(spark, tmp_path):
+    """Z-ordered files must have NARROW min/max footprints on BOTH
+    z-ordered columns, so file-stats pruning works for filters on
+    either — the property a single-column sort cannot give. Verified
+    against the actual parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    from pdf2dataset_spark.operators.maintenance import write_zordered
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(pmod(xxhash64(id), 1024) as long) AS a",
+            "cast(pmod(xxhash64(id, 7), 1024) as long) AS b",
+            "id AS payload",
+        )
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, ["a", "b"], bits=10, n_files=16)
+
+    spans_a, spans_b, files = [], [], 0
+    for f in os.listdir(zpath):
+        if not f.endswith(".parquet"):
+            continue
+        files += 1
+        md = pq.ParquetFile(os.path.join(zpath, f)).metadata
+        lo_a = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_a = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_b = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_b = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_a.append((hi_a - lo_a) / 1023.0)
+        spans_b.append((hi_b - lo_b) / 1023.0)
+    assert files >= 8
+    # A random layout gives every file ~full span (~1.0) on both
+    # columns. Z-order with 16 files (4 z-bits) must split BOTH
+    # dimensions: expect ~2-4 distinct quadrants per dim -> mean span
+    # well under the random baseline on each column simultaneously.
+    mean_a = sum(spans_a) / len(spans_a)
+    mean_b = sum(spans_b) / len(spans_b)
+    assert mean_a < 0.6, spans_a
+    assert mean_b < 0.6, spans_b
+
+
+def test_zorder_preserves_rows(spark, tmp_path):
+    from pdf2dataset_spark.operators.maintenance import write_zordered
+
+    df = spark.range(1000).selectExpr("id AS a", "id % 37 AS b", "id AS v")
+    path = str(tmp_path / "z2")
+    write_zordered(df, path, ["a", "b"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 499500
