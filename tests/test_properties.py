@@ -76,3 +76,50 @@ def test_quality_features_consistency(spark, text):
     assert row.q_n_chars == len(text)
     assert row.q_n_tokens == len(text.split(" "))
     assert 0.0 < row.q_type_token_ratio <= 1.0
+
+
+@prop
+@given(
+    texts=st.lists(TEXT, min_size=1, max_size=6),
+    window=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_tokens_reconstruction_invariant(spark, texts, window, overlap_frac):
+    """For ANY window/overlap, dropping the overlap prefix from every
+    chunk after the first reproduces the document token stream, and no
+    chunk exceeds the window."""
+    overlap = min(int(window * overlap_frac), window - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = tx.chunk_tokens(df, window=window, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        assert r.chunk_tokens <= window
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, t in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0].split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.split(" ")[overlap:]
+        assert rebuilt == t.split(" "), (t, window, overlap, chunks)
+
+
+@prop
+@given(keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60))
+def test_cms_never_undercounts_property(spark, keys):
+    from collections import Counter
+
+    from pdf2dataset_spark.operators import sketch as sk
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cms = sk.cms_build(df, "k", depth=3, width=64)
+    est = {
+        r.k: r.est_cnt
+        for r in sk.cms_estimate(
+            cms, df.select("k").distinct(), "k", depth=3, width=64
+        ).collect()
+    }
+    truth = Counter(keys)
+    for k, n in truth.items():
+        assert est[k] >= n, (k, n, est[k])
