@@ -25,6 +25,10 @@ SENSITIVE = [
     "sql4_q14_promo_revenue",  # ratio of cents sums (single double div)
     "c17_string_agg",  # sorted collect_set join
     "c18_histogram",  # integer bucket arithmetic
+    "c19_cms_heavy_hitters",  # sketch counters summed across partitions
+    "sql16_q8_market_share",  # CASE-conditional integer ratio
+    "sql19_q17_small_qty_revenue",  # double threshold from exact ints
+    "f20_repetition_stats",  # per-row double ratios (no shuffle at all)
 ]
 
 
