@@ -5,12 +5,14 @@ near duplicates, then runs the full curation pipeline the engine is
 built for, each stage timed:
 
   1. quality filter   (Gopher-style length/shape gates)
-  2. exact dedup      (sha256 keep-first, join strategy: wide text
+  2. repetition gate  (duplicate-bigram fraction cut — loops/boilerplate)
+  3. exact dedup      (sha256 keep-first, join strategy: wide text
                        column never shuffles)
-  3. near-dup LSH     (MinHash 64 → 16×4 banding → candidate pairs →
+  4. near-dup LSH     (MinHash 64 → 16×4 banding → candidate pairs →
                        drop the higher doc_id of verified pairs)
-  4. train/test split (deterministic md5-threshold)
-  5. sink             (partitioned parquet write to /tmp)
+  5. chunking         (overlapping token windows → training samples)
+  6. train/test split (deterministic md5-threshold)
+  7. sink             (partitioned parquet write to /tmp)
 
 Prints one JSON line: per-stage seconds, end-to-end docs/s, and the
 row counts at each stage (so throughput claims are auditable).
@@ -102,6 +104,13 @@ def main() -> None:
     stages["quality_filter_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
+    rep = tx.repetition_stats(clean, "text", "doc_id")
+    keep = rep.filter(F.col("dup_bigram_frac") < 0.5).select("doc_id")
+    clean = clean.join(keep, "doc_id", "left_semi").persist()
+    counts["after_repetition_gate"] = clean.count()
+    stages["repetition_gate_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
     uniq = dd.exact_dedup(
         clean.select("doc_id", "text"), "text", "doc_id", strategy="join"
     ).persist()
@@ -120,6 +129,13 @@ def main() -> None:
     neardeduped = uniq.join(losers, "doc_id", "left_anti").persist()
     counts["after_near_dedup"] = neardeduped.count()
     stages["minhash_lsh_dedup_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    chunks = tx.chunk_tokens(
+        neardeduped, "text", "doc_id", window=32, overlap=8
+    ).persist()
+    counts["training_chunks"] = chunks.count()
+    stages["chunking_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     split = neardeduped.withColumn(
