@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="bind the real PDF codec (requires poppler-family libs)",
     )
+    p.add_argument(
+        "--image-format", default=None, help="rendered page image format (jpeg/png)"
+    )
+    p.add_argument(
+        "--image-size", default=None, help="resize rendered page images, 'WxH'"
+    )
     return p
 
 
@@ -53,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pdf2dataset_spark.extraction import ExtractionPipeline
     from pdf2dataset_spark.session import get_spark
-    from pdf2dataset_spark.sources.codecs import PdfCodec
+    from pdf2dataset_spark.sources.codecs import PdfCodec, TextBytesCodec
 
     master = args.master or (f"local[{args.num_cpus}]" if args.num_cpus else None)
     spark = get_spark(
@@ -65,7 +71,19 @@ def main(argv: list[str] | None = None) -> int:
     pipe = ExtractionPipeline(
         spark=spark,
         features=feats,
-        codec=PdfCodec(ocr_lang=args.lang) if args.use_pdf_codec else None,
+        codec=PdfCodec(
+            ocr_lang=args.lang,
+            image_format=args.image_format or "jpeg",
+            image_size=args.image_size,
+        )
+        if args.use_pdf_codec
+        else (
+            TextBytesCodec(
+                image_format=args.image_format, image_size=args.image_size
+            )
+            if (args.image_format or args.image_size)
+            else None
+        ),
         glob=args.glob,
     )
     if args.small:

@@ -31,7 +31,12 @@ from pdf2dataset_spark.operators.features import (
 )
 from pdf2dataset_spark.operators.resume import load_done, resume_filter
 from pdf2dataset_spark.sources import from_dict, scan_documents
-from pdf2dataset_spark.sources.codecs import DocumentCodec, PdfCodec, default_codec
+from pdf2dataset_spark.sources.codecs import (
+    DocumentCodec,
+    PdfCodec,
+    TextBytesCodec,
+    default_codec,
+)
 
 
 @dataclass
@@ -119,11 +124,15 @@ def extract(
     small: bool = False,
     use_pdf_codec: bool = False,
     num_partitions: int | None = None,
+    image_format: str | None = None,
+    image_size: str | None = None,
 ):
     """Upstream-compatible one-call API.
 
     ``ocr=True`` appends the ocr feature (upstream ``--ocr``);
-    ``lang`` feeds the OCR engine (upstream ``--lang``).
+    ``lang`` feeds the OCR engine (upstream ``--lang``);
+    ``image_format`` / ``image_size`` ('WxH') control the rendered
+    page image exactly as upstream's extract kwargs do.
     """
     from pdf2dataset_spark.session import get_spark
 
@@ -131,7 +140,17 @@ def extract(
     feats: list[str | Feature] = list(features or ["text"])
     if ocr and "ocr" not in feats:
         feats.append("ocr")
-    codec: DocumentCodec | None = PdfCodec(ocr_lang=lang) if use_pdf_codec else None
+    codec: DocumentCodec | None
+    if use_pdf_codec:
+        codec = PdfCodec(
+            ocr_lang=lang,
+            image_format=image_format or "jpeg",
+            image_size=image_size,
+        )
+    elif image_format or image_size:
+        codec = TextBytesCodec(image_format=image_format, image_size=image_size)
+    else:
+        codec = None
     pipe = ExtractionPipeline(
         spark=spark, features=feats, codec=codec, num_partitions=num_partitions
     )

@@ -51,12 +51,22 @@ class DocumentCodec:
         raise NotImplementedError
 
 
+def parse_image_size(image_size: str | None) -> tuple[int, int] | None:
+    """Upstream-style 'WxH' image size spec → (w, h)."""
+    if image_size is None:
+        return None
+    w, _, h = image_size.lower().partition("x")
+    return (int(w), int(h))
+
+
 @dataclass
 class TextBytesCodec(DocumentCodec):
     """Deterministic test codec: bytes = UTF-8 text, pages = \\f-split."""
 
     name = "textbytes"
     page_sep: str = "\f"
+    image_format: str | None = None
+    image_size: str | None = None
 
     def open(self, content: bytes) -> list[str]:
         text = content.decode("utf-8")  # invalid UTF-8 → error row
@@ -70,6 +80,12 @@ class TextBytesCodec(DocumentCodec):
 
     def page_image(self, handle: list[str], page: int) -> bytes:
         # Deterministic fake render: tagged bytes of the page text.
+        # format/size requests are recorded in the tag so the
+        # parameter plumbing (extract → codec → rendered bytes) is
+        # testable without a raster library.
+        if self.image_format or self.image_size:
+            tag = f"IMG[{self.image_format or 'raw'};{self.image_size or 'native'}]"
+            return tag.encode() + b"\x00" + handle[page - 1].encode("utf-8")
         return b"IMG\x00" + handle[page - 1].encode("utf-8")
 
     def page_ocr(self, handle: list[str], page: int) -> str:
@@ -87,10 +103,17 @@ class PdfCodec(DocumentCodec):
 
     name = "pdf"
 
-    def __init__(self, ocr_lang: str = "eng", image_format: str = "jpeg", dpi: int = 200):
+    def __init__(
+        self,
+        ocr_lang: str = "eng",
+        image_format: str = "jpeg",
+        dpi: int = 200,
+        image_size: str | None = None,
+    ):
         self.ocr_lang = ocr_lang
         self.image_format = image_format
         self.dpi = dpi
+        self.image_size = image_size
 
     def open(self, content: bytes) -> bytes:
         return content
@@ -128,8 +151,12 @@ class PdfCodec(DocumentCodec):
         imgs = convert_from_bytes(
             handle, dpi=self.dpi, first_page=page, last_page=page
         )
+        img = imgs[0]
+        size = parse_image_size(self.image_size)
+        if size is not None:
+            img = img.resize(size)
         buf = io.BytesIO()
-        imgs[0].save(buf, format=self.image_format)
+        img.save(buf, format=self.image_format)
         return buf.getvalue()
 
     def page_ocr(self, handle: bytes, page: int) -> str:

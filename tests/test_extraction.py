@@ -152,3 +152,29 @@ def test_observe_metrics(spark):
     df.count()  # trigger execution so the observation fills
     m = pipe.last_observation.get
     assert m["n_rows"] == 3 and m["n_errors"] == 1
+
+
+def test_image_format_and_size_plumb_to_rendered_bytes(spark):
+    """Upstream's extract(image_format=..., image_size='WxH') kwargs:
+    the codec must receive them and the rendered page bytes must
+    reflect the request (tag-verified with the deterministic codec)."""
+    from pdf2dataset_spark.extraction import extract
+
+    out = extract(
+        {"doc.pdf": b"page one\fpage two"},
+        spark=spark,
+        features=["text", "image"],
+        image_format="png",
+        image_size="200x100",
+        small=True,
+    )
+    imgs = sorted(bytes(b) for b in out.image)
+    assert all(b.startswith(b"IMG[png;200x100]\x00") for b in imgs), imgs[:1]
+    assert len(imgs) == 2
+
+
+def test_image_size_parse():
+    from pdf2dataset_spark.sources.codecs import parse_image_size
+
+    assert parse_image_size("200x100") == (200, 100)
+    assert parse_image_size(None) is None
