@@ -120,3 +120,56 @@ def write_zordered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates,
+    key_cols,
+    order_col: str,
+    compression: str = "snappy",
+) -> None:
+    """Batch MERGE INTO for plain-parquet datasets: upsert `updates`
+    into `target_path`, keeping per key the row with the highest
+    `order_col` (version/timestamp — updates win ties).
+
+    Keep-latest is one window over key, ordered by (order_col, source
+    precedence) — a single shuffle on the merge keys. The rewrite is
+    write-new + atomic swap like `compact`. At 100 TB you would
+    partition the target and rewrite ONLY partitions whose keys appear
+    in `updates` (dynamic partition overwrite — see
+    tests/test_maintenance.py) or use a table format with row-level
+    deletes; the merge semantics here are exactly what those layer
+    underneath.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    updates = updates.withColumn("__src", F.lit(1))
+    if _os.path.exists(target_path):
+        target = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
+        all_rows = target.unionByName(updates)
+    else:
+        all_rows = updates
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    merged = (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    tmp = f"{target_path}.__merge_{_uuid.uuid4().hex[:8]}"
+    merged.write.option("compression", compression).parquet(tmp)
+    if _os.path.exists(target_path):
+        old = f"{target_path}.__old_{_uuid.uuid4().hex[:8]}"
+        _os.rename(target_path, old)
+        _os.rename(tmp, target_path)
+        _shutil.rmtree(old)
+    else:
+        _os.rename(tmp, target_path)

@@ -127,3 +127,47 @@ def test_zorder_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.selectExpr("sum(v)").collect()[0][0] == 499500
+
+
+def test_merge_upsert_keeps_latest_by_key(spark, tmp_path):
+    from pdf2dataset_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+        "id long, val string, version long",
+    )
+    merge_upsert(spark, path, base, ["id"], "version")
+    # batch 2: update id=2, insert id=4, stale update for id=3 loses
+    upd = spark.createDataFrame(
+        [(2, "b2", 20), (4, "d", 20), (3, "stale", 5)],
+        "id long, val string, version long",
+    )
+    merge_upsert(spark, path, upd, ["id"], "version")
+    got = {
+        r.id: (r.val, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+
+def test_merge_upsert_update_wins_version_tie(spark, tmp_path):
+    from pdf2dataset_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "tgt2")
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "old", 10)], "id long, val string, version long"),
+        ["id"],
+        "version",
+    )
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "new", 10)], "id long, val string, version long"),
+        ["id"],
+        "version",
+    )
+    [r] = spark.read.parquet(path).collect()
+    assert (r.val, r.version) == ("new", 10)
