@@ -41,3 +41,28 @@ def test_compression_codecs_roundtrip(spark, tmp_path):
         path = str(tmp_path / codec)
         df.write.option("compression", codec).parquet(path)
         assert spark.read.parquet(path).count() == 5
+
+
+def test_ignore_corrupt_files_scan_survives(spark, tmp_path):
+    """At 100 TB some objects WILL be corrupt; the scan must be able
+    to skip them (spark.sql.files.ignoreCorruptFiles) instead of
+    failing the whole job — and must fail loudly when not asked to."""
+    import os
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    path = str(tmp_path / "data")
+    spark.range(100).write.parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
