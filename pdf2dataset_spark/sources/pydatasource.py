@@ -1,0 +1,75 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+`docsynth` generates deterministic synthetic documents
+partition-parallel — each InputPartition derives its rows purely from
+(doc_id) hashes, so any executor produces identical bytes for a given
+id (rerun- and speculation-safe). Useful as a benchmark/test corpus
+source without materializing input files.
+
+This demonstrates the modern custom-source surface: schema
+declaration, options, partition planning on the driver, per-partition
+generator reads on executors. A production source for a remote corpus
+(object store manifest, crawl frontier) has exactly this shape — the
+partition list is the unit of parallelism and retry.
+
+Usage:
+    spark.dataSource.register(DocSynthDataSource)
+    df = (spark.read.format("docsynth")
+          .option("numdocs", 100000).option("numpartitions", 32).load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "the of and to in is was for on that with as his they at be this "
+    "have from or one had by word but not what all were we when your"
+).split()
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _doc_text(doc_id: int, n_words: int = 40) -> str:
+    out = []
+    for i in range(n_words):
+        h = hashlib.blake2b(
+            f"{doc_id}:{i}".encode(), digest_size=8
+        ).digest()
+        out.append(_WORDS[int.from_bytes(h, "big") % len(_WORDS)])
+    return " ".join(out)
+
+
+class DocSynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("numdocs", 1000))
+        self.parts = int(options.get("numpartitions", 8))
+
+    def partitions(self):
+        step = -(-self.n // self.parts)
+        return [
+            _Range(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Range):
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, _doc_text(doc_id))
+
+
+class DocSynthDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "docsynth"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def reader(self, schema) -> DocSynthReader:
+        return DocSynthReader(self.options)

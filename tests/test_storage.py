@@ -66,3 +66,31 @@ def test_ignore_corrupt_files_scan_survives(spark, tmp_path):
         assert spark.read.parquet(path).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_custom_python_datasource_docsynth(spark):
+    """Spark 4 custom Python DataSource: partition-parallel
+    deterministic synthetic corpus (sources/pydatasource.py)."""
+    from pdf2dataset_spark.sources.pydatasource import DocSynthDataSource
+
+    spark.dataSource.register(DocSynthDataSource)
+    df = (
+        spark.read.format("docsynth")
+        .option("numdocs", 500)
+        .option("numpartitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 500
+    # Deterministic: same id -> same text across independent reads
+    a = df.filter("doc_id = 123").collect()[0].text
+    b = (
+        spark.read.format("docsynth")
+        .option("numdocs", 200)
+        .option("numpartitions", 3)
+        .load()
+        .filter("doc_id = 123")
+        .collect()[0]
+        .text
+    )
+    assert a == b and len(a.split()) == 40
