@@ -101,3 +101,42 @@ def write_parquet_append(
     for idempotent resume.
     """
     df.write.mode("append").option("compression", compression).parquet(path)
+
+
+def read_table_fmt(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    **options,
+) -> DataFrame:
+    """Format-generic scan with a REQUIRED declared schema.
+
+    CSV/JSON inference would scan the data once just to guess types
+    (and guess differently run to run) — at 100 TB that is both a full
+    extra pass and a correctness hazard, so production paths always
+    declare. Parquet/ORC carry their own schema; the declared one is
+    still applied so drift fails loudly at plan time instead of
+    corrupting downstream.
+    """
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table_fmt(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression: str | None = None,
+    **options,
+) -> None:
+    """Format-generic sink (parquet/csv/json/orc), compression-aware."""
+    writer = df.write.mode(mode)
+    if compression is not None:
+        options["compression"] = compression
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer.options(**options).format(fmt).save(path)

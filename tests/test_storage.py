@@ -94,3 +94,23 @@ def test_custom_python_datasource_docsynth(spark):
         .text
     )
     assert a == b and len(a.split()) == 40
+
+
+def test_csv_json_roundtrip_with_declared_schema(spark, tmp_path):
+    """Source/sink matrix: csv.gz and json.gz round-trip under a
+    DECLARED schema (no inference pass, types exact)."""
+    from pdf2dataset_spark.io import read_table_fmt, write_table_fmt
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -0.25)],
+        "id long, s string, x double",
+    )
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        write_table_fmt(df, p, fmt=fmt, compression="gzip")
+        back = read_table_fmt(
+            spark, p, "id long, s string, x double", fmt=fmt
+        )
+        assert back.schema == df.schema
+        got = sorted(map(tuple, back.collect()))
+        assert got == sorted(map(tuple, df.collect())), (fmt, got)
