@@ -80,3 +80,36 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_by_components_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Quality-aware canonicalization: per near-dup component keep the
+    member with the HIGHEST `quality_col` (ties → lowest id), not just
+    the smallest id — the curation-grade final step (keep the longest/
+    cleanest duplicate, drop the rest).
+
+    One CC fixpoint + one groupBy on components + one anti join; the
+    corpus itself is never shuffled, only the (small) clustered
+    subset."""
+    comp = connected_components(pairs, id1, id2)
+    members = df.select(
+        F.col(id_col).alias("__m_id"), F.col(quality_col).alias("__q")
+    ).join(comp, F.col("__m_id") == F.col("node"))
+    winners = members.groupBy("component").agg(
+        F.max_by(
+            "__m_id", F.struct(F.col("__q"), (-F.col("__m_id")).alias("__neg"))
+        ).alias("__keep_id")
+    )
+    losers = (
+        members.join(winners, "component")
+        .filter(F.col("__m_id") != F.col("__keep_id"))
+        .select(F.col("__m_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

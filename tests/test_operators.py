@@ -311,3 +311,26 @@ def test_repetition_stats_flags_loops(spark):
     assert rows[1].dup_bigram_frac > 0.7
     assert rows[2].dup_bigram_frac == 0.0
     assert abs(rows[2].top_token_frac - 1 / 7) < 1e-12
+
+
+def test_dedup_by_components_quality_keeps_best(spark):
+    from pdf2dataset_spark.operators import cluster as cl
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0), (2, 9.0), (3, 7.0),   # cluster {1,2,3}: keep 2
+            (4, 1.0), (5, 1.0),             # cluster {4,5}: tie -> keep 4
+            (6, 0.0),                        # unclustered: survives
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id1 long, id2 long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in cl.dedup_by_components_quality(
+            docs, pairs, "quality"
+        ).collect()
+    )
+    assert kept == [2, 4, 6]
