@@ -489,3 +489,65 @@ def e15_ntile_nth_value(spark, sf_dir):
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("third_bal"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------- E16
+@query(
+    "e16_funnel_conversion",
+    sql="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT f.user_id
+      FROM fv f JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > f.first_view
+       AND e.ts <= f.first_view + INTERVAL 1 HOUR
+    )
+    SELECT (SELECT COUNT(*) FROM fv) AS n_viewers,
+           (SELECT COUNT(*) FROM conv) AS n_converted,
+           CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+             / (SELECT COUNT(*) FROM fv) AS conversion_rate
+    """,
+    tier="E",
+)
+def e16_funnel_conversion(spark, sf_dir):
+    """Funnel / sequence analysis: users whose FIRST 'view' is
+    followed by a 'purchase' within one hour — the event-sequence
+    shape (step anchor → time-bounded follow-up) that sessionization
+    and windows don't express. Plan: one filtered agg for the anchor
+    (map-side partial on user_id), a left-semi join with a non-equi
+    time band for the follow-up — the anchor side is the small,
+    broadcastable one at any scale — then two tiny counts combined
+    crossJoin-style into one row. Exact integer counts; the rate is
+    one double division."""
+    ev = t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = fv.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("first_view"))
+        & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("n_viewers"))
+        .crossJoin(conv.agg(F.count(F.lit(1)).alias("n_converted")))
+        .select(
+            "n_viewers",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double") / F.col("n_viewers")
+            ).alias("conversion_rate"),
+        )
+    )
