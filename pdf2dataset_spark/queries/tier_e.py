@@ -551,3 +551,57 @@ def e16_funnel_conversion(spark, sf_dir):
             ).alias("conversion_rate"),
         )
     )
+
+
+# --------------------------------------------------------------- E17
+@query(
+    "e17_cohort_retention",
+    sql="""
+    WITH su AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events
+    )
+    SELECT s.cohort_week,
+           date_diff('day', CAST(s.cohort_week AS DATE),
+                     CAST(a.act_week AS DATE)) // 7 AS week_n,
+           COUNT(DISTINCT s.user_id) AS n_active
+    FROM su s JOIN act a ON s.user_id = a.user_id
+    WHERE a.act_week >= s.cohort_week
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tier="E",
+)
+def e17_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by signup week, counted
+    distinct in each subsequent activity week — the standard retention
+    workload (funnel e16's longitudinal sibling). Both sides reduce
+    BEFORE the join (cohort = one row per user, activity = distinct
+    user-weeks), so the join input is bounded by users x weeks, not
+    raw events; the final agg keyspace is cohorts x weeks. Integer
+    day-diff // 7 keeps week bucketing exact across engines."""
+    ev = t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        su.join(act, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )
