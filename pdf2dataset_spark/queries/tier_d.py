@@ -598,3 +598,50 @@ def d17_lateral_topk_join(spark, sf_dir):
         ORDER BY c_custkey, o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------- D18
+@query(
+    "d18_full_outer_join",
+    sql="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer WHERE c_acctbal > 7000 GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier WHERE s_acctbal < 2000 GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    tier="D",
+)
+def d18_full_outer_join(spark, sf_dir):
+    """FULL OUTER join (completes the join-type matrix with d1-d17):
+    rich-customer counts vs low-balance-supplier counts per nation,
+    with asymmetric filters so BOTH null sides occur and COALESCE
+    repairs them. Both inputs are aggregated before the join, so the
+    full-outer shuffle carries one row per nation per side — full
+    outer forces a shuffle join (no broadcast), which is exactly why
+    you aggregate first at scale."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, F.col("c_nk") == F.col("s_nk"), "full")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
