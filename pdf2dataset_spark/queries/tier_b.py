@@ -485,3 +485,40 @@ def b17_json_tuple_map_entries(spark, sf_dir):
             ),
         ).alias("zipped"),
     ).withColumnsRenamed({"c0": "k1", "c1": "k2"})
+
+
+# --------------------------------------------------------------- B17
+@query(
+    "b17_bitwise",
+    sql="""
+    SELECT l_returnflag,
+           bit_and(l_orderkey) AS k_and,
+           bit_or(l_orderkey) AS k_or,
+           bit_xor(l_orderkey) AS k_xor,
+           bit_and(l_orderkey & 255) AS low_and,
+           bit_or(l_orderkey << 1 >> 2) AS shifted_or
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="B",
+)
+def b17_bitwise(spark, sf_dir):
+    """Bitwise scalar (&, <<, >>) and aggregate (bit_and/or/xor)
+    surface. All pure integer lattice operations — associative and
+    commutative, so partial aggregation composes in any order on any
+    cluster width (the same safety argument as the cents sums,
+    exactly)."""
+    li = t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(k).alias("k_and"),
+            F.bit_or(k).alias("k_or"),
+            F.bit_xor(k).alias("k_xor"),
+            F.bit_and(k.bitwiseAND(F.lit(255))).alias("low_and"),
+            F.bit_or(F.shiftright(F.shiftleft(k, 1), 2)).alias("shifted_or"),
+        )
+        .orderBy("l_returnflag")
+    )
