@@ -183,3 +183,20 @@ def test_q13_left_join_keeps_right_side_filter(spark, registry):
     # (scan-side), never customers
     assert "1-URGENT" in plan, plan
     assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan
+
+
+def test_join_strategy_hints_select_physical_operator(spark, registry):
+    """Join-strategy hints are the manual override when AQE/statistics
+    pick wrong at scale; each hint must reach its physical operator."""
+    from pdf2dataset_spark.io import load_table
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    cond = o.o_custkey == c.c_custkey
+    merge_plan = explain_string(o.join(c.hint("merge"), cond))
+    assert "SortMergeJoin" in merge_plan
+    shj_plan = explain_string(o.join(c.hint("shuffle_hash"), cond))
+    assert "ShuffledHashJoin" in shj_plan
+    bc_plan = explain_string(o.join(c.hint("broadcast"), cond))
+    assert "BroadcastHashJoin" in bc_plan
