@@ -39,3 +39,28 @@ def progress_line(spark: SparkSession) -> str:
         f"jobs={len(s['active_jobs'])} stages={len(s['active_stages'])} "
         f"tasks={s['tasks_done']}/{s['tasks_total']} (+{s['tasks_active']} running)"
     )
+
+
+def observed(df, name: str = "audit"):
+    """Attach free audit metrics to a DataFrame: row count and error
+    count ride along with whatever action materializes it — no extra
+    pass over the data, which is the only acceptable way to collect
+    pipeline telemetry at 100 TB. Returns (df, Observation); read
+    `obs.get` AFTER an action has run.
+
+    Standard use: sink-side counts for every curation stage
+    (quality-kept, deduped, chunk totals) collected during the single
+    write job instead of one .count() job per stage.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    cols = [F.count(F.lit(1)).alias("n_rows")]
+    if "error" in df.columns:
+        cols.append(
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("n_errors")
+        )
+    return df.observe(obs, *cols), obs

@@ -178,3 +178,16 @@ def test_image_size_parse():
 
     assert parse_image_size("200x100") == (200, 100)
     assert parse_image_size(None) is None
+
+
+def test_observed_metrics_ride_along_with_one_action(spark, tmp_path):
+    from pdf2dataset_spark.plans.progress import observed
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN 'boom' END AS error"
+    )
+    audited, obs = observed(df)
+    audited.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_errors"] == 100
