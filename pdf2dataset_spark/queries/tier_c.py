@@ -746,3 +746,22 @@ def c19_cms_heavy_hitters(spark, sf_dir):
         .select("l_suppkey", "exact_cnt", "est_cnt")
         .orderBy(F.desc("exact_cnt"), "l_suppkey")
     )
+
+
+# --------------------------------------------------------------- C20
+@query("c20_freq_items", sql=None, tier="C")
+def c20_freq_items(spark, sf_dir):
+    """Approximate frequent items via Spark's built-in freqItems
+    (Karp-Schenker-Papadimitriou single-pass; support 0.1) — the
+    streaming-friendly complement to c19's CMS: KSP finds WHICH items
+    are frequent in one pass with no candidate set, CMS estimates HOW
+    OFTEN given candidates. False positives possible by contract ->
+    rows-only; containment of every truly-frequent item asserted in
+    tests/test_sketch.py."""
+    o = t(spark, sf_dir, "orders")
+    fi = o.freqItems(["o_orderpriority"], support=0.1)
+    return fi.select(
+        F.explode(F.sort_array(F.col("o_orderpriority_freqItems"))).alias(
+            "frequent_priority"
+        )
+    )

@@ -75,3 +75,19 @@ def test_cms_weighted_build(spark):
     )
     for r in est.collect():
         assert r.est_cnt >= 30  # 10 occurrences x weight 3
+
+
+def test_freq_items_contains_all_truly_frequent(spark):
+    """KSP guarantee: every item above the support threshold IS in the
+    result (false positives allowed, false negatives not)."""
+    from pyspark.sql import functions as F
+
+    # 60% a, 20% b, 20% junk singletons
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 6, "a")
+        .when(F.col("id") % 10 < 8, "b")
+        .otherwise(F.concat(F.lit("x"), F.col("id").cast("string")))
+        .alias("k")
+    )
+    [row] = df.freqItems(["k"], support=0.3).collect()
+    assert "a" in row.k_freqItems
