@@ -493,3 +493,43 @@ def test_ttl_dedup_expires_and_reemits(spark, tmp_path):
         assert sorted(got.k.tolist()) == [1, 2, 2, 3], got
     finally:
         q.stop()
+
+
+def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
+    """The batch curation operators (quality gate, hash dedup) applied
+    unchanged to a file STREAM, with a checkpointed parquet sink —
+    i.e. the 100 TB ingest path: curate documents as they arrive
+    instead of re-scanning the corpus."""
+    from pdf2dataset_spark.operators import dedup as dd
+    from pdf2dataset_spark.operators import text as tx
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(1, good), (2, "tiny"), (3, good)],  # 3 dups 1; 2 fails gate
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    gated = tx.quality_filter(stream, "text", min_tokens=5).select(
+        "doc_id", "text", dd.text_hash("text").alias("h")
+    )
+    # streaming dedup = keyed state on the content hash (keep-first);
+    # the batch window/join strategies don't apply to unbounded input
+    curated = gated.dropDuplicates(["h"]).drop("h")
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
