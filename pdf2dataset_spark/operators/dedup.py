@@ -57,10 +57,18 @@ def exact_dedup(
     columns shuffle) and semi-join winners back — the wide-row scale
     plan: the 100 TB text/media payload is never shuffled at all.
     Both return identical rows.
+    strategy='streaming': keyed dropDuplicates state on the hash —
+    the only formulation valid on unbounded input (window/join assume
+    a bounded set). Keeps the first ARRIVAL per hash (arrival order,
+    not order_col — a stream cannot know the global minimum). Pair
+    with a watermark upstream to bound state, or use
+    streaming.stateful.ttl_dedup for TTL-bounded state.
     """
     h = text_hash(text_col).alias("text_sha256")
     hashed = df.withColumn("text_sha256", h)
-    if strategy == "join":
+    if strategy == "streaming":
+        out = hashed.dropDuplicates(["text_sha256"])
+    elif strategy == "join":
         winners = hashed.groupBy("text_sha256").agg(
             F.min(order_col).alias(order_col)
         )

@@ -515,11 +515,11 @@ def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     gated = tx.quality_filter(stream, "text", min_tokens=5).select(
-        "doc_id", "text", dd.text_hash("text").alias("h")
+        "doc_id", "text"
     )
-    # streaming dedup = keyed state on the content hash (keep-first);
-    # the batch window/join strategies don't apply to unbounded input
-    curated = gated.dropDuplicates(["h"]).drop("h")
+    curated = dd.exact_dedup(
+        gated, "text", "doc_id", keep_hash=False, strategy="streaming"
+    )
     q = (
         curated.writeStream.format("parquet")
         .option("path", out)
