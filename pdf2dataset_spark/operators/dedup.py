@@ -279,3 +279,53 @@ def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     x = a.bitwiseXOR(b)
     return F.bit_count(x)
+
+
+def ngram_contamination(
+    eval_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: for every eval document, the
+    fraction of its distinct word n-gram shingles that also occur
+    anywhere in the benchmark corpus.
+
+    The standard pre-training decontamination primitive (n-gram
+    overlap against held-out eval sets). Plan shape for 100 TB: the
+    eval corpus explodes to (id, shingle) rows — one narrow shuffle-
+    free pass — and probes the benchmark's DISTINCT shingle set with a
+    broadcast LEFT SEMI join (benchmarks are tiny relative to a crawl;
+    if not, the semi join degrades gracefully to a shuffled hash
+    join on the high-entropy shingle key). One groupBy on the doc id
+    closes the loop; the corpus text itself is never shuffled.
+    """
+    sh = shingles(text_col, n)
+    doc_sh = eval_df.select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    ).distinct()
+    totals = doc_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    bench_sh = (
+        bench_df.select(F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination_frac"),
+        )
+    )

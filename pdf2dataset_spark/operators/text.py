@@ -227,3 +227,51 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         dup_frac.alias("dup_bigram_frac"),
         (top_cnt.cast("double") / n.cast("double")).alias("top_token_frac"),
     )
+
+
+# PII patterns shared by redact_pii and its DuckDB oracle twin.
+# Restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^ ]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[- .]?\([0-9]{3}\)[- .]?[0-9]{3}[- .]?[0-9]{4}"
+             r"|\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{4}",
+    "digitrun": r"\b[0-9]{13,19}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass for corpus release (F-tier cleaning):
+    replaces URLs, emails, IPv4 addresses, phone numbers, and long
+    digit runs (card/account-shaped) with typed placeholder tags, and
+    reports per-category match counts so downstream audits can track
+    redaction rates per source.
+
+    Pure regexp expression chain — per-row, shuffle-free, JVM-side —
+    i.e. scan-speed at 100 TB; counts come from regexp_extract_all on
+    the ORIGINAL text so later replacements can't mask earlier
+    categories. Order matters for the replacements themselves: URLs
+    first (they may embed digit runs), then emails, IPs, phones, and
+    digit runs over what remains.
+    """
+    c = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    }
+    cleaned = c
+    for key in ("url", "email", "ip", "phone", "digitrun"):
+        cleaned = F.regexp_replace(
+            cleaned, PII_PATTERNS[key], f"<{key.upper()}>"
+        )
+    return df.select(
+        "*",
+        cleaned.alias("redacted"),
+        counts["url"],
+        counts["email"],
+        counts["ip"],
+        counts["phone"],
+        counts["digitrun"],
+    )

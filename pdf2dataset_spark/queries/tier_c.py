@@ -765,3 +765,160 @@ def c20_freq_items(spark, sf_dir):
             "frequent_priority"
         )
     )
+
+
+# --------------------------------------------------------------- C21
+@query(
+    "c21_regression_aggregates",
+    sql="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity*100,0) AS BIGINT) AS xc,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS yc
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) / 100 AS sx,
+             CAST(SUM(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(yc) AS DOUBLE) / 100 AS sy,
+             CAST(SUM(CAST(yc*yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(CAST(xc*yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy
+      FROM c GROUP BY l_returnflag
+    ), p AS (
+      -- one product per column: no FMA-contractable mixed expressions
+      SELECT l_returnflag, n, sx, sy,
+             n * sxy AS nsxy, sx * sy AS sxsy,
+             n * sxx AS nsxx, sx * sx AS sxsx,
+             n * syy AS nsyy, sy * sy AS sysy,
+             sx / n AS mean_x, sy / n AS mean_y
+      FROM m
+    ), q AS (
+      SELECT l_returnflag, n, mean_x, mean_y,
+             nsxy - sxsy AS dxy, nsxx - sxsx AS dx, nsyy - sysy AS dy
+      FROM p
+    ), r AS (
+      SELECT l_returnflag, n, mean_x, mean_y, dxy, dx, dy,
+             dxy / dx AS slope
+      FROM q
+    ), s AS (
+      SELECT l_returnflag, n, slope, mean_y,
+             slope * mean_x AS slope_mx,
+             dxy * dxy AS dxy2, dx * dy AS dxdy
+      FROM r
+    )
+    SELECT l_returnflag,
+           n AS regr_n,
+           slope AS regr_slope,
+           mean_y - slope_mx AS regr_intercept,
+           dxy2 / dxdy AS regr_r2
+    FROM s ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c21_regression_aggregates(spark, sf_dir):
+    """Linear-regression aggregates (regr_slope / regr_intercept /
+    regr_r2 / regr_count) per group — c8's regression sibling.
+
+    Spark's built-in regr_* (3.4+) accumulates raw double sums whose
+    partial-aggregation order is nondeterministic at cluster scale, so
+    the oracle-stable formulation computes the exact integer-cents
+    moments (lossless on 2-decimal columns) and evaluates the closed
+    forms in identically-staged IEEE double ops on both engines — each
+    product in its own column so neither engine's compiler can fuse a
+    multiply-add with different rounding. Agreement of Spark's
+    built-in regr_* with this exact form is asserted in
+    tests/test_operators.py."""
+    li = t(spark, sf_dir, "lineitem")
+    xc = cents("l_quantity")
+    yc = cents("l_extendedprice")
+    withc = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    x, v = F.col("xc"), F.col("yc")
+    d38 = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = withc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(x).cast("double") / 100).alias("sx"),
+        (d38(x * x) / F.lit(10000.0)).alias("sxx"),
+        (F.sum(v).cast("double") / 100).alias("sy"),
+        (d38(v * v) / F.lit(10000.0)).alias("syy"),
+        (d38(x * v) / F.lit(10000.0)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    p = m.select(
+        "l_returnflag",
+        n,
+        sx,
+        sy,
+        (n * F.col("sxy")).alias("nsxy"),
+        (sx * sy).alias("sxsy"),
+        (n * F.col("sxx")).alias("nsxx"),
+        (sx * sx).alias("sxsx"),
+        (n * F.col("syy")).alias("nsyy"),
+        (sy * sy).alias("sysy"),
+        (sx / n).alias("mean_x"),
+        (sy / n).alias("mean_y"),
+    )
+    q = p.select(
+        "l_returnflag",
+        "n",
+        "mean_x",
+        "mean_y",
+        (F.col("nsxy") - F.col("sxsy")).alias("dxy"),
+        (F.col("nsxx") - F.col("sxsx")).alias("dx"),
+        (F.col("nsyy") - F.col("sysy")).alias("dy"),
+    )
+    r = q.select(
+        "l_returnflag",
+        "n",
+        "mean_x",
+        "mean_y",
+        "dxy",
+        "dx",
+        "dy",
+        (F.col("dxy") / F.col("dx")).alias("slope"),
+    )
+    s = r.select(
+        "l_returnflag",
+        "n",
+        "slope",
+        "mean_y",
+        (F.col("slope") * F.col("mean_x")).alias("slope_mx"),
+        (F.col("dxy") * F.col("dxy")).alias("dxy2"),
+        (F.col("dx") * F.col("dy")).alias("dxdy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("regr_n"),
+        F.col("slope").alias("regr_slope"),
+        (F.col("mean_y") - F.col("slope_mx")).alias("regr_intercept"),
+        (F.col("dxy2") / F.col("dxdy")).alias("regr_r2"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------- C22
+@query(
+    "c22_misc_aggregates",
+    sql="""
+    SELECT mode(o_orderpriority) AS mode_priority,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           bool_or(o_orderstatus = 'P') AS has_pending,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM orders
+    """,
+    tier="C",
+)
+def c22_misc_aggregates(spark, sf_dir):
+    """Small-surface aggregates: mode / count_if / bool_or / bool_and
+    (C-tier completeness row). mode() tie-breaking is engine-defined,
+    so this registers only because the testdata's o_orderpriority mode
+    is unique at every scale factor (verified sf0.001/0.01/0.1);
+    bool_and/bool_or are lattice aggregates (associative, idempotent)
+    and count_if is a guarded count — all partial-agg safe, one
+    group-less shuffle of a single partial row per partition."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.mode("o_orderpriority").alias("mode_priority"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("has_pending"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+    )

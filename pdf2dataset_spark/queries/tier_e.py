@@ -605,3 +605,170 @@ def e17_cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+# --------------------------------------------------------------- E18
+@query(
+    "e18_rolling_7day_revenue",
+    sql="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_n,
+             SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT day_n,
+           CAST(rev_c AS DOUBLE)/100 AS day_revenue,
+           CAST(SUM(rev_c) OVER (
+             ORDER BY day_n
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)/100 AS rolling_7d_revenue
+    FROM d ORDER BY day_n
+    """,
+    tier="E",
+)
+def e18_rolling_7day_revenue(spark, sf_dir):
+    """Time-based RANGE window frame (E18): 7-day rolling revenue.
+
+    Days are mapped to integer epoch-day numbers so the frame is a
+    value-range (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`) that
+    skips calendar gaps correctly on both engines — the pattern ROWS
+    frames get wrong whenever days are missing. Revenue pre-aggregates
+    to one row per day BEFORE the window (the window input is bounded
+    by the date domain, not the fact table), and sums stay in exact
+    integer cents inside the frame, converting to double once."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day_n")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    w = Window.orderBy("day_n").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day_n",
+        (F.col("rev_c").cast("double") / 100).alias("day_revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 100).alias(
+            "rolling_7d_revenue"
+        ),
+    ).orderBy("day_n")
+
+
+# --------------------------------------------------------------- E19
+@query(
+    "e19_rolling_zscore_anomaly",
+    sql="""
+    WITH c AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc
+      FROM lineitem
+    ), w AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, pc,
+             COUNT(*) OVER f AS n,
+             SUM(pc) OVER f AS s1,
+             SUM(CAST(pc*pc AS DECIMAL(38,0))) OVER f AS s2
+      FROM c
+      WINDOW f AS (
+        PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+      )
+    ), m AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, n,
+             CAST(pc AS DOUBLE)/100 AS price,
+             (CAST(s1 AS DOUBLE)/100) / n AS mean_p,
+             CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE)/10000.0) AS ns2,
+             (CAST(s1 AS DOUBLE)/100) * (CAST(s1 AS DOUBLE)/100) AS s1s1,
+             CAST(n AS DOUBLE) * n AS nn
+      FROM w
+    ), v AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, n, price, mean_p,
+             (ns2 - s1s1) / nn AS var_p
+      FROM m
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber, price, mean_p,
+           (price - mean_p) / sqrt(var_p) AS zscore
+    FROM v
+    WHERE n >= 10 AND var_p > 0
+      AND (price - mean_p) / sqrt(var_p) > 2.5
+    ORDER BY l_partkey, l_orderkey, l_linenumber
+    """,
+    tier="E",
+)
+def e19_rolling_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection (E19): flag line items whose
+    price is >2.5 population-σ above the trailing-10 mean for the same
+    part — the standard per-key outlier screen for metric streams.
+
+    One shuffle on the partition key; moments accumulate in exact
+    integer cents inside the ROWS frame (sum-of-squares as
+    DECIMAL(38,0) — bigint would overflow at 10-digit cents²) and the
+    z closed-form runs in identically-staged double ops on both
+    engines. Windows shorter than 10 rows are suppressed (warm-up)."""
+    li = t(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    f = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    pc = F.col("pc")
+    w = c.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "pc",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("pc").over(f).alias("s1"),
+        F.sum((pc * pc).cast("decimal(38,0)")).over(f).alias("s2"),
+    )
+    n = F.col("n")
+    m = w.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        (pc.cast("double") / 100).alias("price"),
+        ((F.col("s1").cast("double") / 100) / n).alias("mean_p"),
+        (n.cast("double") * (F.col("s2").cast("double") / F.lit(10000.0))).alias(
+            "ns2"
+        ),
+        (
+            (F.col("s1").cast("double") / 100)
+            * (F.col("s1").cast("double") / 100)
+        ).alias("s1s1"),
+        (n.cast("double") * n).alias("nn"),
+    )
+    v = m.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        "price",
+        "mean_p",
+        ((F.col("ns2") - F.col("s1s1")) / F.col("nn")).alias("var_p"),
+    )
+    z = (F.col("price") - F.col("mean_p")) / F.sqrt(F.col("var_p"))
+    return (
+        v.filter((F.col("n") >= 10) & (F.col("var_p") > 0) & (z > 2.5))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "price",
+            "mean_p",
+            z.alias("zscore"),
+        )
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    )

@@ -630,3 +630,188 @@ def f20_repetition_stats(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return tx.repetition_stats(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- F21
+_SQL_SHINGLE5 = "array_to_string(tk[i.g:i.g+4], ' ')"
+_SQL_SHIDX = "unnest(generate_series(1, greatest(len(tk)-4, 1))) AS i(g)"
+
+
+@query(
+    "f21_contamination_check",
+    sql=f"""
+    WITH evalc AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE source = 'src0' AND doc_id % 7 = 0
+    ),
+    esh AS (
+      SELECT DISTINCT doc_id, {_SQL_SHINGLE5} AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM evalc),
+           {_SQL_SHIDX}
+    ),
+    bsh AS (
+      SELECT DISTINCT {_SQL_SHINGLE5} AS shingle
+      FROM (SELECT string_split(text, ' ') AS tk FROM documents
+            WHERE source = 'src0'),
+           {_SQL_SHIDX}
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM esh GROUP BY doc_id),
+    hit AS (
+      SELECT e.doc_id, count(*) AS n_hit FROM esh e
+      WHERE EXISTS (SELECT 1 FROM bsh b WHERE b.shingle = e.shingle)
+      GROUP BY e.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles
+             AS contamination_frac
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    WHERE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles >= 0.5
+    ORDER BY t.doc_id
+    """,
+    tier="F",
+)
+def f21_contamination_check(spark, sf_dir):
+    """Benchmark-contamination screen (decontamination, F21): treat
+    source 'src0' as a held-out benchmark and flag eval documents
+    whose distinct 5-gram shingle overlap with the benchmark exceeds
+    50% — the standard n-gram decontamination gate run before
+    training-corpus release. Planted copies of benchmark docs
+    (doc_id % 7 = 0, ids offset by 1e6) must surface at frac 1.0.
+
+    Plan: eval shingles explode once (no shuffle), probe the DISTINCT
+    benchmark shingle set via broadcast LEFT SEMI join, one groupBy on
+    doc_id — the corpus text itself never shuffles (operator:
+    dedup.ngram_contamination)."""
+    d = t(spark, sf_dir, "documents")
+    evalc = d.filter(F.col("source") != "src0").select("doc_id", "text")
+    planted = (
+        d.filter((F.col("source") == "src0") & (F.col("doc_id") % 7 == 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    bench = d.filter(F.col("source") == "src0").select("text")
+    rep = dd.ngram_contamination(
+        evalc.unionByName(planted), bench, n=5
+    )
+    return rep.filter(F.col("contamination_frac") >= 0.5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- F22
+@query(
+    "f22_token_shard_packing",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_tok
+      FROM d
+    )
+    SELECT CAST(start_tok // 2000 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY shard_id ORDER BY shard_id
+    """,
+    tier="F",
+)
+def f22_token_shard_packing(spark, sf_dir):
+    """Contiguous token-budget shard packing (F22): assign documents
+    (in deterministic doc_id order) to training shards of ~2000 tokens
+    by exclusive-prefix-sum division — every engine and every run
+    produces the identical shard map, the property a reproducible
+    data-mix recipe needs. Token counts are exact integers so the
+    assignment is engine-invariant by construction.
+
+    Scale note: the running sum is a single global-order window — at
+    100 TB, shard within partition-local id ranges instead (one window
+    per ingest partition, shard_id prefixed by partition) to avoid the
+    single-ordering bottleneck; the per-range plan is this same query."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return (
+        c.groupBy(
+            F.expr("start_tok div 2000").cast("bigint").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------- F23
+@query(
+    "f23_pii_redaction",
+    sql="""
+    WITH noisy AS (
+      SELECT doc_id,
+             concat('tel +1 (555) 123-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7',
+                    ' acct 4111111111111111 ', text) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+?[0-9]{1,3}[- .]?\\([0-9]{3}\\)[- .]?[0-9]{3}[- .]?[0-9]{4}|\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{4}', '<PHONE>', 'g'),
+             '\\b[0-9]{13,19}\\b', '<DIGITRUN>', 'g') AS redacted,
+           len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+           len(regexp_extract_all(text,
+             '\\+?[0-9]{1,3}[- .]?\\([0-9]{3}\\)[- .]?[0-9]{3}[- .]?[0-9]{4}|\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{4}')) AS n_phone,
+           len(regexp_extract_all(text, '\\b[0-9]{13,19}\\b')) AS n_digitrun
+    FROM noisy ORDER BY doc_id
+    """,
+    tier="F",
+)
+def f23_pii_redaction(spark, sf_dir):
+    """Typed PII redaction for corpus release (F23; extends f14's
+    URL/email pass): phone numbers, IPv4 addresses, and card-shaped
+    digit runs are replaced with typed tags and counted per category
+    from the ORIGINAL text (audit rates per source). Noise is
+    injected in-query so every pattern fires deterministically.
+    Patterns live in operators/text.PII_PATTERNS, restricted to the
+    regex subset Java and RE2 parse identically — the whole pass is a
+    JVM regexp chain, shuffle-free, scan-speed at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("tel +1 (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 acct 4111111111111111 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    red = tx.redact_pii(noisy, "text")
+    return red.select(
+        "doc_id",
+        "redacted",
+        F.col("n_ip").cast("bigint").alias("n_ip"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_digitrun").cast("bigint").alias("n_digitrun"),
+    ).orderBy("doc_id")

@@ -334,3 +334,96 @@ def test_dedup_by_components_quality_keeps_best(spark):
         ).collect()
     )
     assert kept == [2, 4, 6]
+
+
+# ----------------------------------------------------------- round 2
+
+
+def test_regr_builtins_agree_with_exact_moments(spark):
+    """Spark's built-in regr_* must agree with c21's exact-moment
+    closed forms (the oracle-stable formulation) to float tolerance."""
+    from pdf2dataset_spark.queries import load_all
+
+    REGISTRY = load_all()
+    exact = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["c21_regression_aggregates"]
+        .fn(spark, SF)
+        .collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    built = li.groupBy("l_returnflag").agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("slope"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("icpt"),
+        F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+    for r in built.collect():
+        e = exact[r["l_returnflag"]]
+        assert r["n"] == e["regr_n"]
+        assert abs(r["slope"] - e["regr_slope"]) < 1e-6
+        assert abs(r["icpt"] - e["regr_intercept"]) < 1e-4
+        assert abs(r["r2"] - e["regr_r2"]) < 1e-9
+
+
+def test_redact_pii_counts_and_tags(spark):
+    rows = [
+        (1, "mail bob@x.io at http://a.b/c from 10.1.2.3"),
+        (2, "call +1 (555) 123-4567 card 4111111111111111 ok"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.redact_pii(df, "text").collect()}
+    assert out[1]["n_url"] == 1 and out[1]["n_email"] == 1
+    assert out[1]["n_ip"] == 1 and out[1]["n_phone"] == 0
+    assert "<URL>" in out[1]["redacted"] and "<EMAIL>" in out[1]["redacted"]
+    assert "<IP>" in out[1]["redacted"]
+    assert out[2]["n_phone"] == 1 and out[2]["n_digitrun"] == 1
+    assert "<PHONE>" in out[2]["redacted"]
+    assert "<DIGITRUN>" in out[2]["redacted"]
+    assert out[3]["redacted"] == "clean text only"
+    assert out[3]["n_url"] == out[3]["n_digitrun"] == 0
+
+
+def test_ngram_contamination_planted_vs_clean(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # verbatim copy of a benchmark doc -> frac 1.0
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # disjoint vocabulary -> frac 0.0
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in dd.ngram_contamination(ev, bench, n=5).collect()
+    }
+    assert rep[1]["contamination_frac"] == 1.0
+    assert rep[2]["contamination_frac"] == 0.0
+    assert rep[2]["n_hit"] == 0
+
+
+def test_token_shard_packing_partitions_all_docs(spark):
+    from pdf2dataset_spark.queries import load_all
+
+    shards = load_all()["f22_token_shard_packing"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert sum(r["shard_tokens"] for r in shards) == total_tokens
+    # contiguity: doc-id ranges of consecutive shards don't interleave
+    ordered = sorted(shards, key=lambda r: r["shard_id"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["last_doc"] < b["first_doc"]
+    # every shard except possibly the last spills past the budget only
+    # by its final doc (start_tok < budget boundary definition)
+    for r in ordered[:-1]:
+        assert r["shard_tokens"] >= 1
