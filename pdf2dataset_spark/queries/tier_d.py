@@ -645,3 +645,64 @@ def d18_full_outer_join(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------- D19
+@query(
+    "d19_interval_overlap_join",
+    sql="""
+    WITH ua AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS u_start, max(ts) AS u_end
+      FROM events GROUP BY 1, 2
+    ), ew AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS e_start, max(ts) AS e_end
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT ua.user_id, ua.day,
+           date_diff('second',
+                     greatest(ua.u_start, ew.e_start),
+                     least(ua.u_end, ew.e_end)) AS overlap_s
+    FROM ua JOIN ew
+      ON ua.day = ew.day
+     AND ua.u_start <= ew.e_end AND ew.e_start <= ua.u_end
+    ORDER BY ua.user_id, ua.day
+    """,
+    tier="D",
+)
+def d19_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join (D19): each user's daily activity span
+    [first event, last event] joined to that day's error window
+    [first error, last error] where the two intervals overlap —
+    the incident-impact query (which users were active while the
+    system was erroring, and for how long).
+
+    Canonical overlap predicate a.start <= b.end AND b.start <= a.end
+    rides on a DAY equi key, so the join co-partitions on day and the
+    range residual evaluates inside partitions — the blocked form that
+    survives 100 TB (a pure non-equi overlap join would be a
+    broadcast-nested-loop). Both sides pre-aggregate to interval grain
+    before joining; overlap length in whole seconds stays integer."""
+    e = t(spark, sf_dir, "events")
+    ua = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.min("ts").alias("u_start"), F.max("ts").alias("u_end"))
+    ew = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.min("ts").alias("e_start"), F.max("ts").alias("e_end"))
+    )
+    joined = ua.join(
+        ew,
+        (ua["day"] == ew["day"])
+        & (F.col("u_start") <= F.col("e_end"))
+        & (F.col("e_start") <= F.col("u_end")),
+    )
+    overlap = (
+        F.unix_timestamp(F.least(F.col("u_end"), F.col("e_end")))
+        - F.unix_timestamp(F.greatest(F.col("u_start"), F.col("e_start")))
+    )
+    return joined.select(
+        "user_id", ua["day"].alias("day"), overlap.alias("overlap_s")
+    ).orderBy("user_id", "day")

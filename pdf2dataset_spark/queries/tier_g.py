@@ -295,3 +295,109 @@ def g10_interval_join(spark, sf_dir):
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------- G12
+@query(
+    "g12_interval_left_outer_join",
+    sql="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tier="G",
+)
+def g12_interval_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join analog (G12): every
+    click, paired with same-user purchases in the following hour or
+    null-padded if none — the attribution query where unconverted
+    impressions matter as much as conversions. In streaming, the
+    outer (null) rows emit only after the watermark passes the join
+    bound, which is what keeps state finite; parity + pending-tail
+    semantics asserted in
+    tests/test_streaming.py::test_stream_stream_left_outer_join."""
+    from pdf2dataset_spark.streaming.windows import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        interval_join(
+            clicks, buys, "user_id", "ts", "60 MINUTE", how="left_outer"
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.col("l_key").alias("user_id"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+# --------------------------------------------------------------- G13
+@query(
+    "g13_trending_topk_sliding",
+    sql="""
+    WITH buckets AS (
+      SELECT unnest(generate_series(
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               INTERVAL 30 MINUTE)) AS window_start,
+             event_type
+      FROM events
+    ), counted AS (
+      SELECT window_start, event_type, count(*) AS n_events
+      FROM buckets GROUP BY 1, 2
+    ), ranked AS (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type
+             ) AS rnk
+      FROM counted
+    )
+    SELECT window_start, event_type, n_events, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+    tier="G",
+)
+def g13_trending_topk_sliding(spark, sf_dir):
+    """Trending items (G13): top-3 event types per 60-minute sliding
+    window (slide 30 min) — the live-leaderboard workload. The batch
+    analog shown here is the oracle; the streaming form is the same
+    sliding-window count (G2) with the rank applied per finalized
+    window downstream (rank-over-updating-state isn't append-safe, so
+    production streams rank in the serving layer or foreachBatch).
+    Sliding windows expand each event into exactly
+    width/slide = 2 buckets (Spark's window() Expand) — mirrored in
+    the oracle via generate_series; ties break on event_type for
+    engine-invariant top-k."""
+    e = t(spark, sf_dir, "events")
+    counted = (
+        e.groupBy(
+            F.window("ts", "60 minutes", "30 minutes"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )

@@ -91,6 +91,7 @@ def interval_join(
     ts_col: str,
     bound: str,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Time-bounded (interval) join: pair each left row with right
     rows of the same ``key`` whose timestamp falls in
@@ -98,6 +99,12 @@ def interval_join(
     stream-stream join shape — the time bound is what lets the
     engine expire join state; pass ``watermark`` when both sides are
     streams (required for state cleanup; a no-op in batch).
+
+    ``how='left_outer'`` keeps unmatched left rows (right columns
+    null). In streaming, outer rows are emitted only once the
+    watermark passes the join bound — state-safe, but trailing
+    unmatched rows stay pending until the watermark advances past
+    them (asserted in tests/test_streaming.py).
 
     Scale posture: the equi key shuffles both sides once; the range
     predicate evaluates inside the joined partitions, and in
@@ -125,4 +132,5 @@ def interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {bound}")),
+        how,
     )

@@ -200,3 +200,40 @@ def test_join_strategy_hints_select_physical_operator(spark, registry):
     assert "ShuffledHashJoin" in shj_plan
     bc_plan = explain_string(o.join(c.hint("broadcast"), cond))
     assert "BroadcastHashJoin" in bc_plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level bloom pruning: with a selective filter on the
+    dim side of a SHUFFLE join, Catalyst injects bloom_filter_agg on
+    the dim and might_contain on the fact scan side, so fact rows that
+    can't join die before the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching slice. Local thresholds are scaled down to trigger
+    what a real cluster's defaults (10MB creation / 10GB application)
+    trigger naturally."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        pa = spark.read.parquet("/root/testdata/sf0.001/part.parquet").filter(
+            F.col("p_brand") == "Brand#1"
+        )
+        j = (
+            li.join(pa, li.l_partkey == pa.p_partkey)
+            .groupBy("p_brand")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan.lower().replace("mightcontain", "might_contain"), plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

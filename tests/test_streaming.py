@@ -533,3 +533,52 @@ def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
         q.stop()
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0].doc_id == 1
+
+
+def test_stream_stream_left_outer_join(spark, events_dir):
+    """G12 true stream-stream LEFT OUTER join: matched rows equal the
+    inner join's; null-padded rows appear only for left rows old
+    enough that the final watermark proves no match can arrive, and
+    every one of them is a genuine no-match row (subset of the batch
+    anti side). The trailing tail of unmatched clicks stays pending by
+    design — watermark semantics, not data loss."""
+    from pdf2dataset_spark.streaming.windows import interval_join
+
+    ev = spark.read.parquet(events_dir)
+    schema = ev.schema
+    sel = ["event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")]
+
+    def side(kind):
+        s = spark.readStream.schema(schema).parquet(events_dir)
+        return s.filter(F.col("event_type") == kind).select(*sel)
+
+    joined = interval_join(
+        side("click"), side("purchase"), "user_id", "ts", "60 MINUTE",
+        watermark="2 hours", how="left_outer",
+    )
+    q = (
+        joined.select("event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("t_loj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select event_id, r_event_id from t_loj").collect()
+    finally:
+        q.stop()
+    clicks = ev.filter(F.col("event_type") == "click").select(*sel)
+    buys = ev.filter(F.col("event_type") == "purchase").select(*sel)
+    inner = interval_join(clicks, buys, "user_id", "ts", "60 MINUTE")
+    inner_pairs = {
+        (r["event_id"], r["r_event_id"])
+        for r in inner.select("event_id", "r_event_id").collect()
+    }
+    matched = {(r.event_id, r.r_event_id) for r in got if r.r_event_id is not None}
+    nulls = {r.event_id for r in got if r.r_event_id is None}
+    assert matched == inner_pairs  # inner results identical & complete
+    # null-padded rows: only for clicks with NO purchase within the hour
+    matched_clicks = {p[0] for p in inner_pairs}
+    assert nulls, "expected some null-padded unmatched clicks"
+    assert not (nulls & matched_clicks)
