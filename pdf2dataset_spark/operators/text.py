@@ -9,7 +9,7 @@ on a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language marker profiles (top function words). Used by
@@ -274,4 +274,50 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         counts["ip"],
         counts["phone"],
         counts["digitrun"],
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-grain exact deduplication (boilerplate removal): split
+    each document into lines, keep only the FIRST occurrence of every
+    distinct line across the whole corpus (ordered by (doc id, line
+    position) — deterministic), and reassemble documents from their
+    surviving lines in original order. Repeated navigation chrome /
+    cookie banners / signature blocks collapse to one occurrence
+    corpus-wide; docs reduced to nothing disappear.
+
+    Plan: posexplode (no shuffle) → one rank window partitioned by the
+    line text (high-entropy key, one shuffle) → groupBy doc
+    reassembly (second shuffle, keyed by id). The heavy payload moves
+    at line grain, never as whole documents. At 100 TB, swap the rank
+    window for the agg+semi-join formulation (dedup.exact_dedup
+    strategy='join') to shuffle only (hash, winner-id) pairs.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("deduped_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
     )

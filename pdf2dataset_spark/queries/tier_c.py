@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pdf2dataset_spark.queries import query
@@ -921,4 +922,52 @@ def c22_misc_aggregates(spark, sf_dir):
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.bool_or(F.col("o_orderstatus") == "P").alias("has_pending"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+    )
+
+
+# --------------------------------------------------------------- C23
+@query(
+    "c23_percentile_disc",
+    sql="""
+    WITH cd AS (
+      SELECT l_returnflag, l_quantity,
+             cume_dist() OVER (
+               PARTITION BY l_returnflag ORDER BY l_quantity
+             ) AS cd
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(CASE WHEN cd >= 0.25 THEN l_quantity END) AS p25,
+           min(CASE WHEN cd >= 0.50 THEN l_quantity END) AS p50,
+           min(CASE WHEN cd >= 0.75 THEN l_quantity END) AS p75
+    FROM cd GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tier="C",
+)
+def c23_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (C23; c9's PERCENTILE_DISC sibling —
+    returns actual data values, never interpolates). Engines differ
+    on PERCENTILE_DISC tie/boundary fine print, so both sides run the
+    one canonical definition: smallest value whose cume_dist reaches
+    p. cume_dist is an exact rank/n rational in double on both
+    engines, so the >= p comparisons are engine-invariant. One window
+    shuffle on the group key, then a partial-aggregable min-CASE."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    cd = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cd") >= p, F.col("l_quantity"))
+    )
+    return (
+        cd.groupBy("l_returnflag")
+        .agg(
+            pick(0.25).alias("p25"),
+            pick(0.50).alias("p50"),
+            pick(0.75).alias("p75"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -772,3 +772,110 @@ def e19_rolling_zscore_anomaly(spark, sf_dir):
         )
         .orderBy("l_partkey", "l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------- E20
+@query(
+    "e20_sequential_pattern",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_id, 1) OVER w AS id1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_id, 2) OVER w AS id2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS view_id, id1 AS click_id,
+           id2 AS purchase_id
+    FROM s
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    ORDER BY user_id, view_id
+    """,
+    tier="E",
+)
+def e20_sequential_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style strictly-consecutive pattern detection
+    (E20): per user, find view → click → purchase with NO intervening
+    events — the sequence-mining shape SQL engines bolt on as
+    MATCH_RECOGNIZE, expressed as a lead() chain over one per-user
+    window (funnel e16 is the time-banded, gap-tolerant cousin). One
+    shuffle on user_id; pattern width k needs k-1 leads, all inside
+    the same window pass. Tie-break (ts, event_id) makes the event
+    order — and thus the match set — engine-invariant."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_id", 1).over(w).alias("id1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("id2"),
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("id1").alias("click_id"),
+            F.col("id2").alias("purchase_id"),
+        )
+        .orderBy("user_id", "view_id")
+    )
+
+
+# --------------------------------------------------------------- E21
+@query(
+    "e21_scd2_history",
+    sql="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS valid_to
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM h ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+    tier="E",
+)
+def e21_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build (E21): turn a
+    change-event log (orders per customer) into validity intervals —
+    valid_from = event time, valid_to = next event's time, open
+    interval + is_current flag on the latest. The standard dimension-
+    versioning pass a warehouse build runs after CDC ingest
+    (maintenance.merge_upsert keeps latest-only; this keeps the full
+    history). One lead() window per entity key — single shuffle,
+    deterministic (date, key) tie-break."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )

@@ -815,3 +815,144 @@ def f23_pii_redaction(spark, sf_dir):
         F.col("n_phone").cast("bigint").alias("n_phone"),
         F.col("n_digitrun").cast("bigint").alias("n_digitrun"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- F25
+@query(
+    "f25_line_dedup",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id,
+             ['SUBSCRIBE to our newsletter today'] ||
+             list_transform(generate_series(1, (len(tk)+9)//10),
+               i -> array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' '))
+               AS lines
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    ),
+    lx AS (
+      SELECT doc_id, i.g - 1 AS pos, lines[i.g] AS line
+      FROM corpus, unnest(generate_series(1, len(lines))) AS i(g)
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                 AS rn
+        FROM lx) WHERE rn = 1
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS deduped_text,
+           count(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    tier="F",
+)
+def f25_line_dedup(spark, sf_dir):
+    """Line-grain exact dedup / boilerplate removal (F25) — the
+    RefinedWeb/Gopher-style pass that strips repeated navigation
+    chrome: documents are reframed as newline-joined 10-token lines
+    with a shared boilerplate banner injected at the head of EVERY
+    doc; the operator keeps only the first corpus-wide occurrence of
+    each distinct line (deterministic (doc_id, pos) order) and
+    reassembles docs from their surviving lines. The banner must
+    survive in exactly one document. Operator: text.line_dedup;
+    plan: posexplode → one rank window on the high-entropy line key →
+    keyed reassembly, with payload moving at line grain throughout."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.expr("(size(split(text, ' ')) + 9) div 10")
+    lines = F.concat(
+        F.array(F.lit("SUBSCRIBE to our newsletter today")),
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 10 + 1, 10)),
+        ),
+    )
+    corpus = d.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return tx.line_dedup(corpus, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------- F26
+@query(
+    "f26_token_rarity_score",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(CAST(SUM(1000000000 // c.cnt) AS BIGINT) AS DOUBLE)
+             / 1000000000 / count(*) AS rarity_score
+    FROM tok t JOIN cnts c USING (tok)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    tier="F",
+)
+def f26_token_rarity_score(spark, sf_dir):
+    """Corpus-statistics quality score (F26): mean inverse corpus
+    frequency of a document's tokens — the cheap stand-in for LM
+    logprob scoring (common-token word salad scores low, rare-token
+    docs score high). Inverse frequencies accumulate as exact
+    fixed-point integers (1e9 div count) so the partial-agg order
+    never matters — the ln-based variant is NOT cluster-deterministic
+    (libm vs JVM ulps + double sum order) and is exactly the kind of
+    silent nondeterminism a 1000-executor corpus build must avoid.
+    Plan: one explode, one count agg on the token key, one broadcast-
+    able join back, one doc-grain agg — all high-entropy keys."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cnts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(cnts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.expr("1000000000 div cnt")).cast("bigint").cast("double")
+                / F.lit(1000000000)
+                / F.count(F.lit(1))
+            ).alias("rarity_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------- F24
+@query(
+    "f24_deterministic_group_sample",
+    sql="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents) WHERE rn <= 3
+    ORDER BY lang, doc_id
+    """,
+    tier="F",
+)
+def f24_deterministic_group_sample(spark, sf_dir):
+    """Deterministic per-group sample (F24): exactly k=3 docs per
+    language, chosen by ordering on md5(doc_id) — a seeded-RNG-free
+    'random' sample that is identical on every engine, every run,
+    every cluster size (e12/f16's sampling is honest-random and
+    therefore rows-only; this is the reproducible variant a data
+    recipe should ship with). Hash-ordering is uniform, so the sample
+    is unbiased within groups; one window shuffle on the group key."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

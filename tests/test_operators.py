@@ -427,3 +427,26 @@ def test_token_shard_packing_partitions_all_docs(spark):
     # by its final doc (start_tok < budget boundary definition)
     for r in ordered[:-1]:
         assert r["shard_tokens"] >= 1
+
+
+def test_line_dedup_keeps_boilerplate_once(spark):
+    rows = [
+        (1, "BANNER\nalpha beta\ngamma delta"),
+        (2, "BANNER\nepsilon zeta"),
+        (3, "BANNER\nalpha beta\nunique line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.line_dedup(df).collect()}
+    # banner survives only in doc 1 (lowest doc_id)
+    assert out[1]["deduped_text"] == "BANNER\nalpha beta\ngamma delta"
+    assert out[2]["deduped_text"] == "epsilon zeta"
+    # 'alpha beta' already seen in doc 1 -> dropped from doc 3
+    assert out[3]["deduped_text"] == "unique line"
+    assert out[3]["n_lines_kept"] == 1
+
+
+def test_line_dedup_drops_fully_duplicated_docs(spark):
+    rows = [(1, "same line"), (2, "same line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in tx.line_dedup(df).collect()}
+    assert got == {1}  # doc 2 reduced to zero lines -> gone
