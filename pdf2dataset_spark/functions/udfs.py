@@ -64,7 +64,40 @@ def iterator_udf(
 
 def with_error_capture(fn: Callable[[Any], Any], pyarrow_type: str):
     """A8 — wrap a per-value feature fn into a UDF returning a
-    (value, error) struct; exceptions become row-level tracebacks."""
+    (value, error) struct; exceptions become row-level tracebacks.
+
+    Arrow-batched pandas UDF: the batch crosses the JVM↔Python
+    boundary once; only the per-VALUE application is Python (the
+    contract is per-row isolation — one bad value must not poison its
+    batch, so values are applied individually inside the batch). The
+    fused extraction path (operators/features.py) uses the same
+    pattern; `with_error_capture_row` keeps the row-at-a-time H1
+    variant for the UDF-surface demo."""
+    result_type = T.StructType(
+        [
+            T.StructField("value", spark_type_for(pyarrow_type)),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def guarded_batch(s: pd.Series) -> pd.DataFrame:
+        values, errors = [], []
+        for v in s:
+            try:
+                values.append(fn(v))
+                errors.append(None)
+            except Exception:
+                values.append(None)
+                errors.append(traceback.format_exc())
+        return pd.DataFrame({"value": values, "error": errors})
+
+    return F.pandas_udf(guarded_batch, returnType=result_type)
+
+
+def with_error_capture_row(fn: Callable[[Any], Any], pyarrow_type: str):
+    """Row-at-a-time (H1) variant of :func:`with_error_capture` — kept
+    as the documented pickled-per-row demo; use the pandas version in
+    any hot path."""
     result_type = T.StructType(
         [
             T.StructField("value", spark_type_for(pyarrow_type)),

@@ -207,29 +207,112 @@ def jaccard_pairs(
     set_col: str,
     block_col: str | None = None,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard within a blocking key (F2 exact path).
 
     All-pairs is O(n²); the block column (source, LSH bucket, length
     band, ...) bounds each block so the join stays tractable at scale.
+    Pass ``candidates`` (id1/id2 pairs, e.g. from
+    :func:`lsh_candidate_pairs`) to score only those pairs instead of
+    the blocked self-join — the production-scale composition.
+
+    Plan (blocked path): **shingle co-occurrence**, not a pairwise
+    block self-join. Rows explode to (block, shingle, id); a self
+    equi-join on the high-entropy (block, shingle) key generates a row
+    per *shared* shingle per pair; one groupBy counts |A∩B|. Pairs
+    sharing nothing are never materialized, so cost is
+    Σ_shingle freq² instead of Σ_block |block|² — the difference
+    between "survives 100 TB" and "quadratic in the block size".
+    Three exactness notes:
+
+    - **length-ratio prune** on the join: J(A,B) ≤
+      min(|A|,|B|)/max(|A|,|B|), so mismatched-size pairs drop before
+      the groupBy (epsilon slack keeps the bound strictly necessary
+      under float rounding — a prune false-positive costs a few
+      counted rows, a false negative would be a wrong answer).
+    - **inclusion–exclusion union**: |A∪B| = |A|+|B|−|A∩B|. Sizes are
+      exact ints, so the final double division is bitwise-identical
+      to an array_intersect/array_distinct(concat) formulation.
+    - requires ``threshold > 0``: zero-overlap pairs are (correctly)
+      absent from the co-occurrence join, and J=0 pairs can only
+      matter for a threshold of 0.
+
+    The ``candidates`` path scores exactly the given (id1, id2) pairs
+    via two narrow joins + one array_intersect per pair (candidate
+    sets are pre-pruned, e.g. LSH output, so pairwise is cheap there).
     """
-    cols = [F.col(id_col).alias("id"), F.col(set_col).alias("s")]
+    if threshold <= 0:
+        raise ValueError(
+            "jaccard_pairs requires threshold > 0 (J=0 pairs are not "
+            "enumerable from a co-occurrence plan)"
+        )
+    # Set semantics regardless of input: dedup once per ROW (cheap)
+    # so |A| and inclusion–exclusion are exact even if the caller
+    # passes arrays with repeats (array_intersect dedups implicitly).
+    s_distinct = F.array_distinct(set_col)
+    cols = [
+        F.col(id_col).alias("id"),
+        s_distinct.alias("s"),
+        F.size(s_distinct).alias("sz"),
+    ]
     if block_col is not None:
         cols.append(F.col(block_col).alias("blk"))
     s = df.select(*cols)
-    a, b = s.alias("a"), s.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col is not None:
-        cond = (F.col("a.blk") == F.col("b.blk")) & cond
-    return (
-        a.join(b, cond)
-        .select(
+
+    jac = (
+        F.col("__inter").cast("double")
+        / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+    ).alias("jaccard")
+
+    if candidates is not None:
+        a, b = s.alias("a"), s.alias("b")
+        ratio_ok = (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= (threshold - 1e-9) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        pairs = candidates.select(
+            F.col("id1").alias("__id1"), F.col("id2").alias("__id2")
+        )
+        joined = (
+            pairs.join(a, F.col("__id1") == F.col("a.id"))
+            .join(b, F.col("__id2") == F.col("b.id"))
+            .filter(ratio_ok)
+        )
+        scored = joined.select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+            F.col("a.sz").alias("__sza"),
+            F.col("b.sz").alias("__szb"),
+            F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).alias(
+                "__inter"
+            ),
+        ).select("id1", "id2", jac)
+        return scored.filter(F.col("jaccard") >= threshold)
+
+    tok_cols = [F.col("id"), F.col("sz"), F.explode("s").alias("shingle")]
+    join_keys = ["shingle"]
+    if block_col is not None:
+        tok_cols.append(F.col("blk"))
+        join_keys = ["blk", "shingle"]
+    tok = s.select(*tok_cols)
+    a, b = tok.alias("a"), tok.alias("b")
+    ratio_ok = (
+        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+        >= (threshold - 1e-9) * F.greatest(F.col("a.sz"), F.col("b.sz"))
     )
+    co = a.join(b, join_keys).filter((F.col("a.id") < F.col("b.id")) & ratio_ok)
+    counted = (
+        co.groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sz").alias("__sza"),
+            F.col("b.sz").alias("__szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .select("id1", "id2", jac)
+    )
+    return counted.filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(token_col: Column | str, bits: int = 64) -> Column:

@@ -25,6 +25,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Hard cap on the query-side rows the numpy scale paths will pull to
+#: the driver. The closure-capture design is only valid for a small
+#: query batch; beyond this, use `topk_cosine` / `lsh_bucket_topk` /
+#: `ivf_topk` whose probe side stays a DataFrame.
+MAX_QUERY_ROWS = 65_536
+
+
+def _collect_query_side(
+    queries: DataFrame, query_id: str, query_vec: str, max_query_rows: int
+) -> list:
+    """Guarded driver collect of the ANN query side.
+
+    Collects at most ``max_query_rows + 1`` rows (via limit, so an
+    oversized query side costs one extra row — never an OOM) and fails
+    fast with a remediation hint when the cap is exceeded."""
+    rows = (
+        queries.select(query_id, query_vec).limit(max_query_rows + 1).collect()
+    )
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; "
+            "the numpy closure-capture path is for small query batches — "
+            "use topk_cosine / lsh_bucket_topk / ivf_topk (DataFrame probe "
+            "side) or raise max_query_rows explicitly"
+        )
+    return rows
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential dot product. Elements are cast to double BEFORE the
     multiply so the arithmetic is pure float64 — bitwise-reproducible
@@ -285,6 +313,7 @@ def topk_cosine_fast(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Brute-force top-k cosine, Arrow/numpy scale path.
 
@@ -301,7 +330,7 @@ def topk_cosine_fast(
     `topk_cosine` — use that one when oracle-exactness matters and
     this one when the corpus is large.
     """
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -379,12 +408,13 @@ def topk_cosine_packed(
     query_vec: str = "query_vec",
     dtype: str = "float32",
     exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """`topk_cosine_fast` over a packed-binary embedding column: each
     Arrow batch decodes with ONE frombuffer+reshape, so the per-row
     boundary cost vanishes and the blocked matmul is the whole cost.
     `queries` still carries a plain array column (small side)."""
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = (q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)).astype(

@@ -10,9 +10,11 @@ like a wrong answer would.
 
 from __future__ import annotations
 
+import contextlib
 import re
+import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def explain_string(df: DataFrame, mode: str = "formatted") -> str:
@@ -21,6 +23,27 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
     jvm = df.sparkSession._jvm  # noqa: SLF001
     explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return jdf.queryExecution().explainString(explain_mode)
+
+
+@contextlib.contextmanager
+def job_counter(spark: SparkSession):
+    """Count Spark jobs triggered inside the block (result in
+    ``holder['jobs']`` on exit).
+
+    Plan *construction* must be lazy — an eager action at plan-build
+    time (a `.count()` for a scalar, a `.collect()` for a closure) is
+    a full extra scan per build and a 100 TB scale-killer. Tests wrap
+    query-builder calls in this to assert zero jobs. Implementation:
+    a unique job group + StatusTracker, public API only."""
+    sc = spark.sparkContext
+    group = f"plan-audit-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "plan-build job audit")
+    holder: dict = {}
+    try:
+        yield holder
+    finally:
+        holder["jobs"] = len(sc.statusTracker().getJobIdsForGroup(group))
+        sc.setLocalProperty("spark.jobGroup.id", None)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

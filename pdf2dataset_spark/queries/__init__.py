@@ -78,6 +78,82 @@ def query(name: str, sql: str | None = None, tier: str = "") -> Callable:
 
 _LOADED = False
 
+#: Driver-facing registry order. The verification driver emits CORRECTNESS
+#: rows for a bounded prefix of the registry (50 entries in round 1), so
+#: ordering is the mechanism for rotating which queries earn a hard driver
+#: row each round. Round 1 proved tiers A/B/C + d1 (all green); round 2
+#: fronts the oracle-backed join/window/streaming queries plus the round-2
+#: perf-fix queries (f1/f2b/f9) and the new TPC-H Q2 shape. Everything not
+#: listed keeps its import order after the prioritised prefix, so the full
+#: 148-entry registry is unchanged in content — only iteration order moves.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # Tier D — joins (d1 proved in r01, moved to the back)
+    "d2_broadcast_part_join",
+    "d3_left_outer_join",
+    "d4_cross_join",
+    "d5_theta_join",
+    "d6_semi_join",
+    "d7_anti_join_resume",
+    "d8_range_join",
+    "d9_asof_join",
+    "d10_self_join_pairs",
+    "d11_star_join_revenue",
+    "d12_salted_skew_join",
+    "d13_q10_returned_items",
+    "d14_in_and_scalar_subquery",
+    "d15_not_in_null_aware",
+    "d16_nullsafe_join",
+    "d17_lateral_topk_join",
+    "d18_full_outer_join",
+    "d19_interval_overlap_join",
+    # Tier E — windows / sort / set ops (e12 is rows-only by design → back)
+    "e1_rank_orders_per_cust",
+    "e2_lag_lead",
+    "e3_running_sum_frame",
+    "e4_topk_per_group",
+    "e5_global_sort",
+    "e6_global_topk",
+    "e7_union_all",
+    "e8_union_distinct",
+    "e9_intersect",
+    "e10_except",
+    "e11_dedup_subset_keep_first",
+    "e13_gap_fill_forward",
+    "e14_unpivot",
+    "e16_funnel_conversion",
+    "e17_cohort_retention",
+    "e18_rolling_7day_revenue",
+    "e19_rolling_zscore_anomaly",
+    "e20_sequential_pattern",
+    "e21_scd2_history",
+    # Tier G — streaming (oracle-backed batch analogs)
+    "g1_tumbling_window",
+    "g2_sliding_window",
+    "g3_session_window",
+    "g5_streaming_dedup",
+    "g7_stream_static_join",
+    "g9_reaggregation_rollup",
+    "g10_interval_join",
+    "g12_interval_left_outer_join",
+    "g13_trending_topk_sliding",
+    # Round-2 perf-fix queries + new TPC-H Q2 — earn driver rows for them now
+    "f1_exact_dedup",
+    "f2b_jaccard_neardup",
+    "f9_tfidf_top_terms",
+    "sql20_q2_min_cost_supplier",
+)
+
+
+def _reorder_for_driver() -> None:
+    """Rebuild REGISTRY with DRIVER_PRIORITY names first (dicts keep
+    insertion order). Unknown names are ignored; unlisted queries keep
+    their relative import order after the prefix."""
+    prioritized = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}
+    rest = {n: s for n, s in REGISTRY.items() if n not in prioritized}
+    REGISTRY.clear()
+    REGISTRY.update(prioritized)
+    REGISTRY.update(rest)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every tier module (side effect: registry population)."""
@@ -94,5 +170,6 @@ def load_all() -> dict[str, QuerySpec]:
             tier_tpch,
         )
 
+        _reorder_for_driver()
         _LOADED = True
     return REGISTRY

@@ -105,14 +105,21 @@ _SQL_SHINGLES = """list_distinct(list_transform(
                source
         FROM documents
       )
+    ),
+    tok AS (
+      SELECT doc_id, source, len(sh) AS sz, unnest(sh) AS g FROM corpus
+    ),
+    co AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             a.sz AS sza, b.sz AS szb, COUNT(*) AS inter
+      FROM tok a JOIN tok b
+        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
     )
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM corpus a JOIN corpus b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    SELECT id1, id2,
+           CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+    FROM co
+    WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8
     """,
     tier="F",
 )
@@ -339,9 +346,17 @@ def f9_tfidf_top_terms(spark, sf_dir):
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_count = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df_count"))
-    n_docs = d.count()  # tiny scalar; at scale: a broadcast agg subquery
-    scored = tf.join(df_count, "word").withColumn(
-        "score", F.col("tf").cast("double") * F.lit(n_docs) / F.col("df_count")
+    # N kept lazy: 1-row broadcast agg crossJoin instead of an eager
+    # d.count() at plan-build time (which cost a driver action + a full
+    # extra scan per plan construction — a scale-killer at 100 TB).
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_count, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df_count"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
     return (

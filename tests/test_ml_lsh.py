@@ -132,3 +132,28 @@ def test_topk_cosine_packed_matches_exact(spark):
     f = {(r.query_id, r.vec_id) for r in fast.collect()}
     # fp32 scoring: allow near-tie divergence, demand >= 90% agreement
     assert len(e & f) / len(e) >= 0.90, (len(e & f), len(e))
+
+
+def test_ann_query_side_collect_is_guarded(spark):
+    """An oversized query side must fail fast with a remediation hint
+    — never OOM the driver. The guard collects at most cap+1 rows."""
+    import pytest
+    from pdf2dataset_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = corpus.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.topk_cosine_fast(corpus, queries, k=5, max_query_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.topk_cosine_packed(
+            corpus.select(
+                "vec_id", sim.pack_embedding("embedding").alias("embedding_bin")
+            ),
+            queries,
+            dim=4,
+            k=5,
+            max_query_rows=10,
+        )

@@ -202,6 +202,28 @@ def test_join_strategy_hints_select_physical_operator(spark, registry):
     assert "BroadcastHashJoin" in bc_plan
 
 
+def test_plan_build_triggers_no_jobs(spark, registry):
+    """Plan construction is declarative: building the headline query
+    plans must trigger ZERO Spark jobs (an eager count()/collect() at
+    build time is an extra full scan per build — the f9 bug class)."""
+    from pdf2dataset_spark.plans.audit import job_counter
+
+    for name in (
+        "f9_tfidf_top_terms",
+        "c1_pricing_summary",
+        "d11_star_join_revenue",
+        "f1_exact_dedup",
+        "f2b_jaccard_neardup",
+    ):
+        # first build warms the one-time parquet-footer relation read
+        registry[name].fn.__wrapped__(spark, SF)
+        with job_counter(spark) as jc:
+            # __wrapped__ bypasses the registry's plan cache so the
+            # builder actually runs inside the counter
+            registry[name].fn.__wrapped__(spark, SF)
+        assert jc["jobs"] == 0, (name, jc)
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Runtime row-level bloom pruning: with a selective filter on the
     dim side of a SHUFFLE join, Catalyst injects bloom_filter_agg on
