@@ -862,3 +862,96 @@ def sql19_q17_small_qty_revenue(spark, sf_dir):
             .alias("avg_yearly")
         )
     )
+
+
+# ------------------------------------------------------------- SQL20
+@query(
+    "sql20_q2_min_cost_supplier",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.cost_c,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    min_cost AS (
+      SELECT l_partkey, MIN(cost_c) AS min_cost_c
+      FROM eligible GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+    FROM (
+      SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+             CAST(e.cost_c AS DOUBLE) / 100 AS supplycost, e.l_suppkey
+      FROM part p
+      JOIN eligible e ON e.l_partkey = p.p_partkey
+      JOIN min_cost m ON m.l_partkey = p.p_partkey
+                     AND e.cost_c = m.min_cost_c
+      WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, l_suppkey
+      LIMIT 100
+    )
+    """,
+    tier="SQL",
+)
+def sql20_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part within a region —
+    the classic correlated scalar subquery (supply cost = regional
+    minimum for that part), expressed DECORRELATED: one per-(part,
+    supplier) MIN aggregation stands in for partsupp (the driver
+    schema has none), one per-part MIN over the region-filtered
+    eligible set, and an equi-join back on (partkey, cost = min) —
+    exactly the aggregate+join plan Catalyst's subquery decorrelation
+    produces. Supplier/nation/region are broadcast (tiny at any
+    scale); lineitem shuffles once into the (partkey, suppkey)
+    keyspace. Costs stay in exact integer cents until the final
+    /100 display cast; ORDER BY ends with the unique (p_partkey,
+    l_suppkey) pair so the LIMIT is deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents("l_extendedprice")).alias("cost_c")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("l_partkey", "l_suppkey", "cost_c", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("cost_c").alias("min_cost_c")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eligible.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("m_partkey") == F.col("p_partkey"))
+            & (F.col("cost_c") == F.col("min_cost_c")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("cost_c").cast("double") / 100).alias("supplycost"),
+            "l_suppkey",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "l_suppkey"
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+    )

@@ -202,6 +202,24 @@ def test_join_strategy_hints_select_physical_operator(spark, registry):
     assert "BroadcastHashJoin" in bc_plan
 
 
+def test_q2_decorrelated_to_aggregate_plus_join(spark, registry):
+    """sql20: the 'regional min supply cost per part' correlated
+    scalar subquery must run as aggregate+join-back (two hash
+    aggregations, dims broadcast), never as a per-part re-scan or a
+    cartesian product."""
+    from pdf2dataset_spark.plans.audit import _nodes, explain_string
+
+    df = q(registry, "sql20_q2_min_cost_supplier", spark)
+    nodes = _nodes(df)
+    # ps build (partial+final) + per-part min (partial+final) >= 4
+    assert nodes.count("HashAggregate") >= 4, nodes
+    assert has_broadcast_join(df), audit(df)
+    assert "CartesianProduct" not in explain_string(df)
+    # lineitem shuffles once into (partkey, suppkey); everything else
+    # is broadcast or AQE-local.
+    assert shuffle_count(df) <= 3, audit(df)
+
+
 def test_plan_build_triggers_no_jobs(spark, registry):
     """Plan construction is declarative: building the headline query
     plans must trigger ZERO Spark jobs (an eager count()/collect() at
