@@ -93,12 +93,29 @@ class TextBytesCodec(DocumentCodec):
         return handle[page - 1]
 
 
-class PdfCodec(DocumentCodec):
-    """Production PDF binding (poppler / pdf2image / pytesseract).
+@dataclass
+class _PdfHandle:
+    """Open-document handle for :class:`PdfCodec`: raw bytes (for the
+    raster paths) + eagerly parsed page texts (parse once per doc)."""
 
-    STUB in this container: the native libraries are not installed
-    and there is no network. Each method attempts the import and
-    raises ``NotImplementedError`` naming the missing dependency.
+    content: bytes
+    pages: list[str]
+
+
+class PdfCodec(DocumentCodec):
+    """Real PDF binding.
+
+    Text extraction (page_count / page_text) is REAL and
+    dependency-free: :mod:`pdf2dataset_spark.sources.minipdf`
+    implements the ISO 32000 subset needed for text (object parsing,
+    FlateDecode + object streams via stdlib zlib, page-tree walk,
+    Tj/TJ/'/" content operators). Malformed/encrypted/unsupported
+    PDFs raise ``ValueError`` → per-row error capture (A8).
+
+    Page RENDERING and OCR still require native raster libraries
+    (pdf2image/poppler, pytesseract) that are not installed in this
+    container; those two methods import lazily and raise
+    ``NotImplementedError`` naming the missing dependency.
     """
 
     name = "pdf"
@@ -115,33 +132,20 @@ class PdfCodec(DocumentCodec):
         self.dpi = dpi
         self.image_size = image_size
 
-    def open(self, content: bytes) -> bytes:
-        return content
+    def open(self, content: bytes) -> "_PdfHandle":
+        from pdf2dataset_spark.sources import minipdf
 
-    def page_count(self, handle: bytes) -> int:
-        try:
-            import pdfplumber  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError(
-                "PdfCodec requires a PDF library (pdfplumber/pypdf/poppler); "
-                "not installed in this environment"
-            ) from e
-        import io
+        return _PdfHandle(
+            content=content, pages=minipdf.extract_page_texts(content)
+        )
 
-        with pdfplumber.open(io.BytesIO(handle)) as pdf:
-            return len(pdf.pages)
+    def page_count(self, handle: "_PdfHandle") -> int:
+        return len(handle.pages)
 
-    def page_text(self, handle: bytes, page: int) -> str:
-        try:
-            import pdfplumber  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError("PDF text extraction requires pdfplumber/poppler") from e
-        import io
+    def page_text(self, handle: "_PdfHandle", page: int) -> str:
+        return handle.pages[page - 1]
 
-        with pdfplumber.open(io.BytesIO(handle)) as pdf:
-            return pdf.pages[page - 1].extract_text() or ""
-
-    def page_image(self, handle: bytes, page: int) -> bytes:
+    def page_image(self, handle: "_PdfHandle", page: int) -> bytes:
         try:
             from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
         except ImportError as e:
@@ -149,7 +153,7 @@ class PdfCodec(DocumentCodec):
         import io
 
         imgs = convert_from_bytes(
-            handle, dpi=self.dpi, first_page=page, last_page=page
+            handle.content, dpi=self.dpi, first_page=page, last_page=page
         )
         img = imgs[0]
         size = parse_image_size(self.image_size)
@@ -159,7 +163,7 @@ class PdfCodec(DocumentCodec):
         img.save(buf, format=self.image_format)
         return buf.getvalue()
 
-    def page_ocr(self, handle: bytes, page: int) -> str:
+    def page_ocr(self, handle: "_PdfHandle", page: int) -> str:
         try:
             import pytesseract  # type: ignore[import-not-found]
             from PIL import Image  # type: ignore[import-not-found]

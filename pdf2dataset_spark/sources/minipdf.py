@@ -1,0 +1,514 @@
+"""Minimal pure-Python PDF text extraction + generation (tier A5).
+
+Upstream's whole purpose is real PDF text extraction (poppler's
+pdftotext). That native stack is absent here, so this module
+implements the subset of ISO 32000 needed to pull page text out of
+real simple PDFs with ONLY the standard library:
+
+- object scanner (``N G obj … endobj``, robust without an xref),
+- object syntax parser (dicts, arrays, names with ``#xx`` escapes,
+  literal/hex strings, numbers, refs, booleans, null),
+- streams with ``/FlateDecode`` (stdlib zlib) and PDF 1.5 object
+  streams (``/Type /ObjStm``),
+- page-tree walk (``/Catalog → /Pages → /Kids → /Page``) in document
+  order,
+- content-stream interpreter for the text-showing operators ``Tj``,
+  ``TJ``, ``'``, ``"`` with line breaks from ``Td/TD/T*/Tm``.
+
+Out of scope (documented limits, not silent wrongness): CID/Type0
+fonts with ToUnicode CMaps (bytes decode as Latin-1 ≈ PDFDoc/WinAnsi
+for the printable range), encrypted PDFs (raise ``ValueError``), and
+non-Flate filters (raise ``ValueError`` naming the filter).
+
+``build_pdf`` is the inverse: a spec-valid single-font PDF writer
+(proper xref + trailer, optional FlateDecode) used for golden
+round-trip tests — text → PDF bytes → extracted text must be exact.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+from typing import Any
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+@dataclass(frozen=True)
+class Ref:
+    """Indirect object reference ``N G R`` (generation ignored — the
+    scanner keeps the LAST definition of each object number, which is
+    what an incremental update means)."""
+
+    num: int
+
+
+@dataclass
+class StreamObj:
+    sdict: dict
+    raw: bytes  # still encoded; use decoded()
+
+
+def _is_ws(b: int) -> bool:
+    return b in _WS
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment runs to EOL
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    """``(...)`` with nested parens and backslash escapes."""
+    assert data[pos] == 0x28
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                pos += 1
+            elif e in b"()\\":
+                out.append(e)
+                pos += 1
+            elif e in b"01234567":  # \ddd octal, 1-3 digits
+                digits = bytearray()
+                while pos < n and len(digits) < 3 and data[pos] in b"01234567":
+                    digits.append(data[pos])
+                    pos += 1
+                out.append(int(digits, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: emit the char itself (spec)
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise ValueError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    assert data[pos] == 0x3C
+    end = data.index(b">", pos + 1)
+    hexdigits = bytes(
+        c for c in data[pos + 1 : end] if c not in _WS
+    ).decode("ascii")
+    if len(hexdigits) % 2:
+        hexdigits += "0"
+    return bytes.fromhex(hexdigits), end + 1
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
+    assert data[pos] == 0x2F
+    pos += 1
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS or c in _DELIM:
+            break
+        if c == 0x23 and pos + 2 < n:  # #xx hex escape
+            out.append(int(data[pos + 1 : pos + 3], 16))
+            pos += 3
+        else:
+            out.append(c)
+            pos += 1
+    return "/" + out.decode("latin-1"), pos
+
+
+def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
+    """One PDF object value starting at ``pos`` (after whitespace)."""
+    pos = _skip_ws(data, pos)
+    c = data[pos]
+    if c == 0x3C:  # '<' — dict or hex string
+        if data[pos + 1 : pos + 2] == b"<":
+            pos += 2
+            d: dict = {}
+            while True:
+                pos = _skip_ws(data, pos)
+                if data[pos : pos + 2] == b">>":
+                    return d, pos + 2
+                key, pos = _parse_name(data, pos)
+                val, pos = parse_value(data, pos)
+                d[key] = val
+        return _parse_hex_string(data, pos)
+    if c == 0x28:
+        return _parse_literal_string(data, pos)
+    if c == 0x5B:  # '['
+        pos += 1
+        arr: list = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            v, pos = parse_value(data, pos)
+            arr.append(v)
+    if c == 0x2F:
+        return _parse_name(data, pos)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group()
+        after = _skip_ws(data, m.end())
+        # 'N G R' lookahead → indirect reference
+        m2 = _NUM_RE.match(data, after)
+        if m2 and b"." not in tok:
+            after2 = _skip_ws(data, m2.end())
+            if data[after2 : after2 + 1] == b"R" and (
+                after2 + 1 >= len(data)
+                or data[after2 + 1] in _WS
+                or data[after2 + 1] in _DELIM
+            ):
+                return Ref(int(tok)), after2 + 1
+        if b"." in tok:
+            return float(tok), m.end()
+        return int(tok), m.end()
+    raise ValueError(f"cannot parse PDF value at byte {pos}: {data[pos:pos+20]!r}")
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class PdfDocument:
+    """Parsed object table + page tree of one PDF file."""
+
+    def __init__(self, data: bytes):
+        if not data.lstrip()[:5].startswith(b"%PDF-"):
+            raise ValueError("not a PDF: missing %PDF- header")
+        self.objects: dict[int, Any] = {}
+        self._scan(data)
+        self._expand_object_streams()
+        if any(
+            isinstance(o, dict) and "/Encrypt" in o for o in self.objects.values()
+        ) or b"/Encrypt" in data[-2048:]:
+            # trailer-dict /Encrypt (we don't parse trailers; cheap scan)
+            raise ValueError("encrypted PDFs are not supported")
+
+    # -- object table -------------------------------------------------
+    def _scan(self, data: bytes) -> None:
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            try:
+                val, pos = parse_value(data, m.end())
+            except (ValueError, IndexError):
+                continue
+            pos = _skip_ws(data, pos)
+            if data.startswith(b"stream", pos):
+                p = pos + 6
+                if data[p : p + 2] == b"\r\n":
+                    p += 2
+                elif data[p : p + 1] in (b"\n", b"\r"):
+                    p += 1
+                length = val.get("/Length") if isinstance(val, dict) else None
+                raw = None
+                if isinstance(length, int):
+                    cand_end = p + length
+                    if data[cand_end : cand_end + 12].lstrip(_WS).startswith(
+                        b"endstream"
+                    ):
+                        raw = data[p:cand_end]
+                if raw is None:  # /Length indirect or wrong → search
+                    e = data.find(b"endstream", p)
+                    if e == -1:
+                        continue
+                    raw = data[p:e].rstrip(b"\r\n")
+                self.objects[num] = StreamObj(val, raw)
+            else:
+                # last definition wins (incremental updates append)
+                self.objects[num] = val
+
+    def _expand_object_streams(self) -> None:
+        for obj in list(self.objects.values()):
+            if (
+                isinstance(obj, StreamObj)
+                and obj.sdict.get("/Type") == "/ObjStm"
+            ):
+                try:
+                    payload = self.stream_bytes(obj)
+                    n = self.resolve(obj.sdict.get("/N"))
+                    first = self.resolve(obj.sdict.get("/First"))
+                    header = payload[:first].split()
+                    for i in range(n):
+                        onum = int(header[2 * i])
+                        off = first + int(header[2 * i + 1])
+                        val, _ = parse_value(payload, off)
+                        self.objects.setdefault(onum, val)
+                except (ValueError, IndexError, zlib.error):
+                    continue
+
+    # -- access -------------------------------------------------------
+    def resolve(self, v: Any) -> Any:
+        seen = 0
+        while isinstance(v, Ref):
+            v = self.objects.get(v.num)
+            seen += 1
+            if seen > 32:
+                raise ValueError("reference cycle")
+        return v
+
+    def stream_bytes(self, obj: StreamObj) -> bytes:
+        data = obj.raw
+        filt = self.resolve(obj.sdict.get("/Filter"))
+        if filt is None:
+            return data
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            f = self.resolve(f)
+            if f == "/FlateDecode":
+                data = zlib.decompress(data)
+            else:
+                raise ValueError(f"unsupported stream filter {f}")
+        return data
+
+    # -- page tree ----------------------------------------------------
+    def _catalog(self) -> dict:
+        for obj in self.objects.values():
+            v = obj.sdict if isinstance(obj, StreamObj) else obj
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                return v
+        raise ValueError("no /Catalog object found")
+
+    def pages(self) -> list[dict]:
+        """Page dicts in document order (depth-first /Kids walk)."""
+        root = self.resolve(self._catalog().get("/Pages"))
+        out: list[dict] = []
+
+        def walk(node: Any, depth: int) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict) or depth > 64:
+                return
+            if node.get("/Type") == "/Page":
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("/Kids")) or []:
+                walk(kid, depth + 1)
+
+        walk(root, 0)
+        if not out:
+            raise ValueError("page tree contains no /Page objects")
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("/Contents"))
+        if contents is None:
+            return b""
+        parts = contents if isinstance(contents, list) else [contents]
+        chunks: list[bytes] = []
+        for part in parts:
+            part = self.resolve(part)
+            if isinstance(part, StreamObj):
+                chunks.append(self.stream_bytes(part))
+        return b"\n".join(chunks)
+
+
+# ---------------------------------------------------------------------
+# content-stream text interpreter
+# ---------------------------------------------------------------------
+
+_SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
+
+
+def content_text(content: bytes) -> str:
+    """Text shown by a content stream: ``Tj``/``TJ``/``'``/``"`` emit
+    glyph strings; ``Td/TD/T*/Tm/ET`` mark line breaks (emitted
+    lazily, so there is no leading/trailing newline churn)."""
+    pos, n = 0, len(content)
+    stack: list[Any] = []
+    out: list[str] = []
+    shown = False  # a show op happened since the last break marker
+    pending = False  # a break marker happened after a show op
+
+    def show(raw: bytes) -> None:
+        nonlocal shown, pending
+        if pending:
+            out.append("\n")
+            pending = False
+        out.append(raw.decode("latin-1"))
+        shown = True
+
+    def mark() -> None:
+        nonlocal pending
+        if shown:
+            pending = True
+
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x28:
+            s, pos = _parse_literal_string(content, pos)
+            stack.append(s)
+        elif c == 0x3C and content[pos + 1 : pos + 2] != b"<":
+            s, pos = _parse_hex_string(content, pos)
+            stack.append(s)
+        elif c == 0x3C:  # inline dict (marked content / inline image)
+            v, pos = parse_value(content, pos)
+            stack.append(v)
+        elif c == 0x5B:
+            v, pos = parse_value(content, pos)
+            stack.append(v)
+        elif c == 0x2F:
+            v, pos = _parse_name(content, pos)
+            stack.append(v)
+        elif _NUM_RE.match(content, pos) and (c not in b"Ee"):
+            m = _NUM_RE.match(content, pos)
+            tok = m.group()
+            stack.append(float(tok) if b"." in tok else int(tok))
+            pos = m.end()
+        else:  # operator token
+            start = pos
+            while pos < n and content[pos] not in _WS and content[pos] not in _DELIM:
+                pos += 1
+            op = content[start:pos]
+            if not op:  # stray delimiter; skip it
+                pos += 1
+                continue
+            if op == b"Tj":
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    buf = b"".join(
+                        e for e in stack[-1] if isinstance(e, bytes)
+                    )
+                    show(buf)
+            elif op == b"'":
+                mark()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b'"':
+                mark()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op in _SHOW_LINE_OPS:
+                mark()
+            elif op == b"BI":
+                # inline image: skip to EI to avoid lexing binary data
+                e = content.find(b"EI", pos)
+                pos = n if e == -1 else e + 2
+            stack.clear()
+    return "".join(out)
+
+
+def extract_page_texts(data: bytes) -> list[str]:
+    """All page texts of a PDF, in page order (the pdftotext-shaped
+    primitive: one string per page)."""
+    doc = PdfDocument(data)
+    return [content_text(doc.page_content(p)) for p in doc.pages()]
+
+
+# ---------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    raw = s.encode("latin-1", errors="replace")
+    return (
+        raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def build_pdf(pages: list[str], compress: bool = False) -> bytes:
+    """Minimal spec-valid PDF: one Helvetica font, one content stream
+    per page (one ``Tj`` per text line, ``Td`` line advances), real
+    xref table + trailer. ``compress=True`` FlateDecodes the content
+    streams (exercises the decode path). Inverse of
+    :func:`extract_page_texts` for Latin-1 text."""
+    if not pages:
+        raise ValueError("build_pdf needs at least one page")
+    objs: list[bytes] = []  # bodies; object number = index+1
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    for i, text in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        lines = text.split("\n")
+        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+        ops.append(b"ET")
+        payload = b"\n".join(ops)
+        if compress:
+            payload = zlib.compress(payload)
+            head = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(payload)} >>"
+        objs.append(
+            head.encode() + b"\nstream\n" + payload + b"\nendstream"
+        )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )  # font
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)

@@ -1,0 +1,153 @@
+"""A5 — real PDF text extraction (pure-Python minipdf codec).
+
+Golden round-trip: text → build_pdf → extract_page_texts must be
+exact, including through the fused Spark extraction pipeline with
+PdfCodec. Hand-crafted PDFs cover the syntax the writer doesn't emit
+(TJ kerning arrays, hex strings, indirect /Length, multiple content
+streams, object streams, ' operator).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pdf2dataset_spark.sources import minipdf
+from pdf2dataset_spark.sources.codecs import PdfCodec
+
+PAGES = [
+    "Hello world\nsecond line\nthird",
+    "Page two with (parens), back\\slash and tab\there",
+    "",
+    "trailing empty line\n",
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_build_extract_roundtrip(compress):
+    pdf = minipdf.build_pdf(PAGES, compress=compress)
+    assert minipdf.extract_page_texts(pdf) == PAGES
+
+
+def test_pdf_codec_page_access():
+    codec = PdfCodec()
+    h = codec.open(minipdf.build_pdf(PAGES))
+    assert codec.page_count(h) == len(PAGES)
+    for i, want in enumerate(PAGES, start=1):
+        assert codec.page_text(h, i) == want
+
+
+def test_non_pdf_bytes_raise():
+    with pytest.raises(ValueError):
+        minipdf.extract_page_texts(b"\xff\xfe not a pdf")
+    with pytest.raises(ValueError):
+        minipdf.extract_page_texts(b"%PDF-1.4\ngarbage only")
+
+
+def _wrap_pdf(objs: list[bytes]) -> bytes:
+    """Assemble numbered objects into a file (no xref — the scanner
+    must not need one)."""
+    buf = bytearray(b"%PDF-1.5\n")
+    for i, body in enumerate(objs, start=1):
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    buf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(buf)
+
+
+def test_tj_kerning_hex_strings_and_quote_operator():
+    content = (
+        b"BT /F1 10 Tf 10 700 Td "
+        b"[(Kern) -120 (ed) 30 <2054657874>] TJ "  # ' Text' in hex
+        b"(next line) ' "
+        b"ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    assert minipdf.extract_page_texts(_wrap_pdf(objs)) == [
+        "Kerned Text\nnext line"
+    ]
+
+
+def test_indirect_length_and_multiple_content_streams():
+    c1 = b"BT (part one) Tj ET"
+    c2 = b"BT 0 0 Td (part two) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 6 0 R] >>",
+        b"<< /Length 5 0 R >>\nstream\n" + c1 + b"\nendstream",
+        str(len(c1)).encode(),
+        b"<< /Length " + str(len(c2)).encode() + b" >>\nstream\n" + c2 + b"\nendstream",
+    ]
+    # two streams, Td between shows → newline
+    assert minipdf.extract_page_texts(_wrap_pdf(objs)) == [
+        "part one\npart two"
+    ]
+
+
+def test_object_stream_pages():
+    """PDF 1.5: page dicts living inside a compressed /ObjStm."""
+    inner = (
+        b"<< /Type /Catalog /Pages 4 0 R >>"
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>"
+        b"<< /Type /Page /Parent 4 0 R /Contents 2 0 R >>"
+    )
+    # object numbers 3,4,5 at offsets within `inner`
+    off2 = inner.index(b"<< /Type /Pages")
+    off3 = inner.index(b"<< /Type /Page /Parent")
+    header = f"3 0 4 {off2} 5 {off3} ".encode()
+    payload = header + inner
+    compressed = zlib.compress(payload)
+    content = b"BT (from objstm) Tj ET"
+    objs = [
+        b"<< /Type /ObjStm /N 3 /First "
+        + str(len(header)).encode()
+        + b" /Length "
+        + str(len(compressed)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + compressed
+        + b"\nendstream",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    assert minipdf.extract_page_texts(_wrap_pdf(objs)) == ["from objstm"]
+
+
+def test_unsupported_filter_raises():
+    content = b"BT (x) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    with pytest.raises(ValueError, match="LZWDecode"):
+        minipdf.extract_page_texts(_wrap_pdf(objs))
+
+
+def test_extraction_pipeline_with_pdf_codec(spark):
+    """Golden end-to-end: real PDF bytes through the fused Spark
+    extraction pipeline (fan-out + error capture) with PdfCodec —
+    page texts recovered exactly, corrupt doc becomes an error row."""
+    import pdf2dataset_spark as p
+
+    good = minipdf.build_pdf(PAGES, compress=True)
+    docs = {"good.pdf": good, "broken.pdf": b"%PDF-1.4 garbage"}
+    out = p.extract(docs, spark=spark, small=True, use_pdf_codec=True)
+    ok = out[out.error.isna()].sort_values("page")
+    assert list(ok.text) == PAGES
+    err = out[out.error.notna()]
+    assert len(err) == 1 and err.iloc[0].page == -1
+    assert "ValueError" in err.iloc[0].error
