@@ -495,6 +495,75 @@ def test_ttl_dedup_expires_and_reemits(spark, tmp_path):
         q.stop()
 
 
+def test_ttl_dedup_state_plateaus_under_key_churn(spark, tmp_path):
+    """The O(working set) claim, asserted on the state store itself:
+    four micro-batches of entirely FRESH keys with a short TTL — the
+    stateOperators numRowsTotal must plateau (expired keys evicted),
+    not grow with total distinct keys seen. This is the difference
+    between bounded state and an unbounded-key stream OOMing a year
+    into production."""
+    from pdf2dataset_spark.streaming.stateful import ttl_dedup_legacy
+
+    src = str(tmp_path / "src")
+    schema = "k long, payload string"
+    spark.createDataFrame([(0, "seed")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    read_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(read_schema).parquet(src)
+    out = ttl_dedup_legacy(stream, ["k"], schema, ttl_ms=3_000)
+    # explicit checkpoint + 1 s trigger: the default ASAP trigger runs
+    # no-data batches continuously, churning the temporary checkpoint
+    # hard enough to hit spurious state-store commit failures locally.
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ttlplateau")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+
+        def n_rows():
+            return spark.sql("select count(*) c from t_ttlplateau").first().c
+
+        def state_rows():
+            p = q.lastProgress
+            ops = (p or {}).get("stateOperators") or []
+            return ops[0]["numRowsTotal"] if ops else None
+
+        batch = 10
+        total = 1
+        peak = 0
+        for b in range(4):
+            keys = [(1 + b * batch + i, f"b{b}") for i in range(batch)]
+            spark.createDataFrame(keys, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            total += batch
+            assert _poll(lambda: n_rows() >= total, timeout_s=30), (
+                b,
+                n_rows(),
+                total,
+            )
+            s = state_rows()
+            if s is not None:
+                peak = max(peak, s)
+            # let this batch's keys age past the TTL before the next
+            time.sleep(4.5)
+        # 41 distinct keys seen; with eviction the store never holds
+        # anywhere near all of them at once.
+        def settled():
+            s = state_rows()
+            return s is not None and s <= 2 * batch + 1
+
+        assert _poll(settled, timeout_s=30), q.lastProgress
+        assert peak <= 3 * batch, peak  # never accumulated all batches
+    finally:
+        q.stop()
+
+
 def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
     """The batch curation operators (quality gate, hash dedup) applied
     unchanged to a file STREAM, with a checkpointed parquet sink —
