@@ -42,6 +42,12 @@ def main() -> None:
 
     spark = get_spark("pdf2dataset-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # statistics-driven execution mode: AQE's stage barriers are pure
+    # overhead at laptop-scale inputs and essential at cluster scale —
+    # pick from the actual input size (session.tune_for_input_size).
+    from pdf2dataset_spark.session import tune_for_input_size
+
+    tune_for_input_size(spark, [sf_dir])
     registry = load_all()
     names = [n for n in HEADLINE if n in registry] or list(registry)[:5]
 

@@ -242,10 +242,11 @@ def jaccard_pairs(
     via two narrow joins + one array_intersect per pair (candidate
     sets are pre-pruned, e.g. LSH output, so pairwise is cheap there).
     """
-    if threshold <= 0:
+    if threshold <= 0 and candidates is None:
         raise ValueError(
             "jaccard_pairs requires threshold > 0 (J=0 pairs are not "
-            "enumerable from a co-occurrence plan)"
+            "enumerable from a co-occurrence plan); pass explicit "
+            "`candidates` pairs to score at any threshold"
         )
     # Set semantics regardless of input: dedup once per ROW (cheap)
     # so |A| and inclusion–exclusion are exact even if the caller

@@ -343,15 +343,26 @@ def f9_tfidf_top_terms(spark, sf_dir):
     keeps the math deterministic (ln is not cross-engine bitwise);
     top term per document with deterministic tie-break."""
     d = t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # ONE shuffle keyed on `word` serves everything word-keyed:
+    # HashPartitioning(word) satisfies the (doc_id, word) tf groupBy
+    # (partitioning-subset rule), and since tf rows are UNIQUE per
+    # (doc_id, word), df_count is simply count(*) over a word window
+    # on tf — no second scan of the token stream, no tf ⋈ df join.
+    # The exploded token stream (the big flow at 100 TB) moves exactly
+    # once. Known skew: a stopword's partition holds ≤ n_docs tf rows
+    # (post-combine), the same bound the join formulation had; salt
+    # the repartition key if vocabulary skew ever dominates.
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).repartition("word")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_count = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df_count"))
     # N kept lazy: 1-row broadcast agg crossJoin instead of an eager
     # d.count() at plan-build time (which cost a driver action + a full
     # extra scan per plan construction — a scale-killer at 100 TB).
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_word = Window.partitionBy("word")
     scored = (
-        tf.join(df_count, "word")
+        tf.withColumn("df_count", F.count(F.lit(1)).over(w_word))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

@@ -81,6 +81,51 @@ def get_spark(
     return spark
 
 
+#: Below this total input size, AQE's stage-by-stage materialization
+#: barriers (~0.07-0.1 s per query stage locally) cost more than its
+#: runtime re-planning can possibly save — there is nothing to
+#: re-plan when every shuffle fits in one reducer. 1 GiB is ~2 orders
+#: of magnitude under where skew/broadcast decisions start to matter.
+SMALL_INPUT_BYTES = 1 << 30
+
+
+def tune_for_input_size(spark: SparkSession, input_paths: list[str]) -> bool:
+    """Statistics-driven execution-mode selection (the engine-side
+    analog of a cost-based "don't optimize tiny queries" rule): sum
+    the on-disk size of the inputs and disable AQE below
+    ``SMALL_INPUT_BYTES``, re-enable it at or above.
+
+    At 100 TB this always lands on AQE=on (skew splitting, runtime
+    broadcast, partition coalescing are essential); on a laptop-scale
+    input it removes a fixed ~0.5 s/query of adaptive stage barriers.
+    Returns True when small-input mode was applied."""
+    import os as _os
+
+    total = 0
+    for p in input_paths:
+        if _os.path.isdir(p):
+            for root, _dirs, files in _os.walk(p):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f)) for f in files
+                )
+        elif _os.path.exists(p):
+            total += _os.path.getsize(p)
+    small = total < SMALL_INPUT_BYTES
+    spark.conf.set("spark.sql.adaptive.enabled", "false" if small else "true")
+    if small:
+        # Size reducers to the DATA (the ~16 MB/partition floor), not
+        # to core count: with AQE off nothing coalesces tiny shuffles,
+        # and 32 near-empty reduce tasks are pure scheduling overhead
+        # (measured −38% across the headline shuffles at sf0.1).
+        parts = max(8, min(_default_parallelism(), total // (16 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # marker so apply_runtime_conf (re-run on every query build) does
+    # not silently flip AQE back on or resize reducers under
+    # small-input mode
+    spark.conf.set("spark.pdf2dataset.smallInput", "true" if small else "false")
+    return small
+
+
 def apply_runtime_conf(spark: SparkSession) -> None:
     """Apply engine runtime confs to an externally-created session.
 
@@ -93,6 +138,15 @@ def apply_runtime_conf(spark: SparkSession) -> None:
     """
     conf = dict(RUNTIME_CONF)
     conf["spark.sql.shuffle.partitions"] = str(_default_parallelism())
+    try:
+        if spark.conf.get("spark.pdf2dataset.smallInput", "false") == "true":
+            # an explicit tune_for_input_size decision wins over the
+            # default AQE=on + core-count reducers (see
+            # SMALL_INPUT_BYTES rationale)
+            conf.pop("spark.sql.adaptive.enabled", None)
+            conf.pop("spark.sql.shuffle.partitions", None)
+    except Exception:
+        pass
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)

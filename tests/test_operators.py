@@ -79,9 +79,13 @@ def test_jaccard_exact_values(spark):
         [(1, ["a b c", "b c d"]), (2, ["a b c", "x y z"])],
         "id long, sh array<string>",
     )
-    pairs = dd.jaccard_pairs(df, "id", "sh", threshold=0.0).collect()
+    # threshold must be > 0 (co-occurrence plan can't enumerate J=0
+    # pairs); 0.01 keeps every overlapping pair
+    pairs = dd.jaccard_pairs(df, "id", "sh", threshold=0.01).collect()
     assert len(pairs) == 1
     assert pairs[0].jaccard == pytest.approx(1 / 3)  # {abc} of {abc,bcd,xyz}
+    with pytest.raises(ValueError, match="threshold"):
+        dd.jaccard_pairs(df, "id", "sh", threshold=0.0)
 
 
 # -------------------------------------------------------- similarity

@@ -60,7 +60,12 @@ def test_shingles_bounded_by_tokens(spark, text):
 def test_jaccard_symmetric_bounded(spark, a, b):
     df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
     sh = df.withColumn("sh", dd.shingles("text", 2))
-    pairs = dd.jaccard_pairs(sh, "id", "sh", threshold=-1.0).collect()
+    # candidates path: scores the given pair even at J=0 (the blocked
+    # co-occurrence plan requires threshold > 0 by design)
+    cand = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    pairs = dd.jaccard_pairs(
+        sh, "id", "sh", threshold=-1.0, candidates=cand
+    ).collect()
     assert len(pairs) == 1
     j = pairs[0].jaccard
     assert 0.0 <= j <= 1.0
