@@ -142,9 +142,11 @@ def extract(
         feats.append("ocr")
     codec: DocumentCodec | None
     if use_pdf_codec:
+        # default to png: the built-in pure-stdlib raster path emits
+        # it with no native deps (jpeg needs pdf2image/poppler)
         codec = PdfCodec(
             ocr_lang=lang,
-            image_format=image_format or "jpeg",
+            image_format=image_format or "png",
             image_size=image_size,
         )
     elif image_format or image_size:

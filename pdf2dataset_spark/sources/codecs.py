@@ -112,10 +112,15 @@ class PdfCodec(DocumentCodec):
     Tj/TJ/'/" content operators). Malformed/encrypted/unsupported
     PDFs raise ``ValueError`` → per-row error capture (A8).
 
-    Page RENDERING and OCR still require native raster libraries
-    (pdf2image/poppler, pytesseract) that are not installed in this
-    container; those two methods import lazily and raise
-    ``NotImplementedError`` naming the missing dependency.
+    Page RENDERING and OCR are real too, via the pure-stdlib raster
+    path (:mod:`pdf2dataset_spark.sources.raster`): the page's
+    extracted text layer is drawn with a deterministic bitmap font
+    into a spec-valid PNG, and OCR re-reads the pixels back to text —
+    so the image/ocr feature columns carry genuine image payloads
+    whose content round-trips. ``image_format`` other than ``png``
+    needs the native stack (pdf2image/poppler) and raises
+    ``NotImplementedError`` naming it; a visual (non-text-layer)
+    raster of the original PDF likewise.
     """
 
     name = "pdf"
@@ -123,7 +128,7 @@ class PdfCodec(DocumentCodec):
     def __init__(
         self,
         ocr_lang: str = "eng",
-        image_format: str = "jpeg",
+        image_format: str = "png",
         dpi: int = 200,
         image_size: str | None = None,
     ):
@@ -146,29 +151,43 @@ class PdfCodec(DocumentCodec):
         return handle.pages[page - 1]
 
     def page_image(self, handle: "_PdfHandle", page: int) -> bytes:
-        try:
-            from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError("page rendering requires pdf2image/poppler") from e
-        import io
+        if self.image_format.lower() != "png":
+            try:
+                from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"image_format={self.image_format!r} rendering requires "
+                    "pdf2image/poppler (built-in raster path emits png)"
+                ) from e
+            import io
 
-        imgs = convert_from_bytes(
-            handle.content, dpi=self.dpi, first_page=page, last_page=page
+            imgs = convert_from_bytes(
+                handle.content, dpi=self.dpi, first_page=page, last_page=page
+            )
+            img = imgs[0]
+            size = parse_image_size(self.image_size)
+            if size is not None:
+                img = img.resize(size)
+            buf = io.BytesIO()
+            img.save(buf, format=self.image_format)
+            return buf.getvalue()
+        from pdf2dataset_spark.sources import raster
+
+        return raster.render_text_png(
+            handle.pages[page - 1], size=parse_image_size(self.image_size)
         )
-        img = imgs[0]
-        size = parse_image_size(self.image_size)
-        if size is not None:
-            img = img.resize(size)
-        buf = io.BytesIO()
-        img.save(buf, format=self.image_format)
-        return buf.getvalue()
 
     def page_ocr(self, handle: "_PdfHandle", page: int) -> str:
         try:
             import pytesseract  # type: ignore[import-not-found]
             from PIL import Image  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError("OCR requires pytesseract + PIL") from e
+        except ImportError:
+            from pdf2dataset_spark.sources import raster
+
+            # built-in pixel OCR of the built-in render (native-res)
+            return raster.ocr_png(
+                raster.render_text_png(handle.pages[page - 1])
+            )
         import io
 
         return pytesseract.image_to_string(

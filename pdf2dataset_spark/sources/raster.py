@@ -1,0 +1,188 @@
+"""Pure-stdlib page rasterization + pixel OCR (tiers A6/A7).
+
+Upstream renders PDF pages with pdf2image/poppler and OCRs them with
+pytesseract — native stacks absent here. This module makes the A6/A7
+surface REAL without them:
+
+- :func:`render_text_png` draws page text into a monochrome raster
+  using a built-in deterministic 5×7 bitmap glyph table and encodes a
+  spec-valid PNG (IHDR/IDAT/IEND, zlib scanlines, CRC32 — all
+  stdlib). Glyphs are procedurally generated (multiplicative bit
+  mixing of the codepoint), verified pairwise-distinct over printable
+  ASCII — machine-legible rather than typographically pretty, which
+  is exactly what the pipeline tests need: real bytes in a real
+  format with recoverable content.
+- :func:`decode_png` parses the PNG back to pixels (filter-0
+  scanlines, i.e. what we emit).
+- :func:`ocr_png` is an actual pixel-level OCR for that font: walks
+  the character grid, matches each cell against the glyph table, and
+  reconstructs the text — so render → bytes → OCR round-trips
+  exactly at native resolution, and the image/ocr feature columns
+  carry real image payloads through Arrow batches.
+
+Resize (`image_size="WxH"`) is nearest-neighbor on the decoded
+pixels; OCR of a resized image is out of scope (raises ValueError,
+mirroring real OCR quality degradation).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+GLYPH_W, GLYPH_H = 5, 7
+CELL_W, CELL_H = GLYPH_W + 1, GLYPH_H + 3  # 1px kerning, 3px leading
+
+
+def glyph_rows(ch: str) -> list[int]:
+    """7 rows of 5-bit patterns for one character — deterministic
+    multiplicative mixing, pairwise-distinct over printable ASCII
+    (asserted in tests)."""
+    c = ord(ch)
+    rows = []
+    for r in range(GLYPH_H):
+        mixed = (c * 0x9E3779B1 + (r + 1) * 0x85EBCA77) & 0xFFFFFFFF
+        mixed ^= mixed >> 13
+        rows.append((mixed * 0xC2B2AE35 >> 16) & 0x1F)
+    return rows
+
+
+def _rasterize(text: str) -> tuple[int, int, bytearray]:
+    lines = text.split("\n") or [""]
+    n_cols = max((len(ln) for ln in lines), default=0) or 1
+    w, h = n_cols * CELL_W, len(lines) * CELL_H
+    px = bytearray(b"\xff" * (w * h))
+    for li, line in enumerate(lines):
+        for ci, ch in enumerate(line):
+            rows = glyph_rows(ch)
+            x0, y0 = ci * CELL_W, li * CELL_H
+            for r, bits in enumerate(rows):
+                for col in range(GLYPH_W):
+                    if bits >> (GLYPH_W - 1 - col) & 1:
+                        px[(y0 + r) * w + x0 + col] = 0
+    return w, h, px
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(w: int, h: int, px: bytes) -> bytes:
+    """8-bit grayscale PNG, filter 0 scanlines."""
+    raw = b"".join(
+        b"\x00" + bytes(px[y * w : (y + 1) * w]) for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytearray]:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    px = bytearray(w * h)
+    stride = w + 1
+    prev = bytearray(w)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        filt, body = line[0], bytearray(line[1:])
+        if filt == 0:
+            pass
+        elif filt == 2:  # Up (defensive; we emit 0)
+            for x in range(w):
+                body[x] = (body[x] + prev[x]) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {filt}")
+        px[y * w : (y + 1) * w] = body
+        prev = body
+    return w, h, px
+
+
+def resize_nearest(
+    w: int, h: int, px: bytes, new_w: int, new_h: int
+) -> tuple[int, int, bytearray]:
+    out = bytearray(new_w * new_h)
+    for y in range(new_h):
+        sy = min(h - 1, y * h // new_h)
+        row = sy * w
+        orow = y * new_w
+        for x in range(new_w):
+            out[orow + x] = px[row + min(w - 1, x * w // new_w)]
+    return new_w, new_h, out
+
+
+def render_text_png(
+    text: str, size: tuple[int, int] | None = None
+) -> bytes:
+    w, h, px = _rasterize(text)
+    if size is not None:
+        w, h, px = resize_nearest(w, h, px, size[0], size[1])
+    return encode_png(w, h, px)
+
+
+_GLYPH_CACHE: dict[tuple[int, ...], str] = {}
+
+
+def _glyph_table() -> dict[tuple[int, ...], str]:
+    if not _GLYPH_CACHE:
+        for c in range(32, 127):
+            _GLYPH_CACHE[tuple(glyph_rows(chr(c)))] = chr(c)
+    return _GLYPH_CACHE
+
+
+def ocr_png(data: bytes) -> str:
+    """Pixel-level OCR of a native-resolution render: re-reads the
+    character grid and matches cells against the glyph table.
+    Unmatched cells (unknown codepoints) become ``\\uFFFD``."""
+    w, h, px = decode_png(data)
+    if w % CELL_W or h % CELL_H:
+        raise ValueError(
+            "OCR requires a native-resolution render "
+            f"(got {w}x{h}, cell {CELL_W}x{CELL_H})"
+        )
+    table = _glyph_table()
+    lines = []
+    for li in range(h // CELL_H):
+        chars = []
+        for ci in range(w // CELL_W):
+            x0, y0 = ci * CELL_W, li * CELL_H
+            rows = []
+            for r in range(GLYPH_H):
+                bits = 0
+                for col in range(GLYPH_W):
+                    bits = (bits << 1) | (
+                        1 if px[(y0 + r) * w + x0 + col] == 0 else 0
+                    )
+                rows.append(bits)
+            if all(b == 0 for b in rows):
+                chars.append(" ")
+            else:
+                chars.append(table.get(tuple(rows), "�"))
+        lines.append("".join(chars).rstrip())
+    return "\n".join(lines)

@@ -1,0 +1,77 @@
+"""A6/A7 — pure-stdlib page render (PNG) + pixel OCR round trip."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pdf2dataset_spark.sources import minipdf, raster
+from pdf2dataset_spark.sources.codecs import PdfCodec
+
+
+def test_glyphs_pairwise_distinct_and_nonblank():
+    glyphs = {c: tuple(raster.glyph_rows(chr(c))) for c in range(32, 127)}
+    for (a, ga), (b, gb) in itertools.combinations(glyphs.items(), 2):
+        assert ga != gb, (chr(a), chr(b))
+    # no printable glyph may be blank (blank means padding to OCR)
+    for c, g in glyphs.items():
+        assert any(g), chr(c)
+
+
+def test_png_encode_decode_roundtrip():
+    w, h, px = 11, 5, bytes(range(55))
+    out = raster.decode_png(raster.encode_png(w, h, px))
+    assert out == (w, h, bytearray(px))
+
+
+def test_render_ocr_roundtrip():
+    text = "Hello OCR 123\nsecond line!\n\ntabs not here, just text"
+    png = raster.render_text_png(text)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert raster.ocr_png(png) == text
+
+
+def test_resize_changes_dims_and_breaks_ocr_cleanly():
+    png = raster.render_text_png("resize me", size=(64, 32))
+    w, h, _ = raster.decode_png(png)
+    assert (w, h) == (64, 32)
+    with pytest.raises(ValueError, match="native-resolution"):
+        raster.ocr_png(png)
+
+
+def test_pdf_codec_image_and_ocr_features():
+    """A6+A7 through the codec: real PDF bytes → page render (PNG) →
+    pixel OCR recovers the extracted text exactly."""
+    pages = ["page one body", "and page two"]
+    codec = PdfCodec()
+    h = codec.open(minipdf.build_pdf(pages))
+    for i, want in enumerate(pages, start=1):
+        img = codec.page_image(h, i)
+        assert img[:8] == b"\x89PNG\r\n\x1a\n"
+        assert raster.ocr_png(img) == want
+        assert codec.page_ocr(h, i) == want
+
+
+def test_pdf_codec_image_size_plumbs_through():
+    codec = PdfCodec(image_size="48x24")
+    h = codec.open(minipdf.build_pdf(["sized page"]))
+    w, hh, _ = raster.decode_png(codec.page_image(h, 1))
+    assert (w, hh) == (48, 24)
+
+
+def test_extraction_pipeline_all_features_with_pdf_codec(spark):
+    """The upstream flagship call shape — text + image + ocr features
+    over real PDFs through the fused Spark pipeline."""
+    import pdf2dataset_spark as p
+
+    pages = ["alpha page", "beta page"]
+    docs = {"d.pdf": minipdf.build_pdf(pages, compress=True)}
+    out = p.extract(
+        docs, spark=spark, small=True, use_pdf_codec=True,
+        features=["text", "image", "ocr"],
+    ).sort_values("page")
+    assert list(out.text) == pages
+    assert list(out.ocr) == pages
+    for img in out.image:
+        assert bytes(img[:8]) == b"\x89PNG\r\n\x1a\n"
