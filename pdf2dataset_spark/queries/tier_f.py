@@ -557,18 +557,73 @@ def f17_hash_train_test_split(spark, sf_dir):
 
 
 # --------------------------------------------------------------- F18
-@query("f18_neardup_clustering", sql=None, tier="F")
+@query(
+    "f18_neardup_clustering",
+    sql=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id < 100
+    ),
+    g1 AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-1], ' ') AS text,
+             source FROM base
+    ),
+    g2 AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-1], ' ') AS text,
+             source FROM g1
+    ),
+    corpus AS (
+      SELECT doc_id, source, {_SQL_SHINGLES} AS sh FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM g1 UNION ALL SELECT * FROM g2
+      )
+    ),
+    tok AS (
+      SELECT doc_id, source, len(sh) AS sz, unnest(sh) AS g FROM corpus
+    ),
+    co AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             a.sz AS sza, b.sz AS szb, COUNT(*) AS inter
+      FROM tok a JOIN tok b
+        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM co
+      WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+    tier="F",
+)
 def f18_neardup_clustering(spark, sf_dir):
     """Near-dup pairs → connected components → one representative per
     cluster (the final dedup step after LSH/Jaccard pair generation).
-    Iterative fixpoint → rows-only (SURVEY notes iterative algorithms
-    as the weaker-check class); multi-hop correctness is pytest-
-    asserted. Corpus: originals + TWO perturbed generations (A→A',
-    A'→A'') so components genuinely need transitivity — A and A''
-    never pair directly."""
+    The fixpoint label propagation is iterative on the Spark side,
+    but its RESULT (component = min reachable id) is deterministic
+    and SQL-expressible as a recursive CTE — so this carries a full
+    oracle despite being the 'iterative algorithm' class. Corpus:
+    originals + TWO perturbed generations (A→A', A'→A'') so
+    components genuinely need transitivity — A and A'' never pair
+    directly."""
     from pdf2dataset_spark.operators.cluster import connected_components
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source").limit(100)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("doc_id") < 100)
+    )
     toks = F.split(F.col("text"), " ")
     gen1 = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
