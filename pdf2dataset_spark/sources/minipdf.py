@@ -362,7 +362,14 @@ def content_text(content: bytes) -> str:
         if pending:
             out.append("\n")
             pending = False
-        out.append(raw.decode("latin-1"))
+        # UTF-16 strings carry a BOM (ISO 32000 §7.9.2.2); everything
+        # else decodes as Latin-1 ≈ PDFDoc/WinAnsi printable range.
+        if raw[:2] == b"\xfe\xff":
+            out.append(raw[2:].decode("utf-16-be", errors="replace"))
+        elif raw[:2] == b"\xff\xfe":
+            out.append(raw[2:].decode("utf-16-le", errors="replace"))
+        else:
+            out.append(raw.decode("latin-1"))
         shown = True
 
     def mark() -> None:

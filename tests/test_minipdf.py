@@ -121,6 +121,24 @@ def test_object_stream_pages():
     assert minipdf.extract_page_texts(_wrap_pdf(objs)) == ["from objstm"]
 
 
+def test_utf16be_strings_decode():
+    """BOM-tagged UTF-16BE text strings (ISO 32000 §7.9.2.2)."""
+    payload = ("\ufeff" + "Unïcode Tëxt").encode("utf-16-be")
+    hexstr = payload.hex().encode("ascii")
+    content = b"BT <" + hexstr + b"> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    assert minipdf.extract_page_texts(_wrap_pdf(objs)) == ["Unïcode Tëxt"]
+
+
 def test_unsupported_filter_raises():
     content = b"BT (x) Tj ET"
     objs = [
