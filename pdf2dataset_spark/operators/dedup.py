@@ -126,28 +126,19 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Banding: docs sharing any (band_id, band_hash) bucket become a
-    candidate pair (id1 < id2, distinct).
-
-    Single-pass: explode signatures into (band_id, band_hash, id) rows,
-    groupBy bucket (one shuffle, map-side combine via collect_list),
-    then expand each bucket's id list into its ordered pairs with JVM
-    HOFs. No self-join — the signature expression is evaluated once,
-    and there is exactly one shuffle over the banded rows. At scale,
-    degenerate buckets (boilerplate docs hashing identically) would
-    blow up the pair expansion quadratically; `max_bucket` drops them
-    (a bucket that large is not a near-dup *pair* signal anyway — handle
-    via exact dedup first)."""
+    """Explode minhash signatures into (id, band_id, band_hash) rows —
+    the shared banding primitive for batch pair generation
+    (:func:`lsh_candidate_pairs`) and the streaming bucket-store
+    ingest (streaming/neardup.py)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
@@ -171,6 +162,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banding: docs sharing any (band_id, band_hash) bucket become a
+    candidate pair (id1 < id2, distinct).
+
+    Single-pass: explode signatures into (band_id, band_hash, id) rows,
+    groupBy bucket (one shuffle, map-side combine via collect_list),
+    then expand each bucket's id list into its ordered pairs with JVM
+    HOFs. No self-join — the signature expression is evaluated once,
+    and there is exactly one shuffle over the banded rows. At scale,
+    degenerate buckets (boilerplate docs hashing identically) would
+    blow up the pair expansion quadratically; `max_bucket` drops them
+    (a bucket that large is not a near-dup *pair* signal anyway — handle
+    via exact dedup first)."""
+    banded = lsh_band_rows(df, id_col, sig_col, bands, rows_per_band)
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )

@@ -1,0 +1,109 @@
+"""Streaming near-dup ingest (G×F) + shard materialization tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf2dataset_spark.streaming.neardup import neardup_ingest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps running "
+    "through the quiet green field toward the distant river bank"
+)
+OTHER = (
+    "completely different content about spark engines shuffling data "
+    "across executors with adaptive query execution and broadcast joins"
+)
+THIRD = (
+    "a third unrelated document discussing parquet row groups column "
+    "pruning predicate pushdown and vectorized readers in depth"
+)
+
+
+def _near(text: str) -> str:
+    return " ".join(text.split(" ")[:-1])  # drop last word
+
+
+def test_streaming_neardup_ingest_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "buckets")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    # batch 1: two distinct docs
+    spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = neardup_ingest(stream, out, store, ckpt)
+    try:
+        q.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+
+        # batch 2: near-copy of 1 (cross-batch dup), one new doc,
+        # plus an intra-batch near-pair (5 ~ 6) → greedy keeps 5
+        spark.createDataFrame(
+            [(3, _near(BASE)), (4, THIRD), (5, "x " + THIRD), (6, "y " + THIRD)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        # 3 dropped (near-dup of 1 via bucket store); 4 kept; of the
+        # 4~5~6 near-family the smallest (4) survives greedy+store
+        assert 3 not in got
+        assert 4 in got
+
+        # batch 3: near-copy of the RETAINED 4-family → dropped via
+        # the bucket store even though its direct twin may not be 4
+        spark.createDataFrame(
+            [(7, _near(THIRD)), (8, BASE.upper() + " unique tail here")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert 7 not in got
+        assert 8 in got  # uppercase → different shingles → retained
+    finally:
+        q.stop()
+
+    # bucket store only holds retained docs' bands
+    store_ids = {
+        r.doc_id
+        for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+    }
+    assert store_ids == set(got)
+
+
+def test_shard_write_read_manifest(spark, tmp_path):
+    from pdf2dataset_spark.operators.shards import (
+        read_manifest,
+        read_shard,
+        write_shards,
+    )
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        (F.col("id") % 4).alias("shard_id"),
+    )
+    out = str(tmp_path / "shards")
+    write_shards(docs, out)
+    man = read_manifest(spark, out)
+    assert man.count() == 4
+    tot = man.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).first()
+    want = docs.agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert (tot.d, tot.t) == (want.d, want.t)
+    s2 = read_shard(spark, out, 2)
+    assert s2.count() == 25
+    assert set(r.doc_id % 4 for r in s2.collect()) == {2}
+    # loader-side partition pruning must reach the scan
+    plan = s2._jdf.queryExecution().executedPlan().toString()
+    assert "shard_id" in plan
