@@ -155,6 +155,30 @@ def test_unsupported_filter_raises():
         minipdf.extract_page_texts(_wrap_pdf(objs))
 
 
+def test_pdf_roundtrip_property():
+    """Property: any Latin-1 page text (incl. PDF delimiters,
+    escapes, blank lines) survives text → PDF → extraction exactly,
+    compressed and not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # printable latin-1 + specials that exercise string escaping
+    alphabet = st.sampled_from(
+        list("abcXYZ 019()\\<>[]/%#\t'\"éü")
+    )
+    line = st.text(alphabet=alphabet, max_size=30)
+    page = st.lists(line, min_size=1, max_size=5).map("\n".join)
+    pages = st.lists(page, min_size=1, max_size=3)
+
+    @settings(max_examples=25, deadline=None)
+    @given(pages=pages, compress=st.booleans())
+    def check(pages, compress):
+        pdf = minipdf.build_pdf(pages, compress=compress)
+        assert minipdf.extract_page_texts(pdf) == pages
+
+    check()
+
+
 def test_extraction_pipeline_with_pdf_codec(spark):
     """Golden end-to-end: real PDF bytes through the fused Spark
     extraction pipeline (fan-out + error capture) with PdfCodec —

@@ -40,6 +40,27 @@ def test_resize_changes_dims_and_breaks_ocr_cleanly():
         raster.ocr_png(png)
 
 
+def test_render_ocr_roundtrip_property():
+    """Property: any printable-ASCII multi-line text round-trips
+    render → PNG → OCR exactly (modulo trailing spaces, which are
+    indistinguishable from cell padding by design)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        max_size=20,
+    )
+    text = st.lists(line, min_size=1, max_size=4).map("\n".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(t=text)
+    def check(t):
+        assert raster.ocr_png(raster.render_text_png(t)) == t
+
+    check()
+
+
 def test_pdf_codec_image_and_ocr_features():
     """A6+A7 through the codec: real PDF bytes → page render (PNG) →
     pixel OCR recovers the extracted text exactly."""
