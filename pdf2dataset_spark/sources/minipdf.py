@@ -225,7 +225,15 @@ class PdfDocument:
 
     # -- object table -------------------------------------------------
     def _scan(self, data: bytes) -> None:
+        # Sequential consumption: once an object (including its stream
+        # body) is parsed, matches of `N G obj` INSIDE it are skipped —
+        # otherwise document text like "1 0 obj ... endobj" in an
+        # uncompressed content stream would shadow real objects
+        # (last-definition-wins would corrupt the table).
+        consumed_to = 0
         for m in _OBJ_RE.finditer(data):
+            if m.start() < consumed_to:
+                continue
             num = int(m.group(1))
             try:
                 val, pos = parse_value(data, m.end())
@@ -252,9 +260,11 @@ class PdfDocument:
                         continue
                     raw = data[p:e].rstrip(b"\r\n")
                 self.objects[num] = StreamObj(val, raw)
+                consumed_to = p + len(raw)
             else:
                 # last definition wins (incremental updates append)
                 self.objects[num] = val
+                consumed_to = pos
 
     def _expand_object_streams(self) -> None:
         for obj in list(self.objects.values()):

@@ -155,6 +155,20 @@ def test_unsupported_filter_raises():
         minipdf.extract_page_texts(_wrap_pdf(objs))
 
 
+def test_obj_keyword_inside_content_does_not_shadow_objects():
+    """Adversarial page text containing 'N 0 obj ... endobj' in an
+    UNcompressed content stream must not shadow real objects — the
+    scanner consumes objects sequentially and skips matches inside
+    already-parsed bodies."""
+    evil = [
+        "this page contains 1 0 obj << /Type /Catalog /Pages 9 0 R >> endobj inline",
+        "normal page",
+    ]
+    for compress in (False, True):
+        pdf = minipdf.build_pdf(evil, compress=compress)
+        assert minipdf.extract_page_texts(pdf) == evil
+
+
 def test_pdf_roundtrip_property():
     """Property: any Latin-1 page text (incl. PDF delimiters,
     escapes, blank lines) survives text → PDF → extraction exactly,
