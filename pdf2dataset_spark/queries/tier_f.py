@@ -1037,3 +1037,62 @@ def f24_deterministic_group_sample(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+# --------------------------------------------------------------- F27
+@query(
+    "f27_embedding_quantization",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> round(x / scale) * scale) AS deq, v
+      FROM q
+    )
+    SELECT vec_id, scale,
+           list_aggregate(list_transform(generate_series(1, 64),
+             i -> v[i] * deq[i]), 'sum')
+           / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                i -> v[i] * v[i]), 'sum'))
+              * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> deq[i] * deq[i]), 'sum'))) AS cos_orig_deq,
+           list_max(list_transform(generate_series(1, 64),
+             i -> abs(v[i] - deq[i]))) AS max_abs_err
+    FROM d
+    """,
+    tier="F",
+)
+def f27_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 embedding quantization (F: the 4× storage/
+    shuffle reduction every 100 TB embedding store runs): per-vector
+    scale = max|v|/127, q = round(v/scale), dequant = q*scale. The
+    query scores the information loss — cosine(original, dequantized)
+    and max absolute error — entirely in JVM float64 HOFs, which are
+    bitwise-reproducible against DuckDB (round-half-away agrees with
+    Spark's BigDecimal HALF_UP on doubles, including exact ties).
+    Composes with `similarity.pack_embedding` (int8 dtype) for the
+    packed binary storage path."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    ev = e.select("vec_id", v.alias("v"))
+    scale = (
+        F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    ).alias("scale")
+    q = ev.select("vec_id", "v", scale)
+    deq = F.transform(
+        "v", lambda x: F.round(x / F.col("scale"), 0) * F.col("scale")
+    )
+    d = q.select("vec_id", "scale", "v", deq.alias("deq"))
+    num = sim.dot(F.col("v"), F.col("deq"))
+    cos = (num / (sim.norm(F.col("v")) * sim.norm(F.col("deq")))).alias(
+        "cos_orig_deq"
+    )
+    err = F.array_max(
+        F.zip_with("v", "deq", lambda a, b: F.abs(a - b))
+    ).alias("max_abs_err")
+    return d.select("vec_id", "scale", cos, err)

@@ -155,6 +155,23 @@ def test_unsupported_filter_raises():
         minipdf.extract_page_texts(_wrap_pdf(objs))
 
 
+def test_directory_scan_of_real_pdfs(spark, tmp_path):
+    """A1+A5 together: recursive binaryFile scan over a directory of
+    real .pdf files, extracted through the fused pipeline."""
+    import pdf2dataset_spark as p
+
+    root = tmp_path / "docs"
+    (root / "sub").mkdir(parents=True)
+    (root / "one.pdf").write_bytes(minipdf.build_pdf(["first doc"]))
+    (root / "sub" / "two.pdf").write_bytes(
+        minipdf.build_pdf(["second doc p1", "second doc p2"], compress=True)
+    )
+    (root / "ignored.txt").write_bytes(b"not a pdf")
+    out = p.extract(str(root), spark=spark, small=True, use_pdf_codec=True)
+    texts = sorted(out[out.error.isna()].text)
+    assert texts == ["first doc", "second doc p1", "second doc p2"]
+
+
 def test_obj_keyword_inside_content_does_not_shadow_objects():
     """Adversarial page text containing 'N 0 obj ... endobj' in an
     UNcompressed content stream must not shadow real objects — the
