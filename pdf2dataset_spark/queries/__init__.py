@@ -141,6 +141,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f2b_jaccard_neardup",
     "f9_tfidf_top_terms",
     "sql20_q2_min_cost_supplier",
+    # ---- end of the expected 50-entry window ----
+    # Overflow preference: if the driver's budget admits more than 50,
+    # the next rows should also be oracle-backed queries with no
+    # driver row yet (TPC-H shapes, remaining F, A-tier golden
+    # oracles, E variants) — r01-proven A/B/C and rows-only entries
+    # stay last either way.
+    "sql1_raw_sql_q3_shape",
+    "sql2_correlated_scalar_subquery",
+    "sql3_q12_priority_lines",
+    "sql4_q14_promo_revenue",
+    "sql5_q19_disjunctive_join",
+    "sql6_q18_large_orders",
+    "sql7_q11_revenue_share",
+    "sql8_q22_idle_balance",
+    "sql9_q7_nation_volume",
+    "sql10_q15_top_supplier",
+    "sql11_q16_supplier_count",
+    "sql12_q20_nested_in",
+    "sql13_q21_sole_late_shipper",
+    "sql14_q4_priority_exists",
+    "sql15_q6_forecast_revenue",
+    "sql16_q8_market_share",
+    "sql17_q9_product_profit",
+    "sql18_q13_order_distribution",
+    "sql19_q17_small_qty_revenue",
+    "f3_cosine_similarity",
+    "f4_topk_cosine",
+    "f6_text_statistics",
+    "f7_quality_language_filter",
+    "f10_doc_fingerprint",
+    "f12_lang_id_heuristic",
+    "f13_embedding_neardup",
+    "f14_text_cleaning",
+    "f17_hash_train_test_split",
+    "f18_neardup_clustering",
+    "f19_token_chunking",
+    "f20_repetition_stats",
+    "f21_contamination_check",
+    "f22_token_shard_packing",
+    "f23_pii_redaction",
+    "f24_deterministic_group_sample",
+    "f25_line_dedup",
+    "f26_token_rarity_score",
+    "f27_embedding_quantization",
+    "e3b_range_frame",
+    "e15_ntile_nth_value",
+    "a0_extract_pipeline",
+    "a5_pdf_extract",
+    "a6_page_render_ocr",
+    "a15_pipeline_composition",
 )
 
 
