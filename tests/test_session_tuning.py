@@ -1,0 +1,44 @@
+"""Statistics-driven execution-mode selection (session.py)."""
+
+from __future__ import annotations
+
+from pdf2dataset_spark.session import (
+    SMALL_INPUT_BYTES,
+    apply_runtime_conf,
+    tune_for_input_size,
+)
+
+
+def test_small_input_disables_aqe_and_sizes_reducers(spark, tmp_path):
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        small = tune_for_input_size(spark, ["/root/testdata/sf0.01"])
+        assert small is True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 8
+        # the per-query-build conf reapplication must NOT flip AQE back
+        apply_runtime_conf(spark)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+        # a huge claimed input re-enables AQE (missing path counts 0 —
+        # simulate big by lowering the threshold instead)
+        big_dir = tmp_path / "big"
+        big_dir.mkdir()
+        (big_dir / "blob.bin").write_bytes(b"x" * 1024)
+        import pdf2dataset_spark.session as sess
+
+        orig = sess.SMALL_INPUT_BYTES
+        try:
+            sess.SMALL_INPUT_BYTES = 1  # anything is "big" now
+            assert tune_for_input_size(spark, [str(big_dir)]) is False
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+            apply_runtime_conf(spark)
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        finally:
+            sess.SMALL_INPUT_BYTES = orig
+        assert SMALL_INPUT_BYTES == orig
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.pdf2dataset.smallInput", "false")

@@ -58,6 +58,44 @@ def main() -> None:
                 "docs_per_s": round(args.docs / elapsed, 1),
                 "pages_per_s": round(n_pages / elapsed, 1),
                 "features": ["text", "ocr"],
+                "codec": "textbytes",
+            }
+        )
+
+        # Phase 2: REAL PDFs through the minipdf parser — the
+        # upstream-comparable number (pdftotext-style pages/s).
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources.minipdf import build_pdf
+
+        src2 = os.path.join(root, "corpus_pdf")
+        os.makedirs(src2)
+        page_text = " ".join(f"w{i}" for i in range(args.words_per_page))
+        pdf_body = build_pdf(
+            [f"p{p} {page_text}" for p in range(args.pages)], compress=True
+        )
+        for d in range(args.docs):
+            sub = os.path.join(src2, f"s{d % 16:02d}")
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, f"doc{d:06d}.pdf"), "wb") as f:
+                f.write(pdf_body)
+
+        out2 = os.path.join(root, "out_pdf.parquet")
+        pipe2 = ExtractionPipeline(
+            spark=spark, features=["text"], codec=PdfCodec()
+        )
+        t0 = time.perf_counter()
+        pipe2.run(src2, out_path=out2)
+        elapsed = time.perf_counter() - t0
+        n_pages2 = spark.read.parquet(out2).count()
+        print(
+            {
+                "docs": args.docs,
+                "pages": n_pages2,
+                "elapsed_s": round(elapsed, 2),
+                "docs_per_s": round(args.docs / elapsed, 1),
+                "pages_per_s": round(n_pages2 / elapsed, 1),
+                "features": ["text"],
+                "codec": "pdf (minipdf, FlateDecode)",
             }
         )
     finally:
