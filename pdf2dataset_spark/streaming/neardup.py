@@ -67,13 +67,24 @@ def _batch_processor(
         losers = pairs.select(F.col("id2").alias(id_col)).distinct()
         survivors = batch.join(losers, id_col, "left_anti")
 
-        # cross-batch: any shared bucket with the retained corpus
+        # cross-batch: any shared bucket with the retained corpus.
+        # Join direction matters at scale: the bucket store is the
+        # big side (grows with the retained corpus), the micro-batch
+        # is small — so the BATCH's band rows broadcast and the store
+        # streams through a broadcast hash join without ever
+        # shuffling. (A left_semi with the batch on the left would
+        # force the store through a shuffle instead.)
         try:
             seen = spark.read.parquet(bucket_store).select(
                 "band_id", "band_hash"
             )
             dup_ids = (
-                band_rows.join(seen, ["band_id", "band_hash"], "left_semi")
+                seen.join(
+                    F.broadcast(
+                        band_rows.select(id_col, "band_id", "band_hash")
+                    ),
+                    ["band_id", "band_hash"],
+                )
                 .select(id_col)
                 .distinct()
             )
