@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--use-pdf-codec",
         action="store_true",
-        help="bind the real PDF codec (requires poppler-family libs)",
+        help="bind the real PDF codec (pure-Python text/render/OCR; "
+        "non-png rendering needs poppler-family libs)",
     )
     p.add_argument(
         "--image-format", default=None, help="rendered page image format (jpeg/png)"
@@ -73,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         features=feats,
         codec=PdfCodec(
             ocr_lang=args.lang,
-            image_format=args.image_format or "jpeg",
+            image_format=args.image_format or "png",
             image_size=args.image_size,
         )
         if args.use_pdf_codec
