@@ -205,6 +205,47 @@ def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
     raise ValueError(f"cannot parse PDF value at byte {pos}: {data[pos:pos+20]!r}")
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000 §7.4.4): 9→12-bit variable-width
+    codes, 256=clear, 257=EOD, table growth one code early when
+    EarlyChange=1 (the default)."""
+    out = bytearray()
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = dict(base)
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            prev = entry
+            if next_code + early > (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -301,10 +342,29 @@ class PdfDocument:
         if filt is None:
             return data
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
+        parms = self.resolve(obj.sdict.get("/DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, pm in zip(filters, parms_list):
             f = self.resolve(f)
+            pm = self.resolve(pm) or {}
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
+            elif f == "/LZWDecode":
+                early = self.resolve(pm.get("/EarlyChange", 1))
+                data = _lzw_decode(data, early=int(early))
+            elif f == "/ASCIIHexDecode":
+                body = data.split(b">")[0]
+                hx = bytes(c for c in body if c not in _WS).decode("ascii")
+                if len(hx) % 2:
+                    hx += "0"
+                data = bytes.fromhex(hx)
+            elif f == "/ASCII85Decode":
+                import base64
+
+                body = bytes(c for c in data if c not in _WS)
+                if body.endswith(b"~>"):
+                    body = body[:-2]
+                data = base64.a85decode(b"<~" + body + b"~>", adobe=True)
             else:
                 raise ValueError(f"unsupported stream filter {f}")
         return data

@@ -139,6 +139,88 @@ def test_utf16be_strings_decode():
     assert minipdf.extract_page_texts(_wrap_pdf(objs)) == ["Unïcode Tëxt"]
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal PDF-flavored LZW encoder (test-only, mirrors the
+    decoder's width schedule)."""
+    out_bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out_bits.append((256, width))
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early > (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf = n = 0
+    ba = bytearray()
+    for code, wd in out_bits:
+        buf = (buf << wd) | code
+        n += wd
+        while n >= 8:
+            ba.append((buf >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        ba.append((buf << (8 - n)) & 0xFF)
+    return bytes(ba)
+
+
+def _one_page_pdf(content: bytes, extra_dict: bytes = b"") -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + extra_dict
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    return _wrap_pdf(objs)
+
+
+def test_lzw_ascii_hex_and_a85_filters():
+    import base64
+
+    plain = b"BT (filtered text) Tj ET"
+    # LZW: include >256 distinct-pair content to grow code width
+    long_plain = (
+        b"BT (" + bytes(range(65, 91)) * 40 + b") Tj (lzw line) ' ET"
+    )
+    lzw = _lzw_encode(long_plain)
+    got = minipdf.extract_page_texts(
+        _one_page_pdf(lzw, b" /Filter /LZWDecode")
+    )
+    assert got[0].endswith("lzw line")
+
+    hexed = plain.hex().encode() + b">"
+    assert minipdf.extract_page_texts(
+        _one_page_pdf(hexed, b" /Filter /ASCIIHexDecode")
+    ) == ["filtered text"]
+
+    a85 = base64.a85encode(plain) + b"~>"
+    assert minipdf.extract_page_texts(
+        _one_page_pdf(a85, b" /Filter /ASCII85Decode")
+    ) == ["filtered text"]
+
+    # chained: a85 over flate (filters apply in array order)
+    flated = zlib.compress(plain)
+    chained = base64.a85encode(flated) + b"~>"
+    assert minipdf.extract_page_texts(
+        _one_page_pdf(chained, b" /Filter [/ASCII85Decode /FlateDecode]")
+    ) == ["filtered text"]
+
+
 def test_unsupported_filter_raises():
     content = b"BT (x) Tj ET"
     objs = [
@@ -147,11 +229,11 @@ def test_unsupported_filter_raises():
         b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
         b"<< /Length "
         + str(len(content)).encode()
-        + b" /Filter /LZWDecode >>\nstream\n"
+        + b" /Filter /DCTDecode >>\nstream\n"
         + content
         + b"\nendstream",
     ]
-    with pytest.raises(ValueError, match="LZWDecode"):
+    with pytest.raises(ValueError, match="DCTDecode"):
         minipdf.extract_page_texts(_wrap_pdf(objs))
 
 
