@@ -185,6 +185,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f25_line_dedup",
     "f26_token_rarity_score",
     "f27_embedding_quantization",
+    "g15_interval_full_outer_join",
     "e3b_range_frame",
     "e15_ntile_nth_value",
     "a0_extract_pipeline",

@@ -401,3 +401,47 @@ def g13_trending_topk_sliding(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk")
     )
+
+
+# --------------------------------------------------------------- G15
+@query(
+    "g15_interval_full_outer_join",
+    sql="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           COALESCE(a.user_id, b.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tier="G",
+)
+def g15_interval_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join analog (G15): clicks
+    and purchases both survive unmatched — the reconciliation query
+    (which impressions never converted AND which purchases have no
+    attributable impression). Completes the interval-join mode matrix
+    (inner g10, left g12, full g15); in streaming both sides need
+    watermarks and outer rows emit after the watermark passes the
+    bound. True-stream parity asserted in tests/test_streaming.py."""
+    from pdf2dataset_spark.streaming.windows import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        interval_join(
+            clicks, buys, "user_id", "ts", "60 MINUTE", how="full_outer"
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.coalesce(F.col("l_key"), F.col("r_key")).alias("user_id"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -495,6 +495,59 @@ def test_ttl_dedup_expires_and_reemits(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_full_outer_join(spark, events_dir):
+    """G15 true stream-stream FULL OUTER join: matched rows equal the
+    inner join's; null-padded rows appear on BOTH sides, each a
+    genuine no-match row; trailing tails stay pending by watermark
+    design."""
+    from pdf2dataset_spark.streaming.windows import interval_join
+
+    ev = spark.read.parquet(events_dir)
+    schema = ev.schema
+    sel = ["event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")]
+
+    def side(kind):
+        s = spark.readStream.schema(schema).parquet(events_dir)
+        return s.filter(F.col("event_type") == kind).select(*sel)
+
+    joined = interval_join(
+        side("click"), side("purchase"), "user_id", "ts", "60 MINUTE",
+        watermark="2 hours", how="full_outer",
+    )
+    q = (
+        joined.select("event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("t_foj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select event_id, r_event_id from t_foj").collect()
+    finally:
+        q.stop()
+    clicks = ev.filter(F.col("event_type") == "click").select(*sel)
+    buys = ev.filter(F.col("event_type") == "purchase").select(*sel)
+    inner = interval_join(clicks, buys, "user_id", "ts", "60 MINUTE")
+    inner_pairs = {
+        (r["event_id"], r["r_event_id"])
+        for r in inner.select("event_id", "r_event_id").collect()
+    }
+    matched = {
+        (r.event_id, r.r_event_id)
+        for r in got
+        if r.event_id is not None and r.r_event_id is not None
+    }
+    null_left = {r.r_event_id for r in got if r.event_id is None}
+    null_right = {r.event_id for r in got if r.r_event_id is None}
+    assert matched == inner_pairs
+    # unmatched-purchase rows must not be matched purchases, and
+    # unmatched-click rows must not be matched clicks
+    assert not (null_left & {p[1] for p in inner_pairs})
+    assert not (null_right & {p[0] for p in inner_pairs})
+    assert null_left or null_right, "expected some null-padded rows"
+
+
 def test_ttl_dedup_state_plateaus_under_key_churn(spark, tmp_path):
     """The O(working set) claim, asserted on the state store itself:
     four micro-batches of entirely FRESH keys with a short TTL — the
