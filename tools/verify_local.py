@@ -83,6 +83,13 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> tuple[bool, str]
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=None,
+        help="verify only the first N registry entries (the driver's "
+        "CORRECTNESS window is a registry prefix)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -98,6 +105,8 @@ def main() -> int:
         )
 
     names = args.names or list(qs)
+    if args.first is not None:
+        names = names[: args.first]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
