@@ -74,7 +74,8 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 
 def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
     """``(...)`` with nested parens and backslash escapes."""
-    assert data[pos] == 0x28
+    if data[pos] != 0x28:
+        raise ValueError("expected literal string")
     pos += 1
     out = bytearray()
     depth = 1
@@ -122,7 +123,8 @@ def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
-    assert data[pos] == 0x3C
+    if data[pos] != 0x3C:
+        raise ValueError("expected hex string")
     end = data.index(b">", pos + 1)
     hexdigits = bytes(
         c for c in data[pos + 1 : end] if c not in _WS
@@ -133,7 +135,8 @@ def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
-    assert data[pos] == 0x2F
+    if data[pos] != 0x2F:
+        raise ValueError("expected name")
     pos += 1
     out = bytearray()
     n = len(data)
@@ -281,7 +284,7 @@ class PdfDocument:
             except (ValueError, IndexError):
                 continue
             pos = _skip_ws(data, pos)
-            if data.startswith(b"stream", pos):
+            if data.startswith(b"stream", pos) and isinstance(val, dict):
                 p = pos + 6
                 if data[p : p + 2] == b"\r\n":
                     p += 2

@@ -237,6 +237,31 @@ def test_unsupported_filter_raises():
         minipdf.extract_page_texts(_wrap_pdf(objs))
 
 
+def test_malformed_pdfs_raise_valueerror_only():
+    """Fuzz regression: structured garbage (PDF keyword fragments in
+    random order) must either parse or raise ValueError — never an
+    assertion/attribute/index error. The per-row error capture (A8)
+    catches everything, but a typed failure mode is the parser's
+    contract."""
+    import random
+
+    random.seed(11)
+    frags = [
+        b"1 0 obj", b"endobj", b"stream\n", b"endstream", b"<<", b">>",
+        b"/Type", b"/Catalog", b"/Pages", b"/Page", b"/Kids", b"[", b"]",
+        b"(", b")", b"3 0 R", b"/Filter /FlateDecode", b"/Length 5",
+        b"BT", b"ET", b"Tj", b"TJ", b"<AF>", b"%comment\n", b"\\",
+        b"/ObjStm", b"/N 2 /First 4",
+    ]
+    for _ in range(1500):
+        parts = [random.choice(frags) for _ in range(random.randrange(1, 25))]
+        data = b"%PDF-1.4\n" + b" ".join(parts)
+        try:
+            minipdf.extract_page_texts(data)
+        except ValueError:
+            pass
+
+
 def test_directory_scan_of_real_pdfs(spark, tmp_path):
     """A1+A5 together: recursive binaryFile scan over a directory of
     real .pdf files, extracted through the fused pipeline."""
