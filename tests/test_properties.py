@@ -74,6 +74,37 @@ def test_jaccard_symmetric_bounded(spark, a, b):
 
 
 @prop
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=1, max_size=8).map(lambda ws: list(set(ws))),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_jaccard_cooccurrence_matches_bruteforce(spark, docs, threshold):
+    """The shuffle-minimal co-occurrence plan must produce EXACTLY the
+    pairs a brute-force set computation does, at any threshold."""
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, sh array<string>")
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in dd.jaccard_pairs(df, "id", "sh", threshold=threshold).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                sa, sb = set(a), set(b)
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= threshold:
+                    want[(i, j)] = jac
+    assert got.keys() == want.keys(), (got, want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+@prop
 @given(text=TEXT)
 def test_quality_features_consistency(spark, text):
     df = spark.createDataFrame([(text,)], "text string")
