@@ -249,6 +249,27 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (ISO 32000 §7.4.5): n<128 → copy n+1
+    literal bytes; n>128 → repeat next byte 257−n times; 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated RunLength stream")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -258,6 +279,7 @@ class PdfDocument:
     def __init__(self, data: bytes):
         if not data.lstrip()[:5].startswith(b"%PDF-"):
             raise ValueError("not a PDF: missing %PDF- header")
+        self._data = data
         self.objects: dict[int, Any] = {}
         self._scan(data)
         self._expand_object_streams()
@@ -361,6 +383,8 @@ class PdfDocument:
                 if len(hx) % 2:
                     hx += "0"
                 data = bytes.fromhex(hx)
+            elif f == "/RunLengthDecode":
+                data = _rle_decode(data)
             elif f == "/ASCII85Decode":
                 import base64
 
@@ -371,6 +395,36 @@ class PdfDocument:
             else:
                 raise ValueError(f"unsupported stream filter {f}")
         return data
+
+    # -- metadata -----------------------------------------------------
+    def info(self) -> dict[str, str]:
+        """Document information dictionary (/Info from a trailer or
+        xref-stream dict): Title/Author/Subject/Producer/... decoded
+        to str (UTF-16 BOM honored). Empty dict when absent."""
+        refs: list[Any] = []
+        for m in re.finditer(rb"trailer\b", self._data):
+            try:
+                d, _ = parse_value(self._data, m.end())
+            except (ValueError, IndexError):
+                continue
+            if isinstance(d, dict) and "/Info" in d:
+                refs.append(d["/Info"])
+        for obj in self.objects.values():
+            v = obj.sdict if isinstance(obj, StreamObj) else obj
+            if isinstance(v, dict) and v.get("/Type") == "/XRef" and "/Info" in v:
+                refs.append(v["/Info"])
+        out: dict[str, str] = {}
+        for ref in refs:
+            info = self.resolve(ref)
+            if not isinstance(info, dict):
+                continue
+            for k, v in info.items():
+                v = self.resolve(v)
+                if isinstance(v, bytes):
+                    out[k.lstrip("/")] = _decode_text_string(v)
+                elif isinstance(v, (str, int, float, bool)):
+                    out[k.lstrip("/")] = str(v)
+        return out
 
     # -- page tree ----------------------------------------------------
     def _catalog(self) -> dict:
@@ -417,6 +471,16 @@ class PdfDocument:
 # content-stream text interpreter
 # ---------------------------------------------------------------------
 
+def _decode_text_string(raw: bytes) -> str:
+    """UTF-16 strings carry a BOM (ISO 32000 §7.9.2.2); everything
+    else decodes as Latin-1 ≈ PDFDoc/WinAnsi printable range."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", errors="replace")
+    return raw.decode("latin-1")
+
+
 _SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
 
 
@@ -435,14 +499,7 @@ def content_text(content: bytes) -> str:
         if pending:
             out.append("\n")
             pending = False
-        # UTF-16 strings carry a BOM (ISO 32000 §7.9.2.2); everything
-        # else decodes as Latin-1 ≈ PDFDoc/WinAnsi printable range.
-        if raw[:2] == b"\xfe\xff":
-            out.append(raw[2:].decode("utf-16-be", errors="replace"))
-        elif raw[:2] == b"\xff\xfe":
-            out.append(raw[2:].decode("utf-16-le", errors="replace"))
-        else:
-            out.append(raw.decode("latin-1"))
+        out.append(_decode_text_string(raw))
         shown = True
 
     def mark() -> None:
@@ -517,6 +574,12 @@ def extract_page_texts(data: bytes) -> list[str]:
     return [content_text(doc.page_content(p)) for p in doc.pages()]
 
 
+def doc_info(data: bytes) -> dict[str, str]:
+    """Document information dictionary (Title/Author/...) of a PDF;
+    empty when the file has no /Info."""
+    return PdfDocument(data).info()
+
+
 # ---------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------
@@ -529,12 +592,17 @@ def _escape_pdf_string(s: str) -> bytes:
     )
 
 
-def build_pdf(pages: list[str], compress: bool = False) -> bytes:
+def build_pdf(
+    pages: list[str],
+    compress: bool = False,
+    info: dict[str, str] | None = None,
+) -> bytes:
     """Minimal spec-valid PDF: one Helvetica font, one content stream
     per page (one ``Tj`` per text line, ``Td`` line advances), real
-    xref table + trailer. ``compress=True`` FlateDecodes the content
-    streams (exercises the decode path). Inverse of
-    :func:`extract_page_texts` for Latin-1 text."""
+    xref table + trailer (carrying ``/Info`` when ``info`` given).
+    ``compress=True`` FlateDecodes the content streams (exercises the
+    decode path). Inverse of :func:`extract_page_texts` for Latin-1
+    text."""
     if not pages:
         raise ValueError("build_pdf needs at least one page")
     objs: list[bytes] = []  # bodies; object number = index+1
@@ -576,6 +644,14 @@ def build_pdf(pages: list[str], compress: bool = False) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )  # font
+    info_clause = b""
+    if info:
+        entries = b" ".join(
+            b"/" + k.encode("ascii") + b" (" + _escape_pdf_string(v) + b")"
+            for k, v in info.items()
+        )
+        objs.append(b"<< " + entries + b" >>")
+        info_clause = f" /Info {len(objs)} 0 R".encode()
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -588,7 +664,8 @@ def build_pdf(pages: list[str], compress: bool = False) -> bytes:
     for off in offsets[1:]:
         buf += f"{off:010d} 00000 n \n".encode()
     buf += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_pos}\n%%EOF\n"
-    ).encode()
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R".encode()
+        + info_clause
+        + f" >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    )
     return bytes(buf)

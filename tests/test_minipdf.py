@@ -237,6 +237,28 @@ def test_unsupported_filter_raises():
         minipdf.extract_page_texts(_wrap_pdf(objs))
 
 
+def test_runlength_filter():
+    plain = b"BT (rle text) Tj ET"
+    # literal run + a repeat run + EOD
+    encoded = (
+        bytes([len(plain) - 1]) + plain + bytes([257 - 4]) + b" " + b"\x80"
+    )
+    got = minipdf.extract_page_texts(
+        _one_page_pdf(encoded, b" /Filter /RunLengthDecode")
+    )
+    assert got == ["rle text"]
+
+
+def test_doc_info_roundtrip():
+    info = {"Title": "A (test) title", "Author": "builder\\one"}
+    pdf = minipdf.build_pdf(["body"], info=info)
+    got = minipdf.doc_info(pdf)
+    assert got["Title"] == info["Title"]
+    assert got["Author"] == info["Author"]
+    # absent /Info → empty dict
+    assert minipdf.doc_info(minipdf.build_pdf(["body"])) == {}
+
+
 def test_malformed_pdfs_raise_valueerror_only():
     """Fuzz regression: structured garbage (PDF keyword fragments in
     random order) must either parse or raise ValueError — never an
