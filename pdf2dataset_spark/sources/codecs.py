@@ -50,6 +50,10 @@ class DocumentCodec:
     def page_ocr(self, handle: Any, page: int) -> str | None:
         raise NotImplementedError
 
+    def doc_info(self, handle: Any) -> dict[str, str]:
+        """Document-level metadata (Title/Author/...); {} if none."""
+        return {}
+
 
 def parse_image_size(image_size: str | None) -> tuple[int, int] | None:
     """Upstream-style 'WxH' image size spec → (w, h)."""
@@ -96,10 +100,12 @@ class TextBytesCodec(DocumentCodec):
 @dataclass
 class _PdfHandle:
     """Open-document handle for :class:`PdfCodec`: raw bytes (for the
-    raster paths) + eagerly parsed page texts (parse once per doc)."""
+    raster paths), eagerly parsed page texts, and the parsed document
+    (parse ONCE per doc; metadata reads reuse it)."""
 
     content: bytes
     pages: list[str]
+    doc: Any = None
 
 
 class PdfCodec(DocumentCodec):
@@ -140,9 +146,14 @@ class PdfCodec(DocumentCodec):
     def open(self, content: bytes) -> "_PdfHandle":
         from pdf2dataset_spark.sources import minipdf
 
-        return _PdfHandle(
-            content=content, pages=minipdf.extract_page_texts(content)
-        )
+        doc = minipdf.PdfDocument(content)
+        pages = [
+            minipdf.content_text(doc.page_content(p)) for p in doc.pages()
+        ]
+        return _PdfHandle(content=content, pages=pages, doc=doc)
+
+    def doc_info(self, handle: "_PdfHandle") -> dict[str, str]:
+        return handle.doc.info() if handle.doc is not None else {}
 
     def page_count(self, handle: "_PdfHandle") -> int:
         return len(handle.pages)

@@ -257,6 +257,11 @@ def test_doc_info_roundtrip():
     assert got["Author"] == info["Author"]
     # absent /Info → empty dict
     assert minipdf.doc_info(minipdf.build_pdf(["body"])) == {}
+    # codec surface reuses the open() parse
+    codec = PdfCodec()
+    h = codec.open(pdf)
+    assert codec.doc_info(h)["Title"] == info["Title"]
+    assert codec.page_text(h, 1) == "body"
 
 
 def test_malformed_pdfs_raise_valueerror_only():
