@@ -84,9 +84,26 @@ def feature(name: str, pyarrow_type: str) -> Callable:
 text_feature = Feature("text", "string", lambda ctx: ctx.codec.page_text(ctx.handle, ctx.page))
 image_feature = Feature("image", "binary", lambda ctx: ctx.codec.page_image(ctx.handle, ctx.page))
 ocr_feature = Feature("ocr", "string", lambda ctx: ctx.codec.page_ocr(ctx.handle, ctx.page))
+# doc-level metadata, repeated on each of the doc's page rows (the
+# handle caches the parse, so this is a dict lookup per row)
+title_feature = Feature(
+    "title", "string", lambda ctx: ctx.codec.doc_info(ctx.handle).get("Title")
+)
+author_feature = Feature(
+    "author",
+    "string",
+    lambda ctx: ctx.codec.doc_info(ctx.handle).get("Author"),
+)
 
 BUILTIN_FEATURES: dict[str, Feature] = {
-    f.name: f for f in (text_feature, image_feature, ocr_feature)
+    f.name: f
+    for f in (
+        text_feature,
+        image_feature,
+        ocr_feature,
+        title_feature,
+        author_feature,
+    )
 }
 
 

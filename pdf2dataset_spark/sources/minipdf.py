@@ -400,7 +400,11 @@ class PdfDocument:
     def info(self) -> dict[str, str]:
         """Document information dictionary (/Info from a trailer or
         xref-stream dict): Title/Author/Subject/Producer/... decoded
-        to str (UTF-16 BOM honored). Empty dict when absent."""
+        to str (UTF-16 BOM honored). Empty dict when absent. Memoized
+        (the title/author features read it once per page row)."""
+        cached = getattr(self, "_info_cache", None)
+        if cached is not None:
+            return cached
         refs: list[Any] = []
         for m in re.finditer(rb"trailer\b", self._data):
             try:
@@ -424,6 +428,7 @@ class PdfDocument:
                     out[k.lstrip("/")] = _decode_text_string(v)
                 elif isinstance(v, (str, int, float, bool)):
                     out[k.lstrip("/")] = str(v)
+        self._info_cache = out
         return out
 
     # -- page tree ----------------------------------------------------

@@ -264,6 +264,28 @@ def test_doc_info_roundtrip():
     assert codec.page_text(h, 1) == "body"
 
 
+def test_title_author_features_through_pipeline(spark):
+    """Doc-level metadata features repeat on every page row of their
+    document and stay null for docs without /Info."""
+    import pdf2dataset_spark as p
+
+    with_info = minipdf.build_pdf(
+        ["p1", "p2"], info={"Title": "Doc A", "Author": "Ann"}
+    )
+    without = minipdf.build_pdf(["solo"])
+    out = p.extract(
+        {"a.pdf": with_info, "b.pdf": without},
+        spark=spark,
+        small=True,
+        use_pdf_codec=True,
+        features=["text", "title", "author"],
+    )
+    a = out[out.path == "a.pdf"]
+    assert set(a.title) == {"Doc A"} and set(a.author) == {"Ann"}
+    b = out[out.path == "b.pdf"]
+    assert b.title.isna().all() and b.author.isna().all()
+
+
 def test_malformed_pdfs_raise_valueerror_only():
     """Fuzz regression: structured garbage (PDF keyword fragments in
     random order) must either parse or raise ValueError — never an
