@@ -261,6 +261,51 @@ def ivf_assign(
     )
 
 
+def ivf_assign_fast(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign`'s Arrow/numpy scale path: centroids ship to
+    executors as one normalized matrix; each Arrow batch scores
+    corpus×centroids with a single matmul and argmaxes its list —
+    O(100×) less per-dot cost than the interpreted JVM fold for the
+    QUERY-INDEPENDENT build phase (the expensive one). Ties resolve
+    to the lowest centroid id (argmax-first on an id-ordered matrix),
+    matching the exact variant up to float near-ties."""
+    cent_rows = (
+        _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+        .orderBy("cent_id")
+        .collect()
+    )
+    c_ids = np.array([r[0] for r in cent_rows])
+    c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    vec_type = dict(corpus.dtypes)[corpus_vec]
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            arg = np.argmax(vn @ c_norm.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    corpus_vec: pdf[corpus_vec],
+                    "list_id": c_ids[arg],
+                }
+            )
+
+    schema = f"{corpus_id} long, {corpus_vec} {vec_type}, list_id long"
+    return corpus.select(corpus_id, corpus_vec).mapInPandas(assign, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -134,6 +134,24 @@ def test_topk_cosine_packed_matches_exact(spark):
     assert len(e & f) / len(e) >= 0.90, (len(e & f), len(e))
 
 
+def test_ivf_assign_fast_matches_exact(spark):
+    """The numpy matmul build phase must assign (essentially) the
+    same inverted lists as the JVM-fold exact variant."""
+    from pdf2dataset_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        r["vec_id"]: r["list_id"] for r in sim.ivf_assign(e, 16).collect()
+    }
+    fast = {
+        r["vec_id"]: r["list_id"]
+        for r in sim.ivf_assign_fast(e, 16).collect()
+    }
+    assert fast.keys() == exact.keys()
+    agree = sum(1 for k in exact if exact[k] == fast[k]) / len(exact)
+    assert agree >= 0.999, agree  # float near-ties only
+
+
 def test_ann_query_side_collect_is_guarded(spark):
     """An oversized query side must fail fast with a remediation hint
     — never OOM the driver. The guard collects at most cap+1 rows."""

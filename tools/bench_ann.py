@@ -110,7 +110,7 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    assigned = sim.ivf_assign(corpus, n_centroids=N_CENTROIDS).persist()
+    assigned = sim.ivf_assign_fast(corpus, n_centroids=N_CENTROIDS).persist()
     assigned.count()
     build_s = time.perf_counter() - t0
 
