@@ -79,74 +79,20 @@ def query(name: str, sql: str | None = None, tier: str = "") -> Callable:
 _LOADED = False
 
 #: Driver-facing registry order. The verification driver emits CORRECTNESS
-#: rows for a bounded prefix of the registry (50 entries in round 1), so
+#: rows for a bounded prefix of the registry (50 entries per round), so
 #: ordering is the mechanism for rotating which queries earn a hard driver
-#: row each round. Round 1 proved tiers A/B/C + d1 (all green); round 2
-#: fronts the oracle-backed join/window/streaming queries plus the round-2
-#: perf-fix queries (f1/f2b/f9) and the new TPC-H Q2 shape. Everything not
-#: listed keeps its import order after the prioritised prefix, so the full
-#: 148-entry registry is unchanged in content — only iteration order moves.
+#: row each round. Round 1 proved tiers A/B/C + d1; round 2 proved the
+#: join/window/streaming tiers plus f1/f2b/f9/sql20 (all green). Round 3
+#: fronts the 43 oracle-backed queries that have never had a driver row
+#: (TPC-H sql1–sql19, the F-tier pipeline group, g15, e3b/e15, a5/a6)
+#: plus a0/a15 — driver-checked in r1 but only as no_oracle rows; both
+#: now carry golden oracles worth converting to hard rows — then the 10
+#: rows-only entries (weaker ran-and-returned-rows driver evidence beats
+#: none). After r03 every oracle-backed query in the registry has driver
+#: evidence. Everything not listed keeps its import order after the
+#: prefix, so the 153-entry registry is unchanged in content.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Tier D — joins (d1 proved in r01, moved to the back)
-    "d2_broadcast_part_join",
-    "d3_left_outer_join",
-    "d4_cross_join",
-    "d5_theta_join",
-    "d6_semi_join",
-    "d7_anti_join_resume",
-    "d8_range_join",
-    "d9_asof_join",
-    "d10_self_join_pairs",
-    "d11_star_join_revenue",
-    "d12_salted_skew_join",
-    "d13_q10_returned_items",
-    "d14_in_and_scalar_subquery",
-    "d15_not_in_null_aware",
-    "d16_nullsafe_join",
-    "d17_lateral_topk_join",
-    "d18_full_outer_join",
-    "d19_interval_overlap_join",
-    # Tier E — windows / sort / set ops (e12 is rows-only by design → back)
-    "e1_rank_orders_per_cust",
-    "e2_lag_lead",
-    "e3_running_sum_frame",
-    "e4_topk_per_group",
-    "e5_global_sort",
-    "e6_global_topk",
-    "e7_union_all",
-    "e8_union_distinct",
-    "e9_intersect",
-    "e10_except",
-    "e11_dedup_subset_keep_first",
-    "e13_gap_fill_forward",
-    "e14_unpivot",
-    "e16_funnel_conversion",
-    "e17_cohort_retention",
-    "e18_rolling_7day_revenue",
-    "e19_rolling_zscore_anomaly",
-    "e20_sequential_pattern",
-    "e21_scd2_history",
-    # Tier G — streaming (oracle-backed batch analogs)
-    "g1_tumbling_window",
-    "g2_sliding_window",
-    "g3_session_window",
-    "g5_streaming_dedup",
-    "g7_stream_static_join",
-    "g9_reaggregation_rollup",
-    "g10_interval_join",
-    "g12_interval_left_outer_join",
-    "g13_trending_topk_sliding",
-    # Round-2 perf-fix queries + new TPC-H Q2 — earn driver rows for them now
-    "f1_exact_dedup",
-    "f2b_jaccard_neardup",
-    "f9_tfidf_top_terms",
-    "sql20_q2_min_cost_supplier",
-    # ---- end of the expected 50-entry window ----
-    # Overflow preference: if the driver's budget admits more than 50,
-    # the next rows should also be oracle-backed queries with no
-    # driver row yet (TPC-H shapes, remaining F, A-tier golden
-    # oracles, E variants) — r01-proven A/B/C and rows-only entries
-    # stay last either way.
+    # TPC-H SQL shapes — never driver-checked (local oracle green)
     "sql1_raw_sql_q3_shape",
     "sql2_correlated_scalar_subquery",
     "sql3_q12_priority_lines",
@@ -166,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql17_q9_product_profit",
     "sql18_q13_order_distribution",
     "sql19_q17_small_qty_revenue",
+    # F-tier LLM-pipeline — never driver-checked (local oracle green)
     "f3_cosine_similarity",
     "f4_topk_cosine",
     "f6_text_statistics",
@@ -185,13 +132,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f25_line_dedup",
     "f26_token_rarity_score",
     "f27_embedding_quantization",
+    # Remaining oracle-backed never-checked E/G/A entries
     "g15_interval_full_outer_join",
     "e3b_range_frame",
     "e15_ntile_nth_value",
-    "a0_extract_pipeline",
     "a5_pdf_extract",
     "a6_page_render_ocr",
+    # a0/a15 were no_oracle rows in r1; both carry golden oracles now
+    "a0_extract_pipeline",
     "a15_pipeline_composition",
+    # Rows-only-by-design tail — a driver rows-only row still beats none
+    "e12_sample",
+    "f2a_minhash_lsh_candidates",
+    "f5_lsh_approx_topk",
+    "f5b_ivf_topk",
+    "f5c_topk_cosine_packed",
+    # ---- end of the expected 50-entry window ----
+    "f8_multimodal_decode",
+    "f11_simhash_hamming",
+    "f16_stratified_sample",
+    "g4_watermark_passthrough",
+    "g6_stateful_per_key",
 )
 
 
