@@ -49,3 +49,40 @@ def global_rank(
         rank_col, (F.col("__rn") + F.col("__offset")).cast("int")
     )
     return out.drop("__pid", "__rn", "__offset")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    sum_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the inclusive running sum of ``value_col`` following
+    ``order_cols`` (must be a total order) without a single-partition
+    window — the same split as :func:`global_rank`: range partition,
+    partition-local running-sum window, then per-partition TOTALS
+    (one row each) cumulated into offsets and broadcast back. Exact
+    for integer values; bit-identical to the global window for them.
+    Used by f22 shard packing (exclusive prefix = inclusive − value)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__ps", F.sum(value_col).over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
+        .withColumn("__offset", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)))
+        .select("__pid", "__offset")
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        sum_col, F.col("__ps") + F.col("__offset")
+    )
+    return out.drop("__pid", "__ps", "__offset")

@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 MAX_QUERY_ROWS = 65_536
 
 
+def _safe_norm(m: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zeros clamped to 1, so zero vectors divide to
+    themselves instead of NaN (which would silently argmax to index 0)."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return np.where(n == 0.0, 1.0, n)
+
+
 def _collect_query_side(
     queries: DataFrame, query_id: str, query_vec: str, max_query_rows: int
 ) -> list:
@@ -216,16 +223,17 @@ def _ivf_centroids(
     corpus: DataFrame, n_centroids: int, corpus_id: str, corpus_vec: str
 ) -> DataFrame:
     """First `n_centroids` corpus vectors by id — deterministic coarse
-    centroids. A production build would k-means these; every plan
-    downstream is identical."""
-    return (
-        corpus.select(
-            F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec")
-        )
-        .withColumn("__rn", F.row_number().over(Window.orderBy("cent_id")))
-        .filter(F.col("__rn") <= n_centroids)
-        .drop("__rn")
-    )
+    centroids. A production build would k-means these (see
+    `ivf_centroids_kmeans`); every plan downstream is identical.
+
+    `orderBy(...).limit(n)` plans as TakeOrderedAndProject: each
+    partition keeps its local top-n and only C rows converge on the
+    driver — no global sort, no single-partition window, safe at any
+    corpus size (the previous unpartitioned `row_number` window moved
+    the whole corpus through one partition)."""
+    return corpus.select(
+        F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec")
+    ).orderBy("cent_id").limit(n_centroids)
 
 
 def _ivf_assign(
@@ -273,7 +281,10 @@ def ivf_assign_fast(
     O(100×) less per-dot cost than the interpreted JVM fold for the
     QUERY-INDEPENDENT build phase (the expensive one). Ties resolve
     to the lowest centroid id (argmax-first on an id-ordered matrix),
-    matching the exact variant up to float near-ties."""
+    matching the exact variant up to float near-ties. Zero-norm
+    vectors are scored against unnormalized dot products (norm
+    clamped to 1), so they land deterministically rather than
+    propagating NaN into argmax."""
     cent_rows = (
         _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
         .orderBy("cent_id")
@@ -281,9 +292,11 @@ def ivf_assign_fast(
     )
     c_ids = np.array([r[0] for r in cent_rows])
     c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norm = c_mat / _safe_norm(c_mat)
 
-    vec_type = dict(corpus.dtypes)[corpus_vec]
+    dtypes = dict(corpus.dtypes)
+    vec_type = dtypes[corpus_vec]
+    id_type = dtypes[corpus_id]
 
     def assign(batches):
         import pandas as pd
@@ -292,7 +305,7 @@ def ivf_assign_fast(
             if not len(pdf):
                 continue
             v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / _safe_norm(v)
             arg = np.argmax(vn @ c_norm.T, axis=1)
             yield pd.DataFrame(
                 {
@@ -302,7 +315,7 @@ def ivf_assign_fast(
                 }
             )
 
-    schema = f"{corpus_id} long, {corpus_vec} {vec_type}, list_id long"
+    schema = f"{corpus_id} {id_type}, {corpus_vec} {vec_type}, list_id long"
     return corpus.select(corpus_id, corpus_vec).mapInPandas(assign, schema)
 
 
@@ -378,7 +391,7 @@ def topk_cosine_fast(
     q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = q_mat / _safe_norm(q_mat)
 
     def score(batches):
         import pandas as pd
@@ -388,7 +401,7 @@ def topk_cosine_fast(
                 continue
             ids = pdf[corpus_id].to_numpy()
             v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / _safe_norm(v)
             s = v @ q_norm.T  # (batch, n_queries)
             if exclude_self:
                 s[ids[:, None] == q_ids[None, :]] = -np.inf
@@ -462,9 +475,7 @@ def topk_cosine_packed(
     q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = (q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)).astype(
-        np.dtype(dtype)
-    )
+    q_norm = (q_mat / _safe_norm(q_mat)).astype(np.dtype(dtype))
     np_dtype = np.dtype(dtype).newbyteorder("<")
 
     def score(batches):
@@ -477,8 +488,7 @@ def topk_cosine_packed(
             v = np.frombuffer(
                 b"".join(pdf[corpus_vec]), dtype=np_dtype
             ).reshape(-1, dim)
-            n = np.linalg.norm(v, axis=1, keepdims=True)
-            s = (v / n) @ q_norm.T
+            s = (v / _safe_norm(v)) @ q_norm.T
             if exclude_self:
                 s[ids[:, None] == q_ids[None, :]] = -np.inf
             top = min(k, len(ids))

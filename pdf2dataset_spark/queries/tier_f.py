@@ -811,20 +811,23 @@ def f22_token_shard_packing(spark, sf_dir):
     data-mix recipe needs. Token counts are exact integers so the
     assignment is engine-invariant by construction.
 
-    Scale note: the running sum is a single global-order window — at
-    100 TB, shard within partition-local id ranges instead (one window
-    per ingest partition, shard_id prefixed by partition) to avoid the
-    single-ordering bottleneck; the per-range plan is this same query."""
+    Scale path: the running sum goes through
+    operators/rank.global_prefix_sum — range partition on doc_id,
+    partition-local running-sum windows, per-partition totals (one
+    row each) cumulated into broadcast offsets. Token counts are
+    integers so the split sum is bit-identical to a global window;
+    no row of the corpus ever crosses a single-partition window."""
+    from pdf2dataset_spark.operators.rank import global_prefix_sum
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = d.select(
+    c = global_prefix_sum(
+        d, [F.col("doc_id")], "n_tokens", sum_col="__run_tok"
+    ).select(
         "doc_id",
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+        (F.col("__run_tok") - F.col("n_tokens")).alias("start_tok"),
     )
     return (
         c.groupBy(

@@ -112,6 +112,43 @@ def test_global_rank_avoids_single_partition_data_window(spark, registry):
     assert "__pid" in plan  # partition-local window key
 
 
+def test_f22_prefix_sum_avoids_single_partition_data_window(spark, registry):
+    """f22 shard packing: the token prefix sum must flow through
+    global_prefix_sum (range partition + partition-local windows +
+    broadcast offsets), never a global-order window over the corpus."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "f22_token_shard_packing", spark))
+    assert "rangepartitioning" in plan, plan
+    assert "__pid" in plan, plan
+
+
+def test_ivf_centroid_selection_is_take_ordered(spark):
+    """The IVF build phase must select its first-C centroids with
+    TakeOrderedAndProject (per-partition top-C, C rows to the driver)
+    — the corpus must NOT pass through an unpartitioned row_number
+    window (the round-2 scale killer)."""
+    from pdf2dataset_spark.operators import similarity as sim
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sim._ivf_centroids(e, 16, "vec_id", "embedding")
+    plan = explain_string(cents)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # and the full assignment plan keeps every window partitioned:
+    # an unpartitioned windowspecdefinition starts with its sort
+    # column (marked ASC/DESC) instead of partition columns
+    import re
+
+    aplan = explain_string(sim.ivf_assign(e, 8))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", aplan):
+        first = m.group(1).split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            "unpartitioned window in ivf_assign plan: " + m.group(0)
+        )
+
+
 def test_q21_semi_then_anti_with_nonequi(spark, registry):
     """sql13: the EXISTS leg must plan as LeftSemi, the NOT EXISTS
     leg as LeftAnti carrying its cross-table non-equi lateness
