@@ -36,7 +36,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pdf2dataset_spark.operators import cluster as cl
 from pdf2dataset_spark.operators import dedup as dd
+
+
+def _store_exists(spark, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe for the bucket store. The
+    first epoch legitimately finds no store; any OTHER read failure
+    (corrupt footer from a crashed append, permission error, schema
+    drift) must fail the epoch so the streaming query surfaces it —
+    swallowing it would silently disable cross-batch dedup."""
+    jvm = spark._jvm  # noqa: SLF001 - no public FS API in pyspark
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(hpath))
 
 
 def _batch_processor(
@@ -47,6 +60,7 @@ def _batch_processor(
     bands: int,
     rows_per_band: int,
     shingle_n: int,
+    threshold: float,
 ):
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -60,12 +74,26 @@ def _batch_processor(
             sigs, id_col, "minhash", bands, rows_per_band
         ).withColumnRenamed("id", id_col)
 
-        # within-batch: greedy keep-smallest over LSH candidates
-        pairs = dd.lsh_candidate_pairs(
+        # within-batch: LSH candidates are VERIFIED with exact Jaccard
+        # before anything drops (an LSH false positive must not delete
+        # a unique document), then connected components keep the
+        # smallest id per verified near-dup cluster — so a chain A~B,
+        # B~C keeps exactly A instead of greedily dropping both B and
+        # C. Mirrors the batch path (f2a candidates -> f2b verify).
+        candidates = dd.lsh_candidate_pairs(
             sigs, id_col, "minhash", bands, rows_per_band
         )
-        losers = pairs.select(F.col("id2").alias(id_col)).distinct()
-        survivors = batch.join(losers, id_col, "left_anti")
+        shingled = batch.select(
+            id_col, dd.shingles(text_col, shingle_n).alias("__sh")
+        )
+        verified = dd.jaccard_pairs(
+            shingled,
+            id_col,
+            "__sh",
+            threshold=threshold,
+            candidates=candidates,
+        )
+        survivors = cl.dedup_by_components(batch, verified, id_col=id_col)
 
         # cross-batch: any shared bucket with the retained corpus.
         # Join direction matters at scale: the bucket store is the
@@ -74,7 +102,7 @@ def _batch_processor(
         # streams through a broadcast hash join without ever
         # shuffling. (A left_semi with the batch on the left would
         # force the store through a shuffle instead.)
-        try:
+        if _store_exists(spark, bucket_store):
             seen = spark.read.parquet(bucket_store).select(
                 "band_id", "band_hash"
             )
@@ -89,16 +117,23 @@ def _batch_processor(
                 .distinct()
             )
             survivors = survivors.join(dup_ids, id_col, "left_anti")
-        except Exception:  # first epoch: store does not exist yet
-            pass
 
         survivors = survivors.localCheckpoint(eager=True)
+        # Write ORDER is the crash-safety contract: survivors reach the
+        # output sink BEFORE their band rows reach the bucket store. A
+        # crash between the writes then leaves docs persisted but
+        # unregistered — the next epoch may re-admit a near-dup of
+        # them (recoverable duplication, cleaned by a batch dedup
+        # pass). The reverse order would register docs that were never
+        # persisted, permanently suppressing their future copies —
+        # silent data loss. True exactly-once needs epoch-keyed
+        # transactional appends (see module docstring).
+        survivors.write.mode("append").parquet(out_path)
         (
             band_rows.join(survivors.select(id_col), id_col, "left_semi")
             .write.mode("append")
             .parquet(bucket_store)
         )
-        survivors.write.mode("append").parquet(out_path)
 
     return process
 
@@ -113,11 +148,14 @@ def neardup_ingest(
     bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    threshold: float = 0.8,
 ) -> StreamingQuery:
     """Start the incremental near-dup ingest on a streaming DataFrame
     of documents; returns the StreamingQuery. Retained documents land
     in ``out_path``; their LSH band buckets accumulate in
-    ``bucket_store`` and suppress future near-dups."""
+    ``bucket_store`` and suppress future near-dups. Within-batch LSH
+    candidates are verified at exact-Jaccard ``threshold`` before any
+    document is dropped."""
     return (
         stream.writeStream.foreachBatch(
             _batch_processor(
@@ -128,6 +166,7 @@ def neardup_ingest(
                 bands,
                 rows_per_band,
                 shingle_n,
+                threshold,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -51,7 +51,8 @@ def main() -> None:
 
         batches: list[list[tuple[int, str]]] = []
         originals: list[str] = []
-        n_planted = 0
+        planted_ids: set[int] = set()
+        original_ids: set[int] = set()
         doc_id = 0
         for b in range(args.batches):
             rows: list[tuple[int, str]] = []
@@ -61,18 +62,20 @@ def main() -> None:
                     # cross-batch near-dup: earlier original minus last word
                     base = rng.choice(originals)
                     rows.append((doc_id, base.rsplit(" ", 1)[0]))
-                    n_planted += 1
+                    planted_ids.add(doc_id)
                 elif r < 0.15 and rows:
                     # within-batch near-dup of a doc from THIS batch
                     base = rng.choice(rows)[1]
                     rows.append((doc_id, base.rsplit(" ", 1)[0]))
-                    n_planted += 1
+                    planted_ids.add(doc_id)
                 else:
                     d = fresh_doc()
                     originals.append(d)
+                    original_ids.add(doc_id)
                     rows.append((doc_id, d))
                 doc_id += 1
             batches.append(rows)
+        n_planted = len(planted_ids)
 
         schema = "doc_id long, text string"
         spark.createDataFrame(batches[0], schema).coalesce(4).write.mode(
@@ -94,8 +97,16 @@ def main() -> None:
             q.stop()
         elapsed = time.perf_counter() - t0
 
-        kept = spark.read.parquet(out).count()
+        kept_ids = {
+            r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        kept = len(kept_ids)
         expected = args.docs - n_planted  # if dedup were oracle-perfect
+        # Two-sided accuracy: false-kept (planted dups that survived)
+        # AND false-dropped (unique originals wrongly deleted) — a
+        # clamped kept-vs-expected count hides false drops.
+        false_kept = len(planted_ids & kept_ids)
+        false_dropped = len(original_ids - kept_ids)
         print(
             json.dumps(
                 {
@@ -105,8 +116,13 @@ def main() -> None:
                     "planted_dups": n_planted,
                     "kept": kept,
                     "expected_kept": expected,
-                    "excess_kept_frac": round(
-                        max(0, kept - expected) / max(expected, 1), 4
+                    "false_kept": false_kept,
+                    "false_kept_frac": round(
+                        false_kept / max(n_planted, 1), 4
+                    ),
+                    "false_dropped": false_dropped,
+                    "false_dropped_frac": round(
+                        false_dropped / max(len(original_ids), 1), 4
                     ),
                     "elapsed_s": round(elapsed, 2),
                     "docs_per_s": round(args.docs / elapsed, 1),
