@@ -380,3 +380,93 @@ def test_extraction_pipeline_with_pdf_codec(spark):
     err = out[out.error.notna()]
     assert len(err) == 1 and err.iloc[0].page == -1
     assert "ValueError" in err.iloc[0].error
+
+
+def _build_xref_stream_pdf(text: str) -> bytes:
+    """A PDF 1.5 file with NO classic xref table: the cross-reference
+    lives in a /Type /XRef stream (FlateDecode + PNG Up predictor,
+    /W [1 2 1]) — the layout poppler reads via the xref and minipdf
+    must recover via its object scanner."""
+    content = f"BT ({text}) Tj ET".encode()
+    objs: list[bytes] = []
+
+    def add(num: int, body: bytes) -> int:
+        off = sum(len(o) for o in objs) + len(header)
+        objs.append(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+        return off
+
+    header = b"%PDF-1.5\n"
+    offsets = {}
+    offsets[1] = add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    offsets[2] = add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    offsets[3] = add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    offsets[4] = add(
+        4,
+        f"<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream",
+    )
+    xref_pos = sum(len(o) for o in objs) + len(header)
+    offsets[5] = xref_pos
+
+    # rows for objects 0..5, W=[1 2 1]: type, offset(u16be), gen
+    rows = [bytes([0, 0, 0, 255])]
+    for n in range(1, 6):
+        off = offsets[n]
+        rows.append(bytes([1, off >> 8, off & 0xFF, 0]))
+    # PNG Up predictor (12): each row prefixed by filter tag 2,
+    # bytes stored as delta vs the previous row
+    prev = bytes(4)
+    coded = bytearray()
+    for r in rows:
+        coded.append(2)
+        coded.extend((c - p) & 0xFF for c, p in zip(r, prev))
+        prev = r
+    payload = zlib.compress(bytes(coded))
+    xref_obj = (
+        f"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 1] /Root 1 0 R "
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"/Length {len(payload)} >>\nstream\n".encode()
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    return (
+        header
+        + b"".join(objs)
+        + xref_obj
+        + f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+
+
+def test_xref_stream_only_pdf_extracts_via_object_scan():
+    """PDF 1.5 cross-reference-stream layout (no classic xref table):
+    the object scanner must recover the document without ever decoding
+    the predictor-coded xref stream. Pins the documented behavior —
+    xref-stream PDFs whose objects sit in the file body extract fine;
+    only objects reachable SOLELY through a compressed xref would be
+    missed (and then surface as a typed error, per the test below)."""
+    pdf = _build_xref_stream_pdf("xref stream page text")
+    assert b"\nxref\n" not in pdf  # really no classic table
+    assert minipdf.extract_page_texts(pdf) == ["xref stream page text"]
+
+
+def test_encrypted_pdf_is_typed_error_and_error_row(spark):
+    """Encryption is out of scope for the offline parser: /Encrypt in
+    the trailer must raise ValueError (not crash), and through the
+    Spark pipeline the document becomes an error row (page=-1) while
+    other docs in the same batch extract normally."""
+    import pdf2dataset_spark as p
+
+    enc = minipdf.build_pdf(["secret page"]).replace(
+        b"/Root", b"/Encrypt 9 0 R /Root", 1
+    )
+    with pytest.raises(ValueError, match="encrypt"):
+        minipdf.extract_page_texts(enc)
+
+    docs = {"enc.pdf": enc, "plain.pdf": minipdf.build_pdf(["open page"])}
+    out = p.extract(docs, spark=spark, small=True, use_pdf_codec=True)
+    ok = out[out.error.isna()]
+    assert list(ok.text) == ["open page"]
+    err = out[out.error.notna()]
+    assert len(err) == 1 and err.iloc[0].page == -1
+    assert "encrypt" in err.iloc[0].error.lower()

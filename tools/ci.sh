@@ -12,4 +12,12 @@ echo "== oracle gate ($SF) =="
 python tools/verify_local.py --sf "$SF"
 
 echo "== bench (sf0.1) =="
-python bench.py
+python bench.py | tee /tmp/bench_now.json
+
+echo "== bench regression gate vs last round =="
+LAST=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+if [ -n "$LAST" ]; then
+  python tools/bench_compare.py "$LAST" /tmp/bench_now.json
+else
+  echo "no BENCH_r*.json baseline yet; skipping"
+fi
