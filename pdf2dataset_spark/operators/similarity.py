@@ -236,6 +236,83 @@ def _ivf_centroids(
     ).orderBy("cent_id").limit(n_centroids)
 
 
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Refined IVF centroids: spherical k-means (Lloyd) seeded with the
+    deterministic first-C-by-id pick. Output schema matches
+    `_ivf_centroids` (cent_id, cent_vec), so every downstream plan —
+    `ivf_assign`/`ivf_topk` with `centroids=` — is identical; only the
+    centroid VALUES improve (tighter lists → better recall at the same
+    nprobe).
+
+    Scale shape per iteration: one `mapInPandas` pass emits PARTIAL
+    per-centroid sums (≤ C rows per Arrow batch — never the corpus),
+    which reduce driver-side into new means. The corpus is scanned
+    `iters` times but never shuffled; the driver holds only C×dim
+    floats. Deterministic: fixed seed pick, fixed iteration count,
+    float64 partial sums combined in batch order via a final sort.
+    Empty clusters keep their previous centroid."""
+    seed_rows = (
+        _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+        .orderBy("cent_id")
+        .collect()
+    )
+    c_mat = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    c_mat = c_mat / _safe_norm(c_mat)
+    spark = corpus.sparkSession
+    dim = c_mat.shape[1]
+    vecs = corpus.select(corpus_vec)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(c_mat)
+
+        def partials(batches):
+            import pandas as pd
+
+            cm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+                vn = v / _safe_norm(v)
+                arg = np.argmax(vn @ cm.T, axis=1)
+                sums = np.zeros_like(cm)
+                np.add.at(sums, arg, vn)
+                counts = np.bincount(arg, minlength=len(cm))
+                nz = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cidx": nz,
+                        "psum": [sums[i].tolist() for i in nz],
+                        "pcnt": counts[nz],
+                    }
+                )
+
+        rows = vecs.mapInPandas(
+            partials, "cidx int, psum array<double>, pcnt long"
+        ).collect()
+        sums = np.zeros_like(c_mat)
+        counts = np.zeros(len(c_mat), dtype=np.int64)
+        for r in sorted(rows, key=lambda r: r["cidx"]):
+            sums[r["cidx"]] += np.array(r["psum"])
+            counts[r["cidx"]] += r["pcnt"]
+        nonempty = counts > 0
+        new = c_mat.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        c_mat = new / _safe_norm(new)
+        bc.unpersist()
+
+    return spark.createDataFrame(
+        [(int(i), c_mat[i].tolist()) for i in range(len(c_mat))],
+        "cent_id long, cent_vec array<double>",
+    )
+
+
 def _ivf_assign(
     df: DataFrame, cents: DataFrame, key: str, vec: str, n: int
 ) -> DataFrame:
@@ -256,14 +333,21 @@ def ivf_assign(
     n_centroids: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF index build: corpus with a `list_id` inverted-list column.
 
     This is the expensive phase (corpus x centroids scoring) and it is
     QUERY-INDEPENDENT — persist or write it once and amortize across
     every subsequent `ivf_topk` batch; at 100 TB the assignment would
-    be a partitioned-by-list_id parquet table."""
-    cents = _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+    be a partitioned-by-list_id parquet table. Pass `centroids` (e.g.
+    from `ivf_centroids_kmeans`) to use refined centers; the plan is
+    identical either way."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+    )
     return _ivf_assign(
         corpus.select(corpus_id, corpus_vec), cents, corpus_id, corpus_vec, 1
     )
@@ -274,6 +358,7 @@ def ivf_assign_fast(
     n_centroids: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """`ivf_assign`'s Arrow/numpy scale path: centroids ship to
     executors as one normalized matrix; each Arrow batch scores
@@ -285,11 +370,12 @@ def ivf_assign_fast(
     vectors are scored against unnormalized dot products (norm
     clamped to 1), so they land deterministically rather than
     propagating NaN into argmax."""
-    cent_rows = (
-        _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
-        .orderBy("cent_id")
-        .collect()
+    cent_src = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
     )
+    cent_rows = cent_src.orderBy("cent_id").collect()
     c_ids = np.array([r[0] for r in cent_rows])
     c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     c_norm = c_mat / _safe_norm(c_mat)
@@ -330,6 +416,7 @@ def ivf_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the first `n_centroids` corpus vectors (by id —
     deterministic) act as coarse centroids; every corpus vector is
@@ -338,9 +425,15 @@ def ivf_topk(
 
     Pass `assigned` (a persisted `ivf_assign` result built with the
     same n_centroids) to skip the rebuild — the query phase then only
-    scores nprobe/n_centroids of the corpus.
+    scores nprobe/n_centroids of the corpus. Pass `centroids` (e.g.
+    `ivf_centroids_kmeans`) to probe refined centers; it must be the
+    same table the assignment was built with.
     """
-    cents = _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+    cents = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+    )
     if assigned is None:
         assigned = _ivf_assign(
             corpus.select(corpus_id, corpus_vec), cents, corpus_id, corpus_vec, 1

@@ -175,3 +175,61 @@ def test_ann_query_side_collect_is_guarded(spark):
             k=5,
             max_query_rows=10,
         )
+
+
+def test_ivf_kmeans_tightens_clusters_and_keeps_plan(spark):
+    """ivf_centroids_kmeans must (a) keep the (cent_id, cent_vec)
+    contract so downstream ivf_assign plans are unchanged, (b) raise
+    mean vector-to-assigned-centroid cosine vs the first-C-by-id seed
+    on real embeddings, and (c) preserve every doc in the assignment."""
+    import numpy as np
+
+    from pdf2dataset_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = e.count()
+
+    def mean_sim(cents_df):
+        assigned = sim.ivf_assign_fast(e, 16, centroids=cents_df)
+        cmap = {
+            r["cent_id"]: np.array(r["cent_vec"], dtype=np.float64)
+            for r in cents_df.collect()
+        }
+        for k, v in cmap.items():
+            cmap[k] = v / (np.linalg.norm(v) or 1.0)
+        rows = assigned.collect()
+        assert len(rows) == n
+        sims = []
+        for r in rows:
+            v = np.array(r["embedding"], dtype=np.float64)
+            v = v / (np.linalg.norm(v) or 1.0)
+            sims.append(float(v @ cmap[r["list_id"]]))
+        return sum(sims) / len(sims)
+
+    seed = sim._ivf_centroids(e, 16, "vec_id", "embedding")
+    seed_named = seed.selectExpr("cent_id", "cent_vec")
+    refined = sim.ivf_centroids_kmeans(e, 16, iters=3)
+    assert refined.columns == ["cent_id", "cent_vec"]
+    assert refined.count() == 16
+
+    base, better = mean_sim(seed_named), mean_sim(refined)
+    assert better > base, (base, better)
+
+    # plan identity: same physical shape feeding _ivf_assign
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    p_seed = explain_string(sim.ivf_assign(e, 16))
+    p_ref = explain_string(sim.ivf_assign(e, 16, centroids=refined))
+    for marker in ("BroadcastNestedLoopJoin", "Window"):
+        assert (marker in p_seed) == (marker in p_ref), marker
+
+
+def test_ivf_kmeans_is_deterministic(spark):
+    """Same corpus, same iters -> bitwise-identical centroids (fixed
+    seed pick, fixed iteration count, ordered partial combine)."""
+    from pdf2dataset_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sim.ivf_centroids_kmeans(e, 8, iters=2).collect()
+    b = sim.ivf_centroids_kmeans(e, 8, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
