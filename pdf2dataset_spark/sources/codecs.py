@@ -162,13 +162,22 @@ class PdfCodec(DocumentCodec):
         return handle.pages[page - 1]
 
     def page_image(self, handle: "_PdfHandle", page: int) -> bytes:
-        if self.image_format.lower() != "png":
+        fmt = self.image_format.lower()
+        if fmt != "png":
             try:
                 from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
             except ImportError as e:
+                if fmt in ("jpeg", "jpg"):
+                    # built-in baseline JPEG encoder — no native deps
+                    from pdf2dataset_spark.sources import raster
+
+                    return raster.render_text_jpeg(
+                        handle.pages[page - 1],
+                        size=parse_image_size(self.image_size),
+                    )
                 raise NotImplementedError(
                     f"image_format={self.image_format!r} rendering requires "
-                    "pdf2image/poppler (built-in raster path emits png)"
+                    "pdf2image/poppler (built-in raster path emits png/jpeg)"
                 ) from e
             import io
 

@@ -146,6 +146,21 @@ def render_text_png(
     return encode_png(w, h, px)
 
 
+def render_text_jpeg(
+    text: str, size: tuple[int, int] | None = None, quality: int = 90
+) -> bytes:
+    """Same raster as :func:`render_text_png`, encoded as baseline
+    JPEG by the built-in stdlib+numpy codec (sources/jpeg.py) — lossy,
+    so OCR keeps using the PNG path; this is the payload format
+    upstream's ``image_format="jpeg"`` produces via pdf2image."""
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+    w, h, px = _rasterize(text)
+    if size is not None:
+        w, h, px = resize_nearest(w, h, px, size[0], size[1])
+    return encode_jpeg(w, h, bytes(px), quality=quality)
+
+
 _GLYPH_CACHE: dict[tuple[int, ...], str] = {}
 
 

@@ -96,3 +96,66 @@ def test_extraction_pipeline_all_features_with_pdf_codec(spark):
     assert list(out.ocr) == pages
     for img in out.image:
         assert bytes(img[:8]) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_jpeg_encode_decode_roundtrip():
+    """Built-in baseline JPEG: decode(encode(img)) must recover the
+    image within quantization error (high quality -> small error),
+    and byte output must be deterministic."""
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 37, 21  # non-multiple-of-8 exercises edge padding
+    px = bytes(((x * 7 + y * 11) % 256) for y in range(h) for x in range(w))
+    data = encode_jpeg(w, h, px, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w2, h2, out = decode_jpeg(data)
+    assert (w2, h2) == (w, h)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(out, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).mean() < 3.0
+    assert np.abs(a - b).max() <= 32
+    assert encode_jpeg(w, h, px, quality=90) == data  # deterministic
+
+
+def test_jpeg_quality_tradeoff():
+    """Lower quality -> smaller file, larger error (sanity that the
+    quantization scaling actually scales)."""
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 64, 64
+    px = bytes(((x * 5 + y * 3) % 256) for y in range(h) for x in range(w))
+    hi = encode_jpeg(w, h, px, quality=95)
+    lo = encode_jpeg(w, h, px, quality=25)
+    assert len(lo) < len(hi)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    err_hi = np.abs(a - np.frombuffer(decode_jpeg(hi)[2], np.uint8).astype(int)).mean()
+    err_lo = np.abs(a - np.frombuffer(decode_jpeg(lo)[2], np.uint8).astype(int)).mean()
+    assert err_hi <= err_lo
+
+
+def test_pdf_codec_jpeg_format_without_native_deps():
+    """image_format='jpeg' must work with zero native deps: the page
+    renders through the built-in raster + baseline JPEG encoder, and
+    the payload decodes to the same dimensions as the PNG path."""
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+    codec = PdfCodec(image_format="jpeg")
+    handle = codec.open(minipdf.build_pdf(["jpeg page text"]))
+    payload = codec.page_image(handle, 1)
+    assert payload[:2] == b"\xff\xd8"
+    w, h, _ = decode_jpeg(payload)
+    pw, ph, _ = raster._rasterize("jpeg page text")
+    assert (w, h) == (pw, ph)
+
+
+def test_pdf_codec_jpeg_resize():
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+    codec = PdfCodec(image_format="jpeg", image_size="32x16")
+    handle = codec.open(minipdf.build_pdf(["resized"]))
+    w, h, _ = decode_jpeg(codec.page_image(handle, 1))
+    assert (w, h) == (32, 16)
