@@ -8,7 +8,9 @@ real simple PDFs with ONLY the standard library:
 - object scanner (``N G obj … endobj``, robust without an xref),
 - object syntax parser (dicts, arrays, names with ``#xx`` escapes,
   literal/hex strings, numbers, refs, booleans, null),
-- streams with ``/FlateDecode`` (stdlib zlib) and PDF 1.5 object
+- streams with ``/FlateDecode`` (stdlib zlib), ``/LZWDecode``,
+  ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode``,
+  TIFF/PNG ``/Predictor`` post-processing, and PDF 1.5 object
   streams (``/Type /ObjStm``),
 - page-tree walk (``/Catalog → /Pages → /Kids → /Page``) in document
   order,
@@ -18,7 +20,8 @@ real simple PDFs with ONLY the standard library:
 Out of scope (documented limits, not silent wrongness): CID/Type0
 fonts with ToUnicode CMaps (bytes decode as Latin-1 ≈ PDFDoc/WinAnsi
 for the printable range), encrypted PDFs (raise ``ValueError``), and
-non-Flate filters (raise ``ValueError`` naming the filter).
+unsupported filters like /DCTDecode images (raise ``ValueError``
+naming the filter).
 
 ``build_pdf`` is the inverse: a spec-valid single-font PDF writer
 (proper xref + trailer, optional FlateDecode) used for golden
@@ -249,6 +252,61 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def _apply_predictor(data: bytes, pm: dict, resolve) -> bytes:
+    """Post-decode predictor pass for Flate/LZW streams (PDF 7.4.4.4):
+    /Predictor 2 = TIFF horizontal differencing, >= 10 = PNG filters
+    (each row prefixed with a filter-type byte). Xref streams in
+    particular are almost always /Predictor 12 (PNG Up)."""
+    pred = int(resolve(pm.get("/Predictor", 1)) or 1)
+    if pred <= 1:
+        return data
+    colors = int(resolve(pm.get("/Colors", 1)) or 1)
+    bpc = int(resolve(pm.get("/BitsPerComponent", 8)) or 8)
+    columns = int(resolve(pm.get("/Columns", 1)) or 1)
+    bpp = max(1, colors * bpc // 8)  # bytes per pixel
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF: undo horizontal differencing in-place
+        if bpc != 8:
+            raise ValueError("TIFF predictor only supported for 8-bit")
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            for i in range(r0 + bpp, min(r0 + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: rows of (1 tag byte + rowlen data bytes)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        tag = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if tag == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif tag != 0:
+            raise ValueError(f"bad PNG predictor row tag {tag}")
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
 def _rle_decode(data: bytes) -> bytes:
     """PDF RunLengthDecode (ISO 32000 §7.4.5): n<128 → copy n+1
     literal bytes; n>128 → repeat next byte 257−n times; 128 = EOD."""
@@ -373,10 +431,12 @@ class PdfDocument:
             f = self.resolve(f)
             pm = self.resolve(pm) or {}
             if f == "/FlateDecode":
-                data = zlib.decompress(data)
+                data = _apply_predictor(zlib.decompress(data), pm, self.resolve)
             elif f == "/LZWDecode":
                 early = self.resolve(pm.get("/EarlyChange", 1))
-                data = _lzw_decode(data, early=int(early))
+                data = _apply_predictor(
+                    _lzw_decode(data, early=int(early)), pm, self.resolve
+                )
             elif f == "/ASCIIHexDecode":
                 body = data.split(b">")[0]
                 hx = bytes(c for c in body if c not in _WS).decode("ascii")

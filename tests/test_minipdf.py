@@ -470,3 +470,92 @@ def test_encrypted_pdf_is_typed_error_and_error_row(spark):
     err = out[out.error.notna()]
     assert len(err) == 1 and err.iloc[0].page == -1
     assert "encrypt" in err.iloc[0].error.lower()
+
+
+def test_png_predictor_roundtrip_all_filters():
+    """/Predictor >= 10: encode rows with each PNG filter type (Sub,
+    Up, Average, Paeth, None) and assert the decoder inverts exactly."""
+    raw = bytes((i * 37 + 11) % 256 for i in range(6 * 10))  # 6 rows x 10
+    rowlen, bpp = 10, 1
+    rows = [bytearray(raw[r : r + rowlen]) for r in range(0, len(raw), rowlen)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    coded = bytearray()
+    prev = bytearray(rowlen)
+    for tag, row in zip([0, 1, 2, 3, 4, 2], rows):
+        coded.append(tag)
+        for i in range(rowlen):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[tag]
+            coded.append((row[i] - pred) & 0xFF)
+        prev = row
+    out = minipdf._apply_predictor(
+        bytes(coded),
+        {"/Predictor": 15, "/Columns": rowlen},
+        lambda v: v,
+    )
+    assert out == raw
+
+
+def test_tiff_predictor_roundtrip():
+    raw = bytes((i * 13 + 5) % 256 for i in range(4 * 8))
+    rowlen = 8
+    coded = bytearray(raw)
+    for r0 in range(0, len(coded), rowlen):
+        for i in range(r0 + rowlen - 1, r0, -1):
+            coded[i] = (coded[i] - coded[i - 1]) & 0xFF
+    out = minipdf._apply_predictor(
+        bytes(coded), {"/Predictor": 2, "/Columns": rowlen}, lambda v: v
+    )
+    assert out == raw
+
+
+def test_objstm_with_png_predictor_decodes():
+    """An /ObjStm whose Flate payload is additionally /Predictor-12
+    coded (PNG Up) — the layout a PDF 1.5 writer using predictors
+    everywhere produces — must decode and yield its page objects."""
+    inner = (
+        b"<< /Type /Catalog /Pages 4 0 R >>"
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>"
+        b"<< /Type /Page /Parent 4 0 R /Contents 2 0 R >>"
+    )
+    off2 = inner.index(b"<< /Type /Pages")
+    off3 = inner.index(b"<< /Type /Page /Parent")
+    header = f"3 0 4 {off2} 5 {off3} ".encode()
+    payload = header + inner
+    # PNG Up predictor over fixed-width rows
+    cols = 16
+    if len(payload) % cols:
+        payload += b" " * (cols - len(payload) % cols)  # pad (ws is inert)
+    coded = bytearray()
+    prev = bytes(cols)
+    for r0 in range(0, len(payload), cols):
+        row = payload[r0 : r0 + cols]
+        coded.append(2)
+        coded.extend((c - p) & 0xFF for c, p in zip(row, prev))
+        prev = row
+    compressed = zlib.compress(bytes(coded))
+    content = b"BT (predictor objstm) Tj ET"
+    objs = [
+        b"<< /Type /ObjStm /N 3 /First "
+        + str(len(header)).encode()
+        + b" /Length "
+        + str(len(compressed)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns "
+        + str(cols).encode()
+        + b" >> >>\nstream\n"
+        + compressed
+        + b"\nendstream",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    assert minipdf.extract_page_texts(_wrap_pdf(objs)) == ["predictor objstm"]
