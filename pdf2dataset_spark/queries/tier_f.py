@@ -1099,3 +1099,200 @@ def f27_embedding_quantization(spark, sf_dir):
         F.zip_with("v", "deq", lambda a, b: F.abs(a - b))
     ).alias("max_abs_err")
     return d.select("vec_id", "scale", cos, err)
+
+
+# --------------------------------------------------------------- F28
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src19": 0.0}
+
+
+def _mix_sql_copies() -> str:
+    """DuckDB twin of operators/mixture._copies_col for _MIX_WEIGHTS."""
+    from pdf2dataset_spark.operators.mixture import mixture_case_sql
+
+    case = mixture_case_sql(_MIX_WEIGHTS, default=1.0)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, {case} AS wt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS BIGINT)
+             + CASE WHEN md5('mix' || CAST(doc_id AS VARCHAR))
+                    < lpad(lower(to_hex(CAST(floor((wt - floor(wt))
+                          * 4294967296.0) AS BIGINT))), 8, '0')
+                    THEN 1 ELSE 0 END AS copies
+      FROM w
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(copies) AS BIGINT) AS n_emitted
+    FROM c GROUP BY source ORDER BY source
+    """
+
+
+@query("f28_source_mixture_sampling", sql=_mix_sql_copies(), tier="F")
+def f28_source_mixture_sampling(spark, sf_dir):
+    """Data-mix recipe materialization (F28): per-source sampling /
+    up-sampling weights (src0 x2.5, src1 x0.5, src19 dropped, rest
+    x1.0) applied as a pure function of doc_id — floor(w) guaranteed
+    copies plus a hashed-id Bernoulli for the fraction, the
+    coordination-free reproducibility a 100 TB mix rebuild needs.
+    The query reports per-source doc and emitted-copy counts; the
+    underlying operator (operators/mixture.mix_sources) emits the
+    actual repeated rows with a copy_id, shuffle-free."""
+    from pdf2dataset_spark.operators.mixture import mix_sources
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = mix_sources(d, _MIX_WEIGHTS, default=1.0)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            mixed.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_emitted")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_emitted", F.lit(0)).cast("bigint").alias("n_emitted"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------- F29
+@query(
+    "f29_quality_decile_binning",
+    sql="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT CAST(1 + ((rnk - 1) * 10) // n AS INT) AS decile,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+    tier="F",
+)
+def f29_quality_decile_binning(spark, sf_dir):
+    """Quality-curriculum binning (F29): rank documents by a quality
+    proxy (n_chars; any score column slots in) and cut EQUAL-COUNT
+    deciles by explicit rank arithmetic — 1 + (rank-1)*10 div n —
+    instead of ntile, whose remainder distribution differs between
+    engines. The rank comes from operators/rank.global_rank (range
+    partition + partition-local windows + broadcast offsets), so no
+    row crosses a single-partition window; n arrives lazily via a
+    broadcast 1-row aggregate. All outputs are exact integers."""
+    from pdf2dataset_spark.operators.rank import global_rank
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(
+        d, [F.col("n_chars"), F.col("doc_id")], rank_col="rnk"
+    )
+    n1 = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                1 + ((F.col("rnk") - 1) * 10) / F.col("n")
+            ).cast("int").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------- F30
+@query(
+    "f30_source_vocabulary_overlap",
+    sql="""
+    WITH sw AS (
+      SELECT DISTINCT source, word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      )
+    ),
+    wc AS (SELECT word, count(*) AS n_sources FROM sw GROUP BY word)
+    SELECT source,
+           count(*) AS n_distinct_words,
+           CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive_words
+    FROM sw JOIN wc USING (word)
+    GROUP BY source ORDER BY source
+    """,
+    tier="F",
+)
+def f30_source_vocabulary_overlap(spark, sf_dir):
+    """Cross-source vocabulary analysis (F30) — the corpus profile a
+    tokenizer-training run reads: per source, distinct word count and
+    how many of those words appear in NO other source. Plan: the
+    exploded token stream collapses to distinct (source, word) rows
+    in its one big shuffle; per-word source counts come from a window
+    over the word-keyed repartition of those narrow rows (f9's
+    one-shuffle-serves-two trick: HashPartitioning(word) satisfies
+    both the window and nothing else needs the wide stream again).
+    Exact integers only."""
+    d = t(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .repartition("word")
+    )
+    wc = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    return (
+        sw.withColumn("n_sources", wc)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(
+                F.when(F.col("n_sources") == 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_exclusive_words"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------- F31
+@query(
+    "f31_training_order_shuffle",
+    sql="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INT) AS shuffle_pos
+    FROM documents
+    """,
+    tier="F",
+)
+def f31_training_order_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle (F31): a corpus-
+    wide pseudorandom permutation from ranking by md5(doc_id) — the
+    reproducible "shuffle the 100 TB corpus once per epoch" step (a
+    different epoch = a different salt). The rank is scale-safe
+    (operators/rank.global_rank: range partition on the hash +
+    partition-local windows + broadcast offsets); doc_id tie-break
+    makes the order total, so output is engine-exact."""
+    from pdf2dataset_spark.operators.rank import global_rank
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    return global_rank(
+        d, [F.col("__h"), F.col("doc_id")], rank_col="shuffle_pos"
+    ).select("doc_id", "shuffle_pos")
