@@ -1296,3 +1296,142 @@ def f31_training_order_shuffle(spark, sf_dir):
     return global_rank(
         d, [F.col("__h"), F.col("doc_id")], rank_col="shuffle_pos"
     ).select("doc_id", "shuffle_pos")
+
+
+# --------------------------------------------------------------- F32
+_SQL_EPOCH_NEW = """
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id, text || ' v2' AS text FROM documents
+    WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 11 = 0
+"""
+
+
+@query(
+    "f32_corpus_epoch_diff",
+    sql=f"""
+    WITH old AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    new AS (SELECT doc_id, sha256(text) AS h FROM ({_SQL_EPOCH_NEW})),
+    d AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+             CASE
+               WHEN old.doc_id IS NULL THEN 'added'
+               WHEN new.doc_id IS NULL THEN 'removed'
+               WHEN old.h <> new.h THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    SELECT status, count(*) AS n_docs, min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM d GROUP BY status ORDER BY status
+    """,
+    tier="F",
+)
+def f32_corpus_epoch_diff(spark, sf_dir):
+    """Corpus-epoch diffing (F32): the "what changed since the last
+    crawl/snapshot" report every incremental re-train needs. The new
+    epoch is derived in-query (every 17th doc removed, every
+    remaining 13th edited, every 11th re-added under a new id) so all
+    four statuses appear deterministically. Plan: both sides reduce
+    to narrow (doc_id, sha256) rows BEFORE the full outer join — the
+    wide text column never crosses the shuffle; at 100 TB the join
+    moves ~40 bytes/doc. Counts are exact integers."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    modified = (
+        d.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 17 != 0))
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+    )
+    new = (
+        d.filter((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 != 0))
+        .unionByName(modified)
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    oldh = d.select("doc_id", F.sha2("text", 256).alias("h"))
+    newh = new.select("doc_id", F.sha2("text", 256).alias("h"))
+    j = oldh.alias("o").join(
+        newh.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------- F33
+@query(
+    "f33_bpe_pair_counts",
+    sql="""
+    WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    pairs AS (
+      SELECT substring(word, i, 2) AS pair, freq
+      FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i)
+      WHERE len(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+    tier="F",
+)
+def f33_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-candidate counting (F33): the inner loop of
+    byte-pair-encoding tokenizer training — corpus-weighted adjacent
+    character-pair frequencies, top 50 with deterministic tie-break.
+    Plan for 100 TB: the exploded token stream collapses to the
+    DISTINCT word+freq table first (vocabulary-sized — orders of
+    magnitude smaller than the corpus), and the quadratic-ish
+    char-pair explode runs over THAT, so per-iteration BPE cost is
+    O(vocab), not O(corpus); counts are exact integers."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # explode over 1..len-1 gives every adjacent pair position
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(50)
+    )
