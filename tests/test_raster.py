@@ -159,3 +159,33 @@ def test_pdf_codec_jpeg_resize():
     handle = codec.open(minipdf.build_pdf(["resized"]))
     w, h, _ = decode_jpeg(codec.page_image(handle, 1))
     assert (w, h) == (32, 16)
+
+
+def test_jpeg_roundtrip_property():
+    """Property: any image, any quality >= 70 — encode/decode stays
+    within a bounded error envelope and never crashes (random pixel
+    content is the JPEG worst case, so the bound is loose but real)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31),
+        quality=st.integers(70, 100),
+    )
+    def check(w, h, seed, quality):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        w2, h2, out = decode_jpeg(encode_jpeg(w, h, px, quality=quality))
+        assert (w2, h2) == (w, h)
+        a = np.frombuffer(px, np.uint8).astype(int)
+        b = np.frombuffer(out, np.uint8).astype(int)
+        # random noise is JPEG-hostile; mean error still must be bounded
+        assert np.abs(a - b).mean() < 64
+
+    check()
