@@ -455,6 +455,56 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.85,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-dedup over
+    an embedding column, after Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest centroid, then drop any
+    document whose cluster holds a LOWER-id document with cosine
+    similarity >= `threshold`. Returns (corpus_id, list_id, kept).
+
+    Scale shape: the quadratic near-dup comparison is scoped to
+    clusters, so the pair count is the sum of squared CLUSTER sizes
+    (controlled by len(centroids)) — never corpus². Assignment
+    broadcasts the C centroids against an unshuffled corpus scan; the
+    pair join then shuffles narrow (id, vec, list_id) rows hash-
+    partitioned on list_id. The keep rule ("no lower-id near
+    neighbour in my cluster") is anchor-free and engine-exact:
+    sequential float64 cosine is bitwise-reproducible and the strict
+    id inequality leaves no ties to break."""
+    assigned = ivf_assign(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, centroids=centroids
+    )
+    a = assigned.select(
+        F.col(corpus_id).alias("__ida"),
+        F.col(corpus_vec).alias("__va"),
+        "list_id",
+    )
+    b = assigned.select(
+        F.col(corpus_id).alias("__idb"),
+        F.col(corpus_vec).alias("__vb"),
+        "list_id",
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__ida").alias(corpus_id))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dropped, corpus_id, "left").select(
+        corpus_id,
+        "list_id",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )
+
+
 def topk_cosine_fast(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1435,3 +1435,203 @@ def f33_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------- F34
+# Element-wise double cast inside the SQL CTEs so every product below
+# is pure float64 — the bitwise-parity discipline of f3/f13.
+_SQL_SEM_CORPUS = """
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"""list_aggregate(list_transform(generate_series(1, 64),
+        i -> {a}[i] * {b}[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+           i -> {a}[i] * {a}[i]), 'sum'))
+         * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+           i -> {b}[i] * {b}[i]), 'sum')))"""
+
+
+@query(
+    "f34_semantic_dedup",
+    sql=f"""
+    WITH corpus AS ({_SQL_SEM_CORPUS}),
+    cents AS (
+      SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT a.vec_id, c.cent_id,
+             {_sql_cos('a.embedding', 'c.cent_vec')} AS cs
+      FROM corpus a CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS list_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    av AS (
+      SELECT s.vec_id, s.list_id, c.embedding
+      FROM assign s JOIN corpus c USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM av a JOIN av b
+        ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.85
+    )
+    SELECT s.vec_id, s.list_id, d.vec_id IS NULL AS kept
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+    tier="F",
+)
+def f34_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (F34): cluster every embedding
+    to its nearest of 8 deterministic centroids, then inside each
+    cluster drop any vector with a lower-id cosine-0.85 neighbour
+    (operators/similarity.semantic_dedup — the cluster-then-dedup
+    recipe of Abbas et al. 2023). Near-dups are planted in-query
+    (every 10th vector re-appears scaled ×2 under id+1e6: exactly
+    cosine 1.0 with its original and bitwise-identical centroid
+    assignment, since scaling by a power of two is exact in fp64),
+    so the oracle checks real collapse decisions. Pair work is
+    cluster-scoped — Σ cluster² not corpus² — and the corpus never
+    shuffles for assignment (centroids broadcast)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2).alias(
+            "embedding"
+        ),
+    )
+    corpus = e.unionByName(planted)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return sim.semantic_dedup(corpus, cents, threshold=0.85)
+
+
+# --------------------------------------------------------------- F35
+_SPAN_HEADER = "Lorem ipsum boilerplate header. "  # 32 chars → 17 16-grams
+
+
+@query(
+    "f35_duplicate_ngram_spans",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{_SPAN_HEADER}' || text ELSE text END AS text
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, substring(text, i, 16) AS gram
+      FROM corpus, unnest(generate_series(1, len(text) - 15)) AS u(i)
+      WHERE len(text) >= 16
+    )
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 100
+    """,
+    tier="F",
+)
+def f35_duplicate_ngram_spans(spark, sf_dir):
+    """Exact duplicated-substring detection (F35): character 16-grams
+    at stride 1, reporting spans shared by >= 2 documents — the
+    relational analog of suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models
+    Better"): any duplicated substring of length >= 16 is caught. A
+    shared boilerplate header is injected on every 7th doc so the
+    detector provably fires. Scale shape: stride-1 shingling
+    inflates the corpus ~16× in bytes, so at 100 TB the gram column
+    is replaced by xxhash64(gram) BEFORE the shuffle (8 bytes/row,
+    same grouping semantics — hash collisions only ever over-report
+    candidates, which a rescan verifies); the single groupBy with a
+    distinct-count is the planner's two-phase partial/final agg, and
+    the top-100 is TakeOrderedAndProject (no global sort)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit(_SPAN_HEADER), F.col("text"))
+    ).otherwise(F.col("text"))
+    corpus = d.select("doc_id", txt.alias("text")).filter(
+        F.length("text") >= 16
+    )
+    grams = corpus.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 15)).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 16)").alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------- F36
+@query(
+    "f36_quality_classifier",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 8 AS w
+      FROM tok WHERE tok <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w) AS BIGINT) AS w_sum,
+           CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / count(*) AS quality_score,
+           sum(w) > 0 AS keep
+    FROM feat GROUP BY doc_id
+    """,
+    tier="F",
+)
+def f36_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (F36): the fastText-style
+    scoring pass every corpus-curation pipeline runs — tokens map to
+    feature buckets via the hashing trick (first md5 nibble → 16
+    buckets), each bucket carries a fixed integer weight (here the
+    arithmetic bucket-8 stand-in; a trained model would broadcast-join
+    a C-row weight table, identical plan), and a document's score is
+    mean token weight with keep = score > 0. Weights stay exact
+    integers until ONE final division, so the score is
+    bitwise-deterministic under any partial-agg order — the property
+    a 1000-executor scoring run needs. Plan: one explode, one
+    doc-grain agg; the wide text column never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    w = F.expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 8")
+    feat = tok.select("doc_id", w.alias("w"))
+    return feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("w_sum"),
+        (F.sum("w").cast("bigint").cast("double") / F.count(F.lit(1))).alias(
+            "quality_score"
+        ),
+        (F.sum("w") > 0).alias("keep"),
+    )

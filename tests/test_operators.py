@@ -454,3 +454,79 @@ def test_line_dedup_drops_fully_duplicated_docs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"] for r in tx.line_dedup(df).collect()}
     assert got == {1}  # doc 2 reduced to zero lines -> gone
+
+
+# ----------------------------------------------- semantic dedup (f34)
+def test_semantic_dedup_drops_planted_copies(spark, embeddings):
+    e = embeddings.select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2).alias(
+            "embedding"
+        ),
+    )
+    corpus = e.unionByName(planted)
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    out = sim.semantic_dedup(corpus, cents, threshold=0.99).collect()
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    dropped = {r["vec_id"] for r in out if not r["kept"]}
+    n = e.count()
+    assert len(out) == n + (n + 9) // 10
+    # every planted scaled copy (cosine exactly ~1 with its original,
+    # same cluster) is dropped; every original survives
+    assert dropped == {
+        r["vec_id"] + 1000000
+        for r in e.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert all(v < 1000000 for v in kept)
+
+
+def test_semantic_dedup_cluster_assignment_matches_brute(spark, embeddings):
+    e = embeddings.select("vec_id", "embedding").limit(20)
+    cents = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    out = {
+        r["vec_id"]: r["list_id"]
+        for r in sim.semantic_dedup(e, cents, threshold=2.0).collect()
+    }
+    import numpy as np
+
+    rows = e.collect()
+    cmat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cents_np = {i: cmat[i] for i in range(3)}
+    for r in rows:
+        v = cmat[r["vec_id"]]
+        best = max(
+            sorted(cents_np),
+            key=lambda c: (
+                float(v @ cents_np[c])
+                / (np.linalg.norm(v) * np.linalg.norm(cents_np[c])),
+                -c,
+            ),
+        )
+        assert out[r["vec_id"]] == best
+    # threshold 2.0 -> nothing is ever dropped
+    assert all(
+        r["kept"] for r in sim.semantic_dedup(e, cents, threshold=2.0).collect()
+    )
+
+
+# ------------------------------------- duplicate n-gram spans (f35)
+def test_duplicate_ngram_spans_finds_injected_header(spark):
+    from pdf2dataset_spark.queries import load_all
+
+    q = load_all()["f35_duplicate_ngram_spans"]
+    out = q.fn(spark, SF)
+    rows = out.collect()
+    assert 0 < len(rows) <= 100
+    header = "Lorem ipsum boilerplate header. "
+    grams = {r["gram"] for r in rows}
+    # all 17 header 16-grams are shared by every 7th doc
+    expected = {header[i : i + 16] for i in range(len(header) - 15)}
+    assert expected <= grams
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["first_doc"] <= r["last_doc"]
