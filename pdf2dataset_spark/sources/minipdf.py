@@ -17,11 +17,15 @@ real simple PDFs with ONLY the standard library:
 - content-stream interpreter for the text-showing operators ``Tj``,
   ``TJ``, ``'``, ``"`` with line breaks from ``Td/TD/T*/Tm``.
 
-Out of scope (documented limits, not silent wrongness): CID/Type0
-fonts with ToUnicode CMaps (bytes decode as Latin-1 ≈ PDFDoc/WinAnsi
-for the printable range), encrypted PDFs (raise ``ValueError``), and
-unsupported filters like /DCTDecode images (raise ``ValueError``
-naming the filter).
+RC4-encrypted PDFs (Standard security handler /R 2–3, the
+owner-locked-but-readable files common in the wild) decrypt
+transparently via ``pdfcrypt``; pass ``password=`` for
+user-password-protected files. Out of scope (documented limits, not
+silent wrongness): CID/Type0 fonts with ToUnicode CMaps (bytes
+decode as Latin-1 ≈ PDFDoc/WinAnsi for the printable range),
+AES-encrypted PDFs /V ≥ 4 (raise ``ValueError``), and unsupported
+filters like /DCTDecode images (raise ``ValueError`` naming the
+filter).
 
 ``build_pdf`` is the inverse: a spec-valid single-font PDF writer
 (proper xref + trailer, optional FlateDecode) used for golden
@@ -334,18 +338,15 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 class PdfDocument:
     """Parsed object table + page tree of one PDF file."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         if not data.lstrip()[:5].startswith(b"%PDF-"):
             raise ValueError("not a PDF: missing %PDF- header")
         self._data = data
         self.objects: dict[int, Any] = {}
+        self._gens: dict[int, int] = {}
         self._scan(data)
+        self._setup_encryption(password)
         self._expand_object_streams()
-        if any(
-            isinstance(o, dict) and "/Encrypt" in o for o in self.objects.values()
-        ) or b"/Encrypt" in data[-2048:]:
-            # trailer-dict /Encrypt (we don't parse trailers; cheap scan)
-            raise ValueError("encrypted PDFs are not supported")
 
     # -- object table -------------------------------------------------
     def _scan(self, data: bytes) -> None:
@@ -363,6 +364,7 @@ class PdfDocument:
                 val, pos = parse_value(data, m.end())
             except (ValueError, IndexError):
                 continue
+            self._gens[num] = int(m.group(2))
             pos = _skip_ws(data, pos)
             if data.startswith(b"stream", pos) and isinstance(val, dict):
                 p = pos + 6
@@ -389,6 +391,101 @@ class PdfDocument:
                 # last definition wins (incremental updates append)
                 self.objects[num] = val
                 consumed_to = pos
+
+    # -- encryption ---------------------------------------------------
+    def _trailer_dicts(self) -> list[dict]:
+        """Every trailer dict plus every /Type /XRef stream dict —
+        the places /Encrypt, /ID and /Info live."""
+        out: list[dict] = []
+        for m in re.finditer(rb"trailer\b", self._data):
+            try:
+                d, _ = parse_value(self._data, m.end())
+            except (ValueError, IndexError):
+                continue
+            if isinstance(d, dict):
+                out.append(d)
+        for obj in self.objects.values():
+            v = obj.sdict if isinstance(obj, StreamObj) else obj
+            if isinstance(v, dict) and v.get("/Type") == "/XRef":
+                out.append(v)
+        return out
+
+    def _setup_encryption(self, password: bytes) -> None:
+        """Standard-security-handler (RC4) decryption, ISO 32000-1
+        §7.6.3: derive the file key from the trailer's /Encrypt dict
+        and the first /ID element, verify it against /U, then decrypt
+        every stream and string in place. AES handlers (/V ≥ 4) and
+        wrong passwords raise typed ValueErrors → `error` rows."""
+        self._enc_key: bytes | None = None
+        enc_ref = None
+        id0 = b""
+        for d in self._trailer_dicts():
+            if "/Encrypt" in d and enc_ref is None:
+                enc_ref = d["/Encrypt"]
+                ids = self.resolve(d.get("/ID"))
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    id0 = ids[0]
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise ValueError("encrypted PDF: malformed /Encrypt dictionary")
+        from pdf2dataset_spark.sources import pdfcrypt
+
+        if self.resolve(enc.get("/Filter")) != "/Standard":
+            raise ValueError(
+                "encrypted PDF: unsupported security handler "
+                f"{enc.get('/Filter')}"
+            )
+        v = int(self.resolve(enc.get("/V", 0)) or 0)
+        r = int(self.resolve(enc.get("/R", 2)) or 2)
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(
+                f"encrypted PDF: unsupported /V {v} /R {r} "
+                "(AES handlers need a full crypto stack)"
+            )
+        o_val = self.resolve(enc.get("/O")) or b""
+        u_val = self.resolve(enc.get("/U")) or b""
+        p_val = int(self.resolve(enc.get("/P", -1)) or -1)
+        bits = int(self.resolve(enc.get("/Length", 40)) or 40) if v == 2 else 40
+        key = pdfcrypt.file_key(password, o_val, p_val, id0, r, bits // 8)
+        if not pdfcrypt.check_user_password(key, u_val, id0, r):
+            raise ValueError(
+                "encrypted PDF: password verification failed "
+                "(user password required)"
+            )
+        self._enc_key = key
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+        self._decrypt_objects(enc_num)
+
+    def _decrypt_objects(self, enc_num: int | None) -> None:
+        """RC4-decrypt every stream body and every string, per-object
+        key. The /Encrypt dict itself and cross-reference streams are
+        never encrypted (ISO 32000-1 §7.5.8.2, §7.6.1)."""
+        from pdf2dataset_spark.sources import pdfcrypt
+
+        def dec_strings(v: Any, okey: bytes) -> Any:
+            if isinstance(v, bytes):
+                return pdfcrypt.rc4(okey, v)
+            if isinstance(v, list):
+                return [dec_strings(x, okey) for x in v]
+            if isinstance(v, dict):
+                return {k: dec_strings(x, okey) for k, x in v.items()}
+            return v
+
+        for num, obj in self.objects.items():
+            if num == enc_num:
+                continue
+            okey = pdfcrypt.object_key(
+                self._enc_key, num, self._gens.get(num, 0)
+            )
+            if isinstance(obj, StreamObj):
+                if obj.sdict.get("/Type") == "/XRef":
+                    continue
+                obj.sdict = dec_strings(obj.sdict, okey)
+                obj.raw = pdfcrypt.rc4(okey, obj.raw)
+            else:
+                self.objects[num] = dec_strings(obj, okey)
 
     def _expand_object_streams(self) -> None:
         for obj in list(self.objects.values()):
@@ -661,15 +758,40 @@ def build_pdf(
     pages: list[str],
     compress: bool = False,
     info: dict[str, str] | None = None,
+    encrypt: str | None = None,
 ) -> bytes:
     """Minimal spec-valid PDF: one Helvetica font, one content stream
     per page (one ``Tj`` per text line, ``Td`` line advances), real
     xref table + trailer (carrying ``/Info`` when ``info`` given).
     ``compress=True`` FlateDecodes the content streams (exercises the
-    decode path). Inverse of :func:`extract_page_texts` for Latin-1
-    text."""
+    decode path). ``encrypt`` (a user password; ``""`` = the common
+    owner-locked-but-readable case) applies the Standard security
+    handler R3/V2 128-bit RC4 (pdfcrypt) — streams and strings are
+    really encrypted, with proper /O /U /ID values, so decryption
+    round-trips exercise the exact spec algorithms. Inverse of
+    :func:`extract_page_texts` for Latin-1 text."""
     if not pages:
         raise ValueError("build_pdf needs at least one page")
+    enc_key = None
+    if encrypt is not None:
+        import hashlib
+
+        from pdf2dataset_spark.sources import pdfcrypt
+
+        user_pwd = encrypt.encode("latin-1", errors="replace")
+        id0 = hashlib.md5(
+            ("\n".join(pages) + repr(sorted((info or {}).items()))).encode(
+                "utf-8", "replace"
+            )
+        ).digest()
+        o_val = pdfcrypt.compute_o(user_pwd + b"-owner", user_pwd, 3, 16)
+        p_val = -44
+        enc_key = pdfcrypt.file_key(user_pwd, o_val, p_val, id0, 3, 16)
+        u_val = pdfcrypt.compute_u(enc_key, id0, 3)
+
+        def obj_rc4(num: int, payload: bytes) -> bytes:
+            return pdfcrypt.rc4(pdfcrypt.object_key(enc_key, num, 0), payload)
+
     objs: list[bytes] = []  # bodies; object number = index+1
 
     n_pages = len(pages)
@@ -699,6 +821,9 @@ def build_pdf(
         payload = b"\n".join(ops)
         if compress:
             payload = zlib.compress(payload)
+        if enc_key is not None:
+            payload = obj_rc4(content_num, payload)
+        if compress:
             head = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
         else:
             head = f"<< /Length {len(payload)} >>"
@@ -711,12 +836,38 @@ def build_pdf(
     )  # font
     info_clause = b""
     if info:
-        entries = b" ".join(
-            b"/" + k.encode("ascii") + b" (" + _escape_pdf_string(v) + b")"
-            for k, v in info.items()
-        )
+        info_num = len(objs) + 1
+        if enc_key is not None:
+            # encrypted strings are written as hex (no escape ambiguity)
+            entries = b" ".join(
+                b"/"
+                + k.encode("ascii")
+                + b" <"
+                + obj_rc4(
+                    info_num, v.encode("latin-1", errors="replace")
+                ).hex().encode("ascii")
+                + b">"
+                for k, v in info.items()
+            )
+        else:
+            entries = b" ".join(
+                b"/" + k.encode("ascii") + b" (" + _escape_pdf_string(v) + b")"
+                for k, v in info.items()
+            )
         objs.append(b"<< " + entries + b" >>")
         info_clause = f" /Info {len(objs)} 0 R".encode()
+    enc_clause = b""
+    if enc_key is not None:
+        objs.append(
+            (
+                f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {p_val} "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+            ).encode()
+        )
+        enc_clause = (
+            f" /Encrypt {len(objs)} 0 R"
+            f" /ID [<{id0.hex()}> <{id0.hex()}>]".encode()
+        )
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -731,6 +882,7 @@ def build_pdf(
     buf += (
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R".encode()
         + info_clause
+        + enc_clause
         + f" >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(buf)

@@ -450,17 +450,17 @@ def test_xref_stream_only_pdf_extracts_via_object_scan():
     assert minipdf.extract_page_texts(pdf) == ["xref stream page text"]
 
 
-def test_encrypted_pdf_is_typed_error_and_error_row(spark):
-    """Encryption is out of scope for the offline parser: /Encrypt in
-    the trailer must raise ValueError (not crash), and through the
-    Spark pipeline the document becomes an error row (page=-1) while
-    other docs in the same batch extract normally."""
+def test_malformed_encrypted_pdf_is_typed_error_and_error_row(spark):
+    """A trailer /Encrypt pointing at a missing object must raise a
+    typed ValueError (not crash), and through the Spark pipeline the
+    document becomes an error row (page=-1) while other docs in the
+    same batch extract normally."""
     import pdf2dataset_spark as p
 
     enc = minipdf.build_pdf(["secret page"]).replace(
         b"/Root", b"/Encrypt 9 0 R /Root", 1
     )
-    with pytest.raises(ValueError, match="encrypt"):
+    with pytest.raises(ValueError, match="[Ee]ncrypt"):
         minipdf.extract_page_texts(enc)
 
     docs = {"enc.pdf": enc, "plain.pdf": minipdf.build_pdf(["open page"])}
@@ -470,6 +470,61 @@ def test_encrypted_pdf_is_typed_error_and_error_row(spark):
     err = out[out.error.notna()]
     assert len(err) == 1 and err.iloc[0].page == -1
     assert "encrypt" in err.iloc[0].error.lower()
+
+
+def test_rc4_encrypted_pdf_roundtrip():
+    """Standard-security-handler RC4 (R3/V2 128-bit): build_pdf
+    really encrypts (no plaintext in the file), and PdfDocument
+    decrypts transparently for the empty-user-password case —
+    streams, Info strings, compressed and uncompressed."""
+    pages = ["hello encrypted world\nline two", "page two text"]
+    info = {"Title": "Secret Doc", "Author": "A. Writer"}
+    for compress in (False, True):
+        data = minipdf.build_pdf(
+            pages, compress=compress, info=info, encrypt=""
+        )
+        assert b"hello encrypted world" not in data
+        assert b"Secret Doc" not in data
+        assert minipdf.extract_page_texts(data) == pages
+        assert minipdf.doc_info(data)["Title"] == "Secret Doc"
+
+
+def test_user_password_pdf_needs_password_and_decrypts_with_it(spark):
+    """A non-empty user password: typed error (→ error row) without
+    the password; full extraction when PdfDocument gets it."""
+    import pdf2dataset_spark as p
+
+    pages = ["locked page text"]
+    data = minipdf.build_pdf(pages, encrypt="s3cret")
+    with pytest.raises(ValueError, match="password"):
+        minipdf.extract_page_texts(data)
+    doc = minipdf.PdfDocument(data, password=b"s3cret")
+    assert [
+        minipdf.content_text(doc.page_content(pg)) for pg in doc.pages()
+    ] == pages
+
+    docs = {"locked.pdf": data, "plain.pdf": minipdf.build_pdf(["open page"])}
+    out = p.extract(docs, spark=spark, small=True, use_pdf_codec=True)
+    err = out[out.error.notna()]
+    assert len(err) == 1 and "password" in err.iloc[0].error
+
+
+def test_rc4_r2_algorithms_self_consistent():
+    """R2 (40-bit) handler primitives: the U value computed from a
+    derived key must verify, and a perturbed password must not."""
+    from pdf2dataset_spark.sources import pdfcrypt
+
+    id0 = bytes(range(16))
+    o_val = pdfcrypt.compute_o(b"owner", b"user", 2, 5)
+    key = pdfcrypt.file_key(b"user", o_val, -1, id0, 2, 5)
+    u_val = pdfcrypt.compute_u(key, id0, 2)
+    assert pdfcrypt.check_user_password(key, u_val, id0, 2)
+    bad = pdfcrypt.file_key(b"wrong", o_val, -1, id0, 2, 5)
+    assert not pdfcrypt.check_user_password(bad, u_val, id0, 2)
+    # RC4 is an involution with the same key
+    msg = b"stream payload bytes" * 3
+    k = pdfcrypt.object_key(key, 7, 0)
+    assert pdfcrypt.rc4(k, pdfcrypt.rc4(k, msg)) == msg
 
 
 def test_png_predictor_roundtrip_all_filters():
