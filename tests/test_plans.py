@@ -314,3 +314,25 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian_pairs(spark, registry):
+    """f34: centroid assignment is a broadcast nested-loop (C rows
+    broadcast, corpus never shuffles for it); the within-cluster pair
+    stage is an equi join on list_id — never a cartesian product —
+    and every window is partitioned (no global-order window)."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "f34_semantic_dedup", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_classifier_single_doc_grain_shuffle(spark, registry):
+    """f36: one explode + one doc-grain hash aggregate - exactly one
+    data shuffle (partial/final agg on doc_id), wide text never
+    exchanged."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "f36_quality_classifier", spark))
+    assert plan.count("hashpartitioning") == 1, plan
