@@ -17,15 +17,16 @@ real simple PDFs with ONLY the standard library:
 - content-stream interpreter for the text-showing operators ``Tj``,
   ``TJ``, ``'``, ``"`` with line breaks from ``Td/TD/T*/Tm``.
 
-RC4-encrypted PDFs (Standard security handler /R 2–3, the
-owner-locked-but-readable files common in the wild) decrypt
-transparently via ``pdfcrypt``; pass ``password=`` for
-user-password-protected files. Out of scope (documented limits, not
-silent wrongness): CID/Type0 fonts with ToUnicode CMaps (bytes
-decode as Latin-1 ≈ PDFDoc/WinAnsi for the printable range),
-AES-encrypted PDFs /V ≥ 4 (raise ``ValueError``), and unsupported
-filters like /DCTDecode images (raise ``ValueError`` naming the
-filter).
+Encrypted PDFs (Standard security handler) decrypt transparently
+via ``pdfcrypt`` + ``_aes``: RC4 /R 2–3, crypt-filter RC4/AES-128
+(/V 4, AESV2) and AES-256 (/V 5 /R 5–6, AESV3) — the
+owner-locked-but-readable files common in the wild open with the
+default empty password; pass ``password=`` (user OR owner) for
+protected files. Out of scope (documented limits, not silent
+wrongness): CID/Type0 fonts with ToUnicode CMaps (bytes decode as
+Latin-1 ≈ PDFDoc/WinAnsi for the printable range), non-Standard
+security handlers (raise ``ValueError``), and unsupported filters
+like /DCTDecode images (raise ``ValueError`` naming the filter).
 
 ``build_pdf`` is the inverse: a spec-valid single-font PDF writer
 (proper xref + trailer, optional FlateDecode) used for golden
@@ -411,12 +412,16 @@ class PdfDocument:
         return out
 
     def _setup_encryption(self, password: bytes) -> None:
-        """Standard-security-handler (RC4) decryption, ISO 32000-1
-        §7.6.3: derive the file key from the trailer's /Encrypt dict
-        and the first /ID element, verify it against /U, then decrypt
-        every stream and string in place. AES handlers (/V ≥ 4) and
-        wrong passwords raise typed ValueErrors → `error` rows."""
+        """Standard-security-handler decryption: RC4 (/V 1–2, ISO
+        32000-1 §7.6.3), crypt-filter RC4/AES-128 (/V 4, AESV2) and
+        AES-256 (/V 5 /R 5–6, AESV3 — ISO 32000-2 §7.6.4). Derives
+        the file key from the trailer's /Encrypt dict (+ first /ID
+        element), verifies the password, then decrypts every stream
+        and string in place. Unknown handlers and wrong passwords
+        raise typed ValueErrors → `error` rows."""
         self._enc_key: bytes | None = None
+        self._enc_mode = "rc4"  # "rc4" | "aes" | "none"
+        self._enc_v5 = False
         enc_ref = None
         id0 = b""
         for d in self._trailer_dicts():
@@ -439,34 +444,98 @@ class PdfDocument:
             )
         v = int(self.resolve(enc.get("/V", 0)) or 0)
         r = int(self.resolve(enc.get("/R", 2)) or 2)
-        if v not in (1, 2) or r not in (2, 3):
-            raise ValueError(
-                f"encrypted PDF: unsupported /V {v} /R {r} "
-                "(AES handlers need a full crypto stack)"
-            )
         o_val = self.resolve(enc.get("/O")) or b""
         u_val = self.resolve(enc.get("/U")) or b""
         p_val = int(self.resolve(enc.get("/P", -1)) or -1)
-        bits = int(self.resolve(enc.get("/Length", 40)) or 40) if v == 2 else 40
-        key = pdfcrypt.file_key(password, o_val, p_val, id0, r, bits // 8)
-        if not pdfcrypt.check_user_password(key, u_val, id0, r):
+
+        def legacy_key(r: int, key_bytes: int, em: bool = True) -> bytes:
+            # user-password path (Algorithm 2+6), then owner-password
+            # fallback (Algorithm 7 yields the padded user password)
+            key = pdfcrypt.file_key(
+                password, o_val, p_val, id0, r, key_bytes, encrypt_metadata=em
+            )
+            if pdfcrypt.check_user_password(key, u_val, id0, r):
+                return key
+            alt = pdfcrypt.owner_to_user_padded(password, o_val, r, key_bytes)
+            key = pdfcrypt.file_key(
+                alt, o_val, p_val, id0, r, key_bytes, encrypt_metadata=em
+            )
+            if pdfcrypt.check_user_password(key, u_val, id0, r):
+                return key
             raise ValueError(
                 "encrypted PDF: password verification failed "
                 "(user password required)"
             )
+
+        if v in (1, 2) and r in (2, 3):
+            bits = (
+                int(self.resolve(enc.get("/Length", 40)) or 40) if v == 2 else 40
+            )
+            key = legacy_key(r, bits // 8)
+        elif v == 4:
+            cf = self.resolve(enc.get("/CF")) or {}
+            stdcf = self.resolve(cf.get("/StdCF")) or {}
+            cfm = self.resolve(stdcf.get("/CFM")) or "/Identity"
+            if cfm == "/AESV2":
+                self._enc_mode = "aes"
+            elif cfm == "/V2":
+                self._enc_mode = "rc4"
+            elif cfm == "/Identity":
+                self._enc_mode = "none"
+            else:
+                raise ValueError(
+                    f"encrypted PDF: unsupported crypt filter {cfm}"
+                )
+            em = self.resolve(enc.get("/EncryptMetadata", True))
+            bits = int(self.resolve(enc.get("/Length", 128)) or 128)
+            key = legacy_key(4, bits // 8, em=bool(em))
+        elif v == 5 and r in (5, 6):
+            self._enc_mode = "aes"
+            self._enc_v5 = True
+            ue_val = self.resolve(enc.get("/UE")) or b""
+            oe_val = self.resolve(enc.get("/OE")) or b""
+            if pdfcrypt.v5_auth_user(password, u_val, r):
+                key = pdfcrypt.v5_file_key_user(password, u_val, ue_val, r)
+            elif pdfcrypt.v5_auth_owner(password, o_val, u_val, r):
+                key = pdfcrypt.v5_file_key_owner(
+                    password, o_val, u_val, oe_val, r
+                )
+            else:
+                raise ValueError(
+                    "encrypted PDF: password verification failed "
+                    "(user password required)"
+                )
+        else:
+            raise ValueError(f"encrypted PDF: unsupported /V {v} /R {r}")
         self._enc_key = key
         enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
         self._decrypt_objects(enc_num)
 
     def _decrypt_objects(self, enc_num: int | None) -> None:
-        """RC4-decrypt every stream body and every string, per-object
-        key. The /Encrypt dict itself and cross-reference streams are
-        never encrypted (ISO 32000-1 §7.5.8.2, §7.6.1)."""
+        """Decrypt every stream body and every string with the
+        per-object key (RC4) or IV-prefixed AES-CBC. The /Encrypt
+        dict itself and cross-reference streams are never encrypted
+        (ISO 32000-1 §7.5.8.2, §7.6.1)."""
+        if self._enc_mode == "none":
+            return
         from pdf2dataset_spark.sources import pdfcrypt
+
+        aes = self._enc_mode == "aes"
+        if aes:
+            from pdf2dataset_spark.sources import _aes
+
+        def dec_bytes(okey: bytes, data: bytes) -> bytes:
+            if not aes:
+                return pdfcrypt.rc4(okey, data)
+            if len(data) < 32 or len(data) % 16:
+                # spec-valid AES payloads are IV + ≥1 block; anything
+                # shorter is an unencrypted artifact — pass through
+                return data
+            return _aes.cbc_decrypt(okey, data)
 
         def dec_strings(v: Any, okey: bytes) -> Any:
             if isinstance(v, bytes):
-                return pdfcrypt.rc4(okey, v)
+                return dec_bytes(okey, v)
             if isinstance(v, list):
                 return [dec_strings(x, okey) for x in v]
             if isinstance(v, dict):
@@ -476,14 +545,18 @@ class PdfDocument:
         for num, obj in self.objects.items():
             if num == enc_num:
                 continue
-            okey = pdfcrypt.object_key(
-                self._enc_key, num, self._gens.get(num, 0)
+            okey = (
+                self._enc_key
+                if self._enc_v5
+                else pdfcrypt.object_key(
+                    self._enc_key, num, self._gens.get(num, 0), aes=aes
+                )
             )
             if isinstance(obj, StreamObj):
                 if obj.sdict.get("/Type") == "/XRef":
                     continue
                 obj.sdict = dec_strings(obj.sdict, okey)
-                obj.raw = pdfcrypt.rc4(okey, obj.raw)
+                obj.raw = dec_bytes(okey, obj.raw)
             else:
                 self.objects[num] = dec_strings(obj, okey)
 
@@ -759,6 +832,7 @@ def build_pdf(
     compress: bool = False,
     info: dict[str, str] | None = None,
     encrypt: str | None = None,
+    encrypt_rev: int = 3,
 ) -> bytes:
     """Minimal spec-valid PDF: one Helvetica font, one content stream
     per page (one ``Tj`` per text line, ``Td`` line advances), real
@@ -766,17 +840,21 @@ def build_pdf(
     ``compress=True`` FlateDecodes the content streams (exercises the
     decode path). ``encrypt`` (a user password; ``""`` = the common
     owner-locked-but-readable case) applies the Standard security
-    handler R3/V2 128-bit RC4 (pdfcrypt) — streams and strings are
-    really encrypted, with proper /O /U /ID values, so decryption
-    round-trips exercise the exact spec algorithms. Inverse of
-    :func:`extract_page_texts` for Latin-1 text."""
+    handler — ``encrypt_rev`` picks 3 (128-bit RC4), 4 (AES-128
+    crypt filter /AESV2) or 6 (AES-256 /AESV3 with /UE //OE //Perms)
+    — streams and strings are really encrypted with proper
+    /O //U //ID values, so decryption round-trips exercise the exact
+    spec algorithms. Inverse of :func:`extract_page_texts` for
+    Latin-1 text."""
     if not pages:
         raise ValueError("build_pdf needs at least one page")
+    if encrypt_rev not in (3, 4, 6):
+        raise ValueError("encrypt_rev must be 3 (RC4), 4 (AESV2) or 6 (AESV3)")
     enc_key = None
     if encrypt is not None:
         import hashlib
 
-        from pdf2dataset_spark.sources import pdfcrypt
+        from pdf2dataset_spark.sources import _aes, pdfcrypt
 
         user_pwd = encrypt.encode("latin-1", errors="replace")
         id0 = hashlib.md5(
@@ -784,13 +862,39 @@ def build_pdf(
                 "utf-8", "replace"
             )
         ).digest()
-        o_val = pdfcrypt.compute_o(user_pwd + b"-owner", user_pwd, 3, 16)
         p_val = -44
-        enc_key = pdfcrypt.file_key(user_pwd, o_val, p_val, id0, 3, 16)
-        u_val = pdfcrypt.compute_u(enc_key, id0, 3)
+        if encrypt_rev in (3, 4):
+            o_val = pdfcrypt.compute_o(
+                user_pwd + b"-owner", user_pwd, encrypt_rev, 16
+            )
+            enc_key = pdfcrypt.file_key(
+                user_pwd, o_val, p_val, id0, encrypt_rev, 16
+            )
+            u_val = pdfcrypt.compute_u(enc_key, id0, encrypt_rev)
+        else:  # R6: random-free deterministic 256-bit file key
+            enc_key = hashlib.sha256(b"filekey" + id0).digest()
+            u_val, ue_val = pdfcrypt.v5_make_user_entries(user_pwd, enc_key, 6)
+            o_val, oe_val = pdfcrypt.v5_make_owner_entries(
+                user_pwd + b"-owner", enc_key, u_val, 6
+            )
+            perms_blk = (
+                __import__("struct").pack("<i", p_val)
+                + b"\xff\xff\xff\xffTadb"
+                + b"seed"
+            )
+            perms_val = _aes.encrypt_block(enc_key, perms_blk)
 
-        def obj_rc4(num: int, payload: bytes) -> bytes:
-            return pdfcrypt.rc4(pdfcrypt.object_key(enc_key, num, 0), payload)
+        def obj_enc(num: int, payload: bytes) -> bytes:
+            if encrypt_rev == 3:
+                return pdfcrypt.rc4(
+                    pdfcrypt.object_key(enc_key, num, 0), payload
+                )
+            if encrypt_rev == 4:
+                okey = pdfcrypt.object_key(enc_key, num, 0, aes=True)
+            else:
+                okey = enc_key
+            iv = hashlib.md5(b"iv%d" % num + payload).digest()
+            return _aes.cbc_encrypt(okey, iv, payload)
 
     objs: list[bytes] = []  # bodies; object number = index+1
 
@@ -822,7 +926,7 @@ def build_pdf(
         if compress:
             payload = zlib.compress(payload)
         if enc_key is not None:
-            payload = obj_rc4(content_num, payload)
+            payload = obj_enc(content_num, payload)
         if compress:
             head = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
         else:
@@ -843,7 +947,7 @@ def build_pdf(
                 b"/"
                 + k.encode("ascii")
                 + b" <"
-                + obj_rc4(
+                + obj_enc(
                     info_num, v.encode("latin-1", errors="replace")
                 ).hex().encode("ascii")
                 + b">"
@@ -858,12 +962,28 @@ def build_pdf(
         info_clause = f" /Info {len(objs)} 0 R".encode()
     enc_clause = b""
     if enc_key is not None:
-        objs.append(
-            (
+        if encrypt_rev == 3:
+            enc_body = (
                 f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {p_val} "
                 f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>"
-            ).encode()
-        )
+            )
+        elif encrypt_rev == 4:
+            enc_body = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p_val} "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+            )
+        else:  # R6 / AESV3
+            enc_body = (
+                f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p_val} "
+                "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                "/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
+                f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> "
+                f"/Perms <{perms_val.hex()}> >>"
+            )
+        objs.append(enc_body.encode())
         enc_clause = (
             f" /Encrypt {len(objs)} 0 R"
             f" /ID [<{id0.hex()}> <{id0.hex()}>]".encode()

@@ -614,3 +614,76 @@ def test_objstm_with_png_predictor_decodes():
         + b"\nendstream",
     ]
     assert minipdf.extract_page_texts(_wrap_pdf(objs)) == ["predictor objstm"]
+
+
+@pytest.mark.parametrize("rev", [3, 4, 6])
+def test_encrypted_roundtrip_all_revisions(rev):
+    """All three Standard-handler revisions round-trip: R3 (RC4-128),
+    R4 (AES-128 /AESV2 crypt filter), R6 (AES-256 /AESV3) — empty,
+    user, and owner passwords, plain and FlateDecoded streams."""
+    pages = ["revision round trip\nline two", "second page"]
+    info = {"Title": "T", "Author": "A"}
+    for compress in (False, True):
+        data = minipdf.build_pdf(
+            pages, compress=compress, info=info, encrypt="", encrypt_rev=rev
+        )
+        assert b"revision round trip" not in data
+        assert minipdf.extract_page_texts(data) == pages
+        assert minipdf.doc_info(data)["Title"] == "T"
+    locked = minipdf.build_pdf(pages, encrypt="pw", encrypt_rev=rev)
+    with pytest.raises(ValueError, match="password"):
+        minipdf.extract_page_texts(locked)
+    for pwd in (b"pw", b"pw-owner"):
+        doc = minipdf.PdfDocument(locked, password=pwd)
+        assert [
+            minipdf.content_text(doc.page_content(p)) for p in doc.pages()
+        ] == pages
+
+
+def test_aes_fips197_vectors():
+    """The AES core must match the FIPS-197 appendix C known-answer
+    vectors for all three key sizes, both directions."""
+    from pdf2dataset_spark.sources import _aes
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for key_hex, ct_hex in cases:
+        key = bytes.fromhex(key_hex)
+        ct = _aes.encrypt_block(key, pt)
+        assert ct == bytes.fromhex(ct_hex)
+        assert _aes.decrypt_block(key, ct) == pt
+    # CBC round-trip incl. empty message and padding boundaries
+    key = bytes.fromhex(cases[0][0])
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        msg = bytes((i * 7 + 3) % 256 for i in range(n))
+        assert _aes.cbc_decrypt(key, _aes.cbc_encrypt(key, iv, msg)) == msg
+
+
+def test_v5_hash_2b_properties():
+    """ISO 32000-2 Algorithm 2.B: 32-byte output, deterministic,
+    password- and salt-sensitive; /U //UE round-trips the file key."""
+    from pdf2dataset_spark.sources import pdfcrypt
+
+    h1 = pdfcrypt.hash_2b(b"pw", b"salt8888", b"")
+    assert len(h1) == 32
+    assert h1 == pdfcrypt.hash_2b(b"pw", b"salt8888", b"")
+    assert h1 != pdfcrypt.hash_2b(b"pw2", b"salt8888", b"")
+    assert h1 != pdfcrypt.hash_2b(b"pw", b"salt8889", b"")
+
+    fk = bytes(range(32))
+    u, ue = pdfcrypt.v5_make_user_entries(b"pw", fk, 6)
+    assert pdfcrypt.v5_auth_user(b"pw", u, 6)
+    assert not pdfcrypt.v5_auth_user(b"nope", u, 6)
+    assert pdfcrypt.v5_file_key_user(b"pw", u, ue, 6) == fk
+    o, oe = pdfcrypt.v5_make_owner_entries(b"opw", fk, u, 6)
+    assert pdfcrypt.v5_auth_owner(b"opw", o, u, 6)
+    assert pdfcrypt.v5_file_key_owner(b"opw", o, u, oe, 6) == fk
