@@ -126,13 +126,16 @@ def extract(
     num_partitions: int | None = None,
     image_format: str | None = None,
     image_size: str | None = None,
+    password: str = "",
 ):
     """Upstream-compatible one-call API.
 
     ``ocr=True`` appends the ocr feature (upstream ``--ocr``);
     ``lang`` feeds the OCR engine (upstream ``--lang``);
     ``image_format`` / ``image_size`` ('WxH') control the rendered
-    page image exactly as upstream's extract kwargs do.
+    page image exactly as upstream's extract kwargs do; ``password``
+    opens password-protected PDFs (user or owner password — encrypted
+    files with the default empty user password decrypt without it).
     """
     from pdf2dataset_spark.session import get_spark
 
@@ -148,6 +151,7 @@ def extract(
             ocr_lang=lang,
             image_format=image_format or "png",
             image_size=image_size,
+            password=password,
         )
     elif image_format or image_size:
         codec = TextBytesCodec(image_format=image_format, image_size=image_size)

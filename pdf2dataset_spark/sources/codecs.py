@@ -137,16 +137,20 @@ class PdfCodec(DocumentCodec):
         image_format: str = "png",
         dpi: int = 200,
         image_size: str | None = None,
+        password: str = "",
     ):
         self.ocr_lang = ocr_lang
         self.image_format = image_format
         self.dpi = dpi
         self.image_size = image_size
+        self.password = password
 
     def open(self, content: bytes) -> "_PdfHandle":
         from pdf2dataset_spark.sources import minipdf
 
-        doc = minipdf.PdfDocument(content)
+        doc = minipdf.PdfDocument(
+            content, password=self.password.encode("latin-1", errors="replace")
+        )
         pages = [
             minipdf.content_text(doc.page_content(p)) for p in doc.pages()
         ]
