@@ -152,7 +152,8 @@ class PdfCodec(DocumentCodec):
             content, password=self.password.encode("latin-1", errors="replace")
         )
         pages = [
-            minipdf.content_text(doc.page_content(p)) for p in doc.pages()
+            minipdf.content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+            for p in doc.pages()
         ]
         return _PdfHandle(content=content, pages=pages, doc=doc)
 

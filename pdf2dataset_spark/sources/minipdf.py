@@ -13,9 +13,12 @@ real simple PDFs with ONLY the standard library:
   TIFF/PNG ``/Predictor`` post-processing, and PDF 1.5 object
   streams (``/Type /ObjStm``),
 - page-tree walk (``/Catalog → /Pages → /Kids → /Page``) in document
-  order,
+  order with /Resources inheritance,
 - content-stream interpreter for the text-showing operators ``Tj``,
-  ``TJ``, ``'``, ``"`` with line breaks from ``Td/TD/T*/Tm``.
+  ``TJ``, ``'``, ``"`` with line breaks from ``Td/TD/T*/Tm``,
+- /ToUnicode CMap decoding for CID/Type0 (and any ToUnicode-carrying)
+  fonts: ``bfchar``/``bfrange``/``codespacerange``, multi-unit
+  ligature destinations, per-``Tf`` font switching.
 
 Encrypted PDFs (Standard security handler) decrypt transparently
 via ``pdfcrypt`` + ``_aes``: RC4 /R 2–3, crypt-filter RC4/AES-128
@@ -23,10 +26,11 @@ via ``pdfcrypt`` + ``_aes``: RC4 /R 2–3, crypt-filter RC4/AES-128
 owner-locked-but-readable files common in the wild open with the
 default empty password; pass ``password=`` (user OR owner) for
 protected files. Out of scope (documented limits, not silent
-wrongness): CID/Type0 fonts with ToUnicode CMaps (bytes decode as
-Latin-1 ≈ PDFDoc/WinAnsi for the printable range), non-Standard
-security handlers (raise ``ValueError``), and unsupported filters
-like /DCTDecode images (raise ``ValueError`` naming the filter).
+wrongness): CID fonts WITHOUT a /ToUnicode CMap (glyph bytes decode
+as Latin-1 ≈ PDFDoc/WinAnsi for the printable range — recovering
+text there needs the font program itself), non-Standard security
+handlers (raise ``ValueError``), and unsupported filters like
+/DCTDecode images (raise ``ValueError`` naming the filter).
 
 ``build_pdf`` is the inverse: a spec-valid single-font PDF writer
 (proper xref + trailer, optional FlateDecode) used for golden
@@ -670,23 +674,50 @@ class PdfDocument:
         raise ValueError("no /Catalog object found")
 
     def pages(self) -> list[dict]:
-        """Page dicts in document order (depth-first /Kids walk)."""
+        """Page dicts in document order (depth-first /Kids walk).
+        /Resources is inheritable (ISO 32000-1 Table 30): a page
+        without its own picks up the nearest ancestor's, materialized
+        into the returned dict so font lookup needs no tree walk."""
         root = self.resolve(self._catalog().get("/Pages"))
         out: list[dict] = []
 
-        def walk(node: Any, depth: int) -> None:
+        def walk(node: Any, depth: int, inherited_res: Any) -> None:
             node = self.resolve(node)
             if not isinstance(node, dict) or depth > 64:
                 return
+            res = node.get("/Resources", inherited_res)
             if node.get("/Type") == "/Page":
+                if "/Resources" not in node and res is not None:
+                    node = {**node, "/Resources": res}
                 out.append(node)
                 return
             for kid in self.resolve(node.get("/Kids")) or []:
-                walk(kid, depth + 1)
+                walk(kid, depth + 1, res)
 
-        walk(root, 0)
+        walk(root, 0, None)
         if not out:
             raise ValueError("page tree contains no /Page objects")
+        return out
+
+    def page_fonts(self, page: dict) -> dict[str, tuple[dict[int, str], int]]:
+        """Parsed /ToUnicode CMaps for every font resource of a page
+        ({font name → (code→unicode map, code byte length)}); fonts
+        without /ToUnicode are simply absent (Latin-1 fallback)."""
+        res = self.resolve(page.get("/Resources"))
+        fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
+        out: dict[str, tuple[dict[int, str], int]] = {}
+        if not isinstance(fonts, dict):
+            return out
+        for name, ref in fonts.items():
+            f = self.resolve(ref)
+            if not isinstance(f, dict):
+                continue
+            tu = self.resolve(f.get("/ToUnicode"))
+            if isinstance(tu, StreamObj):
+                try:
+                    out[name] = parse_tounicode_cmap(self.stream_bytes(tu))
+                except (ValueError, IndexError, zlib.error):
+                    continue
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -700,6 +731,101 @@ class PdfDocument:
             if isinstance(part, StreamObj):
                 chunks.append(self.stream_bytes(part))
         return b"\n".join(chunks)
+
+
+# ---------------------------------------------------------------------
+# ToUnicode CMaps (CID/Type0 and simple fonts with /ToUnicode)
+# ---------------------------------------------------------------------
+
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>|(\[)|(\])")
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3) into a
+    (code → unicode string) mapping plus the code unit byte length.
+    Handles ``bfchar``, ``bfrange`` (both the incrementing
+    ``<lo> <hi> <dst>`` and the array ``<lo> <hi> [<d>...]`` forms)
+    and ``codespacerange`` for the code width. Destinations are
+    UTF-16BE, possibly multi-unit (ligatures)."""
+    mapping: dict[int, str] = {}
+    code_len = 1
+
+    def hx_bytes(tok: bytes) -> bytes:
+        clean = bytes(c for c in tok if c not in _WS).decode("ascii")
+        if len(clean) % 2:
+            clean += "0"
+        return bytes.fromhex(clean)
+
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for hx in re.findall(rb"<([0-9A-Fa-f\s]+)>", m.group(1)):
+            code_len = max(code_len, len(hx_bytes(hx)))
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f\s]+)>", m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            sb = hx_bytes(src)
+            code_len = max(code_len, len(sb))
+            mapping[int.from_bytes(sb, "big")] = hx_bytes(dst).decode(
+                "utf-16-be", errors="replace"
+            )
+
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks: list[Any] = []
+        for mt in _CMAP_HEX_RE.finditer(m.group(1)):
+            if mt.group(1) is not None:
+                toks.append(hx_bytes(mt.group(1)))
+            else:
+                toks.append(mt.group(0).decode())
+        i = 0
+        while i < len(toks):
+            if not (
+                i + 2 < len(toks)
+                and isinstance(toks[i], bytes)
+                and isinstance(toks[i + 1], bytes)
+            ):
+                i += 1
+                continue
+            lo = int.from_bytes(toks[i], "big")
+            hi = int.from_bytes(toks[i + 1], "big")
+            code_len = max(code_len, len(toks[i]))
+            nxt = toks[i + 2]
+            if nxt == "[":  # explicit per-code destinations
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != "]":
+                    if isinstance(toks[j], bytes) and code <= hi:
+                        mapping[code] = toks[j].decode(
+                            "utf-16-be", errors="replace"
+                        )
+                        code += 1
+                    j += 1
+                i = j + 1
+            else:  # incrementing destination
+                base = int.from_bytes(nxt, "big")
+                width = len(nxt)
+                for off in range(hi - lo + 1):
+                    mapping[lo + off] = (base + off).to_bytes(
+                        width, "big"
+                    ).decode("utf-16-be", errors="replace")
+                i += 3
+    return mapping, code_len
+
+
+def _decode_with_cmap(
+    raw: bytes, mapping: dict[int, str], code_len: int
+) -> str:
+    out: list[str] = []
+    for i in range(0, len(raw) - code_len + 1, code_len):
+        code = int.from_bytes(raw[i : i + code_len], "big")
+        ch = mapping.get(code)
+        if ch is None:
+            # unmapped code: single-byte codes fall back to Latin-1,
+            # wider codes to the replacement character
+            ch = chr(code) if code < 256 else "�"
+        out.append(ch)
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------
@@ -719,22 +845,33 @@ def _decode_text_string(raw: bytes) -> str:
 _SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
 
 
-def content_text(content: bytes) -> str:
+def content_text(
+    content: bytes,
+    fonts: dict[str, tuple[dict[int, str], int]] | None = None,
+) -> str:
     """Text shown by a content stream: ``Tj``/``TJ``/``'``/``"`` emit
     glyph strings; ``Td/TD/T*/Tm/ET`` mark line breaks (emitted
-    lazily, so there is no leading/trailing newline churn)."""
+    lazily, so there is no leading/trailing newline churn). ``fonts``
+    maps font resource names (``/F1``) to parsed /ToUnicode CMaps —
+    ``Tf`` switches the active map, so CID/Type0 glyph strings decode
+    through their CMap while unmapped fonts keep the BOM/Latin-1
+    fallback."""
     pos, n = 0, len(content)
     stack: list[Any] = []
     out: list[str] = []
     shown = False  # a show op happened since the last break marker
     pending = False  # a break marker happened after a show op
+    cur_cmap: tuple[dict[int, str], int] | None = None
 
     def show(raw: bytes) -> None:
         nonlocal shown, pending
         if pending:
             out.append("\n")
             pending = False
-        out.append(_decode_text_string(raw))
+        if cur_cmap is not None:
+            out.append(_decode_with_cmap(raw, cur_cmap[0], cur_cmap[1]))
+        else:
+            out.append(_decode_text_string(raw))
         shown = True
 
     def mark() -> None:
@@ -792,6 +929,13 @@ def content_text(content: bytes) -> str:
                 mark()
                 if stack and isinstance(stack[-1], bytes):
                     show(stack[-1])
+            elif op == b"Tf":
+                if (
+                    fonts
+                    and len(stack) >= 2
+                    and isinstance(stack[-2], str)
+                ):
+                    cur_cmap = fonts.get(stack[-2])
             elif op in _SHOW_LINE_OPS:
                 mark()
             elif op == b"BI":
@@ -804,9 +948,12 @@ def content_text(content: bytes) -> str:
 
 def extract_page_texts(data: bytes) -> list[str]:
     """All page texts of a PDF, in page order (the pdftotext-shaped
-    primitive: one string per page)."""
+    primitive: one string per page), ToUnicode-aware."""
     doc = PdfDocument(data)
-    return [content_text(doc.page_content(p)) for p in doc.pages()]
+    return [
+        content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+        for p in doc.pages()
+    ]
 
 
 def doc_info(data: bytes) -> dict[str, str]:

@@ -687,3 +687,112 @@ def test_v5_hash_2b_properties():
     o, oe = pdfcrypt.v5_make_owner_entries(b"opw", fk, u, 6)
     assert pdfcrypt.v5_auth_owner(b"opw", o, u, 6)
     assert pdfcrypt.v5_file_key_owner(b"opw", o, u, oe, 6) == fk
+
+
+def _type0_pdf(content: bytes, cmap: bytes, inherit_res: bool = False) -> bytes:
+    """One page whose /F1 is a Type0 font with a /ToUnicode CMap;
+    optionally the /Resources dict lives on the /Pages node
+    (inheritance, ISO 32000-1 Table 30)."""
+    res = b"<< /Font << /F1 5 0 R >> >>"
+    page = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+    pages = b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+    if inherit_res:
+        pages += b" /Resources " + res
+    else:
+        page += b" /Resources " + res
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        pages + b" >>",
+        page + b" >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-CID "
+        b"/ToUnicode 6 0 R >>",
+        b"<< /Length "
+        + str(len(cmap)).encode()
+        + b" >>\nstream\n"
+        + cmap
+        + b"\nendstream",
+    ]
+    return _wrap_pdf(objs)
+
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <00DC>
+<0002> <006E0069>
+endbfchar
+2 beginbfrange
+<0010> <0012> <0061>
+<0020> <0021> [<0058> <0059>]
+endbfrange
+endcmap end end
+"""
+
+
+def test_type0_tounicode_cmap_decoding():
+    """CID strings decode through the /ToUnicode CMap: bfchar
+    (incl. a multi-unit ligature), incrementing bfrange, and array
+    bfrange — 2-byte codes shown via Tj from a hex string."""
+    # codes: 0001 0002 0010 0011 0012 0020 0021
+    content = b"BT /F1 12 Tf <0001000200100011001200200021> Tj ET"
+    pdf = _type0_pdf(content, _CMAP)
+    assert minipdf.extract_page_texts(pdf) == ["ÜniabcXY"]
+
+
+def test_type0_resources_inherited_from_pages_node():
+    content = b"BT /F1 12 Tf <00010010> Tj ET"
+    pdf = _type0_pdf(content, _CMAP, inherit_res=True)
+    assert minipdf.extract_page_texts(pdf) == ["Üa"]
+
+
+def test_unmapped_code_fallback_and_cmap_parser():
+    mapping, code_len = minipdf.parse_tounicode_cmap(_CMAP)
+    assert code_len == 2
+    assert mapping[0x0001] == "Ü"
+    assert mapping[0x0002] == "ni"
+    assert mapping[0x0010] == "a" and mapping[0x0012] == "c"
+    assert mapping[0x0020] == "X" and mapping[0x0021] == "Y"
+    # unmapped wide code -> replacement char, not a crash
+    content = b"BT /F1 12 Tf <0001FFFF> Tj ET"
+    pdf = _type0_pdf(content, _CMAP)
+    assert minipdf.extract_page_texts(pdf) == ["Ü�"]
+
+
+def test_non_tounicode_font_keeps_latin1_path():
+    """A page mixing a CMap font and a plain font: Tf switches the
+    decoder per show op."""
+    content = (
+        b"BT /F1 12 Tf <0001> Tj /F2 12 Tf 0 -14 Td (plain) Tj ET"
+    )
+    res = (
+        b"<< /Font << /F1 5 0 R /F2 7 0 R >> >>"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        + res
+        + b" >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length "
+        + str(len(_CMAP)).encode()
+        + b" >>\nstream\n"
+        + _CMAP
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    pdf = _wrap_pdf(objs)
+    assert minipdf.extract_page_texts(pdf) == ["Ü\nplain"]

@@ -159,3 +159,38 @@ def test_cms_never_undercounts_property(spark, keys):
     truth = Counter(keys)
     for k, n in truth.items():
         assert est[k] >= n, (k, n, est[k])
+
+
+@prop
+@given(
+    pages=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    password=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=8
+    ),
+    rev=st.sampled_from([3, 4]),
+)
+def test_encrypted_pdf_roundtrip_property(pages, password, rev):
+    """For ANY printable page text, password, and legacy revision, an
+    encrypted build must hide the plaintext yet extract exactly with
+    the right password (R6 is covered by fixed tests — Algorithm 2.B
+    is too slow for a hypothesis loop)."""
+    from pdf2dataset_spark.sources import minipdf
+
+    norm = [p.replace("\r", " ") for p in pages]
+    data = minipdf.build_pdf(norm, encrypt=password, encrypt_rev=rev)
+    for p in norm:
+        if len(p) >= 8:
+            assert p.encode("latin-1") not in data
+    doc = minipdf.PdfDocument(
+        data, password=password.encode("latin-1", errors="replace")
+    )
+    got = [minipdf.content_text(doc.page_content(pg)) for pg in doc.pages()]
+    assert got == norm
