@@ -1437,6 +1437,28 @@ def f33_bpe_pair_counts(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------- F37
+@query("f37_bpe_tokenize", sql=None, tier="F")
+def f37_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer train + apply (F37, operators/bpe.py): learn 30
+    merges from the corpus word-frequency table (the ONLY corpus-
+    sized pass; merge selection runs on the vocab-sized table like
+    production BPE trainers), then tokenize every document in one
+    broadcast-merges mapInPandas pass. Python-side tokenization has
+    no SQL twin → rows-only; determinism, round-trip inversion and
+    the f33 pair-count consistency are pinned in pytest."""
+    from pdf2dataset_spark.operators import bpe
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe(d, n_merges=30)
+    enc = bpe.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_distinct_symbols"),
+    )
+
+
 # --------------------------------------------------------------- F34
 # Element-wise double cast inside the SQL CTEs so every product below
 # is pure float64 — the bitwise-parity discipline of f3/f13.

@@ -530,3 +530,81 @@ def test_duplicate_ngram_spans_finds_injected_header(spark):
     for r in rows:
         assert r["n_docs"] >= 2
         assert r["first_doc"] <= r["last_doc"]
+
+
+# ------------------------------------------------- BPE train/apply (f37)
+def test_bpe_classic_example_merges(spark):
+    """The textbook corpus: 'low' x5, 'lower' x2, 'newest' x6,
+    'widest' x3 — first merges must pick the (count DESC, pair ASC)
+    argmax chain; 'es' (9) then 'est' (9) come first."""
+    from pdf2dataset_spark.operators import bpe
+
+    rows = [(i, w) for i, w in enumerate(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(df, n_merges=4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    # encoding uses rank-greedy merging; 'newest' contains 'est'
+    enc = bpe.bpe_encode(df.limit(1), merges)
+    assert enc.columns == ["doc_id", "text", "bpe_tokens"]
+
+
+def test_bpe_encode_roundtrip_and_determinism(spark, documents):
+    from pdf2dataset_spark.operators import bpe
+
+    d = documents.select("doc_id", "text").limit(50)
+    m1 = bpe.train_bpe(d, n_merges=20)
+    m2 = bpe.train_bpe(d, n_merges=20)
+    assert m1 == m2  # cluster-deterministic training
+    enc = bpe.bpe_encode(d, m1)
+    back = enc.select(
+        "doc_id",
+        "text",
+        bpe.bpe_decode(F.col("bpe_tokens")).alias("joined"),
+    )
+    for r in back.collect():
+        assert r["joined"] == r["text"].replace(" ", "")
+    # every merge must actually be used somewhere or at least be a
+    # concatenation of earlier symbols (well-formed chain)
+    symbols = {c for p in m1 for c in p}
+    for left, right in m1:
+        for part in (left, right):
+            assert len(part) == 1 or any(
+                part == a + b for a, b in m1
+            ), (part, m1)
+
+
+def test_bpe_first_merge_matches_f33_pair_counts(spark, documents):
+    """Training's first merge == f33's top corpus-weighted pair
+    (same no-marker convention, same tie-break)."""
+    from pdf2dataset_spark.operators import bpe
+
+    d = documents.select("doc_id", "text")
+    wf = bpe.word_frequencies(d)
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .collect()
+    )
+    top_pair = pairs[0]["pair"]
+    merges = bpe.train_bpe(d, n_merges=1)
+    assert merges[0] == (top_pair[0], top_pair[1])
+
+
+def test_bpe_vocab_cap_guard(spark, documents):
+    from pdf2dataset_spark.operators import bpe
+    import pytest as pt
+
+    with pt.raises(ValueError, match="max_vocab"):
+        bpe.train_bpe(documents, n_merges=1, max_vocab=3)
