@@ -700,9 +700,11 @@ class PdfDocument:
         return out
 
     def page_fonts(self, page: dict) -> dict[str, tuple[dict[int, str], int]]:
-        """Parsed /ToUnicode CMaps for every font resource of a page
-        ({font name → (code→unicode map, code byte length)}); fonts
-        without /ToUnicode are simply absent (Latin-1 fallback)."""
+        """Per-font decoder maps for a page ({font name → (code →
+        unicode map, code byte length)}): /ToUnicode CMaps first
+        (authoritative, any code width), else a simple-font /Encoding
+        map (base encoding + /Differences glyph names, 1-byte codes).
+        Fonts with neither are absent (BOM/Latin-1 fallback)."""
         res = self.resolve(page.get("/Resources"))
         fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
         out: dict[str, tuple[dict[int, str], int]] = {}
@@ -716,8 +718,15 @@ class PdfDocument:
             if isinstance(tu, StreamObj):
                 try:
                     out[name] = parse_tounicode_cmap(self.stream_bytes(tu))
-                except (ValueError, IndexError, zlib.error):
                     continue
+                except (ValueError, IndexError, zlib.error):
+                    pass
+            enc = f.get("/Encoding")
+            if enc is not None and self.resolve(enc) != "/Identity-H":
+                emap = encoding_map(enc, self.resolve)
+                # pure-Latin-1 maps add nothing over the fallback
+                if any(emap.get(b) != chr(b) for b in range(256)):
+                    out[name] = (emap, 1)
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -731,6 +740,141 @@ class PdfDocument:
             if isinstance(part, StreamObj):
                 chunks.append(self.stream_bytes(part))
         return b"\n".join(chunks)
+
+
+# ---------------------------------------------------------------------
+# simple-font /Encoding (base encoding + /Differences glyph names)
+# ---------------------------------------------------------------------
+
+#: Adobe Glyph List subset: the names real /Differences arrays use
+#: (ASCII punctuation + common Latin-1/typographic glyphs). Names
+#: of the uniXXXX / uXXXXXX form are decoded algorithmically.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "fi": "ﬁ", "fl": "ﬂ",
+    "florin": "ƒ", "fraction": "⁄", "trademark": "™",
+    "Euro": "€", "cent": "¢", "sterling": "£",
+    "yen": "¥", "currency": "¤", "section": "§",
+    "paragraph": "¶", "copyright": "©",
+    "registered": "®", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "mu": "µ",
+    "exclamdown": "¡", "questiondown": "¿",
+    "nbspace": " ", "middot": "·", "periodcentered": "·",
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "AE": "Æ", "ae": "æ", "Oslash": "Ø",
+    "oslash": "ø", "germandbls": "ß", "Thorn": "Þ",
+    "thorn": "þ", "Eth": "Ð", "eth": "ð",
+    "Lslash": "Ł", "lslash": "ł", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "ydieresis": "ÿ",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "caron": "ˇ", "minus": "−", "brokenbar": "¦",
+    "logicalnot": "¬", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "ordfeminine": "ª",
+    "ordmasculine": "º",
+}
+# accented Latin letters (Agrave..ydieresis) follow a regular
+# name scheme; generate from Unicode names instead of listing 100+.
+_ACCENTS = {
+    "grave": "̀", "acute": "́", "circumflex": "̂",
+    "tilde": "̃", "dieresis": "̈", "ring": "̊",
+    "cedilla": "̧", "caron": "̌", "breve": "̆",
+    "hungarumlaut": "̋", "macron": "̄", "ogonek": "̨",
+    "dotaccent": "̇",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Glyph name → unicode text (AGL subset + uniXXXX forms +
+    base-letter-plus-accent composition, NFC-normalized)."""
+    import unicodedata
+
+    n = name.lstrip("/")
+    if len(n) == 1:
+        return n
+    if n in _AGL:
+        return _AGL[n]
+    if n.startswith("uni") and len(n) >= 7:
+        try:
+            return "".join(
+                chr(int(n[i : i + 4], 16)) for i in range(3, len(n) - 3, 4)
+            )
+        except ValueError:
+            return None
+    if n.startswith("u") and 5 <= len(n) <= 7:
+        try:
+            return chr(int(n[1:], 16))
+        except ValueError:
+            return None
+    # Adieresis / eacute / ntilde ... : letter + combining accent
+    if n[0].isalpha() and len(n) > 1:
+        for acc, comb in _ACCENTS.items():
+            if n[1:] == acc:
+                return unicodedata.normalize("NFC", n[0] + comb)
+    return None
+
+
+_BASE_ENCODINGS = {
+    "/WinAnsiEncoding": "cp1252",
+    "/MacRomanEncoding": "mac_roman",
+    "/StandardEncoding": "latin-1",
+    "/PDFDocEncoding": "latin-1",
+}
+
+
+def encoding_map(enc: Any, resolve) -> dict[int, str]:
+    """Byte-code → unicode map for a simple font's /Encoding entry
+    (a base-encoding name, or a dict with /BaseEncoding and
+    /Differences glyph-name remaps, ISO 32000-1 §9.6.6)."""
+    base = "latin-1"
+    diffs = None
+    enc = resolve(enc)
+    if isinstance(enc, str):
+        base = _BASE_ENCODINGS.get(enc, "latin-1")
+    elif isinstance(enc, dict):
+        base = _BASE_ENCODINGS.get(
+            resolve(enc.get("/BaseEncoding")), "latin-1"
+        )
+        diffs = resolve(enc.get("/Differences"))
+    mapping: dict[int, str] = {}
+    for b in range(256):
+        try:
+            mapping[b] = bytes([b]).decode(base)
+        except (UnicodeDecodeError, ValueError):
+            pass  # undefined in the base encoding → chr() fallback
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str):
+                u = _glyph_to_unicode(item)
+                if u is not None and 0 <= code <= 255:
+                    mapping[code] = u
+                code += 1
+    return mapping
 
 
 # ---------------------------------------------------------------------

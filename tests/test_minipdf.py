@@ -796,3 +796,43 @@ def test_non_tounicode_font_keeps_latin1_path():
     ]
     pdf = _wrap_pdf(objs)
     assert minipdf.extract_page_texts(pdf) == ["Ü\nplain"]
+
+
+def test_simple_font_encoding_differences_and_winansi():
+    """Simple-font /Encoding: /Differences glyph names override the
+    base encoding, and /WinAnsiEncoding decodes the 0x80-0x9F range
+    (smart quotes) that Latin-1 maps to control characters."""
+    content = b"BT /F1 12 Tf (AB\x93hi\x94) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding "
+        b"<< /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /Adieresis /Euro] >> >>",
+    ]
+    pdf = _wrap_pdf(objs)
+    assert minipdf.extract_page_texts(pdf) == ["Ä€“hi”"]
+
+
+def test_glyph_name_resolution_forms():
+    g = minipdf._glyph_to_unicode
+    assert g("Adieresis") == "Ä" and g("eacute") == "é"
+    assert g("uni20AC") == "€" and g("uni00480065") == "He"
+    assert g("u1F600") == "😀"
+    assert g("quotedblleft") == "“" and g("endash") == "–"
+    assert g("a") == "a"
+    assert g("notarealglyphname") is None
+
+
+def test_plain_helvetica_pdfs_unaffected_by_encoding_path():
+    """build_pdf emits /WinAnsiEncoding Helvetica — the encoding map
+    must not perturb plain ASCII round-trips (regression guard)."""
+    pages = ["plain ascii text", "second page!"]
+    assert minipdf.extract_page_texts(minipdf.build_pdf(pages)) == pages

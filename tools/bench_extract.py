@@ -98,6 +98,44 @@ def main() -> None:
                 "codec": "pdf (minipdf, FlateDecode)",
             }
         )
+        # Phase 3: ENCRYPTED PDFs (RC4-128 and AES-128) — quantifies
+        # the Standard-security-handler decryption overhead on the
+        # same corpus shape. R6/AES-256 is excluded: its per-FILE
+        # Algorithm 2.B password hash (~0.2 s, by spec design) would
+        # measure the KDF, not the pipeline.
+        for rev, label in ((3, "rc4-128"), (4, "aes-128 /AESV2")):
+            enc_body = build_pdf(
+                [f"p{p} {page_text}" for p in range(args.pages)],
+                compress=True,
+                encrypt="",
+                encrypt_rev=rev,
+            )
+            src3 = os.path.join(root, f"corpus_enc{rev}")
+            os.makedirs(src3)
+            for d in range(args.docs):
+                sub = os.path.join(src3, f"s{d % 16:02d}")
+                os.makedirs(sub, exist_ok=True)
+                with open(os.path.join(sub, f"doc{d:06d}.pdf"), "wb") as f:
+                    f.write(enc_body)
+            out3 = os.path.join(root, f"out_enc{rev}.parquet")
+            pipe3 = ExtractionPipeline(
+                spark=spark, features=["text"], codec=PdfCodec()
+            )
+            t0 = time.perf_counter()
+            pipe3.run(src3, out_path=out3)
+            elapsed = time.perf_counter() - t0
+            n_pages3 = spark.read.parquet(out3).count()
+            print(
+                {
+                    "docs": args.docs,
+                    "pages": n_pages3,
+                    "elapsed_s": round(elapsed, 2),
+                    "docs_per_s": round(args.docs / elapsed, 1),
+                    "pages_per_s": round(n_pages3 / elapsed, 1),
+                    "features": ["text"],
+                    "codec": f"pdf encrypted ({label})",
+                }
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
