@@ -836,3 +836,44 @@ def test_plain_helvetica_pdfs_unaffected_by_encoding_path():
     must not perturb plain ASCII round-trips (regression guard)."""
     pages = ["plain ascii text", "second page!"]
     assert minipdf.extract_page_texts(minipdf.build_pdf(pages)) == pages
+
+
+def test_parser_mutation_fuzz_terminates_quickly():
+    """Corpus robustness: random truncations, byte flips, and range
+    deletions of valid PDFs (plain, compressed, encrypted, ObjStm)
+    must either parse or raise — quickly, with no hangs and no
+    pathological memory growth. At 100 TB the corpus WILL contain
+    garbage; a worker that loops forever on one document stalls the
+    whole stage, which is worse than any wrong answer."""
+    import random
+    import time
+
+    bases = [
+        minipdf.build_pdf(["fuzz page one", "fuzz page two"]),
+        minipdf.build_pdf(["fuzz compressed"], compress=True),
+        minipdf.build_pdf(["fuzz encrypted"], compress=True, encrypt="",
+                          encrypt_rev=3),
+        minipdf.build_pdf(["fuzz aes"], encrypt="", encrypt_rev=4),
+    ]
+    rng = random.Random(20260814)
+    worst = 0.0
+    for _ in range(150):
+        data = bytearray(rng.choice(bases))
+        op = rng.randrange(3)
+        if op == 0:  # truncate
+            data = data[: rng.randrange(1, len(data))]
+        elif op == 1:  # flip up to 8 bytes
+            for _ in range(rng.randrange(1, 9)):
+                i = rng.randrange(len(data))
+                data[i] ^= 1 << rng.randrange(8)
+        else:  # delete a range
+            i = rng.randrange(len(data))
+            j = min(len(data), i + rng.randrange(1, 64))
+            del data[i:j]
+        t0 = time.perf_counter()
+        try:
+            minipdf.extract_page_texts(bytes(data))
+        except Exception:
+            pass  # any typed failure is fine; hangs are not
+        worst = max(worst, time.perf_counter() - t0)
+    assert worst < 5.0, f"slowest mutation took {worst:.1f}s"
