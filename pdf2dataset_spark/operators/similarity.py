@@ -505,6 +505,65 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_fast(
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 1024,
+    threshold: float = 0.85,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """`semantic_dedup`'s Arrow/numpy scale path: assignment via
+    `ivf_assign_fast` (one matmul per Arrow batch, corpus never
+    shuffled), then ONE shuffle groups each cluster and a per-cluster
+    numpy Gram matrix decides drops — a vector is dropped when a
+    LOWER-id cluster member has cosine >= threshold (same anchor-free
+    rule as the exact variant).
+
+    Cost shape at 100 TB: per-cluster work is |cluster|² float64
+    matmul (pick n_centroids so clusters stay ~100–1000 rows —
+    SemDeDup's own operating point); total pair work is Σ cluster²,
+    and the only corpus-wide movement is the single hash partition on
+    list_id. Differs from `semantic_dedup` only by matmul-vs-
+    sequential-fold float rounding on pairs that sit exactly AT the
+    threshold; agreement is pinned in tests and
+    `tools/bench_semdedup.py`. Returns (corpus_id, list_id, kept)."""
+    if assigned is None:
+        assigned = ivf_assign_fast(
+            corpus,
+            n_centroids=n_centroids,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            centroids=centroids,
+        )
+    id_type = dict(assigned.dtypes)[corpus_id]
+
+    def per_cluster(key, pdf):
+        import pandas as pd
+
+        ids = pdf[corpus_id].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        v = np.array(list(pdf[corpus_vec]), dtype=np.float64)[order]
+        ids = ids[order]
+        vn = v / _safe_norm(v)
+        sims = vn @ vn.T
+        # dropped[j] ⇔ ∃ i<j with sims[i,j] >= threshold: the strict
+        # upper triangle of the threshold mask, any per column
+        dropped = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                corpus_id: ids,
+                "list_id": key[0],
+                "kept": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(
+        per_cluster, f"{corpus_id} {id_type}, list_id long, kept boolean"
+    )
+
+
 def topk_cosine_fast(
     corpus: DataFrame,
     queries: DataFrame,

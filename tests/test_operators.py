@@ -608,3 +608,31 @@ def test_bpe_vocab_cap_guard(spark, documents):
 
     with pt.raises(ValueError, match="max_vocab"):
         bpe.train_bpe(documents, n_merges=1, max_vocab=3)
+
+
+def test_semantic_dedup_fast_agrees_with_exact(spark, embeddings):
+    """The numpy scale path must make the same keep/drop decisions as
+    the exact JVM path on a corpus with planted dups (threshold far
+    from any float near-tie)."""
+    e = embeddings.select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2).alias(
+            "embedding"
+        ),
+    )
+    corpus = e.unionByName(planted)
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    exact = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in sim.semantic_dedup(corpus, cents, threshold=0.85).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in sim.semantic_dedup_fast(
+            corpus, centroids=cents, threshold=0.85
+        ).collect()
+    }
+    assert exact == fast
