@@ -1168,10 +1168,10 @@ def build_pdf(
             o_val, oe_val = pdfcrypt.v5_make_owner_entries(
                 user_pwd + b"-owner", enc_key, u_val, 6
             )
+            import struct
+
             perms_blk = (
-                __import__("struct").pack("<i", p_val)
-                + b"\xff\xff\xff\xffTadb"
-                + b"seed"
+                struct.pack("<i", p_val) + b"\xff\xff\xff\xffTadb" + b"seed"
             )
             perms_val = _aes.encrypt_block(enc_key, perms_blk)
 

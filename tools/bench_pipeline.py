@@ -14,6 +14,13 @@ built for, each stage timed:
   6. train/test split (deterministic md5-threshold)
   7. sink             (partitioned parquet write to /tmp)
 
+Plus an out-of-chain ALTERNATIVE near-dup stage (hashed-BoW
+embeddings → `semantic_dedup_fast`) timed separately so the 1..7
+chain total stays comparable across rounds; its drop count shows
+what embedding-space dedup catches on the same corpus (recall is
+bounded by IVF cell-boundary splits — pairs straddling two cells
+are invisible, the standard SemDeDup trade-off).
+
 Prints one JSON line: per-stage seconds, end-to-end docs/s, and the
 row counts at each stage (so throughput claims are auditable).
 
@@ -153,6 +160,45 @@ def main() -> None:
     counts["test"] = spark.read.parquet(OUT).filter("split='test'").count()
 
     total = time.perf_counter() - t_all
+
+    # ALTERNATIVE near-dup stage, measured OUTSIDE the chain total
+    # so stage-1..7 docs/s stays comparable across rounds: hashed
+    # bag-of-words embeddings (crc32 buckets — deterministic, text-
+    # derived, so planted near-dups land at cosine ~0.99) →
+    # semantic_dedup_fast. Reports what the embedding-space detector
+    # catches on the SAME post-exact-dedup corpus the LSH stage sees.
+    import zlib as _zlib
+
+    from pdf2dataset_spark.operators import similarity as sim
+
+    def _bow(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = []
+            for text in pdf["text"]:
+                v = np.zeros(64, dtype=np.float32)
+                for w in str(text).split(" "):
+                    v[_zlib.crc32(w.encode()) % 64] += 1.0
+                vecs.append(v)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "embedding": [v.tolist() for v in vecs]}
+            )
+
+    t0 = time.perf_counter()
+    emb = uniq.select("doc_id", "text").mapInPandas(
+        _bow, "doc_id long, embedding array<float>"
+    )
+    sem = sim.semantic_dedup_fast(
+        emb,
+        n_centroids=max(64, n // 2000),
+        threshold=0.95,
+        corpus_id="doc_id",
+    )
+    counts["semantic_alt_dropped"] = sem.filter("NOT kept").count()
+    stages["semantic_dedup_alt_s"] = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
