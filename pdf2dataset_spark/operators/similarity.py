@@ -461,12 +461,14 @@ def semantic_dedup(
     threshold: float = 0.85,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-dedup over
     an embedding column, after Abbas et al. 2023, arXiv:2303.09540):
     assign every vector to its nearest centroid, then drop any
     document whose cluster holds a LOWER-id document with cosine
-    similarity >= `threshold`. Returns (corpus_id, list_id, kept).
+    similarity >= `threshold`. Returns (corpus_id, list_id, kept)
+    with list_id = the primary (nearest) cell.
 
     Scale shape: the quadratic near-dup comparison is scoped to
     clusters, so the pair count is the sum of squared CLUSTER sizes
@@ -474,18 +476,32 @@ def semantic_dedup(
     broadcasts the C centroids against an unshuffled corpus scan; the
     pair join then shuffles narrow (id, vec, list_id) rows hash-
     partitioned on list_id. The keep rule ("no lower-id near
-    neighbour in my cluster") is anchor-free and engine-exact:
-    sequential float64 cosine is bitwise-reproducible and the strict
-    id inequality leaves no ties to break."""
-    assigned = ivf_assign(
+    neighbour in any shared cluster") is anchor-free and
+    engine-exact: sequential float64 cosine is bitwise-reproducible
+    and the strict id inequality leaves no ties to break.
+
+    `nprobe > 1` assigns each vector to its `nprobe` nearest cells
+    for the PAIR stage (primary cell still reported): a duplicate
+    pair is caught whenever the two probe sets intersect, which
+    recovers the pairs a single-cell assignment splits across a cell
+    boundary — the standard SemDeDup recall trade-off — at `nprobe`×
+    pair-stage cost."""
+    multi = _ivf_assign(
+        corpus.select(corpus_id, corpus_vec),
+        centroids,
+        corpus_id,
+        corpus_vec,
+        nprobe,
+    )
+    primary = ivf_assign(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, centroids=centroids
     )
-    a = assigned.select(
+    a = multi.select(
         F.col(corpus_id).alias("__ida"),
         F.col(corpus_vec).alias("__va"),
         "list_id",
     )
-    b = assigned.select(
+    b = multi.select(
         F.col(corpus_id).alias("__idb"),
         F.col(corpus_vec).alias("__vb"),
         "list_id",
@@ -498,7 +514,7 @@ def semantic_dedup(
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return assigned.join(dropped, corpus_id, "left").select(
+    return primary.join(dropped, corpus_id, "left").select(
         corpus_id,
         "list_id",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
@@ -513,23 +529,28 @@ def semantic_dedup_fast(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     assigned: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """`semantic_dedup`'s Arrow/numpy scale path: assignment via
-    `ivf_assign_fast` (one matmul per Arrow batch, corpus never
-    shuffled), then ONE shuffle groups each cluster and a per-cluster
-    numpy Gram matrix decides drops — a vector is dropped when a
-    LOWER-id cluster member has cosine >= threshold (same anchor-free
-    rule as the exact variant).
+    """`semantic_dedup`'s Arrow/numpy scale path: matmul centroid
+    assignment (one pass per Arrow batch, corpus never shuffled),
+    then ONE shuffle groups each cluster and a per-cluster numpy
+    Gram matrix decides drops — a vector is dropped when a LOWER-id
+    cluster member has cosine >= threshold (same anchor-free rule as
+    the exact variant).
 
     Cost shape at 100 TB: per-cluster work is |cluster|² float64
     matmul (pick n_centroids so clusters stay ~100–1000 rows —
     SemDeDup's own operating point); total pair work is Σ cluster²,
-    and the only corpus-wide movement is the single hash partition on
-    list_id. Differs from `semantic_dedup` only by matmul-vs-
-    sequential-fold float rounding on pairs that sit exactly AT the
-    threshold; agreement is pinned in tests and
-    `tools/bench_semdedup.py`. Returns (corpus_id, list_id, kept)."""
-    if assigned is None:
+    and the only corpus-wide movement is the hash partition on
+    list_id. `nprobe > 1` replicates each vector into its nprobe
+    nearest cells for the pair stage (plus one id-grain merge
+    shuffle), recovering duplicate pairs that a single-cell
+    assignment splits across a cell boundary. Differs from
+    `semantic_dedup` only by matmul-vs-sequential-fold float
+    rounding on pairs exactly AT the threshold; agreement is pinned
+    in tests and `tools/bench_semdedup.py`. Returns
+    (corpus_id, list_id, kept) with list_id the primary cell."""
+    if assigned is None and nprobe == 1:
         assigned = ivf_assign_fast(
             corpus,
             n_centroids=n_centroids,
@@ -537,7 +558,52 @@ def semantic_dedup_fast(
             corpus_vec=corpus_vec,
             centroids=centroids,
         )
-    id_type = dict(assigned.dtypes)[corpus_id]
+    if assigned is not None:
+        multi = assigned.withColumn("primary", F.lit(True))
+    else:
+        cent_src = (
+            centroids
+            if centroids is not None
+            else _ivf_centroids(corpus, n_centroids, corpus_id, corpus_vec)
+        )
+        cent_rows = cent_src.orderBy("cent_id").collect()
+        c_ids = np.array([r[0] for r in cent_rows])
+        c_norm = np.array([r[1] for r in cent_rows], dtype=np.float64)
+        c_norm = c_norm / _safe_norm(c_norm)
+        p = min(nprobe, len(c_ids))
+        dtypes = dict(corpus.dtypes)
+        a_schema = (
+            f"{corpus_id} {dtypes[corpus_id]}, "
+            f"{corpus_vec} {dtypes[corpus_vec]}, "
+            "list_id long, primary boolean"
+        )
+
+        def assign_multi(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+                vn = v / _safe_norm(v)
+                top = np.argsort(-(vn @ c_norm.T), axis=1, kind="stable")[:, :p]
+                frames = [
+                    pd.DataFrame(
+                        {
+                            corpus_id: pdf[corpus_id],
+                            corpus_vec: pdf[corpus_vec],
+                            "list_id": c_ids[top[:, r]],
+                            "primary": r == 0,
+                        }
+                    )
+                    for r in range(p)
+                ]
+                yield pd.concat(frames, ignore_index=True)
+
+        multi = corpus.select(corpus_id, corpus_vec).mapInPandas(
+            assign_multi, a_schema
+        )
+    id_type = dict(corpus.dtypes)[corpus_id]
 
     def per_cluster(key, pdf):
         import pandas as pd
@@ -546,6 +612,7 @@ def semantic_dedup_fast(
         order = np.argsort(ids, kind="stable")
         v = np.array(list(pdf[corpus_vec]), dtype=np.float64)[order]
         ids = ids[order]
+        primary = pdf["primary"].to_numpy()[order]
         vn = v / _safe_norm(v)
         sims = vn @ vn.T
         # dropped[j] ⇔ ∃ i<j with sims[i,j] >= threshold: the strict
@@ -555,12 +622,23 @@ def semantic_dedup_fast(
             {
                 corpus_id: ids,
                 "list_id": key[0],
-                "kept": ~dropped,
+                "primary": primary,
+                "dropped": dropped,
             }
         )
 
-    return assigned.groupBy("list_id").applyInPandas(
-        per_cluster, f"{corpus_id} {id_type}, list_id long, kept boolean"
+    cells = multi.groupBy("list_id").applyInPandas(
+        per_cluster,
+        f"{corpus_id} {id_type}, list_id long, primary boolean, "
+        "dropped boolean",
+    )
+    if nprobe == 1:
+        return cells.select(
+            corpus_id, "list_id", (~F.col("dropped")).alias("kept")
+        )
+    return cells.groupBy(corpus_id).agg(
+        F.max(F.when(F.col("primary"), F.col("list_id"))).alias("list_id"),
+        (~F.max("dropped")).alias("kept"),
     )
 
 

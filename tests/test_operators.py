@@ -636,3 +636,37 @@ def test_semantic_dedup_fast_agrees_with_exact(spark, embeddings):
         ).collect()
     }
     assert exact == fast
+
+
+def test_semantic_dedup_nprobe_recovers_boundary_pairs(spark):
+    """Perturbed near-dups (cos ~0.999) can land in a different IVF
+    cell than their original; nprobe=2 probe-set overlap must recover
+    every such pair with zero false drops (and nprobe=1 must already
+    be false-drop-free)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    base = rng.standard_normal((n, 64)).astype(np.float32)
+    dup_src = rng.choice(n, 200, replace=False)
+    near = (
+        base[dup_src]
+        + rng.standard_normal((200, 64)).astype(np.float32) * 0.02
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([np.arange(n), dup_src + 10 * n]),
+            "embedding": list(base) + list(near),
+        }
+    )
+    corpus = spark.createDataFrame(pdf).repartition(8)
+    planted = {int(i) + 10 * n for i in dup_src}
+    for nprobe, min_recall in ((1, 0.9), (2, 1.0)):
+        out = sim.semantic_dedup_fast(
+            corpus, n_centroids=64, threshold=0.9, nprobe=nprobe
+        )
+        dropped = {r["vec_id"] for r in out.filter("NOT kept").collect()}
+        assert not (dropped - planted), "false drops"
+        assert len(dropped & planted) / len(planted) >= min_recall
+        assert out.count() == n + 200  # every vector exactly once

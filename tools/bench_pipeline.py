@@ -195,6 +195,7 @@ def main() -> None:
         n_centroids=max(64, n // 2000),
         threshold=0.95,
         corpus_id="doc_id",
+        nprobe=2,  # recovers pairs split across a cell boundary
     )
     counts["semantic_alt_dropped"] = sem.filter("NOT kept").count()
     stages["semantic_dedup_alt_s"] = round(time.perf_counter() - t0, 2)
