@@ -107,3 +107,69 @@ def test_shard_write_read_manifest(spark, tmp_path):
     # loader-side partition pruning must reach the scan
     plan = s2._jdf.queryExecution().executedPlan().toString()
     assert "shard_id" in plan
+
+
+def test_streaming_semantic_ingest_across_batches(spark, tmp_path):
+    """Embedding-space streaming dedup: within-batch near-dups keep
+    the lowest id; cross-batch near-dups of RETAINED vectors drop via
+    the cell-partitioned vector store; unrelated vectors pass."""
+    import numpy as np
+
+    from pdf2dataset_spark.streaming.semdedup import semantic_ingest
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, 16)).astype("float32")
+
+    def rows(ids_vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in ids_vecs],
+            "doc_id long, embedding array<float>",
+        )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "vecstore")
+    ckpt = str(tmp_path / "ckpt")
+    cents = rows([(i, base[i]) for i in range(4)]).select(
+        F.col("doc_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+
+    # batch 1: docs 1,2 distinct; doc 3 = scaled copy of doc 1 (dup)
+    rows([(1, base[4]), (2, base[5]), (3, base[4] * 2)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = semantic_ingest(stream, out, store, ckpt, cents, threshold=0.95)
+    try:
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2]
+
+        # batch 2: doc 4 = near-copy of retained 1 (cross-batch drop);
+        # doc 5 new; doc 6 = copy of 5 (within-batch drop)
+        near1 = base[4] + rng.standard_normal(16).astype("float32") * 0.01
+        rows([(4, near1), (5, base[6]), (6, base[6] * 3)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 5], got
+
+        # batch 3: near-copy of retained 5 drops; fresh doc passes
+        near5 = base[6] * 0.5
+        rows([(7, near5), (8, base[7])]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 5, 8], got
+        # store is partitioned by cell and holds only retained vectors
+        st = spark.read.parquet(store)
+        assert set(st.columns) >= {"doc_id", "embedding", "list_id"}
+        assert {r.doc_id for r in st.select("doc_id").distinct().collect()} == {
+            1, 2, 5, 8,
+        }
+    finally:
+        q.stop()
