@@ -550,6 +550,11 @@ def semantic_dedup_fast(
     rounding on pairs exactly AT the threshold; agreement is pinned
     in tests and `tools/bench_semdedup.py`. Returns
     (corpus_id, list_id, kept) with list_id the primary cell."""
+    if assigned is not None and nprobe != 1:
+        raise ValueError(
+            "assigned= carries a single-cell assignment; rebuild with "
+            "nprobe via centroids=/n_centroids= instead of passing both"
+        )
     if assigned is None and nprobe == 1:
         assigned = ivf_assign_fast(
             corpus,

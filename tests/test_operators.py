@@ -670,3 +670,44 @@ def test_semantic_dedup_nprobe_recovers_boundary_pairs(spark):
         assert not (dropped - planted), "false drops"
         assert len(dropped & planted) / len(planted) >= min_recall
         assert out.count() == n + 200  # every vector exactly once
+
+
+def test_semantic_dedup_exact_nprobe_agrees_with_fast(spark):
+    """nprobe=2 on the exact JVM variant finds the same boundary
+    pairs as the fast path (and the assigned+nprobe combination is
+    rejected)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n = 800
+    base = rng.standard_normal((n, 16)).astype(np.float32)
+    dup_src = rng.choice(n, 60, replace=False)
+    near = base[dup_src] + rng.standard_normal((60, 16)).astype(np.float32) * 0.02
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([np.arange(n), dup_src + 10 * n]),
+            "embedding": list(base) + list(near),
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    cents = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    exact = {
+        r["vec_id"]: r["kept"]
+        for r in sim.semantic_dedup(
+            corpus, cents, threshold=0.9, nprobe=2
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: r["kept"]
+        for r in sim.semantic_dedup_fast(
+            corpus, centroids=cents, threshold=0.9, nprobe=2
+        ).collect()
+    }
+    assert exact == fast
+    with pytest.raises(ValueError, match="nprobe"):
+        sim.semantic_dedup_fast(
+            corpus, assigned=corpus.withColumn("list_id", F.lit(0)), nprobe=2
+        )
