@@ -29,7 +29,38 @@ SENSITIVE = [
     "sql16_q8_market_share",  # CASE-conditional integer ratio
     "sql19_q17_small_qty_revenue",  # double threshold from exact ints
     "f20_repetition_stats",  # per-row double ratios (no shuffle at all)
+    "f34_semantic_dedup",  # float cosine threshold drops (bitwise fold)
+    "f36_quality_classifier",  # integer weights until one division
 ]
+
+
+def test_semantic_dedup_fast_invariant_under_input_partitioning(spark):
+    """The numpy path's Arrow batch boundaries move with the input
+    partitioning; drop decisions must not (per-row normalization +
+    per-cluster grouping are batch-independent)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf2dataset_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((2000, 16)).astype(np.float32)
+    dup = rng.choice(2000, 100, replace=False)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([np.arange(2000), dup + 100000]),
+            "embedding": list(base) + list(base[dup] * 2),
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+
+    def run(parts):
+        out = sim.semantic_dedup_fast(
+            corpus.repartition(parts), n_centroids=32, threshold=0.9, nprobe=2
+        )
+        return sorted(map(tuple, out.collect()))
+
+    assert run(2) == run(29)
 
 
 @pytest.fixture(scope="module")
