@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--image-size", default=None, help="resize rendered page images, 'WxH'"
     )
+    p.add_argument(
+        "--password",
+        default="",
+        help="password for encrypted PDFs (user or owner; encrypted "
+        "files with an empty user password open without it)",
+    )
     return p
 
 
@@ -76,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             ocr_lang=args.lang,
             image_format=args.image_format or "png",
             image_size=args.image_size,
+            password=args.password,
         )
         if args.use_pdf_codec
         else (

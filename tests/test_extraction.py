@@ -123,6 +123,21 @@ def test_cli_big_mode_writes_parquet(spark, tmp_path, capsys):
     assert spark.read.parquet(out_path).count() == 3
 
 
+def test_cli_password_opens_locked_pdf(spark, tmp_path, capsys):
+    from pdf2dataset_spark.__main__ import main
+    from pdf2dataset_spark.sources.minipdf import build_pdf
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "locked.pdf").write_bytes(
+        build_pdf(["secret page text"], encrypt="pw", encrypt_rev=3)
+    )
+    rc = main([str(src), "--small", "--use-pdf-codec", "--password", "pw"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "secret page text" in out
+
+
 def test_progress_snapshot(spark):
     from pdf2dataset_spark.plans.progress import progress_line, snapshot
 
