@@ -54,15 +54,18 @@ def main() -> None:
     # JVM/session warm-up so the first timed query doesn't pay startup.
     registry[names[0]].fn(spark, sf_dir).limit(1).collect()
 
-    # Three iterations, report the best: local-mode Spark pays a fixed
-    # per-job planning/scheduling cost on first execution (codegen
-    # compilation, broadcast build) that a long-lived cluster
-    # amortizes; the warm run is the steady-state number, and best-of-3
-    # damps transient host-load outliers.
+    # Five iterations, report the best: local-mode Spark pays a fixed
+    # per-job planning/scheduling cost on early executions (codegen
+    # compilation, JIT, broadcast build) that a long-lived cluster
+    # amortizes; the warm run is the steady-state number, and best-of-N
+    # damps transient host-load outliers. N=5 (was 3): with the grown
+    # code footprint, broadcast-join queries now need ~4 runs to reach
+    # JIT steady state (measured: d2 0.65→0.42→0.37→0.34→0.31 s), so
+    # best-of-3 was reporting warm-up, not the plan.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
