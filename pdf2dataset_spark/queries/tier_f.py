@@ -1544,6 +1544,74 @@ def f34_semantic_dedup(spark, sf_dir):
     return sim.semantic_dedup(corpus, cents, threshold=0.85)
 
 
+# --------------------------------------------------------------- F38
+@query(
+    "f38_semantic_dedup_nprobe",
+    sql=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.125) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, cent_id) AS rn
+      FROM (
+        SELECT a.vec_id, c.cent_id,
+               {_sql_cos('a.embedding', 'c.cent_vec')} AS cs
+        FROM corpus a CROSS JOIN cents c
+      )
+    ),
+    assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rn = 1),
+    av AS (
+      SELECT p.vec_id, p.cent_id AS list_id, c.embedding
+      FROM ranked p JOIN corpus c USING (vec_id) WHERE p.rn <= 2
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM av a JOIN av b
+        ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.62
+    )
+    SELECT s.vec_id, s.list_id, d.vec_id IS NULL AS kept
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+    tier="F",
+)
+def f38_semantic_dedup_nprobe(spark, sf_dir):
+    """Multi-probe SemDeDup (F38): `semantic_dedup(nprobe=2)` — each
+    vector joins the pair stage in its TWO nearest cells, so near-dup
+    pairs split across a cell boundary are still compared (the recall
+    gap single-cell SemDeDup has by construction). Planted dups here
+    PERTURB (+0.125 per component — exact in fp64 on both engines)
+    instead of scaling, so copies genuinely land in different cells
+    than their originals and the second probe does real work; the
+    0.62 threshold sits between planted-pair and natural-pair cosine.
+    Full oracle: DuckDB replays assignment (rn=1 primary, rn≤2
+    probes), cluster-scoped pairs, and the anchor-free drop rule."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.125).alias(
+            "embedding"
+        ),
+    )
+    corpus = e.unionByName(planted)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return sim.semantic_dedup(corpus, cents, threshold=0.62, nprobe=2)
+
+
 # --------------------------------------------------------------- F35
 _SPAN_HEADER = "Lorem ipsum boilerplate header. "  # 32 chars → 17 16-grams
 
