@@ -194,3 +194,35 @@ def test_encrypted_pdf_roundtrip_property(pages, password, rev):
     )
     got = [minipdf.content_text(doc.page_content(pg)) for pg in doc.pages()]
     assert got == norm
+
+
+@prop
+@given(
+    entries=st.dictionaries(
+        st.integers(min_value=1, max_value=0xFFFF),
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FFF),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_tounicode_cmap_roundtrip_property(entries):
+    """For ANY code→text mapping, a generated bfchar CMap must parse
+    back to exactly that mapping with 2-byte codes."""
+    from pdf2dataset_spark.sources import minipdf
+
+    bf = "".join(
+        f"<{code:04X}> <{dst.encode('utf-16-be').hex()}>\n"
+        for code, dst in entries.items()
+    )
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        f"endcodespacerange\n{len(entries)} beginbfchar\n{bf}endbfchar\n"
+        "endcmap"
+    ).encode("ascii")
+    mapping, code_len = minipdf.parse_tounicode_cmap(cmap)
+    assert code_len == 2
+    assert mapping == entries
