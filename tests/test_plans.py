@@ -336,3 +336,14 @@ def test_quality_classifier_single_doc_grain_shuffle(spark, registry):
 
     plan = explain_string(q(registry, "f36_quality_classifier", spark))
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_semantic_dedup_nprobe_still_broadcasts_no_cartesian(spark, registry):
+    """f38 (nprobe=2): probe replication must not change the plan
+    class — centroids broadcast, pair stage is an equi join on
+    list_id, no cartesian product anywhere."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "f38_semantic_dedup_nprobe", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan, plan
