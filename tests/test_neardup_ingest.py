@@ -173,3 +173,60 @@ def test_streaming_semantic_ingest_across_batches(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_semantic_ingest_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stop the semantic ingest, add data, restart from the same
+    checkpoint + stores: already-ingested files are not reprocessed
+    (no duplicate output rows, no duplicate store rows) and the
+    restarted query still deduplicates against pre-restart state."""
+    import numpy as np
+
+    from pdf2dataset_spark.streaming.semdedup import semantic_ingest
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((6, 16)).astype("float32")
+
+    def rows(ids_vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in ids_vecs],
+            "doc_id long, embedding array<float>",
+        )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "vecstore")
+    ckpt = str(tmp_path / "ckpt")
+    cents = rows([(i, base[i]) for i in range(3)]).select(
+        F.col("doc_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+
+    rows([(1, base[3]), (2, base[4])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        return semantic_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            out, store, ckpt, cents, threshold=0.95,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # new batch AFTER the stop: one near-dup of retained 1, one new
+    rows([(3, base[3] * 2), (4, base[5])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = [r.doc_id for r in spark.read.parquet(out).collect()]
+        assert sorted(got) == [1, 2, 4], got  # 3 dropped, nothing re-run
+        assert len(got) == len(set(got))  # no duplicate output rows
+        st = spark.read.parquet(store).select("doc_id", "list_id").collect()
+        assert len(st) == len({(r.doc_id, r.list_id) for r in st})
+    finally:
+        q.stop()
