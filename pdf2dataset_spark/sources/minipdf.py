@@ -727,6 +727,13 @@ class PdfDocument:
                 # pure-Latin-1 maps add nothing over the fallback
                 if any(emap.get(b) != chr(b) for b in range(256)):
                     out[name] = (emap, 1)
+        for name, (mapping, code_len) in out.items():
+            if code_len == 1:
+                # 1-byte maps decode via str.translate (C-speed) —
+                # a per-char Python loop would tax EVERY show op
+                out[name] = (mapping, 1, str.maketrans(
+                    {chr(c): v for c, v in mapping.items()}
+                ))
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -991,7 +998,7 @@ _SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
 
 def content_text(
     content: bytes,
-    fonts: dict[str, tuple[dict[int, str], int]] | None = None,
+    fonts: dict[str, tuple] | None = None,
 ) -> str:
     """Text shown by a content stream: ``Tj``/``TJ``/``'``/``"`` emit
     glyph strings; ``Td/TD/T*/Tm/ET`` mark line breaks (emitted
@@ -1005,17 +1012,19 @@ def content_text(
     out: list[str] = []
     shown = False  # a show op happened since the last break marker
     pending = False  # a break marker happened after a show op
-    cur_cmap: tuple[dict[int, str], int] | None = None
+    cur_cmap: tuple | None = None
 
     def show(raw: bytes) -> None:
         nonlocal shown, pending
         if pending:
             out.append("\n")
             pending = False
-        if cur_cmap is not None:
-            out.append(_decode_with_cmap(raw, cur_cmap[0], cur_cmap[1]))
-        else:
+        if cur_cmap is None:
             out.append(_decode_text_string(raw))
+        elif len(cur_cmap) == 3:  # 1-byte map with a translate table
+            out.append(raw.decode("latin-1").translate(cur_cmap[2]))
+        else:
+            out.append(_decode_with_cmap(raw, cur_cmap[0], cur_cmap[1]))
         shown = True
 
     def mark() -> None:
