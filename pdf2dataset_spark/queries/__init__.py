@@ -86,11 +86,14 @@ _LOADED = False
 #: fronts the 43 oracle-backed queries that have never had a driver row
 #: (TPC-H sql1–sql19, the F-tier pipeline group, g15, e3b/e15, a5/a6)
 #: plus a0/a15 — driver-checked in r1 but only as no_oracle rows; both
-#: now carry golden oracles worth converting to hard rows — then the 10
-#: rows-only entries (weaker ran-and-returned-rows driver evidence beats
-#: none). After r03 every oracle-backed query in the registry has driver
-#: evidence. Everything not listed keeps its import order after the
-#: prefix, so the 153-entry registry is unchanged in content.
+#: now carry golden oracles worth converting to hard rows — and fills the
+#: last 5 slots with this round's new oracle-backed flagships (encrypted-
+#: PDF and CID-font extraction goldens, SemDeDup exact + multi-probe, the
+#: hashed quality classifier): an oracle PASS is strictly stronger driver
+#: evidence than a rows-only row, so the rows-only tail waits for r4's
+#: window along with the other post-rotation additions (f28–f31, f35,
+#: d20, sql21). Everything not listed keeps its import order after the
+#: prefix, so the registry is unchanged in content.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H SQL shapes — never driver-checked (local oracle green)
     "sql1_raw_sql_q3_shape",
@@ -141,13 +144,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # a0/a15 were no_oracle rows in r1; both carry golden oracles now
     "a0_extract_pipeline",
     "a15_pipeline_composition",
+    # Round-3 oracle-backed flagships (added after the r3 rotation)
+    "a16_encrypted_pdf_extract",
+    "a17_cid_font_extract",
+    "f34_semantic_dedup",
+    "f36_quality_classifier",
+    "f38_semantic_dedup_nprobe",
+    # ---- end of the expected 50-entry window ----
+    "d20_bloom_filtered_join",
+    "sql21_recursive_month_spine",
+    "f35_duplicate_ngram_spans",
+    "f28_source_mixture_sampling",
+    "f29_quality_decile_binning",
+    "f30_source_vocabulary_overlap",
+    "f31_training_order_shuffle",
+    "f32_corpus_epoch_diff",
+    "f33_bpe_pair_counts",
     # Rows-only-by-design tail — a driver rows-only row still beats none
     "e12_sample",
     "f2a_minhash_lsh_candidates",
     "f5_lsh_approx_topk",
     "f5b_ivf_topk",
     "f5c_topk_cosine_packed",
-    # ---- end of the expected 50-entry window ----
     "f8_multimodal_decode",
     "f11_simhash_hamming",
     "f16_stratified_sample",

@@ -706,3 +706,48 @@ def d19_interval_overlap_join(spark, sf_dir):
     return joined.select(
         "user_id", ua["day"].alias("day"), overlap.alias("overlap_s")
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------- D20
+@query(
+    "d20_bloom_filtered_join",
+    sql="""
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+    tier="D",
+)
+def d20_bloom_filtered_join(spark, sf_dir):
+    """Bloom-runtime-filtered large-large join (D20): per-order line
+    count and revenue for URGENT orders. The selective orders side
+    builds a bloom filter over its keys (one bounded-output
+    aggregation); lineitem is probed by an Arrow-batched bit test on
+    JVM-computed xxhash64 positions BEFORE its shuffle, so ~80% of
+    the fact rows never enter the exchange. Bloom false positives
+    are eliminated by the exact join, so the result is identical to
+    the plain join — the oracle IS the plain join. This is the
+    explicit form of Trino dynamic filtering / Spark's runtime
+    bloom-filter rule for when the author knows the build side is
+    selective (operators/runtime_filter.py)."""
+    from pdf2dataset_spark.operators import runtime_filter as rtf
+
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = t(spark, sf_dir, "lineitem")
+    joined = rtf.bloom_filtered_join(
+        li,
+        urgent.select("o_orderkey"),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        csum("l_extendedprice").alias("revenue"),
+    )

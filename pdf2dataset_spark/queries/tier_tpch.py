@@ -955,3 +955,60 @@ def sql20_q2_min_cost_supplier(spark, sf_dir):
         .limit(100)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
     )
+
+
+# ------------------------------------------------------------ SQL21
+@query(
+    "sql21_recursive_month_spine",
+    sql="""
+    WITH RECURSIVE cal(month_start) AS (
+      SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+                  AS DATE)
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM cal
+      WHERE month_start < CAST(date_trunc('month',
+                               (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+    )
+    SELECT c.month_start,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+                    0.0) AS revenue,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM cal c LEFT JOIN orders o
+      ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = c.month_start
+    GROUP BY c.month_start
+    ORDER BY c.month_start
+    """,
+    tier="SQL",
+)
+def sql21_recursive_month_spine(spark, sf_dir):
+    """Recursive CTE (SQL:1999 / Spark 4 WITH RECURSIVE): a month
+    spine from MIN to MAX order month generated by the recursion,
+    left-joined to monthly revenue — the canonical calendar-
+    densification pattern (gap months appear with 0 revenue, unlike
+    a pure GROUP BY which silently drops them). The recursion depth
+    is the number of months (~tens), so the recursive leg is
+    driver-trivial at any data scale; the single orders aggregation
+    is the only shuffle, and the spine side is broadcast into the
+    left join. Dialect-identical in DuckDB modulo INTERVAL quoting."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(month_start) AS (
+          SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+                      AS DATE)
+          UNION ALL
+          SELECT CAST(month_start + INTERVAL '1' MONTH AS DATE) FROM cal
+          WHERE month_start < CAST(date_trunc('month',
+                                   (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+        )
+        SELECT c.month_start,
+               COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                             AS DOUBLE), 0.0) AS revenue,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM cal c LEFT JOIN orders o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = c.month_start
+        GROUP BY c.month_start
+        ORDER BY c.month_start
+        """
+    )
+
