@@ -1725,3 +1725,30 @@ def f36_quality_classifier(spark, sf_dir):
         ),
         (F.sum("w") > 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------- F40
+@query("f40_image_phash_neardup", sql=None, tier="F")
+def f40_image_phash_neardup(spark, sf_dir):
+    """Image near-dup detection over a binary image column (F8
+    family, REAL end-to-end): each document's first 120 chars render
+    to a PNG page image via the engine's own raster, a 64-bit DCT
+    perceptual hash is computed per image (Arrow-batched narrow
+    pass, operators/image_hash.py), and near-dup pairs come from
+    Hamming-LSH banding (single bucket shuffle, same plan family as
+    MinHash-LSH text dedup) verified with JVM bit_count. bands=8
+    makes Hamming<=6 detection exhaustive by pigeonhole — rescaled
+    copies hash identically (hamming 0, pinned in tests) and
+    one-glyph edits land around 6. Rows-only: the DCT hash is not
+    SQL-expressible, but determinism + recall are pytest-pinned
+    (tests/test_image_hash.py)."""
+    from pdf2dataset_spark.operators import image_hash as ih
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("page_text")
+    )
+    imgs = ih.render_text_images(d)
+    hashed = ih.with_image_hash(imgs, "image", out="phash")
+    return ih.phash_neardup_pairs(
+        hashed, id_col="doc_id", hash_col="phash", max_hamming=6, bands=8
+    ).orderBy("id_a", "id_b")
