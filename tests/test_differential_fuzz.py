@@ -1,0 +1,222 @@
+"""Differential query fuzzing: randomized filter→groupBy→agg plans
+run through BOTH the engine (Spark DataFrame API) and DuckDB, exact
+compare — the SQLancer-style complement to the fixed oracle registry.
+A mismatch on ANY generated plan is a real engine/translation bug.
+
+The generated space stays inside the cross-engine-exact domain the
+registry establishes (`queries/_util.py`): integer-cents money sums,
+COUNT/MIN/MAX on exact columns, integer group keys — so any diff is
+semantics, never float slop.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from pdf2dataset_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+# ---- predicate atoms: (spark_column_fn, duckdb_sql) pairs ----------
+PREDICATES = [
+    (lambda: F.col("l_quantity") <= 25.0, "l_quantity <= 25.0"),
+    (lambda: F.col("l_quantity") > 40.0, "l_quantity > 40.0"),
+    (lambda: F.col("l_discount") >= 0.05, "l_discount >= 0.05"),
+    (lambda: F.col("l_returnflag") == "R", "l_returnflag = 'R'"),
+    (lambda: F.col("l_returnflag") != "A", "l_returnflag <> 'A'"),
+    (lambda: F.col("l_linestatus") == "F", "l_linestatus = 'F'"),
+    (lambda: F.col("l_linenumber").isin(1, 2, 3), "l_linenumber IN (1,2,3)"),
+    (lambda: F.col("l_partkey") % 7 == 0, "l_partkey % 7 = 0"),
+    (
+        lambda: F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp_ntz"),
+        "l_shipdate < TIMESTAMP '1997-06-01'",
+    ),
+    (
+        lambda: F.col("l_extendedprice") > 20000.0,
+        "l_extendedprice > 20000.0",
+    ),
+]
+
+GROUP_KEYS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+# ---- aggregate atoms ----------------------------------------------
+AGGS = [
+    (lambda: F.count(F.lit(1)).alias("cnt"), "COUNT(*) AS cnt"),
+    (
+        lambda: F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "price_c"
+        ),
+        "SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS price_c",
+    ),
+    (
+        lambda: F.sum(F.round(F.col("l_discount") * 100, 0).cast("bigint")).alias(
+            "disc_c"
+        ),
+        "SUM(CAST(round(l_discount*100,0) AS BIGINT)) AS disc_c",
+    ),
+    (
+        lambda: F.min(F.col("l_quantity").cast("bigint")).alias("min_q"),
+        "MIN(CAST(l_quantity AS BIGINT)) AS min_q",
+    ),
+    (
+        lambda: F.max(F.col("l_quantity").cast("bigint")).alias("max_q"),
+        "MAX(CAST(l_quantity AS BIGINT)) AS max_q",
+    ),
+    (
+        lambda: F.countDistinct("l_partkey").alias("nd_part"),
+        "COUNT(DISTINCT l_partkey) AS nd_part",
+    ),
+    (
+        lambda: F.sum(F.col("l_linenumber").cast("bigint")).alias("sum_ln"),
+        "SUM(CAST(l_linenumber AS BIGINT)) AS sum_ln",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+plan_strategy = st.fixed_dictionaries(
+    {
+        "preds": st.lists(
+            st.integers(0, len(PREDICATES) - 1), max_size=3, unique=True
+        ),
+        "keys": st.lists(
+            st.sampled_from(GROUP_KEYS), max_size=2, unique=True
+        ),
+        "aggs": st.lists(
+            st.integers(0, len(AGGS) - 1), min_size=1, max_size=3, unique=True
+        ),
+    }
+)
+
+
+def _norm(v):
+    return int(v) if isinstance(v, bool) else v
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=plan_strategy)
+def test_random_plan_matches_duckdb(spark, oracle, plan):
+    df = load_table(spark, SF, "lineitem")
+    where = []
+    for i in plan["preds"]:
+        col_fn, sql = PREDICATES[i]
+        df = df.filter(col_fn())
+        where.append(sql)
+    agg_cols = [AGGS[i][0]() for i in plan["aggs"]]
+    agg_sqls = [AGGS[i][1] for i in plan["aggs"]]
+    if plan["keys"]:
+        df = df.groupBy(*plan["keys"]).agg(*agg_cols)
+        select = ", ".join(plan["keys"] + agg_sqls)
+        group = " GROUP BY " + ", ".join(plan["keys"])
+    else:
+        df = df.agg(*agg_cols)
+        select = ", ".join(agg_sqls)
+        group = ""
+    sql = (
+        f"SELECT {select} FROM lineitem"
+        + (" WHERE " + " AND ".join(where) if where else "")
+        + group
+    )
+    got = sorted(
+        tuple(_norm(v) for v in row) for row in (tuple(r) for r in df.collect())
+    )
+    want = sorted(
+        tuple(_norm(v) for v in row) for row in oracle.execute(sql).fetchall()
+    )
+    assert got == want, sql
+
+
+ORDER_PREDICATES = [
+    (lambda: F.col("o_orderpriority") == "1-URGENT", "o_orderpriority = '1-URGENT'"),
+    (lambda: F.col("o_totalprice") > 150000.0, "o_totalprice > 150000.0"),
+    (lambda: F.col("o_orderstatus") != "F", "o_orderstatus <> 'F'"),
+    (lambda: F.col("o_custkey") % 3 == 1, "o_custkey % 3 = 1"),
+]
+
+join_strategy = st.fixed_dictionaries(
+    {
+        "li_preds": st.lists(
+            st.integers(0, len(PREDICATES) - 1), max_size=2, unique=True
+        ),
+        "o_preds": st.lists(
+            st.integers(0, len(ORDER_PREDICATES) - 1), max_size=2, unique=True
+        ),
+        "how": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        "aggs": st.lists(
+            st.integers(0, len(AGGS) - 1), min_size=1, max_size=2, unique=True
+        ),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def oracle2(oracle):
+    oracle.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return oracle
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=join_strategy)
+def test_random_join_matches_duckdb(spark, oracle2, plan):
+    """Random lineitem⋈orders joins (incl. semi/anti — null-handling
+    hot spots) aggregated per l_returnflag, vs DuckDB."""
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    li_where, o_where = [], []
+    for i in plan["li_preds"]:
+        li = li.filter(PREDICATES[i][0]())
+        li_where.append(PREDICATES[i][1])
+    for i in plan["o_preds"]:
+        o = o.filter(ORDER_PREDICATES[i][0]())
+        o_where.append(ORDER_PREDICATES[i][1])
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"], plan["how"])
+    agg_cols = [AGGS[i][0]() for i in plan["aggs"]]
+    agg_sqls = [AGGS[i][1] for i in plan["aggs"]]
+    df = joined.groupBy("l_returnflag").agg(*agg_cols)
+
+    li_sub = "SELECT * FROM lineitem" + (
+        " WHERE " + " AND ".join(li_where) if li_where else ""
+    )
+    o_sub = "SELECT * FROM orders" + (
+        " WHERE " + " AND ".join(o_where) if o_where else ""
+    )
+    duck_join = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN",
+        "left_anti": "ANTI JOIN",
+    }[plan["how"]]
+    sql = (
+        f"SELECT l_returnflag, {', '.join(agg_sqls)} FROM ({li_sub}) l "
+        f"{duck_join} ({o_sub}) o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY l_returnflag"
+    )
+    got = sorted(tuple(_norm(v) for v in r) for r in (tuple(x) for x in df.collect()))
+    want = sorted(
+        tuple(_norm(v) for v in r) for r in oracle2.execute(sql).fetchall()
+    )
+    assert got == want, sql
