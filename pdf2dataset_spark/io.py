@@ -140,3 +140,45 @@ def write_table_fmt(
     if fmt == "csv":
         options.setdefault("header", "true")
     writer.options(**options).format(fmt).save(path)
+
+
+def metadata_stats_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Scan for footer-metadata-only aggregation (COUNT/MIN/MAX).
+
+    Parquet row-group footers already carry row counts and per-column
+    min/max; Spark's v2 ParquetScan can answer COUNT(*)/MIN/MAX
+    aggregations from them alone — zero data pages decoded, which at
+    100 TB is the difference between a metadata read (MBs of footers)
+    and a full-table scan. The rewrite only exists on the
+    DataSource-v2 path, so this helper scopes
+    ``spark.sql.sources.useV1SourceList`` to the relation-resolution
+    instant (resolution is eager inside ``load``; the produced
+    logical plan keeps its v2 scan node after the conf is restored —
+    pinned in tests/test_plans.py) and enables
+    ``spark.sql.parquet.aggregatePushdown`` for the session (a no-op
+    for v1 scans). Aggregate pushdown silently degrades to a normal
+    scan when the query shape doesn't qualify (data filters, non-
+    min/max/count aggregates, group-by on non-partition columns) —
+    results stay correct either way.
+    """
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.useV1SourceList")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def table_stats(
+    spark: SparkSession, sf_dir: str, name: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """COUNT(*)+per-column MIN/MAX for a table, metadata-only."""
+    from pyspark.sql import functions as F
+
+    df = metadata_stats_scan(spark, table_path(sf_dir, name))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.agg(*aggs)

@@ -971,3 +971,34 @@ def c23_percentile_disc(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------- C24
+@query(
+    "c24_metadata_stats",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS min_l_orderkey,
+           MAX(l_orderkey) AS max_l_orderkey,
+           MIN(l_quantity) AS min_l_quantity,
+           MAX(l_quantity) AS max_l_quantity
+    FROM lineitem
+    """,
+    tier="C",
+)
+def c24_metadata_stats(spark, sf_dir):
+    """Footer-metadata-only table stats (C-tier scan elision):
+    COUNT(*)/MIN/MAX answered from parquet row-group footers via the
+    v2 ParquetScan aggregate pushdown (io.table_stats) — zero data
+    pages decoded. At 100 TB this is a metadata read (MBs of footers,
+    one tiny task per file) instead of a full-table scan; the plan
+    test pins the non-empty PushedAggregation in the BatchScan.
+    DuckDB answers the twin from its own parquet metadata, so the
+    oracle doubles as a footer-stats cross-check. Pushdown supports
+    numeric min/max only (timestamp/string min-max fall back to a
+    real scan — still correct, pinned in plan tests)."""
+    from pdf2dataset_spark.io import table_stats
+
+    return table_stats(
+        spark, sf_dir, "lineitem", cols=("l_orderkey", "l_quantity")
+    )

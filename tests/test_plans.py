@@ -347,3 +347,23 @@ def test_semantic_dedup_nprobe_still_broadcasts_no_cartesian(spark, registry):
     plan = explain_string(q(registry, "f38_semantic_dedup_nprobe", spark))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_metadata_stats_aggregate_pushdown(spark, registry):
+    """c24 must answer from parquet footers: the v2 BatchScan carries
+    a NON-empty PushedAggregation (an empty one still prints the
+    key, so assert content, not presence)."""
+    import re
+
+    df = q(registry, "c24_metadata_stats", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedAggregation: \[([^\]]+)\]", plan)
+    assert m and "COUNT" in m.group(1).upper(), plan[:2000]
+
+
+def test_metadata_stats_scan_restores_conf(spark):
+    from pdf2dataset_spark.io import metadata_stats_scan
+
+    before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    metadata_stats_scan(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == before
