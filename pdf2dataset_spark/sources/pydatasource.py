@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _WORDS = (
     "the of and to in is was for on that with as his they at be this "
@@ -73,3 +78,47 @@ class DocSynthDataSource(DataSource):
 
     def reader(self, schema) -> DocSynthReader:
         return DocSynthReader(self.options)
+
+    def streamReader(self, schema) -> "DocSynthStreamReader":
+        return DocSynthStreamReader(self.options)
+
+
+class DocSynthStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader (Spark 4
+    `DataSourceStreamReader`): offsets are plain doc-id watermarks
+    ({"id": N}), each micro-batch covers [start, start+rate), and the
+    batch range is split across `numpartitions` InputPartitions so
+    the read itself is executor-parallel (the `SimpleDataSourceStream
+    Reader` variant would funnel rows through the driver — wrong
+    shape for a high-volume ingest). Rows derive purely from doc_id,
+    so replaying a committed offset range after a crash regenerates
+    byte-identical rows — exactly-once by determinism, no
+    source-side state beyond the offset."""
+
+    def __init__(self, options):
+        self.rate = int(options.get("rowspermicrobatch", 100))
+        self.parts = int(options.get("numpartitions", 4))
+        self.maxrows = int(options.get("maxrows", 1 << 40))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        # driver-side monotonic advance, capped at maxrows
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(cur + self.rate, self.maxrows)
+        return {"id": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["id"]), int(end["id"])
+        if hi <= lo:
+            return [_Range(lo, lo)]
+        step = -(-(hi - lo) // self.parts)
+        return [_Range(a, min(a + step, hi)) for a in range(lo, hi, step)]
+
+    def read(self, partition: _Range):
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, _doc_text(doc_id))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; nothing to clean up

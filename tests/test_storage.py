@@ -114,3 +114,37 @@ def test_csv_json_roundtrip_with_declared_schema(spark, tmp_path):
         assert back.schema == df.schema
         got = sorted(map(tuple, back.collect()))
         assert got == sorted(map(tuple, df.collect())), (fmt, got)
+
+
+def test_python_datasource_stream_reader(spark):
+    """Spark 4 DataSourceStreamReader surface: executor-parallel
+    micro-batches, offset-range exactly-once by determinism (every
+    id appears exactly once across batches; content is a pure
+    function of id)."""
+    import time
+
+    from pdf2dataset_spark.sources.pydatasource import (
+        DocSynthDataSource,
+        _doc_text,
+    )
+
+    spark.dataSource.register(DocSynthDataSource)
+    seen = []
+    q = (
+        spark.readStream.format("docsynth")
+        .option("rowspermicrobatch", 40)
+        .option("numpartitions", 4)
+        .option("maxrows", 120)
+        .load()
+        .writeStream.foreachBatch(lambda df, _: seen.append(df.collect()))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and sum(map(len, seen)) < 120:
+        time.sleep(0.5)
+    q.stop()
+    ids = sorted(r["doc_id"] for rows in seen for r in rows)
+    assert ids == list(range(120))  # exactly-once, no gaps, capped
+    some = next(r for rows in seen for r in rows if r["doc_id"] == 11)
+    assert some["text"] == _doc_text(11)
