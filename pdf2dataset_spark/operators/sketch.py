@@ -91,3 +91,92 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# ------------------------------------------------------------------
+# KMV / theta sketch — distinct counts WITH set operations
+# ------------------------------------------------------------------
+# HLL (c14) gives mergeable distinct counts but only UNION composes;
+# the KMV (k-minimum-values) theta sketch also estimates INTERSECTION
+# and difference — the Druid/DataSketches capability. The sketch is a
+# sorted array of the k smallest distinct key hashes (below sampling
+# threshold p): bounded size, pure JVM build, and EXACTLY mergeable —
+# "k smallest distinct hashes of A∪B" is a deterministic set function,
+# so merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit
+# (property-tested), unlike probabilistic-merge structures.
+#
+# Hash order: xxhash64 is signed; XOR with the sign bit maps unsigned
+# order onto signed order so array_sort ranks hashes as uniform
+# [0,1) draws. Estimators (standard KMV/theta):
+#   full (|S| = k):      est = (k-1) / u_k      u_k = normalized kth min
+#   sampling (|S| < k):  est = |S| / p
+#   A∩B: jaccard * union_est, jaccard = |U ∩ A ∩ B| / |U| over the
+#        union sketch U (k smallest of A ∪ B).
+#
+# Scale: the only shuffle carries ≤ k rows per group after partial
+# collect (p pre-filters the stream JVM-side first); sketches are
+# KBs, broadcastable, and compose across shards/days without
+# re-reading data.
+
+_SIGN = -(1 << 63)
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """Uniform-order 64-bit key hash (signed order == unsigned order)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.xxhash64(c).bitwiseXOR(F.lit(_SIGN))
+
+
+def _unit(h: Column) -> Column:
+    """Normalized hash in [0, 1): (flipped + 2^63) / 2^64."""
+    return (h.cast("double") - _SIGN) / F.lit(float(1 << 64))
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    p: float = 1.0,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Sketch column ``kmv`` (sorted long array, ≤ k entries) per
+    ``by`` group (global when None). ``p`` < 1 pre-filters the hash
+    stream (theta sampling mode) so degenerate high-cardinality
+    groups never collect more than ~p·n distinct hashes."""
+    h = kmv_hash(key_col).alias("__h")
+    src = df.select(*(by or []), h)
+    if p < 1.0:
+        thresh = int(p * (1 << 64)) + _SIGN
+        src = src.filter(F.col("__h") < F.lit(thresh))
+    agg = F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv")
+    return src.groupBy(*by).agg(agg) if by else src.agg(agg)
+
+
+def kmv_merge(a: Column | str, b: Column | str, k: int = 256) -> Column:
+    """Union of two sketches — exact: k smallest of the merged sets."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def kmv_estimate(sketch: Column | str, k: int = 256, p: float = 1.0) -> Column:
+    """Distinct-count estimate (double) from a sketch array."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    n = F.size(s)
+    full = (F.lit(k - 1).cast("double")) / _unit(F.element_at(s, k))
+    sampling = n.cast("double") / F.lit(float(p))
+    return F.when(n >= k, full).otherwise(sampling)
+
+
+def kmv_intersection(
+    a: Column | str, b: Column | str, k: int = 256, p: float = 1.0
+) -> tuple[Column, Column]:
+    """(jaccard_est, intersection_est) from two sketches."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    u = kmv_merge(ca, cb, k)
+    in_both = F.size(F.array_intersect(F.array_intersect(u, ca), cb))
+    jacc = F.when(F.size(u) > 0, in_both.cast("double") / F.size(u)).otherwise(
+        F.lit(0.0)
+    )
+    return jacc, jacc * kmv_estimate(u, k, p)

@@ -1002,3 +1002,39 @@ def c24_metadata_stats(spark, sf_dir):
     return table_stats(
         spark, sf_dir, "lineitem", cols=("l_orderkey", "l_quantity")
     )
+
+
+# --------------------------------------------------------------- C25
+@query("c25_kmv_set_sketches", sql=None, tier="C")
+def c25_kmv_set_sketches(spark, sf_dir):
+    """KMV/theta sketches with SET operations (C25): per-source
+    distinct-vocabulary sketches over documents, estimated distinct
+    count per source plus estimated jaccard/intersection of each
+    source's vocabulary with source 'src0'. HLL (c14) can only union;
+    KMV also intersects — the Druid/DataSketches capability —
+    and merge is EXACT (sketch(A)∪sketch(B) == sketch(A∪B),
+    property-tested in tests/test_sketch.py). Rows-only: estimates
+    hinge on xxhash64, which the oracle engine lacks; accuracy and
+    exact-merge semantics are pytest-pinned."""
+    from pdf2dataset_spark.operators import sketch as sk
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    k = 256
+    sketches = sk.kmv_build(d, "word", k=k, by=["source"])
+    ref = (
+        sketches.filter(F.col("source") == "src0")
+        .select(F.col("kmv").alias("ref_kmv"))
+    )
+    jacc, inter = sk.kmv_intersection("kmv", "ref_kmv", k=k)
+    return (
+        sketches.crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            F.round(sk.kmv_estimate("kmv", k=k), 1).alias("vocab_est"),
+            F.round(jacc, 4).alias("jaccard_vs_src0"),
+            F.round(inter, 1).alias("overlap_est"),
+        )
+        .orderBy("source")
+    )

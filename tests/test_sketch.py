@@ -91,3 +91,77 @@ def test_freq_items_contains_all_truly_frequent(spark):
     )
     [row] = df.freqItems(["k"], support=0.3).collect()
     assert "a" in row.k_freqItems
+
+
+# ---------------- KMV / theta sketch -------------------------------
+
+
+def _ids(spark, lo, hi, col="k"):
+    return spark.range(lo, hi).select(F.col("id").alias(col))
+
+
+def test_kmv_estimate_within_bounds(spark):
+    from pdf2dataset_spark.operators import sketch as sk
+
+    k = 256
+    for n in (100, 1000, 20000):
+        [row] = (
+            sk.kmv_build(_ids(spark, 0, n), "k", k=k)
+            .select(sk.kmv_estimate("kmv", k=k).alias("est"))
+            .collect()
+        )
+        # full-sketch rel error ~1/sqrt(k)=6.25%; 4-sigma slack.
+        # n=100 < k is EXACT (sampling mode, p=1).
+        tol = 0.0 if n <= k else 0.25
+        assert abs(row["est"] - n) <= tol * n, (n, row["est"])
+
+
+def test_kmv_merge_is_exact_set_function(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A∪B) bit-for-bit."""
+    from pdf2dataset_spark.operators import sketch as sk
+
+    k = 64
+    a = sk.kmv_build(_ids(spark, 0, 5000), "k", k=k).withColumnRenamed("kmv", "a")
+    b = sk.kmv_build(_ids(spark, 2500, 7500), "k", k=k).withColumnRenamed("kmv", "b")
+    [m] = a.crossJoin(b).select(sk.kmv_merge("a", "b", k).alias("m")).collect()
+    [w] = sk.kmv_build(_ids(spark, 0, 7500), "k", k=k).collect()
+    assert list(m["m"]) == list(w["kmv"])
+
+
+def test_kmv_intersection_estimate(spark):
+    from pdf2dataset_spark.operators import sketch as sk
+
+    k = 512
+    # |A|=10000, |B|=10000, |A∩B|=5000, |A∪B|=15000, J=1/3
+    a = sk.kmv_build(_ids(spark, 0, 10000), "k", k=k).withColumnRenamed("kmv", "a")
+    b = sk.kmv_build(_ids(spark, 5000, 15000), "k", k=k).withColumnRenamed("kmv", "b")
+    jacc, inter = sk.kmv_intersection("a", "b", k=k)
+    [row] = a.crossJoin(b).select(jacc.alias("j"), inter.alias("i")).collect()
+    assert abs(row["j"] - 1 / 3) < 0.1, row
+    assert abs(row["i"] - 5000) < 0.25 * 5000, row
+
+
+def test_kmv_sampling_mode_and_grouped_build(spark):
+    from pdf2dataset_spark.operators import sketch as sk
+
+    k, p = 64, 0.25
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("k")
+    )
+    out = {
+        r["g"]: r["est"]
+        for r in sk.kmv_build(df, "k", k=k, p=p, by=["g"])
+        .select("g", sk.kmv_estimate("kmv", k=k, p=p).alias("est"))
+        .collect()
+    }
+    assert set(out) == {0, 1}
+    for g, est in out.items():
+        assert abs(est - 4000) < 0.3 * 4000, (g, est)
+
+
+def test_kmv_build_is_single_bounded_agg(spark):
+    from pdf2dataset_spark.operators import sketch as sk
+    from pdf2dataset_spark.plans.audit import shuffle_count
+
+    df = sk.kmv_build(_ids(spark, 0, 1000), "k", k=64)
+    assert shuffle_count(df) <= 1
