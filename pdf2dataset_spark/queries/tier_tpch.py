@@ -1012,3 +1012,37 @@ def sql21_recursive_month_spine(spark, sf_dir):
         """
     )
 
+
+
+# ------------------------------------------------------------ SQL22
+@query(
+    "sql22_group_by_all",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100
+             AS revenue
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tier="SQL",
+)
+def sql22_group_by_all(spark, sf_dir):
+    """Modern SQL sugar: GROUP BY ALL / ORDER BY ALL (Spark 4 and
+    DuckDB both infer the key set from the non-aggregate select
+    items — the twin texts are IDENTICAL, no dialect delta). Plans
+    exactly like the explicit c1-style aggregation: partial/final
+    agg on (returnflag, linestatus), integer-cents exact revenue."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100
+                 AS revenue
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
