@@ -1,0 +1,192 @@
+"""End-to-end corpus curation pipeline — the product surface that
+composes the tier-F operators into one lazy plan:
+
+    quality gates → exact dedup → LSH near-dup → deterministic
+    train/test split → hashed shard assignment → sharded sink
+
+Every stage is an existing, individually-oracled operator
+(operators/text.py, dedup.py, cluster.py, shards.py); this module
+only composes and exposes them as a library call (:func:`curate`)
+and a CLI (``python -m pdf2dataset_spark.curate``).
+
+Scale posture: one logical plan end-to-end — no driver materialization
+between stages. The wide text column crosses a shuffle only where a
+stage's semantics require doc-grain movement (LSH banding, shard
+write); exact dedup uses the join strategy (hash + id shuffle only),
+and the near-dup pair set flows through narrow (id1, id2) edges.
+The train/test split and shard id are pure hash functions of the doc
+id — deterministic across reruns, cluster sizes, and partitionings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.operators import cluster as cl
+from pdf2dataset_spark.operators import dedup as dd
+from pdf2dataset_spark.operators import shards as sh
+from pdf2dataset_spark.operators import text as tx
+
+
+def split_hash(id_col: str) -> F.Column:
+    """Deterministic uniform [0,1) from the doc id (md5 prefix) —
+    the f17 split function: stable under reruns and re-partitioning."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_dup_bigram: float = 0.5,
+    exact: bool = True,
+    neardup: str = "lsh",
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    train_frac: float = 0.9,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The curated corpus: input columns + quality features +
+    ``split`` ('train'/'test') + ``shard_id``. Lazy — nothing runs
+    until the caller writes or counts."""
+    out = tx.quality_filter(
+        df, text_col, min_tokens=min_tokens, max_tokens=max_tokens
+    )
+    if max_dup_bigram < 1.0:
+        rep = tx.repetition_stats(df, text_col, id_col).select(
+            id_col, "dup_bigram_frac"
+        )
+        out = (
+            out.join(rep, id_col, "left")
+            .filter(
+                F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))
+                <= max_dup_bigram
+            )
+            .drop("dup_bigram_frac")
+        )
+    if exact:
+        out = dd.exact_dedup(
+            out, text_col, order_col=id_col, keep_hash=False, strategy="join"
+        )
+    if neardup == "lsh":
+        sig = out.select(
+            id_col,
+            dd.minhash_signature(dd.shingles(text_col, n=shingle_n)).alias(
+                "minhash"
+            ),
+            dd.shingles(text_col, n=shingle_n).alias("__sh"),
+        )
+        cand = dd.lsh_candidate_pairs(sig, id_col=id_col, max_bucket=64)
+        verified = dd.jaccard_pairs(
+            sig,
+            id_col=id_col,
+            set_col="__sh",
+            threshold=jaccard_threshold,
+            candidates=cand,
+        ).select("id1", "id2")
+        out = cl.dedup_by_components(out, verified, id_col=id_col)
+    elif neardup != "none":
+        raise ValueError(f"unknown neardup mode {neardup!r}")
+    u = split_hash(id_col)
+    return out.withColumn(
+        "split", F.when(u < train_frac, "train").otherwise("test")
+    ).withColumn(
+        "shard_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+
+
+def run(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    **opts,
+) -> dict:
+    """Read → curate → sharded write (+ manifest); returns the audit
+    report (input/kept counts per split — one extra agg pass over the
+    curated result, reusing the same plan)."""
+    df = spark.read.parquet(in_path)
+    n_in = df.count()
+    cur = curate(df, **opts)
+    sh.write_shards(
+        cur,
+        out_path,
+        shard_col="shard_id",
+        id_col=opts.get("id_col", "doc_id"),
+        token_col="q_n_tokens",
+    )
+    by_split = {
+        r["split"]: r["n"]
+        for r in cur.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    report = {
+        "input_docs": n_in,
+        "kept_docs": sum(by_split.values()),
+        "train_docs": by_split.get("train", 0),
+        "test_docs": by_split.get("test", 0),
+        "out_path": out_path,
+    }
+    return report
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pdf2dataset_spark.curate",
+        description="Curate a parquet document corpus into training shards.",
+    )
+    p.add_argument("input", help="input parquet path (documents table)")
+    p.add_argument("output", help="output directory (data/ + manifest/)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--max-dup-bigram", type=float, default=0.5)
+    p.add_argument("--no-exact-dedup", action="store_true")
+    p.add_argument("--neardup", choices=["lsh", "none"], default="lsh")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--train-frac", type=float, default=0.9)
+    p.add_argument("--shards", type=int, default=16)
+    p.add_argument("--num-cpus", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pdf2dataset_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    master = f"local[{args.num_cpus}]" if args.num_cpus else None
+    spark = get_spark("pdf2dataset-curate", master=master)
+    try:
+        report = run(
+            spark,
+            args.input,
+            args.output,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            max_dup_bigram=args.max_dup_bigram,
+            exact=not args.no_exact_dedup,
+            neardup=args.neardup,
+            jaccard_threshold=args.jaccard,
+            train_frac=args.train_frac,
+            n_shards=args.shards,
+        )
+        print(json.dumps(report))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
