@@ -64,7 +64,9 @@ def curate(
         df, text_col, min_tokens=min_tokens, max_tokens=max_tokens
     )
     if max_dup_bigram < 1.0:
-        rep = tx.repetition_stats(df, text_col, id_col).select(
+        # computed on the already-quality-filtered set: docs dropped by
+        # the cheap gates never pay the bigram explode
+        rep = tx.repetition_stats(out, text_col, id_col).select(
             id_col, "dup_bigram_frac"
         )
         out = (

@@ -95,3 +95,29 @@ def test_bucket_cap_bounds_pairs(spark):
     hashed = ih.with_image_hash(df, "image")
     n = ih.phash_neardup_pairs(hashed, max_bucket=10, bands=8).count()
     assert 0 < n <= 10 * 9 // 2 * 8  # per-band capped quadratic, not 50*49/2
+
+
+def test_phash_upscale_invariance_property():
+    """Hypothesis: for arbitrary printable one-line texts, the pHash
+    of a nearest-neighbor k-x upscale stays within 2 bits of the
+    original (pure Python — no Spark round-trip)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        text=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=3,
+            max_size=40,
+        ),
+        k=st.sampled_from([2, 3, 4]),
+    )
+    def prop(text, k):
+        png = render_text_png(text)
+        base = ih.phash64(png)
+        w, h, px = decode_png(png)
+        w2, h2, px2 = resize_nearest(w, h, px, w * k, h * k)
+        assert _ham(base, ih.phash64(encode_png(w2, h2, bytes(px2)))) <= 2
+
+    prop()
