@@ -173,3 +173,27 @@ def merge_upsert(
         _shutil.rmtree(old)
     else:
         _os.rename(tmp, target_path)
+
+
+def write_point_lookup_layout(
+    df,
+    path: str,
+    bloom_cols: dict[str, int],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS for point-lookup
+    pruning: ``bloom_cols`` maps column name → expected distinct
+    count. Row-group min/max stats only prune range/sorted layouts
+    (the z-order path above); an equality probe on a high-cardinality
+    UNSORTED column (doc_id, url hash) matches every row group's
+    [min,max] span, so at 100 TB it reads everything. A parquet bloom
+    filter (split-block, parquet-mr writes it; Spark's reader
+    consults it for = and IN predicates) lets the scan skip row
+    groups that cannot contain the key at ~1.2 bytes/NDV footprint
+    (tests pin the written footprint). Keep NDV honest: undersizing
+    inflates the false-positive rate toward 'no pruning'."""
+    w = df.write
+    for col, ndv in bloom_cols.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
+    w.mode(mode).parquet(path)

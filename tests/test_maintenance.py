@@ -171,3 +171,23 @@ def test_merge_upsert_update_wins_version_tie(spark, tmp_path):
     )
     [r] = spark.read.parquet(path).collect()
     assert (r.val, r.version) == ("new", 10)
+
+
+def test_point_lookup_layout_writes_bloom_filters(spark, tmp_path):
+    """The bloom option must actually reach parquet-mr: files carry
+    the filter payload (~1.2 bytes/NDV), absent in the plain write."""
+    from pdf2dataset_spark.operators.maintenance import (
+        dataset_size_bytes,
+        write_point_lookup_layout,
+    )
+
+    df = spark.range(100_000).selectExpr(
+        "id", "cast(id as string) AS key"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.mode("overwrite").parquet(plain)
+    write_point_lookup_layout(df, bloomed, {"key": 100_000})
+    delta = dataset_size_bytes(bloomed) - dataset_size_bytes(plain)
+    assert delta > 50_000, delta  # ~128KiB filter for 100k NDV
+    # the layout stays readable and complete
+    assert spark.read.parquet(bloomed).count() == 100_000
