@@ -220,3 +220,60 @@ def test_random_join_matches_duckdb(spark, oracle2, plan):
         tuple(_norm(v) for v in r) for r in oracle2.execute(sql).fetchall()
     )
     assert got == want, sql
+
+
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+# the 5-column ORDER_KEY below is (verified 6000/6000 distinct), which
+# makes every sequence-sensitive window function deterministic.
+ORDER_KEY = "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice"
+
+WINDOW_FNS = [
+    "row_number() OVER w AS rn",
+    "rank() OVER (PARTITION BY {p} ORDER BY CAST(l_quantity AS BIGINT)) AS rk",
+    "dense_rank() OVER (PARTITION BY {p} ORDER BY CAST(l_quantity AS BIGINT)) AS drk",
+    "lag(CAST(l_quantity AS BIGINT), 1) OVER w AS lag_q",
+    "lead(l_linenumber, 2) OVER w AS lead_ln",
+    "SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) OVER "
+    f"(PARTITION BY {{p}} ORDER BY {ORDER_KEY} "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c",
+    "COUNT(*) OVER (PARTITION BY {p}) AS part_n",
+]
+
+PARTS = ["l_returnflag", "l_linestatus", "l_orderkey % 10"]
+
+window_strategy = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(PARTS),
+        "fns": st.lists(
+            st.integers(0, len(WINDOW_FNS) - 1), min_size=1, max_size=3, unique=True
+        ),
+        "pred": st.one_of(
+            st.none(), st.integers(0, len(PREDICATES) - 1)
+        ),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=window_strategy)
+def test_random_window_matches_duckdb(spark, oracle, plan):
+    """Random window specs over a deterministic total order
+    (l_orderkey, l_linenumber is unique) — identical SQL text on
+    both engines."""
+    load_table(spark, SF, "lineitem").createOrReplaceTempView("lineitem")
+    p = plan["part"]
+    sels = [WINDOW_FNS[i].format(p=p) for i in plan["fns"]]
+    where = f" WHERE {PREDICATES[plan['pred']][1]}" if plan["pred"] is not None else ""
+    sql = (
+        f"SELECT {ORDER_KEY}, {', '.join(sels)} "
+        f"FROM lineitem{where} "
+        f"WINDOW w AS (PARTITION BY {p} ORDER BY {ORDER_KEY})"
+    )
+    key = lambda row: tuple((v is None, v) for v in row)  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=key)
+    want = sorted((tuple(r) for r in oracle.execute(sql).fetchall()), key=key)
+    assert got == want, sql
