@@ -29,15 +29,20 @@ def main() -> None:
     spark = get_spark("bench-imagehash", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # dup rows reuse their source row's text -> identical image; all
+    # other pages get md5-derived pseudo-words so unrelated pages are
+    # visually distinct (single-digit deltas would be LEGIT near-dups)
+    src_id = (
+        F.when(F.col("id") % dup_every == 1, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .cast("string")
+    )
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.lit("page "),
-            # dup rows reuse their source row's text -> identical image
-            F.when(F.col("id") % dup_every == 1, F.col("id") - 1)
-            .otherwise(F.col("id"))
-            .cast("string"),
-            F.lit(" content line\nsecond line of the page"),
+            F.substring(F.md5(src_id), 1, 16),
+            F.lit("\n"),
+            F.substring(F.md5(F.concat(src_id, F.lit("b"))), 1, 16),
         ).alias("page_text"),
     )
 
