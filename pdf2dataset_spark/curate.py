@@ -56,6 +56,8 @@ def curate(
     shingle_n: int = 3,
     train_frac: float = 0.9,
     n_shards: int = 16,
+    benchmark: DataFrame | None = None,
+    max_contamination: float = 0.1,
 ) -> DataFrame:
     """The curated corpus: input columns + quality features +
     ``split`` ('train'/'test') + ``shard_id``. Lazy — nothing runs
@@ -100,6 +102,22 @@ def curate(
         out = cl.dedup_by_components(out, verified, id_col=id_col)
     elif neardup != "none":
         raise ValueError(f"unknown neardup mode {neardup!r}")
+    if benchmark is not None:
+        # eval-set decontamination (F21 primitive): drop docs whose
+        # 5-gram shingles overlap the benchmark beyond the threshold;
+        # the benchmark's distinct shingle set is broadcast, the
+        # corpus text never shuffles for this stage.
+        cont = dd.ngram_contamination(
+            out, benchmark, id_col=id_col, text_col=text_col
+        ).select(id_col, "contamination_frac")
+        out = (
+            out.join(cont, id_col, "left")
+            .filter(
+                F.coalesce(F.col("contamination_frac"), F.lit(0.0))
+                <= max_contamination
+            )
+            .drop("contamination_frac")
+        )
     u = split_hash(id_col)
     return out.withColumn(
         "split", F.when(u < train_frac, "train").otherwise("test")
@@ -119,6 +137,9 @@ def run(
     curated result, reusing the same plan)."""
     df = spark.read.parquet(in_path)
     n_in = df.count()
+    bench_path = opts.pop("benchmark_path", None)
+    if bench_path:
+        opts["benchmark"] = spark.read.parquet(bench_path)
     cur = curate(df, **opts)
     sh.write_shards(
         cur,
@@ -156,6 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-exact-dedup", action="store_true")
     p.add_argument("--neardup", choices=["lsh", "none"], default="lsh")
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="BENCH_PARQUET",
+        help="drop docs whose 5-gram overlap with this eval corpus "
+        "exceeds --max-contamination",
+    )
+    p.add_argument("--max-contamination", type=float, default=0.1)
     p.add_argument("--train-frac", type=float, default=0.9)
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--num-cpus", type=int, default=None)
@@ -167,6 +196,9 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
     master = f"local[{args.num_cpus}]" if args.num_cpus else None
+    # getOrCreate may hand us a pre-existing session (library/test
+    # embedding) — only stop what this CLI itself created
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark("pdf2dataset-curate", master=master)
     try:
         report = run(
@@ -183,10 +215,13 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard,
             train_frac=args.train_frac,
             n_shards=args.shards,
+            benchmark_path=args.decontaminate,
+            max_contamination=args.max_contamination,
         )
         print(json.dumps(report))
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
     return 0
 
 

@@ -85,3 +85,19 @@ def test_cli_main(spark, corpus, tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rep = json.loads(line)
     assert rep["kept_docs"] == 41  # near dup kept in this mode
+
+
+def test_curate_decontamination(spark, corpus):
+    bench = spark.createDataFrame(
+        [(0, _doc(5)), (1, _doc(7))], "bid long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in cu.curate(
+            corpus, neardup="none", benchmark=bench, max_contamination=0.1
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert 5 not in kept and 7 not in kept  # contaminated docs dropped
+    assert {0, 2, 3, 4, 6, 8} <= kept       # the rest survive
