@@ -101,3 +101,12 @@ def test_curate_decontamination(spark, corpus):
     }
     assert 5 not in kept and 7 not in kept  # contaminated docs dropped
     assert {0, 2, 3, 4, 6, 8} <= kept       # the rest survive
+
+
+def test_curate_plan_has_no_cartesian(spark, corpus):
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(
+        cu.curate(corpus, persist_stages=False), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -88,3 +88,31 @@ def test_probe_word_array_is_uint64():
     # the probe's bit arithmetic assumes uint64 views; pin the dtype
     words = np.zeros(4, dtype=np.uint64)
     assert words.dtype == np.uint64
+
+
+def test_no_false_negatives_property(spark):
+    """Hypothesis: for arbitrary build/probe key sets (incl.
+    negatives and collisions), every probe key present in the build
+    set survives the bloom probe — the exactness invariant."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(min_value=-(2**40), max_value=2**40)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        build_keys=st.lists(ints, min_size=1, max_size=50, unique=True),
+        probe_keys=st.lists(ints, min_size=1, max_size=80, unique=True),
+    )
+    def prop(build_keys, probe_keys):
+        build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+        probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+        words = rtf.bloom_build(build, "k", num_bits=1 << 12, k=3)
+        kept = {r["k"] for r in rtf.bloom_probe(probe, "k", words, 3).collect()}
+        assert set(build_keys) & set(probe_keys) <= kept
+
+    prop()
