@@ -53,6 +53,7 @@ def curate(
     exact: bool = True,
     neardup: str = "lsh",
     jaccard_threshold: float = 0.8,
+    verify_jaccard: bool = True,
     shingle_n: int = 3,
     train_frac: float = 0.9,
     n_shards: int = 16,
@@ -103,22 +104,30 @@ def curate(
             )
         )
     if neardup == "lsh":
-        sig = out.select(
-            id_col,
+        # verify_jaccard=True (default): LSH candidates are confirmed
+        # with exact Jaccard before any drop, so an LSH collision can
+        # never delete a unique document. False drops candidates
+        # unverified — ~2x faster on the near-dup stage, with the
+        # false-positive drop risk bounded by the banding parameters.
+        sig_cols = [
+            F.col(id_col),
             dd.minhash_signature(dd.shingles(text_col, n=shingle_n)).alias(
                 "minhash"
             ),
-            dd.shingles(text_col, n=shingle_n).alias("__sh"),
-        )
-        cand = dd.lsh_candidate_pairs(sig, id_col=id_col, max_bucket=64)
-        verified = dd.jaccard_pairs(
-            sig,
-            id_col=id_col,
-            set_col="__sh",
-            threshold=jaccard_threshold,
-            candidates=cand,
-        ).select("id1", "id2")
-        out = cut(cl.dedup_by_components(out, verified, id_col=id_col))
+        ]
+        if verify_jaccard:
+            sig_cols.append(dd.shingles(text_col, n=shingle_n).alias("__sh"))
+        sig = out.select(*sig_cols)
+        pairs = dd.lsh_candidate_pairs(sig, id_col=id_col, max_bucket=64)
+        if verify_jaccard:
+            pairs = dd.jaccard_pairs(
+                sig,
+                id_col=id_col,
+                set_col="__sh",
+                threshold=jaccard_threshold,
+                candidates=pairs,
+            ).select("id1", "id2")
+        out = cut(cl.dedup_by_components(out, pairs, id_col=id_col))
     elif neardup != "none":
         raise ValueError(f"unknown neardup mode {neardup!r}")
     if benchmark is not None:
@@ -197,6 +206,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neardup", choices=["lsh", "none"], default="lsh")
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument(
+        "--no-verify-jaccard",
+        action="store_true",
+        help="drop LSH candidates without exact-Jaccard confirmation "
+        "(~2x faster near-dup stage; small false-drop risk)",
+    )
+    p.add_argument(
         "--decontaminate",
         default=None,
         metavar="BENCH_PARQUET",
@@ -232,6 +247,7 @@ def main(argv: list[str] | None = None) -> int:
             exact=not args.no_exact_dedup,
             neardup=args.neardup,
             jaccard_threshold=args.jaccard,
+            verify_jaccard=not args.no_verify_jaccard,
             train_frac=args.train_frac,
             n_shards=args.shards,
             benchmark_path=args.decontaminate,
