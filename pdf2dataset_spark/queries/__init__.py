@@ -151,8 +151,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f36_quality_classifier",
     "f38_semantic_dedup_nprobe",
     # ---- end of the expected 50-entry window ----
+    # Oracle-backed entries awaiting their first driver row (r4 front)
     "d20_bloom_filtered_join",
     "sql21_recursive_month_spine",
+    "sql22_group_by_all",
+    "c24_metadata_stats",
     "f35_duplicate_ngram_spans",
     "f28_source_mixture_sampling",
     "f29_quality_decile_binning",
@@ -171,6 +174,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f16_stratified_sample",
     "g4_watermark_passthrough",
     "g6_stateful_per_key",
+    "f37_bpe_tokenize",
+    "c25_kmv_set_sketches",
+    "f40_image_phash_neardup",
 )
 
 
