@@ -277,3 +277,57 @@ def test_random_window_matches_duckdb(spark, oracle, plan):
     got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=key)
     want = sorted((tuple(r) for r in oracle.execute(sql).fetchall()), key=key)
     assert got == want, sql
+
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(SETOPS),
+    pa=st.integers(0, len(PREDICATES) - 1),
+    pb=st.integers(0, len(PREDICATES) - 1),
+)
+def test_random_setop_matches_duckdb(spark, oracle, op, pa, pb):
+    """Random set operations between two filtered projections —
+    UNION dedup and EXCEPT/INTERSECT bag-vs-set semantics are classic
+    cross-engine divergence points; identical SQL text both sides."""
+    load_table(spark, SF, "lineitem").createOrReplaceTempView("lineitem")
+    proj = "l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q"
+    sql = (
+        f"SELECT {proj} FROM lineitem WHERE {PREDICATES[pa][1]} "
+        f"{op} "
+        f"SELECT {proj} FROM lineitem WHERE {PREDICATES[pb][1]}"
+    )
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in oracle.execute(sql).fetchall())
+    assert got == want, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(GROUP_KEYS),
+    min_n=st.integers(1, 2000),
+    limit=st.integers(1, 5),
+)
+def test_random_having_order_limit_matches_duckdb(spark, oracle, key, min_n, limit):
+    """HAVING + deterministic ORDER BY ... LIMIT — tie-break on the
+    group key keeps the limit engine-invariant."""
+    load_table(spark, SF, "lineitem").createOrReplaceTempView("lineitem")
+    sql = (
+        f"SELECT {key} AS k, COUNT(*) AS n, "
+        "SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS rev_c "
+        f"FROM lineitem GROUP BY {key} HAVING COUNT(*) >= {min_n} "
+        f"ORDER BY n DESC, k LIMIT {limit}"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in oracle.execute(sql).fetchall()]
+    assert got == want, sql
