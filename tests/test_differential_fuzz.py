@@ -331,3 +331,68 @@ def test_random_having_order_limit_matches_duckdb(spark, oracle, key, min_n, lim
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in oracle.execute(sql).fetchall()]
     assert got == want, sql
+
+
+@pytest.fixture(scope="module")
+def null_tables(spark, oracle):
+    """A null-rich table registered in BOTH engines — the TPC-H
+    testdata has no NULLs, so null semantics (group-by-null,
+    agg-over-null, join-on-null) would otherwise go unfuzzed."""
+    import pandas as pd
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                None if i % 7 == 0 else i % 5,          # nullable group key
+                None if i % 11 == 0 else (i * 13) % 97,  # nullable value
+                None if i % 13 == 0 else i % 20,         # nullable join key
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["id", "g", "v", "jk"]).astype(
+        {"id": "int64", "g": "Int64", "v": "Int64", "jk": "Int64"}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("nulltab")
+    oracle.register("nulltab", pdf)
+    dim = pd.DataFrame(
+        {"jk": pd.array([None, 1, 2, 3, 5, 8, 13], dtype="Int64"),
+         "label": ["n", "a", "b", "c", "d", "e", "f"]}
+    )
+    spark.createDataFrame(dim).createOrReplaceTempView("nulldim")
+    oracle.register("nulldim", dim)
+    return oracle
+
+
+NULL_QUERIES = [
+    # group-by NULL key forms its own group in both engines
+    "SELECT g, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv FROM nulltab GROUP BY g",
+    # aggregates skip NULLs; COUNT(*) does not
+    "SELECT COUNT(*) AS n, COUNT(v) AS nv, MIN(v) AS mn, MAX(v) AS mx FROM nulltab",
+    # DISTINCT treats NULLs as equal
+    "SELECT DISTINCT g FROM nulltab",
+    # equality join never matches NULL keys
+    "SELECT t.id, d.label FROM nulltab t JOIN nulldim d ON t.jk = d.jk",
+    # left join keeps NULL-key rows with NULL label
+    "SELECT COUNT(*) AS n, COUNT(d.label) AS matched "
+    "FROM nulltab t LEFT JOIN nulldim d ON t.jk = d.jk",
+    # IS DISTINCT FROM: null-safe comparison
+    "SELECT COUNT(*) AS n FROM nulltab WHERE g IS DISTINCT FROM v",
+    # NULL-aware NOT IN: any NULL in the subquery empties the result
+    "SELECT COUNT(*) AS n FROM nulltab WHERE jk NOT IN (SELECT jk FROM nulldim)",
+    # COALESCE / NULLIF scalar behavior
+    "SELECT COALESCE(g, -1) AS gg, COUNT(*) AS n FROM nulltab GROUP BY 1",
+    "SELECT COUNT(NULLIF(g, 0)) AS nz FROM nulltab",
+    # ORDER BY with explicit null placement + deterministic tie-break
+    "SELECT id, v FROM nulltab ORDER BY v ASC NULLS LAST, id LIMIT 25",
+]
+
+
+@pytest.mark.parametrize("sql", NULL_QUERIES)
+def test_null_semantics_match_duckdb(spark, null_tables, sql):
+    key = lambda row: tuple((x is None, x) for x in row)  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=key)
+    want = sorted((tuple(r) for r in null_tables.execute(sql).fetchall()), key=key)
+    assert [tuple(_norm(v) for v in r) for r in got] == [
+        tuple(_norm(v) for v in r) for r in want
+    ], sql
