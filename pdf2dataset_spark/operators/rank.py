@@ -12,6 +12,22 @@ scalable equivalent splits it into:
 
 Output is bit-identical to the single-partition window as long as
 the ordering is total (include a unique tie-break key).
+
+CORRECTNESS NOTE (found by tools/bench_rank.py at 10M rows): the
+local-window branch and the offsets branch both consume the
+``repartitionByRange`` output, and Spark's range exchange picks its
+partition boundaries by SAMPLING at execution time. When the
+optimizer does not reuse the exchange across the two branches (it
+reliably does not at scale), each branch samples DIFFERENT
+boundaries, the offsets no longer match the partition counts, and
+the "rank" silently stops being a permutation (observed: 10M rows →
+9.70M distinct ranks; at <=1M rows the sample is effectively
+exhaustive, so small-scale tests cannot catch it). The fix is to
+persist the ranged frame (MEMORY_AND_DISK): both branches then read
+the SAME materialized partitioning — one boundary sample, one scan
+of the input instead of two, and the rank is a permutation at any
+scale (pinned by tests/test_operators.py::test_global_rank_is_
+permutation_at_scale).
 """
 
 from __future__ import annotations
@@ -28,9 +44,13 @@ def global_rank(
 ) -> DataFrame:
     """Append a dense global row number following ``order_cols``
     (must be a total order) without a single-partition window."""
+    from pyspark import StorageLevel
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)  # ONE boundary sample
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__rn", F.row_number().over(w_local))
@@ -65,9 +85,13 @@ def global_prefix_sum(
     (one row each) cumulated into offsets and broadcast back. Exact
     for integer values; bit-identical to the global window for them.
     Used by f22 shard packing (exclusive prefix = inclusive − value)."""
+    from pyspark import StorageLevel
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)  # ONE boundary sample
     )
     w_local = (
         Window.partitionBy("__pid")

@@ -711,3 +711,24 @@ def test_semantic_dedup_exact_nprobe_agrees_with_fast(spark):
         sim.semantic_dedup_fast(
             corpus, assigned=corpus.withColumn("list_id", F.lit(0)), nprobe=2
         )
+
+
+def test_global_rank_is_permutation_at_scale(spark):
+    """Regression for the range-boundary resampling bug: with two
+    independent executions of the range exchange, offsets mismatch
+    partition counts and the rank stops being a permutation — but
+    ONLY once the boundary sample is partial (>= several million
+    rows; sf-level tests can never catch it). Pins the persisted-
+    partitioning fix at 6M rows in ~20 s."""
+    from pdf2dataset_spark.operators import rank
+
+    n = 6_000_000
+    df = spark.range(n).select(F.col("id"), F.xxhash64("id").alias("k"))
+    out = rank.global_rank(df, [F.col("k"), F.col("id")])
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("global_rank").alias("nd"),
+        F.min("global_rank").alias("mn"),
+        F.max("global_rank").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 1, n), agg
