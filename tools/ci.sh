@@ -21,3 +21,6 @@ if [ -n "$LAST" ]; then
 else
   echo "no BENCH_r*.json baseline yet; skipping"
 fi
+
+echo "== at-scale invariant checks (5-10M rows) =="
+python tools/scale_check.py

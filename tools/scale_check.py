@@ -1,0 +1,154 @@
+"""At-scale invariant checks — beyond the oracle scale factors.
+
+The sf0.001/0.01/0.1 oracle gates prove semantics; they CANNOT catch
+bugs that only appear once distributed machinery starts sampling,
+spilling, or partial-aggregating over millions of rows (the
+`global_rank` boundary-resampling bug found by tools/bench_rank.py
+was invisible below ~1M rows). This harness re-checks the
+scale-critical primitives at 5-10M rows using self-evident
+invariants — permutation laws, conservation of counts, agreement
+between independent strategies — and prints one JSON line.
+
+Usage: python tools/scale_check.py [scale_multiplier]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf2dataset_spark.operators import dedup as dd  # noqa: E402
+from pdf2dataset_spark.operators import mixture as mx  # noqa: E402
+from pdf2dataset_spark.operators import rank  # noqa: E402
+from pdf2dataset_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    mult = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    spark = get_spark("scale-check", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+
+    def check(name: str, fn) -> None:
+        t0 = time.time()
+        try:
+            detail = fn()
+            results[name] = {"ok": True, "s": round(time.time() - t0, 1), **detail}
+        except AssertionError as e:
+            results[name] = {
+                "ok": False,
+                "s": round(time.time() - t0, 1),
+                "detail": str(e)[:300],
+            }
+
+    # 1. global_rank permutation law at 10M (the bug class just fixed)
+    def rank_perm():
+        n = int(10_000_000 * mult)
+        df = spark.range(n).select("id", F.xxhash64("id").alias("k"))
+        out = rank.global_rank(df, [F.col("k"), F.col("id")])
+        a = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("global_rank").alias("nd"),
+            F.min("global_rank").alias("mn"),
+            F.max("global_rank").alias("mx"),
+        ).collect()[0]
+        assert (a["n"], a["nd"], a["mn"], a["mx"]) == (n, n, 1, n), dict(a.asDict())
+        return {"rows": n}
+
+    # 2. global_prefix_sum conservation at 10M: final sum == Σ values
+    def prefix_conservation():
+        n = int(10_000_000 * mult)
+        df = spark.range(n).select(
+            "id", F.xxhash64("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+        )
+        total = df.agg(F.sum("v").alias("s")).collect()[0]["s"]
+        ps = rank.global_prefix_sum(df, [F.col("k"), F.col("id")], "v")
+        a = ps.agg(
+            F.max("prefix_sum").alias("mx"), F.countDistinct("prefix_sum").alias("nd")
+        ).collect()[0]
+        assert a["mx"] == total and a["nd"] == n, dict(a.asDict())
+        return {"rows": n, "total": int(total)}
+
+    # 3. exact_dedup: window and join strategies must agree at 5M
+    #    rows with ~20% planted duplicate texts
+    def dedup_strategy_agreement():
+        n = int(5_000_000 * mult)
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("doc "), ((F.col("id") * 5) % n).cast("string")
+            ).alias("text"),  # ids sharing (id*5)%n collide -> dups
+        )
+        a = dd.exact_dedup(df, "text", "doc_id", strategy="window").select("doc_id")
+        b = dd.exact_dedup(df, "text", "doc_id", strategy="join").select("doc_id")
+        n_a, n_b = a.count(), b.count()
+        sym_diff = a.join(b, "doc_id", "full_outer").filter(
+            a["doc_id"].isNull() | b["doc_id"].isNull()
+        ).count()
+        assert n_a == n_b and sym_diff == 0, (n_a, n_b, sym_diff)
+        return {"rows": n, "survivors": n_a}
+
+    # 4. mixture: deterministic hash sampling must hit expected counts
+    #    within binomial tolerance AND be rerun-identical at 5M
+    def mixture_law():
+        n = int(5_000_000 * mult)
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        )
+        out = mx.mix_sources(df, {"a": 0.25, "b": 2.5})
+        c1 = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        c2 = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert c1 == c2, (c1, c2)  # rerun-identical
+        half = n // 2
+        assert abs(c1["a"] - half * 0.25) < 0.01 * half, c1
+        assert abs(c1["b"] - half * 2.5) < 0.01 * half, c1
+        return {"rows": n, **{f"kept_{k}": int(v) for k, v in c1.items()}}
+
+    # 5. LSH banding: planted exact dups all collide at 5M docs
+    #    (short synthetic token docs; near-dup recall is covered by
+    #    operator tests — here the invariant is exhaustive exact-dup
+    #    collision + zero pairs among unique docs)
+    def lsh_collision_law():
+        n = int(2_000_000 * mult)
+        dup_every = 1000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % dup_every == 1, F.col("id") - 1)
+            .otherwise(F.col("id"))
+            .alias("src"),
+        ).select(
+            "doc_id",
+            F.array(
+                *[F.md5(F.concat(F.col("src").cast("string"), F.lit(i))) for i in range(8)]
+            ).alias("sh"),
+        )
+        sig = df.select("doc_id", dd.minhash_signature(F.col("sh")).alias("minhash"))
+        pairs = dd.lsh_candidate_pairs(sig, "doc_id", "minhash")
+        expected = (n - 2) // dup_every + 1
+        got = pairs.count()
+        assert got == expected, (got, expected)
+        return {"rows": n, "planted": expected, "pairs": got}
+
+    check("global_rank_permutation", rank_perm)
+    check("prefix_sum_conservation", prefix_conservation)
+    check("exact_dedup_strategy_agreement", dedup_strategy_agreement)
+    check("mixture_determinism_and_law", mixture_law)
+    check("lsh_exact_dup_collision", lsh_collision_law)
+
+    ok = all(v["ok"] for v in results.values())
+    print(json.dumps({"all_ok": ok, "checks": results}))
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
