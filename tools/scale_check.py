@@ -138,7 +138,35 @@ def main() -> None:
         assert got == expected, (got, expected)
         return {"rows": n, "planted": expected, "pairs": got}
 
+    # 6. connected components: K disjoint chains of length L must
+    #    yield exactly K components labeled by their chain minimum
+    #    (iterative fixpoint at 2M edges — the curate near-dup core)
+    def components_chain_law():
+        from pdf2dataset_spark.operators import cluster as cl
+
+        n_edges = int(2_000_000 * mult)
+        chain_len = 10  # nodes per chain
+        edges = (
+            spark.range(n_edges)
+            .filter(F.col("id") % chain_len != chain_len - 1)  # break chains
+            .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
+        )
+        comp = cl.connected_components(edges)
+        a = comp.agg(
+            F.countDistinct("component").alias("k"),
+            F.count(F.lit(1)).alias("nodes"),
+            # every node's component must be its chain's first node
+            F.sum(
+                (F.col("component") != F.col("node") - F.col("node") % chain_len)
+                .cast("long")
+            ).alias("mislabels"),
+        ).collect()[0]
+        expected_k = n_edges // chain_len
+        assert a["mislabels"] == 0 and a["k"] == expected_k, dict(a.asDict())
+        return {"edges": int(n_edges * (chain_len - 1) / chain_len), "components": int(a["k"])}
+
     check("global_rank_permutation", rank_perm)
+    check("components_chain_law", components_chain_law)
     check("prefix_sum_conservation", prefix_conservation)
     check("exact_dedup_strategy_agreement", dedup_strategy_agreement)
     check("mixture_determinism_and_law", mixture_law)
