@@ -165,7 +165,50 @@ def main() -> None:
         assert a["mislabels"] == 0 and a["k"] == expected_k, dict(a.asDict())
         return {"edges": int(n_edges * (chain_len - 1) / chain_len), "components": int(a["k"])}
 
+    # 7. cross-engine exactness at 10M rows: the integer-cents
+    #    aggregation discipline must stay BITWISE equal to DuckDB far
+    #    beyond the oracle scale factors (partial-agg order is
+    #    maximally nondeterministic at width; decimal/cents paths are
+    #    designed order-independent — prove it at 17x sf0.1)
+    def cents_cross_engine():
+        import duckdb
+
+        n = int(10_000_000 * mult)
+        path = "/tmp/scale_check_li.parquet"
+        spark.range(n).select(
+            (F.xxhash64("id") % 5).alias("g"),
+            ((F.pmod(F.xxhash64("id", F.lit(1)), 10_000_000).cast("double")) / 100
+             ).alias("price"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 100).cast("double") / 100
+             ).alias("disc"),
+        ).write.mode("overwrite").parquet(path)
+        sdf = spark.read.parquet(path)
+        got = {
+            r["g"]: (r["rev"], r["n"])
+            for r in sdf.groupBy("g").agg(
+                (F.sum(
+                    F.round(F.col("price") * 100, 0).cast("bigint")
+                    * F.round(F.col("disc") * 100, 0).cast("bigint")
+                ).cast("double") / 10_000).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        }
+        want = {
+            g: (rev, cnt)
+            for g, rev, cnt in duckdb.sql(
+                f"""SELECT g,
+                     CAST(SUM(CAST(round(price*100,0) AS BIGINT)
+                              * CAST(round(disc*100,0) AS BIGINT)) AS DOUBLE)
+                       / 10000 AS rev,
+                     COUNT(*) AS n
+                    FROM read_parquet('{path}/*.parquet') GROUP BY g"""
+            ).fetchall()
+        }
+        assert got == want, (got, want)
+        return {"rows": n, "groups": len(got)}
+
     check("global_rank_permutation", rank_perm)
+    check("cents_cross_engine_10M", cents_cross_engine)
     check("components_chain_law", components_chain_law)
     check("prefix_sum_conservation", prefix_conservation)
     check("exact_dedup_strategy_agreement", dedup_strategy_agreement)
