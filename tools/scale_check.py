@@ -207,7 +207,45 @@ def main() -> None:
         assert got == want, (got, want)
         return {"rows": n, "groups": len(got)}
 
+    # 8. window spill correctness at 10M: running-sum + row_number
+    #    fingerprints must match DuckDB exactly (unique total order,
+    #    integer values — any spill/merge bug perturbs the fingerprint)
+    def window_spill_cross_engine():
+        import duckdb
+
+        n = int(10_000_000 * mult)
+        path = "/tmp/scale_check_w.parquet"
+        spark.range(n).select(
+            F.col("id"),
+            (F.xxhash64("id") % 16).alias("g"),
+            F.pmod(F.xxhash64("id", F.lit(3)), 1000).alias("v"),
+        ).write.mode("overwrite").parquet(path)
+        sql = """
+          SELECT g,
+                 SUM(rn * (id % 97)) AS rn_fp,
+                 SUM(run_v % 100003) AS run_fp
+          FROM (
+            SELECT g, id,
+                   row_number() OVER w AS rn,
+                   SUM(v) OVER (PARTITION BY g ORDER BY id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run_v
+            FROM t
+            WINDOW w AS (PARTITION BY g ORDER BY id)
+          ) GROUP BY g
+        """
+        spark.read.parquet(path).createOrReplaceTempView("t")
+        got = {r["g"]: (r["rn_fp"], r["run_fp"]) for r in spark.sql(sql).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+        want = {g: (a, b) for g, a, b in con.execute(sql).fetchall()}
+        assert got == want, ({k: got[k] for k in list(got)[:2]},)
+        return {"rows": n, "groups": len(got)}
+
     check("global_rank_permutation", rank_perm)
+    check("window_spill_cross_engine_10M", window_spill_cross_engine)
     check("cents_cross_engine_10M", cents_cross_engine)
     check("components_chain_law", components_chain_law)
     check("prefix_sum_conservation", prefix_conservation)
