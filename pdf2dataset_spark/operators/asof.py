@@ -38,7 +38,16 @@ def asof_join_window(
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("__is_left"))
+        # At equal `on` values the LEFT row must sort FIRST (desc on
+        # the tag) so an equal-timestamp right row stays OUT of its
+        # preceding frame — that is what makes the join STRICT
+        # (right.on < left.on), matching the docstring and the
+        # merge_asof twin (allow_exact_matches=False). With the tag
+        # ascending, equal-ts right rows landed in the frame and the
+        # semantics silently became inclusive on ties — caught by the
+        # 5M-row cross-check vs DuckDB ASOF JOIN in
+        # tools/scale_check.py, invisible in tie-free test data.
+        .orderBy(F.col(on), F.col("__is_left").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     filled = unioned.select(

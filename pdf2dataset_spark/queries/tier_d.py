@@ -238,9 +238,14 @@ def d9_asof_join(spark, sf_dir):
     applyInPandas merge_asof variant for arbitrary tolerance/direction.
     """
     e = t(spark, sf_dir, "events")
+    # clicks sort AFTER non-clicks at equal ts so a same-timestamp
+    # click never counts as "prior" — the window stays strict
+    # (c.ts < e.ts), exactly the oracle's predicate (see
+    # operators/asof.py for the tie-semantics note)
+    is_click = (F.col("event_type") == "click").cast("int")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", is_click, "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))

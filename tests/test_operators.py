@@ -732,3 +732,34 @@ def test_global_rank_is_permutation_at_scale(spark):
         F.max("global_rank").alias("mx"),
     ).collect()[0]
     assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 1, n), agg
+
+
+def test_asof_window_is_strict_on_timestamp_ties(spark):
+    """Regression for the tie-semantics bug the 5M cross-check vs
+    DuckDB ASOF JOIN exposed: a right row at EXACTLY the left row's
+    timestamp must NOT match (strict backward, like the merge_asof
+    twin with allow_exact_matches=False)."""
+    from pdf2dataset_spark.operators.asof import (
+        asof_join_pandas,
+        asof_join_window,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 10, 300)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 7), (10, 200, 8), (10, 250, 9)], "k long, ts long, rv long"
+    )
+    got = {
+        r["id"]: r["asof_rv"]
+        for r in asof_join_window(left, right, on="ts", by="k").collect()
+    }
+    # ts=100: the only right row is AT 100 -> no strict-prior match
+    # ts=200: rv=7 (ts=100) is the latest strictly before
+    # ts=300: rv=9 (ts=250)
+    assert got == {1: None, 2: 7, 3: 9}, got
+    pd_got = {
+        r["id"]: r["asof_rv"]
+        for r in asof_join_pandas(left, right, on="ts", by="k").collect()
+    }
+    assert pd_got == got  # twin agreement incl. ties

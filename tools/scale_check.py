@@ -40,7 +40,7 @@ def main() -> None:
         try:
             detail = fn()
             results[name] = {"ok": True, "s": round(time.time() - t0, 1), **detail}
-        except AssertionError as e:
+        except Exception as e:
             results[name] = {
                 "ok": False,
                 "s": round(time.time() - t0, 1),
@@ -244,7 +244,51 @@ def main() -> None:
         assert got == want, ({k: got[k] for k in list(got)[:2]},)
         return {"rows": n, "groups": len(got)}
 
+    # 9. as-of join vs DuckDB's native ASOF JOIN at 5M left rows:
+    #    the union+window strategy must agree with a reference engine
+    #    implementation exactly (strict backward; right ts unique per
+    #    key so the match is unambiguous)
+    def asof_cross_engine():
+        import duckdb
+
+        from pdf2dataset_spark.operators.asof import asof_join_window
+
+        n_l, n_r = int(5_000_000 * mult), int(500_000 * mult)
+        lp, rp = "/tmp/scale_check_asof_l.parquet", "/tmp/scale_check_asof_r.parquet"
+        spark.range(n_l).select(
+            F.col("id"),
+            (F.xxhash64("id") % 1000).alias("k"),
+            F.pmod(F.xxhash64("id", F.lit(5)), 1_000_000).alias("ts"),
+        ).write.mode("overwrite").parquet(lp)
+        # unique ts per key: ts = unique id-derived value
+        spark.range(n_r).select(
+            (F.xxhash64("id", F.lit(7)) % 1000).alias("k"),
+            (F.col("id") * 2 + 1).alias("ts"),   # odd, unique
+            F.pmod(F.xxhash64("id", F.lit(9)), 1000).alias("rv"),
+        ).write.mode("overwrite").parquet(rp)
+        l, r = spark.read.parquet(lp), spark.read.parquet(rp)
+        out = asof_join_window(l, r, on="ts", by="k", value_cols=["rv"])
+        got = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.col("asof_rv"), F.lit(-1)) * (F.col("id") % 97)
+            ).alias("fp"),
+        ).collect()[0]
+        con = duckdb.connect()
+        want = con.execute(
+            f"""SELECT COUNT(*) AS n,
+                  SUM(COALESCE(rv, -1) * (id % 97)) AS fp
+                FROM (
+                  SELECT l.id, l.ts, r.rv
+                  FROM read_parquet('{lp}/*.parquet') l
+                  ASOF LEFT JOIN read_parquet('{rp}/*.parquet') r
+                    ON l.k = r.k AND r.ts < l.ts)"""
+        ).fetchone()
+        assert (got["n"], got["fp"]) == (want[0], want[1]), (dict(got.asDict()), want)
+        return {"left_rows": n_l, "right_rows": n_r}
+
     check("global_rank_permutation", rank_perm)
+    check("asof_cross_engine_5M", asof_cross_engine)
     check("window_spill_cross_engine_10M", window_spill_cross_engine)
     check("cents_cross_engine_10M", cents_cross_engine)
     check("components_chain_law", components_chain_law)
