@@ -287,7 +287,35 @@ def main() -> None:
         assert (got["n"], got["fp"]) == (want[0], want[1]), (dict(got.asDict()), want)
         return {"left_rows": n_l, "right_rows": n_r}
 
+    # 10. salted skew join at 5M rows with one key carrying 30% of
+    #     the data: result fingerprint must equal the plain join's
+    def salted_join_equality():
+        from pdf2dataset_spark.operators.skew import salted_join
+
+        n = int(5_000_000 * mult)
+        large = spark.range(n).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 < 3, F.lit(0))  # hot key: 30% of rows
+            .otherwise(F.xxhash64("id") % 10_000)
+            .alias("k"),
+        )
+        small = spark.range(10_000).select(
+            (F.col("id") - 5_000).alias("k"), (F.col("id") % 50).alias("v")
+        )
+        fp = lambda df: df.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * (F.col("id") % 101)).alias("fp"),
+        ).collect()[0]
+        plain = fp(large.join(small, "k"))
+        salted = fp(salted_join(large, small, on="k", salt=16))
+        assert (plain["n"], plain["fp"]) == (salted["n"], salted["fp"]), (
+            dict(plain.asDict()),
+            dict(salted.asDict()),
+        )
+        return {"rows": n, "matches": int(plain["n"])}
+
     check("global_rank_permutation", rank_perm)
+    check("salted_join_equality_5M", salted_join_equality)
     check("asof_cross_engine_5M", asof_cross_engine)
     check("window_spill_cross_engine_10M", window_spill_cross_engine)
     check("cents_cross_engine_10M", cents_cross_engine)
