@@ -663,7 +663,7 @@ def e18_rolling_7day_revenue(spark, sf_dir):
     "e19_rolling_zscore_anomaly",
     sql="""
     WITH c AS (
-      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+      SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey, l_shipdate,
              CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc
       FROM lineitem
     ), w AS (
@@ -673,7 +673,8 @@ def e18_rolling_7day_revenue(spark, sf_dir):
              SUM(CAST(pc*pc AS DECIMAL(38,0))) OVER f AS s2
       FROM c
       WINDOW f AS (
-        PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        PARTITION BY l_partkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey, pc
         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
       )
     ), m AS (
@@ -713,6 +714,7 @@ def e19_rolling_zscore_anomaly(spark, sf_dir):
         "l_partkey",
         "l_orderkey",
         "l_linenumber",
+        "l_suppkey",
         "l_shipdate",
         F.round(F.col("l_extendedprice") * 100, 0)
         .cast("bigint")
@@ -720,7 +722,10 @@ def e19_rolling_zscore_anomaly(spark, sf_dir):
     )
     f = (
         Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # data; suppkey + price-cents complete the provably-total
+        # order so the rolling frame can never be tie-order-dependent
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey", "pc")
         .rowsBetween(-9, Window.currentRow)
     )
     pc = F.col("pc")
