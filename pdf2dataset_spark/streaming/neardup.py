@@ -28,6 +28,17 @@ runs). Exactly-once: foreachBatch epochs re-run idempotently only if
 the sink/store appends are made transactional (e.g. write to
 epoch-keyed subdirs); this local implementation documents the seam
 rather than hiding it.
+
+INGESTION ATOMICITY: the landing directory must gain files
+atomically (write to staging + move — one parquet file appears
+atomically; multi-file in-place appends do not). If a trigger fires
+mid-append, a logical batch splits across micro-batches and a
+near-dup can arrive BEFORE its original — it is then kept,
+registered in the bucket store, and knocks the original out
+(keep-first-arrival is the only semantics a stream can offer).
+tools/bench_stream_ingest.py demonstrates both: atomic feed → exact
+planted-dup recovery (0 false kept / 0 false dropped); racy 4-file
+appends → symmetric false_kept == false_dropped pairs.
 """
 
 from __future__ import annotations

@@ -78,7 +78,7 @@ def main() -> None:
         n_planted = len(planted_ids)
 
         schema = "doc_id long, text string"
-        spark.createDataFrame(batches[0], schema).coalesce(4).write.mode(
+        spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         stream = spark.readStream.schema(
@@ -89,7 +89,18 @@ def main() -> None:
         try:
             q.processAllAvailable()
             for rows in batches[1:]:
-                spark.createDataFrame(rows, schema).coalesce(4).write.mode(
+                # ONE file per logical batch: parquet files appear
+                # atomically (rename from _temporary), so the running
+                # query can never observe a partial batch. With 4
+                # concurrent files, a trigger could fire mid-append and
+                # split a batch — a planted dup then arrives BEFORE its
+                # original, survives, and knocks the original out via
+                # the bucket store (observed as symmetric false_kept ==
+                # false_dropped). Production ingest needs the same
+                # discipline: atomic per-file appearance in the landing
+                # dir (write to staging + move), never in-place
+                # multi-file appends.
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
                     "append"
                 ).parquet(src)
                 q.processAllAvailable()
