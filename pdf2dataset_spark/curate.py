@@ -43,6 +43,31 @@ def split_hash(id_col: str) -> F.Column:
     )
 
 
+#: Stage cut points persisted by curate(); they must outlive the
+#: caller's actions (write + audit agg), so curate cannot unpersist
+#: them itself. run() releases them when done; library callers that
+#: loop over curate() should call release_caches() between iterations.
+_STAGE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist curate()'s stage cut points AND the ranked frames its
+    shard packing cached (rank.release_caches). Call after the actions
+    consuming the curated plan have run; re-executing an already-built
+    curated plan afterwards recomputes stages from scratch."""
+    from pdf2dataset_spark.operators import rank
+
+    n = rank.release_caches()
+    while _STAGE_CACHES:
+        d = _STAGE_CACHES.pop()
+        try:
+            d.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
 def curate(
     df: DataFrame,
     text_col: str = "text",
@@ -78,7 +103,11 @@ def curate(
     from pyspark import StorageLevel
 
     def cut(d: DataFrame) -> DataFrame:
-        return d.persist(StorageLevel.MEMORY_AND_DISK) if persist_stages else d
+        if not persist_stages:
+            return d
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        _STAGE_CACHES.append(d)
+        return d
     out = tx.quality_filter(
         df, text_col, min_tokens=min_tokens, max_tokens=max_tokens
     )
@@ -168,18 +197,25 @@ def run(
     bench_path = opts.pop("benchmark_path", None)
     if bench_path:
         opts["benchmark"] = spark.read.parquet(bench_path)
-    cur = curate(df, **opts)
-    sh.write_shards(
-        cur,
-        out_path,
-        shard_col="shard_id",
-        id_col=opts.get("id_col", "doc_id"),
-        token_col="q_n_tokens",
-    )
-    by_split = {
-        r["split"]: r["n"]
-        for r in cur.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    try:
+        cur = curate(df, **opts)
+        sh.write_shards(
+            cur,
+            out_path,
+            shard_col="shard_id",
+            id_col=opts.get("id_col", "doc_id"),
+            token_col="q_n_tokens",
+        )
+        by_split = {
+            r["split"]: r["n"]
+            for r in cur.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        # both consuming actions (write + audit agg) are done; drop the
+        # stage/rank caches so repeated runs don't accumulate cached RDDs
+        release_caches()
     report = {
         "input_docs": n_in,
         "kept_docs": sum(by_split.values()),

@@ -155,20 +155,42 @@ def metadata_stats_scan(spark: SparkSession, path: str) -> DataFrame:
     instant (resolution is eager inside ``load``; the produced
     logical plan keeps its v2 scan node after the conf is restored —
     pinned in tests/test_plans.py) and enables
-    ``spark.sql.parquet.aggregatePushdown`` for the session (a no-op
-    for v1 scans). Aggregate pushdown silently degrades to a normal
-    scan when the query shape doesn't qualify (data filters, non-
-    min/max/count aggregates, group-by on non-partition columns) —
-    results stay correct either way.
+    ``spark.sql.parquet.aggregatePushdown`` (whose value is read when
+    the CONSUMING aggregate plans, which may be long after this call
+    returns — so a set-then-restore window cannot scope it). Both
+    confs therefore live on a dedicated ``spark.newSession()`` — same
+    SparkContext, own SQLConf — that this helper creates once per
+    parent session: the caller's session confs are never touched (no
+    restore window, nothing for a concurrent planner thread to
+    observe), and the returned DataFrame carries the stats session so
+    pushdown holds whenever the caller's aggregate finally plans.
+    Aggregate pushdown silently degrades to a normal scan when the
+    query shape doesn't qualify (data filters, non-min/max/count
+    aggregates, group-by on non-partition columns) — results stay
+    correct either way.
     """
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.useV1SourceList")
-    conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    conf.set("spark.sql.sources.useV1SourceList", "")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        conf.set("spark.sql.sources.useV1SourceList", prev)
+    return _stats_session(spark).read.parquet(path)
+
+
+#: Parent session -> its dedicated v2/aggregate-pushdown session.
+_STATS_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _stats_session(spark: SparkSession) -> SparkSession:
+    s = _STATS_SESSIONS.get(spark)
+    if s is None:
+        from pdf2dataset_spark.session import apply_runtime_conf
+
+        s = spark.newSession()
+        # correctness-relevant runtime confs (UTC, Arrow) must match
+        # the parent or footer min/max timestamps would shift
+        apply_runtime_conf(s)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        _STATS_SESSIONS[spark] = s
+    return s
 
 
 def table_stats(

@@ -35,6 +35,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Ranged frames persisted by global_rank/global_prefix_sum. The cache
+#: must outlive the CALLER's action (unpersisting earlier would let the
+#: two plan branches resample range boundaries — the exact bug the
+#: persist fixes), so the functions cannot unpersist themselves; frames
+#: are tracked here and released via :func:`release_caches`. Long-lived
+#: sessions that build many ranked plans in a loop (fuzzers, shard
+#: packers, multi-stage curate runs) should call it between iterations
+#: or the cached RDDs accumulate for the session lifetime.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every ranged frame cached by this module's operators.
+
+    Call only AFTER the consuming actions have run, and do NOT
+    re-execute a previously built ranked plan afterwards — without the
+    cache its two branches would sample range boundaries independently
+    again (build a fresh plan instead). Returns the number of frames
+    released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
 
 def global_rank(
     df: DataFrame,
@@ -52,6 +81,7 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)  # ONE boundary sample
     )
+    _LIVE_CACHES.append(ranged)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__rn", F.row_number().over(w_local))
     # Per-partition counts → running offsets (tiny: one row/partition).
@@ -93,6 +123,7 @@ def global_prefix_sum(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)  # ONE boundary sample
     )
+    _LIVE_CACHES.append(ranged)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

@@ -140,6 +140,22 @@ def bloom_probe(
     return df.filter(might_contain(*bloom_positions(key, num_bits, k)))
 
 
+#: Join types for which dropping non-matching PROBE (left) rows before
+#: the join cannot change the result: non-matching left rows produce no
+#: output row under these types. Pruning is UNSOUND for left/full outer
+#: (null-extended left rows would vanish), left_anti (the pruned rows
+#: are exactly the result), and cross (no join key at all).
+_PRUNE_SOUND_HOW = {
+    "inner",
+    "semi",
+    "leftsemi",
+    "left_semi",
+    "right",
+    "rightouter",
+    "right_outer",
+}
+
+
 def bloom_filtered_join(
     probe: DataFrame,
     build: DataFrame,
@@ -153,10 +169,22 @@ def bloom_filtered_join(
     """``probe.join(build, on, how)`` with the probe side bloom-pruned
     before its shuffle. Exact: identical result to the plain join.
 
+    Only join types where a non-matching probe row contributes nothing
+    to the output are accepted (``inner``/``left_semi``/``right``
+    spellings); for ``left``/``full``/``left_anti``/``cross`` the
+    pruning would silently drop rows the join must keep, so those
+    raise ``ValueError`` — use a plain join there.
+
     ``n_keys_hint`` sizes the filter without an extra counting job;
     when omitted, one count() of the build side runs first (cheap —
     count aggregates scan-local).
     """
+    if how.lower().replace(" ", "") not in _PRUNE_SOUND_HOW:
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} is unsound with a bloom-"
+            "pruned probe side (non-matching probe rows must appear in "
+            "the result); use inner/left_semi/right or a plain join"
+        )
     n = n_keys_hint if n_keys_hint is not None else build.count()
     num_bits, k = suggest_params(n, fpp)
     words = bloom_build(build, build_key, num_bits, k)

@@ -25,7 +25,7 @@ independent of row count. At 100 TB the sketch is still 10k rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _bucket(key: Column, d: Column | int, width: int) -> Column:
@@ -113,10 +113,12 @@ def cms_estimate(
 #   A∩B: jaccard * union_est, jaccard = |U ∩ A ∩ B| / |U| over the
 #        union sketch U (k smallest of A ∪ B).
 #
-# Scale: the only shuffle carries ≤ k rows per group after partial
-# collect (p pre-filters the stream JVM-side first); sketches are
-# KBs, broadcastable, and compose across shards/days without
-# re-reading data.
+# Scale: selection of the k minima is row-wise and spillable end to
+# end (hash-distinct → sort-based rank window / TakeOrdered; p
+# pre-filters the stream JVM-side first) — no aggregation buffer ever
+# holds a group's full distinct-hash set. Sketches are KBs,
+# broadcastable, and compose across shards/days without re-reading
+# data.
 
 _SIGN = -(1 << 63)
 
@@ -141,15 +143,35 @@ def kmv_build(
 ) -> DataFrame:
     """Sketch column ``kmv`` (sorted long array, ≤ k entries) per
     ``by`` group (global when None). ``p`` < 1 pre-filters the hash
-    stream (theta sampling mode) so degenerate high-cardinality
-    groups never collect more than ~p·n distinct hashes."""
+    stream (theta sampling mode).
+
+    Memory-bounded by construction: the k smallest hashes are selected
+    as ROWS (spillable sort/limit), never by materializing a group's
+    full distinct-hash set in one aggregation buffer — a
+    ``collect_set``-then-slice formulation would build an O(NDV) array
+    per group on one reducer, which is exactly the blowup a sketch
+    exists to avoid. Grouped: hash-distinct, then a per-group rank
+    window (sort-based, spills) keeps rank ≤ k before a ≤k-element
+    ``collect_list``. Global: distinct + ``orderBy().limit(k)`` plans
+    as TakeOrderedAndProject (per-partition top-k, k rows merged)."""
     h = kmv_hash(key_col).alias("__h")
     src = df.select(*(by or []), h)
     if p < 1.0:
         thresh = int(p * (1 << 64)) + _SIGN
         src = src.filter(F.col("__h") < F.lit(thresh))
-    agg = F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv")
-    return src.groupBy(*by).agg(agg) if by else src.agg(agg)
+    distinct = src.dropDuplicates([*(by or []), "__h"])
+    if by:
+        w = Window.partitionBy(*by).orderBy("__h")
+        kept = (
+            distinct.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        return kept.groupBy(*by).agg(
+            F.array_sort(F.collect_list("__h")).alias("kmv")
+        )
+    kept = distinct.orderBy("__h").limit(k)
+    return kept.agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
 
 
 def kmv_merge(a: Column | str, b: Column | str, k: int = 256) -> Column:

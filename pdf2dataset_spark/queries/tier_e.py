@@ -628,34 +628,62 @@ def e17_cohort_retention(spark, sf_dir):
     tier="E",
 )
 def e18_rolling_7day_revenue(spark, sf_dir):
-    """Time-based RANGE window frame (E18): 7-day rolling revenue.
+    """Time-based rolling 7-day revenue (E18) — prefix-sum formulation.
 
-    Days are mapped to integer epoch-day numbers so the frame is a
-    value-range (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`) that
-    skips calendar gaps correctly on both engines — the pattern ROWS
-    frames get wrong whenever days are missing. Revenue pre-aggregates
-    to one row per day BEFORE the window (the window input is bounded
-    by the date domain, not the fact table), and sums stay in exact
-    integer cents inside the frame, converting to double once."""
+    The oracle's `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` frame is
+    re-expressed as rolling(d) = prefix(d) − prefix(d−7) over a
+    DENSIFIED day spine, so no unpartitioned data window appears in
+    the plan at all: (1) revenue pre-aggregates to one row per day in
+    exact integer cents; (2) a 1-row min/max agg generates the dense
+    day spine via `sequence` + explode (bounded by the date domain);
+    (3) the inclusive prefix sum runs through the scale-safe
+    `rank.global_prefix_sum` (range partition + broadcast offsets —
+    the only remaining windows are partition-local and the one-row-
+    per-partition offsets table); (4) the day−7 lookup is a plain
+    equi-join on the dense spine (exact because every day exists);
+    (5) filler days are dropped by an inner join back to the observed
+    days. Bit-identical to the RANGE-frame twin for integer cents."""
+    from pdf2dataset_spark.operators.rank import global_prefix_sum
+
     o = t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(
-            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day_n")
-        )
-        .agg(
-            F.sum(
-                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-            ).alias("rev_c")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day_n")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "rev_c"
         )
     )
-    w = Window.orderBy("day_n").rangeBetween(-6, Window.currentRow)
-    return daily.select(
+    spine = (
+        daily.agg(
+            F.min("day_n").alias("lo"), F.max("day_n").alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_n"))
+    )
+    dense = spine.join(daily, "day_n", "left").select(
+        "day_n", F.coalesce("rev_c", F.lit(0).cast("bigint")).alias("rev_c")
+    )
+    pref = global_prefix_sum(
+        dense, [F.col("day_n")], "rev_c", sum_col="pfx"
+    )
+    prev = pref.select(
+        (F.col("day_n") + 7).alias("day_n"), F.col("pfx").alias("pfx_prev")
+    )
+    rolled = pref.join(prev, "day_n", "left").select(
         "day_n",
-        (F.col("rev_c").cast("double") / 100).alias("day_revenue"),
-        (F.sum("rev_c").over(w).cast("double") / 100).alias(
-            "rolling_7d_revenue"
+        "rev_c",
+        (F.col("pfx") - F.coalesce("pfx_prev", F.lit(0).cast("bigint"))).alias(
+            "roll_c"
         ),
-    ).orderBy("day_n")
+    )
+    return (
+        rolled.join(daily.select("day_n"), "day_n")  # observed days only
+        .select(
+            "day_n",
+            (F.col("rev_c").cast("double") / 100).alias("day_revenue"),
+            (F.col("roll_c").cast("double") / 100).alias("rolling_7d_revenue"),
+        )
+        .orderBy("day_n")
+    )
 
 
 # --------------------------------------------------------------- E19

@@ -111,14 +111,24 @@ class DocSynthStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["id"]), int(end["id"])
+        # _cur lives only in driver memory; after a checkpoint restart
+        # it restarts at 0 while the engine replays the committed start
+        # offset. Clamp to the engine-reported range so latestOffset
+        # stays monotonic across restarts (without this, the stream
+        # stalls emitting empty/backward ranges until _cur re-advances
+        # past the checkpoint, and maxrows caps trigger COUNT rather
+        # than resuming position).
+        self._cur = max(getattr(self, "_cur", 0), lo, hi)
         if hi <= lo:
             return [_Range(lo, lo)]
         step = -(-(hi - lo) // self.parts)
         return [_Range(a, min(a + step, hi)) for a in range(lo, hi, step)]
 
+    def commit(self, end: dict) -> None:
+        # committed end is also a restart-resume floor (see partitions)
+        self._cur = max(getattr(self, "_cur", 0), int(end["id"]))
+
     def read(self, partition: _Range):
         for doc_id in range(partition.start, partition.end):
             yield (doc_id, _doc_text(doc_id))
 
-    def commit(self, end: dict) -> None:
-        pass  # offsets are self-describing; nothing to clean up

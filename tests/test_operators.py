@@ -763,3 +763,26 @@ def test_asof_window_is_strict_on_timestamp_ties(spark):
         for r in asof_join_pandas(left, right, on="ts", by="k").collect()
     }
     assert pd_got == got  # twin agreement incl. ties
+
+
+def test_rank_release_caches_unpersists_tracked_frames(spark):
+    """global_rank/global_prefix_sum persist their ranged frame (the
+    one-boundary-sample fix) and cannot unpersist it themselves;
+    release_caches() must drop every tracked frame so loops don't
+    accumulate cached RDDs for the session lifetime."""
+    from pdf2dataset_spark.operators import rank
+
+    rank.release_caches()  # start clean
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    ranked = rank.global_rank(df, [F.col("k"), F.col("id")])
+    summed = rank.global_prefix_sum(df, [F.col("id")], "k")
+    assert ranked.count() == 10_000 and summed.count() == 10_000
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    assert before >= 2
+    released = rank.release_caches()
+    assert released >= 2
+    assert jsc.getPersistentRDDs().size() <= before - 2
+    assert rank.release_caches() == 0  # idempotent

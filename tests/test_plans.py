@@ -367,3 +367,42 @@ def test_metadata_stats_scan_restores_conf(spark):
     before = spark.conf.get("spark.sql.sources.useV1SourceList")
     metadata_stats_scan(spark, "/root/testdata/sf0.001/lineitem.parquet")
     assert spark.conf.get("spark.sql.sources.useV1SourceList") == before
+
+
+def test_metadata_stats_scan_leaves_parent_session_confs_alone(spark):
+    """The stats scan now runs on a dedicated newSession(): the
+    caller's session must never observe either conf flipped."""
+    from pdf2dataset_spark.io import metadata_stats_scan
+
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    before_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+    df = metadata_stats_scan(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == before_v1
+    assert (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+        == before_agg
+    )
+    # and the returned frame's own session keeps pushdown enabled, so
+    # aggregates planned LATER still answer from footers
+    assert (
+        df.sparkSession.conf.get("spark.sql.parquet.aggregatePushdown")
+        == "true"
+    )
+
+
+def test_e18_has_no_unpartitioned_data_window(spark, registry):
+    """e18's rolling revenue flows through global_prefix_sum: the only
+    unpartitioned windows allowed in the plan are over the one-row-
+    per-partition __pid offsets table."""
+    import re
+
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "e18_rolling_7day_revenue", spark))
+    assert "rangepartitioning" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0].strip()
+        unpartitioned = " ASC" in first or " DESC" in first
+        assert not unpartitioned or first.startswith("__pid"), (
+            "unpartitioned data window in e18 plan: " + m.group(0)
+        )

@@ -116,3 +116,24 @@ def test_no_false_negatives_property(spark):
         assert set(build_keys) & set(probe_keys) <= kept
 
     prop()
+
+
+def test_bloom_filtered_join_rejects_unsound_join_types(spark):
+    """Pruning the probe side drops non-matching probe rows before the
+    join — sound only when those rows produce no output anyway. left/
+    full/left_anti/cross must raise instead of silently losing rows."""
+    import pytest
+
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    build = spark.createDataFrame([(1,)], "j long")
+    cond = probe["k"] == build["j"]
+    for bad in ("left", "full", "left_anti", "leftouter", "cross", "anti"):
+        with pytest.raises(ValueError, match="unsound"):
+            rtf.bloom_filtered_join(probe, build, cond, "k", "j", how=bad)
+    # sound types still work and match the plain join
+    for ok in ("inner", "left_semi", "right"):
+        got = rtf.bloom_filtered_join(
+            probe, build, cond, "k", "j", how=ok, n_keys_hint=1
+        ).count()
+        want = probe.join(build, cond, ok).count()
+        assert got == want, ok

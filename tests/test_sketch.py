@@ -159,9 +159,43 @@ def test_kmv_sampling_mode_and_grouped_build(spark):
         assert abs(est - 4000) < 0.3 * 4000, (g, est)
 
 
-def test_kmv_build_is_single_bounded_agg(spark):
+def test_kmv_build_is_memory_bounded(spark):
+    """No aggregation buffer may hold a group's full distinct-hash set:
+    the plan must select the k minima as ROWS (distinct + TakeOrdered /
+    rank window) and only collect_list over the ≤k survivors — a
+    collect_set of the raw hash stream is the reducer-memory blowup
+    the sketch exists to avoid."""
     from pdf2dataset_spark.operators import sketch as sk
-    from pdf2dataset_spark.plans.audit import shuffle_count
+    from pdf2dataset_spark.plans.audit import explain_string, shuffle_count
 
     df = sk.kmv_build(_ids(spark, 0, 1000), "k", k=64)
-    assert shuffle_count(df) <= 1
+    plan = explain_string(df)
+    assert "collect_set" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shuffle_count(df) <= 3
+
+    grouped = sk.kmv_build(
+        _ids(spark, 0, 1000).withColumn("g", F.pmod("k", F.lit(3))),
+        "k",
+        k=64,
+        by=["g"],
+    )
+    gplan = explain_string(grouped)
+    assert "collect_set" not in gplan, gplan
+    # per-group rank window caps rows pre-collect; sort-based, spills
+    assert "row_number" in gplan, gplan
+
+
+def test_kmv_grouped_equals_global_per_group(spark):
+    """The bounded grouped build must produce exactly the same sketch
+    as a global build restricted to each group's rows."""
+    from pdf2dataset_spark.operators import sketch as sk
+
+    base = _ids(spark, 0, 500).withColumn("g", F.pmod("k", F.lit(4)))
+    grouped = {
+        r["g"]: list(r["kmv"])
+        for r in sk.kmv_build(base, "k", k=32, by=["g"]).collect()
+    }
+    for g in range(4):
+        solo = sk.kmv_build(base.filter(F.col("g") == g), "k", k=32).collect()
+        assert grouped[g] == list(solo[0]["kmv"]), g

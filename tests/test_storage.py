@@ -148,3 +148,28 @@ def test_python_datasource_stream_reader(spark):
     assert ids == list(range(120))  # exactly-once, no gaps, capped
     some = next(r for rows in seen for r in rows if r["doc_id"] == 11)
     assert some["text"] == _doc_text(11)
+
+
+def test_stream_reader_offsets_resume_after_driver_restart():
+    """A restarted driver loses _cur (in-memory only); the engine
+    replays the checkpointed start. partitions()/commit() must clamp
+    the internal cursor to the engine-reported range so latestOffset
+    is monotonic across restarts — no stall of empty ranges, and
+    maxrows caps POSITION, not trigger count."""
+    from pdf2dataset_spark.sources.pydatasource import DocSynthStreamReader
+
+    # fresh reader simulating a restart with a committed offset of 500
+    r = DocSynthStreamReader({"rowspermicrobatch": "100"})
+    assert r.latestOffset() == {"id": 100}  # behind the checkpoint
+    parts = r.partitions({"id": 500}, {"id": 100})  # engine replays start
+    assert all(p.end <= p.start for p in parts)  # no backward reads
+    # cursor clamped: the very next batch resumes past the checkpoint
+    assert r.latestOffset() == {"id": 600}
+    parts = r.partitions({"id": 500}, {"id": 600})
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 500 and covered[-1][1] == 600
+
+    # commit() alone must also advance the floor
+    r2 = DocSynthStreamReader({"rowspermicrobatch": "50"})
+    r2.commit({"id": 400})
+    assert r2.latestOffset() == {"id": 450}
