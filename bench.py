@@ -8,6 +8,16 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 Each query is executed once as a warm-up-free timed run with a
 count()-style action that forces full evaluation without
 driver-side materialization of payload rows.
+
+Self-adjudication under host noise: this container shares a host, so
+wall time alone cannot distinguish a plan regression from external
+load. The JSON line therefore also carries a ``load`` block —
+/proc/loadavg at start/end, every per-iteration wall time, and the
+container-scoped CPU seconds (cgroup v2 cpu.stat) consumed by the
+best iteration of each query. A real regression shows more CPU; a
+noisy host shows the same CPU with stretched wall and a high loadavg.
+tools/bench_compare.py reads the block and annotates (never gates)
+when the two runs executed under materially different load.
 """
 
 from __future__ import annotations
@@ -18,6 +28,35 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return None
+
+
+def _cpu_seconds() -> float | None:
+    """Cumulative CPU seconds of THIS container (driver + JVM + python
+    workers): cgroup v2 cpu.stat when present, else process-tree rusage
+    is unavailable mid-run, so fall back to system-wide /proc/stat
+    busy jiffies (coarser: includes neighbours)."""
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as f:
+            for line in f:
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        jiffies = sum(int(x) for x in parts) - int(parts[3])  # minus idle
+        return jiffies / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
 
 HEADLINE = [
     "c1_pricing_summary",
@@ -62,15 +101,27 @@ def main() -> None:
     # code footprint, broadcast-join queries now need ~4 runs to reach
     # JIT steady state (measured: d2 0.65→0.42→0.37→0.34→0.31 s), so
     # best-of-3 was reporting warm-up, not the plan.
+    load_start = _loadavg()
     timings: dict[str, float] = {}
+    wall_runs: dict[str, list[float]] = {}
+    cpu_best: dict[str, float] = {}
     for name in names:
         best = float("inf")
+        runs: list[float] = []
         for _ in range(5):
+            c0 = _cpu_seconds()
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            c1 = _cpu_seconds()
+            runs.append(round(wall, 3))
+            if wall < best:
+                best = wall
+                if c0 is not None and c1 is not None:
+                    cpu_best[name] = round(c1 - c0, 3)
         timings[name] = round(best, 3)
+        wall_runs[name] = runs
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -85,6 +136,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "load": {
+                    "n_runs": 5,
+                    "loadavg_start": load_start,
+                    "loadavg_end": _loadavg(),
+                    "ncpus": os.cpu_count(),
+                    "wall_runs": wall_runs,
+                    "cpu_sec_best_run": cpu_best,
+                },
             }
         )
     )

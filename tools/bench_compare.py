@@ -39,6 +39,40 @@ def load_bench(path: str) -> dict:
     return obj
 
 
+def annotate_load(base: dict, cur: dict) -> None:
+    """Print (never gate on) a host-load comparison when both runs
+    carry bench.py's ``load`` block. A wall-time delta measured under
+    materially different loadavg is a measurement artifact until the
+    CPU numbers disagree too — this annotation exists so perf rounds
+    stop re-litigating host noise by hand."""
+    lb, lc = base.get("load"), cur.get("load")
+    if not (lb and lc):
+        return
+    ncpus = lc.get("ncpus") or lb.get("ncpus") or 1
+
+    def peak(load: dict) -> float | None:
+        vals = [
+            v[0]
+            for v in (load.get("loadavg_start"), load.get("loadavg_end"))
+            if v
+        ]
+        return max(vals) if vals else None
+
+    pb, pc = peak(lb), peak(lc)
+    if pb is None or pc is None:
+        return
+    print(
+        f"  host load (1m avg, {ncpus} cpus): "
+        f"baseline {pb:.1f} -> current {pc:.1f}"
+    )
+    if abs(pc - pb) > ncpus / 4:
+        print(
+            "  NOTE: runs executed under materially different host load; "
+            "wall-time deltas are suspect — compare load.cpu_sec_best_run "
+            "per query before believing a regression."
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("baseline", help="previous bench JSON (e.g. BENCH_r02.json)")
@@ -61,6 +95,7 @@ def main() -> int:
     args = ap.parse_args()
 
     base, cur = load_bench(args.baseline), load_bench(args.current)
+    annotate_load(base, cur)
     failures: list[str] = []
     rows: list[str] = []
     for name, b in sorted(base["queries"].items()):
