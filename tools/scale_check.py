@@ -314,6 +314,163 @@ def main() -> None:
         )
         return {"rows": n, "matches": int(plain["n"])}
 
+    # 11. SemDeDup two-sided accuracy at 5M vectors: every planted
+    #     ×2-scaled copy must be dropped (same direction -> same cell,
+    #     cosine exactly 1 with its original) and no original may be
+    #     falsely dropped (random 64-dim cosines concentrate near 0,
+    #     far under the 0.85 threshold). Vectors are generated JVM-side
+    #     (hash-derived), so the corpus never passes through the driver.
+    def semdedup_two_sided():
+        from pdf2dataset_spark.operators import similarity as sim
+
+        n = int(5_000_000 * mult)
+        dup_every = 100
+        vec_expr = (
+            "transform(sequence(0, 63), j -> CAST(__scale * "
+            "(pmod(xxhash64(__src, j), 2001) - 1000) / 1000.0 AS DOUBLE))"
+        )
+        corpus = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.when(F.col("id") % dup_every == 1, F.col("id") - 1)
+                .otherwise(F.col("id"))
+                .alias("__src"),
+                F.when(F.col("id") % dup_every == 1, F.lit(2.0))
+                .otherwise(F.lit(1.0))
+                .alias("__scale"),
+            )
+            .select("vec_id", F.expr(vec_expr).alias("embedding"))
+        )
+        out = sim.semantic_dedup_fast(
+            corpus, n_centroids=4096, threshold=0.85
+        )
+        a = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("kept")).cast("long")).alias("dropped"),
+            # false_kept: planted dup surviving; false_dropped: original lost
+            F.sum(
+                ((F.col("vec_id") % dup_every == 1) & F.col("kept")).cast("long")
+            ).alias("false_kept"),
+            F.sum(
+                ((F.col("vec_id") % dup_every != 1) & ~F.col("kept")).cast("long")
+            ).alias("false_dropped"),
+        ).collect()[0]
+        planted = (n - 2) // dup_every + 1
+        assert a["n"] == n, dict(a.asDict())
+        assert a["false_kept"] == 0 and a["false_dropped"] == 0, dict(a.asDict())
+        assert a["dropped"] == planted, (dict(a.asDict()), planted)
+        return {"vectors": n, "planted": planted, "dropped": int(a["dropped"])}
+
+    # 12. f22 shard packing at 10M docs: the global_prefix_sum-based
+    #     shard map must agree with a DuckDB global-window replay
+    #     shard-for-shard, and conserve docs/tokens exactly.
+    def shard_packing_cross_engine():
+        import duckdb
+
+        n = int(10_000_000 * mult)
+        cap = 2000
+        path = "/tmp/scale_check_pack.parquet"
+        spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.xxhash64("id"), 37) + 1).alias("n_tokens"),
+        ).write.mode("overwrite").parquet(path)
+        d = spark.read.parquet(path)
+        c = rank.global_prefix_sum(
+            d, [F.col("doc_id")], "n_tokens", sum_col="__run"
+        ).select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__run") - F.col("n_tokens")).alias("start_tok"),
+        )
+        shards = (
+            c.groupBy(F.expr(f"start_tok div {cap}").alias("shard_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("toks"),
+            )
+        )
+        got = {
+            r["shard_id"]: (r["n_docs"], r["toks"]) for r in shards.collect()
+        }
+        want = {
+            s: (nd, tk)
+            for s, nd, tk in duckdb.sql(
+                f"""SELECT start_tok // {cap} AS shard_id,
+                           COUNT(*) AS n_docs, SUM(n_tokens) AS toks
+                    FROM (
+                      SELECT n_tokens,
+                             SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n_tokens AS start_tok
+                      FROM read_parquet('{path}/*.parquet'))
+                    GROUP BY 1"""
+            ).fetchall()
+        }
+        assert got == want, (len(got), len(want))
+        total = sum(t for _, t in got.values())
+        docs = sum(d_ for d_, _ in got.values())
+        assert docs == n, (docs, n)
+        # contiguous shard ids 0..max, and no shard overfull beyond one
+        # straddling doc (max start inside the shard + max doc size)
+        assert set(got) == set(range(len(got))), len(got)
+        assert max(t for _, t in got.values()) <= cap + 37, max(
+            t for _, t in got.values()
+        )
+        return {"docs": n, "shards": len(got), "tokens": int(total)}
+
+    # 13. f33 BPE pair counting at 10M tokens: the vocab-sized pair
+    #     explode must agree with a DuckDB corpus replay on EVERY
+    #     pair's exact count (not just the top-50 the oracle checks).
+    def bpe_pairs_cross_engine():
+        import duckdb
+
+        n_docs = int(500_000 * mult)
+        words_per_doc = 20
+        path = "/tmp/scale_check_bpe.parquet"
+        text_expr = (
+            "concat_ws(' ', transform(sequence(1, %d), "
+            "j -> concat('w', pmod(xxhash64(id, j), 50000))))"
+            % words_per_doc
+        )
+        spark.range(n_docs).select(
+            F.expr(text_expr).alias("text")
+        ).write.mode("overwrite").parquet(path)
+        from pdf2dataset_spark.operators.bpe import word_frequencies
+
+        wf = word_frequencies(spark.read.parquet(path))
+        pairs = (
+            wf.filter(F.length("word") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias(
+                    "i"
+                ),
+                "word",
+                "freq",
+            )
+            .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        got = {r["pair"]: r["cnt"] for r in pairs.collect()}
+        want = dict(
+            duckdb.sql(
+                f"""WITH wf AS (
+                      SELECT word, count(*) AS freq FROM (
+                        SELECT unnest(string_split(text, ' ')) AS word
+                        FROM read_parquet('{path}/*.parquet')
+                      ) WHERE word <> '' GROUP BY word)
+                    SELECT substring(word, i, 2) AS pair, SUM(freq) AS cnt
+                    FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i)
+                    WHERE len(word) >= 2 GROUP BY 1"""
+            ).fetchall()
+        )
+        assert got == want, (len(got), len(want))
+        return {
+            "tokens": n_docs * words_per_doc,
+            "distinct_pairs": len(got),
+        }
+
     check("global_rank_permutation", rank_perm)
     check("salted_join_equality_5M", salted_join_equality)
     check("asof_cross_engine_5M", asof_cross_engine)
@@ -324,6 +481,13 @@ def main() -> None:
     check("exact_dedup_strategy_agreement", dedup_strategy_agreement)
     check("mixture_determinism_and_law", mixture_law)
     check("lsh_exact_dup_collision", lsh_collision_law)
+    check("semdedup_two_sided_5M", semdedup_two_sided)
+    check("shard_packing_cross_engine_10M", shard_packing_cross_engine)
+    check("bpe_pairs_cross_engine_10M", bpe_pairs_cross_engine)
+    # the ranked frames persisted by checks 1/2/12 are no longer
+    # needed once their actions finish — release so a long harness run
+    # doesn't hold cached RDDs (and to exercise the cleanup path)
+    rank.release_caches()
 
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"all_ok": ok, "checks": results}))
