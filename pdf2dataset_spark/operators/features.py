@@ -95,6 +95,46 @@ author_feature = Feature(
     lambda ctx: ctx.codec.doc_info(ctx.handle).get("Author"),
 )
 
+
+def _first_embedded_image(ctx: PageContext) -> bytes | None:
+    imgs = ctx.codec.page_embedded_images(ctx.handle, ctx.page)
+    return imgs[0]["data"] if imgs else None
+
+
+def _embedded_image_meta(ctx: PageContext) -> str | None:
+    import json
+
+    imgs = ctx.codec.page_embedded_images(ctx.handle, ctx.page)
+    if not imgs:
+        return None
+    return json.dumps(
+        [
+            {
+                k: v
+                for k, v in e.items()
+                if k in ("name", "format", "width", "height",
+                         "colorspace", "bits", "decodable")
+            }
+            for e in imgs
+        ],
+        sort_keys=True,
+    )
+
+
+# embedded (as-authored) raster assets — distinct from `image`, which
+# RENDERS the page; /DCTDecode payloads surface as complete JFIF files
+n_images_feature = Feature(
+    "n_images",
+    "int32",
+    lambda ctx: len(ctx.codec.page_embedded_images(ctx.handle, ctx.page)),
+)
+embedded_image_feature = Feature(
+    "embedded_image", "binary", _first_embedded_image
+)
+embedded_image_meta_feature = Feature(
+    "embedded_image_meta", "string", _embedded_image_meta
+)
+
 BUILTIN_FEATURES: dict[str, Feature] = {
     f.name: f
     for f in (
@@ -103,6 +143,9 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         ocr_feature,
         title_feature,
         author_feature,
+        n_images_feature,
+        embedded_image_feature,
+        embedded_image_meta_feature,
     )
 }
 

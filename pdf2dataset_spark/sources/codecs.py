@@ -50,6 +50,11 @@ class DocumentCodec:
     def page_ocr(self, handle: Any, page: int) -> str | None:
         raise NotImplementedError
 
+    def page_embedded_images(self, handle: Any, page: int) -> list[dict]:
+        """Embedded raster assets of a page; [] when the format has
+        no such concept (text corpora)."""
+        return []
+
     def doc_info(self, handle: Any) -> dict[str, str]:
         """Document-level metadata (Title/Author/...); {} if none."""
         return {}
@@ -201,6 +206,14 @@ class PdfCodec(DocumentCodec):
         return raster.render_text_png(
             handle.pages[page - 1], size=parse_image_size(self.image_size)
         )
+
+    def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:
+        """Embedded image XObjects of one page (pdfimages-shaped; see
+        minipdf.PdfDocument.page_images). /DCTDecode payloads come out
+        as complete JFIF files with zero native deps."""
+        if handle.doc is None:
+            return []
+        return handle.doc.page_images(handle.doc.pages()[page - 1])
 
     def page_ocr(self, handle: "_PdfHandle", page: int) -> str:
         try:

@@ -40,6 +40,7 @@ round-trip tests — text → PDF bytes → extracted text must be exact.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 from dataclasses import dataclass
 from typing import Any
@@ -594,15 +595,35 @@ class PdfDocument:
         return v
 
     def stream_bytes(self, obj: StreamObj) -> bytes:
+        data, stopped = self._decode_filters(obj, stop_at_image=False)
+        assert stopped is None  # stop_at_image=False always decodes fully
+        return data
+
+    def _decode_filters(
+        self, obj: StreamObj, stop_at_image: bool
+    ) -> tuple[bytes, str | None]:
+        """Run ``obj``'s /Filter chain. With ``stop_at_image`` True the
+        chain stops at an image-compression filter (/DCTDecode /
+        /JPXDecode / /CCITTFaxDecode) and returns (bytes-so-far, that
+        filter) — the bytes ARE the complete compressed image file at
+        that point (e.g. a JFIF for /DCTDecode), which is what image
+        extraction wants. With False an image filter raises, matching
+        the documented text-path contract."""
         data = obj.raw
         filt = self.resolve(obj.sdict.get("/Filter"))
         if filt is None:
-            return data
+            return data, None
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(obj.sdict.get("/DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         for f, pm in zip(filters, parms_list):
             f = self.resolve(f)
+            if stop_at_image and f in (
+                "/DCTDecode",
+                "/JPXDecode",
+                "/CCITTFaxDecode",
+            ):
+                return data, f
             pm = self.resolve(pm) or {}
             if f == "/FlateDecode":
                 data = _apply_predictor(zlib.decompress(data), pm, self.resolve)
@@ -628,7 +649,7 @@ class PdfDocument:
                 data = base64.a85decode(b"<~" + body + b"~>", adobe=True)
             else:
                 raise ValueError(f"unsupported stream filter {f}")
-        return data
+        return data, None
 
     # -- metadata -----------------------------------------------------
     def info(self) -> dict[str, str]:
@@ -747,6 +768,85 @@ class PdfDocument:
             if isinstance(part, StreamObj):
                 chunks.append(self.stream_bytes(part))
         return b"\n".join(chunks)
+
+    def page_images(self, page: dict, decode_pixels: bool = False) -> list[dict]:
+        """Embedded image XObjects of a page (ISO 32000-1 §8.9.5), in
+        /XObject name order. Each entry carries the declared metadata
+        (name, width, height, colorspace, bits) plus:
+
+        - ``format``: ``"jpeg"`` for /DCTDecode (``data`` is the
+          complete JFIF file — any leading filters already undone),
+          ``"raw"`` for fully-decodable chains (``data`` is sample
+          bytes), or ``"jpx"``/``"ccitt"`` for the compressed payload
+          of filters this engine does not transcode.
+        - ``decodable``: True when ``data`` can be turned into pixels
+          with zero native deps — raw samples always; JPEG when
+          :func:`sources.jpeg.decode_jpeg` accepts it (single-
+          component baseline; the encoder's own output round-trips).
+        - ``pixels``: with ``decode_pixels=True`` and decodable JPEG,
+          the gray8 samples (kept off by default — a page of photos
+          would multiply the row's Arrow footprint).
+        """
+        res = self.resolve(page.get("/Resources"))
+        xobjs = (
+            self.resolve(res.get("/XObject")) if isinstance(res, dict) else None
+        )
+        out: list[dict] = []
+        if not isinstance(xobjs, dict):
+            return out
+        for name in sorted(xobjs):
+            obj = self.resolve(xobjs[name])
+            if not isinstance(obj, StreamObj):
+                continue
+            if self.resolve(obj.sdict.get("/Subtype")) != "/Image":
+                continue
+            entry: dict[str, Any] = {
+                "name": name,
+                "width": int(self.resolve(obj.sdict.get("/Width", 0)) or 0),
+                "height": int(self.resolve(obj.sdict.get("/Height", 0)) or 0),
+                "colorspace": str(
+                    self.resolve(obj.sdict.get("/ColorSpace", "")) or ""
+                ),
+                "bits": int(
+                    self.resolve(obj.sdict.get("/BitsPerComponent", 0)) or 0
+                ),
+            }
+            try:
+                data, stopped = self._decode_filters(obj, stop_at_image=True)
+            except (ValueError, zlib.error, IndexError) as e:
+                entry.update(
+                    format="error", data=None, decodable=False, error=str(e)
+                )
+                out.append(entry)
+                continue
+            if stopped == "/DCTDecode":
+                entry["format"] = "jpeg"
+                entry["data"] = data
+                try:
+                    from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+                    w, h, px = decode_jpeg(data)
+                    entry["decodable"] = True
+                    entry["width"] = entry["width"] or w
+                    entry["height"] = entry["height"] or h
+                    if decode_pixels:
+                        entry["pixels"] = px
+                except (ValueError, IndexError, struct.error):
+                    # color/progressive JPEG: keep the compressed file,
+                    # report honestly that this engine can't rasterize it
+                    entry["decodable"] = False
+            elif stopped is not None:
+                entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")
+                entry["data"] = data
+                entry["decodable"] = False
+            else:
+                entry["format"] = "raw"
+                entry["data"] = data
+                entry["decodable"] = True
+                if decode_pixels:
+                    entry["pixels"] = data
+            out.append(entry)
+        return out
 
 
 # ---------------------------------------------------------------------
@@ -1109,6 +1209,15 @@ def extract_page_texts(data: bytes) -> list[str]:
     ]
 
 
+def extract_page_images(
+    data: bytes, password: bytes = b"", decode_pixels: bool = False
+) -> list[list[dict]]:
+    """Embedded images per page, in page order (pdfimages-shaped
+    primitive — see :meth:`PdfDocument.page_images`)."""
+    doc = PdfDocument(data, password=password)
+    return [doc.page_images(p, decode_pixels) for p in doc.pages()]
+
+
 def doc_info(data: bytes) -> dict[str, str]:
     """Document information dictionary (Title/Author/...) of a PDF;
     empty when the file has no /Info."""
@@ -1133,6 +1242,7 @@ def build_pdf(
     info: dict[str, str] | None = None,
     encrypt: str | None = None,
     encrypt_rev: int = 3,
+    images: list[dict] | None = None,
 ) -> bytes:
     """Minimal spec-valid PDF: one Helvetica font, one content stream
     per page (one ``Tj`` per text line, ``Td`` line advances), real
@@ -1145,7 +1255,14 @@ def build_pdf(
     — streams and strings are really encrypted with proper
     /O //U //ID values, so decryption round-trips exercise the exact
     spec algorithms. Inverse of :func:`extract_page_texts` for
-    Latin-1 text."""
+    Latin-1 text.
+
+    ``images`` embeds image XObjects on PAGE 1's resources (inverse of
+    :func:`extract_page_images`): each dict needs ``data`` (the
+    already-encoded payload — a JFIF for /DCTDecode, zlib bytes for
+    /FlateDecode, raw samples for no filter), ``width``, ``height``,
+    and optionally ``filter`` (e.g. ``"/DCTDecode"``), ``colorspace``
+    (default /DeviceGray) and ``bits`` (default 8)."""
     if not pages:
         raise ValueError("build_pdf needs at least one page")
     if encrypt_rev not in (3, 4, 6):
@@ -1200,6 +1317,7 @@ def build_pdf(
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
+    image_nums = [font_num + 1 + i for i in range(len(images or []))]
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
     objs.append(
@@ -1208,11 +1326,18 @@ def build_pdf(
     for i, text in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
+        xobj_clause = ""
+        if i == 0 and image_nums:
+            refs = " ".join(
+                f"/Im{j} {num} 0 R" for j, num in enumerate(image_nums)
+            )
+            xobj_clause = f" /XObject << {refs} >>"
         objs.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                 f"/Contents {content_num} 0 R "
-                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+                f"/Resources << /Font << /F1 {font_num} 0 R >>"
+                f"{xobj_clause} >> >>"
             ).encode()
         )
         lines = text.split("\n")
@@ -1238,6 +1363,22 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )  # font
+    for j, img in enumerate(images or []):
+        payload = img["data"]
+        if enc_key is not None:
+            payload = obj_enc(image_nums[j], payload)
+        filt = img.get("filter")
+        head = (
+            f"<< /Type /XObject /Subtype /Image"
+            f" /Width {img['width']} /Height {img['height']}"
+            f" /ColorSpace {img.get('colorspace', '/DeviceGray')}"
+            f" /BitsPerComponent {img.get('bits', 8)}"
+            + (f" /Filter {filt}" if filt else "")
+            + f" /Length {len(payload)} >>"
+        )
+        objs.append(
+            head.encode() + b"\nstream\n" + payload + b"\nendstream"
+        )
     info_clause = b""
     if info:
         info_num = len(objs) + 1

@@ -877,3 +877,109 @@ def test_parser_mutation_fuzz_terminates_quickly():
             pass  # any typed failure is fine; hangs are not
         worst = max(worst, time.perf_counter() - t0)
     assert worst < 5.0, f"slowest mutation took {worst:.1f}s"
+
+
+# ---------------------------------------------------------------------
+# embedded image XObjects (/DCTDecode fallback without native deps)
+# ---------------------------------------------------------------------
+
+
+def _gradient(w=16, h=8):
+    return bytes((x * 16 + y) % 256 for y in range(h) for x in range(w))
+
+
+def _image_pdf(**build_kw):
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+    px = _gradient()
+    jpg = encode_jpeg(16, 8, px, quality=90)
+    imgs = [
+        {"filter": "/DCTDecode", "width": 16, "height": 8, "data": jpg},
+        {"filter": "/FlateDecode", "width": 16, "height": 8,
+         "data": zlib.compress(px)},
+        {"width": 16, "height": 8, "data": px},
+    ]
+    return minipdf.build_pdf(
+        ["image page", "no images"], images=imgs, **build_kw
+    ), jpg, px
+
+
+def test_page_images_roundtrip_dct_flate_raw():
+    pdf, jpg, px = _image_pdf()
+    pages = minipdf.extract_page_images(pdf)
+    assert len(pages) == 2 and len(pages[0]) == 3 and pages[1] == []
+    im_jpeg, im_flate, im_raw = pages[0]
+    assert im_jpeg["format"] == "jpeg" and im_jpeg["data"] == jpg
+    assert im_jpeg["decodable"] and (im_jpeg["width"], im_jpeg["height"]) == (16, 8)
+    # Flate chain decodes fully to samples; unfiltered passes through
+    assert im_flate["format"] == "raw" and im_flate["data"] == px
+    assert im_raw["format"] == "raw" and im_raw["data"] == px
+
+
+def test_page_images_decode_pixels_matches_encoder_input():
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+    pdf, jpg, px = _image_pdf()
+    doc = minipdf.PdfDocument(pdf)
+    entries = doc.page_images(doc.pages()[0], decode_pixels=True)
+    w, h, direct = decode_jpeg(jpg)
+    assert entries[0]["pixels"] == direct  # same decoder, same pixels
+    assert entries[2]["pixels"] == px
+
+
+@pytest.mark.parametrize("rev", [3, 4, 6])
+def test_page_images_through_encryption(rev):
+    pdf, jpg, px = _image_pdf(encrypt="pw", encrypt_rev=rev)
+    pages = minipdf.extract_page_images(pdf, password=b"pw")
+    assert pages[0][0]["data"] == jpg  # decrypt-then-stop-at-DCT exact
+    assert pages[0][2]["data"] == px
+
+
+def test_page_images_unsupported_filter_is_honest():
+    imgs = [{"filter": "/JPXDecode", "width": 4, "height": 4,
+             "data": b"\x00" * 16}]
+    pdf = minipdf.build_pdf(["jpx"], images=imgs)
+    (entry,) = minipdf.extract_page_images(pdf)[0]
+    assert entry["format"] == "jpx" and entry["decodable"] is False
+    assert entry["data"] == b"\x00" * 16  # payload still surfaced
+
+
+def test_page_images_color_jpeg_kept_compressed():
+    # hand-rolled marker soup that is NOT single-component baseline:
+    # decode_jpeg must refuse, page_images must keep the file honest
+    bogus = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x10\x01\x01\x11\x00\xff\xd9"
+    pdf = minipdf.build_pdf(
+        ["p"], images=[{"filter": "/DCTDecode", "width": 16, "height": 8,
+                        "data": bogus}]
+    )
+    (entry,) = minipdf.extract_page_images(pdf)[0]
+    assert entry["format"] == "jpeg" and entry["decodable"] is False
+    assert entry["data"] == bogus
+    assert (entry["width"], entry["height"]) == (16, 8)  # declared dims kept
+
+
+def test_stream_bytes_still_rejects_dct_on_text_paths():
+    pdf, jpg, _ = _image_pdf()
+    doc = minipdf.PdfDocument(pdf)
+    res = doc.resolve(doc.pages()[0].get("/Resources"))
+    xobj = doc.resolve(doc.resolve(res["/XObject"])["/Im0"])
+    with pytest.raises(ValueError, match="DCTDecode"):
+        doc.stream_bytes(xobj)
+
+
+def test_codec_and_features_surface_embedded_images(spark):
+    from pdf2dataset_spark.extraction import extract
+
+    pdf, jpg, _ = _image_pdf()
+    res = extract(
+        {"a.pdf": pdf, "b.pdf": minipdf.build_pdf(["plain"])},
+        spark=spark,
+        small=True,
+        use_pdf_codec=True,
+        features=["text", "n_images", "embedded_image", "embedded_image_meta"],
+    )
+    a1 = res[(res.path == "a.pdf") & (res.page == 1)].iloc[0]
+    assert a1["n_images"] == 3 and bytes(a1["embedded_image"]) == jpg
+    assert '"format": "jpeg"' in a1["embedded_image_meta"]
+    assert res[(res.path == "a.pdf") & (res.page == 2)].iloc[0]["n_images"] == 0
+    assert res[res.path == "b.pdf"].iloc[0]["embedded_image"] is None
