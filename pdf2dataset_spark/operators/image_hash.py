@@ -70,10 +70,27 @@ def _to_signed64(bits: int) -> int:
     return bits - (1 << 64) if bits >= 1 << 63 else bits
 
 
-def phash64(png: bytes) -> int:
-    """64-bit DCT perceptual hash of an engine-rasterized PNG
-    (signed, matching Spark LongType)."""
-    w, h, px = decode_png(bytes(png))
+def decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """Grayscale-decode a binary image payload by magic bytes: the
+    engine PNG raster, or a baseline JPEG via :mod:`sources.jpeg` —
+    so hashes work directly on extracted /DCTDecode payloads
+    (`minipdf.page_images` / the `embedded_image` feature) as well as
+    rendered pages. Unknown containers raise ``ValueError`` (hashed
+    to NULL by the UDF — A8 error isolation)."""
+    data = bytes(data)
+    if data[:4] == b"\x89PNG":
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unknown image container (PNG/baseline-JPEG supported)")
+
+
+def phash64(img_bytes: bytes) -> int:
+    """64-bit DCT perceptual hash of a PNG/JPEG payload (signed,
+    matching Spark LongType)."""
+    w, h, px = decode_image(img_bytes)
     img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w).astype(np.float64)
     small = _resize_nearest_np(img, 32, 32)
     d = _dct_basis(32)
@@ -86,9 +103,9 @@ def phash64(png: bytes) -> int:
     return _to_signed64(out << 1)  # 63 bits used; LSB zero
 
 
-def dhash64(png: bytes) -> int:
-    """64-bit gradient (difference) hash."""
-    w, h, px = decode_png(bytes(png))
+def dhash64(img_bytes: bytes) -> int:
+    """64-bit gradient (difference) hash (PNG or baseline JPEG)."""
+    w, h, px = decode_image(img_bytes)
     img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w).astype(np.int16)
     small = _resize_nearest_np(img, 8, 9)
     bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).flatten()

@@ -1752,3 +1752,135 @@ def f40_image_phash_neardup(spark, sf_dir):
     return ih.phash_neardup_pairs(
         hashed, id_col="doc_id", hash_col="phash", max_hamming=6, bands=8
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------- F41
+@query(
+    "f41_lm_coverage_quality",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, w, i FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS freq FROM toks GROUP BY w
+        ORDER BY freq DESC, w ASC LIMIT 200
+      )
+    ),
+    big AS (
+      SELECT t1.doc_id, t1.w || ' ' || t2.w AS bg
+      FROM toks t1 JOIN toks t2
+        ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+    ),
+    common_big AS (
+      SELECT bg FROM (SELECT bg, count(*) AS c FROM big GROUP BY bg)
+      WHERE c >= 3
+    ),
+    tok_stats AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM toks LEFT JOIN vocab v USING (w) GROUP BY doc_id
+    ),
+    big_stats AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             sum(CASE WHEN c.bg IS NULL THEN 0 ELSE 1 END) AS n_covered
+      FROM big LEFT JOIN common_big c USING (bg) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_oov AS BIGINT) AS n_oov,
+           CAST(t.n_oov AS DOUBLE) / t.n_tokens AS oov_rate,
+           CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN b.n_bigrams > 0
+                THEN CAST(b.n_covered AS DOUBLE) / b.n_bigrams END
+             AS bigram_coverage
+    FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
+    """,
+    tier="F",
+)
+def f41_lm_coverage_quality(spark, sf_dir):
+    """LM-coverage quality signals (F41) — the exact-arithmetic core
+    of CCNet-style perplexity filtering without the transcendental
+    part: per-document OOV rate against the corpus top-200 vocabulary
+    and bigram coverage against corpus bigrams seen >= 3 times. Docs
+    full of rare words / unseen word transitions score high-OOV /
+    low-coverage — the same ranking signal an n-gram LM gives, but
+    every number here is an integer count until ONE final division,
+    so the result is bitwise engine-invariant (a log-prob sum could
+    never hash-match across libm implementations).
+
+    Scale shape: token explode -> ONE word-keyed shuffle for the
+    vocab counts; top-V selection is orderBy().limit() ->
+    TakeOrderedAndProject (V rows to the driver, broadcast back);
+    bigrams are built doc-locally with a JVM zip_with over the
+    shifted token array (no self-join, no extra shuffle — the
+    DuckDB twin's i+1 self-join is the relational spelling of the
+    same pairing); bigram counts are a second keyed shuffle; doc
+    aggregation hash-partitions on doc_id. The wide text column
+    never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(200)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    tok_stats = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+    )
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    common = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("bg", F.lit(1).alias("__common"))
+    )
+    big_stats = (
+        bigrams.join(common, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__common").isNull(), 0).otherwise(1)
+            ).alias("n_covered"),
+        )
+    )
+    return tok_stats.join(big_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("n_covered").cast("double") / F.col("n_bigrams"),
+        ).alias("bigram_coverage"),
+    )

@@ -121,3 +121,25 @@ def test_phash_upscale_invariance_property():
         assert _ham(base, ih.phash64(encode_png(w2, h2, bytes(px2)))) <= 2
 
     prop()
+
+
+def test_hashes_accept_jpeg_payloads():
+    """phash/dhash must decode baseline JPEG (the embedded_image
+    feature's /DCTDecode payloads) as well as engine PNGs; lossy
+    re-encoding of the same pixels moves pHash by only a few bits."""
+    from pdf2dataset_spark.operators import image_hash as ih
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+    from pdf2dataset_spark.sources.raster import decode_png, render_text_png
+
+    png = render_text_png("the quick brown fox 0123")
+    w, h, px = decode_png(png)
+    jpg = encode_jpeg(w, h, px, quality=92)
+    hp, hj = ih.phash64(png), ih.phash64(jpg)
+    dist = bin((hp ^ hj) & ((1 << 64) - 1)).count("1")
+    assert dist <= 6, dist  # lossy but perceptually identical
+    # dhash path decodes too (no exception), and unknown magic raises
+    ih.dhash64(jpg)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="container"):
+        ih.decode_image(b"GIF89a not supported")

@@ -406,3 +406,19 @@ def test_e18_has_no_unpartitioned_data_window(spark, registry):
         assert not unpartitioned or first.startswith("__pid"), (
             "unpartitioned data window in e18 plan: " + m.group(0)
         )
+
+
+def test_f41_vocab_broadcasts_and_text_never_shuffles(spark, registry):
+    """f41: the top-V vocab joins back by broadcast (V rows), bigrams
+    build doc-locally (zip_with, no self-join), and the wide text
+    column stays out of every exchange."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    df = q(registry, "f41_lm_coverage_quality", spark)
+    plan = explain_string(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
