@@ -427,3 +427,101 @@ def ngram_contamination(
             ).alias("contamination_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# incremental exact dedup against a persistent corpus store
+# ---------------------------------------------------------------------
+
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    hash_col: str = "__text_sha",
+    store_hash_col: str | None = None,
+    fpp: float = 0.001,
+    bloom_threshold: int = 10_000_000,
+) -> DataFrame:
+    """New-batch rows whose normalized-text hash is NOT already in the
+    corpus store (within-batch keep-first applied too) — the
+    incremental-ingest dedup every append-only corpus needs.
+
+    Scale shape (store >> batch, the steady state): the batch's hash
+    set builds a BLOOM FILTER (bounded bytes, one aggregation), which
+    prunes the STORE's hash scan to candidate rows before any join —
+    the big side contributes only rows that might collide with the
+    batch, so the anti-join's shuffle is batch-sized, not store-sized
+    (Trino/Snowflake-style join pruning, operators/runtime_filter).
+    Exactness: bloom false positives only ADD candidate rows on the
+    anti-join's right side, and extra right rows whose hash matches
+    no batch row change nothing; false negatives are impossible — so
+    the result equals the plain anti-join (pinned in tests). The
+    bloom build runs one Spark job; batches above ``bloom_threshold``
+    rows skip the filter and take the plain narrow anti-join (at that
+    size the store-scan saving no longer pays for a giant filter).
+
+    ``store`` needs only a hash column: pass ``store_hash_col`` when
+    the store persists hashes (the ``keep_hash=True`` convention of
+    :func:`exact_dedup` — strongly preferred at scale: the store's
+    text column is then never read at all), else its text column is
+    hashed on the fly.
+    """
+    from pdf2dataset_spark.operators import runtime_filter as rtf
+
+    batch = exact_dedup(
+        new_docs, text_col, order_col=order_col, keep_hash=True,
+        strategy="join",
+    ).withColumnRenamed("text_sha256", hash_col)
+    if store_hash_col is None:
+        store_hashes = store.select(text_hash(text_col).alias(hash_col))
+    else:
+        store_hashes = store.select(F.col(store_hash_col).alias(hash_col))
+
+    n_batch = batch.count()
+    if 0 < n_batch <= bloom_threshold:
+        num_bits, k = rtf.suggest_params(n_batch, fpp)
+        words = rtf.bloom_build(batch, hash_col, num_bits, k)
+        store_hashes = rtf.bloom_probe(store_hashes, hash_col, words, k)
+    return batch.join(store_hashes, hash_col, "left_anti")
+
+
+def ingest_exact(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    hash_col: str = "__text_sha",
+) -> int:
+    """Append-only exact-dedup ingest: survivors of
+    :func:`dedup_against_store` (vs the parquet store at
+    ``store_path``) are APPENDED to the store with their hash column
+    persisted, so the next batch's store side never re-hashes or even
+    reads text. First call creates the store. Returns the number of
+    rows appended. Crash contract: append happens after the dedup
+    plan is fully determined from the OLD store listing; a re-run of
+    the same batch after a mid-write crash re-drops already-stored
+    hashes, so duplicates cannot accumulate (at-least-once feed →
+    exactly-once store content, the streaming/neardup convention)."""
+    spark = new_docs.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_path)  # type: ignore[union-attr]
+    fs = jvm_path.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    )
+    if fs.exists(jvm_path):
+        store = spark.read.parquet(store_path)
+        survivors = dedup_against_store(
+            new_docs, store, text_col, order_col,
+            hash_col=hash_col, store_hash_col=hash_col,
+        )
+    else:
+        survivors = exact_dedup(
+            new_docs, text_col, order_col=order_col, keep_hash=True,
+            strategy="join",
+        ).withColumnRenamed("text_sha256", hash_col)
+    survivors = survivors.localCheckpoint()  # freeze before the append
+    n = survivors.count()
+    if n:
+        survivors.write.mode("append").parquet(store_path)
+    return n

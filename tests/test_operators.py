@@ -786,3 +786,62 @@ def test_rank_release_caches_unpersists_tracked_frames(spark):
     assert released >= 2
     assert jsc.getPersistentRDDs().size() <= before - 2
     assert rank.release_caches() == 0  # idempotent
+
+
+class TestDedupAgainstStore:
+    """Incremental exact-dedup ingest (dedup.dedup_against_store /
+    ingest_exact): bloom-pruned store side, plain-anti-join equality,
+    keep-first within batch, crash-replay idempotency."""
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ingest_batches_and_replay(self, spark, tmp_path):
+        from pdf2dataset_spark.operators import dedup as dd
+
+        store = str(tmp_path / "store")
+        b1 = self._batch(
+            spark, [(1, "alpha"), (2, "beta"), (3, "Alpha "), (4, "gamma")]
+        )
+        assert dd.ingest_exact(b1, store) == 3  # normalized dup collapses
+        b2 = self._batch(spark, [(10, "BETA"), (11, "delta"), (12, "gamma")])
+        assert dd.ingest_exact(b2, store) == 1  # only delta is new
+        assert dd.ingest_exact(b2, store) == 0  # at-least-once replay: no-op
+        final = spark.read.parquet(store)
+        assert sorted(r["doc_id"] for r in final.collect()) == [1, 2, 4, 11]
+        # hash column persisted: next batch never reads store text
+        assert "__text_sha" in final.columns
+
+    def test_bloom_path_equals_plain_anti_join(self, spark, tmp_path):
+        from pdf2dataset_spark.operators import dedup as dd
+
+        store_df = self._batch(
+            spark, [(i, f"doc number {i % 50}") for i in range(200)]
+        )
+        stored = dd.exact_dedup(
+            store_df, "text", keep_hash=True, strategy="join"
+        ).withColumnRenamed("text_sha256", "__text_sha")
+        batch = self._batch(
+            spark,
+            [(1000 + i, f"doc number {i}") for i in range(40, 90)]
+            + [(2000, "doc number 10"), (2001, "doc number 10")],
+        )
+        via_bloom = dd.dedup_against_store(
+            batch, stored, store_hash_col="__text_sha"
+        )
+        plain = (
+            dd.exact_dedup(batch, "text", keep_hash=True, strategy="join")
+            .withColumnRenamed("text_sha256", "__text_sha")
+            .join(stored.select("__text_sha"), "__text_sha", "left_anti")
+        )
+        got = sorted(r["doc_id"] for r in via_bloom.collect())
+        want = sorted(r["doc_id"] for r in plain.collect())
+        assert got == want and got == [1000 + i for i in range(50, 90)]
+
+    def test_store_without_hash_column_hashes_on_the_fly(self, spark):
+        from pdf2dataset_spark.operators import dedup as dd
+
+        store = self._batch(spark, [(1, "kept text"), (2, "other")])
+        batch = self._batch(spark, [(9, "KEPT  text"), (10, "fresh")])
+        out = dd.dedup_against_store(batch, store)
+        assert [r["doc_id"] for r in out.collect()] == [10]
