@@ -338,6 +338,146 @@ def _rle_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+#: image-compression filters: the decoded form IS a compressed image
+#: file, transcoded (or honestly surfaced) by page_images, never by
+#: the text path
+_IMAGE_FILTERS = ("/DCTDecode", "/JPXDecode", "/CCITTFaxDecode")
+
+
+def _run_filter_chain(
+    data: bytes,
+    filt: Any,
+    parms: Any,
+    resolve,
+    stop_at_image: bool,
+) -> tuple[bytes, str | None]:
+    """Apply a /Filter value (name or list) to ``data``. Shared by
+    object streams (PdfDocument._decode_filters) and inline images
+    (whose dict lives in the content stream, not an object)."""
+    if filt is None:
+        return data, None
+    filters = filt if isinstance(filt, list) else [filt]
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    for f, pm in zip(filters, parms_list):
+        f = resolve(f)
+        if stop_at_image and f in _IMAGE_FILTERS:
+            return data, f
+        pm = resolve(pm) or {}
+        if f == "/FlateDecode":
+            data = _apply_predictor(zlib.decompress(data), pm, resolve)
+        elif f == "/LZWDecode":
+            early = resolve(pm.get("/EarlyChange", 1))
+            data = _apply_predictor(
+                _lzw_decode(data, early=int(early)), pm, resolve
+            )
+        elif f == "/ASCIIHexDecode":
+            body = data.split(b">")[0]
+            hx = bytes(c for c in body if c not in _WS).decode("ascii")
+            if len(hx) % 2:
+                hx += "0"
+            data = bytes.fromhex(hx)
+        elif f == "/RunLengthDecode":
+            data = _rle_decode(data)
+        elif f == "/ASCII85Decode":
+            import base64
+
+            body = bytes(c for c in data if c not in _WS)
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            data = base64.a85decode(b"<~" + body + b"~>", adobe=True)
+        else:
+            raise ValueError(f"unsupported stream filter {f}")
+    return data, None
+
+
+#: inline-image (BI..ID..EI) abbreviated keys / values, ISO 32000-1
+#: Table 93: the dict between BI and ID uses short names
+_INLINE_KEYS = {
+    "/W": "/Width", "/H": "/Height", "/BPC": "/BitsPerComponent",
+    "/CS": "/ColorSpace", "/F": "/Filter", "/DP": "/DecodeParms",
+    "/D": "/Decode", "/IM": "/ImageMask", "/I": "/Interpolate",
+}
+_INLINE_FILTERS = {
+    "/AHx": "/ASCIIHexDecode", "/A85": "/ASCII85Decode",
+    "/LZW": "/LZWDecode", "/Fl": "/FlateDecode",
+    "/RL": "/RunLengthDecode", "/CCF": "/CCITTFaxDecode",
+    "/DCT": "/DCTDecode",
+}
+_INLINE_CS = {"/G": "/DeviceGray", "/RGB": "/DeviceRGB",
+              "/CMYK": "/DeviceCMYK", "/I": "/Indexed"}
+_CS_COMPONENTS = {"/DeviceGray": 1, "/DeviceRGB": 3, "/DeviceCMYK": 4,
+                  "/Indexed": 1}
+
+_BI_RE = re.compile(rb"(?:^|[\s])BI([\s/])", re.S)
+_EI_RE = re.compile(rb"[\s]EI(?=[\s]|$)", re.S)
+
+
+def _expand_inline(v: Any) -> Any:
+    if isinstance(v, list):
+        return [_expand_inline(x) for x in v]
+    if isinstance(v, str):
+        return _INLINE_FILTERS.get(v, _INLINE_CS.get(v, v))
+    return v
+
+
+def inline_images(content: bytes, resolve=lambda v: v) -> list[dict]:
+    """BI..ID..EI inline images of a content stream (ISO 32000-1
+    §8.9.7) as (params_dict, data) entries with abbreviated keys and
+    filter/colorspace names expanded. For unfiltered data the extent
+    is computed exactly from W*H*BPC*components (rows byte-padded);
+    for filtered data candidate EI delimiters are tried until the
+    filter chain decodes (a raw `EI` inside compressed bytes cannot
+    end the scan early)."""
+    out: list[dict] = []
+    for m in _BI_RE.finditer(content):
+        dict_start = m.end() - 1  # keep the [\s/] byte
+        id_m = re.compile(rb"[\s]ID[\s]").search(content, dict_start)
+        if not id_m:
+            continue
+        try:
+            params_raw, _ = parse_value(
+                b"<<" + content[dict_start : id_m.start()] + b">>", 0
+            )
+        except (ValueError, IndexError):
+            continue
+        if not isinstance(params_raw, dict):
+            continue
+        params = {
+            _INLINE_KEYS.get(k, k): _expand_inline(v)
+            for k, v in params_raw.items()
+        }
+        data_start = id_m.end()
+        filt = params.get("/Filter")
+        w = int(resolve(params.get("/Width", 0)) or 0)
+        h = int(resolve(params.get("/Height", 0)) or 0)
+        if filt is None:
+            cs = resolve(params.get("/ColorSpace", "/DeviceGray"))
+            ncomp = _CS_COMPONENTS.get(cs, 1)
+            bpc = int(resolve(params.get("/BitsPerComponent", 8)) or 8)
+            if params.get("/ImageMask") is True:
+                ncomp, bpc = 1, 1
+            row = -(-(w * ncomp * bpc) // 8)
+            end = data_start + row * h
+            out.append({"params": params, "data": content[data_start:end]})
+            continue
+        # filtered: try successive EI candidates until the chain decodes
+        for ei in _EI_RE.finditer(content, data_start):
+            data = content[data_start : ei.start()]
+            try:
+                decoded, stopped = _run_filter_chain(
+                    data, filt, params.get("/DecodeParms"), resolve, True
+                )
+            except (ValueError, zlib.error, IndexError):
+                continue
+            if stopped == "/DCTDecode" and not decoded.rstrip().endswith(
+                b"\xff\xd9"
+            ):
+                continue  # an EI inside the JPEG byte stream
+            out.append({"params": params, "data": data})
+            break
+    return out
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -609,47 +749,11 @@ class PdfDocument:
         that point (e.g. a JFIF for /DCTDecode), which is what image
         extraction wants. With False an image filter raises, matching
         the documented text-path contract."""
-        data = obj.raw
         filt = self.resolve(obj.sdict.get("/Filter"))
-        if filt is None:
-            return data, None
-        filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(obj.sdict.get("/DecodeParms"))
-        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
-        for f, pm in zip(filters, parms_list):
-            f = self.resolve(f)
-            if stop_at_image and f in (
-                "/DCTDecode",
-                "/JPXDecode",
-                "/CCITTFaxDecode",
-            ):
-                return data, f
-            pm = self.resolve(pm) or {}
-            if f == "/FlateDecode":
-                data = _apply_predictor(zlib.decompress(data), pm, self.resolve)
-            elif f == "/LZWDecode":
-                early = self.resolve(pm.get("/EarlyChange", 1))
-                data = _apply_predictor(
-                    _lzw_decode(data, early=int(early)), pm, self.resolve
-                )
-            elif f == "/ASCIIHexDecode":
-                body = data.split(b">")[0]
-                hx = bytes(c for c in body if c not in _WS).decode("ascii")
-                if len(hx) % 2:
-                    hx += "0"
-                data = bytes.fromhex(hx)
-            elif f == "/RunLengthDecode":
-                data = _rle_decode(data)
-            elif f == "/ASCII85Decode":
-                import base64
-
-                body = bytes(c for c in data if c not in _WS)
-                if body.endswith(b"~>"):
-                    body = body[:-2]
-                data = base64.a85decode(b"<~" + body + b"~>", adobe=True)
-            else:
-                raise ValueError(f"unsupported stream filter {f}")
-        return data, None
+        return _run_filter_chain(
+            obj.raw, filt, parms, self.resolve, stop_at_image
+        )
 
     # -- metadata -----------------------------------------------------
     def info(self) -> dict[str, str]:
@@ -792,27 +896,47 @@ class PdfDocument:
             self.resolve(res.get("/XObject")) if isinstance(res, dict) else None
         )
         out: list[dict] = []
-        if not isinstance(xobjs, dict):
-            return out
-        for name in sorted(xobjs):
-            obj = self.resolve(xobjs[name])
-            if not isinstance(obj, StreamObj):
-                continue
-            if self.resolve(obj.sdict.get("/Subtype")) != "/Image":
-                continue
+        sources: list[tuple[str, dict, Any]] = []  # (name, sdict, raw|obj)
+        if isinstance(xobjs, dict):
+            for name in sorted(xobjs):
+                obj = self.resolve(xobjs[name])
+                if not isinstance(obj, StreamObj):
+                    continue
+                if self.resolve(obj.sdict.get("/Subtype")) != "/Image":
+                    continue
+                sources.append((name, obj.sdict, obj))
+        # inline BI..ID..EI images ride the content stream itself
+        try:
+            content = self.page_content(page)
+        except (ValueError, zlib.error, IndexError):
+            content = b""
+        for i, inl in enumerate(inline_images(content, self.resolve)):
+            sources.append((f"inline{i}", inl["params"], inl["data"]))
+        for name, sdict, src in sources:
             entry: dict[str, Any] = {
                 "name": name,
-                "width": int(self.resolve(obj.sdict.get("/Width", 0)) or 0),
-                "height": int(self.resolve(obj.sdict.get("/Height", 0)) or 0),
+                "width": int(self.resolve(sdict.get("/Width", 0)) or 0),
+                "height": int(self.resolve(sdict.get("/Height", 0)) or 0),
                 "colorspace": str(
-                    self.resolve(obj.sdict.get("/ColorSpace", "")) or ""
+                    self.resolve(sdict.get("/ColorSpace", "")) or ""
                 ),
                 "bits": int(
-                    self.resolve(obj.sdict.get("/BitsPerComponent", 0)) or 0
+                    self.resolve(sdict.get("/BitsPerComponent", 0)) or 0
                 ),
             }
             try:
-                data, stopped = self._decode_filters(obj, stop_at_image=True)
+                if isinstance(src, StreamObj):
+                    data, stopped = self._decode_filters(
+                        src, stop_at_image=True
+                    )
+                else:
+                    data, stopped = _run_filter_chain(
+                        src,
+                        sdict.get("/Filter"),
+                        sdict.get("/DecodeParms"),
+                        self.resolve,
+                        True,
+                    )
             except (ValueError, zlib.error, IndexError) as e:
                 entry.update(
                     format="error", data=None, decodable=False, error=str(e)

@@ -983,3 +983,78 @@ def test_codec_and_features_surface_embedded_images(spark):
     assert '"format": "jpeg"' in a1["embedded_image_meta"]
     assert res[(res.path == "a.pdf") & (res.page == 2)].iloc[0]["n_images"] == 0
     assert res[res.path == "b.pdf"].iloc[0]["embedded_image"] is None
+
+
+def _minimal_pdf_with_content(content: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for o in offs:
+        buf += f"{o:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref}\n%%EOF\n".encode()
+    )
+    return bytes(buf)
+
+
+def test_inline_images_raw_flate_dct():
+    """BI..ID..EI inline images: exact extent for unfiltered data,
+    decode-probed EI scan for filtered data (an EI byte pair inside
+    the compressed payload must not end the image early), and
+    abbreviated key/filter names expanded."""
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+    px = _gradient()
+    jpg = encode_jpeg(16, 8, px, quality=90)
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (inline test) Tj ET\n"
+        b"q BI /W 16 /H 8 /CS /G /BPC 8 ID " + px + b" EI Q\n"
+        b"q BI /W 16 /H 8 /CS /G /BPC 8 /F /Fl ID "
+        + zlib.compress(px) + b" EI Q\n"
+        b"q BI /W 16 /H 8 /F /DCT ID " + jpg + b" EI Q\n"
+    )
+    pdf = _minimal_pdf_with_content(content)
+    (page,) = minipdf.extract_page_images(pdf)
+    assert [e["name"] for e in page] == ["inline0", "inline1", "inline2"]
+    assert page[0]["format"] == "raw" and page[0]["data"] == px
+    assert page[1]["format"] == "raw" and page[1]["data"] == px
+    assert page[2]["format"] == "jpeg" and page[2]["data"] == jpg
+    assert page[2]["decodable"] is True
+    # text extraction unaffected by the binary runs
+    assert minipdf.extract_page_texts(pdf) == ["inline test"]
+
+
+def test_inline_image_with_planted_ei_inside_payload():
+    """Unfiltered extent comes from W*H*BPC (rows byte-padded), so a
+    literal ' EI ' inside the sample bytes cannot truncate it."""
+    px = bytearray(_gradient())
+    px[20:24] = b" EI "  # plant the delimiter inside the data
+    px = bytes(px)
+    content = b"q BI /W 16 /H 8 /CS /G /BPC 8 ID " + px + b" EI Q\n"
+    pdf = _minimal_pdf_with_content(content)
+    (page,) = minipdf.extract_page_images(pdf)
+    assert page[0]["data"] == px
+
+
+def test_inline_images_mixed_with_xobjects():
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+    px = _gradient()
+    jpg = encode_jpeg(16, 8, px, quality=90)
+    pdf, jpg2, _ = _image_pdf()
+    # xobject pdf has no inline images; entries keep XObject names
+    names = [e["name"] for e in minipdf.extract_page_images(pdf)[0]]
+    assert names == ["/Im0", "/Im1", "/Im2"]
