@@ -81,9 +81,9 @@ def decode_image(data: bytes) -> tuple[int, int, bytes]:
     if data[:4] == b"\x89PNG":
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
-        from pdf2dataset_spark.sources.jpeg import decode_jpeg
+        from pdf2dataset_spark.sources.jpeg import decode_jpeg_gray
 
-        return decode_jpeg(data)
+        return decode_jpeg_gray(data)  # hashes run on luminance
     raise ValueError("unknown image container (PNG/baseline-JPEG supported)")
 
 

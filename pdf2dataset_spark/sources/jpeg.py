@@ -1,18 +1,22 @@
-"""Baseline JPEG codec (grayscale, no native deps).
+"""Baseline JPEG codec (no native deps).
 
 Upstream renders page images through pdf2image/poppler, which can emit
 JPEG; this container has no native imaging stack, so `image_format=
 "jpeg"` previously required an optional import. This module closes the
-gap with a self-contained baseline-DCT JFIF encoder (and a matching
-decoder used by the round-trip tests): 8x8 FDCT via a numpy matrix
-product, Annex-K-style luminance quantization scaled by `quality`,
-and canonical Huffman tables written INTO the stream (DQT/DHT), so
-any spec-compliant reader decodes the output regardless of the
-specific table constants.
+gap with a self-contained baseline-DCT JFIF encoder and decoder: 8x8
+(F)DCT via numpy matrix products, Annex-K quantization scaled by
+`quality`, and canonical Huffman tables written INTO the stream
+(DQT/DHT), so any spec-compliant reader decodes the output regardless
+of the specific table constants.
 
-Scope: single-component (grayscale) baseline sequential — exactly
-what the text raster produces. Color would add chroma subsampling and
-two more Huffman tables but no new structure.
+Scope:
+- **encode**: grayscale (1 component — what the text raster produces)
+  and RGB color (3 components, JFIF YCbCr, 4:4:4).
+- **decode**: general baseline sequential — 1 or 3 components, any
+  per-component sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+  multiple DQT/DHT tables per segment, restart intervals (DRI/RSTn),
+  APPn/COM segments skipped. Progressive raises a named error. This
+  is the shape virtually every embedded /DCTDecode photo uses.
 """
 
 from __future__ import annotations
@@ -64,6 +68,50 @@ _AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Annex K chroma quantization matrix (quality 50 base).
+_QUANT_BASE_C = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# Standard chroma Huffman specs (ITU-T T.81 Table K.4/K.6).
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
 # zigzag order: _ZIGZAG[i] = flat index (r*8+c) of the i-th coefficient.
 def _zigzag_order() -> list[int]:
     order = sorted(
@@ -99,6 +147,13 @@ def _quant_table(quality: int) -> np.ndarray:
     return np.clip(tbl, 1, 255)
 
 
+def _quant_table_chroma(quality: int) -> np.ndarray:
+    q = min(100, max(1, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    tbl = np.floor((_QUANT_BASE_C * scale + 50) / 100)
+    return np.clip(tbl, 1, 255)
+
+
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman: symbol -> (code, length)."""
     codes: dict[int, tuple[int, int]] = {}
@@ -115,6 +170,8 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 _DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+_DC_CODES_C = _build_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_CODES_C = _build_codes(_AC_BITS_C, _AC_VALS_C)
 
 
 class _BitWriter:
@@ -153,77 +210,149 @@ def _segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(w: int, h: int, px: bytes, quality: int = 85) -> bytes:
-    """Encode an 8-bit grayscale image (row-major ``px``) as baseline
-    JFIF. Deterministic: same pixels + quality -> same bytes."""
-    qt = _quant_table(quality)
-    img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
-    # pad to 8x8 multiples by edge replication (spec-standard choice)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(
-        img.astype(np.float64) - 128.0,
-        ((0, ph - h), (0, pw - w)),
-        mode="edge",
-    )
-    # all blocks at once: (n_blocks, 8, 8) tensor FDCT
+def _plane_to_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(ph, pw) centered plane -> (n_blocks, 64) quantized zigzag rows
+    in raster block order."""
+    ph, pw = plane.shape
     blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8)
+        plane.reshape(ph // 8, 8, pw // 8, 8)
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
     )
     coeffs = _DCT_M @ blocks @ _DCT_M.T
     quant = np.round(coeffs / qt).astype(np.int32)
-    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
 
-    bw = _BitWriter()
-    prev_dc = 0
-    for blk in zz:
-        dc = int(blk[0])
-        diff = dc - prev_dc
-        prev_dc = dc
-        cat = _category(diff)
-        code, ln = _DC_CODES[cat]
+
+def _write_block(bw: _BitWriter, blk, prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag block; returns the block's DC."""
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(_amplitude_bits(diff, cat), cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
         bw.write(code, ln)
-        if cat:
-            bw.write(_amplitude_bits(diff, cat), cat)
+        bw.write(_amplitude_bits(v, cat), cat)
         run = 0
-        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
-        for i in range(1, last_nz + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = _AC_CODES[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            cat = _category(v)
-            code, ln = _AC_CODES[(run << 4) | cat]
-            bw.write(code, ln)
-            bw.write(_amplitude_bits(v, cat), cat)
-            run = 0
-        if last_nz < 63:
-            code, ln = _AC_CODES[0x00]  # EOB
-            bw.write(code, ln)
-    bw.flush()
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
 
-    qt_zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint8)
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+
+def _pad_plane(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    return np.pad(
+        img.astype(np.float64) - 128.0,
+        ((0, ph - h), (0, pw - w)),
+        mode="edge",  # edge replication: spec-standard padding choice
+    )
+
+
+def encode_jpeg(
+    w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1
+) -> bytes:
+    """Encode an 8-bit image (row-major ``px``) as baseline JFIF.
+    ``ncomp=1``: grayscale. ``ncomp=3``: interleaved RGB, written as
+    JFIF YCbCr 4:4:4 (luma tables id 0, chroma id 1 — the canonical
+    color layout). Deterministic: same pixels + quality -> same
+    bytes."""
+    if ncomp not in (1, 3):
+        raise ValueError("ncomp must be 1 (gray) or 3 (RGB)")
+    qt_l = _quant_table(quality)
+    if ncomp == 1:
+        img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
+        zz = _plane_to_zz(_pad_plane(img, h, w), qt_l)
+        bw = _BitWriter()
+        prev_dc = 0
+        for blk in zz:
+            prev_dc = _write_block(bw, blk, prev_dc, _DC_CODES, _AC_CODES)
+        bw.flush()
+        qt_zz = qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        return b"".join(
+            [
+                b"\xff\xd8",
+                _segment(
+                    0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                ),
+                _segment(0xFFDB, b"\x00" + qt_zz.tobytes()),
+                _segment(
+                    0xFFC0,
+                    struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+                ),
+                _segment(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)),
+                _segment(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)),
+                _segment(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])),
+                bytes(bw.out),
+                b"\xff\xd9",
+            ]
+        )
+
+    qt_c = _quant_table_chroma(quality)
+    rgb = (
+        np.frombuffer(bytes(px), dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,  # Y
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,  # Cb
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,  # Cr
+    ]
+    zzs = [
+        _plane_to_zz(
+            _pad_plane(np.clip(np.round(p), 0, 255).astype(np.uint8), h, w),
+            qt_l if i == 0 else qt_c,
+        )
+        for i, p in enumerate(planes)
+    ]
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for m in range(zzs[0].shape[0]):  # 4:4:4 -> one block/component/MCU
+        prev[0] = _write_block(bw, zzs[0][m], prev[0], _DC_CODES, _AC_CODES)
+        prev[1] = _write_block(bw, zzs[1][m], prev[1], _DC_CODES_C, _AC_CODES_C)
+        prev[2] = _write_block(bw, zzs[2][m], prev[2], _DC_CODES_C, _AC_CODES_C)
+    bw.flush()
+    qtl_zz = qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    qtc_zz = qt_c.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     return b"".join(
         [
-            b"\xff\xd8",  # SOI
+            b"\xff\xd8",
             _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
-            _segment(0xFFDB, b"\x00" + qt_zz.tobytes()),
+            _segment(0xFFDB, b"\x00" + qtl_zz.tobytes()),
+            _segment(0xFFDB, b"\x01" + qtc_zz.tobytes()),
+            _segment(0xFFC0, sof),
+            _segment(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            _segment(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)),
             _segment(
-                0xFFC0,
-                struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+                0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
             ),
-            _segment(0xFFC4, dht_dc),
-            _segment(0xFFC4, dht_ac),
-            _segment(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])),
+            _segment(
+                0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
+            ),
+            _segment(0xFFDA, sos),
             bytes(bw.out),
-            b"\xff\xd9",  # EOI
+            b"\xff\xd9",
         ]
     )
 
@@ -257,6 +386,18 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (ITU-T T.81 §E.2.4)."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        self.pos += 2
+
 
 def _decode_tree(bits: list[int], vals: list[int]):
     """code-space map: (length, code) -> symbol."""
@@ -282,16 +423,50 @@ def _read_symbol(br: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code")
 
 
+def _decode_one_block(br: _BitReader, dc_t, ac_t, prev_dc: int):
+    """One entropy-coded block -> (zigzag ndarray(64), new prev_dc)."""
+    zz = np.zeros(64, dtype=np.float64)
+    cat = _read_symbol(br, dc_t)
+    diff = 0
+    if cat:
+        raw = br.read_bits(cat)
+        diff = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+    prev_dc += diff
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _read_symbol(br, ac_t)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += run
+        raw = br.read_bits(cat)
+        v = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+        if i < 64:
+            zz[i] = v
+        i += 1
+    return zz, prev_dc
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a single-component baseline JPEG produced by
-    :func:`encode_jpeg` (or any grayscale baseline file using one
-    DC and one AC table). Returns (w, h, pixels)."""
+    """Decode a baseline sequential JPEG: 1 or 3 components, any
+    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), multi-table
+    DQT/DHT segments, restart intervals, APPn/COM skipped. Returns
+    (w, h, pixels) — grayscale bytes (w*h) for one component,
+    interleaved RGB (3*w*h, YCbCr converted) for three."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
-    qt = None
+    qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
+    scan_order: list[int] = []
+    restart_interval = 0
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -299,72 +474,127 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
+        if 0xFFD0 <= marker <= 0xFFD7 or marker == 0xFF01:
+            pos += 2  # standalone markers carry no length
+            continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xFFDB:
-            if payload[0] & 0x0F == 0:
-                zzt = np.array(list(payload[1:65]), dtype=np.float64)
+            p = 0
+            while p < len(payload):  # a DQT may hold several tables
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zzt = np.array(list(payload[p + 1 : p + 65]), dtype=np.float64)
                 qt = np.zeros(64)
                 qt[_ZIGZAG] = zzt
-                qt = qt.reshape(8, 8)
-        elif marker == 0xFFC0:
+                qts[tq] = qt.reshape(8, 8)
+                p += 65
+        elif marker in (0xFFC0, 0xFFC1):  # baseline / extended seq.
             _, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if ncomp != 1:
-                raise ValueError("only single-component JPEGs supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEGs not supported")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker == 0xFFC2:
             raise ValueError("progressive JPEG not supported")
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
+                        0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("non-baseline JPEG coding not supported")
         elif marker == 0xFFC4:
-            tc_th = payload[0]
-            bits = list(payload[1:17])
-            nvals = sum(bits)
-            vals = list(payload[17 : 17 + nvals])
-            huff[(tc_th >> 4, tc_th & 0x0F)] = _decode_tree(bits, vals)
+            p = 0
+            while p < len(payload):  # a DHT may hold several tables
+                tc_th = payload[p]
+                bits = list(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _decode_tree(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
+            ns = payload[0]
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_order.append(cid)
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if qt is None or scan_start is None or not w or not h:
+    if not qts or scan_start is None or not w or not h or not comps:
         raise ValueError("missing JPEG segments")
+    if [c[0] for c in comps] != scan_order:
+        # single-scan baseline: scan must cover the frame components
+        raise ValueError("multi-scan JPEGs not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hs, vs, _ in comps:
+        if not (1 <= hs <= 2 and 1 <= vs <= 2) or hmax % hs or vmax % vs:
+            raise ValueError(f"sampling factors {hs}x{vs} not supported")
+
     end = data.rfind(b"\xff\xd9")
     br = _BitReader(data[scan_start:end])
-    dc_t, ac_t = huff[(0, 0)], huff[(1, 0)]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    blocks = [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
+    prev = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()
+                prev = [0] * len(comps)
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                dc_t = huff[(0, scan[cid][0])]
+                ac_t = huff[(1, scan[cid][1])]
+                for v in range(vs):
+                    for hh in range(hs):
+                        zz, prev[ci] = _decode_one_block(
+                            br, dc_t, ac_t, prev[ci]
+                        )
+                        blocks[ci][my * vs + v, mx * hs + hh] = zz
+            mcu_n += 1
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    nblocks = (ph // 8) * (pw // 8)
-    zz = np.zeros((nblocks, 64), dtype=np.float64)
-    prev_dc = 0
-    for b in range(nblocks):
-        cat = _read_symbol(br, dc_t)
-        diff = 0
-        if cat:
-            raw = br.read_bits(cat)
-            diff = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
-        prev_dc += diff
-        zz[b, 0] = prev_dc
-        i = 1
-        while i < 64:
-            sym = _read_symbol(br, ac_t)
-            if sym == 0x00:  # EOB
-                break
-            run, cat = sym >> 4, sym & 0x0F
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            i += run
-            raw = br.read_bits(cat)
-            v = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
-            if i < 64:
-                zz[b, i] = v
-            i += 1
-
-    coeffs = np.zeros((nblocks, 64))
-    coeffs[:, _ZIGZAG] = zz
-    blocks = coeffs.reshape(-1, 8, 8) * qt
-    spatial = _DCT_M.T @ blocks @ _DCT_M + 128.0
-    img = (
-        spatial.reshape(ph // 8, pw // 8, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(ph, pw)
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        by, bx = blocks[ci].shape[:2]
+        coeffs = np.zeros((by * bx, 64))
+        coeffs[:, _ZIGZAG] = blocks[ci].reshape(-1, 64)
+        sp = _DCT_M.T @ (coeffs.reshape(-1, 8, 8) * qts[tq]) @ _DCT_M + 128.0
+        plane = (
+            sp.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        # nearest upsample to full resolution, then crop
+        plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, out.tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
     )
-    out = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, out.tobytes()
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Like :func:`decode_jpeg` but always returns one luminance byte
+    per pixel (BT.601 luma for color inputs) — the shape the
+    perceptual-hash and OCR paths consume."""
+    w, h, px = decode_jpeg(data)
+    if len(px) == w * h:
+        return w, h, px
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()

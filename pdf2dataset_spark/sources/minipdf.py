@@ -885,11 +885,14 @@ class PdfDocument:
           of filters this engine does not transcode.
         - ``decodable``: True when ``data`` can be turned into pixels
           with zero native deps — raw samples always; JPEG when
-          :func:`sources.jpeg.decode_jpeg` accepts it (single-
-          component baseline; the encoder's own output round-trips).
+          :func:`sources.jpeg.decode_jpeg` accepts it (baseline
+          sequential, gray or YCbCr up to 2x2 sampling with restart
+          intervals — virtually every embedded photo; progressive
+          reports False honestly).
         - ``pixels``: with ``decode_pixels=True`` and decodable JPEG,
-          the gray8 samples (kept off by default — a page of photos
-          would multiply the row's Arrow footprint).
+          the decoded samples (gray8, or interleaved RGB for color;
+          kept off by default — a page of photos would multiply the
+          row's Arrow footprint).
         """
         res = self.resolve(page.get("/Resources"))
         xobjs = (

@@ -189,3 +189,198 @@ def test_jpeg_roundtrip_property():
         assert np.abs(a - b).mean() < 64
 
     check()
+
+
+# ---------------------------------------------------------------------
+# color / general baseline JPEG decoding
+# ---------------------------------------------------------------------
+
+
+def _gradient_rgb(w, h):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+         (xx + yy) * 255 // max(w + h - 2, 1)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_color_jpeg_roundtrip_444():
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg,
+    )
+
+    w, h = 40, 24
+    rgb = _gradient_rgb(w, h)
+    data = encode_jpeg(w, h, rgb.tobytes(), quality=95, ncomp=3)
+    w2, h2, out = decode_jpeg(data)
+    assert (w2, h2) == (w, h) and len(out) == 3 * w * h
+    err = np.abs(
+        rgb.astype(int)
+        - np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    ).max()
+    assert err <= 8, err  # smooth gradients survive q95 nearly exactly
+    wg, hg, gray = decode_jpeg_gray(data)
+    assert (wg, hg, len(gray)) == (w, h, w * h)
+
+
+def _encode_420_with_restarts(rgb, quality=95, restart=0):
+    """Test-local 4:2:0 encoder (Y 2x2, chroma 1x1, optional DRI/RSTn)
+    built from the module's own primitives — exists to exercise the
+    DECODER's subsampled-MCU and restart paths, which the shipping
+    4:4:4 encoder never emits."""
+    import struct as st
+
+    import numpy as np
+
+    from pdf2dataset_spark.sources import jpeg as J
+
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # chroma: 2x2 box downsample
+    def down(p):
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
+
+    qt_l, qt_c = J._quant_table(quality), J._quant_table_chroma(quality)
+    # pad Y to 16-multiples so MCUs are complete; chroma to 8-multiples
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+
+    def pad_to(p, hh, ww):
+        return np.pad(
+            p.astype(np.float64) - 128.0,
+            ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+            mode="edge",
+        )
+
+    zz_y = J._plane_to_zz(pad_to(np.clip(np.round(y), 0, 255), ph, pw), qt_l)
+    zz_cb = J._plane_to_zz(
+        pad_to(np.clip(np.round(down(cb)), 0, 255), ph // 2, pw // 2), qt_c
+    )
+    zz_cr = J._plane_to_zz(
+        pad_to(np.clip(np.round(down(cr)), 0, 255), ph // 2, pw // 2), qt_c
+    )
+    ybx = pw // 8  # Y blocks per row
+    cbx = pw // 16
+    bw = J._BitWriter()
+    prev = [0, 0, 0]
+    mcu_n = 0
+    out_chunks = []
+    rst = 0
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            if restart and mcu_n and mcu_n % restart == 0:
+                bw.flush()
+                out_chunks.append(bytes(bw.out))
+                out_chunks.append(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                bw = J._BitWriter()
+                prev = [0, 0, 0]
+            for v in range(2):
+                for hh in range(2):
+                    blk = zz_y[(my * 2 + v) * ybx + mx * 2 + hh]
+                    prev[0] = J._write_block(
+                        bw, blk, prev[0], J._DC_CODES, J._AC_CODES
+                    )
+            prev[1] = J._write_block(
+                bw, zz_cb[my * cbx + mx], prev[1], J._DC_CODES_C, J._AC_CODES_C
+            )
+            prev[2] = J._write_block(
+                bw, zz_cr[my * cbx + mx], prev[2], J._DC_CODES_C, J._AC_CODES_C
+            )
+            mcu_n += 1
+    bw.flush()
+    out_chunks.append(bytes(bw.out))
+    qtl = qt_l.reshape(-1)[J._ZIGZAG].astype(np.uint8)
+    qtc = qt_c.reshape(-1)[J._ZIGZAG].astype(np.uint8)
+    segs = [
+        b"\xff\xd8",
+        J._segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        # both quant tables in ONE DQT segment (multi-table parsing)
+        J._segment(0xFFDB, b"\x00" + qtl.tobytes() + b"\x01" + qtc.tobytes()),
+        J._segment(
+            0xFFC0,
+            st.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        ),
+        # all four huffman tables in ONE DHT segment
+        J._segment(
+            0xFFC4,
+            bytes([0x00]) + bytes(J._DC_BITS) + bytes(J._DC_VALS)
+            + bytes([0x10]) + bytes(J._AC_BITS) + bytes(J._AC_VALS)
+            + bytes([0x01]) + bytes(J._DC_BITS_C) + bytes(J._DC_VALS_C)
+            + bytes([0x11]) + bytes(J._AC_BITS_C) + bytes(J._AC_VALS_C),
+        ),
+    ]
+    if restart:
+        segs.append(J._segment(0xFFDD, st.pack(">H", restart)))
+    segs.append(
+        J._segment(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    )
+    segs.extend(out_chunks)
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+@pytest.mark.parametrize("restart", [0, 2])
+def test_decode_420_subsampled_with_and_without_restarts(restart):
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+    w, h = 48, 32
+    rgb = _gradient_rgb(w, h)
+    data = _encode_420_with_restarts(rgb, quality=95, restart=restart)
+    w2, h2, out = decode_jpeg(data)
+    assert (w2, h2) == (w, h) and len(out) == 3 * w * h
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    # 4:2:0 chroma is quarter-res: loose bound on color, tight on luma
+    y_err = np.abs(
+        (0.299 * got[..., 0] + 0.587 * got[..., 1] + 0.114 * got[..., 2])
+        - (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    ).max()
+    assert y_err <= 10, y_err
+    assert np.abs(got - rgb.astype(int)).mean() <= 8
+
+
+def test_decoder_rejects_progressive_with_named_error():
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes(range(64))
+    data = bytearray(encode_jpeg(8, 8, px))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_color_jpeg_flows_through_page_images_and_phash():
+    """An embedded COLOR /DCTDecode XObject is now decodable: dims
+    come from the stream and the perceptual hash consumes it via the
+    luminance path."""
+    from pdf2dataset_spark.operators import image_hash as ih
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+    w, h = 32, 16
+    rgb = _gradient_rgb(w, h)
+    jpg = encode_jpeg(w, h, rgb.tobytes(), quality=90, ncomp=3)
+    pdf = minipdf.build_pdf(
+        ["color"], images=[{
+            "filter": "/DCTDecode", "width": w, "height": h, "data": jpg,
+            "colorspace": "/DeviceRGB",
+        }]
+    )
+    (entry,) = minipdf.extract_page_images(pdf)[0]
+    assert entry["format"] == "jpeg" and entry["decodable"] is True
+    assert (entry["width"], entry["height"]) == (w, h)
+    assert isinstance(ih.phash64(entry["data"]), int)
