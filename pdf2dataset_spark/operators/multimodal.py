@@ -7,12 +7,14 @@ while the bytes stay out of every plan that doesn't touch them.
 
 The decode/feature steps run as Arrow-batched ``mapInPandas`` passes
 (batch size capped via session.py so big payloads don't blow worker
-memory). The actual codecs (PIL/ffmpeg/torchvision) are NOT in this
-container, so the decode core is STUBBED: `decoder="fake"` is a
-deterministic stand-in that parses our tagged fake payloads, and
-`decoder="pil"`/`"ffmpeg"` raise ``NotImplementedError`` naming the
-missing dependency. The Spark-side plumbing — schemas, UDF
-signatures, batch iteration, partitioning — is real and tested.
+memory). Decoders: ``decoder="engine"`` is REAL for still images
+with zero native deps (engine PNG + baseline JPEG, gray or color —
+see ``operators.image_hash.decode_image``); ``decoder="fake"`` is a
+deterministic stand-in that parses tagged fake payloads (for video/
+audio pipeline tests); `decoder="pil"`/`"ffmpeg"` raise
+``NotImplementedError`` naming the missing dependency. The
+Spark-side plumbing — schemas, UDF signatures, batch iteration,
+partitioning — is identical for all of them.
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ def _require(decoder: str) -> None:
             "audio/video decode requires ffmpeg bindings — not installed here; "
             "use decoder='fake' for the deterministic stub"
         )
-    elif decoder != "fake":
+    elif decoder not in ("fake", "engine"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
 
@@ -82,10 +84,18 @@ def decode_media(
 ) -> DataFrame:
     """Decode payload → (width, height, n_frames, ok) via mapInPandas.
 
-    The fake decoder parses the tagged payload; real decoders would
-    return pixel buffers. Schema/batching identical either way.
+    ``decoder="engine"`` is REAL for still images with zero native
+    deps: engine PNGs and baseline JPEGs (gray or YCbCr up to 2x2
+    sampling — the `embedded_image` feature's /DCTDecode payloads)
+    decode through :func:`operators.image_hash.decode_image`;
+    undecodable payloads get ok=False, never an exception (A8).
+    The fake decoder parses the tagged test payloads; pil/ffmpeg
+    raise NotImplementedError naming the missing dependency.
+    Schema/batching identical for every decoder.
     """
     _require(decoder)
+    if decoder == "engine":
+        return _decode_media_engine(df, media_col)
     schema = T.StructType(
         df.schema.fields
         + [
@@ -106,6 +116,44 @@ def decode_media(
                     widths.append(int(head[1]))
                     heights.append(int(head[2]))
                     frames.append(int(head[3]))
+                    oks.append(True)
+                except Exception:
+                    widths.append(None)
+                    heights.append(None)
+                    frames.append(None)
+                    oks.append(False)
+            out = pdf.copy()
+            out["dec_width"] = pd.array(widths, dtype="Int32")
+            out["dec_height"] = pd.array(heights, dtype="Int32")
+            out["dec_frames"] = pd.array(frames, dtype="Int32")
+            out["dec_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _decode_media_engine(df: DataFrame, media_col: str) -> DataFrame:
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("dec_width", T.IntegerType()),
+            T.StructField("dec_height", T.IntegerType()),
+            T.StructField("dec_frames", T.IntegerType()),
+            T.StructField("dec_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf2dataset_spark.operators.image_hash import decode_image
+
+        for pdf in batches:
+            widths, heights, frames, oks = [], [], [], []
+            for payload in pdf[media_col]:
+                try:
+                    w, h, _px = decode_image(bytes(payload))
+                    widths.append(w)
+                    heights.append(h)
+                    frames.append(1)
                     oks.append(True)
                 except Exception:
                     widths.append(None)

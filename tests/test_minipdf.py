@@ -1058,3 +1058,41 @@ def test_inline_images_mixed_with_xobjects():
     # xobject pdf has no inline images; entries keep XObject names
     names = [e["name"] for e in minipdf.extract_page_images(pdf)[0]]
     assert names == ["/Im0", "/Im1", "/Im2"]
+
+
+def test_xobject_and_inline_copies_are_byte_identical():
+    """a19's fixture contract: the same JPEG planted as XObject and
+    inline image must extract byte-identically from both paths."""
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+    w, h = 32, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1),
+         (xx + yy) * 255 // (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    jpg = encode_jpeg(w, h, rgb.tobytes(), quality=90, ncomp=3)
+    base = minipdf.build_pdf(
+        ["color page"],
+        images=[{"filter": "/DCTDecode", "width": w, "height": h,
+                 "data": jpg, "colorspace": "/DeviceRGB"}],
+    )
+    marker = b"stream\n"
+    i = base.index(marker)
+    j = base.index(b"\nendstream", i)
+    content = base[i + len(marker) : j]
+    inline = b"\nq BI /W 32 /H 16 /F /DCT ID " + jpg + b" EI Q"
+    patched = content + inline
+    head_start = base.rindex(b"<<", 0, i)
+    doc = (
+        base[:head_start]
+        + f"<< /Length {len(patched)} >>".encode()
+        + b"\n" + marker + patched + base[j:]
+    )
+    (page,) = minipdf.extract_page_images(doc)
+    assert [e["name"] for e in page] == ["/Im0", "inline0"]
+    assert page[0]["data"] == jpg and page[1]["data"] == jpg
+    assert all(e["decodable"] for e in page)  # color decode is real now

@@ -845,3 +845,28 @@ class TestDedupAgainstStore:
         batch = self._batch(spark, [(9, "KEPT  text"), (10, "fresh")])
         out = dd.dedup_against_store(batch, store)
         assert [r["doc_id"] for r in out.collect()] == [10]
+
+
+def test_multimodal_engine_decoder_is_real_for_images(spark):
+    """decoder='engine' decodes actual PNG/JPEG payloads (no fake
+    tags): real dims come back, undecodable bytes get ok=False."""
+    from pdf2dataset_spark.operators.multimodal import decode_media
+    from pdf2dataset_spark.sources.jpeg import encode_jpeg
+    from pdf2dataset_spark.sources.raster import render_text_png
+
+    png = render_text_png("engine decoder test")
+    import numpy as np
+
+    rgb = np.tile(
+        np.arange(24, dtype=np.uint8).reshape(1, 8, 3), (8, 1, 1)
+    )
+    jpg = encode_jpeg(8, 8, rgb.tobytes(), quality=90, ncomp=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(b"junk"))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_media(df, decoder="engine").collect()}
+    assert rows[1]["dec_ok"] and rows[1]["dec_width"] > 0
+    assert rows[2]["dec_ok"] and (rows[2]["dec_width"], rows[2]["dec_height"]) == (8, 8)
+    assert rows[2]["dec_frames"] == 1
+    assert not rows[3]["dec_ok"] and rows[3]["dec_width"] is None
