@@ -149,10 +149,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f34_semantic_dedup",
     "f36_quality_classifier",
     "f38_semantic_dedup_nprobe",
-    # broad-coverage extras: skew join, jaccard, TPC-H Q2
-    "d12_salted_skew_join",
-    "f2b_jaccard_neardup",
-    "sql20_q2_min_cost_supplier",
+    # round-4 oracle-backed additions — their first driver rows, so
+    # the whole 175-entry registry carries driver evidence after r4
+    "a18_embedded_image_extract",
+    "a19_color_image_extract",
+    "f41_lm_coverage_quality",
     # ---- end of the expected 50-entry window ----
 )
 
