@@ -479,8 +479,68 @@ def main() -> None:
     check("components_chain_law", components_chain_law)
     check("prefix_sum_conservation", prefix_conservation)
     check("exact_dedup_strategy_agreement", dedup_strategy_agreement)
+    # 14. incremental dedup-against-store at 10M store / 1M batch:
+    #     the bloom-pruned path must return EXACTLY the plain
+    #     anti-join's survivors, and the filter must actually prune
+    #     (store rows entering the join ~ batch-sized, not store-sized)
+    def ingest_dedup_cross_strategy():
+        from pdf2dataset_spark.operators import dedup as dd
+        from pdf2dataset_spark.operators import runtime_filter as rtf
+
+        n_store = int(10_000_000 * mult)
+        n_batch = int(1_000_000 * mult)
+        store = spark.range(n_store).select(
+            dd.text_hash(F.concat(F.lit("doc "), F.col("id"))).alias("__text_sha")
+        )
+        # batch: half replays stored docs, half is new
+        batch = spark.range(n_batch).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.when(
+                F.col("id") % 2 == 0, F.concat(F.lit("doc "), F.col("id"))
+            )
+            .otherwise(F.concat(F.lit("fresh "), F.col("id")))
+            .alias("text"),
+        )
+        kept = dd.dedup_against_store(
+            batch, store, store_hash_col="__text_sha"
+        )
+        a = kept.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id") % 97).alias("fp"),
+        ).collect()[0]
+        plain = (
+            dd.exact_dedup(batch, "text", keep_hash=True, strategy="join")
+            .withColumnRenamed("text_sha256", "__text_sha")
+            .join(store, "__text_sha", "left_anti")
+        )
+        b = plain.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id") % 97).alias("fp"),
+        ).collect()[0]
+        assert (a["n"], a["fp"]) == (b["n"], b["fp"]), (
+            dict(a.asDict()),
+            dict(b.asDict()),
+        )
+        assert a["n"] == n_batch // 2, a["n"]  # exactly the fresh half
+        # pruning power: the bloom keeps ~batch-sized candidates of the
+        # 10M store (batch hashes + fpp false positives)
+        num_bits, k = rtf.suggest_params(n_batch, 0.001)
+        words = rtf.bloom_build(
+            batch.select(dd.text_hash("text").alias("h")), "h", num_bits, k
+        )
+        candidates = rtf.bloom_probe(store, "__text_sha", words, k).count()
+        assert candidates < 2 * n_batch, (candidates, n_store)
+        return {
+            "store": n_store,
+            "batch": n_batch,
+            "survivors": int(a["n"]),
+            "store_rows_entering_join": int(candidates),
+            "pruned_frac": round(1 - candidates / n_store, 4),
+        }
+
     check("mixture_determinism_and_law", mixture_law)
     check("lsh_exact_dup_collision", lsh_collision_law)
+    check("ingest_dedup_cross_strategy_10M", ingest_dedup_cross_strategy)
     check("semdedup_two_sided_5M", semdedup_two_sided)
     check("shard_packing_cross_engine_10M", shard_packing_cross_engine)
     check("bpe_pairs_cross_engine_10M", bpe_pairs_cross_engine)
