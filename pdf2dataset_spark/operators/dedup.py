@@ -479,9 +479,17 @@ def dedup_against_store(
     else:
         store_hashes = store.select(F.col(store_hash_col).alias(hash_col))
 
-    n_batch = batch.count()
-    if 0 < n_batch <= bloom_threshold:
-        num_bits, k = rtf.suggest_params(n_batch, fpp)
+    # size the bloom from the RAW batch count (narrow scan-count, no
+    # dedup shuffle; an upper bound is fine for suggest_params), and
+    # localCheckpoint the deduped batch before the bloom path so the
+    # dedup plan executes ONCE — not once each for sizing, bloom build,
+    # and the final anti-join. The checkpoint blocks are released when
+    # the frame is garbage-collected (ContextCleaner), so no
+    # session-lifetime cache accumulates.
+    n_hint = new_docs.count()
+    if 0 < n_hint <= bloom_threshold:
+        batch = batch.localCheckpoint()
+        num_bits, k = rtf.suggest_params(n_hint, fpp)
         words = rtf.bloom_build(batch, hash_col, num_bits, k)
         store_hashes = rtf.bloom_probe(store_hashes, hash_col, words, k)
     return batch.join(store_hashes, hash_col, "left_anti")
@@ -509,8 +517,17 @@ def ingest_exact(
     fs = jvm_path.getFileSystem(
         spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
     )
+    store = None
     if fs.exists(jvm_path):
-        store = spark.read.parquet(store_path)
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            # a first-batch crash mid-write leaves the directory with
+            # only uncommitted _temporary files: no committed schema to
+            # read — treat as an empty store so the documented replay
+            # contract holds instead of wedging every retry
+            store = None
+    if store is not None:
         survivors = dedup_against_store(
             new_docs, store, text_col, order_col,
             hash_col=hash_col, store_hash_col=hash_col,

@@ -177,6 +177,14 @@ def resize_images(
     """Resize stub: fake decoder rewrites the tagged dims (proving the
     batch plumbing); real decoders would re-encode pixels."""
     _require(decoder)
+    if decoder != "fake":
+        # the rewrite below only makes sense for tagged fake payloads —
+        # applying it to real PNG/JPEG bytes would silently corrupt them
+        raise NotImplementedError(
+            f"resize_images supports only decoder='fake'; a real resize "
+            f"for decoder={decoder!r} needs a decode+re-encode pass "
+            "(use decode_media + your own encoder)"
+        )
     w, h = size
     tail = F.substring_index(F.col(media_col).cast("string"), ":", -1)
     payload = F.concat(

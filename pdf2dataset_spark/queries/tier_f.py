@@ -1772,10 +1772,19 @@ def f40_image_phash_neardup(spark, sf_dir):
         ORDER BY freq DESC, w ASC LIMIT 200
       )
     ),
+    -- re-rank positions AFTER the empty filter so bigrams pair
+    -- adjacent SURVIVING tokens, exactly like the Spark side's
+    -- zip_with over the filtered array (multi-space runs would
+    -- otherwise produce no bigram here but one there)
+    seq AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+      FROM toks
+    ),
     big AS (
       SELECT t1.doc_id, t1.w || ' ' || t2.w AS bg
-      FROM toks t1 JOIN toks t2
-        ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+      FROM seq t1 JOIN seq t2
+        ON t1.doc_id = t2.doc_id AND t2.j = t1.j + 1
     ),
     common_big AS (
       SELECT bg FROM (SELECT bg, count(*) AS c FROM big GROUP BY bg)

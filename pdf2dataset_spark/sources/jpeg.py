@@ -528,6 +528,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     if [c[0] for c in comps] != scan_order:
         # single-scan baseline: scan must cover the frame components
         raise ValueError("multi-scan JPEGs not supported")
+    if len(comps) == 1:
+        # ITU-T T.81 A.2: a single-component scan is NON-interleaved —
+        # one data unit per MCU in plain raster block order, whatever
+        # sampling factors the SOF declares (gray files written with
+        # 2x2 luma sampling are spec-valid and must decode).
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     for _, hs, vs, _ in comps:
@@ -535,6 +541,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"sampling factors {hs}x{vs} not supported")
 
     end = data.rfind(b"\xff\xd9")
+    if end < scan_start:
+        # EOI missing, or the only FFD9 belongs to a pre-scan
+        # thumbnail: decode everything after SOS
+        end = len(data)
     br = _BitReader(data[scan_start:end])
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
@@ -550,8 +560,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 br.restart()
                 prev = [0] * len(comps)
             for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                dc_t = huff[(0, scan[cid][0])]
-                ac_t = huff[(1, scan[cid][1])]
+                try:
+                    dc_t = huff[(0, scan[cid][0])]
+                    ac_t = huff[(1, scan[cid][1])]
+                except KeyError as e:
+                    raise ValueError(f"undefined Huffman table {e}") from e
                 for v in range(vs):
                     for hh in range(hs):
                         zz, prev[ci] = _decode_one_block(
@@ -565,6 +578,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         by, bx = blocks[ci].shape[:2]
         coeffs = np.zeros((by * bx, 64))
         coeffs[:, _ZIGZAG] = blocks[ci].reshape(-1, 64)
+        if tq not in qts:
+            raise ValueError(f"undefined quantization table {tq}")
         sp = _DCT_M.T @ (coeffs.reshape(-1, 8, 8) * qts[tq]) @ _DCT_M + 128.0
         plane = (
             sp.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)

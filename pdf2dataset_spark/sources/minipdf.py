@@ -940,7 +940,8 @@ class PdfDocument:
                         self.resolve,
                         True,
                     )
-            except (ValueError, zlib.error, IndexError) as e:
+            except (ValueError, zlib.error, IndexError, KeyError,
+                    struct.error) as e:
                 entry.update(
                     format="error", data=None, decodable=False, error=str(e)
                 )
@@ -958,9 +959,10 @@ class PdfDocument:
                     entry["height"] = entry["height"] or h
                     if decode_pixels:
                         entry["pixels"] = px
-                except (ValueError, IndexError, struct.error):
-                    # color/progressive JPEG: keep the compressed file,
-                    # report honestly that this engine can't rasterize it
+                except (ValueError, IndexError, struct.error, KeyError,
+                        zlib.error):
+                    # progressive / corrupt JPEG: keep the compressed
+                    # file, report honestly that it can't be rasterized
                     entry["decodable"] = False
             elif stopped is not None:
                 entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")

@@ -870,3 +870,38 @@ def test_multimodal_engine_decoder_is_real_for_images(spark):
     assert rows[2]["dec_ok"] and (rows[2]["dec_width"], rows[2]["dec_height"]) == (8, 8)
     assert rows[2]["dec_frames"] == 1
     assert not rows[3]["dec_ok"] and rows[3]["dec_width"] is None
+
+
+def test_resize_images_rejects_engine_decoder(spark):
+    """The fake-payload rewrite would corrupt real image bytes; engine
+    callers must get a named error, not silent destruction."""
+    from pdf2dataset_spark.operators.multimodal import resize_images
+    from pdf2dataset_spark.sources.raster import render_text_png
+
+    df = spark.createDataFrame(
+        [(1, bytearray(render_text_png("x")))], "doc_id long, media binary"
+    )
+    with pytest.raises(NotImplementedError, match="resize_images"):
+        resize_images(df, decoder="engine")
+
+
+def test_ingest_exact_recovers_from_first_batch_crash(spark, tmp_path):
+    """A store dir left with only uncommitted files (mid-write crash
+    on the FIRST batch) must be treated as empty on replay, not wedge
+    every retry with an unreadable-parquet error."""
+    import os
+
+    from pdf2dataset_spark.operators import dedup as dd
+
+    store = tmp_path / "store"
+    (store / "_temporary").mkdir(parents=True)  # crash debris, no data
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    assert dd.ingest_exact(b, str(store)) == 2
+    assert spark.read.parquet(str(store)).count() == 2
+    # and the store now works normally for the next batch
+    b2 = spark.createDataFrame(
+        [(3, "beta"), (4, "gamma")], "doc_id long, text string"
+    )
+    assert dd.ingest_exact(b2, str(store)) == 1

@@ -384,3 +384,46 @@ def test_color_jpeg_flows_through_page_images_and_phash():
     assert entry["format"] == "jpeg" and entry["decodable"] is True
     assert (entry["width"], entry["height"]) == (w, h)
     assert isinstance(ih.phash64(entry["data"]), int)
+
+
+def test_gray_jpeg_with_declared_2x2_sampling_decodes():
+    """T.81 A.2: a single-component scan is NON-interleaved whatever
+    the SOF sampling byte says — a gray file declaring 2x2 luma
+    sampling must decode identically to the 1x1 spelling."""
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 24, 24
+    px = bytes((x * 7 + y * 3) % 256 for y in range(h) for x in range(w))
+    data = bytearray(encode_jpeg(w, h, px, quality=95))
+    base = decode_jpeg(bytes(data))[2]
+    i = data.find(b"\xff\xc0")
+    # FFC0(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1) samp(1)
+    assert data[i + 11] == 0x11
+    data[i + 11] = 0x22
+    w2, h2, out = decode_jpeg(bytes(data))
+    assert (w2, h2) == (w, h) and out == base
+
+
+def test_missing_eoi_still_decodes():
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes(range(64))
+    data = encode_jpeg(8, 8, px, quality=95)
+    assert data.endswith(b"\xff\xd9")
+    full = decode_jpeg(data)[2]
+    assert decode_jpeg(data[:-2])[2] == full  # EOI stripped
+
+
+def test_undefined_tables_raise_valueerror_not_keyerror():
+    import struct as st
+
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes(range(64))
+    data = bytearray(encode_jpeg(8, 8, px))
+    i = data.find(b"\xff\xda")
+    data[i + 6] = 0x11  # SOS points at undefined DC/AC table id 1
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(bytes(data))

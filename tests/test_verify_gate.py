@@ -58,3 +58,62 @@ def test_normalize_handles_array_columns():
     n = normalize(a)
     assert list(n["k"]) == [1, 2]
     assert list(n["arr"]) == [(1, 2), (3, 4)]
+
+
+def test_f41_twins_agree_on_multi_space_text(spark):
+    """Bigram pairing must match between the Spark zip_with (over the
+    empty-filtered array) and the DuckDB twin (positions re-ranked
+    after the empty filter): a run of 2+ spaces is the divergence
+    case — 'a  b' must pair ('a','b') on BOTH sides."""
+    import duckdb
+    import pandas as pd
+
+    from pdf2dataset_spark.queries import load_all
+
+    reg = load_all()
+    spec = reg["f41_lm_coverage_quality"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a  b a b", "a b c", "solo"],
+        }
+    )
+    sf_dir = "/tmp/f41_multispace_fixture"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(docs), f"{sf_dir}/documents.parquet"
+    )
+    got = (
+        spec.fn(spark, sf_dir)
+        .orderBy("doc_id")
+        .toPandas()
+        .to_dict("records")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(spec.sql + " ORDER BY doc_id")
+        .fetchdf()
+        .to_dict("records")
+    )
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        for k in ("n_tokens", "n_oov", "n_bigrams"):
+            assert g[k] == w[k], (k, g, w)
+        import math
+
+        gv, wv = g["bigram_coverage"], w["bigram_coverage"]
+        g_null = gv is None or (isinstance(gv, float) and math.isnan(gv))
+        w_null = wv is None or (isinstance(wv, float) and math.isnan(wv))
+        assert g_null == w_null
+        if not g_null:
+            assert gv == wv
+    # doc 1 has 3 bigrams from the filtered stream (a b, b a, a b)
+    assert got[0]["n_bigrams"] == 3
