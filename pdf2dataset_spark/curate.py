@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,7 +48,13 @@ def split_hash(id_col: str) -> F.Column:
 #: caller's actions (write + audit agg), so curate cannot unpersist
 #: them itself. run() releases them when done; library callers that
 #: loop over curate() should call release_caches() between iterations.
+#: Lock-guarded; multi-threaded callers building concurrent curated
+#: plans should serialize release (a global release from one thread
+#: unpersists cut points another thread's pending plan depends on —
+#: wrap rank-level work in rank.cache_scope and release stage caches
+#: only when no other plan is in flight).
 _STAGE_CACHES: list[DataFrame] = []
+_STAGE_LOCK = threading.Lock()
 
 
 def release_caches() -> int:
@@ -58,8 +65,11 @@ def release_caches() -> int:
     from pdf2dataset_spark.operators import rank
 
     n = rank.release_caches()
-    while _STAGE_CACHES:
-        d = _STAGE_CACHES.pop()
+    with _STAGE_LOCK:
+        frames = list(_STAGE_CACHES)
+        _STAGE_CACHES.clear()
+    while frames:
+        d = frames.pop()
         try:
             d.unpersist()
             n += 1
@@ -106,7 +116,8 @@ def curate(
         if not persist_stages:
             return d
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
-        _STAGE_CACHES.append(d)
+        with _STAGE_LOCK:
+            _STAGE_CACHES.append(d)
         return d
     out = tx.quality_filter(
         df, text_col, min_tokens=min_tokens, max_tokens=max_tokens

@@ -28,6 +28,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class ConcurrentIngestError(RuntimeError):
+    """Raised by :func:`ingest_exact` when the store's ingest lock is
+    already held (concurrent writer, or debris from a crashed one)."""
+
+
 def normalize_text(col: Column | str) -> Column:
     """Whitespace-collapse + trim + lowercase — the canonical form."""
     c = F.col(col) if isinstance(col, str) else col
@@ -511,34 +516,65 @@ def ingest_exact(
     plan is fully determined from the OLD store listing; a re-run of
     the same batch after a mid-write crash re-drops already-stored
     hashes, so duplicates cannot accumulate (at-least-once feed →
-    exactly-once store content, the streaming/neardup convention)."""
+    exactly-once store content, the streaming/neardup convention).
+
+    **Single-writer contract.** The exists→read→dedup→append sequence
+    is NOT safe under concurrent writers: two overlapping ingests each
+    dedup against the old listing and can both append the same hash.
+    A best-effort ``<store>.ingest.lock`` file is taken with an
+    atomic-create before the read (atomic on HDFS/local; advisory on
+    object stores whose create is not atomic) and released after the
+    append; a held lock raises ``ConcurrentIngestError``. A crashed
+    writer leaves the lock behind — delete it manually after
+    confirming no ingest is running (the replay contract above makes
+    the retry safe). Multi-writer deployments should serialize ingest
+    upstream or use a transactional table format instead.
+    """
     spark = new_docs.sparkSession
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_path)  # type: ignore[union-attr]
+    # NOTE: spark._jvm/_jsc are private PySpark surfaces (stable since
+    # 1.x, but unversioned) — the only way to reach Hadoop FileSystem
+    # from Python without a filesystem-specific client library.
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # type: ignore[union-attr]
+    jvm_path = hadoop_path(store_path)
     fs = jvm_path.getFileSystem(
         spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
     )
-    store = None
-    if fs.exists(jvm_path):
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:
-            # a first-batch crash mid-write leaves the directory with
-            # only uncommitted _temporary files: no committed schema to
-            # read — treat as an empty store so the documented replay
-            # contract holds instead of wedging every retry
-            store = None
-    if store is not None:
-        survivors = dedup_against_store(
-            new_docs, store, text_col, order_col,
-            hash_col=hash_col, store_hash_col=hash_col,
-        )
-    else:
-        survivors = exact_dedup(
-            new_docs, text_col, order_col=order_col, keep_hash=True,
-            strategy="join",
-        ).withColumnRenamed("text_sha256", hash_col)
-    survivors = survivors.localCheckpoint()  # freeze before the append
-    n = survivors.count()
-    if n:
-        survivors.write.mode("append").parquet(store_path)
-    return n
+    lock_path = hadoop_path(store_path.rstrip("/") + ".ingest.lock")
+    try:
+        # createNewFile-style atomic create: fails if the lock exists
+        fs.create(lock_path, False).close()
+    except Exception as exc:
+        raise ConcurrentIngestError(
+            f"ingest lock {lock_path} is held — another ingest is "
+            "running, or a crashed one left it behind (safe to delete "
+            "after confirming no writer is active)"
+        ) from exc
+    try:
+        store = None
+        if fs.exists(jvm_path):
+            try:
+                store = spark.read.parquet(store_path)
+            except Exception:
+                # a first-batch crash mid-write leaves the directory
+                # with only uncommitted _temporary files: no committed
+                # schema to read — treat as an empty store so the
+                # documented replay contract holds instead of wedging
+                # every retry
+                store = None
+        if store is not None:
+            survivors = dedup_against_store(
+                new_docs, store, text_col, order_col,
+                hash_col=hash_col, store_hash_col=hash_col,
+            )
+        else:
+            survivors = exact_dedup(
+                new_docs, text_col, order_col=order_col, keep_hash=True,
+                strategy="join",
+            ).withColumnRenamed("text_sha256", hash_col)
+        survivors = survivors.localCheckpoint()  # freeze before append
+        n = survivors.count()
+        if n:
+            survivors.write.mode("append").parquet(store_path)
+        return n
+    finally:
+        fs.delete(lock_path, False)

@@ -32,6 +32,10 @@ permutation_at_scale).
 
 from __future__ import annotations
 
+import contextvars
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,26 +47,73 @@ from pyspark.sql import functions as F
 #: sessions that build many ranked plans in a loop (fuzzers, shard
 #: packers, multi-stage curate runs) should call it between iterations
 #: or the cached RDDs accumulate for the session lifetime.
+#:
+#: Thread safety: the global list is lock-guarded, but a GLOBAL
+#: release from one thread would still unpersist frames another
+#: thread's not-yet-executed plan depends on — multi-threaded callers
+#: must wrap each plan-build-and-consume in :func:`cache_scope`, which
+#: tracks (and releases) only that block's frames.
 _LIVE_CACHES: list[DataFrame] = []
+_CACHE_LOCK = threading.Lock()
+#: Per-context override: inside cache_scope() frames go to a scoped
+#: list instead of the global one. ContextVars are per-thread (a new
+#: thread sees the default), so scopes never leak across threads.
+_CACHE_SCOPE: contextvars.ContextVar[list[DataFrame] | None] = (
+    contextvars.ContextVar("rank_cache_scope", default=None)
+)
 
 
-def release_caches() -> int:
-    """Unpersist every ranged frame cached by this module's operators.
+def _track_cache(df: DataFrame) -> None:
+    scope = _CACHE_SCOPE.get()
+    if scope is not None:
+        scope.append(df)
+    else:
+        with _CACHE_LOCK:
+            _LIVE_CACHES.append(df)
 
-    Call only AFTER the consuming actions have run, and do NOT
-    re-execute a previously built ranked plan afterwards — without the
-    cache its two branches would sample range boundaries independently
-    again (build a fresh plan instead). Returns the number of frames
-    released."""
+
+def _release_list(frames: list[DataFrame]) -> int:
     n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
+    while frames:
+        df = frames.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+@contextmanager
+def cache_scope():
+    """Scope ranked-frame caches to this block: frames persisted by
+    global_rank/global_prefix_sum inside the ``with`` are released on
+    exit, and a concurrent thread's :func:`release_caches` cannot free
+    them early. Consume the ranked plan (run its actions) INSIDE the
+    block — on exit the persisted boundaries are gone and re-executing
+    the plan would resample them."""
+    frames: list[DataFrame] = []
+    token = _CACHE_SCOPE.set(frames)
+    try:
+        yield frames
+    finally:
+        _CACHE_SCOPE.reset(token)
+        _release_list(frames)
+
+
+def release_caches() -> int:
+    """Unpersist every GLOBALLY tracked ranged frame (frames inside an
+    active :func:`cache_scope` are not touched).
+
+    Call only AFTER the consuming actions have run, and do NOT
+    re-execute a previously built ranked plan afterwards — without the
+    cache its two branches would sample range boundaries independently
+    again (build a fresh plan instead). Returns the number of frames
+    released."""
+    with _CACHE_LOCK:
+        frames = list(_LIVE_CACHES)
+        _LIVE_CACHES.clear()
+    return _release_list(frames)
 
 
 def global_rank(
@@ -81,7 +132,7 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)  # ONE boundary sample
     )
-    _LIVE_CACHES.append(ranged)
+    _track_cache(ranged)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__rn", F.row_number().over(w_local))
     # Per-partition counts → running offsets (tiny: one row/partition).
@@ -123,7 +174,7 @@ def global_prefix_sum(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)  # ONE boundary sample
     )
-    _LIVE_CACHES.append(ranged)
+    _track_cache(ranged)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

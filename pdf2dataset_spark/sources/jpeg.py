@@ -471,6 +471,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # ITU-T T.81 B.1.1.2: any marker may be preceded by 0xFF fill
+        # bytes — skip runs of 0xFF so 0xFFFF is never read as a marker.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break

@@ -448,12 +448,24 @@ def inline_images(content: bytes, resolve=lambda v: v) -> list[dict]:
         }
         data_start = id_m.end()
         filt = params.get("/Filter")
-        w = int(resolve(params.get("/Width", 0)) or 0)
-        h = int(resolve(params.get("/Height", 0)) or 0)
+        try:
+            w = int(resolve(params.get("/Width", 0)) or 0)
+            h = int(resolve(params.get("/Height", 0)) or 0)
+        except (TypeError, ValueError):
+            continue  # one malformed inline image must not abort the scan
         if filt is None:
             cs = resolve(params.get("/ColorSpace", "/DeviceGray"))
-            ncomp = _CS_COMPONENTS.get(cs, 1)
-            bpc = int(resolve(params.get("/BitsPerComponent", 8)) or 8)
+            # Array colorspaces ([/Indexed base hival lookup],
+            # [/ICCBased ref], ...) are unhashable; /Indexed is always
+            # 1 component (an index into the palette), anything else
+            # unknown falls back to 1 rather than aborting the scan.
+            if isinstance(cs, list):
+                cs = "/Indexed" if cs and cs[0] == "/Indexed" else None
+            ncomp = _CS_COMPONENTS.get(cs, 1) if isinstance(cs, str) else 1
+            try:
+                bpc = int(resolve(params.get("/BitsPerComponent", 8)) or 8)
+            except (TypeError, ValueError):
+                continue
             if params.get("/ImageMask") is True:
                 ncomp, bpc = 1, 1
             row = -(-(w * ncomp * bpc) // 8)

@@ -9,6 +9,7 @@ streams, object streams, ' operator).
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import pytest
@@ -1096,3 +1097,49 @@ def test_xobject_and_inline_copies_are_byte_identical():
     assert [e["name"] for e in page] == ["/Im0", "inline0"]
     assert page[0]["data"] == jpg and page[1]["data"] == jpg
     assert all(e["decodable"] for e in page)  # color decode is real now
+
+
+def test_inline_image_array_colorspace_does_not_abort_scan():
+    """ADVICE r4: an unfiltered inline image with an ARRAY colorspace
+    ([/Indexed /DeviceRGB 255 <palette>], common in scanned PDFs) used
+    to crash inline_images with 'unhashable type: list', losing every
+    other image on the page. /Indexed is 1 component; the scan must
+    also survive arbitrary unknown array colorspaces."""
+    px = _gradient(4, 4)  # 16 one-byte palette indices
+    palette = bytes(range(48))
+    content = (
+        b"q BI /W 4 /H 4 /CS [/I /RGB 15 <"
+        + palette.hex().encode() + b">] /BPC 8 ID " + px + b" EI Q\n"
+        b"q BI /W 16 /H 8 /CS /G /BPC 8 ID " + _gradient() + b" EI Q\n"
+    )
+    pdf = _minimal_pdf_with_content(content)
+    (page,) = minipdf.extract_page_images(pdf)
+    assert [e["name"] for e in page] == ["inline0", "inline1"]
+    assert page[0]["data"] == px  # 1 component => W*H bytes exactly
+    assert page[1]["data"] == _gradient()  # later images not lost
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """ITU-T T.81 B.1.1.2: 0xFF fill bytes may pad any marker; a
+    spec-valid baseline file padded this way must decode identically
+    to the unpadded file (ADVICE r4: it was rejected as 0xFFFF)."""
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    px = _gradient()
+    jpg = encode_jpeg(16, 8, px, quality=90)
+    # pad every pre-scan marker with fill bytes: insert 0xFF before
+    # each segment marker after SOI up to (and including) SOS
+    out = bytearray(jpg[:2])
+    pos = 2
+    while pos < len(jpg):
+        assert jpg[pos] == 0xFF
+        out += b"\xff\xff\xff"  # three fill bytes before the marker
+        if jpg[pos + 1] == 0xDA:  # SOS: copy the rest verbatim
+            out += jpg[pos:]
+            break
+        (seglen,) = struct.unpack(">H", jpg[pos + 2 : pos + 4])
+        out += jpg[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    padded = bytes(out)
+    assert padded != jpg
+    assert decode_jpeg(padded) == decode_jpeg(jpg)

@@ -905,3 +905,49 @@ def test_ingest_exact_recovers_from_first_batch_crash(spark, tmp_path):
         [(3, "beta"), (4, "gamma")], "doc_id long, text string"
     )
     assert dd.ingest_exact(b2, str(store)) == 1
+
+
+def test_ingest_exact_lock_rejects_concurrent_writer(spark, tmp_path):
+    """ADVICE r4: ingest's exists->read->dedup->append sequence is
+    single-writer; a held <store>.ingest.lock must raise
+    ConcurrentIngestError, and a successful ingest must create and
+    then remove the lock."""
+    from pdf2dataset_spark.operators import dedup as dd
+
+    store = tmp_path / "store"
+    lock = tmp_path / "store.ingest.lock"
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    lock.write_bytes(b"")  # simulate a concurrent (or crashed) writer
+    with pytest.raises(dd.ConcurrentIngestError, match="ingest lock"):
+        dd.ingest_exact(b, str(store))
+    assert not store.exists()  # nothing was written under the held lock
+    lock.unlink()
+    assert dd.ingest_exact(b, str(store)) == 2
+    assert not lock.exists()  # released after the append
+    # failure inside the locked region must still release the lock
+    bad = spark.createDataFrame([(1, "x")], "doc_id long, nottext string")
+    with pytest.raises(Exception):
+        dd.ingest_exact(bad, str(store))
+    assert not lock.exists()
+
+
+def test_rank_cache_scope_isolates_from_global_release(spark):
+    """ADVICE r4: frames persisted inside rank.cache_scope() are not
+    visible to (or freed by) a concurrent global release_caches(),
+    and are unpersisted on scope exit."""
+    from pdf2dataset_spark.operators import rank
+
+    rank.release_caches()  # start clean
+    df = spark.range(5_000).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    with rank.cache_scope() as frames:
+        ranked = rank.global_rank(df, [F.col("k"), F.col("id")])
+        assert ranked.count() == 5_000
+        assert len(frames) == 1
+        scoped = frames[0]
+        # a global release from "another thread" cannot free our frame
+        assert rank.release_caches() == 0
+        assert scoped.storageLevel.useMemory or scoped.storageLevel.useDisk
+    assert not (scoped.storageLevel.useMemory or scoped.storageLevel.useDisk)
+    assert rank.release_caches() == 0
