@@ -11,6 +11,9 @@ partition num) on a real cluster.
 from __future__ import annotations
 
 import os
+import re
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -36,6 +39,58 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8MB",
 }
+
+
+#: applicationIds whose executors already received the package zip.
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> str | None:
+    """Make ``pdf2dataset_spark`` importable on executor Python workers.
+
+    ``local[N]`` runs every task in the driver JVM, whose Python
+    workers inherit the driver's ``sys.path`` — so imports "just work"
+    and silently hide a real deployment gap: on ANY multi-JVM master
+    (local-cluster, standalone, YARN, k8s) cloudpickled UDFs reference
+    this package by module name and the executor worker must import it
+    itself. This zips the installed package once per application and
+    ships it via ``SparkContext.addPyFile`` (the ``--py-files``
+    deployment pattern), which both distributes the file and prepends
+    it to every worker's ``sys.path``. Returns the zip path, or None
+    when the master is single-JVM local and shipping is unnecessary.
+    """
+    sc = spark.sparkContext
+    if re.match(r"local(\[|$)", sc.master or ""):
+        return None  # single JVM: workers see the driver's sys.path
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return None
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pdf2dataset_spark_{os.getpid()}.zip"
+    )
+    build_package_zip(zpath)
+    sc.addPyFile(zpath)
+    _SHIPPED_APPS.add(app)
+    return zpath
+
+
+def build_package_zip(zpath: str) -> str:
+    """Zip every module of this package (import-layout paths) for
+    ``addPyFile`` / ``spark-submit --py-files`` distribution."""
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "pdf2dataset_spark", os.path.relpath(full, pkg_root)
+                )
+                zf.write(full, rel)
+    return zpath
 
 
 def _default_parallelism() -> int:
@@ -78,6 +133,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     apply_runtime_conf(spark)
+    ship_package(spark)
     return spark
 
 
@@ -152,3 +208,8 @@ def apply_runtime_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+    try:
+        # a foreign session may run on a multi-JVM master too
+        ship_package(spark)
+    except Exception:
+        pass

@@ -14,7 +14,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def spark():
     from pdf2dataset_spark.session import get_spark
 
-    spark = get_spark("pdf2dataset-spark-tests", shuffle_partitions=8)
+    # SPARK_GRAFT_MASTER=local-cluster[2,4,4096] runs the suite on
+    # real separate executor JVMs (closure serialization, broadcast
+    # lifecycle, off-driver numpy state) instead of local[N]'s shared
+    # JVM — the cheapest cluster-bug detector available locally.
+    spark = get_spark(
+        "pdf2dataset-spark-tests",
+        master=os.environ.get("SPARK_GRAFT_MASTER"),
+        shuffle_partitions=8,
+    )
     yield spark
 
 

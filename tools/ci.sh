@@ -11,6 +11,17 @@ python -m pytest tests/ -q
 echo "== oracle gate ($SF) =="
 python tools/verify_local.py --sf "$SF"
 
+echo "== oracle gate on real executor JVMs (local-cluster) =="
+# local[N] shares one JVM with the driver and structurally hides
+# closure-serialization / broadcast-lifecycle / worker-import bugs
+# (round 5 caught a real one: the package was never shipped to
+# executors). This runs the same 175-query gate on separate JVMs.
+python tools/verify_local.py --sf "$SF" --master 'local-cluster[2,4,4096]'
+
+echo "== streaming + curation tests on real executor JVMs =="
+SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' \
+  python -m pytest tests/test_streaming.py tests/test_curate.py -q
+
 echo "== bench (sf0.1) =="
 python bench.py | tee /tmp/bench_now.json
 

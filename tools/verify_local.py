@@ -84,6 +84,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
+        "--master",
+        default=os.environ.get("SPARK_GRAFT_MASTER"),
+        help="Spark master override, e.g. local-cluster[2,4,4096] to "
+        "run the gate on real separate executor JVMs (surfaces "
+        "closure-serialization/broadcast bugs local[N] hides)",
+    )
+    ap.add_argument(
         "--first",
         type=int,
         default=None,
@@ -96,7 +103,7 @@ def main() -> int:
     import __spark_entry__ as e
     from pdf2dataset_spark.session import get_spark
 
-    spark = get_spark("verify-local")
+    spark = get_spark("verify-local", master=args.master)
     qs, oq = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for tname in TABLES:
