@@ -11,12 +11,19 @@ of the specific table constants.
 
 Scope:
 - **encode**: grayscale (1 component — what the text raster produces)
-  and RGB color (3 components, JFIF YCbCr, 4:4:4).
-- **decode**: general baseline sequential — 1 or 3 components, any
-  per-component sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
-  multiple DQT/DHT tables per segment, restart intervals (DRI/RSTn),
-  APPn/COM segments skipped. Progressive raises a named error. This
-  is the shape virtually every embedded /DCTDecode photo uses.
+  and RGB color (3 components, JFIF YCbCr, 4:4:4), as baseline
+  (:func:`encode_jpeg`) or progressive (:func:`encode_jpeg_progressive`
+  — SOF2 with spectral selection AND successive approximation; both
+  encoders share the same quantized coefficients, so their decodes
+  are bit-identical, which is the test oracle).
+- **decode**: baseline / extended sequential (single- or multi-scan)
+  AND progressive (T.81 Annex G: DC/AC first + refinement passes,
+  EOB runs) — 1 or 3 components, any per-component sampling factors
+  up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT tables per
+  segment, restart intervals (DRI/RSTn), APPn/COM segments skipped.
+  This covers virtually every embedded /DCTDecode photo, including
+  the web-era progressive ones. Hierarchical/lossless/arithmetic
+  coding raise named errors.
 """
 
 from __future__ import annotations
@@ -264,6 +271,40 @@ def _pad_plane(img: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+def _quantized_components(
+    w: int, h: int, px: bytes, quality: int, ncomp: int
+):
+    """The encoders' shared front half: quantized zigzag coefficient
+    rows per component (raster block order) + the quant tables. Both
+    the baseline and the progressive encoder call this, so the SAME
+    pixels+quality yield the SAME coefficients — their decodes are
+    bit-identical."""
+    qt_l = _quant_table(quality)
+    if ncomp == 1:
+        img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
+        return [_plane_to_zz(_pad_plane(img, h, w), qt_l)], qt_l, None
+    qt_c = _quant_table_chroma(quality)
+    rgb = (
+        np.frombuffer(bytes(px), dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,  # Y
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,  # Cb
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,  # Cr
+    ]
+    zzs = [
+        _plane_to_zz(
+            _pad_plane(np.clip(np.round(p), 0, 255).astype(np.uint8), h, w),
+            qt_l if i == 0 else qt_c,
+        )
+        for i, p in enumerate(planes)
+    ]
+    return zzs, qt_l, qt_c
+
+
 def encode_jpeg(
     w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1
 ) -> bytes:
@@ -274,10 +315,8 @@ def encode_jpeg(
     bytes."""
     if ncomp not in (1, 3):
         raise ValueError("ncomp must be 1 (gray) or 3 (RGB)")
-    qt_l = _quant_table(quality)
     if ncomp == 1:
-        img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
-        zz = _plane_to_zz(_pad_plane(img, h, w), qt_l)
+        (zz,), qt_l, _ = _quantized_components(w, h, px, quality, 1)
         bw = _BitWriter()
         prev_dc = 0
         for blk in zz:
@@ -303,25 +342,7 @@ def encode_jpeg(
             ]
         )
 
-    qt_c = _quant_table_chroma(quality)
-    rgb = (
-        np.frombuffer(bytes(px), dtype=np.uint8)
-        .reshape(h, w, 3)
-        .astype(np.float64)
-    )
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,  # Y
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,  # Cb
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,  # Cr
-    ]
-    zzs = [
-        _plane_to_zz(
-            _pad_plane(np.clip(np.round(p), 0, 255).astype(np.uint8), h, w),
-            qt_l if i == 0 else qt_c,
-        )
-        for i, p in enumerate(planes)
-    ]
+    zzs, qt_l, qt_c = _quantized_components(w, h, px, quality, 3)
     bw = _BitWriter()
     prev = [0, 0, 0]
     for m in range(zzs[0].shape[0]):  # 4:4:4 -> one block/component/MCU
@@ -355,6 +376,224 @@ def encode_jpeg(
             b"\xff\xd9",
         ]
     )
+
+
+# ------------------------------------------------------- progressive encode
+def _flat_ac_spec() -> tuple[list[int], list[int]]:
+    """AC Huffman spec for progressive scans: every symbol this
+    encoder can emit — EOBn (r<<4, r≤14), ZRL (0xF0) and (run<<4)|size
+    for size 1..10 — as a flat all-length-8 canonical code. 176
+    symbols fit the 256-slot space with max code 175, so the all-ones
+    codeword stays unused (Annex C convention). The standard Annex K
+    tables lack the EOBn symbols for n>0, so progressive needs its
+    own table; it is written into the stream like every other table."""
+    vals = [r << 4 for r in range(15)]  # EOB0..EOB14
+    vals.append(0xF0)  # ZRL
+    vals += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(vals)  # all codes 8 bits long
+    return bits, vals
+
+
+_FLAT_AC_BITS, _FLAT_AC_VALS = _flat_ac_spec()
+_FLAT_AC_CODES = _build_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+
+def _flush_eobrun(bw: _BitWriter, codes, state: dict) -> None:
+    """Emit the pending end-of-band run (EOBn symbol + extension
+    bits) and any correction bits buffered with it (refinement)."""
+    n = state["eobrun"]
+    if n > 0:
+        nbits = n.bit_length() - 1
+        code, ln = codes[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(n - (1 << nbits), nbits)
+        state["eobrun"] = 0
+    for b in state["bits"]:
+        bw.write(b, 1)
+    state["bits"] = []
+
+
+def _emit_ac_first_block(
+    bw: _BitWriter, codes, coef, ss: int, se: int, al: int, state: dict
+) -> None:
+    """Progressive AC first pass for one block (T.81 G.1.2.2):
+    point-transformed (truncate toward zero) band with EOB runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if v < 0:
+            t = -t
+        _flush_eobrun(bw, codes, state)
+        while r > 15:
+            code, ln = codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        cat = _category(t)
+        code, ln = codes[(r << 4) | cat]
+        bw.write(code, ln)
+        bw.write(_amplitude_bits(t, cat), cat)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, codes, state)
+
+
+def _emit_ac_refine_block(
+    bw: _BitWriter, codes, coef, ss: int, se: int, al: int, state: dict
+) -> None:
+    """Progressive AC refinement for one block (T.81 G.1.2.3):
+    ±1<<Al inserts for newly-nonzero coefficients, buffered correction
+    bits for history-nonzero ones, EOB runs carrying tail bits.
+    Invariant (mirrors the decoder's run semantics): the symbol run
+    counts only zero-HISTORY positions; a buffered correction bit is
+    always preceded by ≤15 such zeros, so dumping the whole buffer
+    after each ZRL/symbol keeps bits in the decoder's read order."""
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # position of the last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(bw, codes, state)
+            code, ln = codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # history-nonzero: next magnitude bit, buffered
+            pending.append(t & 1)
+            continue
+        _flush_eobrun(bw, codes, state)
+        code, ln = codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(coef[k]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        state["eobrun"] += 1
+        state["bits"].extend(pending)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, codes, state)
+
+
+def encode_jpeg_progressive(
+    w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1
+) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2, T.81 Annex G) with both
+    spectral selection and successive approximation — the scan script
+    a web-era progressive photo typically uses:
+
+    1. DC first, all components interleaved, Al=1
+    2. per component: AC 1-5 first at Al=2, then AC 6-63 first at Al=2
+    3. per component: AC 1-63 refinement Al=2→1, then Al=1→0
+    4. DC refinement Al=1→0
+
+    The quantized coefficients are exactly :func:`encode_jpeg`'s
+    (shared :func:`_quantized_components`), so decoding the
+    progressive and the baseline stream yields IDENTICAL pixels —
+    the round-trip oracle the tests pin."""
+    if ncomp not in (1, 3):
+        raise ValueError("ncomp must be 1 (gray) or 3 (RGB)")
+    zzs, qt_l, qt_c = _quantized_components(w, h, px, quality, ncomp)
+    nblocks = zzs[0].shape[0]
+    dc_codes = [_DC_CODES] + [_DC_CODES_C] * (ncomp - 1)
+    comp_ids = list(range(1, ncomp + 1))
+
+    out = [b"\xff\xd8"]
+    out.append(
+        _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    )
+    qtl_zz = qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    out.append(_segment(0xFFDB, b"\x00" + qtl_zz.tobytes()))
+    if ncomp == 3:
+        qtc_zz = qt_c.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out.append(_segment(0xFFDB, b"\x01" + qtc_zz.tobytes()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([cid, 0x11, 0 if i == 0 else 1])
+        for i, cid in enumerate(comp_ids)
+    )
+    out.append(_segment(0xFFC2, sof))  # SOF2: progressive DCT
+    out.append(_segment(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)))
+    if ncomp == 3:
+        out.append(
+            _segment(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        )
+    out.append(
+        _segment(0xFFC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS))
+    )
+
+    def sos_header(ids_tabs: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(ids_tabs)])
+        for cid, tb in ids_tabs:
+            body += bytes([cid, tb])
+        return _segment(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved (4:4:4 -> one block/comp/MCU)
+    out.append(
+        sos_header([(cid, (0x00 if i == 0 else 0x11) & 0xF0)
+                    for i, cid in enumerate(comp_ids)], 0, 0, 0, 1)
+    )
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    for m in range(nblocks):
+        for ci in range(ncomp):
+            v = int(zzs[ci][m][0]) >> 1  # Al=1 point transform
+            diff = v - prev[ci]
+            prev[ci] = v
+            cat = _category(diff)
+            code, ln = dc_codes[ci][cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(_amplitude_bits(diff, cat), cat)
+    bw.flush()
+    out.append(bytes(bw.out))
+
+    # AC scans: per component, spectral bands then two refinements
+    for ss, se, ah, al, emit in (
+        (1, 5, 0, 2, _emit_ac_first_block),
+        (6, 63, 0, 2, _emit_ac_first_block),
+        (1, 63, 2, 1, _emit_ac_refine_block),
+        (1, 63, 1, 0, _emit_ac_refine_block),
+    ):
+        for ci in range(ncomp):
+            out.append(sos_header([(comp_ids[ci], 0x00)], ss, se, ah, al))
+            bw = _BitWriter()
+            state = {"eobrun": 0, "bits": []}
+            for m in range(nblocks):
+                emit(bw, _FLAT_AC_CODES, zzs[ci][m], ss, se, al, state)
+            _flush_eobrun(bw, _FLAT_AC_CODES, state)
+            bw.flush()
+            out.append(bytes(bw.out))
+
+    # final scan: DC refinement Al=0, interleaved
+    out.append(
+        sos_header([(cid, 0x00) for cid in comp_ids], 0, 0, 1, 0)
+    )
+    bw = _BitWriter()
+    for m in range(nblocks):
+        for ci in range(ncomp):
+            bw.write((int(zzs[ci][m][0]) >> 0) & 1, 1)
+    bw.flush()
+    out.append(bytes(bw.out))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
 
 
 # ----------------------------------------------------------------- decode
@@ -423,14 +662,15 @@ def _read_symbol(br: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_one_block(br: _BitReader, dc_t, ac_t, prev_dc: int):
-    """One entropy-coded block -> (zigzag ndarray(64), new prev_dc)."""
-    zz = np.zeros(64, dtype=np.float64)
+def _extend(raw: int, cat: int) -> int:
+    """ITU-T T.81 F.2.2.1 EXTEND: category+bits -> signed value."""
+    return raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+
+
+def _block_seq(br: _BitReader, dc_t, ac_t, prev_dc: int, zz) -> int:
+    """Sequential full-band block into the zigzag view ``zz``."""
     cat = _read_symbol(br, dc_t)
-    diff = 0
-    if cat:
-        raw = br.read_bits(cat)
-        diff = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+    diff = _extend(br.read_bits(cat), cat) if cat else 0
     prev_dc += diff
     zz[0] = prev_dc
     i = 1
@@ -438,21 +678,228 @@ def _decode_one_block(br: _BitReader, dc_t, ac_t, prev_dc: int):
         sym = _read_symbol(br, ac_t)
         if sym == 0x00:  # EOB
             break
-        run, cat = sym >> 4, sym & 0x0F
         if sym == 0xF0:  # ZRL
             i += 16
             continue
+        run, cat = sym >> 4, sym & 0x0F
         i += run
-        raw = br.read_bits(cat)
-        v = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+        v = _extend(br.read_bits(cat), cat)
         if i < 64:
             zz[i] = v
         i += 1
-    return zz, prev_dc
+    return prev_dc
+
+
+def _block_dc_first(br: _BitReader, dc_t, prev_dc: int, zz, al: int) -> int:
+    """Progressive DC first pass (T.81 G.1.2.1): diff-coded DC of the
+    point-transformed coefficient, stored re-shifted by Al."""
+    cat = _read_symbol(br, dc_t)
+    diff = _extend(br.read_bits(cat), cat) if cat else 0
+    prev_dc += diff
+    zz[0] = prev_dc << al if prev_dc >= 0 else -((-prev_dc) << al)
+    return prev_dc
+
+
+def _block_dc_refine(br: _BitReader, zz, al: int) -> None:
+    """Progressive DC refinement: one appended magnitude bit."""
+    if br.read_bit():
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _block_ac_first(
+    br: _BitReader, ac_t, zz, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first pass over band [ss, se] (T.81 G.1.2.2),
+    with end-of-band run accumulation. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, ac_t)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        v = _extend(br.read_bits(s), s)
+        if k <= se:
+            zz[k] = v << al if v >= 0 else -((-v) << al)
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(
+    br: _BitReader, ac_t, zz, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement over band [ss, se] (T.81 G.1.2.3):
+    correction bits for history-nonzero coefficients, ±1<<Al inserts
+    for newly-nonzero ones, EOB runs refining whole blocks."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, ac_t)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDING this block: the rest of this
+                    # block's band still takes correction bits below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                val = p1 if br.read_bit() else m1
+            # advance over the run: correction-bit every nonzero-history
+            # coefficient passed, count down r zero-history positions
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refine the rest of the band, insert nothing
+            c = int(zz[k])
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data: bytes,
+    start: int,
+    comps,
+    coef,
+    huff,
+    scan_ids,
+    scan_tabs,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    progressive: bool,
+) -> int:
+    """Entropy-decode ONE scan (sequential full-band or progressive
+    DC/AC first/refinement) into the per-component coefficient arrays
+    ``coef``. Returns the byte offset just past the consumed entropy
+    data (the caller resyncs to the next marker from there)."""
+    br = _BitReader(data[start:])
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    try:
+        idxs = [cid_to_ci[cid] for cid in scan_ids]
+    except KeyError as e:
+        raise ValueError(f"scan references unknown component {e}") from e
+
+    def tabs(pos_in_scan: int):
+        dc_id, ac_id = scan_tabs[pos_in_scan]
+        need_dc = (not progressive) or (ss == 0 and ah == 0)
+        need_ac = (not progressive) or ss > 0
+        dc_t = huff.get((0, dc_id)) if need_dc else None
+        ac_t = huff.get((1, ac_id)) if need_ac else None
+        if need_dc and dc_t is None:
+            raise ValueError(f"undefined Huffman table (0, {dc_id})")
+        if need_ac and ac_t is None:
+            raise ValueError(f"undefined Huffman table (1, {ac_id})")
+        return dc_t, ac_t
+
+    prev = [0] * len(idxs)
+    eobrun = 0
+    n = 0
+
+    def maybe_restart():
+        nonlocal prev, eobrun
+        if restart_interval and n and n % restart_interval == 0:
+            br.restart()
+            prev = [0] * len(idxs)
+            eobrun = 0
+
+    if progressive and ss > 0 and len(idxs) > 1:
+        raise ValueError("interleaved progressive AC scan is invalid")
+
+    if len(idxs) > 1:
+        # interleaved: MCU order over the frame geometry
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, ci in enumerate(idxs):
+                    _cid, hs, vs, _tq = comps[ci]
+                    dc_t, ac_t = tabs(si)
+                    for v in range(vs):
+                        for hh in range(hs):
+                            zz = coef[ci][my * vs + v, mx * hs + hh]
+                            if not progressive:
+                                prev[si] = _block_seq(
+                                    br, dc_t, ac_t, prev[si], zz
+                                )
+                            elif ah == 0:
+                                prev[si] = _block_dc_first(
+                                    br, dc_t, prev[si], zz, al
+                                )
+                            else:
+                                _block_dc_refine(br, zz, al)
+                n += 1
+    else:
+        # non-interleaved (T.81 A.2): one data unit per MCU in raster
+        # block order over the COMPONENT's own 8-px-padded geometry
+        ci = idxs[0]
+        _cid, hs, vs, _tq = comps[ci]
+        dc_t, ac_t = tabs(0)
+        comp_w = -(-(w * hs) // hmax)  # component px width (ceil)
+        comp_h = -(-(h * vs) // vmax)
+        nbx = -(-comp_w // 8)  # data units per row (ceil to blocks)
+        nby = -(-comp_h // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                zz = coef[ci][by, bx]
+                if not progressive:
+                    prev[0] = _block_seq(br, dc_t, ac_t, prev[0], zz)
+                elif ss == 0 and ah == 0:
+                    prev[0] = _block_dc_first(br, dc_t, prev[0], zz, al)
+                elif ss == 0:
+                    _block_dc_refine(br, zz, al)
+                elif ah == 0:
+                    eobrun = _block_ac_first(
+                        br, ac_t, zz, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _block_ac_refine(
+                        br, ac_t, zz, ss, se, al, eobrun
+                    )
+                n += 1
+    return start + br.pos
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline sequential JPEG: 1 or 3 components, any
+    """Decode a JFIF/JPEG still: baseline or extended sequential
+    (single- or multi-scan) and PROGRESSIVE (SOF2 — spectral selection
+    + successive approximation, T.81 Annex G). 1 or 3 components, any
     sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), multi-table
     DQT/DHT segments, restart intervals, APPn/COM skipped. Returns
     (w, h, pixels) — grayscale bytes (w*h) for one component,
@@ -464,10 +911,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
-    scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
-    scan_order: list[int] = []
     restart_interval = 0
-    scan_start = None
+    progressive = False
+    coef: list[np.ndarray] | None = None
+    hmax = vmax = mcux = mcuy = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -494,7 +941,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 qt[_ZIGZAG] = zzt
                 qts[tq] = qt.reshape(8, 8)
                 p += 65
-        elif marker in (0xFFC0, 0xFFC1):  # baseline / extended seq.
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # sequential / progr.
+            progressive = marker == 0xFFC2
             _, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEGs not supported")
@@ -502,8 +950,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker == 0xFFC2:
-            raise ValueError("progressive JPEG not supported")
+            if len(comps) == 1:
+                # ITU-T T.81 A.2: a single-component scan is NON-
+                # interleaved — one data unit per MCU in raster block
+                # order, whatever sampling the SOF declares (gray files
+                # written with 2x2 luma sampling are spec-valid).
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hs, vs, _ in comps:
+                if not (1 <= hs <= 2 and 1 <= vs <= 2) or hmax % hs or vmax % vs:
+                    raise ValueError(
+                        f"sampling factors {hs}x{vs} not supported"
+                    )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coef = [
+                np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                for _, hs, vs, _ in comps
+            ]
         elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
                         0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline JPEG coding not supported")
@@ -519,69 +984,47 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
+            if coef is None:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
+            scan_ids = []
+            scan_tabs = []
             for c in range(ns):
-                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
-                scan[cid] = (tabs >> 4, tabs & 0x0F)
-                scan_order.append(cid)
-            scan_start = pos + 2 + seglen
-            break
+                cid, tb = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_ids.append(cid)
+                scan_tabs.append((tb >> 4, tb & 0x0F))
+            p = 1 + 2 * ns
+            ss, se = payload[p], payload[p + 1]
+            ah, al = payload[p + 2] >> 4, payload[p + 2] & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif (ss == 0 and se != 0) or se > 63 or se < ss:
+                # T.81 G.1: progressive DC scans are exactly [0,0];
+                # AC bands must be well-formed
+                raise ValueError("invalid progressive scan band")
+            pos = _decode_scan(
+                data, pos + 2 + seglen, comps, coef, huff, scan_ids,
+                scan_tabs, w, h, hmax, vmax, mcux, mcuy, ss, se, ah,
+                al, restart_interval, progressive,
+            )
+            # resync: the entropy decoder stops mid-byte; advance to
+            # the next true marker (skip stuffed FF00 and stray RSTn)
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF
+                and data[pos + 1] != 0x00
+                and not 0xD0 <= data[pos + 1] <= 0xD7
+            ):
+                pos += 1
+            continue
         pos += 2 + seglen
-    if not qts or scan_start is None or not w or not h or not comps:
+    if coef is None or not qts or not w or not h:
         raise ValueError("missing JPEG segments")
-    if [c[0] for c in comps] != scan_order:
-        # single-scan baseline: scan must cover the frame components
-        raise ValueError("multi-scan JPEGs not supported")
-    if len(comps) == 1:
-        # ITU-T T.81 A.2: a single-component scan is NON-interleaved —
-        # one data unit per MCU in plain raster block order, whatever
-        # sampling factors the SOF declares (gray files written with
-        # 2x2 luma sampling are spec-valid and must decode).
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, hs, vs, _ in comps:
-        if not (1 <= hs <= 2 and 1 <= vs <= 2) or hmax % hs or vmax % vs:
-            raise ValueError(f"sampling factors {hs}x{vs} not supported")
-
-    end = data.rfind(b"\xff\xd9")
-    if end < scan_start:
-        # EOI missing, or the only FFD9 belongs to a pre-scan
-        # thumbnail: decode everything after SOS
-        end = len(data)
-    br = _BitReader(data[scan_start:end])
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    blocks = [
-        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float64)
-        for _, hs, vs, _ in comps
-    ]
-    prev = [0] * len(comps)
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                br.restart()
-                prev = [0] * len(comps)
-            for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                try:
-                    dc_t = huff[(0, scan[cid][0])]
-                    ac_t = huff[(1, scan[cid][1])]
-                except KeyError as e:
-                    raise ValueError(f"undefined Huffman table {e}") from e
-                for v in range(vs):
-                    for hh in range(hs):
-                        zz, prev[ci] = _decode_one_block(
-                            br, dc_t, ac_t, prev[ci]
-                        )
-                        blocks[ci][my * vs + v, mx * hs + hh] = zz
-            mcu_n += 1
 
     planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
-        by, bx = blocks[ci].shape[:2]
+        by, bx = coef[ci].shape[:2]
         coeffs = np.zeros((by * bx, 64))
-        coeffs[:, _ZIGZAG] = blocks[ci].reshape(-1, 64)
+        coeffs[:, _ZIGZAG] = coef[ci].reshape(-1, 64).astype(np.float64)
         if tq not in qts:
             raise ValueError(f"undefined quantization table {tq}")
         sp = _DCT_M.T @ (coeffs.reshape(-1, 8, 8) * qts[tq]) @ _DCT_M + 128.0

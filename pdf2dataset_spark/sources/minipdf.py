@@ -897,10 +897,10 @@ class PdfDocument:
           of filters this engine does not transcode.
         - ``decodable``: True when ``data`` can be turned into pixels
           with zero native deps — raw samples always; JPEG when
-          :func:`sources.jpeg.decode_jpeg` accepts it (baseline
-          sequential, gray or YCbCr up to 2x2 sampling with restart
-          intervals — virtually every embedded photo; progressive
-          reports False honestly).
+          :func:`sources.jpeg.decode_jpeg` accepts it (baseline /
+          extended sequential AND progressive, gray or YCbCr up to
+          2x2 sampling with restart intervals — virtually every
+          embedded photo).
         - ``pixels``: with ``decode_pixels=True`` and decodable JPEG,
           the decoded samples (gray8, or interleaved RGB for color;
           kept off by default — a page of photos would multiply the
@@ -973,8 +973,9 @@ class PdfDocument:
                         entry["pixels"] = px
                 except (ValueError, IndexError, struct.error, KeyError,
                         zlib.error):
-                    # progressive / corrupt JPEG: keep the compressed
-                    # file, report honestly that it can't be rasterized
+                    # corrupt / lossless / arithmetic JPEG: keep the
+                    # compressed file, report honestly that it can't
+                    # be rasterized
                     entry["decodable"] = False
             elif stopped is not None:
                 entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")

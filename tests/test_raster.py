@@ -353,7 +353,10 @@ def test_decode_420_subsampled_with_and_without_restarts(restart):
     assert np.abs(got - rgb.astype(int)).mean() <= 8
 
 
-def test_decoder_rejects_progressive_with_named_error():
+def test_flipped_sof_marker_is_invalid_progressive_not_crash():
+    """A baseline stream whose SOF0 is flipped to SOF2 is NOT a valid
+    progressive file (its scan declares the full 0-63 band, which
+    progressive DC scans may not) — named error, no misdecode."""
     from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
 
     px = bytes(range(64))
@@ -362,6 +365,76 @@ def test_decoder_rejects_progressive_with_named_error():
     data[i + 1] = 0xC2  # flip SOF0 -> SOF2
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(data))
+
+
+def test_progressive_decode_matches_baseline_exactly():
+    """SOF2 spectral-selection + successive-approximation decode: the
+    progressive and baseline encoders share quantized coefficients,
+    so their decodes must be BIT-identical — across gray/color, odd
+    dims, qualities, noise (dense AC), and flat images (long EOB
+    runs)."""
+    import numpy as np
+
+    from pdf2dataset_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    px = bytes((x * 16 + y) % 256 for y in range(24) for x in range(40))
+    cases.append((40, 24, px, 85, 1))
+    w, h = 48, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1),
+         (xx * yy * 255) // ((w - 1) * (h - 1))], axis=-1
+    ).astype(np.uint8)
+    cases.append((w, h, rgb.tobytes(), 92, 3))
+    for q in (30, 95):
+        cases.append(
+            (23, 17, rng.integers(0, 256, (17, 23), dtype=np.uint8).tobytes(), q, 1)
+        )
+        cases.append(
+            (21, 19, rng.integers(0, 256, (19, 21, 3), dtype=np.uint8).tobytes(), q, 3)
+        )
+    flat = np.full((64, 80), 200, np.uint8)
+    flat[30:34, 40:44] = 0  # long EOB runs + one busy region
+    cases.append((80, 64, flat.tobytes(), 85, 1))
+    for w, h, p, q, nc in cases:
+        base = decode_jpeg(encode_jpeg(w, h, p, quality=q, ncomp=nc))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, p, quality=q, ncomp=nc))
+        assert base == prog, f"w={w} h={h} q={q} ncomp={nc}"
+
+
+def test_progressive_embedded_image_decodable_and_phash_stable():
+    """A progressive /DCTDecode XObject is decodable and its
+    perceptual hash equals the baseline encoding's (identical
+    pixels -> identical pHash) — the f40 stability contract."""
+    import numpy as np
+
+    from pdf2dataset_spark.operators import image_hash as ih
+    from pdf2dataset_spark.sources import minipdf
+    from pdf2dataset_spark.sources.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 32, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = ((xx * 13 + yy * 29) % 256).astype(np.uint8).tobytes()
+    base = encode_jpeg(w, h, px, quality=90)
+    prog = encode_jpeg_progressive(w, h, px, quality=90)
+    pdf = minipdf.build_pdf(
+        ["progressive page"],
+        images=[{"filter": "/DCTDecode", "width": w, "height": h,
+                 "data": prog}],
+    )
+    (entry,) = minipdf.extract_page_images(pdf)[0]
+    assert entry["format"] == "jpeg" and entry["decodable"] is True
+    assert entry["data"] == prog
+    assert ih.phash64(prog) == ih.phash64(base)
 
 
 def test_color_jpeg_flows_through_page_images_and_phash():
