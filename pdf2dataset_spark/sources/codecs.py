@@ -132,6 +132,16 @@ class PdfCodec(DocumentCodec):
     needs the native stack (pdf2image/poppler) and raises
     ``NotImplementedError`` naming it; a visual (non-text-layer)
     raster of the original PDF likewise.
+
+    SCANNED pages (no text layer, embedded image — upstream's core
+    real-world input) route through :meth:`_scan_pixels`: the image
+    feature yields the engine-DECODED embedded image (JPEG baseline/
+    progressive or raw samples) re-encoded in the requested format,
+    and OCR runs over those decoded pixels — pytesseract when
+    installed (real scans), else the built-in grid OCR, which reads
+    scans of the engine's own raster exactly (threshold binarization
+    survives lossy re-encodes) and returns "" honestly for foreign
+    scans it cannot read.
     """
 
     name = "pdf"
@@ -173,6 +183,22 @@ class PdfCodec(DocumentCodec):
 
     def page_image(self, handle: "_PdfHandle", page: int) -> bytes:
         fmt = self.image_format.lower()
+        # Scanned page (no text layer, embedded image present): the
+        # page's visual content IS the embedded image — render that,
+        # decoded by the engine, instead of an empty text raster.
+        scan = self._scan_pixels(handle, page)
+        if scan is not None:
+            from pdf2dataset_spark.sources import raster
+
+            w, h, px = scan
+            size = parse_image_size(self.image_size)
+            if size is not None:
+                w, h, px = raster.resize_nearest(w, h, px, size[0], size[1])
+            if fmt in ("jpeg", "jpg"):
+                from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+                return encode_jpeg(w, h, bytes(px), quality=90)
+            return raster.encode_png(w, h, bytes(px))
         if fmt != "png":
             try:
                 from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
@@ -215,6 +241,58 @@ class PdfCodec(DocumentCodec):
             return []
         return handle.doc.page_images(handle.doc.pages()[page - 1])
 
+    def _scan_pixels(
+        self, handle: "_PdfHandle", page: int
+    ) -> tuple[int, int, bytes] | None:
+        """SCANNED-PAGE detection (upstream's core real-world input —
+        a page with no text layer whose content is one embedded
+        image): when the page's text is empty and it carries a
+        decodable embedded image, return the LARGEST one decoded to
+        8-bit grayscale ``(w, h, pixels)``; else None. JPEG payloads
+        go through the engine decoder (baseline or progressive);
+        raw-sample payloads are used directly (RGB reduced to BT.601
+        luma)."""
+        if handle.doc is None or handle.pages[page - 1].strip():
+            return None
+        best: tuple[int, int, bytes] | None = None
+        for e in self.page_embedded_images(handle, page):
+            if not e.get("decodable") or e.get("data") is None:
+                continue
+            if e["format"] == "jpeg":
+                from pdf2dataset_spark.sources.jpeg import decode_jpeg_gray
+
+                try:
+                    w, h, px = decode_jpeg_gray(e["data"])
+                except (ValueError, IndexError):
+                    continue
+            elif e["format"] == "raw":
+                w, h, data = e.get("width"), e.get("height"), e["data"]
+                if not w or not h:
+                    continue
+                if len(data) == w * h:
+                    px = bytes(data)
+                elif len(data) == 3 * w * h:
+                    import numpy as np
+
+                    rgb = (
+                        np.frombuffer(bytes(data), np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.float64)
+                    )
+                    y = (
+                        0.299 * rgb[..., 0]
+                        + 0.587 * rgb[..., 1]
+                        + 0.114 * rgb[..., 2]
+                    )
+                    px = np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
+                else:
+                    continue  # sub-byte / palette payloads: skip
+            else:
+                continue
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h, px)
+        return best
+
     def page_ocr(self, handle: "_PdfHandle", page: int) -> str:
         try:
             import pytesseract  # type: ignore[import-not-found]
@@ -222,6 +300,20 @@ class PdfCodec(DocumentCodec):
         except ImportError:
             from pdf2dataset_spark.sources import raster
 
+            scan = self._scan_pixels(handle, page)
+            if scan is not None:
+                # scanned page: pixel-OCR the DECODED EMBEDDED IMAGE.
+                # This really reads scans of the engine's own raster
+                # (even re-encoded lossily — threshold binarization
+                # recovers the bitmap); a foreign-font scan won't be
+                # cell-aligned and yields "" honestly — real scans
+                # need pytesseract, which takes the pytesseract branch
+                # above over the same decoded image.
+                w, h, px = scan
+                try:
+                    return raster.ocr_gray(w, h, px)
+                except ValueError:
+                    return ""
             # built-in pixel OCR of the built-in render (native-res)
             return raster.ocr_png(
                 raster.render_text_png(handle.pages[page - 1])

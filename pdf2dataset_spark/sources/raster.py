@@ -176,7 +176,19 @@ def ocr_png(data: bytes) -> str:
     character grid and matches cells against the glyph table.
     Unmatched cells (unknown codepoints) become ``\\uFFFD``."""
     w, h, px = decode_png(data)
-    if w % CELL_W or h % CELL_H:
+    return ocr_gray(w, h, px)
+
+
+def ocr_gray(w: int, h: int, px, threshold: int = 128) -> str:
+    """Grid OCR over raw 8-bit grayscale pixels: binarize at
+    ``threshold`` (ink = dark; exact renders use 0, so lossy re-
+    encodes like a JPEG scan of the engine's own raster still
+    binarize back to the original bitmap) and match cells against
+    the glyph table. Raises ``ValueError`` when dimensions are not
+    cell-aligned — which is how foreign (non-engine-rendered) scans
+    are detected and reported honestly by the codec's scanned-page
+    route."""
+    if w % CELL_W or h % CELL_H or not w or not h:
         raise ValueError(
             "OCR requires a native-resolution render "
             f"(got {w}x{h}, cell {CELL_W}x{CELL_H})"
@@ -192,7 +204,7 @@ def ocr_png(data: bytes) -> str:
                 bits = 0
                 for col in range(GLYPH_W):
                     bits = (bits << 1) | (
-                        1 if px[(y0 + r) * w + x0 + col] == 0 else 0
+                        1 if px[(y0 + r) * w + x0 + col] < threshold else 0
                     )
                 rows.append(bits)
             if all(b == 0 for b in rows):

@@ -500,3 +500,117 @@ def test_undefined_tables_raise_valueerror_not_keyerror():
     data[i + 6] = 0x11  # SOS points at undefined DC/AC table id 1
     with pytest.raises(ValueError, match="Huffman"):
         decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------------------------
+# scanned-document routing (no text layer -> embedded image + OCR)
+# ---------------------------------------------------------------------
+
+
+def _scan_fixture():
+    import numpy as np  # noqa: F401  (parity with sibling fixtures)
+
+    text = "SCANNED PAGE 42\nsecond line"
+    w, h, px = raster._rasterize(text)
+    return text, w, h, bytes(px)
+
+
+def test_scanned_page_routes_embedded_image_into_image_and_ocr():
+    """A page with NO text operators and an embedded raw-sample scan:
+    image = decoded scan re-encoded as PNG, ocr = grid OCR over the
+    decoded pixels (exact for scans of the engine's own raster)."""
+    text, w, h, px = _scan_fixture()
+    pdf = minipdf.build_pdf([""], images=[{"width": w, "height": h, "data": px}])
+    codec = PdfCodec()
+    hd = codec.open(pdf)
+    assert codec.page_text(hd, 1) == ""
+    img = codec.page_image(hd, 1)
+    assert raster.decode_png(img) == (w, h, bytearray(px))
+    assert codec.page_ocr(hd, 1) == text
+
+
+def test_scanned_page_jpeg_and_progressive_payloads_ocr_exactly():
+    """Lossy JPEG scans (baseline AND progressive) of the engine's own
+    raster still OCR exactly: threshold binarization recovers the
+    bitmap from quantization noise."""
+    from pdf2dataset_spark.sources.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    text, w, h, px = _scan_fixture()
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/DCTDecode", "width": w, "height": h,
+                     "data": enc(w, h, px, quality=90)}],
+        )
+        codec = PdfCodec()
+        hd = codec.open(pdf)
+        assert codec.page_ocr(hd, 1) == text, enc.__name__
+        got_w, got_h, _ = raster.decode_png(codec.page_image(hd, 1))
+        assert (got_w, got_h) == (w, h)
+
+
+def test_foreign_scan_yields_image_but_empty_ocr():
+    """A scan the grid OCR cannot read (not cell-aligned): the image
+    feature still carries the decoded payload; ocr returns '' honestly
+    instead of garbage or a crash."""
+    foreign = bytes((i * 37 + 11) % 256 for i in range(13 * 7))
+    pdf = minipdf.build_pdf(
+        [""], images=[{"width": 13, "height": 7, "data": foreign}]
+    )
+    codec = PdfCodec()
+    hd = codec.open(pdf)
+    assert raster.decode_png(codec.page_image(hd, 1)) == (13, 7, bytearray(foreign))
+    assert codec.page_ocr(hd, 1) == ""
+
+
+def test_text_layer_takes_precedence_over_embedded_images():
+    """A page WITH text keeps the text-layer render/OCR even when it
+    also embeds images (only truly scanned pages reroute)."""
+    text, w, h, px = _scan_fixture()
+    pdf = minipdf.build_pdf(
+        ["has a text layer"], images=[{"width": w, "height": h, "data": px}]
+    )
+    codec = PdfCodec()
+    hd = codec.open(pdf)
+    assert codec.page_ocr(hd, 1) == "has a text layer"
+    iw, ih, _ = raster.decode_png(codec.page_image(hd, 1))
+    assert (iw, ih) == (96, 10)  # 16 chars x 6, 1 line x 10
+
+
+def test_scanned_page_honors_image_size_and_jpeg_format():
+    """The scan render path respects image_size (nearest resize) and
+    image_format='jpeg' (engine encoder) like the text-layer path."""
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+    text, w, h, px = _scan_fixture()
+    pdf = minipdf.build_pdf([""], images=[{"width": w, "height": h, "data": px}])
+    codec = PdfCodec(image_size="45x10")
+    hd = codec.open(pdf)
+    assert raster.decode_png(codec.page_image(hd, 1))[:2] == (45, 10)
+    codec_j = PdfCodec(image_format="jpeg")
+    hd = codec_j.open(pdf)
+    payload = codec_j.page_image(hd, 1)
+    assert payload[:2] == b"\xff\xd8"
+    assert decode_jpeg(payload)[:2] == (w, h)
+
+
+def test_scanned_page_color_raw_reduces_to_luma():
+    """An RGB raw-sample scan reduces to BT.601 luma for the gray
+    render/OCR path."""
+    import numpy as np
+
+    rgb = np.zeros((10, 12, 3), np.uint8)
+    rgb[..., 0] = 255  # pure red -> luma 76
+    pdf = minipdf.build_pdf(
+        [""],
+        images=[{"width": 12, "height": 10, "data": rgb.tobytes(),
+                 "colorspace": "/DeviceRGB"}],
+    )
+    codec = PdfCodec()
+    hd = codec.open(pdf)
+    w, h, px = raster.decode_png(codec.page_image(hd, 1))
+    assert (w, h) == (12, 10)
+    assert set(px) == {76}
