@@ -265,6 +265,15 @@ class PdfCodec(DocumentCodec):
                     w, h, px = decode_jpeg_gray(e["data"])
                 except (ValueError, IndexError):
                     continue
+            elif e["format"] == "ccitt" and e.get("ccitt_params"):
+                from pdf2dataset_spark.sources import ccitt
+
+                try:
+                    w, h, px = ccitt.decode_g4_gray(
+                        e["data"], **e["ccitt_params"]
+                    )
+                except (ValueError, IndexError):
+                    continue
             elif e["format"] == "raw":
                 w, h, data = e.get("width"), e.get("height"), e["data"]
                 if not w or not h:

@@ -893,8 +893,10 @@ class PdfDocument:
         - ``format``: ``"jpeg"`` for /DCTDecode (``data`` is the
           complete JFIF file — any leading filters already undone),
           ``"raw"`` for fully-decodable chains (``data`` is sample
-          bytes), or ``"jpx"``/``"ccitt"`` for the compressed payload
-          of filters this engine does not transcode.
+          bytes), ``"ccitt"`` for /CCITTFaxDecode (decodable when
+          /K < 0 — pure G4/T.6, via :mod:`sources.ccitt`; the entry
+          then carries ``ccitt_params`` so consumers can decode), or
+          ``"jpx"`` for filters this engine does not transcode.
         - ``decodable``: True when ``data`` can be turned into pixels
           with zero native deps — raw samples always; JPEG when
           :func:`sources.jpeg.decode_jpeg` accepts it (baseline /
@@ -977,6 +979,50 @@ class PdfDocument:
                     # compressed file, report honestly that it can't
                     # be rasterized
                     entry["decodable"] = False
+            elif stopped == "/CCITTFaxDecode":
+                entry["format"] = "ccitt"
+                entry["data"] = data
+                entry["decodable"] = False
+                parms = self.resolve(sdict.get("/DecodeParms"))
+                if isinstance(parms, list):  # array-aligned with /Filter
+                    parms = next(
+                        (
+                            self.resolve(p)
+                            for p in parms
+                            if isinstance(self.resolve(p), dict)
+                            and "/K" in self.resolve(p)
+                        ),
+                        {},
+                    )
+                parms = parms if isinstance(parms, dict) else {}
+                k = int(self.resolve(parms.get("/K", 0)) or 0)
+                if k < 0:  # pure G4 (T.6) — THE scan codec
+                    cols = int(
+                        self.resolve(parms.get("/Columns", 1728)) or 1728
+                    )
+                    nrows = self.resolve(parms.get("/Rows")) or entry[
+                        "height"
+                    ] or None
+                    align = bool(
+                        self.resolve(parms.get("/EncodedByteAlign", False))
+                    )
+                    ccitt_params = {
+                        "columns": cols,
+                        "rows": int(nrows) if nrows else None,
+                        "byte_align": align,
+                    }
+                    try:
+                        from pdf2dataset_spark.sources import ccitt
+
+                        w, h, px = ccitt.decode_g4_gray(data, **ccitt_params)
+                        entry["decodable"] = True
+                        entry["ccitt_params"] = ccitt_params
+                        entry["width"] = entry["width"] or w
+                        entry["height"] = entry["height"] or h
+                        if decode_pixels:
+                            entry["pixels"] = px
+                    except (ValueError, IndexError):
+                        pass  # corrupt stream: honest False, payload kept
             elif stopped is not None:
                 entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")
                 entry["data"] = data
@@ -1402,9 +1448,11 @@ def build_pdf(
     ``images`` embeds image XObjects on PAGE 1's resources (inverse of
     :func:`extract_page_images`): each dict needs ``data`` (the
     already-encoded payload — a JFIF for /DCTDecode, zlib bytes for
-    /FlateDecode, raw samples for no filter), ``width``, ``height``,
-    and optionally ``filter`` (e.g. ``"/DCTDecode"``), ``colorspace``
-    (default /DeviceGray) and ``bits`` (default 8)."""
+    /FlateDecode, a G4 stream for /CCITTFaxDecode, raw samples for no
+    filter), ``width``, ``height``, and optionally ``filter`` (e.g.
+    ``"/DCTDecode"``), ``colorspace`` (default /DeviceGray), ``bits``
+    (default 8) and ``decode_parms`` (a dict written as the XObject's
+    /DecodeParms, e.g. ``{"/K": -1, "/Columns": w, "/Rows": h}``)."""
     if not pages:
         raise ValueError("build_pdf needs at least one page")
     if encrypt_rev not in (3, 4, 6):
@@ -1510,12 +1558,21 @@ def build_pdf(
         if enc_key is not None:
             payload = obj_enc(image_nums[j], payload)
         filt = img.get("filter")
+        parms = img.get("decode_parms")  # dict, e.g. CCITT {"/K": -1, ...}
+        parms_s = ""
+        if parms:
+            inner = " ".join(
+                f"{k} {str(v).lower() if isinstance(v, bool) else v}"
+                for k, v in parms.items()
+            )
+            parms_s = f" /DecodeParms << {inner} >>"
         head = (
             f"<< /Type /XObject /Subtype /Image"
             f" /Width {img['width']} /Height {img['height']}"
             f" /ColorSpace {img.get('colorspace', '/DeviceGray')}"
             f" /BitsPerComponent {img.get('bits', 8)}"
             + (f" /Filter {filt}" if filt else "")
+            + parms_s
             + f" /Length {len(payload)} >>"
         )
         objs.append(

@@ -1143,3 +1143,143 @@ def test_jpeg_fill_bytes_before_markers_decode():
     padded = bytes(out)
     assert padded != jpg
     assert decode_jpeg(padded) == decode_jpeg(jpg)
+
+
+class TestCcittG4:
+    """CCITT Group 4 (/CCITTFaxDecode, /K < 0 — THE fax/scan codec):
+    codec round-trips, PDF extraction with DecodeParms, scanned-page
+    OCR routing, and pHash flow (round-5 what's-missing #4)."""
+
+    def _text_raster(self, text="CCITT G4 SCAN\nfax codec line"):
+        from pdf2dataset_spark.sources import raster
+
+        w, h, px = raster._rasterize(text)
+        return text, w, h, bytes(px)
+
+    def test_roundtrip_adversarial_bitmaps(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources import ccitt
+
+        rng = np.random.default_rng(3)
+        stripes = np.where(np.arange(64)[None, :] % 2, 255, 0).astype(
+            np.uint8
+        ).repeat(16, 0).reshape(16, 64)
+        cases = [
+            np.full((20, 100), 255, np.uint8),  # all white (V-modes)
+            np.full((20, 100), 0, np.uint8),  # all black
+            stripes,  # 1-px runs (horizontal mode, term codes)
+            (rng.random((30, 75)) < 0.4).astype(np.uint8) * 255,  # noise
+            np.pad(  # >2560-px runs (extended makeup codes)
+                np.zeros((4, 300), np.uint8), ((0, 0), (2700, 0)),
+                constant_values=255,
+            ),
+            np.array([[0], [255], [0], [255]], np.uint8),  # 1 column
+        ]
+        _, w, h, px = self._text_raster()
+        cases.append(np.frombuffer(px, np.uint8).reshape(h, w))
+        for img in cases:
+            hh, ww = img.shape
+            want = np.where(img < 128, 0, 255).astype(np.uint8)
+            for align in (False, True):
+                enc = ccitt.encode_g4(img.tobytes(), ww, hh, byte_align=align)
+                for rows in (hh, None):  # explicit Rows and EOFB stop
+                    w2, h2, gray = ccitt.decode_g4_gray(
+                        enc, ww, rows=rows, byte_align=align
+                    )
+                    got = np.frombuffer(gray, np.uint8).reshape(h2, w2)
+                    assert (w2, h2) == (ww, hh)
+                    assert np.array_equal(got, want)
+
+    def test_roundtrip_property_fuzz(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources import ccitt
+
+        rng = np.random.default_rng(11)
+        for _ in range(40):
+            hh = int(rng.integers(1, 25))
+            ww = int(rng.integers(1, 120))
+            img = (rng.random((hh, ww)) < float(rng.random())).astype(
+                np.uint8
+            ) * 255
+            enc = ccitt.encode_g4(img.tobytes(), ww, hh)
+            _, _, gray = ccitt.decode_g4_gray(enc, ww, rows=hh)
+            assert np.frombuffer(gray, np.uint8).reshape(hh, ww).tobytes() \
+                == img.tobytes()
+
+    def test_truncated_and_garbage_streams_raise_valueerror(self):
+        from pdf2dataset_spark.sources import ccitt
+
+        _, w, h, px = self._text_raster()
+        enc = ccitt.encode_g4(px, w, h)
+        with pytest.raises(ValueError):
+            ccitt.decode_g4(enc[: len(enc) // 2], w, rows=h)
+        with pytest.raises(ValueError):
+            ccitt.decode_g4(b"\x00\x00\x00\x00\x00\x00", w, rows=2)
+
+    def test_page_images_decodes_g4_with_decode_parms(self):
+        from pdf2dataset_spark.sources import ccitt
+
+        _, w, h, px = self._text_raster()
+        g4 = ccitt.encode_g4(px, w, h)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/CCITTFaxDecode", "width": w, "height": h,
+                     "data": g4, "bits": 1,
+                     "decode_parms": {"/K": -1, "/Columns": w, "/Rows": h}}],
+        )
+        doc = minipdf.PdfDocument(pdf)
+        (entry,) = doc.page_images(doc.pages()[0], decode_pixels=True)
+        assert entry["format"] == "ccitt" and entry["decodable"] is True
+        assert entry["data"] == g4  # compressed payload still surfaced
+        assert entry["pixels"] == px
+        assert entry["ccitt_params"] == {
+            "columns": w, "rows": h, "byte_align": False,
+        }
+
+    def test_g3_and_corrupt_g4_stay_honestly_undecodable(self):
+        _, w, h, px = self._text_raster()
+        for parms in (
+            {"/K": 0, "/Columns": w},  # G3 1D: out of scope
+            {"/K": -1, "/Columns": w, "/Rows": h},  # G4 but garbage data
+        ):
+            pdf = minipdf.build_pdf(
+                [""],
+                images=[{"filter": "/CCITTFaxDecode", "width": w,
+                         "height": h, "data": b"\x00\x01\x02\x03",
+                         "bits": 1, "decode_parms": parms}],
+            )
+            (entry,) = minipdf.extract_page_images(pdf)[0]
+            assert entry["format"] == "ccitt"
+            assert entry["decodable"] is False
+            assert entry["data"] == b"\x00\x01\x02\x03"
+
+    def test_scanned_g4_page_routes_into_image_and_ocr(self):
+        from pdf2dataset_spark.sources import ccitt, raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        text, w, h, px = self._text_raster()
+        g4 = ccitt.encode_g4(px, w, h)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/CCITTFaxDecode", "width": w, "height": h,
+                     "data": g4, "bits": 1,
+                     "decode_parms": {"/K": -1, "/Columns": w, "/Rows": h}}],
+        )
+        codec = PdfCodec()
+        hd = codec.open(pdf)
+        assert codec.page_text(hd, 1) == ""
+        assert raster.decode_png(codec.page_image(hd, 1)) == (w, h, bytearray(px))
+        assert codec.page_ocr(hd, 1) == text
+
+    def test_g4_scan_flows_into_phash(self):
+        from pdf2dataset_spark.operators import image_hash as ih
+        from pdf2dataset_spark.sources import ccitt, raster
+
+        _, w, h, px = self._text_raster()
+        g4 = ccitt.encode_g4(px, w, h)
+        dw, dh, gray = ccitt.decode_g4_gray(g4, w, rows=h)
+        assert ih.phash64(raster.encode_png(dw, dh, gray)) == ih.phash64(
+            raster.encode_png(w, h, px)
+        )
