@@ -78,95 +78,97 @@ def query(name: str, sql: str | None = None, tier: str = "") -> Callable:
 
 _LOADED = False
 
-#: Driver-facing registry order. The verification driver emits CORRECTNESS
-#: rows for a bounded prefix of the registry (50 entries per round), so
-#: ordering is the mechanism for rotating which queries earn a hard driver
-#: row each round. Rounds 1–3 covered 148 of 172 queries with 0 failures.
-#: Round 4 fronts the final 24 never-driver-checked entries — 11
-#: oracle-backed (d20, sql21/22, c24, f28–f33, f35; all green in the
-#: local driver-replica gate) then the 13 rows-only-by-design tail (a
-#: driver rows-only row still beats none) — closing 100% driver coverage
-#: of the registry. The remaining 26 window slots re-verify queries whose
-#: code paths changed this round (e18's prefix-sum rewrite, rank.py
-#: cache-lifecycle dependents e5/f22, the r3 asof/tie fixes d9/e19) plus
-#: the bench flagships and round-3 flagship oracles, so every diff in
-#: this round's changeset lands with fresh driver evidence. Everything
-#: not listed keeps its import order after the prefix, so the registry is
-#: unchanged in content.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 11 oracle-backed entries earning their first driver row ---
-    "d20_bloom_filtered_join",
-    "sql21_recursive_month_spine",
-    "sql22_group_by_all",
-    "c24_metadata_stats",
-    "f35_duplicate_ngram_spans",
-    "f28_source_mixture_sampling",
-    "f29_quality_decile_binning",
-    "f30_source_vocabulary_overlap",
-    "f31_training_order_shuffle",
-    "f32_corpus_epoch_diff",
-    "f33_bpe_pair_counts",
-    # --- 13 rows-only-by-design entries earning their first driver row ---
-    "e12_sample",
-    "f2a_minhash_lsh_candidates",
-    "f5_lsh_approx_topk",
-    "f5b_ivf_topk",
-    "f5c_topk_cosine_packed",
-    "f8_multimodal_decode",
-    "f11_simhash_hamming",
-    "f16_stratified_sample",
-    "g4_watermark_passthrough",
-    "g6_stateful_per_key",
-    "f37_bpe_tokenize",
-    "c25_kmv_set_sketches",
-    "f40_image_phash_neardup",
-    # --- 26 re-verification slots: this round's touched code paths ---
-    # e18 rewritten onto rank.global_prefix_sum this round
-    "e18_rolling_7day_revenue",
-    # rank.py cache-lifecycle change dependents
-    "e5_global_sort",
-    "f22_token_shard_packing",
-    # round-3 tie-semantics fixes stay pinned
-    "d9_asof_join",
-    "e19_rolling_zscore_anomaly",
-    # bench flagships (plan regressions surface as driver rows too)
-    "c1_pricing_summary",
-    "c3_count_distinct",
-    "d1_orders_customer_join",
-    "d2_broadcast_part_join",
-    "d11_star_join_revenue",
-    "e1_rank_orders_per_cust",
-    "e3_running_sum_frame",
-    "f1_exact_dedup",
-    "f4_topk_cosine",
-    "f9_tfidf_top_terms",
-    "g1_tumbling_window",
-    "g3_session_window",
-    # round-3 flagship oracles re-verified
+#: Queries whose CODE PATHS changed in the CURRENT round. This is the
+#: one manual input to the otherwise mechanical rotation below: list a
+#: query here when this round's diffs touch code it executes, so every
+#: change lands with fresh driver evidence. Reset each round.
+TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    # round 5 — new queries first
+    "a20_scanned_page_ocr",          # scanned-page routing (new)
+    "a21_progressive_image_extract",  # progressive JPEG (new)
+    # jpeg decoder rewritten (scan-loop architecture)
+    "a18_embedded_image_extract",
+    "a19_color_image_extract",
+    # minipdf inline_images colorspace guard + CCITT branch
     "a5_pdf_extract",
     "a16_encrypted_pdf_extract",
     "a17_cid_font_extract",
-    "f34_semantic_dedup",
-    "f36_quality_classifier",
-    "f38_semantic_dedup_nprobe",
-    # round-4 oracle-backed additions — their first driver rows, so
-    # the whole 175-entry registry carries driver evidence after r4
-    "a18_embedded_image_extract",
-    "a19_color_image_extract",
-    "f41_lm_coverage_quality",
-    # ---- end of the expected 50-entry window ----
+    # raster ocr_gray refactor (threshold binarization)
+    "a6_page_render_ocr",
+    # image decode feeds the pHash path
+    "f40_image_phash_neardup",
+    # dedup ingest lock + rank cache thread-safety dependents
+    "f1_exact_dedup",
+    "f22_token_shard_packing",
+    "e18_rolling_7day_revenue",
+    "e5_global_sort",
 )
+
+#: Driver-window size: the verification driver emits CORRECTNESS rows
+#: for this many registry-prefix entries per round.
+DRIVER_WINDOW = 50
+
+
+def compute_driver_priority(repo_root: str | None = None) -> tuple[str, ...]:
+    """MECHANICAL staleness-driven driver-window rotation (the round-4
+    verdict's prescription, replacing the hand-curated list used in
+    rounds 1-4). The registry prefix — and therefore the driver's
+    50-row CORRECTNESS window — is ordered by:
+
+    1. never-driver-verified queries (no row in any CORRECTNESS_r*.json
+       — i.e. queries added this round) first;
+    2. then :data:`TOUCHED_THIS_ROUND` (code paths changed this round);
+    3. then everything else ASCENDING by the last round that gave the
+       query a driver row (stalest evidence first), ties keeping
+       registry import order.
+
+    Evidence comes from the CORRECTNESS_r{NN}.json files the driver
+    itself writes at the repo root, so the rotation needs no manual
+    bookkeeping beyond TOUCHED_THIS_ROUND: with 175+ entries and a
+    50-row window every entry is re-verified at least every ~4 rounds
+    automatically. Missing/unreadable evidence files degrade to
+    treating all queries as never-verified (import order)."""
+    import glob
+    import json
+    import re
+
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        for name in data:
+            last_round[name] = max(rnd, last_round.get(name, 0))
+    touched = {n for n in TOUCHED_THIS_ROUND if n in REGISTRY}
+    import_order = {n: i for i, n in enumerate(REGISTRY)}
+
+    def sort_key(n: str):
+        if n not in last_round:
+            bucket, stale = 0, 0  # never verified: front
+        elif n in touched:
+            bucket, stale = 1, last_round[n]
+        else:
+            bucket, stale = 2, last_round[n]
+        return (bucket, stale, import_order[n])
+
+    return tuple(sorted(REGISTRY, key=sort_key))
 
 
 def _reorder_for_driver() -> None:
-    """Rebuild REGISTRY with DRIVER_PRIORITY names first (dicts keep
-    insertion order). Unknown names are ignored; unlisted queries keep
-    their relative import order after the prefix."""
-    prioritized = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}
-    rest = {n: s for n, s in REGISTRY.items() if n not in prioritized}
-    REGISTRY.clear()
-    REGISTRY.update(prioritized)
-    REGISTRY.update(rest)
+    """Rebuild REGISTRY in :func:`compute_driver_priority` order
+    (dicts keep insertion order), so the driver's window-prefix is the
+    staleness-rotated one."""
+    for n in compute_driver_priority():
+        REGISTRY[n] = REGISTRY.pop(n)
 
 
 def load_all() -> dict[str, QuerySpec]:
