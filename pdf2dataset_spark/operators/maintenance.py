@@ -197,3 +197,58 @@ def write_point_lookup_layout(
         w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
         w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
     w.mode(mode).parquet(path)
+
+
+def write_packed_embeddings(
+    df,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    dtype: str = "float32",
+    packed_col: str = "embedding_bin",
+    mode: str = "overwrite",
+) -> dict:
+    """PACK-AT-INGEST for embeddings (the BASELINE.md lesson: at
+    100 TB, store embeddings as fixed-dtype binary — pack ONCE at
+    ingest, not per query). Writes ``df`` to parquet with ``vec_col``
+    replaced by a packed little-endian binary column, plus a
+    ``_PACKED_META.json`` sidecar recording (packed_col, dim, dtype)
+    so readers never guess the layout. Returns the metadata dict.
+
+    Why this beats array<float> storage for the ANN paths: parquet
+    list columns decode into one Python object per ELEMENT at the
+    Arrow/pandas UDF boundary (~20 us/row at dim 64), while the
+    binary column decodes per BATCH with one frombuffer+reshape —
+    and fp32 halves the bytes scanned/shuffled. `topk_cosine_packed`
+    / the IVF packed variants consume this layout directly.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pdf2dataset_spark.operators import similarity as sim
+
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = int(row["d"])
+    out = df.withColumn(
+        packed_col, sim.pack_embedding(F.col(vec_col), dtype=dtype)
+    ).drop(vec_col)
+    out.write.mode(mode).parquet(path)
+    meta = {"packed_col": packed_col, "dim": dim, "dtype": dtype}
+    with open(os.path.join(path, "_PACKED_META.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def read_packed_embeddings(spark: SparkSession, path: str):
+    """Read a :func:`write_packed_embeddings` dataset: returns
+    ``(DataFrame, meta)`` where meta carries (packed_col, dim, dtype)
+    from the sidecar — everything `topk_cosine_packed` needs."""
+    import json as _json
+
+    with open(os.path.join(path, "_PACKED_META.json")) as f:
+        meta = _json.load(f)
+    return spark.read.parquet(path), meta

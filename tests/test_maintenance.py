@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -191,3 +193,53 @@ def test_point_lookup_layout_writes_bloom_filters(spark, tmp_path):
     assert delta > 50_000, delta  # ~128KiB filter for 100k NDV
     # the layout stays readable and complete
     assert spark.read.parquet(bloomed).count() == 100_000
+
+
+def test_write_read_packed_embeddings_roundtrip(spark, tmp_path):
+    """Pack-at-ingest: write_packed_embeddings stores a binary column
+    + sidecar meta; read side feeds topk_cosine_packed directly and
+    agrees with brute force over the original arrays."""
+    import numpy as np
+
+    from pdf2dataset_spark.operators import maintenance as mt
+    from pdf2dataset_spark.operators import similarity as sim
+
+    n, dim = 200, 8
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((n, dim)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "packed")
+    meta = mt.write_packed_embeddings(df, store)  # dim inferred
+    assert meta == {"packed_col": "embedding_bin", "dim": dim,
+                    "dtype": "float32"}
+    stored, meta2 = mt.read_packed_embeddings(spark, store)
+    assert meta2 == meta
+    assert dict(stored.dtypes)["embedding_bin"] == "binary"
+    # bytes layout: fp32 little-endian, one frombuffer recovers vecs
+    row = stored.filter(F.col("vec_id") == 3).first()
+    got = np.frombuffer(bytes(row["embedding_bin"]), "<f4")
+    assert np.allclose(got, vecs[3].astype(np.float32))
+
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = sim.topk_cosine(df, queries, k=3)
+    packed = sim.topk_cosine_packed(
+        stored, queries, dim=meta["dim"], k=3,
+        corpus_vec=meta["packed_col"], dtype=meta["dtype"],
+    )
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    p = {(r["query_id"], r["vec_id"]) for r in packed.collect()}
+    assert b == p  # fp32 vs fp64 does not change the neighbor sets here
+
+
+def test_write_packed_embeddings_empty_input_raises(spark, tmp_path):
+    from pdf2dataset_spark.operators import maintenance as mt
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        mt.write_packed_embeddings(empty, str(tmp_path / "x"))
