@@ -90,13 +90,22 @@ def exact_dedup(
     return out if keep_hash else out.drop("text_sha256")
 
 
-def tokens(col: Column | str, sep: str = " ") -> Column:
+def tokens(col: Column | str, sep: str = r"\s+") -> Column:
+    """Regex-split tokenization (after trim). The default splits on
+    ANY whitespace run, so tabs/newlines/multi-space text tokenizes
+    identically to single-spaced text — matching normalize_text's
+    canonicalization. (The round-5 curation fuzz caught the previous
+    literal-single-space split mis-shingling tab/newline-separated
+    docs, which silently killed near-dup recall on real corpora.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(c, sep)
+    return F.split(F.trim(c), sep)
 
 
-def shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingles of a text column (JVM HOFs)."""
+def shingles(col: Column | str, n: int = 3, sep: str = r"\s+") -> Column:
+    """Distinct word n-gram shingles of a text column (JVM HOFs).
+    Tokenizes on whitespace RUNS (see :func:`tokens`) and joins grams
+    with a single space, so shingle strings are canonical regardless
+    of the source text's separators."""
     toks = tokens(col, sep)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     gram = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731

@@ -396,3 +396,97 @@ def test_null_semantics_match_duckdb(spark, null_tables, sql):
     assert [tuple(_norm(v) for v in r) for r in got] == [
         tuple(_norm(v) for v in r) for r in want
     ], sql
+
+
+# ---------------------------------------------------------------------
+# curation-chain fuzz (round-5): random quality/dedup parameters over
+# planted-invariant corpora — kept set must equal the planted good set
+# EXACTLY for every config. This is the class of test that catches
+# input-shape divergences like round-4's f41 multi-space bug: doc
+# text uses randomized whitespace/casing shapes, never just single
+# spaces.
+# ---------------------------------------------------------------------
+
+
+def _fuzz_corpus(rng, min_tokens, max_tokens):
+    """Planted corpus: unique good docs (pass every gate), exact dups,
+    near dups, too-short junk, repeated-bigram junk. Returns
+    (rows, good_ids). Doc vocabularies are doc-unique so only planted
+    dups are near-dups; separators/casing are adversarial."""
+    import hashlib
+
+    seps = [" ", "  ", "\t", " \n", "   "]
+
+    def doc(i, n_words):
+        words = []
+        for j in range(n_words):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6]
+            words.append(f"w{h}")
+        return seps[int(rng.integers(len(seps)))].join(words)
+
+    n_good = int(rng.integers(20, 50))
+    rows, good = [], set()
+    for i in range(n_good):
+        n_words = int(rng.integers(min_tokens + 5, min(max_tokens - 5, 60)))
+        rows.append((i, doc(i, n_words)))
+        good.add(i)
+    next_id = 1000
+    for _ in range(int(rng.integers(1, 4))):  # exact dups (normalized)
+        src = int(rng.integers(n_good))
+        dup = rows[src][1]
+        if rng.random() < 0.5:
+            dup = dup.upper()  # normalization: case-insensitive exact
+        rows.append((next_id, dup))
+        next_id += 1
+    near_ids = []
+    for _ in range(int(rng.integers(1, 4))):  # near dups (+1 word)
+        src = int(rng.integers(n_good))
+        rows.append((next_id, rows[src][1] + " zzq"))
+        near_ids.append(next_id)
+        next_id += 1
+    for _ in range(int(rng.integers(1, 3))):  # too short
+        rows.append((next_id, "tiny doc"))
+        next_id += 1
+    for _ in range(int(rng.integers(1, 3))):  # repeated bigrams
+        rows.append((next_id, "spam ham " * 150))
+        next_id += 1
+    return rows, good, set(near_ids)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_curation_chain_fuzz_planted_invariants(spark, seed):
+    import numpy as np
+
+    from pdf2dataset_spark import curate as cu
+
+    rng = np.random.default_rng(seed)
+    min_tokens = int(rng.integers(5, 12))
+    max_tokens = int(rng.integers(80, 200))
+    max_dup_bigram = float(rng.uniform(0.2, 0.8))
+    jaccard_threshold = float(rng.uniform(0.6, 0.8))
+    neardup = "lsh" if rng.random() < 0.7 else "none"
+    n_shards = int(rng.integers(2, 8))
+    train_frac = float(rng.uniform(0.5, 0.95))
+
+    rows, good, near_ids = _fuzz_corpus(rng, min_tokens, max_tokens)
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cu.curate(
+        corpus,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_dup_bigram=max_dup_bigram,
+        neardup=neardup,
+        jaccard_threshold=jaccard_threshold,
+        train_frac=train_frac,
+        n_shards=n_shards,
+    ).select("doc_id", "split", "shard_id").collect()
+    cu.release_caches()
+    kept = {r["doc_id"] for r in out}
+    want = good | (near_ids if neardup == "none" else set())
+    assert kept == want, (
+        f"seed={seed}: kept {sorted(kept ^ want)} diverges "
+        f"(cfg min={min_tokens} max={max_tokens} bigram={max_dup_bigram:.2f} "
+        f"nd={neardup} jt={jaccard_threshold:.2f})"
+    )
+    assert {r["split"] for r in out} <= {"train", "test"}
+    assert {r["shard_id"] for r in out} <= set(range(n_shards))
