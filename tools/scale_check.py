@@ -538,12 +538,79 @@ def main() -> None:
             "pruned_frac": round(1 - candidates / n_store, 4),
         }
 
+    # 15. image pHash Hamming-LSH banding law at 600k hashes: groups of
+    #     5 ids carry (base, exact dup, ≤2-bit near dup, 2 unique
+    #     fillers). With max_hamming=3 < bands=4 at least one band is
+    #     always unaffected, so EVERY planted pair must surface (exact
+    #     recall law) and cross-group pairs must be ZERO (random 64-bit
+    #     hashes within Hamming ≤3 are ~2^-48 events — any false pair
+    #     is a banding/dedup bug, not chance). A 4k-image slab also
+    #     runs the REAL render→decode→DCT→hash path end to end.
+    def imagehash_banding_law():
+        from pdf2dataset_spark.operators import image_hash as ih
+
+        n = int(600_000 * mult)
+        n = n - n % 5
+        groups = n // 5
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") / 5).cast("long").alias("gid"),
+            (F.col("id") % 5).alias("role"),
+        )
+        base_h = F.xxhash64(F.col("gid"))
+        uniq_h = F.xxhash64(F.col("doc_id"), F.lit(7))
+        hashed = df.select(
+            "doc_id",
+            "gid",
+            F.when(F.col("role") <= 1, base_h)
+            .when(F.col("role") == 2, F.expr(
+                "xxhash64(gid) ^ (shiftleft(1L, cast(gid % 64 as int)) | "
+                "shiftleft(1L, cast((gid * 7 + 11) % 64 as int)))"
+            ))
+            .otherwise(uniq_h)
+            .alias("phash"),
+        )
+        pairs = ih.phash_neardup_pairs(
+            hashed.select("doc_id", "phash"), max_hamming=3, bands=4
+        )
+        ids = hashed.select("doc_id", "gid")
+        labeled = (
+            pairs.join(ids.withColumnRenamed("doc_id", "id_a")
+                       .withColumnRenamed("gid", "g1"), "id_a")
+            .join(ids.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("gid", "g2"), "id_b")
+        )
+        a = labeled.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("g1") != F.col("g2")).cast("long")).alias("cross"),
+        ).collect()[0]
+        # 3 pairs per group: (base, exact), (base, near), (exact, near)
+        assert a["cross"] == 0, f"{a['cross']} cross-group FALSE pairs"
+        assert a["n_pairs"] == 3 * groups, (a["n_pairs"], 3 * groups)
+        # real render→hash slab (full decode+DCT path, planted dups)
+        m = 4_000
+        src = F.when(F.col("id") % 100 == 1, F.col("id") - 1).otherwise(
+            F.col("id")
+        ).cast("string")
+        slab = spark.range(m).select(
+            F.col("id").alias("doc_id"),
+            F.substring(F.md5(src), 1, 16).alias("page_text"),
+        )
+        rendered = ih.with_image_hash(
+            ih.render_text_images(slab), "image", out="phash"
+        ).select("doc_id", "phash")
+        got = ih.phash_neardup_pairs(rendered, max_hamming=0, bands=4).count()
+        assert got == m // 100, (got, m // 100)
+        return {"hashes": n, "pairs": int(a["n_pairs"]),
+                "rendered": m, "render_dup_pairs": got}
+
     check("mixture_determinism_and_law", mixture_law)
     check("lsh_exact_dup_collision", lsh_collision_law)
     check("ingest_dedup_cross_strategy_10M", ingest_dedup_cross_strategy)
     check("semdedup_two_sided_5M", semdedup_two_sided)
     check("shard_packing_cross_engine_10M", shard_packing_cross_engine)
     check("bpe_pairs_cross_engine_10M", bpe_pairs_cross_engine)
+    check("imagehash_banding_law_600k", imagehash_banding_law)
     # the ranked frames persisted by checks 1/2/12 are no longer
     # needed once their actions finish — release so a long harness run
     # doesn't hold cached RDDs (and to exercise the cleanup path)
