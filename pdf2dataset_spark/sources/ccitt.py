@@ -20,8 +20,9 @@ Implementation notes:
   stripes, random noise, >2560-px runs).
 - PDF parameter surface: ``Columns`` (default 1728), ``Rows``,
   ``BlackIs1`` (default False: 0-bits are BLACK per the PDF filter
-  default), ``EncodedByteAlign`` (row starts on byte boundaries).
-  ``K >= 0`` (G3) is out of scope and raises a named error upstream.
+  default), ``EncodedByteAlign`` (row starts on byte boundaries). ``K == 0``
+  (G3 one-dimensional MH) decodes too; ``K > 0`` (G3 mixed 2D)
+  raises a named error — scanners emit G4.
 
 Scale note: decode runs inside Arrow-batched extraction UDFs; one
 page decodes in O(columns x rows) python-int work, which the
@@ -373,6 +374,124 @@ def decode_g4_gray(
     """G4 stream -> (columns, n_rows, 8-bit gray pixels, black=0)."""
     lines = decode_g4(data, columns, rows, byte_align)
     return columns, len(lines), _transitions_to_gray(lines, columns, black_is_1)
+
+
+def _skip_eols(bits: _Bits) -> bool:
+    """Consume any EOL codes (11+ zeros then a 1) and the fill bits
+    preceding them at the current position. Returns False when only
+    zero padding (or nothing) remains — i.e. end of image data."""
+    while True:
+        save = bits.bitpos
+        zeros = 0
+        while True:
+            if bits.eof():
+                return False  # trailing zero padding only
+            if bits.read() == 1:
+                break
+            zeros += 1
+            if zeros > 4096:
+                return False  # degenerate zero run: treat as end
+        if zeros >= 11:
+            continue  # EOL consumed; RTC is just six of these
+        bits.bitpos = save  # start of a real code — rewind
+        return True
+
+
+def decode_g3_1d(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> list[list[int]]:
+    """Decode a Group 3 one-dimensional (T.4 MH, PDF ``/K 0``) stream
+    into per-row changing-element lists. Rows are runs of alternating
+    color starting white, each exactly ``columns`` pixels; EOL codes
+    (optional in PDF K=0 streams) and trailing RTC are consumed."""
+    if columns <= 0:
+        raise ValueError("CCITT Columns must be positive")
+    bits = _Bits(data)
+    out: list[list[int]] = []
+    while rows is None or len(out) < rows:
+        if byte_align:
+            bits.align()
+        if not _skip_eols(bits):
+            break
+        cur: list[int] = []
+        pos = 0
+        color = 0
+        try:
+            while pos < columns:
+                run = _read_run(
+                    bits,
+                    _WHITE_DEC if color == 0 else _BLACK_DEC,
+                    "white" if color == 0 else "black",
+                )
+                pos += run
+                if pos > columns:
+                    raise ValueError("G3 1D run overflows the line")
+                if pos < columns:
+                    cur.append(pos)
+                color ^= 1
+        except ValueError:
+            if rows is None and not cur:
+                break  # garbage after the last row: end of data
+            raise
+        out.append(cur)
+    if rows is not None and len(out) < rows:
+        raise ValueError(f"CCITT stream ended after {len(out)} of {rows} rows")
+    return out
+
+
+def encode_g3_1d(
+    px: bytes,
+    columns: int,
+    rows: int,
+    byte_align: bool = False,
+    with_eol: bool = False,
+) -> bytes:
+    """Encode 8-bit gray pixels (dark = black) as a G3 1D (T.4 MH,
+    /K 0) stream — fixture/round-trip counterpart of
+    :func:`decode_g3_1d`."""
+    lines = _gray_to_transitions(px, columns, rows)
+    bw = _BitsOut()
+    for cur in lines:
+        if byte_align:
+            bw.align()
+        if with_eol:
+            bw.write(0b000000000001, 12)
+        pos = 0
+        color = 0
+        for t in cur + [columns]:
+            run = t - pos
+            if color == 0:
+                _write_run(bw, run, _WHITE_TERM, _WHITE_MAKEUP)
+            else:
+                _write_run(bw, run, _BLACK_TERM, _BLACK_MAKEUP)
+            pos = t
+            color ^= 1
+            if pos == columns:
+                break
+    return bw.flush()
+
+
+def decode_ccitt_gray(
+    data: bytes,
+    k: int,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> tuple[int, int, bytes]:
+    """/CCITTFaxDecode dispatch: ``k < 0`` → pure G4 (T.6), ``k == 0``
+    → G3 one-dimensional (T.4 MH). ``k > 0`` (G3 mixed 2D) raises a
+    named error — rare in PDFs, where scanners emit G4. Returns
+    (columns, n_rows, 8-bit gray pixels, black=0)."""
+    if k < 0:
+        lines = decode_g4(data, columns, rows, byte_align)
+    elif k == 0:
+        lines = decode_g3_1d(data, columns, rows, byte_align)
+    else:
+        raise ValueError("CCITT G3 mixed two-dimensional (K > 0) not supported")
+    return columns, len(lines), _transitions_to_gray(lines, columns)
 
 
 def _gray_to_transitions(px: bytes, columns: int, rows: int) -> list[list[int]]:

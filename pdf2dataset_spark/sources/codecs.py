@@ -269,7 +269,7 @@ class PdfCodec(DocumentCodec):
                 from pdf2dataset_spark.sources import ccitt
 
                 try:
-                    w, h, px = ccitt.decode_g4_gray(
+                    w, h, px = ccitt.decode_ccitt_gray(
                         e["data"], **e["ccitt_params"]
                     )
                 except (ValueError, IndexError):

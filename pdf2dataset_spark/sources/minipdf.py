@@ -894,7 +894,7 @@ class PdfDocument:
           complete JFIF file — any leading filters already undone),
           ``"raw"`` for fully-decodable chains (``data`` is sample
           bytes), ``"ccitt"`` for /CCITTFaxDecode (decodable when
-          /K < 0 — pure G4/T.6, via :mod:`sources.ccitt`; the entry
+          /K <= 0 — pure G4/T.6 or G3 1D/T.4, via :mod:`sources.ccitt`; the entry
           then carries ``ccitt_params`` so consumers can decode), or
           ``"jpx"`` for filters this engine does not transcode.
         - ``decodable``: True when ``data`` can be turned into pixels
@@ -996,7 +996,7 @@ class PdfDocument:
                     )
                 parms = parms if isinstance(parms, dict) else {}
                 k = int(self.resolve(parms.get("/K", 0)) or 0)
-                if k < 0:  # pure G4 (T.6) — THE scan codec
+                if k <= 0:  # G4 (T.6, the scan codec) or G3 1D (MH)
                     cols = int(
                         self.resolve(parms.get("/Columns", 1728)) or 1728
                     )
@@ -1007,6 +1007,7 @@ class PdfDocument:
                         self.resolve(parms.get("/EncodedByteAlign", False))
                     )
                     ccitt_params = {
+                        "k": k,
                         "columns": cols,
                         "rows": int(nrows) if nrows else None,
                         "byte_align": align,
@@ -1014,7 +1015,9 @@ class PdfDocument:
                     try:
                         from pdf2dataset_spark.sources import ccitt
 
-                        w, h, px = ccitt.decode_g4_gray(data, **ccitt_params)
+                        w, h, px = ccitt.decode_ccitt_gray(
+                            data, **ccitt_params
+                        )
                         entry["decodable"] = True
                         entry["ccitt_params"] = ccitt_params
                         entry["width"] = entry["width"] or w

@@ -1235,14 +1235,15 @@ class TestCcittG4:
         assert entry["data"] == g4  # compressed payload still surfaced
         assert entry["pixels"] == px
         assert entry["ccitt_params"] == {
-            "columns": w, "rows": h, "byte_align": False,
+            "k": -1, "columns": w, "rows": h, "byte_align": False,
         }
 
-    def test_g3_and_corrupt_g4_stay_honestly_undecodable(self):
+    def test_g3_2d_and_corrupt_streams_stay_honestly_undecodable(self):
         _, w, h, px = self._text_raster()
         for parms in (
-            {"/K": 0, "/Columns": w},  # G3 1D: out of scope
+            {"/K": 4, "/Columns": w, "/Rows": h},  # G3 mixed 2D: named
             {"/K": -1, "/Columns": w, "/Rows": h},  # G4 but garbage data
+            {"/K": 0, "/Columns": w, "/Rows": h},  # G3 1D but garbage
         ):
             pdf = minipdf.build_pdf(
                 [""],
@@ -1254,6 +1255,52 @@ class TestCcittG4:
             assert entry["format"] == "ccitt"
             assert entry["decodable"] is False
             assert entry["data"] == b"\x00\x01\x02\x03"
+
+    def test_g3_1d_roundtrip_and_extraction(self):
+        """G3 one-dimensional (/K 0, T.4 MH): codec round-trips the
+        adversarial bitmaps (with/without EOLs and byte alignment) and
+        a /K 0 XObject extracts + scanned-OCRs like a G4 one."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources import ccitt, raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        rng = np.random.default_rng(9)
+        text, w, h, px = self._text_raster()
+        cases = [
+            np.full((10, 80), 255, np.uint8),
+            np.full((10, 80), 0, np.uint8),
+            (rng.random((20, 66)) < 0.3).astype(np.uint8) * 255,
+            np.pad(np.zeros((3, 200), np.uint8), ((0, 0), (2800, 0)),
+                   constant_values=255),  # >2560 runs (ext makeup)
+            np.frombuffer(px, np.uint8).reshape(h, w),
+        ]
+        for img in cases:
+            hh, ww = img.shape
+            want = np.where(img < 128, 0, 255).astype(np.uint8).tobytes()
+            for align in (False, True):
+                for eol in (False, True):
+                    enc = ccitt.encode_g3_1d(
+                        img.tobytes(), ww, hh, byte_align=align, with_eol=eol
+                    )
+                    got = ccitt.decode_ccitt_gray(
+                        enc, 0, ww, rows=hh, byte_align=align
+                    )
+                    assert got == (ww, hh, want), (align, eol, img.shape)
+                    # rows=None: stop at data end
+                    got2 = ccitt.decode_ccitt_gray(enc, 0, ww, byte_align=align)
+                    assert got2 == (ww, hh, want)
+        g3 = ccitt.encode_g3_1d(px, w, h)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/CCITTFaxDecode", "width": w, "height": h,
+                     "data": g3, "bits": 1,
+                     "decode_parms": {"/K": 0, "/Columns": w, "/Rows": h}}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf)[0]
+        assert entry["decodable"] is True and entry["ccitt_params"]["k"] == 0
+        codec = PdfCodec()
+        assert codec.page_ocr(codec.open(pdf), 1) == text
 
     def test_scanned_g4_page_routes_into_image_and_ocr(self):
         from pdf2dataset_spark.sources import ccitt, raster
