@@ -91,14 +91,18 @@ def exact_dedup(
 
 
 def tokens(col: Column | str, sep: str = r"\s+") -> Column:
-    """Regex-split tokenization (after trim). The default splits on
-    ANY whitespace run, so tabs/newlines/multi-space text tokenizes
-    identically to single-spaced text — matching normalize_text's
-    canonicalization. (The round-5 curation fuzz caught the previous
-    literal-single-space split mis-shingling tab/newline-separated
-    docs, which silently killed near-dup recall on real corpora.)"""
+    """Regex-split tokenization (after edge-stripping). The default
+    splits on ANY whitespace run, so tabs/newlines/multi-space text
+    tokenizes identically to single-spaced text — matching
+    normalize_text's canonicalization. (The round-5 curation fuzz
+    caught the previous literal-single-space split mis-shingling
+    tab/newline-separated docs, silently killing near-dup recall on
+    real corpora.) Edge stripping is a regex, NOT F.trim: trim strips
+    only ASCII spaces, so a trailing newline — extracted page text
+    routinely ends with one — would still yield an empty edge token
+    and non-canonical shingles."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), sep)
+    return F.split(F.regexp_replace(c, r"^\s+|\s+$", ""), sep)
 
 
 def shingles(col: Column | str, n: int = 3, sep: str = r"\s+") -> Column:

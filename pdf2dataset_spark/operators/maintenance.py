@@ -238,8 +238,14 @@ def write_packed_embeddings(
     ).drop(vec_col)
     out.write.mode(mode).parquet(path)
     meta = {"packed_col": packed_col, "dim": dim, "dtype": dtype}
-    with open(os.path.join(path, "_PACKED_META.json"), "w") as f:
-        _json.dump(meta, f)
+    # sidecar through Hadoop FileSystem, not local open(): the store
+    # path may be hdfs:// / s3a:// (the deployment this exists for)
+    fs, jpath = _hadoop_fs(df.sparkSession, path + "/_PACKED_META.json")
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(_json.dumps(meta).encode("utf-8")))
+    finally:
+        stream.close()
     return meta
 
 
@@ -249,6 +255,26 @@ def read_packed_embeddings(spark: SparkSession, path: str):
     from the sidecar — everything `topk_cosine_packed` needs."""
     import json as _json
 
-    with open(os.path.join(path, "_PACKED_META.json")) as f:
-        meta = _json.load(f)
+    fs, jpath = _hadoop_fs(spark, path + "/_PACKED_META.json")
+    stream = fs.open(jpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        meta = _json.loads(bytes(buf).decode("utf-8"))
+    finally:
+        stream.close()
     return spark.read.parquet(path), meta
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Spark-reachable URI (the
+    private-but-stable spark._jvm bridge, same as dedup.ingest_exact)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    )
+    return fs, jpath

@@ -132,8 +132,14 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    apply_runtime_conf(spark)
+    # Ship BEFORE apply_runtime_conf: both call ship_package, but this
+    # one must RAISE on failure (an engine-built multi-JVM session
+    # with unshipped code means every UDF dies with
+    # ModuleNotFoundError later), while apply_runtime_conf's attempt
+    # is swallowed because it also runs on foreign sessions it must
+    # never break. _SHIPPED_APPS makes the second call a no-op.
     ship_package(spark)
+    apply_runtime_conf(spark)
     return spark
 
 

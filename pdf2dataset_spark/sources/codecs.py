@@ -106,11 +106,19 @@ class TextBytesCodec(DocumentCodec):
 class _PdfHandle:
     """Open-document handle for :class:`PdfCodec`: raw bytes (for the
     raster paths), eagerly parsed page texts, and the parsed document
-    (parse ONCE per doc; metadata reads reuse it)."""
+    (parse ONCE per doc; metadata reads reuse it). ``scan_cache``
+    memoizes the decoded scanned-page pixels per page number so the
+    image and ocr features share ONE decode (a multi-megapixel G4/JPEG
+    page would otherwise decode 2-4x per row)."""
 
     content: bytes
     pages: list[str]
     doc: Any = None
+    scan_cache: dict = None  # page -> (w, h, gray) | None
+
+    def __post_init__(self):
+        if self.scan_cache is None:
+            self.scan_cache = {}
 
 
 class PdfCodec(DocumentCodec):
@@ -254,6 +262,8 @@ class PdfCodec(DocumentCodec):
         luma)."""
         if handle.doc is None or handle.pages[page - 1].strip():
             return None
+        if page in handle.scan_cache:
+            return handle.scan_cache[page]
         best: tuple[int, int, bytes] | None = None
         for e in self.page_embedded_images(handle, page):
             if not e.get("decodable") or e.get("data") is None:
@@ -300,6 +310,7 @@ class PdfCodec(DocumentCodec):
                 continue
             if best is None or w * h > best[0] * best[1]:
                 best = (w, h, px)
+        handle.scan_cache[page] = best
         return best
 
     def page_ocr(self, handle: "_PdfHandle", page: int) -> str:

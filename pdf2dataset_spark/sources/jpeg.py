@@ -915,6 +915,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     progressive = False
     coef: list[np.ndarray] | None = None
     hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -922,12 +923,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         # bytes — skip runs of 0xFF so 0xFFFF is never read as a marker.
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > len(data):
+            # a lone trailing 0xFF (e.g. EOI's D9 cut off): the
+            # documented error type is ValueError, not struct.error
+            raise ValueError("JPEG truncated at a marker boundary")
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
         if 0xFFD0 <= marker <= 0xFFD7 or marker == 0xFF01:
             pos += 2  # standalone markers carry no length
             continue
+        if pos + 4 > len(data):
+            raise ValueError("JPEG segment header truncated")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xFFDB:
@@ -1007,6 +1014,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 scan_tabs, w, h, hmax, vmax, mcux, mcuy, ss, se, ah,
                 al, restart_interval, progressive,
             )
+            saw_scan = True
             # resync: the entropy decoder stops mid-byte; advance to
             # the next true marker (skip stuffed FF00 and stray RSTn)
             while pos + 1 < len(data) and not (
@@ -1017,7 +1025,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 pos += 1
             continue
         pos += 2 + seglen
-    if coef is None or not qts or not w or not h:
+    if coef is None or not qts or not w or not h or not saw_scan:
+        # no SOF/DQT, or header-only stream with no decoded scan: a
+        # fabricated flat image here would poison pHash/scan routing
         raise ValueError("missing JPEG segments")
 
     planes = []

@@ -490,3 +490,27 @@ def test_curation_chain_fuzz_planted_invariants(spark, seed):
     )
     assert {r["split"] for r in out} <= {"train", "test"}
     assert {r["shard_id"] for r in out} <= set(range(n_shards))
+
+
+def test_shingles_canonical_under_edge_whitespace(spark):
+    """Round-5 review follow-up: F.trim strips only ASCII spaces, so a
+    doc and its '\\t...\\n'-wrapped copy used to shingle differently
+    (extracted page text routinely ends with a newline). Shingles and
+    minhash signatures must be identical under ANY edge whitespace."""
+    from pdf2dataset_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta"
+    variants = [base, "\t" + base + "\n", "  " + base + "  ", base + "\r\n"]
+    df = spark.createDataFrame(
+        list(enumerate(variants)), "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        dd.shingles("text", 3).alias("sh"),
+        dd.minhash_signature(dd.shingles("text", 3)).alias("sig"),
+    ).collect()
+    want_sh = sorted(rows[0]["sh"])
+    want_sig = rows[0]["sig"]
+    for r in rows[1:]:
+        assert sorted(r["sh"]) == want_sh, r["doc_id"]
+        assert r["sig"] == want_sig, r["doc_id"]

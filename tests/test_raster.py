@@ -614,3 +614,54 @@ def test_scanned_page_color_raw_reduces_to_luma():
     w, h, px = raster.decode_png(codec.page_image(hd, 1))
     assert (w, h) == (12, 10)
     assert set(px) == {76}
+
+
+def test_headerless_and_truncated_jpegs_raise_valueerror():
+    """Round-5 review follow-ups: a stream with SOF/DQT but NO SOS
+    must raise (not fabricate a flat-gray image that would poison
+    pHash and scanned-page routing), and a stream cut at a lone
+    trailing 0xFF must raise ValueError, never struct.error."""
+    from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes(range(64))
+    jpg = encode_jpeg(8, 8, px)
+    i = jpg.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing JPEG segments"):
+        decode_jpeg(jpg[:i] + b"\xff\xd9")  # header-only, no scan
+    for cut in (jpg[:-1], jpg[:i] + b"\xff"):
+        try:
+            decode_jpeg(cut)
+        except ValueError:
+            pass  # the documented error type
+        # (a successful decode is fine when no trailing marker is hit)
+
+
+def test_scanned_page_decode_is_memoized_per_handle():
+    """image + ocr features over a scanned page must share ONE decode
+    (scan_cache), not re-decode the multi-megapixel payload per
+    feature."""
+    from unittest import mock
+
+    from pdf2dataset_spark.sources import ccitt
+    from pdf2dataset_spark.sources.codecs import PdfCodec
+
+    text, w, h, px = _scan_fixture()
+    g4 = ccitt.encode_g4(px, w, h)
+    pdf = minipdf.build_pdf(
+        [""],
+        images=[{"filter": "/CCITTFaxDecode", "width": w, "height": h,
+                 "data": g4, "bits": 1,
+                 "decode_parms": {"/K": -1, "/Columns": w, "/Rows": h}}],
+    )
+    codec = PdfCodec()
+    hd = codec.open(pdf)
+    with mock.patch.object(
+        ccitt, "decode_ccitt_gray", wraps=ccitt.decode_ccitt_gray
+    ) as spy:
+        codec.page_image(hd, 1)
+        codec.page_ocr(hd, 1)
+        codec.page_image(hd, 1)
+        # one decode inside _scan_pixels (page_images' decodable probe
+        # is a separate, also-once cost); repeats hit scan_cache
+        assert spy.call_count <= 2, spy.call_count
+    assert codec.page_ocr(hd, 1) == text
