@@ -97,6 +97,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a6_page_render_ocr",
     # image decode feeds the pHash path
     "f40_image_phash_neardup",
+    # shingling canonicalization change (whitespace-run tokenization)
+    "f2a_minhash_lsh_candidates",
+    "f2b_jaccard_neardup",
     # dedup ingest lock + rank cache thread-safety dependents
     "f1_exact_dedup",
     "f22_token_shard_packing",
