@@ -1893,3 +1893,139 @@ def f41_lm_coverage_quality(spark, sf_dir):
             F.col("n_covered").cast("double") / F.col("n_bigrams"),
         ).alias("bigram_coverage"),
     )
+
+
+# --------------------------------------------------------------- F42/F43
+# The documents corpus carries no PII (synthetic), so the queries
+# INJECT deterministic PII by doc_id residue — both engines build the
+# same corpus, then audit / redact it. Patterns live in operators/pii
+# (Java-regex ∩ RE2 dialect, so the twins are exact).
+_SQL_PII_CORPUS = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN text || ' Contact user' || doc_id
+                         || '@example.com or ops@sub.example.org now'
+             WHEN 1 THEN text || ' card 4111-1111-1111-1111 SSN 123-45-6789'
+             WHEN 2 THEN text || ' from 10.0.0.' || (doc_id % 200)
+                         || ' call +1 (555) 123-4567'
+             ELSE text
+           END AS text
+    FROM documents
+"""
+
+_PII_SQL_PAT = {
+    "cc": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}",
+}
+
+
+def _pii_corpus(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    res = F.col("doc_id") % 5
+    injected = (
+        F.when(
+            res == 0,
+            F.concat(
+                F.col("text"), F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or ops@sub.example.org now"),
+            ),
+        )
+        .when(
+            res == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" card 4111-1111-1111-1111 SSN 123-45-6789"),
+            ),
+        )
+        .when(
+            res == 2,
+            F.concat(
+                F.col("text"), F.lit(" from 10.0.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(" call +1 (555) 123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", injected.alias("text"))
+
+
+@query(
+    "f42_pii_scan",
+    sql=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_SQL_PAT["email"]}')) AS pii_email,
+           len(regexp_extract_all(text, '{_PII_SQL_PAT["cc"]}')) AS pii_cc,
+           len(regexp_extract_all(text, '{_PII_SQL_PAT["ssn"]}')) AS pii_ssn,
+           len(regexp_extract_all(text, '{_PII_SQL_PAT["ipv4"]}')) AS pii_ipv4,
+           len(regexp_extract_all(text, '{_PII_SQL_PAT["phone"]}')) AS pii_phone,
+           (len(regexp_extract_all(text, '{_PII_SQL_PAT["email"]}'))
+            + len(regexp_extract_all(text, '{_PII_SQL_PAT["cc"]}'))
+            + len(regexp_extract_all(text, '{_PII_SQL_PAT["ssn"]}'))
+            + len(regexp_extract_all(text, '{_PII_SQL_PAT["ipv4"]}'))
+            + len(regexp_extract_all(text, '{_PII_SQL_PAT["phone"]}'))) > 0
+             AS pii_any
+    FROM ({_SQL_PII_CORPUS})
+    """,
+    tier="F",
+)
+def f42_pii_scan(spark, sf_dir):
+    """PII audit (F-tier curation): per-doc counts of each PII kind +
+    a has-any flag over the injected corpus — all JVM regexp_count
+    expressions (operators/pii.with_pii_counts), zero shuffles, text
+    never leaves the JVM. The DuckDB twin re-counts with
+    regexp_extract_all, so pattern semantics are pinned cross-engine
+    in the Java∩RE2 dialect."""
+    from pdf2dataset_spark.operators import pii
+
+    out = pii.with_pii_counts(_pii_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id", "pii_email", "pii_cc", "pii_ssn", "pii_ipv4",
+        "pii_phone", "pii_any",
+    )
+
+
+@query(
+    "f43_pii_redaction",
+    sql=f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(text,
+                 '{_PII_SQL_PAT["cc"]}', '[CARD]', 'g'),
+                 '{_PII_SQL_PAT["ssn"]}', '[SSN]', 'g'),
+                 '{_PII_SQL_PAT["email"]}', '[EMAIL]', 'g'),
+                 '{_PII_SQL_PAT["ipv4"]}', '[IP]', 'g'),
+                 '{_PII_SQL_PAT["phone"]}', '[PHONE]', 'g'))
+             AS redacted_md5,
+           contains(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(text,
+                 '{_PII_SQL_PAT["cc"]}', '[CARD]', 'g'),
+                 '{_PII_SQL_PAT["ssn"]}', '[SSN]', 'g'),
+                 '{_PII_SQL_PAT["email"]}', '[EMAIL]', 'g'),
+                 '{_PII_SQL_PAT["ipv4"]}', '[IP]', 'g'),
+                 '{_PII_SQL_PAT["phone"]}', '[PHONE]', 'g'), '@')
+             AS still_has_at
+    FROM ({_SQL_PII_CORPUS})
+    """,
+    tier="F",
+)
+def f43_pii_redaction(spark, sf_dir):
+    """PII redaction (F-tier curation): the injected corpus scrubbed
+    by operators/pii.redact_pii (fixed most-specific-first pattern
+    order — the cc pattern must consume card digits before the phone
+    pattern can misread them). The oracle compares md5 of the
+    REDACTED TEXT itself, so replacement order, token spelling and
+    global-replace semantics are all pinned cross-engine;
+    ``still_has_at`` pins that no raw email survives."""
+    from pdf2dataset_spark.operators import pii
+
+    red = pii.redact_pii("text")
+    return _pii_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.contains(red, F.lit("@")).alias("still_has_at"),
+    )

@@ -951,3 +951,55 @@ def test_rank_cache_scope_isolates_from_global_release(spark):
         assert scoped.storageLevel.useMemory or scoped.storageLevel.useDisk
     assert not (scoped.storageLevel.useMemory or scoped.storageLevel.useDisk)
     assert rank.release_caches() == 0
+
+
+class TestPii:
+    """operators/pii: detection counts, ordered redaction, Luhn."""
+
+    def test_counts_and_any_flag(self, spark):
+        from pdf2dataset_spark.operators import pii
+
+        rows = [
+            (1, "mail a@b.co and c.d+x@e-f.org, ip 10.0.0.1"),
+            (2, "card 4111-1111-1111-1111 ssn 123-45-6789"),
+            (3, "call +1 (555) 123-4567 or 44-555-123-4567"),
+            (4, "clean text with numbers 12345 and words"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in pii.with_pii_counts(df).collect()
+        }
+        assert got[1]["pii_email"] == 2 and got[1]["pii_ipv4"] == 1
+        assert got[2]["pii_cc"] == 1 and got[2]["pii_ssn"] == 1
+        assert got[3]["pii_phone"] == 2
+        assert got[4]["pii_any"] is False
+        assert all(got[1][f"pii_{k}"] == 0 for k in ("cc", "ssn", "phone"))
+
+    def test_redaction_order_protects_card_digits(self, spark):
+        from pdf2dataset_spark.operators import pii
+
+        # space-separated card: the phone pattern CAN match inside it,
+        # so cc must redact first (the documented order)
+        df = spark.createDataFrame(
+            [(1, "pay 4111 1111 1111 1111 or call +1 (555) 123-4567")],
+            "doc_id long, text string",
+        )
+        (r,) = df.select(pii.redact_pii("text").alias("red")).collect()
+        assert r["red"] == "pay [CARD] or call [PHONE]"
+
+    def test_luhn_valid(self, spark):
+        from pdf2dataset_spark.operators import pii
+
+        rows = [
+            (1, "4111-1111-1111-1111"),  # classic test card: valid
+            (2, "4111 1111 1111 1112"),  # checksum off by one
+            (3, "79927398713"),          # Luhn-valid but < 13 digits
+            (4, ""),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {r["id"]: r["ok"] for r in df.select(
+            "id", pii.luhn_valid("s").alias("ok")).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
