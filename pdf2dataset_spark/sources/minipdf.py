@@ -839,9 +839,14 @@ class PdfDocument:
     def page_fonts(self, page: dict) -> dict[str, tuple[dict[int, str], int]]:
         """Per-font decoder maps for a page ({font name → (code →
         unicode map, code byte length)}): /ToUnicode CMaps first
-        (authoritative, any code width), else a simple-font /Encoding
-        map (base encoding + /Differences glyph names, 1-byte codes).
-        Fonts with neither are absent (BOM/Latin-1 fallback)."""
+        (authoritative, any code width); for Type0/CIDFontType2 fonts
+        WITHOUT one, the embedded TrueType program's own cmap
+        (/FontFile2 via sources/sfnt — gid→unicode inverted through
+        /CIDToGIDMap, the round-5 close of the what's-missing item);
+        else a simple-font /Encoding map (base encoding +
+        /Differences glyph names, 1-byte codes). Fonts with none are
+        absent (BOM/Latin-1 fallback); CFF CID fonts (/FontFile3)
+        stay on that documented fallback."""
         res = self.resolve(page.get("/Resources"))
         fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
         out: dict[str, tuple[dict[int, str], int]] = {}
@@ -858,6 +863,11 @@ class PdfDocument:
                     continue
                 except (ValueError, IndexError, zlib.error):
                     pass
+            if self.resolve(f.get("/Subtype")) == "/Type0":
+                cid_map = self._type0_fontfile_map(f)
+                if cid_map:
+                    out[name] = (cid_map, 2)
+                    continue
             enc = f.get("/Encoding")
             if enc is not None and self.resolve(enc) != "/Identity-H":
                 emap = encoding_map(enc, self.resolve)
@@ -872,6 +882,50 @@ class PdfDocument:
                     {chr(c): v for c, v in mapping.items()}
                 ))
         return out
+
+    def _type0_fontfile_map(self, f: dict) -> dict[int, str] | None:
+        """CID → unicode for a Type0 font from its EMBEDDED TrueType
+        program: the content stream's 2-byte CIDs map to glyph ids via
+        /CIDToGIDMap (/Identity default, or the 2-bytes-per-CID stream
+        form), and the font's own cmap maps glyphs back to unicode
+        (sources/sfnt). Returns None when anything needed is absent or
+        malformed — decoding then falls back honestly rather than
+        guessing."""
+        try:
+            desc = self.resolve(f.get("/DescendantFonts"))
+            if isinstance(desc, list) and desc:
+                desc = self.resolve(desc[0])
+            if not isinstance(desc, dict):
+                return None
+            fd = self.resolve(desc.get("/FontDescriptor"))
+            if not isinstance(fd, dict):
+                return None
+            ff2 = self.resolve(fd.get("/FontFile2"))
+            if not isinstance(ff2, StreamObj):
+                return None  # CFF (/FontFile3) out of scope, documented
+            from pdf2dataset_spark.sources import sfnt
+
+            g2u = sfnt.gid_to_unicode(self.stream_bytes(ff2))
+        except (ValueError, IndexError, zlib.error, struct.error):
+            return None
+        if not g2u:
+            return None
+        c2g = self.resolve(desc.get("/CIDToGIDMap", "/Identity"))
+        if isinstance(c2g, StreamObj):
+            try:
+                raw = self.stream_bytes(c2g)
+            except (ValueError, IndexError, zlib.error):
+                return None
+            out = {}
+            for cid in range(len(raw) // 2):
+                gid = (raw[2 * cid] << 8) | raw[2 * cid + 1]
+                ch = g2u.get(gid)
+                if ch is not None:
+                    out[cid] = ch
+            return out or None
+        if c2g in (None, "/Identity"):
+            return dict(g2u)  # CID == GID
+        return None
 
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("/Contents"))

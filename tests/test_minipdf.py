@@ -1330,3 +1330,113 @@ class TestCcittG4:
         assert ih.phash64(raster.encode_png(dw, dh, gray)) == ih.phash64(
             raster.encode_png(w, h, px)
         )
+
+
+# ---------------------------------------------------------------------
+# Type0 WITHOUT /ToUnicode: text via the embedded TrueType cmap
+# ---------------------------------------------------------------------
+
+
+def _type0_fontfile_pdf(
+    content: bytes, font: bytes, cid2gid: bytes | None = None
+) -> bytes:
+    """One page whose /F1 is a Type0/CIDFontType2 font with NO
+    /ToUnicode — text is only recoverable from the embedded
+    /FontFile2's own cmap (optionally through a stream /CIDToGIDMap)."""
+    c2g = b"/Identity" if cid2gid is None else b"8 0 R"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Embedded-CID "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Embedded-CID "
+        b"/FontDescriptor 7 0 R /CIDToGIDMap " + c2g + b" >>",
+        b"<< /Type /FontDescriptor /FontName /Embedded-CID /Flags 4 "
+        + (b"/FontFile2 9 0 R >>" if cid2gid is not None
+           else b"/FontFile2 8 0 R >>"),
+    ]
+    if cid2gid is not None:
+        objs.append(
+            b"<< /Length " + str(len(cid2gid)).encode() + b" >>\nstream\n"
+            + cid2gid + b"\nendstream"
+        )
+    objs.append(
+        b"<< /Length " + str(len(font)).encode() + b" >>\nstream\n"
+        + font + b"\nendstream"
+    )
+    return _wrap_pdf(objs)
+
+
+class TestType0EmbeddedFontCmap:
+    """CID text recovery WITHOUT /ToUnicode (round-5 close of the
+    what's-missing item): invert the embedded TrueType cmap."""
+
+    def _fixture(self, text: str):
+        from pdf2dataset_spark.sources import sfnt
+
+        chars = sorted(set(text))
+        mapping = {ord(ch): 3 + i for i, ch in enumerate(chars)}
+        font = sfnt.build_sfnt_cmap(mapping)
+        cids = [mapping[ord(ch)] for ch in text]
+        hexstr = "".join(f"{c:04X}" for c in cids).encode()
+        content = b"BT /F1 12 Tf <" + hexstr + b"> Tj ET"
+        return font, content, mapping
+
+    def test_identity_cidtogid_recovers_text(self):
+        text = "CID text recovered!"
+        font, content, _ = self._fixture(text)
+        pdf = _type0_fontfile_pdf(content, font)
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_stream_cidtogid_recovers_text(self):
+        from pdf2dataset_spark.sources import sfnt
+
+        text = "mapped via stream"
+        chars = sorted(set(text))
+        # glyphs live at arbitrary ids; CIDs 1..n indirect through the
+        # /CIDToGIDMap stream (2 bytes per CID, big-endian)
+        mapping = {ord(ch): 100 + 7 * i for i, ch in enumerate(chars)}
+        font = sfnt.build_sfnt_cmap(mapping)
+        cid_of = {ch: i + 1 for i, ch in enumerate(chars)}
+        c2g = bytearray(2 * (len(chars) + 1))  # cid 0 -> gid 0
+        for ch, cid in cid_of.items():
+            gid = mapping[ord(ch)]
+            c2g[2 * cid] = gid >> 8
+            c2g[2 * cid + 1] = gid & 0xFF
+        hexstr = "".join(f"{cid_of[ch]:04X}" for ch in text).encode()
+        content = b"BT /F1 12 Tf <" + hexstr + b"> Tj ET"
+        pdf = _type0_fontfile_pdf(content, font, cid2gid=bytes(c2g))
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_tounicode_still_wins_over_fontfile(self):
+        # a font carrying BOTH must use /ToUnicode (authoritative)
+        content = b"BT /F1 12 Tf <0001> Tj ET"
+        pdf = _type0_pdf(content, _CMAP)
+        assert minipdf.extract_page_texts(pdf) == ["Ü"]
+
+    def test_garbage_fontfile_falls_back_not_crashes(self):
+        text_cids = b"BT /F1 12 Tf <0041> Tj ET"
+        pdf = _type0_fontfile_pdf(text_cids, b"not a font at all")
+        # falls back to the Latin-1-ish path (documented), no crash
+        out = minipdf.extract_page_texts(pdf)
+        assert len(out) == 1
+
+    def test_format12_cmap_supported(self):
+        from pdf2dataset_spark.sources import sfnt
+        import struct as st
+
+        # hand-build a format-12 subtable: U+1F600..02 -> gids 40..42
+        groups = st.pack(">III", 0x1F600, 0x1F602, 40)
+        sub = st.pack(">HHIII", 12, 0, 16 + 12, 0, 1) + groups
+        cmap = st.pack(">HH", 0, 1) + st.pack(">HHI", 3, 10, 12) + sub
+        header = st.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+        rec = b"cmap" + st.pack(">III", 0, 28, len(cmap))
+        font = header + rec + cmap
+        assert sfnt.unicode_to_gid(font) == {
+            0x1F600: 40, 0x1F601: 41, 0x1F602: 42,
+        }
+        assert sfnt.gid_to_unicode(font)[40] == "😀"
