@@ -797,3 +797,405 @@ def topk_cosine_packed(
     return local.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bound ANN for 100 TB embedding stores.
+#
+# A dim-d vector is split into `m` contiguous subvectors; each subvector is
+# quantized to one of `ksub` codewords trained per subspace, so the whole
+# vector stores as `m` uint8 codes (ksub <= 256) — 32x smaller than fp32 at
+# m = dim/8. Search is ADC (asymmetric distance computation): the query stays
+# exact, each subspace contributes LUT[sub, code] = <q_sub, codeword>, and a
+# vector's approximate inner product is the sum of its m table lookups — one
+# uint8 gather per subspace instead of a dim-wide multiply-add (Jégou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search").
+#
+# Two parallel paths, mirroring ivf_assign / ivf_assign_fast:
+#  - `pq_encode` / `pq_topk_exact`: JVM sequential-fold arithmetic,
+#    bitwise-replayable in DuckDB (the f5d oracle) — correctness anchor.
+#  - `pq_encode_fast` / `pq_topk`: Arrow/numpy over packed uint8 codes —
+#    the scale path (codes column shuffles at m bytes/row; the corpus
+#    embedding column never moves after encode).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 2,
+    ksub: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed codebooks: the subvectors of the first `ksub`
+    corpus vectors by id (the `_ivf_centroids` convention, so oracles can
+    replay the pick). Output: (sub_id, code_id, code_vec array<double>),
+    m*ksub rows — always a broadcast-sized table.
+
+    `pq_train` refines these with per-subspace k-means; the downstream
+    encode/search plans are identical either way."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(ksub)  # TakeOrderedAndProject: ksub rows to the driver
+        .withColumn(
+            # unpartitioned window over the POST-LIMIT frame: <= ksub
+            # (<= 256) rows regardless of corpus size — bounded by
+            # construction, not a scale hazard
+            "code_id",
+            F.row_number().over(Window.orderBy(corpus_id)) - 1,
+        )
+    )
+    # two-step select: the slice references sub_id, so the explode must
+    # resolve to a column first
+    subs = (
+        seeds.select(
+            "code_id",
+            F.col(corpus_vec).alias("__v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        )
+        .select(
+            F.col("sub_id").cast("int"),
+            F.col("code_id").cast("int"),
+            F.transform(
+                F.slice(F.col("__v"), F.col("sub_id") * dsub + 1, F.lit(dsub)),
+                lambda x: x.cast("double"),
+            ).alias("code_vec"),
+        )
+    )
+    return subs
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 10,
+    sample_rows: int = 65_536,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Train PQ codebooks: per-subspace Lloyd k-means on a bounded,
+    deterministic corpus sample (first `sample_rows` by id — one
+    TakeOrderedAndProject, never an unbounded collect; FAISS trains PQ on a
+    sample the same way since codeword quality saturates far below corpus
+    size). Seeding is evenly-spaced sample points; empty clusters keep
+    their previous centroid; fixed iteration count — the whole training is
+    a pure function of (corpus, params).
+
+    `normalize=True` L2-normalizes training vectors so ADC inner products
+    approximate cosine; use the same flag on encode/search.
+
+    Output schema matches `pq_codebooks`: (sub_id, code_id, code_vec)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit uint8 codes")
+    dsub = dim // m
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) < ksub:
+        raise ValueError(
+            f"PQ training needs >= ksub={ksub} sample vectors, got {len(x)}"
+        )
+    if normalize:
+        x = x / _safe_norm(x)
+    out = []
+    for s in range(m):
+        xs = np.ascontiguousarray(x[:, s * dsub : (s + 1) * dsub])
+        idx = np.linspace(0, len(xs) - 1, ksub).astype(np.int64)
+        c = xs[idx].copy()
+        xs_sq = (xs * xs).sum(axis=1)[:, None]
+        for _ in range(iters):
+            # (n, ksub) squared distances without the 3-D tensor
+            d = xs_sq - 2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
+            arg = np.argmin(d, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, arg, xs)
+            counts = np.bincount(arg, minlength=ksub)
+            nonempty = counts > 0
+            c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        out.extend(
+            (int(s), int(j), c[j].tolist()) for j in range(ksub)
+        )
+    return corpus.sparkSession.createDataFrame(
+        out, "sub_id int, code_id int, code_vec array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact (JVM sequential-fold) PQ encode: for every (vector, subspace)
+    the argmin-L2 codeword, as the LONG-format assignment table
+    (id, sub_id, code_id) that joins straight into `pq_topk_exact`.
+
+    Plan: corpus x broadcast(m*ksub codebook rows), squared-distance fold
+    per pair, then min(struct(dist, code_id)) per (id, sub_id) — the
+    lexicographic struct-min makes argmin ties deterministic (lowest
+    code_id), matching the oracle's row_number replay. The fold arithmetic
+    is the `dot()` convention: cast-to-double before multiply, sequential
+    accumulate — bitwise-reproducible against DuckDB list_aggregate.
+
+    This is the correctness anchor: it scores corpus x (m*ksub) pairs with
+    interpreted folds, so at scale use `pq_encode_fast` (identical argmin
+    up to float near-ties) and keep this one for oracle checks."""
+    dsub = dim // m
+    j = corpus.select(corpus_id, corpus_vec).crossJoin(F.broadcast(codebooks))
+    sub = F.slice(F.col(corpus_vec), F.col("sub_id") * dsub + 1, F.lit(dsub))
+    dist = F.aggregate(
+        F.zip_with(
+            sub,
+            F.col("code_vec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        j.select(corpus_id, "sub_id", F.col("code_id"), dist.alias("__d"))
+        .groupBy(corpus_id, "sub_id")
+        .agg(
+            F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__b")
+        )
+        .select(corpus_id, "sub_id", F.col("__b.code_id").alias("code_id"))
+    )
+
+
+def pq_topk_exact(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k by approximate inner product, exact-fold variant (the f5d
+    oracle path). LUT = queries x codebooks inner products (nq*m*ksub rows,
+    broadcast); each encoded corpus row joins its m LUT entries and the
+    per-(query, vector) score folds the m subspace terms in sub_id order
+    (sorted collect_list fold — deterministic for any m, and for the
+    oracle's m=2 bitwise-equal to t0 + t1). Rank ties break on corpus id.
+
+    Output: (query_id, vec_id, approx_score, rank <= k)."""
+    dsub = dim // m
+    assign = pq_encode(corpus, codebooks, dim, m, corpus_id, corpus_vec)
+    qsub = F.slice(F.col(query_vec), F.col("sub_id") * dsub + 1, F.lit(dsub))
+    ip = F.aggregate(
+        F.zip_with(
+            qsub,
+            F.col("code_vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        queries.select(query_id, query_vec)
+        .crossJoin(F.broadcast(codebooks))
+        .select(query_id, "sub_id", "code_id", ip.alias("__ip"))
+    )
+    scored = assign.join(F.broadcast(lut), ["sub_id", "code_id"])
+    if exclude_self:
+        scored = scored.filter(F.col(corpus_id) != F.col(query_id))
+    score = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub_id"), F.col("__ip")))
+            ),
+            lambda s: s["__ip"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_score").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.groupBy(query_id, corpus_id)
+        .agg(score.alias("approx_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _codebook_matrix(codebooks: DataFrame, m: int, ksub: int, dsub: int):
+    """Collect a codebook table into one (m, ksub, dsub) float64 array
+    (bounded by construction: m*ksub rows)."""
+    c = np.zeros((m, ksub, dsub), dtype=np.float64)
+    seen = np.zeros((m, ksub), dtype=bool)
+    for r in codebooks.collect():
+        c[r["sub_id"], r["code_id"]] = r["code_vec"]
+        seen[r["sub_id"], r["code_id"]] = True
+    if not seen.all():
+        raise ValueError("codebook table is missing (sub_id, code_id) rows")
+    return c
+
+
+def pq_encode_fast(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Arrow/numpy PQ encode — the scale path. Codebooks ship to executors
+    as one (m, ksub, dsub) matrix via closure capture; each Arrow batch
+    argmin-assigns every subspace with a blocked |x|^2 - 2x.c + |c|^2
+    distance matmul and emits the packed uint8 code row (`pq_code` binary,
+    m bytes/vector — at dim=64, m=8 that is 32x smaller than the fp32
+    embedding). Zero shuffle: a narrow map over the corpus scan, the
+    canonical pack-at-ingest step (write the result next to the
+    embeddings; every later ADC search reads m bytes/row instead of the
+    vector column).
+
+    Ties argmin to the lowest code_id (np.argmin first-match), agreeing
+    with `pq_encode`'s struct-min up to float near-ties."""
+    dsub = dim // m
+    cmat = _codebook_matrix(codebooks, m, ksub, dsub)
+    c_sq = (cmat * cmat).sum(axis=2)  # (m, ksub)
+    id_type = dict(corpus.dtypes)[corpus_id]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            if normalize:
+                v = v / _safe_norm(v)
+            codes = np.empty((len(v), m), dtype=np.uint8)
+            for s in range(m):
+                xs = v[:, s * dsub : (s + 1) * dsub]
+                d = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ cmat[s].T)
+                    + c_sq[s][None, :]
+                )
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    "pq_code": [row.tobytes() for row in codes],
+                }
+            )
+
+    return corpus.select(corpus_id, corpus_vec).mapInPandas(
+        encode, f"{corpus_id} {id_type}, pq_code binary"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    normalize: bool = True,
+    exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """ADC top-k over packed uint8 codes — the memory-bound ANN scan.
+
+    Queries collect driver-side (guarded), normalize, and precompute per
+    query the (m, ksub) inner-product LUT against the codebooks; each
+    Arrow batch then scores every corpus row with m uint8 gathers + adds
+    (no per-vector float math at all) and emits only its local top-k per
+    query, two-phase like `topk_cosine_fast` (n_batches * nq * k rows
+    cross the one shuffle). At 100 TB the scan reads m bytes/row — the
+    whole corpus fits hot at sizes where fp32 vectors spill cold.
+
+    Scores are approximate (quantization error); recall is a function of
+    (m, ksub) and retraining, not corpus size. Output:
+    (query_id, vec_id, approx_score, rank)."""
+    dsub = dim // m
+    cmat = _codebook_matrix(codebooks, m, ksub, dsub)
+    q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if normalize:
+        q_mat = q_mat / _safe_norm(q_mat)
+    nq = len(q_ids)
+    # (nq, m, ksub) LUT flattened per query for one-gather scoring
+    lut = np.empty((nq, m * ksub), dtype=np.float64)
+    for s in range(m):
+        lut[:, s * ksub : (s + 1) * ksub] = (
+            q_mat[:, s * dsub : (s + 1) * dsub] @ cmat[s].T
+        )
+    offs = (np.arange(m) * ksub).astype(np.int64)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[corpus_id].to_numpy()
+            codes = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8
+            ).reshape(-1, m)
+            idx = codes.astype(np.int64) + offs[None, :]  # (n, m)
+            s = np.empty((len(ids), nq), dtype=np.float64)
+            for i in range(nq):
+                s[:, i] = lut[i][idx].sum(axis=1)
+            if exclude_self:
+                s[ids[:, None] == q_ids[None, :]] = -np.inf
+            top = min(k, len(ids))
+            # PQ scores tie STRUCTURALLY (ksub^m distinct values), so the
+            # local prune must already apply the global (score DESC, id)
+            # order — argpartition alone would drop tied low-id members
+            # a later global window can never recover
+            sel_ids = np.empty((nq, top), dtype=np.int64)
+            sel_sc = np.empty((nq, top), dtype=np.float64)
+            for i in range(nq):
+                o = np.lexsort((ids, -s[:, i]))[:top]
+                sel_ids[i] = ids[o]
+                sel_sc[i] = s[o, i]
+            out = pd.DataFrame(
+                {
+                    query_id: np.repeat(q_ids, top),
+                    corpus_id: sel_ids.ravel(),
+                    "approx_score": sel_sc.ravel(),
+                }
+            )
+            yield out[np.isfinite(out.approx_score)]
+
+    schema = f"{query_id} long, {corpus_id} long, approx_score double"
+    local = codes.select(corpus_id, code_col).mapInPandas(score, schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_score").desc(), F.col(corpus_id)
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -245,6 +245,78 @@ def f5c_topk_cosine_packed(spark, sf_dir):
     return sim.topk_cosine_packed(packed, q, dim=dim, k=5)
 
 
+@query(
+    "f5d_pq_adc_topk",
+    sql="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT s.sub_id, c.vec_id AS code_id, c.v AS code_full
+      FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 4) c
+      CROSS JOIN (SELECT unnest([0, 1]) AS sub_id) s
+    ),
+    assign AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT a.vec_id, b.sub_id, b.code_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, b.sub_id
+                 ORDER BY list_aggregate(list_transform(
+                     generate_series(1, 32),
+                     i -> (a.v[b.sub_id * 32 + i] - b.code_full[b.sub_id * 32 + i])
+                        * (a.v[b.sub_id * 32 + i] - b.code_full[b.sub_id * 32 + i])
+                   ), 'sum'), b.code_id) AS rn
+        FROM corpus a CROSS JOIN cb b
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, b.sub_id, b.code_id,
+             list_aggregate(list_transform(generate_series(1, 32),
+               i -> q.v[b.sub_id * 32 + i] * b.code_full[b.sub_id * 32 + i]),
+               'sum') AS ip
+      FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 3) q
+      CROSS JOIN cb b
+    ),
+    scored AS (
+      SELECT l.query_id, a.vec_id,
+             sum(CASE WHEN a.sub_id = 0 THEN l.ip END)
+           + sum(CASE WHEN a.sub_id = 1 THEN l.ip END) AS approx_score
+      FROM assign a
+      JOIN lut l ON l.sub_id = a.sub_id AND l.code_id = a.code_id
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id, approx_score, rank FROM (
+      SELECT query_id, vec_id, approx_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tier="F",
+)
+def f5d_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (F5 variant, FULL oracle): the
+    memory-bound ANN path for a 100 TB embedding store — each vector
+    quantizes to m uint8 subspace codes (32x smaller than fp32 at
+    m=dim/8), and search sums m LUT gathers per vector instead of a
+    dim-wide dot (Jegou et al. 2011). This entry runs the exact-fold
+    variant (similarity.pq_encode / pq_topk_exact) with deterministic
+    first-4-by-id seed codebooks, m=2 subspaces of 32 dims: the DuckDB
+    twin replays the argmin-L2 encode (row_number over the identical
+    sequential-fold distance, code_id tie-break) and the per-(query,
+    vector) two-term ADC sum bitwise. The numpy packed-codes scale
+    path (pq_train / pq_encode_fast / pq_topk) is covered by planted-
+    duplicate tests and tools/bench_ann.py."""
+    e = t(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(e, dim=64, m=2, ksub=4)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.pq_topk_exact(e, cb, q, dim=64, m=2, k=5)
+
+
 # --------------------------------------------------------------- F6
 @query(
     "f6_text_statistics",

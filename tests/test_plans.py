@@ -422,3 +422,15 @@ def test_f41_vocab_broadcasts_and_text_never_shuffles(spark, registry):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_pq_adc_broadcasts_codebooks_no_cartesian(spark, registry):
+    """f5d: both the encode (corpus x m*ksub codebook rows) and the ADC
+    scoring (assignment x LUT) keep the small side broadcast — never a
+    cartesian product — so the corpus scan stays shuffle-free until the
+    (id, sub)-grain aggregates."""
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "f5d_pq_adc_topk", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,214 @@
+"""Product-quantization ANN (SURVEY §2 F5 family, f5d): codebook
+training, exact-vs-fast encode agreement, ADC scoring laws, and the
+planted-duplicate retrieval guarantee (identical vectors quantize to
+identical codes, so a duplicate always ties its original's score)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf2dataset_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(corpus, n=3):
+    return corpus.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_pq_encode_fast_agrees_with_exact(corpus):
+    cb = sim.pq_codebooks(corpus, dim=DIM, m=4, ksub=8)
+    exact = {
+        (r.vec_id, r.sub_id): r.code_id
+        for r in sim.pq_encode(corpus, cb, dim=DIM, m=4).collect()
+    }
+    fast = {}
+    for r in sim.pq_encode_fast(
+        corpus, cb, dim=DIM, m=4, ksub=8, normalize=False
+    ).collect():
+        for s, c in enumerate(r.pq_code):
+            fast[(r.vec_id, s)] = c
+    assert set(exact) == set(fast)
+    agree = sum(exact[k] == fast[k] for k in exact) / len(exact)
+    # identical argmin up to float near-ties between the sequential
+    # fold and numpy's blocked distance
+    assert agree >= 0.99, agree
+
+
+def test_pq_topk_exact_matches_adc_definition(corpus):
+    """The exact path's scores replay bitwise from its own assignment
+    table with a pure-Python sequential fold (same IEEE double ops in
+    the same order as the JVM fold), and its rank set is exactly the
+    (score DESC, vec_id) top-5 of those scores."""
+    m, ksub, dsub, k = 2, 4, 32, 5
+    cb = sim.pq_codebooks(corpus, dim=DIM, m=m, ksub=ksub)
+    q = _queries(corpus)
+    out = sim.pq_topk_exact(corpus, cb, q, dim=DIM, m=m, k=k).collect()
+
+    cvec = {(r.sub_id, r.code_id): r.code_vec for r in cb.collect()}
+    assign = {
+        (r.vec_id, r.sub_id): r.code_id
+        for r in sim.pq_encode(corpus, cb, dim=DIM, m=m).collect()
+    }
+    qv = {r.query_id: r.query_vec for r in q.collect()}
+    vec_ids = sorted({v for v, _ in assign})
+
+    def fold_ip(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    for qid, vec in qv.items():
+        scores = {}
+        for v in vec_ids:
+            if v == qid:
+                continue
+            acc = 0.0
+            for s in range(m):
+                sub = vec[s * dsub : (s + 1) * dsub]
+                acc += fold_ip(sub, cvec[(s, assign[(v, s)])])
+            scores[v] = acc
+        want = sorted(scores, key=lambda v: (-scores[v], v))[:k]
+        mine = sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank
+        )
+        assert [r.vec_id for r in mine] == want
+        for r in mine:
+            assert r.approx_score == scores[r.vec_id]  # bitwise
+
+
+def test_pq_topk_fast_matches_adc_definition(corpus):
+    """The numpy path's output is exactly the top-5 of LUT-gather sums
+    recomputed independently from its own packed codes."""
+    m, ksub, dsub, k = 2, 4, 32, 5
+    cb = sim.pq_codebooks(corpus, dim=DIM, m=m, ksub=ksub)
+    q = _queries(corpus)
+    codes_df = sim.pq_encode_fast(
+        corpus, cb, dim=DIM, m=m, ksub=ksub, normalize=False
+    )
+    out = sim.pq_topk(
+        codes_df, cb, q, dim=DIM, m=m, ksub=ksub, k=k, normalize=False
+    ).collect()
+
+    cmat = sim._codebook_matrix(cb, m, ksub, dsub)
+    codes = {r.vec_id: np.frombuffer(r.pq_code, np.uint8) for r in codes_df.collect()}
+    for r in q.collect():
+        qm = np.array(r.query_vec, dtype=np.float64)
+        lut = np.empty((m, ksub))
+        for s in range(m):
+            lut[s] = qm[s * dsub : (s + 1) * dsub] @ cmat[s].T
+        scores = {
+            v: lut[np.arange(m), c].sum()
+            for v, c in codes.items()
+            if v != r.query_id
+        }
+        want = sorted(scores, key=lambda v: (-scores[v], v))[:k]
+        mine = sorted(
+            (x for x in out if x.query_id == r.query_id),
+            key=lambda x: x.rank,
+        )
+        assert [x.vec_id for x in mine] == want
+        for x in mine:
+            assert abs(x.approx_score - scores[x.vec_id]) < 1e-12
+
+
+def test_pq_train_is_deterministic_and_improves_on_seeds(corpus):
+    a = sorted(
+        (r.sub_id, r.code_id, tuple(r.code_vec))
+        for r in sim.pq_train(
+            corpus, dim=DIM, m=4, ksub=8, iters=4, sample_rows=200
+        ).collect()
+    )
+    b = sorted(
+        (r.sub_id, r.code_id, tuple(r.code_vec))
+        for r in sim.pq_train(
+            corpus, dim=DIM, m=4, ksub=8, iters=4, sample_rows=200
+        ).collect()
+    )
+    assert a == b  # pure function of (corpus, params)
+
+    def sq_err(cb_df):
+        cmat = sim._codebook_matrix(cb_df, 4, 8, DIM // 4)
+        rows = corpus.orderBy("vec_id").limit(200).collect()
+        x = np.array([r.embedding for r in rows], dtype=np.float64)
+        x = x / sim._safe_norm(x)
+        tot = 0.0
+        for s in range(4):
+            xs = x[:, s * 16 : (s + 1) * 16]
+            d = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * (xs @ cmat[s].T)
+                + (cmat[s] * cmat[s]).sum(1)[None, :]
+            )
+            tot += np.maximum(d.min(1), 0.0).sum()
+        return tot
+
+    seeds = sim.pq_codebooks(corpus, dim=DIM, m=4, ksub=8)
+    trained = sim.pq_train(
+        corpus, dim=DIM, m=4, ksub=8, iters=4, sample_rows=200
+    )
+    assert sq_err(trained) <= sq_err(seeds)
+
+
+def test_planted_duplicates_tie_their_originals(spark, corpus):
+    """Identical vectors -> identical uint8 codes -> identical ADC
+    scores: a planted exact duplicate must score exactly the max in its
+    original's result and appear in a generous top-k."""
+    dups = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    full = corpus.unionByName(dups)
+    cb = sim.pq_train(full, dim=DIM, m=8, ksub=16, iters=4, sample_rows=500)
+    codes = sim.pq_encode_fast(full, cb, dim=DIM, m=8, ksub=16)
+    by_id = {r.vec_id: r.pq_code for r in codes.collect()}
+    for (i,) in dups.select("vec_id").collect():
+        assert by_id[i] == by_id[i - 100000]
+
+    q = corpus.filter(F.col("vec_id").isin(0, 5, 10)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = sim.pq_topk(codes, cb, q, dim=DIM, m=8, ksub=16, k=10)
+    rows = top.collect()
+    for qid in (0, 5, 10):
+        mine = [r for r in rows if r.query_id == qid]
+        best = max(r.approx_score for r in mine)
+        dup = [r for r in mine if r.vec_id == qid + 100000]
+        assert dup, f"planted duplicate of {qid} missing from top-10"
+        assert dup[0].approx_score == best
+
+
+def test_pq_parameter_validation(corpus):
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_codebooks(corpus, dim=DIM, m=7)
+    with pytest.raises(ValueError, match="uint8"):
+        sim.pq_train(corpus, dim=DIM, m=2, ksub=512)
+    with pytest.raises(ValueError, match="sample vectors"):
+        sim.pq_train(corpus, dim=DIM, m=2, ksub=4, sample_rows=2)
+    incomplete = sim.pq_codebooks(corpus, dim=DIM, m=2, ksub=4).filter(
+        "code_id < 2"
+    )
+    with pytest.raises(ValueError, match="missing"):
+        sim._codebook_matrix(incomplete, 2, 4, 32)
+
+
+def test_pq_code_is_m_bytes(corpus):
+    cb = sim.pq_codebooks(corpus, dim=DIM, m=8, ksub=4)
+    codes = sim.pq_encode_fast(corpus, cb, dim=DIM, m=8, ksub=4)
+    r = codes.first()
+    assert len(r.pq_code) == 8  # m bytes per vector, 8x under fp32/8
+    assert all(b < 4 for b in r.pq_code)
