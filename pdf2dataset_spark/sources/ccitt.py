@@ -20,9 +20,10 @@ Implementation notes:
   stripes, random noise, >2560-px runs).
 - PDF parameter surface: ``Columns`` (default 1728), ``Rows``,
   ``BlackIs1`` (default False: 0-bits are BLACK per the PDF filter
-  default), ``EncodedByteAlign`` (row starts on byte boundaries). ``K == 0``
-  (G3 one-dimensional MH) decodes too; ``K > 0`` (G3 mixed 2D)
-  raises a named error — scanners emit G4.
+  default), ``EncodedByteAlign`` (row starts on byte boundaries). All
+  three ``K`` regimes decode: ``K < 0`` pure G4, ``K == 0`` G3
+  one-dimensional MH, ``K > 0`` G3 mixed 2D (EOL + 1-bit tag framing
+  per line, 1D and 2D rows interleaved per T.4 §4.2).
 
 Scale note: decode runs inside Arrow-batched extraction UDFs; one
 page decodes in O(columns x rows) python-int work, which the
@@ -278,69 +279,77 @@ def decode_g4(
                     f"CCITT stream ended after {len(out)} of {rows} rows"
                 )
             break
-        cur: list[int] = []
-        a0 = -1  # imaginary element just before pixel 0
-        color = 0  # white
-        while (a0 if a0 > 0 else 0) < columns:
-            bi = _b1_index(ref, a0, color)
-            b1 = ref[bi] if bi < len(ref) else columns
-            b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
-            # mode code
-            if bits.read():  # '1' -> V0
-                mode = ("v", 0)
-            else:
-                b = bits.read()
-                if b and bits.read():  # '011' VR1 / '010x'...
-                    mode = ("v", 1)
-                elif b:  # '010' VL1
-                    mode = ("v", -1)
-                elif bits.read():  # '001' horizontal
-                    mode = ("h", 0)
-                elif bits.read():  # '0001' pass
-                    mode = ("p", 0)
-                else:
-                    # 00001xx / 00000 1x: VR2/VL2/VR3/VL3
-                    if bits.read():
-                        mode = ("v", 2) if bits.read() else ("v", -2)
-                    elif bits.read():
-                        mode = ("v", 3) if bits.read() else ("v", -3)
-                    else:
-                        raise ValueError("invalid CCITT G4 mode code")
-            kind, dv = mode
-            if kind == "p":
-                a0 = b2
-                continue
-            if kind == "v":
-                a1 = b1 + dv
-                if not 0 <= a1 <= columns:
-                    raise ValueError("CCITT vertical move out of line")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal: two runs in current color then the opposite
-            start = a0 if a0 > 0 else 0
-            run1 = _read_run(
-                bits, _WHITE_DEC if color == 0 else _BLACK_DEC,
-                "white" if color == 0 else "black",
-            )
-            run2 = _read_run(
-                bits, _BLACK_DEC if color == 0 else _WHITE_DEC,
-                "black" if color == 0 else "white",
-            )
-            a1 = start + run1
-            a2 = a1 + run2
-            if a2 > columns:
-                raise ValueError("CCITT horizontal runs overflow the line")
-            cur.append(a1)
-            cur.append(a2)
-            a0 = a2
-        for i, t in enumerate(cur):  # strictly ascending sanity
-            if t > columns or (i and t < cur[i - 1]):
-                raise ValueError("CCITT changing elements out of order")
+        cur = _decode_2d_line(bits, ref, columns)
         out.append(cur)
         ref = cur + [columns, columns]
     return out
+
+
+def _decode_2d_line(bits: _Bits, ref: list[int], columns: int) -> list[int]:
+    """One two-dimensionally coded line (shared by T.6 G4 and T.4
+    mixed-mode 2D rows): vertical/pass/horizontal modes against the
+    reference line's changing elements."""
+    cur: list[int] = []
+    a0 = -1  # imaginary element just before pixel 0
+    color = 0  # white
+    while (a0 if a0 > 0 else 0) < columns:
+        bi = _b1_index(ref, a0, color)
+        b1 = ref[bi] if bi < len(ref) else columns
+        b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
+        # mode code
+        if bits.read():  # '1' -> V0
+            mode = ("v", 0)
+        else:
+            b = bits.read()
+            if b and bits.read():  # '011' VR1 / '010x'...
+                mode = ("v", 1)
+            elif b:  # '010' VL1
+                mode = ("v", -1)
+            elif bits.read():  # '001' horizontal
+                mode = ("h", 0)
+            elif bits.read():  # '0001' pass
+                mode = ("p", 0)
+            else:
+                # 00001xx / 00000 1x: VR2/VL2/VR3/VL3
+                if bits.read():
+                    mode = ("v", 2) if bits.read() else ("v", -2)
+                elif bits.read():
+                    mode = ("v", 3) if bits.read() else ("v", -3)
+                else:
+                    raise ValueError("invalid CCITT G4 mode code")
+        kind, dv = mode
+        if kind == "p":
+            a0 = b2
+            continue
+        if kind == "v":
+            a1 = b1 + dv
+            if not 0 <= a1 <= columns:
+                raise ValueError("CCITT vertical move out of line")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal: two runs in current color then the opposite
+        start = a0 if a0 > 0 else 0
+        run1 = _read_run(
+            bits, _WHITE_DEC if color == 0 else _BLACK_DEC,
+            "white" if color == 0 else "black",
+        )
+        run2 = _read_run(
+            bits, _BLACK_DEC if color == 0 else _WHITE_DEC,
+            "black" if color == 0 else "white",
+        )
+        a1 = start + run1
+        a2 = a1 + run2
+        if a2 > columns:
+            raise ValueError("CCITT horizontal runs overflow the line")
+        cur.append(a1)
+        cur.append(a2)
+        a0 = a2
+    for i, t in enumerate(cur):  # strictly ascending sanity
+        if t > columns or (i and t < cur[i - 1]):
+            raise ValueError("CCITT changing elements out of order")
+    return cur
 
 
 def _transitions_to_gray(
@@ -416,27 +425,117 @@ def decode_g3_1d(
             bits.align()
         if not _skip_eols(bits):
             break
-        cur: list[int] = []
-        pos = 0
-        color = 0
         try:
-            while pos < columns:
-                run = _read_run(
-                    bits,
-                    _WHITE_DEC if color == 0 else _BLACK_DEC,
-                    "white" if color == 0 else "black",
-                )
-                pos += run
-                if pos > columns:
-                    raise ValueError("G3 1D run overflows the line")
-                if pos < columns:
-                    cur.append(pos)
-                color ^= 1
-        except ValueError:
-            if rows is None and not cur:
+            cur = _decode_1d_line(bits, columns)
+        except ValueError as e:
+            if rows is None and not getattr(e, "ccitt_progress", 0):
                 break  # garbage after the last row: end of data
             raise
         out.append(cur)
+    if rows is not None and len(out) < rows:
+        raise ValueError(f"CCITT stream ended after {len(out)} of {rows} rows")
+    return out
+
+
+def _decode_1d_line(bits: _Bits, columns: int) -> list[int]:
+    """One one-dimensionally coded line (T.4 MH): alternating color
+    runs starting white, totalling exactly ``columns``. On failure the
+    raised ValueError carries ``ccitt_progress`` = number of changing
+    elements already decoded (0 ⇒ the line never started — callers in
+    unbounded mode treat that as end of data)."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    try:
+        while pos < columns:
+            run = _read_run(
+                bits,
+                _WHITE_DEC if color == 0 else _BLACK_DEC,
+                "white" if color == 0 else "black",
+            )
+            pos += run
+            if pos > columns:
+                raise ValueError("G3 1D run overflows the line")
+            if pos < columns:
+                cur.append(pos)
+            color ^= 1
+    except ValueError as e:
+        e.ccitt_progress = len(cur)
+        raise
+    return cur
+
+
+def _read_eol_tag(bits: _Bits) -> int | None:
+    """Consume fill zeros plus one EOL (>= 11 zeros then a 1) and
+    return the 1-bit mode tag that follows it in T.4 mixed (K > 0)
+    streams (1 ⇒ next line 1D, 0 ⇒ 2D). Returns None at end of data
+    (trailing padding / truncation)."""
+    zeros = 0
+    while True:
+        if bits.eof():
+            return None
+        if bits.read() == 1:
+            break
+        zeros += 1
+        if zeros > 4096:
+            return None  # degenerate zero run: treat as end
+    if zeros < 11:
+        raise ValueError("expected CCITT EOL before mixed-mode line")
+    if bits.eof():
+        return None
+    return bits.read()
+
+
+def _peek_eol(bits: _Bits) -> bool:
+    """True when the next non-fill content is an EOL (>= 11 zeros then
+    a 1, tolerating byte-align fill) or the stream is exhausted. No MH
+    run or 2D mode code has more than 7 leading zeros, so the
+    threshold is unambiguous."""
+    save = bits.bitpos
+    try:
+        zeros = 0
+        while True:
+            if bits.eof():
+                return True
+            if bits.read() == 1:
+                return zeros >= 11
+            zeros += 1
+            if zeros > 4096:
+                return True
+    finally:
+        bits.bitpos = save
+
+
+def decode_g3_2d(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> list[list[int]]:
+    """Decode a Group 3 mixed two-dimensional stream (T.4 §4.2, PDF
+    ``/K > 0``): every line is framed by EOL + a 1-bit tag choosing
+    MH 1D or 2D coding for that line; 2D lines use the same
+    vertical/pass/horizontal modes as G4 against the previous line.
+    RTC (consecutive EOLs) or end of data terminates. The K value
+    itself only bounds how often encoders must emit 1D lines — the
+    decoder just follows the per-line tags."""
+    if columns <= 0:
+        raise ValueError("CCITT Columns must be positive")
+    bits = _Bits(data)
+    ref = [columns, columns]
+    out: list[list[int]] = []
+    while rows is None or len(out) < rows:
+        if byte_align:
+            bits.align()
+        tag = _read_eol_tag(bits)
+        if tag is None or _peek_eol(bits):
+            break  # RTC (EOLs back to back) or trailing padding
+        if tag:
+            cur = _decode_1d_line(bits, columns)
+        else:
+            cur = _decode_2d_line(bits, ref, columns)
+        out.append(cur)
+        ref = cur + [columns, columns]
     if rows is not None and len(out) < rows:
         raise ValueError(f"CCITT stream ended after {len(out)} of {rows} rows")
     return out
@@ -459,18 +558,58 @@ def encode_g3_1d(
             bw.align()
         if with_eol:
             bw.write(0b000000000001, 12)
-        pos = 0
-        color = 0
-        for t in cur + [columns]:
-            run = t - pos
-            if color == 0:
-                _write_run(bw, run, _WHITE_TERM, _WHITE_MAKEUP)
-            else:
-                _write_run(bw, run, _BLACK_TERM, _BLACK_MAKEUP)
-            pos = t
-            color ^= 1
-            if pos == columns:
-                break
+        _encode_1d_line(bw, cur, columns)
+    return bw.flush()
+
+
+def _encode_1d_line(bw: _BitsOut, cur: list[int], columns: int) -> None:
+    pos = 0
+    color = 0
+    for t in cur + [columns]:
+        run = t - pos
+        if color == 0:
+            _write_run(bw, run, _WHITE_TERM, _WHITE_MAKEUP)
+        else:
+            _write_run(bw, run, _BLACK_TERM, _BLACK_MAKEUP)
+        pos = t
+        color ^= 1
+        if pos == columns:
+            break
+
+
+def encode_g3_2d(
+    px: bytes,
+    columns: int,
+    rows: int,
+    k: int = 4,
+    byte_align: bool = False,
+) -> bytes:
+    """Encode 8-bit gray pixels as a T.4 mixed two-dimensional stream
+    (PDF ``/K k`` with k > 0): every line framed by EOL + tag, one
+    1D-coded line followed by at most k-1 2D-coded lines (the fax
+    K-factor limiting error propagation), RTC at the end. Fixture /
+    round-trip counterpart of :func:`decode_g3_2d`."""
+    if k <= 0:
+        raise ValueError("encode_g3_2d requires k > 0")
+    lines = _gray_to_transitions(px, columns, rows)
+    bw = _BitsOut()
+    ref = [columns, columns]
+    for i, cur in enumerate(lines):
+        if byte_align:
+            bw.align()
+        one_d = i % k == 0
+        bw.write(0b000000000001, 12)  # EOL
+        bw.write(1 if one_d else 0, 1)  # mode tag
+        if one_d:
+            _encode_1d_line(bw, cur, columns)
+        else:
+            _encode_2d_line(bw, cur, ref, columns)
+        ref = cur + [columns, columns]
+    for _ in range(6):  # RTC
+        if byte_align:
+            bw.align()  # the decoder aligns before seeking each EOL
+        bw.write(0b000000000001, 12)
+        bw.write(1, 1)
     return bw.flush()
 
 
@@ -482,15 +621,15 @@ def decode_ccitt_gray(
     byte_align: bool = False,
 ) -> tuple[int, int, bytes]:
     """/CCITTFaxDecode dispatch: ``k < 0`` → pure G4 (T.6), ``k == 0``
-    → G3 one-dimensional (T.4 MH). ``k > 0`` (G3 mixed 2D) raises a
-    named error — rare in PDFs, where scanners emit G4. Returns
-    (columns, n_rows, 8-bit gray pixels, black=0)."""
+    → G3 one-dimensional (T.4 MH), ``k > 0`` → G3 mixed 2D (T.4 §4.2,
+    EOL+tag framed lines). Returns (columns, n_rows, 8-bit gray
+    pixels, black=0)."""
     if k < 0:
         lines = decode_g4(data, columns, rows, byte_align)
     elif k == 0:
         lines = decode_g3_1d(data, columns, rows, byte_align)
     else:
-        raise ValueError("CCITT G3 mixed two-dimensional (K > 0) not supported")
+        lines = decode_g3_2d(data, columns, rows, byte_align)
     return columns, len(lines), _transitions_to_gray(lines, columns)
 
 
@@ -527,42 +666,7 @@ def encode_g4(
     for cur in lines:
         if byte_align:
             bw.align()
-        a0 = -1
-        color = 0
-        ci = 0  # index of next changing element in cur
-        while (a0 if a0 > 0 else 0) < columns:
-            a1 = cur[ci] if ci < len(cur) else columns
-            bi = _b1_index(ref, a0, color)
-            b1 = ref[bi] if bi < len(ref) else columns
-            b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
-            if b2 < a1:
-                bw.write(0b0001, 4)  # pass
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                d = a1 - b1
-                code, ln = {
-                    0: (0b1, 1),
-                    1: (0b011, 3), 2: (0b000011, 6), 3: (0b0000011, 7),
-                    -1: (0b010, 3), -2: (0b000010, 6), -3: (0b0000010, 7),
-                }[d]
-                bw.write(code, ln)
-                a0 = a1
-                color ^= 1
-                ci += 1
-                continue
-            # horizontal
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
-            start = a0 if a0 > 0 else 0
-            bw.write(0b001, 3)
-            if color == 0:
-                _write_run(bw, a1 - start, _WHITE_TERM, _WHITE_MAKEUP)
-                _write_run(bw, a2 - a1, _BLACK_TERM, _BLACK_MAKEUP)
-            else:
-                _write_run(bw, a1 - start, _BLACK_TERM, _BLACK_MAKEUP)
-                _write_run(bw, a2 - a1, _WHITE_TERM, _WHITE_MAKEUP)
-            a0 = a2
-            ci += 2
+        _encode_2d_line(bw, cur, ref, columns)
         ref = cur + [columns, columns]
     if with_eofb:
         if byte_align:
@@ -570,3 +674,46 @@ def encode_g4(
         bw.write(0b000000000001, 12)
         bw.write(0b000000000001, 12)
     return bw.flush()
+
+
+def _encode_2d_line(
+    bw: _BitsOut, cur: list[int], ref: list[int], columns: int
+) -> None:
+    """T.6/T.4-2D coder for one line: PASS when b2 < a1, VERTICAL when
+    |a1-b1| <= 3, else HORIZONTAL with MH run codes."""
+    a0 = -1
+    color = 0
+    ci = 0  # index of next changing element in cur
+    while (a0 if a0 > 0 else 0) < columns:
+        a1 = cur[ci] if ci < len(cur) else columns
+        bi = _b1_index(ref, a0, color)
+        b1 = ref[bi] if bi < len(ref) else columns
+        b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
+        if b2 < a1:
+            bw.write(0b0001, 4)  # pass
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            d = a1 - b1
+            code, ln = {
+                0: (0b1, 1),
+                1: (0b011, 3), 2: (0b000011, 6), 3: (0b0000011, 7),
+                -1: (0b010, 3), -2: (0b000010, 6), -3: (0b0000010, 7),
+            }[d]
+            bw.write(code, ln)
+            a0 = a1
+            color ^= 1
+            ci += 1
+            continue
+        # horizontal
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+        start = a0 if a0 > 0 else 0
+        bw.write(0b001, 3)
+        if color == 0:
+            _write_run(bw, a1 - start, _WHITE_TERM, _WHITE_MAKEUP)
+            _write_run(bw, a2 - a1, _BLACK_TERM, _BLACK_MAKEUP)
+        else:
+            _write_run(bw, a1 - start, _BLACK_TERM, _BLACK_MAKEUP)
+            _write_run(bw, a2 - a1, _WHITE_TERM, _WHITE_MAKEUP)
+        a0 = a2
+        ci += 2

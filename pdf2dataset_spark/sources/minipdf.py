@@ -947,9 +947,10 @@ class PdfDocument:
         - ``format``: ``"jpeg"`` for /DCTDecode (``data`` is the
           complete JFIF file — any leading filters already undone),
           ``"raw"`` for fully-decodable chains (``data`` is sample
-          bytes), ``"ccitt"`` for /CCITTFaxDecode (decodable when
-          /K <= 0 — pure G4/T.6 or G3 1D/T.4, via :mod:`sources.ccitt`; the entry
-          then carries ``ccitt_params`` so consumers can decode), or
+          bytes), ``"ccitt"`` for /CCITTFaxDecode (all /K regimes
+          decode — G4/T.6, G3 1D, G3 mixed 2D — via
+          :mod:`sources.ccitt`; the entry then carries
+          ``ccitt_params`` so consumers can decode), or
           ``"jpx"`` for filters this engine does not transcode.
         - ``decodable``: True when ``data`` can be turned into pixels
           with zero native deps — raw samples always; JPEG when
@@ -1050,36 +1051,37 @@ class PdfDocument:
                     )
                 parms = parms if isinstance(parms, dict) else {}
                 k = int(self.resolve(parms.get("/K", 0)) or 0)
-                if k <= 0:  # G4 (T.6, the scan codec) or G3 1D (MH)
-                    cols = int(
-                        self.resolve(parms.get("/Columns", 1728)) or 1728
-                    )
-                    nrows = self.resolve(parms.get("/Rows")) or entry[
-                        "height"
-                    ] or None
-                    align = bool(
-                        self.resolve(parms.get("/EncodedByteAlign", False))
-                    )
-                    ccitt_params = {
-                        "k": k,
-                        "columns": cols,
-                        "rows": int(nrows) if nrows else None,
-                        "byte_align": align,
-                    }
-                    try:
-                        from pdf2dataset_spark.sources import ccitt
+                # all three K regimes decode: K<0 G4 (T.6), K==0 G3 1D
+                # (MH), K>0 G3 mixed 2D (EOL+tag framing)
+                cols = int(
+                    self.resolve(parms.get("/Columns", 1728)) or 1728
+                )
+                nrows = self.resolve(parms.get("/Rows")) or entry[
+                    "height"
+                ] or None
+                align = bool(
+                    self.resolve(parms.get("/EncodedByteAlign", False))
+                )
+                ccitt_params = {
+                    "k": k,
+                    "columns": cols,
+                    "rows": int(nrows) if nrows else None,
+                    "byte_align": align,
+                }
+                try:
+                    from pdf2dataset_spark.sources import ccitt
 
-                        w, h, px = ccitt.decode_ccitt_gray(
-                            data, **ccitt_params
-                        )
-                        entry["decodable"] = True
-                        entry["ccitt_params"] = ccitt_params
-                        entry["width"] = entry["width"] or w
-                        entry["height"] = entry["height"] or h
-                        if decode_pixels:
-                            entry["pixels"] = px
-                    except (ValueError, IndexError):
-                        pass  # corrupt stream: honest False, payload kept
+                    w, h, px = ccitt.decode_ccitt_gray(
+                        data, **ccitt_params
+                    )
+                    entry["decodable"] = True
+                    entry["ccitt_params"] = ccitt_params
+                    entry["width"] = entry["width"] or w
+                    entry["height"] = entry["height"] or h
+                    if decode_pixels:
+                        entry["pixels"] = px
+                except (ValueError, IndexError):
+                    pass  # corrupt stream: honest False, payload kept
             elif stopped is not None:
                 entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")
                 entry["data"] = data

@@ -1302,6 +1302,56 @@ class TestCcittG4:
         codec = PdfCodec()
         assert codec.page_ocr(codec.open(pdf), 1) == text
 
+    def test_g3_2d_mixed_roundtrip_and_extraction(self):
+        """G3 mixed two-dimensional (/K > 0, T.4 §4.2 — the fax K-factor
+        regime): EOL+tag framed 1D/2D interleaved lines round-trip the
+        adversarial bitmaps across K values and byte alignment, and a
+        /K 4 XObject extracts + scanned-OCRs like a G4 one."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources import ccitt
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        rng = np.random.default_rng(17)
+        text, w, h, px = self._text_raster()
+        cases = [
+            np.full((10, 80), 255, np.uint8),
+            np.full((10, 80), 0, np.uint8),
+            (rng.random((20, 66)) < 0.3).astype(np.uint8) * 255,
+            np.pad(np.zeros((3, 200), np.uint8), ((0, 0), (2800, 0)),
+                   constant_values=255),  # >2560 runs (ext makeup)
+            np.frombuffer(px, np.uint8).reshape(h, w),
+        ]
+        for img in cases:
+            hh, ww = img.shape
+            want = np.where(img < 128, 0, 255).astype(np.uint8).tobytes()
+            for k in (1, 2, 4):
+                for align in (False, True):
+                    enc = ccitt.encode_g3_2d(
+                        img.tobytes(), ww, hh, k=k, byte_align=align
+                    )
+                    got = ccitt.decode_ccitt_gray(
+                        enc, k, ww, rows=hh, byte_align=align
+                    )
+                    assert got == (ww, hh, want), (k, align, img.shape)
+                    # rows=None: stop at RTC
+                    got2 = ccitt.decode_ccitt_gray(enc, k, ww, byte_align=align)
+                    assert got2 == (ww, hh, want)
+        # truncation with Rows given raises (A8 error-row contract)
+        enc = ccitt.encode_g3_2d(px, w, h, k=4)
+        with pytest.raises(ValueError):
+            ccitt.decode_g3_2d(enc[: len(enc) // 3], w, rows=h)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/CCITTFaxDecode", "width": w, "height": h,
+                     "data": enc, "bits": 1,
+                     "decode_parms": {"/K": 4, "/Columns": w, "/Rows": h}}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf)[0]
+        assert entry["decodable"] is True and entry["ccitt_params"]["k"] == 4
+        codec = PdfCodec()
+        assert codec.page_ocr(codec.open(pdf), 1) == text
+
     def test_scanned_g4_page_routes_into_image_and_ocr(self):
         from pdf2dataset_spark.sources import ccitt, raster
         from pdf2dataset_spark.sources.codecs import PdfCodec

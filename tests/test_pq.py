@@ -212,3 +212,96 @@ def test_pq_code_is_m_bytes(corpus):
     r = codes.first()
     assert len(r.pq_code) == 8  # m bytes per vector, 8x under fp32/8
     assert all(b < 4 for b in r.pq_code)
+
+
+def test_ivfpq_duplicates_share_list_and_code(spark, corpus):
+    """Exact duplicates assign to the same list and quantize to the
+    same residual code, so IVF+PQ retrieval must surface them at the
+    tied-max score."""
+    dups = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    full = corpus.unionByName(dups)
+    cents = sim._ivf_centroids(full, 8, "vec_id", "embedding")
+    idx, cb = sim.ivfpq_build(
+        full, cents, dim=DIM, m=8, ksub=16, iters=3, sample_rows=500
+    )
+    rows = {r.vec_id: (r.list_id, r.pq_code) for r in idx.collect()}
+    for (i,) in dups.select("vec_id").collect():
+        assert rows[i] == rows[i - 100000]
+
+    q = corpus.filter(F.col("vec_id").isin(0, 5, 10)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = sim.ivfpq_topk(
+        idx, cents, cb, q, dim=DIM, m=8, ksub=16, nprobe=2, k=10
+    ).collect()
+    for qid in (0, 5, 10):
+        mine = [r for r in top if r.query_id == qid]
+        dup = [r for r in mine if r.vec_id == qid + 100000]
+        # the duplicate always surfaces; unlike plain PQ its score is
+        # only tied-max WITHIN its list (another probed list's scalar
+        # term can exceed it), so assert presence, not global max
+        assert dup, f"planted duplicate of {qid} missing from top-10"
+
+
+def test_ivfpq_scores_match_definition(spark, corpus):
+    """ivfpq_topk's output replays from the collected index: probed
+    lists are the nprobe largest q.centroid terms, and each score is
+    the per-list scalar plus the m LUT gathers (same numpy ops)."""
+    m, ksub, dsub, nprobe, k = 4, 8, 16, 2, 5
+    cents = sim._ivf_centroids(corpus, 8, "vec_id", "embedding")
+    idx_df, cb = sim.ivfpq_build(
+        corpus, cents, dim=DIM, m=m, ksub=ksub, iters=3, sample_rows=500
+    )
+    q = _queries(corpus)
+    out = sim.ivfpq_topk(
+        idx_df, cents, cb, q, dim=DIM, m=m, ksub=ksub, nprobe=nprobe, k=k
+    ).collect()
+
+    crows = sorted(cents.collect(), key=lambda r: r.cent_id)
+    c_ids = np.array([r.cent_id for r in crows])
+    c_mat = np.array([r.cent_vec for r in crows], dtype=np.float64)
+    c_norm = c_mat / sim._safe_norm(c_mat)
+    cmat = sim._codebook_matrix(cb, m, ksub, dsub)
+    index = {
+        r.vec_id: (r.list_id, np.frombuffer(r.pq_code, np.uint8))
+        for r in idx_df.collect()
+    }
+    for r in q.collect():
+        qm = np.array(r.query_vec, dtype=np.float64)
+        qm = qm / max(np.linalg.norm(qm), 1e-300)
+        consts = qm @ c_norm.T
+        probed = set(c_ids[np.argsort(-consts)[:nprobe]].tolist())
+        lut = np.empty((m, ksub))
+        for s in range(m):
+            lut[s] = qm[s * dsub : (s + 1) * dsub] @ cmat[s].T
+        scores = {}
+        for v, (lid, codes) in index.items():
+            if v == r.query_id or lid not in probed:
+                continue
+            lrow = int(np.where(c_ids == lid)[0][0])
+            scores[v] = lut[np.arange(m), codes].sum() + consts[lrow]
+        want = sorted(scores, key=lambda v: (-scores[v], v))[:k]
+        mine = sorted(
+            (x for x in out if x.query_id == r.query_id),
+            key=lambda x: x.rank,
+        )
+        assert [x.vec_id for x in mine] == want
+        for x in mine:
+            assert abs(x.approx_score - scores[x.vec_id]) < 1e-12
+
+
+def test_exact_rerank_matches_brute_on_full_candidates(spark, corpus):
+    """Re-ranking ALL (query, vec) pairs must reproduce brute-force
+    top-k exactly (same fold, same tie-break)."""
+    q = _queries(corpus)
+    all_pairs = corpus.selectExpr("vec_id").crossJoin(
+        q.select("query_id")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    rer = sim.exact_rerank(all_pairs, corpus, q, k=5)
+    brute = sim.topk_cosine(corpus, q, k=5)
+    got = {(r.query_id, r.vec_id, r.rank) for r in rer.collect()}
+    want = {(r.query_id, r.vec_id, r.rank) for r in brute.collect()}
+    assert got == want

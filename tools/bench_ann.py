@@ -141,6 +141,108 @@ def main() -> None:
     )
     shutil.rmtree(store, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # PQ / IVF+PQ — graded on PARTNER RETRIEVAL, not brute agreement.
+    # This corpus packs ~n/64 vectors within ~0.005 cosine of each other,
+    # so intra-cluster margins (~0.0014) sit far below any 8-16 byte
+    # quantizer's distortion: exact-rank agreement is structurally ~0 and
+    # measures the corpus, not the operator. The realistic compressed-ANN
+    # task is near-duplicate retrieval: probe queries are perturbed copies
+    # of corpus vectors (margin >> distortion) and the metric is whether
+    # the source partner is retrieved — the semantic-dedup workload.
+    # ------------------------------------------------------------------
+    PQ_M, PQ_KSUB, SHORTLIST = 16, 256, 100
+    probe_pert = F.array(
+        *[
+            (
+                F.col("embedding")[j]
+                + _unit_noise(F.col("vec_id"), F.lit(7), j) * 0.01
+            ).cast("double")
+            for j in range(DIM)
+        ]
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") % (n // N_QUERIES) == 0)
+        .select(F.col("vec_id").alias("query_id"), probe_pert.alias("query_vec"))
+        .persist()
+    )
+    n_probes = probes.count()
+
+    def partner_rate(df, at_rank=None):
+        rows = df.collect()
+        ok = {
+            r.query_id
+            for r in rows
+            if r.vec_id == r.query_id
+            and (at_rank is None or r.rank <= at_rank)
+        }
+        return len(ok) / n_probes
+
+    t0 = time.perf_counter()
+    pq_cb = sim.pq_train(
+        corpus, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4, sample_rows=65_536
+    ).persist()
+    pq_cb.count()
+    pq_train_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pq_codes = sim.pq_encode_fast(
+        corpus, pq_cb, dim=DIM, m=PQ_M, ksub=PQ_KSUB
+    ).persist()
+    pq_codes.count()
+    pq_encode_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pq = sim.pq_topk(
+        pq_codes, pq_cb, probes, dim=DIM, m=PQ_M, ksub=PQ_KSUB, k=K,
+        exclude_self=False,
+    ).persist()
+    pq.count()
+    pq_query_s = time.perf_counter() - t0
+    pq_partner = partner_rate(pq)
+
+    t0 = time.perf_counter()
+    pq_short = sim.pq_topk(
+        pq_codes, pq_cb, probes, dim=DIM, m=PQ_M, ksub=PQ_KSUB, k=SHORTLIST,
+        exclude_self=False,
+    )
+    pq_rer = sim.exact_rerank(pq_short, corpus, probes, k=K).persist()
+    pq_rer.count()
+    pq_rerank_s = time.perf_counter() - t0
+    pq_rerank_partner = partner_rate(pq_rer, at_rank=1)
+
+    t0 = time.perf_counter()
+    ivfpq_cents = sim.ivf_centroids_kmeans(
+        corpus, n_centroids=N_CENTROIDS, iters=2
+    )
+    ivfpq_idx, ivfpq_cb = sim.ivfpq_build(
+        corpus, ivfpq_cents, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4
+    )
+    ivfpq_idx = ivfpq_idx.persist()
+    ivfpq_idx.count()
+    ivfpq_build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ivfpq = sim.ivfpq_topk(
+        ivfpq_idx, ivfpq_cents, ivfpq_cb, probes,
+        dim=DIM, m=PQ_M, ksub=PQ_KSUB, nprobe=NPROBE, k=K,
+        exclude_self=False,
+    ).persist()
+    ivfpq.count()
+    ivfpq_query_s = time.perf_counter() - t0
+    ivfpq_partner = partner_rate(ivfpq)
+
+    t0 = time.perf_counter()
+    ivfpq_short = sim.ivfpq_topk(
+        ivfpq_idx, ivfpq_cents, ivfpq_cb, probes,
+        dim=DIM, m=PQ_M, ksub=PQ_KSUB, nprobe=NPROBE, k=SHORTLIST,
+        exclude_self=False,
+    )
+    ivfpq_rer = sim.exact_rerank(ivfpq_short, corpus, probes, k=K).persist()
+    ivfpq_rer.count()
+    ivfpq_rerank_s = time.perf_counter() - t0
+    ivfpq_rerank_partner = partner_rate(ivfpq_rer, at_rank=1)
+
     t0 = time.perf_counter()
     assigned = sim.ivf_assign_fast(corpus, n_centroids=N_CENTROIDS).persist()
     assigned.count()
@@ -184,6 +286,23 @@ def main() -> None:
                 "stored_packed_query_s": round(stored_packed_s, 2),
                 "stored_packed_speedup_x": round(brute_s / stored_packed_s, 1),
                 "stored_packed_agreement": round(stored_agree, 3),
+                "pq_m": PQ_M,
+                "pq_ksub": PQ_KSUB,
+                "pq_code_bytes_per_vec": PQ_M,
+                "pq_shortlist": SHORTLIST,
+                "pq_train_s": round(pq_train_s, 2),
+                "pq_encode_s": round(pq_encode_s, 2),
+                "pq_query_s": round(pq_query_s, 2),
+                "pq_speedup_x": round(brute_s / pq_query_s, 1),
+                "pq_partner_at_k": round(pq_partner, 3),
+                "pq_rerank_s": round(pq_rerank_s, 2),
+                "pq_rerank_partner_at_1": round(pq_rerank_partner, 3),
+                "ivfpq_build_s": round(ivfpq_build_s, 2),
+                "ivfpq_query_s": round(ivfpq_query_s, 2),
+                "ivfpq_speedup_x": round(brute_s / ivfpq_query_s, 1),
+                "ivfpq_partner_at_k": round(ivfpq_partner, 3),
+                "ivfpq_rerank_s": round(ivfpq_rerank_s, 2),
+                "ivfpq_rerank_partner_at_1": round(ivfpq_rerank_partner, 3),
                 "ivf_build_s": round(build_s, 2),
                 "ivf_query_s": round(query_s, 2),
                 "ivf_speedup_x": round(brute_s / query_s, 1),
