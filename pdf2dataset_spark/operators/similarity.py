@@ -820,6 +820,24 @@ def topk_cosine_packed(
 # ---------------------------------------------------------------------------
 
 
+def _batch_matrix(col, packed_dtype: str | None, dim: int) -> np.ndarray:
+    """A pandas Series of embeddings -> (n, dim) float64 matrix. With
+    ``packed_dtype`` the column is little-endian packed binary
+    (`pack_embedding` / `maintenance.write_packed_embeddings`) and the
+    whole batch converts with ONE frombuffer+reshape; a plain
+    array<float> column pays ~20 us/row of per-element Arrow object
+    overhead instead — at 1M vectors that alone was 20-40 s of the
+    encode pass, so prefer packed input for corpus-sized scans."""
+    if packed_dtype is None:
+        return np.array(list(col), dtype=np.float64)
+    np_dtype = np.dtype(packed_dtype).newbyteorder("<")
+    return (
+        np.frombuffer(b"".join(col), dtype=np_dtype)
+        .reshape(-1, dim)
+        .astype(np.float64)
+    )
+
+
 def _lloyd_subspace(xs: np.ndarray, ksub: int, iters: int) -> np.ndarray:
     """Deterministic per-subspace Lloyd k-means: evenly-spaced seeding,
     fixed iteration count, empty clusters keep their previous centroid.
@@ -907,6 +925,7 @@ def pq_train(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     normalize: bool = True,
+    packed_dtype: str | None = None,
 ) -> DataFrame:
     """Train PQ codebooks: per-subspace Lloyd k-means on a bounded,
     deterministic corpus sample (first `sample_rows` by id — one
@@ -931,7 +950,7 @@ def pq_train(
         .limit(sample_rows)
         .toPandas()  # Arrow path: ~50x faster than Row collect for arrays
     )
-    x = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+    x = _batch_matrix(pdf[corpus_vec], packed_dtype, dim)
     if len(x) < ksub:
         raise ValueError(
             f"PQ training needs >= ksub={ksub} sample vectors, got {len(x)}"
@@ -1077,6 +1096,7 @@ def pq_encode_fast(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     normalize: bool = True,
+    packed_dtype: str | None = None,
 ) -> DataFrame:
     """Arrow/numpy PQ encode — the scale path. Codebooks ship to executors
     as one (m, ksub, dsub) matrix via closure capture; each Arrow batch
@@ -1101,7 +1121,7 @@ def pq_encode_fast(
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            v = _batch_matrix(pdf[corpus_vec], packed_dtype, dim)
             if normalize:
                 v = v / _safe_norm(v)
             codes = np.empty((len(v), m), dtype=np.uint8)
@@ -1275,6 +1295,7 @@ def ivfpq_build(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     normalize: bool = True,
+    packed_dtype: str | None = None,
 ):
     """Build an IVF+PQ index: assign every vector to its nearest
     centroid (cosine, normalized centroid matrix via closure capture),
@@ -1304,7 +1325,7 @@ def ivfpq_build(
         .limit(sample_rows)
         .toPandas()
     )
-    x = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+    x = _batch_matrix(pdf[corpus_vec], packed_dtype, dim)
     if len(x) < ksub:
         raise ValueError(
             f"IVFPQ training needs >= ksub={ksub} sample vectors, got {len(x)}"
@@ -1329,7 +1350,7 @@ def ivfpq_build(
         for bpdf in batches:
             if not len(bpdf):
                 continue
-            v = np.array(list(bpdf[corpus_vec]), dtype=np.float64)
+            v = _batch_matrix(bpdf[corpus_vec], packed_dtype, dim)
             if normalize:
                 v = v / _safe_norm(v)
             assign = np.argmax(v @ c_norm.T, axis=1)

@@ -305,3 +305,28 @@ def test_exact_rerank_matches_brute_on_full_candidates(spark, corpus):
     got = {(r.query_id, r.vec_id, r.rank) for r in rer.collect()}
     want = {(r.query_id, r.vec_id, r.rank) for r in brute.collect()}
     assert got == want
+
+
+def test_pq_encode_packed_input_matches_array_input(corpus):
+    """pq_encode_fast over a float64-packed binary column produces
+    byte-identical codes to the array<float> path (the pack-at-ingest
+    fast lane for corpus-sized scans)."""
+    cb = sim.pq_codebooks(corpus, dim=DIM, m=8, ksub=8)
+    packed = corpus.select(
+        "vec_id",
+        sim.pack_embedding("embedding", dtype="float64").alias("ebin"),
+    )
+    a = {
+        r.vec_id: r.pq_code
+        for r in sim.pq_encode_fast(
+            corpus, cb, dim=DIM, m=8, ksub=8
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.pq_code
+        for r in sim.pq_encode_fast(
+            packed, cb, dim=DIM, m=8, ksub=8,
+            corpus_vec="ebin", packed_dtype="float64",
+        ).collect()
+    }
+    assert a == b

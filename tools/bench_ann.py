@@ -151,7 +151,7 @@ def main() -> None:
     # of corpus vectors (margin >> distortion) and the metric is whether
     # the source partner is retrieved — the semantic-dedup workload.
     # ------------------------------------------------------------------
-    PQ_M, PQ_KSUB, SHORTLIST = 16, 256, 100
+    PQ_M, PQ_KSUB, SHORTLIST = 16, 256, 1000
     probe_pert = F.array(
         *[
             (
@@ -178,16 +178,21 @@ def main() -> None:
         }
         return len(ok) / n_probes
 
+    # all corpus-sized PQ passes read the PACKED column (one
+    # frombuffer per Arrow batch instead of ~20 us/row of list-object
+    # conversion - the pack-at-ingest dividend)
     t0 = time.perf_counter()
     pq_cb = sim.pq_train(
-        corpus, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4, sample_rows=65_536
+        packed, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4, sample_rows=65_536,
+        corpus_vec="embedding_bin", packed_dtype="float32",
     ).persist()
     pq_cb.count()
     pq_train_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     pq_codes = sim.pq_encode_fast(
-        corpus, pq_cb, dim=DIM, m=PQ_M, ksub=PQ_KSUB
+        packed, pq_cb, dim=DIM, m=PQ_M, ksub=PQ_KSUB,
+        corpus_vec="embedding_bin", packed_dtype="float32",
     ).persist()
     pq_codes.count()
     pq_encode_s = time.perf_counter() - t0
@@ -216,7 +221,8 @@ def main() -> None:
         corpus, n_centroids=N_CENTROIDS, iters=2
     )
     ivfpq_idx, ivfpq_cb = sim.ivfpq_build(
-        corpus, ivfpq_cents, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4
+        packed, ivfpq_cents, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4,
+        corpus_vec="embedding_bin", packed_dtype="float32",
     )
     ivfpq_idx = ivfpq_idx.persist()
     ivfpq_idx.count()
