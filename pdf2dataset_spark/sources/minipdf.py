@@ -844,9 +844,11 @@ class PdfDocument:
         (/FontFile2 via sources/sfnt — gid→unicode inverted through
         /CIDToGIDMap, the round-5 close of the what's-missing item);
         else a simple-font /Encoding map (base encoding +
-        /Differences glyph names, 1-byte codes). Fonts with none are
-        absent (BOM/Latin-1 fallback); CFF CID fonts (/FontFile3)
-        stay on that documented fallback."""
+        /Differences glyph names, 1-byte codes); for simple fonts
+        with NEITHER, the embedded CFF program's own custom encoding
+        (/FontFile3 Type1C via sources/cff). Fonts with none are
+        absent (BOM/Latin-1 fallback); CID-keyed CFF stays on that
+        documented fallback (its charset maps to CIDs, not names)."""
         res = self.resolve(page.get("/Resources"))
         fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
         out: dict[str, tuple[dict[int, str], int]] = {}
@@ -874,6 +876,13 @@ class PdfDocument:
                 # pure-Latin-1 maps add nothing over the fallback
                 if any(emap.get(b) != chr(b) for b in range(256)):
                     out[name] = (emap, 1)
+            if name not in out:
+                # subset Type1C with a CUSTOM built-in encoding and no
+                # PDF-side map: the CFF's own Encoding+charset name the
+                # glyphs (sources/cff), AGL names them to unicode
+                cff_map = self._fontfile3_builtin_map(f)
+                if cff_map:
+                    out[name] = (cff_map, 1)
         for name, (mapping, code_len) in out.items():
             if code_len == 1:
                 # 1-byte maps decode via str.translate (C-speed) —
@@ -881,6 +890,34 @@ class PdfDocument:
                 out[name] = (mapping, 1, str.maketrans(
                     {chr(c): v for c, v in mapping.items()}
                 ))
+        return out
+
+    def _fontfile3_builtin_map(self, f: dict) -> dict[int, str] | None:
+        """code → unicode for a simple font from its embedded CFF
+        (/FontFile3, Type1C) program's own custom encoding: CFF
+        Encoding maps byte codes to glyphs, charset to glyph names,
+        the AGL subset to unicode. Returns None when the font is
+        CID-keyed, uses a predefined encoding, adds nothing over the
+        Latin-1 fallback, or is malformed — never guesses."""
+        try:
+            fd = self.resolve(f.get("/FontDescriptor"))
+            if not isinstance(fd, dict):
+                return None
+            ff3 = self.resolve(fd.get("/FontFile3"))
+            if not isinstance(ff3, StreamObj):
+                return None
+            from pdf2dataset_spark.sources import cff
+
+            names = cff.code_to_glyph_names(self.stream_bytes(ff3))
+        except (ValueError, IndexError, zlib.error, struct.error):
+            return None
+        out = {}
+        for code, gname in names.items():
+            u = _glyph_to_unicode(gname)
+            if u is not None:
+                out[code] = u
+        if not out or all(out.get(b) == chr(b) for b in out):
+            return None  # nothing beyond the Latin-1 fallback
         return out
 
     def _type0_fontfile_map(self, f: dict) -> dict[int, str] | None:

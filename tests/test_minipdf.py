@@ -1490,3 +1490,121 @@ class TestType0EmbeddedFontCmap:
             0x1F600: 40, 0x1F601: 41, 0x1F602: 42,
         }
         assert sfnt.gid_to_unicode(font)[40] == "😀"
+
+
+def _cff_simple_pdf(content: bytes, font: bytes, with_encoding: bytes | None = None) -> bytes:
+    """One page whose /F1 is a SIMPLE Type1 font with an embedded CFF
+    (/FontFile3, Type1C), no /ToUnicode: text is only recoverable from
+    the CFF program's own built-in encoding."""
+    enc = b"/Encoding " + with_encoding if with_encoding else b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Embedded-T1C "
+        + enc + b" /FontDescriptor 6 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /Embedded-T1C /Flags 4 "
+        b"/FontFile3 7 0 R >>",
+        b"<< /Subtype /Type1C /Length " + str(len(font)).encode()
+        + b" >>\nstream\n" + font + b"\nendstream",
+    ]
+    return _wrap_pdf(objs)
+
+
+class TestCffBuiltinEncoding:
+    """Simple-font text recovery from the embedded CFF (Type1C)
+    program's CUSTOM built-in encoding — the /FontFile3 complement of
+    the TrueType-cmap path (no /ToUnicode, no /Encoding dict)."""
+
+    def _fixture(self, text: str):
+        from pdf2dataset_spark.sources import cff
+
+        # scramble: code i+1 shows the i-th distinct char — Latin-1
+        # decoding would yield control chars, so recovery is provable
+        import unicodedata
+
+        chars = sorted(set(text))
+        code_of = {ch: i + 1 for i, ch in enumerate(chars)}
+        name_of = {
+            " ": "space", "!": "exclam", ",": "comma", ".": "period",
+            "'": "quotesingle",
+        }
+        c2n = {}
+        for ch, code in code_of.items():
+            c2n[code] = name_of.get(ch) or (
+                ch if ch.isalpha() and ch.isascii()
+                else f"uni{ord(ch):04X}"
+            )
+        font = cff.build_cff(c2n)
+        body = bytes(code_of[ch] for ch in text)
+        content = b"BT /F1 12 Tf (" + body + b") Tj ET"
+        return font, content
+
+    def test_cff_module_roundtrip(self):
+        from pdf2dataset_spark.sources import cff
+
+        m = {32: "space", 65: "A", 66: "quotedblleft", 67: "myglyph",
+             233: "eacute", 200: "uni0416"}
+        assert cff.code_to_glyph_names(cff.build_cff(m)) == m
+
+    def test_custom_encoding_recovers_scrambled_text(self):
+        text = "Hello CFF recovery!"
+        font, content = self._fixture(text)
+        pdf = _cff_simple_pdf(content, font)
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_non_latin_glyphs_via_uni_names(self):
+        text = "café ЖЖ"
+        font, content = self._fixture(text)
+        pdf = _cff_simple_pdf(content, font)
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_encoding_dict_wins_over_builtin(self):
+        # /Differences maps code 1 to 'Z'; the CFF's built-in encoding
+        # would say 'H' - the PDF-side dict is authoritative
+        text = "H"
+        font, content = self._fixture(text)
+        pdf = _cff_simple_pdf(
+            content, font,
+            with_encoding=b"<< /Differences [1 /Z] >>",
+        )
+        assert minipdf.extract_page_texts(pdf) == ["Z"]
+
+    def test_garbage_cff_falls_back_not_crashes(self):
+        content = b"BT /F1 12 Tf (AB) Tj ET"
+        pdf = _cff_simple_pdf(content, b"\x00garbage not a font\xff")
+        assert minipdf.extract_page_texts(pdf) == ["AB"]  # Latin-1 fallback
+
+    def test_cid_keyed_cff_returns_empty_map(self):
+        from pdf2dataset_spark.sources import cff
+
+        # minimal CID-keyed marker: Top DICT with ROS (12 30)
+        font = bytearray(cff.build_cff({1: "A"}))
+        # parse path: build a font then verify code_to_glyph_names on a
+        # synthetic ROS dict returns {} via the public API
+        ros_top = cff._write_index([
+            b"\x1d\x00\x00\x00\x00\x1d\x00\x00\x00\x00\x1d\x00\x00\x00\x00"
+            b"\x0c\x1e"  # three dummy ints + ROS op
+        ])
+        hdr = bytes([1, 0, 4, 1])
+        name_idx = cff._write_index([b"CidFont"])
+        data = hdr + name_idx + ros_top + cff._write_index([]) + cff._write_index([])
+        assert cff.code_to_glyph_names(data) == {}
+
+    def test_predefined_encoding_returns_empty_map(self):
+        from pdf2dataset_spark.sources import cff
+
+        font = bytearray(cff.build_cff({1: "A", 2: "B"}))
+        # patch the Top DICT's Encoding operand to 0 (Standard): the
+        # parser must decline rather than invent a map
+        names = cff.code_to_glyph_names(bytes(font))
+        assert names  # sanity: custom encoding parses
+        s = bytes(font)
+        # rebuild with the Encoding operand patched to 0 (Standard)
+        import struct as _s
+        idx = s.find(b"\x1d", s.find(b"\x1d") + 5)  # second op29 = Encoding
+        patched = s[:idx + 1] + _s.pack(">i", 0) + s[idx + 5:]
+        assert cff.code_to_glyph_names(patched) == {}
