@@ -89,10 +89,12 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # jpeg decoder rewritten (scan-loop architecture)
     "a18_embedded_image_extract",
     "a19_color_image_extract",
-    # minipdf inline_images colorspace guard + CCITT branch
+    # minipdf: inline_images colorspace guard, CCITT K>0 branch,
+    # CFF /FontFile3 built-in-encoding path in page_fonts
     "a5_pdf_extract",
     "a16_encrypted_pdf_extract",
     "a17_cid_font_extract",
+    "a22_embedded_font_cmap_extract",
     # raster ocr_gray refactor (threshold binarization)
     "a6_page_render_ocr",
     # image decode feeds the pHash path
@@ -105,6 +107,12 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "f22_token_shard_packing",
     "e18_rolling_7day_revenue",
     "e5_global_sort",
+    # similarity.py PQ/IVFPQ additions sit beside these paths
+    "f4_topk_cosine",
+    "f5b_ivf_topk",
+    "f5c_topk_cosine_packed",
+    "f34_semantic_dedup",
+    "f38_semantic_dedup_nprobe",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

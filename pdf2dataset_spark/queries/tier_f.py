@@ -317,6 +317,28 @@ def f5d_pq_adc_topk(spark, sf_dir):
     return sim.pq_topk_exact(e, cb, q, dim=64, m=2, k=5)
 
 
+@query("f5e_ivfpq_topk", sql=None, tier="F")
+def f5e_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ residual ANN (F5 scale flagship): coarse centroids route
+    queries to nprobe lists; product-quantized RESIDUAL codes (m uint8
+    bytes/vector) score via per-list scalar + LUT gathers — the
+    FAISS-IndexIVFPQ shape, memory-bound at 100 TB (the index is
+    id + list + m bytes per vector). k-means codebooks + numpy ADC →
+    rows-only; ADC-definition replay, planted-duplicate retrieval and
+    partner-recall laws in tests/test_pq.py + tools/bench_ann.py."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sim._ivf_centroids(e, 8, "vec_id", "embedding")
+    idx, cb = sim.ivfpq_build(
+        e, cents, dim=64, m=8, ksub=16, iters=3, sample_rows=65_536
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivfpq_topk(
+        idx, cents, cb, q, dim=64, m=8, ksub=16, nprobe=2, k=5
+    )
+
+
 # --------------------------------------------------------------- F6
 @query(
     "f6_text_statistics",

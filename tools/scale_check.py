@@ -604,6 +604,110 @@ def main() -> None:
         return {"hashes": n, "pairs": int(a["n_pairs"]),
                 "rendered": m, "render_dup_pairs": got}
 
+    def pq_ivfpq_dup_law():
+        """PQ / IVF+PQ at 1M vectors: identical vectors must quantize
+        to identical codes (and identical lists), and ADC retrieval
+        must surface a planted duplicate at its original's tied score
+        — the code-path laws behind semantic near-dup retrieval,
+        exercised with real multi-partition encode/scan tasks."""
+        from pdf2dataset_spark.operators import similarity as sim
+
+        n = int(1_000_000 * mult)
+        step = 100
+        dim, m, ksub = 64, 8, 64
+        # UNCLUSTERED noise: the retrieval law below needs ~unique codes
+        # (code space 64^8 >> n). On a dense clustered corpus thousands
+        # of vectors legitimately share one code and the deterministic
+        # lowest-id tie-break ranks a high-id duplicate out of top-k —
+        # that regime's guarantees (code identity, tied-max score) are
+        # laws 1/3; exact retrieval is provable only here.
+        noise = lambda a, b, j: (  # noqa: E731
+            F.pmod(F.xxhash64(a, b, F.lit(j)), F.lit(2_000_001))
+            / 1_000_000.0 - 1.0
+        )
+        vec = F.array(*[
+            noise(F.col("vec_id"), F.lit(1), j).cast("double")
+            for j in range(dim)
+        ])
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id")
+        ).select("vec_id", vec.alias("embedding"))
+        dups = base.filter(F.col("vec_id") % step == 0).select(
+            (F.col("vec_id") + n).alias("vec_id"), "embedding"
+        )
+        corpus = base.unionByName(dups).persist()
+        n_dups = corpus.count() - n
+
+        cb = sim.pq_train(corpus, dim=dim, m=m, ksub=ksub, iters=3)
+        codes = sim.pq_encode_fast(
+            corpus, cb, dim=dim, m=m, ksub=ksub
+        ).persist()
+        total = codes.count()
+        assert total == n + n_dups
+        # law 1: duplicate rows carry byte-identical codes
+        orig = codes.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("o_id"), F.col("pq_code").alias("o_code")
+        )
+        mism = (
+            codes.filter(F.col("vec_id") >= n)
+            .select((F.col("vec_id") - n).alias("o_id"), "pq_code")
+            .join(orig, "o_id")
+            .filter(F.col("pq_code") != F.col("o_code"))
+            .count()
+        )
+        assert mism == 0, f"{mism} duplicate code mismatches"
+
+        # law 2: ADC retrieval surfaces each planted dup at the tied-max
+        q = base.filter(
+            F.col("vec_id") % (n // 20) == 0
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        nq = q.count()
+        top = sim.pq_topk(
+            codes, cb, q, dim=dim, m=m, ksub=ksub, k=10
+        ).collect()
+        # presence, not rank-1: ADC max-IP is not guaranteed at the
+        # self code (a larger-norm codeword can out-score the argmin-L2
+        # quantization), so the law is top-k membership
+        found = sum(1 for r in top if r.vec_id == r.query_id + n)
+        assert found == nq, f"pq dup retrieval {found}/{nq}"
+
+        # law 3: IVF+PQ — same list, same residual code, retrieved
+        cents = sim._ivf_centroids(corpus, 64, "vec_id", "embedding")
+        idx, icb = sim.ivfpq_build(
+            corpus, cents, dim=dim, m=m, ksub=ksub, iters=3
+        )
+        idx = idx.persist()
+        iorig = idx.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("o_id"),
+            F.col("list_id").alias("o_list"),
+            F.col("pq_code").alias("o_code"),
+        )
+        imism = (
+            idx.filter(F.col("vec_id") >= n)
+            .select(
+                (F.col("vec_id") - n).alias("o_id"), "list_id", "pq_code"
+            )
+            .join(iorig, "o_id")
+            .filter(
+                (F.col("list_id") != F.col("o_list"))
+                | (F.col("pq_code") != F.col("o_code"))
+            )
+            .count()
+        )
+        assert imism == 0, f"{imism} ivfpq list/code mismatches"
+        itop = sim.ivfpq_topk(
+            idx, cents, icb, q, dim=dim, m=m, ksub=ksub, nprobe=8, k=10
+        ).collect()
+        ifound = sum(1 for r in itop if r.vec_id == r.query_id + n)
+        assert ifound == nq, f"ivfpq dup retrieval {ifound}/{nq}"
+        corpus.unpersist()
+        codes.unpersist()
+        idx.unpersist()
+        return {"vectors": total, "dups": n_dups, "queries": nq}
+
     check("mixture_determinism_and_law", mixture_law)
     check("lsh_exact_dup_collision", lsh_collision_law)
     check("ingest_dedup_cross_strategy_10M", ingest_dedup_cross_strategy)
@@ -611,6 +715,7 @@ def main() -> None:
     check("shard_packing_cross_engine_10M", shard_packing_cross_engine)
     check("bpe_pairs_cross_engine_10M", bpe_pairs_cross_engine)
     check("imagehash_banding_law_600k", imagehash_banding_law)
+    check("pq_ivfpq_dup_law_1M", pq_ivfpq_dup_law)
     # the ranked frames persisted by checks 1/2/12 are no longer
     # needed once their actions finish — release so a long harness run
     # doesn't hold cached RDDs (and to exercise the cleanup path)
