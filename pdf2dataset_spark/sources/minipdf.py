@@ -893,22 +893,31 @@ class PdfDocument:
         return out
 
     def _fontfile3_builtin_map(self, f: dict) -> dict[int, str] | None:
-        """code → unicode for a simple font from its embedded CFF
-        (/FontFile3, Type1C) program's own custom encoding: CFF
-        Encoding maps byte codes to glyphs, charset to glyph names,
-        the AGL subset to unicode. Returns None when the font is
-        CID-keyed, uses a predefined encoding, adds nothing over the
-        Latin-1 fallback, or is malformed — never guesses."""
+        """code → unicode for a simple font from its embedded font
+        program's own custom encoding: CFF (/FontFile3, Type1C —
+        Encoding + charset + standard strings via sources/cff) or
+        PostScript Type1 (/FontFile — cleartext/eexec ``dup N /name
+        put`` array via sources/type1); glyph names map to unicode
+        through the AGL subset. Returns None when the font is
+        CID-keyed, uses a predefined/standard encoding, adds nothing
+        over the Latin-1 fallback, or is malformed — never guesses."""
         try:
             fd = self.resolve(f.get("/FontDescriptor"))
             if not isinstance(fd, dict):
                 return None
+            names = None
             ff3 = self.resolve(fd.get("/FontFile3"))
-            if not isinstance(ff3, StreamObj):
-                return None
-            from pdf2dataset_spark.sources import cff
+            if isinstance(ff3, StreamObj):
+                from pdf2dataset_spark.sources import cff
 
-            names = cff.code_to_glyph_names(self.stream_bytes(ff3))
+                names = cff.code_to_glyph_names(self.stream_bytes(ff3))
+            else:
+                ff1 = self.resolve(fd.get("/FontFile"))
+                if not isinstance(ff1, StreamObj):
+                    return None
+                from pdf2dataset_spark.sources import type1
+
+                names = type1.code_to_glyph_names(self.stream_bytes(ff1))
         except (ValueError, IndexError, zlib.error, struct.error):
             return None
         out = {}

@@ -1608,3 +1608,86 @@ class TestCffBuiltinEncoding:
         idx = s.find(b"\x1d", s.find(b"\x1d") + 5)  # second op29 = Encoding
         patched = s[:idx + 1] + _s.pack(">i", 0) + s[idx + 5:]
         assert cff.code_to_glyph_names(patched) == {}
+
+
+def _type1_simple_pdf(content: bytes, font: bytes) -> bytes:
+    """One page whose /F1 is a simple Type1 font embedded as
+    /FontFile (PostScript program), no /ToUnicode, no /Encoding."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Embedded-T1 "
+        b"/FontDescriptor 6 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /Embedded-T1 /Flags 4 "
+        b"/FontFile 7 0 R >>",
+        b"<< /Length1 " + str(len(font)).encode() + b" /Length "
+        + str(len(font)).encode() + b" >>\nstream\n" + font
+        + b"\nendstream",
+    ]
+    return _wrap_pdf(objs)
+
+
+class TestType1BuiltinEncoding:
+    """Simple-font text recovery from an embedded PostScript Type1
+    program's custom encoding (/FontFile) — the third member of the
+    embedded-font trio (FontFile2 TrueType, FontFile3 CFF)."""
+
+    def test_module_roundtrip_pfb_eexec_hex(self):
+        import struct
+
+        from pdf2dataset_spark.sources import type1
+
+        m = {1: "H", 2: "e", 32: "space", 200: "uni0416"}
+        f = type1.build_type1(m)
+        assert type1.code_to_glyph_names(f) == m
+        pfb = b"\x80\x01" + struct.pack("<I", len(f)) + f + b"\x80\x03"
+        assert type1.code_to_glyph_names(pfb) == m
+
+        def eexec_encrypt(plain):
+            r = 55665
+            c1, c2 = 52845, 22719
+            out = bytearray()
+            for b in b"\x00\x00\x00\x00" + plain:
+                c = b ^ (r >> 8)
+                out.append(c)
+                r = ((c + r) * c1 + c2) & 0xFFFF
+            return bytes(out)
+
+        hidden = (b"/Encoding 256 array\ndup 5 /Agrave put\n"
+                  b"readonly def\n")
+        base = b"%!PS-AdobeFont-1.0\n/FontType 1 def\ncurrentfile eexec\n"
+        assert type1.code_to_glyph_names(
+            base + eexec_encrypt(hidden)
+        ) == {5: "Agrave"}
+        assert type1.code_to_glyph_names(
+            base + eexec_encrypt(hidden).hex().encode()
+        ) == {5: "Agrave"}
+        std = b"%!PS\n/Encoding StandardEncoding def\n"
+        assert type1.code_to_glyph_names(std) == {}
+        assert type1.code_to_glyph_names(b"\xff\xfenot a font") == {}
+
+    def test_custom_encoding_recovers_scrambled_text(self):
+        from pdf2dataset_spark.sources import type1
+
+        text = "Type1 works, too!"
+        chars = sorted(set(text))
+        code_of = {ch: i + 1 for i, ch in enumerate(chars)}
+        name_of = {" ": "space", "!": "exclam", ",": "comma",
+                   "1": "one", "T": "T"}
+        c2n = {
+            code: name_of.get(ch)
+            or (ch if ch.isalpha() and ch.isascii() else f"uni{ord(ch):04X}")
+            for ch, code in code_of.items()
+        }
+        font = type1.build_type1(c2n)
+        body = bytes(code_of[ch] for ch in text)
+        pdf = _type1_simple_pdf(b"BT /F1 12 Tf (" + body + b") Tj ET", font)
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_garbage_type1_falls_back(self):
+        pdf = _type1_simple_pdf(b"BT /F1 12 Tf (AB) Tj ET", b"\x00junk")
+        assert minipdf.extract_page_texts(pdf) == ["AB"]
