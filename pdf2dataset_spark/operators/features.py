@@ -135,6 +135,29 @@ embedded_image_meta_feature = Feature(
     "embedded_image_meta", "string", _embedded_image_meta
 )
 
+def _annotations(ctx: PageContext) -> str | None:
+    notes = ctx.codec.page_annotations(ctx.handle, ctx.page)
+    return "\n".join(notes) if notes else None
+
+
+def _outline(ctx: PageContext) -> str | None:
+    items = ctx.codec.doc_outline(ctx.handle)
+    if not items:
+        return None
+    return "\n".join("  " * depth + title for depth, title in items)
+
+
+# annotation text (comments, highlights, form values) per page and the
+# document bookmark outline (doc-level, repeated per page row like
+# title/author — the handle caches the parse)
+annotations_feature = Feature("annotations", "string", _annotations)
+n_annotations_feature = Feature(
+    "n_annotations",
+    "int32",
+    lambda ctx: len(ctx.codec.page_annotations(ctx.handle, ctx.page)),
+)
+outline_feature = Feature("outline", "string", _outline)
+
 BUILTIN_FEATURES: dict[str, Feature] = {
     f.name: f
     for f in (
@@ -146,6 +169,9 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         n_images_feature,
         embedded_image_feature,
         embedded_image_meta_feature,
+        annotations_feature,
+        n_annotations_feature,
+        outline_feature,
     )
 }
 

@@ -59,6 +59,15 @@ class DocumentCodec:
         """Document-level metadata (Title/Author/...); {} if none."""
         return {}
 
+    def page_annotations(self, handle: Any, page: int) -> list[str]:
+        """Annotation text on a page (comments, highlights, form
+        values); [] when the format has no such concept."""
+        return []
+
+    def doc_outline(self, handle: Any) -> list[tuple[int, str]]:
+        """Flattened (depth, title) bookmark outline; [] if none."""
+        return []
+
 
 def parse_image_size(image_size: str | None) -> tuple[int, int] | None:
     """Upstream-style 'WxH' image size spec → (w, h)."""
@@ -182,6 +191,14 @@ class PdfCodec(DocumentCodec):
 
     def doc_info(self, handle: "_PdfHandle") -> dict[str, str]:
         return handle.doc.info() if handle.doc is not None else {}
+
+    def page_annotations(self, handle: "_PdfHandle", page: int) -> list[str]:
+        if handle.doc is None:
+            return []
+        return handle.doc.page_annotations(handle.doc.pages()[page - 1])
+
+    def doc_outline(self, handle: "_PdfHandle") -> list[tuple[int, str]]:
+        return handle.doc.outline() if handle.doc is not None else []
 
     def page_count(self, handle: "_PdfHandle") -> int:
         return len(handle.pages)

@@ -802,6 +802,62 @@ class PdfDocument:
         self._info_cache = out
         return out
 
+    def page_annotations(self, page: dict) -> list[str]:
+        """Text carried by a page's annotations (ISO 32000 §12.5), in
+        /Annots array order: markup /Contents strings (comments,
+        highlights, free text) and form-field values (/V — string
+        values decoded, name values stripped of the slash). /Popup
+        annotations are skipped — their text duplicates the parent
+        markup annotation's /Contents."""
+        annots = self.resolve(page.get("/Annots"))
+        out: list[str] = []
+        if not isinstance(annots, list):
+            return out
+        for ref in annots:
+            a = self.resolve(ref)
+            if not isinstance(a, dict):
+                continue
+            if self.resolve(a.get("/Subtype")) == "/Popup":
+                continue
+            for key in ("/Contents", "/V"):
+                v = self.resolve(a.get(key))
+                if isinstance(v, bytes):
+                    t = _decode_text_string(v).strip()
+                    if t:
+                        out.append(t)
+                elif isinstance(v, str) and v.startswith("/"):
+                    out.append(v[1:])  # name-valued field (radio/choice)
+        return out
+
+    def outline(self) -> list[tuple[int, str]]:
+        """Flattened document outline (bookmarks, ISO 32000 §12.3.3):
+        (depth, title) pairs in reading order — depth-first /First
+        child descent, /Next sibling walk, cycle-guarded (malformed
+        files can link outline items into loops)."""
+        try:
+            cat = self._catalog()
+        except ValueError:
+            return []
+        root = self.resolve(cat.get("/Outlines"))
+        if not isinstance(root, dict):
+            return []
+        out: list[tuple[int, str]] = []
+        seen: set[int] = set()
+
+        def walk(node, depth: int) -> None:
+            while isinstance(node, dict) and len(out) < 10_000:
+                if id(node) in seen:
+                    return
+                seen.add(id(node))
+                t = self.resolve(node.get("/Title"))
+                if isinstance(t, bytes):
+                    out.append((depth, _decode_text_string(t)))
+                walk(self.resolve(node.get("/First")), depth + 1)
+                node = self.resolve(node.get("/Next"))
+
+        walk(self.resolve(root.get("/First")), 0)
+        return out
+
     # -- page tree ----------------------------------------------------
     def _catalog(self) -> dict:
         for obj in self.objects.values():
@@ -814,7 +870,12 @@ class PdfDocument:
         """Page dicts in document order (depth-first /Kids walk).
         /Resources is inheritable (ISO 32000-1 Table 30): a page
         without its own picks up the nearest ancestor's, materialized
-        into the returned dict so font lookup needs no tree walk."""
+        into the returned dict so font lookup needs no tree walk.
+        Memoized — per-page feature accessors (annotations) re-enter
+        this per row."""
+        cached = getattr(self, "_pages_cache", None)
+        if cached is not None:
+            return cached
         root = self.resolve(self._catalog().get("/Pages"))
         out: list[dict] = []
 
@@ -834,6 +895,7 @@ class PdfDocument:
         walk(root, 0, None)
         if not out:
             raise ValueError("page tree contains no /Page objects")
+        self._pages_cache = out
         return out
 
     def page_fonts(self, page: dict) -> dict[str, tuple[dict[int, str], int]]:

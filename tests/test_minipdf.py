@@ -1691,3 +1691,87 @@ class TestType1BuiltinEncoding:
     def test_garbage_type1_falls_back(self):
         pdf = _type1_simple_pdf(b"BT /F1 12 Tf (AB) Tj ET", b"\x00junk")
         assert minipdf.extract_page_texts(pdf) == ["AB"]
+
+
+class TestAnnotationsAndOutline:
+    """Annotation text (/Annots: markup /Contents, form /V) and the
+    bookmark outline (/Outlines tree) — corpus signals beyond the
+    page's content stream."""
+
+    def _pdf(self):
+        utf16_note = "\xfe\xff".encode("latin-1") + "Résumé note".encode(
+            "utf-16-be"
+        )
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R /Outlines 10 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Annots [5 0 R 6 0 R 7 0 R 8 0 R 9 0 R] >>",
+            b"<< /Length 24 >>\nstream\nBT (body text) Tj ET\nendstream",
+            b"<< /Type /Annot /Subtype /Text /Contents (a sticky comment) >>",
+            b"<< /Type /Annot /Subtype /Highlight /Contents (" + utf16_note
+            + b") >>",
+            b"<< /Type /Annot /Subtype /Widget /T (name) /V (Ada) >>",
+            b"<< /Type /Annot /Subtype /Widget /T (choice) /V /OptionB >>",
+            b"<< /Type /Annot /Subtype /Popup /Contents (dup of parent) >>",
+            b"<< /Type /Outlines /First 11 0 R /Last 12 0 R >>",
+            b"<< /Title (Chapter 1) /Parent 10 0 R /Next 12 0 R "
+            b"/First 13 0 R /Last 13 0 R >>",
+            b"<< /Title (Chapter 2) /Parent 10 0 R /Prev 11 0 R >>",
+            b"<< /Title (Section 1.1) /Parent 11 0 R >>",
+        ]
+        return _wrap_pdf(objs)
+
+    def test_page_annotations_order_decode_and_popup_skip(self):
+        doc = minipdf.PdfDocument(self._pdf())
+        notes = doc.page_annotations(doc.pages()[0])
+        assert notes == [
+            "a sticky comment",
+            "Résumé note",
+            "Ada",
+            "OptionB",
+        ]
+
+    def test_outline_flattening_with_depth(self):
+        doc = minipdf.PdfDocument(self._pdf())
+        assert doc.outline() == [
+            (0, "Chapter 1"),
+            (1, "Section 1.1"),
+            (0, "Chapter 2"),
+        ]
+
+    def test_outline_cycle_guard(self):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R /Outlines 4 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R >>",
+            b"<< /Type /Outlines /First 5 0 R >>",
+            b"<< /Title (loop) /Next 5 0 R >>",  # self-cycle
+        ]
+        doc = minipdf.PdfDocument(_wrap_pdf(objs))
+        assert doc.outline() == [(0, "loop")]
+
+    def test_features_surface(self):
+        from pdf2dataset_spark.operators import features as ft
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        hd = codec.open(self._pdf())
+        ctx = ft.PageContext(path="mem", codec=codec, handle=hd, page=1)
+        assert ft.BUILTIN_FEATURES["n_annotations"].fn(ctx) == 4
+        assert "sticky comment" in ft.BUILTIN_FEATURES["annotations"].fn(ctx)
+        assert ft.BUILTIN_FEATURES["outline"].fn(ctx) == (
+            "Chapter 1\n  Section 1.1\nChapter 2"
+        )
+
+    def test_absent_annots_and_outline_are_none(self):
+        from pdf2dataset_spark.operators import features as ft
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pdf = minipdf.build_pdf(["plain page"])
+        codec = PdfCodec()
+        hd = codec.open(pdf)
+        ctx = ft.PageContext(path="mem", codec=codec, handle=hd, page=1)
+        assert ft.BUILTIN_FEATURES["annotations"].fn(ctx) is None
+        assert ft.BUILTIN_FEATURES["n_annotations"].fn(ctx) == 0
+        assert ft.BUILTIN_FEATURES["outline"].fn(ctx) is None
