@@ -150,6 +150,27 @@ def _outline(ctx: PageContext) -> str | None:
 # annotation text (comments, highlights, form values) per page and the
 # document bookmark outline (doc-level, repeated per page row like
 # title/author — the handle caches the parse)
+def _attachment_names(ctx: PageContext) -> str | None:
+    atts = ctx.codec.doc_attachments(ctx.handle)
+    return "\n".join(a["name"] for a in atts) if atts else None
+
+
+def _first_attachment(ctx: PageContext) -> bytes | None:
+    atts = ctx.codec.doc_attachments(ctx.handle)
+    return atts[0]["data"] if atts else None
+
+
+# embedded file attachments (doc-level, repeated per page row)
+n_attachments_feature = Feature(
+    "n_attachments",
+    "int32",
+    lambda ctx: len(ctx.codec.doc_attachments(ctx.handle)),
+)
+attachment_names_feature = Feature(
+    "attachment_names", "string", _attachment_names
+)
+attachment_feature = Feature("attachment", "binary", _first_attachment)
+
 annotations_feature = Feature("annotations", "string", _annotations)
 n_annotations_feature = Feature(
     "n_annotations",
@@ -172,6 +193,9 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         annotations_feature,
         n_annotations_feature,
         outline_feature,
+        n_attachments_feature,
+        attachment_names_feature,
+        attachment_feature,
     )
 }
 

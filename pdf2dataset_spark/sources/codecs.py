@@ -68,6 +68,11 @@ class DocumentCodec:
         """Flattened (depth, title) bookmark outline; [] if none."""
         return []
 
+    def doc_attachments(self, handle: Any) -> list[dict]:
+        """Embedded file attachments ({name, data, size}); [] when
+        the format has no such concept."""
+        return []
+
 
 def parse_image_size(image_size: str | None) -> tuple[int, int] | None:
     """Upstream-style 'WxH' image size spec → (w, h)."""
@@ -199,6 +204,9 @@ class PdfCodec(DocumentCodec):
 
     def doc_outline(self, handle: "_PdfHandle") -> list[tuple[int, str]]:
         return handle.doc.outline() if handle.doc is not None else []
+
+    def doc_attachments(self, handle: "_PdfHandle") -> list[dict]:
+        return handle.doc.attachments() if handle.doc is not None else []
 
     def page_count(self, handle: "_PdfHandle") -> int:
         return len(handle.pages)

@@ -858,6 +858,79 @@ class PdfDocument:
         walk(self.resolve(root.get("/First")), 0)
         return out
 
+    def attachments(self) -> list[dict]:
+        """Embedded file attachments (ISO 32000 §7.11, §12.5.6.15):
+        the catalog's /Names → /EmbeddedFiles name tree (flat /Names
+        arrays and /Kids subtrees) plus /FileAttachment annotations'
+        /FS filespecs, in discovery order. Each entry carries ``name``
+        (/UF preferred over /F, text-string decoded), ``data`` (the
+        /EF stream, filters undone) and ``size`` (actual byte count).
+        Malformed filespecs are skipped, never guessed at."""
+        out: list[dict] = []
+        seen_streams: set[int] = set()
+
+        def filespec(fs) -> None:
+            fs = self.resolve(fs)
+            if not isinstance(fs, dict):
+                return
+            ef = self.resolve(fs.get("/EF"))
+            if not isinstance(ef, dict):
+                return
+            stream = self.resolve(ef.get("/UF"))
+            if not isinstance(stream, StreamObj):
+                stream = self.resolve(ef.get("/F"))
+            if not isinstance(stream, StreamObj) or id(stream) in seen_streams:
+                return
+            try:
+                data = self.stream_bytes(stream)
+            except (ValueError, IndexError, zlib.error):
+                return
+            seen_streams.add(id(stream))
+            name = self.resolve(fs.get("/UF"))
+            if not isinstance(name, bytes):
+                name = self.resolve(fs.get("/F"))
+            out.append(
+                {
+                    "name": _decode_text_string(name)
+                    if isinstance(name, bytes)
+                    else "",
+                    "data": data,
+                    "size": len(data),
+                }
+            )
+
+        def tree(node, depth: int = 0) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict) or depth > 32:
+                return
+            names = self.resolve(node.get("/Names"))
+            if isinstance(names, list):
+                for i in range(1, len(names), 2):
+                    filespec(names[i])
+            for kid in self.resolve(node.get("/Kids")) or []:
+                tree(kid, depth + 1)
+
+        try:
+            cat = self._catalog()
+        except ValueError:
+            return out
+        nm = self.resolve(cat.get("/Names"))
+        if isinstance(nm, dict):
+            tree(nm.get("/EmbeddedFiles"))
+        try:
+            pages = self.pages()
+        except ValueError:
+            pages = []
+        for page in pages:
+            for ref in self.resolve(page.get("/Annots")) or []:
+                a = self.resolve(ref)
+                if (
+                    isinstance(a, dict)
+                    and self.resolve(a.get("/Subtype")) == "/FileAttachment"
+                ):
+                    filespec(a.get("/FS"))
+        return out
+
     # -- page tree ----------------------------------------------------
     def _catalog(self) -> dict:
         for obj in self.objects.values():

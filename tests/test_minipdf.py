@@ -1775,3 +1775,50 @@ class TestAnnotationsAndOutline:
         assert ft.BUILTIN_FEATURES["annotations"].fn(ctx) is None
         assert ft.BUILTIN_FEATURES["n_annotations"].fn(ctx) == 0
         assert ft.BUILTIN_FEATURES["outline"].fn(ctx) is None
+
+
+class TestAttachments:
+    """Embedded file attachments: name tree (flat + /Kids), filter
+    chains undone, /UF preference, /FileAttachment annotations,
+    duplicate filespec dedup, malformed skip."""
+
+    def test_name_tree_kids_and_annotation(self):
+        import zlib
+
+        payload = b"kid-tree file"
+        z = zlib.compress(payload)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R /Names << /EmbeddedFiles "
+            b"<< /Kids [10 0 R] >> >> >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Annots [6 0 R] >>",
+            b"<< /Type /Filespec /F (legacy.txt) /UF (" +
+            "\xfe\xff".encode("latin-1") + "unïcode.txt".encode("utf-16-be")
+            + b") /EF << /F 5 0 R >> >>",
+            b"<< /Filter /FlateDecode /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream",
+            # annotation pointing at the SAME filespec: deduped
+            b"<< /Type /Annot /Subtype /FileAttachment /FS 4 0 R >>",
+            b"<< >>",  # filler
+            b"<< >>",
+            b"<< >>",
+            b"<< /Names [(x) 4 0 R] >>",  # the /Kids leaf
+        ]
+        doc = minipdf.PdfDocument(_wrap_pdf(objs))
+        atts = doc.attachments()
+        assert len(atts) == 1  # same /EF stream via tree AND annot
+        assert atts[0]["name"] == "unïcode.txt"  # /UF wins
+        assert atts[0]["data"] == payload
+        assert atts[0]["size"] == len(payload)
+
+    def test_malformed_filespec_skipped(self):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R /Names << /EmbeddedFiles "
+            b"<< /Names [(bad) 4 0 R (none) 5 0 R] >> >> >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R >>",
+            b"<< /Type /Filespec /F (bad) /EF << /F 99 0 R >> >>",  # dangling
+            b"<< /Type /Filespec /F (none) >>",  # no /EF
+        ]
+        doc = minipdf.PdfDocument(_wrap_pdf(objs))
+        assert doc.attachments() == []
