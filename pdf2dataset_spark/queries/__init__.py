@@ -95,6 +95,8 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a16_encrypted_pdf_extract",
     "a17_cid_font_extract",
     "a22_embedded_font_cmap_extract",
+    # JBIG2 codec (sources/jbig2) + scanned-route/page_images wiring
+    "a25_jbig2_scan_extract",
     # raster ocr_gray refactor (threshold binarization)
     "a6_page_render_ocr",
     # image decode feeds the pHash path

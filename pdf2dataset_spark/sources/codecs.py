@@ -309,6 +309,15 @@ class PdfCodec(DocumentCodec):
                     )
                 except (ValueError, IndexError):
                     continue
+            elif e["format"] == "jbig2":
+                from pdf2dataset_spark.sources import jbig2
+
+                try:
+                    w, h, px = jbig2.decode_jbig2_gray(
+                        e["data"], e.get("jbig2_globals")
+                    )
+                except (ValueError, IndexError, KeyError):
+                    continue
             elif e["format"] == "raw":
                 w, h, data = e.get("width"), e.get("height"), e["data"]
                 if not w or not h:

@@ -1,0 +1,1024 @@
+"""JBIG2 (ITU-T T.88) codec — the arithmetic bi-level scan codec.
+
+Alongside CCITT G4 (:mod:`sources.ccitt`), JBIG2 is the other codec
+real scanned PDFs carry their page bitmaps in (``/JBIG2Decode``,
+typically produced by scanner firmware or ``jbig2enc``-style
+recompressors). This module implements the PDF-embedded organization
+(ISO 32000-1 §7.4.7: a sequence of T.88 segments with no file header,
+optionally preceded by a shared ``/JBIG2Globals`` stream) with zero
+native deps, so JBIG2 scans flow into the embedded-image / OCR /
+pHash paths exactly like JPEG and CCITT ones do:
+
+- **MQ arithmetic coder** (T.88 Annex E): decoder AND encoder. The
+  encoder exists so tests can round-trip spec-valid streams this repo
+  authored (the :mod:`sources.ccitt` fixture strategy); the coder
+  pair is validated against the published T.88 Annex H.2 test
+  sequence (also ISO/IEC 15444-1's MQ test data).
+- **Generic region decoding** (T.88 §6.2): arithmetic templates 0-3
+  with AT pixel placement and TPGDON typical-prediction rows. MMR=1
+  generic regions route to :func:`sources.ccitt.decode_g4` — JBIG2
+  MMR *is* T.6 coding (T.88 §6.2.6).
+- **Symbol dictionary + text region** (T.88 §6.5 / §6.4, arithmetic
+  variant): the mode scanner encoders actually emit for text pages —
+  glyph bitmaps decode once into a dictionary and each placement is
+  an (id, ds, dt) triple via the Annex A adaptive integer decoders
+  (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT + IAID symbol codes). Huffman
+  variants and refinement coding raise :class:`JBIG2Unsupported`
+  with a named reason (kept honest; arithmetic covers the common
+  encoders, and the compressed payload is preserved either way).
+- **Segment parser + page assembly** (T.88 §7): header grammar
+  (32-bit segment numbers, long referred-to form, 1/2/4-byte
+  referent widths, 1/4-byte page associations), page info, end-of-
+  stripe/page/file, region composition with the external combination
+  operators, and unknown-height (0xFFFFFFFF) pages grown to fit
+  their stripes.
+
+Output convention matches :func:`sources.ccitt.decode_ccitt_gray`:
+8-bit gray samples, ink black = 0 (JBIG2's 1-pixels are black).
+
+Scale note: decode runs inside the Arrow-batched extraction UDFs;
+one page is O(pixels) python-int MQ work, parallelized per document
+by the mapInPandas fan-out like every other minipdf codec.
+"""
+
+from __future__ import annotations
+
+import struct
+from math import ceil, log2
+
+
+class JBIG2Error(ValueError):
+    """Malformed JBIG2 stream."""
+
+
+class JBIG2Unsupported(JBIG2Error):
+    """Valid JBIG2 feature outside this decoder's scope (Huffman
+    tables, refinement coding, aggregate symbols)."""
+
+
+# =====================================================================
+# MQ arithmetic coder (T.88 Annex E; table E.1)
+# =====================================================================
+
+# (Qe, NMPS, NLPS, SWITCH)
+_QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class MQDecoder:
+    """T.88 E.3 decoder (software conventions: DECODE/BYTEIN/RENORMD).
+
+    Contexts are 2-item lists ``[state_index, mps]`` mutated in place
+    (the caller owns allocation — generic regions key them by the
+    pixel-template context value, integer decoders by PREV)."""
+
+    __slots__ = ("data", "bp", "c", "ct", "a")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data, bp = self.data, self.bp
+        b = data[bp] if bp < len(data) else 0xFF
+        b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+        if b == 0xFF:
+            if b1 > 0x8F:
+                # marker / past end: feed 1-bits forever (E.3.4)
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: list) -> int:
+        qe, nmps, nlps, switch = _QE[cx[0]]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path (E.3.2 DECODE lower branch)
+            if self.a < qe:
+                d = cx[1]
+                cx[0] = nmps
+            else:
+                d = 1 - cx[1]
+                if switch:
+                    cx[1] = 1 - cx[1]
+                cx[0] = nlps
+            self.a = qe
+        else:
+            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+            if self.a & 0x8000:
+                return cx[1]
+            if self.a < qe:
+                d = 1 - cx[1]
+                if switch:
+                    cx[1] = 1 - cx[1]
+                cx[0] = nlps
+            else:
+                d = cx[1]
+                cx[0] = nmps
+        # RENORMD
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 E.2 encoder (CODEMPS/CODELPS/BYTEOUT/FLUSH). Produces
+    streams :class:`MQDecoder` reads back bit-exactly; used by the
+    fixture encoders below."""
+
+    __slots__ = ("a", "c", "ct", "out")
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        # out[0] is the spec's BPST-1 slot: a dummy byte that absorbs
+        # a first-byte carry (provably never set for a fresh coder —
+        # asserted at flush) and is stripped from the result.
+        self.out = bytearray(1)
+
+    def encode(self, d: int, cx: list) -> None:
+        qe, nmps, nlps, switch = _QE[cx[0]]
+        if d == cx[1]:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx[0] = nmps
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx[1] = 1 - cx[1]
+            cx[0] = nlps
+        # RENORME
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        out = self.out
+        if out[-1] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            out[-1] += 1  # propagate carry into the previous byte
+            if out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def flush(self) -> bytes:
+        # SETBITS (E.3.8): the decoder synthesizes 1-bits past the end
+        # of the stream, so the final code value must be C with its low
+        # bits FILLED WITH ONES — backed off by 0x8000 when that
+        # overshoots the interval top C+A.
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        if self.out[0]:
+            raise AssertionError("MQ carry escaped the code stream")
+        body = self.out[1:]
+        # trailing 0xFF bytes are redundant (the decoder synthesizes
+        # 1-bits past the end); keep them — harmless and spec-legal.
+        return bytes(body)
+
+
+# =====================================================================
+# Adaptive integer decoding (T.88 Annex A) + symbol-ID codes (A.3)
+# =====================================================================
+
+_OOB = object()  # out-of-band return of IntCoder.decode
+
+
+class IntCoderCx:
+    """One IAx context bank: 512 MQ contexts addressed by PREV."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = [[0, 0] for _ in range(512)]
+
+
+def _int_decode(dec: MQDecoder, bank: IntCoderCx):
+    """A.2 decoding procedure. Returns int or _OOB."""
+    cx = bank.cx
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(cx[prev])
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    if not bit():
+        n, off = 2, 0
+    elif not bit():
+        n, off = 4, 4
+    elif not bit():
+        n, off = 6, 20
+    elif not bit():
+        n, off = 8, 84
+    elif not bit():
+        n, off = 12, 340
+    else:
+        n, off = 32, 4436
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return _OOB
+    return -v if s else v
+
+
+def _int_encode(enc: MQEncoder, bank: IntCoderCx, value) -> None:
+    """Inverse of :func:`_int_decode` (same PREV walk)."""
+    cx = bank.cx
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(b, cx[prev])
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    if value is _OOB:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+    bit(s)
+    if v < 4:
+        bit(0)
+        n, off = 2, 0
+    elif v < 20:
+        bit(1), bit(0)
+        n, off = 4, 4
+    elif v < 84:
+        bit(1), bit(1), bit(0)
+        n, off = 6, 20
+    elif v < 340:
+        bit(1), bit(1), bit(1), bit(0)
+        n, off = 8, 84
+    elif v < 4436:
+        bit(1), bit(1), bit(1), bit(1), bit(0)
+        n, off = 12, 340
+    else:
+        bit(1), bit(1), bit(1), bit(1), bit(1)
+        n, off = 32, 4436
+    rem = v - off
+    for i in range(n - 1, -1, -1):
+        bit((rem >> i) & 1)
+
+
+def _iaid_decode(dec: MQDecoder, cx: list, codelen: int) -> int:
+    """A.3 symbol-ID decoding: a `codelen`-bit tree walk."""
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | dec.decode(cx[prev])
+    return prev - (1 << codelen)
+
+
+def _iaid_encode(enc: MQEncoder, cx: list, codelen: int, value: int) -> None:
+    prev = 1
+    for i in range(codelen - 1, -1, -1):
+        b = (value >> i) & 1
+        enc.encode(b, cx[prev])
+        prev = (prev << 1) | b
+
+
+def _iaid_cx(codelen: int) -> list:
+    return [[0, 0] for _ in range(1 << (codelen + 1))]
+
+
+# =====================================================================
+# Generic region coding (T.88 §6.2.5)
+# =====================================================================
+
+# Fixed (non-adaptive) template pixels per GBTEMPLATE, plus the
+# nominal AT positions (T.88 figures 4-7). Context bits are the
+# template pixels in raster order (y, then x), MSB first — the §6.2.5.7
+# convention.
+_GB_FIXED = {
+    0: ((-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    1: ((-1, -2), (0, -2), (1, -2), (2, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-3, 0), (-2, 0), (-1, 0)),
+    2: ((-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-2, 0), (-1, 0)),
+    3: ((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+}
+NOMINAL_AT = {
+    0: ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    1: ((3, -1),),
+    2: ((2, -1),),
+    3: ((2, -1),),
+}
+# SLTP pseudo-pixel contexts for TPGDON rows (§6.2.5.7 step 2)
+_SLTP_CX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+
+def _gb_template(template: int, at) -> tuple:
+    if template not in _GB_FIXED:
+        raise JBIG2Error(f"bad GBTEMPLATE {template}")
+    at = tuple(at) if at else NOMINAL_AT[template]
+    if len(at) != len(NOMINAL_AT[template]):
+        raise JBIG2Error(
+            f"template {template} needs {len(NOMINAL_AT[template])} AT pixels"
+        )
+    pix = list(_GB_FIXED[template]) + [(int(x), int(y)) for x, y in at]
+    pix.sort(key=lambda p: (p[1], p[0]))
+    for x, y in pix:
+        if y > 0 or (y == 0 and x >= 0):
+            raise JBIG2Error(f"AT pixel ({x},{y}) not strictly causal")
+    return tuple(pix)
+
+
+def _gb_context(rows, x: int, y: int, tmpl: tuple, w: int) -> int:
+    ctx = 0
+    for dx, dy in tmpl:
+        yy = y + dy
+        xx = x + dx
+        if 0 <= yy and 0 <= xx < w:
+            ctx = (ctx << 1) | rows[yy][xx]
+        else:
+            ctx <<= 1
+    return ctx
+
+
+def decode_generic(
+    dec: MQDecoder,
+    cx: dict,
+    width: int,
+    height: int,
+    template: int = 0,
+    at=None,
+    tpgdon: bool = False,
+) -> list:
+    """Arithmetic generic region decode → list of bytearray rows of
+    0/1 pixels (1 = black). `cx` is the shared context dict (one per
+    generic-coding scope: a region segment, or a whole symbol
+    dictionary)."""
+    tmpl = _gb_template(template, at)
+    sltp_cx = _SLTP_CX[template]
+    rows: list = []
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            ltp ^= dec.decode(state)
+            if ltp:
+                rows.append(bytearray(rows[-1]) if rows else bytearray(width))
+                continue
+        row = bytearray(width)
+        rows.append(row)
+        for x in range(width):
+            c = _gb_context(rows, x, y, tmpl, width)
+            state = cx.setdefault(c, [0, 0])
+            row[x] = dec.decode(state)
+    return rows
+
+
+def encode_generic(
+    enc: MQEncoder,
+    cx: dict,
+    rows,
+    template: int = 0,
+    at=None,
+    tpgdon: bool = False,
+) -> None:
+    """Inverse of :func:`decode_generic` (fixture author)."""
+    width = len(rows[0]) if rows else 0
+    tmpl = _gb_template(template, at)
+    sltp_cx = _SLTP_CX[template]
+    done: list = []
+    ltp = 0
+    for y, row in enumerate(rows):
+        if tpgdon:
+            typical = bool(done) and bytes(row) == bytes(done[-1])
+            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            enc.encode(int(typical) ^ ltp, state)
+            ltp = int(typical)
+            if ltp:
+                done.append(bytearray(row))
+                continue
+        done.append(bytearray(row))
+        for x in range(width):
+            c = _gb_context(done, x, y, tmpl, width)
+            state = cx.setdefault(c, [0, 0])
+            enc.encode(row[x], state)
+
+
+# =====================================================================
+# Segment grammar (T.88 §7.2)
+# =====================================================================
+
+# segment types (§7.3)
+SEG_SYMBOL_DICT = 0
+SEG_TEXT_INTERMEDIATE = 4
+SEG_TEXT_IMMEDIATE = 6
+SEG_TEXT_IMMEDIATE_LOSSLESS = 7
+SEG_PATTERN_DICT = 16
+SEG_HALFTONE = (20, 22, 23)
+SEG_GENERIC_INTERMEDIATE = 36
+SEG_GENERIC_IMMEDIATE = 38
+SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
+SEG_REFINEMENT = (40, 42, 43)
+SEG_PAGE_INFO = 48
+SEG_END_OF_PAGE = 49
+SEG_END_OF_STRIPE = 50
+SEG_END_OF_FILE = 51
+SEG_PROFILES = 52
+SEG_TABLES = 53
+SEG_EXTENSION = 62
+
+
+class Segment:
+    __slots__ = ("number", "type", "refs", "page", "data")
+
+    def __init__(self, number, stype, refs, page, data):
+        self.number = number
+        self.type = stype
+        self.refs = refs
+        self.page = page
+        self.data = data
+
+
+def parse_segments(data: bytes) -> list:
+    """Parse the embedded-organization segment sequence (§7.2; no
+    file header, 4-byte segment data lengths)."""
+    segs = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 11 > n:
+            raise JBIG2Error("truncated segment header")
+        number = struct.unpack_from(">I", data, pos)[0]
+        flags = data[pos + 4]
+        stype = flags & 0x3F
+        pos += 5
+        rts = data[pos]
+        count = rts >> 5
+        if count == 7:
+            count = struct.unpack_from(">I", data, pos)[0] & 0x1FFFFFFF
+            pos += 4 + (count + 8) // 8  # + retain-bit bytes
+        else:
+            pos += 1
+        size = 1 if number <= 256 else 2 if number <= 65536 else 4
+        refs = []
+        for _ in range(count):
+            refs.append(int.from_bytes(data[pos:pos + size], "big"))
+            pos += size
+        if flags & 0x40:
+            page = struct.unpack_from(">I", data, pos)[0]
+            pos += 4
+        else:
+            page = data[pos]
+            pos += 1
+        length = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+        if length == 0xFFFFFFFF:
+            raise JBIG2Unsupported("unknown-length segment data")
+        if pos + length > n:
+            raise JBIG2Error("segment data overruns stream")
+        segs.append(Segment(number, stype, refs, page, data[pos:pos + length]))
+        pos += length
+    return segs
+
+
+def _region_info(data: bytes, pos: int = 0):
+    """§7.4.1 region segment information field (17 bytes)."""
+    w, h, x, y = struct.unpack_from(">IIII", data, pos)
+    combop = data[pos + 16] & 0x07
+    return w, h, x, y, combop, pos + 17
+
+
+def _read_at(data: bytes, pos: int, count: int) -> tuple:
+    at = []
+    for _ in range(count):
+        ax = struct.unpack_from(">b", data, pos)[0]
+        ay = struct.unpack_from(">b", data, pos + 1)[0]
+        at.append((ax, ay))
+        pos += 2
+    return tuple(at), pos
+
+
+def _decode_generic_segment(seg_data: bytes):
+    """§7.4.6 generic region segment → (rows, x, y, combop)."""
+    w, h, x, y, combop, pos = _region_info(seg_data)
+    flags = seg_data[pos]
+    pos += 1
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    tpgdon = bool(flags & 8)
+    if mmr:
+        from pdf2dataset_spark.sources import ccitt
+
+        # JBIG2 MMR is T.6 (G4) coding over the region width; rows
+        # start white, odd-indexed change pairs delimit black runs.
+        lines = ccitt.decode_g4(seg_data[pos:], w, h)
+        rows = []
+        for changes in lines:
+            row = bytearray(w)
+            for j in range(0, len(changes), 2):
+                start = min(changes[j], w)
+                end = min(changes[j + 1], w) if j + 1 < len(changes) else w
+                for i in range(start, end):
+                    row[i] = 1
+            rows.append(row)
+        return rows, x, y, combop
+    at, pos = _read_at(seg_data, pos, 4 if template == 0 else 1)
+    dec = MQDecoder(seg_data[pos:])
+    rows = decode_generic(dec, {}, w, h, template, at, tpgdon)
+    return rows, x, y, combop
+
+
+# ------------------------------------------------------------------
+# Symbol dictionary (§6.5 / §7.4.3) and text region (§6.4 / §7.4.4)
+# ------------------------------------------------------------------
+
+
+def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
+    """Arithmetic symbol dictionary → exported symbol bitmaps."""
+    flags = struct.unpack_from(">H", seg_data, 0)[0]
+    pos = 2
+    if flags & 1:
+        raise JBIG2Unsupported("Huffman symbol dictionary")
+    if flags & 2:
+        raise JBIG2Unsupported("refinement/aggregate symbol dictionary")
+    if flags & 0x100 or flags & 0x200:
+        raise JBIG2Unsupported("retained bitmap coding contexts")
+    template = (flags >> 10) & 3
+    at, pos = _read_at(seg_data, pos, 4 if template == 0 else 1)
+    num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
+    pos += 8
+    dec = MQDecoder(seg_data[pos:])
+    iadh, iadw, iaex, iaai = (IntCoderCx() for _ in range(4))
+    gb_cx: dict = {}  # ONE generic context bank for the whole dict
+    new_syms: list = []
+    hc_height = 0
+    while len(new_syms) < num_new:
+        dh = _int_decode(dec, iadh)
+        if dh is _OOB:
+            raise JBIG2Error("OOB height delta")
+        hc_height += dh
+        sym_width = 0
+        while True:
+            dw = _int_decode(dec, iadw)
+            if dw is _OOB:
+                break
+            sym_width += dw
+            if len(new_syms) >= num_new:
+                raise JBIG2Error("more new symbols than declared")
+            if sym_width <= 0 or hc_height <= 0:
+                raise JBIG2Error("non-positive symbol dims")
+            new_syms.append(
+                decode_generic(dec, gb_cx, sym_width, hc_height, template, at)
+            )
+    # export flags (§6.5.10): alternating skip/export runs
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    i, flag = 0, 0
+    while i < len(all_syms):
+        run = _int_decode(dec, iaex)
+        if run is _OOB or run < 0:
+            raise JBIG2Error("bad export run")
+        if flag:
+            exported.extend(all_syms[i:i + run])
+        i += run
+        flag ^= 1
+    if len(exported) != num_ex:
+        raise JBIG2Error(
+            f"exported {len(exported)} symbols, declared {num_ex}"
+        )
+    return exported
+
+
+def _decode_text_region(seg_data: bytes, syms: list):
+    """Arithmetic text region → (rows, x, y, combop)."""
+    w, h, x, y, combop, pos = _region_info(seg_data)
+    flags = struct.unpack_from(">H", seg_data, pos)[0]
+    pos += 2
+    if flags & 1:
+        raise JBIG2Unsupported("Huffman text region")
+    refine = bool(flags & 2)
+    log_strips = (flags >> 2) & 3
+    strips = 1 << log_strips
+    ref_corner = (flags >> 4) & 3
+    transposed = bool(flags & 0x40)
+    comb_op = (flags >> 7) & 3
+    default_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    rtemplate = (flags >> 15) & 1
+    if refine and rtemplate == 0:
+        pos += 4  # refinement AT pixels (2 pairs)
+    num_instances = struct.unpack_from(">I", seg_data, pos)[0]
+    pos += 4
+    if not syms:
+        raise JBIG2Error("text region with no referred symbols")
+    codelen = max(0, ceil(log2(len(syms))))
+    dec = MQDecoder(seg_data[pos:])
+    iadt, iafs, iads, iait, iari = (IntCoderCx() for _ in range(5))
+    iaid_cx = _iaid_cx(codelen)
+    rows = [bytearray([default_pixel]) * w for _ in range(h)]
+
+    stript = _int_decode(dec, iadt)
+    if stript is _OOB:
+        raise JBIG2Error("OOB STRIPT")
+    stript *= -strips
+    firsts = 0
+    ninst = 0
+    while ninst < num_instances:
+        dt = _int_decode(dec, iadt)
+        if dt is _OOB:
+            raise JBIG2Error("OOB DT")
+        stript += dt * strips
+        dfs = _int_decode(dec, iafs)
+        if dfs is _OOB:
+            raise JBIG2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = _int_decode(dec, iads)
+                if ids is _OOB:
+                    break
+                curs += ids + ds_offset
+            first = False
+            curt = 0 if strips == 1 else _int_decode(dec, iait)
+            if curt is _OOB:
+                raise JBIG2Error("OOB CURT")
+            t = stript + curt
+            sym_id = _iaid_decode(dec, iaid_cx, codelen)
+            if not 0 <= sym_id < len(syms):
+                raise JBIG2Error(f"symbol id {sym_id} out of range")
+            if refine:
+                ri = _int_decode(dec, iari)
+                if ri is _OOB or ri:
+                    raise JBIG2Unsupported("refined symbol instance")
+            bm = syms[sym_id]
+            sh = len(bm)
+            sw = len(bm[0]) if sh else 0
+            # §6.4.5 step 3c: S always tracks the leading edge along
+            # the strip axis (pre-advance for right/bottom corners ≡
+            # draw-at-curs + uniform post-advance); the reference
+            # corner only picks the cross-axis edge.
+            if transposed:
+                x0 = t if not (ref_corner & 2) else t - sw + 1
+                y0 = curs
+                curs += sh - 1
+            else:
+                x0 = curs
+                y0 = t if (ref_corner & 1) else t - sh + 1
+                curs += sw - 1
+            _blit(rows, bm, x0, y0, comb_op)
+            ninst += 1
+            if ninst > num_instances:
+                raise JBIG2Error("instance overrun")
+    return rows, x, y, combop
+
+
+_COMBOPS = {
+    0: lambda a, b: a | b,       # OR
+    1: lambda a, b: a & b,       # AND
+    2: lambda a, b: a ^ b,       # XOR
+    3: lambda a, b: 1 - (a ^ b),  # XNOR
+    4: lambda a, b: b,           # REPLACE
+}
+
+
+def _blit(dst_rows, src_rows, x0: int, y0: int, op: int) -> None:
+    if op not in _COMBOPS:
+        raise JBIG2Error(f"bad combination operator {op}")
+    f = _COMBOPS[op]
+    hh = len(dst_rows)
+    for sy, srow in enumerate(src_rows):
+        yy = y0 + sy
+        if not 0 <= yy < hh:
+            continue
+        drow = dst_rows[yy]
+        ww = len(drow)
+        for sx, v in enumerate(srow):
+            xx = x0 + sx
+            if 0 <= xx < ww:
+                drow[xx] = f(drow[xx], v)
+
+
+# =====================================================================
+# Page assembly (embedded organization)
+# =====================================================================
+
+
+def decode_embedded(data: bytes, globals_data: bytes | None = None):
+    """Decode a PDF-embedded JBIG2 stream (+ optional /JBIG2Globals)
+    to (width, height, rows-of-0/1). First page in the stream (PDF
+    embeds exactly one per image XObject, §ISO 32000 7.4.7)."""
+    segs = []
+    if globals_data:
+        segs.extend(parse_segments(globals_data))
+    segs.extend(parse_segments(data))
+    sym_dicts: dict = {}  # segment number -> exported symbols
+    page_rows: list = []
+    page_w = 0
+    page_default = 0
+    saw_page = False
+
+    def grow(need_h: int, need_w: int) -> None:
+        nonlocal page_w
+        if need_w > page_w:
+            for i, r in enumerate(page_rows):
+                page_rows[i] = r + bytearray([page_default]) * (need_w - len(r))
+            page_w = need_w
+        while len(page_rows) < need_h:
+            page_rows.append(bytearray([page_default]) * page_w)
+
+    def referred_symbols(seg: Segment) -> list:
+        out: list = []
+        for r in seg.refs:
+            if r in sym_dicts:
+                out.extend(sym_dicts[r])
+        return out
+
+    for seg in segs:
+        t = seg.type
+        if t == SEG_PAGE_INFO:
+            if saw_page:
+                raise JBIG2Unsupported("multiple pages in embedded stream")
+            saw_page = True
+            w, h = struct.unpack_from(">II", seg.data, 0)
+            flags = seg.data[16]
+            page_default = (flags >> 2) & 1
+            page_w = w
+            page_rows = [
+                bytearray([page_default]) * w
+                for _ in range(0 if h == 0xFFFFFFFF else h)
+            ]
+        elif t == SEG_SYMBOL_DICT:
+            sym_dicts[seg.number] = _decode_symbol_dict(
+                seg.data, referred_symbols(seg)
+            )
+        elif t in (SEG_GENERIC_INTERMEDIATE, SEG_GENERIC_IMMEDIATE,
+                   SEG_GENERIC_IMMEDIATE_LOSSLESS):
+            rows, x, y, combop = _decode_generic_segment(seg.data)
+            if rows:
+                grow(y + len(rows), x + len(rows[0]))
+                _blit(page_rows, rows, x, y, combop)
+        elif t in (SEG_TEXT_INTERMEDIATE, SEG_TEXT_IMMEDIATE,
+                   SEG_TEXT_IMMEDIATE_LOSSLESS):
+            rows, x, y, combop = _decode_text_region(
+                seg.data, referred_symbols(seg)
+            )
+            if rows:
+                grow(y + len(rows), x + len(rows[0]))
+                _blit(page_rows, rows, x, y, combop)
+        elif t in (SEG_END_OF_PAGE, SEG_END_OF_STRIPE, SEG_END_OF_FILE,
+                   SEG_PROFILES, SEG_EXTENSION, SEG_TABLES):
+            continue
+        elif t == SEG_PATTERN_DICT or t in SEG_HALFTONE:
+            raise JBIG2Unsupported("halftone regions")
+        elif t in SEG_REFINEMENT:
+            raise JBIG2Unsupported("refinement regions")
+        else:
+            raise JBIG2Unsupported(f"segment type {t}")
+    if not saw_page and not page_rows:
+        raise JBIG2Error("no page information segment")
+    return page_w, len(page_rows), page_rows
+
+
+def decode_jbig2_gray(
+    data: bytes, globals_data: bytes | None = None
+) -> tuple[int, int, bytes]:
+    """/JBIG2Decode entry: returns (width, height, 8-bit gray pixels,
+    ink black = 0) — the :func:`ccitt.decode_ccitt_gray` convention."""
+    w, h, rows = decode_embedded(data, globals_data)
+    px = bytearray(w * h)
+    for y, row in enumerate(rows):
+        base = y * w
+        for x, v in enumerate(row):
+            px[base + x] = 0 if v else 255
+    return w, h, bytes(px)
+
+
+# =====================================================================
+# Fixture encoder (embedded organization)
+# =====================================================================
+
+
+def _segment_header(
+    number: int, stype: int, page: int, length: int, refs=()
+) -> bytes:
+    out = bytearray(struct.pack(">I", number))
+    out.append(stype & 0x3F)  # 1-byte page association
+    if len(refs) >= 7:
+        raise JBIG2Error("fixture encoder caps referred segments at 6")
+    out.append(len(refs) << 5)
+    size = 1 if number <= 256 else 2 if number <= 65536 else 4
+    for r in refs:
+        out += int(r).to_bytes(size, "big")
+    out.append(page & 0xFF)
+    out += struct.pack(">I", length)
+    return bytes(out)
+
+
+def encode_generic_page(
+    rows,
+    template: int = 0,
+    at=None,
+    tpgdon: bool = False,
+    mmr: bool = False,
+) -> bytes:
+    """Author an embedded JBIG2 stream: page info + one immediate
+    lossless generic region covering the page. Input rows: iterable
+    of 0/1 (1 = black). With ``mmr`` the region body is T.6 (G4)
+    coded via :mod:`sources.ccitt` instead of MQ-arithmetic."""
+    rows = [bytearray(r) for r in rows]
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    region = bytearray(struct.pack(">IIII", w, h, 0, 0))
+    region.append(0)  # external comb op OR
+    if mmr:
+        from pdf2dataset_spark.sources import ccitt
+
+        region.append(1)  # flags: MMR=1
+        gray = bytes(0 if v else 255 for r in rows for v in r)
+        region += ccitt.encode_g4(gray, w, h)
+    else:
+        enc = MQEncoder()
+        encode_generic(enc, {}, rows, template, at, tpgdon)
+        at = tuple(at) if at else NOMINAL_AT[template]
+        region.append((template << 1) | (8 if tpgdon else 0))
+        for ax, ay in at:
+            region += struct.pack(">bb", ax, ay)
+        region += enc.flush()
+    page_info = struct.pack(">IIII", w, h, 0, 0) + bytes([0]) + struct.pack(">H", 0)
+    out = bytearray()
+    out += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info))
+    out += page_info
+    out += _segment_header(1, SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, len(region))
+    out += region
+    return bytes(out)
+
+
+def encode_text_page(
+    symbols,
+    placements,
+    width: int,
+    height: int,
+    split_globals: bool = False,
+):
+    """Author a symbol-coded embedded JBIG2 stream: symbol dictionary
+    (arithmetic, template 0) + one immediate text region placing
+    `placements` = [(sym_index, x, y), ...] by TOPLEFT corner.
+
+    Returns ``(data, globals)`` — globals is None unless
+    `split_globals`, in which case the symbol dictionary travels in
+    the returned globals stream (the /JBIG2Globals shape)."""
+    symbols = [[bytearray(r) for r in s] for s in symbols]
+    if not symbols or not placements:
+        raise JBIG2Error("need at least one symbol and placement")
+    # ---- symbol dictionary: sort by (height, width) into height classes
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (len(symbols[i]), len(symbols[i][0])))
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    gb_cx: dict = {}
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        h = len(symbols[order[i]])
+        _int_encode(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(order) and len(symbols[order[i]]) == hc_height:
+            sym = symbols[order[i]]
+            w = len(sym[0])
+            _int_encode(enc, iadw, w - sym_width)
+            sym_width = w
+            encode_generic(enc, gb_cx, sym, template=0)
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    # export them all: run of 0 skipped, then run of all exported
+    _int_encode(enc, iaex, 0)
+    _int_encode(enc, iaex, len(symbols))
+    sd_mq = enc.flush()
+    sd = bytearray(struct.pack(">H", 0))  # flags: arithmetic, template 0
+    for ax, ay in NOMINAL_AT[0]:
+        sd += struct.pack(">bb", ax, ay)
+    sd += struct.pack(">II", len(symbols), len(symbols))
+    sd += sd_mq
+    # exported order is height-class order; map caller ids to it
+    exported_pos = {sym_i: k for k, sym_i in enumerate(order)}
+    # ---- text region: one strip per distinct y (strips=1)
+    codelen = max(0, ceil(log2(len(symbols))))
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    iaid_cx = _iaid_cx(codelen)
+    _int_encode(enc, iadt, 0)  # STRIPT = 0
+    stript = 0
+    firsts = 0
+    by_t: dict = {}
+    for sym_i, x, y in placements:
+        by_t.setdefault(y, []).append((x, sym_i))
+    for t in sorted(by_t):
+        _int_encode(enc, iadt, t - stript)
+        stript = t
+        xs = sorted(by_t[t])
+        first_x = xs[0][0]
+        _int_encode(enc, iafs, first_x - firsts)
+        firsts = first_x
+        curs = firsts
+        for j, (px, sym_i) in enumerate(xs):
+            if j:
+                _int_encode(enc, iads, px - curs)
+                curs = px
+            _iaid_encode(enc, iaid_cx, codelen, exported_pos[sym_i])
+            curs += len(symbols[sym_i][0]) - 1
+        _int_encode(enc, iads, _OOB)
+    tr_mq = enc.flush()
+    tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
+    tr.append(0)  # OR onto page
+    # flags: arithmetic, no refinement, strips=1, TOPLEFT corner,
+    # not transposed, OR, default 0, dsoffset 0, template 0
+    tr += struct.pack(">H", 1 << 4)
+    tr += struct.pack(">I", len(placements))
+    tr += tr_mq
+    page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    sd_seg = _segment_header(1, SEG_SYMBOL_DICT, 1, len(sd)) + bytes(sd)
+    body = bytearray()
+    body += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
+    if not split_globals:
+        body += sd_seg
+    body += _segment_header(
+        2, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(1,)
+    ) + bytes(tr)
+    return bytes(body), (sd_seg if split_globals else None)

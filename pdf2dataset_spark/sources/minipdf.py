@@ -341,7 +341,9 @@ def _rle_decode(data: bytes) -> bytes:
 #: image-compression filters: the decoded form IS a compressed image
 #: file, transcoded (or honestly surfaced) by page_images, never by
 #: the text path
-_IMAGE_FILTERS = ("/DCTDecode", "/JPXDecode", "/CCITTFaxDecode")
+_IMAGE_FILTERS = (
+    "/DCTDecode", "/JPXDecode", "/CCITTFaxDecode", "/JBIG2Decode"
+)
 
 
 def _run_filter_chain(
@@ -1131,8 +1133,12 @@ class PdfDocument:
           bytes), ``"ccitt"`` for /CCITTFaxDecode (all /K regimes
           decode — G4/T.6, G3 1D, G3 mixed 2D — via
           :mod:`sources.ccitt`; the entry then carries
-          ``ccitt_params`` so consumers can decode), or
-          ``"jpx"`` for filters this engine does not transcode.
+          ``ccitt_params`` so consumers can decode), ``"jbig2"``
+          for /JBIG2Decode (arithmetic generic + symbol/text
+          regions and MMR decode via :mod:`sources.jbig2`,
+          /JBIG2Globals honored; Huffman/refinement/halftone
+          variants surface honestly as undecodable), or ``"jpx"``
+          for filters this engine does not transcode.
         - ``decodable``: True when ``data`` can be turned into pixels
           with zero native deps — raw samples always; JPEG when
           :func:`sources.jpeg.decode_jpeg` accepts it (baseline /
@@ -1263,6 +1269,44 @@ class PdfDocument:
                         entry["pixels"] = px
                 except (ValueError, IndexError):
                     pass  # corrupt stream: honest False, payload kept
+            elif stopped == "/JBIG2Decode":
+                entry["format"] = "jbig2"
+                entry["data"] = data
+                entry["decodable"] = False
+                parms = self.resolve(sdict.get("/DecodeParms"))
+                if isinstance(parms, list):  # array-aligned with /Filter
+                    parms = next(
+                        (
+                            self.resolve(p)
+                            for p in parms
+                            if isinstance(self.resolve(p), dict)
+                            and "/JBIG2Globals" in self.resolve(p)
+                        ),
+                        {},
+                    )
+                parms = parms if isinstance(parms, dict) else {}
+                gstream = self.resolve(parms.get("/JBIG2Globals"))
+                try:
+                    gbytes = (
+                        self.stream_bytes(gstream)
+                        if isinstance(gstream, StreamObj)
+                        else None
+                    )
+                    from pdf2dataset_spark.sources import jbig2
+
+                    w, h, px = jbig2.decode_jbig2_gray(data, gbytes)
+                    entry["decodable"] = True
+                    if gbytes:  # consumers re-decode like ccitt_params
+                        entry["jbig2_globals"] = gbytes
+                    entry["width"] = entry["width"] or w
+                    entry["height"] = entry["height"] or h
+                    if decode_pixels:
+                        entry["pixels"] = px
+                except (ValueError, IndexError, KeyError, struct.error,
+                        zlib.error):
+                    # Huffman/refinement/halftone or corrupt stream:
+                    # honest False, compressed payload kept
+                    pass
             elif stopped is not None:
                 entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")
                 entry["data"] = data
@@ -1747,7 +1791,16 @@ def build_pdf(
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
-    image_nums = [font_num + 1 + i for i in range(len(images or []))]
+    images = images or []
+    image_nums = [font_num + 1 + i for i in range(len(images))]
+    # images may carry a shared-stream payload (``"globals"`` bytes →
+    # a /JBIG2Globals stream object referenced from /DecodeParms)
+    glob_nums: dict[int, int] = {}
+    _next = font_num + len(images) + 1
+    for _j, _img in enumerate(images):
+        if _img.get("globals") is not None:
+            glob_nums[_j] = _next
+            _next += 1
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
     objs.append(
@@ -1799,13 +1852,15 @@ def build_pdf(
             payload = obj_enc(image_nums[j], payload)
         filt = img.get("filter")
         parms = img.get("decode_parms")  # dict, e.g. CCITT {"/K": -1, ...}
-        parms_s = ""
+        parts = []
         if parms:
-            inner = " ".join(
+            parts.extend(
                 f"{k} {str(v).lower() if isinstance(v, bool) else v}"
                 for k, v in parms.items()
             )
-            parms_s = f" /DecodeParms << {inner} >>"
+        if j in glob_nums:
+            parts.append(f"/JBIG2Globals {glob_nums[j]} 0 R")
+        parms_s = f" /DecodeParms << {' '.join(parts)} >>" if parts else ""
         head = (
             f"<< /Type /XObject /Subtype /Image"
             f" /Width {img['width']} /Height {img['height']}"
@@ -1817,6 +1872,14 @@ def build_pdf(
         )
         objs.append(
             head.encode() + b"\nstream\n" + payload + b"\nendstream"
+        )
+    for j, _num in sorted(glob_nums.items(), key=lambda kv: kv[1]):
+        payload = images[j]["globals"]
+        if enc_key is not None:
+            payload = obj_enc(_num, payload)
+        objs.append(
+            f"<< /Length {len(payload)} >>".encode()
+            + b"\nstream\n" + payload + b"\nendstream"
         )
     info_clause = b""
     if info:

@@ -1,0 +1,303 @@
+"""JBIG2 (ITU-T T.88) codec tests — MQ coder, generic regions,
+symbol/text regions, segment grammar, and the minipdf integration.
+
+No Spark: pure-codec coverage (the Spark-side extraction path is
+pinned by the a25_jbig2_scan_extract golden oracle)."""
+
+import random
+import struct
+
+import pytest
+
+from pdf2dataset_spark.sources import minipdf
+from pdf2dataset_spark.sources.jbig2 import (
+    _OOB,
+    IntCoderCx,
+    JBIG2Error,
+    JBIG2Unsupported,
+    MQDecoder,
+    MQEncoder,
+    _iaid_cx,
+    _iaid_decode,
+    _iaid_encode,
+    _int_decode,
+    _int_encode,
+    _segment_header,
+    SEG_PAGE_INFO,
+    SEG_SYMBOL_DICT,
+    decode_embedded,
+    decode_generic,
+    decode_jbig2_gray,
+    encode_generic,
+    encode_generic_page,
+    encode_text_page,
+    parse_segments,
+)
+
+
+def _rand_bitmap(rng, w, h, p):
+    return [
+        bytearray(1 if rng.random() < p else 0 for _ in range(w))
+        for _ in range(h)
+    ]
+
+
+class TestMQCoder:
+    # T.88 Annex H.2 / ISO 15444-1 MQ test sequence (single context,
+    # initial state I=0 MPS=0). The published code stream's first 16
+    # bytes are pinned; the tail differs only in legal flush freedom,
+    # so the rest is pinned by exact decode-back of our own stream.
+    H2_INPUT = bytes.fromhex(
+        "00020051000000C00352872AAAAAAAAA82C02000FCD79EF674EAABF7697EE74A"
+    )
+    H2_PREFIX = bytes.fromhex("84C73BFCE1A1430402200000410DBB86")
+
+    def test_h2_sequence_prefix_and_roundtrip(self):
+        bits = [(b >> (7 - i)) & 1 for b in self.H2_INPUT for i in range(8)]
+        enc = MQEncoder()
+        cx = [0, 0]
+        for b in bits:
+            enc.encode(b, cx)
+        out = enc.flush()
+        assert out[: len(self.H2_PREFIX)] == self.H2_PREFIX
+        dec = MQDecoder(out)
+        cx = [0, 0]
+        assert [dec.decode(cx) for _ in bits] == bits
+
+    def test_random_roundtrips_multi_context(self):
+        rng = random.Random(7)
+        for _ in range(25):
+            n = rng.randrange(1, 1500)
+            ncx = rng.randrange(1, 8)
+            bits = [rng.getrandbits(1) for _ in range(n)]
+            which = [rng.randrange(ncx) for _ in range(n)]
+            enc = MQEncoder()
+            ecx = [[0, 0] for _ in range(ncx)]
+            for b, w in zip(bits, which):
+                enc.encode(b, ecx[w])
+            dec = MQDecoder(enc.flush())
+            dcx = [[0, 0] for _ in range(ncx)]
+            assert [dec.decode(dcx[w]) for w in which] == bits
+
+    def test_skewed_streams_compress(self):
+        # 10k near-constant bits must code far below 1 bit/symbol
+        enc = MQEncoder()
+        cx = [0, 0]
+        rng = random.Random(1)
+        bits = [1 if rng.random() < 0.02 else 0 for _ in range(10_000)]
+        for b in bits:
+            enc.encode(b, cx)
+        out = enc.flush()
+        assert len(out) < 10_000 // 32
+        dec = MQDecoder(out)
+        cx = [0, 0]
+        assert [dec.decode(cx) for _ in bits] == bits
+
+
+class TestIntCoders:
+    def test_int_roundtrip_all_buckets_and_oob(self):
+        vals = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+                99_999, -4436, -340, _OOB, 7, _OOB, -2, 123_456_789]
+        enc = MQEncoder()
+        bank = IntCoderCx()
+        for v in vals:
+            _int_encode(enc, bank, v)
+        dec = MQDecoder(enc.flush())
+        bank2 = IntCoderCx()
+        got = [_int_decode(dec, bank2) for _ in vals]
+        for a, b in zip(vals, got):
+            assert (a is _OOB and b is _OOB) or a == b
+
+    def test_iaid_roundtrip(self):
+        for codelen in (1, 2, 5):
+            ids = list(range(1 << codelen)) * 2
+            enc = MQEncoder()
+            cx = _iaid_cx(codelen)
+            for i in ids:
+                _iaid_encode(enc, cx, codelen, i)
+            dec = MQDecoder(enc.flush())
+            cx = _iaid_cx(codelen)
+            assert [_iaid_decode(dec, cx, codelen) for _ in ids] == ids
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    @pytest.mark.parametrize("tpgdon", [False, True])
+    def test_roundtrip_templates(self, template, tpgdon):
+        rng = random.Random(template * 10 + tpgdon)
+        for (w, h, p) in [(1, 1, 0.5), (7, 3, 0.3), (33, 17, 0.5),
+                          (64, 20, 0.05), (13, 40, 0.95)]:
+            bm = _rand_bitmap(rng, w, h, p)
+            if tpgdon and h > 4:  # force typical (repeated) rows
+                bm[2] = bytearray(bm[1])
+                bm[3] = bytearray(bm[2])
+            enc = MQEncoder()
+            encode_generic(enc, {}, bm, template, None, tpgdon)
+            out = decode_generic(
+                MQDecoder(enc.flush()), {}, w, h, template, None, tpgdon
+            )
+            assert [bytes(r) for r in out] == [bytes(r) for r in bm]
+
+    def test_custom_at_pixels(self):
+        rng = random.Random(5)
+        at = [(1, -1), (-2, -1), (2, -2), (-3, -2)]
+        bm = _rand_bitmap(rng, 40, 25, 0.4)
+        enc = MQEncoder()
+        encode_generic(enc, {}, bm, 0, at)
+        out = decode_generic(MQDecoder(enc.flush()), {}, 40, 25, 0, at)
+        assert [bytes(r) for r in out] == [bytes(r) for r in bm]
+
+    def test_non_causal_at_rejected(self):
+        with pytest.raises(JBIG2Error):
+            decode_generic(MQDecoder(b""), {}, 4, 4, 0,
+                           [(1, 0), (-3, -1), (2, -2), (-2, -2)])
+
+
+class TestEmbeddedStream:
+    def test_generic_page_roundtrip(self):
+        rng = random.Random(3)
+        bm = _rand_bitmap(rng, 50, 30, 0.2)
+        stream = encode_generic_page(bm, template=0, tpgdon=True)
+        w, h, rows = decode_embedded(stream)
+        assert (w, h) == (50, 30)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in bm]
+        w, h, px = decode_jbig2_gray(stream)
+        assert px[:2] == bytes(
+            0 if v else 255 for v in (bm[0][0], bm[0][1])
+        )
+
+    def test_mmr_page_roundtrip(self):
+        rng = random.Random(4)
+        bm = _rand_bitmap(rng, 61, 24, 0.3)
+        stream = encode_generic_page(bm, mmr=True)
+        w, h, rows = decode_embedded(stream)
+        assert (w, h) == (61, 24)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in bm]
+
+    def _glyphs(self):
+        a = [bytearray([1, 1, 1, 1]), bytearray([1, 0, 0, 1]),
+             bytearray([1, 1, 1, 1])]
+        b = [bytearray([0, 1, 0]), bytearray([1, 1, 1]),
+             bytearray([0, 1, 0]), bytearray([1, 0, 1])]
+        return a, b
+
+    def _expected(self, glyphs, placements, w, h):
+        exp = [bytearray(w) for _ in range(h)]
+        for si, x, y in placements:
+            for dy, r in enumerate(glyphs[si]):
+                for dx, v in enumerate(r):
+                    exp[y + dy][x + dx] |= v
+        return [bytes(r) for r in exp]
+
+    def test_symbol_text_page(self):
+        a, b = self._glyphs()
+        pl = [(0, 2, 1), (1, 10, 1), (0, 20, 6), (1, 3, 10), (1, 30, 12)]
+        data, g = encode_text_page([a, b], pl, 40, 18)
+        assert g is None
+        w, h, rows = decode_embedded(data)
+        assert [bytes(r) for r in rows] == self._expected([a, b], pl, 40, 18)
+
+    def test_symbol_dict_in_globals(self):
+        a, b = self._glyphs()
+        pl = [(0, 2, 1), (1, 10, 4)]
+        data, g = encode_text_page([a, b], pl, 30, 12, split_globals=True)
+        assert g is not None
+        w, h, rows = decode_embedded(data, g)
+        assert [bytes(r) for r in rows] == self._expected([a, b], pl, 30, 12)
+        # without the globals the text region has no symbols: named error
+        with pytest.raises(JBIG2Error):
+            decode_embedded(data)
+
+    def test_segment_grammar_errors(self):
+        with pytest.raises(JBIG2Error):
+            parse_segments(b"\x00\x01\x02")  # truncated header
+        hdr = _segment_header(0, SEG_PAGE_INFO, 1, 100)  # overruns
+        with pytest.raises(JBIG2Error):
+            parse_segments(hdr + b"\x00" * 10)
+
+    def test_huffman_symbol_dict_named_unsupported(self):
+        page_info = (struct.pack(">IIII", 8, 8, 0, 0) + bytes([0])
+                     + struct.pack(">H", 0))
+        sd = struct.pack(">H", 1)  # SDHUFF=1
+        stream = (
+            _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
+            + _segment_header(1, SEG_SYMBOL_DICT, 1, len(sd)) + sd
+        )
+        with pytest.raises(JBIG2Unsupported):
+            decode_embedded(stream)
+
+
+class TestMinipdfIntegration:
+    def test_page_images_decodes_generic_xobject(self):
+        rng = random.Random(11)
+        w, h = 48, 20
+        bm = _rand_bitmap(rng, w, h, 0.25)
+        px = bytes(0 if v else 255 for r in bm for v in r)
+        stream = encode_generic_page(bm, template=0, tpgdon=True)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/JBIG2Decode", "width": w, "height": h,
+                     "data": stream, "bits": 1}],
+        )
+        doc = minipdf.PdfDocument(pdf)
+        (entry,) = doc.page_images(doc.pages()[0], decode_pixels=True)
+        assert entry["format"] == "jbig2"
+        assert entry["decodable"] is True
+        assert entry["data"] == stream  # compressed payload surfaced
+        assert entry["pixels"] == px
+
+    def test_jbig2_globals_stream_resolved(self):
+        a = [bytearray([1, 1]), bytearray([1, 1])]
+        b = [bytearray([1, 0, 1])]
+        pl = [(0, 1, 1), (1, 5, 2)]
+        data, g = encode_text_page([a, b], pl, 12, 6, split_globals=True)
+        pdf = minipdf.build_pdf(
+            ["with text"],
+            images=[{"filter": "/JBIG2Decode", "width": 12, "height": 6,
+                     "data": data, "globals": g, "bits": 1}],
+        )
+        doc = minipdf.PdfDocument(pdf)
+        (entry,) = doc.page_images(doc.pages()[0], decode_pixels=True)
+        assert entry["decodable"] is True
+        assert entry["jbig2_globals"] == g
+        exp = [bytearray(12) for _ in range(6)]
+        for si, x, y in pl:
+            for dy, r in enumerate([a, b][si]):
+                for dx, v in enumerate(r):
+                    exp[y + dy][x + dx] |= v
+        assert entry["pixels"] == bytes(
+            0 if v else 255 for r in exp for v in r
+        )
+
+    def test_garbage_stream_honestly_undecodable(self):
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/JBIG2Decode", "width": 8, "height": 8,
+                     "data": b"\x01\x02\x03", "bits": 1}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf)[0]
+        assert entry["format"] == "jbig2"
+        assert entry["decodable"] is False
+        assert entry["data"] == b"\x01\x02\x03"
+
+    def test_scanned_page_ocr_roundtrip(self):
+        from pdf2dataset_spark.sources import raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        text = "JBIG2 OCR OK"
+        w, h, px = raster._rasterize(text)
+        bm = [
+            bytearray(1 if px[y * w + x] < 128 else 0 for x in range(w))
+            for y in range(h)
+        ]
+        for kwargs in ({"template": 2}, {"mmr": True}):
+            stream = encode_generic_page(bm, **kwargs)
+            pdf = minipdf.build_pdf(
+                [""],
+                images=[{"filter": "/JBIG2Decode", "width": w, "height": h,
+                         "data": stream, "bits": 1}],
+            )
+            codec = PdfCodec()
+            handle = codec.open(pdf)
+            assert codec.page_text(handle, 1) == ""
+            assert codec.page_ocr(handle, 1) == text
