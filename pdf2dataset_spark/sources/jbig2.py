@@ -22,10 +22,14 @@ pHash paths exactly like JPEG and CCITT ones do:
   variant): the mode scanner encoders actually emit for text pages —
   glyph bitmaps decode once into a dictionary and each placement is
   an (id, ds, dt) triple via the Annex A adaptive integer decoders
-  (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT + IAID symbol codes). Huffman
-  variants and refinement coding raise :class:`JBIG2Unsupported`
-  with a named reason (kept honest; arithmetic covers the common
-  encoders, and the compressed payload is preserved either way).
+  (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT + IAID symbol codes).
+- **Generic refinement coding** (T.88 §6.3): templates 0-1 with AT
+  pixels and TPGRON typical prediction — serving refined text-region
+  instances (§6.4.11) and refinement/aggregate symbol dictionaries
+  with REFAGGNINST == 1 (§6.5.8.2, the pdf.js-scope shape). Huffman
+  variants and true aggregates (REFAGGNINST > 1) raise
+  :class:`JBIG2Unsupported` with a named reason (kept honest; the
+  compressed payload is preserved either way).
 - **Segment parser + page assembly** (T.88 §7): header grammar
   (32-bit segment numbers, long referred-to form, 1/2/4-byte
   referent widths, 1/4-byte page associations), page info, end-of-
@@ -476,6 +480,142 @@ def encode_generic(
 
 
 # =====================================================================
+# Generic refinement region coding (T.88 §6.3)
+# =====================================================================
+
+# Refinement templates (T.88 figures 12-13): context = coding-layer
+# pixels then reference-layer pixels, in the listed order, MSB first.
+# Template 0 appends one AT pixel to each layer (nominal (-1,-1) both).
+_GR_CODING = {
+    0: ((0, -1), (1, -1), (-1, 0)),
+    1: ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+}
+_GR_REFERENCE = {
+    0: ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    1: ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+}
+NOMINAL_GR_AT = ((-1, -1), (-1, -1))
+# TPGRON pseudo-pixel contexts (§6.3.5.6)
+_GR_SLTP_CX = {0: 0x0010, 1: 0x0008}
+
+
+def _ref_px(ref, x: int, y: int) -> int:
+    if 0 <= y < len(ref) and 0 <= x < len(ref[y]):
+        return ref[y][x]
+    return 0
+
+
+def _gr_context(rows, ref, x, y, dx, dy, coding, reference) -> int:
+    ctx = 0
+    for cx_, cy_ in coding:
+        ctx = (ctx << 1) | _ref_px(rows, x + cx_, y + cy_)
+    for rx_, ry_ in reference:
+        ctx = (ctx << 1) | _ref_px(ref, x - dx + rx_, y - dy + ry_)
+    return ctx
+
+
+def _gr_typical(ref, x, y, dx, dy) -> int | None:
+    """TPGRON: if the 3x3 reference neighbourhood is uniform, the pixel
+    is 'typical' and equals it; else None (decode it)."""
+    vals = {
+        _ref_px(ref, x - dx + i, y - dy + j)
+        for i in (-1, 0, 1)
+        for j in (-1, 0, 1)
+    }
+    return vals.pop() if len(vals) == 1 else None
+
+
+def _gr_templates(template: int, at):
+    if template not in _GR_CODING:
+        raise JBIG2Error(f"bad GRTEMPLATE {template}")
+    coding = list(_GR_CODING[template])
+    reference = list(_GR_REFERENCE[template])
+    if template == 0:
+        at = tuple(at) if at else NOMINAL_GR_AT
+        if len(at) != 2:
+            raise JBIG2Error("refinement template 0 needs 2 AT pixels")
+        coding.append(tuple(at[0]))
+        reference.append(tuple(at[1]))
+    return tuple(coding), tuple(reference)
+
+
+def decode_refinement(
+    dec: MQDecoder,
+    cx: dict,
+    width: int,
+    height: int,
+    ref,
+    dx: int = 0,
+    dy: int = 0,
+    template: int = 0,
+    at=None,
+    tpgron: bool = False,
+) -> list:
+    """Generic refinement decode: bitmap (width x height) coded
+    against reference `ref` shifted by (dx, dy). `cx` is the shared
+    refinement context dict of the enclosing scope."""
+    coding, reference = _gr_templates(template, at)
+    sltp_cx = _GR_SLTP_CX[template]
+    rows: list = []
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            ltp ^= dec.decode(state)
+        row = bytearray(width)
+        rows.append(row)
+        for x in range(width):
+            if ltp:
+                typ = _gr_typical(ref, x, y, dx, dy)
+                if typ is not None:
+                    row[x] = typ
+                    continue
+            c = _gr_context(rows, ref, x, y, dx, dy, coding, reference)
+            state = cx.setdefault(("gr", c), [0, 0])
+            row[x] = dec.decode(state)
+    return rows
+
+
+def encode_refinement(
+    enc: MQEncoder,
+    cx: dict,
+    rows,
+    ref,
+    dx: int = 0,
+    dy: int = 0,
+    template: int = 0,
+    at=None,
+    tpgron: bool = False,
+) -> None:
+    """Inverse of :func:`decode_refinement` (fixture author). With
+    ``tpgron`` it turns LTP on for rows whose every pixel is typical
+    (pixel == its uniform reference neighbourhood)."""
+    coding, reference = _gr_templates(template, at)
+    sltp_cx = _GR_SLTP_CX[template]
+    width = len(rows[0]) if rows else 0
+    done: list = []
+    ltp = 0
+    for y, row in enumerate(rows):
+        if tpgron:
+            # LTP pays off when typical pixels exist; emit it for rows
+            # fully predicted by their reference neighbourhoods.
+            want = all(
+                _gr_typical(ref, x, y, dx, dy) == row[x]
+                for x in range(width)
+            ) and width > 0
+            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            enc.encode(int(want) ^ ltp, state)
+            ltp = int(want)
+        done.append(bytearray(row))
+        for x in range(width):
+            if ltp and _gr_typical(ref, x, y, dx, dy) is not None:
+                continue
+            c = _gr_context(done, ref, x, y, dx, dy, coding, reference)
+            state = cx.setdefault(("gr", c), [0, 0])
+            enc.encode(row[x], state)
+
+
+# =====================================================================
 # Segment grammar (T.88 §7.2)
 # =====================================================================
 
@@ -610,17 +750,23 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     pos = 2
     if flags & 1:
         raise JBIG2Unsupported("Huffman symbol dictionary")
-    if flags & 2:
-        raise JBIG2Unsupported("refinement/aggregate symbol dictionary")
+    refagg = bool(flags & 2)
     if flags & 0x100 or flags & 0x200:
         raise JBIG2Unsupported("retained bitmap coding contexts")
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     at, pos = _read_at(seg_data, pos, 4 if template == 0 else 1)
+    rat: tuple = ()
+    if refagg and rtemplate == 0:
+        rat, pos = _read_at(seg_data, pos, 2)
     num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
     pos += 8
     dec = MQDecoder(seg_data[pos:])
-    iadh, iadw, iaex, iaai = (IntCoderCx() for _ in range(4))
+    iadh, iadw, iaex, iaai, iardx, iardy = (IntCoderCx() for _ in range(6))
     gb_cx: dict = {}  # ONE generic context bank for the whole dict
+    gr_cx: dict = {}  # ... and one refinement bank (§6.5.8.2)
+    codelen = max(0, ceil(log2(max(1, len(input_syms) + num_new))))
+    iaid_bank = _iaid_cx(codelen)
     new_syms: list = []
     hc_height = 0
     while len(new_syms) < num_new:
@@ -638,8 +784,34 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
                 raise JBIG2Error("more new symbols than declared")
             if sym_width <= 0 or hc_height <= 0:
                 raise JBIG2Error("non-positive symbol dims")
+            if not refagg:
+                new_syms.append(
+                    decode_generic(
+                        dec, gb_cx, sym_width, hc_height, template, at
+                    )
+                )
+                continue
+            # §6.5.8.2 refinement/aggregate coding
+            ninst = _int_decode(dec, iaai)
+            if ninst is _OOB:
+                raise JBIG2Error("OOB aggregate instance count")
+            if ninst != 1:
+                raise JBIG2Unsupported(
+                    "aggregate symbol coding (REFAGGNINST > 1)"
+                )
+            ref_id = _iaid_decode(dec, iaid_bank, codelen)
+            rdx = _int_decode(dec, iardx)
+            rdy = _int_decode(dec, iardy)
+            if rdx is _OOB or rdy is _OOB:
+                raise JBIG2Error("OOB refinement offset")
+            pool = list(input_syms) + new_syms
+            if not 0 <= ref_id < len(pool):
+                raise JBIG2Error(f"refinement base {ref_id} out of range")
             new_syms.append(
-                decode_generic(dec, gb_cx, sym_width, hc_height, template, at)
+                decode_refinement(
+                    dec, gr_cx, sym_width, hc_height, pool[ref_id],
+                    rdx, rdy, rtemplate, rat,
+                )
             )
     # export flags (§6.5.10): alternating skip/export runs
     all_syms = list(input_syms) + new_syms
@@ -678,15 +850,19 @@ def _decode_text_region(seg_data: bytes, syms: list):
     if ds_offset > 15:
         ds_offset -= 32
     rtemplate = (flags >> 15) & 1
+    rat: tuple = ()
     if refine and rtemplate == 0:
-        pos += 4  # refinement AT pixels (2 pairs)
+        rat, pos = _read_at(seg_data, pos, 2)
     num_instances = struct.unpack_from(">I", seg_data, pos)[0]
     pos += 4
     if not syms:
         raise JBIG2Error("text region with no referred symbols")
     codelen = max(0, ceil(log2(len(syms))))
     dec = MQDecoder(seg_data[pos:])
-    iadt, iafs, iads, iait, iari = (IntCoderCx() for _ in range(5))
+    iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy = (
+        IntCoderCx() for _ in range(9)
+    )
+    gr_cx: dict = {}  # shared refinement contexts for the region
     iaid_cx = _iaid_cx(codelen)
     rows = [bytearray([default_pixel]) * w for _ in range(h)]
 
@@ -721,13 +897,31 @@ def _decode_text_region(seg_data: bytes, syms: list):
             sym_id = _iaid_decode(dec, iaid_cx, codelen)
             if not 0 <= sym_id < len(syms):
                 raise JBIG2Error(f"symbol id {sym_id} out of range")
-            if refine:
-                ri = _int_decode(dec, iari)
-                if ri is _OOB or ri:
-                    raise JBIG2Unsupported("refined symbol instance")
             bm = syms[sym_id]
             sh = len(bm)
             sw = len(bm[0]) if sh else 0
+            if refine:
+                ri = _int_decode(dec, iari)
+                if ri is _OOB:
+                    raise JBIG2Error("OOB RI")
+                if ri:
+                    # §6.4.11: refined instance — decode a correction
+                    # layer against the dictionary symbol
+                    rdw = _int_decode(dec, iardw)
+                    rdh = _int_decode(dec, iardh)
+                    rdx = _int_decode(dec, iardx)
+                    rdy = _int_decode(dec, iardy)
+                    if _OOB in (rdw, rdh, rdx, rdy):
+                        raise JBIG2Error("OOB refinement delta")
+                    nw, nh = sw + rdw, sh + rdh
+                    if nw <= 0 or nh <= 0:
+                        raise JBIG2Error("non-positive refined dims")
+                    bm = decode_refinement(
+                        dec, gr_cx, nw, nh, bm,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        rtemplate, rat,
+                    )
+                    sw, sh = nw, nh
             # §6.4.5 step 3c: S always tracks the leading edge along
             # the strip axis (pre-advance for right/bottom corners ≡
             # draw-at-curs + uniform post-advance); the reference
@@ -937,12 +1131,23 @@ def encode_text_page(
 ):
     """Author a symbol-coded embedded JBIG2 stream: symbol dictionary
     (arithmetic, template 0) + one immediate text region placing
-    `placements` = [(sym_index, x, y), ...] by TOPLEFT corner.
+    `placements` by TOPLEFT corner. Each placement is
+    ``(sym_index, x, y)`` — or ``(sym_index, x, y, refined_bitmap)``
+    to draw a REFINED instance (§6.4.11): the refined bitmap is
+    refinement-coded against symbol `sym_index` (template 0, nominal
+    AT, RDX=RDY=0).
 
     Returns ``(data, globals)`` — globals is None unless
     `split_globals`, in which case the symbol dictionary travels in
     the returned globals stream (the /JBIG2Globals shape)."""
     symbols = [[bytearray(r) for r in s] for s in symbols]
+    placements = [
+        (p[0], p[1], p[2], [bytearray(r) for r in p[3]])
+        if len(p) > 3 and p[3] is not None
+        else (p[0], p[1], p[2], None)
+        for p in placements
+    ]
+    any_refined = any(p[3] is not None for p in placements)
     if not symbols or not placements:
         raise JBIG2Error("need at least one symbol and placement")
     # ---- symbol dictionary: sort by (height, width) into height classes
@@ -980,35 +1185,56 @@ def encode_text_page(
     # ---- text region: one strip per distinct y (strips=1)
     codelen = max(0, ceil(log2(len(symbols))))
     enc = MQEncoder()
-    iadt, iafs, iads = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    iadt, iafs, iads, iari, iardw, iardh, iardx, iardy = (
+        IntCoderCx() for _ in range(8)
+    )
+    gr_cx: dict = {}
     iaid_cx = _iaid_cx(codelen)
     _int_encode(enc, iadt, 0)  # STRIPT = 0
     stript = 0
     firsts = 0
     by_t: dict = {}
-    for sym_i, x, y in placements:
-        by_t.setdefault(y, []).append((x, sym_i))
+    for sym_i, x, y, rb in placements:
+        by_t.setdefault(y, []).append((x, sym_i, rb))
     for t in sorted(by_t):
         _int_encode(enc, iadt, t - stript)
         stript = t
-        xs = sorted(by_t[t])
+        xs = sorted(by_t[t], key=lambda e: e[0])
         first_x = xs[0][0]
         _int_encode(enc, iafs, first_x - firsts)
         firsts = first_x
         curs = firsts
-        for j, (px, sym_i) in enumerate(xs):
+        for j, (px, sym_i, rb) in enumerate(xs):
             if j:
                 _int_encode(enc, iads, px - curs)
                 curs = px
             _iaid_encode(enc, iaid_cx, codelen, exported_pos[sym_i])
-            curs += len(symbols[sym_i][0]) - 1
+            if any_refined:
+                _int_encode(enc, iari, 0 if rb is None else 1)
+            if rb is not None:
+                base = symbols[sym_i]
+                rdw = len(rb[0]) - len(base[0])
+                rdh = len(rb) - len(base)
+                _int_encode(enc, iardw, rdw)
+                _int_encode(enc, iardh, rdh)
+                _int_encode(enc, iardx, 0)
+                _int_encode(enc, iardy, 0)
+                encode_refinement(
+                    enc, gr_cx, rb, base, rdw >> 1, rdh >> 1, 0, None
+                )
+                curs += len(rb[0]) - 1
+            else:
+                curs += len(symbols[sym_i][0]) - 1
         _int_encode(enc, iads, _OOB)
     tr_mq = enc.flush()
     tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
     tr.append(0)  # OR onto page
-    # flags: arithmetic, no refinement, strips=1, TOPLEFT corner,
-    # not transposed, OR, default 0, dsoffset 0, template 0
-    tr += struct.pack(">H", 1 << 4)
+    # flags: arithmetic, strips=1, TOPLEFT corner, not transposed,
+    # OR, default 0, dsoffset 0, templates 0 (+ refinement if used)
+    tr += struct.pack(">H", (1 << 4) | (2 if any_refined else 0))
+    if any_refined:  # nominal refinement AT pixels, template 0
+        for ax, ay in NOMINAL_GR_AT:
+            tr += struct.pack(">bb", ax, ay)
     tr += struct.pack(">I", len(placements))
     tr += tr_mq
     page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])
@@ -1022,3 +1248,141 @@ def encode_text_page(
         2, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(1,)
     ) + bytes(tr)
     return bytes(body), (sd_seg if split_globals else None)
+
+
+def encode_refagg_page(
+    base_symbols,
+    variants,
+    placements,
+    width: int,
+    height: int,
+) -> bytes:
+    """Author an embedded stream exercising REFINEMENT/AGGREGATE
+    symbol dictionaries (§6.5.8.2, REFAGGNINST == 1): dictionary 1
+    generic-codes `base_symbols`; dictionary 2 (SDREFAGG=1) imports
+    them and refinement-codes each ``variants[i] = (base_index,
+    bitmap)`` against its base; the text region refers to BOTH
+    dictionaries, so `placements` indexes [bases..., variants...] —
+    ``(sym_index, x, y)`` by TOPLEFT corner."""
+    base_symbols = [[bytearray(r) for r in s] for s in base_symbols]
+    variants = [(bi, [bytearray(r) for r in bm]) for bi, bm in variants]
+    # ---- dict 1: plain generic coding (reuse encode_text_page's
+    # dictionary shape via a private build)
+    order = sorted(range(len(base_symbols)),
+                   key=lambda i: (len(base_symbols[i]),
+                                  len(base_symbols[i][0])))
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    gb_cx: dict = {}
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        h = len(base_symbols[order[i]])
+        _int_encode(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(order) and len(base_symbols[order[i]]) == hc_height:
+            sym = base_symbols[order[i]]
+            _int_encode(enc, iadw, len(sym[0]) - sym_width)
+            sym_width = len(sym[0])
+            encode_generic(enc, gb_cx, sym, template=0)
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    _int_encode(enc, iaex, 0)
+    _int_encode(enc, iaex, len(base_symbols))
+    sd1 = bytearray(struct.pack(">H", 0))
+    for ax, ay in NOMINAL_AT[0]:
+        sd1 += struct.pack(">bb", ax, ay)
+    sd1 += struct.pack(">II", len(base_symbols), len(base_symbols))
+    sd1 += enc.flush()
+    base_pos = {sym_i: k for k, sym_i in enumerate(order)}
+    # ---- dict 2: SDREFAGG=1, one height class per variant (variants
+    # keep their own dims; heights must be fed non-decreasing)
+    vorder = sorted(range(len(variants)),
+                    key=lambda i: (len(variants[i][1]),
+                                   len(variants[i][1][0])))
+    n_in = len(base_symbols)
+    codelen = max(0, ceil(log2(max(1, n_in + len(variants)))))
+    enc = MQEncoder()
+    iadh, iadw, iaex, iaai, iardx, iardy = (IntCoderCx() for _ in range(6))
+    iaid_bank = _iaid_cx(codelen)
+    gr_cx: dict = {}
+    hc_height = 0
+    i = 0
+    while i < len(vorder):
+        h = len(variants[vorder[i]][1])
+        _int_encode(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(vorder) and len(variants[vorder[i]][1]) == hc_height:
+            bi, bm = variants[vorder[i]]
+            _int_encode(enc, iadw, len(bm[0]) - sym_width)
+            sym_width = len(bm[0])
+            _int_encode(enc, iaai, 1)  # REFAGGNINST
+            # decoder's pool = input syms (exported order of dict 1)
+            _iaid_encode(enc, iaid_bank, codelen, base_pos[bi])
+            _int_encode(enc, iardx, 0)
+            _int_encode(enc, iardy, 0)
+            encode_refinement(
+                enc, gr_cx, bm, base_symbols[bi], 0, 0, 0, None
+            )
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    # export only the NEW symbols: skip the imported bases
+    _int_encode(enc, iaex, n_in)
+    _int_encode(enc, iaex, len(variants))
+    # flags: SDREFAGG=1, SDTEMPLATE=0, SDRTEMPLATE=0
+    sd2 = bytearray(struct.pack(">H", 2))
+    for ax, ay in NOMINAL_AT[0]:
+        sd2 += struct.pack(">bb", ax, ay)
+    for ax, ay in NOMINAL_GR_AT:
+        sd2 += struct.pack(">bb", ax, ay)
+    sd2 += struct.pack(">II", len(variants), len(variants))
+    sd2 += enc.flush()
+    # ---- text region over [dict1 exports..., dict2 exports...]
+    all_syms = ([base_symbols[k] for k in order]
+                + [variants[k][1] for k in vorder])
+    tr_codelen = max(0, ceil(log2(len(all_syms))))
+    # map caller index: bases by base_pos; variants offset by vorder
+    vpos = {sym_i: n_in + k for k, sym_i in enumerate(vorder)}
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    trid_bank = _iaid_cx(tr_codelen)
+    _int_encode(enc, iadt, 0)
+    stript = 0
+    firsts = 0
+    by_t: dict = {}
+    for sym_i, x, y in placements:
+        by_t.setdefault(y, []).append((x, sym_i))
+    for t in sorted(by_t):
+        _int_encode(enc, iadt, t - stript)
+        stript = t
+        xs = sorted(by_t[t])
+        _int_encode(enc, iafs, xs[0][0] - firsts)
+        firsts = xs[0][0]
+        curs = firsts
+        for j, (px, sym_i) in enumerate(xs):
+            if j:
+                _int_encode(enc, iads, px - curs)
+                curs = px
+            k = base_pos[sym_i] if sym_i < n_in else vpos[sym_i - n_in]
+            _iaid_encode(enc, trid_bank, tr_codelen, k)
+            curs += len(all_syms[k][0]) - 1
+        _int_encode(enc, iads, _OOB)
+    tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
+    tr.append(0)
+    tr += struct.pack(">H", 1 << 4)
+    tr += struct.pack(">I", len(placements))
+    tr += enc.flush()
+    page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    body = bytearray()
+    body += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
+    body += _segment_header(1, SEG_SYMBOL_DICT, 1, len(sd1)) + bytes(sd1)
+    body += _segment_header(
+        2, SEG_SYMBOL_DICT, 1, len(sd2), refs=(1,)
+    ) + bytes(sd2)
+    body += _segment_header(
+        3, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(1, 2)
+    ) + bytes(tr)
+    return bytes(body)

@@ -28,8 +28,11 @@ from pdf2dataset_spark.sources.jbig2 import (
     decode_embedded,
     decode_generic,
     decode_jbig2_gray,
+    decode_refinement,
     encode_generic,
     encode_generic_page,
+    encode_refagg_page,
+    encode_refinement,
     encode_text_page,
     parse_segments,
 )
@@ -225,6 +228,112 @@ class TestEmbeddedStream:
         )
         with pytest.raises(JBIG2Unsupported):
             decode_embedded(stream)
+
+
+def _flip_some(rng, bm, n):
+    out = [bytearray(r) for r in bm]
+    for _ in range(n):
+        y = rng.randrange(len(out))
+        x = rng.randrange(len(out[0]))
+        out[y][x] ^= 1
+    return out
+
+
+class TestRefinement:
+    @pytest.mark.parametrize("template", [0, 1])
+    @pytest.mark.parametrize("tpgron", [False, True])
+    def test_roundtrip_templates_offsets(self, template, tpgron):
+        rng = random.Random(100 + template * 2 + tpgron)
+        for (w, h) in [(1, 1), (9, 5), (24, 17), (40, 8)]:
+            ref = _rand_bitmap(rng, w, h, 0.4)
+            bm = _flip_some(rng, ref, max(1, w * h // 20))
+            for dx, dy in [(0, 0), (2, -1), (-3, 2)]:
+                enc = MQEncoder()
+                encode_refinement(enc, {}, bm, ref, dx, dy, template,
+                                  None, tpgron)
+                out = decode_refinement(
+                    MQDecoder(enc.flush()), {}, w, h, ref, dx, dy,
+                    template, None, tpgron,
+                )
+                assert [bytes(r) for r in out] == [bytes(r) for r in bm]
+
+    def test_grown_bitmap_against_smaller_reference(self):
+        rng = random.Random(9)
+        ref = _rand_bitmap(rng, 10, 6, 0.5)
+        bm = _rand_bitmap(rng, 13, 8, 0.5)
+        enc = MQEncoder()
+        encode_refinement(enc, {}, bm, ref, 1, 1, 0, None)
+        out = decode_refinement(
+            MQDecoder(enc.flush()), {}, 13, 8, ref, 1, 1, 0, None
+        )
+        assert [bytes(r) for r in out] == [bytes(r) for r in bm]
+
+    def test_tpgron_ltp_rows_engage_and_roundtrip(self):
+        # a smooth bitmap coded against itself has fully-typical rows
+        # (uniform 3x3 reference neighbourhoods): the encoder turns
+        # LTP on for them, so the decoder's typical-pixel copy path is
+        # really exercised — and the stream must still round-trip,
+        # including the noisy rows where LTP toggles back off
+        from pdf2dataset_spark.sources.jbig2 import _gr_typical
+
+        rng = random.Random(6)
+        ref = [bytearray(64) for _ in range(64)]
+        for y in range(20, 44):
+            for x in range(20, 44):
+                ref[y][x] = 1
+        bm = [bytearray(r) for r in ref]
+        for _ in range(10):  # sprinkle non-typical rows
+            bm[rng.randrange(64)][rng.randrange(64)] ^= 1
+        typical_rows = sum(
+            1
+            for y in range(64)
+            if all(
+                _gr_typical(bm, x, y, 0, 0) == bm[y][x] for x in range(64)
+            )
+        )
+        assert typical_rows > 20  # the LTP path genuinely engages
+        enc = MQEncoder()
+        encode_refinement(enc, {}, bm, bm, 0, 0, 0, None, True)
+        out = decode_refinement(
+            MQDecoder(enc.flush()), {}, 64, 64, bm, 0, 0, 0, None, True
+        )
+        assert [bytes(r) for r in out] == [bytes(r) for r in bm]
+
+    def test_refined_text_region_instances(self):
+        rng = random.Random(21)
+        a = _rand_bitmap(rng, 5, 4, 0.5)
+        b = _rand_bitmap(rng, 3, 3, 0.5)
+        a2 = _flip_some(rng, a, 2)  # same-size refinement
+        b2 = [bytearray(r) + bytearray([1]) for r in b] + [
+            bytearray([1] * 4)
+        ]  # grown refinement
+        pl = [(0, 2, 1, None), (0, 10, 1, a2), (1, 20, 2, None),
+              (1, 28, 7, b2)]
+        data, _ = encode_text_page([a, b], pl, 40, 14)
+        _, _, rows = decode_embedded(data)
+        exp = [bytearray(40) for _ in range(14)]
+        for si, x, y, rb in pl:
+            bmp = rb if rb is not None else [a, b][si]
+            for dy, r in enumerate(bmp):
+                for dx, v in enumerate(r):
+                    exp[y + dy][x + dx] |= v
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_refagg_symbol_dictionary(self):
+        rng = random.Random(30)
+        base = [_rand_bitmap(rng, 6, 5, 0.5), _rand_bitmap(rng, 4, 4, 0.5)]
+        variants = [(0, _flip_some(rng, base[0], 3)),
+                    (1, _flip_some(rng, base[1], 2))]
+        pl = [(0, 1, 1), (2, 10, 1), (1, 20, 3), (3, 28, 6)]
+        data = encode_refagg_page(base, variants, pl, 40, 14)
+        _, _, rows = decode_embedded(data)
+        pool = base + [v[1] for v in variants]
+        exp = [bytearray(40) for _ in range(14)]
+        for si, x, y in pl:
+            for dy, r in enumerate(pool[si]):
+                for dx, v in enumerate(r):
+                    exp[y + dy][x + dx] |= v
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
 
 
 class TestMinipdfIntegration:
