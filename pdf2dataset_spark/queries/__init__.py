@@ -97,6 +97,8 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a22_embedded_font_cmap_extract",
     # JBIG2 codec (sources/jbig2) + scanned-route/page_images wiring
     "a25_jbig2_scan_extract",
+    # JPX codec (sources/jpx) + page_images /JPXDecode branch
+    "a26_jpx_image_extract",
     # raster ocr_gray refactor (threshold binarization)
     "a6_page_render_ocr",
     # image decode feeds the pHash path

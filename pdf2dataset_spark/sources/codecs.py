@@ -318,6 +318,13 @@ class PdfCodec(DocumentCodec):
                     )
                 except (ValueError, IndexError, KeyError):
                     continue
+            elif e["format"] == "jpx":
+                from pdf2dataset_spark.sources.jpx import decode_jpx_gray
+
+                try:
+                    w, h, px = decode_jpx_gray(e["data"])
+                except (ValueError, IndexError, KeyError):
+                    continue
             elif e["format"] == "raw":
                 w, h, data = e.get("width"), e.get("height"), e["data"]
                 if not w or not h:

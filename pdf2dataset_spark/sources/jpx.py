@@ -1,0 +1,1243 @@
+"""JPEG 2000 (/JPXDecode) codec — ITU-T T.800 lossless subset.
+
+The last of the PDF image-compression filters this engine decodes
+(after /DCTDecode → :mod:`sources.jpeg`, /CCITTFaxDecode →
+:mod:`sources.ccitt`, /JBIG2Decode → :mod:`sources.jbig2`). PDF
+embeds either a raw JPEG 2000 codestream or a JP2 container in a
+/JPXDecode stream (ISO 32000-1 §7.4.9); this module implements the
+reversible (lossless) path with zero native deps:
+
+- **JP2 container + codestream parsing**: signature/ftyp/jp2h boxes,
+  SOC/SIZ/COD/QCD/COC/QCC/SOT/SOD/EOC markers.
+- **Tier-2**: packet headers with inclusion + zero-bitplane tag
+  trees (B.10), coding-pass counts, Lblock length signaling;
+  single-layer LRCP/RLCP/RPCL packet iteration over default
+  (subband-wide) precincts.
+- **Tier-1 (EBCOT, Annex D)**: MQ bit-plane coding — significance
+  propagation, magnitude refinement and cleanup passes with the
+  standard context tables (the MQ coder itself is
+  :mod:`sources.jbig2`'s, validated against the shared T.88/T.800
+  test sequence).
+- **5/3 reversible DWT** (Annex F lifting, arbitrary odd/even
+  extents, multi-level) and the **RCT** reversible color transform +
+  DC level shift.
+- An **encoder twin** (`encode_jpx`) producing spec-shaped lossless
+  codestreams for fixtures and round-trip property tests — the
+  :mod:`sources.ccitt`/:mod:`sources.jbig2` fixture strategy.
+
+Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
+compressed payload is preserved by the caller either way): the
+irreversible 9/7 wavelet + scalar dequantization, multiple
+tiles/layers, non-default precincts, arithmetic-bypass/termall/reset
+code-block options, and ROI shifts. These are the lossy-photo
+features; the lossless path is what scanned-archive PDFs carry.
+
+Output convention matches the other codecs: 8-bit samples, gray or
+interleaved RGB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pdf2dataset_spark.sources.jbig2 import MQDecoder, MQEncoder
+
+
+class JPXError(ValueError):
+    """Malformed JPEG 2000 stream."""
+
+
+class JPXUnsupported(JPXError):
+    """Valid JPEG 2000 feature outside this decoder's scope."""
+
+
+# =====================================================================
+# 5/3 reversible DWT (T.800 Annex F)
+# =====================================================================
+
+
+def _dwt53_forward_1d(x: list) -> tuple[list, list]:
+    """One 5/3 lifting level on a signal (len >= 1): returns (low,
+    high) subbands with the (2n, 2n+1) even/odd split and
+    whole-sample symmetric extension (F.3/F.4)."""
+    n = len(x)
+    if n == 1:
+        return [x[0]], []
+
+    def xe(i: int) -> int:  # mirror in the full-signal index domain
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * (n - 1) - i
+        return x[i]
+
+    high = [
+        x[2 * k + 1] - ((x[2 * k] + xe(2 * k + 2)) >> 1)
+        for k in range(n // 2)
+    ]
+
+    def he(k: int) -> int:  # high extension: mirror around the edges
+        m = len(high)
+        if k < 0:
+            return high[-k - 1] if m else 0
+        if k >= m:
+            return high[2 * m - 1 - k] if m else 0
+        return high[k]
+
+    low = [
+        x[2 * k] + ((he(k - 1) + he(k) + 2) >> 2)
+        for k in range((n + 1) // 2)
+    ]
+    return low, high
+
+
+def _dwt53_inverse_1d(low: list, high: list) -> list:
+    """Inverse of :func:`_dwt53_forward_1d`."""
+    n = len(low) + len(high)
+    if n == 1:
+        return [low[0]]
+    m_h = len(high)
+
+    def he(k: int) -> int:
+        if k < 0:
+            return high[-k - 1] if m_h else 0
+        if k >= m_h:
+            return high[2 * m_h - 1 - k] if m_h else 0
+        return high[k]
+
+    even = [
+        low[k] - ((he(k - 1) + he(k) + 2) >> 2) for k in range(len(low))
+    ]
+
+    def ee(i: int) -> int:
+        # even-sample value at full index 2i, mirrored in the FULL
+        # domain: 2i >= n → full mirror 2(n-1)-2i → even[n-1-i]
+        if i < len(even):
+            return even[i]
+        return even[n - 1 - i]
+
+    out = []
+    for i in range(n):
+        if i % 2 == 0:
+            out.append(even[i // 2])
+        else:
+            k = i // 2
+            out.append(high[k] + ((ee(k) + ee(k + 1)) >> 1))
+    return out
+
+
+def dwt53_forward_2d(rows: list, levels: int) -> list:
+    """Multi-level 2D 5/3 forward DWT. Input: list of lists of ints.
+    Returns the coefficient plane in the standard layout (LL at the
+    top-left, per-level subbands around it) as a mutable list of
+    lists, plus nothing — the layout carries the structure."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    plane = [list(r) for r in rows]
+    ch, cw = h, w
+    for _ in range(levels):
+        if ch <= 1 and cw <= 1:
+            break
+        # columns first or rows first is equivalent for 5/3; do rows
+        for y in range(ch):
+            lo, hi = _dwt53_forward_1d(plane[y][:cw])
+            plane[y][:cw] = lo + hi
+        for x in range(cw):
+            col = [plane[y][x] for y in range(ch)]
+            lo, hi = _dwt53_forward_1d(col)
+            merged = lo + hi
+            for y in range(ch):
+                plane[y][x] = merged[y]
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    return plane
+
+
+def dwt53_inverse_2d(plane: list, width: int, height: int, levels: int) -> list:
+    """Inverse of :func:`dwt53_forward_2d`."""
+    plane = [list(r) for r in plane]
+    dims = []
+    ch, cw = height, width
+    for _ in range(levels):
+        dims.append((ch, cw))
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    for ch, cw in reversed(dims):
+        if ch <= 1 and cw <= 1:
+            continue
+        nlo_h = (ch + 1) // 2
+        nlo_w = (cw + 1) // 2
+        for x in range(cw):
+            col = [plane[y][x] for y in range(ch)]
+            rec = _dwt53_inverse_1d(col[:nlo_h], col[nlo_h:])
+            for y in range(ch):
+                plane[y][x] = rec[y]
+        for y in range(ch):
+            row = plane[y][:cw]
+            rec = _dwt53_inverse_1d(row[:nlo_w], row[nlo_w:])
+            plane[y][:cw] = rec
+    return plane
+
+
+# =====================================================================
+# Tag trees (T.800 B.10.2)
+# =====================================================================
+
+
+class TagTree:
+    """2D tag tree: each leaf holds a value; internal nodes hold the
+    min of their children. Decoding reads 0-bits ("not yet") and a
+    1-bit ("reached") per level threshold."""
+
+    def __init__(self, w: int, h: int):
+        self.levels = []  # finest first: list of (w, h)
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+
+    def nodes(self):
+        return self.levels
+
+
+class TagTreeDecoder:
+    def __init__(self, w: int, h: int):
+        self.tree = TagTree(w, h)
+        # per level: dict (x, y) -> [current_low, resolved?]
+        self.state = [dict() for _ in self.tree.levels]
+
+    def decode(self, reader, x: int, y: int, threshold: int) -> bool:
+        """Is leaf (x, y)'s value < threshold? Consumes bits from
+        `reader` (callable -> 0/1) per B.10.2; call with increasing
+        thresholds."""
+        # path from root to leaf
+        path = []
+        lx, ly = x, y
+        for li, (w, h) in enumerate(self.tree.levels):
+            path.append((li, lx, ly))
+            lx //= 2
+            ly //= 2
+        low = 0
+        for li, lx, ly in reversed(path):  # root first
+            st = self.state[li].setdefault((lx, ly), [0, False])
+            if st[0] < low:
+                st[0] = low
+            while not st[1] and st[0] < threshold:
+                if reader():
+                    st[1] = True
+                else:
+                    st[0] += 1
+            low = st[0]
+            if not st[1] and st[0] >= threshold:
+                return False  # value >= threshold (so far)
+        return True
+
+    def value(self, li0_state, x, y):  # pragma: no cover - debug aid
+        return self.state[0].get((x, y))
+
+
+class TagTreeEncoder:
+    def __init__(self, w: int, h: int, values: dict):
+        """`values`: dict (x, y) -> leaf value; internal nodes become
+        the min over children."""
+        self.tree = TagTree(w, h)
+        self.vals = []  # per level: dict (x,y) -> value
+        cur = dict(values)
+        for li, (lw, lh) in enumerate(self.tree.levels):
+            self.vals.append(cur)
+            nxt: dict = {}
+            for (x, y), v in cur.items():
+                k = (x // 2, y // 2)
+                nxt[k] = v if k not in nxt else min(nxt[k], v)
+            cur = nxt
+        self.state = [dict() for _ in self.tree.levels]
+
+    def encode(self, writer, x: int, y: int, threshold: int) -> None:
+        """Emit the bits a :class:`TagTreeDecoder` consumes for the
+        query `value(x, y) < threshold`."""
+        path = []
+        lx, ly = x, y
+        for li, (w, h) in enumerate(self.tree.levels):
+            path.append((li, lx, ly))
+            lx //= 2
+            ly //= 2
+        low = 0
+        for li, lx, ly in reversed(path):
+            v = self.vals[li][(lx, ly)]
+            st = self.state[li].setdefault((lx, ly), [0, False])
+            if st[0] < low:
+                st[0] = low
+            while not st[1] and st[0] < threshold:
+                if st[0] >= v:
+                    writer(1)
+                    st[1] = True
+                else:
+                    writer(0)
+                    st[0] += 1
+            low = st[0]
+            if not st[1]:
+                return  # decoder learned value >= threshold
+
+
+# =====================================================================
+# EBCOT tier-1 (T.800 Annex D): code-block bit-plane MQ coding
+# =====================================================================
+
+# significance-coding context tables: (H, V, D) -> context 0..8
+def _sig_ctx(h: int, v: int, d: int, band: str) -> int:
+    if band == "HL":  # transpose
+        h, v = v, h
+    if band != "HH":
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else (1 if d == 1 else 0)
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else (1 if hv == 1 else 0)
+
+
+# sign-coding: (hsum, vsum) clamped to [-1,1] -> (context, xor-bit)
+_SIGN_CTX = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+_CTX_MR_FIRST = 14
+_CTX_MR_FIRST_NBR = 15
+_CTX_MR_LATER = 16
+_CTX_RUNLENGTH = 17
+_CTX_UNIFORM = 18
+_N_CTX = 19
+
+
+def _fresh_contexts() -> list:
+    cx = [[0, 0] for _ in range(_N_CTX)]
+    cx[0] = [4, 0]
+    cx[_CTX_RUNLENGTH] = [3, 0]
+    cx[_CTX_UNIFORM] = [46, 0]
+    return cx
+
+
+class _BlockState:
+    """Shared encode/decode state for one code block."""
+
+    __slots__ = ("w", "h", "sig", "visited", "refined", "sign", "mag")
+
+    def __init__(self, w: int, h: int):
+        self.w = w
+        self.h = h
+        self.sig = bytearray(w * h)
+        self.visited = bytearray(w * h)
+        self.refined = bytearray(w * h)
+        self.sign = bytearray(w * h)  # 1 = negative
+        self.mag = [0] * (w * h)
+
+    def neighborhood(self, x: int, y: int):
+        w, h, sig = self.w, self.h, self.sig
+        hcnt = vcnt = dcnt = 0
+        if x > 0 and sig[y * w + x - 1]:
+            hcnt += 1
+        if x < w - 1 and sig[y * w + x + 1]:
+            hcnt += 1
+        if y > 0 and sig[(y - 1) * w + x]:
+            vcnt += 1
+        if y < h - 1 and sig[(y + 1) * w + x]:
+            vcnt += 1
+        for dy in (-1, 1):
+            for dx in (-1, 1):
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+                    dcnt += 1
+        return hcnt, vcnt, dcnt
+
+    def sign_ctx(self, x: int, y: int):
+        w, h, sig, sign = self.w, self.h, self.sig, self.sign
+
+        def contrib(xx: int, yy: int) -> int:
+            if not (0 <= xx < w and 0 <= yy < h) or not sig[yy * w + xx]:
+                return 0
+            return -1 if sign[yy * w + xx] else 1
+
+        hs = max(-1, min(1, contrib(x - 1, y) + contrib(x + 1, y)))
+        vs = max(-1, min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+        return _SIGN_CTX[(hs, vs)]
+
+    def any_sig_neighbor(self, x: int, y: int) -> bool:
+        w, h, sig = self.w, self.h, self.sig
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+                    return True
+        return False
+
+
+def _strip_iter(w: int, h: int):
+    """EBCOT scan order: strips of 4 rows, column-major inside."""
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            for y in range(y0, min(y0 + 4, h)):
+                yield x, y
+
+
+def _pass_sig(bit_of, put, st: _BlockState, band: str, plane: int):
+    """Significance-propagation pass (D.3.1): visit coefficients not
+    yet significant that have a significant neighbor."""
+    for x, y in _strip_iter(st.w, st.h):
+        i = y * st.w + x
+        if st.sig[i] or not st.any_sig_neighbor(x, y):
+            continue
+        st.visited[i] = 1
+        ctx = _sig_ctx(*st.neighborhood(x, y), band)
+        if bit_of is not None:
+            b = bit_of("sig", x, y, ctx)
+        else:
+            b = (st.mag[i] >> plane) & 1
+            put("sig", x, y, ctx, b)
+        if b:
+            if bit_of is not None:
+                sctx, xor = st.sign_ctx(x, y)
+                sbit = bit_of("sign", x, y, sctx)
+                st.sign[i] = sbit ^ xor
+                st.mag[i] |= 1 << plane
+            else:
+                sctx, xor = st.sign_ctx(x, y)
+                put("sign", x, y, sctx, st.sign[i] ^ xor)
+            st.sig[i] = 1
+
+
+def _pass_mag(bit_of, put, st: _BlockState, plane: int):
+    """Magnitude-refinement pass (D.3.3)."""
+    for x, y in _strip_iter(st.w, st.h):
+        i = y * st.w + x
+        if not st.sig[i] or st.visited[i]:
+            continue
+        # significant before this plane (not newly set this plane)
+        if st.refined[i]:
+            ctx = _CTX_MR_LATER
+        else:
+            ctx = (_CTX_MR_FIRST_NBR if st.any_sig_neighbor(x, y)
+                   else _CTX_MR_FIRST)
+        if bit_of is not None:
+            b = bit_of("mag", x, y, ctx)
+            if b:
+                st.mag[i] |= 1 << plane
+        else:
+            put("mag", x, y, ctx, (st.mag[i] >> plane) & 1)
+        st.refined[i] = 1
+        st.visited[i] = 1
+
+
+def _pass_cleanup(bit_of, put, st: _BlockState, band: str, plane: int):
+    """Cleanup pass (D.3.4) with column run-length coding."""
+    w, h = st.w, st.h
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            y = y0
+            while y < min(y0 + 4, h):
+                i = y * w + x
+                run_mode = False
+                if (
+                    y == y0
+                    and y0 + 4 <= h
+                    and all(
+                        not st.visited[(y0 + k) * w + x]
+                        and not st.sig[(y0 + k) * w + x]
+                        and not st.any_sig_neighbor(x, y0 + k)
+                        for k in range(4)
+                    )
+                ):
+                    run_mode = True
+                if run_mode:
+                    if bit_of is not None:
+                        any_sig = bit_of("run", x, y0, _CTX_RUNLENGTH)
+                        if not any_sig:
+                            y = y0 + 4
+                            continue
+                        r = (bit_of("uni", x, y0, _CTX_UNIFORM) << 1) | (
+                            bit_of("uni", x, y0, _CTX_UNIFORM)
+                        )
+                    else:
+                        first = next(
+                            (
+                                k
+                                for k in range(4)
+                                if (st.mag[(y0 + k) * w + x] >> plane) & 1
+                            ),
+                            None,
+                        )
+                        if first is None:
+                            put("run", x, y0, _CTX_RUNLENGTH, 0)
+                            y = y0 + 4
+                            continue
+                        put("run", x, y0, _CTX_RUNLENGTH, 1)
+                        put("uni", x, y0, _CTX_UNIFORM, (first >> 1) & 1)
+                        put("uni", x, y0, _CTX_UNIFORM, first & 1)
+                        r = first
+                    # coefficient at y0 + r becomes significant with
+                    # an implied 1-bit; its sign follows
+                    y = y0 + r
+                    i = y * w + x
+                    if bit_of is not None:
+                        sctx, xor = st.sign_ctx(x, y)
+                        sbit = bit_of("sign", x, y, sctx)
+                        st.sign[i] = sbit ^ xor
+                        st.mag[i] |= 1 << plane
+                    else:
+                        sctx, xor = st.sign_ctx(x, y)
+                        put("sign", x, y, sctx, st.sign[i] ^ xor)
+                    st.sig[i] = 1
+                    y += 1
+                    continue
+                if st.visited[i] or st.sig[i]:
+                    y += 1
+                    continue
+                ctx = _sig_ctx(*st.neighborhood(x, y), band)
+                if bit_of is not None:
+                    b = bit_of("sig", x, y, ctx)
+                else:
+                    b = (st.mag[i] >> plane) & 1
+                    put("sig", x, y, ctx, b)
+                if b:
+                    if bit_of is not None:
+                        sctx, xor = st.sign_ctx(x, y)
+                        sbit = bit_of("sign", x, y, sctx)
+                        st.sign[i] = sbit ^ xor
+                        st.mag[i] |= 1 << plane
+                    else:
+                        sctx, xor = st.sign_ctx(x, y)
+                        put("sign", x, y, sctx, st.sign[i] ^ xor)
+                    st.sig[i] = 1
+                y += 1
+    # reset per-plane visited flags
+    for i in range(w * h):
+        st.visited[i] = 0
+
+
+def encode_codeblock(coeffs, w: int, h: int, band: str):
+    """EBCOT-encode signed coefficients (row-major list) → (data,
+    n_passes, n_bitplanes). All three passes per plane, single MQ
+    codeword segment (default code-block style)."""
+    st = _BlockState(w, h)
+    maxmag = 0
+    for i, c in enumerate(coeffs):
+        st.mag[i] = abs(c)
+        st.sign[i] = 1 if c < 0 else 0
+        maxmag = max(maxmag, abs(c))
+    nplanes = max(1, maxmag.bit_length())
+    enc = MQEncoder()
+    cx = _fresh_contexts()
+
+    def put(kind, x, y, ctx, bit):
+        enc.encode(bit, cx[ctx])
+
+    # drop the magnitudes into a fresh state for pass simulation: the
+    # shared pass walkers mutate sig/refined exactly like decode
+    st2 = _BlockState(w, h)
+    st2.mag = st.mag
+    st2.sign = st.sign
+    npasses = 0
+    for plane in range(nplanes - 1, -1, -1):
+        if npasses == 0:
+            _pass_cleanup(None, put, st2, band, plane)
+            npasses += 1
+        else:
+            _pass_sig(None, put, st2, band, plane)
+            _pass_mag(None, put, st2, plane)
+            _pass_cleanup(None, put, st2, band, plane)
+            npasses += 3
+    return enc.flush(), npasses, nplanes
+
+
+def decode_codeblock(
+    data: bytes, w: int, h: int, band: str, nplanes: int, npasses: int
+):
+    """Inverse of :func:`encode_codeblock` → signed coefficient list."""
+    st = _BlockState(w, h)
+    dec = MQDecoder(data)
+    cx = _fresh_contexts()
+
+    def bit_of(kind, x, y, ctx):
+        return dec.decode(cx[ctx])
+
+    plane = nplanes - 1
+    p = 0
+    while p < npasses and plane >= 0:
+        if p == 0:
+            _pass_cleanup(bit_of, None, st, band, plane)
+            p += 1
+        else:
+            _pass_sig(bit_of, None, st, band, plane)
+            p += 1
+            if p >= npasses:
+                break
+            _pass_mag(bit_of, None, st, plane)
+            p += 1
+            if p >= npasses:
+                break
+            _pass_cleanup(bit_of, None, st, band, plane)
+            p += 1
+        plane -= 1
+    return [
+        -m if s else m for m, s in zip(st.mag, st.sign)
+    ]
+
+
+# =====================================================================
+# Tier-2: packet-header bit IO (B.10.1 — 0xFF bit-stuffing)
+# =====================================================================
+
+
+class _HeaderWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self, b: int) -> None:
+        # after a full 0xFF byte only 7 bits fit in the next byte
+        limit = 7 if self.out and self.out[-1] == 0xFF else 8
+        self.acc = (self.acc << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == limit:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((value >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            limit = 7 if self.out and self.out[-1] == 0xFF else 8
+            self.out.append(self.acc << (limit - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:  # header may not end 0xFF
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _HeaderReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise JPXError("packet header overruns stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise JPXError("invalid bit-stuffing in packet header")
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.prev_ff = b == 0xFF
+            self.acc = b
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Finish the header: byte-align and skip a trailing stuffing
+        byte if the last consumed byte was 0xFF. Returns the body
+        offset."""
+        self.nbits = 0
+        if self.prev_ff:
+            if self.pos >= len(self.data):
+                raise JPXError("missing stuffing byte after 0xFF")
+            self.pos += 1
+        return self.pos
+
+
+def _passes_codeword_write(w: _HeaderWriter, n: int) -> None:
+    """Number-of-coding-passes codeword (Table B.4)."""
+    if n == 1:
+        w.bit(0)
+    elif n == 2:
+        w.bit(1), w.bit(0)
+    elif 3 <= n <= 5:
+        w.bits(0b11, 2)
+        w.bits(n - 3, 2)
+    elif 6 <= n <= 36:
+        w.bits(0b1111, 4)
+        w.bits(n - 6, 5)
+    elif 37 <= n <= 164:
+        w.bits(0b111111111, 9)
+        w.bits(n - 37, 7)
+    else:
+        raise JPXError(f"cannot signal {n} coding passes")
+
+
+def _passes_codeword_read(r: _HeaderReader) -> int:
+    if not r.bit():
+        return 1
+    if not r.bit():
+        return 2
+    v = r.bits(2)
+    if v != 3:
+        return 3 + v
+    v = r.bits(5)
+    if v != 31:
+        return 6 + v
+    return 37 + r.bits(7)
+
+
+# =====================================================================
+# Subband / code-block geometry (single tile at the origin)
+# =====================================================================
+
+_CB_EXP = 6  # 64x64 code blocks (the common default)
+
+
+def _level_dims(w: int, h: int, levels: int) -> list:
+    """Window dims [ (w, h) pre-split at each level 1..NL ]."""
+    dims = []
+    cw, ch = w, h
+    for _ in range(levels):
+        dims.append((cw, ch))
+        cw = (cw + 1) // 2
+        ch = (ch + 1) // 2
+    return dims
+
+
+def _bands_for_resolution(w: int, h: int, levels: int, r: int) -> list:
+    """Subbands of resolution r as (name, x0, y0, bw, bh) in the
+    :func:`dwt53_forward_2d` plane layout."""
+    dims = _level_dims(w, h, levels)
+    if r == 0:
+        if not dims:  # levels == 0: the image itself is the LL band
+            return [("LL", 0, 0, w, h)]
+        lw, lh = dims[-1]
+        return [("LL", 0, 0, (lw + 1) // 2, (lh + 1) // 2)]
+    d = levels - r + 1  # decomposition level of these bands
+    cw, ch = dims[d - 1]
+    lw, lh = (cw + 1) // 2, (ch + 1) // 2
+    hw, hh = cw - lw, ch - lh
+    return [
+        ("HL", lw, 0, hw, lh),
+        ("LH", 0, lh, lw, hh),
+        ("HH", lw, lh, hw, hh),
+    ]
+
+
+def _codeblocks(bw: int, bh: int) -> list:
+    """Code-block grid over a band: (gx, gy, x, y, w, h) band-local."""
+    out = []
+    cb = 1 << _CB_EXP
+    for gy, y in enumerate(range(0, bh, cb)):
+        for gx, x in enumerate(range(0, bw, cb)):
+            out.append((gx, gy, x, y, min(cb, bw - x), min(cb, bh - y)))
+    return out
+
+
+
+# =====================================================================
+# Codestream (Annex A markers) — encoder
+# =====================================================================
+
+_GUARD_BITS = 1
+
+
+def _encode_tile_component(plane, w: int, h: int, levels: int):
+    """EBCOT-encode one component's coefficient plane → (per-resolution
+    band/block structures, per-subband max plane counts in QCD order)."""
+    resolutions = []
+    exps = []
+    for r in range(levels + 1):
+        bands = _bands_for_resolution(w, h, levels, r)
+        per_band = []
+        for name, bx, by, bw, bh in bands:
+            blocks = []
+            for gx, gy, x, y, cw, ch in _codeblocks(bw, bh):
+                coeffs = [
+                    plane[by + y + yy][bx + x + xx]
+                    for yy in range(ch)
+                    for xx in range(cw)
+                ]
+                if any(coeffs):
+                    data, npasses, nplanes = encode_codeblock(
+                        coeffs, cw, ch, name
+                    )
+                else:
+                    data, npasses, nplanes = b"", 0, 0
+                blocks.append((gx, gy, data, npasses, nplanes))
+            per_band.append((name, bw, bh, blocks))
+            exps.append(max((b[4] for b in blocks), default=0))
+        resolutions.append(per_band)
+    return resolutions, exps
+
+
+def _build_packet(per_band, mbs: list) -> bytes:
+    """Assemble one packet from a resolution's band/block structures,
+    signaling zero-bitplanes against the FINAL per-band Mb values
+    `mbs` (the QCD ones, max-merged across components)."""
+    hw = _HeaderWriter()
+    body = bytearray()
+    if not any(blocks for _, _, _, blocks in per_band):
+        hw.bit(0)
+        return hw.flush()
+    hw.bit(1)  # packet non-empty
+    for (name, bw, bh, blocks), mb in zip(per_band, mbs):
+        if not blocks:
+            continue
+        gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
+        gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
+        incl = TagTreeEncoder(
+            gw, gh,
+            {(gx, gy): (0 if npasses else 1)
+             for gx, gy, _, npasses, _ in blocks},
+        )
+        zbp = TagTreeEncoder(
+            gw, gh,
+            {(gx, gy): (mb - nplanes if npasses else 0)
+             for gx, gy, _, npasses, nplanes in blocks},
+        )
+        lblock = {}
+        for gx, gy, data, npasses, nplanes in blocks:
+            incl.encode(hw.bit, gx, gy, 1)  # included in layer 0?
+            if not npasses:
+                continue
+            t = 1
+            while True:  # zero-bitplane tag tree, rising threshold
+                zbp.encode(hw.bit, gx, gy, t)
+                if mb - nplanes < t:
+                    break
+                t += 1
+            _passes_codeword_write(hw, npasses)
+            lb = lblock.setdefault((gx, gy), 3)
+            nbits = max(1, len(data).bit_length())
+            avail = lb + (npasses.bit_length() - 1)
+            if nbits > avail:
+                k = nbits - avail
+                for _ in range(k):
+                    hw.bit(1)
+                hw.bit(0)
+                lblock[(gx, gy)] = lb + k
+                avail = nbits
+            else:
+                hw.bit(0)
+            hw.bits(len(data), avail)
+            body += data
+    return hw.flush() + bytes(body)
+
+
+def encode_jpx(
+    width: int,
+    height: int,
+    samples: bytes,
+    ncomp: int = 1,
+    levels: int = 3,
+    jp2: bool = False,
+    mct: bool = True,
+) -> bytes:
+    """Author a lossless JPEG 2000 codestream (or JP2 file with
+    ``jp2``) from 8-bit samples (gray, or interleaved RGB with the
+    reversible color transform when ``mct``). Fixture twin of
+    :func:`decode_jpx`."""
+    if ncomp not in (1, 3):
+        raise JPXError("encode_jpx handles 1 or 3 components")
+    if len(samples) != width * height * ncomp:
+        raise JPXError("sample buffer does not match dimensions")
+    levels = max(0, min(levels, 32))
+    comps = []
+    if ncomp == 1:
+        comps.append(
+            [[samples[y * width + x] - 128 for x in range(width)]
+             for y in range(height)]
+        )
+        use_mct = False
+    else:
+        rs, gs, bs = [], [], []
+        for y in range(height):
+            rr, gg, bb = [], [], []
+            for x in range(width):
+                i = (y * width + x) * 3
+                rr.append(samples[i] - 128)
+                gg.append(samples[i + 1] - 128)
+                bb.append(samples[i + 2] - 128)
+            rs.append(rr), gs.append(gg), bs.append(bb)
+        use_mct = mct
+        if use_mct:
+            ys, us, vs = [], [], []
+            for rr, gg, bb in zip(rs, gs, bs):
+                yy = [(r + 2 * g + b) >> 2 for r, g, b in zip(rr, gg, bb)]
+                uu = [b - g for g, b in zip(gg, bb)]
+                vv = [r - g for r, g in zip(rr, gg)]
+                ys.append(yy), us.append(uu), vs.append(vv)
+            comps = [ys, us, vs]
+        else:
+            comps = [rs, gs, bs]
+    out = bytearray()
+    out += b"\xff\x4f"  # SOC
+    # SIZ
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, width, height, 0, 0, width, height, 0, 0, ncomp
+    )
+    for _ in range(ncomp):
+        siz += bytes([7, 1, 1])  # 8-bit unsigned, no subsampling
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 5/3
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
+    )
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    # encode tiles first (QCD + zero-bitplane signaling need the
+    # max-merged per-band exponents)
+    all_res = []
+    exps = None
+    for plane_rows in comps:
+        plane = dwt53_forward_2d(plane_rows, levels)
+        res, comp_exps = _encode_tile_component(plane, width, height, levels)
+        all_res.append(res)
+        exps = (comp_exps if exps is None
+                else [max(a, b) for a, b in zip(exps, comp_exps)])
+    mbs_by_r = []
+    k = 0
+    for r in range(levels + 1):
+        n = 1 if r == 0 else 3
+        mbs_by_r.append(exps[k : k + n])
+        k += n
+    all_packets = [
+        [_build_packet(res[r], mbs_by_r[r]) for r in range(levels + 1)]
+        for res in all_res
+    ]
+    # QCD: reversible (style 0), guard bits, one exponent per subband
+    # (Mb = eps + guard - 1 must reproduce the per-band plane count)
+    if any(e + 1 - _GUARD_BITS > 31 for e in exps):
+        raise JPXError("coefficient magnitudes exceed the 5-bit exponent")
+    qcd = bytes([_GUARD_BITS << 5]) + bytes(
+        max(0, e + 1 - _GUARD_BITS) << 3 for e in exps
+    )
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    # tile: LRCP over 1 layer → resolution-major, component-minor
+    body = bytearray()
+    for r in range(levels + 1):
+        for c in range(len(comps)):
+            body += all_packets[c][r]
+    sot = struct.pack(">HIBB", 0, 12 + 2 + len(body), 0, 1)
+    out += b"\xff\x90" + struct.pack(">H", 10) + sot
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"  # EOC
+    if not jp2:
+        return bytes(out)
+    # minimal JP2 container
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    sig = box(b"jP\x20\x20", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(
+        b"ihdr",
+        struct.pack(">IIHBBBB", height, width, ncomp, 7, 7, 0, 0),
+    )
+    colr = box(
+        b"colr",
+        bytes([1, 0, 0]) + struct.pack(">I", 17 if ncomp == 1 else 16),
+    )
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", bytes(out))
+
+
+# =====================================================================
+# Codestream — decoder
+# =====================================================================
+
+
+def _parse_markers(data: bytes):
+    """Main-header markers up to SOT → dict + tile-part offset."""
+    if data[:2] != b"\xff\x4f":
+        raise JPXError("missing SOC marker")
+    pos = 2
+    hdr: dict = {"coc": {}, "qcc": {}}
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JPXError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0x93:  # SOD (shouldn't appear before SOT)
+            raise JPXError("SOD before SOT")
+        if marker == 0xD9:
+            raise JPXError("EOC before any tile")
+        length = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + length]
+        if marker == 0x51:  # SIZ
+            (rsiz, xs, ys, xo, yo, xts, yts, xto, yto, ncomp) = (
+                struct.unpack_from(">HIIIIIIIIH", seg, 0)
+            )
+            if xo or yo or xto or yto:
+                raise JPXUnsupported("non-zero image/tile offsets")
+            if xts < xs or yts < ys:
+                raise JPXUnsupported("multiple tiles")
+            depths = []
+            for c in range(ncomp):
+                ssiz, xr, yr = struct.unpack_from(
+                    ">BBB", seg, 36 + 3 * c
+                )
+                if xr != 1 or yr != 1:
+                    raise JPXUnsupported("component subsampling")
+                if ssiz & 0x80:
+                    raise JPXUnsupported("signed components")
+                depths.append((ssiz & 0x7F) + 1)
+            if any(d != depths[0] for d in depths):
+                raise JPXUnsupported("mixed component depths")
+            if depths[0] > 16:
+                raise JPXUnsupported("components deeper than 16 bits")
+            hdr.update(width=xs, height=ys, ncomp=ncomp, depth=depths[0])
+        elif marker == 0x52:  # COD
+            scod = seg[0]
+            if scod & 0x01:
+                raise JPXUnsupported("non-default precincts")
+            prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
+            mct = seg[4]
+            if layers != 1:
+                raise JPXUnsupported("multiple quality layers")
+            if prog > 4:
+                raise JPXError(f"bad progression order {prog}")
+            levels = seg[5]
+            cbw, cbh = seg[6] + 2, seg[7] + 2
+            cbstyle = seg[8]
+            if cbstyle:
+                raise JPXUnsupported(
+                    "code-block style options (bypass/reset/termall/"
+                    "causal/predictable/segmark)"
+                )
+            transform = seg[9]
+            if transform != 1:
+                raise JPXUnsupported("irreversible 9/7 wavelet")
+            hdr.update(
+                prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct
+            )
+        elif marker == 0x5C:  # QCD
+            style = seg[0] & 0x1F
+            if style != 0:
+                raise JPXUnsupported("scalar quantization (lossy)")
+            hdr["guard"] = seg[0] >> 5
+            hdr["exps"] = [b >> 3 for b in seg[1:]]
+        elif marker == 0x53 or marker == 0x5D:  # COC / QCC
+            raise JPXUnsupported("per-component coding styles")
+        elif marker == 0x90:  # SOT
+            hdr["sot"] = pos - 2
+            return hdr
+        # COM/TLM/PLM/others: skip
+        pos += length
+    raise JPXError("no tile-part in codestream")
+
+
+def _decode_packet(data: bytes, pos: int, bands, mbs: list):
+    """Decode one packet (header + body) at `pos`: per included
+    code block, EBCOT-decode and return [(band_name, plane_x,
+    plane_y, cw, ch, coeffs)], plus the position after the body."""
+    reader = _HeaderReader(data, pos)
+    out = []
+    if not reader.bit():
+        return out, reader.align()  # empty packet
+    work = []
+    for (name, bx, by, bw, bh), mb in zip(bands, mbs):
+        if bw <= 0 or bh <= 0:
+            continue
+        gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
+        gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
+        incl_tree = TagTreeDecoder(gw, gh)
+        zbp_tree = TagTreeDecoder(gw, gh)
+        lblock: dict = {}
+        for gx, gy, x, y, cw, ch in _codeblocks(bw, bh):
+            if not incl_tree.decode(reader.bit, gx, gy, 1):
+                continue
+            t = 1
+            while not zbp_tree.decode(reader.bit, gx, gy, t):
+                t += 1
+            zbp = t - 1
+            npasses = _passes_codeword_read(reader)
+            lb = lblock.setdefault((gx, gy), 3)
+            while reader.bit():
+                lb += 1
+            lblock[(gx, gy)] = lb
+            nbits = lb + (npasses.bit_length() - 1)
+            length = reader.bits(nbits)
+            work.append(
+                (name, bx + x, by + y, cw, ch, mb - zbp, npasses, length)
+            )
+    body = reader.align()
+    for name, px, py, cw, ch, nplanes, npasses, length in work:
+        if body + length > len(data):
+            raise JPXError("code-block data overruns stream")
+        coeffs = decode_codeblock(
+            data[body : body + length], cw, ch, name, nplanes, npasses
+        )
+        body += length
+        out.append((name, px, py, cw, ch, coeffs))
+    return out, body
+
+
+def decode_codestream(data: bytes):
+    """Decode a raw JPEG 2000 codestream → (width, height, ncomp,
+    list of per-component sample planes, depth)."""
+    hdr = _parse_markers(data)
+    if "width" not in hdr or "levels" not in hdr or "exps" not in hdr:
+        raise JPXError("main header missing SIZ, COD or QCD")
+    w, h = hdr["width"], hdr["height"]
+    ncomp, levels = hdr["ncomp"], hdr["levels"]
+    if hdr["cb_exp"] != (_CB_EXP, _CB_EXP):
+        raise JPXUnsupported(
+            f"code-block size {hdr['cb_exp']} (engine uses 64x64)"
+        )
+    guard = hdr.get("guard", _GUARD_BITS)
+    # per-subband Mb in QCD order = exponent + guard - 1
+    mbs_all = [e + guard - 1 for e in hdr["exps"]]
+    pos = hdr["sot"]
+    # SOT segment
+    if data[pos : pos + 2] != b"\xff\x90":
+        raise JPXError("expected SOT")
+    lsot = struct.unpack_from(">H", data, pos + 2)[0]
+    isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data, pos + 4)
+    if isot != 0 or tpsot != 0:
+        raise JPXUnsupported("multiple tiles / tile-parts")
+    tile_end = pos + psot if psot else len(data)
+    pos += 2 + lsot
+    if data[pos : pos + 2] != b"\xff\x93":
+        raise JPXError("expected SOD")
+    pos += 2
+    planes = [
+        [[0] * w for _ in range(h)] for _ in range(ncomp)
+    ]
+    prog = hdr["prog"]
+    # packet iteration: with 1 layer + 1 precinct, LRCP and RLCP are
+    # resolution-major/component-minor; RPCL/PCRL/CPRL differ only in
+    # component/resolution nesting
+    if prog in (0, 1, 2):  # LRCP, RLCP, RPCL
+        order = [(r, c) for r in range(levels + 1) for c in range(ncomp)]
+    else:  # PCRL, CPRL
+        order = [(r, c) for c in range(ncomp) for r in range(levels + 1)]
+    qcd_index = {}  # resolution -> slice of mbs_all
+    k = 0
+    for r in range(levels + 1):
+        n = 1 if r == 0 else 3
+        qcd_index[r] = mbs_all[k : k + n]
+        if len(qcd_index[r]) < n:
+            raise JPXError("QCD exponent list shorter than subbands")
+        k += n
+    for r, c in order:
+        bands = _bands_for_resolution(w, h, levels, r)
+        blocks, pos = _decode_packet(data, pos, bands, qcd_index[r])
+        for name, px, py, cw, ch, coeffs in blocks:
+            plane = planes[c]
+            for yy in range(ch):
+                row = plane[py + yy]
+                base = yy * cw
+                for xx in range(cw):
+                    row[px + xx] = coeffs[base + xx]
+    if pos > tile_end:
+        raise JPXError("tile body overran Psot")
+    comps = [dwt53_inverse_2d(p, w, h, levels) for p in planes]
+    return w, h, ncomp, comps, hdr["depth"], bool(hdr["mct"])
+
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """Extract the contiguous codestream from a JP2 container (or
+    return `data` unchanged if it already starts with SOC)."""
+    if data[:2] == b"\xff\x4f":
+        return data
+    if data[:4] != b"\x00\x00\x00\x0c" or data[4:8] != b"jP\x20\x20":
+        raise JPXError("neither a JPEG 2000 codestream nor a JP2 file")
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        ln = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        payload_at = pos + 8
+        if ln == 1:  # extended length
+            ln = struct.unpack_from(">Q", data, pos + 8)[0]
+            payload_at = pos + 16
+        if ln == 0:
+            ln = n - pos
+        if btype == b"jp2c":
+            return data[payload_at : pos + ln]
+        pos += ln
+    raise JPXError("JP2 container has no codestream box")
+
+
+def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
+    """/JPXDecode entry: decode a JP2 file or raw codestream to
+    ``(width, height, samples)`` — 8-bit gray, or interleaved RGB
+    when the stream carries 3 components (RCT undone when signaled).
+    Matches :func:`sources.jpeg.decode_jpeg`'s output shape."""
+    w, h, ncomp, comps, depth, mct = decode_codestream(_unwrap_jp2(data))
+    shift = 1 << (depth - 1)
+    top = (1 << depth) - 1
+    scale = 255 / top if depth != 8 else None
+    if ncomp >= 3 and mct:
+        ys, us, vs = comps[0], comps[1], comps[2]
+        for y in range(h):
+            yr, ur, vr = ys[y], us[y], vs[y]
+            for x in range(w):
+                g = yr[x] - ((ur[x] + vr[x]) >> 2)
+                yr[x] = vr[x] + g  # R
+                vr[x] = ur[x] + g  # B (reuse rows: ur later unused)
+                ur[x] = g  # G
+        comps = [ys, us, vs]  # now R, G, B
+    if ncomp == 1:
+        px = bytearray(w * h)
+        rows = comps[0]
+        for y in range(h):
+            row = rows[y]
+            base = y * w
+            for x in range(w):
+                v = row[x] + shift
+                if scale is not None:
+                    v = round(v * scale)
+                px[base + x] = min(255, max(0, v))
+        return w, h, bytes(px)
+    if ncomp >= 3:
+        px = bytearray(w * h * 3)
+        for y in range(h):
+            rr, gg, bb = comps[0][y], comps[1][y], comps[2][y]
+            base = y * w * 3
+            for x in range(w):
+                for k, row in enumerate((rr, gg, bb)):
+                    v = row[x] + shift
+                    if scale is not None:
+                        v = round(v * scale)
+                    px[base + 3 * x + k] = min(255, max(0, v))
+        return w, h, bytes(px)
+    raise JPXUnsupported(f"{ncomp}-component image")
+
+
+def decode_jpx_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode to 8-bit grayscale (BT.601 luma for RGB streams) — the
+    scanned-page OCR route's input shape."""
+    w, h, px = decode_jpx(data)
+    if len(px) == w * h:
+        return w, h, px
+    out = bytearray(w * h)
+    for i in range(w * h):
+        r, g, b = px[3 * i], px[3 * i + 1], px[3 * i + 2]
+        out[i] = min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
+    return w, h, bytes(out)

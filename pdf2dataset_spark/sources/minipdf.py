@@ -1307,8 +1307,25 @@ class PdfDocument:
                     # Huffman/refinement/halftone or corrupt stream:
                     # honest False, compressed payload kept
                     pass
+            elif stopped == "/JPXDecode":
+                entry["format"] = "jpx"
+                entry["data"] = data
+                entry["decodable"] = False
+                try:
+                    from pdf2dataset_spark.sources.jpx import decode_jpx
+
+                    w, h, px = decode_jpx(data)
+                    entry["decodable"] = True
+                    entry["width"] = entry["width"] or w
+                    entry["height"] = entry["height"] or h
+                    if decode_pixels:
+                        entry["pixels"] = px
+                except (ValueError, IndexError, KeyError, struct.error):
+                    # lossy 9/7 / multi-tile / corrupt: honest False,
+                    # compressed payload kept
+                    pass
             elif stopped is not None:
-                entry["format"] = {"/JPXDecode": "jpx"}.get(stopped, "ccitt")
+                entry["format"] = "ccitt"
                 entry["data"] = data
                 entry["decodable"] = False
             else:

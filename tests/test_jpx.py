@@ -1,0 +1,223 @@
+"""JPEG 2000 (/JPXDecode) codec tests — DWT, tag trees, EBCOT,
+codestream round-trips, JP2 container, and the minipdf integration.
+
+No Spark: pure-codec coverage (the Spark-side extraction path is
+pinned by the a26_jpx_image_extract golden oracle)."""
+
+import random
+
+import pytest
+
+from pdf2dataset_spark.sources import minipdf
+from pdf2dataset_spark.sources.jpx import (
+    JPXError,
+    JPXUnsupported,
+    TagTreeDecoder,
+    TagTreeEncoder,
+    _dwt53_forward_1d,
+    _dwt53_inverse_1d,
+    decode_codeblock,
+    decode_jpx,
+    decode_jpx_gray,
+    dwt53_forward_2d,
+    dwt53_inverse_2d,
+    encode_codeblock,
+    encode_jpx,
+)
+
+
+class TestDWT53:
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9, 16, 17, 100, 101])
+    def test_1d_roundtrip(self, n):
+        rng = random.Random(n)
+        for _ in range(5):
+            x = [rng.randrange(-255, 256) for _ in range(n)]
+            lo, hi = _dwt53_forward_1d(x)
+            assert len(lo) == (n + 1) // 2 and len(hi) == n // 2
+            assert _dwt53_inverse_1d(lo, hi) == x
+
+    @pytest.mark.parametrize(
+        "w,h,lv",
+        [(1, 1, 3), (5, 3, 2), (16, 16, 3), (17, 13, 4), (64, 48, 5),
+         (33, 1, 3), (1, 31, 3)],
+    )
+    def test_2d_multilevel_roundtrip(self, w, h, lv):
+        rng = random.Random(w * h + lv)
+        img = [[rng.randrange(-255, 256) for _ in range(w)]
+               for _ in range(h)]
+        assert dwt53_inverse_2d(dwt53_forward_2d(img, lv), w, h, lv) == img
+
+    def test_energy_compaction_on_smooth_signal(self):
+        # high band of a linear ramp must be zero: the 5/3 predictor
+        # is exact for degree-1 signals (odd length, so every odd
+        # sample has interior neighbours — the even-length edge case
+        # legitimately leaves one mirror residual)
+        x = list(range(0, 202, 2))
+        lo, hi = _dwt53_forward_1d(x)
+        assert all(v == 0 for v in hi)
+
+
+class TestTagTree:
+    @pytest.mark.parametrize("tw,th", [(1, 1), (3, 2), (4, 4), (7, 5)])
+    def test_roundtrip_rising_thresholds(self, tw, th):
+        rng = random.Random(tw * 10 + th)
+        vals = {(x, y): rng.randrange(0, 8)
+                for x in range(tw) for y in range(th)}
+        bits = []
+        enc = TagTreeEncoder(tw, th, vals)
+        for (x, y), v in sorted(vals.items()):
+            t = 1
+            while True:
+                enc.encode(bits.append, x, y, t)
+                if v < t:
+                    break
+                t += 1
+        it = iter(bits)
+        dec = TagTreeDecoder(tw, th)
+        for (x, y), v in sorted(vals.items()):
+            t = 1
+            while True:
+                if dec.decode(lambda: next(it), x, y, t):
+                    assert v < t
+                    break
+                assert v >= t
+                t += 1
+        assert next(it, None) is None  # bit-exact consumption
+
+
+class TestEBCOT:
+    @pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+    def test_codeblock_roundtrip(self, band):
+        rng = random.Random(hash(band) & 0xFFFF)
+        for (w, h) in [(1, 1), (4, 4), (8, 5), (16, 16), (13, 9)]:
+            for mag in (1, 7, 255, 2047):
+                coeffs = [rng.randrange(-mag, mag + 1) for _ in range(w * h)]
+                data, npasses, nplanes = encode_codeblock(coeffs, w, h, band)
+                assert decode_codeblock(
+                    data, w, h, band, nplanes, npasses
+                ) == coeffs
+
+    def test_sparse_blocks_runlength_path(self):
+        rng = random.Random(3)
+        for _ in range(10):
+            coeffs = [0] * 256
+            for _ in range(5):
+                coeffs[rng.randrange(256)] = rng.randrange(-100, 101)
+            data, npasses, nplanes = encode_codeblock(coeffs, 16, 16, "LL")
+            assert decode_codeblock(
+                data, 16, 16, "LL", nplanes, npasses
+            ) == coeffs
+
+
+class TestCodestream:
+    @pytest.mark.parametrize(
+        "w,h,lv",
+        [(8, 8, 1), (16, 16, 3), (33, 17, 3), (70, 70, 3), (1, 1, 0),
+         (5, 1, 2), (64, 64, 0), (150, 140, 2)],
+    )
+    def test_gray_lossless_roundtrip(self, w, h, lv):
+        rng = random.Random(w + h + lv)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_jpx(encode_jpx(w, h, px, 1, levels=lv))[2] == px
+
+    @pytest.mark.parametrize("mct", [True, False])
+    def test_rgb_lossless_roundtrip(self, mct):
+        rng = random.Random(42 + mct)
+        for (w, h, lv) in [(21, 13, 2), (40, 30, 3), (65, 65, 2)]:
+            px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            got = decode_jpx(encode_jpx(w, h, px, 3, levels=lv, mct=mct))
+            assert got == (w, h, px)
+
+    def test_jp2_container_roundtrip_and_compression(self):
+        w, h = 40, 30
+        px = bytes(min(255, x * 3 + y * 2) for y in range(h)
+                   for x in range(w))
+        data = encode_jpx(w, h, px, 1, levels=3, jp2=True)
+        assert decode_jpx(data)[2] == px
+        assert len(data) < w * h // 2  # smooth content really compresses
+
+    def test_gray_helper_luma(self):
+        px = bytes(range(64))
+        assert decode_jpx_gray(encode_jpx(8, 8, px, 1))[2] == px
+        rgb = bytes(v for i in range(64) for v in (i, i, i))
+        w, h, gray = decode_jpx_gray(encode_jpx(8, 8, rgb, 3))
+        assert gray == bytes(range(64))  # equal channels → luma == value
+
+    def test_malformed_streams_raise_named_errors(self):
+        with pytest.raises(JPXError):
+            decode_jpx(b"\x00\x01\x02\x03")
+        with pytest.raises(JPXError):
+            decode_jpx(b"\xff\x4f\xff\xd9")  # SOC then EOC, no headers
+        good = bytearray(encode_jpx(8, 8, bytes(64), 1, levels=1))
+        good[20] ^= 0xFF  # corrupt the SIZ
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(good))
+
+    def test_unsupported_features_named(self):
+        data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
+        # flip the COD transform byte to 0 (9/7 irreversible)
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 2 + 2 + 9] = 0
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(data))
+
+
+class TestMinipdfIntegration:
+    def test_page_images_decodes_jpx_xobject(self):
+        rng = random.Random(4)
+        w, h = 30, 22
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        for jp2 in (False, True):
+            data = encode_jpx(w, h, px, 1, levels=2, jp2=jp2)
+            pdf = minipdf.build_pdf(
+                [""],
+                images=[{"filter": "/JPXDecode", "width": w, "height": h,
+                         "data": data}],
+            )
+            doc = minipdf.PdfDocument(pdf)
+            (entry,) = doc.page_images(doc.pages()[0], decode_pixels=True)
+            assert entry["format"] == "jpx"
+            assert entry["decodable"] is True
+            assert entry["data"] == data
+            assert entry["pixels"] == px
+
+    def test_rgb_xobject_pixels_interleaved(self):
+        rng = random.Random(5)
+        w, h = 12, 9
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        data = encode_jpx(w, h, px, 3, levels=1)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/JPXDecode", "width": w, "height": h,
+                     "data": data, "colorspace": "/DeviceRGB"}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf, decode_pixels=True)[0]
+        assert entry["decodable"] is True and entry["pixels"] == px
+
+    def test_garbage_stream_honestly_undecodable(self):
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/JPXDecode", "width": 4, "height": 4,
+                     "data": b"\x00\x01"}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf)[0]
+        assert entry["format"] == "jpx"
+        assert entry["decodable"] is False
+        assert entry["data"] == b"\x00\x01"
+
+    def test_scanned_page_ocr_roundtrip(self):
+        from pdf2dataset_spark.sources import raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        text = "JPX SCAN 9"
+        w, h, rpx = raster._rasterize(text)
+        data = encode_jpx(w, h, bytes(rpx), 1, levels=3)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/JPXDecode", "width": w, "height": h,
+                     "data": data}],
+        )
+        codec = PdfCodec()
+        handle = codec.open(pdf)
+        assert codec.page_text(handle, 1) == ""
+        assert codec.page_ocr(handle, 1) == text
