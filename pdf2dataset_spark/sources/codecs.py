@@ -290,65 +290,36 @@ class PdfCodec(DocumentCodec):
         if page in handle.scan_cache:
             return handle.scan_cache[page]
         best: tuple[int, int, bytes] | None = None
-        for e in self.page_embedded_images(handle, page):
-            if not e.get("decodable") or e.get("data") is None:
+        # decode_pixels=True: every decodable entry carries its pixels
+        # already (gray, or RGB interleaved) — JBIG2/JPX bit-plane
+        # decodes are the dominant per-page cost, so decode ONCE here
+        # instead of once for `decodable` and again for the scan route
+        entries = handle.doc.page_images(
+            handle.doc.pages()[page - 1], decode_pixels=True
+        )
+        for e in entries:
+            px = e.get("pixels")
+            w, h = e.get("width"), e.get("height")
+            if px is None or not w or not h:
                 continue
-            if e["format"] == "jpeg":
-                from pdf2dataset_spark.sources.jpeg import decode_jpeg_gray
+            if len(px) == w * h:
+                px = bytes(px)
+            elif len(px) == 3 * w * h:  # RGB → BT.601 luma
+                import numpy as np
 
-                try:
-                    w, h, px = decode_jpeg_gray(e["data"])
-                except (ValueError, IndexError):
-                    continue
-            elif e["format"] == "ccitt" and e.get("ccitt_params"):
-                from pdf2dataset_spark.sources import ccitt
-
-                try:
-                    w, h, px = ccitt.decode_ccitt_gray(
-                        e["data"], **e["ccitt_params"]
-                    )
-                except (ValueError, IndexError):
-                    continue
-            elif e["format"] == "jbig2":
-                from pdf2dataset_spark.sources import jbig2
-
-                try:
-                    w, h, px = jbig2.decode_jbig2_gray(
-                        e["data"], e.get("jbig2_globals")
-                    )
-                except (ValueError, IndexError, KeyError):
-                    continue
-            elif e["format"] == "jpx":
-                from pdf2dataset_spark.sources.jpx import decode_jpx_gray
-
-                try:
-                    w, h, px = decode_jpx_gray(e["data"])
-                except (ValueError, IndexError, KeyError):
-                    continue
-            elif e["format"] == "raw":
-                w, h, data = e.get("width"), e.get("height"), e["data"]
-                if not w or not h:
-                    continue
-                if len(data) == w * h:
-                    px = bytes(data)
-                elif len(data) == 3 * w * h:
-                    import numpy as np
-
-                    rgb = (
-                        np.frombuffer(bytes(data), np.uint8)
-                        .reshape(h, w, 3)
-                        .astype(np.float64)
-                    )
-                    y = (
-                        0.299 * rgb[..., 0]
-                        + 0.587 * rgb[..., 1]
-                        + 0.114 * rgb[..., 2]
-                    )
-                    px = np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
-                else:
-                    continue  # sub-byte / palette payloads: skip
+                rgb = (
+                    np.frombuffer(bytes(px), np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.float64)
+                )
+                y = (
+                    0.299 * rgb[..., 0]
+                    + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]
+                )
+                px = np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
             else:
-                continue
+                continue  # sub-byte / palette payloads: skip
             if best is None or w * h > best[0] * best[1]:
                 best = (w, h, px)
         handle.scan_cache[page] = best

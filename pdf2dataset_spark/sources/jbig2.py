@@ -57,7 +57,21 @@ class JBIG2Error(ValueError):
 
 class JBIG2Unsupported(JBIG2Error):
     """Valid JBIG2 feature outside this decoder's scope (Huffman
-    tables, refinement coding, aggregate symbols)."""
+    tables, aggregate symbols, halftones)."""
+
+
+#: decode-size sanity bound (pixels): ample for any real scanned page
+#: (A3 @ 1200 dpi bilevel ~ 280M), small enough that a crafted
+#: 60-byte stream cannot OOM an executor before decoding starts
+_MAX_PIXELS = 1 << 29
+
+
+def _check_dims(w: int, h: int, what: str) -> None:
+    if w < 0 or h < 0 or (w and h and w * h > _MAX_PIXELS):
+        raise JBIG2Error(
+            f"{what} dimensions {w}x{h} exceed the {_MAX_PIXELS}-pixel "
+            "decode bound"
+        )
 
 
 # =====================================================================
@@ -435,7 +449,10 @@ def decode_generic(
     ltp = 0
     for y in range(height):
         if tpgdon:
-            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            # T.88 6.2.5.7: the SLTP decision SHARES the generic
+            # context bank at the pseudo-pixel context value — one
+            # adaptive state with pixel decisions, not a private slot
+            state = cx.setdefault(sltp_cx, [0, 0])
             ltp ^= dec.decode(state)
             if ltp:
                 rows.append(bytearray(rows[-1]) if rows else bytearray(width))
@@ -466,7 +483,7 @@ def encode_generic(
     for y, row in enumerate(rows):
         if tpgdon:
             typical = bool(done) and bytes(row) == bytes(done[-1])
-            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            state = cx.setdefault(sltp_cx, [0, 0])
             enc.encode(int(typical) ^ ltp, state)
             ltp = int(typical)
             if ltp:
@@ -560,7 +577,7 @@ def decode_refinement(
     ltp = 0
     for y in range(height):
         if tpgron:
-            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            state = cx.setdefault(sltp_cx, [0, 0])
             ltp ^= dec.decode(state)
         row = bytearray(width)
         rows.append(row)
@@ -571,7 +588,7 @@ def decode_refinement(
                     row[x] = typ
                     continue
             c = _gr_context(rows, ref, x, y, dx, dy, coding, reference)
-            state = cx.setdefault(("gr", c), [0, 0])
+            state = cx.setdefault(c, [0, 0])
             row[x] = dec.decode(state)
     return rows
 
@@ -603,7 +620,7 @@ def encode_refinement(
                 _gr_typical(ref, x, y, dx, dy) == row[x]
                 for x in range(width)
             ) and width > 0
-            state = cx.setdefault(("sltp", sltp_cx), [0, 0])
+            state = cx.setdefault(sltp_cx, [0, 0])
             enc.encode(int(want) ^ ltp, state)
             ltp = int(want)
         done.append(bytearray(row))
@@ -611,7 +628,7 @@ def encode_refinement(
             if ltp and _gr_typical(ref, x, y, dx, dy) is not None:
                 continue
             c = _gr_context(done, ref, x, y, dx, dy, coding, reference)
-            state = cx.setdefault(("gr", c), [0, 0])
+            state = cx.setdefault(c, [0, 0])
             enc.encode(row[x], state)
 
 
@@ -695,6 +712,8 @@ def parse_segments(data: bytes) -> list:
 def _region_info(data: bytes, pos: int = 0):
     """§7.4.1 region segment information field (17 bytes)."""
     w, h, x, y = struct.unpack_from(">IIII", data, pos)
+    _check_dims(w, h, "region")
+    _check_dims(x + w, y + h, "region placement")
     combop = data[pos + 16] & 0x07
     return w, h, x, y, combop, pos + 17
 
@@ -761,6 +780,8 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
         rat, pos = _read_at(seg_data, pos, 2)
     num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
     pos += 8
+    if num_new > 1 << 20 or num_ex > 1 << 20:
+        raise JBIG2Error("implausible symbol counts")
     dec = MQDecoder(seg_data[pos:])
     iadh, iadw, iaex, iaai, iardx, iardy = (IntCoderCx() for _ in range(6))
     gb_cx: dict = {}  # ONE generic context bank for the whole dict
@@ -769,11 +790,19 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     iaid_bank = _iaid_cx(codelen)
     new_syms: list = []
     hc_height = 0
+    height_classes = 0
     while len(new_syms) < num_new:
+        height_classes += 1
+        if height_classes > num_new + 1:
+            # MQDecoder feeds 1-bits forever past end-of-data, so a
+            # truncated stream can yield empty classes indefinitely;
+            # a well-formed dictionary needs at most num_new classes
+            raise JBIG2Error("symbol dictionary makes no progress")
         dh = _int_decode(dec, iadh)
         if dh is _OOB:
             raise JBIG2Error("OOB height delta")
         hc_height += dh
+        _check_dims(1, hc_height, "symbol height class")
         sym_width = 0
         while True:
             dw = _int_decode(dec, iadw)
@@ -784,6 +813,7 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
                 raise JBIG2Error("more new symbols than declared")
             if sym_width <= 0 or hc_height <= 0:
                 raise JBIG2Error("non-positive symbol dims")
+            _check_dims(sym_width, hc_height, "symbol")
             if not refagg:
                 new_syms.append(
                     decode_generic(
@@ -816,11 +846,14 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     # export flags (§6.5.10): alternating skip/export runs
     all_syms = list(input_syms) + new_syms
     exported: list = []
-    i, flag = 0, 0
+    i, flag, zero_runs = 0, 0, 0
     while i < len(all_syms):
         run = _int_decode(dec, iaex)
         if run is _OOB or run < 0:
             raise JBIG2Error("bad export run")
+        zero_runs = zero_runs + 1 if run == 0 else 0
+        if zero_runs > 2:  # two consecutive zero runs are a no-op pair
+            raise JBIG2Error("export flags make no progress")
         if flag:
             exported.extend(all_syms[i:i + run])
         i += run
@@ -855,6 +888,10 @@ def _decode_text_region(seg_data: bytes, syms: list):
         rat, pos = _read_at(seg_data, pos, 2)
     num_instances = struct.unpack_from(">I", seg_data, pos)[0]
     pos += 4
+    if num_instances > 8 * len(seg_data) + 64:
+        # each instance consumes >= 1 coded decision; a count beyond
+        # the bit budget is a crafted/corrupt header
+        raise JBIG2Error("implausible text-region instance count")
     if not syms:
         raise JBIG2Error("text region with no referred symbols")
     codelen = max(0, ceil(log2(len(syms))))
@@ -1009,6 +1046,7 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
                 raise JBIG2Unsupported("multiple pages in embedded stream")
             saw_page = True
             w, h = struct.unpack_from(">II", seg.data, 0)
+            _check_dims(w, 1 if h == 0xFFFFFFFF else h, "page")
             flags = seg.data[16]
             page_default = (flags >> 2) & 1
             page_w = w

@@ -43,6 +43,12 @@ import struct
 from pdf2dataset_spark.sources.jbig2 import MQDecoder, MQEncoder
 
 
+#: decode-size sanity bound (samples = w*h*ncomp): large enough for
+#: any real scanned page (e.g. A4 @ 600 dpi RGB ≈ 100M), small enough
+#: that a crafted SIZ can't OOM an executor
+_MAX_PIXELS = 1 << 27
+
+
 class JPXError(ValueError):
     """Malformed JPEG 2000 stream."""
 
@@ -138,16 +144,18 @@ def dwt53_forward_2d(rows: list, levels: int) -> list:
     for _ in range(levels):
         if ch <= 1 and cw <= 1:
             break
-        # columns first or rows first is equivalent for 5/3; do rows
-        for y in range(ch):
-            lo, hi = _dwt53_forward_1d(plane[y][:cw])
-            plane[y][:cw] = lo + hi
+        # Integer lifting is NOT pass-order commutative: T.800's
+        # normative inverse (F.3.4/F.3.5) is HOR_SR (rows) then
+        # VER_SR (columns), so the forward must be columns then rows.
         for x in range(cw):
             col = [plane[y][x] for y in range(ch)]
             lo, hi = _dwt53_forward_1d(col)
             merged = lo + hi
             for y in range(ch):
                 plane[y][x] = merged[y]
+        for y in range(ch):
+            lo, hi = _dwt53_forward_1d(plane[y][:cw])
+            plane[y][:cw] = lo + hi
         ch = (ch + 1) // 2
         cw = (cw + 1) // 2
     return plane
@@ -167,15 +175,17 @@ def dwt53_inverse_2d(plane: list, width: int, height: int, levels: int) -> list:
             continue
         nlo_h = (ch + 1) // 2
         nlo_w = (cw + 1) // 2
+        # normative order (F.3.4/F.3.5): rows (HOR_SR) then columns
+        # (VER_SR) — the forward ran columns first to mirror this
+        for y in range(ch):
+            row = plane[y][:cw]
+            rec = _dwt53_inverse_1d(row[:nlo_w], row[nlo_w:])
+            plane[y][:cw] = rec
         for x in range(cw):
             col = [plane[y][x] for y in range(ch)]
             rec = _dwt53_inverse_1d(col[:nlo_h], col[nlo_h:])
             for y in range(ch):
                 plane[y][x] = rec[y]
-        for y in range(ch):
-            row = plane[y][:cw]
-            rec = _dwt53_inverse_1d(row[:nlo_w], row[nlo_w:])
-            plane[y][:cw] = rec
     return plane
 
 
@@ -976,7 +986,7 @@ def _parse_markers(data: bytes):
     if data[:2] != b"\xff\x4f":
         raise JPXError("missing SOC marker")
     pos = 2
-    hdr: dict = {"coc": {}, "qcc": {}}
+    hdr: dict = {}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JPXError(f"bad marker alignment at {pos}")
@@ -1010,11 +1020,23 @@ def _parse_markers(data: bytes):
                 raise JPXUnsupported("mixed component depths")
             if depths[0] > 16:
                 raise JPXUnsupported("components deeper than 16 bits")
+            # sanity bound BEFORE allocating ncomp*w*h sample planes:
+            # a crafted 60-byte stream must become an error row, not
+            # an executor OOM (the A8 capture can't catch an OOM kill)
+            if not (0 < xs and 0 < ys) or xs * ys * max(1, ncomp) > _MAX_PIXELS:
+                raise JPXError(
+                    f"image dimensions {xs}x{ys}x{ncomp} exceed the "
+                    f"{_MAX_PIXELS}-sample decode bound"
+                )
             hdr.update(width=xs, height=ys, ncomp=ncomp, depth=depths[0])
         elif marker == 0x52:  # COD
             scod = seg[0]
             if scod & 0x01:
                 raise JPXUnsupported("non-default precincts")
+            if scod & 0x06:
+                # SOP/EPH markers would be consumed as body bytes —
+                # decline by name rather than decode garbage
+                raise JPXUnsupported("SOP/EPH marker segments")
             prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
             mct = seg[4]
             if layers != 1:

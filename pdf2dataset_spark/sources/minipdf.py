@@ -1325,7 +1325,12 @@ class PdfDocument:
                     # compressed payload kept
                     pass
             elif stopped is not None:
-                entry["format"] = "ccitt"
+                # unreachable while every _IMAGE_FILTERS member has an
+                # explicit branch above; a future filter surfaces
+                # under its own name instead of masquerading as ccitt
+                entry["format"] = stopped.lstrip("/").removesuffix(
+                    "Decode"
+                ).lower()
                 entry["data"] = data
                 entry["decodable"] = False
             else:
