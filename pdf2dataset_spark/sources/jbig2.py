@@ -430,6 +430,19 @@ def _gb_context(rows, x: int, y: int, tmpl: tuple, w: int) -> int:
     return ctx
 
 
+#: per-template sliding-window geometry for NOMINAL AT pixels: with
+#: the nominal placements every context row is a CONTIGUOUS run, so
+#: the 10-16 bit context updates incrementally per pixel instead of
+#: being re-gathered — (bits, (row-2 span), (row-1 span), (row 0 span))
+#: where a span is (left_dx, right_dx) inclusive, or None.
+_GB_SLIDING = {
+    0: ((-2, 2), (-3, 3), (-4, -1)),
+    1: ((-1, 2), (-2, 3), (-3, -1)),
+    2: ((-1, 1), (-2, 2), (-2, -1)),
+    3: (None, (-3, 2), (-4, -1)),
+}
+
+
 def decode_generic(
     dec: MQDecoder,
     cx: dict,
@@ -442,7 +455,14 @@ def decode_generic(
     """Arithmetic generic region decode → list of bytearray rows of
     0/1 pixels (1 = black). `cx` is the shared context dict (one per
     generic-coding scope: a region segment, or a whole symbol
-    dictionary)."""
+    dictionary). Nominal-AT regions (what real encoders emit) take a
+    fast sliding-context path with the MQ decoder inlined; custom AT
+    pixels fall back to the general per-pixel template walk."""
+    at_eff = tuple(at) if at else NOMINAL_AT[template]
+    if tuple(at_eff) == NOMINAL_AT[template] and width > 0:
+        return _decode_generic_fast(
+            dec, cx, width, height, template, tpgdon
+        )
     tmpl = _gb_template(template, at)
     sltp_cx = _SLTP_CX[template]
     rows: list = []
@@ -463,6 +483,200 @@ def decode_generic(
             c = _gb_context(rows, x, y, tmpl, width)
             state = cx.setdefault(c, [0, 0])
             row[x] = dec.decode(state)
+    return rows
+
+
+def _decode_generic_fast(
+    dec: MQDecoder,
+    cx: dict,
+    width: int,
+    height: int,
+    template: int,
+    tpgdon: bool,
+) -> list:
+    """Nominal-AT generic decode: sliding per-row context windows +
+    the MQ DECODE/BYTEIN/RENORMD procedures inlined into the pixel
+    loop (same coder state object — interleaves freely with
+    dict-driven decode calls before/after)."""
+    span2, span1, span0 = _GB_SLIDING[template]
+    sltp_cx = _SLTP_CX[template]
+    n2 = (span2[1] - span2[0] + 1) if span2 else 0
+    n1 = span1[1] - span1[0] + 1
+    n0 = span0[1] - span0[0] + 1
+    mask2 = (1 << n2) - 1
+    mask1 = (1 << n1) - 1
+    mask0 = (1 << n0) - 1
+    sh2 = n1 + n0
+    sh1 = n0
+    r2 = span2[1] if span2 else 0  # right edge dx of each window
+    r1 = span1[1]
+    # per-row padded neighbor reads: pad right so x+right_dx is safe
+    pad = 4
+    zero_row = bytes(width + pad)
+    qe_tab = _QE
+    # local MQ state (restored to the decoder object on exit)
+    data = dec.data
+    bp = dec.bp
+    c_reg = dec.c
+    ct = dec.ct
+    a_reg = dec.a
+    ndata = len(data)
+
+    def getstate(key):
+        s = cx.get(key)
+        if s is None:
+            s = [0, 0]
+            cx[key] = s
+        return s
+
+    rows: list = []
+    padded: list = []  # rows + right padding, for window reads
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            # inline one MQ decode for the SLTP pseudo-pixel
+            state = getstate(sltp_cx)
+            qe, nmps, nlps, switch = qe_tab[state[0]]
+            a_reg -= qe
+            if ((c_reg >> 16) & 0xFFFF) < qe:
+                if a_reg < qe:
+                    bit = state[1]
+                    state[0] = nmps
+                else:
+                    bit = 1 - state[1]
+                    if switch:
+                        state[1] = 1 - state[1]
+                    state[0] = nlps
+                a_reg = qe
+                renorm = True
+            else:
+                c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+                if a_reg & 0x8000:
+                    bit = state[1]
+                    renorm = False
+                else:
+                    if a_reg < qe:
+                        bit = 1 - state[1]
+                        if switch:
+                            state[1] = 1 - state[1]
+                        state[0] = nlps
+                    else:
+                        bit = state[1]
+                        state[0] = nmps
+                    renorm = True
+            if renorm:
+                while True:
+                    if ct == 0:
+                        b = data[bp] if bp < ndata else 0xFF
+                        b1 = data[bp + 1] if bp + 1 < ndata else 0xFF
+                        if b == 0xFF:
+                            if b1 > 0x8F:
+                                c_reg += 0xFF00
+                                ct = 8
+                            else:
+                                bp += 1
+                                c_reg += b1 << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c_reg += b1 << 8
+                            ct = 8
+                    a_reg = (a_reg << 1) & 0xFFFF
+                    c_reg = (c_reg << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a_reg & 0x8000:
+                        break
+            ltp ^= bit
+            if ltp:
+                prev = rows[-1] if rows else bytearray(width)
+                rows.append(bytearray(prev))
+                padded.append(bytes(prev) + b"\x00" * pad)
+                continue
+        row = bytearray(width)
+        p2 = padded[y - 2] if y >= 2 else zero_row
+        p1 = padded[y - 1] if y >= 1 else zero_row
+        # prime the windows for x=0: bits at dx in [left, -1] are out
+        # of range (zero); dx in [0, right] come from the row
+        w2 = 0
+        if span2:
+            for dx in range(0, r2 + 1):
+                w2 = (w2 << 1) | p2[dx]
+            w2 &= mask2
+        w1 = 0
+        for dx in range(0, r1 + 1):
+            w1 = (w1 << 1) | p1[dx]
+        w1 &= mask1
+        w0 = 0
+        for x in range(width):
+            ctx_val = (w2 << sh2) | (w1 << sh1) | w0
+            state = cx.get(ctx_val)
+            if state is None:
+                state = [0, 0]
+                cx[ctx_val] = state
+            # ---- inlined MQ DECODE ----
+            qe, nmps, nlps, switch = qe_tab[state[0]]
+            a_reg -= qe
+            if ((c_reg >> 16) & 0xFFFF) < qe:
+                if a_reg < qe:
+                    bit = state[1]
+                    state[0] = nmps
+                else:
+                    bit = 1 - state[1]
+                    if switch:
+                        state[1] = 1 - state[1]
+                    state[0] = nlps
+                a_reg = qe
+                renorm = True
+            else:
+                c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+                if a_reg & 0x8000:
+                    bit = state[1]
+                    renorm = False
+                else:
+                    if a_reg < qe:
+                        bit = 1 - state[1]
+                        if switch:
+                            state[1] = 1 - state[1]
+                        state[0] = nlps
+                    else:
+                        bit = state[1]
+                        state[0] = nmps
+                    renorm = True
+            if renorm:
+                while True:
+                    if ct == 0:
+                        b = data[bp] if bp < ndata else 0xFF
+                        b1 = data[bp + 1] if bp + 1 < ndata else 0xFF
+                        if b == 0xFF:
+                            if b1 > 0x8F:
+                                c_reg += 0xFF00
+                                ct = 8
+                            else:
+                                bp += 1
+                                c_reg += b1 << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c_reg += b1 << 8
+                            ct = 8
+                    a_reg = (a_reg << 1) & 0xFFFF
+                    c_reg = (c_reg << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a_reg & 0x8000:
+                        break
+            # ---------------------------
+            row[x] = bit
+            # slide the windows to x+1
+            if span2:
+                w2 = ((w2 << 1) | p2[x + 1 + r2]) & mask2
+            w1 = ((w1 << 1) | p1[x + 1 + r1]) & mask1
+            w0 = ((w0 << 1) | bit) & mask0
+        rows.append(row)
+        padded.append(bytes(row) + b"\x00" * pad)
+    dec.bp = bp
+    dec.c = c_reg
+    dec.ct = ct
+    dec.a = a_reg
     return rows
 
 

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import struct
 
-from pdf2dataset_spark.sources.jbig2 import MQDecoder, MQEncoder
+from pdf2dataset_spark.sources.jbig2 import _QE, MQDecoder, MQEncoder
 
 
 #: decode-size sanity bound (samples = w*h*ncomp): large enough for
@@ -577,35 +577,312 @@ def encode_codeblock(coeffs, w: int, h: int, band: str):
 def decode_codeblock(
     data: bytes, w: int, h: int, band: str, nplanes: int, npasses: int
 ):
-    """Inverse of :func:`encode_codeblock` → signed coefficient list."""
-    st = _BlockState(w, h)
-    dec = MQDecoder(data)
-    cx = _fresh_contexts()
+    """Inverse of :func:`encode_codeblock` → signed coefficient list.
 
-    def bit_of(kind, x, y, ctx):
-        return dec.decode(cx[ctx])
+    This is the production (per-corpus-page) path, so it is written
+    for speed: the MQ decoder is inlined, neighbor significance is
+    tracked incrementally (updated on the rare became-significant
+    events instead of re-scanned per decision), and the pass walkers
+    are flat loops. The encoder keeps the readable shared walkers —
+    the round-trip property tests pin the two implementations to the
+    same coding decisions."""
+    size = w * h
+    sig = bytearray(size)
+    visited = bytearray(size)
+    refined = bytearray(size)
+    sign = bytearray(size)
+    mag = [0] * size
+    nbr = bytearray(size)  # significant neighbors among the 8
+    cx = _fresh_contexts()
+    qe_tab = _QE
+    hh_band = band == "HH"
+    hl_band = band == "HL"
+    # local MQ registers (same INITDEC as MQDecoder)
+    bp = 0
+    b0 = data[0] if data else 0xFF
+    c_reg = b0 << 16
+    ndata = len(data)
+    b = data[0] if 0 < ndata else 0xFF
+    b1 = data[1] if 1 < ndata else 0xFF
+    if b == 0xFF:
+        if b1 > 0x8F:
+            c_reg += 0xFF00
+            ct = 8
+        else:
+            bp = 1
+            c_reg += b1 << 9
+            ct = 7
+    else:
+        bp = 1
+        c_reg += b1 << 8
+        ct = 8
+    c_reg = (c_reg << 7) & 0xFFFFFFFF
+    ct -= 7
+    a_reg = 0x8000
+
+    def mq(state):
+        nonlocal bp, c_reg, ct, a_reg
+        qe, nmps, nlps, switch = qe_tab[state[0]]
+        a_reg -= qe
+        if ((c_reg >> 16) & 0xFFFF) < qe:
+            if a_reg < qe:
+                bit = state[1]
+                state[0] = nmps
+            else:
+                bit = 1 - state[1]
+                if switch:
+                    state[1] = 1 - state[1]
+                state[0] = nlps
+            a_reg = qe
+        else:
+            c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+            if a_reg & 0x8000:
+                return state[1]
+            if a_reg < qe:
+                bit = 1 - state[1]
+                if switch:
+                    state[1] = 1 - state[1]
+                state[0] = nlps
+            else:
+                bit = state[1]
+                state[0] = nmps
+        while True:
+            if ct == 0:
+                bb = data[bp] if bp < ndata else 0xFF
+                bb1 = data[bp + 1] if bp + 1 < ndata else 0xFF
+                if bb == 0xFF:
+                    if bb1 > 0x8F:
+                        c_reg += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c_reg += bb1 << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c_reg += bb1 << 8
+                    ct = 8
+            a_reg = (a_reg << 1) & 0xFFFF
+            c_reg = (c_reg << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a_reg & 0x8000:
+                break
+        return bit
+
+    def sig_ctx(i, x, y):
+        hc = vc = dc = 0
+        left = x > 0
+        right = x < w - 1
+        if left and sig[i - 1]:
+            hc += 1
+        if right and sig[i + 1]:
+            hc += 1
+        if y > 0:
+            if sig[i - w]:
+                vc += 1
+            if left and sig[i - w - 1]:
+                dc += 1
+            if right and sig[i - w + 1]:
+                dc += 1
+        if y < h - 1:
+            if sig[i + w]:
+                vc += 1
+            if left and sig[i + w - 1]:
+                dc += 1
+            if right and sig[i + w + 1]:
+                dc += 1
+        if hl_band:
+            hc, vc = vc, hc
+        if not hh_band:
+            if hc == 2:
+                return 8
+            if hc == 1:
+                return 7 if vc >= 1 else (6 if dc >= 1 else 5)
+            if vc == 2:
+                return 4
+            if vc == 1:
+                return 3
+            return 2 if dc >= 2 else (1 if dc == 1 else 0)
+        hv = hc + vc
+        if dc >= 3:
+            return 8
+        if dc == 2:
+            return 7 if hv >= 1 else 6
+        if dc == 1:
+            return 5 if hv >= 2 else (4 if hv == 1 else 3)
+        return 2 if hv >= 2 else (1 if hv == 1 else 0)
+
+    def decode_sign_and_set(i, x, y, plane_bit):
+        # sign context from h/v neighbor contributions
+        hs = vs = 0
+        if x > 0 and sig[i - 1]:
+            hs += -1 if sign[i - 1] else 1
+        if x < w - 1 and sig[i + 1]:
+            hs += -1 if sign[i + 1] else 1
+        if y > 0 and sig[i - w]:
+            vs += -1 if sign[i - w] else 1
+        if y < h - 1 and sig[i + w]:
+            vs += -1 if sign[i + w] else 1
+        hs = -1 if hs < 0 else (1 if hs > 0 else 0)
+        vs = -1 if vs < 0 else (1 if vs > 0 else 0)
+        sctx, xor = _SIGN_CTX[(hs, vs)]
+        sign[i] = mq(cx[sctx]) ^ xor
+        mag[i] |= plane_bit
+        sig[i] = 1
+        # bump neighbor significance counts (the rare event)
+        y0 = y > 0
+        y1 = y < h - 1
+        x0 = x > 0
+        x1 = x < w - 1
+        if x0:
+            nbr[i - 1] += 1
+        if x1:
+            nbr[i + 1] += 1
+        if y0:
+            nbr[i - w] += 1
+            if x0:
+                nbr[i - w - 1] += 1
+            if x1:
+                nbr[i - w + 1] += 1
+        if y1:
+            nbr[i + w] += 1
+            if x0:
+                nbr[i + w - 1] += 1
+            if x1:
+                nbr[i + w + 1] += 1
 
     plane = nplanes - 1
     p = 0
     while p < npasses and plane >= 0:
-        if p == 0:
-            _pass_cleanup(bit_of, None, st, band, plane)
-            p += 1
-        else:
-            _pass_sig(bit_of, None, st, band, plane)
+        plane_bit = 1 << plane
+        if p > 0:
+            # ---- significance propagation pass ----
+            for ys in range(0, h, 4):
+                ye = ys + 4 if ys + 4 <= h else h
+                for x in range(w):
+                    for y in range(ys, ye):
+                        i = y * w + x
+                        if sig[i] or not nbr[i]:
+                            continue
+                        visited[i] = 1
+                        if mq(cx[sig_ctx(i, x, y)]):
+                            decode_sign_and_set(i, x, y, plane_bit)
             p += 1
             if p >= npasses:
                 break
-            _pass_mag(bit_of, None, st, plane)
+            # ---- magnitude refinement pass (hottest: one decision
+            # per already-significant coefficient per plane — MQ
+            # decode inlined to drop the call overhead) ----
+            ctx14 = cx[_CTX_MR_FIRST]
+            ctx15 = cx[_CTX_MR_FIRST_NBR]
+            ctx16 = cx[_CTX_MR_LATER]
+            for ys in range(0, h, 4):
+                ye = ys + 4 if ys + 4 <= h else h
+                for x in range(w):
+                    for y in range(ys, ye):
+                        i = y * w + x
+                        if not sig[i] or visited[i]:
+                            continue
+                        if refined[i]:
+                            state = ctx16
+                        else:
+                            state = ctx15 if nbr[i] else ctx14
+                        # -- inlined MQ DECODE --
+                        qe, nmps, nlps, switch = qe_tab[state[0]]
+                        a_reg -= qe
+                        if ((c_reg >> 16) & 0xFFFF) < qe:
+                            if a_reg < qe:
+                                bit = state[1]
+                                state[0] = nmps
+                            else:
+                                bit = 1 - state[1]
+                                if switch:
+                                    state[1] = 1 - state[1]
+                                state[0] = nlps
+                            a_reg = qe
+                            renorm = True
+                        else:
+                            c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+                            if a_reg & 0x8000:
+                                bit = state[1]
+                                renorm = False
+                            else:
+                                if a_reg < qe:
+                                    bit = 1 - state[1]
+                                    if switch:
+                                        state[1] = 1 - state[1]
+                                    state[0] = nlps
+                                else:
+                                    bit = state[1]
+                                    state[0] = nmps
+                                renorm = True
+                        if renorm:
+                            while True:
+                                if ct == 0:
+                                    bb = data[bp] if bp < ndata else 0xFF
+                                    bb1 = (data[bp + 1]
+                                           if bp + 1 < ndata else 0xFF)
+                                    if bb == 0xFF:
+                                        if bb1 > 0x8F:
+                                            c_reg += 0xFF00
+                                            ct = 8
+                                        else:
+                                            bp += 1
+                                            c_reg += bb1 << 9
+                                            ct = 7
+                                    else:
+                                        bp += 1
+                                        c_reg += bb1 << 8
+                                        ct = 8
+                                a_reg = (a_reg << 1) & 0xFFFF
+                                c_reg = (c_reg << 1) & 0xFFFFFFFF
+                                ct -= 1
+                                if a_reg & 0x8000:
+                                    break
+                        # -----------------------
+                        if bit:
+                            mag[i] |= plane_bit
+                        refined[i] = 1
+                        visited[i] = 1
             p += 1
             if p >= npasses:
                 break
-            _pass_cleanup(bit_of, None, st, band, plane)
-            p += 1
+        # ---- cleanup pass ----
+        run_state = cx[_CTX_RUNLENGTH]
+        uni_state = cx[_CTX_UNIFORM]
+        for ys in range(0, h, 4):
+            full = ys + 4 <= h
+            ye = ys + 4 if full else h
+            for x in range(w):
+                y = ys
+                if full:
+                    i0 = ys * w + x
+                    if not (
+                        visited[i0] or sig[i0] or nbr[i0]
+                        or visited[i0 + w] or sig[i0 + w] or nbr[i0 + w]
+                        or visited[i0 + 2 * w] or sig[i0 + 2 * w]
+                        or nbr[i0 + 2 * w]
+                        or visited[i0 + 3 * w] or sig[i0 + 3 * w]
+                        or nbr[i0 + 3 * w]
+                    ):
+                        if not mq(run_state):
+                            continue  # whole column stays insignificant
+                        r = (mq(uni_state) << 1) | mq(uni_state)
+                        y = ys + r
+                        i = y * w + x
+                        decode_sign_and_set(i, x, y, plane_bit)
+                        y += 1
+                while y < ye:
+                    i = y * w + x
+                    if not (visited[i] or sig[i]):
+                        if mq(cx[sig_ctx(i, x, y)]):
+                            decode_sign_and_set(i, x, y, plane_bit)
+                    y += 1
+        for i in range(size):
+            visited[i] = 0
+        p += 1
         plane -= 1
-    return [
-        -m if s else m for m, s in zip(st.mag, st.sign)
-    ]
+    return [-m if s else m for m, s in zip(mag, sign)]
 
 
 # =====================================================================
@@ -1147,9 +1424,9 @@ def decode_codestream(data: bytes):
     if data[pos : pos + 2] != b"\xff\x93":
         raise JPXError("expected SOD")
     pos += 2
-    planes = [
-        [[0] * w for _ in range(h)] for _ in range(ncomp)
-    ]
+    import numpy as np
+
+    planes = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
     prog = hdr["prog"]
     # packet iteration: with 1 layer + 1 precinct, LRCP and RLCP are
     # resolution-major/component-minor; RPCL/PCRL/CPRL differ only in
@@ -1170,15 +1447,12 @@ def decode_codestream(data: bytes):
         bands = _bands_for_resolution(w, h, levels, r)
         blocks, pos = _decode_packet(data, pos, bands, qcd_index[r])
         for name, px, py, cw, ch, coeffs in blocks:
-            plane = planes[c]
-            for yy in range(ch):
-                row = plane[py + yy]
-                base = yy * cw
-                for xx in range(cw):
-                    row[px + xx] = coeffs[base + xx]
+            planes[c][py : py + ch, px : px + cw] = np.asarray(
+                coeffs, np.int64
+            ).reshape(ch, cw)
     if pos > tile_end:
         raise JPXError("tile body overran Psot")
-    comps = [dwt53_inverse_2d(p, w, h, levels) for p in planes]
+    comps = [_dwt53_inverse_2d_np(p, w, h, levels) for p in planes]
     return w, h, ncomp, comps, hdr["depth"], bool(hdr["mct"])
 
 
@@ -1211,55 +1485,102 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
     ``(width, height, samples)`` — 8-bit gray, or interleaved RGB
     when the stream carries 3 components (RCT undone when signaled).
     Matches :func:`sources.jpeg.decode_jpeg`'s output shape."""
+    import numpy as np
+
     w, h, ncomp, comps, depth, mct = decode_codestream(_unwrap_jp2(data))
     shift = 1 << (depth - 1)
     top = (1 << depth) - 1
-    scale = 255 / top if depth != 8 else None
     if ncomp >= 3 and mct:
-        ys, us, vs = comps[0], comps[1], comps[2]
-        for y in range(h):
-            yr, ur, vr = ys[y], us[y], vs[y]
-            for x in range(w):
-                g = yr[x] - ((ur[x] + vr[x]) >> 2)
-                yr[x] = vr[x] + g  # R
-                vr[x] = ur[x] + g  # B (reuse rows: ur later unused)
-                ur[x] = g  # G
-        comps = [ys, us, vs]  # now R, G, B
+        yy, uu, vv = comps[0], comps[1], comps[2]
+        g = yy - ((uu + vv) >> 2)
+        comps = [vv + g, g, uu + g]  # R, G, B
+    def to_u8(plane):
+        v = plane + shift
+        if depth != 8:
+            v = np.round(v * (255 / top)).astype(np.int64)
+        return np.clip(v, 0, 255).astype(np.uint8)
+
     if ncomp == 1:
-        px = bytearray(w * h)
-        rows = comps[0]
-        for y in range(h):
-            row = rows[y]
-            base = y * w
-            for x in range(w):
-                v = row[x] + shift
-                if scale is not None:
-                    v = round(v * scale)
-                px[base + x] = min(255, max(0, v))
-        return w, h, bytes(px)
+        return w, h, to_u8(comps[0]).tobytes()
     if ncomp >= 3:
-        px = bytearray(w * h * 3)
-        for y in range(h):
-            rr, gg, bb = comps[0][y], comps[1][y], comps[2][y]
-            base = y * w * 3
-            for x in range(w):
-                for k, row in enumerate((rr, gg, bb)):
-                    v = row[x] + shift
-                    if scale is not None:
-                        v = round(v * scale)
-                    px[base + 3 * x + k] = min(255, max(0, v))
-        return w, h, bytes(px)
+        rgb = np.stack([to_u8(c) for c in comps[:3]], axis=-1)
+        return w, h, rgb.tobytes()
     raise JPXUnsupported(f"{ncomp}-component image")
 
 
 def decode_jpx_gray(data: bytes) -> tuple[int, int, bytes]:
     """Decode to 8-bit grayscale (BT.601 luma for RGB streams) — the
     scanned-page OCR route's input shape."""
+    import numpy as np
+
     w, h, px = decode_jpx(data)
     if len(px) == w * h:
         return w, h, px
-    out = bytearray(w * h)
-    for i in range(w * h):
-        r, g, b = px[3 * i], px[3 * i + 1], px[3 * i + 2]
-        out[i] = min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
-    return w, h, bytes(out)
+    rgb = np.frombuffer(px, np.uint8).reshape(-1, 3).astype(np.float64)
+    y = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+    return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
+
+
+# =====================================================================
+# numpy fast paths (exact integer arithmetic — used by the decode
+# pipeline; the list-based reference implementations above stay for
+# the encoder and the property tests that pin equivalence)
+# =====================================================================
+
+
+def _dwt53_inverse_level_np(p, ch: int, cw: int):
+    """One inverse level on the top-left ch x cw window of int64
+    array `p`, in the normative order (rows then columns)."""
+    import numpy as np
+
+    def inv_axis(a, n):
+        # a: (rows, n) int64 — inverse 1D lifting along axis 1
+        if n == 1:
+            return a[:, :1]
+        nlo = (n + 1) // 2
+        m_h = n - nlo
+        L = a[:, :nlo]
+        H = a[:, nlo:n]
+        # he(k) for k = -1 .. nlo-1 with edge mirroring
+        idx = np.empty(nlo + 1, np.int64)
+        for j, k in enumerate(range(-1, nlo)):
+            if k < 0:
+                idx[j] = -k - 1 if m_h else 0
+            elif k >= m_h:
+                idx[j] = 2 * m_h - 1 - k if m_h else 0
+            else:
+                idx[j] = k
+        He = H[:, idx] if m_h else np.zeros((a.shape[0], nlo + 1), np.int64)
+        even = L - ((He[:, :-1] + He[:, 1:] + 2) >> 2)
+        out = np.empty((a.shape[0], n), np.int64)
+        out[:, 0::2] = even
+        if m_h:
+            if m_h == nlo:  # n even: ee(nlo) mirrors to even[nlo-1]
+                ee_next = np.concatenate(
+                    [even[:, 1:], even[:, nlo - 1 : nlo]], axis=1
+                )
+            else:  # n odd: k+1 <= m_h <= nlo-1, no overflow
+                ee_next = even[:, 1 : m_h + 1]
+            out[:, 1::2] = H + ((even[:, :m_h] + ee_next) >> 1)
+        return out
+
+    win = p[:ch, :cw]
+    win = inv_axis(win, cw)                      # HOR_SR (rows)
+    win = inv_axis(win.T.copy(), ch).T           # VER_SR (columns)
+    p[:ch, :cw] = win
+
+
+def _dwt53_inverse_2d_np(p, width: int, height: int, levels: int):
+    """numpy twin of :func:`dwt53_inverse_2d` (bitwise-equal output;
+    pinned by tests). `p` is an int64 array mutated in place."""
+    dims = []
+    ch, cw = height, width
+    for _ in range(levels):
+        dims.append((ch, cw))
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    for ch, cw in reversed(dims):
+        if ch <= 1 and cw <= 1:
+            continue
+        _dwt53_inverse_level_np(p, ch, cw)
+    return p
