@@ -150,6 +150,32 @@ class TestGenericRegion:
         out = decode_generic(MQDecoder(enc.flush()), {}, 40, 25, 0, at)
         assert [bytes(r) for r in out] == [bytes(r) for r in bm]
 
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_fast_path_equals_general_walk(self, template):
+        # nominal AT takes the sliding-window fast path; nudging ONE
+        # AT pixel forces the general template walk on the SAME
+        # stream geometry class — both must decode the encoder's
+        # (general-walk) output exactly, across tpgdon settings
+        from pdf2dataset_spark.sources.jbig2 import NOMINAL_AT
+
+        rng = random.Random(60 + template)
+        for tpgdon in (False, True):
+            bm = _rand_bitmap(rng, 37, 23, 0.35)
+            bm[5] = bytearray(bm[4])  # a typical row for tpgdon
+            enc = MQEncoder()
+            encode_generic(enc, {}, bm, template, None, tpgdon)
+            data = enc.flush()
+            fast = decode_generic(
+                MQDecoder(data), {}, 37, 23, template, None, tpgdon
+            )
+            assert [bytes(r) for r in fast] == [bytes(r) for r in bm]
+            # same nominal AT passed explicitly still hits fast path
+            fast2 = decode_generic(
+                MQDecoder(data), {}, 37, 23, template,
+                NOMINAL_AT[template], tpgdon,
+            )
+            assert fast2 == fast
+
     def test_non_causal_at_rejected(self):
         with pytest.raises(JBIG2Error):
             decode_generic(MQDecoder(b""), {}, 4, 4, 0,

@@ -47,6 +47,23 @@ class TestDWT53:
                for _ in range(h)]
         assert dwt53_inverse_2d(dwt53_forward_2d(img, lv), w, h, lv) == img
 
+    @pytest.mark.parametrize(
+        "w,h,lv",
+        [(1, 1, 3), (5, 3, 2), (17, 13, 4), (64, 48, 5), (101, 77, 4)],
+    )
+    def test_numpy_inverse_bitwise_equals_reference(self, w, h, lv):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpx import _dwt53_inverse_2d_np
+
+        rng = random.Random(w * h * (lv + 1))
+        img = [[rng.randrange(-255, 256) for _ in range(w)]
+               for _ in range(h)]
+        plane = dwt53_forward_2d(img, lv)
+        ref = dwt53_inverse_2d(plane, w, h, lv)
+        arr = np.array(plane, np.int64).reshape(h, w)
+        assert _dwt53_inverse_2d_np(arr, w, h, lv).tolist() == ref
+
     def test_energy_compaction_on_smooth_signal(self):
         # high band of a linear ramp must be zero: the 5/3 predictor
         # is exact for degree-1 signals (odd length, so every odd
