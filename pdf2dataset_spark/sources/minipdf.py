@@ -1394,6 +1394,37 @@ _AGL: dict[str, str] = {
     "onesuperior": "¹", "twosuperior": "²",
     "threesuperior": "³", "ordfeminine": "ª",
     "ordmasculine": "º",
+    # Greek (AGL names — Symbol-font and TeX Type3 /Differences;
+    # NOTE AGL maps "mu" to U+00B5 MICRO SIGN, kept above)
+    "Alpha": "Α", "Beta": "Β", "Gamma": "Γ", "Delta": "Δ",
+    "Epsilon": "Ε", "Zeta": "Ζ", "Eta": "Η", "Theta": "Θ",
+    "Iota": "Ι", "Kappa": "Κ", "Lambda": "Λ", "Mu": "Μ", "Nu": "Ν",
+    "Xi": "Ξ", "Omicron": "Ο", "Pi": "Π", "Rho": "Ρ", "Sigma": "Σ",
+    "Tau": "Τ", "Upsilon": "Υ", "Phi": "Φ", "Chi": "Χ", "Psi": "Ψ",
+    "Omega": "Ω",
+    "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ",
+    "epsilon": "ε", "zeta": "ζ", "eta": "η", "theta": "θ",
+    "iota": "ι", "kappa": "κ", "lambda": "λ", "nu": "ν", "xi": "ξ",
+    "omicron": "ο", "pi": "π", "rho": "ρ", "sigma": "σ",
+    "sigma1": "ς", "tau": "τ", "upsilon": "υ", "phi": "φ",
+    "phi1": "ϕ", "chi": "χ", "psi": "ψ", "omega": "ω",
+    "omega1": "ϖ", "theta1": "ϑ",
+    # math / Symbol-font operators
+    "infinity": "∞", "partialdiff": "∂", "summation": "∑",
+    "product": "∏", "integral": "∫", "radical": "√",
+    "approxequal": "≈", "notequal": "≠", "lessequal": "≤",
+    "greaterequal": "≥", "arrowleft": "←", "arrowup": "↑",
+    "arrowright": "→", "arrowdown": "↓", "arrowboth": "↔",
+    "element": "∈", "notelement": "∉", "intersection": "∩",
+    "union": "∪", "propersubset": "⊂", "propersuperset": "⊃",
+    "reflexsubset": "⊆", "reflexsuperset": "⊇", "gradient": "∇",
+    "perpendicular": "⊥", "therefore": "∴", "proportional": "∝",
+    "emptyset": "∅", "angle": "∠", "lozenge": "◊",
+    "asteriskmath": "∗", "minute": "′", "second": "″",
+    "equivalence": "≡", "existential": "∃", "universal": "∀",
+    "logicaland": "∧", "logicalor": "∨", "suchthat": "∋",
+    "congruent": "≅", "dotmath": "⋅", "weierstrass": "℘",
+    "aleph": "ℵ", "Ifraktur": "ℑ", "Rfraktur": "ℜ",
 }
 # accented Latin letters (Agrave..ydieresis) follow a regular
 # name scheme; generate from Unicode names instead of listing 100+.

@@ -830,6 +830,33 @@ def test_glyph_name_resolution_forms():
     assert g("quotedblleft") == "“" and g("endash") == "–"
     assert g("a") == "a"
     assert g("notarealglyphname") is None
+    # Greek + math (Symbol-font / TeX Type3 names); AGL maps "mu"
+    # to MICRO SIGN, "sigma1" to final sigma
+    assert g("alpha") == "α" and g("Omega") == "Ω"
+    assert g("sigma1") == "ς" and g("mu") == "µ"
+    assert g("summation") == "∑" and g("infinity") == "∞"
+    assert g("lessequal") == "≤" and g("arrowright") == "→"
+
+
+def test_type3_font_differences_text_recovery():
+    """Type3 fonts (glyphs as content streams — the TeX-era shape)
+    carry text ONLY through /Encoding /Differences glyph names; they
+    ride the simple-font path, including Greek/math names."""
+    content = b"BT /F1 12 Tf (\x41\x42\x43\x44) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type3 /CharProcs 6 0 R "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] /Encoding "
+        b"<< /Differences [65 /alpha /beta /summation /infinity] >> >>",
+        b"<< >>",
+    ]
+    pdf = _wrap_pdf(objs)
+    assert minipdf.extract_page_texts(pdf) == ["αβ∑∞"]
 
 
 def test_plain_helvetica_pdfs_unaffected_by_encoding_path():
