@@ -30,6 +30,10 @@ pHash paths exactly like JPEG and CCITT ones do:
   variants and true aggregates (REFAGGNINST > 1) raise
   :class:`JBIG2Unsupported` with a named reason (kept honest; the
   compressed payload is preserved either way).
+- **Pattern dictionary + halftone regions** (T.88 §6.7 / §6.6):
+  Gray-coded arithmetic/MMR grayscale bitplanes stamping dictionary
+  patterns on the (skewable) 8.8 fixed-point grid — the dithered-
+  image mode. HSKIP planes decline by name.
 - **Segment parser + page assembly** (T.88 §7): header grammar
   (32-bit segment numbers, long referred-to form, 1/2/4-byte
   referent widths, 1/4-byte page associations), page info, end-of-
@@ -57,7 +61,7 @@ class JBIG2Error(ValueError):
 
 class JBIG2Unsupported(JBIG2Error):
     """Valid JBIG2 feature outside this decoder's scope (Huffman
-    tables, aggregate symbols, halftones)."""
+    tables, aggregate symbols, HSKIP halftone planes)."""
 
 
 #: decode-size sanity bound (pixels): ample for any real scanned page
@@ -1079,6 +1083,127 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     return exported
 
 
+def _decode_pattern_dict(seg_data: bytes) -> list:
+    """Pattern dictionary (§6.7): ONE wide generic region holding
+    GRAYMAX+1 patterns side by side, sliced apart."""
+    flags = seg_data[0]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = seg_data[1], seg_data[2]
+    graymax = struct.unpack_from(">I", seg_data, 3)[0]
+    if hdpw <= 0 or hdph <= 0:
+        raise JBIG2Error("non-positive pattern dims")
+    if graymax > 0xFFFF:
+        raise JBIG2Error("implausible GRAYMAX")
+    total_w = (graymax + 1) * hdpw
+    _check_dims(total_w, hdph, "pattern dictionary")
+    if mmr:
+        from pdf2dataset_spark.sources import ccitt
+
+        lines = ccitt.decode_g4(seg_data[7:], total_w, hdph)
+        coll = []
+        for changes in lines:
+            row = bytearray(total_w)
+            for j in range(0, len(changes), 2):
+                start = min(changes[j], total_w)
+                end = (min(changes[j + 1], total_w)
+                       if j + 1 < len(changes) else total_w)
+                for i in range(start, end):
+                    row[i] = 1
+            coll.append(row)
+    else:
+        # §6.7.5: AT1 = (-HDPW, 0) so each pattern's context reaches
+        # into its neighbor — the spec's exact placement
+        at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+        dec = MQDecoder(seg_data[7:])
+        coll = decode_generic(dec, {}, total_w, hdph, template, at)
+    return [
+        [row[k * hdpw:(k + 1) * hdpw] for row in coll]
+        for k in range(graymax + 1)
+    ]
+
+
+def _decode_halftone_region(seg_data: bytes, patterns: list):
+    """Halftone region (§6.6, arithmetic/MMR grayscale): Gray-coded
+    bitplanes of grid values, each a generic region; patterns are
+    stamped on the (possibly skewed) 8.8 fixed-point grid."""
+    w, h, x, y, combop, pos = _region_info(seg_data)
+    flags = seg_data[pos]
+    pos += 1
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = bool(flags & 8)
+    comb_op = (flags >> 4) & 7
+    if enable_skip:
+        raise JBIG2Unsupported("halftone HSKIP plane")
+    if not patterns:
+        raise JBIG2Error("halftone region with no pattern dictionary")
+    hgw, hgh = struct.unpack_from(">II", seg_data, pos)
+    hgx, hgy = struct.unpack_from(">ii", seg_data, pos + 8)
+    hrx, hry = struct.unpack_from(">HH", seg_data, pos + 16)
+    pos += 20
+    _check_dims(hgw, hgh, "halftone grid")
+    nplanes = max(1, (len(patterns) - 1).bit_length())
+    # grayscale image (Annex C.5): planes MSB..LSB, Gray-decoded,
+    # ONE shared generic context bank (and one MMR coder) across them
+    planes = []
+    if mmr:
+        from pdf2dataset_spark.sources import ccitt
+
+        lines = ccitt.decode_g4(seg_data[pos:], hgw, hgh * nplanes)
+        if len(lines) < hgh * nplanes:
+            raise JBIG2Error("halftone MMR planes truncated")
+        for j in range(nplanes):
+            plane = []
+            for changes in lines[j * hgh:(j + 1) * hgh]:
+                row = bytearray(hgw)
+                for k in range(0, len(changes), 2):
+                    start = min(changes[k], hgw)
+                    end = (min(changes[k + 1], hgw)
+                           if k + 1 < len(changes) else hgw)
+                    for i in range(start, end):
+                        row[i] = 1
+                plane.append(row)
+            planes.append(plane)
+    else:
+        at = ((3 if template <= 1 else 2, -1), (-3, -1), (2, -2),
+              (-2, -2))
+        dec = MQDecoder(seg_data[pos:])
+        gb_cx: dict = {}
+        for _ in range(nplanes):
+            planes.append(
+                decode_generic(dec, gb_cx, hgw, hgh, template, at)
+            )
+    # Gray decode: MSB plane is literal; each next = XOR with prev
+    values = [[0] * hgw for _ in range(hgh)]
+    prev = None
+    for plane in planes:  # MSB first
+        for m in range(hgh):
+            vrow = values[m]
+            prow = plane[m]
+            if prev is not None:
+                pprev = prev[m]
+                for n in range(hgw):
+                    b = prow[n] ^ pprev[n]
+                    prow[n] = b
+                    vrow[n] = (vrow[n] << 1) | b
+            else:
+                for n in range(hgw):
+                    vrow[n] = (vrow[n] << 1) | prow[n]
+        prev = plane
+    rows = [bytearray(w) for _ in range(h)]
+    gmax = len(patterns) - 1
+    for m in range(hgh):
+        for n in range(hgw):
+            px = (hgx + m * hry + n * hrx) >> 8
+            py = (hgy + m * hrx - n * hry) >> 8
+            val = values[m][n]
+            if val > gmax:
+                val = gmax  # clamp: spec says values never exceed
+            _blit(rows, patterns[val], px, py, comb_op)
+    return rows, x, y, combop
+
+
 def _decode_text_region(seg_data: bytes, syms: list):
     """Arithmetic text region → (rows, x, y, combop)."""
     w, h, x, y, combop, pos = _region_info(seg_data)
@@ -1232,6 +1357,7 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
         segs.extend(parse_segments(globals_data))
     segs.extend(parse_segments(data))
     sym_dicts: dict = {}  # segment number -> exported symbols
+    pat_dicts: dict = {}  # segment number -> pattern bitmaps
     page_rows: list = []
     page_w = 0
     page_default = 0
@@ -1289,8 +1415,16 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
         elif t in (SEG_END_OF_PAGE, SEG_END_OF_STRIPE, SEG_END_OF_FILE,
                    SEG_PROFILES, SEG_EXTENSION, SEG_TABLES):
             continue
-        elif t == SEG_PATTERN_DICT or t in SEG_HALFTONE:
-            raise JBIG2Unsupported("halftone regions")
+        elif t == SEG_PATTERN_DICT:
+            pat_dicts[seg.number] = _decode_pattern_dict(seg.data)
+        elif t in SEG_HALFTONE:
+            pats: list = []
+            for rnum in seg.refs:
+                pats.extend(pat_dicts.get(rnum, []))
+            rows, x, y, combop = _decode_halftone_region(seg.data, pats)
+            if rows:
+                grow(y + len(rows), x + len(rows[0]))
+                _blit(page_rows, rows, x, y, combop)
         elif t in SEG_REFINEMENT:
             raise JBIG2Unsupported("refinement regions")
         else:
@@ -1637,4 +1771,70 @@ def encode_refagg_page(
     body += _segment_header(
         3, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(1, 2)
     ) + bytes(tr)
+    return bytes(body)
+
+
+def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0) -> bytes:
+    """Author an embedded stream with a pattern dictionary (§6.7) and
+    an immediate lossless halftone region (§6.6): `patterns` is a
+    list of equal-sized square bitmaps, `values` an HGH x HGW grid of
+    pattern indices (Gray-coded bitplanes, arithmetic). Square grid
+    with spacing = pattern size."""
+    patterns = [[bytearray(r) for r in p] for p in patterns]
+    if not patterns or not values:
+        raise JBIG2Error("need patterns and a value grid")
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    if hdpw != hdph:
+        raise JBIG2Error("fixture encoder uses square patterns")
+    for p in patterns:
+        if len(p) != hdph or len(p[0]) != hdpw:
+            raise JBIG2Error("patterns must share dimensions")
+    gmax = len(patterns) - 1
+    if any(v < 0 or v > gmax for row in values for v in row):
+        raise JBIG2Error("value outside pattern range")
+    hgh = len(values)
+    hgw = len(values[0])
+    # ---- pattern dictionary: one collective generic region
+    coll = [
+        bytearray(b"".join(bytes(p[r]) for p in patterns))
+        for r in range(hdph)
+    ]
+    at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+    enc = MQEncoder()
+    encode_generic(enc, {}, coll, 0, at)
+    pd = bytes([0, hdpw, hdph]) + struct.pack(">I", gmax) + enc.flush()
+    # ---- halftone region: Gray-coded bitplanes, shared contexts
+    nplanes = max(1, gmax.bit_length())
+    enc = MQEncoder()
+    gb_cx: dict = {}
+    h_at = ((3, -1), (-3, -1), (2, -2), (-2, -2))
+    prev_bits = None
+    for j in range(nplanes - 1, -1, -1):  # MSB first
+        bits = [
+            bytearray((v >> j) & 1 for v in row) for row in values
+        ]
+        stored = (bits if prev_bits is None else [
+            bytearray(b ^ pb for b, pb in zip(brow, prow))
+            for brow, prow in zip(bits, prev_bits)
+        ])
+        encode_generic(enc, gb_cx, stored, 0, h_at)
+        prev_bits = bits
+    w = hgw * hdpw
+    h = hgh * hdph
+    ht = bytearray(struct.pack(">IIII", w, h, 0, 0))
+    ht.append(0)  # external comb op OR
+    ht.append(0)  # flags: arithmetic, template 0, no skip, OR, defpix 0
+    ht += struct.pack(">II", hgw, hgh)
+    ht += struct.pack(">ii", hgx, hgy)
+    ht += struct.pack(">HH", hdpw << 8, 0)  # square grid, no skew
+    ht += enc.flush()
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    body = bytearray()
+    body += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
+    body += _segment_header(1, SEG_PATTERN_DICT, 1, len(pd)) + pd
+    body += _segment_header(
+        2, SEG_HALFTONE[2], 1, len(ht), refs=(1,)
+    ) + bytes(ht)
     return bytes(body)

@@ -33,6 +33,7 @@ from pdf2dataset_spark.sources.jbig2 import (
     encode_generic_page,
     encode_refagg_page,
     encode_refinement,
+    encode_halftone_page,
     encode_text_page,
     parse_segments,
 )
@@ -360,6 +361,65 @@ class TestRefinement:
                 for dx, v in enumerate(r):
                     exp[y + dy][x + dx] |= v
         assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+
+class TestHalftone:
+    def _patterns(self, n, size=6):
+        # density ramp: pattern k has k+1 pixels set along a diagonal
+        pats = []
+        for k in range(n):
+            p = [bytearray(size) for _ in range(size)]
+            for i in range(k + 1):
+                p[i % size][(i * 3) % size] = 1
+            pats.append(p)
+        return pats
+
+    def _expected(self, pats, vals, size=6):
+        hgh, hgw = len(vals), len(vals[0])
+        exp = [bytearray(hgw * size) for _ in range(hgh * size)]
+        for m in range(hgh):
+            for n in range(hgw):
+                p = pats[vals[m][n]]
+                for dy in range(size):
+                    for dx in range(size):
+                        exp[m * size + dy][n * size + dx] |= p[dy][dx]
+        return [bytes(r) for r in exp]
+
+    @pytest.mark.parametrize("npat", [1, 2, 4, 5, 8])
+    def test_roundtrip_gray_coded_planes(self, npat):
+        # npat=5 exercises a non-power-of-two GRAYMAX (3 planes with
+        # clamping never hit); npat=1 is the zero-plane edge
+        rng = random.Random(70 + npat)
+        pats = self._patterns(npat)
+        vals = [[rng.randrange(npat) for _ in range(9)] for _ in range(7)]
+        stream = encode_halftone_page(pats, vals)
+        w, h, rows = decode_embedded(stream)
+        assert (w, h) == (54, 42)
+        assert [bytes(r) for r in rows] == self._expected(pats, vals)
+
+    def test_grid_offset_placement(self):
+        pats = self._patterns(2)
+        vals = [[1, 0], [0, 1]]
+        # offset the grid by (+2, +3) pixels (8.8 fixed point)
+        stream = encode_halftone_page(pats, vals, hgx=2 << 8, hgy=3 << 8)
+        w, h, rows = decode_embedded(stream)
+        base = self._expected(pats, vals)
+        exp = [bytearray(w) for _ in range(h)]
+        for y, brow in enumerate(base):
+            for x, v in enumerate(brow):
+                if v and y + 3 < h and x + 2 < w:
+                    exp[y + 3][x + 2] = 1
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_hskip_declined_by_name(self):
+        pats = self._patterns(2)
+        stream = bytearray(encode_halftone_page(pats, [[0, 1]]))
+        # flip ENABLESKIP in the halftone flags byte: it sits right
+        # after the 17-byte region info of segment 2's payload
+        at = stream.rindex(struct.pack(">II", 12, 6))  # region w=12 h=6
+        stream[at + 17] |= 8
+        with pytest.raises(JBIG2Unsupported):
+            decode_embedded(bytes(stream))
 
 
 class TestMinipdfIntegration:
