@@ -21,16 +21,20 @@ reversible (lossless) path with zero native deps:
 - **5/3 reversible DWT** (Annex F lifting, arbitrary odd/even
   extents, multi-level) and the **RCT** reversible color transform +
   DC level shift.
-- An **encoder twin** (`encode_jpx`) producing spec-shaped lossless
-  codestreams for fixtures and round-trip property tests — the
-  :mod:`sources.ccitt`/:mod:`sources.jbig2` fixture strategy.
+- The **irreversible 9/7 path** real scanner/camera payloads use:
+  float64 lifting validated against the normative Table F.4
+  convolution taps, scalar dequantization (QCD styles 1 derived and
+  2 expounded, midpoint reconstruction per E.1.1) and the ICT color
+  transform (Annex G).
+- An **encoder twin** (`encode_jpx`, lossless and lossy) producing
+  spec-shaped codestreams for fixtures and round-trip property
+  tests — the :mod:`sources.ccitt`/:mod:`sources.jbig2` fixture
+  strategy.
 
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
-compressed payload is preserved by the caller either way): the
-irreversible 9/7 wavelet + scalar dequantization, multiple
+compressed payload is preserved by the caller either way): multiple
 tiles/layers, non-default precincts, arithmetic-bypass/termall/reset
-code-block options, and ROI shifts. These are the lossy-photo
-features; the lossless path is what scanned-archive PDFs carry.
+code-block options, SOP/EPH resync markers, and ROI shifts.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1144,16 +1148,30 @@ def encode_jpx(
     levels: int = 3,
     jp2: bool = False,
     mct: bool = True,
+    irreversible: bool = False,
+    quality_bits: int = 8,
+    quant_style: str = "expounded",
 ) -> bytes:
-    """Author a lossless JPEG 2000 codestream (or JP2 file with
-    ``jp2``) from 8-bit samples (gray, or interleaved RGB with the
-    reversible color transform when ``mct``). Fixture twin of
-    :func:`decode_jpx`."""
+    """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
+    8-bit samples (gray, or interleaved RGB with the color transform
+    when ``mct``). Fixture twin of :func:`decode_jpx`.
+
+    ``irreversible=True`` emits the lossy regime real scanner/camera
+    payloads use: forward 9/7 wavelet, ICT for RGB, and scalar
+    quantization keeping ``quality_bits`` magnitude bits per subband
+    (Δ_b = max|coeff| / 2^quality_bits), signaled as QCD style 2
+    (``quant_style="expounded"``, per-subband steps) or style 1
+    (``"derived"``, one LL step scaled per level)."""
     if ncomp not in (1, 3):
         raise JPXError("encode_jpx handles 1 or 3 components")
     if len(samples) != width * height * ncomp:
         raise JPXError("sample buffer does not match dimensions")
     levels = max(0, min(levels, 32))
+    if irreversible:
+        return _encode_jpx_lossy(
+            width, height, samples, ncomp, levels, jp2, mct,
+            quality_bits, quant_style,
+        )
     comps = []
     if ncomp == 1:
         comps.append(
@@ -1235,7 +1253,12 @@ def encode_jpx(
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
-    # minimal JP2 container
+    return _jp2_container(bytes(out), width, height, ncomp)
+
+
+def _jp2_container(codestream: bytes, width: int, height: int,
+                   ncomp: int) -> bytes:
+    """Wrap a codestream in a minimal JP2 container."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload
 
@@ -1250,7 +1273,149 @@ def encode_jpx(
         bytes([1, 0, 0]) + struct.pack(">I", 17 if ncomp == 1 else 16),
     )
     jp2h = box(b"jp2h", ihdr + colr)
-    return sig + ftyp + jp2h + box(b"jp2c", bytes(out))
+    return sig + ftyp + jp2h + box(b"jp2c", codestream)
+
+
+def _encode_jpx_lossy(
+    width: int,
+    height: int,
+    samples: bytes,
+    ncomp: int,
+    levels: int,
+    jp2: bool,
+    mct: bool,
+    quality_bits: int,
+    quant_style: str,
+) -> bytes:
+    """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`."""
+    import numpy as np
+
+    if quant_style not in ("expounded", "derived"):
+        raise JPXError(f"unknown quant_style {quant_style!r}")
+    if ncomp == 1:
+        arr = np.frombuffer(samples, np.uint8).astype(np.float64)
+        fcomps = [arr.reshape(height, width) - 128.0]
+        use_mct = False
+    else:
+        rgb = (np.frombuffer(samples, np.uint8).astype(np.float64)
+               .reshape(height, width, 3) - 128.0)
+        use_mct = mct
+        if use_mct:  # ICT forward (T.800 G.2)
+            r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            fcomps = [
+                0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+                -0.16875 * r_ - 0.33126 * g_ + 0.5 * b_,
+                0.5 * r_ - 0.41869 * g_ - 0.08131 * b_,
+            ]
+        else:
+            fcomps = [rgb[..., c].copy() for c in range(3)]
+    coeff = [
+        _dwt97_forward_2d_np(c.copy(), width, height, levels)
+        for c in fcomps
+    ]
+    band_list = []  # (r, name, bx, by, bw, bh) in QCD order
+    for r in range(levels + 1):
+        for nm, bx, by, bw, bh in _bands_for_resolution(
+            width, height, levels, r
+        ):
+            band_list.append((r, nm, bx, by, bw, bh))
+
+    def band_max(bx, by, bw, bh):
+        if bw <= 0 or bh <= 0:
+            return 0.0
+        return max(
+            float(np.abs(c[by:by + bh, bx:bx + bw]).max()) for c in coeff
+        )
+
+    pairs = []   # QCD-signaled (eps, mu) values
+    deltas = []  # actual per-band step, re-derived from (eps, mu)
+    if quant_style == "derived":
+        _, nm0, bx0, by0, bw0, bh0 = band_list[0]
+        mx = band_max(bx0, by0, bw0, bh0) or 1.0
+        e0, mu0, _ = _delta_to_eps_mu(
+            mx / (1 << quality_bits), 8, _band_gain(nm0)
+        )
+        pairs = [(e0, mu0)]
+        for r, nm, *_ in band_list:
+            eps = e0 if r == 0 else e0 + 1 - r
+            if not 0 <= eps <= 31:
+                raise JPXError("derived quantization exponent out of range")
+            deltas.append(_quant_delta(8, _band_gain(nm), eps, mu0))
+        band_eps = [pairs[0][0] if r == 0 else pairs[0][0] + 1 - r
+                    for r, *_ in band_list]
+    else:
+        band_eps = []
+        for r, nm, bx, by, bw, bh in band_list:
+            mx = band_max(bx, by, bw, bh) or 1.0
+            eps, mu, dd = _delta_to_eps_mu(
+                mx / (1 << quality_bits), 8, _band_gain(nm)
+            )
+            pairs.append((eps, mu))
+            deltas.append(dd)
+            band_eps.append(eps)
+    # quantize: q = sign(c) * floor(|c| / Δ_b)
+    all_res = []
+    maxq_bits = [0] * len(band_list)
+    for c in coeff:
+        ip = np.zeros((height, width), np.int64)
+        for (r, nm, bx, by, bw, bh), dl in zip(band_list, deltas):
+            if bw <= 0 or bh <= 0:
+                continue
+            v = c[by:by + bh, bx:bx + bw]
+            ip[by:by + bh, bx:bx + bw] = (
+                np.sign(v) * np.floor(np.abs(v) / dl)
+            ).astype(np.int64)
+        res, comp_exps = _encode_tile_component(
+            ip.tolist(), width, height, levels
+        )
+        all_res.append(res)
+        maxq_bits = [max(a, b) for a, b in zip(maxq_bits, comp_exps)]
+    # guard bits sized so Mb = guard + eps - 1 covers every block
+    guard = max(1, max(
+        (q + 1 - e for q, e in zip(maxq_bits, band_eps)), default=1
+    ))
+    if guard > 7:
+        raise JPXError("guard bits exceed the 3-bit field")
+    mbs_all = [guard + e - 1 for e in band_eps]
+    mbs_by_r = []
+    k = 0
+    for r in range(levels + 1):
+        n = 1 if r == 0 else 3
+        mbs_by_r.append(mbs_all[k:k + n])
+        k += n
+    all_packets = [
+        [_build_packet(res[r], mbs_by_r[r]) for r in range(levels + 1)]
+        for res in all_res
+    ]
+    out = bytearray()
+    out += b"\xff\x4f"  # SOC
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, width, height, 0, 0, width, height, 0, 0, ncomp
+    )
+    for _ in range(ncomp):
+        siz += bytes([7, 1, 1])
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 9/7
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 0]
+    )
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    style = 1 if quant_style == "derived" else 2
+    qcd = bytes([(guard << 5) | style]) + b"".join(
+        struct.pack(">H", (e << 11) | mu) for e, mu in pairs
+    )
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    body = bytearray()
+    for r in range(levels + 1):
+        for c in range(len(coeff)):
+            body += all_packets[c][r]
+    sot = struct.pack(">HIBB", 0, 12 + 2 + len(body), 0, 1)
+    out += b"\xff\x90" + struct.pack(">H", 10) + sot
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"  # EOC
+    if not jp2:
+        return bytes(out)
+    return _jp2_container(bytes(out), width, height, ncomp)
 
 
 # =====================================================================
@@ -1329,17 +1494,26 @@ def _parse_markers(data: bytes):
                     "causal/predictable/segmark)"
                 )
             transform = seg[9]
-            if transform != 1:
-                raise JPXUnsupported("irreversible 9/7 wavelet")
+            if transform not in (0, 1):
+                raise JPXError(f"bad wavelet transform byte {transform}")
             hdr.update(
-                prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct
+                prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
+                transform=transform,
             )
         elif marker == 0x5C:  # QCD
             style = seg[0] & 0x1F
-            if style != 0:
-                raise JPXUnsupported("scalar quantization (lossy)")
             hdr["guard"] = seg[0] >> 5
-            hdr["exps"] = [b >> 3 for b in seg[1:]]
+            hdr["qstyle"] = style
+            if style == 0:  # no quantization (reversible): 8-bit exps
+                hdr["exps"] = [b >> 3 for b in seg[1:]]
+            elif style in (1, 2):  # scalar derived / expounded: 16-bit
+                vals = [
+                    struct.unpack_from(">H", seg, i)[0]
+                    for i in range(1, len(seg) - 1, 2)
+                ]
+                hdr["qvals"] = [(v >> 11, v & 0x7FF) for v in vals]
+            else:
+                raise JPXError(f"bad quantization style {style}")
         elif marker == 0x53 or marker == 0x5D:  # COC / QCC
             raise JPXUnsupported("per-component coding styles")
         elif marker == 0x90:  # SOT
@@ -1400,7 +1574,7 @@ def decode_codestream(data: bytes):
     """Decode a raw JPEG 2000 codestream → (width, height, ncomp,
     list of per-component sample planes, depth)."""
     hdr = _parse_markers(data)
-    if "width" not in hdr or "levels" not in hdr or "exps" not in hdr:
+    if "width" not in hdr or "levels" not in hdr or "qstyle" not in hdr:
         raise JPXError("main header missing SIZ, COD or QCD")
     w, h = hdr["width"], hdr["height"]
     ncomp, levels = hdr["ncomp"], hdr["levels"]
@@ -1409,8 +1583,29 @@ def decode_codestream(data: bytes):
             f"code-block size {hdr['cb_exp']} (engine uses 64x64)"
         )
     guard = hdr.get("guard", _GUARD_BITS)
-    # per-subband Mb in QCD order = exponent + guard - 1
-    mbs_all = [e + guard - 1 for e in hdr["exps"]]
+    transform, qstyle = hdr["transform"], hdr["qstyle"]
+    # T.800 Table A.30: "no quantization" pairs with the reversible
+    # 5/3 transform, scalar quantization with the irreversible 9/7 —
+    # a mismatch is a malformed stream, not a supported regime
+    if transform == 1 and qstyle != 0:
+        raise JPXError("reversible 5/3 transform with scalar quantization")
+    if transform == 0 and qstyle == 0:
+        raise JPXError("irreversible 9/7 transform without quantization")
+    depth = hdr["depth"]
+    # per-subband (eps, mu) in QCD order
+    if qstyle == 0:
+        pairs = [(e, 0) for e in hdr["exps"]]
+    elif qstyle == 2:  # scalar expounded: one value per subband
+        pairs = list(hdr["qvals"])
+    else:  # scalar derived: LL value scaled per level (E-5)
+        if not hdr["qvals"]:
+            raise JPXError("empty QCD segment")
+        e0, mu0 = hdr["qvals"][0]
+        pairs = [(e0, mu0)]
+        for r in range(1, levels + 1):
+            pairs += [(e0 + 1 - r, mu0)] * 3
+    # per-subband Mb in QCD order = exponent + guard - 1 (E.1)
+    mbs_all = [e + guard - 1 for e, _ in pairs]
     pos = hdr["sot"]
     # SOT segment
     if data[pos : pos + 2] != b"\xff\x90":
@@ -1452,8 +1647,35 @@ def decode_codestream(data: bytes):
             ).reshape(ch, cw)
     if pos > tile_end:
         raise JPXError("tile body overran Psot")
-    comps = [_dwt53_inverse_2d_np(p, w, h, levels) for p in planes]
-    return w, h, ncomp, comps, hdr["depth"], bool(hdr["mct"])
+    if transform == 1:
+        comps = [_dwt53_inverse_2d_np(p, w, h, levels) for p in planes]
+        return w, h, ncomp, comps, depth, bool(hdr["mct"]), False
+    # irreversible path: scalar dequantization (E.1.1, midpoint
+    # reconstruction r = 1/2) then the inverse 9/7 in float64
+    k = 0
+    deltas = {}
+    for r in range(levels + 1):
+        names = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+        deltas[r] = [
+            _quant_delta(depth, _band_gain(nm), *pairs[k + i])
+            for i, nm in enumerate(names)
+        ]
+        k += len(names)
+    fcomps = []
+    for p in planes:
+        f = np.zeros((h, w), np.float64)
+        for r in range(levels + 1):
+            for (nm, bx, by, bw, bh), dl in zip(
+                _bands_for_resolution(w, h, levels, r), deltas[r]
+            ):
+                if bw <= 0 or bh <= 0:
+                    continue
+                q = p[by:by + bh, bx:bx + bw]
+                f[by:by + bh, bx:bx + bw] = (
+                    np.sign(q) * (np.abs(q) + 0.5) * dl
+                )
+        fcomps.append(_dwt97_inverse_2d_np(f, w, h, levels))
+    return w, h, ncomp, fcomps, depth, bool(hdr["mct"]), True
 
 
 def _unwrap_jp2(data: bytes) -> bytes:
@@ -1487,15 +1709,28 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
     Matches :func:`sources.jpeg.decode_jpeg`'s output shape."""
     import numpy as np
 
-    w, h, ncomp, comps, depth, mct = decode_codestream(_unwrap_jp2(data))
+    w, h, ncomp, comps, depth, mct, irrev = decode_codestream(
+        _unwrap_jp2(data)
+    )
     shift = 1 << (depth - 1)
     top = (1 << depth) - 1
     if ncomp >= 3 and mct:
-        yy, uu, vv = comps[0], comps[1], comps[2]
-        g = yy - ((uu + vv) >> 2)
-        comps = [vv + g, g, uu + g]  # R, G, B
+        if irrev:  # ICT inverse (T.800 G.3), exact forward inverse
+            yy, cb, cr = comps[0], comps[1], comps[2]
+            comps = [
+                yy + 1.402 * cr,
+                yy - (0.114 * 1.772 / 0.587) * cb
+                - (0.299 * 1.402 / 0.587) * cr,
+                yy + 1.772 * cb,
+            ]
+        else:
+            yy, uu, vv = comps[0], comps[1], comps[2]
+            g = yy - ((uu + vv) >> 2)
+            comps = [vv + g, g, uu + g]  # R, G, B
     def to_u8(plane):
         v = plane + shift
+        if irrev:
+            v = np.rint(v)
         if depth != 8:
             v = np.round(v * (255 / top)).astype(np.int64)
         return np.clip(v, 0, 255).astype(np.uint8)
@@ -1584,3 +1819,164 @@ def _dwt53_inverse_2d_np(p, width: int, height: int, levels: int):
             continue
         _dwt53_inverse_level_np(p, ch, cw)
     return p
+
+
+# =====================================================================
+# 9/7 irreversible DWT + scalar quantization (T.800 F.4.8, E.1) —
+# the lossy path real scanner/camera JPX payloads use
+# =====================================================================
+
+#: T.800 F.4.8.1 lifting constants.  The low/high normalization was
+#: pinned against the NORMATIVE Table F.4 convolution filter taps (an
+#: independent published source): conv_low = (1/K)*lift_low and
+#: conv_high = K*lift_high on random signals — see
+#: tests/test_jpx_lossy.py::TestDwt97::test_lifting_matches_convolution.
+_ALPHA97 = -1.586134342059924
+_BETA97 = -0.052980118572961
+_GAMMA97 = 0.882911075530934
+_DELTA97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+#: T.800 Table F.4 — normative 9/7 ANALYSIS filter taps (symmetric;
+#: index = |offset| from the output sample).  Kept here so the test
+#: suite validates the lifting implementation against a genuinely
+#: independent formulation of the same transform.
+DWT97_ANALYSIS_LOW = (
+    0.6029490182363579, 0.2668641184428723, -0.07822326652898785,
+    -0.016864118442874950, 0.026748757410810654,
+)
+DWT97_ANALYSIS_HIGH = (
+    1.115087052456994, -0.5912717631142470,
+    -0.05754352622849957, 0.09127176311424948,
+)
+
+
+def _he_index(nlo: int, m_h: int):
+    """Mirror index array for the high (odd) subband at positions
+    k-1..nlo-1 — identical extension rule to the 5/3 paths."""
+    import numpy as np
+
+    idx = np.empty(nlo + 1, np.int64)
+    for j, k in enumerate(range(-1, nlo)):
+        if k < 0:
+            idx[j] = -k - 1 if m_h else 0
+        elif k >= m_h:
+            idx[j] = 2 * m_h - 1 - k if m_h else 0
+        else:
+            idx[j] = k
+    return idx
+
+
+def _ee_next(even, n: int, nlo: int, m_h: int):
+    """even[k+1] for k in 0..m_h-1 with full-domain mirroring."""
+    import numpy as np
+
+    if m_h == nlo:  # n even: ee(nlo) mirrors to even[nlo-1]
+        return np.concatenate([even[:, 1:], even[:, nlo - 1: nlo]], axis=1)
+    return even[:, 1: m_h + 1]  # n odd
+
+
+def _dwt97_inverse_axis(a, n: int):
+    """Inverse 9/7 along axis 1 of float64 array `a` (n samples)."""
+    import numpy as np
+
+    if n == 1:
+        return a[:, :1]
+    nlo = (n + 1) // 2
+    m_h = n - nlo
+    even = a[:, :nlo] * _K97          # undo low normalization (1/K)
+    d = a[:, nlo:n] * (1.0 / _K97)    # undo high normalization (K)
+    idx = _he_index(nlo, m_h)
+    for c_even, c_odd in ((_DELTA97, _GAMMA97), (_BETA97, _ALPHA97)):
+        He = d[:, idx]
+        even = even - c_even * (He[:, :-1] + He[:, 1:])
+        d = d - c_odd * (even[:, :m_h] + _ee_next(even, n, nlo, m_h))
+    out = np.empty((a.shape[0], n), np.float64)
+    out[:, 0::2] = even
+    out[:, 1::2] = d
+    return out
+
+
+def _dwt97_forward_axis(a, n: int):
+    """Forward 9/7 along axis 1 → [low | high] layout (float64)."""
+    import numpy as np
+
+    if n == 1:
+        return a[:, :1]
+    nlo = (n + 1) // 2
+    m_h = n - nlo
+    even = a[:, 0::2].astype(np.float64)
+    d = a[:, 1::2].astype(np.float64)
+    idx = _he_index(nlo, m_h)
+    for c_odd, c_even in ((_ALPHA97, _BETA97), (_GAMMA97, _DELTA97)):
+        d = d + c_odd * (even[:, :m_h] + _ee_next(even, n, nlo, m_h))
+        He = d[:, idx]
+        even = even + c_even * (He[:, :-1] + He[:, 1:])
+    out = np.empty((a.shape[0], n), np.float64)
+    out[:, :nlo] = even * (1.0 / _K97)   # normative low
+    out[:, nlo:n] = d * _K97             # normative high
+    return out
+
+
+def _dwt97_inverse_2d_np(p, width: int, height: int, levels: int):
+    """Multi-level inverse 9/7 on float64 array `p` (in place),
+    normative per-level order: rows (HOR_SR) then columns (VER_SR)."""
+    dims = []
+    ch, cw = height, width
+    for _ in range(levels):
+        dims.append((ch, cw))
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    for ch, cw in reversed(dims):
+        if ch <= 1 and cw <= 1:
+            continue
+        win = p[:ch, :cw]
+        win = _dwt97_inverse_axis(win, cw)
+        win = _dwt97_inverse_axis(win.T.copy(), ch).T
+        p[:ch, :cw] = win
+    return p
+
+
+def _dwt97_forward_2d_np(p, width: int, height: int, levels: int):
+    """Multi-level forward 9/7 (columns then rows per level, the
+    mirror of the normative inverse order)."""
+    ch, cw = height, width
+    for _ in range(levels):
+        if ch <= 1 and cw <= 1:
+            break
+        win = p[:ch, :cw]
+        win = _dwt97_forward_axis(win.T.copy(), ch).T
+        win = _dwt97_forward_axis(win, cw)
+        p[:ch, :cw] = win
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    return p
+
+
+def _band_gain(name: str) -> int:
+    """log2 subband gain for R_b (T.800 Table E.1)."""
+    return {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
+
+
+def _quant_delta(depth: int, gain: int, eps: int, mu: int) -> float:
+    """Scalar quantization step Δ_b = 2^(R_b - ε_b)·(1 + μ_b/2^11)
+    (T.800 E-3), R_b = component depth + subband gain."""
+    return (2.0 ** (depth + gain - eps)) * (1.0 + mu / 2048.0)
+
+
+def _delta_to_eps_mu(delta: float, depth: int, gain: int):
+    """Represent a step size as the nearest (ε_b, μ_b) pair and
+    return (ε, μ, exact Δ re-derived from them)."""
+    import math
+
+    e = math.floor(math.log2(delta))
+    mu = round((delta / (2.0 ** e) - 1.0) * 2048.0)
+    if mu >= 2048:
+        e += 1
+        mu = 0
+    eps = depth + gain - e
+    if eps > 31:  # step finer than representable: use the finest
+        eps, mu = 31, 0
+    elif eps < 0:  # coarser than the dynamic range: use the coarsest
+        eps, mu = 0, 2047
+    return eps, mu, _quant_delta(depth, gain, eps, mu)

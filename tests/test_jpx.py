@@ -172,11 +172,30 @@ class TestCodestream:
 
     def test_unsupported_features_named(self):
         data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
-        # flip the COD transform byte to 0 (9/7 irreversible)
+        # set a code-block style option (arithmetic bypass)
         cod_at = bytes(data).index(b"\xff\x52")
-        data[cod_at + 2 + 2 + 9] = 0
+        data[cod_at + 2 + 2 + 8] = 0x01
         with pytest.raises(JPXUnsupported):
             decode_jpx(bytes(data))
+
+    def test_mismatched_transform_quant_rejected(self):
+        # 9/7 transform with a no-quantization QCD is MALFORMED
+        # (T.800 Table A.30 pairs them with 5/3), not merely
+        # unsupported — named JPXError either way
+        data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 2 + 2 + 9] = 0
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
+        # and the converse: 5/3 with scalar quantization
+        lossy = bytearray(
+            encode_jpx(8, 8, bytes(range(64)), 1, levels=1,
+                       irreversible=True)
+        )
+        cod_at = bytes(lossy).index(b"\xff\x52")
+        lossy[cod_at + 2 + 2 + 9] = 1
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(lossy))
 
 
 class TestMinipdfIntegration:

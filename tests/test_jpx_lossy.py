@@ -1,0 +1,205 @@
+"""Lossy (9/7 irreversible + scalar quantization) JPEG 2000 tests.
+
+The 9/7 lifting implementation is validated against the NORMATIVE
+T.800 Table F.4 convolution filter taps — an independent published
+formulation of the same transform — so a swapped scaling constant or
+pass order cannot hide behind a self-consistent encode/decode round
+trip (the blind spot the round-5 5/3 review caught).
+"""
+
+import numpy as np
+import pytest
+
+from pdf2dataset_spark.sources import minipdf
+from pdf2dataset_spark.sources.jpx import (
+    DWT97_ANALYSIS_HIGH,
+    DWT97_ANALYSIS_LOW,
+    JPXError,
+    _delta_to_eps_mu,
+    _dwt97_forward_2d_np,
+    _dwt97_forward_axis,
+    _dwt97_inverse_2d_np,
+    _dwt97_inverse_axis,
+    _quant_delta,
+    decode_jpx,
+    decode_jpx_gray,
+    encode_jpx,
+)
+
+
+def _ext(x, i):
+    """Whole-sample symmetric extension (T.800 F.3.7)."""
+    n = len(x)
+    if n == 1:
+        return x[0]
+    p = 2 * n - 2
+    i = abs(i) % p
+    return x[p - i] if i >= n else x[i]
+
+
+def _conv_analysis(x):
+    """Direct convolution with the Table F.4 taps."""
+    n = len(x)
+    nlo = (n + 1) // 2
+    h, g = DWT97_ANALYSIS_LOW, DWT97_ANALYSIS_HIGH
+    low = [
+        sum(h[abs(k)] * _ext(x, 2 * m + k) for k in range(-4, 5))
+        for m in range(nlo)
+    ]
+    high = [
+        sum(g[abs(k)] * _ext(x, 2 * m + 1 + k) for k in range(-3, 4))
+        for m in range(n - nlo)
+    ]
+    return np.array(low + high)
+
+
+class TestDwt97:
+    def test_lifting_matches_convolution(self):
+        rng = np.random.default_rng(11)
+        for n in (2, 3, 5, 8, 16, 17, 33, 64):
+            x = rng.normal(size=n) * 100
+            lift = _dwt97_forward_axis(x[None, :].copy(), n)[0]
+            conv = _conv_analysis(list(x))
+            assert np.allclose(lift, conv, atol=1e-9), n
+
+    def test_1d_round_trip(self):
+        rng = np.random.default_rng(12)
+        for n in (1, 2, 3, 7, 20, 65):
+            x = rng.normal(size=(3, n)) * 50
+            f = _dwt97_forward_axis(x.copy(), n)
+            b = _dwt97_inverse_axis(f, n)
+            assert np.allclose(b, x, atol=1e-9), n
+
+    def test_2d_multilevel_round_trip(self):
+        rng = np.random.default_rng(13)
+        for w, h, lv in ((13, 9, 2), (64, 64, 3), (7, 1, 2), (1, 9, 3),
+                         (33, 17, 4), (1, 1, 2)):
+            p = rng.normal(size=(h, w)) * 50
+            f = _dwt97_forward_2d_np(p.copy(), w, h, lv)
+            b = _dwt97_inverse_2d_np(f.copy(), w, h, lv)
+            assert np.allclose(b, p, atol=1e-8), (w, h, lv)
+
+    def test_dc_gain_is_one(self):
+        # Table F.4 low-pass sums to 1: a constant signal's LL stays
+        # at that constant through every level
+        p = np.full((32, 32), 77.0)
+        f = _dwt97_forward_2d_np(p.copy(), 32, 32, 3)
+        assert np.allclose(f[:4, :4], 77.0, atol=1e-9)
+
+
+class TestQuantRepresentation:
+    def test_eps_mu_round_trip(self):
+        for delta in (0.03, 0.5, 1.0, 7.9, 250.0, 1e-4):
+            eps, mu, dd = _delta_to_eps_mu(delta, 8, 1)
+            assert 0 <= eps <= 31 and 0 <= mu < 2048
+            assert abs(dd - delta) / delta < 1 / 2048
+            assert dd == _quant_delta(8, 1, eps, mu)
+
+    def test_out_of_range_steps_clamp(self):
+        eps, mu, dd = _delta_to_eps_mu(1e-12, 8, 0)  # finer than 2^-23
+        assert (eps, mu) == (31, 0)
+        eps, mu, dd = _delta_to_eps_mu(1e9, 8, 0)  # coarser than 2^8
+        assert eps == 0 and mu == 2047
+
+
+class TestLossyRoundTrip:
+    def _err(self, orig: bytes, got: bytes):
+        a = np.frombuffer(orig, np.uint8).astype(int)
+        b = np.frombuffer(got, np.uint8).astype(int)
+        return np.abs(a - b)
+
+    def test_gray_gradient_near_exact(self):
+        w, h = 61, 47
+        g = np.fromfunction(lambda y, x: 40 + 2 * x + 1.5 * y, (h, w))
+        px = np.clip(np.rint(g), 0, 255).astype(np.uint8).tobytes()
+        data = encode_jpx(w, h, px, 1, levels=3, irreversible=True,
+                          quality_bits=8)
+        dw, dh, out = decode_jpx(data)
+        assert (dw, dh) == (w, h)
+        assert self._err(px, out).max() <= 1
+
+    def test_gray_noise_quality_scales_error(self):
+        rng = np.random.default_rng(14)
+        w, h = 40, 33
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        errs = []
+        for q in (4, 7, 10):
+            data = encode_jpx(w, h, px, 1, levels=2, irreversible=True,
+                              quality_bits=q)
+            errs.append(self._err(px, decode_jpx(data)[2]).max())
+        assert errs[0] >= errs[1] >= errs[2]
+        assert errs[2] <= 1  # 10 magnitude bits ≈ visually lossless
+
+    def test_color_ict_round_trip(self):
+        cw, ch = 24, 18
+        rgb = bytes(
+            v for y in range(ch) for x in range(cw)
+            for v in (x * 255 // (cw - 1), y * 255 // (ch - 1),
+                      (x + y) * 255 // (cw + ch - 2))
+        )
+        data = encode_jpx(cw, ch, rgb, 3, levels=2, irreversible=True,
+                          quality_bits=8)
+        assert self._err(rgb, decode_jpx(data)[2]).max() <= 2
+
+    def test_derived_quant_style(self):
+        w, h = 30, 25
+        rng = np.random.default_rng(15)
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        data = encode_jpx(w, h, px, 1, levels=2, irreversible=True,
+                          quant_style="derived", quality_bits=9)
+        # QCD must be the derived style: one 16-bit value
+        at = data.index(b"\xff\x5c")
+        length = int.from_bytes(data[at + 2:at + 4], "big")
+        assert length == 2 + 1 + 2  # Lqcd + Sqcd + one Sqcd value
+        assert data[at + 4] & 0x1F == 1
+        assert self._err(px, decode_jpx(data)[2]).max() <= 2
+
+    def test_jp2_container_lossy(self):
+        w, h = 16, 12
+        px = bytes((x * 16 + y) % 256 for y in range(h) for x in range(w))
+        data = encode_jpx(w, h, px, 1, levels=2, irreversible=True,
+                          jp2=True)
+        assert decode_jpx(data)[:2] == (w, h)
+
+    def test_deterministic(self):
+        w, h = 21, 17
+        px = bytes((x * y) % 256 for y in range(h) for x in range(w))
+        a = encode_jpx(w, h, px, 1, levels=2, irreversible=True)
+        b = encode_jpx(w, h, px, 1, levels=2, irreversible=True)
+        assert a == b
+        assert decode_jpx(a) == decode_jpx(b)
+
+    def test_gray_helper_on_lossy_rgb(self):
+        rgb = bytes(v for i in range(64) for v in (i * 4, i * 4, i * 4))
+        data = encode_jpx(8, 8, rgb, 3, levels=1, irreversible=True,
+                          quality_bits=10)
+        w, h, gray = decode_jpx_gray(data)
+        want = np.arange(64) * 4
+        got = np.frombuffer(gray, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 2
+
+    def test_bad_quant_style_rejected(self):
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, irreversible=True,
+                       quant_style="nope")
+
+
+class TestMinipdfLossyIntegration:
+    def test_page_images_decodes_lossy_jpx(self):
+        rng = np.random.default_rng(16)
+        w, h = 30, 22
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        data = encode_jpx(w, h, px, 1, levels=2, irreversible=True,
+                          quality_bits=10)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/JPXDecode", "width": w, "height": h,
+                     "data": data}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf, decode_pixels=True)[0]
+        assert entry["format"] == "jpx"
+        assert entry["decodable"] is True
+        assert entry["data"] == data
+        got = np.frombuffer(entry["pixels"], np.uint8).astype(int)
+        want = np.frombuffer(px, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 1
