@@ -26,10 +26,14 @@ pHash paths exactly like JPEG and CCITT ones do:
 - **Generic refinement coding** (T.88 §6.3): templates 0-1 with AT
   pixels and TPGRON typical prediction — serving refined text-region
   instances (§6.4.11) and refinement/aggregate symbol dictionaries
-  with REFAGGNINST == 1 (§6.5.8.2, the pdf.js-scope shape). Huffman
-  variants and true aggregates (REFAGGNINST > 1) raise
+  with REFAGGNINST == 1 (§6.5.8.2, the pdf.js-scope shape). True
+  aggregates (REFAGGNINST > 1) and Huffman-coded refinement raise
   :class:`JBIG2Unsupported` with a named reason (kept honest; the
   compressed payload is preserved either way).
+- **Huffman regime** (T.88 Annex B via :mod:`sources.jbig2_huffman`):
+  SDHUFF symbol dictionaries with per-height-class collective
+  bitmaps (uncompressed or MMR), SBHUFF text regions with
+  runcode-built symbol ID codes, standard + custom (type 53) tables.
 - **Pattern dictionary + halftone regions** (T.88 §6.7 / §6.6):
   Gray-coded arithmetic/MMR grayscale bitplanes stamping dictionary
   patterns on the (skewable) 8.8 fixed-point grid — the dithered-
@@ -60,20 +64,31 @@ class JBIG2Error(ValueError):
 
 
 class JBIG2Unsupported(JBIG2Error):
-    """Valid JBIG2 feature outside this decoder's scope (Huffman
-    tables, aggregate symbols, HSKIP halftone planes)."""
+    """Valid JBIG2 feature outside this decoder's scope (true
+    aggregate symbols, HSKIP halftone planes, unvalidated standard
+    Huffman tables)."""
 
 
-#: decode-size sanity bound (pixels): ample for any real scanned page
-#: (A3 @ 1200 dpi bilevel ~ 280M), small enough that a crafted
-#: 60-byte stream cannot OOM an executor before decoding starts
+#: default decode-size sanity bound (pixels): ample for any real
+#: scanned page (A3 @ 1200 dpi bilevel ~ 280M), small enough that a
+#: crafted 60-byte stream cannot OOM an executor before decoding
+#: starts. Callers can LOWER it per decode (``max_pixels=``) to bound
+#: the CPU a crafted-but-valid header can demand — a pure-Python
+#: arithmetic decoder does ~1 Mpx/s, so the default admits minutes of
+#: work; corpus pipelines that care should cap tighter.
 _MAX_PIXELS = 1 << 29
+
+import contextvars as _contextvars
+
+_MAX_PIXELS_VAR = _contextvars.ContextVar("jbig2_max_pixels",
+                                          default=_MAX_PIXELS)
 
 
 def _check_dims(w: int, h: int, what: str) -> None:
-    if w < 0 or h < 0 or (w and h and w * h > _MAX_PIXELS):
+    bound = _MAX_PIXELS_VAR.get()
+    if w < 0 or h < 0 or (w and h and w * h > bound):
         raise JBIG2Error(
-            f"{what} dimensions {w}x{h} exceed the {_MAX_PIXELS}-pixel "
+            f"{what} dimensions {w}x{h} exceed the {bound}-pixel "
             "decode bound"
         )
 
@@ -906,6 +921,10 @@ def parse_segments(data: bytes) -> list:
         else:
             pos += 1
         size = 1 if number <= 256 else 2 if number <= 65536 else 4
+        if pos + count * size > n:
+            # the refs must fit in the remaining stream — a crafted
+            # 29-bit count must fail here, not allocate 500M entries
+            raise JBIG2Error("referred-to list overruns stream")
         refs = []
         for _ in range(count):
             refs.append(int.from_bytes(data[pos:pos + size], "big"))
@@ -955,21 +974,7 @@ def _decode_generic_segment(seg_data: bytes):
     template = (flags >> 1) & 3
     tpgdon = bool(flags & 8)
     if mmr:
-        from pdf2dataset_spark.sources import ccitt
-
-        # JBIG2 MMR is T.6 (G4) coding over the region width; rows
-        # start white, odd-indexed change pairs delimit black runs.
-        lines = ccitt.decode_g4(seg_data[pos:], w, h)
-        rows = []
-        for changes in lines:
-            row = bytearray(w)
-            for j in range(0, len(changes), 2):
-                start = min(changes[j], w)
-                end = min(changes[j + 1], w) if j + 1 < len(changes) else w
-                for i in range(start, end):
-                    row[i] = 1
-            rows.append(row)
-        return rows, x, y, combop
+        return _mmr_rows(seg_data[pos:], w, h), x, y, combop
     at, pos = _read_at(seg_data, pos, 4 if template == 0 else 1)
     dec = MQDecoder(seg_data[pos:])
     rows = decode_generic(dec, {}, w, h, template, at, tpgdon)
@@ -981,12 +986,39 @@ def _decode_generic_segment(seg_data: bytes):
 # ------------------------------------------------------------------
 
 
-def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
-    """Arithmetic symbol dictionary → exported symbol bitmaps."""
+def _mmr_rows(data: bytes, w: int, h: int) -> list:
+    """MMR (T.6) payload → rows of 0/1 (JBIG2 MMR IS G4 coding;
+    odd-indexed change pairs delimit black runs)."""
+    from pdf2dataset_spark.sources import ccitt
+
+    lines = ccitt.decode_g4(data, w, h)
+    rows = []
+    for changes in lines:
+        row = bytearray(w)
+        for j in range(0, len(changes), 2):
+            start = min(changes[j], w)
+            end = min(changes[j + 1], w) if j + 1 < len(changes) else w
+            for i in range(start, end):
+                row[i] = 1
+        rows.append(row)
+    return rows
+
+
+def _decode_symbol_dict(seg_data: bytes, input_syms: list,
+                        tables: list | None = None) -> list:
+    """Symbol dictionary → exported symbol bitmaps (arithmetic §6.5,
+    or Huffman §6.5 with SDHUFF=1; `tables` are the referred custom
+    table segments in reference order)."""
     flags = struct.unpack_from(">H", seg_data, 0)[0]
     pos = 2
     if flags & 1:
-        raise JBIG2Unsupported("Huffman symbol dictionary")
+        if flags & 2:
+            raise JBIG2Unsupported(
+                "Huffman refinement/aggregate symbol dictionary"
+            )
+        return _decode_symbol_dict_huffman(
+            seg_data, pos, flags, input_syms, tables or []
+        )
     refagg = bool(flags & 2)
     if flags & 0x100 or flags & 0x200:
         raise JBIG2Unsupported("retained bitmap coding contexts")
@@ -1083,6 +1115,126 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     return exported
 
 
+def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
+                                input_syms: list, tables: list) -> list:
+    """SDHUFF=1 symbol dictionary (§6.5 + 6.5.9 collective bitmaps):
+    heights/widths via Annex-B tables, per-height-class bitmaps as
+    one collective bitmap — BMSIZE=0 → uncompressed row-padded,
+    else MMR — sliced apart by the decoded widths. Export runs use
+    Table B.1 (§6.5.10)."""
+    from pdf2dataset_spark.sources import jbig2_huffman as jh
+
+    if flags & 0x100 or flags & 0x200:
+        raise JBIG2Unsupported("retained bitmap coding contexts")
+    it = iter(tables)
+
+    def custom(what: str):
+        try:
+            return next(it)
+        except StopIteration:
+            raise JBIG2Error(f"missing custom Huffman table for {what}")
+
+    dh_sel = (flags >> 2) & 3
+    dw_sel = (flags >> 4) & 3
+    bm_sel = (flags >> 6) & 1
+    ag_sel = (flags >> 7) & 1
+    if dh_sel == 2 or dw_sel == 2:
+        raise JBIG2Error("reserved Huffman table selection")
+    tb_dh = (jh.standard_table(4) if dh_sel == 0
+             else jh.standard_table(5) if dh_sel == 1 else custom("DH"))
+    tb_dw = (jh.standard_table(2) if dw_sel == 0
+             else jh.standard_table(3) if dw_sel == 1 else custom("DW"))
+    tb_bm = jh.standard_table(1) if bm_sel == 0 else custom("BMSIZE")
+    if ag_sel:  # consume to keep reference order; unused without REFAGG
+        custom("AGG")
+    if pos + 8 > len(seg_data):
+        raise JBIG2Error("truncated symbol dictionary header")
+    num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
+    pos += 8
+    if num_new > 1 << 20 or num_ex > 1 << 20:
+        raise JBIG2Error("implausible symbol counts")
+    br = jh.BitReader(seg_data, pos)
+    new_syms: list = []
+    hc_height = 0
+    height_classes = 0
+    while len(new_syms) < num_new:
+        height_classes += 1
+        if height_classes > num_new + 1:
+            raise JBIG2Error("symbol dictionary makes no progress")
+        dh = tb_dh.decode(br)
+        if dh is jh.OOB:
+            raise JBIG2Error("OOB height delta")
+        hc_height += dh
+        _check_dims(1, hc_height, "symbol height class")
+        sym_width = 0
+        widths: list = []
+        while True:
+            dw = tb_dw.decode(br)
+            if dw is jh.OOB:
+                break
+            sym_width += dw
+            if sym_width <= 0 or hc_height <= 0:
+                raise JBIG2Error("non-positive symbol dims")
+            _check_dims(sym_width, hc_height, "symbol")
+            if len(new_syms) + len(widths) >= num_new:
+                raise JBIG2Error("more new symbols than declared")
+            widths.append(sym_width)
+        if not widths:
+            raise JBIG2Error("empty symbol height class")
+        tot = sum(widths)
+        _check_dims(tot, hc_height, "collective bitmap")
+        bmsize = tb_bm.decode(br)
+        if bmsize is jh.OOB or bmsize < 0:
+            raise JBIG2Error("bad collective bitmap size")
+        start = br.align()
+        if bmsize == 0:  # uncompressed, each row padded to a byte
+            stride = (tot + 7) >> 3
+            need = stride * hc_height
+            chunk = seg_data[start:start + need]
+            if len(chunk) < need:
+                raise JBIG2Error("truncated collective bitmap")
+            coll = [
+                bytearray(
+                    (chunk[y * stride + (xx >> 3)] >> (7 - (xx & 7))) & 1
+                    for xx in range(tot)
+                )
+                for y in range(hc_height)
+            ]
+            br.seek_byte(start + need)
+        else:
+            if start + bmsize > len(seg_data):
+                raise JBIG2Error("collective bitmap overruns segment")
+            coll = _mmr_rows(
+                seg_data[start:start + bmsize], tot, hc_height
+            )
+            br.seek_byte(start + bmsize)
+        x0 = 0
+        for wdt in widths:
+            new_syms.append([row[x0:x0 + wdt] for row in coll])
+            x0 += wdt
+    # export flags (§6.5.10): alternating skip/export runs via B.1
+    tb_ex = jh.standard_table(1)
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    i, flag, zero_runs = 0, 0, 0
+    while i < len(all_syms):
+        run = tb_ex.decode(br)
+        if run is jh.OOB or run < 0:
+            raise JBIG2Error("bad export run")
+        zero_runs = zero_runs + 1 if run == 0 else 0
+        if zero_runs > 2:
+            raise JBIG2Error("export flags make no progress")
+        if flag:
+            exported.extend(all_syms[i:i + run])
+        i += run
+        flag ^= 1
+    if len(exported) != num_ex:
+        raise JBIG2Error(
+            f"exported {len(exported)} symbols, declared {num_ex}"
+        )
+    return exported
+
+
 def _decode_pattern_dict(seg_data: bytes) -> list:
     """Pattern dictionary (§6.7): ONE wide generic region holding
     GRAYMAX+1 patterns side by side, sliced apart."""
@@ -1098,19 +1250,7 @@ def _decode_pattern_dict(seg_data: bytes) -> list:
     total_w = (graymax + 1) * hdpw
     _check_dims(total_w, hdph, "pattern dictionary")
     if mmr:
-        from pdf2dataset_spark.sources import ccitt
-
-        lines = ccitt.decode_g4(seg_data[7:], total_w, hdph)
-        coll = []
-        for changes in lines:
-            row = bytearray(total_w)
-            for j in range(0, len(changes), 2):
-                start = min(changes[j], total_w)
-                end = (min(changes[j + 1], total_w)
-                       if j + 1 < len(changes) else total_w)
-                for i in range(start, end):
-                    row[i] = 1
-            coll.append(row)
+        coll = _mmr_rows(seg_data[7:], total_w, hdph)
     else:
         # §6.7.5: AT1 = (-HDPW, 0) so each pattern's context reaches
         # into its neighbor — the spec's exact placement
@@ -1204,13 +1344,130 @@ def _decode_halftone_region(seg_data: bytes, patterns: list):
     return rows, x, y, combop
 
 
-def _decode_text_region(seg_data: bytes, syms: list):
-    """Arithmetic text region → (rows, x, y, combop)."""
+def _decode_text_region_huffman(seg_data: bytes, pos: int, flags: int,
+                                syms: list, tables: list,
+                                w: int, h: int, x: int, y: int,
+                                combop: int):
+    """SBHUFF=1 text region (§6.4 + §7.4.4.5): a 16-bit Huffman-flags
+    field selects the FS/DS/DT (and refinement-delta) tables, symbol
+    IDs get a runcode-built canonical code, CURT is log2(SBSTRIPS)
+    raw bits. Refinement in Huffman regions is declined by name
+    upstream."""
+    from pdf2dataset_spark.sources import jbig2_huffman as jh
+
+    log_strips = (flags >> 2) & 3
+    strips = 1 << log_strips
+    ref_corner = (flags >> 4) & 3
+    transposed = bool(flags & 0x40)
+    comb_op = (flags >> 7) & 3
+    default_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    hflags = struct.unpack_from(">H", seg_data, pos)[0]
+    pos += 2
+    it = iter(tables)
+
+    def custom(what: str):
+        try:
+            return next(it)
+        except StopIteration:
+            raise JBIG2Error(f"missing custom Huffman table for {what}")
+
+    def select(sel: int, std0: int, std1: int, std2: int | None,
+               what: str):
+        if sel == 0:
+            return jh.standard_table(std0)
+        if sel == 1:
+            return jh.standard_table(std1)
+        if sel == 2 and std2 is not None:
+            return jh.standard_table(std2)
+        if sel == 3:
+            return custom(what)
+        raise JBIG2Error(f"reserved Huffman table selection for {what}")
+
+    tb_fs = select(hflags & 3, 6, 7, None, "FS")
+    tb_ds = select((hflags >> 2) & 3, 8, 9, 10, "DS")
+    tb_dt = select((hflags >> 4) & 3, 11, 12, 13, "DT")
+    # RDW/RDH/RDX/RDY/RSIZE selections only matter with refinement
+    # (rejected upstream), but sel==3 still consumes a referred table
+    for shift, what in ((6, "RDW"), (8, "RDH"), (10, "RDX"),
+                        (12, "RDY")):
+        if (hflags >> shift) & 3 == 3:
+            custom(what)
+    if (hflags >> 14) & 1:
+        custom("RSIZE")
+    num_instances = struct.unpack_from(">I", seg_data, pos)[0]
+    pos += 4
+    if num_instances > 8 * len(seg_data) + 64:
+        raise JBIG2Error("implausible text-region instance count")
+    if not syms:
+        raise JBIG2Error("text region with no referred symbols")
+    br = jh.BitReader(seg_data, pos)
+    symtab = jh.read_symbol_id_codes(br, len(syms))
+    rows = [bytearray([default_pixel]) * w for _ in range(h)]
+    stript = tb_dt.decode(br)
+    if stript is jh.OOB:
+        raise JBIG2Error("OOB STRIPT")
+    stript *= -strips
+    firsts = 0
+    ninst = 0
+    while ninst < num_instances:
+        dt = tb_dt.decode(br)
+        if dt is jh.OOB:
+            raise JBIG2Error("OOB DT")
+        stript += dt * strips
+        dfs = tb_fs.decode(br)
+        if dfs is jh.OOB:
+            raise JBIG2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = tb_ds.decode(br)
+                if ids is jh.OOB:
+                    break
+                curs += ids + ds_offset
+            first = False
+            curt = br.bits(log_strips) if strips > 1 else 0
+            t = stript + curt
+            sym_id = symtab.decode(br)
+            if not 0 <= sym_id < len(syms):
+                raise JBIG2Error(f"symbol id {sym_id} out of range")
+            bm = syms[sym_id]
+            sh = len(bm)
+            sw = len(bm[0]) if sh else 0
+            if transposed:
+                x0 = t if not (ref_corner & 2) else t - sw + 1
+                y0 = curs
+                curs += sh - 1
+            else:
+                x0 = curs
+                y0 = t if (ref_corner & 1) else t - sh + 1
+                curs += sw - 1
+            _blit(rows, bm, x0, y0, comb_op)
+            ninst += 1
+            if ninst > num_instances:
+                raise JBIG2Error("instance overrun")
+    return rows, x, y, combop
+
+
+def _decode_text_region(seg_data: bytes, syms: list,
+                        tables: list | None = None):
+    """Text region → (rows, x, y, combop) — arithmetic §6.4, or
+    Huffman with SBHUFF=1 (`tables` are referred custom table
+    segments in reference order)."""
     w, h, x, y, combop, pos = _region_info(seg_data)
     flags = struct.unpack_from(">H", seg_data, pos)[0]
     pos += 2
     if flags & 1:
-        raise JBIG2Unsupported("Huffman text region")
+        if flags & 2:
+            raise JBIG2Unsupported("Huffman text region with refinement")
+        return _decode_text_region_huffman(
+            seg_data, pos, flags, syms, tables or [],
+            w, h, x, y, combop,
+        )
     refine = bool(flags & 2)
     log_strips = (flags >> 2) & 3
     strips = 1 << log_strips
@@ -1348,16 +1605,26 @@ def _blit(dst_rows, src_rows, x0: int, y0: int, op: int) -> None:
 # =====================================================================
 
 
-def decode_embedded(data: bytes, globals_data: bytes | None = None):
+def decode_embedded(data: bytes, globals_data: bytes | None = None,
+                    max_pixels: int | None = None):
     """Decode a PDF-embedded JBIG2 stream (+ optional /JBIG2Globals)
     to (width, height, rows-of-0/1). First page in the stream (PDF
-    embeds exactly one per image XObject, §ISO 32000 7.4.7)."""
+    embeds exactly one per image XObject, §ISO 32000 7.4.7).
+    ``max_pixels`` lowers the decode-size bound for this call — the
+    CPU-cost cap for adversarial-but-valid headers."""
+    if max_pixels is not None:
+        token = _MAX_PIXELS_VAR.set(min(max_pixels, _MAX_PIXELS))
+        try:
+            return decode_embedded(data, globals_data)
+        finally:
+            _MAX_PIXELS_VAR.reset(token)
     segs = []
     if globals_data:
         segs.extend(parse_segments(globals_data))
     segs.extend(parse_segments(data))
     sym_dicts: dict = {}  # segment number -> exported symbols
     pat_dicts: dict = {}  # segment number -> pattern bitmaps
+    huff_tables: dict = {}  # segment number -> custom HuffTable
     page_rows: list = []
     page_w = 0
     page_default = 0
@@ -1379,6 +1646,9 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
                 out.extend(sym_dicts[r])
         return out
 
+    def referred_tables(seg: Segment) -> list:
+        return [huff_tables[r] for r in seg.refs if r in huff_tables]
+
     for seg in segs:
         t = seg.type
         if t == SEG_PAGE_INFO:
@@ -1396,7 +1666,7 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
             ]
         elif t == SEG_SYMBOL_DICT:
             sym_dicts[seg.number] = _decode_symbol_dict(
-                seg.data, referred_symbols(seg)
+                seg.data, referred_symbols(seg), referred_tables(seg)
             )
         elif t in (SEG_GENERIC_INTERMEDIATE, SEG_GENERIC_IMMEDIATE,
                    SEG_GENERIC_IMMEDIATE_LOSSLESS):
@@ -1407,13 +1677,19 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
         elif t in (SEG_TEXT_INTERMEDIATE, SEG_TEXT_IMMEDIATE,
                    SEG_TEXT_IMMEDIATE_LOSSLESS):
             rows, x, y, combop = _decode_text_region(
-                seg.data, referred_symbols(seg)
+                seg.data, referred_symbols(seg), referred_tables(seg)
             )
             if rows:
                 grow(y + len(rows), x + len(rows[0]))
                 _blit(page_rows, rows, x, y, combop)
+        elif t == SEG_TABLES:
+            from pdf2dataset_spark.sources.jbig2_huffman import (
+                parse_table_segment,
+            )
+
+            huff_tables[seg.number] = parse_table_segment(seg.data)
         elif t in (SEG_END_OF_PAGE, SEG_END_OF_STRIPE, SEG_END_OF_FILE,
-                   SEG_PROFILES, SEG_EXTENSION, SEG_TABLES):
+                   SEG_PROFILES, SEG_EXTENSION):
             continue
         elif t == SEG_PATTERN_DICT:
             pat_dicts[seg.number] = _decode_pattern_dict(seg.data)
@@ -1435,11 +1711,12 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None):
 
 
 def decode_jbig2_gray(
-    data: bytes, globals_data: bytes | None = None
+    data: bytes, globals_data: bytes | None = None,
+    max_pixels: int | None = None,
 ) -> tuple[int, int, bytes]:
     """/JBIG2Decode entry: returns (width, height, 8-bit gray pixels,
     ink black = 0) — the :func:`ccitt.decode_ccitt_gray` convention."""
-    w, h, rows = decode_embedded(data, globals_data)
+    w, h, rows = decode_embedded(data, globals_data, max_pixels)
     px = bytearray(w * h)
     for y, row in enumerate(rows):
         base = y * w
@@ -1838,3 +2115,144 @@ def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0) -> bytes:
         2, SEG_HALFTONE[2], 1, len(ht), refs=(1,)
     ) + bytes(ht)
     return bytes(body)
+
+
+def encode_huffman_text_page(
+    symbols,
+    placements,
+    width: int,
+    height: int,
+    collective: str = "uncompressed",
+    custom_dw: bool = False,
+    split_globals: bool = False,
+):
+    """Author a HUFFMAN-coded symbol/text page (the second JBIG2
+    entropy regime — §6.5/6.4 with SDHUFF=SBHUFF=1): symbol
+    dictionary with per-height-class COLLECTIVE bitmaps
+    (``collective``: "uncompressed" row-padded, or "mmr" T.6-coded),
+    text region with runcode-built symbol ID codes and standard
+    tables B.4/B.2/B.1 (dict) + B.11/B.6/B.8 (region).
+    ``custom_dw`` routes the width deltas through a CUSTOM table
+    segment (type 53) instead of B.2, exercising §7.4.13.
+
+    Returns ``(data, globals)`` like :func:`encode_text_page`."""
+    from pdf2dataset_spark.sources import ccitt
+    from pdf2dataset_spark.sources import jbig2_huffman as jh
+
+    symbols = [[bytearray(r) for r in s] for s in symbols]
+    if not symbols or not placements:
+        raise JBIG2Error("need at least one symbol and placement")
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (len(symbols[i]), len(symbols[i][0])))
+    table_seg = b""
+    if custom_dw:
+        # tiles [-16, 44) + lower/upper/OOB; Kraft-complete
+        table_seg = jh.build_table_segment(
+            [(2, 2), (2, 3), (3, 4), (3, 5)], -16, 44,
+            lower_len=4, upper_len=4, oob_len=3,
+        )
+        tb_dw = jh.parse_table_segment(table_seg)
+    else:
+        tb_dw = jh.standard_table(2)
+    tb_dh = jh.standard_table(4)
+    tb_bm = jh.standard_table(1)
+    bw = jh.BitWriter()
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        hgt = len(symbols[order[i]])
+        tb_dh.encode(bw, hgt - hc_height)
+        hc_height = hgt
+        group = []
+        while i < len(order) and len(symbols[order[i]]) == hgt:
+            group.append(order[i])
+            i += 1
+        sym_width = 0
+        for si in group:
+            wdt = len(symbols[si][0])
+            tb_dw.encode(bw, wdt - sym_width)
+            sym_width = wdt
+        tb_dw.encode(bw, jh.OOB)
+        tot = sum(len(symbols[si][0]) for si in group)
+        coll = [bytearray() for _ in range(hgt)]
+        for si in group:
+            for yy in range(hgt):
+                coll[yy] += symbols[si][yy]
+        if collective == "mmr":
+            px = bytes(
+                0 if b else 255 for row in coll for b in row
+            )
+            data = ccitt.encode_g4(px, tot, hgt)
+            tb_bm.encode(bw, len(data))
+            bw.align()
+            bw.raw_bytes(data)
+        else:
+            tb_bm.encode(bw, 0)
+            bw.align()
+            stride = (tot + 7) >> 3
+            packed = bytearray(stride * hgt)
+            for yy, row in enumerate(coll):
+                base = yy * stride
+                for xx, bit in enumerate(row):
+                    if bit:
+                        packed[base + (xx >> 3)] |= 0x80 >> (xx & 7)
+            bw.raw_bytes(bytes(packed))
+    tb_ex = jh.standard_table(1)
+    tb_ex.encode(bw, 0)
+    tb_ex.encode(bw, len(symbols))
+    sd_flags = 1 | ((3 << 4) if custom_dw else 0)  # SDHUFF, DW sel
+    sd = (struct.pack(">H", sd_flags)
+          + struct.pack(">II", len(symbols), len(symbols))
+          + bw.getvalue())
+    # ---- text region (SBHUFF=1, strips=1, TOPLEFT, all std tables)
+    exported_pos = {sym_i: k for k, sym_i in enumerate(order)}
+    bw = jh.BitWriter()
+    symtab = jh.write_symbol_id_codes(bw, len(symbols))
+    tb_dt = jh.standard_table(11)
+    tb_fs = jh.standard_table(6)
+    tb_ds = jh.standard_table(8)
+    by_t: dict = {}
+    for sym_i, px_, py_ in placements:
+        by_t.setdefault(py_, []).append((px_, sym_i))
+    tb_dt.encode(bw, 1)  # STRIPT value 1 → stript = -1
+    stript = -1
+    firsts = 0
+    for t in sorted(by_t):
+        tb_dt.encode(bw, t - stript)  # ≥ 1: B.11's floor
+        stript = t
+        xs = sorted(by_t[t])
+        first_x = xs[0][0]
+        tb_fs.encode(bw, first_x - firsts)
+        firsts = first_x
+        curs = firsts
+        for j, (px_, sym_i) in enumerate(xs):
+            if j:
+                tb_ds.encode(bw, px_ - curs)
+                curs = px_
+            symtab.encode(bw, exported_pos[sym_i])
+            curs += len(symbols[sym_i][0]) - 1
+        tb_ds.encode(bw, jh.OOB)
+    tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
+    tr.append(0)  # OR onto page
+    tr += struct.pack(">H", 1 | (1 << 4))  # SBHUFF, TOPLEFT corner
+    tr += struct.pack(">H", 0)  # Huffman flags: all standard sel-0
+    tr += struct.pack(">I", len(placements))
+    tr += bw.getvalue()
+    page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    globals_body = bytearray()
+    if custom_dw:
+        globals_body += _segment_header(
+            1, SEG_TABLES, 1, len(table_seg)
+        ) + table_seg
+    globals_body += _segment_header(
+        2, SEG_SYMBOL_DICT, 1, len(sd), refs=(1,) if custom_dw else ()
+    ) + bytes(sd)
+    body = bytearray()
+    body += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
+    if not split_globals:
+        body += globals_body
+    body += _segment_header(
+        3, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(2,)
+    ) + bytes(tr)
+    return bytes(body), (bytes(globals_body) if split_globals else None)

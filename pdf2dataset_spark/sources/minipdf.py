@@ -1294,7 +1294,11 @@ class PdfDocument:
                     )
                     from pdf2dataset_spark.sources import jbig2
 
-                    w, h, px = jbig2.decode_jbig2_gray(data, gbytes)
+                    # cap per-image decode work (pure-Python MQ is
+                    # ~1 Mpx/s; 1<<27 matches the JPX bound)
+                    w, h, px = jbig2.decode_jbig2_gray(
+                        data, gbytes, max_pixels=1 << 27
+                    )
                     entry["decodable"] = True
                     if gbytes:  # consumers re-decode like ccitt_params
                         entry["jbig2_globals"] = gbytes

@@ -64,13 +64,28 @@ class TestJBIG2Fuzz:
         text, _ = jbig2.encode_text_page(
             [glyph, [bytearray([1, 1])]], [(0, 2, 2), (1, 10, 5)], 30, 12
         )
+        huff_u, _ = jbig2.encode_huffman_text_page(
+            [glyph, [bytearray([1, 1])]], [(0, 2, 2), (1, 10, 5)], 30, 12
+        )
+        huff_m, _ = jbig2.encode_huffman_text_page(
+            [glyph, [bytearray([1, 1])]], [(0, 2, 2), (1, 10, 5)], 30, 12,
+            collective="mmr", custom_dw=True,
+        )
         payloads = [
             jbig2.encode_generic_page(bm),
             jbig2.encode_generic_page(bm, template=2, tpgdon=True),
             jbig2.encode_generic_page(bm, mmr=True),
             text,
+            huff_u,
+            huff_m,
         ]
-        _contract(jbig2.decode_jbig2_gray, payloads, rng, 40)
+        # bound the work a mutated-but-valid header can demand: the
+        # budget asserts NO-PROGRESS loops, not large bounded decodes
+        # (the max_pixels knob is the production cap for that)
+        def decode(data):
+            return jbig2.decode_jbig2_gray(data, max_pixels=1 << 22)
+
+        _contract(decode, payloads, rng, 40)
 
 
 class TestJPXFuzz:
@@ -82,6 +97,9 @@ class TestJPXFuzz:
             jpx.encode_jpx(24, 18, px, 1, levels=2),
             jpx.encode_jpx(24, 18, px, 1, levels=2, jp2=True),
             jpx.encode_jpx(16, 12, rgb, 3, levels=1),
+            jpx.encode_jpx(24, 18, px, 1, levels=2, irreversible=True),
+            jpx.encode_jpx(16, 12, rgb, 3, levels=1, irreversible=True,
+                           quant_style="derived"),
         ]
         _contract(jpx.decode_jpx, payloads, rng, 40)
 

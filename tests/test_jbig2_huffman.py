@@ -1,0 +1,266 @@
+"""JBIG2 Huffman regime tests (T.88 Annex B + §7.4.3/7.4.4).
+
+The standard tables are transcriptions; every shipped one must pass
+two independent self-consistency checks — Kraft completeness (the
+published tables are complete prefix codes) and range contiguity
+(normal lines tile one range meeting the 32-bit escape lines
+exactly). B.7 and B.10 failed transcription validation and are
+declined by name (custom table segments cover those selections).
+"""
+
+import random
+import struct
+
+import pytest
+
+from pdf2dataset_spark.sources import jbig2
+from pdf2dataset_spark.sources import jbig2_huffman as jh
+
+SHIPPED = (1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15)
+
+
+class TestStandardTables:
+    @pytest.mark.parametrize("idx", SHIPPED)
+    def test_kraft_complete_and_contiguous(self, idx):
+        tb = jh.standard_table(idx)
+        assert tb.kraft_sum() == 1
+        tb.check_complete_and_contiguous()
+
+    @pytest.mark.parametrize("idx", (7, 10))
+    def test_unvalidated_tables_declined_by_name(self, idx):
+        with pytest.raises(jh.JBIG2Unsupported):
+            jh.standard_table(idx)
+
+    @pytest.mark.parametrize("idx", SHIPPED)
+    def test_round_trip_every_value_class(self, idx):
+        tb = jh.standard_table(idx)
+        vals = set()
+        for preflen, rangelen, rangelow, kind in tb.lines:
+            if kind == "n":
+                vals.update({rangelow, rangelow + (1 << rangelen) - 1})
+            elif kind == "l":
+                vals.update({rangelow, rangelow - 98765})
+            elif kind == "u":
+                vals.update({rangelow, rangelow + 123456})
+        rng = random.Random(idx)
+        seq = sorted(vals) * 2
+        rng.shuffle(seq)
+        if tb.oob:
+            seq.insert(2, jh.OOB)
+        bw = jh.BitWriter()
+        for v in seq:
+            tb.encode(bw, v)
+        br = jh.BitReader(bw.getvalue())
+        assert [tb.decode(br) for _ in seq] == seq
+
+    def test_b1_known_codes(self):
+        # B.1's first line: prefix '0', 4 range bits → value 0..15
+        tb = jh.standard_table(1)
+        br = jh.BitReader(bytes([0b00101000]))  # 0 + 0101 → 5
+        assert tb.decode(br) == 5
+        # second line: prefix '10', 8 range bits
+        br = jh.BitReader(bytes([0b10000000, 0b01100000]))
+        assert tb.decode(br) == 16 + 0b00000001 + 1 - 1  # 16 + 1
+
+    def test_unrepresentable_value_raises(self):
+        tb = jh.standard_table(14)  # covers only [-2, 2]
+        bw = jh.BitWriter()
+        with pytest.raises(jh.JBIG2Error):
+            tb.encode(bw, 7)
+        with pytest.raises(jh.JBIG2Error):
+            tb.encode(bw, jh.OOB)  # B.14 has no OOB line
+
+
+class TestCustomTables:
+    def test_build_parse_round_trip(self):
+        seg = jh.build_table_segment(
+            [(2, 1), (2, 2), (2, 3)], -3, 11, lower_len=3, upper_len=3
+        )
+        tb = jh.parse_table_segment(seg)
+        tb.check_complete_and_contiguous()
+        vals = [-3, -2, -1, 0, 5, 10, -50, 11, 400, -4]
+        bw = jh.BitWriter()
+        for v in vals:
+            tb.encode(bw, v)
+        br = jh.BitReader(bw.getvalue())
+        assert [tb.decode(br) for _ in vals] == vals
+
+    def test_oob_line(self):
+        seg = jh.build_table_segment(
+            [(2, 2), (2, 3), (3, 4), (3, 5)], -16, 44,
+            lower_len=4, upper_len=4, oob_len=3,
+        )
+        tb = jh.parse_table_segment(seg)
+        assert tb.oob
+        bw = jh.BitWriter()
+        tb.encode(bw, jh.OOB)
+        tb.encode(bw, -16)
+        br = jh.BitReader(bw.getvalue())
+        assert tb.decode(br) is jh.OOB
+        assert tb.decode(br) == -16
+
+    def test_malformed_segments_raise(self):
+        with pytest.raises(jh.JBIG2Error):
+            jh.parse_table_segment(b"\x00\x00")  # truncated
+        # HTLOW > HTHIGH
+        bad = bytes([0]) + struct.pack(">ii", 5, -5) + b"\x00"
+        with pytest.raises(jh.JBIG2Error):
+            jh.parse_table_segment(bad)
+
+
+class TestSymbolIdCodes:
+    def test_write_read_round_trip(self):
+        for n in (1, 2, 5, 33, 100):
+            bw = jh.BitWriter()
+            tb1 = jh.write_symbol_id_codes(bw, n)
+            br = jh.BitReader(bw.getvalue())
+            tb2 = jh.read_symbol_id_codes(br, n)
+            ids = [0, n - 1, n // 2]
+            bw2 = jh.BitWriter()
+            for s in ids:
+                tb1.encode(bw2, s)
+            br2 = jh.BitReader(bw2.getvalue())
+            assert [tb2.decode(br2) for _ in ids] == ids
+
+    def test_runcode_repeats(self):
+        # hand-built runcode stream: runcode-3 has length 1,
+        # runcode-32 (repeat prev) has length 2, covering 8 symbols
+        # as 3,3,3,3 (32 with rep=4→ bits 01) then 3,3,3,3 again
+        bw = jh.BitWriter()
+        lens = [0] * 35
+        lens[3] = 1
+        lens[32] = 2
+        for v in lens:
+            bw.bits(v, 4)
+        # canonical: runcode3 → '0', runcode32 → '10'
+        bw.bit(0)              # symbol 0: len 3
+        bw.bits(0b10, 2)       # runcode 32
+        bw.bits(0b01, 2)       # repeat 3+1=4 more → symbols 1-4
+        bw.bits(0b10, 2)       # runcode 32 again
+        bw.bits(0b00, 2)       # repeat 3 more → symbols 5-7
+        br = jh.BitReader(bw.getvalue())
+        tb = jh.read_symbol_id_codes(br, 8)
+        # all 8 symbols got length 3 → canonical codes 0..7 in 3 bits
+        bw2 = jh.BitWriter()
+        for s in (0, 7, 4):
+            tb.encode(bw2, s)
+        br2 = jh.BitReader(bw2.getvalue())
+        assert [tb.decode(br2) for _ in range(3)] == [0, 7, 4]
+
+    def test_overrun_raises(self):
+        bw = jh.BitWriter()
+        lens = [0] * 35
+        lens[33] = 1  # emits 3..10 zeros per hit
+        lens[1] = 2
+        for v in lens:
+            bw.bits(v, 4)
+        bw.bit(0)
+        bw.bits(0b111, 3)  # 10 zeros > nsyms=2
+        br = jh.BitReader(bw.getvalue())
+        with pytest.raises(jh.JBIG2Error):
+            jh.read_symbol_id_codes(br, 2)
+
+
+def _expected_canvas(glyphs, places, w, h):
+    exp = [bytearray(w) for _ in range(h)]
+    for si, x, y in places:
+        for yy, r in enumerate(glyphs[si]):
+            for xx, b in enumerate(r):
+                if b:
+                    exp[y + yy][x + xx] |= 1
+    return exp
+
+
+class TestHuffmanPage:
+    GLYPHS = [
+        [bytearray([1, 1, 1]), bytearray([1, 0, 1]), bytearray([1, 1, 1])],
+        [bytearray([0, 1, 0]), bytearray([1, 1, 1])],
+        [bytearray([1, 0, 0, 1]), bytearray([0, 1, 1, 0]),
+         bytearray([1, 0, 0, 1])],
+    ]
+    PLACES = [(0, 2, 2), (1, 12, 3), (2, 20, 5), (0, 30, 9),
+              (1, 44, 15), (2, 8, 9)]
+
+    @pytest.mark.parametrize("collective", ["uncompressed", "mmr"])
+    @pytest.mark.parametrize("custom_dw", [False, True])
+    @pytest.mark.parametrize("split", [False, True])
+    def test_page_round_trip(self, collective, custom_dw, split):
+        data, g = jbig2.encode_huffman_text_page(
+            self.GLYPHS, self.PLACES, 50, 21,
+            collective=collective, custom_dw=custom_dw,
+            split_globals=split,
+        )
+        w, h, rows = jbig2.decode_embedded(data, g)
+        assert (w, h) == (50, 21)
+        exp = _expected_canvas(self.GLYPHS, self.PLACES, 50, 21)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_matches_arithmetic_page(self):
+        """The two entropy regimes must reconstruct the SAME page."""
+        data_h, _ = jbig2.encode_huffman_text_page(
+            self.GLYPHS, self.PLACES, 50, 21
+        )
+        data_a, _ = jbig2.encode_text_page(
+            self.GLYPHS, [(s, x, y) for s, x, y in self.PLACES], 50, 21
+        )
+        _, _, rows_h = jbig2.decode_embedded(data_h)
+        _, _, rows_a = jbig2.decode_embedded(data_a)
+        assert [bytes(r) for r in rows_h] == [bytes(r) for r in rows_a]
+
+    def test_random_pages_round_trip(self):
+        rng = random.Random(77)
+        for _ in range(10):
+            n = rng.randrange(1, 6)
+            glyphs = []
+            for _ in range(n):
+                gw, gh = rng.randrange(1, 9), rng.randrange(1, 7)
+                glyphs.append([
+                    bytearray(rng.randrange(2) for _ in range(gw))
+                    for _ in range(gh)
+                ])
+            w, h = 60, 40
+            places = []
+            for _ in range(rng.randrange(1, 12)):
+                si = rng.randrange(n)
+                gw = len(glyphs[si][0])
+                gh = len(glyphs[si])
+                places.append((si, rng.randrange(0, w - gw),
+                               rng.randrange(0, h - gh)))
+            collective = rng.choice(["uncompressed", "mmr"])
+            data, _ = jbig2.encode_huffman_text_page(
+                glyphs, places, w, h, collective=collective
+            )
+            _, _, rows = jbig2.decode_embedded(data)
+            exp = _expected_canvas(glyphs, places, w, h)
+            assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_missing_custom_table_raises(self):
+        data, _ = jbig2.encode_huffman_text_page(
+            self.GLYPHS, self.PLACES, 50, 21, custom_dw=True
+        )
+        # strip the table segment: re-parse and drop segment 1
+        segs = jbig2.parse_segments(data)
+        out = bytearray()
+        for seg in segs:
+            if seg.type == jbig2.SEG_TABLES:
+                continue
+            out += jbig2._segment_header(
+                seg.number, seg.type, seg.page, len(seg.data),
+                refs=tuple(seg.refs),
+            ) + seg.data
+        with pytest.raises(jh.JBIG2Error):
+            jbig2.decode_embedded(bytes(out))
+
+    def test_huffman_refagg_dict_named_unsupported(self):
+        page_info = (struct.pack(">IIII", 8, 8, 0, 0) + bytes([0])
+                     + struct.pack(">H", 0))
+        sd = struct.pack(">H", 3)  # SDHUFF | SDREFAGG
+        stream = (
+            jbig2._segment_header(
+                0, jbig2.SEG_PAGE_INFO, 1, len(page_info)
+            ) + page_info
+            + jbig2._segment_header(1, jbig2.SEG_SYMBOL_DICT, 1, len(sd))
+            + sd
+        )
+        with pytest.raises(jh.JBIG2Unsupported):
+            jbig2.decode_embedded(stream)
