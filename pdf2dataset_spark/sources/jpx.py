@@ -31,10 +31,13 @@ reversible (lossless) path with zero native deps:
   tests — the :mod:`sources.ccitt`/:mod:`sources.jbig2` fixture
   strategy.
 
-Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
-compressed payload is preserved by the caller either way): multiple
-tiles/layers, non-default precincts, arithmetic-bypass/termall/reset
-code-block options, SOP/EPH resync markers, and ROI shifts.
+Also in scope: multiple TILES (independently transformed, raster
+Isot order, one tile-part each) and the SOP/EPH resync markers
+(A.8). Out of scope, surfaced as named :class:`JPXUnsupported`
+errors (the compressed payload is preserved by the caller either
+way): multiple tile-PARTS per tile, multiple quality layers,
+non-default precincts, arithmetic-bypass/termall/reset code-block
+options, and ROI shifts.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1086,15 +1089,17 @@ def _encode_tile_component(plane, w: int, h: int, levels: int):
     return resolutions, exps
 
 
-def _build_packet(per_band, mbs: list) -> bytes:
+def _build_packet(per_band, mbs: list, eph: bool = False) -> bytes:
     """Assemble one packet from a resolution's band/block structures,
     signaling zero-bitplanes against the FINAL per-band Mb values
-    `mbs` (the QCD ones, max-merged across components)."""
+    `mbs` (the QCD ones, max-merged across components and tiles).
+    ``eph`` appends the EPH marker after the packet header."""
+    eph_m = b"\xff\x92" if eph else b""
     hw = _HeaderWriter()
     body = bytearray()
     if not any(blocks for _, _, _, blocks in per_band):
         hw.bit(0)
-        return hw.flush()
+        return hw.flush() + eph_m
     hw.bit(1)  # packet non-empty
     for (name, bw, bh, blocks), mb in zip(per_band, mbs):
         if not blocks:
@@ -1137,7 +1142,7 @@ def _build_packet(per_band, mbs: list) -> bytes:
                 hw.bit(0)
             hw.bits(len(data), avail)
             body += data
-    return hw.flush() + bytes(body)
+    return hw.flush() + eph_m + bytes(body)
 
 
 def encode_jpx(
@@ -1151,6 +1156,9 @@ def encode_jpx(
     irreversible: bool = False,
     quality_bits: int = 8,
     quant_style: str = "expounded",
+    tile_size: tuple | None = None,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1161,7 +1169,11 @@ def encode_jpx(
     quantization keeping ``quality_bits`` magnitude bits per subband
     (Δ_b = max|coeff| / 2^quality_bits), signaled as QCD style 2
     (``quant_style="expounded"``, per-subband steps) or style 1
-    (``"derived"``, one LL step scaled per level)."""
+    (``"derived"``, one LL step scaled per level).
+
+    ``tile_size=(tw, th)`` splits the image into independently coded
+    tiles (one tile-part each, raster Isot order); ``sop``/``eph``
+    emit the A.8 resync markers real scanner codestreams carry."""
     if ncomp not in (1, 3):
         raise JPXError("encode_jpx handles 1 or 3 components")
     if len(samples) != width * height * ncomp:
@@ -1170,7 +1182,7 @@ def encode_jpx(
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
-            quality_bits, quant_style,
+            quality_bits, quant_style, tile_size, sop, eph,
         )
     comps = []
     if ncomp == 1:
@@ -1200,40 +1212,50 @@ def encode_jpx(
             comps = [ys, us, vs]
         else:
             comps = [rs, gs, bs]
+    xts, yts = tile_size or (width, height)
+    if xts <= 0 or yts <= 0:
+        raise JPXError("non-positive tile size")
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     # SIZ
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, width, height, 0, 0, width, height, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, width, height, 0, 0, xts, yts, 0, 0, ncomp
     )
     for _ in range(ncomp):
         siz += bytes([7, 1, 1])  # 8-bit unsigned, no subsampling
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 5/3
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = bytes([scod, 0]) + struct.pack(">H", 1) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
-    # encode tiles first (QCD + zero-bitplane signaling need the
-    # max-merged per-band exponents)
-    all_res = []
+    # encode every tile first (QCD + zero-bitplane signaling need the
+    # per-band exponents max-merged across components AND tiles)
+    ntx = (width + xts - 1) // xts
+    nty = (height + yts - 1) // yts
+    tile_res: dict = {}
     exps = None
-    for plane_rows in comps:
-        plane = dwt53_forward_2d(plane_rows, levels)
-        res, comp_exps = _encode_tile_component(plane, width, height, levels)
-        all_res.append(res)
-        exps = (comp_exps if exps is None
-                else [max(a, b) for a, b in zip(exps, comp_exps)])
+    for isot in range(ntx * nty):
+        tx, ty = isot % ntx, isot // ntx
+        tw = min(xts, width - tx * xts)
+        th = min(yts, height - ty * yts)
+        all_res = []
+        for plane_rows in comps:
+            sub = [row[tx * xts:tx * xts + tw]
+                   for row in plane_rows[ty * yts:ty * yts + th]]
+            plane = dwt53_forward_2d(sub, levels)
+            res, comp_exps = _encode_tile_component(plane, tw, th, levels)
+            all_res.append(res)
+            exps = (comp_exps if exps is None
+                    else [max(a, b) for a, b in zip(exps, comp_exps)])
+        tile_res[isot] = all_res
     mbs_by_r = []
     k = 0
     for r in range(levels + 1):
         n = 1 if r == 0 else 3
         mbs_by_r.append(exps[k : k + n])
         k += n
-    all_packets = [
-        [_build_packet(res[r], mbs_by_r[r]) for r in range(levels + 1)]
-        for res in all_res
-    ]
     # QCD: reversible (style 0), guard bits, one exponent per subband
     # (Mb = eps + guard - 1 must reproduce the per-band plane count)
     if any(e + 1 - _GUARD_BITS > 31 for e in exps):
@@ -1242,14 +1264,22 @@ def encode_jpx(
         max(0, e + 1 - _GUARD_BITS) << 3 for e in exps
     )
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
-    # tile: LRCP over 1 layer → resolution-major, component-minor
-    body = bytearray()
-    for r in range(levels + 1):
-        for c in range(len(comps)):
-            body += all_packets[c][r]
-    sot = struct.pack(">HIBB", 0, 12 + 2 + len(body), 0, 1)
-    out += b"\xff\x90" + struct.pack(">H", 10) + sot
-    out += b"\xff\x93" + body
+    # tiles: LRCP over 1 layer → resolution-major, component-minor
+    for isot in range(ntx * nty):
+        all_res = tile_res[isot]
+        body = bytearray()
+        nsop = 0
+        for r in range(levels + 1):
+            for c in range(len(comps)):
+                if sop:
+                    body += b"\xff\x91" + struct.pack(
+                        ">HH", 4, nsop & 0xFFFF
+                    )
+                nsop += 1
+                body += _build_packet(all_res[c][r], mbs_by_r[r], eph)
+        sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
+        out += b"\xff\x90" + struct.pack(">H", 10) + sot
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
@@ -1286,6 +1316,9 @@ def _encode_jpx_lossy(
     mct: bool,
     quality_bits: int,
     quant_style: str,
+    tile_size: tuple | None = None,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`."""
     import numpy as np
@@ -1309,67 +1342,103 @@ def _encode_jpx_lossy(
             ]
         else:
             fcomps = [rgb[..., c].copy() for c in range(3)]
-    coeff = [
-        _dwt97_forward_2d_np(c.copy(), width, height, levels)
-        for c in fcomps
-    ]
-    band_list = []  # (r, name, bx, by, bw, bh) in QCD order
-    for r in range(levels + 1):
-        for nm, bx, by, bw, bh in _bands_for_resolution(
-            width, height, levels, r
-        ):
-            band_list.append((r, nm, bx, by, bw, bh))
+    xts, yts = tile_size or (width, height)
+    if xts <= 0 or yts <= 0:
+        raise JPXError("non-positive tile size")
+    ntx = (width + xts - 1) // xts
+    nty = (height + yts - 1) // yts
 
-    def band_max(bx, by, bw, bh):
-        if bw <= 0 or bh <= 0:
-            return 0.0
-        return max(
-            float(np.abs(c[by:by + bh, bx:bx + bw]).max()) for c in coeff
-        )
+    def tile_dims(isot):
+        tx, ty = isot % ntx, isot // ntx
+        return (tx * xts, ty * yts,
+                min(xts, width - tx * xts), min(yts, height - ty * yts))
+
+    # forward 9/7 per tile (tiles transform independently)
+    tile_coeff: dict = {}
+    for isot in range(ntx * nty):
+        ox, oy, tw, th = tile_dims(isot)
+        tile_coeff[isot] = [
+            _dwt97_forward_2d_np(
+                c[oy:oy + th, ox:ox + tw].copy(), tw, th, levels
+            )
+            for c in fcomps
+        ]
+    # per-subband step selection from the cross-tile/component max;
+    # band_list geometry varies per tile, so index bands by position
+    band_list = []  # (r, name) in QCD order
+    for r in range(levels + 1):
+        for nm in (["LL"] if r == 0 else ["HL", "LH", "HH"]):
+            band_list.append((r, nm))
+
+    def band_max(idx):
+        r, nm = band_list[idx]
+        best = 0.0
+        for isot in range(ntx * nty):
+            _, _, tw, th = tile_dims(isot)
+            bands = _bands_for_resolution(tw, th, levels, r)
+            nm2, bx, by, bw, bh = bands[
+                0 if r == 0 else ["HL", "LH", "HH"].index(nm)
+            ]
+            if bw <= 0 or bh <= 0:
+                continue
+            for c in tile_coeff[isot]:
+                v = float(np.abs(c[by:by + bh, bx:bx + bw]).max())
+                best = max(best, v)
+        return best
 
     pairs = []   # QCD-signaled (eps, mu) values
     deltas = []  # actual per-band step, re-derived from (eps, mu)
     if quant_style == "derived":
-        _, nm0, bx0, by0, bw0, bh0 = band_list[0]
-        mx = band_max(bx0, by0, bw0, bh0) or 1.0
+        mx = band_max(0) or 1.0
         e0, mu0, _ = _delta_to_eps_mu(
-            mx / (1 << quality_bits), 8, _band_gain(nm0)
+            mx / (1 << quality_bits), 8, _band_gain("LL")
         )
         pairs = [(e0, mu0)]
-        for r, nm, *_ in band_list:
+        for r, nm in band_list:
             eps = e0 if r == 0 else e0 + 1 - r
             if not 0 <= eps <= 31:
                 raise JPXError("derived quantization exponent out of range")
             deltas.append(_quant_delta(8, _band_gain(nm), eps, mu0))
         band_eps = [pairs[0][0] if r == 0 else pairs[0][0] + 1 - r
-                    for r, *_ in band_list]
+                    for r, nm in band_list]
     else:
         band_eps = []
-        for r, nm, bx, by, bw, bh in band_list:
-            mx = band_max(bx, by, bw, bh) or 1.0
+        for idx, (r, nm) in enumerate(band_list):
+            mx = band_max(idx) or 1.0
             eps, mu, dd = _delta_to_eps_mu(
                 mx / (1 << quality_bits), 8, _band_gain(nm)
             )
             pairs.append((eps, mu))
             deltas.append(dd)
             band_eps.append(eps)
-    # quantize: q = sign(c) * floor(|c| / Δ_b)
-    all_res = []
+    # quantize per tile: q = sign(c) * floor(|c| / Δ_b)
+    tile_res: dict = {}
     maxq_bits = [0] * len(band_list)
-    for c in coeff:
-        ip = np.zeros((height, width), np.int64)
-        for (r, nm, bx, by, bw, bh), dl in zip(band_list, deltas):
-            if bw <= 0 or bh <= 0:
-                continue
-            v = c[by:by + bh, bx:bx + bw]
-            ip[by:by + bh, bx:bx + bw] = (
-                np.sign(v) * np.floor(np.abs(v) / dl)
-            ).astype(np.int64)
-        res, comp_exps = _encode_tile_component(
-            ip.tolist(), width, height, levels
-        )
-        all_res.append(res)
-        maxq_bits = [max(a, b) for a, b in zip(maxq_bits, comp_exps)]
+    for isot in range(ntx * nty):
+        _, _, tw, th = tile_dims(isot)
+        all_res = []
+        for c in tile_coeff[isot]:
+            ip = np.zeros((th, tw), np.int64)
+            k = 0
+            for r in range(levels + 1):
+                for nm, bx, by, bw, bh in _bands_for_resolution(
+                    tw, th, levels, r
+                ):
+                    dl = deltas[k]
+                    k += 1
+                    if bw <= 0 or bh <= 0:
+                        continue
+                    v = c[by:by + bh, bx:bx + bw]
+                    ip[by:by + bh, bx:bx + bw] = (
+                        np.sign(v) * np.floor(np.abs(v) / dl)
+                    ).astype(np.int64)
+            res, comp_exps = _encode_tile_component(
+                ip.tolist(), tw, th, levels
+            )
+            all_res.append(res)
+            maxq_bits = [max(a, b)
+                         for a, b in zip(maxq_bits, comp_exps)]
+        tile_res[isot] = all_res
     # guard bits sized so Mb = guard + eps - 1 covers every block
     guard = max(1, max(
         (q + 1 - e for q, e in zip(maxq_bits, band_eps)), default=1
@@ -1383,20 +1452,17 @@ def _encode_jpx_lossy(
         n = 1 if r == 0 else 3
         mbs_by_r.append(mbs_all[k:k + n])
         k += n
-    all_packets = [
-        [_build_packet(res[r], mbs_by_r[r]) for r in range(levels + 1)]
-        for res in all_res
-    ]
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, width, height, 0, 0, width, height, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, width, height, 0, 0, xts, yts, 0, 0, ncomp
     )
     for _ in range(ncomp):
         siz += bytes([7, 1, 1])
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 9/7
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = bytes([scod, 0]) + struct.pack(">H", 1) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 0]
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -1405,13 +1471,21 @@ def _encode_jpx_lossy(
         struct.pack(">H", (e << 11) | mu) for e, mu in pairs
     )
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
-    body = bytearray()
-    for r in range(levels + 1):
-        for c in range(len(coeff)):
-            body += all_packets[c][r]
-    sot = struct.pack(">HIBB", 0, 12 + 2 + len(body), 0, 1)
-    out += b"\xff\x90" + struct.pack(">H", 10) + sot
-    out += b"\xff\x93" + body
+    for isot in range(ntx * nty):
+        all_res = tile_res[isot]
+        body = bytearray()
+        nsop = 0
+        for r in range(levels + 1):
+            for c in range(len(fcomps)):
+                if sop:
+                    body += b"\xff\x91" + struct.pack(
+                        ">HH", 4, nsop & 0xFFFF
+                    )
+                nsop += 1
+                body += _build_packet(all_res[c][r], mbs_by_r[r], eph)
+        sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
+        out += b"\xff\x90" + struct.pack(">H", 10) + sot
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
@@ -1446,8 +1520,11 @@ def _parse_markers(data: bytes):
             )
             if xo or yo or xto or yto:
                 raise JPXUnsupported("non-zero image/tile offsets")
-            if xts < xs or yts < ys:
-                raise JPXUnsupported("multiple tiles")
+            if xts <= 0 or yts <= 0:
+                raise JPXError("non-positive tile size")
+            ntiles = ((xs + xts - 1) // xts) * ((ys + yts - 1) // yts)
+            if ntiles > 1 << 16:  # Isot is 16-bit
+                raise JPXError("implausible tile count")
             depths = []
             for c in range(ncomp):
                 ssiz, xr, yr = struct.unpack_from(
@@ -1470,15 +1547,12 @@ def _parse_markers(data: bytes):
                     f"image dimensions {xs}x{ys}x{ncomp} exceed the "
                     f"{_MAX_PIXELS}-sample decode bound"
                 )
-            hdr.update(width=xs, height=ys, ncomp=ncomp, depth=depths[0])
+            hdr.update(width=xs, height=ys, ncomp=ncomp,
+                       depth=depths[0], tile_w=xts, tile_h=yts)
         elif marker == 0x52:  # COD
             scod = seg[0]
             if scod & 0x01:
                 raise JPXUnsupported("non-default precincts")
-            if scod & 0x06:
-                # SOP/EPH markers would be consumed as body bytes —
-                # decline by name rather than decode garbage
-                raise JPXUnsupported("SOP/EPH marker segments")
             prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
             mct = seg[4]
             if layers != 1:
@@ -1499,6 +1573,7 @@ def _parse_markers(data: bytes):
             hdr.update(
                 prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
                 transform=transform,
+                sop=bool(scod & 0x02), eph=bool(scod & 0x04),
             )
         elif marker == 0x5C:  # QCD
             style = seg[0] & 0x1F
@@ -1524,14 +1599,29 @@ def _parse_markers(data: bytes):
     raise JPXError("no tile-part in codestream")
 
 
-def _decode_packet(data: bytes, pos: int, bands, mbs: list):
+def _decode_packet(data: bytes, pos: int, bands, mbs: list,
+                   sop: bool = False, eph: bool = False):
     """Decode one packet (header + body) at `pos`: per included
     code block, EBCOT-decode and return [(band_name, plane_x,
-    plane_y, cw, ch, coeffs)], plus the position after the body."""
+    plane_y, cw, ch, coeffs)], plus the position after the body.
+    ``sop`` skips a leading SOP resync marker when present (A.8.1 —
+    it may be omitted per packet); ``eph`` requires an EPH marker
+    after every packet header (A.8.2)."""
+    if sop and data[pos:pos + 2] == b"\xff\x91":
+        pos += 6  # marker + Lsop(=4) + Nsop
     reader = _HeaderReader(data, pos)
     out = []
+
+    def end_of_header():
+        body = reader.align()
+        if eph:
+            if data[body:body + 2] != b"\xff\x92":
+                raise JPXError("missing EPH marker after packet header")
+            body += 2
+        return body
+
     if not reader.bit():
-        return out, reader.align()  # empty packet
+        return out, end_of_header()  # empty packet
     work = []
     for (name, bx, by, bw, bh), mb in zip(bands, mbs):
         if bw <= 0 or bh <= 0:
@@ -1558,7 +1648,7 @@ def _decode_packet(data: bytes, pos: int, bands, mbs: list):
             work.append(
                 (name, bx + x, by + y, cw, ch, mb - zbp, npasses, length)
             )
-    body = reader.align()
+    body = end_of_header()
     for name, px, py, cw, ch, nplanes, npasses, length in work:
         if body + length > len(data):
             raise JPXError("code-block data overruns stream")
@@ -1606,77 +1696,112 @@ def decode_codestream(data: bytes):
             pairs += [(e0 + 1 - r, mu0)] * 3
     # per-subband Mb in QCD order = exponent + guard - 1 (E.1)
     mbs_all = [e + guard - 1 for e, _ in pairs]
-    pos = hdr["sot"]
-    # SOT segment
-    if data[pos : pos + 2] != b"\xff\x90":
-        raise JPXError("expected SOT")
-    lsot = struct.unpack_from(">H", data, pos + 2)[0]
-    isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data, pos + 4)
-    if isot != 0 or tpsot != 0:
-        raise JPXUnsupported("multiple tiles / tile-parts")
-    tile_end = pos + psot if psot else len(data)
-    pos += 2 + lsot
-    if data[pos : pos + 2] != b"\xff\x93":
-        raise JPXError("expected SOD")
-    pos += 2
-    import numpy as np
-
-    planes = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
-    prog = hdr["prog"]
-    # packet iteration: with 1 layer + 1 precinct, LRCP and RLCP are
-    # resolution-major/component-minor; RPCL/PCRL/CPRL differ only in
-    # component/resolution nesting
-    if prog in (0, 1, 2):  # LRCP, RLCP, RPCL
-        order = [(r, c) for r in range(levels + 1) for c in range(ncomp)]
-    else:  # PCRL, CPRL
-        order = [(r, c) for c in range(ncomp) for r in range(levels + 1)]
+    # per-resolution Mb slices + (for lossy) step sizes
     qcd_index = {}  # resolution -> slice of mbs_all
-    k = 0
-    for r in range(levels + 1):
-        n = 1 if r == 0 else 3
-        qcd_index[r] = mbs_all[k : k + n]
-        if len(qcd_index[r]) < n:
-            raise JPXError("QCD exponent list shorter than subbands")
-        k += n
-    for r, c in order:
-        bands = _bands_for_resolution(w, h, levels, r)
-        blocks, pos = _decode_packet(data, pos, bands, qcd_index[r])
-        for name, px, py, cw, ch, coeffs in blocks:
-            planes[c][py : py + ch, px : px + cw] = np.asarray(
-                coeffs, np.int64
-            ).reshape(ch, cw)
-    if pos > tile_end:
-        raise JPXError("tile body overran Psot")
-    if transform == 1:
-        comps = [_dwt53_inverse_2d_np(p, w, h, levels) for p in planes]
-        return w, h, ncomp, comps, depth, bool(hdr["mct"]), False
-    # irreversible path: scalar dequantization (E.1.1, midpoint
-    # reconstruction r = 1/2) then the inverse 9/7 in float64
-    k = 0
     deltas = {}
+    k = 0
     for r in range(levels + 1):
         names = ["LL"] if r == 0 else ["HL", "LH", "HH"]
-        deltas[r] = [
-            _quant_delta(depth, _band_gain(nm), *pairs[k + i])
-            for i, nm in enumerate(names)
-        ]
+        qcd_index[r] = mbs_all[k:k + len(names)]
+        if len(qcd_index[r]) < len(names):
+            raise JPXError("QCD exponent list shorter than subbands")
+        if transform == 0:
+            deltas[r] = [
+                _quant_delta(depth, _band_gain(nm), *pairs[k + i])
+                for i, nm in enumerate(names)
+            ]
         k += len(names)
-    fcomps = []
-    for p in planes:
-        f = np.zeros((h, w), np.float64)
-        for r in range(levels + 1):
-            for (nm, bx, by, bw, bh), dl in zip(
-                _bands_for_resolution(w, h, levels, r), deltas[r]
-            ):
-                if bw <= 0 or bh <= 0:
-                    continue
-                q = p[by:by + bh, bx:bx + bw]
-                f[by:by + bh, bx:bx + bw] = (
-                    np.sign(q) * (np.abs(q) + 0.5) * dl
-                )
-        fcomps.append(_dwt97_inverse_2d_np(f, w, h, levels))
-    return w, h, ncomp, fcomps, depth, bool(hdr["mct"]), True
+    prog = hdr["prog"]
+    xts, yts = hdr["tile_w"], hdr["tile_h"]
+    ntx = (w + xts - 1) // xts
+    nty = (h + yts - 1) // yts
+    ntiles = ntx * nty
+    sop, eph = hdr.get("sop", False), hdr.get("eph", False)
+    import numpy as np
 
+    def decode_tile_planes(pos: int, tile_end: int, tw: int, th: int):
+        planes = [np.zeros((th, tw), np.int64) for _ in range(ncomp)]
+        # packet iteration: with 1 layer + 1 precinct, LRCP and RLCP
+        # are resolution-major/component-minor; RPCL/PCRL/CPRL differ
+        # only in component/resolution nesting
+        if prog in (0, 1, 2):  # LRCP, RLCP, RPCL
+            order = [(r, c) for r in range(levels + 1)
+                     for c in range(ncomp)]
+        else:  # PCRL, CPRL
+            order = [(r, c) for c in range(ncomp)
+                     for r in range(levels + 1)]
+        for r, c in order:
+            bands = _bands_for_resolution(tw, th, levels, r)
+            blocks, pos = _decode_packet(
+                data, pos, bands, qcd_index[r], sop, eph
+            )
+            for name, px, py, cw, ch, coeffs in blocks:
+                planes[c][py:py + ch, px:px + cw] = np.asarray(
+                    coeffs, np.int64
+                ).reshape(ch, cw)
+        if pos > tile_end:
+            raise JPXError("tile body overran Psot")
+        return planes
+
+    pos = hdr["sot"]
+    tiles: dict = {}
+    while pos < len(data) and data[pos:pos + 2] != b"\xff\xd9":
+        if data[pos:pos + 2] != b"\xff\x90":
+            raise JPXError("expected SOT between tiles")
+        lsot = struct.unpack_from(">H", data, pos + 2)[0]
+        isot, psot, tpsot, tnsot = struct.unpack_from(
+            ">HIBB", data, pos + 4
+        )
+        if tpsot != 0 or tnsot > 1:
+            raise JPXUnsupported("multiple tile-parts per tile")
+        if isot >= ntiles or isot in tiles:
+            raise JPXError(f"bad tile index {isot}")
+        tile_end = pos + psot if psot else len(data)
+        body = pos + 2 + lsot
+        if data[body:body + 2] != b"\xff\x93":
+            raise JPXError("expected SOD")
+        tx, ty = isot % ntx, isot // ntx
+        tw = min(xts, w - tx * xts)
+        th = min(yts, h - ty * yts)
+        tiles[isot] = decode_tile_planes(body + 2, tile_end, tw, th)
+        if not psot:  # only legal for the last tile-part
+            break
+        pos = tile_end
+    if len(tiles) != ntiles:
+        raise JPXError(
+            f"codestream has {len(tiles)} of {ntiles} tiles"
+        )
+    # per-tile inverse transform, assembled into the image planes
+    out_comps = []
+    dtype = np.int64 if transform == 1 else np.float64
+    for c in range(ncomp):
+        img = np.zeros((h, w), dtype)
+        for isot, tplanes in tiles.items():
+            tx, ty = isot % ntx, isot // ntx
+            tw = min(xts, w - tx * xts)
+            th = min(yts, h - ty * yts)
+            p = tplanes[c]
+            if transform == 1:
+                rec = _dwt53_inverse_2d_np(p, tw, th, levels)
+            else:
+                # scalar dequantization (E.1.1, midpoint r = 1/2)
+                f = np.zeros((th, tw), np.float64)
+                for r in range(levels + 1):
+                    for (nm, bx, by, bw, bh), dl in zip(
+                        _bands_for_resolution(tw, th, levels, r),
+                        deltas[r],
+                    ):
+                        if bw <= 0 or bh <= 0:
+                            continue
+                        q = p[by:by + bh, bx:bx + bw]
+                        f[by:by + bh, bx:bx + bw] = (
+                            np.sign(q) * (np.abs(q) + 0.5) * dl
+                        )
+                rec = _dwt97_inverse_2d_np(f, tw, th, levels)
+            img[ty * yts:ty * yts + th, tx * xts:tx * xts + tw] = rec
+        out_comps.append(img)
+    return (w, h, ncomp, out_comps, depth, bool(hdr["mct"]),
+            transform == 0)
 
 def _unwrap_jp2(data: bytes) -> bytes:
     """Extract the contiguous codestream from a JP2 container (or

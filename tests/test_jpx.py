@@ -257,3 +257,81 @@ class TestMinipdfIntegration:
         handle = codec.open(pdf)
         assert codec.page_text(handle, 1) == ""
         assert codec.page_ocr(handle, 1) == text
+
+
+class TestMultiTile:
+    """Tiled codestreams (independent per-tile transforms, raster
+    Isot order) and the A.8 SOP/EPH resync markers."""
+
+    def _px(self, w, h, seed=5):
+        rng = random.Random(seed)
+        return bytes(rng.randrange(256) for _ in range(w * h))
+
+    def test_tiled_lossless_bit_exact(self):
+        w, h = 61, 47
+        px = self._px(w, h)
+        for ts in ((32, 32), (16, 20), (61, 47), (7, 9)):
+            data = encode_jpx(w, h, px, 1, levels=2, tile_size=ts)
+            assert decode_jpx(data)[2] == px, ts
+
+    def test_sop_eph_markers(self):
+        w, h = 40, 30
+        px = self._px(w, h, 6)
+        for sop, eph in ((True, False), (False, True), (True, True)):
+            data = encode_jpx(w, h, px, 1, levels=2, tile_size=(16, 16),
+                              sop=sop, eph=eph)
+            if sop:
+                assert b"\xff\x91" in data
+            if eph:
+                assert b"\xff\x92" in data
+            assert decode_jpx(data)[2] == px, (sop, eph)
+
+    def test_tiled_rgb_bit_exact(self):
+        w, h = 16, 12
+        rgb = self._px(w * 3, h, 7)
+        data = encode_jpx(w, h, rgb, 3, levels=1, tile_size=(8, 8),
+                          sop=True, eph=True)
+        assert decode_jpx(data)[2] == rgb
+
+    def test_tiled_lossy(self):
+        import numpy as np
+
+        w, h = 61, 47
+        px = self._px(w, h, 8)
+        for style in ("expounded", "derived"):
+            data = encode_jpx(w, h, px, 1, levels=2, irreversible=True,
+                              quality_bits=10, quant_style=style,
+                              tile_size=(32, 32))
+            got = np.frombuffer(decode_jpx(data)[2], np.uint8).astype(int)
+            want = np.frombuffer(px, np.uint8).astype(int)
+            assert np.abs(got - want).max() <= 1, style
+
+    def test_missing_tile_raises(self):
+        w, h = 40, 30
+        px = self._px(w, h, 9)
+        data = encode_jpx(w, h, px, 1, levels=1, tile_size=(20, 30))
+        # truncate at the second tile's SOT
+        first_sot = data.index(b"\xff\x90")
+        second_sot = data.index(b"\xff\x90", first_sot + 2)
+        with pytest.raises(JPXError):
+            decode_jpx(data[:second_sot] + b"\xff\xd9")
+
+    def test_multiple_tile_parts_named(self):
+        w, h = 16, 12
+        px = self._px(w, h, 10)
+        data = bytearray(encode_jpx(w, h, px, 1, levels=1))
+        at = bytes(data).index(b"\xff\x90")
+        data[at + 8 + 2] = 1  # TPsot = 1 (second tile-part)
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(data))
+
+    def test_missing_eph_rejected(self):
+        w, h = 16, 12
+        px = self._px(w, h, 11)
+        data = bytearray(
+            encode_jpx(w, h, px, 1, levels=1, eph=True)
+        )
+        at = bytes(data).index(b"\xff\x92")
+        data[at + 1] ^= 0x01  # corrupt the EPH marker
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
