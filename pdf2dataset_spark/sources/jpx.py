@@ -35,9 +35,11 @@ Also in scope: multiple TILES (independently transformed, raster
 Isot order, one tile-part each) and the SOP/EPH resync markers
 (A.8). Out of scope, surfaced as named :class:`JPXUnsupported`
 errors (the compressed payload is preserved by the caller either
-way): multiple tile-PARTS per tile, multiple quality layers,
-non-default precincts, arithmetic-bypass/termall/reset code-block
-options, and ROI shifts.
+way): multiple tile-PARTS per tile, non-default precincts,
+arithmetic-bypass/termall/reset code-block options, and ROI
+shifts. Multiple QUALITY LAYERS decode in all five progression
+orders (per-precinct inclusion state persists across layers,
+chunks concatenating into each block's single MQ stream).
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1089,59 +1091,122 @@ def _encode_tile_component(plane, w: int, h: int, levels: int):
     return resolutions, exps
 
 
-def _build_packet(per_band, mbs: list, eph: bool = False) -> bytes:
-    """Assemble one packet from a resolution's band/block structures,
-    signaling zero-bitplanes against the FINAL per-band Mb values
-    `mbs` (the QCD ones, max-merged across components and tiles).
-    ``eph`` appends the EPH marker after the packet header."""
+def _prog_order(prog: int, layers: int, levels: int, ncomp: int):
+    """Packet (layer, resolution, component) iteration for the five
+    progression orders with one precinct per (r, c) (B.12) — shared
+    by the decoder and the fixture encoder."""
+    rng_l, rng_r, rng_c = range(layers), range(levels + 1), range(ncomp)
+    if prog == 0:    # LRCP
+        return [(l, r, c) for l in rng_l for r in rng_r for c in rng_c]
+    if prog == 1:    # RLCP
+        return [(l, r, c) for r in rng_r for l in rng_l for c in rng_c]
+    if prog == 2:    # RPCL
+        return [(l, r, c) for r in rng_r for c in rng_c for l in rng_l]
+    # PCRL, CPRL: component-major
+    return [(l, r, c) for c in rng_c for r in rng_r for l in rng_l]
+
+
+def _tile_packets(all_res, mbs_by_r: list, levels: int, layers: int,
+                  sop: bool, eph: bool, prog: int = 0) -> bytes:
+    """Build one tile's full packet byte stream: code blocks are
+    assigned round-robin to quality layers (first-inclusion layer),
+    packets iterate in ``prog`` order. At ``layers=1`` LRCP this is
+    bit-identical to the original single-layer builder."""
+    ncomp = len(all_res)
+    counter = 0
+    states: dict = {}
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            per = []
+            for bi, (name, bw, bh, blocks) in enumerate(all_res[c][r]):
+                if not blocks:
+                    per.append(None)
+                    continue
+                gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
+                gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
+                mb = mbs_by_r[r][bi]
+                fl = {}
+                incl_vals = {}
+                zbp_vals = {}
+                for gx, gy, data, npasses, nplanes in blocks:
+                    if npasses:
+                        fl[(gx, gy)] = counter % layers
+                        counter += 1
+                    else:  # all-zero block: never included
+                        fl[(gx, gy)] = layers
+                    incl_vals[(gx, gy)] = fl[(gx, gy)]
+                    zbp_vals[(gx, gy)] = (mb - nplanes) if npasses else 0
+                per.append({
+                    "blocks": blocks,
+                    "incl": TagTreeEncoder(gw, gh, incl_vals),
+                    "zbp": TagTreeEncoder(gw, gh, zbp_vals),
+                    "lblock": {},
+                    "mb": mb,
+                    "fl": fl,
+                })
+            states[(r, c)] = per
+    out = bytearray()
+    nsop = 0
+    for l, r, c in _prog_order(prog, layers, levels, ncomp):
+        if sop:
+            out += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
+        nsop += 1
+        out += _build_packet_layer(states[(r, c)], l, eph)
+    return bytes(out)
+
+
+def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
+    """One packet for quality layer `l` from a resolution's encoder
+    states (first-inclusion tag trees persist across layers)."""
     eph_m = b"\xff\x92" if eph else b""
     hw = _HeaderWriter()
-    body = bytearray()
-    if not any(blocks for _, _, _, blocks in per_band):
-        hw.bit(0)
+    has_new = any(
+        st is not None and any(v == l for v in st["fl"].values())
+        for st in per_band
+    )
+    if not has_new:
+        hw.bit(0)  # empty packet: decoder reads nothing else
         return hw.flush() + eph_m
-    hw.bit(1)  # packet non-empty
-    for (name, bw, bh, blocks), mb in zip(per_band, mbs):
-        if not blocks:
+    hw.bit(1)
+    body = bytearray()
+    for st in per_band:
+        if st is None:
             continue
-        gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
-        gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
-        incl = TagTreeEncoder(
-            gw, gh,
-            {(gx, gy): (0 if npasses else 1)
-             for gx, gy, _, npasses, _ in blocks},
-        )
-        zbp = TagTreeEncoder(
-            gw, gh,
-            {(gx, gy): (mb - nplanes if npasses else 0)
-             for gx, gy, _, npasses, nplanes in blocks},
-        )
-        lblock = {}
-        for gx, gy, data, npasses, nplanes in blocks:
-            incl.encode(hw.bit, gx, gy, 1)  # included in layer 0?
-            if not npasses:
-                continue
-            t = 1
-            while True:  # zero-bitplane tag tree, rising threshold
-                zbp.encode(hw.bit, gx, gy, t)
-                if mb - nplanes < t:
-                    break
-                t += 1
-            _passes_codeword_write(hw, npasses)
-            lb = lblock.setdefault((gx, gy), 3)
-            nbits = max(1, len(data).bit_length())
-            avail = lb + (npasses.bit_length() - 1)
-            if nbits > avail:
-                k = nbits - avail
-                for _ in range(k):
-                    hw.bit(1)
+        incl = st["incl"]
+        zbp = st["zbp"]
+        lblock = st["lblock"]
+        mb = st["mb"]
+        fl_map = st["fl"]
+        for gx, gy, data, npasses, nplanes in st["blocks"]:
+            key = (gx, gy)
+            fl = fl_map[key]
+            if fl > l:  # not yet included (or never: all-zero)
+                incl.encode(hw.bit, gx, gy, l + 1)
+            elif fl == l:  # first inclusion: full signaling
+                incl.encode(hw.bit, gx, gy, l + 1)
+                t = 1
+                while True:  # zero-bitplane tag tree, rising threshold
+                    zbp.encode(hw.bit, gx, gy, t)
+                    if mb - nplanes < t:
+                        break
+                    t += 1
+                _passes_codeword_write(hw, npasses)
+                lb = lblock.setdefault(key, 3)
+                nbits = max(1, len(data).bit_length())
+                avail = lb + (npasses.bit_length() - 1)
+                if nbits > avail:
+                    k = nbits - avail
+                    for _ in range(k):
+                        hw.bit(1)
+                    hw.bit(0)
+                    lblock[key] = lb + k
+                    avail = nbits
+                else:
+                    hw.bit(0)
+                hw.bits(len(data), avail)
+                body += data
+            else:  # previously included: single bit (B.10.4)
                 hw.bit(0)
-                lblock[(gx, gy)] = lb + k
-                avail = nbits
-            else:
-                hw.bit(0)
-            hw.bits(len(data), avail)
-            body += data
     return hw.flush() + eph_m + bytes(body)
 
 
@@ -1159,6 +1224,8 @@ def encode_jpx(
     tile_size: tuple | None = None,
     sop: bool = False,
     eph: bool = False,
+    layers: int = 1,
+    prog: int = 0,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1182,7 +1249,8 @@ def encode_jpx(
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
-            quality_bits, quant_style, tile_size, sop, eph,
+            quality_bits, quant_style, tile_size, sop, eph, layers,
+            prog,
         )
     comps = []
     if ncomp == 1:
@@ -1225,8 +1293,12 @@ def encode_jpx(
         siz += bytes([7, 1, 1])  # 8-bit unsigned, no subsampling
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 5/3
+    if layers < 1:
+        raise JPXError("layers must be >= 1")
+    if not 0 <= prog <= 4:
+        raise JPXError("bad progression order")
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
-    cod = bytes([scod, 0]) + struct.pack(">H", 1) + bytes(
+    cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -1266,17 +1338,8 @@ def encode_jpx(
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
-        all_res = tile_res[isot]
-        body = bytearray()
-        nsop = 0
-        for r in range(levels + 1):
-            for c in range(len(comps)):
-                if sop:
-                    body += b"\xff\x91" + struct.pack(
-                        ">HH", 4, nsop & 0xFFFF
-                    )
-                nsop += 1
-                body += _build_packet(all_res[c][r], mbs_by_r[r], eph)
+        body = _tile_packets(tile_res[isot], mbs_by_r, levels,
+                             layers, sop, eph, prog)
         sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
         out += b"\xff\x90" + struct.pack(">H", 10) + sot
         out += b"\xff\x93" + body
@@ -1319,6 +1382,8 @@ def _encode_jpx_lossy(
     tile_size: tuple | None = None,
     sop: bool = False,
     eph: bool = False,
+    layers: int = 1,
+    prog: int = 0,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`."""
     import numpy as np
@@ -1461,8 +1526,12 @@ def _encode_jpx_lossy(
         siz += bytes([7, 1, 1])
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 9/7
+    if layers < 1:
+        raise JPXError("layers must be >= 1")
+    if not 0 <= prog <= 4:
+        raise JPXError("bad progression order")
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
-    cod = bytes([scod, 0]) + struct.pack(">H", 1) + bytes(
+    cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 0]
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -1472,17 +1541,8 @@ def _encode_jpx_lossy(
     )
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     for isot in range(ntx * nty):
-        all_res = tile_res[isot]
-        body = bytearray()
-        nsop = 0
-        for r in range(levels + 1):
-            for c in range(len(fcomps)):
-                if sop:
-                    body += b"\xff\x91" + struct.pack(
-                        ">HH", 4, nsop & 0xFFFF
-                    )
-                nsop += 1
-                body += _build_packet(all_res[c][r], mbs_by_r[r], eph)
+        body = _tile_packets(tile_res[isot], mbs_by_r, levels,
+                             layers, sop, eph, prog)
         sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
         out += b"\xff\x90" + struct.pack(">H", 10) + sot
         out += b"\xff\x93" + body
@@ -1555,8 +1615,8 @@ def _parse_markers(data: bytes):
                 raise JPXUnsupported("non-default precincts")
             prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
             mct = seg[4]
-            if layers != 1:
-                raise JPXUnsupported("multiple quality layers")
+            if layers < 1:
+                raise JPXError("zero quality layers")
             if prog > 4:
                 raise JPXError(f"bad progression order {prog}")
             levels = seg[5]
@@ -1572,7 +1632,7 @@ def _parse_markers(data: bytes):
                 raise JPXError(f"bad wavelet transform byte {transform}")
             hdr.update(
                 prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
-                transform=transform,
+                transform=transform, layers=layers,
                 sop=bool(scod & 0x02), eph=bool(scod & 0x04),
             )
         elif marker == 0x5C:  # QCD
@@ -1599,18 +1659,59 @@ def _parse_markers(data: bytes):
     raise JPXError("no tile-part in codestream")
 
 
-def _decode_packet(data: bytes, pos: int, bands, mbs: list,
-                   sop: bool = False, eph: bool = False):
-    """Decode one packet (header + body) at `pos`: per included
-    code block, EBCOT-decode and return [(band_name, plane_x,
-    plane_y, cw, ch, coeffs)], plus the position after the body.
-    ``sop`` skips a leading SOP resync marker when present (A.8.1 —
-    it may be omitted per packet); ``eph`` requires an EPH marker
-    after every packet header (A.8.2)."""
+class _ResolutionState:
+    """Per-(tile, component, resolution) precinct decoding state
+    persisting across quality layers (B.10): inclusion and
+    zero-bitplane tag trees, Lblock, and the accumulated coding-pass
+    chunks per code block (default single-codeword-segment style:
+    per-layer chunks concatenate into one MQ stream)."""
+
+    __slots__ = ("bands", "mbs", "per_band")
+
+    def __init__(self, bands, mbs: list):
+        self.bands = bands
+        self.mbs = mbs
+        self.per_band = []
+        for (name, bx, by, bw, bh), mb in zip(bands, mbs):
+            if bw <= 0 or bh <= 0:
+                self.per_band.append(None)
+                continue
+            gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
+            gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
+            self.per_band.append({
+                "incl": TagTreeDecoder(gw, gh),
+                "zbp": TagTreeDecoder(gw, gh),
+                "lblock": {},
+                # (gx, gy) -> [name, px, py, cw, ch, nplanes,
+                #              npasses, chunks]
+                "blocks": {},
+            })
+
+    def finish(self):
+        """EBCOT-decode every included block's accumulated chunks."""
+        out = []
+        for band_state in self.per_band:
+            if band_state is None:
+                continue
+            for blk in band_state["blocks"].values():
+                name, px, py, cw, ch, nplanes, npasses, chunks = blk
+                coeffs = decode_codeblock(
+                    b"".join(chunks), cw, ch, name, nplanes, npasses
+                )
+                out.append((name, px, py, cw, ch, coeffs))
+        return out
+
+
+def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
+                   layer: int, sop: bool = False, eph: bool = False):
+    """Decode one packet (header + body) for `layer` at `pos`,
+    accumulating coding passes into `state`; returns the position
+    after the body. ``sop`` skips a leading SOP resync marker when
+    present (A.8.1 — it may be omitted per packet); ``eph`` requires
+    an EPH marker after every packet header (A.8.2)."""
     if sop and data[pos:pos + 2] == b"\xff\x91":
         pos += 6  # marker + Lsop(=4) + Nsop
     reader = _HeaderReader(data, pos)
-    out = []
 
     def end_of_header():
         body = reader.align()
@@ -1621,43 +1722,52 @@ def _decode_packet(data: bytes, pos: int, bands, mbs: list,
         return body
 
     if not reader.bit():
-        return out, end_of_header()  # empty packet
+        return end_of_header()  # empty packet: no reads at all
     work = []
-    for (name, bx, by, bw, bh), mb in zip(bands, mbs):
-        if bw <= 0 or bh <= 0:
+    for band_state, ((name, bx, by, bw, bh), mb) in zip(
+        state.per_band, zip(state.bands, state.mbs)
+    ):
+        if band_state is None:
             continue
-        gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
-        gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
-        incl_tree = TagTreeDecoder(gw, gh)
-        zbp_tree = TagTreeDecoder(gw, gh)
-        lblock: dict = {}
+        incl_tree = band_state["incl"]
+        zbp_tree = band_state["zbp"]
+        lblock = band_state["lblock"]
+        blocks = band_state["blocks"]
         for gx, gy, x, y, cw, ch in _codeblocks(bw, bh):
-            if not incl_tree.decode(reader.bit, gx, gy, 1):
-                continue
-            t = 1
-            while not zbp_tree.decode(reader.bit, gx, gy, t):
-                t += 1
-            zbp = t - 1
+            key = (gx, gy)
+            blk = blocks.get(key)
+            if blk is None:
+                # not yet included: inclusion tag tree, threshold =
+                # layer number + 1 (first-inclusion layer <= layer?)
+                if not incl_tree.decode(reader.bit, gx, gy, layer + 1):
+                    continue
+                t = 1
+                while not zbp_tree.decode(reader.bit, gx, gy, t):
+                    t += 1
+                zbp = t - 1
+                blk = blocks[key] = [
+                    name, bx + x, by + y, cw, ch, mb - zbp, 0, []
+                ]
+            else:
+                # previously included: single bit (B.10.4)
+                if not reader.bit():
+                    continue
             npasses = _passes_codeword_read(reader)
-            lb = lblock.setdefault((gx, gy), 3)
+            lb = lblock.setdefault(key, 3)
             while reader.bit():
                 lb += 1
-            lblock[(gx, gy)] = lb
+            lblock[key] = lb
             nbits = lb + (npasses.bit_length() - 1)
             length = reader.bits(nbits)
-            work.append(
-                (name, bx + x, by + y, cw, ch, mb - zbp, npasses, length)
-            )
+            blk[6] += npasses
+            work.append((blk, length))
     body = end_of_header()
-    for name, px, py, cw, ch, nplanes, npasses, length in work:
+    for blk, length in work:
         if body + length > len(data):
             raise JPXError("code-block data overruns stream")
-        coeffs = decode_codeblock(
-            data[body : body + length], cw, ch, name, nplanes, npasses
-        )
+        blk[7].append(data[body:body + length])
         body += length
-        out.append((name, px, py, cw, ch, coeffs))
-    return out, body
+    return body
 
 
 def decode_codestream(data: bytes):
@@ -1719,23 +1829,21 @@ def decode_codestream(data: bytes):
     sop, eph = hdr.get("sop", False), hdr.get("eph", False)
     import numpy as np
 
+    layers = hdr.get("layers", 1)
+
     def decode_tile_planes(pos: int, tile_end: int, tw: int, th: int):
         planes = [np.zeros((th, tw), np.int64) for _ in range(ncomp)]
-        # packet iteration: with 1 layer + 1 precinct, LRCP and RLCP
-        # are resolution-major/component-minor; RPCL/PCRL/CPRL differ
-        # only in component/resolution nesting
-        if prog in (0, 1, 2):  # LRCP, RLCP, RPCL
-            order = [(r, c) for r in range(levels + 1)
-                     for c in range(ncomp)]
-        else:  # PCRL, CPRL
-            order = [(r, c) for c in range(ncomp)
-                     for r in range(levels + 1)]
-        for r, c in order:
-            bands = _bands_for_resolution(tw, th, levels, r)
-            blocks, pos = _decode_packet(
-                data, pos, bands, qcd_index[r], sop, eph
+        order = _prog_order(prog, layers, levels, ncomp)
+        states = {
+            (r, c): _ResolutionState(
+                _bands_for_resolution(tw, th, levels, r), qcd_index[r]
             )
-            for name, px, py, cw, ch, coeffs in blocks:
+            for r in range(levels + 1) for c in range(ncomp)
+        }
+        for l, r, c in order:
+            pos = _decode_packet(data, pos, states[(r, c)], l, sop, eph)
+        for (r, c), st in states.items():
+            for name, px, py, cw, ch, coeffs in st.finish():
                 planes[c][py:py + ch, px:px + cw] = np.asarray(
                     coeffs, np.int64
                 ).reshape(ch, cw)

@@ -100,6 +100,8 @@ class TestJPXFuzz:
             jpx.encode_jpx(24, 18, px, 1, levels=2, irreversible=True),
             jpx.encode_jpx(16, 12, rgb, 3, levels=1, irreversible=True,
                            quant_style="derived"),
+            jpx.encode_jpx(24, 18, px, 1, levels=2, layers=3,
+                           tile_size=(12, 9), sop=True, eph=True),
         ]
         _contract(jpx.decode_jpx, payloads, rng, 40)
 

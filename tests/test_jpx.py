@@ -335,3 +335,66 @@ class TestMultiTile:
         data[at + 1] ^= 0x01  # corrupt the EPH marker
         with pytest.raises(JPXError):
             decode_jpx(bytes(data))
+
+
+class TestQualityLayers:
+    """Multiple quality layers (B.10/B.12): per-precinct inclusion
+    state persists across layer packets, per-layer chunks concatenate
+    into each block's single MQ stream, all five progression orders."""
+
+    def _px(self, n, seed):
+        rng = random.Random(seed)
+        return bytes(rng.randrange(256) for _ in range(n))
+
+    @pytest.mark.parametrize("layers", [2, 3, 5])
+    def test_layered_lossless_bit_exact(self, layers):
+        w, h = 61, 47
+        px = self._px(w * h, layers)
+        data = encode_jpx(w, h, px, 1, levels=2, layers=layers)
+        assert decode_jpx(data)[2] == px
+
+    @pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+    def test_progression_orders(self, prog):
+        w, h = 45, 37
+        px = self._px(w * h, 20 + prog)
+        for layers in (1, 3):
+            data = encode_jpx(w, h, px, 1, levels=2, layers=layers,
+                              prog=prog)
+            assert decode_jpx(data)[2] == px, (prog, layers)
+
+    def test_layered_tiled_rgb_sop_eph(self):
+        w, h = 16, 12
+        rgb = self._px(w * h * 3, 30)
+        data = encode_jpx(w, h, rgb, 3, levels=1, layers=3,
+                          tile_size=(8, 8), sop=True, eph=True,
+                          prog=1)
+        assert decode_jpx(data)[2] == rgb
+
+    def test_layered_lossy(self):
+        import numpy as np
+
+        w, h = 40, 30
+        px = self._px(w * h, 31)
+        data = encode_jpx(w, h, px, 1, levels=2, layers=4,
+                          irreversible=True, quality_bits=10)
+        got = np.frombuffer(decode_jpx(data)[2], np.uint8).astype(int)
+        want = np.frombuffer(px, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 1
+
+    def test_layer_count_in_cod_respected(self):
+        # flipping the COD layer count on a 3-layer stream starves
+        # the decoder of packets → named error, not silent corruption
+        w, h = 24, 18
+        px = self._px(w * h, 32)
+        data = bytearray(encode_jpx(w, h, px, 1, levels=1, layers=3))
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 2 + 2 + 3] = 1  # Lcod layers LSB: 3 → 1
+        try:
+            got = decode_jpx(bytes(data))[2]
+            assert got != px  # fewer layers → partial data at best
+        except JPXError:
+            pass
+
+    def test_zero_layers_rejected(self):
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, layers=0)
