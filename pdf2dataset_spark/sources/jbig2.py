@@ -938,7 +938,18 @@ def parse_segments(data: bytes) -> list:
         length = struct.unpack_from(">I", data, pos)[0]
         pos += 4
         if length == 0xFFFFFFFF:
-            raise JBIG2Unsupported("unknown-length segment data")
+            # §7.2.7: unknown length is only legal for IMMEDIATE
+            # generic regions; in PDF embedding the stream's own
+            # length bounds it, so the segment pragmatically extends
+            # to the end of the data (the pdfium/pdf.js behavior —
+            # nothing may follow it)
+            if stype not in (SEG_GENERIC_IMMEDIATE,
+                             SEG_GENERIC_IMMEDIATE_LOSSLESS):
+                raise JBIG2Error(
+                    "unknown-length data on a non-generic segment"
+                )
+            segs.append(Segment(number, stype, refs, page, data[pos:]))
+            return segs
         if pos + length > n:
             raise JBIG2Error("segment data overruns stream")
         segs.append(Segment(number, stype, refs, page, data[pos:pos + length]))

@@ -1106,7 +1106,7 @@ def _prog_order(prog: int, layers: int, levels: int, ncomp: int):
     return [(l, r, c) for c in rng_c for r in rng_r for l in rng_l]
 
 
-def _tile_packets(all_res, mbs_by_r: list, levels: int, layers: int,
+def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                   sop: bool, eph: bool, prog: int = 0) -> bytes:
     """Build one tile's full packet byte stream: code blocks are
     assigned round-robin to quality layers (first-inclusion layer),
@@ -1124,7 +1124,7 @@ def _tile_packets(all_res, mbs_by_r: list, levels: int, layers: int,
                     continue
                 gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
                 gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
-                mb = mbs_by_r[r][bi]
+                mb = mbs_by_cr[c][r][bi]
                 fl = {}
                 incl_vals = {}
                 zbp_vals = {}
@@ -1226,6 +1226,7 @@ def encode_jpx(
     eph: bool = False,
     layers: int = 1,
     prog: int = 0,
+    chroma_quality_bits: int | None = None,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1250,7 +1251,7 @@ def encode_jpx(
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
-            prog,
+            prog, chroma_quality_bits,
         )
     comps = []
     if ncomp == 1:
@@ -1328,6 +1329,7 @@ def encode_jpx(
         n = 1 if r == 0 else 3
         mbs_by_r.append(exps[k : k + n])
         k += n
+    mbs_by_cr = [mbs_by_r] * len(comps)
     # QCD: reversible (style 0), guard bits, one exponent per subband
     # (Mb = eps + guard - 1 must reproduce the per-band plane count)
     if any(e + 1 - _GUARD_BITS > 31 for e in exps):
@@ -1338,7 +1340,7 @@ def encode_jpx(
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
-        body = _tile_packets(tile_res[isot], mbs_by_r, levels,
+        body = _tile_packets(tile_res[isot], mbs_by_cr, levels,
                              layers, sop, eph, prog)
         sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
         out += b"\xff\x90" + struct.pack(">H", 10) + sot
@@ -1384,8 +1386,13 @@ def _encode_jpx_lossy(
     eph: bool = False,
     layers: int = 1,
     prog: int = 0,
+    chroma_quality_bits: int | None = None,
 ) -> bytes:
-    """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`."""
+    """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
+
+    ``chroma_quality_bits`` quantizes components 1-2 (Cb/Cr after the
+    ICT) with their own coarser steps, signaled via per-component QCC
+    segments (A.6.5) — the real-world chroma-subquality shape."""
     import numpy as np
 
     if quant_style not in ("expounded", "derived"):
@@ -1435,7 +1442,7 @@ def _encode_jpx_lossy(
         for nm in (["LL"] if r == 0 else ["HL", "LH", "HH"]):
             band_list.append((r, nm))
 
-    def band_max(idx):
+    def band_max(idx, comps_sel=None):
         r, nm = band_list[idx]
         best = 0.0
         for isot in range(ntx * nty):
@@ -1446,50 +1453,73 @@ def _encode_jpx_lossy(
             ]
             if bw <= 0 or bh <= 0:
                 continue
-            for c in tile_coeff[isot]:
+            sel = (tile_coeff[isot] if comps_sel is None
+                   else [tile_coeff[isot][i] for i in comps_sel])
+            for c in sel:
                 v = float(np.abs(c[by:by + bh, bx:bx + bw]).max())
                 best = max(best, v)
         return best
 
-    pairs = []   # QCD-signaled (eps, mu) values
-    deltas = []  # actual per-band step, re-derived from (eps, mu)
-    if quant_style == "derived":
-        mx = band_max(0) or 1.0
-        e0, mu0, _ = _delta_to_eps_mu(
-            mx / (1 << quality_bits), 8, _band_gain("LL")
-        )
-        pairs = [(e0, mu0)]
-        for r, nm in band_list:
-            eps = e0 if r == 0 else e0 + 1 - r
-            if not 0 <= eps <= 31:
-                raise JPXError("derived quantization exponent out of range")
-            deltas.append(_quant_delta(8, _band_gain(nm), eps, mu0))
-        band_eps = [pairs[0][0] if r == 0 else pairs[0][0] + 1 - r
-                    for r, nm in band_list]
-    else:
-        band_eps = []
-        for idx, (r, nm) in enumerate(band_list):
-            mx = band_max(idx) or 1.0
-            eps, mu, dd = _delta_to_eps_mu(
-                mx / (1 << quality_bits), 8, _band_gain(nm)
+    def select_steps(qbits, comps_sel=None):
+        """(pairs, deltas, band_eps) for one quantization signal."""
+        pairs, deltas, band_eps = [], [], []
+        if quant_style == "derived":
+            mx = band_max(0, comps_sel) or 1.0
+            e0, mu0, _ = _delta_to_eps_mu(
+                mx / (1 << qbits), 8, _band_gain("LL")
             )
-            pairs.append((eps, mu))
-            deltas.append(dd)
-            band_eps.append(eps)
+            pairs = [(e0, mu0)]
+            for r, nm in band_list:
+                eps = e0 if r == 0 else e0 + 1 - r
+                if not 0 <= eps <= 31:
+                    raise JPXError(
+                        "derived quantization exponent out of range"
+                    )
+                deltas.append(_quant_delta(8, _band_gain(nm), eps, mu0))
+                band_eps.append(eps)
+        else:
+            for idx, (r, nm) in enumerate(band_list):
+                mx = band_max(idx, comps_sel) or 1.0
+                eps, mu, dd = _delta_to_eps_mu(
+                    mx / (1 << qbits), 8, _band_gain(nm)
+                )
+                pairs.append((eps, mu))
+                deltas.append(dd)
+                band_eps.append(eps)
+        return pairs, deltas, band_eps
+
+    if chroma_quality_bits is None:
+        # shared signal: steps from the cross-component max, QCD only
+        pairs, deltas, band_eps = select_steps(quality_bits)
+        comp_pairs = [pairs] * ncomp
+        comp_deltas = [deltas] * ncomp
+        comp_eps = [band_eps] * ncomp
+    else:
+        if ncomp != 3:
+            raise JPXError("chroma_quality_bits requires 3 components")
+        if quant_style != "expounded":
+            raise JPXError(
+                "chroma_quality_bits requires the expounded style"
+            )
+        luma = select_steps(quality_bits, [0])
+        chroma = select_steps(chroma_quality_bits, [1, 2])
+        comp_pairs = [luma[0], chroma[0], chroma[0]]
+        comp_deltas = [luma[1], chroma[1], chroma[1]]
+        comp_eps = [luma[2], chroma[2], chroma[2]]
     # quantize per tile: q = sign(c) * floor(|c| / Δ_b)
     tile_res: dict = {}
-    maxq_bits = [0] * len(band_list)
+    comp_maxq = [[0] * len(band_list) for _ in range(ncomp)]
     for isot in range(ntx * nty):
         _, _, tw, th = tile_dims(isot)
         all_res = []
-        for c in tile_coeff[isot]:
+        for cc, c in enumerate(tile_coeff[isot]):
             ip = np.zeros((th, tw), np.int64)
             k = 0
             for r in range(levels + 1):
                 for nm, bx, by, bw, bh in _bands_for_resolution(
                     tw, th, levels, r
                 ):
-                    dl = deltas[k]
+                    dl = comp_deltas[cc][k]
                     k += 1
                     if bw <= 0 or bh <= 0:
                         continue
@@ -1501,22 +1531,34 @@ def _encode_jpx_lossy(
                 ip.tolist(), tw, th, levels
             )
             all_res.append(res)
-            maxq_bits = [max(a, b)
-                         for a, b in zip(maxq_bits, comp_exps)]
+            comp_maxq[cc] = [max(a, b) for a, b in
+                             zip(comp_maxq[cc], comp_exps)]
         tile_res[isot] = all_res
-    # guard bits sized so Mb = guard + eps - 1 covers every block
-    guard = max(1, max(
-        (q + 1 - e for q, e in zip(maxq_bits, band_eps)), default=1
-    ))
-    if guard > 7:
-        raise JPXError("guard bits exceed the 3-bit field")
-    mbs_all = [guard + e - 1 for e in band_eps]
-    mbs_by_r = []
-    k = 0
-    for r in range(levels + 1):
-        n = 1 if r == 0 else 3
-        mbs_by_r.append(mbs_all[k:k + n])
-        k += n
+    # guard bits sized so Mb = guard + eps - 1 covers every block;
+    # without QCC all components share the QCD guard
+    if chroma_quality_bits is None:
+        merged = [max(comp_maxq[cc][i] for cc in range(ncomp))
+                  for i in range(len(band_list))]
+        comp_maxq = [merged] * ncomp
+    comp_guard = []
+    for cc in range(ncomp):
+        g = max(1, max(
+            (q + 1 - e for q, e in zip(comp_maxq[cc], comp_eps[cc])),
+            default=1,
+        ))
+        if g > 7:
+            raise JPXError("guard bits exceed the 3-bit field")
+        comp_guard.append(g)
+    mbs_by_cr = []
+    for cc in range(ncomp):
+        mbs_all = [comp_guard[cc] + e - 1 for e in comp_eps[cc]]
+        by_r = []
+        k = 0
+        for r in range(levels + 1):
+            n = 1 if r == 0 else 3
+            by_r.append(mbs_all[k:k + n])
+            k += n
+        mbs_by_cr.append(by_r)
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     siz = struct.pack(
@@ -1536,12 +1578,18 @@ def _encode_jpx_lossy(
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     style = 1 if quant_style == "derived" else 2
-    qcd = bytes([(guard << 5) | style]) + b"".join(
-        struct.pack(">H", (e << 11) | mu) for e, mu in pairs
+    qcd = bytes([(comp_guard[0] << 5) | style]) + b"".join(
+        struct.pack(">H", (e << 11) | mu) for e, mu in comp_pairs[0]
     )
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    if chroma_quality_bits is not None:
+        for cc in (1, 2):  # QCC overrides for the chroma components
+            qcc = (bytes([cc, (comp_guard[cc] << 5) | style])
+                   + b"".join(struct.pack(">H", (e << 11) | mu)
+                              for e, mu in comp_pairs[cc]))
+            out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
     for isot in range(ntx * nty):
-        body = _tile_packets(tile_res[isot], mbs_by_r, levels,
+        body = _tile_packets(tile_res[isot], mbs_by_cr, levels,
                              layers, sop, eph, prog)
         sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
         out += b"\xff\x90" + struct.pack(">H", 10) + sot
@@ -1649,8 +1697,29 @@ def _parse_markers(data: bytes):
                 hdr["qvals"] = [(v >> 11, v & 0x7FF) for v in vals]
             else:
                 raise JPXError(f"bad quantization style {style}")
-        elif marker == 0x53 or marker == 0x5D:  # COC / QCC
-            raise JPXUnsupported("per-component coding styles")
+        elif marker == 0x5D:  # QCC: per-component quantization
+            if "ncomp" not in hdr:
+                raise JPXError("QCC before SIZ")
+            if hdr["ncomp"] < 257:
+                comp, at = seg[0], 1
+            else:
+                comp, at = struct.unpack_from(">H", seg, 0)[0], 2
+            sqcc = seg[at]
+            style = sqcc & 0x1F
+            entry = {"guard": sqcc >> 5, "qstyle": style}
+            if style == 0:
+                entry["exps"] = [b >> 3 for b in seg[at + 1:]]
+            elif style in (1, 2):
+                entry["qvals"] = [
+                    ((v := struct.unpack_from(">H", seg, i)[0]) >> 11,
+                     v & 0x7FF)
+                    for i in range(at + 1, len(seg) - 1, 2)
+                ]
+            else:
+                raise JPXError(f"bad QCC quantization style {style}")
+            hdr.setdefault("qcc", {})[comp] = entry
+        elif marker == 0x53:  # COC
+            raise JPXUnsupported("per-component coding styles (COC)")
         elif marker == 0x90:  # SOT
             hdr["sot"] = pos - 2
             return hdr
@@ -1792,35 +1861,58 @@ def decode_codestream(data: bytes):
     if transform == 0 and qstyle == 0:
         raise JPXError("irreversible 9/7 transform without quantization")
     depth = hdr["depth"]
-    # per-subband (eps, mu) in QCD order
-    if qstyle == 0:
-        pairs = [(e, 0) for e in hdr["exps"]]
-    elif qstyle == 2:  # scalar expounded: one value per subband
-        pairs = list(hdr["qvals"])
-    else:  # scalar derived: LL value scaled per level (E-5)
-        if not hdr["qvals"]:
-            raise JPXError("empty QCD segment")
-        e0, mu0 = hdr["qvals"][0]
-        pairs = [(e0, mu0)]
+
+    def quant_pairs(entry: dict):
+        """(eps, mu) per subband in QCD order from a QCD/QCC entry."""
+        st = entry["qstyle"]
+        if st == 0:
+            return [(e, 0) for e in entry["exps"]]
+        if st == 2:  # scalar expounded: one value per subband
+            return list(entry["qvals"])
+        if not entry["qvals"]:  # scalar derived (E-5)
+            raise JPXError("empty quantization segment")
+        e0, mu0 = entry["qvals"][0]
+        out = [(e0, mu0)]
         for r in range(1, levels + 1):
-            pairs += [(e0 + 1 - r, mu0)] * 3
-    # per-subband Mb in QCD order = exponent + guard - 1 (E.1)
-    mbs_all = [e + guard - 1 for e, _ in pairs]
-    # per-resolution Mb slices + (for lossy) step sizes
-    qcd_index = {}  # resolution -> slice of mbs_all
-    deltas = {}
-    k = 0
-    for r in range(levels + 1):
-        names = ["LL"] if r == 0 else ["HL", "LH", "HH"]
-        qcd_index[r] = mbs_all[k:k + len(names)]
-        if len(qcd_index[r]) < len(names):
-            raise JPXError("QCD exponent list shorter than subbands")
-        if transform == 0:
-            deltas[r] = [
-                _quant_delta(depth, _band_gain(nm), *pairs[k + i])
-                for i, nm in enumerate(names)
-            ]
-        k += len(names)
+            out += [(e0 + 1 - r, mu0)] * 3
+        return out
+
+    qcd_entry = {"qstyle": qstyle, "guard": guard,
+                 "exps": hdr.get("exps"), "qvals": hdr.get("qvals")}
+    # per-component quantization: QCD defaults, QCC overrides (A.6.5)
+    comp_entries = []
+    for c in range(hdr["ncomp"]):
+        e = hdr.get("qcc", {}).get(c, qcd_entry)
+        if (e["qstyle"] == 0) != (transform == 1):
+            raise JPXError(
+                "quantization style inconsistent with the transform"
+            )
+        comp_entries.append(e)
+    comp_pairs = [quant_pairs(e) for e in comp_entries]
+    comp_mbs = [
+        [eps + e["guard"] - 1 for eps, _ in p]
+        for e, p in zip(comp_entries, comp_pairs)
+    ]
+    # per-component, per-resolution Mb slices + (lossy) step sizes
+    qcd_index = {}  # (r, c) -> Mb slice
+    deltas = {}     # (r, c) -> step sizes
+    for c in range(ncomp):
+        k = 0
+        for r in range(levels + 1):
+            names = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+            sl = comp_mbs[c][k:k + len(names)]
+            if len(sl) < len(names):
+                raise JPXError(
+                    "quantization exponent list shorter than subbands"
+                )
+            qcd_index[(r, c)] = sl
+            if transform == 0:
+                deltas[(r, c)] = [
+                    _quant_delta(depth, _band_gain(nm),
+                                 *comp_pairs[c][k + i])
+                    for i, nm in enumerate(names)
+                ]
+            k += len(names)
     prog = hdr["prog"]
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w + xts - 1) // xts
@@ -1836,7 +1928,8 @@ def decode_codestream(data: bytes):
         order = _prog_order(prog, layers, levels, ncomp)
         states = {
             (r, c): _ResolutionState(
-                _bands_for_resolution(tw, th, levels, r), qcd_index[r]
+                _bands_for_resolution(tw, th, levels, r),
+                qcd_index[(r, c)],
             )
             for r in range(levels + 1) for c in range(ncomp)
         }
@@ -1897,7 +1990,7 @@ def decode_codestream(data: bytes):
                 for r in range(levels + 1):
                     for (nm, bx, by, bw, bh), dl in zip(
                         _bands_for_resolution(tw, th, levels, r),
-                        deltas[r],
+                        deltas[(r, c)],
                     ):
                         if bw <= 0 or bh <= 0:
                             continue

@@ -506,3 +506,39 @@ class TestMinipdfIntegration:
             handle = codec.open(pdf)
             assert codec.page_text(handle, 1) == ""
             assert codec.page_ocr(handle, 1) == text
+
+
+class TestUnknownLengthSegments:
+    def test_unknown_length_generic_region_decodes(self):
+        from pdf2dataset_spark.sources import jbig2
+
+        # §7.2.7: unknown length is legal for immediate generic
+        # regions; in PDF embedding the stream length bounds it, so
+        # the segment extends to the end of the data
+        rng = random.Random(55)
+        bm = [bytearray(1 if rng.random() < 0.4 else 0
+                        for _ in range(30)) for _ in range(20)]
+        full = jbig2.encode_generic_page(bm)
+        segs = jbig2.parse_segments(full)
+        out = bytearray()
+        for seg in segs:
+            hdr = jbig2._segment_header(
+                seg.number, seg.type, seg.page, len(seg.data),
+                refs=tuple(seg.refs),
+            )
+            if seg.type in (jbig2.SEG_GENERIC_IMMEDIATE,
+                            jbig2.SEG_GENERIC_IMMEDIATE_LOSSLESS):
+                hdr = hdr[:-4] + b"\xff\xff\xff\xff"
+            out += hdr + seg.data
+        w, h, rows = jbig2.decode_embedded(bytes(out))
+        assert [bytes(r) for r in rows] == [bytes(r) for r in bm]
+
+    def test_unknown_length_on_other_segments_rejected(self):
+        from pdf2dataset_spark.sources import jbig2
+
+        page_info = (struct.pack(">IIII", 8, 8, 0, 0) + bytes([0])
+                     + struct.pack(">H", 0))
+        hdr = jbig2._segment_header(0, jbig2.SEG_PAGE_INFO, 1, 0)
+        hdr = hdr[:-4] + b"\xff\xff\xff\xff"
+        with pytest.raises(JBIG2Error):
+            jbig2.decode_embedded(hdr + page_info)

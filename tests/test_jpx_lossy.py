@@ -203,3 +203,61 @@ class TestMinipdfLossyIntegration:
         got = np.frombuffer(entry["pixels"], np.uint8).astype(int)
         want = np.frombuffer(px, np.uint8).astype(int)
         assert np.abs(got - want).max() <= 1
+
+
+class TestPerComponentQuantization:
+    """QCC segments (A.6.5): chroma components quantized with their
+    own coarser steps — the real-world chroma-subquality shape."""
+
+    def test_qcc_round_trip_and_size(self):
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        w, h = 32, 24
+        rgb = rng.integers(0, 256, size=w * h * 3,
+                           dtype=np.uint8).tobytes()
+        d = encode_jpx(w, h, rgb, 3, levels=2, irreversible=True,
+                       quality_bits=10, chroma_quality_bits=6)
+        assert b"\xff\x5d" in d  # QCC segments present
+        got = np.frombuffer(decode_jpx(d)[2], np.uint8).astype(int)
+        want = np.frombuffer(rgb, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 8  # chroma loss bounded
+        d_flat = encode_jpx(w, h, rgb, 3, levels=2, irreversible=True,
+                            quality_bits=10)
+        assert len(d) < len(d_flat)  # coarser chroma really saves
+
+    def test_qcc_luma_stays_fine(self):
+        import numpy as np
+
+        # gray content through the ICT: chroma ≈ 0, so coarse chroma
+        # steps must not damage the luma reconstruction
+        w, h = 24, 16
+        gray3 = bytes(v for i in range(w * h)
+                      for v in ((i * 7) % 256,) * 3)
+        d = encode_jpx(w, h, gray3, 3, levels=2, irreversible=True,
+                       quality_bits=10, chroma_quality_bits=4)
+        got = np.frombuffer(decode_jpx(d)[2], np.uint8).astype(int)
+        want = np.frombuffer(gray3, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 1
+
+    def test_qcc_requires_rgb_and_expounded(self):
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, irreversible=True,
+                       chroma_quality_bits=6)
+        rgb = bytes(192)
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, rgb, 3, irreversible=True,
+                       quant_style="derived", chroma_quality_bits=6)
+
+    def test_coc_still_named_unsupported(self):
+        from pdf2dataset_spark.sources.jpx import JPXUnsupported
+
+        data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
+        cod_at = bytes(data).index(b"\xff\x52")
+        # splice a minimal COC segment after COD (marker only matters)
+        coc = b"\xff\x53" + b"\x00\x04" + b"\x00\x00"
+        cod_len = int.from_bytes(data[cod_at + 2:cod_at + 4], "big")
+        at = cod_at + 2 + cod_len
+        data[at:at] = coc
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(data))
