@@ -1168,9 +1168,14 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
     new_syms: list = []
     hc_height = 0
     height_classes = 0
+    # each class consumes >= 2 coded bits (DH + the OOB DW), so the
+    # stream's bit length bounds the legal class count — unlike the
+    # MQ path, BitReader raises at end-of-data, so this guard only
+    # catches pathological short-code loops
+    max_classes = num_new + 8 * len(seg_data) + 64
     while len(new_syms) < num_new:
         height_classes += 1
-        if height_classes > num_new + 1:
+        if height_classes > max_classes:
             raise JBIG2Error("symbol dictionary makes no progress")
         dh = tb_dh.decode(br)
         if dh is jh.OOB:
@@ -1191,7 +1196,9 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
                 raise JBIG2Error("more new symbols than declared")
             widths.append(sym_width)
         if not widths:
-            raise JBIG2Error("empty symbol height class")
+            # T.88 6.5.5 permits a height class with no symbols
+            # (immediate OOB): a no-op — no collective bitmap follows
+            continue
         tot = sum(widths)
         _check_dims(tot, hc_height, "collective bitmap")
         bmsize = tb_bm.decode(br)

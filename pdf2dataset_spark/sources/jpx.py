@@ -1922,6 +1922,17 @@ def decode_codestream(data: bytes):
     import numpy as np
 
     layers = hdr.get("layers", 1)
+    if levels > 32:  # T.800 A.6.1: 0..32 decomposition levels
+        raise JPXError(f"bad decomposition level count {levels}")
+    # every packet costs at least one header bit, so the packet count
+    # a stream can legitimately carry is bounded by its bit length —
+    # reject crafted layer/level counts BEFORE materializing any
+    # per-packet state (the no-OOM invariant the SIZ bound promises)
+    if layers * (levels + 1) * ncomp > 8 * len(data) + 64:
+        raise JPXError(
+            f"{layers} layers x {levels + 1} resolutions x {ncomp} "
+            "components exceeds the stream's packet budget"
+        )
 
     def decode_tile_planes(pos: int, tile_end: int, tw: int, th: int):
         planes = [np.zeros((th, tw), np.int64) for _ in range(ncomp)]

@@ -1294,10 +1294,13 @@ class PdfDocument:
                     )
                     from pdf2dataset_spark.sources import jbig2
 
-                    # cap per-image decode work (pure-Python MQ is
-                    # ~1 Mpx/s; 1<<27 matches the JPX bound)
+                    # cap per-image decode work at the documented
+                    # real-page ceiling (A3 @ 1200 dpi bilevel ~
+                    # 280M px — jbig2's own default); corpus
+                    # operators wanting a tighter CPU bound lower it
+                    # via the decode_jbig2_gray max_pixels= knob
                     w, h, px = jbig2.decode_jbig2_gray(
-                        data, gbytes, max_pixels=1 << 27
+                        data, gbytes, max_pixels=1 << 29
                     )
                     entry["decodable"] = True
                     if gbytes:  # consumers re-decode like ccitt_params

@@ -264,3 +264,52 @@ class TestHuffmanPage:
         )
         with pytest.raises(jh.JBIG2Unsupported):
             jbig2.decode_embedded(stream)
+
+
+class TestEmptyHeightClass:
+    def test_empty_height_class_is_a_noop(self):
+        """T.88 6.5.5 permits a class whose DW sequence is
+        immediately OOB — conformant streams skip heights."""
+        import struct
+
+        glyph = [bytearray([1, 1, 1]), bytearray([1, 0, 1])]
+        data, _ = jbig2.encode_huffman_text_page(
+            [glyph], [(0, 2, 2)], 10, 8
+        )
+        # splice an empty height class before the real one inside the
+        # symbol dictionary bit stream: DH=+1 (B.4: '0' + 0 bits
+        # range...), OOB DW (B.2 OOB code) — easier: build the dict
+        # bitstream by hand
+        tb_dh = jh.standard_table(4)
+        tb_dw = jh.standard_table(2)
+        tb_bm = jh.standard_table(1)
+        tb_ex = jh.standard_table(1)
+        bw = jh.BitWriter()
+        tb_dh.encode(bw, 1)      # class at height 1: EMPTY
+        tb_dw.encode(bw, jh.OOB)
+        tb_dh.encode(bw, 1)      # class at height 2: one 3-wide sym
+        tb_dw.encode(bw, 3)
+        tb_dw.encode(bw, jh.OOB)
+        tb_bm.encode(bw, 0)      # uncompressed collective
+        bw.align()
+        bw.raw_bytes(bytes([0b11100000, 0b10100000]))  # 3x2 glyph
+        tb_ex.encode(bw, 0)
+        tb_ex.encode(bw, 1)
+        sd = (struct.pack(">H", 1)  # SDHUFF
+              + struct.pack(">II", 1, 1) + bw.getvalue())
+        page_info = (struct.pack(">IIII", 10, 8, 0, 0) + bytes([0])
+                     + struct.pack(">H", 0))
+        # text region from the library encoder, dictionary spliced in
+        segs = jbig2.parse_segments(data)
+        out = bytearray()
+        for seg in segs:
+            body = sd if seg.type == jbig2.SEG_SYMBOL_DICT else seg.data
+            out += jbig2._segment_header(
+                seg.number, seg.type, seg.page, len(body),
+                refs=tuple(seg.refs),
+            ) + body
+        w, h, rows = jbig2.decode_embedded(bytes(out))
+        assert (w, h) == (10, 8)
+        # the 3x2 glyph landed at (2, 2)
+        assert rows[2][2:5] == bytearray([1, 1, 1])
+        assert rows[3][2:5] == bytearray([1, 0, 1])

@@ -398,3 +398,27 @@ class TestQualityLayers:
     def test_zero_layers_rejected(self):
         with pytest.raises(JPXError):
             encode_jpx(8, 8, bytes(64), 1, layers=0)
+
+
+class TestCraftedStreamBudgets:
+    def test_crafted_layer_level_counts_fail_fast(self):
+        # a sub-1KB stream must not allocate per-packet state for
+        # millions of packets (the no-OOM invariant): crafted Lcod
+        # layer/level counts are rejected against the bit budget
+        import struct
+        import time
+
+        data = bytearray(encode_jpx(16, 16, bytes(256), 1, levels=4))
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 6:cod_at + 8] = struct.pack(">H", 65535)
+        t0 = time.monotonic()
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
+        assert time.monotonic() - t0 < 0.5
+
+    def test_crafted_level_count_rejected(self):
+        data = bytearray(encode_jpx(8, 8, bytes(64), 1, levels=1))
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 2 + 2 + 5] = 255  # levels > 32
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
