@@ -1718,8 +1718,8 @@ def _parse_markers(data: bytes):
             else:
                 raise JPXError(f"bad QCC quantization style {style}")
             hdr.setdefault("qcc", {})[comp] = entry
-        elif marker == 0x53:  # COC
-            raise JPXUnsupported("per-component coding styles (COC)")
+        elif marker == 0x53:  # COC: tolerated when it matches COD
+            hdr.setdefault("coc_raw", []).append(seg)
         elif marker == 0x90:  # SOT
             hdr["sot"] = pos - 2
             return hdr
@@ -1861,6 +1861,24 @@ def decode_codestream(data: bytes):
     if transform == 0 and qstyle == 0:
         raise JPXError("irreversible 9/7 transform without quantization")
     depth = hdr["depth"]
+    # COC segments: some encoders emit per-component styles that just
+    # restate the COD — accept those; a genuinely different style
+    # stays a named unsupported (it would change band geometry)
+    for seg in hdr.get("coc_raw", ()):
+        at = 1 if hdr["ncomp"] < 257 else 2
+        if len(seg) < at + 6:
+            raise JPXError("truncated COC segment")
+        scoc = seg[at]
+        c_levels = seg[at + 1]
+        c_cb = (seg[at + 2] + 2, seg[at + 3] + 2)
+        c_style = seg[at + 4]
+        c_transform = seg[at + 5]
+        if (scoc & 1 or c_levels != hdr["levels"]
+                or c_cb != hdr["cb_exp"] or c_style != 0
+                or c_transform != hdr["transform"]):
+            raise JPXUnsupported(
+                "per-component coding style differs from COD (COC)"
+            )
 
     def quant_pairs(entry: dict):
         """(eps, mu) per subband in QCD order from a QCD/QCC entry."""

@@ -249,15 +249,28 @@ class TestPerComponentQuantization:
             encode_jpx(8, 8, rgb, 3, irreversible=True,
                        quant_style="derived", chroma_quality_bits=6)
 
-    def test_coc_still_named_unsupported(self):
+    def test_coc_handling(self):
+        import struct
+
         from pdf2dataset_spark.sources.jpx import JPXUnsupported
 
-        data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
-        cod_at = bytes(data).index(b"\xff\x52")
-        # splice a minimal COC segment after COD (marker only matters)
-        coc = b"\xff\x53" + b"\x00\x04" + b"\x00\x00"
-        cod_len = int.from_bytes(data[cod_at + 2:cod_at + 4], "big")
+        base = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
+        cod_at = bytes(base).index(b"\xff\x52")
+        cod_len = int.from_bytes(base[cod_at + 2:cod_at + 4], "big")
         at = cod_at + 2 + cod_len
-        data[at:at] = coc
+        # a redundant COC restating the COD is tolerated
+        coc = bytes([0, 0, 1, 4, 4, 0, 1])
+        data = bytearray(base)
+        data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc) + 2) + coc
+        assert decode_jpx(bytes(data))[2] == bytes(range(64))
+        # a COC that DIFFERS from the COD stays named unsupported
+        coc2 = bytes([0, 0, 3, 4, 4, 0, 1])  # levels differ
+        data = bytearray(base)
+        data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc2) + 2) + coc2
         with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(data))
+        # a truncated COC is malformed
+        data = bytearray(base)
+        data[at:at] = b"\xff\x53" + b"\x00\x04" + b"\x00\x00"
+        with pytest.raises(JPXError):
             decode_jpx(bytes(data))
