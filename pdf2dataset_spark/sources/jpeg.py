@@ -306,15 +306,21 @@ def _quantized_components(
 
 
 def encode_jpeg(
-    w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1
+    w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1,
+    adobe_transform: int = 0,
 ) -> bytes:
     """Encode an 8-bit image (row-major ``px``) as baseline JFIF.
     ``ncomp=1``: grayscale. ``ncomp=3``: interleaved RGB, written as
     JFIF YCbCr 4:4:4 (luma tables id 0, chroma id 1 — the canonical
-    color layout). Deterministic: same pixels + quality -> same
-    bytes."""
-    if ncomp not in (1, 3):
-        raise ValueError("ncomp must be 1 (gray) or 3 (RGB)")
+    color layout). ``ncomp=4``: interleaved PLAIN CMYK, written
+    Adobe-style (APP14 transform 0, channels stored INVERTED — the
+    Photoshop convention real print PDFs carry; pass
+    ``adobe_transform=2`` for the YCCK variant). Deterministic: same
+    pixels + quality -> same bytes."""
+    if ncomp not in (1, 3, 4):
+        raise ValueError("ncomp must be 1 (gray), 3 (RGB) or 4 (CMYK)")
+    if ncomp == 4:
+        return _encode_jpeg_cmyk(w, h, px, quality, adobe_transform)
     if ncomp == 1:
         (zz,), qt_l, _ = _quantized_components(w, h, px, quality, 1)
         bw = _BitWriter()
@@ -371,6 +377,67 @@ def encode_jpeg(
             _segment(
                 0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
             ),
+            _segment(0xFFDA, sos),
+            bytes(bw.out),
+            b"\xff\xd9",
+        ]
+    )
+
+
+def _encode_jpeg_cmyk(w: int, h: int, px: bytes, quality: int,
+                      adobe_transform: int) -> bytes:
+    """Baseline Adobe CMYK/YCCK body of :func:`encode_jpeg`."""
+    if adobe_transform not in (0, 2):
+        raise ValueError("adobe_transform must be 0 (CMYK) or 2 (YCCK)")
+    if len(px) != w * h * 4:
+        raise ValueError("sample buffer does not match dimensions")
+    cmyk = (np.frombuffer(bytes(px), dtype=np.uint8)
+            .reshape(h, w, 4).astype(np.float64))
+    inv = 255.0 - cmyk  # Adobe-inverted storage
+    qt_l = _quant_table(quality)
+    if adobe_transform == 2:  # YCCK: YCbCr of the inverted CMY
+        r, g, b = inv[..., 0], inv[..., 1], inv[..., 2]
+        store = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            inv[..., 3],
+        ]
+    else:
+        store = [inv[..., i] for i in range(4)]
+    zzs = [
+        _plane_to_zz(
+            _pad_plane(
+                np.clip(np.round(p), 0, 255).astype(np.uint8), h, w
+            ),
+            qt_l,
+        )
+        for p in store
+    ]
+    bw = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for m in range(zzs[0].shape[0]):  # 1x1 sampling: 4 blocks / MCU
+        for ci in range(4):
+            prev[ci] = _write_block(
+                bw, zzs[ci][m], prev[ci], _DC_CODES, _AC_CODES
+            )
+    bw.flush()
+    qt_zz = qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    sof = struct.pack(">BHHB", 8, h, w, 4) + b"".join(
+        bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)
+    )
+    sos = bytes([4]) + b"".join(
+        bytes([cid, 0x00]) for cid in (1, 2, 3, 4)
+    ) + bytes([0, 63, 0])
+    adobe = (b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform))
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _segment(0xFFEE, adobe),
+            _segment(0xFFDB, b"\x00" + qt_zz.tobytes()),
+            _segment(0xFFC0, sof),
+            _segment(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            _segment(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)),
             _segment(0xFFDA, sos),
             bytes(bw.out),
             b"\xff\xd9",
@@ -899,7 +966,8 @@ def _decode_scan(
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     """Decode a JFIF/JPEG still: baseline or extended sequential
     (single- or multi-scan) and PROGRESSIVE (SOF2 — spectral selection
-    + successive approximation, T.81 Annex G). 1 or 3 components, any
+    + successive approximation, T.81 Annex G). 1, 3 or 4 (Adobe
+    CMYK/YCCK, APP14-signaled inversion) components, any
     sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), multi-table
     DQT/DHT segments, restart intervals, APPn/COM skipped. Returns
     (w, h, pixels) — grayscale bytes (w*h) for one component,
@@ -911,6 +979,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    adobe = False
+    adobe_transform = 0
     restart_interval = 0
     progressive = False
     coef: list[np.ndarray] | None = None
@@ -948,10 +1018,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 qt[_ZIGZAG] = zzt
                 qts[tq] = qt.reshape(8, 8)
                 p += 65
+        elif marker == 0xFFEE:  # APP14: Adobe transform signaling
+            if payload[:5] == b"Adobe" and len(payload) >= 12:
+                adobe = True
+                adobe_transform = payload[11]
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # sequential / progr.
             progressive = marker == 0xFFC2
             _, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEGs not supported")
             comps = []
             for c in range(ncomp):
@@ -1046,6 +1120,35 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, out.tobytes()
+    if len(planes) == 4:
+        # CMYK / YCCK (print-production PDFs): Adobe APP14 files
+        # store INVERTED CMYK (the Photoshop convention); YCCK
+        # (transform 2) stores YCbCr computed from the inverted CMY.
+        # Either way the inverted planes convert to RGB directly:
+        # R = invC * invK / 255 (naive un-profiled conversion).
+        p0, p1, p2, p3 = planes
+        if adobe and adobe_transform == 2:  # YCCK
+            yy, cb, cr = p0, p1 - 128.0, p2 - 128.0
+            inv_c = yy + 1.402 * cr
+            inv_m = yy - 0.344136 * cb - 0.714136 * cr
+            inv_y = yy + 1.772 * cb
+            inv_k = p3
+        elif adobe:  # Adobe CMYK: stored inverted
+            inv_c, inv_m, inv_y, inv_k = p0, p1, p2, p3
+        else:  # plain CMYK
+            inv_c, inv_m, inv_y = 255.0 - p0, 255.0 - p1, 255.0 - p2
+            inv_k = 255.0 - p3
+        k = np.clip(inv_k, 0.0, 255.0)
+        rgb = np.stack(
+            [
+                np.clip(inv_c, 0.0, 255.0) * k,
+                np.clip(inv_m, 0.0, 255.0) * k,
+                np.clip(inv_y, 0.0, 255.0) * k,
+            ],
+            axis=-1,
+        ) / 255.0
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, out.tobytes()
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(

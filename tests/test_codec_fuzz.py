@@ -126,8 +126,12 @@ class TestJpegFuzz:
     def test_mutated_streams_fail_cleanly(self):
         rng = random.Random(404)
         px = bytes(rng.randrange(256) for _ in range(32 * 16))
+        cmyk = bytes(rng.randrange(256) for _ in range(16 * 12 * 4))
         payloads = [
             jpeg.encode_jpeg(32, 16, px, quality=80),
             jpeg.encode_jpeg_progressive(32, 16, px, quality=80),
+            jpeg.encode_jpeg(16, 12, cmyk, quality=80, ncomp=4),
+            jpeg.encode_jpeg(16, 12, cmyk, quality=80, ncomp=4,
+                             adobe_transform=2),
         ]
         _contract(jpeg.decode_jpeg, payloads, rng, 40)

@@ -1849,3 +1849,76 @@ class TestAttachments:
         ]
         doc = minipdf.PdfDocument(_wrap_pdf(objs))
         assert doc.attachments() == []
+
+
+class TestCmykJpeg:
+    """Adobe CMYK / YCCK /DCTDecode payloads (print-production PDFs)."""
+
+    def _cmyk(self, w, h, seed=9):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+
+    def _want_rgb(self, cmyk):
+        import numpy as np
+
+        c = cmyk.astype(float)
+        return np.stack(
+            [(255 - c[..., 0]) * (255 - c[..., 3]),
+             (255 - c[..., 1]) * (255 - c[..., 3]),
+             (255 - c[..., 2]) * (255 - c[..., 3])], axis=-1,
+        ) / 255.0
+
+    @pytest.mark.parametrize("transform", [0, 2])
+    def test_adobe_cmyk_round_trip(self, transform):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+        w, h = 40, 24
+        cmyk = self._cmyk(w, h, 9 + transform)
+        data = encode_jpeg(w, h, cmyk.tobytes(), quality=95, ncomp=4,
+                           adobe_transform=transform)
+        dw, dh, out = decode_jpeg(data)
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(float)
+        err = np.abs(got - self._want_rgb(cmyk))
+        assert err.max() < 30 and err.mean() < 3
+
+    def test_plain_cmyk_without_app14(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+        w, h = 24, 16
+        cmyk = self._cmyk(w, h, 11)
+        data = encode_jpeg(w, h, cmyk.tobytes(), quality=95, ncomp=4)
+        at = data.index(b"\xff\xee")
+        seg_len = int.from_bytes(data[at + 2:at + 4], "big")
+        plain = data[:at] + data[at + 2 + seg_len:]
+        # without APP14 the channels read as PLAIN CMYK: since the
+        # encoder stored inverted values, the decode inverts meaning —
+        # still a valid decode (gray world flips), never an error
+        dw, dh, out = decode_jpeg(plain)
+        assert (dw, dh, len(out)) == (w, h, w * h * 3)
+
+    def test_cmyk_xobject_through_page_images(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+        w, h = 30, 20
+        cmyk = self._cmyk(w, h, 12)
+        data = encode_jpeg(w, h, cmyk.tobytes(), quality=95, ncomp=4)
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/DCTDecode", "width": w, "height": h,
+                     "data": data, "colorspace": "/DeviceCMYK"}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf, decode_pixels=True)[0]
+        assert entry["format"] == "jpeg"
+        assert entry["decodable"] is True
+        got = np.frombuffer(entry["pixels"], np.uint8).reshape(h, w, 3)
+        err = np.abs(got.astype(float) - self._want_rgb(cmyk))
+        assert err.max() < 30
