@@ -136,6 +136,88 @@ def main() -> None:
                     "codec": f"pdf encrypted ({label})",
                 }
             )
+        # Phase 4: SCANNED documents (no text layer, one embedded
+        # image per page) through the scanned routing + in-repo
+        # codec decode + grid OCR — the multimodal corpus shape.
+        # Per-page decode is the bottleneck by design (pure-Python
+        # entropy decoding); this records the honest pages/s for
+        # each codec family at a small scan size.
+        import numpy as np
+
+        from pdf2dataset_spark.sources import ccitt, jbig2, raster
+        from pdf2dataset_spark.sources.jpeg import encode_jpeg
+        from pdf2dataset_spark.sources.jpx import encode_jpx
+
+        sw, sh, spx = raster._rasterize("SCAN BENCH 99\nsecond line")
+        spx = bytes(spx)
+        bitmap = [
+            bytearray(1 if spx[y * sw + x] < 128 else 0
+                      for x in range(sw))
+            for y in range(sh)
+        ]
+        # one page per doc: build_pdf attaches images to page 1, so
+        # a multi-page doc would dilute pages/s with imageless pages
+        scan_docs = args.docs // 5 or 1
+        variants = {
+            "jpeg-baseline": ("/DCTDecode",
+                              encode_jpeg(sw, sh, spx, quality=90)),
+            "ccitt-g4": ("/CCITTFaxDecode", ccitt.encode_g4(spx, sw, sh)),
+            "jbig2-arith": ("/JBIG2Decode",
+                            jbig2.encode_generic_page(bitmap)),
+            "jbig2-huffman-mmr": ("/JBIG2Decode",
+                                  jbig2.encode_huffman_text_page(
+                                      [bitmap], [(0, 0, 0)], sw, sh,
+                                      collective="mmr")[0]),
+            "jpx-lossless": ("/JPXDecode",
+                             encode_jpx(sw, sh, spx, 1, levels=3)),
+            "jpx-lossy-97": ("/JPXDecode",
+                             encode_jpx(sw, sh, spx, 1, levels=3,
+                                        irreversible=True,
+                                        quality_bits=10)),
+        }
+        for label, (filt, payload) in variants.items():
+            entry = {"filter": filt, "width": sw, "height": sh,
+                     "data": payload}
+            if filt == "/JBIG2Decode":
+                entry["bits"] = 1
+            elif filt == "/CCITTFaxDecode":
+                entry["bits"] = 1
+                entry["decode_parms"] = {"/K": -1, "/Columns": sw,
+                                         "/Rows": sh}
+            scan_pdf = build_pdf([""], images=[entry])
+            src4 = os.path.join(root, f"corpus_scan_{label}")
+            os.makedirs(src4)
+            for d in range(scan_docs):
+                sub = os.path.join(src4, f"s{d % 16:02d}")
+                os.makedirs(sub, exist_ok=True)
+                with open(os.path.join(sub, f"doc{d:06d}.pdf"),
+                          "wb") as f:
+                    f.write(scan_pdf)
+            out4 = os.path.join(root, f"out_scan_{label}.parquet")
+            pipe4 = ExtractionPipeline(
+                spark=spark, features=["text", "ocr", "image"],
+                codec=PdfCodec(),
+            )
+            t0 = time.perf_counter()
+            pipe4.run(src4, out_path=out4)
+            elapsed = time.perf_counter() - t0
+            df4 = spark.read.parquet(out4)
+            n_pages4 = df4.count()
+            from pyspark.sql import functions as F
+            ocr_ok = df4.filter(
+                F.col("ocr").contains("SCAN BENCH 99")
+            ).count()
+            print(
+                {
+                    "docs": scan_docs,
+                    "pages": n_pages4,
+                    "elapsed_s": round(elapsed, 2),
+                    "pages_per_s": round(n_pages4 / elapsed, 1),
+                    "ocr_recovered": f"{ocr_ok}/{n_pages4}",
+                    "features": ["text", "ocr", "image"],
+                    "codec": f"scanned ({label})",
+                }
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
