@@ -1024,7 +1024,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 adobe_transform = payload[11]
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # sequential / progr.
             progressive = marker == 0xFFC2
-            _, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                # 12-bit JPEG would silently mis-scale through the
+                # 8-bit IDCT/level-shift path — decline by name
+                raise ValueError(
+                    f"{prec}-bit sample precision not supported"
+                )
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEGs not supported")
             comps = []
