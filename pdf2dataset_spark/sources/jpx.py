@@ -32,12 +32,11 @@ reversible (lossless) path with zero native deps:
   strategy.
 
 Also in scope: multiple TILES (independently transformed, raster
-Isot order, one tile-part each) and the SOP/EPH resync markers
-(A.8). Out of scope, surfaced as named :class:`JPXUnsupported`
+Isot order), multiple TILE-PARTS per tile (bodies concatenated in
+TPsot order) and the SOP/EPH resync markers (A.8). Out of scope, surfaced as named :class:`JPXUnsupported`
 errors (the compressed payload is preserved by the caller either
-way): multiple tile-PARTS per tile, non-default precincts,
-arithmetic-bypass/termall/reset code-block options, and ROI
-shifts. Multiple QUALITY LAYERS decode in all five progression
+way): non-default precincts, arithmetic-bypass/termall/reset
+code-block options, and ROI shifts. Multiple QUALITY LAYERS decode in all five progression
 orders (per-precinct inclusion state persists across layers,
 chunks concatenating into each block's single MQ stream).
 
@@ -1107,11 +1106,12 @@ def _prog_order(prog: int, layers: int, levels: int, ncomp: int):
 
 
 def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
-                  sop: bool, eph: bool, prog: int = 0) -> bytes:
-    """Build one tile's full packet byte stream: code blocks are
-    assigned round-robin to quality layers (first-inclusion layer),
-    packets iterate in ``prog`` order. At ``layers=1`` LRCP this is
-    bit-identical to the original single-layer builder."""
+                  sop: bool, eph: bool, prog: int = 0) -> list:
+    """Build one tile's packets (list of byte strings, SOP markers
+    attached): code blocks are assigned round-robin to quality layers
+    (first-inclusion layer), packets iterate in ``prog`` order. At
+    ``layers=1`` LRCP the concatenation is bit-identical to the
+    original single-layer builder."""
     ncomp = len(all_res)
     counter = 0
     states: dict = {}
@@ -1145,14 +1145,29 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                     "fl": fl,
                 })
             states[(r, c)] = per
-    out = bytearray()
+    packets = []
     nsop = 0
     for l, r, c in _prog_order(prog, layers, levels, ncomp):
+        pkt = b""
         if sop:
-            out += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
+            pkt += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
         nsop += 1
-        out += _build_packet_layer(states[(r, c)], l, eph)
-    return bytes(out)
+        packets.append(pkt + _build_packet_layer(states[(r, c)], l, eph))
+    return packets
+
+
+def _emit_tile(out: bytearray, isot: int, packets: list,
+               tile_parts: int) -> None:
+    """Emit one tile's packets as ``tile_parts`` tile-part segments
+    (TPsot order, packets split at packet boundaries)."""
+    n = max(1, min(tile_parts, len(packets)))
+    for tp in range(n):
+        chunk = b"".join(
+            packets[tp * len(packets) // n:(tp + 1) * len(packets) // n]
+        )
+        sot = struct.pack(">HIBB", isot, 12 + 2 + len(chunk), tp, n)
+        out += b"\xff\x90" + struct.pack(">H", 10) + sot
+        out += b"\xff\x93" + chunk
 
 
 def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
@@ -1227,6 +1242,7 @@ def encode_jpx(
     layers: int = 1,
     prog: int = 0,
     chroma_quality_bits: int | None = None,
+    tile_parts: int = 1,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1251,7 +1267,7 @@ def encode_jpx(
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
-            prog, chroma_quality_bits,
+            prog, chroma_quality_bits, tile_parts,
         )
     comps = []
     if ncomp == 1:
@@ -1340,11 +1356,12 @@ def encode_jpx(
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
-        body = _tile_packets(tile_res[isot], mbs_by_cr, levels,
-                             layers, sop, eph, prog)
-        sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
-        out += b"\xff\x90" + struct.pack(">H", 10) + sot
-        out += b"\xff\x93" + body
+        _emit_tile(
+            out, isot,
+            _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
+                          sop, eph, prog),
+            tile_parts,
+        )
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
@@ -1387,6 +1404,7 @@ def _encode_jpx_lossy(
     layers: int = 1,
     prog: int = 0,
     chroma_quality_bits: int | None = None,
+    tile_parts: int = 1,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
@@ -1589,11 +1607,12 @@ def _encode_jpx_lossy(
                               for e, mu in comp_pairs[cc]))
             out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
     for isot in range(ntx * nty):
-        body = _tile_packets(tile_res[isot], mbs_by_cr, levels,
-                             layers, sop, eph, prog)
-        sot = struct.pack(">HIBB", isot, 12 + 2 + len(body), 0, 1)
-        out += b"\xff\x90" + struct.pack(">H", 10) + sot
-        out += b"\xff\x93" + body
+        _emit_tile(
+            out, isot,
+            _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
+                          sop, eph, prog),
+            tile_parts,
+        )
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
@@ -1952,7 +1971,8 @@ def decode_codestream(data: bytes):
             "components exceeds the stream's packet budget"
         )
 
-    def decode_tile_planes(pos: int, tile_end: int, tw: int, th: int):
+    def decode_tile_planes(buf: bytes, tw: int, th: int):
+        pos = 0
         planes = [np.zeros((th, tw), np.int64) for _ in range(ncomp)]
         order = _prog_order(prog, layers, levels, ncomp)
         states = {
@@ -1963,18 +1983,21 @@ def decode_codestream(data: bytes):
             for r in range(levels + 1) for c in range(ncomp)
         }
         for l, r, c in order:
-            pos = _decode_packet(data, pos, states[(r, c)], l, sop, eph)
+            pos = _decode_packet(buf, pos, states[(r, c)], l, sop, eph)
         for (r, c), st in states.items():
             for name, px, py, cw, ch, coeffs in st.finish():
                 planes[c][py:py + ch, px:px + cw] = np.asarray(
                     coeffs, np.int64
                 ).reshape(ch, cw)
-        if pos > tile_end:
-            raise JPXError("tile body overran Psot")
+        if pos > len(buf):
+            raise JPXError("tile body overran its tile-parts")
         return planes
 
     pos = hdr["sot"]
-    tiles: dict = {}
+    # a tile's packet stream may be SPLIT across tile-parts (TPsot
+    # order, A.4.2) — collect every part's body, then decode each
+    # tile's concatenation as one stream
+    parts: dict = {}
     while pos < len(data) and data[pos:pos + 2] != b"\xff\xd9":
         if data[pos:pos + 2] != b"\xff\x90":
             raise JPXError("expected SOT between tiles")
@@ -1982,21 +2005,32 @@ def decode_codestream(data: bytes):
         isot, psot, tpsot, tnsot = struct.unpack_from(
             ">HIBB", data, pos + 4
         )
-        if tpsot != 0 or tnsot > 1:
-            raise JPXUnsupported("multiple tile-parts per tile")
-        if isot >= ntiles or isot in tiles:
+        if isot >= ntiles:
             raise JPXError(f"bad tile index {isot}")
         tile_end = pos + psot if psot else len(data)
         body = pos + 2 + lsot
         if data[body:body + 2] != b"\xff\x93":
             raise JPXError("expected SOD")
+        plist = parts.setdefault(isot, [])
+        if any(tp == tpsot for tp, _ in plist):
+            raise JPXError(f"duplicate tile-part {tpsot} of tile {isot}")
+        plist.append((tpsot, data[body + 2:tile_end]))
+        if tnsot and len(plist) > tnsot:
+            raise JPXError(f"tile {isot} has more parts than TNsot")
+        if not psot:  # unknown length: only legal for the last part
+            break
+        pos = tile_end
+    tiles: dict = {}
+    for isot, plist in parts.items():
+        plist.sort()
+        if [tp for tp, _ in plist] != list(range(len(plist))):
+            raise JPXError(f"tile {isot} tile-parts not contiguous")
         tx, ty = isot % ntx, isot // ntx
         tw = min(xts, w - tx * xts)
         th = min(yts, h - ty * yts)
-        tiles[isot] = decode_tile_planes(body + 2, tile_end, tw, th)
-        if not psot:  # only legal for the last tile-part
-            break
-        pos = tile_end
+        tiles[isot] = decode_tile_planes(
+            b"".join(b for _, b in plist), tw, th
+        )
     if len(tiles) != ntiles:
         raise JPXError(
             f"codestream has {len(tiles)} of {ntiles} tiles"

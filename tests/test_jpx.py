@@ -316,13 +316,27 @@ class TestMultiTile:
         with pytest.raises(JPXError):
             decode_jpx(data[:second_sot] + b"\xff\xd9")
 
-    def test_multiple_tile_parts_named(self):
+    def test_multiple_tile_parts_round_trip(self):
+        w, h = 45, 37
+        px = self._px(w, h, 10)
+        for tp in (2, 3, 7):
+            data = encode_jpx(w, h, px, 1, levels=2, tile_parts=tp)
+            # 3 packets (levels=2, 1 layer, 1 comp) cap the split
+            assert data.count(b"\xff\x90") >= min(tp, 3)
+            assert decode_jpx(data)[2] == px, tp
+        # combined with tiling, layers and resync markers
+        data = encode_jpx(w, h, px, 1, levels=2, tile_parts=3,
+                          tile_size=(24, 20), layers=2, sop=True,
+                          eph=True)
+        assert decode_jpx(data)[2] == px
+
+    def test_non_contiguous_tile_parts_rejected(self):
         w, h = 16, 12
         px = self._px(w, h, 10)
         data = bytearray(encode_jpx(w, h, px, 1, levels=1))
         at = bytes(data).index(b"\xff\x90")
-        data[at + 8 + 2] = 1  # TPsot = 1 (second tile-part)
-        with pytest.raises(JPXUnsupported):
+        data[at + 8 + 2] = 1  # TPsot = 1 with part 0 missing
+        with pytest.raises(JPXError):
             decode_jpx(bytes(data))
 
     def test_missing_eph_rejected(self):
