@@ -1225,6 +1225,36 @@ def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
     return hw.flush() + eph_m + bytes(body)
 
 
+def _check_subsampling(subsampling, ncomp: int) -> list:
+    """Validate a per-component (XRsiz, YRsiz) list → normalized."""
+    if subsampling is None:
+        return [(1, 1)] * ncomp
+    subs = [tuple(s) for s in subsampling]
+    if len(subs) != ncomp:
+        raise JPXError("subsampling must list every component")
+    for xr, yr in subs:
+        if xr not in (1, 2, 4) or yr not in (1, 2, 4):
+            raise JPXError(f"subsampling factors {xr}x{yr} (1/2/4 only)")
+    return subs
+
+
+def _decimate_rows(rows: list, xr: int, yr: int) -> list:
+    """Top-left-rule decimation of a list-of-rows plane."""
+    if xr == 1 and yr == 1:
+        return rows
+    return [row[::xr] for row in rows[::yr]]
+
+
+def _tile_comp_box(tx, ty, xts, yts, width, height, xr, yr):
+    """Tile (tx, ty)'s span in component coordinates (B.3, zero
+    offsets): (tcx0, tcy0, tcw, tch)."""
+    tcx0 = -(-(tx * xts) // xr)
+    tcy0 = -(-(ty * yts) // yr)
+    tcx1 = -(-min((tx + 1) * xts, width) // xr)
+    tcy1 = -(-min((ty + 1) * yts, height) // yr)
+    return tcx0, tcy0, tcx1 - tcx0, tcy1 - tcy0
+
+
 def encode_jpx(
     width: int,
     height: int,
@@ -1243,10 +1273,21 @@ def encode_jpx(
     prog: int = 0,
     chroma_quality_bits: int | None = None,
     tile_parts: int = 1,
+    subsampling: tuple | None = None,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
     when ``mct``). Fixture twin of :func:`decode_jpx`.
+
+    ``subsampling`` gives per-component (XRsiz, YRsiz) pairs — e.g.
+    ``((1, 1), (2, 2), (2, 2))`` for 4:2:0. Components are decimated
+    by taking every XRsiz-th/YRsiz-th sample (the top-left rule the
+    decoder's replication upsample inverts). Because MCT is
+    spec-limited to equal separations, ``mct=True`` with unequal
+    subsampling performs the ICT EXTERNALLY (float, rounded) and
+    signals sYCC via the JP2 colr box (EnumCS 18) with MCT off —
+    the shape real 4:2:0 scanner payloads use; ``mct=False`` stores
+    the interleaved channels as independent components.
 
     ``irreversible=True`` emits the lossy regime real scanner/camera
     payloads use: forward 9/7 wavelet, ICT for RGB, and scalar
@@ -1263,12 +1304,14 @@ def encode_jpx(
     if len(samples) != width * height * ncomp:
         raise JPXError("sample buffer does not match dimensions")
     levels = max(0, min(levels, 32))
+    subs = _check_subsampling(subsampling, ncomp)
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
-            prog, chroma_quality_bits, tile_parts,
+            prog, chroma_quality_bits, tile_parts, subs,
         )
+    external_ycc = False
     comps = []
     if ncomp == 1:
         comps.append(
@@ -1287,7 +1330,22 @@ def encode_jpx(
                 bb.append(samples[i + 2] - 128)
             rs.append(rr), gs.append(gg), bs.append(bb)
         use_mct = mct
-        if use_mct:
+        if use_mct and len(set(subs)) != 1:
+            # unequal separations: ICT outside the codestream (the
+            # 4:2:0 shape), MCT off in COD, sYCC in the JP2 colr box
+            use_mct, external_ycc = False, True
+            ys, us, vs = [], [], []
+            for rr, gg, bb in zip(rs, gs, bs):
+                yy, uu, vv = [], [], []
+                for r, g, b in zip(rr, gg, bb):
+                    yy.append(round(0.299 * r + 0.587 * g + 0.114 * b))
+                    uu.append(round(-0.16875 * r - 0.33126 * g
+                                    + 0.5 * b))
+                    vv.append(round(0.5 * r - 0.41869 * g
+                                    - 0.08131 * b))
+                ys.append(yy), us.append(uu), vs.append(vv)
+            comps = [ys, us, vs]
+        elif use_mct:
             ys, us, vs = [], [], []
             for rr, gg, bb in zip(rs, gs, bs):
                 yy = [(r + 2 * g + b) >> 2 for r, g, b in zip(rr, gg, bb)]
@@ -1297,6 +1355,9 @@ def encode_jpx(
             comps = [ys, us, vs]
         else:
             comps = [rs, gs, bs]
+    comps = [
+        _decimate_rows(p, xr, yr) for p, (xr, yr) in zip(comps, subs)
+    ]
     xts, yts = tile_size or (width, height)
     if xts <= 0 or yts <= 0:
         raise JPXError("non-positive tile size")
@@ -1306,8 +1367,8 @@ def encode_jpx(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, width, height, 0, 0, xts, yts, 0, 0, ncomp
     )
-    for _ in range(ncomp):
-        siz += bytes([7, 1, 1])  # 8-bit unsigned, no subsampling
+    for xr, yr in subs:
+        siz += bytes([7, xr, yr])  # 8-bit unsigned
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 5/3
     if layers < 1:
@@ -1327,14 +1388,17 @@ def encode_jpx(
     exps = None
     for isot in range(ntx * nty):
         tx, ty = isot % ntx, isot // ntx
-        tw = min(xts, width - tx * xts)
-        th = min(yts, height - ty * yts)
         all_res = []
-        for plane_rows in comps:
-            sub = [row[tx * xts:tx * xts + tw]
-                   for row in plane_rows[ty * yts:ty * yts + th]]
+        for (xr, yr), plane_rows in zip(subs, comps):
+            tcx0, tcy0, tcw, tch = _tile_comp_box(
+                tx, ty, xts, yts, width, height, xr, yr
+            )
+            sub = [row[tcx0:tcx0 + tcw]
+                   for row in plane_rows[tcy0:tcy0 + tch]]
             plane = dwt53_forward_2d(sub, levels)
-            res, comp_exps = _encode_tile_component(plane, tw, th, levels)
+            res, comp_exps = _encode_tile_component(
+                plane, tcw, tch, levels
+            )
             all_res.append(res)
             exps = (comp_exps if exps is None
                     else [max(a, b) for a, b in zip(exps, comp_exps)])
@@ -1365,15 +1429,20 @@ def encode_jpx(
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
-    return _jp2_container(bytes(out), width, height, ncomp)
+    return _jp2_container(bytes(out), width, height, ncomp,
+                          18 if external_ycc else None)
 
 
 def _jp2_container(codestream: bytes, width: int, height: int,
-                   ncomp: int) -> bytes:
-    """Wrap a codestream in a minimal JP2 container."""
+                   ncomp: int, enumcs: int | None = None) -> bytes:
+    """Wrap a codestream in a minimal JP2 container. ``enumcs``
+    overrides the colr box's enumerated colorspace (default: 17
+    greyscale / 16 sRGB by component count; 18 = sYCC)."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload
 
+    if enumcs is None:
+        enumcs = 17 if ncomp == 1 else 16
     sig = box(b"jP\x20\x20", b"\x0d\x0a\x87\x0a")
     ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
     ihdr = box(
@@ -1382,7 +1451,7 @@ def _jp2_container(codestream: bytes, width: int, height: int,
     )
     colr = box(
         b"colr",
-        bytes([1, 0, 0]) + struct.pack(">I", 17 if ncomp == 1 else 16),
+        bytes([1, 0, 0]) + struct.pack(">I", enumcs),
     )
     jp2h = box(b"jp2h", ihdr + colr)
     return sig + ftyp + jp2h + box(b"jp2c", codestream)
@@ -1405,6 +1474,7 @@ def _encode_jpx_lossy(
     prog: int = 0,
     chroma_quality_bits: int | None = None,
     tile_parts: int = 1,
+    subs: list | None = None,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
@@ -1415,6 +1485,8 @@ def _encode_jpx_lossy(
 
     if quant_style not in ("expounded", "derived"):
         raise JPXError(f"unknown quant_style {quant_style!r}")
+    subs = subs or [(1, 1)] * ncomp
+    external_ycc = False
     if ncomp == 1:
         arr = np.frombuffer(samples, np.uint8).astype(np.float64)
         fcomps = [arr.reshape(height, width) - 128.0]
@@ -1423,7 +1495,11 @@ def _encode_jpx_lossy(
         rgb = (np.frombuffer(samples, np.uint8).astype(np.float64)
                .reshape(height, width, 3) - 128.0)
         use_mct = mct
-        if use_mct:  # ICT forward (T.800 G.2)
+        if use_mct and len(set(subs)) != 1:
+            # unequal separations (4:2:0 etc.): ICT outside the
+            # codestream, MCT off, sYCC signaled in the JP2 colr box
+            use_mct, external_ycc = False, True
+        if use_mct or external_ycc:  # ICT forward (T.800 G.2)
             r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
             fcomps = [
                 0.299 * r_ + 0.587 * g_ + 0.114 * b_,
@@ -1432,27 +1508,30 @@ def _encode_jpx_lossy(
             ]
         else:
             fcomps = [rgb[..., c].copy() for c in range(3)]
+    fcomps = [
+        c[::yr, ::xr] for c, (xr, yr) in zip(fcomps, subs)
+    ]
     xts, yts = tile_size or (width, height)
     if xts <= 0 or yts <= 0:
         raise JPXError("non-positive tile size")
     ntx = (width + xts - 1) // xts
     nty = (height + yts - 1) // yts
 
-    def tile_dims(isot):
+    def comp_box(isot, cc):
         tx, ty = isot % ntx, isot // ntx
-        return (tx * xts, ty * yts,
-                min(xts, width - tx * xts), min(yts, height - ty * yts))
+        return _tile_comp_box(tx, ty, xts, yts, width, height,
+                              *subs[cc])
 
     # forward 9/7 per tile (tiles transform independently)
     tile_coeff: dict = {}
     for isot in range(ntx * nty):
-        ox, oy, tw, th = tile_dims(isot)
-        tile_coeff[isot] = [
-            _dwt97_forward_2d_np(
+        planes = []
+        for cc, c in enumerate(fcomps):
+            ox, oy, tw, th = comp_box(isot, cc)
+            planes.append(_dwt97_forward_2d_np(
                 c[oy:oy + th, ox:ox + tw].copy(), tw, th, levels
-            )
-            for c in fcomps
-        ]
+            ))
+        tile_coeff[isot] = planes
     # per-subband step selection from the cross-tile/component max;
     # band_list geometry varies per tile, so index bands by position
     band_list = []  # (r, name) in QCD order
@@ -1464,16 +1543,16 @@ def _encode_jpx_lossy(
         r, nm = band_list[idx]
         best = 0.0
         for isot in range(ntx * nty):
-            _, _, tw, th = tile_dims(isot)
-            bands = _bands_for_resolution(tw, th, levels, r)
-            nm2, bx, by, bw, bh = bands[
-                0 if r == 0 else ["HL", "LH", "HH"].index(nm)
-            ]
-            if bw <= 0 or bh <= 0:
-                continue
-            sel = (tile_coeff[isot] if comps_sel is None
-                   else [tile_coeff[isot][i] for i in comps_sel])
-            for c in sel:
+            for cc in (range(ncomp) if comps_sel is None
+                       else comps_sel):
+                _, _, tw, th = comp_box(isot, cc)
+                bands = _bands_for_resolution(tw, th, levels, r)
+                nm2, bx, by, bw, bh = bands[
+                    0 if r == 0 else ["HL", "LH", "HH"].index(nm)
+                ]
+                if bw <= 0 or bh <= 0:
+                    continue
+                c = tile_coeff[isot][cc]
                 v = float(np.abs(c[by:by + bh, bx:bx + bw]).max())
                 best = max(best, v)
         return best
@@ -1528,9 +1607,9 @@ def _encode_jpx_lossy(
     tile_res: dict = {}
     comp_maxq = [[0] * len(band_list) for _ in range(ncomp)]
     for isot in range(ntx * nty):
-        _, _, tw, th = tile_dims(isot)
         all_res = []
         for cc, c in enumerate(tile_coeff[isot]):
+            _, _, tw, th = comp_box(isot, cc)
             ip = np.zeros((th, tw), np.int64)
             k = 0
             for r in range(levels + 1):
@@ -1582,8 +1661,8 @@ def _encode_jpx_lossy(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, width, height, 0, 0, xts, yts, 0, 0, ncomp
     )
-    for _ in range(ncomp):
-        siz += bytes([7, 1, 1])
+    for xr, yr in subs:
+        siz += bytes([7, xr, yr])
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     # COD: LRCP, 1 layer, MCT flag, NL levels, 64x64 blocks, 9/7
     if layers < 1:
@@ -1616,7 +1695,8 @@ def _encode_jpx_lossy(
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
-    return _jp2_container(bytes(out), width, height, ncomp)
+    return _jp2_container(bytes(out), width, height, ncomp,
+                          18 if external_ycc else None)
 
 
 # =====================================================================
@@ -1653,12 +1733,16 @@ def _parse_markers(data: bytes):
             if ntiles > 1 << 16:  # Isot is 16-bit
                 raise JPXError("implausible tile count")
             depths = []
+            subs = []
             for c in range(ncomp):
                 ssiz, xr, yr = struct.unpack_from(
                     ">BBB", seg, 36 + 3 * c
                 )
-                if xr != 1 or yr != 1:
-                    raise JPXUnsupported("component subsampling")
+                if xr not in (1, 2, 4) or yr not in (1, 2, 4):
+                    raise JPXUnsupported(
+                        f"component subsampling {xr}x{yr} (1/2/4 only)"
+                    )
+                subs.append((xr, yr))
                 if ssiz & 0x80:
                     raise JPXUnsupported("signed components")
                 depths.append((ssiz & 0x7F) + 1)
@@ -1666,16 +1750,19 @@ def _parse_markers(data: bytes):
                 raise JPXUnsupported("mixed component depths")
             if depths[0] > 16:
                 raise JPXUnsupported("components deeper than 16 bits")
-            # sanity bound BEFORE allocating ncomp*w*h sample planes:
-            # a crafted 60-byte stream must become an error row, not
-            # an executor OOM (the A8 capture can't catch an OOM kill)
+            # sanity bound BEFORE allocating per-component sample
+            # planes: a crafted 60-byte stream must become an error
+            # row, not an executor OOM (the A8 capture can't catch an
+            # OOM kill). Subsampled components are smaller, so the
+            # full-resolution product stays the conservative bound.
             if not (0 < xs and 0 < ys) or xs * ys * max(1, ncomp) > _MAX_PIXELS:
                 raise JPXError(
                     f"image dimensions {xs}x{ys}x{ncomp} exceed the "
                     f"{_MAX_PIXELS}-sample decode bound"
                 )
             hdr.update(width=xs, height=ys, ncomp=ncomp,
-                       depth=depths[0], tile_w=xts, tile_h=yts)
+                       depth=depths[0], tile_w=xts, tile_h=yts,
+                       subs=subs)
         elif marker == 0x52:  # COD
             scod = seg[0]
             if scod & 0x01:
@@ -1860,12 +1947,26 @@ def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
 
 def decode_codestream(data: bytes):
     """Decode a raw JPEG 2000 codestream → (width, height, ncomp,
-    list of per-component sample planes, depth)."""
+    list of per-component sample planes, depth, mct, irreversible,
+    subs). Subsampled components come back at their OWN (smaller)
+    dimensions — ceil(w/XRsiz) x ceil(h/YRsiz) — with ``subs`` the
+    per-component (XRsiz, YRsiz) list; the caller maps them onto the
+    reference grid (T.800 B.2: grid point (x, y) reads component
+    sample (floor(x/XRsiz), floor(y/YRsiz)))."""
     hdr = _parse_markers(data)
     if "width" not in hdr or "levels" not in hdr or "qstyle" not in hdr:
         raise JPXError("main header missing SIZ, COD or QCD")
     w, h = hdr["width"], hdr["height"]
     ncomp, levels = hdr["ncomp"], hdr["levels"]
+    subs = hdr.get("subs") or [(1, 1)] * ncomp
+    comp_dims = [(-(-w // xr), -(-h // yr)) for xr, yr in subs]
+    # T.800 constrains the component transformation to components
+    # 0-2 with identical separations — a stream signaling MCT over
+    # mixed-subsampling components is malformed, not a regime
+    if hdr["mct"] and ncomp >= 3 and len(set(subs[:3])) != 1:
+        raise JPXError(
+            "MCT signaled over components with different subsampling"
+        )
     if hdr["cb_exp"] != (_CB_EXP, _CB_EXP):
         raise JPXUnsupported(
             f"code-block size {hdr['cb_exp']} (engine uses 64x64)"
@@ -1971,13 +2072,31 @@ def decode_codestream(data: bytes):
             "components exceeds the stream's packet budget"
         )
 
-    def decode_tile_planes(buf: bytes, tw: int, th: int):
+    def tile_comp_boxes(tx: int, ty: int):
+        """Per-component (tcx0, tcy0, tcw, tch) of tile (tx, ty) in
+        component coordinates (B.3: tile edges divide by XRsiz/YRsiz
+        with ceilings; offsets are zero here)."""
+        boxes = []
+        for xr, yr in subs:
+            tcx0 = -(-(tx * xts) // xr)
+            tcy0 = -(-(ty * yts) // yr)
+            tcx1 = -(-min((tx + 1) * xts, w) // xr)
+            tcy1 = -(-min((ty + 1) * yts, h) // yr)
+            boxes.append((tcx0, tcy0, tcx1 - tcx0, tcy1 - tcy0))
+        return boxes
+
+    def decode_tile_planes(buf: bytes, boxes: list):
         pos = 0
-        planes = [np.zeros((th, tw), np.int64) for _ in range(ncomp)]
+        planes = [
+            np.zeros((tch, tcw), np.int64)
+            for (_, _, tcw, tch) in boxes
+        ]
         order = _prog_order(prog, layers, levels, ncomp)
         states = {
             (r, c): _ResolutionState(
-                _bands_for_resolution(tw, th, levels, r),
+                _bands_for_resolution(
+                    boxes[c][2], boxes[c][3], levels, r
+                ),
                 qcd_index[(r, c)],
             )
             for r in range(levels + 1) for c in range(ncomp)
@@ -2026,33 +2145,34 @@ def decode_codestream(data: bytes):
         if [tp for tp, _ in plist] != list(range(len(plist))):
             raise JPXError(f"tile {isot} tile-parts not contiguous")
         tx, ty = isot % ntx, isot // ntx
-        tw = min(xts, w - tx * xts)
-        th = min(yts, h - ty * yts)
         tiles[isot] = decode_tile_planes(
-            b"".join(b for _, b in plist), tw, th
+            b"".join(b for _, b in plist), tile_comp_boxes(tx, ty)
         )
     if len(tiles) != ntiles:
         raise JPXError(
             f"codestream has {len(tiles)} of {ntiles} tiles"
         )
-    # per-tile inverse transform, assembled into the image planes
+    # per-tile inverse transform, assembled into the (component-
+    # resolution) image planes
     out_comps = []
     dtype = np.int64 if transform == 1 else np.float64
     for c in range(ncomp):
-        img = np.zeros((h, w), dtype)
+        cw_c, ch_c = comp_dims[c]
+        img = np.zeros((ch_c, cw_c), dtype)
         for isot, tplanes in tiles.items():
             tx, ty = isot % ntx, isot // ntx
-            tw = min(xts, w - tx * xts)
-            th = min(yts, h - ty * yts)
+            tcx0, tcy0, tcw, tch = tile_comp_boxes(tx, ty)[c]
+            if tcw <= 0 or tch <= 0:
+                continue
             p = tplanes[c]
             if transform == 1:
-                rec = _dwt53_inverse_2d_np(p, tw, th, levels)
+                rec = _dwt53_inverse_2d_np(p, tcw, tch, levels)
             else:
                 # scalar dequantization (E.1.1, midpoint r = 1/2)
-                f = np.zeros((th, tw), np.float64)
+                f = np.zeros((tch, tcw), np.float64)
                 for r in range(levels + 1):
                     for (nm, bx, by, bw, bh), dl in zip(
-                        _bands_for_resolution(tw, th, levels, r),
+                        _bands_for_resolution(tcw, tch, levels, r),
                         deltas[(r, c)],
                     ):
                         if bw <= 0 or bh <= 0:
@@ -2061,21 +2181,42 @@ def decode_codestream(data: bytes):
                         f[by:by + bh, bx:bx + bw] = (
                             np.sign(q) * (np.abs(q) + 0.5) * dl
                         )
-                rec = _dwt97_inverse_2d_np(f, tw, th, levels)
-            img[ty * yts:ty * yts + th, tx * xts:tx * xts + tw] = rec
+                rec = _dwt97_inverse_2d_np(f, tcw, tch, levels)
+            img[tcy0:tcy0 + tch, tcx0:tcx0 + tcw] = rec
         out_comps.append(img)
     return (w, h, ncomp, out_comps, depth, bool(hdr["mct"]),
-            transform == 0)
+            transform == 0, subs)
 
-def _unwrap_jp2(data: bytes) -> bytes:
-    """Extract the contiguous codestream from a JP2 container (or
-    return `data` unchanged if it already starts with SOC)."""
+def _unwrap_jp2_info(data: bytes) -> tuple:
+    """Extract the contiguous codestream from a JP2 container plus
+    the colr box's EnumCS (16 sRGB / 17 grey / 18 sYCC; None when
+    absent or when `data` is already a raw codestream)."""
     if data[:2] == b"\xff\x4f":
-        return data
+        return data, None
     if data[:4] != b"\x00\x00\x00\x0c" or data[4:8] != b"jP\x20\x20":
         raise JPXError("neither a JPEG 2000 codestream nor a JP2 file")
     pos = 0
     n = len(data)
+    enumcs = None
+
+    def scan_colr(payload: bytes) -> None:
+        nonlocal enumcs
+        at = 0
+        while at + 8 <= len(payload):
+            bl = struct.unpack_from(">I", payload, at)[0]
+            bt = payload[at + 4 : at + 8]
+            body = at + 8
+            if bl == 1:
+                bl = struct.unpack_from(">Q", payload, at + 8)[0]
+                body = at + 16
+            if bl == 0:
+                bl = len(payload) - at
+            if bl < 8:
+                return
+            if bt == b"colr" and payload[body] == 1 and enumcs is None:
+                enumcs = struct.unpack_from(">I", payload, body + 3)[0]
+            at += bl
+
     while pos + 8 <= n:
         ln = struct.unpack_from(">I", data, pos)[0]
         btype = data[pos + 4 : pos + 8]
@@ -2085,22 +2226,37 @@ def _unwrap_jp2(data: bytes) -> bytes:
             payload_at = pos + 16
         if ln == 0:
             ln = n - pos
+        if btype == b"jp2h":
+            scan_colr(data[payload_at : pos + ln])
         if btype == b"jp2c":
-            return data[payload_at : pos + ln]
+            return data[payload_at : pos + ln], enumcs
         pos += ln
     raise JPXError("JP2 container has no codestream box")
+
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """Extract the contiguous codestream from a JP2 container (or
+    return `data` unchanged if it already starts with SOC)."""
+    return _unwrap_jp2_info(data)[0]
 
 
 def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
     """/JPXDecode entry: decode a JP2 file or raw codestream to
     ``(width, height, samples)`` — 8-bit gray, or interleaved RGB
     when the stream carries 3 components (RCT undone when signaled).
-    Matches :func:`sources.jpeg.decode_jpeg`'s output shape."""
+    Matches :func:`sources.jpeg.decode_jpeg`'s output shape.
+
+    Subsampled components (the real-world 4:2:0 / 4:2:2 chroma
+    shapes) are mapped onto the reference grid by sample replication
+    (T.800 B.2: grid (x, y) reads component (x//XRsiz, y//YRsiz)).
+    Such streams carry YCbCr transformed OUTSIDE the codestream (MCT
+    is spec-limited to equal separations), signaled by the JP2 colr
+    box — EnumCS 18 (sYCC) triggers the inverse ICT here; a raw
+    codestream or an sRGB colr leaves samples untouched."""
     import numpy as np
 
-    w, h, ncomp, comps, depth, mct, irrev = decode_codestream(
-        _unwrap_jp2(data)
-    )
+    cs, enumcs = _unwrap_jp2_info(data)
+    w, h, ncomp, comps, depth, mct, irrev, subs = decode_codestream(cs)
     shift = 1 << (depth - 1)
     top = (1 << depth) - 1
     if ncomp >= 3 and mct:
@@ -2116,9 +2272,31 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
             yy, uu, vv = comps[0], comps[1], comps[2]
             g = yy - ((uu + vv) >> 2)
             comps = [vv + g, g, uu + g]  # R, G, B
+
+    def upsample(plane, xr, yr):
+        if yr != 1:
+            plane = np.repeat(plane, yr, axis=0)
+        if xr != 1:
+            plane = np.repeat(plane, xr, axis=1)
+        return plane[:h, :w]
+
+    comps = [upsample(p, xr, yr) for p, (xr, yr) in zip(comps, subs)]
+    if ncomp >= 3 and not mct and enumcs == 18:
+        # external sYCC (components are centered YCbCr): same inverse
+        # as the ICT, applied after the reference-grid mapping
+        yy = comps[0].astype(np.float64)
+        cb = comps[1].astype(np.float64)
+        cr = comps[2].astype(np.float64)
+        comps = [
+            yy + 1.402 * cr,
+            yy - (0.114 * 1.772 / 0.587) * cb
+            - (0.299 * 1.402 / 0.587) * cr,
+            yy + 1.772 * cb,
+        ]
+
     def to_u8(plane):
         v = plane + shift
-        if irrev:
+        if plane.dtype.kind == "f":
             v = np.rint(v)
         if depth != 8:
             v = np.round(v * (255 / top)).astype(np.int64)

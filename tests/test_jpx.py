@@ -436,3 +436,169 @@ class TestCraftedStreamBudgets:
         data[cod_at + 2 + 2 + 5] = 255  # levels > 32
         with pytest.raises(JPXError):
             decode_jpx(bytes(data))
+
+
+class TestSubsampling:
+    """Component subsampling (SIZ XRsiz/YRsiz) — the 4:2:0 / 4:2:2
+    chroma shapes real lossy scanner and camera JPX payloads use.
+    Expected pixels are computed with an INDEPENDENT numpy replica
+    of the T.800 B.2 reference-grid mapping (decimate by the
+    top-left rule, upsample by replication), so a mapping bug in
+    the codec cannot hide behind a self-round-trip."""
+
+    SUBS_420 = ((1, 1), (2, 2), (2, 2))
+
+    @staticmethod
+    def _replica(rgb, subs):
+        import numpy as np
+
+        h, w, _ = rgb.shape
+        out = np.empty_like(rgb)
+        for c, (xr, yr) in enumerate(subs):
+            d = rgb[..., c][::yr, ::xr]
+            out[..., c] = np.repeat(
+                np.repeat(d, yr, axis=0), xr, axis=1
+            )[:h, :w]
+        return out
+
+    @pytest.mark.parametrize("subs", [
+        ((1, 1), (2, 2), (2, 2)),   # 4:2:0
+        ((1, 1), (2, 1), (2, 1)),   # 4:2:2
+        ((1, 1), (4, 4), (4, 4)),   # aggressive chroma decimation
+    ])
+    def test_passthrough_lossless_exact(self, subs):
+        import numpy as np
+
+        rng = np.random.default_rng(sum(s[0] + s[1] for s in subs))
+        w, h = 37, 29
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        cs = encode_jpx(w, h, rgb.tobytes(), 3, levels=2, mct=False,
+                        subsampling=subs)
+        dw, dh, px = decode_jpx(cs)
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got, self._replica(rgb, subs))
+
+    def test_external_sycc_lossless_exact(self):
+        """mct=True + unequal subsampling → external ICT with the
+        sYCC colr box; decode inverts it bitwise (replica computes
+        the rounded forward/inverse chain independently)."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        w, h = 33, 21
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        jp = encode_jpx(w, h, rgb.tobytes(), 3, levels=2, mct=True,
+                        jp2=True, subsampling=self.SUBS_420)
+        dw, dh, px = decode_jpx(jp)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+
+        cen = rgb.astype(np.float64) - 128.0
+        r_, g_, b_ = cen[..., 0], cen[..., 1], cen[..., 2]
+        planes = [
+            np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+            np.round(-0.16875 * r_ - 0.33126 * g_ + 0.5 * b_),
+            np.round(0.5 * r_ - 0.41869 * g_ - 0.08131 * b_),
+        ]
+        ups = [
+            np.repeat(np.repeat(p[::yr, ::xr], yr, axis=0),
+                      xr, axis=1)[:h, :w]
+            for p, (xr, yr) in zip(planes, self.SUBS_420)
+        ]
+        yy, cb, cr = ups
+        exp = np.clip(np.rint(np.stack([
+            yy + 1.402 * cr,
+            yy - (0.114 * 1.772 / 0.587) * cb
+            - (0.299 * 1.402 / 0.587) * cr,
+            yy + 1.772 * cb,
+        ], axis=-1)) + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(got, exp)
+
+    def test_sycc_requires_colr18(self):
+        """A RAW codestream (no JP2 colr box) with subsampled
+        components must come back untransformed — the inverse ICT
+        keys on EnumCS 18, never on a heuristic."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        w, h = 16, 12
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        raw = encode_jpx(w, h, rgb.tobytes(), 3, levels=1, mct=False,
+                         subsampling=self.SUBS_420)
+        srgb = encode_jpx(w, h, rgb.tobytes(), 3, levels=1, mct=False,
+                          jp2=True, subsampling=self.SUBS_420)
+        assert decode_jpx(raw)[2] == decode_jpx(srgb)[2]
+
+    def test_lossy_420_close_to_decimated_replica(self):
+        import numpy as np
+
+        w, h = 48, 40
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        sm = np.stack([(xx * 3 + yy * 2) % 256, (xx * 5) % 256,
+                       (yy * 7) % 256], -1).astype(np.uint8)
+        jl = encode_jpx(w, h, sm.tobytes(), 3, levels=2, mct=True,
+                        jp2=True, irreversible=True, quality_bits=10,
+                        subsampling=self.SUBS_420)
+        got = np.frombuffer(decode_jpx(jl)[2], np.uint8).reshape(
+            h, w, 3
+        ).astype(np.int64)
+
+        cen = sm.astype(np.float64) - 128.0
+        r_, g_, b_ = cen[..., 0], cen[..., 1], cen[..., 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.16875 * r_ - 0.33126 * g_ + 0.5 * b_,
+            0.5 * r_ - 0.41869 * g_ - 0.08131 * b_,
+        ]
+        ups = [
+            np.repeat(np.repeat(p[::yr, ::xr], yr, axis=0),
+                      xr, axis=1)[:h, :w]
+            for p, (xr, yr) in zip(planes, self.SUBS_420)
+        ]
+        yy2, cb, cr = ups
+        exp = np.clip(np.rint(np.stack([
+            yy2 + 1.402 * cr,
+            yy2 - (0.114 * 1.772 / 0.587) * cb
+            - (0.299 * 1.402 / 0.587) * cr,
+            yy2 + 1.772 * cb,
+        ], axis=-1)) + 128, 0, 255).astype(np.int64)
+        assert np.abs(got - exp).max() <= 2
+
+    def test_tiled_subsampled_exact(self):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        w, h = 37, 29
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        cs = encode_jpx(w, h, rgb.tobytes(), 3, levels=2, mct=False,
+                        tile_size=(16, 16), subsampling=self.SUBS_420)
+        got = np.frombuffer(decode_jpx(cs)[2], np.uint8).reshape(
+            h, w, 3
+        )
+        assert np.array_equal(got, self._replica(rgb, self.SUBS_420))
+
+    def test_mct_with_unequal_subsampling_malformed(self):
+        """A stream SIGNALING in-codestream MCT over mixed
+        separations violates T.800's MCT constraint → JPXError."""
+        data = bytearray(
+            encode_jpx(16, 12, bytes(16 * 12 * 3), 3, levels=1,
+                       mct=False, subsampling=self.SUBS_420)
+        )
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 2 + 2 + 4] = 1  # flip SGcod's MCT byte on
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
+
+    def test_unsupported_factor_named(self):
+        data = bytearray(encode_jpx(8, 8, bytes(64), 1, levels=1))
+        siz_at = bytes(data).index(b"\xff\x51")
+        data[siz_at + 4 + 36 + 1] = 3  # XRsiz = 3
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(data))
+
+    def test_bad_encoder_subsampling_rejected(self):
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(8 * 8 * 3), 3,
+                       subsampling=((1, 1), (3, 1), (1, 1)))
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, subsampling=((2, 2),) * 3)
