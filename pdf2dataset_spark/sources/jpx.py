@@ -11,8 +11,10 @@ reversible (lossless) path with zero native deps:
   SOC/SIZ/COD/QCD/COC/QCC/SOT/SOD/EOC markers.
 - **Tier-2**: packet headers with inclusion + zero-bitplane tag
   trees (B.10), coding-pass counts, Lblock length signaling;
-  single-layer LRCP/RLCP/RPCL packet iteration over default
-  (subband-wide) precincts.
+  packet iteration in all five progression orders over default OR
+  non-default precincts (B.6/B.12 — per-precinct tag trees,
+  position-correct RPCL/PCRL/CPRL anchor stepping; precinct sizes
+  down to the 64x64 code block).
 - **Tier-1 (EBCOT, Annex D)**: MQ bit-plane coding — significance
   propagation, magnitude refinement and cleanup passes with the
   standard context tables (the MQ coder itself is
@@ -33,12 +35,18 @@ reversible (lossless) path with zero native deps:
 
 Also in scope: multiple TILES (independently transformed, raster
 Isot order), multiple TILE-PARTS per tile (bodies concatenated in
-TPsot order) and the SOP/EPH resync markers (A.8). Out of scope, surfaced as named :class:`JPXUnsupported`
-errors (the compressed payload is preserved by the caller either
-way): non-default precincts, arithmetic-bypass/termall/reset
-code-block options, and ROI shifts. Multiple QUALITY LAYERS decode in all five progression
-orders (per-precinct inclusion state persists across layers,
-chunks concatenating into each block's single MQ stream).
+TPsot order), the SOP/EPH resync markers (A.8), COMPONENT
+SUBSAMPLING (SIZ XRsiz/YRsiz in {1, 2, 4} — the real-world 4:2:0 /
+4:2:2 chroma shapes; subsampled components decode at their own
+dimensions and map onto the reference grid by replication per B.2,
+with the external sYCC transform inverted when the JP2 colr box
+signals EnumCS 18), and multiple QUALITY LAYERS in all five
+progression orders (per-precinct inclusion state persists across
+layers, chunks concatenating into each block's single MQ stream).
+Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
+compressed payload is preserved by the caller either way):
+precincts small enough to split the 64x64 code block,
+arithmetic-bypass/termall/reset code-block options, and ROI shifts.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1090,69 +1098,197 @@ def _encode_tile_component(plane, w: int, h: int, levels: int):
     return resolutions, exps
 
 
-def _prog_order(prog: int, layers: int, levels: int, ncomp: int):
-    """Packet (layer, resolution, component) iteration for the five
-    progression orders with one precinct per (r, c) (B.12) — shared
-    by the decoder and the fixture encoder."""
-    rng_l, rng_r, rng_c = range(layers), range(levels + 1), range(ncomp)
+def _precinct_info(comp_tile_dims: list, levels: int,
+                   precincts: list | None, subs: list) -> dict:
+    """Per-(resolution, component) precinct layout for one tile:
+    ``pinfo[(r, c)] = (npx, npy, step_x, step_y, ppx, ppy)`` where
+    npx x npy is the precinct grid over the resolution-r grid
+    (B.6 — 2^PPx x 2^PPy cells anchored at 0; ``precincts`` None
+    means the default 2^15, i.e. one precinct) and step_x/step_y are
+    the precinct anchor strides on the REFERENCE grid (component
+    separation x 2^(PPx + levels - r)) that the position-dependent
+    progression orders iterate (B.12)."""
+    pinfo = {}
+    for c, (tcw, tch) in enumerate(comp_tile_dims):
+        xr, yr = subs[c]
+        for r in range(levels + 1):
+            ppx, ppy = (15, 15) if precincts is None else precincts[r]
+            s = levels - r
+            rw = -(-tcw // (1 << s)) if tcw > 0 else 0
+            rh = -(-tch // (1 << s)) if tch > 0 else 0
+            npx = max(1, -(-rw // (1 << ppx)))
+            npy = max(1, -(-rh // (1 << ppy)))
+            pinfo[(r, c)] = (npx, npy, xr << (ppx + s),
+                             yr << (ppy + s), ppx, ppy)
+    return pinfo
+
+
+def _precinct_band_windows(band_dims: list, r: int, ppx: int,
+                           ppy: int, pxi: int, pyi: int) -> list:
+    """Precinct (pxi, pyi)'s window in each band's LOCAL coordinates:
+    per (bw, bh) in ``band_dims``, an (x0, y0, x1, y1) clamped to the
+    band. Resolution-grid precinct cells map to band cells at half
+    scale for r > 0 (the bands sit one decomposition below the
+    resolution grid); the engine's precinct floor (PPx >= 7 for
+    r > 0, >= 6 at r = 0) keeps every window 64-aligned so code
+    blocks are never split."""
+    scale = 0 if r == 0 else 1
+    pw = 1 << (ppx - scale)
+    ph = 1 << (ppy - scale)
+    out = []
+    for bw, bh in band_dims:
+        x0 = min(pxi * pw, bw)
+        y0 = min(pyi * ph, bh)
+        out.append((x0, y0, min(x0 + pw, bw), min(y0 + ph, bh)))
+    return out
+
+
+def _precinct_codeblocks(bw: int, bh: int, win: tuple) -> list:
+    """Code blocks of one band inside a precinct window: global grid
+    indices plus LOCAL tag-tree indices —
+    (gx, gy, lx, ly, x, y, cw, ch). The global 64-grid is anchored at
+    the band origin; windows are 64-aligned, so the local grid is a
+    contiguous sub-rectangle of it."""
+    x0, y0, x1, y1 = win
+    if x1 <= x0 or y1 <= y0:
+        return []
+    cb = 1 << _CB_EXP
+    gx0, gy0 = x0 >> _CB_EXP, y0 >> _CB_EXP
+    out = []
+    for ly, y in enumerate(range(y0, y1, cb)):
+        for lx, x in enumerate(range(x0, x1, cb)):
+            out.append((gx0 + lx, gy0 + ly, lx, ly, x, y,
+                        min(cb, x1 - x), min(cb, y1 - y)))
+    return out
+
+
+def _packet_order(prog: int, layers: int, levels: int, ncomp: int,
+                  pinfo: dict) -> list:
+    """Packet (layer, resolution, component, precinct) sequence for
+    the five progression orders (B.12) with zero tile/image offsets:
+    precinct anchors sit at multiples of their reference-grid stride,
+    so the position-dependent orders (RPCL/PCRL/CPRL) reduce to
+    sorting anchor events by the B.12 loop nesting. With one precinct
+    everywhere this reproduces the classic (l, r, c) nestings
+    bit-for-bit."""
+    events = []  # (r, c, p, x, y)
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            npx, npy, sx, sy = pinfo[(r, c)][:4]
+            for pyi in range(npy):
+                for pxi in range(npx):
+                    events.append(
+                        (r, c, pyi * npx + pxi, pxi * sx, pyi * sy)
+                    )
+    rng_l = range(layers)
     if prog == 0:    # LRCP
-        return [(l, r, c) for l in rng_l for r in rng_r for c in rng_c]
+        ev = sorted(events, key=lambda e: (e[0], e[1], e[2]))
+        return [(l, r, c, p) for l in rng_l for (r, c, p, _, _) in ev]
     if prog == 1:    # RLCP
-        return [(l, r, c) for r in rng_r for l in rng_l for c in rng_c]
-    if prog == 2:    # RPCL
-        return [(l, r, c) for r in rng_r for c in rng_c for l in rng_l]
-    # PCRL, CPRL: component-major
-    return [(l, r, c) for c in rng_c for r in rng_r for l in rng_l]
+        ev = sorted(events, key=lambda e: (e[0], e[1], e[2]))
+        out = []
+        for rr in range(levels + 1):
+            evr = [e for e in ev if e[0] == rr]
+            for l in rng_l:
+                out.extend((l, rr, c, p) for (_, c, p, _, _) in evr)
+        return out
+    if prog == 2:    # RPCL: resolution, position (y, x), component
+        ev = sorted(events, key=lambda e: (e[0], e[4], e[3], e[1]))
+    elif prog == 3:  # PCRL: position, component, resolution
+        ev = sorted(events, key=lambda e: (e[4], e[3], e[1], e[0]))
+    else:            # CPRL: component, position, resolution
+        ev = sorted(events, key=lambda e: (e[1], e[4], e[3], e[0]))
+    return [(l, r, c, p) for (r, c, p, _, _) in ev for l in rng_l]
 
 
 def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
-                  sop: bool, eph: bool, prog: int = 0) -> list:
+                  sop: bool, eph: bool, prog: int = 0,
+                  pinfo: dict | None = None) -> list:
     """Build one tile's packets (list of byte strings, SOP markers
     attached): code blocks are assigned round-robin to quality layers
-    (first-inclusion layer), packets iterate in ``prog`` order. At
-    ``layers=1`` LRCP the concatenation is bit-identical to the
-    original single-layer builder."""
+    (first-inclusion layer), packets iterate in ``prog`` order over
+    the precinct grid in ``pinfo`` (default: one precinct per
+    (r, c)). At ``layers=1`` LRCP with default precincts the
+    concatenation is bit-identical to the original single-layer
+    builder (tag-tree coordinates are precinct-local, which for one
+    precinct IS the band grid)."""
     ncomp = len(all_res)
+    if pinfo is None:
+        pinfo = {
+            (r, c): (1, 1, 1 << 30, 1 << 30, 15, 15)
+            for r in range(levels + 1) for c in range(ncomp)
+        }
     counter = 0
     states: dict = {}
     for r in range(levels + 1):
         for c in range(ncomp):
-            per = []
-            for bi, (name, bw, bh, blocks) in enumerate(all_res[c][r]):
-                if not blocks:
-                    per.append(None)
-                    continue
-                gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
-                gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
-                mb = mbs_by_cr[c][r][bi]
-                fl = {}
-                incl_vals = {}
-                zbp_vals = {}
-                for gx, gy, data, npasses, nplanes in blocks:
-                    if npasses:
-                        fl[(gx, gy)] = counter % layers
-                        counter += 1
-                    else:  # all-zero block: never included
-                        fl[(gx, gy)] = layers
-                    incl_vals[(gx, gy)] = fl[(gx, gy)]
-                    zbp_vals[(gx, gy)] = (mb - nplanes) if npasses else 0
-                per.append({
-                    "blocks": blocks,
-                    "incl": TagTreeEncoder(gw, gh, incl_vals),
-                    "zbp": TagTreeEncoder(gw, gh, zbp_vals),
-                    "lblock": {},
-                    "mb": mb,
-                    "fl": fl,
-                })
-            states[(r, c)] = per
+            npx, npy, _, _, ppx, ppy = pinfo[(r, c)]
+            band_dims = [(bw, bh) for _, bw, bh, _ in all_res[c][r]]
+            plist = []
+            for pyi in range(npy):
+                for pxi in range(npx):
+                    wins = _precinct_band_windows(
+                        band_dims, r, ppx, ppy, pxi, pyi
+                    )
+                    per = []
+                    for bi, (name, bw, bh, blocks) in enumerate(
+                        all_res[c][r]
+                    ):
+                        x0, y0, x1, y1 = wins[bi]
+                        if x1 <= x0 or y1 <= y0 or not blocks:
+                            per.append(None)
+                            continue
+                        gx0, gy0 = x0 >> _CB_EXP, y0 >> _CB_EXP
+                        gx1 = (x1 + (1 << _CB_EXP) - 1) >> _CB_EXP
+                        gy1 = (y1 + (1 << _CB_EXP) - 1) >> _CB_EXP
+                        # precinct-local block list, local tag coords
+                        sel = [
+                            (gx - gx0, gy - gy0, data, np_, nb)
+                            for gx, gy, data, np_, nb in blocks
+                            if gx0 <= gx < gx1 and gy0 <= gy < gy1
+                        ]
+                        if not sel:
+                            per.append(None)
+                            continue
+                        mb = mbs_by_cr[c][r][bi]
+                        fl = {}
+                        incl_vals = {}
+                        zbp_vals = {}
+                        for lx, ly, data, npasses, nplanes in sel:
+                            if npasses:
+                                fl[(lx, ly)] = counter % layers
+                                counter += 1
+                            else:  # all-zero block: never included
+                                fl[(lx, ly)] = layers
+                            incl_vals[(lx, ly)] = fl[(lx, ly)]
+                            zbp_vals[(lx, ly)] = (
+                                (mb - nplanes) if npasses else 0
+                            )
+                        per.append({
+                            "blocks": sel,
+                            "incl": TagTreeEncoder(
+                                gx1 - gx0, gy1 - gy0, incl_vals
+                            ),
+                            "zbp": TagTreeEncoder(
+                                gx1 - gx0, gy1 - gy0, zbp_vals
+                            ),
+                            "lblock": {},
+                            "mb": mb,
+                            "fl": fl,
+                        })
+                    plist.append(per)
+            states[(r, c)] = plist
     packets = []
     nsop = 0
-    for l, r, c in _prog_order(prog, layers, levels, ncomp):
+    for l, r, c, p in _packet_order(prog, layers, levels, ncomp,
+                                    pinfo):
         pkt = b""
         if sop:
             pkt += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
         nsop += 1
-        packets.append(pkt + _build_packet_layer(states[(r, c)], l, eph))
+        packets.append(
+            pkt + _build_packet_layer(states[(r, c)][p], l, eph)
+        )
     return packets
 
 
@@ -1225,6 +1361,32 @@ def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
     return hw.flush() + eph_m + bytes(body)
 
 
+def _check_precincts(precincts, levels: int) -> list | None:
+    """Normalize an encoder precinct spec: a single (PPx, PPy) pair
+    applies to every resolution; a list gives one pair per
+    resolution (r = 0 first). Enforces the engine's precinct floor
+    (>= 2^7 for r > 0, >= 2^6 at r = 0 — windows stay 64-aligned)
+    and the 4-bit field range."""
+    if precincts is None:
+        return None
+    if (len(precincts) == 2
+            and all(isinstance(v, int) for v in precincts)):
+        precincts = [tuple(precincts)] * (levels + 1)
+    precincts = [tuple(p) for p in precincts]
+    if len(precincts) != levels + 1:
+        raise JPXError("precincts must list every resolution")
+    for r, (ppx, ppy) in enumerate(precincts):
+        if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
+            raise JPXError(f"precinct exponents {ppx}/{ppy} out of range")
+        floor_exp = _CB_EXP if r == 0 else _CB_EXP + 1
+        if ppx < floor_exp or ppy < floor_exp:
+            raise JPXError(
+                f"precinct size 2^{ppx}x2^{ppy} at resolution {r} "
+                "would split the 64x64 code block"
+            )
+    return precincts
+
+
 def _check_subsampling(subsampling, ncomp: int) -> list:
     """Validate a per-component (XRsiz, YRsiz) list → normalized."""
     if subsampling is None:
@@ -1274,6 +1436,7 @@ def encode_jpx(
     chroma_quality_bits: int | None = None,
     tile_parts: int = 1,
     subsampling: tuple | None = None,
+    precincts: tuple | list | None = None,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1305,11 +1468,12 @@ def encode_jpx(
         raise JPXError("sample buffer does not match dimensions")
     levels = max(0, min(levels, 32))
     subs = _check_subsampling(subsampling, ncomp)
+    precincts = _check_precincts(precincts, levels)
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
-            prog, chroma_quality_bits, tile_parts, subs,
+            prog, chroma_quality_bits, tile_parts, subs, precincts,
         )
     external_ycc = False
     comps = []
@@ -1376,9 +1540,13 @@ def encode_jpx(
     if not 0 <= prog <= 4:
         raise JPXError("bad progression order")
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    if precincts is not None:
+        scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
     )
+    if precincts is not None:
+        cod += bytes(ppx | (ppy << 4) for ppx, ppy in precincts)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     # encode every tile first (QCD + zero-bitplane signaling need the
     # per-band exponents max-merged across components AND tiles)
@@ -1420,10 +1588,16 @@ def encode_jpx(
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
+        tx, ty = isot % ntx, isot // ntx
+        pinfo = _precinct_info(
+            [_tile_comp_box(tx, ty, xts, yts, width, height,
+                            xr, yr)[2:] for xr, yr in subs],
+            levels, precincts, subs,
+        )
         _emit_tile(
             out, isot,
             _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
-                          sop, eph, prog),
+                          sop, eph, prog, pinfo),
             tile_parts,
         )
     out += b"\xff\xd9"  # EOC
@@ -1475,6 +1649,7 @@ def _encode_jpx_lossy(
     chroma_quality_bits: int | None = None,
     tile_parts: int = 1,
     subs: list | None = None,
+    precincts: list | None = None,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
@@ -1670,9 +1845,13 @@ def _encode_jpx_lossy(
     if not 0 <= prog <= 4:
         raise JPXError("bad progression order")
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    if precincts is not None:
+        scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 0]
     )
+    if precincts is not None:
+        cod += bytes(ppx | (ppy << 4) for ppx, ppy in precincts)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     style = 1 if quant_style == "derived" else 2
     qcd = bytes([(comp_guard[0] << 5) | style]) + b"".join(
@@ -1686,10 +1865,14 @@ def _encode_jpx_lossy(
                               for e, mu in comp_pairs[cc]))
             out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
     for isot in range(ntx * nty):
+        pinfo = _precinct_info(
+            [comp_box(isot, cc)[2:] for cc in range(ncomp)],
+            levels, precincts, subs,
+        )
         _emit_tile(
             out, isot,
             _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
-                          sop, eph, prog),
+                          sop, eph, prog, pinfo),
             tile_parts,
         )
     out += b"\xff\xd9"  # EOC
@@ -1765,8 +1948,6 @@ def _parse_markers(data: bytes):
                        subs=subs)
         elif marker == 0x52:  # COD
             scod = seg[0]
-            if scod & 0x01:
-                raise JPXUnsupported("non-default precincts")
             prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
             mct = seg[4]
             if layers < 1:
@@ -1784,10 +1965,28 @@ def _parse_markers(data: bytes):
             transform = seg[9]
             if transform not in (0, 1):
                 raise JPXError(f"bad wavelet transform byte {transform}")
+            precincts = None
+            if scod & 0x01:  # per-resolution precinct sizes (B.6)
+                pp = seg[10:10 + levels + 1]
+                if len(pp) < levels + 1:
+                    raise JPXError("COD precinct byte list truncated")
+                precincts = [(b & 0x0F, b >> 4) for b in pp]
+                for r, (ppx, ppy) in enumerate(precincts):
+                    # the engine's 64x64 code blocks must not be
+                    # SPLIT by precinct boundaries (band-domain
+                    # precinct dims are halved for r > 0)
+                    floor_exp = _CB_EXP if r == 0 else _CB_EXP + 1
+                    if ppx < floor_exp or ppy < floor_exp:
+                        raise JPXUnsupported(
+                            f"precinct size 2^{ppx}x2^{ppy} at "
+                            f"resolution {r} splits the 64x64 code "
+                            "block"
+                        )
             hdr.update(
                 prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
                 transform=transform, layers=layers,
                 sop=bool(scod & 0x02), eph=bool(scod & 0x04),
+                precincts=precincts,
             )
         elif marker == 0x5C:  # QCD
             style = seg[0] & 0x1F
@@ -1835,24 +2034,35 @@ def _parse_markers(data: bytes):
 
 
 class _ResolutionState:
-    """Per-(tile, component, resolution) precinct decoding state
+    """Per-(tile, component, resolution, PRECINCT) decoding state
     persisting across quality layers (B.10): inclusion and
-    zero-bitplane tag trees, Lblock, and the accumulated coding-pass
-    chunks per code block (default single-codeword-segment style:
-    per-layer chunks concatenate into one MQ stream)."""
+    zero-bitplane tag trees (precinct-local grids), Lblock, and the
+    accumulated coding-pass chunks per code block (default
+    single-codeword-segment style: per-layer chunks concatenate into
+    one MQ stream). ``wins`` gives this precinct's window in each
+    band's local coordinates; the default single-precinct layout
+    passes the full band."""
 
     __slots__ = ("bands", "mbs", "per_band")
 
-    def __init__(self, bands, mbs: list):
+    def __init__(self, bands, mbs: list, wins: list | None = None):
         self.bands = bands
         self.mbs = mbs
         self.per_band = []
-        for (name, bx, by, bw, bh), mb in zip(bands, mbs):
-            if bw <= 0 or bh <= 0:
+        if wins is None:
+            wins = [(0, 0, bw, bh) for (_, _, _, bw, bh) in bands]
+        for (name, bx, by, bw, bh), mb, win in zip(bands, mbs, wins):
+            cells = _precinct_codeblocks(bw, bh, win)
+            if bw <= 0 or bh <= 0 or not cells:
                 self.per_band.append(None)
                 continue
-            gw = (bw + (1 << _CB_EXP) - 1) >> _CB_EXP
-            gh = (bh + (1 << _CB_EXP) - 1) >> _CB_EXP
+            x0, y0, x1, y1 = win
+            gw = ((x1 + (1 << _CB_EXP) - 1) >> _CB_EXP) - (
+                x0 >> _CB_EXP
+            )
+            gh = ((y1 + (1 << _CB_EXP) - 1) >> _CB_EXP) - (
+                y0 >> _CB_EXP
+            )
             self.per_band.append({
                 "incl": TagTreeDecoder(gw, gh),
                 "zbp": TagTreeDecoder(gw, gh),
@@ -1860,6 +2070,7 @@ class _ResolutionState:
                 # (gx, gy) -> [name, px, py, cw, ch, nplanes,
                 #              npasses, chunks]
                 "blocks": {},
+                "cells": cells,
             })
 
     def finish(self):
@@ -1908,16 +2119,16 @@ def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
         zbp_tree = band_state["zbp"]
         lblock = band_state["lblock"]
         blocks = band_state["blocks"]
-        for gx, gy, x, y, cw, ch in _codeblocks(bw, bh):
+        for gx, gy, lx, ly, x, y, cw, ch in band_state["cells"]:
             key = (gx, gy)
             blk = blocks.get(key)
             if blk is None:
                 # not yet included: inclusion tag tree, threshold =
                 # layer number + 1 (first-inclusion layer <= layer?)
-                if not incl_tree.decode(reader.bit, gx, gy, layer + 1):
+                if not incl_tree.decode(reader.bit, lx, ly, layer + 1):
                     continue
                 t = 1
-                while not zbp_tree.decode(reader.bit, gx, gy, t):
+                while not zbp_tree.decode(reader.bit, lx, ly, t):
                     t += 1
                 zbp = t - 1
                 blk = blocks[key] = [
@@ -2052,6 +2263,7 @@ def decode_codestream(data: bytes):
                 ]
             k += len(names)
     prog = hdr["prog"]
+    precincts = hdr.get("precincts")
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w + xts - 1) // xts
     nty = (h + yts - 1) // yts
@@ -2091,23 +2303,38 @@ def decode_codestream(data: bytes):
             np.zeros((tch, tcw), np.int64)
             for (_, _, tcw, tch) in boxes
         ]
-        order = _prog_order(prog, layers, levels, ncomp)
-        states = {
-            (r, c): _ResolutionState(
-                _bands_for_resolution(
+        pinfo = _precinct_info(
+            [(tcw, tch) for (_, _, tcw, tch) in boxes],
+            levels, precincts, subs,
+        )
+        order = _packet_order(prog, layers, levels, ncomp, pinfo)
+        states = {}
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                bands = _bands_for_resolution(
                     boxes[c][2], boxes[c][3], levels, r
-                ),
-                qcd_index[(r, c)],
+                )
+                band_dims = [(bw, bh) for (_, _, _, bw, bh) in bands]
+                npx, npy, _, _, ppx, ppy = pinfo[(r, c)]
+                states[(r, c)] = [
+                    _ResolutionState(
+                        bands, qcd_index[(r, c)],
+                        _precinct_band_windows(
+                            band_dims, r, ppx, ppy, pxi, pyi
+                        ),
+                    )
+                    for pyi in range(npy) for pxi in range(npx)
+                ]
+        for l, r, c, p in order:
+            pos = _decode_packet(
+                buf, pos, states[(r, c)][p], l, sop, eph
             )
-            for r in range(levels + 1) for c in range(ncomp)
-        }
-        for l, r, c in order:
-            pos = _decode_packet(buf, pos, states[(r, c)], l, sop, eph)
-        for (r, c), st in states.items():
-            for name, px, py, cw, ch, coeffs in st.finish():
-                planes[c][py:py + ch, px:px + cw] = np.asarray(
-                    coeffs, np.int64
-                ).reshape(ch, cw)
+        for (r, c), plist in states.items():
+            for st in plist:
+                for name, px, py, cw, ch, coeffs in st.finish():
+                    planes[c][py:py + ch, px:px + cw] = np.asarray(
+                        coeffs, np.int64
+                    ).reshape(ch, cw)
         if pos > len(buf):
             raise JPXError("tile body overran its tile-parts")
         return planes

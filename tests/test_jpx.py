@@ -602,3 +602,141 @@ class TestSubsampling:
                        subsampling=((1, 1), (3, 1), (1, 1)))
         with pytest.raises(JPXError):
             encode_jpx(8, 8, bytes(64), 1, subsampling=((2, 2),) * 3)
+
+
+class TestPrecincts:
+    """Non-default precincts (COD Scod bit 0, B.6) — per-precinct
+    tag trees and position-correct packet ordering (B.12). The
+    engine supports precinct sizes down to the 64x64 code block
+    (2^7 at r > 0 where band cells are half the resolution cell;
+    2^6 at r = 0) and names anything smaller."""
+
+    def test_roundtrip_all_progressions(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        w, h = 300, 280
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        base = encode_jpx(w, h, px, 1, levels=2)
+        for prog in range(5):
+            cs = encode_jpx(w, h, px, 1, levels=2, prog=prog,
+                            precincts=(7, 7))
+            assert decode_jpx(cs)[2] == px
+            assert cs != base  # genuinely multi-precinct structure
+
+    def test_rgb_layers_tiles_resync(self):
+        import numpy as np
+
+        rng = np.random.default_rng(6)
+        w, h = 300, 280
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+        cs = encode_jpx(w, h, rgb, 3, levels=3, prog=2,
+                        precincts=(8, 7), layers=3, sop=True, eph=True)
+        assert decode_jpx(cs)[2] == rgb
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = encode_jpx(w, h, px, 1, levels=2, prog=4,
+                        precincts=(7, 8), tile_size=(150, 140))
+        assert decode_jpx(cs)[2] == px
+
+    def test_lossy_subsampled_with_precincts(self):
+        import numpy as np
+
+        w, h = 300, 280
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        sm = np.dstack([(xx * 2) % 256, (yy * 3) % 256,
+                        (xx + yy) % 256]).astype(np.uint8)
+        cs = encode_jpx(w, h, sm.tobytes(), 3, levels=2,
+                        irreversible=True, quality_bits=10, mct=True,
+                        jp2=True, precincts=(7, 7),
+                        subsampling=((1, 1), (2, 2), (2, 2)))
+        got = np.frombuffer(decode_jpx(cs)[2], np.uint8).reshape(
+            h, w, 3
+        ).astype(int)
+        assert np.abs(got - sm.astype(int)).mean() < 3
+
+    def test_packet_order_pinned_against_b12(self):
+        """Hand-derived B.12 sequences for a geometry where RPCL and
+        PCRL genuinely differ (an independent check on the shared
+        order builder — round-trips alone can't catch a transposed
+        nesting because encoder and decoder share it)."""
+        from pdf2dataset_spark.sources.jpx import (
+            _packet_order, _precinct_info,
+        )
+
+        # 256x256, levels=1, PP=2^7: r0 is 128x128 -> one precinct;
+        # r1 is 256x256 -> 2x2 precincts with 128-step anchors
+        pinfo = _precinct_info([(256, 256)], 1, [(7, 7), (7, 7)],
+                               [(1, 1)])
+        assert pinfo[(0, 0)][:2] == (1, 1)
+        assert pinfo[(1, 0)][:2] == (2, 2)
+        rpcl = _packet_order(2, 1, 1, 1, pinfo)
+        assert rpcl == [
+            (0, 0, 0, 0),                  # r0: its only anchor
+            (0, 1, 0, 0), (0, 1, 0, 1),    # r1 row y=0: x=0, 128
+            (0, 1, 0, 2), (0, 1, 0, 3),    # r1 row y=128
+        ]
+        pcrl = _packet_order(3, 1, 1, 1, pinfo)
+        assert pcrl == [
+            (0, 0, 0, 0), (0, 1, 0, 0),    # (0,0): r0 anchor + r1 p0
+            (0, 1, 0, 1),                  # (128, 0): r1 only
+            (0, 1, 0, 2), (0, 1, 0, 3),    # y=128 row: r1 only
+        ]
+        # LRCP/RLCP with 2 layers: precinct raster inside each
+        # (layer, resolution); RLCP swaps the outer two loops
+        lrcp = _packet_order(0, 2, 1, 1, pinfo)
+        assert lrcp[:5] == [(0, 0, 0, 0), (0, 1, 0, 0), (0, 1, 0, 1),
+                            (0, 1, 0, 2), (0, 1, 0, 3)]
+        assert lrcp[5] == (1, 0, 0, 0)
+        rlcp = _packet_order(1, 2, 1, 1, pinfo)
+        assert rlcp[:2] == [(0, 0, 0, 0), (1, 0, 0, 0)]
+
+    def test_subsampled_component_anchor_stride(self):
+        """A 2x-subsampled component's precinct anchors sit at
+        DOUBLE the reference-grid stride (B.12 scales by XRsiz) —
+        so its packets interleave later in PCRL."""
+        from pdf2dataset_spark.sources.jpx import (
+            _packet_order, _precinct_info,
+        )
+
+        pinfo = _precinct_info([(256, 128), (128, 64)], 0,
+                               [(7, 7)], [(1, 1), (2, 2)])
+        # comp0: 2x1 precincts at x=0,128; comp1: 1x1 at x=0
+        assert pinfo[(0, 0)][:2] == (2, 1)
+        assert pinfo[(0, 1)][:2] == (1, 1)
+        pcrl = _packet_order(3, 1, 0, 2, pinfo)
+        assert pcrl == [(0, 0, 0, 0), (0, 0, 1, 0), (0, 0, 0, 1)]
+
+    def test_small_precincts_named_unsupported(self):
+        data = bytearray(
+            encode_jpx(300, 280, bytes(300 * 280), 1, levels=2,
+                       precincts=(7, 7))
+        )
+        cod_at = bytes(data).index(b"\xff\x52")
+        # r=1 precinct byte -> 2^6x2^6: splits the 64x64 code block
+        data[cod_at + 4 + 10 + 1] = 0x66
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(data))
+
+    def test_encoder_precinct_validation(self):
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, levels=1, precincts=(6, 7))
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, levels=2,
+                       precincts=[(7, 7)])  # wrong count
+        # r=0 may go down to 2^6 (band cells are full scale there)
+        px = bytes(range(256)) * 16
+        cs = encode_jpx(64, 64, px, 1, levels=0, precincts=(6, 6))
+        assert decode_jpx(cs)[2] == px
+
+    def test_truncated_precinct_bytes_rejected(self):
+        data = bytearray(
+            encode_jpx(64, 64, bytes(64 * 64), 1, levels=1,
+                       precincts=(7, 7))
+        )
+        cod_at = bytes(data).index(b"\xff\x52")
+        # shrink Lcod so the precinct list is cut off
+        import struct as _s
+        old = _s.unpack_from(">H", data, cod_at + 2)[0]
+        data[cod_at + 2:cod_at + 4] = _s.pack(">H", old - 2)
+        with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
