@@ -25,11 +25,17 @@ pHash paths exactly like JPEG and CCITT ones do:
   (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT + IAID symbol codes).
 - **Generic refinement coding** (T.88 §6.3): templates 0-1 with AT
   pixels and TPGRON typical prediction — serving refined text-region
-  instances (§6.4.11) and refinement/aggregate symbol dictionaries
-  with REFAGGNINST == 1 (§6.5.8.2, the pdf.js-scope shape). True
-  aggregates (REFAGGNINST > 1) and Huffman-coded refinement raise
-  :class:`JBIG2Unsupported` with a named reason (kept honest; the
-  compressed payload is preserved either way).
+  instances (§6.4.11), refinement/aggregate symbol dictionaries
+  with REFAGGNINST == 1 (§6.5.8.2, the pdf.js-scope shape), and
+  standalone REFINEMENT REGION segments (types 40/42/43, §7.4.7):
+  against a retained intermediate region when one is referred, else
+  against the page buffer with REPLACE composition (§8.2) — the
+  lossy-then-lossless progressive shape. Intermediate region
+  segments (types 4/36/40) are retained for reference, never
+  composited (§8.2). True aggregates (REFAGGNINST > 1) and
+  Huffman-coded refinement raise :class:`JBIG2Unsupported` with a
+  named reason (kept honest; the compressed payload is preserved
+  either way).
 - **Huffman regime** (T.88 Annex B via :mod:`sources.jbig2_huffman`):
   SDHUFF symbol dictionaries with per-height-class collective
   bitmaps (uncompressed or MMR), SBHUFF text regions with
@@ -1643,6 +1649,7 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
     sym_dicts: dict = {}  # segment number -> exported symbols
     pat_dicts: dict = {}  # segment number -> pattern bitmaps
     huff_tables: dict = {}  # segment number -> custom HuffTable
+    inter_regions: dict = {}  # segment number -> retained bitmap rows
     page_rows: list = []
     page_w = 0
     page_default = 0
@@ -1689,7 +1696,12 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
         elif t in (SEG_GENERIC_INTERMEDIATE, SEG_GENERIC_IMMEDIATE,
                    SEG_GENERIC_IMMEDIATE_LOSSLESS):
             rows, x, y, combop = _decode_generic_segment(seg.data)
-            if rows:
+            if t == SEG_GENERIC_INTERMEDIATE:
+                # intermediate regions are RETAINED for later
+                # segments (refinement references), not composited
+                # onto the page (§8.2)
+                inter_regions[seg.number] = rows
+            elif rows:
                 grow(y + len(rows), x + len(rows[0]))
                 _blit(page_rows, rows, x, y, combop)
         elif t in (SEG_TEXT_INTERMEDIATE, SEG_TEXT_IMMEDIATE,
@@ -1697,7 +1709,9 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
             rows, x, y, combop = _decode_text_region(
                 seg.data, referred_symbols(seg), referred_tables(seg)
             )
-            if rows:
+            if t == SEG_TEXT_INTERMEDIATE:
+                inter_regions[seg.number] = rows
+            elif rows:
                 grow(y + len(rows), x + len(rows[0]))
                 _blit(page_rows, rows, x, y, combop)
         elif t == SEG_TABLES:
@@ -1720,7 +1734,42 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
                 grow(y + len(rows), x + len(rows[0]))
                 _blit(page_rows, rows, x, y, combop)
         elif t in SEG_REFINEMENT:
-            raise JBIG2Unsupported("refinement regions")
+            # §7.4.7 refinement region: refines a referred retained
+            # intermediate region, or — with no region reference —
+            # the page buffer under the region box (§7.4.7.2)
+            w, h, x, y, combop, pos = _region_info(seg.data)
+            rflags = seg.data[pos]
+            pos += 1
+            template = rflags & 1
+            tpgron = bool(rflags & 2)
+            at = None
+            if template == 0:
+                at, pos = _read_at(seg.data, pos, 2)
+            ref = None
+            for rnum in seg.refs:
+                if rnum in inter_regions:
+                    ref = inter_regions[rnum]
+                    break
+            page_reference = ref is None
+            if page_reference:
+                grow(y + h, x + w)
+                ref = [bytearray(page_rows[y + j][x:x + w])
+                       for j in range(h)]
+            dec = MQDecoder(seg.data[pos:])
+            rows = decode_refinement(
+                dec, {}, w, h, ref, 0, 0, template, at, tpgron
+            )
+            if t == SEG_REFINEMENT[0]:  # 40: intermediate — retain
+                inter_regions[seg.number] = rows
+            elif page_reference:
+                # refining the page in place REPLACES the region
+                # (T.88 §8.2 requires REPLACE when the reference is
+                # the page buffer)
+                for j, rrow in enumerate(rows):
+                    page_rows[y + j][x:x + w] = rrow
+            elif rows:
+                grow(y + len(rows), x + w)
+                _blit(page_rows, rows, x, y, combop)
         else:
             raise JBIG2Unsupported(f"segment type {t}")
     if not saw_page and not page_rows:
@@ -1800,6 +1849,69 @@ def encode_generic_page(
     out += page_info
     out += _segment_header(1, SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, len(region))
     out += region
+    return bytes(out)
+
+
+def encode_refinement_page(
+    base_rows,
+    refined_rows,
+    template: int = 0,
+    tpgron: bool = False,
+    intermediate: bool = False,
+) -> bytes:
+    """Author an embedded JBIG2 stream exercising the REFINEMENT
+    region segment (§7.4.7): a base bitmap, then a refinement that
+    turns it into ``refined_rows``.
+
+    ``intermediate=False`` (the common PDF lossy-then-lossless
+    shape): the base is an immediate generic region composited onto
+    the page, and the type-43 refinement carries NO region reference
+    — the decoder must refine against the PAGE BUFFER and replace
+    the region (§7.4.7.2 / §8.2).
+
+    ``intermediate=True``: the base is a type-36 INTERMEDIATE
+    generic region (retained, never composited), and the refinement
+    refers to it by segment number — the retained-bitmap reference
+    path."""
+    base_rows = [bytearray(r) for r in base_rows]
+    refined_rows = [bytearray(r) for r in refined_rows]
+    h = len(refined_rows)
+    w = len(refined_rows[0]) if h else 0
+    if len(base_rows) != h or (h and len(base_rows[0]) != w):
+        raise JBIG2Error("base and refined bitmaps must match")
+    # base generic region
+    region = bytearray(struct.pack(">IIII", w, h, 0, 0))
+    region.append(0)  # comb op OR
+    enc = MQEncoder()
+    encode_generic(enc, {}, base_rows, 0, None, False)
+    region.append(0)  # flags: template 0
+    for ax, ay in NOMINAL_AT[0]:
+        region += struct.pack(">bb", ax, ay)
+    region += enc.flush()
+    # refinement region
+    refine = bytearray(struct.pack(">IIII", w, h, 0, 0))
+    refine.append(0)  # external comb op (REPLACE applies page-side)
+    refine.append((1 if template else 0) | (2 if tpgron else 0))
+    at = NOMINAL_GR_AT if template == 0 else None
+    if template == 0:
+        for ax, ay in NOMINAL_GR_AT:
+            refine += struct.pack(">bb", ax, ay)
+    enc = MQEncoder()
+    encode_refinement(enc, {}, refined_rows, base_rows, 0, 0,
+                      template, at, tpgron)
+    refine += enc.flush()
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    out = bytearray()
+    out += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info))
+    out += page_info
+    base_type = (SEG_GENERIC_INTERMEDIATE if intermediate
+                 else SEG_GENERIC_IMMEDIATE_LOSSLESS)
+    out += _segment_header(1, base_type, 1, len(region))
+    out += region
+    refs = (1,) if intermediate else ()
+    out += _segment_header(2, SEG_REFINEMENT[2], 1, len(refine), refs)
+    out += refine
     return bytes(out)
 
 

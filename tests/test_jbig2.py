@@ -542,3 +542,88 @@ class TestUnknownLengthSegments:
         hdr = hdr[:-4] + b"\xff\xff\xff\xff"
         with pytest.raises(JBIG2Error):
             jbig2.decode_embedded(hdr + page_info)
+
+
+class TestRefinementRegionSegments:
+    """Standalone refinement region segments (T.88 §7.4.7, types
+    40/42/43) — the lossy-then-lossless progressive shape. The
+    decoder must refine against a referred retained INTERMEDIATE
+    region when present, else against the PAGE BUFFER with REPLACE
+    composition (§8.2) — OR-composition would be unable to clear
+    pixels, which the fixtures exercise both ways."""
+
+    @staticmethod
+    def _bitmaps(seed: int, w: int = 90, h: int = 40, flips: int = 60):
+        import random
+
+        rng = random.Random(seed)
+        base = [bytearray(int(rng.random() < 0.3) for _ in range(w))
+                for _ in range(h)]
+        refined = [bytearray(r) for r in base]
+        for _ in range(flips):
+            refined[rng.randrange(h)][rng.randrange(w)] ^= 1
+        return base, refined
+
+    @pytest.mark.parametrize("template", [0, 1])
+    @pytest.mark.parametrize("tpgron", [False, True])
+    def test_page_buffer_reference_replaces(self, template, tpgron):
+        from pdf2dataset_spark.sources.jbig2 import (
+            decode_embedded, encode_refinement_page,
+        )
+
+        base, refined = self._bitmaps(template * 2 + tpgron)
+        data = encode_refinement_page(base, refined, template=template,
+                                      tpgron=tpgron)
+        w, h, rows = decode_embedded(data)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in refined]
+        # the refinement really cleared at least one base pixel
+        assert any(
+            b[i] and not r[i]
+            for b, r in zip(base, refined) for i in range(len(b))
+        )
+
+    def test_intermediate_region_reference(self):
+        from pdf2dataset_spark.sources.jbig2 import (
+            decode_embedded, encode_refinement_page,
+        )
+
+        base, refined = self._bitmaps(7)
+        data = encode_refinement_page(base, refined, intermediate=True)
+        w, h, rows = decode_embedded(data)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in refined]
+
+    def test_intermediate_regions_not_composited(self):
+        """A retained type-36 region alone must leave the page
+        blank (§8.2) — it only exists for later references."""
+        import struct as _s
+
+        from pdf2dataset_spark.sources import jbig2
+
+        base = [bytearray([1] * 8) for _ in range(8)]
+        region = bytearray(_s.pack(">IIII", 8, 8, 0, 0))
+        region.append(0)
+        enc = jbig2.MQEncoder()
+        jbig2.encode_generic(enc, {}, base, 0, None, False)
+        region.append(0)
+        for ax, ay in jbig2.NOMINAL_AT[0]:
+            region += _s.pack(">bb", ax, ay)
+        region += enc.flush()
+        page_info = (_s.pack(">IIII", 8, 8, 0, 0) + bytes([0])
+                     + _s.pack(">H", 0))
+        out = bytearray()
+        out += jbig2._segment_header(0, jbig2.SEG_PAGE_INFO, 1,
+                                     len(page_info))
+        out += page_info
+        out += jbig2._segment_header(1, jbig2.SEG_GENERIC_INTERMEDIATE,
+                                     1, len(region))
+        out += region
+        w, h, rows = jbig2.decode_embedded(bytes(out))
+        assert all(not any(r) for r in rows)
+
+    def test_mismatched_bitmaps_rejected(self):
+        from pdf2dataset_spark.sources.jbig2 import (
+            JBIG2Error, encode_refinement_page,
+        )
+
+        with pytest.raises(JBIG2Error):
+            encode_refinement_page([bytearray(4)], [bytearray(5)])
