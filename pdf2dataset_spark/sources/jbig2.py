@@ -32,10 +32,11 @@ pHash paths exactly like JPEG and CCITT ones do:
   against the page buffer with REPLACE composition (§8.2) — the
   lossy-then-lossless progressive shape. Intermediate region
   segments (types 4/36/40) are retained for reference, never
-  composited (§8.2). True aggregates (REFAGGNINST > 1) and
-  Huffman-coded refinement raise :class:`JBIG2Unsupported` with a
-  named reason (kept honest; the compressed payload is preserved
-  either way).
+  composited (§8.2). TRUE AGGREGATES (REFAGGNINST > 1, §6.5.8.2.2)
+  decode as nested text regions over the in-progress symbol pool
+  with the dictionary's shared contexts. Huffman-coded refinement
+  raises :class:`JBIG2Unsupported` with a named reason (kept
+  honest; the compressed payload is preserved either way).
 - **Huffman regime** (T.88 Annex B via :mod:`sources.jbig2_huffman`):
   SDHUFF symbol dictionaries with per-height-class collective
   bitmaps (uncompressed or MMR), SBHUFF text regions with
@@ -1055,6 +1056,7 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
     gr_cx: dict = {}  # ... and one refinement bank (§6.5.8.2)
     codelen = max(0, ceil(log2(max(1, len(input_syms) + num_new))))
     iaid_bank = _iaid_cx(codelen)
+    agg_banks: dict | None = None  # lazy: REFAGGNINST > 1 text banks
     new_syms: list = []
     hc_height = 0
     height_classes = 0
@@ -1093,9 +1095,38 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
             if ninst is _OOB:
                 raise JBIG2Error("OOB aggregate instance count")
             if ninst != 1:
-                raise JBIG2Unsupported(
-                    "aggregate symbol coding (REFAGGNINST > 1)"
-                )
+                # §6.5.8.2.2 TRUE AGGREGATE: the new symbol is a
+                # nested TEXT REGION of REFAGGNINST instances drawn
+                # from the in-progress pool (Table 17: SBSTRIPS=1,
+                # TOPLEFT corner, OR composition, REFINE=1 with the
+                # dictionary's refinement template/AT), sharing the
+                # dictionary's decoder and context banks — contexts
+                # persist across aggregate invocations
+                if ninst < 0 or ninst > 8 * len(seg_data) + 64:
+                    raise JBIG2Error(
+                        "implausible aggregate instance count"
+                    )
+                pool = list(input_syms) + new_syms
+                if not pool:
+                    raise JBIG2Error("aggregate with empty symbol pool")
+                if agg_banks is None:
+                    agg_banks = {
+                        name: IntCoderCx()
+                        for name in ("iadt", "iafs", "iads", "iait",
+                                     "iari", "iardw", "iardh")
+                    }
+                    agg_banks["iardx"] = iardx
+                    agg_banks["iardy"] = iardy
+                    agg_banks["iaid"] = iaid_bank
+                    agg_banks["gr_cx"] = gr_cx
+                new_syms.append(_text_region_arith(
+                    dec, agg_banks, pool, codelen, sym_width,
+                    hc_height, num_instances=ninst, strips=1,
+                    ref_corner=1, transposed=False, comb_op=0,
+                    default_pixel=0, ds_offset=0, refine=True,
+                    rtemplate=rtemplate, rat=rat,
+                ))
+                continue
             ref_id = _iaid_decode(dec, iaid_bank, codelen)
             rdx = _int_decode(dec, iardx)
             rdy = _int_decode(dec, iardy)
@@ -1516,11 +1547,46 @@ def _decode_text_region(seg_data: bytes, syms: list,
         raise JBIG2Error("text region with no referred symbols")
     codelen = max(0, ceil(log2(len(syms))))
     dec = MQDecoder(seg_data[pos:])
-    iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy = (
-        IntCoderCx() for _ in range(9)
+    banks = {
+        name: IntCoderCx()
+        for name in ("iadt", "iafs", "iads", "iait", "iari",
+                     "iardw", "iardh", "iardx", "iardy")
+    }
+    banks["iaid"] = _iaid_cx(codelen)
+    banks["gr_cx"] = {}  # shared refinement contexts for the region
+    rows = _text_region_arith(
+        dec, banks, syms, codelen, w, h,
+        num_instances=num_instances, strips=strips,
+        ref_corner=ref_corner, transposed=transposed,
+        comb_op=comb_op, default_pixel=default_pixel,
+        ds_offset=ds_offset, refine=refine, rtemplate=rtemplate,
+        rat=rat,
     )
-    gr_cx: dict = {}  # shared refinement contexts for the region
-    iaid_cx = _iaid_cx(codelen)
+    return rows, x, y, combop
+
+
+def _text_region_arith(dec: MQDecoder, banks: dict, syms: list,
+                       codelen: int, w: int, h: int, *,
+                       num_instances: int, strips: int = 1,
+                       ref_corner: int = 1, transposed: bool = False,
+                       comb_op: int = 0, default_pixel: int = 0,
+                       ds_offset: int = 0, refine: bool = False,
+                       rtemplate: int = 0, rat: tuple = ()) -> list:
+    """Arithmetic text-region decoding core (§6.4 steps 3-4) over an
+    EXISTING decoder and context banks — shared by standalone text
+    region segments and by REFAGGNINST > 1 aggregate symbol coding
+    (§6.5.8.2.2, where the nested 'text region' draws the new symbol
+    from the dictionary's in-progress pool with the dictionary's
+    shared contexts)."""
+    iadt, iafs, iads, iait, iari = (
+        banks["iadt"], banks["iafs"], banks["iads"], banks["iait"],
+        banks["iari"],
+    )
+    iardw, iardh, iardx, iardy = (
+        banks["iardw"], banks["iardh"], banks["iardx"], banks["iardy"]
+    )
+    iaid_cx = banks["iaid"]
+    gr_cx = banks["gr_cx"]
     rows = [bytearray([default_pixel]) * w for _ in range(h)]
 
     stript = _int_decode(dec, iadt)
@@ -1595,7 +1661,7 @@ def _decode_text_region(seg_data: bytes, syms: list,
             ninst += 1
             if ninst > num_instances:
                 raise JBIG2Error("instance overrun")
-    return rows, x, y, combop
+    return rows
 
 
 _COMBOPS = {
@@ -2165,6 +2231,169 @@ def encode_refagg_page(
     tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
     tr.append(0)
     tr += struct.pack(">H", 1 << 4)
+    tr += struct.pack(">I", len(placements))
+    tr += enc.flush()
+    page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    body = bytearray()
+    body += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
+    body += _segment_header(1, SEG_SYMBOL_DICT, 1, len(sd1)) + bytes(sd1)
+    body += _segment_header(
+        2, SEG_SYMBOL_DICT, 1, len(sd2), refs=(1,)
+    ) + bytes(sd2)
+    body += _segment_header(
+        3, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(1, 2)
+    ) + bytes(tr)
+    return bytes(body)
+
+
+def encode_aggregate_page(
+    base_symbols,
+    aggregates,
+    placements,
+    width: int,
+    height: int,
+) -> bytes:
+    """Author an embedded stream exercising TRUE AGGREGATE symbol
+    coding (§6.5.8.2.2, REFAGGNINST > 1): dictionary 1 generic-codes
+    ``base_symbols``; dictionary 2 (SDREFAGG=1) builds each
+    ``aggregates[i] = (w, h, [(base_index, x, y), ...])`` as a
+    nested TEXT REGION of len(instances) placements of base symbols
+    (TOPLEFT corner, OR composition, shared dictionary contexts);
+    the page text region refers to both dictionaries, so
+    ``placements`` indexes [bases..., aggregates...] as
+    ``(sym_index, x, y)`` by TOPLEFT corner."""
+    base_symbols = [[bytearray(r) for r in s] for s in base_symbols]
+    # ---- dict 1: plain generic coding
+    order = sorted(range(len(base_symbols)),
+                   key=lambda i: (len(base_symbols[i]),
+                                  len(base_symbols[i][0])))
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    gb_cx: dict = {}
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        h = len(base_symbols[order[i]])
+        _int_encode(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(order) and len(base_symbols[order[i]]) == hc_height:
+            sym = base_symbols[order[i]]
+            _int_encode(enc, iadw, len(sym[0]) - sym_width)
+            sym_width = len(sym[0])
+            encode_generic(enc, gb_cx, sym, template=0)
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    _int_encode(enc, iaex, 0)
+    _int_encode(enc, iaex, len(base_symbols))
+    sd1 = bytearray(struct.pack(">H", 0))
+    for ax, ay in NOMINAL_AT[0]:
+        sd1 += struct.pack(">bb", ax, ay)
+    sd1 += struct.pack(">II", len(base_symbols), len(base_symbols))
+    sd1 += enc.flush()
+    base_pos = {sym_i: k for k, sym_i in enumerate(order)}
+    # ---- dict 2: SDREFAGG=1 with REFAGGNINST > 1 aggregates
+    n_in = len(base_symbols)
+    codelen = max(0, ceil(log2(max(1, n_in + len(aggregates)))))
+    aorder = sorted(range(len(aggregates)),
+                    key=lambda i: (aggregates[i][1], aggregates[i][0]))
+    enc = MQEncoder()
+    iadh, iadw, iaex, iaai = (IntCoderCx() for _ in range(4))
+    iaid_bank = _iaid_cx(codelen)
+    banks = {
+        name: IntCoderCx()
+        for name in ("iadt", "iafs", "iads", "iait", "iari",
+                     "iardw", "iardh", "iardx", "iardy")
+    }
+    banks["iaid"] = iaid_bank
+    banks["gr_cx"] = {}
+    hc_height = 0
+    i = 0
+    while i < len(aorder):
+        aw, ah, inst = aggregates[aorder[i]]
+        _int_encode(enc, iadh, ah - hc_height)
+        hc_height = ah
+        sym_width = 0
+        while i < len(aorder) and aggregates[aorder[i]][1] == hc_height:
+            aw, ah, inst = aggregates[aorder[i]]
+            if len(inst) < 2:
+                raise JBIG2Error("aggregate needs REFAGGNINST > 1")
+            _int_encode(enc, iadw, aw - sym_width)
+            sym_width = aw
+            _int_encode(enc, iaai, len(inst))
+            # nested text region mirroring _text_region_arith's
+            # strips=1 / TOPLEFT / OR / refine=True read sequence
+            by_t: dict = {}
+            for bi, px, py in inst:
+                by_t.setdefault(py, []).append((px, base_pos[bi]))
+            _int_encode(enc, banks["iadt"], 0)  # initial STRIPT
+            stript = 0
+            firsts = 0
+            for ty in sorted(by_t):
+                _int_encode(enc, banks["iadt"], ty - stript)
+                stript = ty
+                xs = sorted(by_t[ty])
+                _int_encode(enc, banks["iafs"], xs[0][0] - firsts)
+                firsts = xs[0][0]
+                curs = firsts
+                for j, (px, k) in enumerate(xs):
+                    if j:
+                        _int_encode(enc, banks["iads"], px - curs)
+                        curs = px
+                    _iaid_encode(enc, iaid_bank, codelen, k)
+                    _int_encode(enc, banks["iari"], 0)
+                    curs += len(base_symbols[order[k]][0]) - 1
+                _int_encode(enc, banks["iads"], _OOB)
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    _int_encode(enc, iaex, n_in)  # skip imported bases
+    _int_encode(enc, iaex, len(aggregates))
+    sd2 = bytearray(struct.pack(">H", 2))  # SDREFAGG=1, templates 0
+    for ax, ay in NOMINAL_AT[0]:
+        sd2 += struct.pack(">bb", ax, ay)
+    for ax, ay in NOMINAL_GR_AT:
+        sd2 += struct.pack(">bb", ax, ay)
+    sd2 += struct.pack(">II", len(aggregates), len(aggregates))
+    sd2 += enc.flush()
+    # ---- page text region over [dict1 exports..., dict2 exports...]
+    agg_bitmaps = []
+    for k in aorder:
+        aw, ah, inst = aggregates[k]
+        bm = [bytearray(aw) for _ in range(ah)]
+        for bi, px, py in inst:
+            _blit(bm, base_symbols[bi], px, py, 0)
+        agg_bitmaps.append(bm)
+    all_syms = [base_symbols[k] for k in order] + agg_bitmaps
+    tr_codelen = max(0, ceil(log2(len(all_syms))))
+    vpos = {sym_i: n_in + k for k, sym_i in enumerate(aorder)}
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCoderCx(), IntCoderCx(), IntCoderCx()
+    trid_bank = _iaid_cx(tr_codelen)
+    _int_encode(enc, iadt, 0)
+    stript = 0
+    firsts = 0
+    by_t2: dict = {}
+    for sym_i, x, y in placements:
+        by_t2.setdefault(y, []).append((x, sym_i))
+    for t in sorted(by_t2):
+        _int_encode(enc, iadt, t - stript)
+        stript = t
+        xs = sorted(by_t2[t])
+        _int_encode(enc, iafs, xs[0][0] - firsts)
+        firsts = xs[0][0]
+        curs = firsts
+        for j, (px, sym_i) in enumerate(xs):
+            if j:
+                _int_encode(enc, iads, px - curs)
+                curs = px
+            k = base_pos[sym_i] if sym_i < n_in else vpos[sym_i - n_in]
+            _iaid_encode(enc, trid_bank, tr_codelen, k)
+            curs += len(all_syms[k][0]) - 1
+        _int_encode(enc, iads, _OOB)
+    tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
+    tr.append(0)
+    tr += struct.pack(">H", 1 << 4)  # TOPLEFT, no refine
     tr += struct.pack(">I", len(placements))
     tr += enc.flush()
     page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])

@@ -627,3 +627,74 @@ class TestRefinementRegionSegments:
 
         with pytest.raises(JBIG2Error):
             encode_refinement_page([bytearray(4)], [bytearray(5)])
+
+
+class TestAggregateSymbols:
+    """TRUE AGGREGATE symbol coding (T.88 §6.5.8.2.2,
+    REFAGGNINST > 1): a dictionary symbol decoded as a nested text
+    region compositing other pool symbols. Expected pages are built
+    by an INDEPENDENT compositor (OR-blit of the declared instance
+    placements), not by the codec."""
+
+    A = [bytearray([1, 1, 1]), bytearray([1, 0, 1]),
+         bytearray([1, 1, 1])]
+    B = [bytearray([0, 1, 0]), bytearray([1, 1, 1]),
+         bytearray([0, 1, 0])]
+
+    def _expected(self, aggregates, placements, w, h):
+        from pdf2dataset_spark.sources.jbig2 import _blit
+
+        bases = [self.A, self.B]
+
+        def agg_bm(spec):
+            aw, ah, inst = spec
+            bm = [bytearray(aw) for _ in range(ah)]
+            for bi, px, py in inst:
+                _blit(bm, bases[bi], px, py, 0)
+            return bm
+
+        syms = bases + [agg_bm(s) for s in aggregates]
+        page = [bytearray(w) for _ in range(h)]
+        for si, x, y in placements:
+            _blit(page, syms[si], x, y, 0)
+        return page
+
+    def test_multi_instance_aggregates_roundtrip(self):
+        from pdf2dataset_spark.sources.jbig2 import (
+            decode_embedded, encode_aggregate_page,
+        )
+
+        agg = (9, 6, [(0, 0, 0), (1, 4, 1), (0, 6, 2)])   # ninst 3
+        agg2 = (7, 4, [(1, 0, 0), (1, 4, 1)])             # ninst 2
+        placements = [(0, 1, 1), (2, 10, 2), (3, 22, 3), (1, 34, 1)]
+        data = encode_aggregate_page([self.A, self.B], [agg, agg2],
+                                     placements, 44, 12)
+        w, h, rows = decode_embedded(data)
+        exp = self._expected([agg, agg2], placements, 44, 12)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_aggregate_contexts_persist_across_symbols(self):
+        """Two aggregates in ONE height class: the second decodes
+        with context banks warmed by the first — a fresh-banks
+        decoder would desynchronize the MQ stream."""
+        from pdf2dataset_spark.sources.jbig2 import (
+            decode_embedded, encode_aggregate_page,
+        )
+
+        agg = (9, 6, [(0, 0, 0), (1, 4, 1)])
+        agg2 = (12, 6, [(1, 0, 0), (0, 4, 1), (1, 8, 2)])
+        placements = [(2, 1, 1), (3, 14, 2)]
+        data = encode_aggregate_page([self.A, self.B], [agg, agg2],
+                                     placements, 30, 12)
+        w, h, rows = decode_embedded(data)
+        exp = self._expected([agg, agg2], placements, 30, 12)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_single_instance_aggregate_rejected_by_encoder(self):
+        from pdf2dataset_spark.sources.jbig2 import (
+            JBIG2Error, encode_aggregate_page,
+        )
+
+        with pytest.raises(JBIG2Error):
+            encode_aggregate_page([self.A], [(5, 3, [(0, 0, 0)])],
+                                  [(0, 0, 0)], 8, 8)
