@@ -99,3 +99,68 @@ def mixture_case_sql(
         for src, wt in sorted(weights.items())
     )
     return f"CASE {source_col} {arms} ELSE CAST({float(default)!r} AS DOUBLE) END"
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    rank raw documents by how much their hashed-unigram profile
+    resembles a TARGET subset (``target`` is a boolean Column over
+    ``df``, e.g. ``F.col("lang") == "en"``).
+
+    Feature buckets are the first ``bucket_hex`` hex chars of
+    md5(token) — kept as STRINGS so Spark and a DuckDB oracle bucket
+    bit-identically with no integer conversion (16^bucket_hex
+    buckets). Classic DSIR weighs buckets by log(p_b/q_b); logs are
+    not cross-engine bitwise, so this operator uses the EXACT-INTEGER
+    distributional difference
+
+        delta_b = tgt_b * R - raw_b * T
+        score(d) = sum over d's tokens of delta_bucket(token)
+
+    (tgt_b/raw_b = bucket counts in target/raw, T/R their totals) —
+    the same sign structure (over-represented-in-target buckets score
+    positive), verifiable bitwise against any ANSI engine. BIGINT
+    bounds: |score| <= n_tokens(d) * tgt_b * R <= 2^63 holds through
+    ~3e9 total tokens; switch the two products to DECIMAL(38,0) past
+    that.
+
+    Scale shape: the exploded token stream moves twice, both times
+    behind map-side partial aggregation — once keyed by bucket
+    (16^bucket_hex result rows), once keyed by doc id; the bucket
+    weight table is broadcast (map-side join), totals ride a 1-row
+    broadcast cross join. Corpus text itself never shuffles; no RNG,
+    no driver state.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).withColumn("__b", F.substring(F.md5("__tok"), 1, bucket_hex))
+    stats = toks.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__tgt_n"),
+        F.count(F.lit(1)).alias("__raw_n"),
+    )
+    totals = stats.agg(
+        F.sum("__tgt_n").alias("__t_total"),
+        F.sum("__raw_n").alias("__r_total"),
+    )
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.col("__tgt_n") * F.col("__r_total")
+            - F.col("__raw_n") * F.col("__t_total")
+        ).alias("__delta"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "__b")
+        .groupBy("__id")
+        .agg(F.sum("__delta").alias("score"))
+        .select(F.col("__id").alias(id_col), "score")
+    )

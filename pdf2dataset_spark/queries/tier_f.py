@@ -2123,3 +2123,57 @@ def f43_pii_redaction(spark, sf_dir):
         F.md5(red).alias("redacted_md5"),
         F.contains(red, F.lit("@")).alias("still_has_at"),
     )
+
+
+# --------------------------------------------------------------- F44
+@query(
+    "f44_dsir_importance_score",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             substr(md5(tok), 1, 2) AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    stats AS (
+      SELECT b,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n,
+             COUNT(*) AS raw_n
+      FROM toks GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(tgt_n) AS BIGINT) AS t_total,
+             CAST(SUM(raw_n) AS BIGINT) AS r_total
+      FROM stats
+    ),
+    w AS (
+      SELECT b, CAST(tgt_n * r_total - raw_n * t_total AS BIGINT)
+               AS delta
+      FROM stats CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(delta) AS BIGINT) AS score
+    FROM toks JOIN w USING (b)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tier="F",
+)
+def f44_dsir_importance_score(spark, sf_dir):
+    """DSIR-style importance scoring (F-tier curation; Xie et al.
+    2023): rank every document by how much its hashed-unigram
+    profile resembles the English subset — the
+    "select raw-corpus data that looks like the target domain" step
+    of a training-data pipeline. Buckets are md5-prefix STRINGS
+    (256 of them), weights the exact-integer distributional
+    difference tgt_b*R - raw_b*T (classic DSIR's log(p/q) is not
+    cross-engine bitwise; see operators/mixture.dsir_scores).
+    Top-20 with deterministic tie-break — plans as
+    TakeOrderedAndProject; the token stream moves twice behind
+    map-side partial aggregation, the 256-row weight table is
+    broadcast."""
+    from pdf2dataset_spark.operators.mixture import dsir_scores
+
+    d = t(spark, sf_dir, "documents")
+    scores = dsir_scores(d, F.col("lang") == "en")
+    return scores.orderBy(F.col("score").desc(), "doc_id").limit(20)

@@ -76,3 +76,44 @@ def test_threshold_hex_and_case_sql():
     assert frac_threshold_hex(1.0) == "ffffffff"
     case = mixture_case_sql({"a": 2.0}, default=1.0)
     assert "WHEN 'a' THEN CAST(2.0 AS DOUBLE)" in case
+
+
+def test_dsir_scores_rank_target_like_docs_first(spark):
+    """Planted invariant: docs made of TARGET-exclusive words must
+    outscore docs of RAW-exclusive words (delta_b > 0 exactly for
+    target-over-represented buckets); a mixed doc sits between."""
+    from pdf2dataset_spark.operators.mixture import dsir_scores
+
+    rows = [
+        (1, "en", "alpha beta alpha beta"),       # target doc
+        (2, "en", "alpha alpha beta beta"),       # target doc
+        (3, "zz", "gamma delta gamma delta"),     # raw-only words
+        (4, "zz", "alpha beta gamma delta"),      # mixed
+        (5, "zz", "alpha beta alpha beta"),       # raw doc, target words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(df, F.col("lang") == "en").collect()
+    }
+    # target-exclusive words -> positive; raw-exclusive -> negative
+    assert got[5] > 0 > got[3]
+    assert got[3] < got[4] < got[5]
+    # doc 5 shares doc 1/2's profile: identical score
+    assert got[5] == got[1] == got[2]
+
+
+def test_dsir_plan_shape(spark):
+    """Weight table must broadcast (no shuffle join on the token
+    stream) and the top-k query must plan as TakeOrderedAndProject."""
+    from pdf2dataset_spark.operators.mixture import dsir_scores
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    scores = dsir_scores(d, F.col("lang") == "en")
+    plan = explain_string(
+        scores.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
