@@ -84,6 +84,11 @@ _LOADED = False
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 5 — new queries first
+    "f44_dsir_importance_score",     # DSIR importance scoring (new)
+    # round-5 session 5: JPX subsampling + precincts (a26/a27 gained
+    # ycc420/precinct fixtures), JBIG2 refinement regions + true
+    # aggregates (a25 gained refine/agg fixtures)
+    "a27_lossy_jpx_extract",
     "a20_scanned_page_ocr",          # scanned-page routing (new)
     "a21_progressive_image_extract",  # progressive JPEG (new)
     # jpeg decoder rewritten (scan-loop architecture)

@@ -43,10 +43,14 @@ with the external sYCC transform inverted when the JP2 colr box
 signals EnumCS 18), and multiple QUALITY LAYERS in all five
 progression orders (per-precinct inclusion state persists across
 layers, chunks concatenating into each block's single MQ stream).
-Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
-compressed payload is preserved by the caller either way):
-precincts small enough to split the 64x64 code block,
-arithmetic-bypass/termall/reset code-block options, and ROI shifts.
+SELECTIVE ARITHMETIC BYPASS (cbstyle LAZY, D.7) decodes: raw
+bit-stuffed sig/mag segments alternating with terminated MQ
+cleanups, each separately length-signaled (B.10.7.4). Out of scope,
+surfaced as named :class:`JPXUnsupported` errors (the compressed
+payload is preserved by the caller either way): precincts small
+enough to split the 64x64 code block, the remaining code-block
+style options (reset/termall/causal/predictable/segmark), and ROI
+shifts.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -553,6 +557,218 @@ def _pass_cleanup(bit_of, put, st: _BlockState, band: str, plane: int):
     # reset per-plane visited flags
     for i in range(w * h):
         st.visited[i] = 0
+
+
+class _RawWriter:
+    """Raw (bypass) bit output, D.4.2 shape: MSB-first, and after an
+    0xFF byte the next byte carries only 7 bits (its MSB is a
+    stuffed 0) so no 0xFF>0x8F marker pattern can appear."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def _limit(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def bit(self, b: int) -> None:
+        self.acc = (self.acc << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == self._limit():
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc << (self._limit() - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _RawReader:
+    """Inverse of :class:`_RawWriter`; reads 0 past end of data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.prev = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos < len(self.data):
+                self.acc = self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc = 0
+            self.nbits = 7 if self.prev == 0xFF else 8
+            self.prev = self.acc
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+
+def _bypass_boundary_after(p: int) -> bool:
+    """Selective-bypass codeword-segment termination rule (D.4/D.7):
+    the first 10 coding passes form one arithmetic segment; from
+    then on raw (sig+mag) pairs alternate with one-pass arithmetic
+    cleanups, each segment terminated. Pass p (0-based; 0 = first
+    cleanup, then sig/mag/cleanup triplets) ends a segment iff
+    p == 9 or (p > 9 and p is not a significance pass)."""
+    return p == 9 or (p > 9 and (p - 1) % 3 != 0)
+
+
+def _bypass_is_raw(p: int) -> bool:
+    """Pass p is raw-coded under selective bypass (significance and
+    magnitude passes from the 11th pass on; cleanups stay MQ)."""
+    return p >= 10 and (p - 1) % 3 != 2
+
+
+def _bypass_parts(p0: int, p1: int):
+    """Split pass range [p0, p1) at bypass segment boundaries →
+    [(start, end, is_raw, seg_index), ...]. seg_index counts
+    segments from pass 0 so packet parts map onto the block's
+    accumulated segment list across quality layers."""
+    parts = []
+    seg_index = sum(
+        1 for p in range(p0) if _bypass_boundary_after(p)
+    )
+    start = p0
+    for p in range(p0, p1):
+        if _bypass_boundary_after(p) or p == p1 - 1:
+            parts.append((start, p + 1, _bypass_is_raw(start), seg_index))
+            if _bypass_boundary_after(p):
+                seg_index += 1
+            start = p + 1
+    return parts
+
+
+def encode_codeblock_bypass(coeffs, w: int, h: int, band: str):
+    """EBCOT-encode with SELECTIVE ARITHMETIC BYPASS (D.7, cbstyle
+    bit 0): → (segments, n_passes, n_bitplanes) where segments is
+    [(is_raw, bytes), ...] in pass order. The first 10 passes are one
+    MQ segment; later sig/mag pairs are RAW (bit-stuffed, sign bits
+    unpredicted) and each cleanup is its own terminated MQ segment —
+    contexts persist across MQ segments. Blocks with <= 10 passes
+    come out identical to :func:`encode_codeblock` modulo the
+    single-tuple wrapper."""
+    st = _BlockState(w, h)
+    maxmag = 0
+    for i, c in enumerate(coeffs):
+        st.mag[i] = abs(c)
+        st.sign[i] = 1 if c < 0 else 0
+        maxmag = max(maxmag, abs(c))
+    nplanes = max(1, maxmag.bit_length())
+    cx = _fresh_contexts()
+    segments: list = []
+    enc: MQEncoder | None = None
+    raw: _RawWriter | None = None
+
+    def put_mq(kind, x, y, ctx, bit):
+        enc.encode(bit, cx[ctx])
+
+    def put_raw(kind, x, y, ctx, bit):
+        if kind == "sign":
+            # raw sign bits are UNPREDICTED (D.7): undo the walker's
+            # context xor (sign_ctx is unchanged at this point)
+            _, xor = st2.sign_ctx(x, y)
+            raw.bit(bit ^ xor)
+        else:
+            raw.bit(bit)
+
+    st2 = _BlockState(w, h)
+    st2.mag = st.mag
+    st2.sign = st.sign
+    npasses = 0 if nplanes else 0
+    total = 1 + 3 * (nplanes - 1)
+    p = 0
+    plane = nplanes - 1
+    while p < total:
+        is_raw = _bypass_is_raw(p)
+        if is_raw and raw is None:
+            raw = _RawWriter()
+        if not is_raw and enc is None:
+            enc = MQEncoder()
+        put = put_raw if is_raw else put_mq
+        ptype = 2 if p == 0 else (p - 1) % 3
+        if ptype == 0:
+            _pass_sig(None, put, st2, band, plane)
+        elif ptype == 1:
+            _pass_mag(None, put, st2, plane)
+        else:
+            _pass_cleanup(None, put, st2, band, plane)
+            plane -= 1
+        npasses += 1
+        if _bypass_boundary_after(p) or p == total - 1:
+            if is_raw:
+                segments.append((True, raw.flush()))
+                raw = None
+            else:
+                segments.append((False, enc.flush()))
+                enc = None
+        p += 1
+    return segments, npasses, nplanes
+
+
+def decode_codeblock_bypass(
+    segments, w: int, h: int, band: str, nplanes: int, npasses: int
+):
+    """Inverse of :func:`encode_codeblock_bypass`: decode a block
+    from its codeword segments. MQ contexts persist across the
+    independently terminated MQ segments; raw segments are read with
+    the D.4.2 bit-unstuffing reader. Built on the shared reference
+    pass walkers (clarity path: bypass blocks trade the inlined fast
+    decoder for per-segment restartability)."""
+    st = _BlockState(w, h)
+    cx = _fresh_contexts()
+    seg_iter = iter(segments)
+    reader = None
+    reader_raw = False
+
+    def next_reader():
+        nonlocal reader, reader_raw
+        is_raw, data = next(seg_iter)
+        reader_raw = is_raw
+        reader = _RawReader(data) if is_raw else MQDecoder(data)
+
+    def bit_of(kind, x, y, ctx):
+        if reader_raw:
+            b = reader.bit()
+            if kind == "sign":
+                _, xor = st.sign_ctx(x, y)
+                return b ^ xor
+            return b
+        return reader.decode(cx[ctx])
+
+    p = 0
+    plane = nplanes - 1
+    need_reader = True
+    while p < npasses and plane >= 0:
+        if need_reader:
+            try:
+                next_reader()
+            except StopIteration:
+                break
+            need_reader = False
+        ptype = 2 if p == 0 else (p - 1) % 3
+        if ptype == 0:
+            _pass_sig(bit_of, None, st, band, plane)
+        elif ptype == 1:
+            _pass_mag(bit_of, None, st, plane)
+        else:
+            _pass_cleanup(bit_of, None, st, band, plane)
+            plane -= 1
+        if _bypass_boundary_after(p):
+            need_reader = True
+        p += 1
+    return [
+        -m if s else m for m, s in zip(st.mag, st.sign)
+    ]
 
 
 def encode_codeblock(coeffs, w: int, h: int, band: str):
@@ -1069,9 +1285,12 @@ def _codeblocks(bw: int, bh: int) -> list:
 _GUARD_BITS = 1
 
 
-def _encode_tile_component(plane, w: int, h: int, levels: int):
+def _encode_tile_component(plane, w: int, h: int, levels: int,
+                           bypass: bool = False):
     """EBCOT-encode one component's coefficient plane → (per-resolution
-    band/block structures, per-subband max plane counts in QCD order)."""
+    band/block structures, per-subband max plane counts in QCD order).
+    With ``bypass`` each block's data is its codeword-SEGMENT list
+    (selective arithmetic bypass, D.7) instead of one byte string."""
     resolutions = []
     exps = []
     for r in range(levels + 1):
@@ -1086,11 +1305,17 @@ def _encode_tile_component(plane, w: int, h: int, levels: int):
                     for xx in range(cw)
                 ]
                 if any(coeffs):
-                    data, npasses, nplanes = encode_codeblock(
-                        coeffs, cw, ch, name
-                    )
+                    if bypass:
+                        data, npasses, nplanes = encode_codeblock_bypass(
+                            coeffs, cw, ch, name
+                        )
+                    else:
+                        data, npasses, nplanes = encode_codeblock(
+                            coeffs, cw, ch, name
+                        )
                 else:
-                    data, npasses, nplanes = b"", 0, 0
+                    data, npasses, nplanes = ([] if bypass else b"",
+                                              0, 0)
                 blocks.append((gx, gy, data, npasses, nplanes))
             per_band.append((name, bw, bh, blocks))
             exps.append(max((b[4] for b in blocks), default=0))
@@ -1343,19 +1568,41 @@ def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
                     t += 1
                 _passes_codeword_write(hw, npasses)
                 lb = lblock.setdefault(key, 3)
-                nbits = max(1, len(data).bit_length())
-                avail = lb + (npasses.bit_length() - 1)
-                if nbits > avail:
-                    k = nbits - avail
+                if isinstance(data, list):
+                    # bypass: one length per codeword segment, bits =
+                    # Lblock + floor(log2(segment passes)); Lblock
+                    # raised once so EVERY segment length fits
+                    parts = _bypass_parts(0, npasses)
+                    k = 0
+                    for (s0, s1, _, si) in parts:
+                        nbits = max(1, len(data[si][1]).bit_length())
+                        avail = lb + ((s1 - s0).bit_length() - 1)
+                        k = max(k, nbits - avail)
                     for _ in range(k):
                         hw.bit(1)
                     hw.bit(0)
                     lblock[key] = lb + k
-                    avail = nbits
+                    for (s0, s1, _, si) in parts:
+                        seg_bytes = data[si][1]
+                        hw.bits(
+                            len(seg_bytes),
+                            lb + k + ((s1 - s0).bit_length() - 1),
+                        )
+                        body += seg_bytes
                 else:
-                    hw.bit(0)
-                hw.bits(len(data), avail)
-                body += data
+                    nbits = max(1, len(data).bit_length())
+                    avail = lb + (npasses.bit_length() - 1)
+                    if nbits > avail:
+                        k = nbits - avail
+                        for _ in range(k):
+                            hw.bit(1)
+                        hw.bit(0)
+                        lblock[key] = lb + k
+                        avail = nbits
+                    else:
+                        hw.bit(0)
+                    hw.bits(len(data), avail)
+                    body += data
             else:  # previously included: single bit (B.10.4)
                 hw.bit(0)
     return hw.flush() + eph_m + bytes(body)
@@ -1437,6 +1684,7 @@ def encode_jpx(
     tile_parts: int = 1,
     subsampling: tuple | None = None,
     precincts: tuple | list | None = None,
+    bypass: bool = False,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1474,6 +1722,7 @@ def encode_jpx(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
             prog, chroma_quality_bits, tile_parts, subs, precincts,
+            bypass,
         )
     external_ycc = False
     comps = []
@@ -1543,7 +1792,8 @@ def encode_jpx(
     if precincts is not None:
         scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
-        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
+        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2,
+         1 if bypass else 0, 1]
     )
     if precincts is not None:
         cod += bytes(ppx | (ppy << 4) for ppx, ppy in precincts)
@@ -1565,7 +1815,7 @@ def encode_jpx(
                    for row in plane_rows[tcy0:tcy0 + tch]]
             plane = dwt53_forward_2d(sub, levels)
             res, comp_exps = _encode_tile_component(
-                plane, tcw, tch, levels
+                plane, tcw, tch, levels, bypass
             )
             all_res.append(res)
             exps = (comp_exps if exps is None
@@ -1650,6 +1900,7 @@ def _encode_jpx_lossy(
     tile_parts: int = 1,
     subs: list | None = None,
     precincts: list | None = None,
+    bypass: bool = False,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
@@ -1800,7 +2051,7 @@ def _encode_jpx_lossy(
                         np.sign(v) * np.floor(np.abs(v) / dl)
                     ).astype(np.int64)
             res, comp_exps = _encode_tile_component(
-                ip.tolist(), tw, th, levels
+                ip.tolist(), tw, th, levels, bypass
             )
             all_res.append(res)
             comp_maxq[cc] = [max(a, b) for a, b in
@@ -1848,7 +2099,8 @@ def _encode_jpx_lossy(
     if precincts is not None:
         scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
-        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 0]
+        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2,
+         1 if bypass else 0, 0]
     )
     if precincts is not None:
         cod += bytes(ppx | (ppy << 4) for ppx, ppy in precincts)
@@ -1957,10 +2209,10 @@ def _parse_markers(data: bytes):
             levels = seg[5]
             cbw, cbh = seg[6] + 2, seg[7] + 2
             cbstyle = seg[8]
-            if cbstyle:
+            if cbstyle & ~0x01:
                 raise JPXUnsupported(
-                    "code-block style options (bypass/reset/termall/"
-                    "causal/predictable/segmark)"
+                    "code-block style options (reset/termall/causal/"
+                    "predictable/segmark)"
                 )
             transform = seg[9]
             if transform not in (0, 1):
@@ -1984,7 +2236,7 @@ def _parse_markers(data: bytes):
                         )
             hdr.update(
                 prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
-                transform=transform, layers=layers,
+                transform=transform, layers=layers, cbstyle=cbstyle,
                 sop=bool(scod & 0x02), eph=bool(scod & 0x04),
                 precincts=precincts,
             )
@@ -2043,11 +2295,13 @@ class _ResolutionState:
     band's local coordinates; the default single-precinct layout
     passes the full band."""
 
-    __slots__ = ("bands", "mbs", "per_band")
+    __slots__ = ("bands", "mbs", "per_band", "bypass")
 
-    def __init__(self, bands, mbs: list, wins: list | None = None):
+    def __init__(self, bands, mbs: list, wins: list | None = None,
+                 bypass: bool = False):
         self.bands = bands
         self.mbs = mbs
+        self.bypass = bypass
         self.per_band = []
         if wins is None:
             wins = [(0, 0, bw, bh) for (_, _, _, bw, bh) in bands]
@@ -2080,10 +2334,18 @@ class _ResolutionState:
             if band_state is None:
                 continue
             for blk in band_state["blocks"].values():
-                name, px, py, cw, ch, nplanes, npasses, chunks = blk
-                coeffs = decode_codeblock(
-                    b"".join(chunks), cw, ch, name, nplanes, npasses
-                )
+                (name, px, py, cw, ch, nplanes, npasses, chunks,
+                 segs) = blk
+                if segs is not None:
+                    coeffs = decode_codeblock_bypass(
+                        [(r, bytes(d)) for r, d in segs],
+                        cw, ch, name, nplanes, npasses,
+                    )
+                else:
+                    coeffs = decode_codeblock(
+                        b"".join(chunks), cw, ch, name, nplanes,
+                        npasses,
+                    )
                 out.append((name, px, py, cw, ch, coeffs))
         return out
 
@@ -2132,7 +2394,8 @@ def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
                     t += 1
                 zbp = t - 1
                 blk = blocks[key] = [
-                    name, bx + x, by + y, cw, ch, mb - zbp, 0, []
+                    name, bx + x, by + y, cw, ch, mb - zbp, 0, [],
+                    [] if state.bypass else None,
                 ]
             else:
                 # previously included: single bit (B.10.4)
@@ -2143,15 +2406,37 @@ def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
             while reader.bit():
                 lb += 1
             lblock[key] = lb
-            nbits = lb + (npasses.bit_length() - 1)
-            length = reader.bits(nbits)
+            if not state.bypass:
+                nbits = lb + (npasses.bit_length() - 1)
+                length = reader.bits(nbits)
+                work.append((blk, length, None, False))
+            else:
+                # B.10.7.4: bypass terminations split the
+                # contribution into codeword segments, one signaled
+                # length each (bits = Lblock + floor(log2(segment
+                # passes))); an unterminated tail continues in the
+                # next layer's contribution (same seg_index)
+                p0 = blk[6]
+                for s0, s1, is_raw, seg_index in _bypass_parts(
+                    p0, p0 + npasses
+                ):
+                    nbits = lb + ((s1 - s0).bit_length() - 1)
+                    length = reader.bits(nbits)
+                    work.append((blk, length, seg_index, is_raw))
             blk[6] += npasses
-            work.append((blk, length))
     body = end_of_header()
-    for blk, length in work:
+    for blk, length, seg_index, is_raw in work:
         if body + length > len(data):
             raise JPXError("code-block data overruns stream")
-        blk[7].append(data[body:body + length])
+        piece = data[body:body + length]
+        if seg_index is None:
+            blk[7].append(piece)
+        else:
+            segs = blk[8]
+            while len(segs) <= seg_index:
+                segs.append([False, bytearray()])
+            segs[seg_index][0] = is_raw
+            segs[seg_index][1] += piece
         body += length
     return body
 
@@ -2205,7 +2490,8 @@ def decode_codestream(data: bytes):
         c_style = seg[at + 4]
         c_transform = seg[at + 5]
         if (scoc & 1 or c_levels != hdr["levels"]
-                or c_cb != hdr["cb_exp"] or c_style != 0
+                or c_cb != hdr["cb_exp"]
+                or c_style != hdr.get("cbstyle", 0)
                 or c_transform != hdr["transform"]):
             raise JPXUnsupported(
                 "per-component coding style differs from COD (COC)"
@@ -2264,6 +2550,7 @@ def decode_codestream(data: bytes):
             k += len(names)
     prog = hdr["prog"]
     precincts = hdr.get("precincts")
+    bypass = bool(hdr.get("cbstyle", 0) & 1)
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w + xts - 1) // xts
     nty = (h + yts - 1) // yts
@@ -2322,6 +2609,7 @@ def decode_codestream(data: bytes):
                         _precinct_band_windows(
                             band_dims, r, ppx, ppy, pxi, pyi
                         ),
+                        bypass,
                     )
                     for pyi in range(npy) for pxi in range(npx)
                 ]

@@ -172,9 +172,10 @@ class TestCodestream:
 
     def test_unsupported_features_named(self):
         data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
-        # set a code-block style option (arithmetic bypass)
+        # set a code-block style option beyond selective bypass
+        # (termall) — bypass itself decodes since round 5
         cod_at = bytes(data).index(b"\xff\x52")
-        data[cod_at + 2 + 2 + 8] = 0x01
+        data[cod_at + 2 + 2 + 8] = 0x04
         with pytest.raises(JPXUnsupported):
             decode_jpx(bytes(data))
 
@@ -739,4 +740,119 @@ class TestPrecincts:
         old = _s.unpack_from(">H", data, cod_at + 2)[0]
         data[cod_at + 2:cod_at + 4] = _s.pack(">H", old - 2)
         with pytest.raises(JPXError):
+            decode_jpx(bytes(data))
+
+
+class TestArithmeticBypass:
+    """Selective arithmetic coding bypass (T.800 D.7, cbstyle LAZY):
+    the first 10 coding passes are one MQ segment, then raw sig/mag
+    pairs (bit-stuffed, unpredicted sign bits) alternate with
+    one-pass MQ cleanups, each codeword segment independently
+    terminated and separately length-signaled in the packet header
+    (B.10.7.4)."""
+
+    def test_segment_boundary_rule(self):
+        from pdf2dataset_spark.sources.jpx import (
+            _bypass_is_raw, _bypass_parts,
+        )
+
+        # pass 0 cleanup; triplets after; raw from the 11th pass on
+        assert [_bypass_is_raw(p) for p in range(13)] == (
+            [False] * 10 + [True, True, False]
+        )
+        assert _bypass_parts(0, 16) == [
+            (0, 10, False, 0), (10, 12, True, 1), (12, 13, False, 2),
+            (13, 15, True, 3), (15, 16, False, 4),
+        ]
+        # a contribution starting mid-segment keeps the seg index
+        assert _bypass_parts(10, 13) == [
+            (10, 12, True, 1), (12, 13, False, 2),
+        ]
+
+    def test_raw_io_bit_stuffing(self):
+        from pdf2dataset_spark.sources.jpx import _RawReader, _RawWriter
+
+        bits = [1] * 20 + [0, 1] * 30 + [1] * 9
+        wtr = _RawWriter()
+        for b in bits:
+            wtr.bit(b)
+        data = wtr.flush()
+        # 0xFF never followed by a byte with MSB set, never trailing
+        for i, byte in enumerate(data[:-1]):
+            if byte == 0xFF:
+                assert data[i + 1] < 0x80
+        assert data[-1] != 0xFF
+        rdr = _RawReader(data)
+        assert [rdr.bit() for _ in range(len(bits))] == bits
+
+    def test_deep_block_roundtrip_with_raw_segments(self):
+        import random
+
+        from pdf2dataset_spark.sources.jpx import (
+            decode_codeblock_bypass, encode_codeblock_bypass,
+        )
+
+        rng = random.Random(7)
+        w, h = 33, 17
+        coeffs = [rng.randint(-100000, 100000) if rng.random() < 0.7
+                  else 0 for _ in range(w * h)]
+        segs, npasses, nplanes = encode_codeblock_bypass(
+            coeffs, w, h, "LH"
+        )
+        assert any(r for r, _ in segs)  # raw segments actually used
+        got = decode_codeblock_bypass(segs, w, h, "LH", nplanes,
+                                      npasses)
+        assert got == coeffs
+
+    def test_shallow_block_identical_to_plain_encoder(self):
+        from pdf2dataset_spark.sources.jpx import (
+            encode_codeblock, encode_codeblock_bypass,
+        )
+
+        coeffs = [((i * 7) % 13) - 6 for i in range(64)]
+        segs, npasses, nplanes = encode_codeblock_bypass(
+            coeffs, 8, 8, "HL"
+        )
+        data, np2, npl2 = encode_codeblock(coeffs, 8, 8, "HL")
+        assert (npasses, nplanes) == (np2, npl2)
+        assert segs == [(False, data)]  # <= 10 passes: one MQ segment
+
+    def test_full_stream_roundtrips(self):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        w, h = 200, 150
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = encode_jpx(w, h, px, 1, levels=3, bypass=True)
+        assert decode_jpx(cs)[2] == px
+        assert cs != encode_jpx(w, h, px, 1, levels=3)
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+        cs = encode_jpx(w, h, rgb, 3, levels=2, bypass=True, layers=3,
+                        prog=1)
+        assert decode_jpx(cs)[2] == rgb
+        cs = encode_jpx(w, h, px, 1, levels=2, bypass=True,
+                        precincts=(7, 7), tile_size=(96, 80),
+                        sop=True, eph=True, prog=2)
+        assert decode_jpx(cs)[2] == px
+
+    def test_lossy_bypass_roundtrip(self):
+        import numpy as np
+
+        w, h = 200, 150
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        sm = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        cs = encode_jpx(w, h, sm.tobytes(), 1, levels=3,
+                        irreversible=True, quality_bits=12,
+                        bypass=True)
+        got = np.frombuffer(decode_jpx(cs)[2], np.uint8).astype(int)
+        assert np.abs(got - sm.reshape(-1).astype(int)).max() <= 1
+
+    def test_other_cbstyle_bits_still_named(self):
+        data = bytearray(
+            encode_jpx(8, 8, bytes(range(64)), 1, levels=1,
+                       bypass=True)
+        )
+        cod_at = bytes(data).index(b"\xff\x52")
+        data[cod_at + 2 + 2 + 8] |= 0x20  # add segmark
+        with pytest.raises(JPXUnsupported):
             decode_jpx(bytes(data))
