@@ -43,14 +43,16 @@ with the external sYCC transform inverted when the JP2 colr box
 signals EnumCS 18), and multiple QUALITY LAYERS in all five
 progression orders (per-precinct inclusion state persists across
 layers, chunks concatenating into each block's single MQ stream).
-SELECTIVE ARITHMETIC BYPASS (cbstyle LAZY, D.7) decodes: raw
-bit-stuffed sig/mag segments alternating with terminated MQ
-cleanups, each separately length-signaled (B.10.7.4). Out of scope,
-surfaced as named :class:`JPXUnsupported` errors (the compressed
-payload is preserved by the caller either way): precincts small
-enough to split the 64x64 code block, the remaining code-block
-style options (reset/termall/causal/predictable/segmark), and ROI
-shifts.
+The FULL CODE-BLOCK STYLE byte (D.7) decodes: selective arithmetic
+bypass (raw bit-stuffed sig/mag segments alternating with
+terminated MQ cleanups, each separately length-signaled per
+B.10.7.4), per-pass context RESET, TERMALL per-pass termination,
+vertically CAUSAL context formation, predictable termination
+(decode no-op), and SEGMENTATION SYMBOLS (validated — corrupt
+block data surfaces as a named error). Out of scope, surfaced as
+named :class:`JPXUnsupported` errors (the compressed payload is
+preserved by the caller either way): precincts small enough to
+split the 64x64 code block, and ROI shifts.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -362,11 +364,16 @@ def _fresh_contexts() -> list:
 
 
 class _BlockState:
-    """Shared encode/decode state for one code block."""
+    """Shared encode/decode state for one code block. With
+    ``causal`` (cbstyle vertically-stripe-causal, D.7), context
+    formation treats every sample in the stripe BELOW (x, y)'s
+    4-row stripe as insignificant — significance/sign lookups are
+    masked here so the shared walkers need no changes."""
 
-    __slots__ = ("w", "h", "sig", "visited", "refined", "sign", "mag")
+    __slots__ = ("w", "h", "sig", "visited", "refined", "sign",
+                 "mag", "causal")
 
-    def __init__(self, w: int, h: int):
+    def __init__(self, w: int, h: int, causal: bool = False):
         self.w = w
         self.h = h
         self.sig = bytearray(w * h)
@@ -374,6 +381,10 @@ class _BlockState:
         self.refined = bytearray(w * h)
         self.sign = bytearray(w * h)  # 1 = negative
         self.mag = [0] * (w * h)
+        self.causal = causal
+
+    def _masked(self, yy: int, y: int) -> bool:
+        return self.causal and yy >= (y // 4) * 4 + 4
 
     def neighborhood(self, x: int, y: int):
         w, h, sig = self.w, self.h, self.sig
@@ -384,12 +395,15 @@ class _BlockState:
             hcnt += 1
         if y > 0 and sig[(y - 1) * w + x]:
             vcnt += 1
-        if y < h - 1 and sig[(y + 1) * w + x]:
+        if y < h - 1 and sig[(y + 1) * w + x] and not self._masked(
+            y + 1, y
+        ):
             vcnt += 1
         for dy in (-1, 1):
             for dx in (-1, 1):
                 xx, yy = x + dx, y + dy
-                if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+                if (0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]
+                        and not self._masked(yy, y)):
                     dcnt += 1
         return hcnt, vcnt, dcnt
 
@@ -398,6 +412,8 @@ class _BlockState:
 
         def contrib(xx: int, yy: int) -> int:
             if not (0 <= xx < w and 0 <= yy < h) or not sig[yy * w + xx]:
+                return 0
+            if self._masked(yy, y):
                 return 0
             return -1 if sign[yy * w + xx] else 1
 
@@ -412,7 +428,8 @@ class _BlockState:
                 if dx == 0 and dy == 0:
                     continue
                 xx, yy = x + dx, y + dy
-                if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+                if (0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]
+                        and not self._masked(yy, y)):
                     return True
         return False
 
@@ -629,39 +646,75 @@ def _bypass_is_raw(p: int) -> bool:
     return p >= 10 and (p - 1) % 3 != 2
 
 
-def _bypass_parts(p0: int, p1: int):
-    """Split pass range [p0, p1) at bypass segment boundaries →
+def _style_boundary_after(p: int, cbstyle: int) -> bool:
+    """Codeword-segment termination rule for a cbstyle combination:
+    TERMALL (0x04) terminates every pass; else selective bypass
+    (0x01) terminates per :func:`_bypass_boundary_after`; else the
+    block is one segment."""
+    if cbstyle & 0x04:
+        return True
+    if cbstyle & 0x01:
+        return _bypass_boundary_after(p)
+    return False
+
+
+def _style_parts(p0: int, p1: int, cbstyle: int):
+    """Split pass range [p0, p1) at the style's segment boundaries →
     [(start, end, is_raw, seg_index), ...]. seg_index counts
     segments from pass 0 so packet parts map onto the block's
     accumulated segment list across quality layers."""
     parts = []
     seg_index = sum(
-        1 for p in range(p0) if _bypass_boundary_after(p)
+        1 for p in range(p0) if _style_boundary_after(p, cbstyle)
     )
+    bypass = bool(cbstyle & 0x01)
     start = p0
     for p in range(p0, p1):
-        if _bypass_boundary_after(p) or p == p1 - 1:
-            parts.append((start, p + 1, _bypass_is_raw(start), seg_index))
-            if _bypass_boundary_after(p):
+        if _style_boundary_after(p, cbstyle) or p == p1 - 1:
+            parts.append((
+                start, p + 1, bypass and _bypass_is_raw(start),
+                seg_index,
+            ))
+            if _style_boundary_after(p, cbstyle):
                 seg_index += 1
             start = p + 1
     return parts
 
 
-def encode_codeblock_bypass(coeffs, w: int, h: int, band: str):
-    """EBCOT-encode with SELECTIVE ARITHMETIC BYPASS (D.7, cbstyle
-    bit 0): → (segments, n_passes, n_bitplanes) where segments is
-    [(is_raw, bytes), ...] in pass order. The first 10 passes are one
-    MQ segment; later sig/mag pairs are RAW (bit-stuffed, sign bits
-    unpredicted) and each cleanup is its own terminated MQ segment —
-    contexts persist across MQ segments. Blocks with <= 10 passes
-    come out identical to :func:`encode_codeblock` modulo the
-    single-tuple wrapper."""
-    st = _BlockState(w, h)
+def _bypass_parts(p0: int, p1: int):
+    """:func:`_style_parts` for plain selective bypass."""
+    return _style_parts(p0, p1, 0x01)
+
+
+def encode_codeblock_styled(coeffs, w: int, h: int, band: str,
+                            cbstyle: int):
+    """EBCOT-encode under a CODE-BLOCK STYLE combination (COD byte,
+    D.7): → (segments, n_passes, n_bitplanes) with segments
+    [(is_raw, bytes), ...] in pass order.
+
+    - 0x01 selective bypass: the first 10 passes are one MQ segment;
+      later sig/mag passes ride RAW bit-stuffed segments (sign bits
+      unpredicted) alternating with terminated MQ cleanups.
+    - 0x02 reset: contexts reinitialize at every pass boundary.
+    - 0x04 termall: EVERY pass is its own terminated segment.
+    - 0x08 vertically causal: context formation ignores the stripe
+      below (masked in :class:`_BlockState`).
+    - 0x10 predictable termination: an encoder-side promise about
+      spare bits — no stream-shape change here, accepted on decode.
+    - 0x20 segmentation symbols: a UNIFORM-context 1010 is coded at
+      the end of every cleanup pass (decoder validates it).
+
+    MQ contexts persist across terminated MQ segments unless reset.
+    With cbstyle 0 the single segment is byte-identical to
+    :func:`encode_codeblock`."""
+    causal = bool(cbstyle & 0x08)
+    reset = bool(cbstyle & 0x02)
+    segmark = bool(cbstyle & 0x20)
+    st2 = _BlockState(w, h, causal)
     maxmag = 0
     for i, c in enumerate(coeffs):
-        st.mag[i] = abs(c)
-        st.sign[i] = 1 if c < 0 else 0
+        st2.mag[i] = abs(c)
+        st2.sign[i] = 1 if c < 0 else 0
         maxmag = max(maxmag, abs(c))
     nplanes = max(1, maxmag.bit_length())
     cx = _fresh_contexts()
@@ -681,19 +734,19 @@ def encode_codeblock_bypass(coeffs, w: int, h: int, band: str):
         else:
             raw.bit(bit)
 
-    st2 = _BlockState(w, h)
-    st2.mag = st.mag
-    st2.sign = st.sign
-    npasses = 0 if nplanes else 0
+    npasses = 0
     total = 1 + 3 * (nplanes - 1)
+    bypass = bool(cbstyle & 0x01)
     p = 0
     plane = nplanes - 1
     while p < total:
-        is_raw = _bypass_is_raw(p)
+        is_raw = bypass and _bypass_is_raw(p)
         if is_raw and raw is None:
             raw = _RawWriter()
         if not is_raw and enc is None:
             enc = MQEncoder()
+        if reset:
+            cx[:] = _fresh_contexts()
         put = put_raw if is_raw else put_mq
         ptype = 2 if p == 0 else (p - 1) % 3
         if ptype == 0:
@@ -702,9 +755,12 @@ def encode_codeblock_bypass(coeffs, w: int, h: int, band: str):
             _pass_mag(None, put, st2, plane)
         else:
             _pass_cleanup(None, put, st2, band, plane)
+            if segmark:
+                for b in (1, 0, 1, 0):
+                    enc.encode(b, cx[_CTX_UNIFORM])
             plane -= 1
         npasses += 1
-        if _bypass_boundary_after(p) or p == total - 1:
+        if _style_boundary_after(p, cbstyle) or p == total - 1:
             if is_raw:
                 segments.append((True, raw.flush()))
                 raw = None
@@ -715,16 +771,26 @@ def encode_codeblock_bypass(coeffs, w: int, h: int, band: str):
     return segments, npasses, nplanes
 
 
-def decode_codeblock_bypass(
-    segments, w: int, h: int, band: str, nplanes: int, npasses: int
+def encode_codeblock_bypass(coeffs, w: int, h: int, band: str):
+    """:func:`encode_codeblock_styled` with plain selective bypass."""
+    return encode_codeblock_styled(coeffs, w, h, band, 0x01)
+
+
+def decode_codeblock_styled(
+    segments, w: int, h: int, band: str, nplanes: int, npasses: int,
+    cbstyle: int,
 ):
-    """Inverse of :func:`encode_codeblock_bypass`: decode a block
-    from its codeword segments. MQ contexts persist across the
-    independently terminated MQ segments; raw segments are read with
-    the D.4.2 bit-unstuffing reader. Built on the shared reference
-    pass walkers (clarity path: bypass blocks trade the inlined fast
-    decoder for per-segment restartability)."""
-    st = _BlockState(w, h)
+    """Inverse of :func:`encode_codeblock_styled`: decode a block
+    from its codeword segments under the given style. MQ contexts
+    persist across independently terminated MQ segments (unless
+    RESET); raw segments use the D.4.2 bit-unstuffing reader;
+    segmentation symbols are validated (1010 after each cleanup).
+    Built on the shared reference pass walkers (styled blocks trade
+    the inlined fast decoder for restartability)."""
+    causal = bool(cbstyle & 0x08)
+    reset = bool(cbstyle & 0x02)
+    segmark = bool(cbstyle & 0x20)
+    st = _BlockState(w, h, causal)
     cx = _fresh_contexts()
     seg_iter = iter(segments)
     reader = None
@@ -755,6 +821,8 @@ def decode_codeblock_bypass(
             except StopIteration:
                 break
             need_reader = False
+        if reset:
+            cx[:] = _fresh_contexts()
         ptype = 2 if p == 0 else (p - 1) % 3
         if ptype == 0:
             _pass_sig(bit_of, None, st, band, plane)
@@ -762,13 +830,31 @@ def decode_codeblock_bypass(
             _pass_mag(bit_of, None, st, plane)
         else:
             _pass_cleanup(bit_of, None, st, band, plane)
+            if segmark:
+                got = 0
+                for _ in range(4):
+                    got = (got << 1) | reader.decode(cx[_CTX_UNIFORM])
+                if got != 0b1010:
+                    raise JPXError(
+                        "segmentation symbol mismatch (corrupt "
+                        "code-block data)"
+                    )
             plane -= 1
-        if _bypass_boundary_after(p):
+        if _style_boundary_after(p, cbstyle):
             need_reader = True
         p += 1
     return [
         -m if s else m for m, s in zip(st.mag, st.sign)
     ]
+
+
+def decode_codeblock_bypass(
+    segments, w: int, h: int, band: str, nplanes: int, npasses: int
+):
+    """:func:`decode_codeblock_styled` with plain selective bypass."""
+    return decode_codeblock_styled(
+        segments, w, h, band, nplanes, npasses, 0x01
+    )
 
 
 def encode_codeblock(coeffs, w: int, h: int, band: str):
@@ -1286,11 +1372,14 @@ _GUARD_BITS = 1
 
 
 def _encode_tile_component(plane, w: int, h: int, levels: int,
-                           bypass: bool = False):
+                           cbstyle: int = 0):
     """EBCOT-encode one component's coefficient plane → (per-resolution
     band/block structures, per-subband max plane counts in QCD order).
-    With ``bypass`` each block's data is its codeword-SEGMENT list
-    (selective arithmetic bypass, D.7) instead of one byte string."""
+    When ``cbstyle`` carries terminations (bypass/termall) each
+    block's data is its codeword-SEGMENT list instead of one byte
+    string; other style bits keep a single (styled) segment."""
+    terminated = bool(cbstyle & 0x05)
+    styled = bool(cbstyle & 0x2F)  # any bit that changes the coding
     resolutions = []
     exps = []
     for r in range(levels + 1):
@@ -1305,17 +1394,19 @@ def _encode_tile_component(plane, w: int, h: int, levels: int,
                     for xx in range(cw)
                 ]
                 if any(coeffs):
-                    if bypass:
-                        data, npasses, nplanes = encode_codeblock_bypass(
-                            coeffs, cw, ch, name
+                    if styled:
+                        data, npasses, nplanes = encode_codeblock_styled(
+                            coeffs, cw, ch, name, cbstyle
                         )
+                        if not terminated:
+                            data = data[0][1]  # single MQ segment
                     else:
                         data, npasses, nplanes = encode_codeblock(
                             coeffs, cw, ch, name
                         )
                 else:
-                    data, npasses, nplanes = ([] if bypass else b"",
-                                              0, 0)
+                    data, npasses, nplanes = ([] if terminated
+                                              else b"", 0, 0)
                 blocks.append((gx, gy, data, npasses, nplanes))
             per_band.append((name, bw, bh, blocks))
             exps.append(max((b[4] for b in blocks), default=0))
@@ -1428,7 +1519,8 @@ def _packet_order(prog: int, layers: int, levels: int, ncomp: int,
 
 def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                   sop: bool, eph: bool, prog: int = 0,
-                  pinfo: dict | None = None) -> list:
+                  pinfo: dict | None = None,
+                  cbstyle: int = 0) -> list:
     """Build one tile's packets (list of byte strings, SOP markers
     attached): code blocks are assigned round-robin to quality layers
     (first-inclusion layer), packets iterate in ``prog`` order over
@@ -1512,7 +1604,8 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
             pkt += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
         nsop += 1
         packets.append(
-            pkt + _build_packet_layer(states[(r, c)][p], l, eph)
+            pkt + _build_packet_layer(states[(r, c)][p], l, eph,
+                                      cbstyle)
         )
     return packets
 
@@ -1531,7 +1624,8 @@ def _emit_tile(out: bytearray, isot: int, packets: list,
         out += b"\xff\x93" + chunk
 
 
-def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
+def _build_packet_layer(per_band, l: int, eph: bool,
+                        cbstyle: int = 0) -> bytes:
     """One packet for quality layer `l` from a resolution's encoder
     states (first-inclusion tag trees persist across layers)."""
     eph_m = b"\xff\x92" if eph else b""
@@ -1569,10 +1663,11 @@ def _build_packet_layer(per_band, l: int, eph: bool) -> bytes:
                 _passes_codeword_write(hw, npasses)
                 lb = lblock.setdefault(key, 3)
                 if isinstance(data, list):
-                    # bypass: one length per codeword segment, bits =
-                    # Lblock + floor(log2(segment passes)); Lblock
-                    # raised once so EVERY segment length fits
-                    parts = _bypass_parts(0, npasses)
+                    # bypass/termall: one length per codeword
+                    # segment, bits = Lblock + floor(log2(segment
+                    # passes)); Lblock raised once so EVERY segment
+                    # length fits
+                    parts = _style_parts(0, npasses, cbstyle)
                     k = 0
                     for (s0, s1, _, si) in parts:
                         nbits = max(1, len(data[si][1]).bit_length())
@@ -1685,6 +1780,7 @@ def encode_jpx(
     subsampling: tuple | None = None,
     precincts: tuple | list | None = None,
     bypass: bool = False,
+    cbstyle: int = 0,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1717,12 +1813,15 @@ def encode_jpx(
     levels = max(0, min(levels, 32))
     subs = _check_subsampling(subsampling, ncomp)
     precincts = _check_precincts(precincts, levels)
+    cbstyle = (cbstyle | (0x01 if bypass else 0)) & 0xFF
+    if cbstyle & ~0x3F:
+        raise JPXError(f"undefined code-block style bits 0x{cbstyle:02x}")
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
             prog, chroma_quality_bits, tile_parts, subs, precincts,
-            bypass,
+            cbstyle,
         )
     external_ycc = False
     comps = []
@@ -1793,7 +1892,7 @@ def encode_jpx(
         scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2,
-         1 if bypass else 0, 1]
+         cbstyle, 1]
     )
     if precincts is not None:
         cod += bytes(ppx | (ppy << 4) for ppx, ppy in precincts)
@@ -1815,7 +1914,7 @@ def encode_jpx(
                    for row in plane_rows[tcy0:tcy0 + tch]]
             plane = dwt53_forward_2d(sub, levels)
             res, comp_exps = _encode_tile_component(
-                plane, tcw, tch, levels, bypass
+                plane, tcw, tch, levels, cbstyle
             )
             all_res.append(res)
             exps = (comp_exps if exps is None
@@ -1847,7 +1946,7 @@ def encode_jpx(
         _emit_tile(
             out, isot,
             _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
-                          sop, eph, prog, pinfo),
+                          sop, eph, prog, pinfo, cbstyle),
             tile_parts,
         )
     out += b"\xff\xd9"  # EOC
@@ -1900,7 +1999,7 @@ def _encode_jpx_lossy(
     tile_parts: int = 1,
     subs: list | None = None,
     precincts: list | None = None,
-    bypass: bool = False,
+    cbstyle: int = 0,
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
@@ -2051,7 +2150,7 @@ def _encode_jpx_lossy(
                         np.sign(v) * np.floor(np.abs(v) / dl)
                     ).astype(np.int64)
             res, comp_exps = _encode_tile_component(
-                ip.tolist(), tw, th, levels, bypass
+                ip.tolist(), tw, th, levels, cbstyle
             )
             all_res.append(res)
             comp_maxq[cc] = [max(a, b) for a, b in
@@ -2100,7 +2199,7 @@ def _encode_jpx_lossy(
         scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
         [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2,
-         1 if bypass else 0, 0]
+         cbstyle, 0]
     )
     if precincts is not None:
         cod += bytes(ppx | (ppy << 4) for ppx, ppy in precincts)
@@ -2124,7 +2223,7 @@ def _encode_jpx_lossy(
         _emit_tile(
             out, isot,
             _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
-                          sop, eph, prog, pinfo),
+                          sop, eph, prog, pinfo, cbstyle),
             tile_parts,
         )
     out += b"\xff\xd9"  # EOC
@@ -2209,10 +2308,9 @@ def _parse_markers(data: bytes):
             levels = seg[5]
             cbw, cbh = seg[6] + 2, seg[7] + 2
             cbstyle = seg[8]
-            if cbstyle & ~0x01:
-                raise JPXUnsupported(
-                    "code-block style options (reset/termall/causal/"
-                    "predictable/segmark)"
+            if cbstyle & ~0x3F:
+                raise JPXError(
+                    f"undefined code-block style bits 0x{cbstyle:02x}"
                 )
             transform = seg[9]
             if transform not in (0, 1):
@@ -2295,13 +2393,13 @@ class _ResolutionState:
     band's local coordinates; the default single-precinct layout
     passes the full band."""
 
-    __slots__ = ("bands", "mbs", "per_band", "bypass")
+    __slots__ = ("bands", "mbs", "per_band", "cbstyle")
 
     def __init__(self, bands, mbs: list, wins: list | None = None,
-                 bypass: bool = False):
+                 cbstyle: int = 0):
         self.bands = bands
         self.mbs = mbs
-        self.bypass = bypass
+        self.cbstyle = cbstyle
         self.per_band = []
         if wins is None:
             wins = [(0, 0, bw, bh) for (_, _, _, bw, bh) in bands]
@@ -2337,9 +2435,16 @@ class _ResolutionState:
                 (name, px, py, cw, ch, nplanes, npasses, chunks,
                  segs) = blk
                 if segs is not None:
-                    coeffs = decode_codeblock_bypass(
+                    coeffs = decode_codeblock_styled(
                         [(r, bytes(d)) for r, d in segs],
-                        cw, ch, name, nplanes, npasses,
+                        cw, ch, name, nplanes, npasses, self.cbstyle,
+                    )
+                elif self.cbstyle & ~0x10:
+                    # reset/causal/segmark without terminations:
+                    # one segment, styled walkers
+                    coeffs = decode_codeblock_styled(
+                        [(False, b"".join(chunks))],
+                        cw, ch, name, nplanes, npasses, self.cbstyle,
                     )
                 else:
                     coeffs = decode_codeblock(
@@ -2395,7 +2500,7 @@ def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
                 zbp = t - 1
                 blk = blocks[key] = [
                     name, bx + x, by + y, cw, ch, mb - zbp, 0, [],
-                    [] if state.bypass else None,
+                    [] if state.cbstyle & 0x05 else None,
                 ]
             else:
                 # previously included: single bit (B.10.4)
@@ -2406,19 +2511,19 @@ def _decode_packet(data: bytes, pos: int, state: _ResolutionState,
             while reader.bit():
                 lb += 1
             lblock[key] = lb
-            if not state.bypass:
+            if not state.cbstyle & 0x05:
                 nbits = lb + (npasses.bit_length() - 1)
                 length = reader.bits(nbits)
                 work.append((blk, length, None, False))
             else:
-                # B.10.7.4: bypass terminations split the
+                # B.10.7.4: bypass/termall terminations split the
                 # contribution into codeword segments, one signaled
                 # length each (bits = Lblock + floor(log2(segment
                 # passes))); an unterminated tail continues in the
                 # next layer's contribution (same seg_index)
                 p0 = blk[6]
-                for s0, s1, is_raw, seg_index in _bypass_parts(
-                    p0, p0 + npasses
+                for s0, s1, is_raw, seg_index in _style_parts(
+                    p0, p0 + npasses, state.cbstyle
                 ):
                     nbits = lb + ((s1 - s0).bit_length() - 1)
                     length = reader.bits(nbits)
@@ -2550,7 +2655,7 @@ def decode_codestream(data: bytes):
             k += len(names)
     prog = hdr["prog"]
     precincts = hdr.get("precincts")
-    bypass = bool(hdr.get("cbstyle", 0) & 1)
+    cbstyle = hdr.get("cbstyle", 0)
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w + xts - 1) // xts
     nty = (h + yts - 1) // yts
@@ -2609,7 +2714,7 @@ def decode_codestream(data: bytes):
                         _precinct_band_windows(
                             band_dims, r, ppx, ppy, pxi, pyi
                         ),
-                        bypass,
+                        cbstyle,
                     )
                     for pyi in range(npy) for pxi in range(npx)
                 ]

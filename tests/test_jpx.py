@@ -170,13 +170,13 @@ class TestCodestream:
         with pytest.raises(JPXError):
             decode_jpx(bytes(good))
 
-    def test_unsupported_features_named(self):
+    def test_undefined_cbstyle_bits_rejected(self):
+        # every DEFINED code-block style bit decodes since round 5;
+        # an undefined bit (0x40) is a malformed stream
         data = bytearray(encode_jpx(8, 8, bytes(range(64)), 1, levels=1))
-        # set a code-block style option beyond selective bypass
-        # (termall) — bypass itself decodes since round 5
         cod_at = bytes(data).index(b"\xff\x52")
-        data[cod_at + 2 + 2 + 8] = 0x04
-        with pytest.raises(JPXUnsupported):
+        data[cod_at + 2 + 2 + 8] = 0x40
+        with pytest.raises(JPXError):
             decode_jpx(bytes(data))
 
     def test_mismatched_transform_quant_rejected(self):
@@ -847,12 +847,54 @@ class TestArithmeticBypass:
         got = np.frombuffer(decode_jpx(cs)[2], np.uint8).astype(int)
         assert np.abs(got - sm.reshape(-1).astype(int)).max() <= 1
 
-    def test_other_cbstyle_bits_still_named(self):
-        data = bytearray(
-            encode_jpx(8, 8, bytes(range(64)), 1, levels=1,
-                       bypass=True)
-        )
-        cod_at = bytes(data).index(b"\xff\x52")
-        data[cod_at + 2 + 2 + 8] |= 0x20  # add segmark
-        with pytest.raises(JPXUnsupported):
-            decode_jpx(bytes(data))
+    @pytest.mark.parametrize("cbstyle", [
+        0x02,          # reset
+        0x04,          # termall
+        0x08,          # vertically causal
+        0x10,          # predictable termination (decode no-op)
+        0x20,          # segmentation symbols
+        0x05,          # bypass + termall (raw passes each terminated)
+        0x03,          # bypass + reset
+        0x09,          # bypass + causal
+        0x21,          # bypass + segmark
+        0x3F,          # everything at once
+    ])
+    def test_full_cbstyle_matrix_roundtrips(self, cbstyle):
+        """Every defined code-block style bit (and combinations)
+        must round-trip losslessly — reset/termall/causal/segmark
+        change the coding decisions, so a decoder ignoring any of
+        them desynchronizes immediately on deep noise blocks."""
+        import numpy as np
+
+        rng = np.random.default_rng(cbstyle)
+        w, h = 150, 100
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = encode_jpx(w, h, px, 1, levels=2, cbstyle=cbstyle)
+        assert decode_jpx(cs)[2] == px
+        if cbstyle != 0x10:  # predictable-term alone is stream-equal
+            assert cs != encode_jpx(w, h, px, 1, levels=2)
+
+    def test_segmark_detects_corruption(self):
+        """Segmentation symbols exist to catch corrupt block data:
+        flipping a payload byte must surface as a named error, not
+        silent garbage (the corruption lands in the big LL block's
+        MQ stream ahead of a later cleanup's 1010 check)."""
+        import numpy as np
+
+        rng = np.random.default_rng(99)
+        w, h = 64, 64
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = bytearray(encode_jpx(w, h, px, 1, levels=0,
+                                  cbstyle=0x20))
+        sod = bytes(cs).index(b"\xff\x93") + 2
+        detected = 0
+        for flip in range(40, 200, 16):
+            bad = bytearray(cs)
+            bad[sod + flip] ^= 0x55
+            try:
+                out = decode_jpx(bytes(bad))[2]
+                if out != px:
+                    continue  # garbage but undetected at this offset
+            except JPXError:
+                detected += 1
+        assert detected >= 5  # most corruptions caught by 1010 checks
