@@ -49,10 +49,12 @@ terminated MQ cleanups, each separately length-signaled per
 B.10.7.4), per-pass context RESET, TERMALL per-pass termination,
 vertically CAUSAL context formation, predictable termination
 (decode no-op), and SEGMENTATION SYMBOLS (validated — corrupt
-block data surfaces as a named error). Out of scope, surfaced as
-named :class:`JPXUnsupported` errors (the compressed payload is
-preserved by the caller either way): precincts small enough to
-split the 64x64 code block, and ROI shifts.
+block data surfaces as a named error). ROI decodes via the MAXSHIFT
+method (RGN marker, Annex H: magnitude-thresholded downshift).
+Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
+compressed payload is preserved by the caller either way):
+precincts small enough to split the 64x64 code block, and
+non-maxshift ROI styles.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1729,6 +1731,34 @@ def _check_precincts(precincts, levels: int) -> list | None:
     return precincts
 
 
+def _roi_mask_for_plane(tcw: int, tch: int, levels: int, rect):
+    """Wavelet-domain ROI membership for a tile-component plane:
+    True where a coefficient's (pyramid back-projected) spatial cell
+    intersects ``rect`` = (x0, y0, x1, y1) in tile-local component
+    coordinates. Filter-overlap spill is ignored — legitimate for
+    maxshift, where the DECODE rule is purely magnitude-based and
+    any encoder-chosen coefficient set round-trips."""
+    mask = [[False] * tcw for _ in range(tch)]
+    x0, y0, x1, y1 = rect
+    if x1 <= x0 or y1 <= y0:
+        return mask
+    for r in range(levels + 1):
+        step = 1 << (levels - r + (0 if r == 0 else 1))
+        for name, bx, by, bw, bh in _bands_for_resolution(
+            tcw, tch, levels, r
+        ):
+            for j in range(bh):
+                cy = j * step
+                if cy >= y1 or cy + step <= y0:
+                    continue
+                row = mask[by + j]
+                for i in range(bw):
+                    cx_ = i * step
+                    if cx_ < x1 and cx_ + step > x0:
+                        row[bx + i] = True
+    return mask
+
+
 def _check_subsampling(subsampling, ncomp: int) -> list:
     """Validate a per-component (XRsiz, YRsiz) list → normalized."""
     if subsampling is None:
@@ -1781,6 +1811,7 @@ def encode_jpx(
     precincts: tuple | list | None = None,
     bypass: bool = False,
     cbstyle: int = 0,
+    roi: tuple | None = None,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1816,6 +1847,11 @@ def encode_jpx(
     cbstyle = (cbstyle | (0x01 if bypass else 0)) & 0xFF
     if cbstyle & ~0x3F:
         raise JPXError(f"undefined code-block style bits 0x{cbstyle:02x}")
+    if roi is not None and irreversible:
+        raise JPXError(
+            "the fixture encoder codes ROI in the reversible path "
+            "(the decoder handles both)"
+        )
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
@@ -1901,18 +1937,52 @@ def encode_jpx(
     # per-band exponents max-merged across components AND tiles)
     ntx = (width + xts - 1) // xts
     nty = (height + yts - 1) // yts
-    tile_res: dict = {}
-    exps = None
+    # forward transforms first — ROI needs the cross-tile background
+    # maximum BEFORE any block is entropy-coded
+    tile_planes: dict = {}
     for isot in range(ntx * nty):
         tx, ty = isot % ntx, isot // ntx
-        all_res = []
+        planes = []
         for (xr, yr), plane_rows in zip(subs, comps):
             tcx0, tcy0, tcw, tch = _tile_comp_box(
                 tx, ty, xts, yts, width, height, xr, yr
             )
             sub = [row[tcx0:tcx0 + tcw]
                    for row in plane_rows[tcy0:tcy0 + tch]]
-            plane = dwt53_forward_2d(sub, levels)
+            planes.append(
+                (dwt53_forward_2d(sub, levels), tcw, tch, tcx0, tcy0)
+            )
+        tile_planes[isot] = planes
+    sprgn = 0
+    if roi is not None:
+        # maxshift (H.1): s must exceed every BACKGROUND magnitude's
+        # bit length so the decoder's 2^s threshold is unambiguous
+        rx0, ry0, rx1, ry1 = (int(v) for v in roi)
+        masks: dict = {}
+        bg = 1
+        for isot, planes in tile_planes.items():
+            for cc, (plane, tcw, tch, tcx0, tcy0) in enumerate(planes):
+                xr, yr = subs[cc]
+                rect = (rx0 // xr - tcx0, ry0 // yr - tcy0,
+                        -(-rx1 // xr) - tcx0, -(-ry1 // yr) - tcy0)
+                m = _roi_mask_for_plane(tcw, tch, levels, rect)
+                masks[(isot, cc)] = m
+                for row, mrow in zip(plane, m):
+                    for v, in_roi in zip(row, mrow):
+                        if not in_roi:
+                            bg = max(bg, abs(v))
+        sprgn = bg.bit_length()
+        for (isot, cc), m in masks.items():
+            plane = tile_planes[isot][cc][0]
+            for row, mrow in zip(plane, m):
+                for i, in_roi in enumerate(mrow):
+                    if in_roi:
+                        row[i] <<= sprgn
+    tile_res: dict = {}
+    exps = None
+    for isot in range(ntx * nty):
+        all_res = []
+        for plane, tcw, tch, _, _ in tile_planes[isot]:
             res, comp_exps = _encode_tile_component(
                 plane, tcw, tch, levels, cbstyle
             )
@@ -1935,6 +2005,11 @@ def encode_jpx(
         max(0, e + 1 - _GUARD_BITS) << 3 for e in exps
     )
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    if roi is not None:
+        for cc in range(ncomp):  # RGN maxshift per component (A.6.3)
+            out += b"\xff\x5e" + struct.pack(">H", 5) + bytes(
+                [cc, 0, sprgn]
+            )
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
         tx, ty = isot % ntx, isot // ntx
@@ -2373,6 +2448,19 @@ def _parse_markers(data: bytes):
             else:
                 raise JPXError(f"bad QCC quantization style {style}")
             hdr.setdefault("qcc", {})[comp] = entry
+        elif marker == 0x5E:  # RGN: region of interest (H.1)
+            if "ncomp" not in hdr:
+                raise JPXError("RGN before SIZ")
+            if hdr["ncomp"] < 257:
+                comp, at2 = seg[0], 1
+            else:
+                comp, at2 = struct.unpack_from(">H", seg, 0)[0], 2
+            srgn, sprgn = seg[at2], seg[at2 + 1]
+            if srgn != 0:
+                raise JPXUnsupported(f"ROI style {srgn} (maxshift only)")
+            if sprgn > 37:
+                raise JPXError(f"RGN shift {sprgn} out of range")
+            hdr.setdefault("rgn", {})[comp] = sprgn
         elif marker == 0x53:  # COC: tolerated when it matches COD
             hdr.setdefault("coc_raw", []).append(seg)
         elif marker == 0x90:  # SOT
@@ -2656,6 +2744,7 @@ def decode_codestream(data: bytes):
     prog = hdr["prog"]
     precincts = hdr.get("precincts")
     cbstyle = hdr.get("cbstyle", 0)
+    rgn = hdr.get("rgn", {})
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w + xts - 1) // xts
     nty = (h + yts - 1) // yts
@@ -2730,6 +2819,15 @@ def decode_codestream(data: bytes):
                     ).reshape(ch, cw)
         if pos > len(buf):
             raise JPXError("tile body overran its tile-parts")
+        # ROI maxshift (H.1.2): coefficients at or above 2^SPrgn are
+        # ROI — scale them back down; background magnitudes sit
+        # strictly below the threshold by the encoder's choice of s
+        for c, s in rgn.items():
+            if c < len(planes) and s:
+                arr = planes[c]
+                a = np.abs(arr)
+                roi = a >= (1 << s)
+                arr[roi] = np.sign(arr[roi]) * (a[roi] >> s)
         return planes
 
     pos = hdr["sot"]

@@ -898,3 +898,61 @@ class TestArithmeticBypass:
             except JPXError:
                 detected += 1
         assert detected >= 5  # most corruptions caught by 1010 checks
+
+
+class TestROIMaxshift:
+    """ROI maxshift (T.800 Annex H / RGN marker): the encoder scales
+    region-of-interest coefficients above every background bit plane
+    (s > max background magnitude's bit length); the decoder
+    identifies ROI coefficients purely by the 2^SPrgn magnitude
+    threshold and scales them back."""
+
+    def test_roundtrips(self):
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        w, h = 120, 90
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = encode_jpx(w, h, px, 1, levels=2, roi=(20, 10, 70, 50))
+        assert b"\xff\x5e" in cs  # RGN marker present
+        assert decode_jpx(cs)[2] == px
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+        cs = encode_jpx(w, h, rgb, 3, levels=2, mct=True,
+                        roi=(0, 0, 30, 30))
+        assert decode_jpx(cs)[2] == rgb
+        cs = encode_jpx(w, h, px, 1, levels=2, roi=(20, 10, 70, 50),
+                        tile_size=(64, 48), bypass=True)
+        assert decode_jpx(cs)[2] == px
+
+    def test_roi_actually_shifted_in_stream(self):
+        """The ROI stream must carry genuinely deeper bitplanes —
+        strip the decoder's downshift (patch SPrgn to 0) and the
+        image comes back WRONG in the ROI, proving the threshold
+        rule is load-bearing."""
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        w, h = 64, 64
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = bytearray(encode_jpx(w, h, px, 1, levels=1,
+                                  roi=(0, 0, 32, 32)))
+        rgn_at = bytes(cs).index(b"\xff\x5e")
+        assert cs[rgn_at + 6] > 8  # SPrgn above any 8-bit background
+        cs[rgn_at + 6] = 0  # lobotomize the shift
+        got = decode_jpx(bytes(cs))[2]
+        assert got != px
+
+    def test_non_maxshift_style_named(self):
+        import struct as _s
+
+        cs = bytearray(encode_jpx(8, 8, bytes(64), 1, levels=1,
+                                  roi=(0, 0, 4, 4)))
+        rgn_at = bytes(cs).index(b"\xff\x5e")
+        cs[rgn_at + 5] = 1  # Srgn != 0
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(cs))
+
+    def test_roi_rejected_with_lossy_fixture_path(self):
+        with pytest.raises(JPXError):
+            encode_jpx(8, 8, bytes(64), 1, irreversible=True,
+                       roi=(0, 0, 4, 4))
