@@ -1954,9 +1954,12 @@ def encode_refinement_page(
     for ax, ay in NOMINAL_AT[0]:
         region += struct.pack(">bb", ax, ay)
     region += enc.flush()
-    # refinement region
+    # refinement region: §8.2 REQUIRES the external combination
+    # operator to be REPLACE when the reference is the page buffer
+    # (OR could never clear corrected pixels); the retained-
+    # intermediate shape composites onto a blank page with OR
     refine = bytearray(struct.pack(">IIII", w, h, 0, 0))
-    refine.append(0)  # external comb op (REPLACE applies page-side)
+    refine.append(0 if intermediate else 4)
     refine.append((1 if template else 0) | (2 if tpgron else 0))
     at = NOMINAL_GR_AT if template == 0 else None
     if template == 0:

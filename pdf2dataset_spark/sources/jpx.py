@@ -1441,6 +1441,32 @@ def _precinct_info(comp_tile_dims: list, levels: int,
     return pinfo
 
 
+def _check_precinct_alignment(boxes: list, levels: int,
+                              precincts: list | None) -> None:
+    """T.800 B.6 anchors precinct grids at the CANVAS origin
+    (numprecincts = ceil(trx1/2^PPx) - floor(trx0/2^PPx)); this
+    engine's band/code-block geometry is tile-local, which is
+    identical exactly when every tile-component's resolution-grid
+    origin is a multiple of the precinct size. Decline the
+    divergent shape by name instead of mis-walking a conforming
+    stream's packets (single-tile images — the PDF-embedded norm —
+    always pass: origins are zero)."""
+    if precincts is None:
+        return
+    for tcx0, tcy0, tcw, tch in boxes:
+        for r in range(levels + 1):
+            s = levels - r
+            trx0 = -(-tcx0 // (1 << s))
+            try0 = -(-tcy0 // (1 << s))
+            ppx, ppy = precincts[r]
+            if trx0 % (1 << ppx) or try0 % (1 << ppy):
+                raise JPXUnsupported(
+                    "canvas-anchored precinct grid offset against "
+                    f"tile origin at resolution {r} (tile-component "
+                    f"origin ({tcx0}, {tcy0}))"
+                )
+
+
 def _precinct_band_windows(band_dims: list, r: int, ppx: int,
                            ppy: int, pxi: int, pyi: int) -> list:
     """Precinct (pxi, pyi)'s window in each band's LOCAL coordinates:
@@ -2013,10 +2039,11 @@ def encode_jpx(
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
         tx, ty = isot % ntx, isot // ntx
+        tboxes = [_tile_comp_box(tx, ty, xts, yts, width, height,
+                                 xr, yr) for xr, yr in subs]
+        _check_precinct_alignment(tboxes, levels, precincts)
         pinfo = _precinct_info(
-            [_tile_comp_box(tx, ty, xts, yts, width, height,
-                            xr, yr)[2:] for xr, yr in subs],
-            levels, precincts, subs,
+            [b[2:] for b in tboxes], levels, precincts, subs,
         )
         _emit_tile(
             out, isot,
@@ -2291,9 +2318,10 @@ def _encode_jpx_lossy(
                               for e, mu in comp_pairs[cc]))
             out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
     for isot in range(ntx * nty):
+        tboxes = [comp_box(isot, cc) for cc in range(ncomp)]
+        _check_precinct_alignment(tboxes, levels, precincts)
         pinfo = _precinct_info(
-            [comp_box(isot, cc)[2:] for cc in range(ncomp)],
-            levels, precincts, subs,
+            [b[2:] for b in tboxes], levels, precincts, subs,
         )
         _emit_tile(
             out, isot,
@@ -2452,9 +2480,13 @@ def _parse_markers(data: bytes):
             if "ncomp" not in hdr:
                 raise JPXError("RGN before SIZ")
             if hdr["ncomp"] < 257:
-                comp, at2 = seg[0], 1
+                comp, at2 = (seg[0] if seg else 0), 1
             else:
+                if len(seg) < 2:
+                    raise JPXError("truncated RGN segment")
                 comp, at2 = struct.unpack_from(">H", seg, 0)[0], 2
+            if len(seg) < at2 + 2:
+                raise JPXError("truncated RGN segment")
             srgn, sprgn = seg[at2], seg[at2 + 1]
             if srgn != 0:
                 raise JPXUnsupported(f"ROI style {srgn} (maxshift only)")
@@ -2767,16 +2799,11 @@ def decode_codestream(data: bytes):
 
     def tile_comp_boxes(tx: int, ty: int):
         """Per-component (tcx0, tcy0, tcw, tch) of tile (tx, ty) in
-        component coordinates (B.3: tile edges divide by XRsiz/YRsiz
-        with ceilings; offsets are zero here)."""
-        boxes = []
-        for xr, yr in subs:
-            tcx0 = -(-(tx * xts) // xr)
-            tcy0 = -(-(ty * yts) // yr)
-            tcx1 = -(-min((tx + 1) * xts, w) // xr)
-            tcy1 = -(-min((ty + 1) * yts, h) // yr)
-            boxes.append((tcx0, tcy0, tcx1 - tcx0, tcy1 - tcy0))
-        return boxes
+        component coordinates (B.3 — the shared module helper)."""
+        return [
+            _tile_comp_box(tx, ty, xts, yts, w, h, xr, yr)
+            for xr, yr in subs
+        ]
 
     def decode_tile_planes(buf: bytes, boxes: list):
         pos = 0
@@ -2784,10 +2811,23 @@ def decode_codestream(data: bytes):
             np.zeros((tch, tcw), np.int64)
             for (_, _, tcw, tch) in boxes
         ]
+        _check_precinct_alignment(boxes, levels, precincts)
         pinfo = _precinct_info(
             [(tcw, tch) for (_, _, tcw, tch) in boxes],
             levels, precincts, subs,
         )
+        # every packet costs >= 1 header bit: reject crafted
+        # layer/precinct counts BEFORE materializing the packet
+        # order or per-precinct state (the no-OOM invariant — the
+        # main-header guard below cannot see precinct multiplicity)
+        n_precincts = sum(
+            npx * npy for (npx, npy, *_) in pinfo.values()
+        )
+        if layers * n_precincts > 8 * len(buf) + 64:
+            raise JPXError(
+                f"{layers} layers x {n_precincts} precincts exceeds "
+                "the tile's packet budget"
+            )
         order = _packet_order(prog, layers, levels, ncomp, pinfo)
         states = {}
         for r in range(levels + 1):
@@ -2931,7 +2971,11 @@ def _unwrap_jp2_info(data: bytes) -> tuple:
                 bl = len(payload) - at
             if bl < 8:
                 return
-            if bt == b"colr" and payload[body] == 1 and enumcs is None:
+            # colr enumerated method: METH(1) PREC(1) APPROX(1)
+            # EnumCS(4) — ignore truncated boxes rather than crash
+            if (bt == b"colr" and enumcs is None
+                    and body + 7 <= len(payload)
+                    and payload[body] == 1):
                 enumcs = struct.unpack_from(">I", payload, body + 3)[0]
             at += bl
 

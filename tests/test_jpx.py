@@ -634,10 +634,28 @@ class TestPrecincts:
         cs = encode_jpx(w, h, rgb, 3, levels=3, prog=2,
                         precincts=(8, 7), layers=3, sop=True, eph=True)
         assert decode_jpx(cs)[2] == rgb
+        # tiled + precincts: tile origins must sit on the canvas
+        # precinct grid at every resolution (xts multiple of
+        # 2^(PPx + levels)) — 256 with PP=2^7, levels=1
         px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
-        cs = encode_jpx(w, h, px, 1, levels=2, prog=4,
-                        precincts=(7, 8), tile_size=(150, 140))
+        cs = encode_jpx(w, h, px, 1, levels=1, prog=4,
+                        precincts=(7, 7), tile_size=(256, 256))
         assert decode_jpx(cs)[2] == px
+
+    def test_misaligned_tile_precinct_grid_declines(self):
+        """Canvas-anchored precinct grids (B.6) that cut through a
+        tile whose resolution-grid origin is off-grid are DECLINED
+        by name — the engine's tile-local geometry would mis-walk a
+        conforming stream's packets (silent garbage is worse than an
+        honest error row)."""
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        w, h = 300, 280
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        with pytest.raises(JPXError):  # encoder refuses to author it
+            encode_jpx(w, h, px, 1, levels=2, precincts=(7, 8),
+                       tile_size=(150, 140))
 
     def test_lossy_subsampled_with_precincts(self):
         import numpy as np
@@ -830,8 +848,10 @@ class TestArithmeticBypass:
         cs = encode_jpx(w, h, rgb, 3, levels=2, bypass=True, layers=3,
                         prog=1)
         assert decode_jpx(cs)[2] == rgb
-        cs = encode_jpx(w, h, px, 1, levels=2, bypass=True,
-                        precincts=(7, 7), tile_size=(96, 80),
+        # tile origins on the canvas precinct grid: 128 with 2^7
+        # precincts at levels=0
+        cs = encode_jpx(w, h, px, 1, levels=0, bypass=True,
+                        precincts=(7, 7), tile_size=(128, 128),
                         sop=True, eph=True, prog=2)
         assert decode_jpx(cs)[2] == px
 
