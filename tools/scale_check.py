@@ -708,7 +708,53 @@ def main() -> None:
         idx.unpersist()
         return {"vectors": total, "dups": n_dups, "queries": nq}
 
+    # 17. f44 DSIR importance scoring at 3M docs / 12M tokens: the
+    # planted three-class ordering law (target-exclusive vocabulary
+    # > mixed > raw-exclusive, signs included) must hold EXACTLY,
+    # and every doc sharing a token profile must land on the
+    # IDENTICAL integer score — partial-aggregation or broadcast
+    # bugs in either token pass would smear the class scores apart.
+    # (The six planted words md5-hash to six distinct 2-hex buckets.)
+    def dsir_planted_order():
+        n = int(3_000_000 * mult)
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).alias("cls"),
+            F.when(F.col("id") % 3 == 0, "en").otherwise("zz").alias(
+                "lang"
+            ),
+        )
+        txt = (
+            F.when(F.col("cls") == 0, F.lit("alpha beta gamma alpha"))
+            .when(F.col("cls") == 1, F.lit("alpha beta delta epsilon"))
+            .otherwise(F.lit("delta epsilon zeta delta"))
+        )
+        docs = d.withColumn("text", txt)
+        scores = mx.dsir_scores(docs, F.col("lang") == "en")
+        agg = (
+            scores.join(docs.select("doc_id", "cls"), "doc_id")
+            .groupBy("cls")
+            .agg(
+                F.countDistinct("score").alias("nv"),
+                F.min("score").alias("mn"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by = {r["cls"]: r for r in agg}
+        assert sum(r["n"] for r in agg) == n
+        for c in (0, 1, 2):
+            assert by[c]["nv"] == 1, f"class {c} scores diverge"
+        assert by[0]["mn"] > by[1]["mn"] > by[2]["mn"], (
+            by[0]["mn"], by[1]["mn"], by[2]["mn"],
+        )
+        assert by[0]["mn"] > 0 > by[2]["mn"]
+        return {"docs": n, "class_scores": [
+            by[0]["mn"], by[1]["mn"], by[2]["mn"],
+        ]}
+
     check("mixture_determinism_and_law", mixture_law)
+    check("dsir_planted_order_3M", dsir_planted_order)
     check("lsh_exact_dup_collision", lsh_collision_law)
     check("ingest_dedup_cross_strategy_10M", ingest_dedup_cross_strategy)
     check("semdedup_two_sided_5M", semdedup_two_sided)
