@@ -44,7 +44,8 @@ pHash paths exactly like JPEG and CCITT ones do:
 - **Pattern dictionary + halftone regions** (T.88 §6.7 / §6.6):
   Gray-coded arithmetic/MMR grayscale bitplanes stamping dictionary
   patterns on the (skewable) 8.8 fixed-point grid — the dithered-
-  image mode. HSKIP planes decline by name.
+  image mode; HSKIP planes (§6.6.5.1) suppress coding of cells
+  stamped entirely outside the region.
 - **Segment parser + page assembly** (T.88 §7): header grammar
   (32-bit segment numbers, long referred-to form, 1/2/4-byte
   referent widths, 1/4-byte page associations), page info, end-of-
@@ -71,9 +72,9 @@ class JBIG2Error(ValueError):
 
 
 class JBIG2Unsupported(JBIG2Error):
-    """Valid JBIG2 feature outside this decoder's scope (true
-    aggregate symbols, HSKIP halftone planes, unvalidated standard
-    Huffman tables)."""
+    """Valid JBIG2 feature outside this decoder's scope (e.g.
+    Huffman-coded refinement, unvalidated standard Huffman
+    tables)."""
 
 
 #: default decode-size sanity bound (pixels): ample for any real
@@ -477,15 +478,19 @@ def decode_generic(
     template: int = 0,
     at=None,
     tpgdon: bool = False,
+    skip=None,
 ) -> list:
     """Arithmetic generic region decode → list of bytearray rows of
     0/1 pixels (1 = black). `cx` is the shared context dict (one per
     generic-coding scope: a region segment, or a whole symbol
     dictionary). Nominal-AT regions (what real encoders emit) take a
     fast sliding-context path with the MQ decoder inlined; custom AT
-    pixels fall back to the general per-pixel template walk."""
+    pixels fall back to the general per-pixel template walk.
+    ``skip`` (§6.2.5.3 USESKIP, rows of 0/1) marks pixels that are
+    NOT coded and decode as 0 — the halftone HSKIP plane."""
     at_eff = tuple(at) if at else NOMINAL_AT[template]
-    if tuple(at_eff) == NOMINAL_AT[template] and width > 0:
+    if (tuple(at_eff) == NOMINAL_AT[template] and width > 0
+            and skip is None):
         return _decode_generic_fast(
             dec, cx, width, height, template, tpgdon
         )
@@ -505,7 +510,10 @@ def decode_generic(
                 continue
         row = bytearray(width)
         rows.append(row)
+        srow = skip[y] if skip is not None else None
         for x in range(width):
+            if srow is not None and srow[x]:
+                continue  # skipped pixel: not coded, stays 0
             c = _gb_context(rows, x, y, tmpl, width)
             state = cx.setdefault(c, [0, 0])
             row[x] = dec.decode(state)
@@ -713,6 +721,7 @@ def encode_generic(
     template: int = 0,
     at=None,
     tpgdon: bool = False,
+    skip=None,
 ) -> None:
     """Inverse of :func:`decode_generic` (fixture author)."""
     width = len(rows[0]) if rows else 0
@@ -730,7 +739,10 @@ def encode_generic(
                 done.append(bytearray(row))
                 continue
         done.append(bytearray(row))
+        srow = skip[y] if skip is not None else None
         for x in range(width):
+            if srow is not None and srow[x]:
+                continue  # skipped pixel: never coded
             c = _gb_context(done, x, y, tmpl, width)
             state = cx.setdefault(c, [0, 0])
             enc.encode(row[x], state)
@@ -1318,6 +1330,24 @@ def _decode_pattern_dict(seg_data: bytes) -> list:
     ]
 
 
+def _halftone_skip_plane(hgw: int, hgh: int, hgx: int, hgy: int,
+                         hrx: int, hry: int, hpw: int, hph: int,
+                         hbw: int, hbh: int) -> list:
+    """§6.6.5.1 HSKIP computation: cell (m, n) is skipped when its
+    stamped pattern lies entirely outside the region box."""
+    skip = []
+    for m in range(hgh):
+        row = bytearray(hgw)
+        for n in range(hgw):
+            px = (hgx + m * hry + n * hrx) >> 8
+            py = (hgy + m * hrx - n * hry) >> 8
+            if (px + hpw <= 0 or px >= hbw
+                    or py + hph <= 0 or py >= hbh):
+                row[n] = 1
+        skip.append(row)
+    return skip
+
+
 def _decode_halftone_region(seg_data: bytes, patterns: list):
     """Halftone region (§6.6, arithmetic/MMR grayscale): Gray-coded
     bitplanes of grid values, each a generic region; patterns are
@@ -1329,8 +1359,8 @@ def _decode_halftone_region(seg_data: bytes, patterns: list):
     template = (flags >> 1) & 3
     enable_skip = bool(flags & 8)
     comb_op = (flags >> 4) & 7
-    if enable_skip:
-        raise JBIG2Unsupported("halftone HSKIP plane")
+    if enable_skip and mmr:
+        raise JBIG2Unsupported("halftone HSKIP with MMR grayscale")
     if not patterns:
         raise JBIG2Error("halftone region with no pattern dictionary")
     hgw, hgh = struct.unpack_from(">II", seg_data, pos)
@@ -1339,6 +1369,15 @@ def _decode_halftone_region(seg_data: bytes, patterns: list):
     pos += 20
     _check_dims(hgw, hgh, "halftone grid")
     nplanes = max(1, (len(patterns) - 1).bit_length())
+    skip = None
+    if enable_skip:
+        # §6.6.5.1 HSKIP: grid cells whose pattern falls entirely
+        # outside the region are never coded (their value is 0)
+        hpw = len(patterns[0][0]) if patterns[0] else 0
+        hph = len(patterns[0])
+        skip = _halftone_skip_plane(
+            hgw, hgh, hgx, hgy, hrx, hry, hpw, hph, w, h
+        )
     # grayscale image (Annex C.5): planes MSB..LSB, Gray-decoded,
     # ONE shared generic context bank (and one MMR coder) across them
     planes = []
@@ -1367,7 +1406,8 @@ def _decode_halftone_region(seg_data: bytes, patterns: list):
         gb_cx: dict = {}
         for _ in range(nplanes):
             planes.append(
-                decode_generic(dec, gb_cx, hgw, hgh, template, at)
+                decode_generic(dec, gb_cx, hgw, hgh, template, at,
+                               skip=skip)
             )
     # Gray decode: MSB plane is literal; each next = XOR with prev
     values = [[0] * hgw for _ in range(hgh)]
@@ -2413,12 +2453,17 @@ def encode_aggregate_page(
     return bytes(body)
 
 
-def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0) -> bytes:
+def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0,
+                         enable_skip: bool = False) -> bytes:
     """Author an embedded stream with a pattern dictionary (§6.7) and
     an immediate lossless halftone region (§6.6): `patterns` is a
     list of equal-sized square bitmaps, `values` an HGH x HGW grid of
     pattern indices (Gray-coded bitplanes, arithmetic). Square grid
-    with spacing = pattern size."""
+    with spacing = pattern size. With ``enable_skip`` the §6.6.5.1
+    HSKIP plane is computed (cells stamped entirely outside the
+    region — e.g. with a negative ``hgx``/``hgy`` grid offset) and
+    those cells' grayscale bits are never coded; their values are
+    forced to 0 as the decoder will reproduce."""
     patterns = [[bytearray(r) for r in p] for p in patterns]
     if not patterns or not values:
         raise JBIG2Error("need patterns and a value grid")
@@ -2444,6 +2489,17 @@ def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0) -> bytes:
     encode_generic(enc, {}, coll, 0, at)
     pd = bytes([0, hdpw, hdph]) + struct.pack(">I", gmax) + enc.flush()
     # ---- halftone region: Gray-coded bitplanes, shared contexts
+    w = hgw * hdpw
+    h = hgh * hdph
+    skip = None
+    if enable_skip:
+        skip = _halftone_skip_plane(
+            hgw, hgh, hgx, hgy, hdpw << 8, 0, hdpw, hdph, w, h
+        )
+        values = [
+            [0 if srow[n] else v for n, v in enumerate(row)]
+            for row, srow in zip(values, skip)
+        ]
     nplanes = max(1, gmax.bit_length())
     enc = MQEncoder()
     gb_cx: dict = {}
@@ -2457,13 +2513,12 @@ def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0) -> bytes:
             bytearray(b ^ pb for b, pb in zip(brow, prow))
             for brow, prow in zip(bits, prev_bits)
         ])
-        encode_generic(enc, gb_cx, stored, 0, h_at)
+        encode_generic(enc, gb_cx, stored, 0, h_at, skip=skip)
         prev_bits = bits
-    w = hgw * hdpw
-    h = hgh * hdph
     ht = bytearray(struct.pack(">IIII", w, h, 0, 0))
     ht.append(0)  # external comb op OR
-    ht.append(0)  # flags: arithmetic, template 0, no skip, OR, defpix 0
+    # flags: arithmetic, template 0, HENABLESKIP bit 3, OR, defpix 0
+    ht.append(8 if enable_skip else 0)
     ht += struct.pack(">II", hgw, hgh)
     ht += struct.pack(">ii", hgx, hgy)
     ht += struct.pack(">HH", hdpw << 8, 0)  # square grid, no skew

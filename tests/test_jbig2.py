@@ -421,15 +421,17 @@ class TestHalftone:
                     exp[y + 3][x + 2] = 1
         assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
 
-    def test_hskip_declined_by_name(self):
+    def test_hskip_noop_when_grid_inside(self):
+        # HSKIP decodes since round 5; with the grid fully inside
+        # the region the computed skip plane is empty, so flipping
+        # ENABLESKIP on an origin-anchored stream is a no-op
         pats = self._patterns(2)
         stream = bytearray(encode_halftone_page(pats, [[0, 1]]))
-        # flip ENABLESKIP in the halftone flags byte: it sits right
-        # after the 17-byte region info of segment 2's payload
+        ref = decode_embedded(bytes(stream))
         at = stream.rindex(struct.pack(">II", 12, 6))  # region w=12 h=6
         stream[at + 17] |= 8
-        with pytest.raises(JBIG2Unsupported):
-            decode_embedded(bytes(stream))
+        got = decode_embedded(bytes(stream))
+        assert got[2] == ref[2]
 
 
 class TestMinipdfIntegration:
@@ -698,3 +700,85 @@ class TestAggregateSymbols:
         with pytest.raises(JBIG2Error):
             encode_aggregate_page([self.A], [(5, 3, [(0, 0, 0)])],
                                   [(0, 0, 0)], 8, 8)
+
+
+class TestHalftoneSkip:
+    """HSKIP (T.88 §6.6.5.1): halftone grid cells whose stamped
+    pattern lies entirely outside the region are NEVER coded in the
+    grayscale bitplanes — a decoder ignoring the skip plane
+    desynchronizes the MQ stream immediately."""
+
+    @staticmethod
+    def _fixture():
+        pats = []
+        for k in range(4):
+            pats.append([
+                bytearray(1 if (i + j + k) % 4 < k else 0
+                          for i in range(7))
+                for j in range(7)
+            ])
+        vals = [[(m * 5 + n * 3) % 4 for n in range(8)]
+                for m in range(6)]
+        return pats, vals
+
+    def test_skip_roundtrip_against_replica(self):
+        from pdf2dataset_spark.sources.jbig2 import (
+            _blit, decode_embedded, encode_halftone_page,
+        )
+
+        pats, vals = self._fixture()
+        data = encode_halftone_page(pats, vals, hgx=-7 * 256,
+                                    hgy=-7 * 256, enable_skip=True)
+        w, h, rows = decode_embedded(data)
+        exp = [bytearray(w) for _ in range(h)]
+        for m in range(6):
+            for n in range(8):
+                px = (-7 * 256 + n * (7 << 8)) >> 8
+                py = (-7 * 256 + m * (7 << 8)) >> 8
+                out = (px + 7 <= 0 or px >= w
+                       or py + 7 <= 0 or py >= h)
+                _blit(exp, pats[0 if out else vals[m][n]], px, py, 0)
+        assert [bytes(r) for r in rows] == [bytes(r) for r in exp]
+
+    def test_skip_plane_is_load_bearing(self):
+        """The HSKIP stream must really omit skipped cells: clearing
+        the HENABLESKIP flag on the same payload makes the decode
+        diverge (or fail) — proving bits were genuinely not coded."""
+        from pdf2dataset_spark.sources.jbig2 import (
+            JBIG2Error, decode_embedded, encode_halftone_page,
+        )
+
+        pats, vals = self._fixture()
+        data = bytearray(
+            encode_halftone_page(pats, vals, hgx=-7 * 256,
+                                 hgy=-7 * 256, enable_skip=True)
+        )
+        ref = decode_embedded(bytes(data))
+        flag_at = data.rindex(b"\x08")  # HENABLESKIP flags byte
+        data[flag_at] = 0
+        try:
+            got = decode_embedded(bytes(data))
+            assert got[2] != ref[2]
+        except JBIG2Error:
+            pass  # desync surfacing as a named error is equally fine
+
+    def test_mmr_skip_named(self):
+        import struct as _s
+
+        from pdf2dataset_spark.sources import jbig2
+
+        pats, vals = self._fixture()
+        data = bytearray(
+            jbig2.encode_halftone_page(pats, vals)
+        )
+        # find the halftone segment's flags byte and set MMR+SKIP
+        ht_at = len(data) - 1
+        # flags byte sits 17 bytes into the halftone segment data;
+        # easier: decode normally first, then flip via known layout
+        # (region info 17 bytes after the last segment header)
+        hdr_at = data.rindex(_s.pack(">I", 2) + bytes([23]))
+        # header: number(4) type(1) refcount(1) ref(1) page(1) len(4)
+        flags_at = hdr_at + 12 + 17
+        data[flags_at] |= 9  # MMR + HENABLESKIP
+        with pytest.raises(jbig2.JBIG2Unsupported):
+            jbig2.decode_embedded(bytes(data))
