@@ -18,12 +18,15 @@ Scope:
   are bit-identical, which is the test oracle).
 - **decode**: baseline / extended sequential (single- or multi-scan)
   AND progressive (T.81 Annex G: DC/AC first + refinement passes,
-  EOB runs) — 1 or 3 components, any per-component sampling factors
-  up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT tables per
-  segment, restart intervals (DRI/RSTn), APPn/COM segments skipped.
-  This covers virtually every embedded /DCTDecode photo, including
-  the web-era progressive ones. Hierarchical/lossless/arithmetic
-  coding raise named errors.
+  EOB runs) — 1, 3 or 4 (Adobe CMYK/YCCK) components, any
+  per-component sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+  8-bit AND 12-BIT sample precision (gray/RGB; 16-bit DQT elements,
+  2^11 level shift, output rescaled to 8-bit), multiple DQT/DHT
+  tables per segment, restart intervals (DRI/RSTn), APPn/COM
+  segments skipped. This covers virtually every embedded /DCTDecode
+  photo, including the web-era progressive ones and archival 12-bit
+  scans. Hierarchical/lossless/arithmetic coding raise named
+  errors. :func:`encode_jpeg12_gray` authors the 12-bit fixtures.
 """
 
 from __future__ import annotations
@@ -560,6 +563,50 @@ def _emit_ac_refine_block(
             _flush_eobrun(bw, codes, state)
 
 
+def encode_jpeg12_gray(
+    w: int, h: int, samples, quality: int = 85
+) -> bytes:
+    """Encode 12-bit grayscale ``samples`` (row-major ints, 0..4095)
+    as EXTENDED SEQUENTIAL JPEG (SOF1, 12-bit sample precision,
+    T.81 Table B.2) — the archival/medical regime. The quantization
+    table is written with 16-bit elements (DQT Pq=1) and floored at
+    20 so every quantized magnitude stays within the Annex-K
+    category range (|DC| <= 16384/20 = 819, DC DIFFS <= 1638 < 2^11,
+    AC <= 819 < 2^10), letting the standard luma tables serve
+    unchanged. Fixture twin of :func:`decode_jpeg`'s 12-bit path."""
+    arr = np.asarray(list(samples), dtype=np.float64).reshape(h, w)
+    if arr.min() < 0 or arr.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    qt = np.maximum(_quant_table(quality) * 16.0, 20.0)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(
+        arr - 2048.0, ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+    zz = _plane_to_zz(plane, qt)
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        prev_dc = _write_block(bw, blk, prev_dc, _DC_CODES, _AC_CODES)
+    bw.flush()
+    qt_zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint16)
+    dqt = b"\x10" + struct.pack(">64H", *qt_zz.tolist())
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _segment(0xFFDB, dqt),
+            _segment(
+                0xFFC1,  # SOF1 extended sequential, 12-bit
+                struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]),
+            ),
+            _segment(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            _segment(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)),
+            _segment(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])),
+            bytes(bw.out),
+            b"\xff\xd9",
+        ]
+    )
+
+
 def encode_jpeg_progressive(
     w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1
 ) -> bytes:
@@ -983,6 +1030,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     adobe_transform = 0
     restart_interval = 0
     progressive = False
+    precision = 8
     coef: list[np.ndarray] | None = None
     hmax = vmax = mcux = mcuy = 0
     saw_scan = False
@@ -1011,13 +1059,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             p = 0
             while p < len(payload):  # a DQT may hold several tables
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
-                zzt = np.array(list(payload[p + 1 : p + 65]), dtype=np.float64)
+                if pq not in (0, 1):
+                    raise ValueError(f"bad quant precision {pq}")
+                if pq:  # 16-bit elements (Pq=1 — 12-bit streams)
+                    zzt = np.array(
+                        struct.unpack_from(">64H", payload, p + 1),
+                        dtype=np.float64,
+                    )
+                else:
+                    zzt = np.array(
+                        list(payload[p + 1 : p + 65]), dtype=np.float64
+                    )
                 qt = np.zeros(64)
                 qt[_ZIGZAG] = zzt
                 qts[tq] = qt.reshape(8, 8)
-                p += 65
+                p += 65 + (64 if pq else 0)
         elif marker == 0xFFEE:  # APP14: Adobe transform signaling
             if payload[:5] == b"Adobe" and len(payload) >= 12:
                 adobe = True
@@ -1025,12 +1081,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # sequential / progr.
             progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                # 12-bit JPEG would silently mis-scale through the
-                # 8-bit IDCT/level-shift path — decline by name
+            if prec not in (8, 12):
+                # other precisions would silently mis-scale through
+                # the level-shift path — decline by name
                 raise ValueError(
                     f"{prec}-bit sample precision not supported"
                 )
+            precision = prec
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEGs not supported")
             comps = []
@@ -1117,17 +1174,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         coeffs[:, _ZIGZAG] = coef[ci].reshape(-1, 64).astype(np.float64)
         if tq not in qts:
             raise ValueError(f"undefined quantization table {tq}")
-        sp = _DCT_M.T @ (coeffs.reshape(-1, 8, 8) * qts[tq]) @ _DCT_M + 128.0
+        sp = (_DCT_M.T @ (coeffs.reshape(-1, 8, 8) * qts[tq]) @ _DCT_M
+              + float(1 << (precision - 1)))
         plane = (
             sp.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
         # nearest upsample to full resolution, then crop
         plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
         planes.append(plane[:h, :w])
+    scale = 255.0 / ((1 << precision) - 1)
     if len(planes) == 1:
-        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        p0 = planes[0] * scale if precision != 8 else planes[0]
+        out = np.clip(np.round(p0), 0, 255).astype(np.uint8)
         return w, h, out.tobytes()
     if len(planes) == 4:
+        if precision != 8:
+            raise ValueError("12-bit CMYK JPEGs not supported")
         # CMYK / YCCK (print-production PDFs): Adobe APP14 files
         # store INVERTED CMYK (the Photoshop convention); YCCK
         # (transform 2) stores YCbCr computed from the inverted CMY.
@@ -1156,7 +1218,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         ) / 255.0
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, out.tobytes()
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    ctr = float(1 << (precision - 1))
+    y, cb, cr = planes[0], planes[1] - ctr, planes[2] - ctr
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -1165,6 +1228,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         ],
         axis=-1,
     )
+    if precision != 8:
+        rgb = rgb * scale
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, out.tobytes()
 

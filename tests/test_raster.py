@@ -665,3 +665,80 @@ def test_scanned_page_decode_is_memoized_per_handle():
         # is a separate, also-once cost); repeats hit scan_cache
         assert spy.call_count <= 2, spy.call_count
     assert codec.page_ocr(hd, 1) == text
+
+
+class TestTwelveBitJpeg:
+    """12-bit sample precision (T.81 extended sequential, SOF1 with
+    16-bit DQT elements — the archival/medical regime): decode level-
+    shifts at 2^11 and rescales to the pipeline's 8-bit output."""
+
+    def test_roundtrip_within_quantization(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg12_gray,
+        )
+
+        w, h = 60, 44
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        s12 = ((xx * 60 + yy * 40) % 4096).astype(int)
+        data = encode_jpeg12_gray(w, h, s12.reshape(-1).tolist(),
+                                  quality=90)
+        dw, dh, px = decode_jpeg(data)
+        got = np.frombuffer(px, np.uint8).reshape(h, w).astype(int)
+        exp = np.clip(np.round(s12 * 255.0 / 4095.0), 0, 255)
+        assert (dw, dh) == (w, h)
+        assert np.abs(got - exp).max() <= 12  # quantization loss only
+        assert np.abs(got - exp).mean() < 2
+
+    def test_extreme_dc_swings_exact(self):
+        """Full-black/full-white 8x8 checker: maximal DC differences
+        must stay inside the standard Annex-K category range (the
+        encoder floors the quant table for exactly this bound)."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg12_gray,
+        )
+
+        w, h = 64, 32
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        chk = np.where(((xx // 8 + yy // 8) % 2).astype(bool), 4095, 0)
+        data = encode_jpeg12_gray(w, h, chk.reshape(-1).tolist(),
+                                  quality=50)
+        got = np.frombuffer(decode_jpeg(data)[2], np.uint8).reshape(
+            h, w
+        ).astype(int)
+        exp = np.clip(np.round(chk * 255.0 / 4095.0), 0, 255)
+        assert np.array_equal(got, exp)
+
+    def test_sixteen_bit_dqt_parsed(self):
+        from pdf2dataset_spark.sources.jpeg import encode_jpeg12_gray
+
+        data = encode_jpeg12_gray(8, 8, list(range(0, 4096, 64)))
+        # DQT segment: marker FFDB, length 2+1+128, Pq=1 in the high
+        # nibble of the table spec byte
+        at = data.index(b"\xff\xdb")
+        assert data[at + 4] >> 4 == 1
+        assert int.from_bytes(data[at + 2:at + 4], "big") == 2 + 1 + 128
+
+    def test_other_precisions_still_named(self):
+        import pytest as _pytest
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg12_gray,
+        )
+
+        data = bytearray(encode_jpeg12_gray(8, 8, [0] * 64))
+        at = data.index(b"\xff\xc1")
+        data[at + 4] = 10  # precision 10: not a T.81 DCT precision
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+
+    def test_out_of_range_samples_rejected(self):
+        import pytest as _pytest
+
+        from pdf2dataset_spark.sources.jpeg import encode_jpeg12_gray
+
+        with _pytest.raises(ValueError):
+            encode_jpeg12_gray(2, 2, [0, 1, 2, 4096])
