@@ -25,8 +25,11 @@ Scope:
   tables per segment, restart intervals (DRI/RSTn), APPn/COM
   segments skipped. This covers virtually every embedded /DCTDecode
   photo, including the web-era progressive ones and archival 12-bit
-  scans. Hierarchical/lossless/arithmetic coding raise named
-  errors. :func:`encode_jpeg12_gray` authors the 12-bit fixtures.
+  scans. LOSSLESS JPEG (SOF3, Annex H) decodes too: prediction
+  differences, predictors 1-7, point transform, 2-16 bit precision
+  (the DICOM export shape). Hierarchical/arithmetic coding raise
+  named errors. :func:`encode_jpeg12_gray` and
+  :func:`encode_jpeg_lossless` author the fixtures.
 """
 
 from __future__ import annotations
@@ -1010,6 +1013,257 @@ def _decode_scan(
     return start + br.pos
 
 
+def _lossless_predict(prev_row, cur_row, x, y_first, predictor,
+                      default):
+    """T.81 H.1.2 sample prediction: Ra left, Rb above, Rc
+    above-left; the scan's first sample (and the first after a
+    restart) predicts the level-shift default, the rest of the
+    first line uses Ra, the first column uses Rb."""
+    if x == 0:
+        if y_first:
+            return default
+        return prev_row[0]  # first column: Rb
+    if y_first or prev_row is None:
+        return cur_row[x - 1]  # first line: Ra
+    ra, rb, rc = cur_row[x - 1], prev_row[x], prev_row[x - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"bad lossless predictor {predictor}")
+
+
+def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H — the DICOM/archival
+    regime): Huffman-coded per-sample prediction differences,
+    predictors 1-7, point transform, 2-16 bit precision, modulo-2^16
+    reconstruction. Components must be unsubsampled (1x1 — the shape
+    lossless streams carry). Output rescaled to the pipeline's 8-bit
+    convention; 3 components are taken as literal RGB (lossless
+    JPEG has no YCbCr convention)."""
+    pos = 2
+    huff: dict[int, dict] = {}
+    w = h = 0
+    prec = 8
+    comps: list[tuple[int, int]] = []  # (cid, _)
+    ri = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("JPEG truncated at a marker boundary")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        if 0xFFD0 <= marker <= 0xFFD7 or marker == 0xFF01:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("JPEG segment header truncated")
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        payload = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xFFC3:
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"{ncomp}-component lossless JPEGs not supported"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, samp, _tq = payload[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG not supported"
+                    )
+                comps.append((cid, 0))
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nvals])
+                if tc_th >> 4 == 0:  # lossless uses DC-class tables
+                    huff[tc_th & 0x0F] = _decode_tree(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xFFDD:
+            (ri,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xFFDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            if ns != len(comps):
+                raise ValueError("lossless scan must cover all components")
+            tabs = []
+            for c in range(ns):
+                tabs.append(payload[2 + 2 * c] >> 4)
+            p = 1 + 2 * ns
+            predictor = payload[p]      # Ss = predictor selection
+            pt = payload[p + 2] & 0x0F  # Al = point transform
+            if not 1 <= predictor <= 7:
+                raise ValueError(f"bad lossless predictor {predictor}")
+            if pt >= prec:
+                raise ValueError("point transform exceeds precision")
+            br = _BitReader(data[pos + 2 + seglen:])
+            default = 1 << (prec - pt - 1)
+            planes = [
+                [[0] * w for _ in range(h)] for _ in range(len(comps))
+            ]
+            prev_rows = [None] * len(comps)
+            cur_rows = [None] * len(comps)
+            since_restart = 0
+            fresh = True  # next sample takes the default prediction
+            for y in range(h):
+                for ci in range(len(comps)):
+                    cur_rows[ci] = planes[ci][y]
+                for x in range(w):
+                    if ri and since_restart == ri:
+                        br.restart()
+                        since_restart = 0
+                        fresh = True
+                    for ci in range(len(comps)):
+                        tbl = huff.get(tabs[ci])
+                        if tbl is None:
+                            raise ValueError(
+                                f"undefined Huffman table {tabs[ci]}"
+                            )
+                        ssss = _read_symbol(br, tbl)
+                        if ssss == 16:  # no extra bits (H.2 Table)
+                            diff = 32768
+                        elif ssss:
+                            diff = _extend(br.read_bits(ssss), ssss)
+                        else:
+                            diff = 0
+                        if fresh:
+                            pred = default
+                        else:
+                            pred = _lossless_predict(
+                                prev_rows[ci], cur_rows[ci], x,
+                                y == 0, predictor, default,
+                            )
+                        cur_rows[ci][x] = (pred + diff) & 0xFFFF
+                    fresh = False
+                    since_restart += 1
+                for ci in range(len(comps)):
+                    prev_rows[ci] = cur_rows[ci]
+            top = (1 << prec) - 1
+            arrs = [
+                np.asarray(p_, dtype=np.float64) * float(1 << pt)
+                for p_ in planes
+            ]
+            if len(arrs) == 1:
+                out = np.clip(
+                    np.round(arrs[0] * (255.0 / top)), 0, 255
+                ).astype(np.uint8)
+                return w, h, out.tobytes()
+            rgb = np.stack(arrs, axis=-1) * (255.0 / top)
+            out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            return w, h, out.tobytes()
+        pos += 2 + seglen
+    raise ValueError("missing JPEG segments")
+
+
+def encode_jpeg_lossless(
+    w: int,
+    h: int,
+    samples,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+    ncomp: int = 1,
+) -> bytes:
+    """Author a LOSSLESS JPEG (SOF3) stream — fixture twin of
+    :func:`_decode_jpeg_lossless`. ``samples``: row-major ints in
+    [0, 2^precision) (interleaved for ``ncomp=3``), already divided
+    by 2^point_transform if one is used. One DHT with 17 five-bit
+    SSSS codes serves every category."""
+    if ncomp not in (1, 3):
+        raise ValueError("ncomp must be 1 or 3")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    pt = point_transform
+    if pt >= precision:
+        raise ValueError("point transform exceeds precision")
+    vals = list(samples)
+    if len(vals) != w * h * ncomp:
+        raise ValueError("sample buffer does not match dimensions")
+    top = (1 << precision) - 1
+    if any(not 0 <= v <= top for v in vals):
+        raise ValueError("sample out of precision range")
+    bits = [0, 0, 0, 0, 17] + [0] * 11
+    codes = _build_codes(bits, list(range(17)))
+    bw = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    planes = [
+        [
+            [vals[(y * w + x) * ncomp + ci] for x in range(w)]
+            for y in range(h)
+        ]
+        for ci in range(ncomp)
+    ]
+    prev_rows = [None] * ncomp
+    fresh = True
+    for y in range(h):
+        cur_rows = [planes[ci][y] for ci in range(ncomp)]
+        for x in range(w):
+            for ci in range(ncomp):
+                if fresh:
+                    pred = default
+                else:
+                    pred = _lossless_predict(
+                        prev_rows[ci], cur_rows[ci], x, y == 0,
+                        predictor, default,
+                    )
+                diff = (cur_rows[ci][x] - pred) & 0xFFFF
+                if diff >= 32768:
+                    if diff == 32768:
+                        code, ln = codes[16]
+                        bw.write(code, ln)
+                        continue
+                    diff -= 65536  # negative difference
+                cat = _category(diff)
+                code, ln = codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(_amplitude_bits(diff, cat), cat)
+            fresh = False
+        prev_rows = cur_rows
+    bw.flush()
+    sof = struct.pack(">BHHB", precision, h, w, ncomp) + b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(ncomp)
+    )
+    sos = (bytes([ncomp])
+           + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+           + bytes([predictor, 0, pt]))
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _segment(0xFFC4, bytes([0x00]) + bytes(bits)
+                     + bytes(range(17))),
+            _segment(0xFFC3, sof),
+            _segment(0xFFDA, sos),
+            bytes(bw.out),
+            b"\xff\xd9",
+        ]
+    )
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     """Decode a JFIF/JPEG still: baseline or extended sequential
     (single- or multi-scan) and PROGRESSIVE (SOF2 — spectral selection
@@ -1113,7 +1367,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
                 for _, hs, vs, _ in comps
             ]
-        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
+        elif marker == 0xFFC3:  # lossless (Annex H): dedicated path
+            return _decode_jpeg_lossless(data)
+        elif marker in (0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
                         0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline JPEG coding not supported")
         elif marker == 0xFFC4:

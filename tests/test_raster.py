@@ -742,3 +742,79 @@ class TestTwelveBitJpeg:
 
         with _pytest.raises(ValueError):
             encode_jpeg12_gray(2, 2, [0, 1, 2, 4096])
+
+
+class TestLosslessJpeg:
+    """Lossless JPEG (SOF3, T.81 Annex H — the DICOM/archival
+    export shape): Huffman-coded prediction differences must
+    round-trip BITWISE for 8-bit inputs across all seven
+    predictors; higher precisions rescale to the 8-bit output."""
+
+    def test_all_predictors_bitwise(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(3)
+        w, h = 50, 37
+        g = rng.integers(0, 256, h * w).tolist()
+        for pred in range(1, 8):
+            cs = encode_jpeg_lossless(w, h, g, predictor=pred)
+            dw, dh, px = decode_jpeg(cs)
+            assert (dw, dh) == (w, h)
+            assert list(px) == g, f"predictor {pred}"
+
+    def test_rgb_and_high_precision(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(5)
+        w, h = 33, 21
+        rgb = rng.integers(0, 256, h * w * 3).tolist()
+        assert list(decode_jpeg(
+            encode_jpeg_lossless(w, h, rgb, ncomp=3, predictor=7)
+        )[2]) == rgb
+        s12 = rng.integers(0, 4096, h * w)
+        cs = encode_jpeg_lossless(w, h, s12.tolist(), precision=12,
+                                  predictor=4)
+        got = np.frombuffer(decode_jpeg(cs)[2], np.uint8).astype(int)
+        exp = np.clip(np.round(s12 * 255.0 / 4095.0), 0, 255)
+        assert np.array_equal(got, exp)
+
+    def test_point_transform(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(7)
+        w, h = 20, 14
+        s = rng.integers(0, 1 << 14, h * w)
+        cs = encode_jpeg_lossless(w, h, s.tolist(), precision=16,
+                                  predictor=2, point_transform=2)
+        got = np.frombuffer(decode_jpeg(cs)[2], np.uint8).astype(int)
+        exp = np.clip(np.round(s * 4 * 255.0 / 65535.0), 0, 255)
+        assert np.array_equal(got, exp)
+
+    def test_malformed_rejected(self):
+        import pytest as _pytest
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg_lossless,
+        )
+
+        cs = bytearray(encode_jpeg_lossless(8, 8, list(range(64))))
+        sos = bytes(cs).index(b"\xff\xda")
+        cs[sos + 4 + 1 + 2] = 0  # predictor 0: invalid for lossless
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(cs))
+        with _pytest.raises(ValueError):
+            encode_jpeg_lossless(2, 2, [0, 1, 2, 256])  # out of range
+        with _pytest.raises(ValueError):
+            encode_jpeg_lossless(2, 2, [0] * 4, predictor=8)
