@@ -1360,7 +1360,10 @@ def _decode_halftone_region(seg_data: bytes, patterns: list):
     enable_skip = bool(flags & 8)
     comb_op = (flags >> 4) & 7
     if enable_skip and mmr:
-        raise JBIG2Unsupported("halftone HSKIP with MMR grayscale")
+        # the skip plane only affects ARITHMETIC grayscale coding
+        # (C.5); MMR planes code every cell, so HENABLESKIP is a
+        # legal no-op there — decode rather than decline
+        enable_skip = False
     if not patterns:
         raise JBIG2Error("halftone region with no pattern dictionary")
     hgw, hgh = struct.unpack_from(">II", seg_data, pos)

@@ -1013,18 +1013,38 @@ def _decode_scan(
     return start + br.pos
 
 
-def _lossless_predict(prev_row, cur_row, x, y_first, predictor,
-                      default):
-    """T.81 H.1.2 sample prediction: Ra left, Rb above, Rc
-    above-left; the scan's first sample (and the first after a
-    restart) predicts the level-shift default, the rest of the
-    first line uses Ra, the first column uses Rb."""
+def _parse_dht(payload: bytes, into: dict, key_with_class: bool) -> None:
+    """Parse one DHT segment (possibly several tables) into ``into``:
+    keys are (class, id) when ``key_with_class`` else id-only for
+    DC-class tables (the lossless path) — ONE parser for both marker
+    walkers so they cannot drift."""
+    p = 0
+    while p < len(payload):
+        tc_th = payload[p]
+        bits = list(payload[p + 1:p + 17])
+        nvals = sum(bits)
+        vals = list(payload[p + 17:p + 17 + nvals])
+        if key_with_class:
+            into[(tc_th >> 4, tc_th & 0x0F)] = _decode_tree(bits, vals)
+        elif tc_th >> 4 == 0:
+            into[tc_th & 0x0F] = _decode_tree(bits, vals)
+        p += 17 + nvals
+
+
+def _lossless_predict(prev_row, cur_row, x, first_line, predictor,
+                      default, first_sample=False):
+    """T.81 H.1.1/H.1.2 sample prediction: Ra left, Rb above, Rc
+    above-left. The first sample of the scan AND of each restart
+    interval predicts the level-shift default; the remainder of an
+    interval's FIRST LINE uses the 1-D Ra predictor; the first
+    column of later lines uses Rb; everything else the selected
+    predictor."""
+    if first_sample:
+        return default
+    if first_line or prev_row is None:
+        return cur_row[x - 1]  # interval first line: Ra
     if x == 0:
-        if y_first:
-            return default
         return prev_row[0]  # first column: Rb
-    if y_first or prev_row is None:
-        return cur_row[x - 1]  # first line: Ra
     ra, rb, rc = cur_row[x - 1], prev_row[x], prev_row[x - 1]
     if predictor == 1:
         return ra
@@ -1090,16 +1110,8 @@ def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
                         "subsampled lossless JPEG not supported"
                     )
                 comps.append((cid, 0))
-        elif marker == 0xFFC4:
-            p = 0
-            while p < len(payload):
-                tc_th = payload[p]
-                bits = list(payload[p + 1:p + 17])
-                nvals = sum(bits)
-                vals = list(payload[p + 17:p + 17 + nvals])
-                if tc_th >> 4 == 0:  # lossless uses DC-class tables
-                    huff[tc_th & 0x0F] = _decode_tree(bits, vals)
-                p += 17 + nvals
+        elif marker == 0xFFC4:  # lossless uses DC-class tables
+            _parse_dht(payload, huff, key_with_class=False)
         elif marker == 0xFFDD:
             (ri,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
@@ -1108,9 +1120,20 @@ def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
             ns = payload[0]
             if ns != len(comps):
                 raise ValueError("lossless scan must cover all components")
-            tabs = []
+            # map scan order to SOF component order (T.81 allows a
+            # permuted Cs list) and carry each component's table id
+            cid_to_ci = {cid: i for i, (cid, _) in enumerate(comps)}
+            order = []
+            tabs = [0] * len(comps)
             for c in range(ns):
-                tabs.append(payload[2 + 2 * c] >> 4)
+                cid = payload[1 + 2 * c]
+                if cid not in cid_to_ci:
+                    raise ValueError(f"scan component {cid} not in SOF")
+                ci = cid_to_ci[cid]
+                order.append(ci)
+                tabs[ci] = payload[2 + 2 * c] >> 4
+            if sorted(order) != list(range(len(comps))):
+                raise ValueError("duplicate scan component")
             p = 1 + 2 * ns
             predictor = payload[p]      # Ss = predictor selection
             pt = payload[p + 2] & 0x0F  # Al = point transform
@@ -1126,7 +1149,10 @@ def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
             prev_rows = [None] * len(comps)
             cur_rows = [None] * len(comps)
             since_restart = 0
-            fresh = True  # next sample takes the default prediction
+            # the current restart interval's start position: its
+            # first sample predicts the default, the rest of that
+            # LINE uses Ra (T.81 H.1.1)
+            start_x, start_y = 0, 0
             for y in range(h):
                 for ci in range(len(comps)):
                     cur_rows[ci] = planes[ci][y]
@@ -1134,8 +1160,8 @@ def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
                     if ri and since_restart == ri:
                         br.restart()
                         since_restart = 0
-                        fresh = True
-                    for ci in range(len(comps)):
+                        start_x, start_y = x, y
+                    for ci in order:
                         tbl = huff.get(tabs[ci])
                         if tbl is None:
                             raise ValueError(
@@ -1148,15 +1174,12 @@ def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
                             diff = _extend(br.read_bits(ssss), ssss)
                         else:
                             diff = 0
-                        if fresh:
-                            pred = default
-                        else:
-                            pred = _lossless_predict(
-                                prev_rows[ci], cur_rows[ci], x,
-                                y == 0, predictor, default,
-                            )
+                        pred = _lossless_predict(
+                            prev_rows[ci], cur_rows[ci], x,
+                            y == start_y, predictor, default,
+                            first_sample=(x, y) == (start_x, start_y),
+                        )
                         cur_rows[ci][x] = (pred + diff) & 0xFFFF
-                    fresh = False
                     since_restart += 1
                 for ci in range(len(comps)):
                     prev_rows[ci] = cur_rows[ci]
@@ -1218,18 +1241,15 @@ def encode_jpeg_lossless(
         for ci in range(ncomp)
     ]
     prev_rows = [None] * ncomp
-    fresh = True
     for y in range(h):
         cur_rows = [planes[ci][y] for ci in range(ncomp)]
         for x in range(w):
             for ci in range(ncomp):
-                if fresh:
-                    pred = default
-                else:
-                    pred = _lossless_predict(
-                        prev_rows[ci], cur_rows[ci], x, y == 0,
-                        predictor, default,
-                    )
+                pred = _lossless_predict(
+                    prev_rows[ci], cur_rows[ci], x, y == 0,
+                    predictor, default,
+                    first_sample=(x, y) == (0, 0),
+                )
                 diff = (cur_rows[ci][x] - pred) & 0xFFFF
                 if diff >= 32768:
                     if diff == 32768:
@@ -1242,7 +1262,6 @@ def encode_jpeg_lossless(
                 bw.write(code, ln)
                 if cat:
                     bw.write(_amplitude_bits(diff, cat), cat)
-            fresh = False
         prev_rows = cur_rows
     bw.flush()
     sof = struct.pack(">BHHB", precision, h, w, ncomp) + b"".join(
@@ -1344,6 +1363,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             precision = prec
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEGs not supported")
+            if precision == 12 and ncomp == 4:
+                # decline BEFORE any entropy decoding (decode-cost cap)
+                raise ValueError("12-bit CMYK JPEGs not supported")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
@@ -1373,14 +1395,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                         0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline JPEG coding not supported")
         elif marker == 0xFFC4:
-            p = 0
-            while p < len(payload):  # a DHT may hold several tables
-                tc_th = payload[p]
-                bits = list(payload[p + 1 : p + 17])
-                nvals = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + nvals])
-                huff[(tc_th >> 4, tc_th & 0x0F)] = _decode_tree(bits, vals)
-                p += 17 + nvals
+            _parse_dht(payload, huff, key_with_class=True)
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:

@@ -762,23 +762,21 @@ class TestHalftoneSkip:
         except JBIG2Error:
             pass  # desync surfacing as a named error is equally fine
 
-    def test_mmr_skip_named(self):
+    def test_mmr_skip_is_legal_noop(self):
+        """HENABLESKIP on an MMR-grayscale halftone region is a
+        legal no-op (C.5: skip only affects arithmetic coding) —
+        the stream must DECODE, not decline."""
         import struct as _s
 
         from pdf2dataset_spark.sources import jbig2
 
         pats, vals = self._fixture()
-        data = bytearray(
-            jbig2.encode_halftone_page(pats, vals)
-        )
-        # find the halftone segment's flags byte and set MMR+SKIP
-        ht_at = len(data) - 1
-        # flags byte sits 17 bytes into the halftone segment data;
-        # easier: decode normally first, then flip via known layout
-        # (region info 17 bytes after the last segment header)
-        hdr_at = data.rindex(_s.pack(">I", 2) + bytes([23]))
+        base = bytearray(jbig2.encode_halftone_page(pats, vals))
+        ref = jbig2.decode_embedded(bytes(base))
+        hdr_at = base.rindex(_s.pack(">I", 2) + bytes([23]))
         # header: number(4) type(1) refcount(1) ref(1) page(1) len(4)
         flags_at = hdr_at + 12 + 17
-        data[flags_at] |= 9  # MMR + HENABLESKIP
-        with pytest.raises(jbig2.JBIG2Unsupported):
-            jbig2.decode_embedded(bytes(data))
+        assert base[flags_at] == 0  # arithmetic, no skip
+        base[flags_at] |= 8  # HENABLESKIP alone: grid inside -> noop
+        got = jbig2.decode_embedded(bytes(base))
+        assert got[2] == ref[2]

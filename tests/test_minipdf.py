@@ -1924,15 +1924,16 @@ class TestCmykJpeg:
         assert err.max() < 30
 
 
-def test_non_8bit_jpeg_precision_rejected():
-    # a 12-bit SOF would silently mis-scale through the 8-bit path;
-    # it must raise by name instead (error row, not wrong pixels)
+def test_unsupported_jpeg_precision_rejected():
+    # 8 and 12 bits decode (T.81's DCT precisions); anything else
+    # would silently mis-scale through the level-shift path and must
+    # raise by name instead (error row, not wrong pixels)
     import pytest as _pytest
 
     from pdf2dataset_spark.sources.jpeg import decode_jpeg, encode_jpeg
 
     data = bytearray(encode_jpeg(16, 8, bytes(128), quality=80))
     at = bytes(data).index(b"\xff\xc0")
-    data[at + 4] = 12
+    data[at + 4] = 10
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(data))
