@@ -1035,10 +1035,15 @@ def _mmr_rows(data: bytes, w: int, h: int) -> list:
 
 
 def _decode_symbol_dict(seg_data: bytes, input_syms: list,
-                        tables: list | None = None) -> list:
-    """Symbol dictionary → exported symbol bitmaps (arithmetic §6.5,
-    or Huffman §6.5 with SDHUFF=1; `tables` are the referred custom
-    table segments in reference order)."""
+                        tables: list | None = None,
+                        used_ctx: tuple | None = None):
+    """Symbol dictionary → (exported symbol bitmaps, retained
+    context banks or None) — arithmetic §6.5, or Huffman §6.5 with
+    SDHUFF=1; `tables` are the referred custom table segments in
+    reference order. ``used_ctx`` = (gb_cx, gr_cx) snapshots from a
+    referred dictionary that RETAINED them (SDUSEDCTX, §6.5.8.1) —
+    copied, since this dictionary adapts them further; with
+    SDRETAINDCTX the final banks come back for later dictionaries."""
     flags = struct.unpack_from(">H", seg_data, 0)[0]
     pos = 2
     if flags & 1:
@@ -1048,10 +1053,10 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
             )
         return _decode_symbol_dict_huffman(
             seg_data, pos, flags, input_syms, tables or []
-        )
+        ), None
     refagg = bool(flags & 2)
-    if flags & 0x100 or flags & 0x200:
-        raise JBIG2Unsupported("retained bitmap coding contexts")
+    use_ctx = bool(flags & 0x100)
+    retain_ctx = bool(flags & 0x200)
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     at, pos = _read_at(seg_data, pos, 4 if template == 0 else 1)
@@ -1064,8 +1069,15 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
         raise JBIG2Error("implausible symbol counts")
     dec = MQDecoder(seg_data[pos:])
     iadh, iadw, iaex, iaai, iardx, iardy = (IntCoderCx() for _ in range(6))
-    gb_cx: dict = {}  # ONE generic context bank for the whole dict
-    gr_cx: dict = {}  # ... and one refinement bank (§6.5.8.2)
+    # ONE generic + one refinement context bank for the whole dict
+    # (§6.5.8.2) — warmed from a referred dictionary's RETAINED
+    # banks when SDUSEDCTX (copies: adaptation continues here)
+    if use_ctx and used_ctx is not None:
+        gb_cx = {k: list(v) for k, v in used_ctx[0].items()}
+        gr_cx = {k: list(v) for k, v in used_ctx[1].items()}
+    else:
+        gb_cx = {}
+        gr_cx = {}
     codelen = max(0, ceil(log2(max(1, len(input_syms) + num_new))))
     iaid_bank = _iaid_cx(codelen)
     agg_banks: dict | None = None  # lazy: REFAGGNINST > 1 text banks
@@ -1172,7 +1184,7 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
         raise JBIG2Error(
             f"exported {len(exported)} symbols, declared {num_ex}"
         )
-    return exported
+    return exported, ((gb_cx, gr_cx) if retain_ctx else None)
 
 
 def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
@@ -1759,6 +1771,7 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
     pat_dicts: dict = {}  # segment number -> pattern bitmaps
     huff_tables: dict = {}  # segment number -> custom HuffTable
     inter_regions: dict = {}  # segment number -> retained bitmap rows
+    dict_ctx: dict = {}  # segment number -> retained context banks
     page_rows: list = []
     page_w = 0
     page_default = 0
@@ -1799,9 +1812,17 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
                 for _ in range(0 if h == 0xFFFFFFFF else h)
             ]
         elif t == SEG_SYMBOL_DICT:
-            sym_dicts[seg.number] = _decode_symbol_dict(
-                seg.data, referred_symbols(seg), referred_tables(seg)
+            used = next(
+                (dict_ctx[r] for r in seg.refs if r in dict_ctx),
+                None,
             )
+            syms, retained = _decode_symbol_dict(
+                seg.data, referred_symbols(seg),
+                referred_tables(seg), used,
+            )
+            sym_dicts[seg.number] = syms
+            if retained is not None:
+                dict_ctx[seg.number] = retained
         elif t in (SEG_GENERIC_INTERMEDIATE, SEG_GENERIC_IMMEDIATE,
                    SEG_GENERIC_IMMEDIATE_LOSSLESS):
             rows, x, y, combop = _decode_generic_segment(seg.data)
