@@ -35,6 +35,22 @@ from __future__ import annotations
 
 from bisect import bisect_right
 
+#: Decode-size bound mirroring ``jbig2._check_dims`` / jpx's SIZ
+#: guard: a crafted /CCITTFaxDecode stream must not multiply a tiny
+#: payload into unbounded memory — V0-coded blank rows cost 1 bit
+#: each, so attacker-controlled /Columns x implied-rows would
+#: otherwise force ``_transitions_to_gray`` to materialize gigabytes.
+#: 2^29 pixels == 512 MB of 8-bit gray, the same bound jbig2 uses.
+_MAX_PIXELS = 1 << 29
+
+
+def _check_pixel_budget(columns: int, n_rows: int) -> None:
+    if columns * n_rows > _MAX_PIXELS:
+        raise ValueError(
+            f"CCITT decode {columns}x{n_rows} exceeds the "
+            f"{_MAX_PIXELS}-pixel bound"
+        )
+
 # --------------------------------------------------------------- T.4 tables
 # run length -> (code value, bit length); MSB-first codes.
 _WHITE_TERM = {
@@ -267,6 +283,8 @@ def decode_g4(
     data."""
     if columns <= 0:
         raise ValueError("CCITT Columns must be positive")
+    if rows is not None:
+        _check_pixel_budget(columns, rows)
     bits = _Bits(data)
     ref = [columns, columns]
     out: list[list[int]] = []
@@ -279,6 +297,7 @@ def decode_g4(
                     f"CCITT stream ended after {len(out)} of {rows} rows"
                 )
             break
+        _check_pixel_budget(columns, len(out) + 1)
         cur = _decode_2d_line(bits, ref, columns)
         out.append(cur)
         ref = cur + [columns, columns]
@@ -418,6 +437,8 @@ def decode_g3_1d(
     (optional in PDF K=0 streams) and trailing RTC are consumed."""
     if columns <= 0:
         raise ValueError("CCITT Columns must be positive")
+    if rows is not None:
+        _check_pixel_budget(columns, rows)
     bits = _Bits(data)
     out: list[list[int]] = []
     while rows is None or len(out) < rows:
@@ -425,6 +446,7 @@ def decode_g3_1d(
             bits.align()
         if not _skip_eols(bits):
             break
+        _check_pixel_budget(columns, len(out) + 1)
         try:
             cur = _decode_1d_line(bits, columns)
         except ValueError as e:
@@ -521,6 +543,8 @@ def decode_g3_2d(
     decoder just follows the per-line tags."""
     if columns <= 0:
         raise ValueError("CCITT Columns must be positive")
+    if rows is not None:
+        _check_pixel_budget(columns, rows)
     bits = _Bits(data)
     ref = [columns, columns]
     out: list[list[int]] = []
@@ -530,6 +554,7 @@ def decode_g3_2d(
         tag = _read_eol_tag(bits)
         if tag is None or _peek_eol(bits):
             break  # RTC (EOLs back to back) or trailing padding
+        _check_pixel_budget(columns, len(out) + 1)
         if tag:
             cur = _decode_1d_line(bits, columns)
         else:

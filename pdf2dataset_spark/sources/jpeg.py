@@ -38,6 +38,20 @@ import struct
 
 import numpy as np
 
+#: Decode-size bound mirroring jpx's SIZ guard and jbig2's
+#: ``_check_dims``: SOF declares w/h up to 65535x65535, which would
+#: pre-allocate ~17 GB of int32 coefficients per component from a
+#: tiny header. 2^27 pixels x ncomp caps the working set at ~512 MB.
+_MAX_PIXELS = 1 << 27
+
+
+def _check_sof_budget(w: int, h: int, ncomp: int) -> None:
+    if w <= 0 or h <= 0 or w * h * max(ncomp, 1) > _MAX_PIXELS:
+        raise ValueError(
+            f"JPEG frame {w}x{h}x{ncomp} exceeds the {_MAX_PIXELS}-"
+            "pixel decode bound"
+        )
+
 # Annex K luminance quantization matrix (quality 50 base).
 _QUANT_BASE = np.array(
     [
@@ -1096,6 +1110,7 @@ def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, bytes]:
         payload = data[pos + 4:pos + 2 + seglen]
         if marker == 0xFFC3:
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            _check_sof_budget(w, h, ncomp)
             if not 2 <= prec <= 16:
                 raise ValueError(f"bad lossless precision {prec}")
             if ncomp not in (1, 3):
@@ -1354,6 +1369,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # sequential / progr.
             progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            _check_sof_budget(w, h, ncomp)
             if prec not in (8, 12):
                 # other precisions would silently mis-scale through
                 # the level-shift path — decline by name

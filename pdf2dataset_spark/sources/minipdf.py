@@ -346,6 +346,37 @@ _IMAGE_FILTERS = (
 )
 
 
+def _parms_for_filter(
+    sdict: dict, resolve, filter_name: str, fallback_keys: tuple
+) -> dict:
+    """Pick the /DecodeParms entry for ``filter_name``. Per PDF 7.4
+    a /DecodeParms ARRAY aligns index-wise with the /Filter array, so
+    the entry at the filter's index wins even when it omits /K (legal
+    — K defaults to 0). When the indexed entry is not a dict (null
+    padding, length mismatch), fall back to the first dict carrying
+    any of ``fallback_keys``."""
+    parms = resolve(sdict.get("/DecodeParms"))
+    if not isinstance(parms, list):
+        return parms if isinstance(parms, dict) else {}
+    filt = resolve(sdict.get("/Filter"))
+    filt = [resolve(f) for f in (filt if isinstance(filt, list) else [filt])]
+    if filter_name in filt:
+        idx = filt.index(filter_name)
+        if idx < len(parms):
+            cand = resolve(parms[idx])
+            if isinstance(cand, dict):
+                return cand
+    return next(
+        (
+            resolve(p)
+            for p in parms
+            if isinstance(resolve(p), dict)
+            and any(k in resolve(p) for k in fallback_keys)
+        ),
+        {},
+    )
+
+
 def _run_filter_chain(
     data: bytes,
     filt: Any,
@@ -1225,18 +1256,13 @@ class PdfDocument:
                 entry["format"] = "ccitt"
                 entry["data"] = data
                 entry["decodable"] = False
-                parms = self.resolve(sdict.get("/DecodeParms"))
-                if isinstance(parms, list):  # array-aligned with /Filter
-                    parms = next(
-                        (
-                            self.resolve(p)
-                            for p in parms
-                            if isinstance(self.resolve(p), dict)
-                            and "/K" in self.resolve(p)
-                        ),
-                        {},
-                    )
-                parms = parms if isinstance(parms, dict) else {}
+                parms = _parms_for_filter(
+                    sdict,
+                    self.resolve,
+                    "/CCITTFaxDecode",
+                    ("/K", "/Columns", "/Rows", "/EncodedByteAlign",
+                     "/BlackIs1"),
+                )
                 k = int(self.resolve(parms.get("/K", 0)) or 0)
                 # all three K regimes decode: K<0 G4 (T.6), K==0 G3 1D
                 # (MH), K>0 G3 mixed 2D (EOL+tag framing)
@@ -1273,18 +1299,9 @@ class PdfDocument:
                 entry["format"] = "jbig2"
                 entry["data"] = data
                 entry["decodable"] = False
-                parms = self.resolve(sdict.get("/DecodeParms"))
-                if isinstance(parms, list):  # array-aligned with /Filter
-                    parms = next(
-                        (
-                            self.resolve(p)
-                            for p in parms
-                            if isinstance(self.resolve(p), dict)
-                            and "/JBIG2Globals" in self.resolve(p)
-                        ),
-                        {},
-                    )
-                parms = parms if isinstance(parms, dict) else {}
+                parms = _parms_for_filter(
+                    sdict, self.resolve, "/JBIG2Decode", ("/JBIG2Globals",)
+                )
                 gstream = self.resolve(parms.get("/JBIG2Globals"))
                 try:
                     gbytes = (

@@ -126,12 +126,23 @@ def _parse_subtable(font: bytes, off: int) -> dict[int, int]:
             if g:
                 out[first + i] = g
     elif fmt == 12:  # segmented coverage (32-bit)
+        # Bound total mapped codepoints: a single valid-looking group
+        # with end=0xFFFFFFFF would otherwise expand to ~4G dict
+        # entries from a 12-byte record (untrusted embedded fonts
+        # reach here via page_fonts). Unicode itself tops out at
+        # 0x10FFFF, so 2^20+ mappings means a hostile/corrupt table.
+        _MAX_MAPPED = 1 << 20
         ngroups = _u32(font, off + 12)
         for i in range(ngroups):
             rec = off + 16 + 12 * i
             start, end, sgid = struct.unpack(">III", font[rec : rec + 12])
-            for j, c in enumerate(range(start, end + 1)):
-                out[c] = sgid + j
+            if end < start or end > 0x10FFFF:
+                continue  # span outside Unicode: corrupt group
+            span = min(end - start + 1, _MAX_MAPPED - len(out))
+            if span <= 0:
+                break  # budget exhausted: keep what's mapped so far
+            for j in range(span):
+                out[start + j] = sgid + j
     else:
         raise ValueError(f"cmap subtable format {fmt} not supported")
     return out

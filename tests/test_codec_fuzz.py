@@ -135,3 +135,112 @@ class TestJpegFuzz:
                              adobe_transform=2),
         ]
         _contract(jpeg.decode_jpeg, payloads, rng, 40)
+
+
+class TestDecodeBudgets:
+    """Crafted-header resource-exhaustion guards (the jbig2/jpx
+    _MAX_PIXELS invariant, extended to ccitt/jpeg/sfnt this round):
+    a tiny hostile payload must raise, fast, instead of materializing
+    gigabytes."""
+
+    def test_ccitt_huge_columns_unbounded_rows(self):
+        # ~64 bytes of V0 codes (1 bit/row against an all-white ref)
+        # with /Columns=50M and no /Rows: must hit the pixel budget,
+        # not allocate Columns bytes per decoded row.
+        t0 = time.monotonic()
+        try:
+            ccitt.decode_ccitt_gray(b"\xff" * 64, k=-1, columns=50_000_000)
+        except ValueError as e:
+            assert "pixel" in str(e)
+        else:
+            raise AssertionError("expected pixel-budget ValueError")
+        assert time.monotonic() - t0 < 2.0
+
+    def test_ccitt_huge_declared_dims_fail_fast(self):
+        for k in (-1, 0, 1):
+            t0 = time.monotonic()
+            try:
+                ccitt.decode_ccitt_gray(
+                    b"\x00" * 16, k=k, columns=1 << 20, rows=1 << 20
+                )
+            except ValueError as e:
+                assert "pixel" in str(e)
+            else:
+                raise AssertionError("expected pixel-budget ValueError")
+            assert time.monotonic() - t0 < 1.0
+
+    def test_ccitt_legit_blank_page_still_decodes(self):
+        # A real blank fax page: 1728 cols x 1100 rows of V0 codes.
+        enc = ccitt.encode_g4(b"\xff" * (1728 * 64), 1728, 64)
+        w, h, px = ccitt.decode_ccitt_gray(enc, k=-1, columns=1728)
+        assert (w, h) == (1728, 64) and set(px) == {255}
+
+    def test_jpeg_sof_dims_bounded(self):
+        # Valid-prefix JPEG whose SOF declares 65535x65535x3 (~17 GB
+        # of int32 coefficients per component): reject at SOF parse.
+        sof = struct.pack(
+            ">HHBHHB", 0xFFC0, 8 + 9, 8, 65535, 65535, 3
+        ) + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+        data = b"\xff\xd8" + sof + b"\xff\xd9"
+        t0 = time.monotonic()
+        try:
+            jpeg.decode_jpeg(data)
+        except ValueError as e:
+            assert "pixel" in str(e) or "bound" in str(e)
+        else:
+            raise AssertionError("expected SOF-budget ValueError")
+        assert time.monotonic() - t0 < 1.0
+
+    def test_jpeg_lossless_sof3_dims_bounded(self):
+        sof = struct.pack(
+            ">HHBHHB", 0xFFC3, 8 + 3, 8, 65535, 65535, 1
+        ) + bytes((1, 0x11, 0))
+        data = b"\xff\xd8" + sof + b"\xff\xd9"
+        try:
+            jpeg.decode_jpeg(data)
+        except ValueError as e:
+            assert "pixel" in str(e) or "bound" in str(e)
+        else:
+            raise AssertionError("expected SOF-budget ValueError")
+
+    @staticmethod
+    def _format12_font(groups):
+        sub = struct.pack(
+            ">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups)
+        )
+        for s, e, g in groups:
+            sub += struct.pack(">III", s, e, g)
+        cmap = (
+            struct.pack(">HH", 0, 1)
+            + struct.pack(">HHI", 3, 10, 12)
+            + sub
+        )
+        font = struct.pack(">IHHHH", 0x00010000, 1, 0, 0, 0)
+        font += b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+        return font + cmap
+
+    def test_sfnt_format12_group_span_bounded(self):
+        from pdf2dataset_spark.sources import sfnt
+
+        # One 12-byte group claiming the whole u32 space would build
+        # ~4G dict entries; spans past Unicode are dropped outright.
+        t0 = time.monotonic()
+        out = sfnt.unicode_to_gid(
+            self._format12_font([(0, 0xFFFFFFFF, 0)])
+        )
+        assert out == {}
+        # In-Unicode spans clamp at the 2^20 mapping budget.
+        out = sfnt.unicode_to_gid(self._format12_font([(0, 0x10FFFF, 1)]))
+        assert len(out) == 1 << 20
+        assert out[0] == 1 and out[(1 << 20) - 1] == (1 << 20)
+        assert time.monotonic() - t0 < 10.0
+
+    def test_sfnt_format12_normal_groups_unaffected(self):
+        from pdf2dataset_spark.sources import sfnt
+
+        out = sfnt.unicode_to_gid(
+            self._format12_font([(0x41, 0x5A, 10), (0x1F600, 0x1F603, 99)])
+        )
+        assert out[0x41] == 10 and out[0x5A] == 10 + 25
+        assert out[0x1F600] == 99 and out[0x1F603] == 102
+        assert len(out) == 26 + 4

@@ -1937,3 +1937,74 @@ def test_unsupported_jpeg_precision_rejected():
     data[at + 4] = 10
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+class TestDecodeParmsArrayAlignment:
+    """PDF 7.4: a /DecodeParms ARRAY aligns index-wise with /Filter.
+    A parms dict that legally omits /K (K defaults to 0) but carries
+    /Columns must still be selected — previously the array scan keyed
+    on '/K' presence and silently fell back to Columns=1728."""
+
+    def test_parms_for_filter_index_alignment(self):
+        ident = lambda x: x
+        sdict = {
+            "/Filter": ["/FlateDecode", "/CCITTFaxDecode"],
+            "/DecodeParms": [{"/Predictor": 12}, {"/Columns": 100}],
+        }
+        p = minipdf._parms_for_filter(
+            sdict, ident, "/CCITTFaxDecode", ("/K", "/Columns")
+        )
+        assert p == {"/Columns": 100}
+
+    def test_parms_for_filter_fallback_on_null_padding(self):
+        ident = lambda x: x
+        sdict = {
+            "/Filter": ["/FlateDecode", "/CCITTFaxDecode"],
+            "/DecodeParms": [None, None],
+        }
+        assert minipdf._parms_for_filter(
+            sdict, ident, "/CCITTFaxDecode", ("/K",)
+        ) == {}
+        sdict = {
+            "/Filter": "/CCITTFaxDecode",  # scalar filter, array parms
+            "/DecodeParms": [{"/EncodedByteAlign": True}],
+        }
+        assert minipdf._parms_for_filter(
+            sdict, ident, "/CCITTFaxDecode", ("/K", "/EncodedByteAlign")
+        ) == {"/EncodedByteAlign": True}
+
+    def test_page_images_kless_parms_array(self):
+        from pdf2dataset_spark.sources import ccitt
+
+        w, h = 48, 20
+        px = bytes(
+            0 if (r // 4 + c // 6) % 2 else 255
+            for r in range(h)
+            for c in range(w)
+        )
+        enc = ccitt.encode_g3_1d(px, w, h)  # K=0 is the PDF default
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/CCITTFaxDecode", "width": w, "height": h,
+                     "data": enc, "bits": 1,
+                     "decode_parms": {"/Columns": w, "/Rows": h}}],
+        )
+        # Rewrite the XObject head to ARRAY form (same byte length so
+        # the xref stays valid): /Filter [..] /DecodeParms [<<..>>].
+        orig = (
+            b"/Filter /CCITTFaxDecode"
+            b" /DecodeParms << /Columns 48 /Rows 20 >>"
+        )
+        assert orig in pdf
+        repl = (
+            b"/Filter[/CCITTFaxDecode]"
+            b"/DecodeParms[<</Columns 48 /Rows 20>>]"
+        )
+        repl += b" " * (len(orig) - len(repl))
+        assert len(repl) == len(orig)
+        doc = minipdf.PdfDocument(pdf.replace(orig, repl))
+        (entry,) = doc.page_images(doc.pages()[0], decode_pixels=True)
+        assert entry["decodable"] is True
+        assert entry["ccitt_params"]["k"] == 0
+        assert entry["ccitt_params"]["columns"] == w
+        assert entry["pixels"] == px
