@@ -83,45 +83,18 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 5 — new queries first
-    "f44_dsir_importance_score",     # DSIR importance scoring (new)
-    # round-5 session 5: JPX subsampling + precincts (a26/a27 gained
-    # ycc420/precinct fixtures), JBIG2 refinement regions + true
-    # aggregates (a25 gained refine/agg fixtures)
-    "a27_lossy_jpx_extract",
-    "a20_scanned_page_ocr",          # scanned-page routing (new)
-    "a21_progressive_image_extract",  # progressive JPEG (new)
-    # jpeg decoder rewritten (scan-loop architecture)
+    # round 6 — codec hardening (ccitt/jpeg pixel budgets, sfnt cmap
+    # clamp, minipdf DecodeParms array alignment) touches every
+    # extraction path that decodes embedded images or fonts
+    "a5_pdf_extract",
+    "a17_cid_font_extract",
     "a18_embedded_image_extract",
     "a19_color_image_extract",
-    # minipdf: inline_images colorspace guard, CCITT K>0 branch,
-    # CFF /FontFile3 built-in-encoding path in page_fonts
-    "a5_pdf_extract",
-    "a16_encrypted_pdf_extract",
-    "a17_cid_font_extract",
+    "a20_scanned_page_ocr",
     "a22_embedded_font_cmap_extract",
-    # JBIG2 codec (sources/jbig2) + scanned-route/page_images wiring
     "a25_jbig2_scan_extract",
-    # JPX codec (sources/jpx) + page_images /JPXDecode branch
-    "a26_jpx_image_extract",
-    # raster ocr_gray refactor (threshold binarization)
     "a6_page_render_ocr",
-    # image decode feeds the pHash path
     "f40_image_phash_neardup",
-    # shingling canonicalization change (whitespace-run tokenization)
-    "f2a_minhash_lsh_candidates",
-    "f2b_jaccard_neardup",
-    # dedup ingest lock + rank cache thread-safety dependents
-    "f1_exact_dedup",
-    "f22_token_shard_packing",
-    "e18_rolling_7day_revenue",
-    "e5_global_sort",
-    # similarity.py PQ/IVFPQ additions sit beside these paths
-    "f4_topk_cosine",
-    "f5b_ivf_topk",
-    "f5c_topk_cosine_packed",
-    "f34_semantic_dedup",
-    "f38_semantic_dedup_nprobe",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

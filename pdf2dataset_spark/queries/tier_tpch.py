@@ -1046,3 +1046,269 @@ def sql22_group_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------- synthetic partsupp
+# The driver testdata has no partsupp table (SURVEY §2: TPC-H Q2/Q11/
+# Q20 cost cores were previously unmappable). Derive one DETERMINISTIC-
+# ALLY from part x supplier-count with pure integer arithmetic, the
+# same formula in Spark and in the DuckDB oracle, so the three
+# partsupp-bearing cost cores become full-oracle queries:
+#   for i in 0..3:  sk = (p_partkey + i*(S div 4 + p_partkey div S)) % S
+# (the TPC-H dbgen supplier-spread formula, 0-based for this data's
+# 0-based keys), with supplycost/availqty as integer hashes of the
+# (partkey, suppkey) pair. Small scale factors make the spread
+# collide for some parts (S=10: stride 5 repeats mod 10), so both
+# sides SELECT DISTINCT — full-row dupes only, since cost/qty are
+# functions of the pair. Scale: the synth is part x 4 rows, built
+# from a broadcast 1-row supplier count; the DISTINCT shuffles on the
+# narrow (partkey, suppkey) pair — part-table-sized, never fact-sized.
+
+_PARTSUPP_CTE = """
+    sc AS (SELECT COUNT(*) AS n_supp FROM supplier),
+    ps_raw AS (
+      SELECT p_partkey,
+             (p_partkey + i.i * ((n_supp // 4) + (p_partkey // n_supp)))
+               % n_supp AS sk
+      FROM part, sc, (VALUES (0),(1),(2),(3)) AS i(i)
+    ),
+    partsupp AS (
+      SELECT DISTINCT
+             p_partkey AS ps_partkey,
+             sk AS ps_suppkey,
+             (p_partkey*7919 + sk*104729) % 99001 + 100 AS ps_supplycost_c,
+             (p_partkey*31 + sk*17) % 9999 + 1 AS ps_availqty
+      FROM ps_raw
+    )
+"""
+
+
+def _synth_partsupp(spark, sf_dir):
+    """partsupp(ps_partkey, ps_suppkey, ps_supplycost_c, ps_availqty)
+    — the DataFrame twin of _PARTSUPP_CTE (identical integer math)."""
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    sc = t(spark, sf_dir, "supplier").agg(F.count("*").alias("n_supp"))
+    i = spark.range(4).select(F.col("id").alias("i"))
+    sk = (
+        F.col("p_partkey")
+        + F.col("i")
+        * (F.expr("n_supp div 4") + F.expr("p_partkey div n_supp"))
+    ) % F.col("n_supp")
+    return (
+        p.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(i))
+        .select("p_partkey", sk.alias("sk"))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("sk").alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7919 + F.col("sk") * 104729) % 99001
+             + 100).alias("ps_supplycost_c"),
+            ((F.col("p_partkey") * 31 + F.col("sk") * 17) % 9999
+             + 1).alias("ps_availqty"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ SQL23
+@query(
+    "sql23_q2_partsupp_min_cost",
+    sql="""
+    WITH """ + _PARTSUPP_CTE + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(ps.ps_supplycost_c AS DOUBLE) / 100 AS supplycost
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost_c = (
+        SELECT MIN(ps2.ps_supplycost_c)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+             ps.ps_suppkey
+    LIMIT 100
+    """,
+    tier="SQL",
+)
+def sql23_q2_partsupp_min_cost(spark, sf_dir):
+    """TPC-H Q2 COST CORE over the synthetic partsupp: supplier whose
+    supply cost equals the regional per-part minimum — the real
+    correlated-MIN shape (sql20 approximated it from lineitem). The
+    subquery is decorrelated by hand into one per-part MIN over the
+    region-eligible partsupp and an equi-join back on (partkey, cost
+    = min), the plan Catalyst's decorrelation produces. supplier/
+    nation/region and the per-part MIN are broadcast; partsupp (part-
+    sized x4) shuffles only for its DISTINCT. ORDER BY ends with the
+    unique (p_partkey, ps_suppkey) pair so LIMIT 100 is total-order
+    deterministic."""
+    ps = _synth_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_c",
+                "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = eligible.groupBy(
+        F.col("ps_partkey").alias("m_partkey")
+    ).agg(F.min("ps_supplycost_c").alias("min_cost_c"))
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eligible.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("m_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost_c") == F.col("min_cost_c")),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+                 "ps_suppkey")
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("ps_supplycost_c").cast("double") / 100).alias("supplycost"),
+        )
+    )
+
+
+# ------------------------------------------------------------ SQL24
+@query(
+    "sql24_q11_partsupp_value",
+    sql="""
+    WITH """ + _PARTSUPP_CTE + """,
+    natps AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost_c * ps.ps_availqty AS val_c
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_7', 'NATION_12')
+    )
+    SELECT ps_partkey,
+           CAST(SUM(val_c) AS DOUBLE) / 100 AS value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(val_c) * (SELECT COUNT(DISTINCT ps_partkey) FROM natps)
+           > 2 * (SELECT SUM(val_c) FROM natps)
+    ORDER BY value DESC, ps_partkey
+    """,
+    tier="SQL",
+)
+def sql24_q11_partsupp_value(spark, sf_dir):
+    """TPC-H Q11 COST CORE over the synthetic partsupp: per-part
+    inventory value (supplycost x availqty) for suppliers of chosen
+    nations, keeping parts whose value exceeds TWICE THE MEAN per-part
+    value — the global-scalar-subquery HAVING, made scale-free (TPC-H's
+    fixed 0.0001/SF fraction selects nothing once part counts grow; the
+    mean-relative form selects a stable tail fraction at every sf). The
+    comparison stays in the integer domain (sum_c*nparts > 2*total_c)
+    so no float threshold can flip a part; the 1-row total broadcasts
+    back against the per-part aggregate (sql7's plan, real partsupp
+    semantics). One shuffle: the ps_partkey aggregation."""
+    ps = _synth_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_12")
+    )
+    natps = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("val_c"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("val_c").alias("sum_c"))
+    total = natps.agg(
+        F.sum("val_c").alias("total_c"),
+        F.count_distinct("ps_partkey").alias("nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("sum_c") * F.col("nparts") > 2 * F.col("total_c"))
+        .select(
+            "ps_partkey",
+            (F.col("sum_c").cast("double") / 100).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+# ------------------------------------------------------------ SQL25
+@query(
+    "sql25_q20_partsupp_avail",
+    sql="""
+    WITH """ + _PARTSUPP_CTE + """,
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%red%')
+        AND ps.ps_availqty > sh.qty / 2)
+    ORDER BY s.s_name, s.s_acctbal
+    """,
+    tier="SQL",
+)
+def sql25_q20_partsupp_avail(spark, sf_dir):
+    """TPC-H Q20 COST CORE over the synthetic partsupp: suppliers
+    holding excess inventory — availqty above half the quantity they
+    actually shipped in 1997 for 'red' parts. The correlated scalar
+    SUM decorrelates into one (partkey, suppkey) aggregation of the
+    date-pruned lineitem joined back to partsupp (inner join = the
+    original's NULL-comparison-excludes semantics); the halving stays
+    exact (availqty*2 > qty over integral quantities). lineitem
+    shuffles once into the (partkey, suppkey) keyspace; part keys and
+    the qualifying supplier set broadcast into semi-joins, so
+    supplier never shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    ps = _synth_partsupp(spark, sf_dir)
+    red = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    qual = (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey"),
+               "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
