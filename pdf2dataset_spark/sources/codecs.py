@@ -175,12 +175,16 @@ class PdfCodec(DocumentCodec):
         dpi: int = 200,
         image_size: str | None = None,
         password: str = "",
+        layout: bool = True,
     ):
         self.ocr_lang = ocr_lang
         self.image_format = image_format
         self.dpi = dpi
         self.image_size = image_size
         self.password = password
+        #: reading-order text (pdftotext parity: XY-cut column/section
+        #: ordering, kern-gap word breaks); False = raw stream order.
+        self.layout = layout
 
     def open(self, content: bytes) -> "_PdfHandle":
         from pdf2dataset_spark.sources import minipdf
@@ -188,8 +192,11 @@ class PdfCodec(DocumentCodec):
         doc = minipdf.PdfDocument(
             content, password=self.password.encode("latin-1", errors="replace")
         )
+        text_fn = (
+            minipdf.content_text_layout if self.layout else minipdf.content_text
+        )
         pages = [
-            minipdf.content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+            text_fn(doc.page_content(p), fonts=doc.page_fonts(p))
             for p in doc.pages()
         ]
         return _PdfHandle(content=content, pages=pages, doc=doc)
@@ -214,12 +221,82 @@ class PdfCodec(DocumentCodec):
     def page_text(self, handle: "_PdfHandle", page: int) -> str:
         return handle.pages[page - 1]
 
+    @staticmethod
+    def _entry_gray(e: dict) -> tuple[int, int, bytes] | None:
+        """Decoded page_images entry -> (w, h, 8-bit gray pixels);
+        None for undecodable / sub-byte payloads."""
+        px = e.get("pixels")
+        w, h = e.get("width"), e.get("height")
+        if px is None or not w or not h:
+            return None
+        if len(px) == w * h:
+            return w, h, bytes(px)
+        if len(px) == 3 * w * h:  # RGB -> BT.601 luma
+            import numpy as np
+
+            rgb = (
+                np.frombuffer(bytes(px), np.uint8)
+                .reshape(h, w, 3)
+                .astype(np.float64)
+            )
+            y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
+        return None
+
+    def _composite_pixels(
+        self, handle: "_PdfHandle", page: int
+    ) -> tuple[int, int, bytes] | None:
+        """COMPOSITE page render (A6 fidelity): when a text-bearing
+        page also paints geometry — embedded images placed by ``Do``,
+        rect fills, stroked lines — draw all of it plus the
+        positioned text layer onto one MediaBox-sized canvas (1 px
+        per PDF unit), instead of the text-grid raster. Pure-text
+        pages keep the grid raster (whose pixel OCR round-trips
+        exactly); image-ONLY pages take the scan route before this."""
+        if handle.doc is None:
+            return None
+        from pdf2dataset_spark.sources import minipdf, raster
+
+        doc = handle.doc
+        pg = doc.pages()[page - 1]
+        try:
+            content = doc.page_content(pg)
+            draw = minipdf.content_draw_ops(content)
+        except (ValueError, KeyError):
+            return None
+        if not (draw["fills"] or draw["lines"] or draw["images"]):
+            return None
+        placed: list[tuple] = []
+        if draw["images"]:
+            entries = {
+                e.get("name"): e
+                for e in doc.page_images(pg, decode_pixels=True)
+            }
+            for name, ctm in draw["images"]:
+                e = entries.get(name)
+                gray = self._entry_gray(e) if e else None
+                if gray is not None:
+                    placed.append((gray[0], gray[1], gray[2], ctm))
+        runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
+        x0, y0, x1, y1 = minipdf.page_media_box(doc, pg)
+        w, h, px = raster.compose_page(
+            x1 - x0,
+            y1 - y0,
+            fills=draw["fills"],
+            lines=draw["lines"],
+            images=placed,
+            glyph_runs=[(r["x"] - x0, r["y"] - y0, r["text"]) for r in runs],
+        )
+        return w, h, bytes(px)
+
     def page_image(self, handle: "_PdfHandle", page: int) -> bytes:
         fmt = self.image_format.lower()
         # Scanned page (no text layer, embedded image present): the
         # page's visual content IS the embedded image — render that,
         # decoded by the engine, instead of an empty text raster.
         scan = self._scan_pixels(handle, page)
+        if scan is None:
+            scan = self._composite_pixels(handle, page)
         if scan is not None:
             from pdf2dataset_spark.sources import raster
 

@@ -1645,42 +1645,13 @@ def _decode_text_string(raw: bytes) -> str:
 _SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
 
 
-def content_text(
-    content: bytes,
-    fonts: dict[str, tuple] | None = None,
-) -> str:
-    """Text shown by a content stream: ``Tj``/``TJ``/``'``/``"`` emit
-    glyph strings; ``Td/TD/T*/Tm/ET`` mark line breaks (emitted
-    lazily, so there is no leading/trailing newline churn). ``fonts``
-    maps font resource names (``/F1``) to parsed /ToUnicode CMaps —
-    ``Tf`` switches the active map, so CID/Type0 glyph strings decode
-    through their CMap while unmapped fonts keep the BOM/Latin-1
-    fallback."""
+def _iter_content_ops(content: bytes):
+    """Lex a content stream into ``(operator, operands)`` pairs —
+    the shared front end of :func:`content_text` (stream order) and
+    :func:`content_text_layout` (reading order). Inline images
+    (``BI``..``EI``) are skipped without lexing their binary data."""
     pos, n = 0, len(content)
     stack: list[Any] = []
-    out: list[str] = []
-    shown = False  # a show op happened since the last break marker
-    pending = False  # a break marker happened after a show op
-    cur_cmap: tuple | None = None
-
-    def show(raw: bytes) -> None:
-        nonlocal shown, pending
-        if pending:
-            out.append("\n")
-            pending = False
-        if cur_cmap is None:
-            out.append(_decode_text_string(raw))
-        elif len(cur_cmap) == 3:  # 1-byte map with a translate table
-            out.append(raw.decode("latin-1").translate(cur_cmap[2]))
-        else:
-            out.append(_decode_with_cmap(raw, cur_cmap[0], cur_cmap[1]))
-        shown = True
-
-    def mark() -> None:
-        nonlocal pending
-        if shown:
-            pending = True
-
     while pos < n:
         pos = _skip_ws(content, pos)
         if pos >= n:
@@ -1714,46 +1685,505 @@ def content_text(
             if not op:  # stray delimiter; skip it
                 pos += 1
                 continue
-            if op == b"Tj":
-                if stack and isinstance(stack[-1], bytes):
-                    show(stack[-1])
-            elif op == b"TJ":
-                if stack and isinstance(stack[-1], list):
-                    buf = b"".join(
-                        e for e in stack[-1] if isinstance(e, bytes)
-                    )
-                    show(buf)
-            elif op == b"'":
-                mark()
-                if stack and isinstance(stack[-1], bytes):
-                    show(stack[-1])
-            elif op == b'"':
-                mark()
-                if stack and isinstance(stack[-1], bytes):
-                    show(stack[-1])
-            elif op == b"Tf":
-                if (
-                    fonts
-                    and len(stack) >= 2
-                    and isinstance(stack[-2], str)
-                ):
-                    cur_cmap = fonts.get(stack[-2])
-            elif op in _SHOW_LINE_OPS:
-                mark()
-            elif op == b"BI":
+            if op == b"BI":
                 # inline image: skip to EI to avoid lexing binary data
                 e = content.find(b"EI", pos)
                 pos = n if e == -1 else e + 2
+                stack.clear()
+                continue
+            yield op, stack
             stack.clear()
+
+
+def _decode_shown(raw: bytes, cmap: tuple | None) -> str:
+    """Decode a shown glyph string through the active font's map."""
+    if cmap is None:
+        return _decode_text_string(raw)
+    if len(cmap) == 3:  # 1-byte map with a translate table
+        return raw.decode("latin-1").translate(cmap[2])
+    return _decode_with_cmap(raw, cmap[0], cmap[1])
+
+
+def content_text(
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+) -> str:
+    """Text shown by a content stream IN STREAM ORDER: ``Tj``/``TJ``/
+    ``'``/``"`` emit glyph strings; ``Td/TD/T*/Tm/ET`` mark line
+    breaks (emitted lazily, so there is no leading/trailing newline
+    churn). ``fonts`` maps font resource names (``/F1``) to parsed
+    /ToUnicode CMaps — ``Tf`` switches the active map, so CID/Type0
+    glyph strings decode through their CMap while unmapped fonts keep
+    the BOM/Latin-1 fallback. For reading order (two-column layouts,
+    out-of-order text operators) use :func:`content_text_layout`."""
+    out: list[str] = []
+    shown = False  # a show op happened since the last break marker
+    pending = False  # a break marker happened after a show op
+    cur_cmap: tuple | None = None
+
+    def show(raw: bytes) -> None:
+        nonlocal shown, pending
+        if pending:
+            out.append("\n")
+            pending = False
+        out.append(_decode_shown(raw, cur_cmap))
+        shown = True
+
+    def mark() -> None:
+        nonlocal pending
+        if shown:
+            pending = True
+
+    for op, stack in _iter_content_ops(content):
+        if op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                buf = b"".join(e for e in stack[-1] if isinstance(e, bytes))
+                show(buf)
+        elif op == b"'":
+            mark()
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == b'"':
+            mark()
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == b"Tf":
+            if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_cmap = fonts.get(stack[-2])
+        elif op in _SHOW_LINE_OPS:
+            mark()
     return "".join(out)
 
 
-def extract_page_texts(data: bytes) -> list[str]:
+# ---------------------------------------------------------------------
+# layout-aware (reading-order) text extraction
+# ---------------------------------------------------------------------
+# pdftotext parity for the common real-corpus divergences: two-column
+# pages, content streams whose text operators run out of visual order,
+# and TJ kerning used as word spacing. The interpreter tracks the full
+# text-positioning state (Tm/Tlm composition, Td/TD/T*/TL, Tc/Tw/Tz,
+# cm + q/Q CTM stack) to place every show op in DEVICE space, then a
+# recursive XY-cut orders the runs: vertical whitespace gutters split
+# columns (left column emitted fully before the right), horizontal
+# whitespace bands split sections, leaves emit lines by (y descending,
+# x ascending). Glyph widths are not in scope for a metrics-free
+# parser, so advances use a 0.5 em/char estimate — positions of run
+# STARTS are exact (they come from the positioning operators), only
+# intra-line gap detection is heuristic.
+
+#: TJ adjustment (thousandths of an em, negative moves right-ward
+#: text further right) at or past which a gap is a WORD BREAK, not a
+#: kerning tweak: kern pairs are typically <= ~100/1000 em while word
+#: gaps are >= ~200/1000 em (pdftotext's heuristic family).
+_TJ_WORD_BREAK = 180.0
+
+#: Estimated glyph advance in em for width-less fonts.
+_EST_CHAR_EM = 0.5
+
+_ID6 = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """PDF row-vector convention: apply m1, then m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _text_runs(
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+) -> list[dict]:
+    """Interpret the positioning + showing operators into runs:
+    ``{x, y, x_end, size, text}`` with device-space baseline origin
+    (x, y), estimated end, and effective device font size."""
+    import math
+
+    runs: list[dict] = []
+    ctm = _ID6
+    ctm_stack: list[tuple] = []
+    tm = tlm = _ID6
+    tfs = 12.0  # spec default is unset; 12 is the pragmatic fallback
+    tc = tw = 0.0
+    tz = 100.0
+    tl = 0.0
+    cur_cmap: tuple | None = None
+    in_text = False
+
+    def advance_em(txt: str) -> float:
+        """Text-space advance of ``txt`` under current state."""
+        nchars = len(txt)
+        nspaces = txt.count(" ")
+        return (
+            (_EST_CHAR_EM * tfs * nchars + tc * nchars + tw * nspaces)
+            * tz
+            / 100.0
+        )
+
+    def show(raw: bytes, parts: list | None = None) -> None:
+        nonlocal tm
+        trm = _mat_mul(tm, ctm)
+        a, b, c, d, e, f = trm
+        size = tfs * math.hypot(c, d)
+        xscale = math.hypot(a, b) or 1.0
+        if parts is None:
+            parts = [raw]
+        texts: list[str] = []
+        adv = 0.0
+        for el in parts:
+            if isinstance(el, bytes):
+                s = _decode_shown(el, cur_cmap)
+                texts.append(s)
+                adv += advance_em(s)
+            elif isinstance(el, (int, float)):
+                adv += -el / 1000.0 * tfs * tz / 100.0
+                if el <= -_TJ_WORD_BREAK and texts and not texts[-1].endswith(" "):
+                    texts.append(" ")
+        text = "".join(texts)
+        # empty shows still anchor a line (a `() Tj` on its own
+        # baseline is a BLANK line — content_text emits its break,
+        # so reading order must too)
+        runs.append(
+            {
+                "x": e,
+                "y": f,
+                "x_end": e + adv * xscale,
+                "size": size if size > 0 else 12.0,
+                "text": text,
+            }
+        )
+        tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+    def td(tx: float, ty: float) -> None:
+        nonlocal tm, tlm
+        tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
+        tm = tlm
+
+    for op, stack in _iter_content_ops(content):
+        try:
+            if op == b"BT":
+                in_text = True
+                tm = tlm = _ID6
+            elif op == b"ET":
+                in_text = False
+            elif op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"Tm" and len(stack) >= 6:
+                tm = tlm = tuple(float(v) for v in stack[-6:])
+            elif op == b"Td" and len(stack) >= 2:
+                td(float(stack[-2]), float(stack[-1]))
+            elif op == b"TD" and len(stack) >= 2:
+                tl = -float(stack[-1])
+                td(float(stack[-2]), float(stack[-1]))
+            elif op == b"T*":
+                td(0.0, -tl)
+            elif op == b"TL" and stack:
+                tl = float(stack[-1])
+            elif op == b"Tc" and stack:
+                tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                tz = float(stack[-1])
+            elif op == b"Tf" and len(stack) >= 2:
+                if isinstance(stack[-2], str) and fonts:
+                    cur_cmap = fonts.get(stack[-2])
+                tfs = float(stack[-1])
+            elif op == b"Tj":
+                if in_text and stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b"TJ":
+                if in_text and stack and isinstance(stack[-1], list):
+                    show(b"", parts=stack[-1])
+            elif op == b"'":
+                if in_text and stack and isinstance(stack[-1], bytes):
+                    td(0.0, -tl)
+                    show(stack[-1])
+            elif op == b'"':
+                if in_text and len(stack) >= 3 and isinstance(stack[-1], bytes):
+                    tw = float(stack[-3])
+                    tc = float(stack[-2])
+                    td(0.0, -tl)
+                    show(stack[-1])
+        except (TypeError, ValueError):
+            continue  # malformed operands: skip the op, keep going
+    return runs
+
+
+def _projection_gaps(intervals: list[tuple], min_gap: float) -> list[float]:
+    """Midpoints of gaps >= ``min_gap`` in the union of intervals."""
+    ivs = sorted((min(a, b), max(a, b)) for a, b in intervals)
+    gaps: list[float] = []
+    cur_end = ivs[0][1]
+    for lo, hi in ivs[1:]:
+        if lo - cur_end >= min_gap:
+            gaps.append((cur_end + lo) / 2.0)
+        cur_end = max(cur_end, hi)
+    return gaps
+
+
+def _emit_lines(runs: list[dict]) -> list[list[dict]]:
+    """Group runs into baselines (y within half a font size), order
+    lines by y descending and runs within a line by x ascending."""
+    lines: list[list[dict]] = []
+    for r in sorted(runs, key=lambda r: (-r["y"], r["x"])):
+        for line in lines:
+            if abs(line[0]["y"] - r["y"]) <= 0.5 * min(line[0]["size"], r["size"]):
+                line.append(r)
+                break
+        else:
+            lines.append([r])
+    for line in lines:
+        line.sort(key=lambda r: r["x"])
+    lines.sort(key=lambda ln: -ln[0]["y"])
+    return lines
+
+
+def _xy_cut(runs: list[dict], med: float) -> list[list[dict]]:
+    """Recursive XY-cut: returns line groups in reading order."""
+    if not runs:
+        return []
+    # vertical cut (columns): a whitespace gutter no run crosses.
+    # A gutter must PERSIST vertically — every side needs >= 2
+    # distinct baselines, else a single wide word gap on one line
+    # would masquerade as a column split (it joins as a space in the
+    # leaf instead).
+    v_min = max(0.9 * med, 16.0)
+    vgaps = _projection_gaps([(r["x"], r["x_end"]) for r in runs], v_min)
+    if vgaps:
+        parts: list[list[dict]] = [[] for _ in range(len(vgaps) + 1)]
+        for r in runs:
+            i = sum(1 for g in vgaps if r["x"] >= g)
+            parts[i].append(r)
+        nonempty = [p for p in parts if p]
+        if len(nonempty) > 1 and all(
+            len({round(r["y"], 1) for r in p}) >= 2 for p in nonempty
+        ):
+            out: list[list[dict]] = []
+            for p in parts:
+                out.extend(_xy_cut(p, med))
+            return out
+    # horizontal cut (sections): a whitespace band taller than a line
+    h_min = 0.9 * med
+    hgaps = _projection_gaps(
+        [(r["y"], r["y"] + 0.9 * r["size"]) for r in runs], h_min
+    )
+    if hgaps:
+        parts = [[] for _ in range(len(hgaps) + 1)]
+        for r in runs:
+            i = sum(1 for g in hgaps if r["y"] >= g)
+            parts[i].append(r)
+        if sum(1 for p in parts if p) > 1:
+            out = []
+            for p in reversed(parts):  # top band (largest y) first
+                out.extend(_xy_cut(p, med))
+            return out
+    return _emit_lines(runs)
+
+
+def content_text_layout(
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+) -> str:
+    """Text shown by a content stream in READING ORDER (pdftotext
+    parity): runs are placed in device space by the full positioning
+    state machine, columns split at vertical whitespace gutters (left
+    column emitted completely before the right), sections at
+    horizontal whitespace bands, lines ordered (y descending, x
+    ascending), and large negative TJ adjustments become word breaks.
+    Identical to :func:`content_text` on already-in-order single-
+    column streams."""
+    runs = _text_runs(content, fonts)
+    if not runs:
+        return ""
+    sizes = sorted(r["size"] for r in runs)
+    med = sizes[len(sizes) // 2]
+    lines = _xy_cut(runs, med)
+    out: list[str] = []
+    for line in lines:
+        parts: list[str] = []
+        for i, r in enumerate(line):
+            if i and parts and any(parts):
+                gap = r["x"] - line[i - 1]["x_end"]
+                if (
+                    r["text"]
+                    and gap > 0.3 * min(r["size"], line[i - 1]["size"])
+                    and not parts[-1].endswith(" ")
+                    and not r["text"].startswith(" ")
+                ):
+                    parts.append(" ")
+            parts.append(r["text"])
+        out.append("".join(parts))
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------
+# page geometry + drawing operators (composite page render, A6)
+# ---------------------------------------------------------------------
+
+def page_media_box(doc: "PdfDocument", page: dict) -> tuple[float, float, float, float]:
+    """/MediaBox of a page. The attribute is inheritable (ISO
+    32000-1 Table 30) but the pages() walk materializes only
+    /Resources, so an inherited-only MediaBox falls back to the US
+    Letter default here — degraded geometry, never an error."""
+    box = doc.resolve(page.get("/MediaBox"))
+    if isinstance(box, list) and len(box) == 4:
+        try:
+            x0, y0, x1, y1 = (float(doc.resolve(v)) for v in box)
+            if x1 > x0 and y1 > y0:
+                return (x0, y0, x1, y1)
+        except (TypeError, ValueError):
+            pass
+    return (0.0, 0.0, 612.0, 792.0)
+
+
+def _luma(ops: list[float]) -> int:
+    """Gray level (0-255) from a g / rg / k color operand list."""
+    try:
+        if len(ops) == 1:  # g: gray
+            v = float(ops[0])
+        elif len(ops) == 3:  # rg: BT.601 luma
+            r, g, b = (float(v) for v in ops)
+            v = 0.299 * r + 0.587 * g + 0.114 * b
+        elif len(ops) == 4:  # k: CMYK -> gray
+            c, m, y, k = (float(v) for v in ops)
+            v = (1.0 - min(1.0, k)) * (1.0 - min(1.0, (c + m + y) / 3.0))
+        else:
+            return 0
+    except (TypeError, ValueError):
+        return 0
+    return max(0, min(255, round(v * 255)))
+
+
+def content_draw_ops(content: bytes) -> dict:
+    """Geometry the page paints besides text (composite render
+    inputs): rectangle FILLS, stroked LINE segments, and image
+    XObject PLACEMENTS, all in device space via the full q/Q/cm CTM
+    stack. Returns ``{"fills": [(x0,y0,x1,y1,gray)], "lines":
+    [(x0,y0,x1,y1,gray)], "images": [(name, ctm)]}`` — curves and
+    clipping are out of scope (declined geometry simply isn't drawn;
+    the render stays deterministic)."""
+    ctm = _ID6
+    ctm_stack: list[tuple] = []
+    fill_g = stroke_g = 0  # PDF initial color is black
+    # current path: rect fills + polyline segments, in USER space
+    rects: list[tuple] = []
+    segs: list[tuple] = []
+    cur_pt: tuple | None = None
+    start_pt: tuple | None = None
+    fills: list[tuple] = []
+    lines: list[tuple] = []
+    images: list[tuple] = []
+
+    def pt(x: float, y: float) -> tuple:
+        a, b, c, d, e, f = ctm
+        return (a * x + c * y + e, b * x + d * y + f)
+
+    def paint(fill: bool, stroke: bool) -> None:
+        nonlocal rects, segs, cur_pt, start_pt
+        if fill:
+            for x, y, w, h in rects:
+                p0, p1 = pt(x, y), pt(x + w, y + h)
+                fills.append(
+                    (min(p0[0], p1[0]), min(p0[1], p1[1]),
+                     max(p0[0], p1[0]), max(p0[1], p1[1]), fill_g)
+                )
+        if stroke:
+            for (x0, y0), (x1, y1) in segs:
+                p0, p1 = pt(x0, y0), pt(x1, y1)
+                lines.append((p0[0], p0[1], p1[0], p1[1], stroke_g))
+            for x, y, w, h in rects:
+                for p0, p1 in (((x, y), (x + w, y)),
+                               ((x + w, y), (x + w, y + h)),
+                               ((x + w, y + h), (x, y + h)),
+                               ((x, y + h), (x, y))):
+                    q0, q1 = pt(*p0), pt(*p1)
+                    lines.append((q0[0], q0[1], q1[0], q1[1], stroke_g))
+        rects, segs, cur_pt, start_pt = [], [], None, None
+
+    for op, stack in _iter_content_ops(content):
+        try:
+            if op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"g" and stack:
+                fill_g = _luma(stack[-1:])
+            elif op == b"G" and stack:
+                stroke_g = _luma(stack[-1:])
+            elif op == b"rg" and len(stack) >= 3:
+                fill_g = _luma(stack[-3:])
+            elif op == b"RG" and len(stack) >= 3:
+                stroke_g = _luma(stack[-3:])
+            elif op == b"k" and len(stack) >= 4:
+                fill_g = _luma(stack[-4:])
+            elif op == b"K" and len(stack) >= 4:
+                stroke_g = _luma(stack[-4:])
+            elif op == b"re" and len(stack) >= 4:
+                x, y, w, h = (float(v) for v in stack[-4:])
+                rects.append((x, y, w, h))
+            elif op == b"m" and len(stack) >= 2:
+                cur_pt = (float(stack[-2]), float(stack[-1]))
+                start_pt = cur_pt
+            elif op == b"l" and len(stack) >= 2:
+                p = (float(stack[-2]), float(stack[-1]))
+                if cur_pt is not None:
+                    segs.append((cur_pt, p))
+                cur_pt = p
+            elif op == b"h":
+                if cur_pt is not None and start_pt is not None:
+                    segs.append((cur_pt, start_pt))
+                    cur_pt = start_pt
+            elif op in (b"f", b"F", b"f*"):
+                paint(True, False)
+            elif op in (b"S",):
+                paint(False, True)
+            elif op == b"s":
+                if cur_pt is not None and start_pt is not None:
+                    segs.append((cur_pt, start_pt))
+                paint(False, True)
+            elif op in (b"b", b"b*"):
+                if cur_pt is not None and start_pt is not None:
+                    segs.append((cur_pt, start_pt))
+                paint(True, True)
+            elif op in (b"B", b"B*"):
+                paint(True, True)
+            elif op == b"n":
+                paint(False, False)
+            elif op == b"Do" and stack and isinstance(stack[-1], str):
+                images.append((stack[-1], ctm))
+        except (TypeError, ValueError):
+            continue
+    return {"fills": fills, "lines": lines, "images": images}
+
+
+def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:
     """All page texts of a PDF, in page order (the pdftotext-shaped
-    primitive: one string per page), ToUnicode-aware."""
+    primitive: one string per page), ToUnicode-aware. ``layout=True``
+    orders text by position (reading order) instead of stream order —
+    see :func:`content_text_layout`."""
     doc = PdfDocument(data)
+    fn = content_text_layout if layout else content_text
     return [
-        content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+        fn(doc.page_content(p), fonts=doc.page_fonts(p))
         for p in doc.pages()
     ]
 
@@ -1792,6 +2222,7 @@ def build_pdf(
     encrypt: str | None = None,
     encrypt_rev: int = 3,
     images: list[dict] | None = None,
+    extra_content: bytes | None = None,
 ) -> bytes:
     """Minimal spec-valid PDF: one Helvetica font, one content stream
     per page (one ``Tj`` per text line, ``Td`` line advances), real
@@ -1813,7 +2244,12 @@ def build_pdf(
     filter), ``width``, ``height``, and optionally ``filter`` (e.g.
     ``"/DCTDecode"``), ``colorspace`` (default /DeviceGray), ``bits``
     (default 8) and ``decode_parms`` (a dict written as the XObject's
-    /DecodeParms, e.g. ``{"/K": -1, "/Columns": w, "/Rows": h}``)."""
+    /DecodeParms, e.g. ``{"/K": -1, "/Columns": w, "/Rows": h}``).
+
+    ``extra_content`` appends raw operators to PAGE 1's content
+    stream (after the text block) — how fixtures place images
+    (``cm`` + ``/Im0 Do``) and paint fills/strokes for the composite
+    render path."""
     if not pages:
         raise ValueError("build_pdf needs at least one page")
     if encrypt_rev not in (3, 4, 6):
@@ -1907,6 +2343,8 @@ def build_pdf(
                 ops.append(b"0 -14 Td")
             ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
         ops.append(b"ET")
+        if i == 0 and extra_content:
+            ops.append(extra_content)
         payload = b"\n".join(ops)
         if compress:
             payload = zlib.compress(payload)

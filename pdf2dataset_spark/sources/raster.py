@@ -213,3 +213,103 @@ def ocr_gray(w: int, h: int, px, threshold: int = 128) -> str:
                 chars.append(table.get(tuple(rows), "�"))
         lines.append("".join(chars).rstrip())
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------
+# composite page render (A6 fidelity): fills + lines + embedded
+# images + positioned text on one canvas
+# ---------------------------------------------------------------------
+
+def compose_page(
+    page_w: float,
+    page_h: float,
+    fills: list | None = None,
+    lines: list | None = None,
+    images: list | None = None,
+    glyph_runs: list | None = None,
+    scale: float = 1.0,
+) -> tuple[int, int, bytearray]:
+    """Deterministic page compositor (pure stdlib): white canvas at
+    ``scale`` px per PDF unit, painted in PDF z-order semantics —
+    fills, then stroked lines, then embedded images, then the text
+    layer's glyphs on top.
+
+    - ``fills``: ``(x0, y0, x1, y1, gray)`` device-space rects.
+    - ``lines``: ``(x0, y0, x1, y1, gray)`` segments (Bresenham).
+    - ``images``: ``(w, h, pixels_gray, ctm)`` — the decoded image
+      stamped nearest-neighbor into the CTM image space (unit square
+      -> ctm), the PDF convention where row 0 is the TOP of the
+      placed rect.
+    - ``glyph_runs``: ``(x, y, text)`` baselines; glyphs render with
+      the built-in 5x7 table at native size.
+
+    PDF y grows UP; the canvas row 0 is the page TOP.
+    """
+    W = max(1, int(round(page_w * scale)))
+    H = max(1, int(round(page_h * scale)))
+    px = bytearray(b"\xff" * (W * H))
+
+    def put(cx: int, cy: int, g: int) -> None:
+        if 0 <= cx < W and 0 <= cy < H:
+            px[cy * W + cx] = g
+
+    def dev(x: float, y: float) -> tuple[int, int]:
+        return int(round(x * scale)), int(round((page_h - y) * scale))
+
+    for x0, y0, x1, y1, g in fills or ():
+        cx0, cy1 = dev(x0, y0)
+        cx1, cy0 = dev(x1, y1)
+        for cy in range(max(0, cy0), min(H, cy1)):
+            row = cy * W
+            lo, hi = max(0, cx0), min(W, cx1)
+            if hi > lo:
+                px[row + lo : row + hi] = bytes([g]) * (hi - lo)
+    for x0, y0, x1, y1, g in lines or ():
+        cx0, cy0 = dev(x0, y0)
+        cx1, cy1 = dev(x1, y1)
+        dx, dy = abs(cx1 - cx0), -abs(cy1 - cy0)
+        sx = 1 if cx0 < cx1 else -1
+        sy = 1 if cy0 < cy1 else -1
+        err = dx + dy
+        while True:
+            put(cx0, cy0, g)
+            if cx0 == cx1 and cy0 == cy1:
+                break
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                cx0 += sx
+            if e2 <= dx:
+                err += dx
+                cy0 += sy
+    for iw, ih, ipx, ctm in images or ():
+        if not iw or not ih or len(ipx) < iw * ih:
+            continue
+        a, b, c, d, e, f = ctm
+        # target rect corners (unit square through the CTM);
+        # axis-aligned stamp — rotated placements draw their bbox
+        xs = (e, a + e, c + e, a + c + e)
+        ys = (f, b + f, d + f, b + d + f)
+        tx0, ty1 = dev(min(xs), min(ys))
+        tx1, ty0 = dev(max(xs), max(ys))
+        tw, th = tx1 - tx0, ty1 - ty0
+        if tw <= 0 or th <= 0:
+            continue
+        for ty in range(max(0, ty0), min(H, ty0 + th)):
+            sy = min(ih - 1, (ty - ty0) * ih // th)
+            srow = sy * iw
+            row = ty * W
+            for tx in range(max(0, tx0), min(W, tx0 + tw)):
+                sxp = min(iw - 1, (tx - tx0) * iw // tw)
+                px[row + tx] = ipx[srow + sxp]
+    for gx, gy, text in glyph_runs or ():
+        cx0, cby = dev(gx, gy)
+        top = cby - GLYPH_H
+        for ci, ch in enumerate(text):
+            rows = glyph_rows(ch)
+            ox = cx0 + ci * CELL_W
+            for r, bits in enumerate(rows):
+                for col in range(GLYPH_W):
+                    if bits & (1 << (GLYPH_W - 1 - col)):
+                        put(ox + col, top + r, 0)
+    return W, H, px

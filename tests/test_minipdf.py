@@ -2008,3 +2008,97 @@ class TestDecodeParmsArrayAlignment:
         assert entry["ccitt_params"]["k"] == 0
         assert entry["ccitt_params"]["columns"] == w
         assert entry["pixels"] == px
+
+
+class TestLayoutText:
+    """Reading-order extraction (content_text_layout): positioning
+    state machine + XY-cut ordering + TJ kern word breaks."""
+
+    @staticmethod
+    def _lay(ops):
+        return minipdf.content_text_layout(b"\n".join(ops))
+
+    def test_two_column_reading_order(self):
+        ops = [b"BT", b"/F1 12 Tf"]
+        for x, y, s in [(72, 700, b"L1"), (300, 700, b"R1"),
+                        (72, 686, b"L2"), (300, 686, b"R2")]:
+            ops += [b"1 0 0 1 %d %d Tm" % (x, y), b"(" + s + b") Tj"]
+        ops.append(b"ET")
+        assert self._lay(ops) == "L1\nL2\nR1\nR2"
+        # stream order differs — that's the point
+        assert minipdf.content_text(b"\n".join(ops)) == "L1\nR1\nL2\nR2"
+
+    def test_out_of_order_and_td_relative_moves(self):
+        # Td/TD/T* compose on the LINE matrix; TD sets leading
+        ops = [b"BT", b"/F1 12 Tf",
+               b"1 0 0 1 72 700 Tm", b"(one) Tj",
+               b"0 -14 TD", b"(two) Tj",       # TD: leading := 14
+               b"T*", b"(three) Tj",            # T*: same advance
+               b"ET"]
+        assert self._lay(ops) == "one\ntwo\nthree"
+        # bottom-up stream comes out top-down
+        ops2 = [b"BT", b"/F1 12 Tf",
+                b"1 0 0 1 72 600 Tm", b"(bottom) Tj",
+                b"1 0 0 1 72 700 Tm", b"(top) Tj", b"ET"]
+        assert self._lay(ops2) == "top\nbottom"
+
+    def test_tj_kern_vs_word_gap(self):
+        ops = [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Td",
+               b"[(Wo) -40 (rld) -260 (peace)] TJ", b"ET"]
+        assert self._lay(ops) == "World peace"
+
+    def test_quote_ops_advance_lines(self):
+        ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"1 0 0 1 72 700 Tm",
+               b"(first) Tj",
+               b"(second) '",
+               b"2 0.2 (third) \"",
+               b"ET"]
+        assert self._lay(ops) == "first\nsecond\nthird"
+
+    def test_cm_and_q_Q_transform_positions(self):
+        # text placed via CTM translation; Q restores the origin
+        ops = [b"BT", b"/F1 12 Tf", b"ET",
+               b"q", b"1 0 0 1 0 -100 cm",
+               b"BT", b"1 0 0 1 72 700 Tm", b"(shifted down) Tj", b"ET",
+               b"Q",
+               b"BT", b"1 0 0 1 72 650 Tm", b"(stays mid) Tj", b"ET"]
+        # shifted lands at y=600 (<650), so 'stays mid' reads first
+        assert self._lay(ops) == "stays mid\nshifted down"
+
+    def test_spanning_title_before_columns(self):
+        ops = [b"BT", b"/F1 14 Tf", b"1 0 0 1 72 745 Tm",
+               b"(The Wide Spanning Title Of This Document Page) Tj",
+               b"/F1 12 Tf"]
+        for x, y, s in [(72, 700, b"L1"), (320, 700, b"R1"),
+                        (72, 686, b"L2"), (320, 686, b"R2")]:
+            ops += [b"1 0 0 1 %d %d Tm" % (x, y), b"(" + s + b") Tj"]
+        ops.append(b"ET")
+        assert self._lay(ops) == (
+            "The Wide Spanning Title Of This Document Page\nL1\nL2\nR1\nR2"
+        )
+
+    def test_same_line_runs_join_with_gap_space(self):
+        ops = [b"BT", b"/F1 12 Tf",
+               b"1 0 0 1 72 700 Tm", b"(left) Tj",
+               b"1 0 0 1 120 700 Tm", b"(right) Tj", b"ET"]
+        out = self._lay(ops)
+        assert out == "left right"
+
+    def test_layout_equals_stream_on_simple_docs(self):
+        for pages in (["alpha beta", "gamma"],
+                      ["x\ny\nz"], ["one line"]):
+            pdf = minipdf.build_pdf(pages, compress=True)
+            assert minipdf.extract_page_texts(pdf) == \
+                minipdf.extract_page_texts(pdf, layout=True)
+
+    def test_malformed_operands_are_skipped(self):
+        ops = [b"BT", b"/F1 12 Tf",
+               b"(oops) 3 Tm",            # wrong arity: skipped
+               b"1 0 0 1 72 700 Tm", b"(ok) Tj", b"ET"]
+        assert self._lay(ops) == "ok"
+
+    def test_cid_hex_strings_decode_in_layout(self):
+        from pdf2dataset_spark.queries.tier_a import _cid_pdf
+        pdf = _cid_pdf("Ünïcode vía CMap — ∑ligatures")
+        assert minipdf.extract_page_texts(pdf, layout=True) == \
+            ["Ünïcode vía CMap — ∑ligatures"]

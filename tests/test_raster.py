@@ -818,3 +818,90 @@ class TestLosslessJpeg:
             encode_jpeg_lossless(2, 2, [0, 1, 2, 256])  # out of range
         with _pytest.raises(ValueError):
             encode_jpeg_lossless(2, 2, [0] * 4, predictor=8)
+
+
+class TestCompositeRender:
+    """Composite page render (A6 fidelity): fills + strokes +
+    embedded-image placement + positioned text on one canvas."""
+
+    @staticmethod
+    def _composite_pdf():
+        from pdf2dataset_spark.sources import minipdf
+        from pdf2dataset_spark.sources.jpeg import encode_jpeg
+
+        iw, ih = 32, 24
+        ipx = bytes(((x * 8 + y) % 256) for y in range(ih) for x in range(iw))
+        return minipdf.build_pdf(
+            ["composite page text"],
+            images=[{"filter": "/DCTDecode", "width": iw, "height": ih,
+                     "data": encode_jpeg(iw, ih, ipx, quality=90)}],
+            extra_content=(
+                b"q 128 0 0 96 300 500 cm /Im0 Do Q\n"
+                b"0.5 g 72 100 200 50 re f\n"
+                b"0 G 72 80 m 540 80 l S"
+            ),
+        )
+
+    def test_content_draw_ops_geometry(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        content = (b"q 2 0 0 2 10 20 cm 0.5 g 5 5 20 10 re f Q\n"
+                   b"1 0 0 RG 0 0 m 50 50 l S\n"
+                   b"q 100 0 0 50 30 40 cm /ImX Do Q")
+        d = minipdf.content_draw_ops(content)
+        # rect through the 2x scale + translate CTM
+        assert d["fills"] == [(20.0, 30.0, 60.0, 50.0, 128)]
+        (x0, y0, x1, y1, g) = d["lines"][0]
+        assert (x0, y0, x1, y1) == (0.0, 0.0, 50.0, 50.0)
+        assert g == round(0.299 * 255)  # red luma
+        (name, ctm) = d["images"][0]
+        assert name == "/ImX" and ctm == (100.0, 0.0, 0.0, 50.0, 30.0, 40.0)
+
+    def test_composite_page_render_contents(self):
+        from pdf2dataset_spark.sources import raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(self._composite_pdf())
+        w, hh, px = raster.decode_png(codec.page_image(h, 1))
+        assert (w, hh) == (612, 792)  # MediaBox canvas
+        assert px[660 * 612 + 100] == 128          # rect fill band
+        assert px[712 * 612 + 300] == 0            # stroked line
+        # the gradient JPEG is stamped (not flat white)
+        assert len({px[250 * 612 + x] for x in range(310, 420)}) > 4
+        # glyph ink near the text baseline
+        assert any(px[r * 612 + c] == 0
+                   for r in range(60, 85) for c in range(70, 220))
+        # OCR still round-trips the text layer
+        assert codec.page_ocr(h, 1) == "composite page text"
+
+    def test_scan_of_itself_phash_matches(self):
+        """pHash(composite render) == pHash(scanned page whose
+        embedded image IS that render) — the A6 fidelity law."""
+        from pdf2dataset_spark.operators.image_hash import phash64
+        from pdf2dataset_spark.sources import minipdf, raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(self._composite_pdf())
+        render = codec.page_image(h, 1)
+        w, hh, px = raster.decode_png(render)
+        # a scanned page: no text layer, the render as raw samples
+        scan_pdf = minipdf.build_pdf(
+            [""],
+            images=[{"width": w, "height": hh, "data": bytes(px)}],
+        )
+        h2 = codec.open(scan_pdf)
+        scanned = codec.page_image(h2, 1)
+        d = bin(phash64(render) ^ phash64(scanned)).count("1")
+        assert d <= 2, f"phash hamming {d}"
+
+    def test_pure_text_pages_keep_grid_raster(self):
+        from pdf2dataset_spark.sources import minipdf, raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        pdf = minipdf.build_pdf(["plain text page"])
+        h = codec.open(pdf)
+        img = codec.page_image(h, 1)
+        assert img == raster.render_text_png("plain text page")
