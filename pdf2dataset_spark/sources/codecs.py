@@ -412,17 +412,16 @@ class PdfCodec(DocumentCodec):
             scan = self._scan_pixels(handle, page)
             if scan is not None:
                 # scanned page: pixel-OCR the DECODED EMBEDDED IMAGE.
-                # This really reads scans of the engine's own raster
-                # (even re-encoded lossily — threshold binarization
-                # recovers the bitmap); a foreign-font scan won't be
-                # cell-aligned and yields "" honestly — real scans
-                # need pytesseract, which takes the pytesseract branch
-                # above over the same decoded image.
+                # The flex matcher reads scans of the engine's own
+                # raster exactly (even re-encoded lossily or resized
+                # by an INTEGER zoom — threshold binarization +
+                # normalized cross-correlation at candidate scales
+                # recover the bitmap); foreign-font or fractional-
+                # rescale scans fail the per-page NCC honesty gate
+                # and yield "" — real scans need pytesseract, which
+                # takes the branch above over the same decoded image.
                 w, h, px = scan
-                try:
-                    return raster.ocr_gray(w, h, px)
-                except ValueError:
-                    return ""
+                return raster.ocr_gray_flex(w, h, px)
             # built-in pixel OCR of the built-in render (native-res)
             return raster.ocr_png(
                 raster.render_text_png(handle.pages[page - 1])

@@ -215,6 +215,128 @@ def ocr_gray(w: int, h: int, px, threshold: int = 128) -> str:
     return "\n".join(lines)
 
 
+def _ncc_binary(a: list[int], b: list[int]) -> float:
+    """Normalized cross-correlation of two equal-length 0/1 vectors
+    (1.0 = identical up to global intensity; 0 variance -> 0)."""
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    sab = sum(x & y for x, y in zip(a, b))
+    va = sa * n - sa * sa
+    vb = sb * n - sb * sb
+    if va <= 0 or vb <= 0:
+        return 0.0
+    return (sab * n - sa * sb) / (va * vb) ** 0.5
+
+
+_NCC_TEMPLATES: list[tuple[str, list[int]]] = []
+
+
+def _ncc_templates() -> list[tuple[str, list[int]]]:
+    if not _NCC_TEMPLATES:
+        for c in range(33, 127):  # space is the all-blank cell
+            ch = chr(c)
+            vec = []
+            for bits in glyph_rows(ch):
+                for col in range(GLYPH_W):
+                    vec.append((bits >> (GLYPH_W - 1 - col)) & 1)
+            _NCC_TEMPLATES.append((ch, vec))
+    return _NCC_TEMPLATES
+
+
+#: candidate re-rasterization scales tried when a scan is not
+#: cell-aligned: integer zooms plus the common fractional resizes.
+_OCR_SCALES = (2.0, 3.0, 4.0, 1.5, 0.5, 2.5, 1.25)
+
+#: per-cell NCC acceptance and page-level honesty thresholds
+_NCC_CELL_MIN = 0.82
+_NCC_PAGE_MIN = 0.75
+
+
+def ocr_gray_flex(w: int, h: int, px, threshold: int = 128) -> str:
+    """OCR that degrades gracefully on RE-RASTERIZED engine output:
+    the exact grid walk first; when the scan is not cell-aligned, try
+    the candidate zoom factors (a scan of the engine's raster resized
+    by another tool), block-resample back to native cell resolution,
+    and match every cell against the glyph table by NORMALIZED
+    CROSS-CORRELATION. A page is accepted only when >= 75% of its
+    non-blank cells score >= 0.82 — foreign-font scans fail that
+    honesty gate and return ``""`` instead of confabulated text."""
+    best: tuple[float, str] | None = None
+    if w and h and w % CELL_W == 0 and h % CELL_H == 0:
+        # cell-aligned at native scale — but an UPSCALED engine
+        # raster can be accidentally aligned too (2x of 90x20 is
+        # 180x40), so gate on the page score instead of trusting
+        # alignment alone
+        text, score = _ocr_ncc(w, h, px, threshold)
+        if score >= 0.999:
+            return text
+        if score >= _NCC_PAGE_MIN:
+            best = (score, text)
+    for s in _OCR_SCALES:
+        n_cols = w / (CELL_W * s)
+        n_rows = h / (CELL_H * s)
+        rc, rr = round(n_cols), round(n_rows)
+        if rc < 1 or rr < 1:
+            continue
+        if abs(n_cols - rc) > 0.02 * rc or abs(n_rows - rr) > 0.02 * rr:
+            continue
+        nw, nh = rc * CELL_W, rr * CELL_H
+        _, _, native = resize_nearest(w, h, px, nw, nh)
+        text, score = _ocr_ncc(nw, nh, native, threshold)
+        if score >= _NCC_PAGE_MIN and (best is None or score > best[0]):
+            best = (score, text)
+        if best and best[0] >= 0.999:
+            break
+    return best[1] if best else ""
+
+
+def _ocr_ncc(
+    w: int, h: int, px, threshold: int
+) -> tuple[str, float]:
+    """Tolerant grid walk: per-cell best-NCC glyph; returns the text
+    and the fraction of non-blank cells whose best match clears the
+    cell threshold (the page honesty score; 1.0 when no ink at all)."""
+    templates = _ncc_templates()
+    exact = _glyph_table()
+    lines = []
+    inked = accepted = 0
+    for li in range(h // CELL_H):
+        chars = []
+        for ci in range(w // CELL_W):
+            x0, y0 = ci * CELL_W, li * CELL_H
+            vec = []
+            rows = []
+            for r in range(GLYPH_H):
+                bits = 0
+                for col in range(GLYPH_W):
+                    v = 1 if px[(y0 + r) * w + x0 + col] < threshold else 0
+                    vec.append(v)
+                    bits = (bits << 1) | v
+                rows.append(bits)
+            if not any(vec):
+                chars.append(" ")
+                continue
+            inked += 1
+            ch = exact.get(tuple(rows))
+            if ch is not None:
+                accepted += 1
+                chars.append(ch)
+                continue
+            bs, bc = 0.0, "�"
+            for cand, tvec in templates:
+                sc = _ncc_binary(vec, tvec)
+                if sc > bs:
+                    bs, bc = sc, cand
+            if bs >= _NCC_CELL_MIN:
+                accepted += 1
+                chars.append(bc)
+            else:
+                chars.append("�")
+        lines.append("".join(chars).rstrip())
+    score = accepted / inked if inked else 1.0
+    return "\n".join(lines), score
+
+
 # ---------------------------------------------------------------------
 # composite page render (A6 fidelity): fills + lines + embedded
 # images + positioned text on one canvas

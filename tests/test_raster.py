@@ -905,3 +905,96 @@ class TestCompositeRender:
         h = codec.open(pdf)
         img = codec.page_image(h, 1)
         assert img == raster.render_text_png("plain text page")
+
+
+class TestFlexOcr:
+    """Multi-scale NCC OCR: integer re-rasterizations of the engine
+    raster recover exactly; foreign fonts / fractional rescales fail
+    the per-page honesty gate and return '' instead of confabulation."""
+
+    TEXT = "SCANNED PAGE 42\nsecond line"
+
+    def _native(self):
+        from pdf2dataset_spark.sources import raster
+
+        w, h, px = raster._rasterize(self.TEXT)
+        return w, h, bytes(px)
+
+    def test_native_and_integer_zooms_recover_exactly(self):
+        from pdf2dataset_spark.sources import raster
+
+        w, h, px = self._native()
+        assert raster.ocr_gray_flex(w, h, px) == self.TEXT
+        for s in (2, 3, 4):
+            w2, h2, p2 = raster.resize_nearest(w, h, px, w * s, h * s)
+            assert raster.ocr_gray_flex(w2, h2, p2) == self.TEXT, s
+
+    def test_accidentally_aligned_zoom_not_misread(self):
+        # 2x of 90x20 is 180x40 — still cell-aligned; the page-score
+        # gate must keep the exact grid walk from emitting garbage
+        from pdf2dataset_spark.sources import raster
+
+        w, h, px = self._native()
+        w2, h2, p2 = raster.resize_nearest(w, h, px, 2 * w, 2 * h)
+        assert w2 % raster.CELL_W == 0 and h2 % raster.CELL_H == 0
+        assert raster.ocr_gray_flex(w2, h2, p2) == self.TEXT
+
+    def test_foreign_font_and_noise_return_empty(self):
+        from pdf2dataset_spark.queries.tier_a import _foreign_font_scan
+        from pdf2dataset_spark.sources import raster
+
+        w, h, _ = self._native()
+        assert raster.ocr_gray_flex(
+            w, h, _foreign_font_scan(self.TEXT, w, h)
+        ) == ""
+        noise = bytes((i * 37 + 11) % 256 for i in range(13 * 7))
+        assert raster.ocr_gray_flex(13, 7, noise) == ""
+
+    def test_fractional_rescale_fails_honestly(self):
+        from pdf2dataset_spark.sources import raster
+
+        w, h, px = self._native()
+        w2, h2 = int(w * 1.5), int(h * 1.5)
+        _, _, p2 = raster.resize_nearest(w, h, px, w2, h2)
+        assert raster.ocr_gray_flex(w2, h2, p2) == ""
+
+    def test_ncc_binary_properties(self):
+        from pdf2dataset_spark.sources.raster import _ncc_binary
+
+        a = [1, 0, 1, 1, 0, 0, 1]
+        assert abs(_ncc_binary(a, a) - 1.0) < 1e-12
+        assert _ncc_binary(a, [1 - v for v in a]) < 0
+        assert _ncc_binary(a, [0] * 7) == 0.0  # zero variance
+
+
+class TestPytesseractDifferential:
+    """Real-OCR differential: wherever tesseract exists, the scan
+    route must hand the SAME decoded pixels to pytesseract and read
+    a real (foreign-font) scan the grid OCR cannot. Auto-skips when
+    pytesseract/PIL are absent (this sandbox)."""
+
+    def test_scan_route_uses_pytesseract_when_available(self):
+        import pytest
+
+        pytest.importorskip("pytesseract")
+        pytest.importorskip("PIL")
+        from pdf2dataset_spark.sources import minipdf, raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        # a scan the built-in grid OCR cannot read: render the text
+        # with PIL's default font (a genuinely foreign glyph set)
+        from PIL import Image, ImageDraw
+
+        img = Image.new("L", (400, 60), 255)
+        ImageDraw.Draw(img).text((10, 10), "HELLO WORLD 123", fill=0)
+        w, h = img.size
+        px = img.tobytes()
+        pdf = minipdf.build_pdf(
+            [""], images=[{"width": w, "height": h, "data": px}]
+        )
+        codec = PdfCodec()
+        handle = codec.open(pdf)
+        out = codec.page_ocr(handle, 1)
+        assert "HELLO" in out.upper()
+        # and the grid OCR alone would have returned '' honestly
+        assert raster.ocr_gray_flex(w, h, px) == ""
