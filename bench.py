@@ -58,6 +58,75 @@ def _cpu_seconds() -> float | None:
     except (OSError, ValueError, IndexError):
         return None
 
+def _reference_load(repo_root: str) -> tuple[int, float] | None:
+    """loadavg_start[0] of the most recent prior round's bench (the
+    driver wraps our stdout JSON into BENCH_r{N}.json's ``tail``) —
+    the comparison point for the quiet-window rule."""
+    import glob
+    import re
+
+    best: tuple[int, float] | None = None
+    for path in glob.glob(os.path.join(repo_root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                wrapper = json.load(f)
+        except (OSError, ValueError):
+            continue
+        tail = wrapper.get("tail", "") if isinstance(wrapper, dict) else ""
+        start = tail.rfind('{"metric"')
+        if start < 0:
+            continue
+        try:
+            inner = json.loads(tail[start:].strip())
+        except ValueError:
+            # the JSON line may be followed by trailing log noise
+            try:
+                inner = json.loads(tail[start:].splitlines()[0])
+            except ValueError:
+                continue
+        la = (inner.get("load") or {}).get("loadavg_start")
+        if isinstance(la, list) and la:
+            if best is None or rnd > best[0]:
+                best = (rnd, float(la[0]))
+    return best
+
+
+#: Quiet-window rule (round-5 verdict item 9): a run whose starting
+#: 1-min loadavg exceeds ~2x the comparison round's (with a 1.0
+#: absolute floor so near-idle references don't trip on trivia) first
+#: WAITS for the host to calm down (up to _QUIET_TRIES sleeps), then
+#: proceeds and stamps the JSON ``noisy: true`` so cross-round drift
+#: adjudications become a one-line read.
+_QUIET_TRIES = 3
+_QUIET_SLEEP_S = 20.0
+
+
+def _quiet_window() -> tuple[bool, dict]:
+    ref = _reference_load(os.path.dirname(os.path.abspath(__file__)))
+    info: dict = {"reference_round": ref[0] if ref else None,
+                  "reference_loadavg": ref[1] if ref else None}
+    if ref is None:
+        return False, info
+    threshold = max(2.0 * ref[1], 1.0)
+    info["threshold"] = round(threshold, 2)
+    waited = 0.0
+    for _ in range(_QUIET_TRIES):
+        la = _loadavg()
+        if la is None or la[0] <= threshold:
+            info["waited_sec"] = round(waited, 1)
+            return False, info
+        time.sleep(_QUIET_SLEEP_S)
+        waited += _QUIET_SLEEP_S
+    la = _loadavg()
+    info["waited_sec"] = round(waited, 1)
+    noisy = la is not None and la[0] > threshold
+    return noisy, info
+
+
 HEADLINE = [
     "c1_pricing_summary",
     "c3_count_distinct",
@@ -101,6 +170,7 @@ def main() -> None:
     # code footprint, broadcast-join queries now need ~4 runs to reach
     # JIT steady state (measured: d2 0.65→0.42→0.37→0.34→0.31 s), so
     # best-of-3 was reporting warm-up, not the plan.
+    noisy, quiet_info = _quiet_window()
     load_start = _loadavg()
     timings: dict[str, float] = {}
     wall_runs: dict[str, list[float]] = {}
@@ -136,6 +206,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "noisy": noisy,
                 "load": {
                     "n_runs": 5,
                     "loadavg_start": load_start,
@@ -143,6 +214,7 @@ def main() -> None:
                     "ncpus": os.cpu_count(),
                     "wall_runs": wall_runs,
                     "cpu_sec_best_run": cpu_best,
+                    "quiet_window": quiet_info,
                 },
             }
         )

@@ -117,3 +117,29 @@ def test_f41_twins_agree_on_multi_space_text(spark):
             assert gv == wv
     # doc 1 has 3 bigrams from the filtered stream (a b, b a, a b)
     assert got[0]["n_bigrams"] == 3
+
+
+class TestBenchQuietWindow:
+    """Round-6 bench protocol: the run compares its starting loadavg
+    to the most recent round's and stamps ``noisy`` accordingly."""
+
+    def test_reference_load_parses_prior_round(self):
+        import bench
+
+        ref = bench._reference_load("/root/repo")
+        assert ref is not None
+        rnd, la = ref
+        assert rnd >= 5 and la > 0
+
+    def test_quiet_window_reports_threshold(self):
+        import bench
+
+        noisy, info = bench._quiet_window()
+        assert isinstance(noisy, bool)
+        assert info["reference_round"] is not None
+        assert info["threshold"] == max(2.0 * info["reference_loadavg"], 1.0)
+
+    def test_reference_load_handles_missing_dir(self, tmp_path):
+        import bench
+
+        assert bench._reference_load(str(tmp_path)) is None
