@@ -926,6 +926,7 @@ def pq_train(
     corpus_vec: str = "embedding",
     normalize: bool = True,
     packed_dtype: str | None = None,
+    opq_seeds: int = 0,
 ) -> DataFrame:
     """Train PQ codebooks: per-subspace Lloyd k-means on a bounded,
     deterministic corpus sample (first `sample_rows` by id — one
@@ -937,6 +938,15 @@ def pq_train(
 
     `normalize=True` L2-normalizes training vectors so ADC inner products
     approximate cosine; use the same flag on encode/search.
+
+    ``opq_seeds > 0`` enables OPQ-style rotation: codebooks are trained
+    under the best of `opq_seeds` candidate orthogonal transforms
+    (identity + seeded random-QR matrices), picked by reconstruction
+    MSE on the training sample — never worse than plain PQ because the
+    identity is always a candidate. The winning rotation travels with
+    the codebooks as ``sub_id == -1`` rows; `pq_encode_fast`/`pq_topk`
+    apply it transparently (the exact JVM twin `pq_encode` rejects
+    rotated tables by name).
 
     Output schema matches `pq_codebooks`: (sub_id, code_id, code_vec)."""
     if dim % m:
@@ -957,12 +967,18 @@ def pq_train(
         )
     if normalize:
         x = x / _safe_norm(x)
-    out = []
-    for s in range(m):
-        c = _lloyd_subspace(x[:, s * dsub : (s + 1) * dsub], ksub, iters)
-        out.extend(
-            (int(s), int(j), c[j].tolist()) for j in range(ksub)
-        )
+    out: list[tuple] = []
+    if opq_seeds > 0:
+        rot, cbs, _mse = _train_rotated(x, dim, m, ksub, iters, opq_seeds)
+        out.extend(_rotation_rows(rot))
+        for s, c in enumerate(cbs):
+            out.extend((int(s), int(j), c[j].tolist()) for j in range(ksub))
+    else:
+        for s in range(m):
+            c = _lloyd_subspace(x[:, s * dsub : (s + 1) * dsub], ksub, iters)
+            out.extend(
+                (int(s), int(j), c[j].tolist()) for j in range(ksub)
+            )
     return corpus.sparkSession.createDataFrame(
         out, "sub_id int, code_id int, code_vec array<double>"
     )
@@ -991,6 +1007,11 @@ def pq_encode(
     interpreted folds, so at scale use `pq_encode_fast` (identical argmin
     up to float near-ties) and keep this one for oracle checks."""
     dsub = dim // m
+    if not codebooks.filter(F.col("sub_id") < 0).isEmpty():
+        raise ValueError(
+            "pq_encode (the exact JVM fold) does not support OPQ-rotated "
+            "codebooks — use pq_encode_fast, which applies the rotation"
+        )
     j = corpus.select(corpus_id, corpus_vec).crossJoin(F.broadcast(codebooks))
     sub = F.slice(F.col(corpus_vec), F.col("sub_id") * dsub + 1, F.lit(dsub))
     dist = F.aggregate(
@@ -1076,15 +1097,85 @@ def pq_topk_exact(
 
 def _codebook_matrix(codebooks: DataFrame, m: int, ksub: int, dsub: int):
     """Collect a codebook table into one (m, ksub, dsub) float64 array
-    (bounded by construction: m*ksub rows)."""
+    (bounded by construction: m*ksub rows). Rotation rows
+    (``sub_id == -1``, the OPQ transform) are skipped — extract them
+    with :func:`_pq_rotation`."""
     c = np.zeros((m, ksub, dsub), dtype=np.float64)
     seen = np.zeros((m, ksub), dtype=bool)
     for r in codebooks.collect():
+        if r["sub_id"] < 0:
+            continue
         c[r["sub_id"], r["code_id"]] = r["code_vec"]
         seen[r["sub_id"], r["code_id"]] = True
     if not seen.all():
         raise ValueError("codebook table is missing (sub_id, code_id) rows")
     return c
+
+
+def _pq_rotation(codebooks: DataFrame, dim: int) -> np.ndarray | None:
+    """The OPQ rotation stored in a codebook table (rows with
+    ``sub_id == -1``: code_id = row index, code_vec = that row of R),
+    or None when the table was trained without ``opq_seeds``."""
+    rows = codebooks.filter(F.col("sub_id") < 0).collect()
+    if not rows:
+        return None
+    r = np.zeros((dim, dim), dtype=np.float64)
+    seen = np.zeros(dim, dtype=bool)
+    for row in rows:
+        r[row["code_id"]] = row["code_vec"]
+        seen[row["code_id"]] = True
+    if not seen.all():
+        raise ValueError("rotation rows are incomplete")
+    return r
+
+
+def _opq_candidates(dim: int, opq_seeds: int) -> list[np.ndarray]:
+    """Candidate rotations: the identity first (so OPQ can never be
+    worse than plain PQ — selection is by measured quantization MSE),
+    then ``opq_seeds - 1`` deterministic random-orthogonal matrices
+    (QR of seeded Gaussians, sign-fixed for uniqueness)."""
+    cands = [np.eye(dim)]
+    for s in range(1, opq_seeds):
+        g = np.random.default_rng(1000 + s).standard_normal((dim, dim))
+        q, r = np.linalg.qr(g)
+        q = q * np.sign(np.diag(r))[None, :]
+        cands.append(q)
+    return cands
+
+
+def _train_rotated(
+    x: np.ndarray, dim: int, m: int, ksub: int, iters: int, opq_seeds: int
+) -> tuple[np.ndarray | None, list[np.ndarray], float]:
+    """Train per-subspace codebooks under the best of ``opq_seeds``
+    candidate rotations (OPQ-style: pick by reconstruction MSE on the
+    training sample). Returns (rotation | None, per-subspace codebook
+    list, winning MSE)."""
+    dsub = dim // m
+    best: tuple[float, np.ndarray | None, list[np.ndarray]] | None = None
+    for ci, rot in enumerate(_opq_candidates(dim, max(1, opq_seeds))):
+        xr = x if ci == 0 else x @ rot
+        cbs = []
+        mse = 0.0
+        for s in range(m):
+            xs = xr[:, s * dsub : (s + 1) * dsub]
+            c = _lloyd_subspace(xs, ksub, iters)
+            d = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            mse += float(np.maximum(d.min(axis=1), 0.0).mean())
+            cbs.append(c)
+        if best is None or mse < best[0]:
+            best = (mse, None if ci == 0 else rot, cbs)
+    assert best is not None
+    return best[1], best[2], best[0]
+
+
+def _rotation_rows(rot: np.ndarray | None) -> list[tuple[int, int, list]]:
+    if rot is None:
+        return []
+    return [(-1, int(i), rot[i].tolist()) for i in range(rot.shape[0])]
 
 
 def pq_encode_fast(
@@ -1112,6 +1203,7 @@ def pq_encode_fast(
     with `pq_encode`'s struct-min up to float near-ties."""
     dsub = dim // m
     cmat = _codebook_matrix(codebooks, m, ksub, dsub)
+    rot = _pq_rotation(codebooks, dim)
     c_sq = (cmat * cmat).sum(axis=2)  # (m, ksub)
     id_type = dict(corpus.dtypes)[corpus_id]
 
@@ -1124,6 +1216,8 @@ def pq_encode_fast(
             v = _batch_matrix(pdf[corpus_vec], packed_dtype, dim)
             if normalize:
                 v = v / _safe_norm(v)
+            if rot is not None:
+                v = v @ rot
             codes = np.empty((len(v), m), dtype=np.uint8)
             for s in range(m):
                 xs = v[:, s * dsub : (s + 1) * dsub]
@@ -1176,11 +1270,16 @@ def pq_topk(
     (query_id, vec_id, approx_score, rank)."""
     dsub = dim // m
     cmat = _codebook_matrix(codebooks, m, ksub, dsub)
+    rot = _pq_rotation(codebooks, dim)
     q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     if normalize:
         q_mat = q_mat / _safe_norm(q_mat)
+    if rot is not None:
+        # q.(x@R) in rotated code space == (q@R).(x@R) since R is
+        # orthogonal — rotate the query side once, LUT as usual
+        q_mat = q_mat @ rot
     nq = len(q_ids)
     # (nq, m, ksub) LUT flattened per query for one-gather scoring
     lut = np.empty((nq, m * ksub), dtype=np.float64)
@@ -1296,12 +1395,17 @@ def ivfpq_build(
     corpus_vec: str = "embedding",
     normalize: bool = True,
     packed_dtype: str | None = None,
+    opq_seeds: int = 0,
 ):
     """Build an IVF+PQ index: assign every vector to its nearest
     centroid (cosine, normalized centroid matrix via closure capture),
     train per-subspace codebooks on RESIDUAL vectors from a bounded
     deterministic sample, then encode every vector's residual to m
-    uint8 codes.
+    uint8 codes. ``opq_seeds > 0`` trains under the MSE-best of that
+    many candidate orthogonal transforms of the residual space
+    (identity always included, so never worse); the rotation rides in
+    the codebooks as ``sub_id == -1`` rows and `ivfpq_topk` applies it
+    to the query residual LUT transparently.
 
     Returns ``(index_df, codebooks_df)``: index is
     (id, list_id, pq_code binary) — m+8ish bytes/vector, the whole
@@ -1333,10 +1437,21 @@ def ivfpq_build(
     if normalize:
         x = x / _safe_norm(x)
     res = x - c_norm[np.argmax(x @ c_norm.T, axis=1)]
-    cb_rows = []
-    for s in range(m):
-        c = _lloyd_subspace(res[:, s * dsub : (s + 1) * dsub], ksub, iters)
-        cb_rows.extend((int(s), int(j), c[j].tolist()) for j in range(ksub))
+    cb_rows: list[tuple] = []
+    if opq_seeds > 0:
+        rot, cbs, _mse = _train_rotated(res, dim, m, ksub, iters, opq_seeds)
+        cb_rows.extend(_rotation_rows(rot))
+        for s, c in enumerate(cbs):
+            cb_rows.extend(
+                (int(s), int(j), c[j].tolist()) for j in range(ksub)
+            )
+    else:
+        rot = None
+        for s in range(m):
+            c = _lloyd_subspace(res[:, s * dsub : (s + 1) * dsub], ksub, iters)
+            cb_rows.extend(
+                (int(s), int(j), c[j].tolist()) for j in range(ksub)
+            )
     codebooks = corpus.sparkSession.createDataFrame(
         cb_rows, "sub_id int, code_id int, code_vec array<double>"
     )
@@ -1355,6 +1470,8 @@ def ivfpq_build(
                 v = v / _safe_norm(v)
             assign = np.argmax(v @ c_norm.T, axis=1)
             r = v - c_norm[assign]
+            if rot is not None:
+                r = r @ rot
             codes = np.empty((len(v), m), dtype=np.uint8)
             for s in range(m):
                 xs = r[:, s * dsub : (s + 1) * dsub]
@@ -1411,6 +1528,7 @@ def ivfpq_topk(
     c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     c_norm = c_mat / _safe_norm(c_mat)
     cmat = _codebook_matrix(codebooks, m, ksub, dsub)
+    rot = _pq_rotation(codebooks, dim)
 
     q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
@@ -1421,10 +1539,14 @@ def ivfpq_topk(
     consts = q_mat @ c_norm.T  # (nq, C): per-list scalar term
     order = np.argsort(-consts, axis=1)[:, :nprobe]
     probed = c_ids[order]  # (nq, nprobe) probed list ids
+    # residual codes live in the (optionally OPQ-rotated) residual
+    # space: q.res == (q@R).(res@R), so only the LUT side rotates —
+    # the q.centroid scalar term stays in the original space
+    q_lut = q_mat @ rot if rot is not None else q_mat
     lut = np.empty((nq, m * ksub), dtype=np.float64)
     for s in range(m):
         lut[:, s * ksub : (s + 1) * ksub] = (
-            q_mat[:, s * dsub : (s + 1) * dsub] @ cmat[s].T
+            q_lut[:, s * dsub : (s + 1) * dsub] @ cmat[s].T
         )
     offs = (np.arange(m) * ksub).astype(np.int64)
     # list_id -> centroid row for the scalar term

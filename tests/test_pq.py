@@ -330,3 +330,80 @@ def test_pq_encode_packed_input_matches_array_input(corpus):
         ).collect()
     }
     assert a == b
+
+
+class TestOPQ:
+    """OPQ-style rotation (round 6): codebooks trained under the
+    MSE-best of k candidate orthogonal transforms (identity always a
+    candidate), stored as sub_id == -1 rows, applied transparently on
+    the fast encode/search paths."""
+
+    def test_candidates_are_orthogonal_and_deterministic(self):
+        c1 = sim._opq_candidates(16, 4)
+        c2 = sim._opq_candidates(16, 4)
+        assert len(c1) == 4
+        for a, b in zip(c1, c2):
+            assert np.array_equal(a, b)  # deterministic
+            assert np.allclose(a @ a.T, np.eye(16), atol=1e-10)
+        assert np.array_equal(c1[0], np.eye(16))
+
+    def test_rotation_never_worse_than_identity(self):
+        # anisotropic sample: pairs of dims correlated ACROSS the
+        # subspace split, the case plain PQ quantizes badly
+        rng = np.random.default_rng(3)
+        dim, m, ksub = 8, 4, 16
+        z = rng.standard_normal((4096, dim // 2))
+        x = np.concatenate([z, z * 0.9], axis=1)  # dim i ~ dim i+4
+        _, _, mse_id = sim._train_rotated(x, dim, m, ksub, 5, 1)
+        rot, _, mse_opq = sim._train_rotated(x, dim, m, ksub, 5, 6)
+        assert mse_opq <= mse_id + 1e-12
+
+    def test_rotation_rows_round_trip(self, spark, corpus):
+        cb = sim.pq_train(
+            corpus, dim=DIM, m=4, ksub=8, iters=2, opq_seeds=3
+        )
+        r = sim._pq_rotation(cb, DIM)
+        if r is not None:  # identity winner stores no rows
+            assert np.allclose(r @ r.T, np.eye(DIM), atol=1e-10)
+        # the matrix extractor skips rotation rows
+        cm = sim._codebook_matrix(cb, 4, 8, DIM // 4)
+        assert cm.shape == (4, 8, DIM // 4)
+
+    def test_pq_encode_rejects_rotated_codebooks(self, corpus):
+        cb = sim.pq_train(
+            corpus, dim=DIM, m=4, ksub=8, iters=2, opq_seeds=4
+        )
+        if sim._pq_rotation(cb, DIM) is None:
+            pytest.skip("identity won on this sample — nothing to reject")
+        with pytest.raises(ValueError, match="OPQ"):
+            sim.pq_encode(corpus, cb, dim=DIM, m=4)
+
+    def test_duplicate_retrieval_law_survives_rotation(self, spark, corpus):
+        # identical vectors -> identical rotated residuals -> identical
+        # codes -> a planted duplicate always ties its original
+        dup = corpus.filter(F.col("vec_id") < 4).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        both = corpus.unionByName(dup)
+        cents = sim.ivf_centroids_kmeans(both, n_centroids=4, iters=2)
+        idx, cb = sim.ivfpq_build(
+            both, cents, dim=DIM, m=4, ksub=8, iters=3, opq_seeds=4
+        )
+        q = corpus.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = sim.ivfpq_topk(
+            idx, cents, cb, q, dim=DIM, m=4, ksub=8, nprobe=4, k=5,
+            exclude_self=True,
+        ).collect()
+        found = {r.query_id for r in top if r.vec_id == r.query_id + 100000}
+        assert found == {0, 1, 2, 3}
+        # and with plain PQ codes through pq_topk as well
+        pcb = sim.pq_train(both, dim=DIM, m=4, ksub=8, iters=3, opq_seeds=4)
+        codes = sim.pq_encode_fast(both, pcb, dim=DIM, m=4, ksub=8)
+        ptop = sim.pq_topk(
+            codes, pcb, q, dim=DIM, m=4, ksub=8, k=5, exclude_self=True
+        ).collect()
+        pfound = {r.query_id for r in ptop if r.vec_id == r.query_id + 100000}
+        assert pfound == {0, 1, 2, 3}

@@ -151,7 +151,24 @@ def main() -> None:
     # of corpus vectors (margin >> distortion) and the metric is whether
     # the source partner is retrieved — the semantic-dedup workload.
     # ------------------------------------------------------------------
-    PQ_M, PQ_KSUB, SHORTLIST = 16, 256, 1000
+    PQ_M, PQ_KSUB = 16, 256
+    # Re-rank shortlist sized to the PROBED-REGION DENSITY, not a
+    # constant: the round-6 miss diagnosis at 1M showed every probe's
+    # partner list probed (probe recall 1.0) but partner ADC ranks up
+    # to ~1800 among the ~125k near-identical probed candidates — a
+    # fixed 1000 shortlist truncated exactly those. 2% of the probed
+    # candidate count keeps rerank cost a constant FRACTION of the ADC
+    # scan (corpus-size-independent per probed row) and covers the
+    # observed rank tail with ~1.4x margin.
+    SHORTLIST = max(1000, (n * NPROBE // N_CENTROIDS) // 50)
+    # OPQ random-rotation search (sim.pq_train/ivfpq_build opq_seeds=)
+    # was MEASURED here and stays OFF for this corpus: it reduces
+    # training-sample MSE (its selection metric) but DEGRADED partner
+    # retrieval on clustered data (plain-PQ rerank 1.0 -> 0.85 at
+    # 100k) — subspace mixing destroys the cluster-aligned code
+    # structure retrieval relies on. The option remains for genuinely
+    # anisotropic corpora, with its laws pinned in tests/test_pq.py.
+    OPQ_SEEDS = 0
     probe_pert = F.array(
         *[
             (
@@ -185,6 +202,7 @@ def main() -> None:
     pq_cb = sim.pq_train(
         packed, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4, sample_rows=65_536,
         corpus_vec="embedding_bin", packed_dtype="float32",
+        opq_seeds=OPQ_SEEDS,
     ).persist()
     pq_cb.count()
     pq_train_s = time.perf_counter() - t0
@@ -223,6 +241,7 @@ def main() -> None:
     ivfpq_idx, ivfpq_cb = sim.ivfpq_build(
         packed, ivfpq_cents, dim=DIM, m=PQ_M, ksub=PQ_KSUB, iters=4,
         corpus_vec="embedding_bin", packed_dtype="float32",
+        opq_seeds=OPQ_SEEDS,
     )
     ivfpq_idx = ivfpq_idx.persist()
     ivfpq_idx.count()
@@ -296,6 +315,7 @@ def main() -> None:
                 "pq_ksub": PQ_KSUB,
                 "pq_code_bytes_per_vec": PQ_M,
                 "pq_shortlist": SHORTLIST,
+                "opq_seeds": OPQ_SEEDS,
                 "pq_train_s": round(pq_train_s, 2),
                 "pq_encode_s": round(pq_encode_s, 2),
                 "pq_query_s": round(pq_query_s, 2),

@@ -35,3 +35,6 @@ fi
 
 echo "== at-scale invariant checks (5-10M rows) =="
 python tools/scale_check.py
+
+echo "== memory-pressure spill law (10M rows, 1GiB executors) =="
+python tools/spill_check.py
