@@ -2102,3 +2102,52 @@ class TestLayoutText:
         pdf = _cid_pdf("Ünïcode vía CMap — ∑ligatures")
         assert minipdf.extract_page_texts(pdf, layout=True) == \
             ["Ünïcode vía CMap — ∑ligatures"]
+
+
+class TestLayoutFuzz:
+    """content_text_layout shares extraction's error contract: on
+    mutated/truncated content streams it either succeeds or raises a
+    ValueError-family error — never an unexpected exception, never a
+    hang — and mutations must not desync it from content_text's
+    contract (both run over every case)."""
+
+    def test_mutated_content_streams(self):
+        import random
+        import struct
+        import time
+
+        rng = random.Random(606)
+        base_ops = [
+            b"BT", b"/F1 12 Tf", b"14 TL", b"1 0 0 1 72 700 Tm",
+            b"(hello world) Tj", b"0 -14 Td",
+            b"[(kerned) -250 (text) 40 (runs)] TJ",
+            b"(quoted line) '", b"1.5 0.2 (double quoted) \"",
+            b"ET", b"q", b"2 0 0 2 10 20 cm",
+            b"0.5 g", b"5 5 20 10 re f",
+            b"0 0 m 50 50 l S", b"/ImX Do", b"Q",
+            b"BT", b"1 0 0 1 300 700 Tm", b"(second column) Tj", b"ET",
+        ]
+        base = b"\n".join(base_ops)
+        for _ in range(120):
+            b = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                b = b[: rng.randrange(1, len(b))]
+            else:
+                at = rng.randrange(len(b))
+                b[at:at] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 12))
+                )
+            data = bytes(b)
+            for fn in (minipdf.content_text_layout, minipdf.content_text,
+                       minipdf.content_draw_ops):
+                t0 = time.monotonic()
+                try:
+                    fn(data)
+                except (ValueError, IndexError, KeyError, struct.error,
+                        OverflowError):
+                    pass
+                assert time.monotonic() - t0 < 10.0
