@@ -1095,27 +1095,43 @@ def pq_topk_exact(
     )
 
 
-def _codebook_matrix(codebooks: DataFrame, m: int, ksub: int, dsub: int):
-    """Collect a codebook table into one (m, ksub, dsub) float64 array
-    (bounded by construction: m*ksub rows). Rotation rows
-    (``sub_id == -1``, the OPQ transform) are skipped — extract them
-    with :func:`_pq_rotation`."""
+def _codebook_state(
+    codebooks: DataFrame, m: int, ksub: int, dsub: int, dim: int
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """ONE collect of a codebook table (bounded by construction:
+    m*ksub + at most dim rows) split into the (m, ksub, dsub)
+    codebook array and the optional OPQ rotation (rows with
+    ``sub_id == -1``: code_id = row index, code_vec = that row of
+    R) — a single Spark job even on the opq-free default path."""
     c = np.zeros((m, ksub, dsub), dtype=np.float64)
     seen = np.zeros((m, ksub), dtype=bool)
+    rot_rows: dict[int, list] = {}
     for r in codebooks.collect():
         if r["sub_id"] < 0:
+            rot_rows[r["code_id"]] = r["code_vec"]
             continue
         c[r["sub_id"], r["code_id"]] = r["code_vec"]
         seen[r["sub_id"], r["code_id"]] = True
     if not seen.all():
         raise ValueError("codebook table is missing (sub_id, code_id) rows")
-    return c
+    if not rot_rows:
+        return c, None
+    if sorted(rot_rows) != list(range(dim)):
+        raise ValueError("rotation rows are incomplete")
+    rot = np.array([rot_rows[i] for i in range(dim)], dtype=np.float64)
+    return c, rot
+
+
+def _codebook_matrix(codebooks: DataFrame, m: int, ksub: int, dsub: int):
+    """Codebook array alone (rotation rows skipped) — kept for
+    callers that train the codebooks themselves."""
+    return _codebook_state(codebooks, m, ksub, dsub, dsub * m)[0]
 
 
 def _pq_rotation(codebooks: DataFrame, dim: int) -> np.ndarray | None:
-    """The OPQ rotation stored in a codebook table (rows with
-    ``sub_id == -1``: code_id = row index, code_vec = that row of R),
-    or None when the table was trained without ``opq_seeds``."""
+    """The OPQ rotation stored in a codebook table, or None. Prefer
+    :func:`_codebook_state` where the codebooks are also needed —
+    this spends its own collect job."""
     rows = codebooks.filter(F.col("sub_id") < 0).collect()
     if not rows:
         return None
@@ -1202,8 +1218,7 @@ def pq_encode_fast(
     Ties argmin to the lowest code_id (np.argmin first-match), agreeing
     with `pq_encode`'s struct-min up to float near-ties."""
     dsub = dim // m
-    cmat = _codebook_matrix(codebooks, m, ksub, dsub)
-    rot = _pq_rotation(codebooks, dim)
+    cmat, rot = _codebook_state(codebooks, m, ksub, dsub, dim)
     c_sq = (cmat * cmat).sum(axis=2)  # (m, ksub)
     id_type = dict(corpus.dtypes)[corpus_id]
 
@@ -1269,8 +1284,7 @@ def pq_topk(
     (m, ksub) and retraining, not corpus size. Output:
     (query_id, vec_id, approx_score, rank)."""
     dsub = dim // m
-    cmat = _codebook_matrix(codebooks, m, ksub, dsub)
-    rot = _pq_rotation(codebooks, dim)
+    cmat, rot = _codebook_state(codebooks, m, ksub, dsub, dim)
     q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -1527,8 +1541,7 @@ def ivfpq_topk(
     c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     c_norm = c_mat / _safe_norm(c_mat)
-    cmat = _codebook_matrix(codebooks, m, ksub, dsub)
-    rot = _pq_rotation(codebooks, dim)
+    cmat, rot = _codebook_state(codebooks, m, ksub, dsub, dim)
 
     q_rows = _collect_query_side(queries, query_id, query_vec, max_query_rows)
     q_ids = np.array([r[0] for r in q_rows])

@@ -95,6 +95,11 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a25_jbig2_scan_extract",
     "a6_page_render_ocr",
     "f40_image_phash_neardup",
+    # round 6 — similarity.py OPQ plumbing touches the PQ code paths
+    # (pq_encode reject, _codebook_state single-collect,
+    # ivfpq_build/ivfpq_topk rotation branches)
+    "f5d_pq_adc_topk",
+    "f5e_ivfpq_topk",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

@@ -264,10 +264,12 @@ class PdfCodec(DocumentCodec):
             draw = minipdf.content_draw_ops(content)
         except (ValueError, KeyError):
             return None
-        if not (draw["fills"] or draw["lines"] or draw["images"]):
-            return None
+        x0, y0, x1, y1 = minipdf.page_media_box(doc, pg)
         placed: list[tuple] = []
         if draw["images"]:
+            # resolve Do targets against the page's IMAGE XObjects:
+            # /Form XObject invocations (logos/letterheads on ordinary
+            # text pages) must NOT flip the page off the grid raster
             entries = {
                 e.get("name"): e
                 for e in doc.page_images(pg, decode_pixels=True)
@@ -276,14 +278,23 @@ class PdfCodec(DocumentCodec):
                 e = entries.get(name)
                 gray = self._entry_gray(e) if e else None
                 if gray is not None:
-                    placed.append((gray[0], gray[1], gray[2], ctm))
+                    # translate the placement into MediaBox-origin
+                    # space (same shift the glyph runs get)
+                    a, b, c, d, te, tf = ctm
+                    placed.append(
+                        (gray[0], gray[1], gray[2],
+                         (a, b, c, d, te - x0, tf - y0))
+                    )
+        if not (draw["fills"] or draw["lines"] or placed):
+            return None
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
-        x0, y0, x1, y1 = minipdf.page_media_box(doc, pg)
         w, h, px = raster.compose_page(
             x1 - x0,
             y1 - y0,
-            fills=draw["fills"],
-            lines=draw["lines"],
+            fills=[(fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0, g)
+                   for fx0, fy0, fx1, fy1, g in draw["fills"]],
+            lines=[(lx0 - x0, ly0 - y0, lx1 - x0, ly1 - y0, g)
+                   for lx0, ly0, lx1, ly1, g in draw["lines"]],
             images=placed,
             glyph_runs=[(r["x"] - x0, r["y"] - y0, r["text"]) for r in runs],
         )
@@ -375,28 +386,10 @@ class PdfCodec(DocumentCodec):
             handle.doc.pages()[page - 1], decode_pixels=True
         )
         for e in entries:
-            px = e.get("pixels")
-            w, h = e.get("width"), e.get("height")
-            if px is None or not w or not h:
-                continue
-            if len(px) == w * h:
-                px = bytes(px)
-            elif len(px) == 3 * w * h:  # RGB → BT.601 luma
-                import numpy as np
-
-                rgb = (
-                    np.frombuffer(bytes(px), np.uint8)
-                    .reshape(h, w, 3)
-                    .astype(np.float64)
-                )
-                y = (
-                    0.299 * rgb[..., 0]
-                    + 0.587 * rgb[..., 1]
-                    + 0.114 * rgb[..., 2]
-                )
-                px = np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
-            else:
-                continue  # sub-byte / palette payloads: skip
+            gray = self._entry_gray(e)
+            if gray is None:
+                continue  # undecodable / sub-byte payloads: skip
+            w, h, px = gray
             if best is None or w * h > best[0] * best[1]:
                 best = (w, h, px)
         handle.scan_cache[page] = best

@@ -366,11 +366,15 @@ def _parms_for_filter(
             cand = resolve(parms[idx])
             if isinstance(cand, dict):
                 return cand
+    # fallback: first dict carrying a matching key that is NOT some
+    # other filter's parms — a Flate/LZW /Predictor dict also carries
+    # /Columns, so it must never be adopted for CCITT
     return next(
         (
             resolve(p)
             for p in parms
             if isinstance(resolve(p), dict)
+            and "/Predictor" not in resolve(p)
             and any(k in resolve(p) for k in fallback_keys)
         ),
         {},

@@ -251,6 +251,11 @@ _OCR_SCALES = (2.0, 3.0, 4.0, 1.5, 0.5, 2.5, 1.25)
 _NCC_CELL_MIN = 0.82
 _NCC_PAGE_MIN = 0.75
 
+#: NCC work cap per candidate scale (cells x 94 templates x 35 px
+#: stays a sub-second pure-Python pass); engine renders are far
+#: smaller, foreign mega-scans skip to '' without grinding
+_MAX_OCR_CELLS = 20_000
+
 
 def ocr_gray_flex(w: int, h: int, px, threshold: int = 128) -> str:
     """OCR that degrades gracefully on RE-RASTERIZED engine output:
@@ -263,23 +268,38 @@ def ocr_gray_flex(w: int, h: int, px, threshold: int = 128) -> str:
     honesty gate and return ``""`` instead of confabulated text."""
     best: tuple[float, str] | None = None
     if w and h and w % CELL_W == 0 and h % CELL_H == 0:
-        # cell-aligned at native scale — but an UPSCALED engine
-        # raster can be accidentally aligned too (2x of 90x20 is
-        # 180x40), so gate on the page score instead of trusting
-        # alignment alone
-        text, score = _ocr_ncc(w, h, px, threshold)
-        if score >= 0.999:
-            return text
-        if score >= _NCC_PAGE_MIN:
-            best = (score, text)
+        # cell-aligned at native scale: the exact dict-lookup walk is
+        # cheap at ANY size — trust it only when every inked cell
+        # matched (an UPSCALED engine raster can be accidentally
+        # aligned too: 2x of 90x20 is 180x40, and its exact walk
+        # yields replacement chars, not silent garbage)
+        exact_text = ocr_gray(w, h, px, threshold)
+        if "�" not in exact_text:
+            return exact_text
+        if (w // CELL_W) * (h // CELL_H) <= _MAX_OCR_CELLS:
+            text, score = _ocr_ncc(w, h, px, threshold)
+            if score >= 0.999:
+                return text
+            if score >= _NCC_PAGE_MIN:
+                best = (score, text)
     for s in _OCR_SCALES:
         n_cols = w / (CELL_W * s)
         n_rows = h / (CELL_H * s)
         rc, rr = round(n_cols), round(n_rows)
         if rc < 1 or rr < 1:
             continue
-        if abs(n_cols - rc) > 0.02 * rc or abs(n_rows - rr) > 0.02 * rr:
+        # ABSOLUTE tolerance (<= ~2 px of the input), not relative to
+        # the column count: a 2550x3300 real-world 300-dpi scan must
+        # be rejected in O(1), not grind the pure-Python NCC pass at
+        # all seven scales only to return '' (a 2% relative slack
+        # admitted every scale on any large image)
+        if (
+            abs(w - rc * CELL_W * s) > max(2.0, s)
+            or abs(h - rr * CELL_H * s) > max(2.0, s)
+        ):
             continue
+        if rc * rr > _MAX_OCR_CELLS:
+            continue  # work cap: foreign gigapixel scans stay O(1)
         nw, nh = rc * CELL_W, rr * CELL_H
         _, _, native = resize_nearest(w, h, px, nw, nh)
         text, score = _ocr_ncc(nw, nh, native, threshold)
@@ -342,6 +362,12 @@ def _ocr_ncc(
 # images + positioned text on one canvas
 # ---------------------------------------------------------------------
 
+#: Canvas budget (2^26 px = 64 MB gray): covers A0 at 200 dpi with
+#: headroom; a crafted /MediaBox clamps the render scale down rather
+#: than allocating unbounded memory.
+_MAX_CANVAS_PIXELS = 1 << 26
+
+
 def compose_page(
     page_w: float,
     page_h: float,
@@ -366,7 +392,17 @@ def compose_page(
       the built-in 5x7 table at native size.
 
     PDF y grows UP; the canvas row 0 is the page TOP.
+
+    The canvas is budgeted (``_MAX_CANVAS_PIXELS``): a hostile
+    /MediaBox cannot force an unbounded allocation — the scale clamps
+    down proportionally instead (deterministic degraded resolution),
+    the same crafted-header posture as the codec pixel bounds.
     """
+    if page_w <= 0 or page_h <= 0:
+        raise ValueError(f"invalid page geometry {page_w}x{page_h}")
+    area = page_w * page_h * scale * scale
+    if area > _MAX_CANVAS_PIXELS:
+        scale = scale * (_MAX_CANVAS_PIXELS / area) ** 0.5
     W = max(1, int(round(page_w * scale)))
     H = max(1, int(round(page_h * scale)))
     px = bytearray(b"\xff" * (W * H))

@@ -1973,6 +1973,18 @@ class TestDecodeParmsArrayAlignment:
             sdict, ident, "/CCITTFaxDecode", ("/K", "/EncodedByteAlign")
         ) == {"/EncodedByteAlign": True}
 
+    def test_fallback_never_adopts_predictor_dict(self):
+        ident = lambda x: x
+        sdict = {
+            "/Filter": ["/FlateDecode", "/CCITTFaxDecode"],
+            "/DecodeParms": [{"/Predictor": 12, "/Columns": 8}],
+        }
+        # index 1 out of range; the Flate predictor dict carries
+        # /Columns but must NOT be adopted for CCITT
+        assert minipdf._parms_for_filter(
+            sdict, ident, "/CCITTFaxDecode", ("/K", "/Columns")
+        ) == {}
+
     def test_page_images_kless_parms_array(self):
         from pdf2dataset_spark.sources import ccitt
 

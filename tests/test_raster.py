@@ -998,3 +998,77 @@ class TestPytesseractDifferential:
         assert "HELLO" in out.upper()
         # and the grid OCR alone would have returned '' honestly
         assert raster.ocr_gray_flex(w, h, px) == ""
+
+
+class TestCompositeReviewFixes:
+    """Round-6 review regressions: the composite gate, MediaBox
+    origins, and the canvas budget."""
+
+    def test_form_xobject_do_keeps_grid_raster(self):
+        # a text page invoking a /Form XObject (letterhead shape)
+        # must NOT flip to the composite canvas
+        from pdf2dataset_spark.sources import minipdf, raster
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        form = b"0 0 m 10 10 l S"
+        pdf = minipdf._Raw if hasattr(minipdf, "_Raw") else None
+        body = (b"BT /F1 12 Tf 72 720 Td (text with form) Tj ET\n"
+                b"q /Fm0 Do Q")
+        doc = b"%PDF-1.5\n"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /XObject << /Fm0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(body)).encode() + b" >>\nstream\n"
+            + body + b"\nendstream",
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] /Length "
+            + str(len(form)).encode() + b" >>\nstream\n" + form
+            + b"\nendstream",
+        ]
+        buf = bytearray(doc)
+        for i, o in enumerate(objs, start=1):
+            buf += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+        buf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        codec = PdfCodec()
+        h = codec.open(bytes(buf))
+        assert codec.page_image(h, 1) == raster.render_text_png(
+            codec.page_text(h, 1)
+        )
+
+    def test_nonzero_mediabox_origin_aligns_layers(self):
+        from pdf2dataset_spark.sources import raster
+
+        # simulate the codec's translation: a fill at device (172,172)
+        # on a MediaBox [100 100 300 300] page lands at canvas (72, h-72)
+        w, h, px = raster.compose_page(
+            200, 200,
+            fills=[(72, 72, 92, 92, 0)],
+            glyph_runs=[(72, 99, "A")],
+        )
+        assert (w, h) == (200, 200)
+        assert px[(200 - 80) * 200 + 80] == 0  # fill where text space says
+
+    def test_canvas_budget_clamps_hostile_mediabox(self):
+        import time
+
+        from pdf2dataset_spark.sources import raster
+
+        t0 = time.monotonic()
+        w, h, px = raster.compose_page(1_000_000, 1_000_000,
+                                       fills=[(0, 0, 10, 10, 0)])
+        assert w * h <= raster._MAX_CANVAS_PIXELS * 1.01
+        assert time.monotonic() - t0 < 5.0
+
+    def test_large_foreign_scan_rejected_fast(self):
+        import time
+
+        from pdf2dataset_spark.sources import raster
+
+        # 300-dpi letter-size foreign scan, cell-aligned by accident:
+        # must return '' in O(exact-walk), not grind NCC at 7 scales
+        w, h = 2550, 3300
+        px = bytes((i * 31 + 7) % 256 for i in range(w * h))
+        t0 = time.monotonic()
+        assert raster.ocr_gray_flex(w, h, px) == ""
+        assert time.monotonic() - t0 < 30.0
