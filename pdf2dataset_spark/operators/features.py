@@ -135,6 +135,23 @@ embedded_image_meta_feature = Feature(
     "embedded_image_meta", "string", _embedded_image_meta
 )
 
+def _word_boxes(ctx: PageContext) -> str | None:
+    """Reading-order word boxes (pdftotext -bbox shape) as a JSON
+    array of {word, x0, y0, x1, y1} — JSON keeps the page-row schema
+    flat; consumers explode it JVM-side with from_json. None for
+    codecs without positional text."""
+    fn = getattr(ctx.codec, "page_word_boxes", None)
+    if fn is None:
+        return None
+    import json
+
+    boxes = fn(ctx.handle, ctx.page)
+    return json.dumps(boxes, sort_keys=True) if boxes else None
+
+
+word_boxes_feature = Feature("word_boxes", "string", _word_boxes)
+
+
 def _annotations(ctx: PageContext) -> str | None:
     notes = ctx.codec.page_annotations(ctx.handle, ctx.page)
     return "\n".join(notes) if notes else None
@@ -190,6 +207,7 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         n_images_feature,
         embedded_image_feature,
         embedded_image_meta_feature,
+        word_boxes_feature,
         annotations_feature,
         n_annotations_feature,
         outline_feature,

@@ -354,6 +354,18 @@ class PdfCodec(DocumentCodec):
             handle.pages[page - 1], size=parse_image_size(self.image_size)
         )
 
+    def page_word_boxes(self, handle: "_PdfHandle", page: int) -> list[dict]:
+        """Word-level boxes in reading order (pdftotext -bbox shape)
+        — see minipdf.content_word_boxes."""
+        if handle.doc is None:
+            return []
+        from pdf2dataset_spark.sources import minipdf
+
+        pg = handle.doc.pages()[page - 1]
+        return minipdf.content_word_boxes(
+            handle.doc.page_content(pg), fonts=handle.doc.page_fonts(pg)
+        )
+
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:
         """Embedded image XObjects of one page (pdfimages-shaped; see
         minipdf.PdfDocument.page_images). /DCTDecode payloads come out

@@ -1857,6 +1857,7 @@ def _text_runs(
         # empty shows still anchor a line (a `() Tj` on its own
         # baseline is a BLANK line — content_text emits its break,
         # so reading order must too)
+        hyp = math.hypot(a, b) or 1.0
         runs.append(
             {
                 "x": e,
@@ -1864,6 +1865,11 @@ def _text_runs(
                 "x_end": e + adv * xscale,
                 "size": size if size > 0 else 12.0,
                 "text": text,
+                # device-space text direction + advance length, for
+                # dominant-orientation detection on rotated pages
+                "ux": a / hyp,
+                "uy": b / hyp,
+                "len": adv * xscale,
             }
         )
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
@@ -2000,6 +2006,64 @@ def _xy_cut(runs: list[dict], med: float) -> list[list[dict]]:
     return _emit_lines(runs)
 
 
+def content_word_boxes(
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+) -> list[dict]:
+    """Word-level boxes (the ``pdftotext -bbox`` shape): every
+    whitespace-delimited word with its device-space baseline box
+    ``{word, x0, y0, x1, y1}``, in reading order (same XY-cut as
+    :func:`content_text_layout`). Run-start positions are EXACT (they
+    come from the positioning operators); intra-run word offsets use
+    the same deterministic 0.5 em/char advance estimate the layout
+    engine uses, so boxes are approximate but reproducible. y0 is the
+    baseline, y1 = baseline + the device font size (ascent box)."""
+    runs = _text_runs(content, fonts)
+    out: list[dict] = []
+    if not runs:
+        return out
+    sizes = sorted(r["size"] for r in runs)
+    med = sizes[len(sizes) // 2]
+    for line in _xy_cut(runs, med):
+        for r in line:
+            text = r["text"]
+            n = len(text)
+            if not text.strip():
+                continue
+            # distribute the run's advance over its chars (uniform
+            # estimate — matches the run's own x_end)
+            per = (r["x_end"] - r["x"]) / n if n else 0.0
+            i = 0
+            while i < n:
+                if text[i] == " ":
+                    i += 1
+                    continue
+                j = i
+                while j < n and text[j] != " ":
+                    j += 1
+                out.append(
+                    {
+                        "word": text[i:j],
+                        "x0": round(r["x"] + per * i, 2),
+                        "y0": round(r["y"], 2),
+                        "x1": round(r["x"] + per * j, 2),
+                        "y1": round(r["y"] + r["size"], 2),
+                    }
+                )
+                i = j
+    return out
+
+
+def extract_page_word_boxes(data: bytes) -> list[list[dict]]:
+    """Per-page word boxes of a PDF, in page order (the
+    ``pdftotext -bbox`` primitive), ToUnicode-aware."""
+    doc = PdfDocument(data)
+    return [
+        content_word_boxes(doc.page_content(p), fonts=doc.page_fonts(p))
+        for p in doc.pages()
+    ]
+
+
 def content_text_layout(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
@@ -2015,6 +2079,28 @@ def content_text_layout(
     runs = _text_runs(content, fonts)
     if not runs:
         return ""
+    # ROTATED pages (pdftotext's -r behavior): vote the dominant text
+    # orientation into a quadrant (weighted by glyph count) and map
+    # every run into the frame where text flows left-to-right, so the
+    # same XY-cut applies. Mixed-orientation pages follow the
+    # majority; the minority runs still order by their position.
+    votes = [0, 0, 0, 0]
+    import math as _math
+
+    for r in runs:
+        q = round(_math.degrees(_math.atan2(r["uy"], r["ux"])) / 90) % 4
+        votes[q] += len(r["text"]) or 1
+    dom = max(range(4), key=lambda q: votes[q])
+    if dom:
+        # rotate device coords by -90*dom: R = (c, s) with
+        # x' = x*c + y*s ; y' = y*c - x*s
+        c = (1, 0, -1, 0)[dom]
+        s = (0, 1, 0, -1)[dom]
+        for r in runs:
+            x, y = r["x"], r["y"]
+            r["x"] = x * c + y * s
+            r["y"] = y * c - x * s
+            r["x_end"] = r["x"] + r["len"]
     sizes = sorted(r["size"] for r in runs)
     med = sizes[len(sizes) // 2]
     lines = _xy_cut(runs, med)

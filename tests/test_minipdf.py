@@ -2163,3 +2163,84 @@ class TestLayoutFuzz:
                         OverflowError):
                     pass
                 assert time.monotonic() - t0 < 10.0
+
+
+class TestRotatedPageLayout:
+    """Dominant-orientation detection (pdftotext -r parity): rotated
+    pages read in their own frame, majority orientation wins."""
+
+    @staticmethod
+    def _lay(ops):
+        return minipdf.content_text_layout(b"\n".join(ops))
+
+    def test_90_ccw_rotated_page(self):
+        # text direction (0,1) = up-page; the reading frame maps its
+        # y-axis to device -x, so the FIRST line sits at SMALLER x
+        ops = [b"BT", b"/F1 12 Tf",
+               b"0 1 -1 0 486 100 Tm", b"(first line) Tj",
+               b"0 1 -1 0 500 100 Tm", b"(second line) Tj",
+               b"ET"]
+        assert self._lay(ops) == "first line\nsecond line"
+
+    def test_180_rotated_page(self):
+        # upside-down: first reading line = smallest device y
+        ops = [b"BT", b"/F1 12 Tf",
+               b"-1 0 0 -1 540 100 Tm", b"(first line) Tj",
+               b"-1 0 0 -1 540 114 Tm", b"(second line) Tj",
+               b"ET"]
+        assert self._lay(ops) == "first line\nsecond line"
+
+    def test_270_rotated_page(self):
+        # text direction (0,-1): reading y-axis maps to device +x —
+        # first line at LARGER x
+        ops = [b"BT", b"/F1 12 Tf",
+               b"0 -1 1 0 126 700 Tm", b"(first line) Tj",
+               b"0 -1 1 0 112 700 Tm", b"(second line) Tj",
+               b"ET"]
+        assert self._lay(ops) == "first line\nsecond line"
+
+    def test_minority_watermark_does_not_flip_page(self):
+        # one rotated watermark glyph among normal text: majority
+        # (by glyph count) keeps the unrotated frame
+        ops = [b"BT", b"/F1 12 Tf",
+               b"1 0 0 1 72 700 Tm", b"(normal body text line one) Tj",
+               b"1 0 0 1 72 686 Tm", b"(normal body text line two) Tj",
+               b"0 1 -1 0 306 300 Tm", b"(DRAFT) Tj",
+               b"ET"]
+        out = self._lay(ops)
+        assert out.startswith("normal body text line one\n"
+                              "normal body text line two")
+        assert "DRAFT" in out
+
+
+class TestWordBoxes:
+    """content_word_boxes (pdftotext -bbox shape): exact run-start
+    positions, deterministic intra-run estimates, reading order."""
+
+    def test_boxes_from_build_pdf(self):
+        pdf = minipdf.build_pdf(["hello world\nsecond line"])
+        (boxes,) = minipdf.extract_page_word_boxes(pdf)
+        words = [b["word"] for b in boxes]
+        assert words == ["hello", "world", "second", "line"]
+        hello = boxes[0]
+        assert (hello["x0"], hello["y0"]) == (72.0, 720.0)
+        assert hello["x1"] == 72.0 + 0.5 * 12 * 5
+        assert hello["y1"] == 732.0
+        # second line sits one 14pt advance below
+        assert boxes[2]["y0"] == 706.0
+
+    def test_reading_order_across_columns(self):
+        ops = [b"BT", b"/F1 12 Tf"]
+        for x, y, s in [(72, 700, b"L1a L1b"), (300, 700, b"R1"),
+                        (72, 686, b"L2"), (300, 686, b"R2")]:
+            ops += [b"1 0 0 1 %d %d Tm" % (x, y), b"(" + s + b") Tj"]
+        ops.append(b"ET")
+        words = [b["word"] for b in
+                 minipdf.content_word_boxes(b"\n".join(ops))]
+        assert words == ["L1a", "L1b", "L2", "R1", "R2"]
+
+    def test_empty_and_blank_runs_skipped(self):
+        ops = [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm",
+               b"() Tj", b"(   ) Tj", b"(word) Tj", b"ET"]
+        boxes = minipdf.content_word_boxes(b"\n".join(ops))
+        assert [b["word"] for b in boxes] == ["word"]
