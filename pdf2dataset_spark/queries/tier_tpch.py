@@ -1312,3 +1312,66 @@ def sql25_q20_partsupp_avail(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )
+
+
+# ------------------------------------------------------------ SQL26
+@query(
+    "sql26_q9_partsupp_profit",
+    sql="""
+    WITH """ + _PARTSUPP_CTE + """
+    SELECT nation, o_year,
+           CAST(SUM(amount_c) AS DOUBLE)/10000 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))
+             - ps.ps_supplycost_c
+               * CAST(round(l.l_quantity*100,0) AS BIGINT) / 100 AS amount_c
+      FROM part p, supplier s, lineitem l, partsupp ps, orders o, nation n
+      WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+        AND ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND s.s_nationkey = n.n_nationkey
+        AND p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tier="SQL",
+)
+def sql26_q9_partsupp_profit(spark, sf_dir):
+    """TPC-H Q9 COST CORE over the synthetic partsupp: the REAL
+    amount = revenue − ps_supplycost*quantity (sql17 approximated
+    cost with p_retailprice before partsupp existed; this is the
+    faithful shape — the (partkey, suppkey) composite-key join into
+    the cost table). amount stays in the exact 1e-4 integer domain
+    (supplycost is integer cents; quantities are integral so the /100
+    is exact). Scale: partsupp is part-sized x4 and BROADCASTS into
+    lineitem on the composite key; filtered part/supplier/nation
+    broadcast; lineitem-orders is the lone fact shuffle, aggregation
+    keyspace nation x year."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    ps = _synth_partsupp(spark, sf_dir)
+    amount_c = _rev_c() - (
+        F.col("ps_supplycost_c") * cents("l_quantity") / F.lit(100)
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(amount_c).cast("double") / 10000).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
