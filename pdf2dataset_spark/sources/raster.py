@@ -105,9 +105,19 @@ def decode_png(data: bytes) -> tuple[int, int, bytearray]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(idat)
-    px = bytearray(w * h)
+    if w <= 0 or h <= 0 or w * h > _MAX_CANVAS_PIXELS:
+        # untrusted IHDR dims (u32 each): bound before allocating —
+        # the same crafted-header posture as the codec pixel budgets
+        raise ValueError(
+            f"PNG {w}x{h} outside the {_MAX_CANVAS_PIXELS}-pixel bound"
+        )
     stride = w + 1
+    # cap inflation at exactly the scanline bytes needed: a 60-byte
+    # zlib bomb cannot expand past the (already-bounded) w*h budget
+    raw = zlib.decompressobj().decompress(idat, h * stride)
+    if len(raw) < h * stride:
+        raise ValueError("PNG pixel data truncated")
+    px = bytearray(w * h)
     prev = bytearray(w)
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]

@@ -1072,3 +1072,69 @@ class TestCompositeReviewFixes:
         t0 = time.monotonic()
         assert raster.ocr_gray_flex(w, h, px) == ""
         assert time.monotonic() - t0 < 30.0
+
+
+class TestPngDecodeBounds:
+    """decode_png hostile-header posture (round 6): IHDR dims are
+    untrusted u32s and IDAT can be a zlib bomb — both bounded."""
+
+    @staticmethod
+    def _chunk(tag, payload):
+        import struct
+        import zlib
+
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    def test_hostile_ihdr_dims_rejected_fast(self):
+        import struct
+        import time
+
+        from pdf2dataset_spark.sources import raster
+
+        ihdr = struct.pack(">IIBBBBB", 0xFFFFFFFF, 0xFFFFFFFF, 8, 0, 0, 0, 0)
+        bad = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IEND", b""))
+        t0 = time.monotonic()
+        import pytest
+
+        with pytest.raises(ValueError, match="bound"):
+            raster.decode_png(bad)
+        assert time.monotonic() - t0 < 1.0
+
+    def test_zlib_bomb_inflation_capped(self):
+        import struct
+        import time
+        import zlib
+
+        from pdf2dataset_spark.sources import raster
+
+        ihdr = struct.pack(">IIBBBBB", 100, 100, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * 50_000_000)
+        png = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", bomb) + self._chunk(b"IEND", b""))
+        t0 = time.monotonic()
+        w, h, _ = raster.decode_png(png)
+        assert (w, h) == (100, 100)
+        assert time.monotonic() - t0 < 3.0
+
+    def test_truncated_idat_raises_cleanly(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from pdf2dataset_spark.sources import raster
+
+        ihdr = struct.pack(">IIBBBBB", 100, 100, 8, 0, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", zlib.compress(b"\x00" * 50))
+               + self._chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="truncated"):
+            raster.decode_png(png)
+
+    def test_round_trip_unaffected(self):
+        from pdf2dataset_spark.sources import raster
+
+        png = raster.render_text_png("bounds intact")
+        assert raster.ocr_png(png) == "bounds intact"
