@@ -1857,7 +1857,6 @@ def _text_runs(
         # empty shows still anchor a line (a `() Tj` on its own
         # baseline is a BLANK line — content_text emits its break,
         # so reading order must too)
-        hyp = math.hypot(a, b) or 1.0
         runs.append(
             {
                 "x": e,
@@ -1865,11 +1864,10 @@ def _text_runs(
                 "x_end": e + adv * xscale,
                 "size": size if size > 0 else 12.0,
                 "text": text,
-                # device-space text direction + advance length, for
-                # dominant-orientation detection on rotated pages
-                "ux": a / hyp,
-                "uy": b / hyp,
-                "len": adv * xscale,
+                # device-space text direction (unit), for dominant-
+                # orientation detection on rotated pages
+                "ux": a / xscale,
+                "uy": b / xscale,
             }
         )
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
@@ -2006,6 +2004,34 @@ def _xy_cut(runs: list[dict], med: float) -> list[list[dict]]:
     return _emit_lines(runs)
 
 
+def _reading_frame(runs: list[dict]) -> list[dict]:
+    """Map runs into the dominant-orientation READING frame (in
+    place): vote the text direction into a quadrant (weighted by
+    glyph count) and rotate device coords so text flows
+    left-to-right — 90/180/270-degree pages then order correctly
+    under the standard XY-cut; minority runs (watermarks) follow the
+    majority. Shared by content_text_layout and content_word_boxes
+    so both surfaces agree on rotated pages."""
+    import math
+
+    votes = [0, 0, 0, 0]
+    for r in runs:
+        q = round(math.degrees(math.atan2(r["uy"], r["ux"])) / 90) % 4
+        votes[q] += len(r["text"]) or 1
+    dom = max(range(4), key=lambda q: votes[q])
+    if dom:
+        # rotate device coords by -90*dom: x' = x*c + y*s ; y' = y*c - x*s
+        c = (1, 0, -1, 0)[dom]
+        s = (0, 1, 0, -1)[dom]
+        for r in runs:
+            x, y = r["x"], r["y"]
+            length = r["x_end"] - r["x"]  # advance along text direction
+            r["x"] = x * c + y * s
+            r["y"] = y * c - x * s
+            r["x_end"] = r["x"] + length
+    return runs
+
+
 def content_word_boxes(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
@@ -2018,7 +2044,7 @@ def content_word_boxes(
     the same deterministic 0.5 em/char advance estimate the layout
     engine uses, so boxes are approximate but reproducible. y0 is the
     baseline, y1 = baseline + the device font size (ascent box)."""
-    runs = _text_runs(content, fonts)
+    runs = _reading_frame(_text_runs(content, fonts))
     out: list[dict] = []
     if not runs:
         return out
@@ -2035,11 +2061,11 @@ def content_word_boxes(
             per = (r["x_end"] - r["x"]) / n if n else 0.0
             i = 0
             while i < n:
-                if text[i] == " ":
+                if text[i].isspace():
                     i += 1
                     continue
                 j = i
-                while j < n and text[j] != " ":
+                while j < n and not text[j].isspace():
                     j += 1
                 out.append(
                     {
@@ -2076,31 +2102,9 @@ def content_text_layout(
     ascending), and large negative TJ adjustments become word breaks.
     Identical to :func:`content_text` on already-in-order single-
     column streams."""
-    runs = _text_runs(content, fonts)
+    runs = _reading_frame(_text_runs(content, fonts))
     if not runs:
         return ""
-    # ROTATED pages (pdftotext's -r behavior): vote the dominant text
-    # orientation into a quadrant (weighted by glyph count) and map
-    # every run into the frame where text flows left-to-right, so the
-    # same XY-cut applies. Mixed-orientation pages follow the
-    # majority; the minority runs still order by their position.
-    votes = [0, 0, 0, 0]
-    import math as _math
-
-    for r in runs:
-        q = round(_math.degrees(_math.atan2(r["uy"], r["ux"])) / 90) % 4
-        votes[q] += len(r["text"]) or 1
-    dom = max(range(4), key=lambda q: votes[q])
-    if dom:
-        # rotate device coords by -90*dom: R = (c, s) with
-        # x' = x*c + y*s ; y' = y*c - x*s
-        c = (1, 0, -1, 0)[dom]
-        s = (0, 1, 0, -1)[dom]
-        for r in runs:
-            x, y = r["x"], r["y"]
-            r["x"] = x * c + y * s
-            r["y"] = y * c - x * s
-            r["x_end"] = r["x"] + r["len"]
     sizes = sorted(r["size"] for r in runs)
     med = sizes[len(sizes) // 2]
     lines = _xy_cut(runs, med)

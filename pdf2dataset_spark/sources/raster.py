@@ -93,10 +93,14 @@ def decode_png(data: bytes) -> tuple[int, int, bytearray]:
     h = 0
     idat = b""
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("PNG chunk header truncated")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(payload) < 10:
+                raise ValueError("PNG IHDR truncated")
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
             if depth != 8 or ctype != 0:
                 raise ValueError("only 8-bit grayscale supported")

@@ -2244,3 +2244,33 @@ class TestWordBoxes:
                b"() Tj", b"(   ) Tj", b"(word) Tj", b"ET"]
         boxes = minipdf.content_word_boxes(b"\n".join(ops))
         assert [b["word"] for b in boxes] == ["word"]
+
+
+class TestWordBoxesRotated:
+    """Round-6 second-review regression: word boxes share the
+    reading-frame remap with content_text_layout, so rotated pages
+    yield correctly ordered words with boxes in the reading frame."""
+
+    def test_rotated_pages_agree_with_layout_order(self):
+        for ops in (
+            [b"BT", b"/F1 12 Tf",
+             b"-1 0 0 -1 540 100 Tm", b"(first line) Tj",
+             b"-1 0 0 -1 540 114 Tm", b"(second line) Tj", b"ET"],
+            [b"BT", b"/F1 12 Tf",
+             b"0 1 -1 0 486 100 Tm", b"(first line) Tj",
+             b"0 1 -1 0 500 100 Tm", b"(second line) Tj", b"ET"],
+        ):
+            boxes = minipdf.content_word_boxes(b"\n".join(ops))
+            assert [b["word"] for b in boxes] == [
+                "first", "line", "second", "line",
+            ]
+            # same-baseline words are left-to-right in the frame
+            assert boxes[0]["x1"] <= boxes[1]["x0"]
+            assert boxes[0]["y0"] == boxes[1]["y0"]
+
+    def test_any_whitespace_splits_words(self):
+        ops = [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm",
+               b"(al\xa0be\tce) Tj", b"ET"]
+        words = [b["word"] for b in
+                 minipdf.content_word_boxes(b"\n".join(ops))]
+        assert words == ["al", "be", "ce"]
