@@ -624,6 +624,64 @@ def encode_jpeg12_gray(
     )
 
 
+def encode_jpeg12_cmyk(
+    w: int, h: int, samples, quality: int = 85
+) -> bytes:
+    """Encode 12-bit Adobe CMYK (SOF1 extended sequential, APP14
+    transform 0, Adobe-INVERTED storage like the 8-bit encoder) —
+    the print-production archival shape. ``samples`` are row-major
+    interleaved C,M,Y,K ints in 0..4095. Same 16-bit-DQT/floor-20
+    magnitude argument as :func:`encode_jpeg12_gray`, so the
+    standard Annex-K Huffman tables serve unchanged. Fixture twin of
+    :func:`decode_jpeg`'s 12-bit 4-component path."""
+    arr = np.asarray(list(samples), dtype=np.float64).reshape(h, w, 4)
+    if arr.min() < 0 or arr.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    inv = 4095.0 - arr  # Adobe-inverted storage
+    qt = np.maximum(_quant_table(quality) * 16.0, 20.0)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    zzs = [
+        _plane_to_zz(
+            np.pad(
+                inv[..., i] - 2048.0,
+                ((0, ph - h), (0, pw - w)),
+                mode="edge",
+            ),
+            qt,
+        )
+        for i in range(4)
+    ]
+    bw = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for m in range(zzs[0].shape[0]):  # 1x1 sampling: 4 blocks / MCU
+        for ci in range(4):
+            prev[ci] = _write_block(
+                bw, zzs[ci][m], prev[ci], _DC_CODES, _AC_CODES
+            )
+    bw.flush()
+    qt_zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint16)
+    sof = struct.pack(">BHHB", 12, h, w, 4) + b"".join(
+        bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)
+    )
+    sos = bytes([4]) + b"".join(
+        bytes([cid, 0x00]) for cid in (1, 2, 3, 4)
+    ) + bytes([0, 63, 0])
+    adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0)
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _segment(0xFFEE, adobe),
+            _segment(0xFFDB, b"\x10" + struct.pack(">64H", *qt_zz.tolist())),
+            _segment(0xFFC1, sof),
+            _segment(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            _segment(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)),
+            _segment(0xFFDA, sos),
+            bytes(bw.out),
+            b"\xff\xd9",
+        ]
+    )
+
+
 def encode_jpeg_progressive(
     w: int, h: int, px: bytes, quality: int = 85, ncomp: int = 1
 ) -> bytes:
@@ -1379,9 +1437,6 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             precision = prec
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEGs not supported")
-            if precision == 12 and ncomp == 4:
-                # decline BEFORE any entropy decoding (decode-cost cap)
-                raise ValueError("12-bit CMYK JPEGs not supported")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
@@ -1475,16 +1530,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         out = np.clip(np.round(p0), 0, 255).astype(np.uint8)
         return w, h, out.tobytes()
     if len(planes) == 4:
-        if precision != 8:
-            raise ValueError("12-bit CMYK JPEGs not supported")
         # CMYK / YCCK (print-production PDFs): Adobe APP14 files
         # store INVERTED CMYK (the Photoshop convention); YCCK
         # (transform 2) stores YCbCr computed from the inverted CMY.
         # Either way the inverted planes convert to RGB directly:
-        # R = invC * invK / 255 (naive un-profiled conversion).
+        # R = invC * invK / top (naive un-profiled conversion). All
+        # arithmetic runs at NATIVE precision (top = 2^P - 1, center
+        # 2^(P-1)) so 12-bit files take the same path as 8-bit ones,
+        # with one final rescale to the 8-bit output convention.
+        top = float((1 << precision) - 1)
+        ctr_f = float(1 << (precision - 1))
         p0, p1, p2, p3 = planes
         if adobe and adobe_transform == 2:  # YCCK
-            yy, cb, cr = p0, p1 - 128.0, p2 - 128.0
+            yy, cb, cr = p0, p1 - ctr_f, p2 - ctr_f
             inv_c = yy + 1.402 * cr
             inv_m = yy - 0.344136 * cb - 0.714136 * cr
             inv_y = yy + 1.772 * cb
@@ -1492,17 +1550,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif adobe:  # Adobe CMYK: stored inverted
             inv_c, inv_m, inv_y, inv_k = p0, p1, p2, p3
         else:  # plain CMYK
-            inv_c, inv_m, inv_y = 255.0 - p0, 255.0 - p1, 255.0 - p2
-            inv_k = 255.0 - p3
-        k = np.clip(inv_k, 0.0, 255.0)
+            inv_c, inv_m, inv_y = top - p0, top - p1, top - p2
+            inv_k = top - p3
+        k = np.clip(inv_k, 0.0, top)
         rgb = np.stack(
             [
-                np.clip(inv_c, 0.0, 255.0) * k,
-                np.clip(inv_m, 0.0, 255.0) * k,
-                np.clip(inv_y, 0.0, 255.0) * k,
+                np.clip(inv_c, 0.0, top) * k,
+                np.clip(inv_m, 0.0, top) * k,
+                np.clip(inv_y, 0.0, top) * k,
             ],
             axis=-1,
-        ) / 255.0
+        ) / top
+        if precision != 8:
+            rgb = rgb * scale
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, out.tobytes()
     ctr = float(1 << (precision - 1))

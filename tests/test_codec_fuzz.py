@@ -133,6 +133,10 @@ class TestJpegFuzz:
             jpeg.encode_jpeg(16, 12, cmyk, quality=80, ncomp=4),
             jpeg.encode_jpeg(16, 12, cmyk, quality=80, ncomp=4,
                              adobe_transform=2),
+            jpeg.encode_jpeg12_cmyk(
+                16, 12,
+                [(i * 131) % 4096 for i in range(16 * 12 * 4)],
+            ),
         ]
         _contract(jpeg.decode_jpeg, payloads, rng, 40)
 

@@ -1138,3 +1138,58 @@ class TestPngDecodeBounds:
 
         png = raster.render_text_png("bounds intact")
         assert raster.ocr_png(png) == "bounds intact"
+
+
+class TestTwelveBitCmykJpeg:
+    """12-bit CMYK (round 6 — closes the last declared JPEG decline):
+    SOF1 + 16-bit DQT + 4 interleaved components, Adobe-inverted
+    storage, decoded at native precision and rescaled to 8-bit RGB."""
+
+    def test_roundtrip_within_quantization(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpeg import (
+            decode_jpeg, encode_jpeg12_cmyk,
+        )
+
+        w, h = 24, 16
+        base = np.linspace(0, 4095, w * h).reshape(h, w)
+        cmyk = np.stack(
+            [base, 4095 - base, (base * 0.5) % 4096,
+             np.full((h, w), 1000.0)],
+            axis=-1,
+        )
+        enc = encode_jpeg12_cmyk(
+            w, h, np.round(cmyk).astype(int).ravel().tolist(), quality=95
+        )
+        dw, dh, px = decode_jpeg(enc)
+        assert (dw, dh) == (w, h) and len(px) == w * h * 3
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(float)
+        inv = 4095.0 - cmyk
+        ref = np.clip(
+            np.round(
+                np.stack(
+                    [inv[..., i] * inv[..., 3] for i in range(3)], -1
+                ) / 4095.0 * (255.0 / 4095.0)
+            ),
+            0, 255,
+        )
+        assert np.abs(got - ref).max() <= 4
+
+    def test_pdf_extraction_path(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources import minipdf
+        from pdf2dataset_spark.sources.jpeg import encode_jpeg12_cmyk
+
+        w, h = 16, 8
+        cmyk = [(i * 97) % 4096 for i in range(w * h * 4)]
+        pdf = minipdf.build_pdf(
+            [""],
+            images=[{"filter": "/DCTDecode", "width": w, "height": h,
+                     "data": encode_jpeg12_cmyk(w, h, cmyk),
+                     "colorspace": "/DeviceCMYK", "bits": 12}],
+        )
+        (entry,) = minipdf.extract_page_images(pdf)[0]
+        assert entry["format"] == "jpeg"
+        assert entry["decodable"] is True  # was a named decline
