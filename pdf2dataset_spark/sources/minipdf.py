@@ -1947,12 +1947,20 @@ def _projection_gaps(intervals: list[tuple], min_gap: float) -> list[float]:
 
 def _emit_lines(runs: list[dict]) -> list[list[dict]]:
     """Group runs into baselines (y within half a font size), order
-    lines by y descending and runs within a line by x ascending."""
+    lines by y descending and runs within a line by x ascending.
+    OVERPRINT dedup (pdftotext behavior): a run showing the same text
+    at (nearly) the same position as another on its line — the
+    fake-bold double-draw — is emitted once."""
     lines: list[list[dict]] = []
     for r in sorted(runs, key=lambda r: (-r["y"], r["x"])):
         for line in lines:
             if abs(line[0]["y"] - r["y"]) <= 0.5 * min(line[0]["size"], r["size"]):
-                line.append(r)
+                if not any(
+                    p["text"] == r["text"]
+                    and abs(p["x"] - r["x"]) <= 0.15 * r["size"]
+                    for p in line
+                ):
+                    line.append(r)
                 break
         else:
             lines.append([r])
@@ -2114,9 +2122,13 @@ def content_text_layout(
         for i, r in enumerate(line):
             if i and parts and any(parts):
                 gap = r["x"] - line[i - 1]["x_end"]
+                ref = min(r["size"], line[i - 1]["size"])
+                # a space for a word-sized forward gap, AND for a big
+                # backtrack (distinct runs overlapping each other are
+                # separate words, not one fused token)
                 if (
                     r["text"]
-                    and gap > 0.3 * min(r["size"], line[i - 1]["size"])
+                    and (gap > 0.3 * ref or gap < -0.7 * ref)
                     and not parts[-1].endswith(" ")
                     and not r["text"].startswith(" ")
                 ):

@@ -226,3 +226,85 @@ def test_tounicode_cmap_roundtrip_property(entries):
     mapping, code_len = minipdf.parse_tounicode_cmap(cmap)
     assert code_len == 2
     assert mapping == entries
+
+
+class TestLayoutProperties:
+    """Layout-engine conservation laws (round 6): whatever the
+    positioning operators do, reading order must PERMUTE the shown
+    text, never lose or duplicate it."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                # a 24-unit grid keeps distinct placements farther
+                # apart than the overprint-dedup radius (0.15 em)
+                st.integers(0, 25).map(lambda v: v * 24),   # x
+                st.integers(0, 31).map(lambda v: v * 24),   # y
+                st.sampled_from(["alpha", "bv", "word here", "x 1 z"]),
+            ),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda p: (p[0], p[1]),
+        ),
+        st.sampled_from([0, 1, 2, 3]),          # page rotation quadrant
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_tokens_conserved_under_any_placement(self, placements, quad):
+        from pdf2dataset_spark.sources import minipdf
+
+        mats = {
+            0: b"1 0 0 1 %d %d Tm",
+            1: b"0 1 -1 0 %d %d Tm",
+            2: b"-1 0 0 -1 %d %d Tm",
+            3: b"0 -1 1 0 %d %d Tm",
+        }
+        ops = [b"BT", b"/F1 12 Tf"]
+        expect: list[str] = []
+        for x, y, text in placements:
+            ops.append(mats[quad] % (x, y))
+            ops.append(b"(" + text.encode() + b") Tj")
+            expect.extend(text.split())
+        ops.append(b"ET")
+        out = minipdf.content_text_layout(b"\n".join(ops))
+        got = out.split()
+        assert sorted(got) == sorted(expect)
+        # word boxes carry the same token multiset
+        boxes = minipdf.content_word_boxes(b"\n".join(ops))
+        assert sorted(b["word"] for b in boxes) == sorted(expect)
+
+    @given(st.lists(st.sampled_from(
+        ["plain line", "another one", "", "third body text"]),
+        min_size=1, max_size=6))
+    @settings(max_examples=30, deadline=None)
+    def test_layout_equals_stream_for_build_pdf(self, pages):
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = minipdf.build_pdf([p or " " for p in pages])
+        assert minipdf.extract_page_texts(pdf) == \
+            minipdf.extract_page_texts(pdf, layout=True)
+
+
+class TestOverprintDedup:
+    """Fake-bold double-draw (same text at ~the same position) is
+    emitted ONCE, matching pdftotext; distinct overlapping runs
+    separate with a space instead of fusing."""
+
+    def test_fake_bold_dedups(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        ops = [b"BT", b"/F1 12 Tf",
+               b"1 0 0 1 72 700 Tm", b"(bold text) Tj",
+               b"1 0 0 1 72.4 700 Tm", b"(bold text) Tj", b"ET"]
+        assert minipdf.content_text_layout(b"\n".join(ops)) == "bold text"
+        words = [b["word"] for b in
+                 minipdf.content_word_boxes(b"\n".join(ops))]
+        assert words == ["bold", "text"]
+
+    def test_distinct_overlaps_get_a_space(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        ops = [b"BT", b"/F1 12 Tf",
+               b"1 0 0 1 72 700 Tm", b"(alpha) Tj",
+               b"1 0 0 1 72 700 Tm", b"(beta) Tj", b"ET"]
+        out = minipdf.content_text_layout(b"\n".join(ops))
+        assert sorted(out.split()) == ["alpha", "beta"]
