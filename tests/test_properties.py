@@ -259,18 +259,23 @@ class TestLayoutProperties:
             3: b"0 -1 1 0 %d %d Tm",
         }
         ops = [b"BT", b"/F1 12 Tf"]
-        expect: list[str] = []
+        expect_chars: list[str] = []
         for x, y, text in placements:
             ops.append(mats[quad] % (x, y))
             ops.append(b"(" + text.encode() + b") Tj")
-            expect.extend(text.split())
+            expect_chars.extend(c for c in text if not c.isspace())
         ops.append(b"ET")
+        # The TRUE invariant is CHARACTER conservation: reading order
+        # may merge adjacent runs into one word (continuation runs
+        # like 'Hel'+'lo' are one word) or insert word breaks, but no
+        # glyph may be lost or duplicated.
         out = minipdf.content_text_layout(b"\n".join(ops))
-        got = out.split()
-        assert sorted(got) == sorted(expect)
-        # word boxes carry the same token multiset
+        got = [c for c in out if not c.isspace()]
+        assert sorted(got) == sorted(expect_chars)
+        # word boxes carry the same character multiset
         boxes = minipdf.content_word_boxes(b"\n".join(ops))
-        assert sorted(b["word"] for b in boxes) == sorted(expect)
+        box_chars = [c for b in boxes for c in b["word"]]
+        assert sorted(box_chars) == sorted(expect_chars)
 
     @given(st.lists(st.sampled_from(
         ["plain line", "another one", "", "third body text"]),
