@@ -1955,9 +1955,14 @@ def _emit_lines(runs: list[dict]) -> list[list[dict]]:
     for r in sorted(runs, key=lambda r: (-r["y"], r["x"])):
         for line in lines:
             if abs(line[0]["y"] - r["y"]) <= 0.5 * min(line[0]["size"], r["size"]):
+                # overprint radius is TIGHT in y too (~0.15 em, the
+                # fake-bold offset scale) — the line-grouping
+                # tolerance above is far wider, and identical values
+                # on nearby but distinct baselines are real data
                 if not any(
                     p["text"] == r["text"]
                     and abs(p["x"] - r["x"]) <= 0.15 * r["size"]
+                    and abs(p["y"] - r["y"]) <= 0.15 * r["size"]
                     for p in line
                 ):
                     line.append(r)
@@ -2123,12 +2128,20 @@ def content_text_layout(
             if i and parts and any(parts):
                 gap = r["x"] - line[i - 1]["x_end"]
                 ref = min(r["size"], line[i - 1]["size"])
-                # a space for a word-sized forward gap, AND for a big
-                # backtrack (distinct runs overlapping each other are
-                # separate words, not one fused token)
+                # a space for a word-sized forward gap, AND for a
+                # TOTAL overlap (a distinct run starting at/before
+                # the previous run's start is overlapping text, not a
+                # continuation). A negative gap alone is NOT a break:
+                # the 0.5 em/char estimate overshoots narrow fonts,
+                # so kerned continuation fragments ('milli'+'meter'
+                # placed at true metrics) legitimately start inside
+                # the previous run's ESTIMATED extent.
                 if (
                     r["text"]
-                    and (gap > 0.3 * ref or gap < -0.7 * ref)
+                    and (
+                        gap > 0.3 * ref
+                        or r["x"] <= line[i - 1]["x"] + 0.3 * ref
+                    )
                     and not parts[-1].endswith(" ")
                     and not r["text"].startswith(" ")
                 ):

@@ -313,3 +313,20 @@ class TestOverprintDedup:
                b"1 0 0 1 72 700 Tm", b"(beta) Tj", b"ET"]
         out = minipdf.content_text_layout(b"\n".join(ops))
         assert sorted(out.split()) == ["alpha", "beta"]
+
+    def test_continuation_fragments_stay_one_word(self):
+        # narrow-font kern fragments: second run starts inside the
+        # first's ESTIMATED extent but past its start — continuation
+        from pdf2dataset_spark.sources import minipdf
+
+        ops = [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm", b"(milli) Tj",
+               b"1 0 0 1 86 700 Tm", b"(meter) Tj", b"ET"]
+        assert minipdf.content_text_layout(b"\n".join(ops)) == "millimeter"
+
+    def test_same_value_on_tight_baselines_survives(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        ops = [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm", b"(100) Tj",
+               b"1 0 0 1 72 695 Tm", b"(100) Tj", b"ET"]
+        out = minipdf.content_text_layout(b"\n".join(ops))
+        assert out.count("100") == 2
