@@ -152,6 +152,22 @@ def _word_boxes(ctx: PageContext) -> str | None:
 word_boxes_feature = Feature("word_boxes", "string", _word_boxes)
 
 
+def _paragraphs(ctx: PageContext) -> str | None:
+    """Layout-aware paragraphs as a JSON array of reflowed strings —
+    the chunking unit training pipelines consume. None for codecs
+    without positional text."""
+    fn = getattr(ctx.codec, "page_paragraphs", None)
+    if fn is None:
+        return None
+    import json
+
+    paras = fn(ctx.handle, ctx.page)
+    return json.dumps(paras) if paras else None
+
+
+paragraphs_feature = Feature("paragraphs", "string", _paragraphs)
+
+
 def _annotations(ctx: PageContext) -> str | None:
     notes = ctx.codec.page_annotations(ctx.handle, ctx.page)
     return "\n".join(notes) if notes else None
@@ -208,6 +224,7 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         embedded_image_feature,
         embedded_image_meta_feature,
         word_boxes_feature,
+        paragraphs_feature,
         annotations_feature,
         n_annotations_feature,
         outline_feature,

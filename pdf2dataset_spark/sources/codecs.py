@@ -366,6 +366,19 @@ class PdfCodec(DocumentCodec):
             handle.doc.page_content(pg), fonts=handle.doc.page_fonts(pg)
         )
 
+    def page_paragraphs(self, handle: "_PdfHandle", page: int) -> list[str]:
+        """Layout-aware paragraph segmentation (reading-order lines
+        reflowed; blank-line gaps and column jumps split) — see
+        minipdf.content_paragraphs."""
+        if handle.doc is None:
+            return []
+        from pdf2dataset_spark.sources import minipdf
+
+        pg = handle.doc.pages()[page - 1]
+        return minipdf.content_paragraphs(
+            handle.doc.page_content(pg), fonts=handle.doc.page_fonts(pg)
+        )
+
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:
         """Embedded image XObjects of one page (pdfimages-shaped; see
         minipdf.PdfDocument.page_images). /DCTDecode payloads come out

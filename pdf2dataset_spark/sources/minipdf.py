@@ -2115,13 +2115,23 @@ def content_text_layout(
     ascending), and large negative TJ adjustments become word breaks.
     Identical to :func:`content_text` on already-in-order single-
     column streams."""
+    return "\n".join(t for _, _, t in _layout_lines(content, fonts))
+
+
+def _layout_lines(
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+) -> list[tuple[float, float, str]]:
+    """Reading-order lines as ``(y, size, text)`` — the shared back
+    end of :func:`content_text_layout` and
+    :func:`content_paragraphs`."""
     runs = _reading_frame(_text_runs(content, fonts))
     if not runs:
-        return ""
+        return []
     sizes = sorted(r["size"] for r in runs)
     med = sizes[len(sizes) // 2]
     lines = _xy_cut(runs, med)
-    out: list[str] = []
+    out: list[tuple[float, float, str]] = []
     for line in lines:
         parts: list[str] = []
         for i, r in enumerate(line):
@@ -2147,8 +2157,43 @@ def content_text_layout(
                 ):
                     parts.append(" ")
             parts.append(r["text"])
-        out.append("".join(parts))
-    return "\n".join(out)
+        out.append((line[0]["y"], line[0]["size"], "".join(parts)))
+    return out
+
+
+def content_paragraphs(
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+) -> list[str]:
+    """PARAGRAPH segmentation over the reading-order lines — the
+    layout-aware chunking unit a training pipeline wants. A new
+    paragraph starts when the vertical advance to the next line
+    exceeds 1.8x the median line advance (a blank-line-sized gap),
+    or when y does not decrease (a column/section jump from the
+    XY-cut). Lines within a paragraph join with a single space
+    (reflow), blank lines are dropped. Deterministic — a pure
+    function of the positioning operators."""
+    lines = [
+        (y, size, t) for y, size, t in _layout_lines(content, fonts)
+        if t.strip()
+    ]
+    if not lines:
+        return []
+    advances = [
+        a - b
+        for (a, _, _), (b, _, _) in zip(lines, lines[1:])
+        if a - b > 0
+    ]
+    advances.sort()
+    med_adv = advances[len(advances) // 2] if advances else 0.0
+    paras: list[list[str]] = [[lines[0][2]]]
+    for (py, psize, _), (y, _, t) in zip(lines, lines[1:]):
+        gap = py - y
+        if gap <= 0 or (med_adv and gap > 1.8 * med_adv):
+            paras.append([t])
+        else:
+            paras[-1].append(t)
+    return [" ".join(p) for p in paras]
 
 
 # ---------------------------------------------------------------------

@@ -2274,3 +2274,37 @@ class TestWordBoxesRotated:
         words = [b["word"] for b in
                  minipdf.content_word_boxes(b"\n".join(ops))]
         assert words == ["al", "be", "ce"]
+
+
+class TestParagraphs:
+    """content_paragraphs: blank-line gaps and column jumps split;
+    lines reflow with single spaces."""
+
+    def test_gap_and_column_splits(self):
+        ops = [b"BT", b"/F1 12 Tf"]
+        for y, t in [(700, b"p1 a"), (686, b"p1 b"),
+                     (658, b"p2 a"), (644, b"p2 b")]:
+            ops += [b"1 0 0 1 72 %d Tm" % y, b"(" + t + b") Tj"]
+        ops.append(b"ET")
+        assert minipdf.content_paragraphs(b"\n".join(ops)) == [
+            "p1 a p1 b", "p2 a p2 b",
+        ]
+        cols = [b"BT", b"/F1 12 Tf"]
+        for x, y, t in [(72, 700, b"L1"), (300, 700, b"R1"),
+                        (72, 686, b"L2"), (300, 686, b"R2")]:
+            cols += [b"1 0 0 1 %d %d Tm" % (x, y), b"(" + t + b") Tj"]
+        cols.append(b"ET")
+        assert minipdf.content_paragraphs(b"\n".join(cols)) == [
+            "L1 L2", "R1 R2",
+        ]
+
+    def test_uniform_leading_is_one_paragraph(self):
+        pdf = minipdf.build_pdf(["one\ntwo\nthree"])
+        doc = minipdf.PdfDocument(pdf)
+        paras = minipdf.content_paragraphs(
+            doc.page_content(doc.pages()[0])
+        )
+        assert paras == ["one two three"]
+
+    def test_empty_page(self):
+        assert minipdf.content_paragraphs(b"BT ET") == []
