@@ -83,23 +83,28 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 6 — codec hardening (ccitt/jpeg pixel budgets, sfnt cmap
-    # clamp, minipdf DecodeParms array alignment) touches every
-    # extraction path that decodes embedded images or fonts
-    "a5_pdf_extract",
-    "a17_cid_font_extract",
-    "a18_embedded_image_extract",
-    "a19_color_image_extract",
-    "a20_scanned_page_ocr",
-    "a22_embedded_font_cmap_extract",
-    "a25_jbig2_scan_extract",
-    "a6_page_render_ocr",
-    "f40_image_phash_neardup",
-    # round 6 — similarity.py OPQ plumbing touches the PQ code paths
-    # (pq_encode reject, _codebook_state single-collect,
-    # ivfpq_build/ivfpq_topk rotation branches)
-    "f5d_pq_adc_topk",
-    "f5e_ivfpq_topk",
+    # round 7 — size-guarded broadcast sweep (_util.maybe_broadcast):
+    # every query whose pinned F.broadcast on a corpus-growing
+    # relation (part/supplier/customer/partsupp-derived) became a
+    # threshold-guarded hint
+    "sql4_q14_promo_revenue",
+    "sql5_q19_disjunctive_join",
+    "sql7_q11_revenue_share",
+    "sql9_q7_nation_volume",
+    "sql10_q15_top_supplier",
+    "sql11_q16_supplier_count",
+    "sql12_q20_nested_in",
+    "sql13_q21_sole_late_shipper",
+    "sql16_q8_market_share",
+    "sql17_q9_product_profit",
+    "sql19_q17_small_qty_revenue",
+    "sql20_q2_min_cost_supplier",
+    "sql23_q2_partsupp_min_cost",
+    "sql24_q11_partsupp_value",
+    "sql25_q20_partsupp_avail",
+    "sql26_q9_partsupp_profit",
+    "d11_star_join_revenue",
+    "g7_stream_static_join",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

@@ -22,6 +22,64 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _session_broadcast_threshold(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (-1 = off)."""
+    try:
+        return int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                             ("b", 1)):
+            if raw.endswith(suffix):
+                return int(raw[: -len(suffix)]) * mult
+        if raw and raw[-1] in units:
+            return int(raw[:-1]) * units[raw[-1]]
+        return int(raw)
+
+
+def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Size-GUARDED broadcast hint for relations that grow with the
+    corpus (part / supplier / customer / partsupp and anything derived
+    from them).
+
+    A pinned ``F.broadcast`` is a scale liability on such relations: at
+    100x data the build side is gigabytes, and a hint — unlike a
+    threshold-guarded planner choice — removes Catalyst's ability to
+    fall back to a shuffle join, pinning an executor OOM. This helper
+    hints only when Catalyst's own size estimate for the optimized
+    logical plan sits under ``spark.sql.autoBroadcastJoinThreshold``
+    (or an explicit byte ``threshold``); otherwise it returns the frame
+    un-hinted so AQE can pick the join strategy from ACTUAL runtime
+    sizes at the shuffle boundary (which also rescues the case where
+    the static estimate is pessimistic — e.g. post-aggregation frames
+    whose non-CBO estimate inherits a join-product size).
+
+    Keep plain ``F.broadcast`` only for relations bounded by SCHEMA,
+    not by corpus size: region (5 rows), nation (25), single-row
+    scalar aggregates, literal spines. Those are safe at any scale.
+    """
+    spark = df.sparkSession
+    if threshold is None:
+        threshold = _session_broadcast_threshold(spark)
+    if threshold <= 0:
+        # Auto-broadcast disabled for the session: never force a hint —
+        # honor the operator's explicit "no broadcasts" choice.
+        return df
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        # No usable estimate: leave un-hinted, the planner decides.
+        return df
+    return F.broadcast(df) if est <= threshold else df
+
+
 def dec(col: Column | str, prec: int = 12, scale: int = 2) -> Column:
     """Lossless decimal view of a 2-decimal double column."""
     c = F.col(col) if isinstance(col, str) else col

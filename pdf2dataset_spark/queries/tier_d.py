@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pdf2dataset_spark.queries import query
-from pdf2dataset_spark.queries._util import cents, csum, dec, dsum, t
+from pdf2dataset_spark.queries._util import cents, csum, dec, dsum, maybe_broadcast, t
 
 
 # --------------------------------------------------------------- D1
@@ -51,7 +51,10 @@ def d1_orders_customer_join(spark, sf_dir):
 )
 def d2_broadcast_part_join(spark, sf_dir):
     """Explicit broadcast hash join: the fact table never shuffles for
-    the join — only the tiny agg keyspace moves (D2)."""
+    the join — only the tiny agg keyspace moves (D2). This query IS
+    the pinned-hint operator demo, so the hint stays unconditional
+    here; production queries over corpus-growing relations use the
+    size-guarded _util.maybe_broadcast instead (see tier_tpch)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     return (
@@ -305,7 +308,9 @@ def d10_self_join_pairs(spark, sf_dir):
 def d11_star_join_revenue(spark, sf_dir):
     """TPC-H Q5-shape multi-way star join (D11): three broadcast dims
     + two fact-fact joins; CBO/AQE handles ordering. Revenue by
-    supplier nation within ASIA."""
+    supplier nation within ASIA. nation/region are pinned broadcasts
+    (schema-bounded); supplier grows with the corpus so it goes
+    through the size-guarded maybe_broadcast."""
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation")
     s = t(spark, sf_dir, "supplier")
@@ -316,7 +321,7 @@ def d11_star_join_revenue(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     revenue_c = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .join(o, li.l_orderkey == o.o_orderkey)

@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pdf2dataset_spark.queries import query
-from pdf2dataset_spark.queries._util import t
+from pdf2dataset_spark.queries._util import maybe_broadcast, t
 from pdf2dataset_spark.streaming.windows import (
     session_window_agg,
     sliding_window_counts,
@@ -187,10 +187,13 @@ def g6_stateful_per_key(spark, sf_dir):
 )
 def g7_stream_static_join(spark, sf_dir):
     """Stream–static enrichment join (G7): events against a broadcast
-    dimension; identical plan under readStream."""
+    dimension; identical plan under readStream. The static side is
+    corpus-growing customer, so the hint is size-guarded
+    (maybe_broadcast on the BATCH side only — the estimate never
+    touches the stream)."""
     e = t(spark, sf_dir, "events")
     c = t(spark, sf_dir, "customer")
-    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+    return e.join(maybe_broadcast(c), e.user_id == c.c_custkey).select(
         "event_id", "user_id", "c_mktsegment"
     )
 

@@ -8,11 +8,19 @@ realistic plans: conditional aggregation over joins, disjunctive
 join predicates, semi-joins against aggregated subqueries, global
 scalar-subquery thresholds, and multi-alias dimension joins.
 
-Scale posture: every dimension side is broadcast (nation/part/
-supplier/aggregated thresholds are tiny even at 100 TB fact scale);
-the fact table shuffles at most once per query, for its aggregation
-keyspace. Money math uses the integer-cents domain from _util so
-partial-aggregation order can never perturb the result.
+Scale posture: dimension sides broadcast, but with two regimes.
+Relations bounded by SCHEMA (region=5, nation=25, single-row scalar
+aggregates, literal spines) carry a pinned ``F.broadcast`` — safe at
+any corpus size. Relations that GROW with the corpus (part, supplier,
+customer, the synthetic partsupp, and aggregates derived from them)
+go through ``_util.maybe_broadcast``: the hint is applied only under
+the session broadcast threshold per Catalyst's own size estimate, so
+at 100x data the plan falls back to a shuffle join (and AQE may still
+convert back to broadcast from ACTUAL runtime sizes) instead of
+pinning an executor OOM. The fact table shuffles at most once per
+query, for its aggregation keyspace. Money math uses the
+integer-cents domain from _util so partial-aggregation order can
+never perturb the result.
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ from pdf2dataset_spark.queries._util import (
     cents,
     csum,
     dec,
+    maybe_broadcast,
     sql_cents,
     sql_csum,
     t,
@@ -100,7 +109,7 @@ def sql4_q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).cast(
@@ -143,7 +152,7 @@ def sql5_q19_disjunctive_join(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             (F.sum(_rev_c()).cast("double") / (100 * 100)).alias("revenue"),
@@ -222,7 +231,7 @@ def sql7_q11_revenue_share(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     brand_rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.sum(_rev_c()).alias("rev_c"))
     )
@@ -319,8 +328,11 @@ def sql8_q22_idle_balance(spark, sf_dir):
 def sql9_q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between two nations by
     ship year — the same dimension table joined twice under different
-    aliases (supplier nation vs customer nation). All four dims are
-    broadcast; lineitem and orders join on their natural keys and the
+    aliases (supplier nation vs customer nation). Nation aliases stay
+    pinned broadcasts; supplier/customer go through the size-guarded
+    maybe_broadcast (they grow with the corpus — at 100x the hint
+    drops and AQE plans the join from runtime sizes). lineitem and
+    orders join on their natural keys and the
     fact rows shuffle only into the tiny (nation,nation,year) agg."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
@@ -334,9 +346,9 @@ def sql9_q7_nation_volume(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     ).filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -371,7 +383,8 @@ def sql10_q15_top_supplier(spark, sf_dir):
     itself (ties kept, like the spec). Revenue stays in the exact
     integer domain so the MAX comparison can never miss on float
     noise. The aggregated view is supplier-cardinality (tiny at any
-    scale), so both the MAX row and the self-join side broadcast;
+    scale); the 1-row MAX broadcasts pinned, the supplier side via
+    the size-guarded maybe_broadcast;
     lineitem shuffles once, into the suppkey agg."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
@@ -386,7 +399,7 @@ def sql10_q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_rev_c").alias("max_rev_c"))
     return (
         rev.join(F.broadcast(mx), F.col("total_rev_c") == F.col("max_rev_c"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -417,10 +430,11 @@ def sql10_q15_top_supplier(spark, sf_dir):
 def sql11_q16_supplier_count(spark, sf_dir):
     """TPC-H Q16 shape: distinct-supplier counts per part attribute
     triple, excluding a blacklisted supplier set. The NOT IN subquery
-    rewrites to a broadcast LEFT ANTI join (s_suppkey is non-null by
+    rewrites to a size-guarded-broadcast LEFT ANTI join (s_suppkey is non-null by
     schema contract, so NOT IN == anti-join here — the null-aware
     general case is exercised by d15). Part prunes before the join
-    and broadcasts; the only fact shuffle is the grouped distinct."""
+    and broadcasts under the size guard; the only fact shuffle is the
+    grouped distinct."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
@@ -431,9 +445,9 @@ def sql11_q16_supplier_count(spark, sf_dir):
     )
     excl = s.filter(F.col("s_name").like("%33")).select("s_suppkey")
     return (
-        li.join(F.broadcast(p_f), li.l_partkey == p_f.p_partkey)
+        li.join(maybe_broadcast(p_f), li.l_partkey == p_f.p_partkey)
         .join(
-            F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti"
+            maybe_broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti"
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -461,9 +475,9 @@ def sql11_q16_supplier_count(spark, sf_dir):
 def sql12_q20_nested_in(spark, sf_dir):
     """TPC-H Q20 shape: two nested IN subqueries — suppliers who
     moved a large volume of 'red' parts in 1997. Inner IN becomes a
-    broadcast semi-join of lineitem against the pruned part keys;
+    size-guarded-broadcast semi-join of lineitem against the pruned part keys;
     the HAVING over the suppkey agg yields a supplier-cardinality
-    qualifying set that broadcasts into the outer semi-join, so the
+    qualifying set that broadcasts (size-guarded) into the outer semi-join, so the
     supplier table is never shuffled. Quantities are integral by
     data contract; summing them as BIGINT keeps the HAVING
     threshold exact under any partial-agg order."""
@@ -472,7 +486,7 @@ def sql12_q20_nested_in(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     red = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
     qual = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        li.join(maybe_broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
         .filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
@@ -483,7 +497,7 @@ def sql12_q20_nested_in(spark, sf_dir):
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        s.join(maybe_broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -541,7 +555,7 @@ def sql13_q21_sole_late_shipper(spark, sf_dir):
             li.l_orderkey == o.o_orderkey,
         )
         .filter(late)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
     )
     return (
         base.join(
@@ -675,7 +689,9 @@ def sql16_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share — the widest join tree in
     the suite (8 relations, nation aliased twice for the two join
     roles). Every dimension side (part, supplier, customer-at-sf,
-    nation x2, region) broadcasts; the only fact-fact shuffle is
+    nation x2, region) broadcasts — nation/region pinned, the
+    corpus-growing part/supplier/customer under the maybe_broadcast
+    size guard; the only fact-fact shuffle is
     lineitem-orders. The share is a ratio of two exact integer sums,
     divided once in double — deterministic under any partial-agg
     order. Conditional numerator via CASE keeps it one aggregation
@@ -696,10 +712,10 @@ def sql16_q8_market_share(spark, sf_dir):
     ).cast("double")
     den_c = F.sum(_rev_c()).cast("double")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey")
         )
@@ -745,7 +761,8 @@ def sql17_q9_product_profit(spark, sf_dir):
     integer domain: the cost term cents(retail)*cents(qty) lands in
     1e-4 units after one exact integer /100 (quantities are
     integer-valued so cents(qty) is a multiple of 100 and the
-    division is exact). LIKE-filtered part broadcasts; lineitem-orders
+    division is exact). LIKE-filtered part broadcasts under the size
+    guard; lineitem-orders
     is the lone fact shuffle; aggregation keyspace is nation x year."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -756,8 +773,8 @@ def sql17_q9_product_profit(spark, sf_dir):
         cents("p_retailprice") * cents("l_quantity") / F.lit(100)
     ).cast("bigint")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -826,7 +843,8 @@ def sql18_q13_order_distribution(spark, sf_dir):
 def sql19_q17_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: revenue lost to small-quantity orders — a
     correlated scalar AVG threshold per part. Expressed decorrelated
-    (per-part thresholds aggregated once, then a broadcast join-back),
+    (per-part thresholds aggregated once, then a size-guarded-broadcast
+    join-back — the threshold table is part-cardinality, so it grows),
     which is exactly what Catalyst rewrites the correlated form into;
     the threshold is computed from exact integer cents with the SAME
     double-op sequence (sum/100/count*0.2) on both engines so the
@@ -852,9 +870,9 @@ def sql19_q17_small_qty_revenue(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(thresh), F.col("t_partkey") == F.col("l_partkey")
+            maybe_broadcast(thresh), F.col("t_partkey") == F.col("l_partkey")
         )
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
@@ -909,8 +927,9 @@ def sql20_q2_min_cost_supplier(spark, sf_dir):
     schema has none), one per-part MIN over the region-filtered
     eligible set, and an equi-join back on (partkey, cost = min) —
     exactly the aggregate+join plan Catalyst's subquery decorrelation
-    produces. Supplier/nation/region are broadcast (tiny at any
-    scale); lineitem shuffles once into the (partkey, suppkey)
+    produces. Nation/region are pinned broadcasts; supplier and the
+    per-part MIN go through the size-guarded maybe_broadcast (both
+    grow with the corpus); lineitem shuffles once into the (partkey, suppkey)
     keyspace. Costs stay in exact integer cents until the final
     /100 display cast; ORDER BY ends with the unique (p_partkey,
     l_suppkey) pair so the LIMIT is deterministic."""
@@ -922,7 +941,7 @@ def sql20_q2_min_cost_supplier(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eligible = (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        ps.join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .select("l_partkey", "l_suppkey", "cost_c", "s_name", "s_acctbal", "n_name")
@@ -934,9 +953,9 @@ def sql20_q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
     return (
-        eligible.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        eligible.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(min_cost),
+            maybe_broadcast(min_cost),
             (F.col("m_partkey") == F.col("p_partkey"))
             & (F.col("cost_c") == F.col("min_cost_c")),
         )
@@ -1143,7 +1162,8 @@ def sql23_q2_partsupp_min_cost(spark, sf_dir):
     subquery is decorrelated by hand into one per-part MIN over the
     region-eligible partsupp and an equi-join back on (partkey, cost
     = min), the plan Catalyst's decorrelation produces. supplier/
-    nation/region and the per-part MIN are broadcast; partsupp (part-
+    nation/region stay pinned broadcasts; supplier, filtered part and
+    the per-part MIN are size-guarded; partsupp (part-
     sized x4) shuffles only for its DISTINCT. ORDER BY ends with the
     unique (p_partkey, ps_suppkey) pair so LIMIT 100 is total-order
     deterministic."""
@@ -1152,7 +1172,7 @@ def sql23_q2_partsupp_min_cost(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eligible = (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        ps.join(maybe_broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .select("ps_partkey", "ps_suppkey", "ps_supplycost_c",
@@ -1165,9 +1185,9 @@ def sql23_q2_partsupp_min_cost(spark, sf_dir):
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
     return (
-        eligible.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        eligible.join(maybe_broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .join(
-            F.broadcast(min_cost),
+            maybe_broadcast(min_cost),
             (F.col("m_partkey") == F.col("ps_partkey"))
             & (F.col("ps_supplycost_c") == F.col("min_cost_c")),
         )
@@ -1221,7 +1241,7 @@ def sql24_q11_partsupp_value(spark, sf_dir):
         F.col("n_name").isin("NATION_7", "NATION_12")
     )
     natps = (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        ps.join(maybe_broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
             "ps_partkey",
@@ -1280,7 +1300,7 @@ def sql25_q20_partsupp_avail(spark, sf_dir):
     original's NULL-comparison-excludes semantics); the halving stays
     exact (availqty*2 > qty over integral quantities). lineitem
     shuffles once into the (partkey, suppkey) keyspace; part keys and
-    the qualifying supplier set broadcast into semi-joins, so
+    the qualifying supplier set broadcast (size-guarded) into semi-joins, so
     supplier never shuffles."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
@@ -1296,7 +1316,7 @@ def sql25_q20_partsupp_avail(spark, sf_dir):
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
     )
     qual = (
-        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"),
+        ps.join(maybe_broadcast(red), F.col("ps_partkey") == F.col("p_partkey"),
                 "left_semi")
         .join(
             shipped,
@@ -1307,7 +1327,7 @@ def sql25_q20_partsupp_avail(spark, sf_dir):
         .select("ps_suppkey")
     )
     return (
-        s.join(F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey"),
+        s.join(maybe_broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey"),
                "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
@@ -1345,10 +1365,14 @@ def sql26_q9_partsupp_profit(spark, sf_dir):
     faithful shape — the (partkey, suppkey) composite-key join into
     the cost table). amount stays in the exact 1e-4 integer domain
     (supplycost is integer cents; quantities are integral so the /100
-    is exact). Scale: partsupp is part-sized x4 and BROADCASTS into
-    lineitem on the composite key; filtered part/supplier/nation
-    broadcast; lineitem-orders is the lone fact shuffle, aggregation
-    keyspace nation x year."""
+    is exact). Scale: partsupp is part-sized x4 — small relative to
+    lineitem but CORPUS-GROWING, so it (like filtered part and
+    supplier) joins via the size-guarded maybe_broadcast: under the
+    threshold it broadcasts into lineitem on the composite key; past
+    it the hint drops and AQE picks the strategy from runtime sizes
+    (a pinned hint here would pin a gigabyte build-side OOM at 100x).
+    Nation stays a pinned broadcast; lineitem-orders is the lone fact
+    shuffle, aggregation keyspace nation x year."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -1359,10 +1383,10 @@ def sql26_q9_partsupp_profit(spark, sf_dir):
         F.col("ps_supplycost_c") * cents("l_quantity") / F.lit(100)
     ).cast("bigint")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            F.broadcast(ps),
+            maybe_broadcast(ps),
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )

@@ -246,15 +246,22 @@ def test_q2_decorrelated_to_aggregate_plus_join(spark, registry):
     cartesian product."""
     from pdf2dataset_spark.plans.audit import _nodes, explain_string
 
-    df = q(registry, "sql20_q2_min_cost_supplier", spark)
+    df = registry["sql20_q2_min_cost_supplier"].fn.__wrapped__(spark, SF)
     nodes = _nodes(df)
     # ps build (partial+final) + per-part min (partial+final) >= 4
     assert nodes.count("HashAggregate") >= 4, nodes
     assert has_broadcast_join(df), audit(df)
     assert "CartesianProduct" not in explain_string(df)
-    # lineitem shuffles once into (partkey, suppkey); everything else
-    # is broadcast or AQE-local.
-    assert shuffle_count(df) <= 3, audit(df)
+    # Static plan: lineitem shuffles once into (partkey, suppkey); the
+    # min_cost join-back is statically a shuffle join (its size-guarded
+    # hint declines — the non-CBO estimate inherits a join-product
+    # size), which AQE converts to broadcast at runtime from ACTUAL
+    # sizes. 5 = ps agg + min agg + join-back pair + sort sample.
+    assert shuffle_count(df) <= 5, audit(df)
+    # Runtime: AQE must land broadcast joins in the final plan.
+    df.collect()
+    final = explain_string(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
 
 
 def test_plan_build_triggers_no_jobs(spark, registry):
@@ -434,3 +441,143 @@ def test_pq_adc_broadcasts_codebooks_no_cartesian(spark, registry):
     plan = explain_string(q(registry, "f5d_pq_adc_topk", spark))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------
+# Size-guarded broadcast discipline (round-7 verdict item 1): a pinned
+# F.broadcast on a relation that grows with the corpus is a 100x-scale
+# OOM liability — the hint removes the planner's SMJ fallback. Only
+# schema-bounded relations may carry the pinned hint; everything else
+# goes through _util.maybe_broadcast.
+
+#: Per-module allowlist of variable names that may appear inside a
+#: pinned ``F.broadcast(...)`` in the query modules. Every name is
+#: bounded by SCHEMA or by construction, never by corpus size.
+_PINNED_BROADCAST_ALLOWLIST = {
+    "tier_tpch.py": {
+        "n", "n1", "n2",      # nation (25 rows)
+        "r",                  # region (5 rows)
+        "total", "avg_bal", "mx", "sc",  # single-row scalar aggregates
+        "i",                  # literal 4-row spine (partsupp synth)
+    },
+    "tier_d.py": {
+        "p",   # d2_broadcast_part_join IS the pinned-hint operator demo
+        "n", "r",             # nation/region
+        "b",                  # d16: nation-keyed supplier agg (<=26 rows)
+    },
+    "tier_g.py": set(),
+    "tier_c.py": {"ref"},     # per-source KMV sketches (sources x k rows)
+    "tier_f.py": {
+        "q", "ref", "n_docs", "n1",  # single-row / query-side frames
+        "vocab",              # .limit(200) by construction
+    },
+    "tier_a.py": set(),
+    "tier_b.py": set(),
+    "tier_e.py": set(),
+}
+
+
+def test_no_pinned_broadcast_on_corpus_growing_relations():
+    """AST tripwire over every query module: each pinned F.broadcast
+    argument must be a schema-bounded relation from the allowlist.
+    part/supplier/customer/partsupp-derived frames must use
+    maybe_broadcast (size-guarded) instead."""
+    import ast
+    import os
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pdf2dataset_spark",
+        "queries",
+    )
+    violations = []
+    for fname, allowed in _PINNED_BROADCAST_ALLOWLIST.items():
+        tree = ast.parse(open(os.path.join(qdir, fname)).read())
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                continue
+            arg = node.args[0] if node.args else None
+            name = arg.id if isinstance(arg, ast.Name) else ast.dump(arg)
+            if name not in allowed:
+                violations.append(f"{fname}:{node.lineno} F.broadcast({name})")
+    assert not violations, (
+        "pinned F.broadcast on non-allowlisted relation(s) — use "
+        "_util.maybe_broadcast for anything that grows with the corpus: "
+        + "; ".join(violations)
+    )
+
+
+def test_maybe_broadcast_hints_only_under_threshold(spark):
+    from pdf2dataset_spark.io import load_table
+    from pdf2dataset_spark.queries._util import maybe_broadcast
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    li = load_table(spark, SF, "lineitem")
+    p = load_table(spark, SF, "part")
+    # Under the (default 10MB) threshold: hint applied -> BHJ.
+    hinted = li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+    assert "BroadcastHashJoin" in explain_string(hinted)
+    # 1-byte threshold: no hint; with session auto-broadcast also off,
+    # the join must fall back to a shuffle join (the 100x behavior).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = li.join(
+            maybe_broadcast(p, threshold=1), li.l_partkey == p.p_partkey
+        )
+        plan = explain_string(unhinted)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # threshold <= 0 (session broadcast disabled) also never hints
+        off = li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        assert "BroadcastHashJoin" not in explain_string(off)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partsupp_cost_cores_survive_broadcast_off(spark, registry):
+    """The 100x simulation for the swept queries: with every broadcast
+    guard refusing the hint (threshold -1), sql23/sql26 must (a) plan
+    their corpus-growing joins as shuffle joins — no BroadcastExchange
+    beyond the pinned bounded dims — and (b) return EXACTLY the rows
+    the default broadcast-heavy plan returns."""
+    from pdf2dataset_spark.plans.audit import _nodes, explain_string
+
+    # Per-query cap on surviving BroadcastExchanges = pinned bounded
+    # dims only, counting physical-plan subtree duplication: sql23's
+    # eligible subtree (sc, i, n, r pinned) appears twice (eligible +
+    # min_cost-over-eligible) -> 8; sql26 has sc, i, n once each -> 3.
+    pinned_cap = {
+        "sql23_q2_partsupp_min_cost": 8,
+        "sql26_q9_partsupp_profit": 3,
+    }
+    for qname in ("sql23_q2_partsupp_min_cost", "sql26_q9_partsupp_profit"):
+        baseline = sorted(map(tuple, q(registry, qname, spark).collect()))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # __wrapped__ bypasses the registry's prepared-plan cache:
+            # maybe_broadcast decides at BUILD time, so the -1 conf
+            # must be visible to a fresh build.
+            df = registry[qname].fn.__wrapped__(spark, SF)
+            plan = explain_string(df)
+            # growing relations (ps/part/supplier/min_cost) fell back
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+                qname,
+                plan,
+            )
+            # only the pinned bounded dims may still broadcast
+            assert _nodes(df).count("BroadcastExchange") <= pinned_cap[qname], (
+                qname,
+                audit(df),
+            )
+            rows = sorted(map(tuple, df.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert rows == baseline, f"{qname}: broadcast-off rows diverge"
