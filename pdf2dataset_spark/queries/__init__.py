@@ -105,6 +105,14 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "sql26_q9_partsupp_profit",
     "d11_star_join_revenue",
     "g7_stream_static_join",
+    # round 7 — inheritable /Rotate + /MediaBox (pages() walk,
+    # layout/word-box/paragraph rotation, composite render): touches
+    # every PDF-extraction code path
+    "a5_pdf_extract",
+    "a6_page_render_ocr",
+    "a28_layout_order_extract",
+    "a29_word_boxes_extract",
+    "a30_paragraph_extract",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

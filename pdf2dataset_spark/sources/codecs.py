@@ -192,13 +192,22 @@ class PdfCodec(DocumentCodec):
         doc = minipdf.PdfDocument(
             content, password=self.password.encode("latin-1", errors="replace")
         )
-        text_fn = (
-            minipdf.content_text_layout if self.layout else minipdf.content_text
-        )
-        pages = [
-            text_fn(doc.page_content(p), fonts=doc.page_fonts(p))
-            for p in doc.pages()
-        ]
+        if self.layout:
+            # reading order honors the inheritable /Rotate + /MediaBox
+            pages = [
+                minipdf.content_text_layout(
+                    doc.page_content(p),
+                    fonts=doc.page_fonts(p),
+                    rotate=minipdf.page_rotation(doc, p),
+                    media_box=minipdf.page_media_box(doc, p),
+                )
+                for p in doc.pages()
+            ]
+        else:
+            pages = [
+                minipdf.content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+                for p in doc.pages()
+            ]
         return _PdfHandle(content=content, pages=pages, doc=doc)
 
     def doc_info(self, handle: "_PdfHandle") -> dict[str, str]:
@@ -265,6 +274,30 @@ class PdfCodec(DocumentCodec):
         except (ValueError, KeyError):
             return None
         x0, y0, x1, y1 = minipdf.page_media_box(doc, pg)
+        rot = minipdf.page_rotation(doc, pg)
+        bw, bh = x1 - x0, y1 - y0
+        # /Rotate (inheritable): compose in the DISPLAYED frame. The
+        # display transform D maps MediaBox-origin coords clockwise;
+        # image CTMs compose as ctm . D (row-vector convention).
+        _rot_d = {
+            90: (0.0, -1.0, 1.0, 0.0, 0.0, bw),
+            180: (-1.0, 0.0, 0.0, -1.0, bw, bh),
+            270: (0.0, 1.0, -1.0, 0.0, bh, 0.0),
+        }
+
+        def dpt(u: float, v: float) -> tuple[float, float]:
+            return minipdf.rotate_point(u, v, rot, bw, bh)
+
+        def drect(u0: float, v0: float, u1: float, v1: float, g):
+            (a0, b0), (a1, b1) = dpt(u0, v0), dpt(u1, v1)
+            return (min(a0, a1), min(b0, b1), max(a0, a1), max(b0, b1), g)
+
+        def dseg(u0: float, v0: float, u1: float, v1: float, g):
+            # endpoints map 1:1 (no min/max: that would re-aim a
+            # rotated diagonal segment)
+            (a0, b0), (a1, b1) = dpt(u0, v0), dpt(u1, v1)
+            return (a0, b0, a1, b1, g)
+
         placed: list[tuple] = []
         if draw["images"]:
             # resolve Do targets against the page's IMAGE XObjects:
@@ -279,24 +312,32 @@ class PdfCodec(DocumentCodec):
                 gray = self._entry_gray(e) if e else None
                 if gray is not None:
                     # translate the placement into MediaBox-origin
-                    # space (same shift the glyph runs get)
+                    # space (same shift the glyph runs get), then
+                    # into the displayed frame under /Rotate
                     a, b, c, d, te, tf = ctm
-                    placed.append(
-                        (gray[0], gray[1], gray[2],
-                         (a, b, c, d, te - x0, tf - y0))
-                    )
+                    shifted = (a, b, c, d, te - x0, tf - y0)
+                    if rot:
+                        shifted = minipdf._mat_mul(shifted, _rot_d[rot])
+                    placed.append((gray[0], gray[1], gray[2], shifted))
         if not (draw["fills"] or draw["lines"] or placed):
             return None
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
+        # glyphs render horizontally at their DISPLAYED anchors; a
+        # /Rotate page with in-plane-rotated text (the scanner
+        # convention) therefore composes upright, while normal text
+        # under /Rotate keeps horizontal glyphs at rotated anchors
+        # (vertical glyph rasterization is declined geometry).
         w, h, px = raster.compose_page(
-            x1 - x0,
-            y1 - y0,
-            fills=[(fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0, g)
+            bh if rot in (90, 270) else bw,
+            bw if rot in (90, 270) else bh,
+            fills=[drect(fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0, g)
                    for fx0, fy0, fx1, fy1, g in draw["fills"]],
-            lines=[(lx0 - x0, ly0 - y0, lx1 - x0, ly1 - y0, g)
+            lines=[dseg(lx0 - x0, ly0 - y0, lx1 - x0, ly1 - y0, g)
                    for lx0, ly0, lx1, ly1, g in draw["lines"]],
             images=placed,
-            glyph_runs=[(r["x"] - x0, r["y"] - y0, r["text"]) for r in runs],
+            glyph_runs=[
+                (*dpt(r["x"] - x0, r["y"] - y0), r["text"]) for r in runs
+            ],
         )
         return w, h, bytes(px)
 
@@ -363,7 +404,10 @@ class PdfCodec(DocumentCodec):
 
         pg = handle.doc.pages()[page - 1]
         return minipdf.content_word_boxes(
-            handle.doc.page_content(pg), fonts=handle.doc.page_fonts(pg)
+            handle.doc.page_content(pg),
+            fonts=handle.doc.page_fonts(pg),
+            rotate=minipdf.page_rotation(handle.doc, pg),
+            media_box=minipdf.page_media_box(handle.doc, pg),
         )
 
     def page_paragraphs(self, handle: "_PdfHandle", page: int) -> list[str]:
@@ -376,7 +420,10 @@ class PdfCodec(DocumentCodec):
 
         pg = handle.doc.pages()[page - 1]
         return minipdf.content_paragraphs(
-            handle.doc.page_content(pg), fonts=handle.doc.page_fonts(pg)
+            handle.doc.page_content(pg),
+            fonts=handle.doc.page_fonts(pg),
+            rotate=minipdf.page_rotation(handle.doc, pg),
+            media_box=minipdf.page_media_box(handle.doc, pg),
         )
 
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:

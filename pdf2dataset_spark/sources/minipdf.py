@@ -976,11 +976,18 @@ class PdfDocument:
                 return v
         raise ValueError("no /Catalog object found")
 
+    #: Inheritable page-tree attributes (ISO 32000-1 Table 30) the
+    #: engine consumes; a page without its own picks up the nearest
+    #: ancestor's, materialized into the page dict. (/CropBox is also
+    #: inheritable per the spec but unused by any surface here.)
+    _INHERITABLE = ("/Resources", "/MediaBox", "/Rotate")
+
     def pages(self) -> list[dict]:
         """Page dicts in document order (depth-first /Kids walk).
-        /Resources is inheritable (ISO 32000-1 Table 30): a page
-        without its own picks up the nearest ancestor's, materialized
-        into the returned dict so font lookup needs no tree walk.
+        /Resources, /MediaBox and /Rotate are inheritable (ISO
+        32000-1 Table 30): a page without its own picks up the
+        nearest ancestor's, materialized into the returned dict so
+        font/geometry lookup needs no tree walk.
         Memoized — per-page feature accessors (annotations) re-enter
         this per row."""
         cached = getattr(self, "_pages_cache", None)
@@ -989,20 +996,28 @@ class PdfDocument:
         root = self.resolve(self._catalog().get("/Pages"))
         out: list[dict] = []
 
-        def walk(node: Any, depth: int, inherited_res: Any) -> None:
+        def walk(node: Any, depth: int, inherited: dict) -> None:
             node = self.resolve(node)
             if not isinstance(node, dict) or depth > 64:
                 return
-            res = node.get("/Resources", inherited_res)
+            attrs = {
+                k: node.get(k, inherited.get(k))
+                for k in self._INHERITABLE
+            }
             if node.get("/Type") == "/Page":
-                if "/Resources" not in node and res is not None:
-                    node = {**node, "/Resources": res}
+                missing = {
+                    k: v
+                    for k, v in attrs.items()
+                    if k not in node and v is not None
+                }
+                if missing:
+                    node = {**node, **missing}
                 out.append(node)
                 return
             for kid in self.resolve(node.get("/Kids")) or []:
-                walk(kid, depth + 1, res)
+                walk(kid, depth + 1, attrs)
 
-        walk(root, 0, None)
+        walk(root, 0, {})
         if not out:
             raise ValueError("page tree contains no /Page objects")
         self._pages_cache = out
@@ -2048,16 +2063,21 @@ def _reading_frame(runs: list[dict]) -> list[dict]:
 def content_word_boxes(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
+    rotate: int = 0,
+    media_box: tuple[float, float, float, float] | None = None,
 ) -> list[dict]:
     """Word-level boxes (the ``pdftotext -bbox`` shape): every
     whitespace-delimited word with its device-space baseline box
     ``{word, x0, y0, x1, y1}``, in reading order (same XY-cut as
     :func:`content_text_layout`). Run-start positions are EXACT (they
-    come from the positioning operators); intra-run word offsets use
+    come from the positioning operators; /Rotate pages are mapped
+    into the displayed frame first); intra-run word offsets use
     the same deterministic 0.5 em/char advance estimate the layout
     engine uses, so boxes are approximate but reproducible. y0 is the
     baseline, y1 = baseline + the device font size (ascent box)."""
-    runs = _reading_frame(_text_runs(content, fonts))
+    runs = _reading_frame(
+        _rotate_runs(_text_runs(content, fonts), rotate, media_box)
+    )
     out: list[dict] = []
     if not runs:
         return out
@@ -2098,7 +2118,12 @@ def extract_page_word_boxes(data: bytes) -> list[list[dict]]:
     ``pdftotext -bbox`` primitive), ToUnicode-aware."""
     doc = PdfDocument(data)
     return [
-        content_word_boxes(doc.page_content(p), fonts=doc.page_fonts(p))
+        content_word_boxes(
+            doc.page_content(p),
+            fonts=doc.page_fonts(p),
+            rotate=page_rotation(doc, p),
+            media_box=page_media_box(doc, p),
+        )
         for p in doc.pages()
     ]
 
@@ -2106,6 +2131,8 @@ def extract_page_word_boxes(data: bytes) -> list[list[dict]]:
 def content_text_layout(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
+    rotate: int = 0,
+    media_box: tuple[float, float, float, float] | None = None,
 ) -> str:
     """Text shown by a content stream in READING ORDER (pdftotext
     parity): runs are placed in device space by the full positioning
@@ -2114,18 +2141,26 @@ def content_text_layout(
     horizontal whitespace bands, lines ordered (y descending, x
     ascending), and large negative TJ adjustments become word breaks.
     Identical to :func:`content_text` on already-in-order single-
-    column streams."""
-    return "\n".join(t for _, _, t in _layout_lines(content, fonts))
+    column streams. ``rotate``/``media_box`` (the page's inheritable
+    /Rotate and /MediaBox) map runs into the DISPLAYED frame first —
+    see :func:`_rotate_runs`."""
+    return "\n".join(
+        t for _, _, t in _layout_lines(content, fonts, rotate, media_box)
+    )
 
 
 def _layout_lines(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
+    rotate: int = 0,
+    media_box: tuple[float, float, float, float] | None = None,
 ) -> list[tuple[float, float, str]]:
     """Reading-order lines as ``(y, size, text)`` — the shared back
     end of :func:`content_text_layout` and
     :func:`content_paragraphs`."""
-    runs = _reading_frame(_text_runs(content, fonts))
+    runs = _reading_frame(
+        _rotate_runs(_text_runs(content, fonts), rotate, media_box)
+    )
     if not runs:
         return []
     sizes = sorted(r["size"] for r in runs)
@@ -2164,6 +2199,8 @@ def _layout_lines(
 def content_paragraphs(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
+    rotate: int = 0,
+    media_box: tuple[float, float, float, float] | None = None,
 ) -> list[str]:
     """PARAGRAPH segmentation over the reading-order lines — the
     layout-aware chunking unit a training pipeline wants. A new
@@ -2174,7 +2211,8 @@ def content_paragraphs(
     (reflow), blank lines are dropped. Deterministic — a pure
     function of the positioning operators."""
     lines = [
-        (y, size, t) for y, size, t in _layout_lines(content, fonts)
+        (y, size, t)
+        for y, size, t in _layout_lines(content, fonts, rotate, media_box)
         if t.strip()
     ]
     if not lines:
@@ -2202,9 +2240,11 @@ def content_paragraphs(
 
 def page_media_box(doc: "PdfDocument", page: dict) -> tuple[float, float, float, float]:
     """/MediaBox of a page. The attribute is inheritable (ISO
-    32000-1 Table 30) but the pages() walk materializes only
-    /Resources, so an inherited-only MediaBox falls back to the US
-    Letter default here — degraded geometry, never an error."""
+    32000-1 Table 30) and the pages() walk materializes it into the
+    page dict (nearest ancestor wins), so an ancestor-defined box is
+    honored here; only a document that defines NO MediaBox anywhere
+    on the path falls back to the US Letter default — degraded
+    geometry, never an error."""
     box = doc.resolve(page.get("/MediaBox"))
     if isinstance(box, list) and len(box) == 4:
         try:
@@ -2214,6 +2254,68 @@ def page_media_box(doc: "PdfDocument", page: dict) -> tuple[float, float, float,
         except (TypeError, ValueError):
             pass
     return (0.0, 0.0, 612.0, 792.0)
+
+
+def page_rotation(doc: "PdfDocument", page: dict) -> int:
+    """Normalized /Rotate of a page (inheritable, ISO 32000-1 Table
+    30; materialized by the pages() walk): degrees the page is shown
+    rotated CLOCKWISE, one of {0, 90, 180, 270}. Non-multiples of 90
+    and unresolvable values degrade to 0 (no rotation), never an
+    error."""
+    try:
+        rot = int(doc.resolve(page.get("/Rotate")) or 0)
+    except (TypeError, ValueError):
+        return 0
+    rot %= 360
+    return rot if rot in (90, 180, 270) else 0
+
+
+def rotate_point(
+    u: float, v: float, rotate: int, w: float, h: float
+) -> tuple[float, float]:
+    """Map a MediaBox-origin point into the DISPLAYED page frame
+    under /Rotate (clockwise display rotation). The displayed page
+    box is (h, w) for 90/270, (w, h) otherwise; coordinates stay
+    anchored at the displayed page's lower-left corner."""
+    if rotate == 90:
+        return (v, w - u)
+    if rotate == 180:
+        return (w - u, h - v)
+    if rotate == 270:
+        return (h - v, u)
+    return (u, v)
+
+
+def _rotate_runs(
+    runs: list[dict],
+    rotate: int,
+    media_box: tuple[float, float, float, float] | None,
+) -> list[dict]:
+    """Map text runs (in place) into the DISPLAYED page frame per the
+    page's /Rotate attribute, BEFORE the dominant-orientation vote:
+    a page whose content is rotated in user space but displayed
+    upright via /Rotate (the scanner convention) then reads exactly
+    like an upright page, and word boxes anchor to the displayed
+    page box. Direction vectors rotate with the frame so the vote
+    sees DISPLAYED text directions; rotate=0 (the attribute-less
+    default) is a strict no-op, keeping vote behavior unchanged."""
+    if rotate not in (90, 180, 270) or not runs:
+        return runs
+    x0, y0, x1, y1 = media_box or (0.0, 0.0, 612.0, 792.0)
+    w, h = x1 - x0, y1 - y0
+    for r in runs:
+        u, v = r["x"] - x0, r["y"] - y0
+        length = r["x_end"] - r["x"]
+        ux, uy = r["ux"], r["uy"]
+        r["x"], r["y"] = rotate_point(u, v, rotate, w, h)
+        if rotate == 90:
+            r["ux"], r["uy"] = uy, -ux
+        elif rotate == 180:
+            r["ux"], r["uy"] = -ux, -uy
+        else:
+            r["ux"], r["uy"] = -uy, ux
+        r["x_end"] = r["x"] + length
+    return runs
 
 
 def _luma(ops: list[float]) -> int:
@@ -2345,9 +2447,18 @@ def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:
     orders text by position (reading order) instead of stream order —
     see :func:`content_text_layout`."""
     doc = PdfDocument(data)
-    fn = content_text_layout if layout else content_text
+    if layout:
+        return [
+            content_text_layout(
+                doc.page_content(p),
+                fonts=doc.page_fonts(p),
+                rotate=page_rotation(doc, p),
+                media_box=page_media_box(doc, p),
+            )
+            for p in doc.pages()
+        ]
     return [
-        fn(doc.page_content(p), fonts=doc.page_fonts(p))
+        content_text(doc.page_content(p), fonts=doc.page_fonts(p))
         for p in doc.pages()
     ]
 

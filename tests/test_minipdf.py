@@ -2308,3 +2308,128 @@ class TestParagraphs:
 
     def test_empty_page(self):
         assert minipdf.content_paragraphs(b"BT ET") == []
+
+
+class TestPageAttributes:
+    """Inheritable /Rotate + /MediaBox (ISO 32000-1 Table 30): the
+    pages() walk materializes both from the nearest ancestor; layout,
+    word boxes, paragraphs and the composite render honor /Rotate by
+    mapping into the DISPLAYED frame before the orientation vote."""
+
+    @staticmethod
+    def _raw(objs: list[bytes]) -> bytes:
+        buf = bytearray(b"%PDF-1.5\n")
+        for i, body in enumerate(objs, start=1):
+            buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        buf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        return bytes(buf)
+
+    @classmethod
+    def _pdf(cls, content: bytes, page_extra: bytes = b"",
+             pages_extra: bytes = b"") -> bytes:
+        return cls._raw([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 " + pages_extra + b">>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            + page_extra + b">>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ])
+
+    NORMAL = b"\n".join([
+        b"BT", b"/F1 12 Tf",
+        b"1 0 0 1 72 700 Tm", b"(line one) Tj",
+        b"1 0 0 1 72 686 Tm", b"(line two) Tj", b"ET",
+    ])
+    # scanner convention: up-page text matrices + /Rotate 90 displays
+    # upright (direction (0,1) rotates clockwise to (1,0))
+    SCAN = b"\n".join([
+        b"BT", b"/F1 12 Tf",
+        b"0 1 -1 0 500 100 Tm", b"(scan second) Tj",
+        b"0 1 -1 0 486 100 Tm", b"(scan first) Tj", b"ET",
+    ])
+
+    def test_media_box_inherited_from_pages_node(self):
+        pdf = self._pdf(self.NORMAL, pages_extra=b"/MediaBox [0 0 400 300] ")
+        doc = minipdf.PdfDocument(pdf)
+        assert minipdf.page_media_box(doc, doc.pages()[0]) == (0, 0, 400, 300)
+
+    def test_media_box_page_override_wins(self):
+        pdf = self._pdf(
+            self.NORMAL,
+            page_extra=b"/MediaBox [0 0 200 100] ",
+            pages_extra=b"/MediaBox [0 0 400 300] ",
+        )
+        doc = minipdf.PdfDocument(pdf)
+        assert minipdf.page_media_box(doc, doc.pages()[0]) == (0, 0, 200, 100)
+
+    def test_rotate_inherited_from_pages_node(self):
+        pdf = self._pdf(self.NORMAL, pages_extra=b"/Rotate 90 ")
+        doc = minipdf.PdfDocument(pdf)
+        assert minipdf.page_rotation(doc, doc.pages()[0]) == 90
+
+    def test_rotate_normalization(self):
+        for raw, want in [(b"90", 90), (b"180", 180), (b"270", 270),
+                          (b"360", 0), (b"-90", 270), (b"450", 90),
+                          (b"45", 0)]:
+            pdf = self._pdf(self.NORMAL, page_extra=b"/Rotate " + raw + b" ")
+            doc = minipdf.PdfDocument(pdf)
+            assert minipdf.page_rotation(doc, doc.pages()[0]) == want, raw
+
+    def test_rotate_attr_with_normal_text_keeps_order(self):
+        # poppler parity: the dominant-rotation normalization makes a
+        # /Rotate page with uniform text read exactly like the
+        # unrotated page
+        for rot in (b"90", b"180", b"270"):
+            pdf = self._pdf(
+                self.NORMAL,
+                page_extra=b"/Rotate " + rot + b" /MediaBox [0 0 612 792] ",
+            )
+            out = minipdf.extract_page_texts(pdf, layout=True)[0]
+            assert out == "line one\nline two", rot
+
+    def test_scanner_page_reads_upright_with_display_boxes(self):
+        pdf = self._pdf(
+            self.SCAN, page_extra=b"/Rotate 90 /MediaBox [0 0 612 792] "
+        )
+        assert (
+            minipdf.extract_page_texts(pdf, layout=True)[0]
+            == "scan first\nscan second"
+        )
+        boxes = minipdf.extract_page_word_boxes(pdf)[0]
+        assert [b["word"] for b in boxes] == [
+            "scan", "first", "scan", "second",
+        ]
+        # display frame: (u,v) -> (v, W-u); Tm (486,100) -> (100,126)
+        first = boxes[0]
+        assert (first["x0"], first["y0"]) == (100.0, 126.0)
+        assert all(b["x0"] >= 0 and b["y0"] >= 0 for b in boxes)
+
+    def test_rotate_zero_is_identity(self):
+        out_plain = minipdf.content_text_layout(self.NORMAL)
+        out_kw = minipdf.content_text_layout(
+            self.NORMAL, rotate=0, media_box=(0, 0, 612, 792)
+        )
+        assert out_plain == out_kw == "line one\nline two"
+
+    def test_composite_render_rotates_canvas(self):
+        # a fill + text page under /Rotate 90 composes on a swapped-
+        # dimension canvas with the rect mapped into the display frame
+        content = self.NORMAL + b"\n0.5 g 100 640 200 30 re f"
+        pdf = self._pdf(
+            content, page_extra=b"/Rotate 90 /MediaBox [0 0 612 792] "
+        )
+        codec = PdfCodec()
+        handle = codec.open(pdf)
+        w, h, px = codec._composite_pixels(handle, 1)
+        assert (w, h) == (792, 612)
+        # fill rect (100,640)-(300,670) -> display x in [640,670],
+        # y in [612-300, 612-100]; probe its center
+        cx, cy = 655, 612 - 200
+        row = h - 1 - cy  # canvas row 0 is the top
+        assert px[row * w + cx] == 128  # 0.5 gray
+        # unrotated twin keeps the original canvas
+        pdf0 = self._pdf(content, page_extra=b"/MediaBox [0 0 612 792] ")
+        h0 = codec.open(pdf0)
+        w0, hh0, px0 = codec._composite_pixels(h0, 1)
+        assert (w0, hh0) == (612, 792)
