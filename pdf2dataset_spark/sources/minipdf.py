@@ -2336,16 +2336,62 @@ def _luma(ops: list[float]) -> int:
     return max(0, min(255, round(v * 255)))
 
 
+#: Fixed Bézier flattening depth: each c/v/y curve becomes this many
+#: chords (deterministic — no adaptive subdivision, so the same
+#: stream always renders the same pixels).
+_BEZIER_CHORDS = 16
+
+
+def _clip_seg(
+    x0: float, y0: float, x1: float, y1: float, clip: tuple
+) -> tuple | None:
+    """Liang–Barsky segment/rect clip in device space; None when the
+    segment lies entirely outside."""
+    cx0, cy0, cx1, cy1 = clip
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - cx0), (dx, cx1 - x0),
+        (-dy, y0 - cy0), (dy, cy1 - y0),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return (x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy)
+
+
 def content_draw_ops(content: bytes) -> dict:
     """Geometry the page paints besides text (composite render
-    inputs): rectangle FILLS, stroked LINE segments, and image
-    XObject PLACEMENTS, all in device space via the full q/Q/cm CTM
-    stack. Returns ``{"fills": [(x0,y0,x1,y1,gray)], "lines":
-    [(x0,y0,x1,y1,gray)], "images": [(name, ctm)]}`` — curves and
-    clipping are out of scope (declined geometry simply isn't drawn;
-    the render stays deterministic)."""
+    inputs): rectangle FILLS, stroked LINE segments — including
+    Bézier curves (``c``/``v``/``y``) flattened to deterministic
+    16-chord polylines — and image XObject PLACEMENTS, all in device
+    space via the full q/Q/cm CTM stack. Rectangular clipping
+    (``W``/``W*``) is honored per ISO 32000-1 §8.5.4: a single-rect
+    clip path under an axis-preserving CTM intersects the active
+    clip (saved/restored by q/Q); fills clip by rect intersection,
+    strokes by Liang–Barsky. DECLINED BY NAME (not drawn / not
+    clipped, render stays deterministic): fills of non-rect (curved)
+    subpaths, non-rectangular or multi-rect or rotated-CTM clip
+    paths (the clip is left unchanged rather than mis-approximated
+    by a bounding box, which would under-clip), clipping of image
+    placements, shading/pattern paints. Returns ``{"fills":
+    [(x0,y0,x1,y1,gray)], "lines": [(x0,y0,x1,y1,gray)], "images":
+    [(name, ctm)]}``."""
     ctm = _ID6
+    # graphics-state stack entries are (ctm, clip)
     ctm_stack: list[tuple] = []
+    clip: tuple | None = None  # device-space (x0, y0, x1, y1)
+    pending_clip = False
     fill_g = stroke_g = 0  # PDF initial color is black
     # current path: rect fills + polyline segments, in USER space
     rects: list[tuple] = []
@@ -2360,35 +2406,73 @@ def content_draw_ops(content: bytes) -> dict:
         a, b, c, d, e, f = ctm
         return (a * x + c * y + e, b * x + d * y + f)
 
+    def flatten(p0: tuple, p1: tuple, p2: tuple, p3: tuple) -> None:
+        """Cubic Bézier -> _BEZIER_CHORDS user-space chords."""
+        prev = p0
+        for i in range(1, _BEZIER_CHORDS + 1):
+            t = i / _BEZIER_CHORDS
+            u = 1.0 - t
+            x = (u * u * u * p0[0] + 3 * u * u * t * p1[0]
+                 + 3 * u * t * t * p2[0] + t * t * t * p3[0])
+            y = (u * u * u * p0[1] + 3 * u * u * t * p1[1]
+                 + 3 * u * t * t * p2[1] + t * t * t * p3[1])
+            segs.append((prev, (x, y)))
+            prev = (x, y)
+
     def paint(fill: bool, stroke: bool) -> None:
-        nonlocal rects, segs, cur_pt, start_pt
+        nonlocal rects, segs, cur_pt, start_pt, clip, pending_clip
         if fill:
             for x, y, w, h in rects:
                 p0, p1 = pt(x, y), pt(x + w, y + h)
-                fills.append(
-                    (min(p0[0], p1[0]), min(p0[1], p1[1]),
-                     max(p0[0], p1[0]), max(p0[1], p1[1]), fill_g)
-                )
+                r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
+                     max(p0[0], p1[0]), max(p0[1], p1[1]))
+                if clip is not None:
+                    r = (max(r[0], clip[0]), max(r[1], clip[1]),
+                         min(r[2], clip[2]), min(r[3], clip[3]))
+                    if r[0] >= r[2] or r[1] >= r[3]:
+                        continue
+                fills.append((*r, fill_g))
         if stroke:
-            for (x0, y0), (x1, y1) in segs:
-                p0, p1 = pt(x0, y0), pt(x1, y1)
-                lines.append((p0[0], p0[1], p1[0], p1[1], stroke_g))
+            all_segs = list(segs)
             for x, y, w, h in rects:
-                for p0, p1 in (((x, y), (x + w, y)),
-                               ((x + w, y), (x + w, y + h)),
-                               ((x + w, y + h), (x, y + h)),
-                               ((x, y + h), (x, y))):
-                    q0, q1 = pt(*p0), pt(*p1)
-                    lines.append((q0[0], q0[1], q1[0], q1[1], stroke_g))
+                all_segs += [((x, y), (x + w, y)),
+                             ((x + w, y), (x + w, y + h)),
+                             ((x + w, y + h), (x, y + h)),
+                             ((x, y + h), (x, y))]
+            for (x0, y0), (x1, y1) in all_segs:
+                p0, p1 = pt(x0, y0), pt(x1, y1)
+                seg = (p0[0], p0[1], p1[0], p1[1])
+                if clip is not None:
+                    seg = _clip_seg(*seg, clip)
+                    if seg is None:
+                        continue
+                lines.append((*seg, stroke_g))
+        if pending_clip:
+            # §8.5.4: the clip updates AFTER the path paints. Only a
+            # single-rect path whose CTM maps rects to axis-aligned
+            # rects becomes a clip; anything else is declined by name
+            # (see docstring) and leaves the clip unchanged.
+            a, b, c, d, _, _ = ctm
+            axis_aligned = (b == 0 and c == 0) or (a == 0 and d == 0)
+            if len(rects) == 1 and not segs and axis_aligned:
+                x, y, w, h = rects[0]
+                p0, p1 = pt(x, y), pt(x + w, y + h)
+                new = (min(p0[0], p1[0]), min(p0[1], p1[1]),
+                       max(p0[0], p1[0]), max(p0[1], p1[1]))
+                clip = new if clip is None else (
+                    max(clip[0], new[0]), max(clip[1], new[1]),
+                    min(clip[2], new[2]), min(clip[3], new[3]),
+                )
+            pending_clip = False
         rects, segs, cur_pt, start_pt = [], [], None, None
 
     for op, stack in _iter_content_ops(content):
         try:
             if op == b"q":
-                ctm_stack.append(ctm)
+                ctm_stack.append((ctm, clip))
             elif op == b"Q":
                 if ctm_stack:
-                    ctm = ctm_stack.pop()
+                    ctm, clip = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"g" and stack:
@@ -2414,6 +2498,27 @@ def content_draw_ops(content: bytes) -> dict:
                 if cur_pt is not None:
                     segs.append((cur_pt, p))
                 cur_pt = p
+            elif op == b"c" and len(stack) >= 6 and cur_pt is not None:
+                c1 = (float(stack[-6]), float(stack[-5]))
+                c2 = (float(stack[-4]), float(stack[-3]))
+                p3 = (float(stack[-2]), float(stack[-1]))
+                flatten(cur_pt, c1, c2, p3)
+                cur_pt = p3
+            elif op == b"v" and len(stack) >= 4 and cur_pt is not None:
+                # first control point = current point (ISO 32000-1
+                # Table 58)
+                c2 = (float(stack[-4]), float(stack[-3]))
+                p3 = (float(stack[-2]), float(stack[-1]))
+                flatten(cur_pt, cur_pt, c2, p3)
+                cur_pt = p3
+            elif op == b"y" and len(stack) >= 4 and cur_pt is not None:
+                # second control point = endpoint
+                c1 = (float(stack[-4]), float(stack[-3]))
+                p3 = (float(stack[-2]), float(stack[-1]))
+                flatten(cur_pt, c1, p3, p3)
+                cur_pt = p3
+            elif op in (b"W", b"W*"):
+                pending_clip = True
             elif op == b"h":
                 if cur_pt is not None and start_pt is not None:
                     segs.append((cur_pt, start_pt))

@@ -2433,3 +2433,89 @@ class TestPageAttributes:
         h0 = codec.open(pdf0)
         w0, hh0, px0 = codec._composite_pixels(h0, 1)
         assert (w0, hh0) == (612, 792)
+
+
+class TestDrawOpsCurvesAndClipping:
+    """Round-7: Bézier flattening (deterministic 16 chords) and
+    rectangular W/W* clipping in content_draw_ops; decline-by-name
+    for non-rect / multi-rect / skew-CTM clip paths."""
+
+    def test_cubic_flattens_to_16_chords(self):
+        d = minipdf.content_draw_ops(b"0 0 m 55 0 100 45 100 100 c S")
+        assert len(d["lines"]) == minipdf._BEZIER_CHORDS
+        # chain is contiguous and ends at the curve endpoint
+        assert (d["lines"][0][0], d["lines"][0][1]) == (0.0, 0.0)
+        assert (d["lines"][-1][2], d["lines"][-1][3]) == (100.0, 100.0)
+        for a, b in zip(d["lines"], d["lines"][1:]):
+            assert (a[2], a[3]) == (b[0], b[1])
+
+    def test_v_and_y_control_point_conventions(self):
+        # v: first control point = current point; y: second = endpoint
+        # (ISO 32000-1 Table 59) — each must equal its explicit c twin
+        c_v = minipdf.content_draw_ops(b"0 0 m 0 0 100 45 100 100 c S")
+        v = minipdf.content_draw_ops(b"0 0 m 100 45 100 100 v S")
+        assert v["lines"] == c_v["lines"]
+        c_y = minipdf.content_draw_ops(b"0 0 m 55 0 100 100 100 100 c S")
+        y = minipdf.content_draw_ops(b"0 0 m 55 0 100 100 y S")
+        assert y["lines"] == c_y["lines"]
+
+    def test_clip_intersects_fills(self):
+        d = minipdf.content_draw_ops(
+            b"q 10 10 50 50 re W n 0 0 200 200 re f Q 0 0 5 5 re f"
+        )
+        assert d["fills"] == [
+            (10.0, 10.0, 60.0, 60.0, 0),
+            (0.0, 0.0, 5.0, 5.0, 0),  # clip restored by Q
+        ]
+
+    def test_clip_takes_effect_after_defining_path_paints(self):
+        # ISO 32000-1 8.5.4: 'W f' paints the full path, THEN clips
+        d = minipdf.content_draw_ops(
+            b"10 10 50 50 re W f 0 0 200 200 re f"
+        )
+        assert d["fills"][0] == (10.0, 10.0, 60.0, 60.0, 0)
+        assert d["fills"][1] == (10.0, 10.0, 60.0, 60.0, 0)
+
+    def test_clip_liang_barsky_on_strokes(self):
+        d = minipdf.content_draw_ops(b"20 20 40 40 re W n 0 0 m 100 100 l S")
+        assert d["lines"] == [(20.0, 20.0, 60.0, 60.0, 0)]
+        # fully-outside segment vanishes
+        d = minipdf.content_draw_ops(b"20 20 40 40 re W n 0 0 m 5 0 l S")
+        assert d["lines"] == []
+
+    def test_fill_outside_clip_dropped(self):
+        d = minipdf.content_draw_ops(b"300 300 10 10 re W n 0 0 100 100 re f")
+        assert d["fills"] == []
+
+    def test_nested_clips_intersect(self):
+        d = minipdf.content_draw_ops(
+            b"0 0 100 100 re W n 50 50 100 100 re W n 0 0 200 200 re f"
+        )
+        assert d["fills"] == [(50.0, 50.0, 100.0, 100.0, 0)]
+
+    def test_declined_clips_leave_state_unchanged(self):
+        # skew CTM: transformed rect is not axis-aligned
+        d = minipdf.content_draw_ops(
+            b"q 1 0.5 0 1 0 0 cm 10 10 20 20 re W n Q 0 0 9 9 re f"
+        )
+        assert d["fills"] == [(0.0, 0.0, 9.0, 9.0, 0)]
+        # multi-rect clip path (union is not a rect)
+        d = minipdf.content_draw_ops(
+            b"0 0 10 10 re 50 50 10 10 re W n 0 0 100 100 re f"
+        )
+        assert d["fills"] == [(0.0, 0.0, 100.0, 100.0, 0)]
+        # curved clip path
+        d = minipdf.content_draw_ops(
+            b"0 0 m 10 20 30 20 40 0 c W n 0 0 100 100 re f"
+        )
+        assert d["fills"] == [(0.0, 0.0, 100.0, 100.0, 0)]
+
+    def test_rotated_ctm_rect_clip_still_clips(self):
+        # a 90-degree CTM maps rects to axis-aligned rects: the clip
+        # holds (fill stays inside the q scope; Q would restore it)
+        d = minipdf.content_draw_ops(
+            b"0 1 -1 0 0 0 cm 10 10 20 20 re W n -100 0 200 200 re f"
+        )
+        # user clip (10,10)-(30,30) -> device (-30,10)-(-10,30);
+        # user fill (-100,0)-(100,200) -> device (-200,-100)-(0,100)
+        assert d["fills"] == [(-30.0, 10.0, -10.0, 30.0, 0)]
