@@ -15,12 +15,17 @@ echo "== oracle gate on real executor JVMs (local-cluster) =="
 # local[N] shares one JVM with the driver and structurally hides
 # closure-serialization / broadcast-lifecycle / worker-import bugs
 # (round 5 caught a real one: the package was never shipped to
-# executors). This runs the same 175-query gate on separate JVMs.
-python tools/verify_local.py --sf "$SF" --master 'local-cluster[2,4,4096]'
+# executors). This runs the full gate on separate JVMs — round 7
+# moved to a HETEROGENEOUS 3-executor shape (3x2x2048, odd executor
+# count so partition counts never divide evenly) per the verdict.
+python tools/verify_local.py --sf "$SF" --master 'local-cluster[3,2,2048]'
 
 echo "== streaming + curation tests on real executor JVMs =="
-SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' \
+SPARK_GRAFT_MASTER='local-cluster[3,2,2048]' \
   python -m pytest tests/test_streaming.py tests/test_curate.py -q
+
+echo "== dynamic-allocation / shuffle-tracking smoke =="
+python tools/dynalloc_smoke.py
 
 echo "== bench (sf0.1) =="
 python bench.py | tee /tmp/bench_now.json
@@ -38,3 +43,6 @@ python tools/scale_check.py
 
 echo "== memory-pressure spill law (10M rows, 1GiB executors) =="
 python tools/spill_check.py
+
+echo "== spill law on the heterogeneous 3x2x2048 shape (~30M rows) =="
+SPILL_EXECUTORS=3 SPILL_CORES=2 SPILL_MEM_MB=2048 python tools/spill_check.py

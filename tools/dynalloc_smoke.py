@@ -1,0 +1,130 @@
+"""Dynamic-allocation / shuffle-tracking smoke (round-7 verdict item
+7): on real separate executor JVMs (standalone local-cluster), run a
+shuffle-heavy aggregation with ``spark.dynamicAllocation.enabled``
+and shuffle tracking (the Spark-3+ replacement for an external
+shuffle service on masters that lack one), then assert:
+
+1. the result is EXACT (integer conservation law — elasticity must
+   never change an answer);
+2. dynamic allocation is genuinely active (confs read back from the
+   live session);
+3. the application SCALES DOWN after idle (active executors drop
+   below the initial count within the poll window) — the elasticity
+   behavior a 1000-executor cluster relies on to release capacity.
+
+Prints one JSON line; exit 0 iff all three laws hold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf2dataset_spark.session import get_spark  # noqa: E402
+
+MASTER = os.environ.get("DYNALLOC_MASTER", "local-cluster[3,2,2048]")
+
+
+def _active_executors(spark) -> int:
+    """Non-driver executors with live status, via the REST API."""
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/executors", timeout=10
+    ) as r:
+        execs = json.load(r)
+    return sum(1 for e in execs if e.get("id") != "driver" and e.get("isActive"))
+
+
+def main() -> None:
+    spark = get_spark(
+        "dynalloc-smoke",
+        master=MASTER,
+        shuffle_partitions=24,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4056",
+            "spark.executor.cores": "2",
+            "spark.dynamicAllocation.enabled": "true",
+            "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+            "spark.dynamicAllocation.minExecutors": "1",
+            "spark.dynamicAllocation.initialExecutors": "3",
+            "spark.dynamicAllocation.maxExecutors": "3",
+            "spark.dynamicAllocation.executorIdleTimeout": "5s",
+            # shuffle files pin executors until tracked state expires
+            "spark.dynamicAllocation.shuffleTracking.timeout": "10s",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n = 4_000_000
+    # conservation law through a real shuffle: sum of per-group sums
+    # == closed-form total of 0..n-1
+    df = (
+        spark.range(n)
+        .select((F.col("id") % 997).alias("g"), F.col("id"))
+        .groupBy("g")
+        .agg(F.sum("id").alias("s"))
+    )
+    total = df.agg(F.sum("s")).collect()[0][0]
+    exact = total == n * (n - 1) // 2
+    # peak: poll right after the job while the initial fleet is live
+    peak = 0
+    for _ in range(10):
+        try:
+            peak = max(peak, _active_executors(spark))
+        except Exception:
+            pass
+        if peak >= 2:
+            break
+        time.sleep(1)
+
+    conf_on = (
+        spark.conf.get("spark.dynamicAllocation.enabled") == "true"
+        and spark.conf.get("spark.dynamicAllocation.shuffleTracking.enabled")
+        == "true"
+    )
+
+    # idle scale-down: a GENUINE decrease from a multi-executor peak
+    scaled_down = False
+    deadline = time.time() + 90
+    low = peak
+    while time.time() < deadline:
+        time.sleep(3)
+        try:
+            cur = _active_executors(spark)
+        except Exception:
+            continue
+        low = min(low, cur)
+        if peak >= 2 and cur < peak:
+            scaled_down = True
+            break
+
+    ok = exact and conf_on and peak >= 2 and scaled_down
+    print(
+        json.dumps(
+            {
+                "all_ok": ok,
+                "master": MASTER,
+                "rows": n,
+                "exact_total": exact,
+                "dynalloc_active": conf_on,
+                "peak_executors": peak,
+                "peak_multi_executor": peak >= 2,
+                "min_executors_seen": low,
+                "scaled_down": scaled_down,
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,12 @@ exceeds the executors' unified-memory budget, then asserts:
    spill; AQE may instead stream some aggregations — the bound plus
    completion is the law, spill bytes the evidence when present).
 
-Usage: python tools/spill_check.py [n_rows]   (default 10M)
-Prints one JSON line.
+Usage: python tools/spill_check.py [n_rows]
+Topology via env (round-7 verdict item 7 — the law must hold on a
+heterogeneous cluster shape, not just 2x1): SPILL_EXECUTORS (default
+2), SPILL_CORES (1), SPILL_MEM_MB (1024). Default n_rows scales with
+the topology so the per-executor working set exceeds the execution
+budget by the same ~1.5x margin at any shape. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -36,8 +40,10 @@ from pyspark.sql.window import Window  # noqa: E402
 
 from pdf2dataset_spark.session import get_spark  # noqa: E402
 
-EXEC_MEM_MB = 1024
-MASTER = f"local-cluster[2,1,{EXEC_MEM_MB}]"
+N_EXECUTORS = int(os.environ.get("SPILL_EXECUTORS", "2"))
+N_CORES = int(os.environ.get("SPILL_CORES", "1"))
+EXEC_MEM_MB = int(os.environ.get("SPILL_MEM_MB", "1024"))
+MASTER = f"local-cluster[{N_EXECUTORS},{N_CORES},{EXEC_MEM_MB}]"
 
 
 def _spill_bytes(spark) -> dict:
@@ -59,8 +65,21 @@ def _spill_bytes(spark) -> dict:
         return {"error": str(e)}
 
 
+#: bytes per synthetic row (id, g, val, 64B pad, overhead)
+ROW_BYTES = 8 + 8 + 8 + 64 + 8
+
+
+def default_rows() -> int:
+    """Smallest round row count whose PER-EXECUTOR working set
+    exceeds the execution budget by ~1.5x (2x1x1024 -> the historical
+    10M; 3x2x2048 -> ~29M)."""
+    budget_mb = int(EXEC_MEM_MB * 0.6 * 0.5)
+    n = int(1.5 * N_EXECUTORS * budget_mb * (1 << 20) / ROW_BYTES)
+    return max(10_000_000, (n // 1_000_000) * 1_000_000)
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else default_rows()
     spark = get_spark(
         "spill-check",
         master=MASTER,
@@ -100,13 +119,12 @@ def main() -> None:
             F.repeat(F.lit("x"), 64).alias("pad"),
         )
     )
-    row_bytes = 8 + 8 + 8 + 64 + 8
-    working_set_mb = n * row_bytes // (1 << 20)
+    working_set_mb = n * ROW_BYTES // (1 << 20)
     # each executor sorts/aggregates ~half the rows inside its
     # EXECUTION share of unified memory (fraction 0.6, half of which
     # storage may claim): that per-task budget is what the working
     # set must exceed for the spill path to engage
-    per_exec_ws_mb = working_set_mb // 2
+    per_exec_ws_mb = working_set_mb // N_EXECUTORS
     budget_mb = int(EXEC_MEM_MB * 0.6 * 0.5)
 
     def sorted_law():
@@ -191,9 +209,9 @@ def main() -> None:
         assert total_joined == total_direct, (total_joined, total_direct)
         return {"regions": by_region.count()}
 
-    check("sort_10M_under_1g_executors", sorted_law)
-    check("running_window_10M_under_1g_executors", window_law)
-    check("broadcast_join_agg_10M_under_1g_executors", join_agg_law)
+    check("sort_under_pressure", sorted_law)
+    check("running_window_under_pressure", window_law)
+    check("broadcast_join_agg_under_pressure", join_agg_law)
 
     spill = _spill_bytes(spark)
     ok = all(v["ok"] for v in results.values())
