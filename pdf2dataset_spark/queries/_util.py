@@ -29,17 +29,26 @@ def _session_broadcast_threshold(spark: SparkSession) -> int:
             spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
         )
     except Exception:
+        # string fallback (e.g. Spark Connect): parse Spark byte-size
+        # syntax; anything unparseable degrades to the Spark default
+        # (10 MB) rather than crashing query construction
         raw = str(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         ).strip().lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                             ("b", 1)):
-            if raw.endswith(suffix):
-                return int(raw[: -len(suffix)]) * mult
-        if raw and raw[-1] in units:
-            return int(raw[:-1]) * units[raw[-1]]
-        return int(raw)
+        try:
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                     "t": 1 << 40, "p": 1 << 50}
+            for suffix, mult in (
+                ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                ("tb", 1 << 40), ("pb", 1 << 50), ("b", 1),
+            ):
+                if raw.endswith(suffix):
+                    return int(float(raw[: -len(suffix)]) * mult)
+            if raw and raw[-1] in units:
+                return int(float(raw[:-1]) * units[raw[-1]])
+            return int(float(raw))
+        except ValueError:
+            return 10 * (1 << 20)
 
 
 def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:

@@ -2032,14 +2032,23 @@ def _xy_cut(runs: list[dict], med: float) -> list[list[dict]]:
     return _emit_lines(runs)
 
 
-def _reading_frame(runs: list[dict]) -> list[dict]:
+def _reading_frame(
+    runs: list[dict],
+    frame: tuple[float, float] | None = None,
+) -> list[dict]:
     """Map runs into the dominant-orientation READING frame (in
     place): vote the text direction into a quadrant (weighted by
-    glyph count) and rotate device coords so text flows
-    left-to-right — 90/180/270-degree pages then order correctly
-    under the standard XY-cut; minority runs (watermarks) follow the
-    majority. Shared by content_text_layout and content_word_boxes
-    so both surfaces agree on rotated pages."""
+    glyph count) and rotate coords so text flows left-to-right —
+    90/180/270-degree pages then order correctly under the standard
+    XY-cut; minority runs (watermarks) follow the majority. The
+    remap is ANCHORED to the page ``frame`` (its (w, h); US Letter
+    default): coordinates stay inside a positive page box instead of
+    rotating about the origin, so the composition with the /Rotate
+    display transform is the IDENTITY for upright-in-display text —
+    a /Rotate page whose text displays sideways reads in the text's
+    own frame with its original in-page coordinates, the poppler
+    convention. Shared by content_text_layout and
+    content_word_boxes so both surfaces agree on rotated pages."""
     import math
 
     votes = [0, 0, 0, 0]
@@ -2048,16 +2057,25 @@ def _reading_frame(runs: list[dict]) -> list[dict]:
         votes[q] += len(r["text"]) or 1
     dom = max(range(4), key=lambda q: votes[q])
     if dom:
-        # rotate device coords by -90*dom: x' = x*c + y*s ; y' = y*c - x*s
-        c = (1, 0, -1, 0)[dom]
-        s = (0, 1, 0, -1)[dom]
+        w, h = frame or (612.0, 792.0)
+        # text pointing up (dom=1) reads after rotating the frame 90
+        # clockwise; left (2) after 180; down (3) after 270
+        rot = (90, 180, 270)[dom - 1]
         for r in runs:
-            x, y = r["x"], r["y"]
             length = r["x_end"] - r["x"]  # advance along text direction
-            r["x"] = x * c + y * s
-            r["y"] = y * c - x * s
+            r["x"], r["y"] = rotate_point(r["x"], r["y"], rot, w, h)
             r["x_end"] = r["x"] + length
     return runs
+
+
+def _display_frame(
+    rotate: int,
+    media_box: tuple[float, float, float, float] | None,
+) -> tuple[float, float]:
+    """(w, h) of the DISPLAYED page frame (dims swap at 90/270)."""
+    x0, y0, x1, y1 = media_box or (0.0, 0.0, 612.0, 792.0)
+    w, h = x1 - x0, y1 - y0
+    return (h, w) if rotate in (90, 270) else (w, h)
 
 
 def content_word_boxes(
@@ -2076,7 +2094,8 @@ def content_word_boxes(
     engine uses, so boxes are approximate but reproducible. y0 is the
     baseline, y1 = baseline + the device font size (ascent box)."""
     runs = _reading_frame(
-        _rotate_runs(_text_runs(content, fonts), rotate, media_box)
+        _rotate_runs(_text_runs(content, fonts), rotate, media_box),
+        frame=_display_frame(rotate, media_box),
     )
     out: list[dict] = []
     if not runs:
@@ -2159,7 +2178,8 @@ def _layout_lines(
     end of :func:`content_text_layout` and
     :func:`content_paragraphs`."""
     runs = _reading_frame(
-        _rotate_runs(_text_runs(content, fonts), rotate, media_box)
+        _rotate_runs(_text_runs(content, fonts), rotate, media_box),
+        frame=_display_frame(rotate, media_box),
     )
     if not runs:
         return []
@@ -2263,7 +2283,10 @@ def page_rotation(doc: "PdfDocument", page: dict) -> int:
     and unresolvable values degrade to 0 (no rotation), never an
     error."""
     try:
-        rot = int(doc.resolve(page.get("/Rotate")) or 0)
+        val = doc.resolve(page.get("/Rotate")) or 0
+        rot = int(val)
+        if rot != val:  # 90.5 is NOT a multiple of 90 — degrade, not truncate
+            return 0
     except (TypeError, ValueError):
         return 0
     rot %= 360
@@ -2297,9 +2320,20 @@ def _rotate_runs(
     upright via /Rotate (the scanner convention) then reads exactly
     like an upright page, and word boxes anchor to the displayed
     page box. Direction vectors rotate with the frame so the vote
-    sees DISPLAYED text directions; rotate=0 (the attribute-less
-    default) is a strict no-op, keeping vote behavior unchanged."""
-    if rotate not in (90, 180, 270) or not runs:
+    sees DISPLAYED text directions. rotate=0 with a media_box still
+    normalizes to the box origin (one consistent anchor across
+    rotated and unrotated pages of a document); rotate=0 WITHOUT a
+    media_box (direct content_* calls) is a strict no-op, keeping
+    raw device coordinates and vote behavior unchanged."""
+    if not runs:
+        return runs
+    if rotate not in (90, 180, 270):
+        if media_box and (media_box[0] or media_box[1]):
+            dx, dy = media_box[0], media_box[1]
+            for r in runs:
+                r["x"] -= dx
+                r["x_end"] -= dx
+                r["y"] -= dy
         return runs
     x0, y0, x1, y1 = media_box or (0.0, 0.0, 612.0, 792.0)
     w, h = x1 - x0, y1 - y0

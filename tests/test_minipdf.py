@@ -2519,3 +2519,56 @@ class TestDrawOpsCurvesAndClipping:
         # user clip (10,10)-(30,30) -> device (-30,10)-(-10,30);
         # user fill (-100,0)-(100,200) -> device (-200,-100)-(0,100)
         assert d["fills"] == [(-30.0, 10.0, -10.0, 30.0, 0)]
+
+
+class TestRotateAnchoring:
+    """Round-7 review regression: the orientation vote's remap is
+    ANCHORED to the page frame. A /Rotate page whose text is upright
+    in USER space (displays sideways) must keep its original in-page
+    coordinates — display rotation composed with the anchored vote is
+    the identity (the pre-/Rotate behavior, and poppler's)."""
+
+    def _pdf(self, content, page_extra=b""):
+        return TestPageAttributes._pdf(content, page_extra=page_extra)
+
+    UP = b"\n".join([
+        b"BT", b"/F1 12 Tf",
+        b"1 0 0 1 72 700 Tm", b"(hello world) Tj", b"ET",
+    ])
+
+    def test_rotate_with_upright_text_keeps_inpage_boxes(self):
+        for rot in (b"90", b"180", b"270"):
+            pdf = self._pdf(
+                self.UP,
+                page_extra=b"/Rotate " + rot + b" /MediaBox [0 0 612 792] ",
+            )
+            boxes = minipdf.extract_page_word_boxes(pdf)[0]
+            assert [(b["word"], b["x0"], b["y0"]) for b in boxes] == [
+                ("hello", 72.0, 700.0), ("world", 108.0, 700.0),
+            ], rot
+            assert all(0 <= b["x0"] <= 612 and 0 <= b["y0"] <= 792
+                       for b in boxes), rot
+
+    def test_content_rotated_page_boxes_are_anchored_positive(self):
+        # no /Rotate, text rotated in-plane: the vote alone must also
+        # land positive page-frame coordinates (previously negative)
+        ops = [b"BT", b"/F1 12 Tf",
+               b"0 1 -1 0 500 100 Tm", b"(rotated second) Tj",
+               b"0 1 -1 0 486 100 Tm", b"(rotated first) Tj", b"ET"]
+        boxes = minipdf.content_word_boxes(b"\n".join(ops))
+        assert [b["word"] for b in boxes] == [
+            "rotated", "first", "rotated", "second",
+        ]
+        assert all(b["x0"] >= 0 and b["y0"] >= 0 for b in boxes)
+
+    def test_nonzero_origin_media_box_anchors_consistently(self):
+        # rotate=0 with an offset MediaBox normalizes to the box
+        # origin, same anchor the rotated paths use
+        pdf = self._pdf(self.UP, page_extra=b"/MediaBox [20 20 632 812] ")
+        boxes = minipdf.extract_page_word_boxes(pdf)[0]
+        assert (boxes[0]["x0"], boxes[0]["y0"]) == (52.0, 680.0)
+
+    def test_fractional_rotate_degrades_to_zero(self):
+        pdf = self._pdf(self.UP, page_extra=b"/Rotate 90.5 ")
+        doc = minipdf.PdfDocument(pdf)
+        assert minipdf.page_rotation(doc, doc.pages()[0]) == 0

@@ -260,7 +260,11 @@ def test_q2_decorrelated_to_aggregate_plus_join(spark, registry):
     assert shuffle_count(df) <= 5, audit(df)
     # Runtime: AQE must land broadcast joins in the final plan.
     df.collect()
-    final = explain_string(df).split("== Initial Plan ==")[0]
+    plan = explain_string(df)
+    # without the marker the split is the whole plan and the assert
+    # below would pass vacuously off the static broadcasts
+    assert "== Initial Plan ==" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
 
 
@@ -454,6 +458,7 @@ def test_pq_adc_broadcasts_codebooks_no_cartesian(spark, registry):
 #: pinned ``F.broadcast(...)`` in the query modules. Every name is
 #: bounded by SCHEMA or by construction, never by corpus size.
 _PINNED_BROADCAST_ALLOWLIST = {
+    "_util.py": {"df"},  # maybe_broadcast's own guarded hint site
     "tier_tpch.py": {
         "n", "n1", "n2",      # nation (25 rows)
         "r",                  # region (5 rows)
@@ -485,14 +490,22 @@ def test_no_pinned_broadcast_on_corpus_growing_relations():
     import ast
     import os
 
+    import glob as _glob
+
     qdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "pdf2dataset_spark",
         "queries",
     )
     violations = []
-    for fname, allowed in _PINNED_BROADCAST_ALLOWLIST.items():
-        tree = ast.parse(open(os.path.join(qdir, fname)).read())
+    # every module in the package is audited; a module absent from
+    # the allowlist gets the EMPTY set, so a future tier_h.py cannot
+    # silently escape the guard
+    for path in sorted(_glob.glob(os.path.join(qdir, "*.py"))):
+        fname = os.path.basename(path)
+        allowed = _PINNED_BROADCAST_ALLOWLIST.get(fname, set())
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
         for node in ast.walk(tree):
             if not (
                 isinstance(node, ast.Call)

@@ -107,6 +107,11 @@ def main() -> None:
             break
 
     ok = exact and conf_on and peak >= 2 and scaled_down
+    # exit discipline: a wrong ANSWER or inactive dynalloc is a hard
+    # failure (1); peak/scale-down are wall-clock-timing laws on a
+    # shared host — they exit 2 so ci.sh can warn instead of
+    # aborting the whole gate on a loaded machine
+    hard_fail = not (exact and conf_on)
     print(
         json.dumps(
             {
@@ -123,7 +128,7 @@ def main() -> None:
         )
     )
     spark.stop()
-    sys.exit(0 if ok else 1)
+    sys.exit(0 if ok else (1 if hard_fail else 2))
 
 
 if __name__ == "__main__":
