@@ -761,7 +761,47 @@ def main() -> None:
     check("shard_packing_cross_engine_10M", shard_packing_cross_engine)
     check("bpe_pairs_cross_engine_10M", bpe_pairs_cross_engine)
     check("imagehash_banding_law_600k", imagehash_banding_law)
+    # 18. size-guarded broadcast fallback at 10M (round 7): the sql26
+    # join shape through maybe_broadcast must produce IDENTICAL exact
+    # integer aggregates with the hint applied (broadcast plan) and
+    # with the guard refusing it (threshold -1 -> shuffle join) —
+    # the 100x behavior of every swept tier_tpch query, exercised at
+    # a scale the sf-level oracles never reach.
+    def guarded_broadcast_fallback():
+        from pdf2dataset_spark.queries._util import maybe_broadcast
+
+        n = int(10_000_000 * mult)
+        dims = 400_000
+        fact = spark.range(n).select(
+            (F.col("id") % dims).alias("k"),
+            (F.xxhash64("id") % 1000).alias("v"),
+        )
+        dim = spark.range(dims).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7919 % 99001).alias("cost"),
+        )
+
+        def run():
+            j = fact.join(maybe_broadcast(dim), "k")
+            row = j.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("v") * F.col("cost")).alias("amt"),
+            ).collect()[0]
+            return row["cnt"], row["amt"]
+
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        hinted = run()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            fallback = run()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        assert hinted == fallback, (hinted, fallback)
+        assert hinted[0] == n
+        return {"rows": n, "dim_rows": dims, "total": int(hinted[1])}
+
     check("pq_ivfpq_dup_law_1M", pq_ivfpq_dup_law)
+    check("guarded_broadcast_fallback_10M", guarded_broadcast_fallback)
     # the ranked frames persisted by checks 1/2/12 are no longer
     # needed once their actions finish — release so a long harness run
     # doesn't hold cached RDDs (and to exercise the cleanup path)
