@@ -319,7 +319,7 @@ class PdfCodec(DocumentCodec):
                     if rot:
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                     placed.append((gray[0], gray[1], gray[2], shifted))
-        if not (draw["fills"] or draw["lines"] or placed):
+        if not (draw["fills"] or draw["polys"] or draw["lines"] or placed):
             return None
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
@@ -334,6 +334,10 @@ class PdfCodec(DocumentCodec):
                    for fx0, fy0, fx1, fy1, g in draw["fills"]],
             lines=[dseg(lx0 - x0, ly0 - y0, lx1 - x0, ly1 - y0, g)
                    for lx0, ly0, lx1, ly1, g in draw["lines"]],
+            polys=[
+                ([dpt(vx - x0, vy - y0) for vx, vy in pts], g)
+                for pts, g in draw["polys"]
+            ],
             images=placed,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"]) for r in runs

@@ -2404,6 +2404,51 @@ def _clip_seg(
     return (x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy)
 
 
+def _clip_poly(pts: list[tuple], clip: tuple) -> list[tuple]:
+    """Sutherland–Hodgman polygon clip against an axis-aligned
+    device rect; [] when fully outside."""
+    cx0, cy0, cx1, cy1 = clip
+
+    def half(pts, inside, cross):
+        out = []
+        for a, b in zip(pts, pts[1:] + pts[:1]):
+            ia, ib = inside(a), inside(b)
+            if ia:
+                out.append(a)
+            if ia != ib:
+                out.append(cross(a, b))
+        return out
+
+    def x_cross(bound):
+        def f(a, b):
+            t = (bound - a[0]) / (b[0] - a[0])
+            return (bound, a[1] + t * (b[1] - a[1]))
+        return f
+
+    def y_cross(bound):
+        def f(a, b):
+            t = (bound - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), bound)
+        return f
+
+    for inside, cross in (
+        (lambda p: p[0] >= cx0, x_cross(cx0)),
+        (lambda p: p[0] <= cx1, x_cross(cx1)),
+        (lambda p: p[1] >= cy0, y_cross(cy0)),
+        (lambda p: p[1] <= cy1, y_cross(cy1)),
+    ):
+        pts = half(pts, inside, cross)
+        if not pts:
+            return []
+    return pts
+
+
+#: Per-polygon vertex budget for composite fills: a crafted content
+#: stream cannot force unbounded scanline work (beyond it the subpath
+#: strokes but declines to fill — deterministic degraded fidelity).
+_MAX_POLY_VERTICES = 4096
+
+
 def content_draw_ops(content: bytes) -> dict:
     """Geometry the page paints besides text (composite render
     inputs): rectangle FILLS, stroked LINE segments — including
@@ -2413,26 +2458,33 @@ def content_draw_ops(content: bytes) -> dict:
     (``W``/``W*``) is honored per ISO 32000-1 §8.5.4: a single-rect
     clip path under an axis-preserving CTM intersects the active
     clip (saved/restored by q/Q); fills clip by rect intersection,
-    strokes by Liang–Barsky. DECLINED BY NAME (not drawn / not
-    clipped, render stays deterministic): fills of non-rect (curved)
-    subpaths, non-rectangular or multi-rect or rotated-CTM clip
-    paths (the clip is left unchanged rather than mis-approximated
-    by a bounding box, which would under-clip), clipping of image
-    placements, shading/pattern paints. Returns ``{"fills":
-    [(x0,y0,x1,y1,gray)], "lines": [(x0,y0,x1,y1,gray)], "images":
-    [(name, ctm)]}``."""
+    strokes by Liang–Barsky. Non-rect subpaths (polylines and
+    flattened curves) FILL as device-space polygons under the
+    EVEN-ODD scanline rule — ``f`` (nonzero) is approximated by
+    even-odd, which agrees except on self-overlapping paths.
+    DECLINED BY NAME (not drawn / not clipped, render stays
+    deterministic): polygons past the vertex budget, non-rectangular
+    or multi-rect or rotated-CTM clip paths (the clip is left
+    unchanged rather than mis-approximated by a bounding box, which
+    would under-clip), clipping of image placements, self-overlap
+    nonzero/even-odd divergence, shading/pattern paints. Returns
+    ``{"fills": [(x0,y0,x1,y1,gray)], "polys": [(points, gray)],
+    "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)]}``."""
     ctm = _ID6
     # graphics-state stack entries are (ctm, clip)
     ctm_stack: list[tuple] = []
     clip: tuple | None = None  # device-space (x0, y0, x1, y1)
     pending_clip = False
     fill_g = stroke_g = 0  # PDF initial color is black
-    # current path: rect fills + polyline segments, in USER space
+    # current path: rect fills + polyline segments + ordered
+    # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
     segs: list[tuple] = []
+    subpaths: list[list] = []
     cur_pt: tuple | None = None
     start_pt: tuple | None = None
     fills: list[tuple] = []
+    polys: list[tuple] = []
     lines: list[tuple] = []
     images: list[tuple] = []
 
@@ -2451,11 +2503,24 @@ def content_draw_ops(content: bytes) -> dict:
             y = (u * u * u * p0[1] + 3 * u * u * t * p1[1]
                  + 3 * u * t * t * p2[1] + t * t * t * p3[1])
             segs.append((prev, (x, y)))
+            if subpaths:
+                subpaths[-1].append((x, y))
             prev = (x, y)
 
     def paint(fill: bool, stroke: bool) -> None:
-        nonlocal rects, segs, cur_pt, start_pt, clip, pending_clip
+        nonlocal rects, segs, subpaths, cur_pt, start_pt
+        nonlocal clip, pending_clip
         if fill:
+            # non-rect subpaths fill as polygons (even-odd scanline
+            # in raster.compose_page); PDF fill implicitly closes
+            for sp in subpaths:
+                if not 3 <= len(sp) <= _MAX_POLY_VERTICES:
+                    continue
+                pts = [pt(px_, py_) for px_, py_ in sp]
+                if clip is not None:
+                    pts = _clip_poly(pts, clip)
+                if len(pts) >= 3:
+                    polys.append((pts, fill_g))
             for x, y, w, h in rects:
                 p0, p1 = pt(x, y), pt(x + w, y + h)
                 r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
@@ -2498,7 +2563,8 @@ def content_draw_ops(content: bytes) -> dict:
                     min(clip[2], new[2]), min(clip[3], new[3]),
                 )
             pending_clip = False
-        rects, segs, cur_pt, start_pt = [], [], None, None
+        rects, segs, subpaths = [], [], []
+        cur_pt, start_pt = None, None
 
     for op, stack in _iter_content_ops(content):
         try:
@@ -2527,10 +2593,13 @@ def content_draw_ops(content: bytes) -> dict:
             elif op == b"m" and len(stack) >= 2:
                 cur_pt = (float(stack[-2]), float(stack[-1]))
                 start_pt = cur_pt
+                subpaths.append([cur_pt])
             elif op == b"l" and len(stack) >= 2:
                 p = (float(stack[-2]), float(stack[-1]))
                 if cur_pt is not None:
                     segs.append((cur_pt, p))
+                if subpaths:
+                    subpaths[-1].append(p)
                 cur_pt = p
             elif op == b"c" and len(stack) >= 6 and cur_pt is not None:
                 c1 = (float(stack[-6]), float(stack[-5]))
@@ -2556,6 +2625,8 @@ def content_draw_ops(content: bytes) -> dict:
             elif op == b"h":
                 if cur_pt is not None and start_pt is not None:
                     segs.append((cur_pt, start_pt))
+                    if subpaths:
+                        subpaths[-1].append(start_pt)
                     cur_pt = start_pt
             elif op in (b"f", b"F", b"f*"):
                 paint(True, False)
@@ -2577,7 +2648,8 @@ def content_draw_ops(content: bytes) -> dict:
                 images.append((stack[-1], ctm))
         except (TypeError, ValueError):
             continue
-    return {"fills": fills, "lines": lines, "images": images}
+    return {"fills": fills, "polys": polys, "lines": lines,
+            "images": images}
 
 
 def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:

@@ -382,6 +382,11 @@ def _ocr_ncc(
 _MAX_CANVAS_PIXELS = 1 << 26
 
 
+def _ceil(v: float) -> int:
+    i = int(v)
+    return i if i >= v else i + 1
+
+
 def compose_page(
     page_w: float,
     page_h: float,
@@ -390,6 +395,7 @@ def compose_page(
     images: list | None = None,
     glyph_runs: list | None = None,
     scale: float = 1.0,
+    polys: list | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
     ``scale`` px per PDF unit, painted in PDF z-order semantics —
@@ -397,6 +403,9 @@ def compose_page(
     layer's glyphs on top.
 
     - ``fills``: ``(x0, y0, x1, y1, gray)`` device-space rects.
+    - ``polys``: ``([(x, y), ...], gray)`` device-space polygons
+      (implicitly closed), filled with the EVEN-ODD scanline rule at
+      pixel centers — the flattened-curve/polyline fill surface.
     - ``lines``: ``(x0, y0, x1, y1, gray)`` segments (Bresenham).
     - ``images``: ``(w, h, pixels_gray, ctm)`` — the decoded image
       stamped nearest-neighbor into the CTM image space (unit square
@@ -436,6 +445,31 @@ def compose_page(
             lo, hi = max(0, cx0), min(W, cx1)
             if hi > lo:
                 px[row + lo : row + hi] = bytes([g]) * (hi - lo)
+    for pts, g in polys or ():
+        if len(pts) < 3:
+            continue
+        # canvas space: y flips, rows sampled at pixel centers
+        cpts = [(x * scale, (page_h - y) * scale) for x, y in pts]
+        ys = [p[1] for p in cpts]
+        y_lo = max(0, int(min(ys)))
+        y_hi = min(H, int(max(ys)) + 1)
+        fill_b = None
+        for cy in range(y_lo, y_hi):
+            yc = cy + 0.5
+            xs = []
+            for (xa, ya), (xb, yb) in zip(cpts, cpts[1:] + cpts[:1]):
+                if (ya <= yc < yb) or (yb <= yc < ya):
+                    xs.append(xa + (yc - ya) * (xb - xa) / (yb - ya))
+            xs.sort()
+            row = cy * W
+            for lo_f, hi_f in zip(xs[::2], xs[1::2]):
+                # pixel-center rule: paint x iff x+0.5 in [lo_f, hi_f)
+                lo = max(0, _ceil(lo_f - 0.5))
+                hi = min(W, _ceil(hi_f - 0.5))
+                if hi > lo:
+                    if fill_b is None:
+                        fill_b = bytes([g])
+                    px[row + lo : row + hi] = fill_b * (hi - lo)
     for x0, y0, x1, y1, g in lines or ():
         cx0, cy0 = dev(x0, y0)
         cx1, cy1 = dev(x1, y1)

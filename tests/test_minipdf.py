@@ -2572,3 +2572,70 @@ class TestRotateAnchoring:
         pdf = self._pdf(self.UP, page_extra=b"/Rotate 90.5 ")
         doc = minipdf.PdfDocument(pdf)
         assert minipdf.page_rotation(doc, doc.pages()[0]) == 0
+
+
+class TestPolygonFills:
+    """Round-7: non-rect subpaths fill as even-odd scanline polygons
+    (triangles, flattened-curve blobs); vertex-budget and clip
+    interactions stay deterministic."""
+
+    def test_triangle_fill_emits_polygon(self):
+        d = minipdf.content_draw_ops(b"0.5 g 10 10 m 50 10 l 30 50 l h f")
+        assert len(d["polys"]) == 1
+        pts, g = d["polys"][0]
+        assert g == 128 and len(pts) == 4  # h closes back to start
+
+    def test_curve_blob_fill_is_flattened_polygon(self):
+        d = minipdf.content_draw_ops(b"0 g 10 30 m 30 60 50 60 70 30 c f")
+        (pts, g), = d["polys"]
+        assert len(pts) == 1 + minipdf._BEZIER_CHORDS
+
+    def test_scanline_rasterization(self):
+        from pdf2dataset_spark.sources.raster import compose_page
+
+        d = minipdf.content_draw_ops(b"0.5 g 10 10 m 50 10 l 30 50 l h f")
+        w, h, px = compose_page(60, 60, polys=d["polys"])
+
+        def at(x, y):
+            return px[(h - 1 - y) * w + x]
+
+        assert at(30, 23) == 128          # inside
+        assert at(5, 5) == 255            # outside
+        assert at(55, 55) == 255
+        # even-odd: a self-crossing bowtie (lobes left/right, crossing
+        # at (30,30)) leaves the top/bottom middle triangles EMPTY
+        bow = minipdf.content_draw_ops(
+            b"0 g 10 10 m 50 50 l 50 10 l 10 50 l h f"
+        )
+        w, h, px = compose_page(60, 60, polys=bow["polys"])
+        assert at(30, 45) == 255          # top middle triangle empty
+        assert at(30, 15) == 255          # bottom middle triangle empty
+        assert at(15, 30) == 0            # left lobe filled
+        assert at(45, 30) == 0            # right lobe filled
+
+    def test_polygon_clip_intersection(self):
+        d = minipdf.content_draw_ops(
+            b"20 0 30 100 re W n 0 g 10 10 m 50 10 l 30 50 l h f"
+        )
+        (pts, _), = d["polys"]
+        assert all(20.0 <= x <= 50.0 for x, _ in pts), pts
+        # fully-outside polygon vanishes
+        d = minipdf.content_draw_ops(
+            b"200 200 10 10 re W n 0 g 10 10 m 50 10 l 30 50 l h f"
+        )
+        assert d["polys"] == []
+
+    def test_vertex_budget_declines_fill_keeps_stroke(self):
+        # a path past _MAX_POLY_VERTICES strokes (b = fill+stroke)
+        # but declines to fill
+        ops = bytearray(b"0 g 0 0 m ")
+        for i in range(minipdf._MAX_POLY_VERTICES + 8):
+            ops += b"%d %d l " % (i % 100, (i * 7) % 100)
+        ops += b"b"
+        d = minipdf.content_draw_ops(bytes(ops))
+        assert d["polys"] == []
+        assert len(d["lines"]) > minipdf._MAX_POLY_VERTICES
+
+    def test_rect_only_paths_emit_no_polygons(self):
+        d = minipdf.content_draw_ops(b"0 g 10 10 50 50 re f")
+        assert d["polys"] == [] and len(d["fills"]) == 1
