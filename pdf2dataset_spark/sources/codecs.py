@@ -252,6 +252,131 @@ class PdfCodec(DocumentCodec):
             return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
         return None
 
+
+    @staticmethod
+    def _eval_pdf_function(doc, fn, t: float) -> list[float]:
+        """PDF function value(s) at ``t`` — Type 2 exponential
+        interpolation and Type 3 stitching (ISO 32000-1 7.10.3/4);
+        sampled (0) and PostScript-calculator (4) functions DECLINE
+        BY NAME (ValueError -> the shading is skipped, deterministic
+        unpainted region)."""
+        fn = doc.resolve(fn)
+        ftype = int(doc.resolve(fn.get("/FunctionType", -1)))
+        dom = [float(doc.resolve(v))
+               for v in doc.resolve(fn.get("/Domain", [0.0, 1.0]))]
+        d0, d1 = dom[0], dom[1]
+        t = min(max(t, d0), d1)
+        if ftype == 2:
+            c0 = [float(doc.resolve(v))
+                  for v in doc.resolve(fn.get("/C0", [0.0]))]
+            c1 = [float(doc.resolve(v))
+                  for v in doc.resolve(fn.get("/C1", [1.0]))]
+            n = float(doc.resolve(fn.get("/N", 1)))
+            return [a + (t ** n) * (b - a) for a, b in zip(c0, c1)]
+        if ftype == 3:
+            fns = doc.resolve(fn.get("/Functions")) or []
+            bounds = [float(doc.resolve(v))
+                      for v in doc.resolve(fn.get("/Bounds", []))]
+            enc = [float(doc.resolve(v))
+                   for v in doc.resolve(fn.get("/Encode", []))]
+            k = 0
+            while k < len(bounds) and t >= bounds[k]:
+                k += 1
+            lo = d0 if k == 0 else bounds[k - 1]
+            hi = d1 if k == len(bounds) else bounds[k]
+            e0, e1 = (enc[2 * k], enc[2 * k + 1]) if len(enc) >= 2 * k + 2 \
+                else (0.0, 1.0)
+            frac = 0.0 if hi <= lo else (t - lo) / (hi - lo)
+            return PdfCodec._eval_pdf_function(doc, fns[k], e0 + frac * (e1 - e0))
+        raise ValueError(f"shading function type {ftype} unsupported")
+
+    #: strip budget per shading paint (deterministic degraded
+    #: resolution past it — a hostile axis length cannot force
+    #: unbounded fills)
+    _MAX_SHADING_STRIPS = 4096
+
+    def _shading_fills(
+        self, doc, pg, name: str, ctm, clip, box
+    ) -> list[tuple]:
+        """Rasterize one ``sh`` paint into device-space rect fills:
+        AXIAL (/ShadingType 2) shadings whose device-space axis is
+        axis-aligned (the dominant real-world header/background
+        gradient) become 1-unit strips across the clip region (the
+        whole MediaBox when no clip is active), colored by the
+        shading function via the BT.601 luma. DECLINED BY NAME
+        (skipped, never mis-painted): radial (3) and mesh shadings,
+        rotated axes, sampled/calculator functions."""
+        from pdf2dataset_spark.sources import minipdf
+
+        res = doc.resolve(pg.get("/Resources"))
+        shs = doc.resolve(res.get("/Shading")) if isinstance(res, dict) \
+            else None
+        sh = doc.resolve(shs.get(name)) if isinstance(shs, dict) else None
+        if not isinstance(sh, dict):
+            return []
+        try:
+            if int(doc.resolve(sh.get("/ShadingType", 0))) != 2:
+                return []  # axial only
+            coords = [float(doc.resolve(v))
+                      for v in doc.resolve(sh.get("/Coords"))][:4]
+            ux0, uy0, ux1, uy1 = coords
+            a, b, c, d, e, f = ctm
+            p0 = (a * ux0 + c * uy0 + e, b * ux0 + d * uy0 + f)
+            p1 = (a * ux1 + c * uy1 + e, b * ux1 + d * uy1 + f)
+            dom = [float(doc.resolve(v))
+                   for v in doc.resolve(sh.get("/Domain", [0.0, 1.0]))]
+            ext = doc.resolve(sh.get("/Extend", [False, False]))
+            ext0 = bool(doc.resolve(ext[0])) if isinstance(ext, list) else False
+            ext1 = bool(doc.resolve(ext[1])) if isinstance(ext, list) \
+                and len(ext) > 1 else False
+            fn = sh.get("/Function")
+        except (TypeError, ValueError, KeyError, IndexError):
+            return []
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        if abs(dx) > 1e-9 and abs(dy) > 1e-9:
+            return []  # rotated axis: declined by name
+        if abs(dx) <= 1e-9 and abs(dy) <= 1e-9:
+            return []
+        region = clip if clip is not None else box
+        rx0, ry0, rx1, ry1 = region
+        if box is not None:  # shading never paints outside the page
+            rx0, ry0 = max(rx0, box[0]), max(ry0, box[1])
+            rx1, ry1 = min(rx1, box[2]), min(ry1, box[3])
+        if rx1 <= rx0 or ry1 <= ry0:
+            return []
+        horizontal = abs(dy) <= 1e-9
+        lo, hi = (rx0, rx1) if horizontal else (ry0, ry1)
+        o0, axis_len = (p0[0], dx) if horizontal else (p0[1], dy)
+        n_strips = int(hi - lo) + 1
+        step = (hi - lo) / n_strips
+        if n_strips > self._MAX_SHADING_STRIPS:
+            n_strips = self._MAX_SHADING_STRIPS
+            step = (hi - lo) / n_strips
+        fills: list[tuple] = []
+        for i in range(n_strips):
+            s_lo = lo + i * step
+            s_hi = min(hi, s_lo + step)
+            s = ((s_lo + s_hi) / 2 - o0) / axis_len
+            if s < 0.0:
+                if not ext0:
+                    continue
+                s = 0.0
+            elif s > 1.0:
+                if not ext1:
+                    continue
+                s = 1.0
+            t = dom[0] + s * (dom[1] - dom[0])
+            try:
+                vals = self._eval_pdf_function(doc, fn, t)
+            except (ValueError, TypeError, KeyError, IndexError):
+                return []  # unsupported function: whole paint declines
+            g = minipdf._luma(vals)
+            if horizontal:
+                fills.append((s_lo, ry0, s_hi, ry1, g))
+            else:
+                fills.append((rx0, s_lo, rx1, s_hi, g))
+        return fills
+
     def _composite_pixels(
         self, handle: "_PdfHandle", page: int
     ) -> tuple[int, int, bytes] | None:
@@ -319,7 +444,13 @@ class PdfCodec(DocumentCodec):
                     if rot:
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                     placed.append((gray[0], gray[1], gray[2], shifted))
-        if not (draw["fills"] or draw["polys"] or draw["lines"] or placed):
+        shading_fills: list[tuple] = []
+        for name, sctm, sclip in draw.get("shadings", ()):
+            shading_fills += self._shading_fills(
+                doc, pg, name, sctm, sclip, (x0, y0, x1, y1)
+            )
+        if not (draw["fills"] or draw["polys"] or draw["lines"]
+                or placed or shading_fills):
             return None
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
@@ -331,7 +462,8 @@ class PdfCodec(DocumentCodec):
             bh if rot in (90, 270) else bw,
             bw if rot in (90, 270) else bh,
             fills=[drect(fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0, g)
-                   for fx0, fy0, fx1, fy1, g in draw["fills"]],
+                   for fx0, fy0, fx1, fy1, g in
+                   shading_fills + draw["fills"]],
             lines=[dseg(lx0 - x0, ly0 - y0, lx1 - x0, ly1 - y0, g)
                    for lx0, ly0, lx1, ly1, g in draw["lines"]],
             polys=[

@@ -2467,9 +2467,13 @@ def content_draw_ops(content: bytes) -> dict:
     or multi-rect or rotated-CTM clip paths (the clip is left
     unchanged rather than mis-approximated by a bounding box, which
     would under-clip), clipping of image placements, self-overlap
-    nonzero/even-odd divergence, shading/pattern paints. Returns
+    nonzero/even-odd divergence, pattern (scn) paints. ``sh``
+    shading paints are CAPTURED (name, ctm, device clip) for the
+    codec to resolve against the page's /Shading resources and
+    rasterize (axial only — see codecs._shading_fills). Returns
     ``{"fills": [(x0,y0,x1,y1,gray)], "polys": [(points, gray)],
-    "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)]}``."""
+    "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)],
+    "shadings": [(name, ctm, clip|None)]}``."""
     ctm = _ID6
     # graphics-state stack entries are (ctm, clip)
     ctm_stack: list[tuple] = []
@@ -2487,6 +2491,7 @@ def content_draw_ops(content: bytes) -> dict:
     polys: list[tuple] = []
     lines: list[tuple] = []
     images: list[tuple] = []
+    shadings: list[tuple] = []
 
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
@@ -2646,10 +2651,13 @@ def content_draw_ops(content: bytes) -> dict:
                 paint(False, False)
             elif op == b"Do" and stack and isinstance(stack[-1], str):
                 images.append((stack[-1], ctm))
+            elif op == b"sh" and stack and isinstance(stack[-1], str):
+                # sh paints the CURRENT CLIP region with the shading
+                shadings.append((stack[-1], ctm, clip))
         except (TypeError, ValueError):
             continue
     return {"fills": fills, "polys": polys, "lines": lines,
-            "images": images}
+            "images": images, "shadings": shadings}
 
 
 def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:

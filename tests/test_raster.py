@@ -1193,3 +1193,113 @@ class TestTwelveBitCmykJpeg:
         (entry,) = minipdf.extract_page_images(pdf)[0]
         assert entry["format"] == "jpeg"
         assert entry["decodable"] is True  # was a named decline
+
+
+class TestAxialShading:
+    """Round-7: sh paints of /ShadingType 2 (axial) rasterize as
+    budgeted gradient strips inside the active clip; everything else
+    declines by name (unpainted, deterministic)."""
+
+    @staticmethod
+    def _pdf(content, shading):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+
+        return _content_pdf(
+            content,
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /Shading << /Sh0 "
+                + shading + b" >> >>"
+            ),
+        )
+
+    TEXT = b"BT /F1 12 Tf 72 700 Td (gradient page) Tj ET\n"
+
+    def _pixels(self, pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        return at
+
+    def test_vertical_axial_gradient_monotonic_in_clip(self):
+        pdf = self._pdf(
+            self.TEXT + b"q 100 100 200 100 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [0 100 0 200] /Function "
+            b"<< /FunctionType 2 /Domain [0 1] /C0 [1.0] /C1 [0.0] /N 1 >> "
+            b"/Extend [true true] >>",
+        )
+        at = self._pixels(pdf)
+        vals = [at(200, y) for y in range(101, 200, 10)]
+        assert all(a > b for a, b in zip(vals, vals[1:])), vals
+        assert at(200, 300) == 255 and at(50, 150) == 255  # clip holds
+
+    def test_horizontal_axis_and_extend_off(self):
+        # axis spans only x in [150, 250]; Extend [false false] leaves
+        # the clip region OUTSIDE the axis span unpainted
+        pdf = self._pdf(
+            self.TEXT + b"q 100 100 300 50 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [150 0 250 0] /Function "
+            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> >>",
+        )
+        at = self._pixels(pdf)
+        assert at(120, 125) == 255  # before axis start, no extend
+        assert at(380, 125) == 255  # past axis end
+        assert at(160, 125) < at(240, 125)  # dark -> light along axis
+
+    def test_stitching_function(self):
+        # type 3: black->white over [0,0.5], then constant white
+        pdf = self._pdf(
+            self.TEXT + b"q 100 100 100 100 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [0 100 0 200] /Function "
+            b"<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] "
+            b"/Encode [0 1 0 1] /Functions ["
+            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+            b"<< /FunctionType 2 /C0 [1.0] /C1 [1.0] /N 1 >>] >> "
+            b"/Extend [true true] >>",
+        )
+        at = self._pixels(pdf)
+        assert at(150, 105) < 40          # bottom: near black
+        assert at(150, 190) == 255        # top half: constant white
+        assert at(150, 145) > 200         # just under the bound
+
+    def test_rotated_axis_and_radial_decline(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources import minipdf
+
+        for shading in (
+            b"<< /ShadingType 2 /Coords [0 0 100 100] /Function "
+            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> >>",
+            b"<< /ShadingType 3 /Coords [50 50 0 50 50 40] /Function "
+            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> >>",
+        ):
+            pdf = self._pdf(
+                self.TEXT + b"q 100 100 100 100 re W n /Sh0 sh Q", shading
+            )
+            codec = PdfCodec()
+            h = codec.open(pdf)
+            doc = h.doc
+            pg = doc.pages()[0]
+            d = minipdf.content_draw_ops(doc.page_content(pg))
+            (name, ctm, clip), = d["shadings"]
+            assert codec._shading_fills(
+                doc, pg, name, ctm, clip, (0, 0, 612, 792)
+            ) == []
+
+    def test_rgb_function_via_luma(self):
+        pdf = self._pdf(
+            self.TEXT + b"q 100 100 50 100 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [0 100 0 200] /Function "
+            b"<< /FunctionType 2 /C0 [1.0 0.0 0.0] /C1 [0.0 0.0 1.0] "
+            b"/N 1 >> /Extend [true true] >>",
+        )
+        at = self._pixels(pdf)
+        # red (BT.601 ~76) at the bottom, blue (~29) at the top
+        assert abs(at(120, 105) - 76) <= 8
+        assert abs(at(120, 195) - 29) <= 8
