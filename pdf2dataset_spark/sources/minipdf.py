@@ -2461,7 +2461,12 @@ def content_draw_ops(content: bytes) -> dict:
     strokes by Liang–Barsky. Non-rect subpaths (polylines and
     flattened curves) FILL as device-space polygons under the
     EVEN-ODD scanline rule — ``f`` (nonzero) is approximated by
-    even-odd, which agrees except on self-overlapping paths.
+    even-odd, which agrees except on self-overlapping paths. Line
+    width (``w``, CTM-scaled) strokes wider than 1.5 device units as
+    perpendicular-offset quad polygons (butt caps, no joins — the
+    PDF default cap; dash patterns stroke solid). Colors, width, CTM
+    and clip all save/restore with q/Q per the spec's graphics
+    state.
     DECLINED BY NAME (not drawn / not clipped, render stays
     deterministic): polygons past the vertex budget, non-rectangular
     or multi-rect or rotated-CTM clip paths (the clip is left
@@ -2475,11 +2480,12 @@ def content_draw_ops(content: bytes) -> dict:
     "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)],
     "shadings": [(name, ctm, clip|None)]}``."""
     ctm = _ID6
-    # graphics-state stack entries are (ctm, clip)
+    # graphics-state stack entries: (ctm, clip, fill_g, stroke_g, lw)
     ctm_stack: list[tuple] = []
     clip: tuple | None = None  # device-space (x0, y0, x1, y1)
     pending_clip = False
     fill_g = stroke_g = 0  # PDF initial color is black
+    line_w = 1.0
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
@@ -2543,8 +2549,28 @@ def content_draw_ops(content: bytes) -> dict:
                              ((x + w, y), (x + w, y + h)),
                              ((x + w, y + h), (x, y + h)),
                              ((x, y + h), (x, y))]
+            a_, b_, c_, d_, _, _ = ctm
+            dev_w = line_w * abs(a_ * d_ - b_ * c_) ** 0.5
             for (x0, y0), (x1, y1) in all_segs:
                 p0, p1 = pt(x0, y0), pt(x1, y1)
+                if dev_w > 1.5:
+                    # thick stroke: perpendicular-offset quad (butt
+                    # caps), filled as a polygon so clip applies too
+                    vx, vy = p1[0] - p0[0], p1[1] - p0[1]
+                    n = (vx * vx + vy * vy) ** 0.5
+                    if n > 0:
+                        ox, oy = -vy / n * dev_w / 2, vx / n * dev_w / 2
+                        quad = [
+                            (p0[0] + ox, p0[1] + oy),
+                            (p1[0] + ox, p1[1] + oy),
+                            (p1[0] - ox, p1[1] - oy),
+                            (p0[0] - ox, p0[1] - oy),
+                        ]
+                        if clip is not None:
+                            quad = _clip_poly(quad, clip)
+                        if len(quad) >= 3:
+                            polys.append((quad, stroke_g))
+                        continue
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
                     seg = _clip_seg(*seg, clip)
@@ -2574,12 +2600,14 @@ def content_draw_ops(content: bytes) -> dict:
     for op, stack in _iter_content_ops(content):
         try:
             if op == b"q":
-                ctm_stack.append((ctm, clip))
+                ctm_stack.append((ctm, clip, fill_g, stroke_g, line_w))
             elif op == b"Q":
                 if ctm_stack:
-                    ctm, clip = ctm_stack.pop()
+                    ctm, clip, fill_g, stroke_g, line_w = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"w" and stack:
+                line_w = max(0.0, float(stack[-1]))
             elif op == b"g" and stack:
                 fill_g = _luma(stack[-1:])
             elif op == b"G" and stack:

@@ -2639,3 +2639,42 @@ class TestPolygonFills:
     def test_rect_only_paths_emit_no_polygons(self):
         d = minipdf.content_draw_ops(b"0 g 10 10 50 50 re f")
         assert d["polys"] == [] and len(d["fills"]) == 1
+
+
+class TestLineWidth:
+    """Round-7: w (line width, CTM-scaled) strokes wider than 1.5
+    device units paint as quad polygons; graphics state (colors,
+    width, clip, CTM) save/restores with q/Q."""
+
+    def test_thick_stroke_is_quad_band(self):
+        from pdf2dataset_spark.sources.raster import compose_page
+
+        d = minipdf.content_draw_ops(b"8 w 0 G 10 30 m 90 30 l S")
+        assert len(d["polys"]) == 1 and d["lines"] == []
+        w, h, px = compose_page(100, 60, polys=d["polys"])
+
+        def at(x, y):
+            return px[(h - 1 - y) * w + x]
+
+        assert at(50, 30) == 0 and at(50, 33) == 0  # inside the band
+        assert at(50, 36) == 255 and at(50, 24) == 255  # outside
+
+    def test_width_scales_with_ctm(self):
+        # 4-unit width under a 2x CTM = 8 device units -> quad
+        d = minipdf.content_draw_ops(b"q 2 0 0 2 0 0 cm 4 w 5 15 m 45 15 l S Q")
+        assert len(d["polys"]) == 1
+        # 1-unit width under 1x stays a Bresenham line
+        d = minipdf.content_draw_ops(b"1 w 10 30 m 90 30 l S")
+        assert d["polys"] == [] and len(d["lines"]) == 1
+
+    def test_q_restores_width_and_colors(self):
+        d = minipdf.content_draw_ops(b"q 8 w 0.5 G Q 10 30 m 90 30 l S")
+        assert d["polys"] == []
+        assert d["lines"] == [(10.0, 30.0, 90.0, 30.0, 0)]  # black, thin
+
+    def test_thick_stroke_respects_clip(self):
+        d = minipdf.content_draw_ops(
+            b"30 0 40 60 re W n 8 w 0 G 10 30 m 90 30 l S"
+        )
+        (quad, _), = d["polys"]
+        assert all(30.0 <= x <= 70.0 for x, _ in quad), quad
