@@ -255,17 +255,72 @@ class PdfCodec(DocumentCodec):
 
     @staticmethod
     def _eval_pdf_function(doc, fn, t: float) -> list[float]:
-        """PDF function value(s) at ``t`` — Type 2 exponential
-        interpolation and Type 3 stitching (ISO 32000-1 7.10.3/4);
-        sampled (0) and PostScript-calculator (4) functions DECLINE
-        BY NAME (ValueError -> the shading is skipped, deterministic
-        unpainted region)."""
+        """PDF function value(s) at ``t`` — Type 0 sampled (linear
+        interpolation, 1/2/4/8/16/32-bit samples), Type 2 exponential
+        interpolation and Type 3 stitching (ISO 32000-1 7.10.2-4);
+        PostScript-calculator (4) functions and unsupported sample
+        widths DECLINE BY NAME (ValueError -> the shading is skipped,
+        deterministic unpainted region)."""
+        from pdf2dataset_spark.sources.minipdf import StreamObj
+
         fn = doc.resolve(fn)
+        data = None
+        if isinstance(fn, StreamObj):
+            data = doc.stream_bytes(fn)
+            fn = fn.sdict
         ftype = int(doc.resolve(fn.get("/FunctionType", -1)))
         dom = [float(doc.resolve(v))
                for v in doc.resolve(fn.get("/Domain", [0.0, 1.0]))]
         d0, d1 = dom[0], dom[1]
         t = min(max(t, d0), d1)
+        if ftype == 0:
+            if data is None:
+                raise ValueError("sampled function without a stream")
+            size = int(doc.resolve(doc.resolve(fn.get("/Size", [0]))[0]))
+            bps = int(doc.resolve(fn.get("/BitsPerSample", 0)))
+            rng = [float(doc.resolve(v))
+                   for v in doc.resolve(fn.get("/Range", []))]
+            if size < 1 or not rng or bps not in (1, 2, 4, 8, 16, 32):
+                raise ValueError(
+                    f"sampled function unsupported (size={size}, bps={bps})"
+                )
+            n_out = len(rng) // 2
+            enc = [float(doc.resolve(v)) for v in doc.resolve(
+                fn.get("/Encode", [0, size - 1]))]
+            dec = [float(doc.resolve(v)) for v in doc.resolve(
+                fn.get("/Decode", rng))]
+            # map t into the sample index space, clamp, interpolate
+            x = enc[0] + (0.0 if d1 <= d0 else (t - d0) / (d1 - d0)) \
+                * (enc[1] - enc[0])
+            x = min(max(x, 0.0), size - 1.0)
+            i0 = int(x)
+            i1 = min(i0 + 1, size - 1)
+            frac = x - i0
+            maxv = (1 << bps) - 1
+
+            def sample(idx: int, out: int) -> int:
+                bit = (idx * n_out + out) * bps
+                byte, off = bit // 8, bit % 8
+                # big-endian bit packing per 7.10.2
+                acc = 0
+                need = bps
+                while need > 0:
+                    if byte >= len(data):
+                        raise ValueError("sampled function stream short")
+                    take = min(8 - off, need)
+                    chunk = (data[byte] >> (8 - off - take)) & ((1 << take) - 1)
+                    acc = (acc << take) | chunk
+                    need -= take
+                    byte += 1
+                    off = 0
+                return acc
+
+            out: list[float] = []
+            for k in range(n_out):
+                v = sample(i0, k) * (1 - frac) + sample(i1, k) * frac
+                lo, hi = dec[2 * k], dec[2 * k + 1]
+                out.append(lo + v / maxv * (hi - lo))
+            return out
         if ftype == 2:
             c0 = [float(doc.resolve(v))
                   for v in doc.resolve(fn.get("/C0", [0.0]))]
@@ -294,6 +349,99 @@ class PdfCodec(DocumentCodec):
     #: resolution past it — a hostile axis length cannot force
     #: unbounded fills)
     _MAX_SHADING_STRIPS = 4096
+
+
+    #: pixel budget for a rasterized radial-shading patch
+    _MAX_SHADING_PATCH_PX = 2_000_000
+
+    def _radial_patch(self, doc, sh, ctm, clip, box):
+        """/ShadingType 3 (radial) under a SIMILARITY CTM (circles
+        stay circles), rasterized at 1 device unit/px into a gray
+        patch for the image-stamping path. Per-pixel parameter s:
+        the larger root of |P-c(s)| = r(s) with r(s) >= 0 (ISO
+        32000-1 8.7.4.5.4), /Extend clamping, function values via a
+        256-level LUT. Returns (w, h, gray_bytes, placement_ctm) in
+        device space, or None when DECLINED BY NAME (non-similarity
+        CTM, degenerate geometry, over-budget region, unsupported
+        function). Unpainted pixels are canvas white — exact because
+        shading paints the bottom z-layer here."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources import minipdf
+
+        try:
+            coords = [float(doc.resolve(v))
+                      for v in doc.resolve(sh.get("/Coords"))][:6]
+            ux0, uy0, ur0, ux1, uy1, ur1 = coords
+            a, b, c, d, e, f = ctm
+            # similarity check: orthogonal equal-norm columns
+            n1, n2 = a * a + b * b, c * c + d * d
+            if abs(a * c + b * d) > 1e-9 * max(1.0, n1) or \
+                    abs(n1 - n2) > 1e-9 * max(1.0, n1):
+                return None
+            scale = n1 ** 0.5
+            p0 = (a * ux0 + c * uy0 + e, b * ux0 + d * uy0 + f)
+            p1 = (a * ux1 + c * uy1 + e, b * ux1 + d * uy1 + f)
+            r0, r1 = ur0 * scale, ur1 * scale
+            if r0 < 0 or r1 < 0:
+                return None
+            dom = [float(doc.resolve(v))
+                   for v in doc.resolve(sh.get("/Domain", [0.0, 1.0]))]
+            ext = doc.resolve(sh.get("/Extend", [False, False]))
+            ext0 = bool(doc.resolve(ext[0])) if isinstance(ext, list) else False
+            ext1 = bool(doc.resolve(ext[1])) if isinstance(ext, list) \
+                and len(ext) > 1 else False
+            fn = sh.get("/Function")
+            # 256-level function LUT (deterministic quantization)
+            lut = np.empty(256, dtype=np.uint8)
+            for i in range(256):
+                t = dom[0] + i / 255.0 * (dom[1] - dom[0])
+                lut[i] = minipdf._luma(self._eval_pdf_function(doc, fn, t))
+        except (TypeError, ValueError, KeyError, IndexError):
+            return None
+        region = clip if clip is not None else box
+        rx0 = max(region[0], box[0])
+        ry0 = max(region[1], box[1])
+        rx1 = min(region[2], box[2])
+        ry1 = min(region[3], box[3])
+        pw, ph = int(rx1 - rx0), int(ry1 - ry0)
+        if pw <= 0 or ph <= 0 or pw * ph > self._MAX_SHADING_PATCH_PX:
+            return None
+        # pixel centers, row 0 = TOP (the image-stamp convention)
+        xs = rx0 + np.arange(pw, dtype=np.float64) + 0.5
+        ys = ry1 - (np.arange(ph, dtype=np.float64) + 0.5)
+        ex = xs[None, :] - p0[0]
+        ey = ys[:, None] - p0[1]
+        dx, dy, dr = p1[0] - p0[0], p1[1] - p0[1], r1 - r0
+        qa = dx * dx + dy * dy - dr * dr
+        qb = ex * dx + ey * dy + r0 * dr
+        qc = ex * ex + ey * ey - r0 * r0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if abs(qa) > 1e-12:
+                disc = qb * qb - qa * qc
+                ok = disc >= 0
+                root = np.sqrt(np.maximum(disc, 0.0))
+                s_hi = (qb + root) / qa
+                s_lo = (qb - root) / qa
+                if qa < 0:
+                    s_hi, s_lo = s_lo, s_hi
+                # prefer the larger root where its radius is valid
+                s = np.where(r0 + s_hi * dr >= 0, s_hi, s_lo)
+                ok &= r0 + s * dr >= 0
+            else:
+                # linear case (|c1-c0| == |dr|): s = qc / (2 qb)
+                ok = np.abs(qb) > 1e-12
+                s = qc / np.where(ok, 2 * qb, 1.0)
+                ok &= r0 + s * dr >= 0
+        if not ext0:
+            ok &= s >= 0
+        if not ext1:
+            ok &= s <= 1
+        s = np.clip(s, 0.0, 1.0)
+        idx = np.clip(np.round(s * 255), 0, 255).astype(np.int64)
+        patch = np.where(ok, lut[idx], np.uint8(255)).astype(np.uint8)
+        placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
+        return pw, ph, patch.tobytes(), placement
 
     def _shading_fills(
         self, doc, pg, name: str, ctm, clip, box
@@ -445,12 +593,36 @@ class PdfCodec(DocumentCodec):
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                     placed.append((gray[0], gray[1], gray[2], shifted))
         shading_fills: list[tuple] = []
+        shading_patches: list[tuple] = []
+        res0 = doc.resolve(pg.get("/Resources"))
+        shdict = doc.resolve(res0.get("/Shading")) \
+            if isinstance(res0, dict) else None
         for name, sctm, sclip in draw.get("shadings", ()):
-            shading_fills += self._shading_fills(
-                doc, pg, name, sctm, sclip, (x0, y0, x1, y1)
-            )
+            sh = doc.resolve(shdict.get(name)) \
+                if isinstance(shdict, dict) else None
+            stype = 0
+            if isinstance(sh, dict):
+                try:
+                    stype = int(doc.resolve(sh.get("/ShadingType", 0)))
+                except (TypeError, ValueError):
+                    stype = 0
+            if stype == 3:
+                patch = self._radial_patch(
+                    doc, sh, sctm, sclip, (x0, y0, x1, y1)
+                )
+                if patch is not None:
+                    pw_, ph_, ppx, pctm = patch
+                    pa, pb, pc, pd, pe, pf = pctm
+                    shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
+                    if rot:
+                        shifted = minipdf._mat_mul(shifted, _rot_d[rot])
+                    shading_patches.append((pw_, ph_, ppx, shifted))
+            else:
+                shading_fills += self._shading_fills(
+                    doc, pg, name, sctm, sclip, (x0, y0, x1, y1)
+                )
         if not (draw["fills"] or draw["polys"] or draw["lines"]
-                or placed or shading_fills):
+                or placed or shading_fills or shading_patches):
             return None
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
@@ -471,6 +643,7 @@ class PdfCodec(DocumentCodec):
                 for pts, g in draw["polys"]
             ],
             images=placed,
+            base_images=shading_patches,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"]) for r in runs
             ],

@@ -396,6 +396,7 @@ def compose_page(
     glyph_runs: list | None = None,
     scale: float = 1.0,
     polys: list | None = None,
+    base_images: list | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
     ``scale`` px per PDF unit, painted in PDF z-order semantics —
@@ -411,6 +412,8 @@ def compose_page(
       stamped nearest-neighbor into the CTM image space (unit square
       -> ctm), the PDF convention where row 0 is the TOP of the
       placed rect.
+    - ``base_images``: same shape as ``images`` but painted FIRST
+      (below fills) — the shading-patch layer.
     - ``glyph_runs``: ``(x, y, text)`` baselines; glyphs render with
       the built-in 5x7 table at native size.
 
@@ -437,6 +440,27 @@ def compose_page(
     def dev(x: float, y: float) -> tuple[int, int]:
         return int(round(x * scale)), int(round((page_h - y) * scale))
 
+    def stamp(entries) -> None:
+        for iw, ih, ipx, ictm in entries or ():
+            if not iw or not ih or len(ipx) < iw * ih:
+                continue
+            ia, ib, ic, id_, ie, if_ = ictm
+            ixs = (ie, ia + ie, ic + ie, ia + ic + ie)
+            iys = (if_, ib + if_, id_ + if_, ib + id_ + if_)
+            tx0, ty1 = dev(min(ixs), min(iys))
+            tx1, ty0 = dev(max(ixs), max(iys))
+            tw, th = tx1 - tx0, ty1 - ty0
+            if tw <= 0 or th <= 0:
+                continue
+            for ty in range(max(0, ty0), min(H, ty0 + th)):
+                sy = min(ih - 1, (ty - ty0) * ih // th)
+                srow = sy * iw
+                row = ty * W
+                for tx in range(max(0, tx0), min(W, tx0 + tw)):
+                    sxp = min(iw - 1, (tx - tx0) * iw // tw)
+                    px[row + tx] = ipx[srow + sxp]
+
+    stamp(base_images)
     for x0, y0, x1, y1, g in fills or ():
         cx0, cy1 = dev(x0, y0)
         cx1, cy0 = dev(x1, y1)
@@ -488,26 +512,9 @@ def compose_page(
             if e2 <= dx:
                 err += dx
                 cy0 += sy
-    for iw, ih, ipx, ctm in images or ():
-        if not iw or not ih or len(ipx) < iw * ih:
-            continue
-        a, b, c, d, e, f = ctm
-        # target rect corners (unit square through the CTM);
-        # axis-aligned stamp — rotated placements draw their bbox
-        xs = (e, a + e, c + e, a + c + e)
-        ys = (f, b + f, d + f, b + d + f)
-        tx0, ty1 = dev(min(xs), min(ys))
-        tx1, ty0 = dev(max(xs), max(ys))
-        tw, th = tx1 - tx0, ty1 - ty0
-        if tw <= 0 or th <= 0:
-            continue
-        for ty in range(max(0, ty0), min(H, ty0 + th)):
-            sy = min(ih - 1, (ty - ty0) * ih // th)
-            srow = sy * iw
-            row = ty * W
-            for tx in range(max(0, tx0), min(W, tx0 + tw)):
-                sxp = min(iw - 1, (tx - tx0) * iw // tw)
-                px[row + tx] = ipx[srow + sxp]
+    # embedded-image placements (unit square through the CTM,
+    # axis-aligned stamp — rotated placements draw their bbox)
+    stamp(images)
     for gx, gy, text in glyph_runs or ():
         cx0, cby = dev(gx, gy)
         top = cby - GLYPH_H

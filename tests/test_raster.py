@@ -1303,3 +1303,146 @@ class TestAxialShading:
         # red (BT.601 ~76) at the bottom, blue (~29) at the top
         assert abs(at(120, 105) - 76) <= 8
         assert abs(at(120, 195) - 29) <= 8
+
+    def test_sampled_function_gradient(self):
+        # Type 0 (8-bit, 5 samples, V shape white->black->white)
+        def raw(objs):
+            out = bytearray(b"%PDF-1.5\n")
+            for i, b in enumerate(objs, 1):
+                out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+            out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+            return bytes(out)
+
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        samples = bytes([255, 128, 0, 128, 255])
+        content = (b"BT /F1 12 Tf 72 700 Td (sampled fn) Tj ET\n"
+                   b"q 100 100 100 100 re W n /Sh0 sh Q")
+        pdf = raw([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << /Sh0 "
+            b"<< /ShadingType 2 /Coords [0 100 0 200] /Function 5 0 R "
+            b"/Extend [true true] >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /FunctionType 0 /Domain [0 1] /Range [0 1] /Size [5] "
+            b"/BitsPerSample 8 /Length 5 >>\nstream\n" + samples
+            + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        assert at(150, 102) > 235   # bottom: near white
+        assert abs(at(150, 125) - 128) <= 6
+        assert at(150, 150) < 12    # middle: near black
+        assert at(150, 198) > 235   # top: near white again
+
+    def test_sampled_function_4bit_and_short_stream_decline(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources import minipdf
+
+        class _FakeDoc:
+            def resolve(self, v):
+                return v
+
+            def stream_bytes(self, obj):
+                return obj.raw
+
+        doc = _FakeDoc()
+        fn = minipdf.StreamObj(
+            {"/FunctionType": 0, "/Domain": [0, 1], "/Range": [0, 1],
+             "/Size": [4], "/BitsPerSample": 4},
+            bytes([0x0F, 0x80]),  # samples 0,15,8,0 (4-bit packed)
+        )
+        assert PdfCodec._eval_pdf_function(doc, fn, 0.0) == [0.0]
+        assert PdfCodec._eval_pdf_function(doc, fn, 1 / 3) == [1.0]
+        import pytest as _pytest
+        short = minipdf.StreamObj(
+            {"/FunctionType": 0, "/Domain": [0, 1], "/Range": [0, 1],
+             "/Size": [9], "/BitsPerSample": 8},
+            b"\x00\x01",
+        )
+        with _pytest.raises(ValueError):
+            PdfCodec._eval_pdf_function(doc, short, 0.9)
+
+
+class TestRadialShading:
+    """Round-7: /ShadingType 3 rasterizes as a budgeted gray patch on
+    the BOTTOM z-layer (fills/lines/images/text paint over it);
+    non-similarity CTMs decline by name."""
+
+    CONTENT = (b"BT /F1 12 Tf 72 700 Td (radial page) Tj ET\n"
+               b"q 120 320 160 160 re W n /Sh0 sh Q\n"
+               b"0.5 g 190 390 20 20 re f")
+    SHADING = (b"<< /ShadingType 3 /Coords [200 400 0 200 400 80] "
+               b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+               b"/Extend [false true] >>")
+
+    def _at(self, pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        return at
+
+    def _pdf(self, shading=None):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+
+        return _content_pdf(
+            self.CONTENT,
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /Shading << /Sh0 "
+                + (shading or self.SHADING) + b" >> >>"
+            ),
+        )
+
+    def test_radial_ramp_and_z_order(self):
+        at = self._at(self._pdf())
+        vals = [at(200 + r, 400) for r in (12, 25, 40, 55, 70)]
+        assert all(a < b for a, b in zip(vals, vals[1:])), vals
+        # the rect fill paints OVER the gradient (bottom z-layer)
+        assert at(200, 400) == 128
+        # clip holds; beyond r=80 Extend[.. true] paints C1 white
+        assert at(100, 400) == 255
+        assert at(130, 330) == 255
+
+    def test_extend_false_leaves_unpainted(self):
+        sh = (b"<< /ShadingType 3 /Coords [200 400 40 200 400 80] "
+              b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+              b"/Extend [false false] >>")
+        at = self._at(self._pdf(sh))
+        assert at(200, 400) == 128          # fill on top at center
+        assert at(200, 415) == 255          # inside r0, no extend0
+        assert at(260, 400) < 200           # annulus painted
+        assert at(130, 330) == 255          # beyond r1, no extend1
+
+    def test_non_similarity_ctm_declines(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = self._pdf()
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        doc = h.doc
+        pg = doc.pages()[0]
+        shs = doc.resolve(doc.resolve(pg.get("/Resources")).get("/Shading"))
+        sh = doc.resolve(shs.get("/Sh0"))
+        # skew CTM: circles become ellipses -> decline
+        assert codec._radial_patch(
+            doc, sh, (1, 0.5, 0, 1, 0, 0), None, (0, 0, 612, 792)
+        ) is None
+        # uniform 2x rotation CTM: still a similarity -> paints
+        assert codec._radial_patch(
+            doc, sh, (0, 2, -2, 0, 300, 300), None, (0, 0, 612, 792)
+        ) is not None
