@@ -23,6 +23,7 @@ page text) so the ``ocr`` feature's plumbing is exercised.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Any
 
@@ -253,14 +254,216 @@ class PdfCodec(DocumentCodec):
         return None
 
 
+
+    #: execution-step budget for Type 4 calculator functions — a
+    #: hostile stream cannot loop the interpreter (no loop operators
+    #: exist in the calculator language, but nested ifelse chains and
+    #: copy/roll could still amplify work)
+    _MAX_CALC_STEPS = 10_000
+
+    @staticmethod
+    def _parse_calculator(data: bytes) -> list:
+        """Tokenize a Type 4 PostScript-calculator program into a
+        nested procedure list (ISO 32000-1 7.10.5)."""
+        toks = re.findall(rb"\{|\}|[^\s{}]+", data)
+        pos = 0
+
+        def proc() -> list:
+            nonlocal pos
+            out: list = []
+            while pos < len(toks):
+                t = toks[pos]
+                pos += 1
+                if t == b"{":
+                    out.append(proc())
+                elif t == b"}":
+                    return out
+                else:
+                    try:
+                        out.append(float(t) if b"." in t or b"e" in t.lower()
+                                   else int(t))
+                    except ValueError:
+                        out.append(t.decode("latin-1"))
+            raise ValueError("calculator function: unterminated procedure")
+
+        if not toks or toks[0] != b"{":
+            raise ValueError("calculator function: no outer procedure")
+        pos = 1
+        return proc()
+
+    @staticmethod
+    def _run_calculator(prog: list, stack: list, budget: list) -> None:
+        import math
+
+        def pop():
+            if not stack:
+                raise ValueError("calculator stack underflow")
+            return stack.pop()
+
+        def popn():
+            v = pop()
+            if isinstance(v, bool):
+                raise ValueError("calculator: number expected")
+            return v
+
+        i = 0
+        while i < len(prog):
+            budget[0] -= 1
+            if budget[0] <= 0:
+                raise ValueError("calculator step budget exceeded")
+            op = prog[i]
+            i += 1
+            if isinstance(op, (int, float)):
+                stack.append(op)
+            elif isinstance(op, list):
+                stack.append(op)  # procedure literal (if/ifelse operand)
+            elif op == "if":
+                p1 = pop()
+                c = pop()
+                if not isinstance(p1, list):
+                    raise ValueError("if: procedure expected")
+                if c is True:
+                    PdfCodec._run_calculator(p1, stack, budget)
+                elif c is not False:
+                    raise ValueError("if: boolean expected")
+            elif op == "ifelse":
+                p2, p1 = pop(), pop()
+                c = pop()
+                if not (isinstance(p1, list) and isinstance(p2, list)):
+                    raise ValueError("ifelse: procedures expected")
+                if c is True:
+                    PdfCodec._run_calculator(p1, stack, budget)
+                elif c is False:
+                    PdfCodec._run_calculator(p2, stack, budget)
+                else:
+                    raise ValueError("ifelse: boolean expected")
+            elif op == "add":
+                b_, a_ = popn(), popn(); stack.append(a_ + b_)
+            elif op == "sub":
+                b_, a_ = popn(), popn(); stack.append(a_ - b_)
+            elif op == "mul":
+                b_, a_ = popn(), popn(); stack.append(a_ * b_)
+            elif op == "div":
+                b_, a_ = popn(), popn()
+                if b_ == 0:
+                    raise ValueError("calculator division by zero")
+                stack.append(a_ / b_)
+            elif op == "idiv":
+                b_, a_ = popn(), popn()
+                if b_ == 0:
+                    raise ValueError("calculator division by zero")
+                stack.append(int(a_) // int(b_) if (a_ >= 0) == (b_ >= 0)
+                             else -(-int(a_) // int(b_)))
+            elif op == "mod":
+                b_, a_ = popn(), popn()
+                if b_ == 0:
+                    raise ValueError("calculator division by zero")
+                stack.append(int(math.fmod(int(a_), int(b_))))
+            elif op == "neg":
+                stack.append(-popn())
+            elif op == "abs":
+                stack.append(abs(popn()))
+            elif op == "sqrt":
+                v = popn()
+                if v < 0:
+                    raise ValueError("sqrt of negative")
+                stack.append(math.sqrt(v))
+            elif op == "sin":
+                stack.append(math.sin(math.radians(popn())))
+            elif op == "cos":
+                stack.append(math.cos(math.radians(popn())))
+            elif op == "atan":
+                b_, a_ = popn(), popn()
+                stack.append(math.degrees(math.atan2(a_, b_)) % 360.0)
+            elif op == "exp":
+                b_, a_ = popn(), popn(); stack.append(a_ ** b_)
+            elif op == "ln":
+                v = popn()
+                if v <= 0:
+                    raise ValueError("ln of non-positive")
+                stack.append(math.log(v))
+            elif op == "log":
+                v = popn()
+                if v <= 0:
+                    raise ValueError("log of non-positive")
+                stack.append(math.log10(v))
+            elif op == "cvi":
+                stack.append(int(popn()))
+            elif op == "cvr":
+                stack.append(float(popn()))
+            elif op == "floor":
+                stack.append(math.floor(popn()))
+            elif op == "ceiling":
+                stack.append(math.ceil(popn()))
+            elif op == "round":
+                v = popn()
+                stack.append(math.floor(v + 0.5))  # PS rounds half up
+            elif op == "truncate":
+                stack.append(math.trunc(popn()))
+            elif op == "dup":
+                v = pop(); stack.append(v); stack.append(v)
+            elif op == "pop":
+                pop()
+            elif op == "exch":
+                b_, a_ = pop(), pop(); stack.append(b_); stack.append(a_)
+            elif op == "copy":
+                n = int(popn())
+                if n < 0 or n > len(stack) or len(stack) + n > 1000:
+                    raise ValueError("copy: bad count")
+                stack.extend(stack[len(stack) - n:])
+            elif op == "index":
+                n = int(popn())
+                if n < 0 or n >= len(stack):
+                    raise ValueError("index: bad depth")
+                stack.append(stack[-1 - n])
+            elif op == "roll":
+                j = int(popn()); n = int(popn())
+                if n < 0 or n > len(stack):
+                    raise ValueError("roll: bad count")
+                if n:
+                    j %= n
+                    tail = stack[len(stack) - n:]
+                    del stack[len(stack) - n:]
+                    stack.extend(tail[-j:] + tail[:-j])
+            elif op in ("eq", "ne", "gt", "ge", "lt", "le"):
+                b_, a_ = pop(), pop()
+                stack.append({
+                    "eq": a_ == b_, "ne": a_ != b_, "gt": a_ > b_,
+                    "ge": a_ >= b_, "lt": a_ < b_, "le": a_ <= b_,
+                }[op])
+            elif op in ("and", "or", "xor"):
+                b_, a_ = pop(), pop()
+                if isinstance(a_, bool) and isinstance(b_, bool):
+                    stack.append({"and": a_ and b_, "or": a_ or b_,
+                                  "xor": a_ != b_}[op])
+                else:
+                    ai, bi = int(a_), int(b_)
+                    stack.append({"and": ai & bi, "or": ai | bi,
+                                  "xor": ai ^ bi}[op])
+            elif op == "not":
+                v = pop()
+                stack.append((not v) if isinstance(v, bool) else ~int(v))
+            elif op == "bitshift":
+                s_, a_ = int(popn()), int(popn())
+                if abs(s_) > 64:
+                    raise ValueError("bitshift out of range")
+                stack.append(a_ << s_ if s_ >= 0 else a_ >> -s_)
+            elif op == "true":
+                stack.append(True)
+            elif op == "false":
+                stack.append(False)
+            else:
+                raise ValueError(f"calculator operator {op!r} unsupported")
+
     @staticmethod
     def _eval_pdf_function(doc, fn, t: float) -> list[float]:
         """PDF function value(s) at ``t`` — Type 0 sampled (linear
         interpolation, 1/2/4/8/16/32-bit samples), Type 2 exponential
-        interpolation and Type 3 stitching (ISO 32000-1 7.10.2-4);
-        PostScript-calculator (4) functions and unsupported sample
-        widths DECLINE BY NAME (ValueError -> the shading is skipped,
-        deterministic unpainted region)."""
+        interpolation, Type 3 stitching, and Type 4 PostScript
+        calculator via a step-budgeted mini-interpreter (ISO 32000-1
+        7.10.2-5); unsupported sample widths and calculator programs
+        past the budget DECLINE BY NAME (ValueError -> the shading is
+        skipped, deterministic unpainted region)."""
         from pdf2dataset_spark.sources.minipdf import StreamObj
 
         fn = doc.resolve(fn)
@@ -343,6 +546,26 @@ class PdfCodec(DocumentCodec):
                 else (0.0, 1.0)
             frac = 0.0 if hi <= lo else (t - lo) / (hi - lo)
             return PdfCodec._eval_pdf_function(doc, fns[k], e0 + frac * (e1 - e0))
+        if ftype == 4:
+            if data is None:
+                raise ValueError("calculator function without a stream")
+            rng = [float(doc.resolve(v))
+                   for v in doc.resolve(fn.get("/Range", []))]
+            if not rng:
+                raise ValueError("calculator function without /Range")
+            prog = PdfCodec._parse_calculator(data)
+            stack: list = [t]
+            PdfCodec._run_calculator(prog, stack, [PdfCodec._MAX_CALC_STEPS])
+            n_out = len(rng) // 2
+            if len(stack) < n_out:
+                raise ValueError("calculator left too few results")
+            vals = stack[-n_out:]
+            out = []
+            for k, v in enumerate(vals):
+                if isinstance(v, bool):
+                    raise ValueError("calculator returned a boolean")
+                out.append(min(max(float(v), rng[2 * k]), rng[2 * k + 1]))
+            return out
         raise ValueError(f"shading function type {ftype} unsupported")
 
     #: strip budget per shading paint (deterministic degraded

@@ -1446,3 +1446,98 @@ class TestRadialShading:
         assert codec._radial_patch(
             doc, sh, (0, 2, -2, 0, 300, 300), None, (0, 0, 612, 792)
         ) is not None
+
+
+class TestCalculatorFunctions:
+    """Round-7: Type 4 PostScript-calculator shading functions run in
+    a step-budgeted mini-interpreter; malformed/hostile programs
+    decline by name (the shading is skipped, never mis-painted)."""
+
+    @staticmethod
+    def _fn(prog: bytes, rng=(0, 1)):
+        from pdf2dataset_spark.sources import minipdf
+
+        return minipdf.StreamObj(
+            {"/FunctionType": 4, "/Domain": [0, 1], "/Range": list(rng)},
+            prog,
+        )
+
+    class _Doc:
+        def resolve(self, v):
+            return v
+
+        def stream_bytes(self, o):
+            return o.raw
+
+    def _eval(self, prog, t, rng=(0, 1)):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        return PdfCodec._eval_pdf_function(self._Doc(), self._fn(prog, rng), t)
+
+    def test_arithmetic_and_stack_ops(self):
+        assert self._eval(b"{ }", 0.3) == [0.3]
+        assert self._eval(b"{ 1 exch sub }", 0.25) == [0.75]
+        assert self._eval(b"{ dup mul }", 0.5) == [0.25]
+        assert abs(self._eval(b"{ 90 mul sin }", 0.5)[0] - 0.7071) < 1e-3
+        assert self._eval(b"{ 2 exch exp }", 0.0) == [1.0]
+        # multi-output + range clipping
+        assert self._eval(
+            b"{ dup 1 exch sub 0.5 }", 0.2, rng=(0, 1, 0, 1, 0, 1)
+        ) == [0.2, 0.8, 0.5]
+        assert self._eval(b"{ 5 mul }", 0.9) == [1.0]
+
+    def test_conditionals(self):
+        prog = b"{ 0.5 lt { 0 } { 1 } ifelse }"
+        assert self._eval(prog, 0.3) == [0.0]
+        assert self._eval(prog, 0.7) == [1.0]
+        assert self._eval(b"{ dup 0.5 gt { pop 1 } if }", 0.9) == [1.0]
+
+    def test_roll_copy_index(self):
+        assert self._eval(b"{ 1 2 3 3 -1 roll }", 0.0,
+                          rng=(0, 9, 0, 9, 0, 9, 0, 9)) == [0.0, 2, 3, 1]
+        assert self._eval(b"{ 7 1 index }", 0.0,
+                          rng=(0, 9, 0, 9, 0, 9)) == [0.0, 7, 0.0]
+
+    def test_hostile_programs_decline(self):
+        import pytest as _pytest
+
+        for prog in (b"{ bogus }", b"{ pop pop }", b"{ 1 0 div }", b"{",
+                     b"{ " + b"dup " * 10_050 + b"}", b"{ -1 sqrt }"):
+            with _pytest.raises(ValueError):
+                self._eval(prog, 0.5)
+
+    def test_end_to_end_gradient(self):
+        def raw(objs):
+            out = bytearray(b"%PDF-1.5\n")
+            for i, b in enumerate(objs, 1):
+                out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+            out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+            return bytes(out)
+
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        content = (b"BT /F1 12 Tf 72 700 Td (calc fn) Tj ET\n"
+                   b"q 100 100 100 100 re W n /Sh0 sh Q")
+        prog = b"{ 1 exch sub }"
+        pdf = raw([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << /Sh0 "
+            b"<< /ShadingType 2 /Coords [0 100 0 200] /Function 5 0 R "
+            b"/Extend [true true] >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /FunctionType 4 /Domain [0 1] /Range [0 1] /Length "
+            + str(len(prog)).encode() + b" >>\nstream\n" + prog
+            + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        assert at(150, 102) > 240   # t=0 -> 1.0 white
+        assert at(150, 198) < 12    # t=1 -> 0.0 black
