@@ -195,18 +195,24 @@ class PdfCodec(DocumentCodec):
         )
         if self.layout:
             # reading order honors the inheritable /Rotate + /MediaBox
+            # and inlines /Form XObject text (letterheads, OCR layers)
             pages = [
                 minipdf.content_text_layout(
                     doc.page_content(p),
                     fonts=doc.page_fonts(p),
                     rotate=minipdf.page_rotation(doc, p),
                     media_box=minipdf.page_media_box(doc, p),
+                    forms=doc.page_forms(p),
                 )
                 for p in doc.pages()
             ]
         else:
             pages = [
-                minipdf.content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+                minipdf.content_text(
+                    doc.page_content(p),
+                    fonts=doc.page_fonts(p),
+                    forms=doc.page_forms(p),
+                )
                 for p in doc.pages()
             ]
         return _PdfHandle(content=content, pages=pages, doc=doc)
@@ -940,6 +946,7 @@ class PdfCodec(DocumentCodec):
             fonts=handle.doc.page_fonts(pg),
             rotate=minipdf.page_rotation(handle.doc, pg),
             media_box=minipdf.page_media_box(handle.doc, pg),
+            forms=handle.doc.page_forms(pg),
         )
 
     def page_paragraphs(self, handle: "_PdfHandle", page: int) -> list[str]:
@@ -956,6 +963,7 @@ class PdfCodec(DocumentCodec):
             fonts=handle.doc.page_fonts(pg),
             rotate=minipdf.page_rotation(handle.doc, pg),
             media_box=minipdf.page_media_box(handle.doc, pg),
+            forms=handle.doc.page_forms(pg),
         )
 
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:

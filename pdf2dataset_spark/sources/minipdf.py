@@ -1172,6 +1172,52 @@ class PdfDocument:
                 chunks.append(self.stream_bytes(part))
         return b"\n".join(chunks)
 
+    def page_forms(self, page: dict, _depth: int = 0,
+                   _seen: frozenset = frozenset()) -> dict:
+        """/Form XObjects reachable from a page's /Resources (ISO
+        32000-1 §8.10), for TEXT extraction through ``Do``:
+        ``{name: (content, fonts, matrix, nested_forms)}``. ``fonts``
+        come from the form's OWN /Resources when present (merged over
+        the caller's at execution time); ``matrix`` is /Matrix
+        (identity default); ``nested_forms`` recurses into the form's
+        own /XObject dict (depth-capped, cycle-guarded by object
+        identity so self-referencing forms cannot hang the walk)."""
+        if _depth > 8:
+            return {}
+        res = self.resolve(page.get("/Resources"))
+        xobjs = self.resolve(res.get("/XObject")) if isinstance(res, dict) \
+            else None
+        out: dict = {}
+        if not isinstance(xobjs, dict):
+            return out
+        for name, ref in xobjs.items():
+            obj = self.resolve(ref)
+            if not isinstance(obj, StreamObj):
+                continue
+            sd = obj.sdict
+            if self.resolve(sd.get("/Subtype")) != "/Form":
+                continue
+            if id(obj) in _seen:
+                continue  # cycle: a form (indirectly) invoking itself
+            try:
+                content = self.stream_bytes(obj)
+            except (ValueError, KeyError):
+                continue
+            mat = self.resolve(sd.get("/Matrix"))
+            try:
+                matrix = tuple(float(self.resolve(v)) for v in mat)[:6] \
+                    if isinstance(mat, list) and len(mat) >= 6 else _ID6
+            except (TypeError, ValueError):
+                matrix = _ID6
+            pseudo = {"/Resources": sd.get("/Resources")}
+            fonts = self.page_fonts(pseudo) \
+                if self.resolve(sd.get("/Resources")) else {}
+            nested = self.page_forms(
+                pseudo, _depth + 1, _seen | {id(obj)}
+            ) if self.resolve(sd.get("/Resources")) else {}
+            out[name] = (content, fonts, matrix, nested)
+        return out
+
     def page_images(self, page: dict, decode_pixels: bool = False) -> list[dict]:
         """Embedded image XObjects of a page (ISO 32000-1 §8.9.5), in
         /XObject name order. Each entry carries the declared metadata
@@ -1726,6 +1772,7 @@ def _decode_shown(raw: bytes, cmap: tuple | None) -> str:
 def content_text(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
+    forms: dict | None = None,
 ) -> str:
     """Text shown by a content stream IN STREAM ORDER: ``Tj``/``TJ``/
     ``'``/``"`` emit glyph strings; ``Td/TD/T*/Tm/ET`` mark line
@@ -1733,8 +1780,11 @@ def content_text(
     churn). ``fonts`` maps font resource names (``/F1``) to parsed
     /ToUnicode CMaps — ``Tf`` switches the active map, so CID/Type0
     glyph strings decode through their CMap while unmapped fonts keep
-    the BOM/Latin-1 fallback. For reading order (two-column layouts,
-    out-of-order text operators) use :func:`content_text_layout`."""
+    the BOM/Latin-1 fallback. ``forms`` (see
+    :meth:`PdfDocument.page_forms`) inlines /Form XObject text at its
+    ``Do`` site in stream order. For reading order (two-column
+    layouts, out-of-order text operators) use
+    :func:`content_text_layout`."""
     out: list[str] = []
     shown = False  # a show op happened since the last break marker
     pending = False  # a break marker happened after a show op
@@ -1753,27 +1803,49 @@ def content_text(
         if shown:
             pending = True
 
-    for op, stack in _iter_content_ops(content):
-        if op == b"Tj":
-            if stack and isinstance(stack[-1], bytes):
-                show(stack[-1])
-        elif op == b"TJ":
-            if stack and isinstance(stack[-1], list):
-                buf = b"".join(e for e in stack[-1] if isinstance(e, bytes))
-                show(buf)
-        elif op == b"'":
-            mark()
-            if stack and isinstance(stack[-1], bytes):
-                show(stack[-1])
-        elif op == b'"':
-            mark()
-            if stack and isinstance(stack[-1], bytes):
-                show(stack[-1])
-        elif op == b"Tf":
-            if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
-                cur_cmap = fonts.get(stack[-2])
-        elif op in _SHOW_LINE_OPS:
-            mark()
+    def exec_ops(ops_content, frame_fonts, frame_forms, depth):
+        nonlocal cur_cmap
+        for op, stack in _iter_content_ops(ops_content):
+            if op == b"Tj":
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    buf = b"".join(
+                        e for e in stack[-1] if isinstance(e, bytes)
+                    )
+                    show(buf)
+            elif op == b"'":
+                mark()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b'"':
+                mark()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b"Tf":
+                if frame_fonts and len(stack) >= 2 \
+                        and isinstance(stack[-2], str):
+                    cur_cmap = frame_fonts.get(stack[-2])
+            elif op == b"Do" and stack and isinstance(stack[-1], str) \
+                    and frame_forms and depth < 8:
+                ent = frame_forms.get(stack[-1])
+                if ent is not None:
+                    fcontent, ffonts, _, fforms = ent
+                    saved = cur_cmap
+                    mark()
+                    exec_ops(
+                        fcontent,
+                        {**(frame_fonts or {}), **(ffonts or {})},
+                        fforms,
+                        depth + 1,
+                    )
+                    mark()
+                    cur_cmap = saved
+            elif op in _SHOW_LINE_OPS:
+                mark()
+
+    exec_ops(content, fonts, forms, 0)
     return "".join(out)
 
 
@@ -1822,10 +1894,17 @@ def _mat_mul(m1, m2):
 def _text_runs(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
+    forms: dict | None = None,
 ) -> list[dict]:
     """Interpret the positioning + showing operators into runs:
     ``{x, y, x_end, size, text}`` with device-space baseline origin
-    (x, y), estimated end, and effective device font size."""
+    (x, y), estimated end, and effective device font size. ``forms``
+    (from :meth:`PdfDocument.page_forms`) makes ``Do`` of a /Form
+    XObject execute the form's content inline — its /Matrix composes
+    into the CTM, its own fonts merge over the caller's, and the
+    graphics/text state restores afterward (the spec's implicit q/Q
+    around Do) — so letterhead/stamp/OCR-layer text participates in
+    reading order exactly as poppler extracts it."""
     import math
 
     runs: list[dict] = []
@@ -1892,59 +1971,86 @@ def _text_runs(
         tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
         tm = tlm
 
-    for op, stack in _iter_content_ops(content):
-        try:
-            if op == b"BT":
-                in_text = True
-                tm = tlm = _ID6
-            elif op == b"ET":
-                in_text = False
-            elif op == b"q":
-                ctm_stack.append(ctm)
-            elif op == b"Q":
-                if ctm_stack:
-                    ctm = ctm_stack.pop()
-            elif op == b"cm" and len(stack) >= 6:
-                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
-            elif op == b"Tm" and len(stack) >= 6:
-                tm = tlm = tuple(float(v) for v in stack[-6:])
-            elif op == b"Td" and len(stack) >= 2:
-                td(float(stack[-2]), float(stack[-1]))
-            elif op == b"TD" and len(stack) >= 2:
-                tl = -float(stack[-1])
-                td(float(stack[-2]), float(stack[-1]))
-            elif op == b"T*":
-                td(0.0, -tl)
-            elif op == b"TL" and stack:
-                tl = float(stack[-1])
-            elif op == b"Tc" and stack:
-                tc = float(stack[-1])
-            elif op == b"Tw" and stack:
-                tw = float(stack[-1])
-            elif op == b"Tz" and stack:
-                tz = float(stack[-1])
-            elif op == b"Tf" and len(stack) >= 2:
-                if isinstance(stack[-2], str) and fonts:
-                    cur_cmap = fonts.get(stack[-2])
-                tfs = float(stack[-1])
-            elif op == b"Tj":
-                if in_text and stack and isinstance(stack[-1], bytes):
-                    show(stack[-1])
-            elif op == b"TJ":
-                if in_text and stack and isinstance(stack[-1], list):
-                    show(b"", parts=stack[-1])
-            elif op == b"'":
-                if in_text and stack and isinstance(stack[-1], bytes):
+    def exec_ops(
+        ops_content: bytes,
+        frame_fonts: dict | None,
+        frame_forms: dict | None,
+        depth: int,
+    ) -> None:
+        nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, in_text
+        for op, stack in _iter_content_ops(ops_content):
+            try:
+                if op == b"BT":
+                    in_text = True
+                    tm = tlm = _ID6
+                elif op == b"ET":
+                    in_text = False
+                elif op == b"q":
+                    ctm_stack.append(ctm)
+                elif op == b"Q":
+                    if ctm_stack:
+                        ctm = ctm_stack.pop()
+                elif op == b"cm" and len(stack) >= 6:
+                    ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+                elif op == b"Tm" and len(stack) >= 6:
+                    tm = tlm = tuple(float(v) for v in stack[-6:])
+                elif op == b"Td" and len(stack) >= 2:
+                    td(float(stack[-2]), float(stack[-1]))
+                elif op == b"TD" and len(stack) >= 2:
+                    tl = -float(stack[-1])
+                    td(float(stack[-2]), float(stack[-1]))
+                elif op == b"T*":
                     td(0.0, -tl)
-                    show(stack[-1])
-            elif op == b'"':
-                if in_text and len(stack) >= 3 and isinstance(stack[-1], bytes):
-                    tw = float(stack[-3])
-                    tc = float(stack[-2])
-                    td(0.0, -tl)
-                    show(stack[-1])
-        except (TypeError, ValueError):
-            continue  # malformed operands: skip the op, keep going
+                elif op == b"TL" and stack:
+                    tl = float(stack[-1])
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    tz = float(stack[-1])
+                elif op == b"Tf" and len(stack) >= 2:
+                    if isinstance(stack[-2], str) and frame_fonts:
+                        cur_cmap = frame_fonts.get(stack[-2])
+                    tfs = float(stack[-1])
+                elif op == b"Tj":
+                    if in_text and stack and isinstance(stack[-1], bytes):
+                        show(stack[-1])
+                elif op == b"TJ":
+                    if in_text and stack and isinstance(stack[-1], list):
+                        show(b"", parts=stack[-1])
+                elif op == b"'":
+                    if in_text and stack and isinstance(stack[-1], bytes):
+                        td(0.0, -tl)
+                        show(stack[-1])
+                elif op == b'"':
+                    if in_text and len(stack) >= 3 \
+                            and isinstance(stack[-1], bytes):
+                        tw = float(stack[-3])
+                        tc = float(stack[-2])
+                        td(0.0, -tl)
+                        show(stack[-1])
+                elif op == b"Do" and stack and isinstance(stack[-1], str) \
+                        and frame_forms and depth < 8:
+                    ent = frame_forms.get(stack[-1])
+                    if ent is None:
+                        continue
+                    fcontent, ffonts, fmatrix, fforms = ent
+                    # implicit q/Q around the form invocation: the
+                    # whole graphics + text state restores after
+                    saved = (ctm, tm, tlm, tfs, tc, tw, tz, tl,
+                             cur_cmap, in_text, len(ctm_stack))
+                    ctm = _mat_mul(fmatrix, ctm)
+                    in_text = False
+                    merged = {**(frame_fonts or {}), **(ffonts or {})}
+                    exec_ops(fcontent, merged, fforms, depth + 1)
+                    (ctm, tm, tlm, tfs, tc, tw, tz, tl,
+                     cur_cmap, in_text, n) = saved
+                    del ctm_stack[n:]
+            except (TypeError, ValueError):
+                continue  # malformed operands: skip the op, keep going
+
+    exec_ops(content, fonts, forms, 0)
     return runs
 
 
@@ -2083,6 +2189,7 @@ def content_word_boxes(
     fonts: dict[str, tuple] | None = None,
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
+    forms: dict | None = None,
 ) -> list[dict]:
     """Word-level boxes (the ``pdftotext -bbox`` shape): every
     whitespace-delimited word with its device-space baseline box
@@ -2094,7 +2201,7 @@ def content_word_boxes(
     engine uses, so boxes are approximate but reproducible. y0 is the
     baseline, y1 = baseline + the device font size (ascent box)."""
     runs = _reading_frame(
-        _rotate_runs(_text_runs(content, fonts), rotate, media_box),
+        _rotate_runs(_text_runs(content, fonts, forms), rotate, media_box),
         frame=_display_frame(rotate, media_box),
     )
     out: list[dict] = []
@@ -2142,6 +2249,7 @@ def extract_page_word_boxes(data: bytes) -> list[list[dict]]:
             fonts=doc.page_fonts(p),
             rotate=page_rotation(doc, p),
             media_box=page_media_box(doc, p),
+            forms=doc.page_forms(p),
         )
         for p in doc.pages()
     ]
@@ -2152,6 +2260,7 @@ def content_text_layout(
     fonts: dict[str, tuple] | None = None,
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
+    forms: dict | None = None,
 ) -> str:
     """Text shown by a content stream in READING ORDER (pdftotext
     parity): runs are placed in device space by the full positioning
@@ -2164,7 +2273,8 @@ def content_text_layout(
     /Rotate and /MediaBox) map runs into the DISPLAYED frame first —
     see :func:`_rotate_runs`."""
     return "\n".join(
-        t for _, _, t in _layout_lines(content, fonts, rotate, media_box)
+        t for _, _, t in _layout_lines(content, fonts, rotate, media_box,
+                                       forms)
     )
 
 
@@ -2173,12 +2283,13 @@ def _layout_lines(
     fonts: dict[str, tuple] | None = None,
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
+    forms: dict | None = None,
 ) -> list[tuple[float, float, str]]:
     """Reading-order lines as ``(y, size, text)`` — the shared back
     end of :func:`content_text_layout` and
     :func:`content_paragraphs`."""
     runs = _reading_frame(
-        _rotate_runs(_text_runs(content, fonts), rotate, media_box),
+        _rotate_runs(_text_runs(content, fonts, forms), rotate, media_box),
         frame=_display_frame(rotate, media_box),
     )
     if not runs:
@@ -2221,6 +2332,7 @@ def content_paragraphs(
     fonts: dict[str, tuple] | None = None,
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
+    forms: dict | None = None,
 ) -> list[str]:
     """PARAGRAPH segmentation over the reading-order lines — the
     layout-aware chunking unit a training pipeline wants. A new
@@ -2232,7 +2344,8 @@ def content_paragraphs(
     function of the positioning operators."""
     lines = [
         (y, size, t)
-        for y, size, t in _layout_lines(content, fonts, rotate, media_box)
+        for y, size, t in _layout_lines(content, fonts, rotate, media_box,
+                                        forms)
         if t.strip()
     ]
     if not lines:
@@ -2701,11 +2814,13 @@ def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:
                 fonts=doc.page_fonts(p),
                 rotate=page_rotation(doc, p),
                 media_box=page_media_box(doc, p),
+                forms=doc.page_forms(p),
             )
             for p in doc.pages()
         ]
     return [
-        content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+        content_text(doc.page_content(p), fonts=doc.page_fonts(p),
+                     forms=doc.page_forms(p))
         for p in doc.pages()
     ]
 

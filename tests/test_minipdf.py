@@ -2678,3 +2678,125 @@ class TestLineWidth:
         )
         (quad, _), = d["polys"]
         assert all(30.0 <= x <= 70.0 for x, _ in quad), quad
+
+
+class TestFormXObjectText:
+    """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
+    layers) extracts through Do — /Matrix composes into the CTM, the
+    form's own fonts merge over the page's, graphics/text state
+    restores after the invocation, and cycles/depth are guarded."""
+
+    @staticmethod
+    def _raw(objs):
+        out = bytearray(b"%PDF-1.5\n")
+        for i, b in enumerate(objs, 1):
+            out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+        out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        return bytes(out)
+
+    @classmethod
+    def _form(cls, num, content, extra=b""):
+        return (b"<< /Type /XObject /Subtype /Form /BBox [0 0 200 30] "
+                + extra + b"/Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream")
+
+    def _doc(self, page_content, xobjs, objs):
+        names = b" ".join(b"/Fo%d %d 0 R" % (i, n) for i, n in xobjs)
+        return self._raw([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /XObject << "
+            + names + b" >> >> >>",
+            b"<< /Length " + str(len(page_content)).encode()
+            + b" >>\nstream\n" + page_content + b"\nendstream",
+            *objs,
+        ])
+
+    def test_form_text_in_reading_and_stream_order(self):
+        form = b"BT /F1 10 Tf 10 10 Td (letterhead) Tj ET"
+        page = (b"BT /F1 12 Tf 72 700 Td (page body) Tj ET\n"
+                b"q 1 0 0 1 72 750 cm /Fo1 Do Q")
+        pdf = self._doc(page, [(1, 5)], [self._form(5, form)])
+        assert minipdf.extract_page_texts(pdf, layout=True)[0] == \
+            "letterhead\npage body"
+        assert minipdf.extract_page_texts(pdf, layout=False)[0] == \
+            "page body\nletterhead"
+        boxes = minipdf.extract_page_word_boxes(pdf)[0]
+        assert (boxes[0]["word"], boxes[0]["x0"], boxes[0]["y0"]) == \
+            ("letterhead", 82.0, 760.0)
+
+    def test_form_matrix_scales_placement(self):
+        form = b"BT /F1 10 Tf 0 0 Td (scaled) Tj ET"
+        page = b"q 1 0 0 1 100 100 cm /Fo1 Do Q"
+        pdf = self._doc(
+            page, [(1, 5)],
+            [self._form(5, form, extra=b"/Matrix [2 0 0 2 10 20] ")],
+        )
+        (box,) = minipdf.extract_page_word_boxes(pdf)[0]
+        # origin: Matrix (10,20) then cm (+100,+100); size 10*2=20
+        assert (box["x0"], box["y0"]) == (110.0, 120.0)
+        assert box["y1"] - box["y0"] == 20.0
+
+    def test_nested_forms_and_own_fonts(self):
+        inner = b"BT /F9 10 Tf 0 0 Td (\x61) Tj ET"  # code 0x61
+        tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin "
+               b"begincmap 1 begincodespacerange <00> <ff> "
+               b"endcodespacerange 1 beginbfchar <61> <0058> endbfchar "
+               b"endcmap end end")
+        outer = b"(outer) Tj /In0 Do"
+        outer_full = b"BT /F1 10 Tf 5 5 Td " + outer + b" ET /In0 Do"
+        page = b"/Fo1 Do"
+        pdf = self._raw([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /XObject << "
+            b"/Fo1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(page)).encode()
+            + b" >>\nstream\n" + page + b"\nendstream",
+            self._form(
+                5, outer_full,
+                extra=b"/Resources << /XObject << /In0 6 0 R >> >> ",
+            ),
+            self._form(
+                6, inner,
+                extra=b"/Resources << /Font << /F9 7 0 R >> >> ",
+            ),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode 8 0 R >>",
+            b"<< /Length " + str(len(tou)).encode()
+            + b" >>\nstream\n" + tou + b"\nendstream",
+        ])
+        out = minipdf.extract_page_texts(pdf, layout=False)[0]
+        # inner form's own font maps 0x61 -> 'X'; nested Do works
+        assert "outer" in out and "X" in out and "a" not in out
+
+    def test_self_referencing_form_does_not_hang(self):
+        form = b"BT /F1 10 Tf 0 0 Td (loop) Tj ET /Fo1 Do"
+        page = b"/Fo1 Do"
+        pdf = self._doc(
+            page, [(1, 5)],
+            [self._form(
+                5, form,
+                extra=b"/Resources << /XObject << /Fo1 5 0 R >> >> ",
+            )],
+        )
+        import time
+
+        t0 = time.monotonic()
+        out = minipdf.extract_page_texts(pdf, layout=False)[0]
+        assert time.monotonic() - t0 < 5.0
+        assert "loop" in out
+
+    def test_state_restores_after_form(self):
+        # the form changes Tf size and CTM; page text after Do must
+        # keep its own state (implicit q/Q)
+        form = b"BT /F1 30 Tf 0 0 Td (big) Tj ET"
+        page = (b"q 5 0 0 5 0 0 cm /Fo1 Do Q\n"
+                b"BT /F1 12 Tf 72 700 Td (after) Tj ET")
+        pdf = self._doc(page, [(1, 5)], [self._form(5, form)])
+        boxes = minipdf.extract_page_word_boxes(pdf)[0]
+        by_word = {b["word"]: b for b in boxes}
+        assert by_word["big"]["y1"] - by_word["big"]["y0"] == 150.0
+        assert by_word["after"]["y1"] - by_word["after"]["y0"] == 12.0
