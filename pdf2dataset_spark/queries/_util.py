@@ -79,14 +79,39 @@ def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
         # Auto-broadcast disabled for the session: never force a hint —
         # honor the operator's explicit "no broadcasts" choice.
         return df
+    # The estimate (optimizedPlan().stats()) runs Catalyst analysis +
+    # optimization and, for file relations, a file-size listing — per
+    # guarded relation, per query BUILD. Cache it per (session,
+    # canonical plan): semanticHash is computed over the canonicalized
+    # analyzed plan (which distinguishes source paths, so sf0.001 vs
+    # sf0.01 reads of the same schema do not collide), and the schema
+    # string disambiguates residual hash collisions. The estimate does
+    # not depend on the threshold, so the comparison below stays live
+    # against the CURRENT session threshold even on a cache hit.
     try:
-        est = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
+        key = (id(spark._jsparkSession), df.semanticHash(), str(df.schema))
     except Exception:
-        # No usable estimate: leave un-hinted, the planner decides.
-        return df
+        key = None
+    est = _EST_CACHE.get(key) if key is not None else None
+    if est is None:
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution().optimizedPlan().stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            # No usable estimate: leave un-hinted, the planner decides.
+            return df
+        if key is not None:
+            if len(_EST_CACHE) > 1024:
+                _EST_CACHE.clear()
+            _EST_CACHE[key] = est
     return F.broadcast(df) if est <= threshold else df
+
+
+_EST_CACHE: dict = {}  # (jvm-session id, semanticHash, schema) -> bytes
 
 
 def dec(col: Column | str, prec: int = 12, scale: int = 2) -> Column:

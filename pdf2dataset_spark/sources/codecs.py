@@ -589,11 +589,15 @@ class PdfCodec(DocumentCodec):
         patch for the image-stamping path. Per-pixel parameter s:
         the larger root of |P-c(s)| = r(s) with r(s) >= 0 (ISO
         32000-1 8.7.4.5.4), /Extend clamping, function values via a
-        256-level LUT. Returns (w, h, gray_bytes, placement_ctm) in
-        device space, or None when DECLINED BY NAME (non-similarity
-        CTM, degenerate geometry, over-budget region, unsupported
-        function). Unpainted pixels are canvas white — exact because
-        shading paints the bottom z-layer here."""
+        256-level LUT. Returns (w, h, gray_bytes, placement_ctm,
+        mask_bytes) in device space, or None when DECLINED BY NAME
+        (non-similarity CTM, degenerate geometry, over-budget region,
+        unsupported function). Unpainted pixels are TRANSPARENT
+        (mask 0, skip-stamped by the compositor) — overlapping
+        shadings compose in stream order instead of erasing each
+        other with opaque white. Remaining documented decline: the
+        patch layer still paints below rect/poly fills regardless of
+        content-stream order (shading-over-fill renders under it)."""
         import numpy as np
 
         from pdf2dataset_spark.sources import minipdf
@@ -670,7 +674,8 @@ class PdfCodec(DocumentCodec):
         idx = np.clip(np.round(s * 255), 0, 255).astype(np.int64)
         patch = np.where(ok, lut[idx], np.uint8(255)).astype(np.uint8)
         placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
-        return pw, ph, patch.tobytes(), placement
+        return pw, ph, patch.tobytes(), placement, \
+            ok.astype(np.uint8).tobytes()
 
     def _shading_fills(
         self, doc, pg, name: str, ctm, clip, box
@@ -840,12 +845,12 @@ class PdfCodec(DocumentCodec):
                     doc, sh, sctm, sclip, (x0, y0, x1, y1)
                 )
                 if patch is not None:
-                    pw_, ph_, ppx, pctm = patch
+                    pw_, ph_, ppx, pctm, pmask = patch
                     pa, pb, pc, pd, pe, pf = pctm
                     shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
                     if rot:
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
-                    shading_patches.append((pw_, ph_, ppx, shifted))
+                    shading_patches.append((pw_, ph_, ppx, shifted, pmask))
             else:
                 shading_fills += self._shading_fills(
                     doc, pg, name, sctm, sclip, (x0, y0, x1, y1)

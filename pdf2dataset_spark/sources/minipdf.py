@@ -1837,7 +1837,12 @@ def content_text(
                     exec_ops(
                         fcontent,
                         {**(frame_fonts or {}), **(ffonts or {})},
-                        fforms,
+                        # legacy files resolve a nested Do against the
+                        # PAGE's /XObject dict when the form has no own
+                        # /Resources (poppler's page-resource fallback):
+                        # caller's forms under the form's own. depth<8
+                        # still bounds any cycle this re-exposes.
+                        {**(frame_forms or {}), **(fforms or {})},
                         depth + 1,
                     )
                     mark()
@@ -2037,16 +2042,23 @@ def _text_runs(
                         continue
                     fcontent, ffonts, fmatrix, fforms = ent
                     # implicit q/Q around the form invocation: the
-                    # whole graphics + text state restores after
+                    # whole graphics + text state restores after. The
+                    # ctm_stack snapshot must be a full copy: a
+                    # malformed form with more Q than q pops the
+                    # CALLER's saved entries, which a length-truncate
+                    # alone cannot restore.
                     saved = (ctm, tm, tlm, tfs, tc, tw, tz, tl,
-                             cur_cmap, in_text, len(ctm_stack))
+                             cur_cmap, in_text)
+                    saved_stack = list(ctm_stack)
                     ctm = _mat_mul(fmatrix, ctm)
                     in_text = False
                     merged = {**(frame_fonts or {}), **(ffonts or {})}
-                    exec_ops(fcontent, merged, fforms, depth + 1)
+                    exec_ops(fcontent, merged,
+                             {**(frame_forms or {}), **(fforms or {})},
+                             depth + 1)
                     (ctm, tm, tlm, tfs, tc, tw, tz, tl,
-                     cur_cmap, in_text, n) = saved
-                    del ctm_stack[n:]
+                     cur_cmap, in_text) = saved
+                    ctm_stack[:] = saved_stack
             except (TypeError, ValueError):
                 continue  # malformed operands: skip the op, keep going
 

@@ -441,7 +441,14 @@ def compose_page(
         return int(round(x * scale)), int(round((page_h - y) * scale))
 
     def stamp(entries) -> None:
-        for iw, ih, ipx, ictm in entries or ():
+        for entry in entries or ():
+            if len(entry) == 5:
+                # optional paint mask: 0 = transparent (skip-stamp) —
+                # unpainted shading pixels must not erase layers below
+                iw, ih, ipx, ictm, imask = entry
+            else:
+                iw, ih, ipx, ictm = entry
+                imask = None
             if not iw or not ih or len(ipx) < iw * ih:
                 continue
             ia, ib, ic, id_, ie, if_ = ictm
@@ -458,7 +465,8 @@ def compose_page(
                 row = ty * W
                 for tx in range(max(0, tx0), min(W, tx0 + tw)):
                     sxp = min(iw - 1, (tx - tx0) * iw // tw)
-                    px[row + tx] = ipx[srow + sxp]
+                    if imask is None or imask[srow + sxp]:
+                        px[row + tx] = ipx[srow + sxp]
 
     stamp(base_images)
     for x0, y0, x1, y1, g in fills or ():

@@ -2789,6 +2789,36 @@ class TestFormXObjectText:
         assert time.monotonic() - t0 < 5.0
         assert "loop" in out
 
+    def test_nested_do_falls_back_to_page_xobjects(self):
+        # legacy files: a form WITHOUT its own /Resources invokes a
+        # sibling form by name — the name must resolve against the
+        # caller's (page's) /XObject dict (poppler's page-resource
+        # fallback), in both text walkers
+        outer = b"BT /F1 10 Tf 5 5 Td (outer) Tj ET /Fo2 Do"
+        inner = b"BT /F1 10 Tf 0 0 Td (inner) Tj ET"
+        page = b"/Fo1 Do"
+        pdf = self._doc(
+            page, [(1, 5), (2, 6)],
+            [self._form(5, outer), self._form(6, inner)],
+        )
+        out = minipdf.extract_page_texts(pdf, layout=False)[0]
+        assert "outer" in out and "inner" in out
+        words = {b["word"] for b in minipdf.extract_page_word_boxes(pdf)[0]}
+        assert {"outer", "inner"} <= words
+
+    def test_unbalanced_q_in_form_keeps_caller_stack(self):
+        # a malformed form with more Q than q must not pop the
+        # CALLER's saved CTM entries: the caller's own later Q still
+        # restores the right matrix
+        form = b"Q BT /F1 10 Tf 0 0 Td (inner) Tj ET"
+        page = (b"q 1 0 0 1 100 0 cm /Fo1 Do Q\n"
+                b"BT /F1 12 Tf 10 700 Td (after) Tj ET")
+        pdf = self._doc(page, [(1, 5)], [self._form(5, form)])
+        by_word = {b["word"]: b
+                   for b in minipdf.extract_page_word_boxes(pdf)[0]}
+        # caller's Q restored identity -> 'after' sits at x=10, not 110
+        assert by_word["after"]["x0"] == 10.0
+
     def test_state_restores_after_form(self):
         # the form changes Tf size and CTM; page text after Do must
         # keep its own state (implicit q/Q)

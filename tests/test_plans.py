@@ -554,6 +554,35 @@ def test_maybe_broadcast_hints_only_under_threshold(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_maybe_broadcast_caches_estimate_per_plan(spark):
+    """Round-8 advice fix: the Catalyst size estimate is cached per
+    (session, canonical plan) so repeated builds of the same guarded
+    relation don't re-run driver-side optimization, while the
+    threshold comparison stays live against the CURRENT session conf
+    on a cache hit."""
+    from pdf2dataset_spark.io import load_table
+    from pdf2dataset_spark.queries import _util
+
+    _util._EST_CACHE.clear()
+    p = load_table(spark, SF, "part").filter("p_size > 10")
+    _util.maybe_broadcast(p)
+    assert len(_util._EST_CACHE) == 1
+    # identical rebuild: cache hit, no second entry
+    p2 = load_table(spark, SF, "part").filter("p_size > 10")
+    _util.maybe_broadcast(p2)
+    assert len(_util._EST_CACHE) == 1
+    # a DIFFERENT plan (other filter) gets its own entry
+    _util.maybe_broadcast(load_table(spark, SF, "part").filter("p_size > 40"))
+    assert len(_util._EST_CACHE) == 2
+    # cache hit still honors the live threshold: 1-byte -> unhinted
+    # (maybe_broadcast returns the frame object unchanged when it
+    # declines), while the default threshold hints the same cached plan
+    est = next(iter(_util._EST_CACHE.values()))
+    assert est > 1
+    assert _util.maybe_broadcast(p2, threshold=1) is p2
+    assert _util.maybe_broadcast(p2) is not p2
+
+
 def test_partsupp_cost_cores_survive_broadcast_off(spark, registry):
     """The 100x simulation for the swept queries: with every broadcast
     guard refusing the hint (threshold -1), sql23/sql26 must (a) plan

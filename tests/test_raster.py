@@ -1427,6 +1427,34 @@ class TestRadialShading:
         assert at(260, 400) < 200           # annulus painted
         assert at(130, 330) == 255          # beyond r1, no extend1
 
+    def test_overlapping_radials_compose_in_stream_order(self):
+        # round-8 advice fix: a later shading's UNPAINTED pixels are
+        # transparent (skip-stamped), not opaque white — they must not
+        # erase an earlier shading's paint underneath
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+
+        sh_a = (b"<< /ShadingType 3 /Coords [200 400 0 200 400 60] "
+                b"/Function << /FunctionType 2 /C0 [0.0] /C1 [0.66] /N 1 >> "
+                b"/Extend [false false] >>")
+        sh_b = (b"<< /ShadingType 3 /Coords [240 400 40 240 400 80] "
+                b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+                b"/Extend [false false] >>")
+        pdf = _content_pdf(
+            b"q /Sh0 sh Q q /Sh1 sh Q",
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /Shading << "
+                b"/Sh0 " + sh_a + b" /Sh1 " + sh_b + b" >> >>"
+            ),
+        )
+        at = self._at(pdf)
+        # (220,400): inside A's painted disc AND inside B's unpainted
+        # inner hole -> A's gray must survive B's stamp
+        assert at(220, 400) < 200
+        # B's annulus itself painted (distance 70 -> mid-ramp gray)
+        assert 0 < at(310, 400) < 255
+        # far outside both: canvas white
+        assert at(500, 700) == 255
+
     def test_non_similarity_ctm_declines(self):
         from pdf2dataset_spark.sources.codecs import PdfCodec
         from pdf2dataset_spark.sources import minipdf
