@@ -574,14 +574,103 @@ class PdfCodec(DocumentCodec):
             return out
         raise ValueError(f"shading function type {ftype} unsupported")
 
-    #: strip budget per shading paint (deterministic degraded
-    #: resolution past it — a hostile axis length cannot force
-    #: unbounded fills)
-    _MAX_SHADING_STRIPS = 4096
-
-
-    #: pixel budget for a rasterized radial-shading patch
+    #: pixel budget for a rasterized shading patch (axial/radial) —
+    #: a hostile clip/MediaBox cannot force unbounded rasterization
     _MAX_SHADING_PATCH_PX = 2_000_000
+
+    def _shading_lut(self, doc, sh):
+        """(ext0, ext1, lut256) for a shading dict: /Extend flags and
+        a 256-level uint8 luma LUT of /Function over /Domain
+        (deterministic quantization). Raises on unsupported or
+        malformed functions — callers decline the whole paint."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources import minipdf
+
+        dom = [float(doc.resolve(v))
+               for v in doc.resolve(sh.get("/Domain", [0.0, 1.0]))]
+        ext = doc.resolve(sh.get("/Extend", [False, False]))
+        ext0 = bool(doc.resolve(ext[0])) if isinstance(ext, list) else False
+        ext1 = bool(doc.resolve(ext[1])) if isinstance(ext, list) \
+            and len(ext) > 1 else False
+        fn = sh.get("/Function")
+        lut = np.empty(256, dtype=np.uint8)
+        for i in range(256):
+            t = dom[0] + i / 255.0 * (dom[1] - dom[0])
+            lut[i] = minipdf._luma(self._eval_pdf_function(doc, fn, t))
+        return ext0, ext1, lut
+
+    def _patch_grid(self, clip, box):
+        """Budgeted device-space raster grid for a shading patch over
+        ``clip ∩ box``: (rx0, ry0, pw, ph, xs, ys) with pixel-center
+        coordinate vectors (row 0 = TOP, the image-stamp convention),
+        or None when empty / over ``_MAX_SHADING_PATCH_PX``."""
+        import numpy as np
+
+        region = clip if clip is not None else box
+        rx0 = max(region[0], box[0])
+        ry0 = max(region[1], box[1])
+        rx1 = min(region[2], box[2])
+        ry1 = min(region[3], box[3])
+        pw, ph = int(rx1 - rx0), int(ry1 - ry0)
+        if pw <= 0 or ph <= 0 or pw * ph > self._MAX_SHADING_PATCH_PX:
+            return None
+        xs = rx0 + np.arange(pw, dtype=np.float64) + 0.5
+        ys = ry1 - (np.arange(ph, dtype=np.float64) + 0.5)
+        return rx0, ry0, pw, ph, xs, ys
+
+    def _axial_patch(self, doc, sh, ctm, clip, box):
+        """/ShadingType 2 (axial) under ANY invertible affine CTM,
+        rasterized at 1 device unit/px into a masked gray patch.
+        Device pixel centers map back through the CTM inverse to user
+        space, where s = ((P-p0)·(p1-p0)) / |p1-p0|² (ISO 32000-1
+        8.7.4.5.3) — level lines stay perpendicular to the axis in
+        USER space, so skewed/rotated CTMs paint exactly (the round-7
+        axis-aligned-strips path declined rotated axes by name).
+        /Extend clamping; unpainted pixels are transparent (mask 0).
+        Returns (w, h, gray_bytes, placement_ctm, mask_bytes) or None
+        when DECLINED BY NAME (singular CTM, degenerate axis,
+        over-budget region, unsupported function)."""
+        import numpy as np
+
+        try:
+            coords = [float(doc.resolve(v))
+                      for v in doc.resolve(sh.get("/Coords"))][:4]
+            ux0, uy0, ux1, uy1 = coords
+            a, b, c, d, e, f = ctm
+            det = a * d - c * b
+            if abs(det) < 1e-12:
+                return None
+            adx, ady = ux1 - ux0, uy1 - uy0
+            denom = adx * adx + ady * ady
+            if denom < 1e-12:
+                return None
+            ext0, ext1, lut = self._shading_lut(doc, sh)
+        except (TypeError, ValueError, KeyError, IndexError):
+            return None
+        grid = self._patch_grid(clip, box)
+        if grid is None:
+            return None
+        rx0, ry0, pw, ph, xs, ys = grid
+        # device = M·user + t with x' = a·x + c·y + e, y' = b·x + d·y
+        # + f; invert: u = (d·(x-e) - c·(y-f))/det, v = (-b·(x-e)
+        # + a·(y-f))/det
+        X = xs[None, :] - e
+        Y = ys[:, None] - f
+        u = (d * X - c * Y) / det
+        v = (-b * X + a * Y) / det
+        s = ((u - ux0) * adx + (v - uy0) * ady) / denom
+        ok = np.ones(s.shape, dtype=bool)
+        if not ext0:
+            ok &= s >= 0
+        if not ext1:
+            ok &= s <= 1
+        s = np.clip(s, 0.0, 1.0)
+        idx = np.clip(np.round(s * 255), 0, 255).astype(np.int64)
+        patch = np.where(ok, lut[idx], np.uint8(255)).astype(np.uint8)
+        placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
+        return pw, ph, patch.tobytes(), placement, \
+            ok.astype(np.uint8).tobytes()
 
     def _radial_patch(self, doc, sh, ctm, clip, box):
         """/ShadingType 3 (radial) under a SIMILARITY CTM (circles
@@ -600,8 +689,6 @@ class PdfCodec(DocumentCodec):
         content-stream order (shading-over-fill renders under it)."""
         import numpy as np
 
-        from pdf2dataset_spark.sources import minipdf
-
         try:
             coords = [float(doc.resolve(v))
                       for v in doc.resolve(sh.get("/Coords"))][:6]
@@ -618,31 +705,13 @@ class PdfCodec(DocumentCodec):
             r0, r1 = ur0 * scale, ur1 * scale
             if r0 < 0 or r1 < 0:
                 return None
-            dom = [float(doc.resolve(v))
-                   for v in doc.resolve(sh.get("/Domain", [0.0, 1.0]))]
-            ext = doc.resolve(sh.get("/Extend", [False, False]))
-            ext0 = bool(doc.resolve(ext[0])) if isinstance(ext, list) else False
-            ext1 = bool(doc.resolve(ext[1])) if isinstance(ext, list) \
-                and len(ext) > 1 else False
-            fn = sh.get("/Function")
-            # 256-level function LUT (deterministic quantization)
-            lut = np.empty(256, dtype=np.uint8)
-            for i in range(256):
-                t = dom[0] + i / 255.0 * (dom[1] - dom[0])
-                lut[i] = minipdf._luma(self._eval_pdf_function(doc, fn, t))
+            ext0, ext1, lut = self._shading_lut(doc, sh)
         except (TypeError, ValueError, KeyError, IndexError):
             return None
-        region = clip if clip is not None else box
-        rx0 = max(region[0], box[0])
-        ry0 = max(region[1], box[1])
-        rx1 = min(region[2], box[2])
-        ry1 = min(region[3], box[3])
-        pw, ph = int(rx1 - rx0), int(ry1 - ry0)
-        if pw <= 0 or ph <= 0 or pw * ph > self._MAX_SHADING_PATCH_PX:
+        grid = self._patch_grid(clip, box)
+        if grid is None:
             return None
-        # pixel centers, row 0 = TOP (the image-stamp convention)
-        xs = rx0 + np.arange(pw, dtype=np.float64) + 0.5
-        ys = ry1 - (np.arange(ph, dtype=np.float64) + 0.5)
+        rx0, ry0, pw, ph, xs, ys = grid
         ex = xs[None, :] - p0[0]
         ey = ys[:, None] - p0[1]
         dx, dy, dr = p1[0] - p0[0], p1[1] - p0[1], r1 - r0
@@ -676,88 +745,6 @@ class PdfCodec(DocumentCodec):
         placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
         return pw, ph, patch.tobytes(), placement, \
             ok.astype(np.uint8).tobytes()
-
-    def _shading_fills(
-        self, doc, pg, name: str, ctm, clip, box
-    ) -> list[tuple]:
-        """Rasterize one ``sh`` paint into device-space rect fills:
-        AXIAL (/ShadingType 2) shadings whose device-space axis is
-        axis-aligned (the dominant real-world header/background
-        gradient) become 1-unit strips across the clip region (the
-        whole MediaBox when no clip is active), colored by the
-        shading function via the BT.601 luma. DECLINED BY NAME
-        (skipped, never mis-painted): radial (3) and mesh shadings,
-        rotated axes, sampled/calculator functions."""
-        from pdf2dataset_spark.sources import minipdf
-
-        res = doc.resolve(pg.get("/Resources"))
-        shs = doc.resolve(res.get("/Shading")) if isinstance(res, dict) \
-            else None
-        sh = doc.resolve(shs.get(name)) if isinstance(shs, dict) else None
-        if not isinstance(sh, dict):
-            return []
-        try:
-            if int(doc.resolve(sh.get("/ShadingType", 0))) != 2:
-                return []  # axial only
-            coords = [float(doc.resolve(v))
-                      for v in doc.resolve(sh.get("/Coords"))][:4]
-            ux0, uy0, ux1, uy1 = coords
-            a, b, c, d, e, f = ctm
-            p0 = (a * ux0 + c * uy0 + e, b * ux0 + d * uy0 + f)
-            p1 = (a * ux1 + c * uy1 + e, b * ux1 + d * uy1 + f)
-            dom = [float(doc.resolve(v))
-                   for v in doc.resolve(sh.get("/Domain", [0.0, 1.0]))]
-            ext = doc.resolve(sh.get("/Extend", [False, False]))
-            ext0 = bool(doc.resolve(ext[0])) if isinstance(ext, list) else False
-            ext1 = bool(doc.resolve(ext[1])) if isinstance(ext, list) \
-                and len(ext) > 1 else False
-            fn = sh.get("/Function")
-        except (TypeError, ValueError, KeyError, IndexError):
-            return []
-        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
-        if abs(dx) > 1e-9 and abs(dy) > 1e-9:
-            return []  # rotated axis: declined by name
-        if abs(dx) <= 1e-9 and abs(dy) <= 1e-9:
-            return []
-        region = clip if clip is not None else box
-        rx0, ry0, rx1, ry1 = region
-        if box is not None:  # shading never paints outside the page
-            rx0, ry0 = max(rx0, box[0]), max(ry0, box[1])
-            rx1, ry1 = min(rx1, box[2]), min(ry1, box[3])
-        if rx1 <= rx0 or ry1 <= ry0:
-            return []
-        horizontal = abs(dy) <= 1e-9
-        lo, hi = (rx0, rx1) if horizontal else (ry0, ry1)
-        o0, axis_len = (p0[0], dx) if horizontal else (p0[1], dy)
-        n_strips = int(hi - lo) + 1
-        step = (hi - lo) / n_strips
-        if n_strips > self._MAX_SHADING_STRIPS:
-            n_strips = self._MAX_SHADING_STRIPS
-            step = (hi - lo) / n_strips
-        fills: list[tuple] = []
-        for i in range(n_strips):
-            s_lo = lo + i * step
-            s_hi = min(hi, s_lo + step)
-            s = ((s_lo + s_hi) / 2 - o0) / axis_len
-            if s < 0.0:
-                if not ext0:
-                    continue
-                s = 0.0
-            elif s > 1.0:
-                if not ext1:
-                    continue
-                s = 1.0
-            t = dom[0] + s * (dom[1] - dom[0])
-            try:
-                vals = self._eval_pdf_function(doc, fn, t)
-            except (ValueError, TypeError, KeyError, IndexError):
-                return []  # unsupported function: whole paint declines
-            g = minipdf._luma(vals)
-            if horizontal:
-                fills.append((s_lo, ry0, s_hi, ry1, g))
-            else:
-                fills.append((rx0, s_lo, rx1, s_hi, g))
-        return fills
 
     def _composite_pixels(
         self, handle: "_PdfHandle", page: int
@@ -826,11 +813,15 @@ class PdfCodec(DocumentCodec):
                     if rot:
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                     placed.append((gray[0], gray[1], gray[2], shifted))
-        shading_fills: list[tuple] = []
+        # shadings rasterize as masked gray patches (axial under any
+        # invertible CTM, radial under similarity CTMs), stamped in
+        # CONTENT-STREAM order among themselves on the base layer;
+        # unsupported types/geometries decline by name (unpainted)
         shading_patches: list[tuple] = []
         res0 = doc.resolve(pg.get("/Resources"))
         shdict = doc.resolve(res0.get("/Shading")) \
             if isinstance(res0, dict) else None
+        _patch_fn = {2: self._axial_patch, 3: self._radial_patch}
         for name, sctm, sclip in draw.get("shadings", ()):
             sh = doc.resolve(shdict.get(name)) \
                 if isinstance(shdict, dict) else None
@@ -840,23 +831,18 @@ class PdfCodec(DocumentCodec):
                     stype = int(doc.resolve(sh.get("/ShadingType", 0)))
                 except (TypeError, ValueError):
                     stype = 0
-            if stype == 3:
-                patch = self._radial_patch(
-                    doc, sh, sctm, sclip, (x0, y0, x1, y1)
-                )
-                if patch is not None:
-                    pw_, ph_, ppx, pctm, pmask = patch
-                    pa, pb, pc, pd, pe, pf = pctm
-                    shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
-                    if rot:
-                        shifted = minipdf._mat_mul(shifted, _rot_d[rot])
-                    shading_patches.append((pw_, ph_, ppx, shifted, pmask))
-            else:
-                shading_fills += self._shading_fills(
-                    doc, pg, name, sctm, sclip, (x0, y0, x1, y1)
-                )
+            fn = _patch_fn.get(stype)
+            patch = fn(doc, sh, sctm, sclip, (x0, y0, x1, y1)) \
+                if fn is not None else None
+            if patch is not None:
+                pw_, ph_, ppx, pctm, pmask = patch
+                pa, pb, pc, pd, pe, pf = pctm
+                shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
+                if rot:
+                    shifted = minipdf._mat_mul(shifted, _rot_d[rot])
+                shading_patches.append((pw_, ph_, ppx, shifted, pmask))
         if not (draw["fills"] or draw["polys"] or draw["lines"]
-                or placed or shading_fills or shading_patches):
+                or placed or shading_patches):
             return None
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
@@ -868,8 +854,7 @@ class PdfCodec(DocumentCodec):
             bh if rot in (90, 270) else bw,
             bw if rot in (90, 270) else bh,
             fills=[drect(fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0, g)
-                   for fx0, fy0, fx1, fy1, g in
-                   shading_fills + draw["fills"]],
+                   for fx0, fy0, fx1, fy1, g in draw["fills"]],
             lines=[dseg(lx0 - x0, ly0 - y0, lx1 - x0, ly1 - y0, g)
                    for lx0, ly0, lx1, ly1, g in draw["lines"]],
             polys=[

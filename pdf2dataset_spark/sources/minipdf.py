@@ -2600,7 +2600,8 @@ def content_draw_ops(content: bytes) -> dict:
     nonzero/even-odd divergence, pattern (scn) paints. ``sh``
     shading paints are CAPTURED (name, ctm, device clip) for the
     codec to resolve against the page's /Shading resources and
-    rasterize (axial only — see codecs._shading_fills). Returns
+    rasterize (axial under any invertible CTM, radial under
+    similarity CTMs — codecs._axial_patch/_radial_patch). Returns
     ``{"fills": [(x0,y0,x1,y1,gray)], "polys": [(points, gray)],
     "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)],
     "shadings": [(name, ctm, clip|None)]}``."""

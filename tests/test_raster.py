@@ -1196,9 +1196,12 @@ class TestTwelveBitCmykJpeg:
 
 
 class TestAxialShading:
-    """Round-7: sh paints of /ShadingType 2 (axial) rasterize as
-    budgeted gradient strips inside the active clip; everything else
-    declines by name (unpainted, deterministic)."""
+    """sh paints of /ShadingType 2 (axial) rasterize as budgeted
+    masked gray patches inside the active clip — since round 8 under
+    ANY invertible affine CTM and axis direction (device pixels map
+    back through the CTM inverse; the round-7 strips path declined
+    rotated axes). Degenerate geometry declines by name (unpainted,
+    deterministic)."""
 
     @staticmethod
     def _pdf(content, shading):
@@ -1269,28 +1272,70 @@ class TestAxialShading:
         assert at(150, 190) == 255        # top half: constant white
         assert at(150, 145) > 200         # just under the bound
 
-    def test_rotated_axis_and_radial_decline(self):
+    def test_rotated_axis_paints_perpendicular_level_lines(self):
+        # round-8: a diagonal axis (the round-7 strips path declined
+        # it by name) paints per-pixel — s = projection onto the axis,
+        # so the ANTI-diagonal is a level line (equal gray), strictly
+        # darker to lighter along the axis
+        pdf = self._pdf(
+            self.TEXT + b"q 100 100 100 100 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [100 100 200 200] /Function "
+            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+            b"/Extend [true true] >>",
+        )
+        at = self._pixels(pdf)
+        assert at(110, 110) < at(150, 150) < at(190, 190)
+        # level line perpendicular to the axis in user space
+        assert at(120, 180) == at(180, 120)
+        assert at(130, 170) == at(170, 130)
+        assert at(100 + 50, 300) == 255  # clip holds
+
+    def test_skewed_ctm_maps_levels_through_inverse(self):
+        # axial under a skew CTM (1 0 1 1): level lines follow USER
+        # space — device pixels map back through the CTM inverse, so
+        # user point (u, v) paints at device (u + v, v). The vertical
+        # user axis [0 100 0 200] keeps s = (v - 100)/100: device
+        # pixels at equal y are equal gray regardless of x.
+        pdf = self._pdf(
+            self.TEXT + b"q 1 0 1 1 0 0 cm "
+            b"100 100 100 100 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [0 100 0 200] /Function "
+            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+            b"/Extend [true true] >>",
+        )
+        at = self._pixels(pdf)
+        # clip rect (100..200)^2 under the skew covers device x=y+100..y+200
+        y_lo, y_hi = 120, 180
+        assert at(y_lo + 120, y_lo) == at(y_lo + 160, y_lo)  # same v
+        assert at(y_lo + 140, y_lo) < at(y_hi + 140, y_hi)   # v grows
+
+    def test_degenerate_axial_declines(self):
         from pdf2dataset_spark.sources.codecs import PdfCodec
         from pdf2dataset_spark.sources import minipdf
 
-        for shading in (
-            b"<< /ShadingType 2 /Coords [0 0 100 100] /Function "
+        pdf = self._pdf(
+            self.TEXT + b"q 100 100 100 100 re W n /Sh0 sh Q",
+            b"<< /ShadingType 2 /Coords [50 50 50 50] /Function "
             b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> >>",
-            b"<< /ShadingType 3 /Coords [50 50 0 50 50 40] /Function "
-            b"<< /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> >>",
-        ):
-            pdf = self._pdf(
-                self.TEXT + b"q 100 100 100 100 re W n /Sh0 sh Q", shading
-            )
-            codec = PdfCodec()
-            h = codec.open(pdf)
-            doc = h.doc
-            pg = doc.pages()[0]
-            d = minipdf.content_draw_ops(doc.page_content(pg))
-            (name, ctm, clip), = d["shadings"]
-            assert codec._shading_fills(
-                doc, pg, name, ctm, clip, (0, 0, 612, 792)
-            ) == []
+        )
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        doc = h.doc
+        pg = doc.pages()[0]
+        d = minipdf.content_draw_ops(doc.page_content(pg))
+        (name, ctm, clip), = d["shadings"]
+        shs = doc.resolve(doc.resolve(pg.get("/Resources")).get("/Shading"))
+        sh = doc.resolve(shs.get(name))
+        # zero-length axis declines
+        assert codec._axial_patch(doc, sh, ctm, clip, (0, 0, 612, 792)) \
+            is None
+        # singular CTM declines
+        sh2 = dict(sh)
+        sh2["/Coords"] = [0, 100, 0, 200]
+        assert codec._axial_patch(
+            doc, sh2, (1.0, 1.0, 2.0, 2.0, 0.0, 0.0), clip,
+            (0, 0, 612, 792),
+        ) is None
 
     def test_rgb_function_via_luma(self):
         pdf = self._pdf(
