@@ -746,6 +746,193 @@ class PdfCodec(DocumentCodec):
         return pw, ph, patch.tobytes(), placement, \
             ok.astype(np.uint8).tobytes()
 
+    #: vertex budget per mesh-shading paint
+    _MAX_MESH_VERTICES = 1 << 16
+    #: total rasterized bounding-box pixel budget per mesh paint — a
+    #: hostile stream of many patch-covering triangles cannot force
+    #: unbounded work (the budget counts what the triangle COUNT
+    #: multiplies: per-triangle clipped bbox area)
+    _MAX_MESH_RASTER_PX = 50_000_000
+
+    def _mesh_patch(self, doc, sh, ctm, clip, box):
+        """/ShadingType 4 (free-form) and 5 (lattice-form) Gouraud
+        triangle meshes (ISO 32000-1 8.7.4.5.5-6), rasterized into a
+        masked gray patch. Vertex records decode from the shading
+        STREAM per /BitsPerFlag, /BitsPerCoordinate,
+        /BitsPerComponent with /Decode interpolation; per-vertex gray
+        is /Function(t) when a function is present, else the raw
+        components, through the BT.601 luma. Triangles
+        Gouraud-interpolate barycentrically in DEVICE space (affine
+        CTMs preserve barycentric weights, so this equals user-space
+        interpolation); unpainted pixels are transparent; a truncated
+        stream paints its complete triangles.
+
+        DECLINED BY NAME (None, never mis-painted): non-byte-aligned
+        vertex records (the spec's padding rule for fractional-byte
+        records is ambiguous across readers — aligned layouts, i.e.
+        virtually every real file with 8-bit flags and 16/24-bit
+        coordinates, are identical under every reading), over-budget
+        vertex counts or raster area, malformed flag sequences,
+        unsupported functions, and Coons/tensor patch meshes
+        (types 6/7)."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources import minipdf
+        from pdf2dataset_spark.sources.minipdf import StreamObj
+
+        if not isinstance(sh, StreamObj):
+            return None
+        sd = sh.sdict
+        try:
+            stype = int(doc.resolve(sd.get("/ShadingType", 0)))
+            bpc = int(doc.resolve(sd.get("/BitsPerCoordinate")))
+            bpcomp = int(doc.resolve(sd.get("/BitsPerComponent")))
+            decode = [float(doc.resolve(v))
+                      for v in doc.resolve(sd.get("/Decode"))]
+            fn = sd.get("/Function")
+            data = doc.stream_bytes(sh)
+        except (TypeError, ValueError, KeyError):
+            return None
+        if stype not in (4, 5) or bpc not in (1, 2, 4, 8, 12, 16, 24, 32) \
+                or bpcomp not in (1, 2, 4, 8, 12, 16):
+            return None
+        ncomp = 1 if fn is not None else (len(decode) - 4) // 2
+        if ncomp < 1 or len(decode) < 4 + 2 * ncomp:
+            return None
+        if stype == 4:
+            try:
+                bpf = int(doc.resolve(sd.get("/BitsPerFlag")))
+            except (TypeError, ValueError):
+                return None
+            if bpf not in (2, 4, 8):
+                return None
+            rec_bits = bpf + 2 * bpc + ncomp * bpcomp
+        else:
+            try:
+                vpr = int(doc.resolve(sd.get("/VerticesPerRow", 0)))
+            except (TypeError, ValueError):
+                return None
+            if vpr < 2:
+                return None
+            rec_bits = 2 * bpc + ncomp * bpcomp
+        if rec_bits % 8:
+            return None  # non-byte-aligned records: declined by name
+        if len(data) * 8 // rec_bits > self._MAX_MESH_VERTICES:
+            return None
+
+        pos = 0
+        nbits = len(data) * 8
+
+        def rd(width: int) -> int:
+            nonlocal pos
+            end = pos + width
+            if end > nbits:
+                raise EOFError
+            chunk = int.from_bytes(data[pos // 8:(end + 7) // 8], "big")
+            chunk >>= (-end) % 8
+            pos = end
+            return chunk & ((1 << width) - 1)
+
+        cmax = (1 << bpc) - 1
+        compmax = (1 << bpcomp) - 1
+
+        def read_vertex() -> tuple:
+            x = decode[0] + rd(bpc) * (decode[1] - decode[0]) / cmax
+            y = decode[2] + rd(bpc) * (decode[3] - decode[2]) / cmax
+            comps = [
+                decode[4 + 2 * k]
+                + rd(bpcomp) * (decode[5 + 2 * k] - decode[4 + 2 * k])
+                / compmax
+                for k in range(ncomp)
+            ]
+            if fn is not None:
+                comps = self._eval_pdf_function(doc, fn, comps[0])
+            return x, y, minipdf._luma(comps)
+
+        tris: list[tuple] = []
+        try:
+            if stype == 4:
+                va = vb = vc = None
+                while True:
+                    flag = rd(bpf)
+                    if flag == 0:
+                        va = read_vertex()
+                        if rd(bpf) != 0:
+                            return None  # malformed: spec requires 0
+                        vb = read_vertex()
+                        if rd(bpf) != 0:
+                            return None
+                        vc = read_vertex()
+                    elif flag == 1 and vc is not None:
+                        va, vb, vc = vb, vc, read_vertex()
+                    elif flag == 2 and vc is not None:
+                        va, vb, vc = va, vc, read_vertex()
+                    else:
+                        return None  # malformed flag sequence
+                    tris.append((va, vb, vc))
+            else:
+                rows: list[list[tuple]] = []
+                while True:
+                    row = [read_vertex() for _ in range(vpr)]
+                    rows.append(row)
+                    if len(rows) >= 2:
+                        r0, r1 = rows[-2], rows[-1]
+                        for i in range(vpr - 1):
+                            tris.append((r0[i], r0[i + 1], r1[i]))
+                            tris.append((r0[i + 1], r1[i], r1[i + 1]))
+        except EOFError:
+            pass  # trailing padding / truncation: keep complete tris
+        except (TypeError, ValueError, KeyError, IndexError):
+            return None  # unsupported function / malformed values
+        if not tris:
+            return None
+
+        grid = self._patch_grid(clip, box)
+        if grid is None:
+            return None
+        rx0, ry0, pw, ph, xs, ys = grid
+        ry1 = ry0 + ph
+        patch = np.full((ph, pw), 255, dtype=np.uint8)
+        mask = np.zeros((ph, pw), dtype=bool)
+        a, b, c, d, e, f = ctm
+        raster_budget = self._MAX_MESH_RASTER_PX
+        for (u0, v0, g0), (u1, v1, g1), (u2, v2, g2) in tris:
+            x0d, y0d = a * u0 + c * v0 + e, b * u0 + d * v0 + f
+            x1d, y1d = a * u1 + c * v1 + e, b * u1 + d * v1 + f
+            x2d, y2d = a * u2 + c * v2 + e, b * u2 + d * v2 + f
+            area2 = (x1d - x0d) * (y2d - y0d) - (x2d - x0d) * (y1d - y0d)
+            if abs(area2) < 1e-12:
+                continue  # degenerate triangle
+            # clipped sub-grid bbox (xs[j] = rx0+j+0.5, ys[i] = ry1-i-0.5)
+            jlo = max(0, int(min(x0d, x1d, x2d) - rx0 - 0.5))
+            jhi = min(pw, int(max(x0d, x1d, x2d) - rx0 + 1.5))
+            ilo = max(0, int(ry1 - max(y0d, y1d, y2d) - 0.5))
+            ihi = min(ph, int(ry1 - min(y0d, y1d, y2d) + 1.5))
+            if jhi <= jlo or ihi <= ilo:
+                continue
+            raster_budget -= (jhi - jlo) * (ihi - ilo)
+            if raster_budget < 0:
+                return None  # hostile raster area: declined by name
+            X = xs[jlo:jhi][None, :]
+            Y = ys[ilo:ihi][:, None]
+            l0 = ((y1d - y2d) * (X - x2d) + (x2d - x1d) * (Y - y2d)) / area2
+            l1 = ((y2d - y0d) * (X - x2d) + (x0d - x2d) * (Y - y2d)) / area2
+            l2 = 1.0 - l0 - l1
+            inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            if not inside.any():
+                continue
+            g = np.clip(np.round(l0 * g0 + l1 * g1 + l2 * g2), 0, 255) \
+                .astype(np.uint8)
+            sub_p = patch[ilo:ihi, jlo:jhi]
+            sub_m = mask[ilo:ihi, jlo:jhi]
+            sub_p[inside] = g[inside]
+            sub_m |= inside
+        if not mask.any():
+            return None
+        placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
+        return pw, ph, patch.tobytes(), placement, \
+            mask.astype(np.uint8).tobytes()
+
     def _composite_pixels(
         self, handle: "_PdfHandle", page: int
     ) -> tuple[int, int, bytes] | None:
@@ -821,18 +1008,25 @@ class PdfCodec(DocumentCodec):
         res0 = doc.resolve(pg.get("/Resources"))
         shdict = doc.resolve(res0.get("/Shading")) \
             if isinstance(res0, dict) else None
-        _patch_fn = {2: self._axial_patch, 3: self._radial_patch}
+        _patch_fn = {2: self._axial_patch, 3: self._radial_patch,
+                     4: self._mesh_patch, 5: self._mesh_patch}
         for name, sctm, sclip in draw.get("shadings", ()):
             sh = doc.resolve(shdict.get(name)) \
                 if isinstance(shdict, dict) else None
+            # mesh shadings (4/5) are STREAM objects: params in sdict
+            sdict = sh.sdict if isinstance(sh, minipdf.StreamObj) \
+                else (sh if isinstance(sh, dict) else None)
             stype = 0
-            if isinstance(sh, dict):
+            if isinstance(sdict, dict):
                 try:
-                    stype = int(doc.resolve(sh.get("/ShadingType", 0)))
+                    stype = int(doc.resolve(sdict.get("/ShadingType", 0)))
                 except (TypeError, ValueError):
                     stype = 0
             fn = _patch_fn.get(stype)
-            patch = fn(doc, sh, sctm, sclip, (x0, y0, x1, y1)) \
+            # dict-shadings (2/3) take the params dict; mesh (4/5)
+            # needs the stream object itself for its vertex data
+            sh_arg = sh if stype in (4, 5) else sdict
+            patch = fn(doc, sh_arg, sctm, sclip, (x0, y0, x1, y1)) \
                 if fn is not None else None
             if patch is not None:
                 pw_, ph_, ppx, pctm, pmask = patch

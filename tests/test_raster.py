@@ -1521,6 +1521,180 @@ class TestRadialShading:
         ) is not None
 
 
+class TestMeshShading:
+    """Round-8: /ShadingType 4 (free-form) and 5 (lattice) Gouraud
+    triangle meshes rasterize as masked patches. Expected pixel
+    values are HAND-DERIVED from the barycentric formula (an
+    independent formulation — the rasterizer is never used to
+    generate its own expectations)."""
+
+    import struct as _struct
+
+    @staticmethod
+    def _pdf(shading_obj: bytes, content: bytes | None = None):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        content = content or (
+            b"BT /F1 12 Tf 72 700 Td (mesh page) Tj ET\n/Sh0 sh"
+        )
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << "
+            b"/Sh0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            shading_obj,
+        ])
+
+    @classmethod
+    def _type4_obj(cls, records: list[tuple], extra: bytes = b"") -> bytes:
+        # records: (flag, x_int16, y_int16, comp_byte); byte-aligned
+        # 8/16/8 layout; /Decode maps coords 1:1, comp byte -> [0,1]
+        data = b"".join(
+            cls._struct.pack(">BHHB", f, x, y, c) for f, x, y, c in records
+        )
+        return (b"<< /ShadingType 4 /BitsPerFlag 8 /BitsPerCoordinate 16 "
+                b"/BitsPerComponent 8 "
+                b"/Decode [0 65535 0 65535 0 1.0] " + extra
+                + b"/Length " + str(len(data)).encode()
+                + b" >>\nstream\n" + data + b"\nendstream")
+
+    def _at(self, pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        return at
+
+    def test_type4_single_triangle_gouraud(self):
+        # A(100,100,g0) B(300,100,g255) C(100,300,g0): gray is affine,
+        # g(x,y) = 255*(x-100)/200. Pixel (150,150) has center
+        # (150.5, 150.5) -> 255*50.5/200 = 64.3875 -> 64 (hand-derived)
+        pdf = self._pdf(self._type4_obj([
+            (0, 100, 100, 0), (0, 300, 100, 255), (0, 100, 300, 0),
+        ]))
+        at = self._at(pdf)
+        assert at(150, 150) == 64
+        assert at(110, 110) == round(255 * 10.5 / 200)  # 13
+        # outside the triangle: transparent -> canvas white
+        assert at(350, 150) == 255
+        assert at(290, 290) == 255
+
+    def test_type4_strip_flags_share_edges(self):
+        # flag 1 after ABC appends D: triangle (B, C, D). At pixel
+        # (280,280), center (280.5,280.5): lam_B=(300-280.5)/200,
+        # lam_C=(300-280.5)/200, lam_D=rest -> g = 255*(1-lam_C)
+        # = 255*0.9025 = 230.1375 -> 230 (hand-derived)
+        pdf = self._pdf(self._type4_obj([
+            (0, 100, 100, 0), (0, 300, 100, 255), (0, 100, 300, 0),
+            (1, 300, 300, 255),
+        ]))
+        at = self._at(pdf)
+        assert at(280, 280) == 230
+        assert at(150, 150) == 64  # first triangle intact
+
+    def test_type5_lattice_rows(self):
+        # 2x2 lattice, gray affine in x only: g = 255*(x-100)/100;
+        # both triangles agree. (150,150) center -> 255*0.505 ->
+        # 128.775 -> 129; (120,180) -> 255*0.205 -> 52.275 -> 52
+        data = b"".join(
+            self._struct.pack(">HHB", x, y, c)
+            for x, y, c in [
+                (100, 100, 0), (200, 100, 255),
+                (100, 200, 0), (200, 200, 255),
+            ]
+        )
+        obj = (b"<< /ShadingType 5 /BitsPerCoordinate 16 "
+               b"/BitsPerComponent 8 /VerticesPerRow 2 "
+               b"/Decode [0 65535 0 65535 0 1.0] "
+               b"/Length " + str(len(data)).encode()
+               + b" >>\nstream\n" + data + b"\nendstream")
+        at = self._at(self._pdf(obj))
+        assert at(150, 150) == 129
+        assert at(120, 180) == 52
+        assert at(250, 150) == 255  # outside lattice
+
+    def test_function_mapped_vertices(self):
+        # /Function 2 C0 [1.0] C1 [0.0] N 1 over t: vertex gray =
+        # 255*(1-t); linear, so Gouraud equals the parametric ramp.
+        # Triangle with t: A=0 (white), B=1 (black), C=0 -> at
+        # (150,150): t=0.2525, g=255*0.7475=190.6 -> 191
+        pdf = self._pdf(self._type4_obj(
+            [(0, 100, 100, 0), (0, 300, 100, 255), (0, 100, 300, 0)],
+            extra=(b"/Function << /FunctionType 2 /C0 [1.0] /C1 [0.0] "
+                   b"/N 1 >> "),
+        ))
+        at = self._at(pdf)
+        assert at(150, 150) == 191
+
+    def test_truncated_stream_keeps_complete_triangles(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        full = b"".join(
+            self._struct.pack(">BHHB", *r) for r in [
+                (0, 100, 100, 0), (0, 300, 100, 255), (0, 100, 300, 0),
+                (1, 300, 300, 255),
+            ]
+        )
+        data = full[:-3]  # cut into the 4th record
+        obj = (b"<< /ShadingType 4 /BitsPerFlag 8 /BitsPerCoordinate 16 "
+               b"/BitsPerComponent 8 /Decode [0 65535 0 65535 0 1.0] "
+               b"/Length " + str(len(data)).encode()
+               + b" >>\nstream\n" + data + b"\nendstream")
+        at = self._at(self._pdf(obj))
+        assert at(150, 150) == 64   # complete first triangle painted
+        assert at(280, 280) == 255  # incomplete second dropped
+
+    def test_declines_by_name(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources import minipdf
+
+        def patch_of(obj):
+            pdf = self._pdf(obj)
+            codec = PdfCodec()
+            h = codec.open(pdf)
+            doc = h.doc
+            pg = doc.pages()[0]
+            shs = doc.resolve(
+                doc.resolve(pg.get("/Resources")).get("/Shading"))
+            sh = doc.resolve(shs.get("/Sh0"))
+            return codec._mesh_patch(
+                doc, sh, (1, 0, 0, 1, 0, 0), None, (0, 0, 612, 792))
+
+        tri = [(0, 100, 100, 0), (0, 300, 100, 255), (0, 100, 300, 0)]
+        # non-byte-aligned records (2-bit flags): declined
+        data = b"\x00" * 18
+        assert patch_of(
+            b"<< /ShadingType 4 /BitsPerFlag 2 /BitsPerCoordinate 16 "
+            b"/BitsPerComponent 8 /Decode [0 65535 0 65535 0 1.0] "
+            b"/Length 18 >>\nstream\n" + data + b"\nendstream") is None
+        # malformed flag sequence (first flag = 1): declined
+        bad = self._type4_obj([(1, 100, 100, 0)] + tri)
+        assert patch_of(bad) is None
+        # over-budget vertex count: declined, not rasterized
+        from pdf2dataset_spark.sources.codecs import PdfCodec as PC
+        n = PC._MAX_MESH_VERTICES + 3
+        big = self._type4_obj(
+            [(0, 1, 1, 0), (0, 2, 1, 0), (0, 1, 2, 0)] * (n // 3))
+        assert patch_of(big) is None
+        # lattice with VerticesPerRow < 2: declined
+        assert patch_of(
+            b"<< /ShadingType 5 /BitsPerCoordinate 16 "
+            b"/BitsPerComponent 8 /VerticesPerRow 1 "
+            b"/Decode [0 65535 0 65535 0 1.0] "
+            b"/Length 5 >>\nstream\n" + b"\x00" * 5 + b"\nendstream"
+        ) is None
+
+
 class TestCalculatorFunctions:
     """Round-7: Type 4 PostScript-calculator shading functions run in
     a step-budgeted mini-interpreter; malformed/hostile programs
