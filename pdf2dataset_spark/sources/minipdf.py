@@ -2574,6 +2574,32 @@ def _clip_poly(pts: list[tuple], clip: tuple) -> list[tuple]:
 _MAX_POLY_VERTICES = 4096
 
 
+def _dash_runs(length: float, pattern: list[float],
+               offset: float) -> tuple[list[tuple], float]:
+    """ON runs of a dashed stroke over a segment of ``length``,
+    given the dash ``pattern`` and the distance ``offset`` already
+    consumed since the dash origin (ISO 32000-1 8.4.3.6: element 0
+    is ON; odd-length arrays alternate across cycles). Returns
+    ([(d0, d1), ...] distances along the segment, new offset)."""
+    cyc = sum(pattern)
+    off = offset % cyc
+    k = 0  # pattern elements fully consumed (parity = on/off)
+    while off >= pattern[k % len(pattern)] and off > 0:
+        off -= pattern[k % len(pattern)]
+        k += 1
+    rem = pattern[k % len(pattern)] - off
+    pos = 0.0
+    runs: list[tuple] = []
+    while pos < length:
+        end = min(length, pos + rem)
+        if k % 2 == 0 and end > pos:
+            runs.append((pos, end))
+        pos = end
+        k += 1
+        rem = pattern[k % len(pattern)]
+    return runs, offset + length
+
+
 def content_draw_ops(content: bytes) -> dict:
     """Geometry the page paints besides text (composite render
     inputs): rectangle FILLS, stroked LINE segments — including
@@ -2589,9 +2615,14 @@ def content_draw_ops(content: bytes) -> dict:
     even-odd, which agrees except on self-overlapping paths. Line
     width (``w``, CTM-scaled) strokes wider than 1.5 device units as
     perpendicular-offset quad polygons (butt caps, no joins — the
-    PDF default cap; dash patterns stroke solid). Colors, width, CTM
-    and clip all save/restore with q/Q per the spec's graphics
-    state.
+    PDF default cap). Dash patterns (``d``, ISO 32000-1 8.4.3.6)
+    split strokes into ON runs: the phase restarts per subpath and
+    continues across chained segments (rects and flattened curves
+    dash around corners); pattern lengths scale with the CTM like
+    line width; degenerate or sub-pixel patterns (any element under
+    0.5 device units — below raster resolution, also the run-count
+    DoS bound) stroke solid. Colors, width, dash, CTM and clip all
+    save/restore with q/Q per the spec's graphics state.
     DECLINED BY NAME (not drawn / not clipped, render stays
     deterministic): polygons past the vertex budget, non-rectangular
     or multi-rect or rotated-CTM clip paths (the clip is left
@@ -2606,12 +2637,14 @@ def content_draw_ops(content: bytes) -> dict:
     "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)],
     "shadings": [(name, ctm, clip|None)]}``."""
     ctm = _ID6
-    # graphics-state stack entries: (ctm, clip, fill_g, stroke_g, lw)
+    # graphics-state stack entries:
+    # (ctm, clip, fill_g, stroke_g, lw, dash)
     ctm_stack: list[tuple] = []
     clip: tuple | None = None  # device-space (x0, y0, x1, y1)
     pending_clip = False
     fill_g = stroke_g = 0  # PDF initial color is black
     line_w = 1.0
+    dash: tuple | None = None  # (pattern user units, phase) | solid
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
@@ -2676,9 +2709,22 @@ def content_draw_ops(content: bytes) -> dict:
                              ((x + w, y + h), (x, y + h)),
                              ((x, y + h), (x, y))]
             a_, b_, c_, d_, _, _ = ctm
-            dev_w = line_w * abs(a_ * d_ - b_ * c_) ** 0.5
-            for (x0, y0), (x1, y1) in all_segs:
-                p0, p1 = pt(x0, y0), pt(x1, y1)
+            scale = abs(a_ * d_ - b_ * c_) ** 0.5
+            dev_w = line_w * scale
+            # dash pattern in device units; degenerate or SUB-PIXEL
+            # periods (any element < 0.5 device units — below raster
+            # resolution, and the run-count DoS bound) stroke solid
+            pat = None
+            run_off = 0.0
+            if dash is not None and scale > 0:
+                pat = [v * scale for v in dash[0]]
+                if min(pat) < 0.5:
+                    pat = None
+                else:
+                    run_off = dash[1] * scale
+            prev_end: tuple | None = None
+
+            def emit(p0: tuple, p1: tuple) -> None:
                 if dev_w > 1.5:
                     # thick stroke: perpendicular-offset quad (butt
                     # caps), filled as a polygon so clip applies too
@@ -2696,13 +2742,38 @@ def content_draw_ops(content: bytes) -> dict:
                             quad = _clip_poly(quad, clip)
                         if len(quad) >= 3:
                             polys.append((quad, stroke_g))
-                        continue
+                    return
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
                     seg = _clip_seg(*seg, clip)
                     if seg is None:
-                        continue
+                        return
                 lines.append((*seg, stroke_g))
+
+            for (x0, y0), (x1, y1) in all_segs:
+                p0, p1 = pt(x0, y0), pt(x1, y1)
+                if pat is None:
+                    emit(p0, p1)
+                    continue
+                # dash phase restarts per subpath (ISO 32000-1
+                # 8.4.3.6); chained segments (shared endpoints)
+                # continue the phase
+                if prev_end != (x0, y0):
+                    run_off = dash[1] * scale
+                prev_end = (x1, y1)
+                vx, vy = p1[0] - p0[0], p1[1] - p0[1]
+                seglen = (vx * vx + vy * vy) ** 0.5
+                if seglen <= 0:
+                    continue
+                if seglen > 1e6:
+                    emit(p0, p1)  # over-budget length: solid
+                    continue
+                runs, run_off = _dash_runs(seglen, pat, run_off)
+                for d0, d1 in runs:
+                    emit(
+                        (p0[0] + vx * d0 / seglen, p0[1] + vy * d0 / seglen),
+                        (p0[0] + vx * d1 / seglen, p0[1] + vy * d1 / seglen),
+                    )
         if pending_clip:
             # §8.5.4: the clip updates AFTER the path paints. Only a
             # single-rect path whose CTM maps rects to axis-aligned
@@ -2726,14 +2797,23 @@ def content_draw_ops(content: bytes) -> dict:
     for op, stack in _iter_content_ops(content):
         try:
             if op == b"q":
-                ctm_stack.append((ctm, clip, fill_g, stroke_g, line_w))
+                ctm_stack.append(
+                    (ctm, clip, fill_g, stroke_g, line_w, dash))
             elif op == b"Q":
                 if ctm_stack:
-                    ctm, clip, fill_g, stroke_g, line_w = ctm_stack.pop()
+                    (ctm, clip, fill_g, stroke_g, line_w,
+                     dash) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
                 line_w = max(0.0, float(stack[-1]))
+            elif op == b"d" and len(stack) >= 2 \
+                    and isinstance(stack[-2], list):
+                arr = [float(v) for v in stack[-2]]
+                if arr and all(v >= 0 for v in arr) and sum(arr) > 0:
+                    dash = (arr, max(0.0, float(stack[-1])))
+                else:
+                    dash = None  # [] phase d -> solid (the spec default)
             elif op == b"g" and stack:
                 fill_g = _luma(stack[-1:])
             elif op == b"G" and stack:

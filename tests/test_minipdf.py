@@ -2680,6 +2680,80 @@ class TestLineWidth:
         assert all(30.0 <= x <= 70.0 for x, _ in quad), quad
 
 
+class TestDashPatterns:
+    """Round-8: the ``d`` operator dashes strokes (ISO 32000-1
+    8.4.3.6). Expected ON runs are hand-derived from the pattern
+    arithmetic, never from the splitter itself."""
+
+    def test_dash_runs_arithmetic(self):
+        # [10 10] over length 50: ON [0,10) [20,30) [40,50)
+        runs, off = minipdf._dash_runs(50, [10, 10], 0)
+        assert runs == [(0, 10), (20, 30), (40, 50)]
+        assert off == 50
+        # phase 5 consumes half the first ON element
+        runs, _ = minipdf._dash_runs(50, [10, 10], 5)
+        assert runs == [(0, 5), (15, 25), (35, 45)]
+        # odd array [6]: on 6 / off 6, alternating ACROSS cycles
+        runs, _ = minipdf._dash_runs(24, [6], 0)
+        assert runs == [(0, 6), (12, 18)]
+        # offset carries across chained segments: second segment of a
+        # chain starts where the first ended in the cycle
+        _, off = minipdf._dash_runs(15, [10, 10], 0)
+        runs, _ = minipdf._dash_runs(10, [10, 10], off)
+        assert runs == [(5, 10)]  # 5 more OFF, then ON
+
+    def test_dashed_line_paints_gaps(self):
+        d = minipdf.content_draw_ops(
+            b"[20 20] 0 d 0 G 100 50 m 200 50 l S"
+        )
+        # ON runs: x [100,120) [140,160) [180,200)
+        assert len(d["lines"]) == 3
+        xs = sorted((ln[0], ln[2]) for ln in d["lines"])
+        assert xs == [(100.0, 120.0), (140.0, 160.0), (180.0, 200.0)]
+
+    def test_phase_and_ctm_scaling(self):
+        # phase 5 and a 2x CTM: device pattern [20 20], phase 10
+        d = minipdf.content_draw_ops(
+            b"q 2 0 0 2 0 0 cm 0.5 w [10 10] 5 d 0 G 50 25 m 100 25 l S Q"
+        )
+        # device: seg x 100..200, pattern [20 20] phase 10:
+        # ON [0,10) [30,50) [70,90) -> x [100,110) [130,150) [170,190)
+        xs = sorted((ln[0], ln[2]) for ln in d["lines"])
+        assert xs == [(100.0, 110.0), (130.0, 150.0), (170.0, 190.0)]
+
+    def test_thick_dashed_stroke_quads(self):
+        d = minipdf.content_draw_ops(
+            b"[30 30] 0 d 8 w 0 G 100 50 m 220 50 l S"
+        )
+        assert d["lines"] == [] and len(d["polys"]) == 2
+
+    def test_rect_dash_continues_around_corners(self):
+        # rect perimeter walks bottom(40) right(20) top(40) left(20)
+        # chained; [30 30] 0: ON distance arcs [0,30) [60,90) ->
+        # bottom gets [0,30), right (40..60) all OFF, top gets
+        # [60,90) = its first 30, left (100..120) all OFF
+        d = minipdf.content_draw_ops(
+            b"[30 30] 0 d 0 G 100 100 40 20 re S"
+        )
+        assert len(d["lines"]) == 2
+
+    def test_q_restores_dash_and_empty_array_resets(self):
+        d = minipdf.content_draw_ops(
+            b"q [10 10] 0 d Q 0 G 100 50 m 200 50 l S"
+        )
+        assert len(d["lines"]) == 1  # dash did not leak out of q/Q
+        d = minipdf.content_draw_ops(
+            b"[10 10] 0 d [] 0 d 0 G 100 50 m 200 50 l S"
+        )
+        assert len(d["lines"]) == 1  # [] resets to solid
+
+    def test_subpixel_pattern_strokes_solid(self):
+        d = minipdf.content_draw_ops(
+            b"[0.1 0.1] 0 d 0 G 100 50 m 200 50 l S"
+        )
+        assert d["lines"] == [(100.0, 50.0, 200.0, 50.0, 0)]
+
+
 class TestFormXObjectText:
     """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
     layers) extracts through Do — /Matrix composes into the CTM, the
