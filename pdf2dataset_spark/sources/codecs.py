@@ -951,7 +951,9 @@ class PdfCodec(DocumentCodec):
         pg = doc.pages()[page - 1]
         try:
             content = doc.page_content(pg)
-            draw = minipdf.content_draw_ops(content)
+            draw = minipdf.content_draw_ops(
+                content, ext_gstates=doc.page_ext_gstates(pg)
+            )
         except (ValueError, KeyError):
             return None
         x0, y0, x1, y1 = minipdf.page_media_box(doc, pg)

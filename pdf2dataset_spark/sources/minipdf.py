@@ -1218,6 +1218,49 @@ class PdfDocument:
             out[name] = (content, fonts, matrix, nested)
         return out
 
+    def page_ext_gstates(self, page: dict) -> dict:
+        """Resolved /ExtGState entries of a page's /Resources (ISO
+        32000-1 8.4.5), restricted to the graphics parameters the
+        renderer honors through the ``gs`` operator: ``LW`` (line
+        width) and ``D`` (dash pattern, ``None`` = explicit solid
+        reset). Other ExtGState parameters (alpha /CA /ca, blend
+        modes, /Font, soft masks) are declined by name — paints stay
+        opaque, text state unchanged."""
+        res = self.resolve(page.get("/Resources"))
+        gsd = self.resolve(res.get("/ExtGState")) \
+            if isinstance(res, dict) else None
+        out: dict = {}
+        if not isinstance(gsd, dict):
+            return out
+        for name, ref in gsd.items():
+            g = self.resolve(ref)
+            if not isinstance(g, dict):
+                continue
+            entry: dict = {}
+            lw = self.resolve(g.get("/LW"))
+            if lw is not None:
+                try:
+                    entry["LW"] = max(0.0, float(lw))
+                except (TypeError, ValueError):
+                    pass
+            dsh = self.resolve(g.get("/D"))
+            if isinstance(dsh, list) and len(dsh) >= 2:
+                arr = self.resolve(dsh[0])
+                if isinstance(arr, list):
+                    try:
+                        vals = [float(self.resolve(v)) for v in arr]
+                        ph = max(0.0, float(self.resolve(dsh[1])))
+                        if vals and all(v >= 0 for v in vals) \
+                                and sum(vals) > 0:
+                            entry["D"] = (vals, ph)
+                        else:
+                            entry["D"] = None  # [] -> solid reset
+                    except (TypeError, ValueError):
+                        pass
+            if entry:
+                out[name] = entry
+        return out
+
     def page_images(self, page: dict, decode_pixels: bool = False) -> list[dict]:
         """Embedded image XObjects of a page (ISO 32000-1 §8.9.5), in
         /XObject name order. Each entry carries the declared metadata
@@ -2600,7 +2643,7 @@ def _dash_runs(length: float, pattern: list[float],
     return runs, offset + length
 
 
-def content_draw_ops(content: bytes) -> dict:
+def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     """Geometry the page paints besides text (composite render
     inputs): rectangle FILLS, stroked LINE segments — including
     Bézier curves (``c``/``v``/``y``) flattened to deterministic
@@ -2621,8 +2664,11 @@ def content_draw_ops(content: bytes) -> dict:
     dash around corners); pattern lengths scale with the CTM like
     line width; degenerate or sub-pixel patterns (any element under
     0.5 device units — below raster resolution, also the run-count
-    DoS bound) stroke solid. Colors, width, dash, CTM and clip all
-    save/restore with q/Q per the spec's graphics state.
+    DoS bound) stroke solid. The ``gs`` operator applies /LW and /D
+    from ``ext_gstates`` (see :meth:`PdfDocument.page_ext_gstates`;
+    alpha, blend modes, soft masks and /Font are declined by name).
+    Colors, width, dash, CTM and clip all save/restore with q/Q per
+    the spec's graphics state.
     DECLINED BY NAME (not drawn / not clipped, render stays
     deterministic): polygons past the vertex budget, non-rectangular
     or multi-rect or rotated-CTM clip paths (the clip is left
@@ -2807,6 +2853,16 @@ def content_draw_ops(content: bytes) -> dict:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
                 line_w = max(0.0, float(stack[-1]))
+            elif op == b"gs" and stack and isinstance(stack[-1], str) \
+                    and ext_gstates:
+                # ExtGState (ISO 32000-1 8.4.5): honor /LW and /D —
+                # see PdfDocument.page_ext_gstates for the declines
+                g = ext_gstates.get(stack[-1])
+                if g:
+                    if "LW" in g:
+                        line_w = g["LW"]
+                    if "D" in g:
+                        dash = g["D"]
             elif op == b"d" and len(stack) >= 2 \
                     and isinstance(stack[-2], list):
                 arr = [float(v) for v in stack[-2]]

@@ -2754,6 +2754,69 @@ class TestDashPatterns:
         assert d["lines"] == [(100.0, 50.0, 200.0, 50.0, 0)]
 
 
+class TestExtGState:
+    """Round-8: the ``gs`` operator applies /LW and /D from the
+    page's /ExtGState resources (how real generators set width/dash);
+    alpha, blend modes, soft masks and /Font decline by name."""
+
+    def test_gs_sets_width_and_dash(self):
+        egs = {"/G1": {"LW": 8.0, "D": ([30.0, 30.0], 0.0)}}
+        d = minipdf.content_draw_ops(
+            b"/G1 gs 0 G 100 50 m 220 50 l S", ext_gstates=egs
+        )
+        # 8-wide dashed: two ON runs as quads
+        assert d["lines"] == [] and len(d["polys"]) == 2
+
+    def test_gs_solid_reset_and_unknown_name(self):
+        egs = {"/G1": {"D": None}}
+        d = minipdf.content_draw_ops(
+            b"[10 10] 0 d /G1 gs 0 G 100 50 m 200 50 l S", ext_gstates=egs
+        )
+        assert len(d["lines"]) == 1  # /D [] reset to solid
+        d = minipdf.content_draw_ops(
+            b"/Nope gs 0 G 100 50 m 200 50 l S", ext_gstates=egs
+        )
+        assert len(d["lines"]) == 1  # unknown name: state unchanged
+
+    def test_gs_state_restores_with_q(self):
+        egs = {"/G1": {"LW": 8.0}}
+        d = minipdf.content_draw_ops(
+            b"q /G1 gs Q 0 G 100 50 m 200 50 l S", ext_gstates=egs
+        )
+        assert len(d["lines"]) == 1 and d["polys"] == []
+
+    def test_page_ext_gstates_resolution(self):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+
+        pdf = _content_pdf(
+            b"/G1 gs 0 G 100 50 m 220 50 l S",
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /ExtGState << "
+                b"/G1 << /LW 8 /D [[30 30] 0] /CA 0.5 >> "
+                b"/Bad (notadict) >> >>"
+            ),
+        )
+        doc = minipdf.PdfDocument(pdf)
+        pg = doc.pages()[0]
+        egs = doc.page_ext_gstates(pg)
+        assert egs == {"/G1": {"LW": 8.0, "D": ([30.0, 30.0], 0.0)}}
+        # end-to-end: the codec threads it into the composite render
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        assert at(110, 50) == 0    # first ON dash, 8 wide
+        assert at(110, 52) == 0
+        assert at(140, 50) == 255  # OFF gap
+
+
 class TestFormXObjectText:
     """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
     layers) extracts through Do — /Matrix composes into the CTM, the
