@@ -1012,9 +1012,8 @@ class PdfCodec(DocumentCodec):
             if isinstance(res0, dict) else None
         _patch_fn = {2: self._axial_patch, 3: self._radial_patch,
                      4: self._mesh_patch, 5: self._mesh_patch}
-        for name, sctm, sclip in draw.get("shadings", ()):
-            sh = doc.resolve(shdict.get(name)) \
-                if isinstance(shdict, dict) else None
+
+        def add_shading_patch(sh, sctm, sclip) -> None:
             # mesh shadings (4/5) are STREAM objects: params in sdict
             sdict = sh.sdict if isinstance(sh, minipdf.StreamObj) \
                 else (sh if isinstance(sh, dict) else None)
@@ -1037,6 +1036,42 @@ class PdfCodec(DocumentCodec):
                 if rot:
                     shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                 shading_patches.append((pw_, ph_, ppx, shifted, pmask))
+
+        for name, sctm, sclip in draw.get("shadings", ()):
+            sh = doc.resolve(shdict.get(name)) \
+                if isinstance(shdict, dict) else None
+            add_shading_patch(sh, sctm, sclip)
+        # shading-PATTERN fills (/Pattern cs + scn + re f): the fill
+        # rect clips the pattern's shading; the pattern /Matrix maps
+        # pattern space to the page's DEFAULT user space (ISO 32000-1
+        # 8.7.3.1), independent of the CTM at paint time. Tiling
+        # patterns (/PatternType 1) and non-rect pattern regions are
+        # declined by name. Relative z-order between a pattern fill
+        # and an sh paint on the same page is patch-list order
+        # (sh paints first) — a documented approximation.
+        patdict = doc.resolve(res0.get("/Pattern")) \
+            if isinstance(res0, dict) else None
+        for name, prect in draw.get("pattern_fills", ()):
+            pat = doc.resolve(patdict.get(name)) \
+                if isinstance(patdict, dict) else None
+            pd_ = pat.sdict if isinstance(pat, minipdf.StreamObj) \
+                else (pat if isinstance(pat, dict) else None)
+            if not isinstance(pd_, dict):
+                continue
+            try:
+                if int(doc.resolve(pd_.get("/PatternType", 0))) != 2:
+                    continue  # tiling pattern: declined by name
+            except (TypeError, ValueError):
+                continue
+            mat = doc.resolve(pd_.get("/Matrix"))
+            try:
+                pmatrix = tuple(float(doc.resolve(v)) for v in mat)[:6] \
+                    if isinstance(mat, list) and len(mat) >= 6 \
+                    else minipdf._ID6
+            except (TypeError, ValueError):
+                pmatrix = minipdf._ID6
+            add_shading_patch(
+                doc.resolve(pd_.get("/Shading")), pmatrix, prect)
         if not (draw["fills"] or draw["polys"] or draw["lines"]
                 or placed or shading_patches):
             return None

@@ -2691,6 +2691,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     fill_g = stroke_g = 0  # PDF initial color is black
     line_w = 1.0
     dash: tuple | None = None  # (pattern user units, phase) | solid
+    fill_pattern: str | None = None  # /Pattern cs + scn name active
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
@@ -2703,6 +2704,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     lines: list[tuple] = []
     images: list[tuple] = []
     shadings: list[tuple] = []
+    pattern_fills: list[tuple] = []  # (pattern name, device rect)
 
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
@@ -2726,7 +2728,23 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     def paint(fill: bool, stroke: bool) -> None:
         nonlocal rects, segs, subpaths, cur_pt, start_pt
         nonlocal clip, pending_clip
-        if fill:
+        if fill and fill_pattern is not None:
+            # shading-pattern fill (/Pattern cs + scn name): the
+            # filled RECT region becomes the pattern's clip — the
+            # codec rasterizes the pattern's shading inside it.
+            # Non-rect pattern regions are declined by name (the
+            # clip machinery is rect-only).
+            for x, y, w, h in rects:
+                p0, p1 = pt(x, y), pt(x + w, y + h)
+                r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
+                     max(p0[0], p1[0]), max(p0[1], p1[1]))
+                if clip is not None:
+                    r = (max(r[0], clip[0]), max(r[1], clip[1]),
+                         min(r[2], clip[2]), min(r[3], clip[3]))
+                    if r[0] >= r[2] or r[1] >= r[3]:
+                        continue
+                pattern_fills.append((fill_pattern, r))
+        elif fill:
             # non-rect subpaths fill as polygons (even-odd scanline
             # in raster.compose_page); PDF fill implicitly closes
             for sp in subpaths:
@@ -2844,11 +2862,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         try:
             if op == b"q":
                 ctm_stack.append(
-                    (ctm, clip, fill_g, stroke_g, line_w, dash))
+                    (ctm, clip, fill_g, stroke_g, line_w, dash,
+                     fill_pattern))
             elif op == b"Q":
                 if ctm_stack:
-                    (ctm, clip, fill_g, stroke_g, line_w,
-                     dash) = ctm_stack.pop()
+                    (ctm, clip, fill_g, stroke_g, line_w, dash,
+                     fill_pattern) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
@@ -2872,16 +2891,26 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     dash = None  # [] phase d -> solid (the spec default)
             elif op == b"g" and stack:
                 fill_g = _luma(stack[-1:])
+                fill_pattern = None  # colorspace left /Pattern
             elif op == b"G" and stack:
                 stroke_g = _luma(stack[-1:])
             elif op == b"rg" and len(stack) >= 3:
                 fill_g = _luma(stack[-3:])
+                fill_pattern = None
             elif op == b"RG" and len(stack) >= 3:
                 stroke_g = _luma(stack[-3:])
             elif op == b"k" and len(stack) >= 4:
                 fill_g = _luma(stack[-4:])
+                fill_pattern = None
             elif op == b"K" and len(stack) >= 4:
                 stroke_g = _luma(stack[-4:])
+            elif op == b"cs" and stack:
+                # entering a non-/Pattern fill colorspace drops any
+                # active pattern; /Pattern arms scn name selection
+                if stack[-1] != "/Pattern":
+                    fill_pattern = None
+            elif op == b"scn" and stack and isinstance(stack[-1], str):
+                fill_pattern = stack[-1]
             elif op == b"re" and len(stack) >= 4:
                 x, y, w, h = (float(v) for v in stack[-4:])
                 rects.append((x, y, w, h))
@@ -2947,6 +2976,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         except (TypeError, ValueError):
             continue
     return {"fills": fills, "polys": polys, "lines": lines,
+            "pattern_fills": pattern_fills,
             "images": images, "shadings": shadings}
 
 

@@ -2817,6 +2817,96 @@ class TestExtGState:
         assert at(140, 50) == 255  # OFF gap
 
 
+class TestShadingPatternFills:
+    """Round-8: /Pattern cs + scn + rect fill paints the pattern's
+    SHADING clipped to the fill region (how real generators emit
+    gradient fills). Tiling patterns and non-rect regions decline."""
+
+    def test_capture_reset_and_restore(self):
+        ops = b"/Pattern cs /P0 scn 100 100 200 100 re f"
+        d = minipdf.content_draw_ops(ops)
+        assert d["pattern_fills"] == [("/P0", (100.0, 100.0, 300.0, 200.0))]
+        assert d["fills"] == []  # no gray fill for the pattern paint
+        # g drops the pattern colorspace
+        d = minipdf.content_draw_ops(
+            b"/Pattern cs /P0 scn 0.5 g 100 100 200 100 re f"
+        )
+        assert d["pattern_fills"] == [] and len(d["fills"]) == 1
+        # q/Q restores the pattern state
+        d = minipdf.content_draw_ops(
+            b"q /Pattern cs /P0 scn Q 100 100 200 100 re f"
+        )
+        assert d["pattern_fills"] == [] and len(d["fills"]) == 1
+
+    def test_nonrect_pattern_region_declines(self):
+        d = minipdf.content_draw_ops(
+            b"/Pattern cs /P0 scn 100 100 m 300 100 l 200 250 l h f"
+        )
+        assert d["pattern_fills"] == [] and d["polys"] == []
+
+    def test_clip_intersects_pattern_rect(self):
+        d = minipdf.content_draw_ops(
+            b"150 0 100 792 re W n /Pattern cs /P0 scn "
+            b"100 100 200 100 re f"
+        )
+        assert d["pattern_fills"] == [("/P0", (150.0, 100.0, 250.0, 200.0))]
+
+    def test_axial_pattern_fill_end_to_end(self):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pdf = _content_pdf(
+            b"BT /F1 12 Tf 72 700 Td (pattern fill page) Tj ET\n"
+            b"/Pattern cs /P0 scn 100 100 200 100 re f",
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /Pattern << /P0 << "
+                b"/PatternType 2 /Matrix [1 0 0 1 0 0] /Shading << "
+                b"/ShadingType 2 /Coords [100 0 300 0] "
+                b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] /N 1 >> "
+                b"/Extend [true true] >> >> >> >>"
+            ),
+        )
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        # hand-derived: s = (x+0.5-100)/200 -> gray 255*s
+        assert at(150, 150) == round(255 * 50.5 / 200)  # 64
+        assert at(250, 150) == round(255 * 150.5 / 200)  # 192
+        assert at(50, 150) == 255   # outside the fill rect
+        assert at(150, 250) == 255  # above it
+
+    def test_tiling_pattern_declines(self):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pdf = _content_pdf(
+            b"0 g 400 400 50 50 re f\n"
+            b"/Pattern cs /P0 scn 100 100 200 100 re f",
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /Pattern << /P0 << "
+                b"/PatternType 1 /PaintType 1 /TilingType 1 "
+                b"/BBox [0 0 10 10] /XStep 10 /YStep 10 >> >> >>"
+            ),
+        )
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        assert at(150, 150) == 255  # tiling pattern: unpainted
+        assert at(420, 420) == 0    # plain fill untouched
+
+
 class TestFormXObjectText:
     """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
     layers) extracts through Do — /Matrix composes into the CTM, the
