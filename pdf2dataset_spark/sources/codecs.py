@@ -684,9 +684,9 @@ class PdfCodec(DocumentCodec):
         unsupported function). Unpainted pixels are TRANSPARENT
         (mask 0, skip-stamped by the compositor) — overlapping
         shadings compose in stream order instead of erasing each
-        other with opaque white. Remaining documented decline: the
-        patch layer still paints below rect/poly fills regardless of
-        content-stream order (shading-over-fill renders under it)."""
+        other with opaque white; the compositor's stream-order paint
+        journal (round 8) places every patch at its exact content-
+        stream z-position among fills/polys/lines/images."""
         import numpy as np
 
         try:
@@ -982,6 +982,7 @@ class PdfCodec(DocumentCodec):
             return (a0, b0, a1, b1, g)
 
         placed: list[tuple] = []
+        img_map: dict[int, int] = {}  # draw["images"] idx -> placed idx
         if draw["images"]:
             # resolve Do targets against the page's IMAGE XObjects:
             # /Form XObject invocations (logos/letterheads on ordinary
@@ -990,7 +991,7 @@ class PdfCodec(DocumentCodec):
                 e.get("name"): e
                 for e in doc.page_images(pg, decode_pixels=True)
             }
-            for name, ctm in draw["images"]:
+            for i, (name, ctm) in enumerate(draw["images"]):
                 e = entries.get(name)
                 gray = self._entry_gray(e) if e else None
                 if gray is not None:
@@ -1001,10 +1002,11 @@ class PdfCodec(DocumentCodec):
                     shifted = (a, b, c, d, te - x0, tf - y0)
                     if rot:
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
+                    img_map[i] = len(placed)
                     placed.append((gray[0], gray[1], gray[2], shifted))
         # shadings rasterize as masked gray patches (axial under any
-        # invertible CTM, radial under similarity CTMs), stamped in
-        # CONTENT-STREAM order among themselves on the base layer;
+        # invertible CTM, radial under similarity CTMs), painted at
+        # their exact content-stream z-position via the order journal;
         # unsupported types/geometries decline by name (unpainted)
         shading_patches: list[tuple] = []
         res0 = doc.resolve(pg.get("/Resources"))
@@ -1037,21 +1039,26 @@ class PdfCodec(DocumentCodec):
                     shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                 shading_patches.append((pw_, ph_, ppx, shifted, pmask))
 
-        for name, sctm, sclip in draw.get("shadings", ()):
+        shading_map: dict[int, int] = {}  # shading idx -> patch idx
+        pattern_map: dict[int, int] = {}  # pattern_fill idx -> patch idx
+        for i, (name, sctm, sclip) in enumerate(draw.get("shadings", ())):
             sh = doc.resolve(shdict.get(name)) \
                 if isinstance(shdict, dict) else None
+            n0 = len(shading_patches)
             add_shading_patch(sh, sctm, sclip)
+            if len(shading_patches) > n0:
+                shading_map[i] = n0
         # shading-PATTERN fills (/Pattern cs + scn + re f): the fill
         # rect clips the pattern's shading; the pattern /Matrix maps
         # pattern space to the page's DEFAULT user space (ISO 32000-1
         # 8.7.3.1), independent of the CTM at paint time. Tiling
         # patterns (/PatternType 1) and non-rect pattern regions are
-        # declined by name. Relative z-order between a pattern fill
-        # and an sh paint on the same page is patch-list order
-        # (sh paints first) — a documented approximation.
+        # declined by name. The order journal places each pattern
+        # fill at its exact content-stream z-position.
         patdict = doc.resolve(res0.get("/Pattern")) \
             if isinstance(res0, dict) else None
-        for name, prect in draw.get("pattern_fills", ()):
+        for i, (name, prect) in enumerate(draw.get("pattern_fills", ())):
+            _n0 = len(shading_patches)
             pat = doc.resolve(patdict.get(name)) \
                 if isinstance(patdict, dict) else None
             pd_ = pat.sdict if isinstance(pat, minipdf.StreamObj) \
@@ -1072,9 +1079,31 @@ class PdfCodec(DocumentCodec):
                 pmatrix = minipdf._ID6
             add_shading_patch(
                 doc.resolve(pd_.get("/Shading")), pmatrix, prect)
+            if len(shading_patches) > _n0:
+                pattern_map[i] = _n0
         if not (draw["fills"] or draw["polys"] or draw["lines"]
                 or placed or shading_patches):
             return None
+        # translate the draw-op journal into compose_page's paint
+        # order: geometry paints in exact content-stream order
+        # (declined items — undecodable images, declined shadings/
+        # patterns — drop out of the sequence)
+        compose_order: list[tuple] = []
+        for kind, idx in draw.get("order", ()):
+            if kind == "images":
+                j = img_map.get(idx)
+                if j is not None:
+                    compose_order.append(("images", j))
+            elif kind == "shadings":
+                j = shading_map.get(idx)
+                if j is not None:
+                    compose_order.append(("base_images", j))
+            elif kind == "pattern_fills":
+                j = pattern_map.get(idx)
+                if j is not None:
+                    compose_order.append(("base_images", j))
+            else:
+                compose_order.append((kind, idx))
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
         # /Rotate page with in-plane-rotated text (the scanner
@@ -1094,6 +1123,7 @@ class PdfCodec(DocumentCodec):
             ],
             images=placed,
             base_images=shading_patches,
+            order=compose_order,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"]) for r in runs
             ],

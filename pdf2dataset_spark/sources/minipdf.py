@@ -2681,7 +2681,11 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     similarity CTMs — codecs._axial_patch/_radial_patch). Returns
     ``{"fills": [(x0,y0,x1,y1,gray)], "polys": [(points, gray)],
     "lines": [(x0,y0,x1,y1,gray)], "images": [(name, ctm)],
-    "shadings": [(name, ctm, clip|None)]}``."""
+    "shadings": [(name, ctm, clip|None)],
+    "pattern_fills": [(name, device_rect)],
+    "order": [(category, index)]}`` — ``order`` journals every
+    emitted item in content-stream sequence so the compositor can
+    paint true PDF z-order."""
     ctm = _ID6
     # graphics-state stack entries:
     # (ctm, clip, fill_g, stroke_g, lw, dash)
@@ -2705,6 +2709,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     images: list[tuple] = []
     shadings: list[tuple] = []
     pattern_fills: list[tuple] = []  # (pattern name, device rect)
+    order: list[tuple] = []  # (category, index) in stream paint order
 
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
@@ -2744,6 +2749,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     if r[0] >= r[2] or r[1] >= r[3]:
                         continue
                 pattern_fills.append((fill_pattern, r))
+                order.append(("pattern_fills", len(pattern_fills) - 1))
         elif fill:
             # non-rect subpaths fill as polygons (even-odd scanline
             # in raster.compose_page); PDF fill implicitly closes
@@ -2755,6 +2761,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     pts = _clip_poly(pts, clip)
                 if len(pts) >= 3:
                     polys.append((pts, fill_g))
+                    order.append(("polys", len(polys) - 1))
             for x, y, w, h in rects:
                 p0, p1 = pt(x, y), pt(x + w, y + h)
                 r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
@@ -2765,6 +2772,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     if r[0] >= r[2] or r[1] >= r[3]:
                         continue
                 fills.append((*r, fill_g))
+                order.append(("fills", len(fills) - 1))
         if stroke:
             all_segs = list(segs)
             for x, y, w, h in rects:
@@ -2806,6 +2814,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                             quad = _clip_poly(quad, clip)
                         if len(quad) >= 3:
                             polys.append((quad, stroke_g))
+                            order.append(("polys", len(polys) - 1))
                     return
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
@@ -2813,6 +2822,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     if seg is None:
                         return
                 lines.append((*seg, stroke_g))
+                order.append(("lines", len(lines) - 1))
 
             for (x0, y0), (x1, y1) in all_segs:
                 p0, p1 = pt(x0, y0), pt(x1, y1)
@@ -2970,13 +2980,15 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 paint(False, False)
             elif op == b"Do" and stack and isinstance(stack[-1], str):
                 images.append((stack[-1], ctm))
+                order.append(("images", len(images) - 1))
             elif op == b"sh" and stack and isinstance(stack[-1], str):
                 # sh paints the CURRENT CLIP region with the shading
                 shadings.append((stack[-1], ctm, clip))
+                order.append(("shadings", len(shadings) - 1))
         except (TypeError, ValueError):
             continue
     return {"fills": fills, "polys": polys, "lines": lines,
-            "pattern_fills": pattern_fills,
+            "pattern_fills": pattern_fills, "order": order,
             "images": images, "shadings": shadings}
 
 

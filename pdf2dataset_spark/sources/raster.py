@@ -397,9 +397,13 @@ def compose_page(
     scale: float = 1.0,
     polys: list | None = None,
     base_images: list | None = None,
+    order: list | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
-    ``scale`` px per PDF unit, painted in PDF z-order semantics —
+    ``scale`` px per PDF unit. With ``order`` — a list of
+    ``(category, index)`` pairs referencing the category lists —
+    geometry paints in exact CONTENT-STREAM order (true PDF z-order;
+    glyphs still on top). Without it, layer order:
     fills, then stroked lines, then embedded images, then the text
     layer's glyphs on top.
 
@@ -468,8 +472,8 @@ def compose_page(
                     if imask is None or imask[srow + sxp]:
                         px[row + tx] = ipx[srow + sxp]
 
-    stamp(base_images)
-    for x0, y0, x1, y1, g in fills or ():
+    def paint_fill(item) -> None:
+        x0, y0, x1, y1, g = item
         cx0, cy1 = dev(x0, y0)
         cx1, cy0 = dev(x1, y1)
         for cy in range(max(0, cy0), min(H, cy1)):
@@ -477,9 +481,11 @@ def compose_page(
             lo, hi = max(0, cx0), min(W, cx1)
             if hi > lo:
                 px[row + lo : row + hi] = bytes([g]) * (hi - lo)
-    for pts, g in polys or ():
+
+    def paint_poly(item) -> None:
+        pts, g = item
         if len(pts) < 3:
-            continue
+            return
         # canvas space: y flips, rows sampled at pixel centers
         cpts = [(x * scale, (page_h - y) * scale) for x, y in pts]
         ys = [p[1] for p in cpts]
@@ -502,7 +508,9 @@ def compose_page(
                     if fill_b is None:
                         fill_b = bytes([g])
                     px[row + lo : row + hi] = fill_b * (hi - lo)
-    for x0, y0, x1, y1, g in lines or ():
+
+    def paint_line(item) -> None:
+        x0, y0, x1, y1, g = item
         cx0, cy0 = dev(x0, y0)
         cx1, cy1 = dev(x1, y1)
         dx, dy = abs(cx1 - cx0), -abs(cy1 - cy0)
@@ -520,9 +528,32 @@ def compose_page(
             if e2 <= dx:
                 err += dx
                 cy0 += sy
-    # embedded-image placements (unit square through the CTM,
-    # axis-aligned stamp — rotated placements draw their bbox)
-    stamp(images)
+
+    if order is not None:
+        # CONTENT-STREAM paint order (geometry only; glyphs stay on
+        # top): each entry references a category list by index
+        painters = {
+            "fills": (fills or (), paint_fill),
+            "polys": (polys or (), paint_poly),
+            "lines": (lines or (), paint_line),
+            "images": (images or (), lambda e: stamp([e])),
+            "base_images": (base_images or (), lambda e: stamp([e])),
+        }
+        for kind, idx in order:
+            lst, fn = painters.get(kind, ((), None))
+            if fn is not None and 0 <= idx < len(lst):
+                fn(lst[idx])
+    else:
+        stamp(base_images)
+        for item in fills or ():
+            paint_fill(item)
+        for item in polys or ():
+            paint_poly(item)
+        for item in lines or ():
+            paint_line(item)
+        # embedded-image placements (unit square through the CTM,
+        # axis-aligned stamp — rotated placements draw their bbox)
+        stamp(images)
     for gx, gy, text in glyph_runs or ():
         cx0, cby = dev(gx, gy)
         top = cby - GLYPH_H

@@ -2907,6 +2907,69 @@ class TestShadingPatternFills:
         assert at(420, 420) == 0    # plain fill untouched
 
 
+class TestStreamOrderPainting:
+    """Round-8: the draw-op journal paints geometry in exact
+    content-stream z-order — closing the former decline where
+    shadings always rendered below fills."""
+
+    def _at(self, pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+        return lambda x, y: px[(hh - 1 - y) * w + x]
+
+    SHADING = (b"/Resources << /Shading << /Sh0 << "
+               b"/ShadingType 2 /Coords [100 0 300 0] "
+               b"/Function << /FunctionType 2 /C0 [0.2] /C1 [0.2] /N 1 >> "
+               b"/Extend [true true] >> >> >>")
+
+    def test_shading_after_fill_paints_over_it(self):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+
+        # the previously-impossible order: fill FIRST, shading SECOND
+        pdf = _content_pdf(
+            b"0 g 120 120 100 60 re f\n"
+            b"q 100 100 200 100 re W n /Sh0 sh Q",
+            page_extra=b"/MediaBox [0 0 612 792] " + self.SHADING,
+        )
+        at = self._at(pdf)
+        assert at(150, 150) == 51  # constant 0.2 gray shading on top
+
+    def test_fill_after_shading_still_wins(self):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+
+        pdf = _content_pdf(
+            b"q 100 100 200 100 re W n /Sh0 sh Q\n"
+            b"0 g 120 120 100 60 re f",
+            page_extra=b"/MediaBox [0 0 612 792] " + self.SHADING,
+        )
+        at = self._at(pdf)
+        assert at(150, 150) == 0    # fill on top
+        assert at(110, 110) == 51   # shading elsewhere
+
+    def test_draw_ops_journal_sequence(self):
+        d = minipdf.content_draw_ops(
+            b"0 g 10 10 20 20 re f 0 G 5 5 m 50 5 l S /Sh0 sh "
+            b"0.5 g 30 30 5 5 re f"
+        )
+        assert d["order"] == [
+            ("fills", 0), ("lines", 0), ("shadings", 0), ("fills", 1),
+        ]
+
+    def test_compose_order_last_wins(self):
+        from pdf2dataset_spark.sources.raster import compose_page
+
+        fills = [(10, 10, 30, 30, 0), (10, 10, 30, 30, 200)]
+        w, h, px = compose_page(
+            40, 40, fills=fills, order=[("fills", 1), ("fills", 0)]
+        )
+        assert px[(h - 1 - 20) * w + 20] == 0  # index 0 painted LAST
+
+
 class TestFormXObjectText:
     """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
     layers) extracts through Do — /Matrix composes into the CTM, the
