@@ -12,6 +12,8 @@ identical across engines. Raw double sums can never hash-match.
 
 from __future__ import annotations
 
+from time import monotonic as _monotonic
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,7 +94,15 @@ def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
         key = (id(spark._jsparkSession), df.semanticHash(), str(df.schema))
     except Exception:
         key = None
-    est = _EST_CACHE.get(key) if key is not None else None
+    est = None
+    if key is not None:
+        hit = _EST_CACHE.get(key)
+        # TTL expiry: an estimate must not outlive the data — a
+        # relation that grows in place mid-session (or an id() reused
+        # by a recreated JVM session) would otherwise keep serving a
+        # stale small estimate and pin a broadcast hint forever
+        if hit is not None and _monotonic() - hit[1] < _EST_TTL_S:
+            est = hit[0]
     if est is None:
         try:
             est = int(
@@ -107,11 +117,12 @@ def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
         if key is not None:
             if len(_EST_CACHE) > 1024:
                 _EST_CACHE.clear()
-            _EST_CACHE[key] = est
+            _EST_CACHE[key] = (est, _monotonic())
     return F.broadcast(df) if est <= threshold else df
 
 
-_EST_CACHE: dict = {}  # (jvm-session id, semanticHash, schema) -> bytes
+_EST_TTL_S = 120.0
+_EST_CACHE: dict = {}  # (session id, semanticHash, schema) -> (bytes, t)
 
 
 def dec(col: Column | str, prec: int = 12, scale: int = 2) -> Column:

@@ -2624,6 +2624,11 @@ def _dash_runs(length: float, pattern: list[float],
     consumed since the dash origin (ISO 32000-1 8.4.3.6: element 0
     is ON; odd-length arrays alternate across cycles). Returns
     ([(d0, d1), ...] distances along the segment, new offset)."""
+    if len(pattern) % 2:
+        # an odd array's true period is TWO passes (elements alternate
+        # on/off across cycles); doubling makes the modulo fold below
+        # parity-safe ([6] at offset 6 must start OFF, not ON)
+        pattern = pattern * 2
     cyc = sum(pattern)
     off = offset % cyc
     k = 0  # pattern elements fully consumed (parity = on/off)
@@ -2715,6 +2720,20 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         a, b, c, d, e, f = ctm
         return (a * x + c * y + e, b * x + d * y + f)
 
+    def dev_rect(x: float, y: float, w: float, h: float):
+        """User rect -> clipped device bbox, or None when fully
+        clipped away. (The pending_clip block keeps its own variant:
+        it MUTATES the clip and must preserve empty intersections.)"""
+        p0, p1 = pt(x, y), pt(x + w, y + h)
+        r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
+             max(p0[0], p1[0]), max(p0[1], p1[1]))
+        if clip is not None:
+            r = (max(r[0], clip[0]), max(r[1], clip[1]),
+                 min(r[2], clip[2]), min(r[3], clip[3]))
+            if r[0] >= r[2] or r[1] >= r[3]:
+                return None
+        return r
+
     def flatten(p0: tuple, p1: tuple, p2: tuple, p3: tuple) -> None:
         """Cubic Bézier -> _BEZIER_CHORDS user-space chords."""
         prev = p0
@@ -2740,14 +2759,9 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             # Non-rect pattern regions are declined by name (the
             # clip machinery is rect-only).
             for x, y, w, h in rects:
-                p0, p1 = pt(x, y), pt(x + w, y + h)
-                r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
-                     max(p0[0], p1[0]), max(p0[1], p1[1]))
-                if clip is not None:
-                    r = (max(r[0], clip[0]), max(r[1], clip[1]),
-                         min(r[2], clip[2]), min(r[3], clip[3]))
-                    if r[0] >= r[2] or r[1] >= r[3]:
-                        continue
+                r = dev_rect(x, y, w, h)
+                if r is None:
+                    continue
                 pattern_fills.append((fill_pattern, r))
                 order.append(("pattern_fills", len(pattern_fills) - 1))
         elif fill:
@@ -2763,14 +2777,9 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     polys.append((pts, fill_g))
                     order.append(("polys", len(polys) - 1))
             for x, y, w, h in rects:
-                p0, p1 = pt(x, y), pt(x + w, y + h)
-                r = (min(p0[0], p1[0]), min(p0[1], p1[1]),
-                     max(p0[0], p1[0]), max(p0[1], p1[1]))
-                if clip is not None:
-                    r = (max(r[0], clip[0]), max(r[1], clip[1]),
-                         min(r[2], clip[2]), min(r[3], clip[3]))
-                    if r[0] >= r[2] or r[1] >= r[3]:
-                        continue
+                r = dev_rect(x, y, w, h)
+                if r is None:
+                    continue
                 fills.append((*r, fill_g))
                 order.append(("fills", len(fills) - 1))
         if stroke:

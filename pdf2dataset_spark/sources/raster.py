@@ -453,8 +453,9 @@ def compose_page(
             else:
                 iw, ih, ipx, ictm = entry
                 imask = None
-            if not iw or not ih or len(ipx) < iw * ih:
-                continue
+            if not iw or not ih or len(ipx) < iw * ih \
+                    or (imask is not None and len(imask) < iw * ih):
+                continue  # malformed entry: skip, never IndexError
             ia, ib, ic, id_, ie, if_ = ictm
             ixs = (ie, ia + ie, ic + ie, ia + ic + ie)
             iys = (if_, ib + if_, id_ + if_, ib + id_ + if_)

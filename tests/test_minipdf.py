@@ -2696,6 +2696,15 @@ class TestDashPatterns:
         # odd array [6]: on 6 / off 6, alternating ACROSS cycles
         runs, _ = minipdf._dash_runs(24, [6], 0)
         assert runs == [(0, 6), (12, 18)]
+        # review fix: odd-array parity survives the offset fold — at
+        # offset 6 the next 6 units are OFF, then ON
+        runs, _ = minipdf._dash_runs(12, [6], 6)
+        assert runs == [(6, 12)]
+        # chained segments of an odd-dash polyline keep alternating
+        d = minipdf.content_draw_ops(
+            b"[6] 0 d 0 G 100 50 m 106 50 l 112 50 l S"
+        )
+        assert [(ln[0], ln[2]) for ln in d["lines"]] == [(100.0, 106.0)]
         # offset carries across chained segments: second segment of a
         # chain starts where the first ended in the cycle
         _, off = minipdf._dash_runs(15, [10, 10], 0)

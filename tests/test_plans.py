@@ -577,7 +577,7 @@ def test_maybe_broadcast_caches_estimate_per_plan(spark):
     # cache hit still honors the live threshold: 1-byte -> unhinted
     # (maybe_broadcast returns the frame object unchanged when it
     # declines), while the default threshold hints the same cached plan
-    est = next(iter(_util._EST_CACHE.values()))
+    est, _t = next(iter(_util._EST_CACHE.values()))
     assert est > 1
     assert _util.maybe_broadcast(p2, threshold=1) is p2
     assert _util.maybe_broadcast(p2) is not p2

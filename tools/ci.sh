@@ -10,8 +10,11 @@ SF="${1:-/root/testdata/sf0.01}"
 # adjudicated (worktree A/B for bench, re-run for elasticity) before
 # the round is accepted — a WARN line alone can scroll past, a
 # surviving marker file cannot.
-WARN_DIR=/tmp/ci_warnings
-rm -rf "$WARN_DIR" && mkdir -p "$WARN_DIR"
+# per-run directory: concurrent ci invocations (the worktree A/B
+# protocol runs two back to back) must not clobber each other's
+# markers
+WARN_DIR=$(mktemp -d /tmp/ci_warnings.XXXXXX)
+echo "warn markers: $WARN_DIR"
 
 echo "== pytest =="
 python -m pytest tests/ -q
