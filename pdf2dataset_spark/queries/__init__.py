@@ -83,36 +83,28 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 7 — size-guarded broadcast sweep (_util.maybe_broadcast):
-    # every query whose pinned F.broadcast on a corpus-growing
-    # relation (part/supplier/customer/partsupp-derived) became a
-    # threshold-guarded hint
-    "sql4_q14_promo_revenue",
-    "sql5_q19_disjunctive_join",
-    "sql7_q11_revenue_share",
-    "sql9_q7_nation_volume",
-    "sql10_q15_top_supplier",
-    "sql11_q16_supplier_count",
-    "sql12_q20_nested_in",
-    "sql13_q21_sole_late_shipper",
-    "sql16_q8_market_share",
-    "sql17_q9_product_profit",
-    "sql19_q17_small_qty_revenue",
-    "sql20_q2_min_cost_supplier",
-    "sql23_q2_partsupp_min_cost",
-    "sql24_q11_partsupp_value",
-    "sql25_q20_partsupp_avail",
-    "sql26_q9_partsupp_profit",
-    "d11_star_join_revenue",
-    "g7_stream_static_join",
-    # round 7 — inheritable /Rotate + /MediaBox (pages() walk,
-    # layout/word-box/paragraph rotation, composite render): touches
-    # every PDF-extraction code path
+    # round 8 — PDF render/extraction: form-resource Do fallback +
+    # CTM-stack restore (every text path), per-pixel axial shading
+    # (any CTM), mesh shadings 4/5, dash patterns, ExtGState LW/D,
+    # shading-pattern fills, content-stream z-order compositor
     "a5_pdf_extract",
     "a6_page_render_ocr",
+    "a20_scanned_page_ocr",
+    "a22_embedded_font_cmap_extract",
     "a28_layout_order_extract",
     "a29_word_boxes_extract",
     "a30_paragraph_extract",
+    "a31_structural_pdf_extract",
+    "a32_form_xobject_extract",
+    "a33_shading_render",
+    # round 8 — maybe_broadcast estimate cache (TTL'd): every query
+    # routing corpus-growing relations through the guard
+    "sql4_q14_promo_revenue",
+    "sql20_q2_min_cost_supplier",
+    "sql23_q2_partsupp_min_cost",
+    "sql26_q9_partsupp_profit",
+    "d11_star_join_revenue",
+    "g7_stream_static_join",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

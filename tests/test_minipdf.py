@@ -2916,6 +2916,80 @@ class TestShadingPatternFills:
         assert at(420, 420) == 0    # plain fill untouched
 
 
+class TestRound8Fuzz:
+    """Adversarial input shapes for the round-8 parsers: random dash/
+    gs/pattern operator soup and random mesh vertex streams must
+    never raise out of the walkers, and every emitted geometry stays
+    finite."""
+
+    def test_draw_ops_operator_soup(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tokens = st.sampled_from([
+            b"[6] 0 d", b"[3 2] 1 d", b"[] 0 d", b"[0 0] 5 d",
+            b"[-1 2] 0 d", b"[0.1] 9999 d", b"/G1 gs", b"/Nope gs",
+            b"/Pattern cs", b"/DeviceRGB cs", b"/P0 scn", b"0.5 scn",
+            b"q", b"Q", b"2 0 0 2 0 0 cm", b"0 0 0 0 0 0 cm",
+            b"10 10 50 50 re", b"m", b"10 20 m", b"30 40 l", b"h",
+            b"f", b"S", b"B", b"n", b"W", b"/Sh0 sh", b"8 w",
+            b"0.5 g", b"1 0 0 RG", b"d", b"gs", b"scn", b"cs",
+        ])
+
+        @given(st.lists(tokens, min_size=0, max_size=40))
+        @settings(max_examples=150, deadline=None)
+        def run(ops):
+            egs = {"/G1": {"LW": 8.0, "D": ([6.0], 0.0)}}
+            d = minipdf.content_draw_ops(
+                b" ".join(ops), ext_gstates=egs
+            )
+            for x0, y0, x1, y1, g in d["lines"]:
+                assert all(abs(v) < 1e9 for v in (x0, y0, x1, y1))
+            for kind, idx in d["order"]:
+                assert 0 <= idx < len(d[kind])
+
+        run()
+
+    def test_mesh_stream_fuzz_never_raises(self):
+        import random
+
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources.minipdf import StreamObj
+
+        class _Doc:
+            def resolve(self, v):
+                return v
+
+            def stream_bytes(self, o):
+                return o.raw
+
+        rng = random.Random(8)
+        codec = PdfCodec()
+        doc = _Doc()
+        for _ in range(200):
+            data = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 120)))
+            sd = {
+                "/ShadingType": rng.choice([4, 5, 6, 0, 99]),
+                "/BitsPerCoordinate": rng.choice([8, 16, 24, 7, 0]),
+                "/BitsPerComponent": rng.choice([8, 16, 3]),
+                "/BitsPerFlag": rng.choice([2, 4, 8, 16]),
+                "/VerticesPerRow": rng.choice([0, 1, 2, 5, -3]),
+                "/Decode": rng.choice([
+                    [0, 65535, 0, 65535, 0, 1.0],
+                    [0, 0, 0, 0, 0, 0],
+                    [],
+                    [0, 65535],
+                ]),
+            }
+            sh = StreamObj(sd, data)
+            out = codec._mesh_patch(
+                doc, sh, (1, 0, 0, 1, 0, 0), None, (0, 0, 200, 200))
+            if out is not None:
+                pw, ph, ppx, _, pmask = out
+                assert len(ppx) == pw * ph and len(pmask) == pw * ph
+
+
 class TestStreamOrderPainting:
     """Round-8: the draw-op journal paints geometry in exact
     content-stream z-order — closing the former decline where
