@@ -97,6 +97,7 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a31_structural_pdf_extract",
     "a32_form_xobject_extract",
     "a33_shading_render",
+    "a34_feature_torture",
     # round 8 — maybe_broadcast estimate cache (TTL'd): every query
     # routing corpus-growing relations through the guard
     "sql4_q14_promo_revenue",
