@@ -773,8 +773,18 @@ class PdfCodec(DocumentCodec):
         virtually every real file with 8-bit flags and 16/24-bit
         coordinates, are identical under every reading), over-budget
         vertex counts or raster area, malformed flag sequences,
-        unsupported functions, and Coons/tensor patch meshes
-        (types 6/7)."""
+        unsupported functions, and (for types 6/7) edge-sharing
+        continuation records (flags 1-3 — every patch must be fully
+        specified; flag-0-only streams are what common writers emit).
+
+        Types 6 (Coons) and 7 (tensor) tessellate each patch's Coons
+        surface — boundary cubics blended per the classic Coons
+        formula, corner colors bilinear in (u, v) — into Gouraud
+        triangles on a fixed 12x12 parameter grid. Type 7's four
+        interior control points are IGNORED (documented
+        approximation: the boundary and corner colors are exact; only
+        interior geometry of wildly-warped tensor patches deviates
+        from the bicubic surface)."""
         import numpy as np
 
         from pdf2dataset_spark.sources import minipdf
@@ -793,20 +803,25 @@ class PdfCodec(DocumentCodec):
             data = doc.stream_bytes(sh)
         except (TypeError, ValueError, KeyError):
             return None
-        if stype not in (4, 5) or bpc not in (1, 2, 4, 8, 12, 16, 24, 32) \
+        if stype not in (4, 5, 6, 7) \
+                or bpc not in (1, 2, 4, 8, 12, 16, 24, 32) \
                 or bpcomp not in (1, 2, 4, 8, 12, 16):
             return None
         ncomp = 1 if fn is not None else (len(decode) - 4) // 2
         if ncomp < 1 or len(decode) < 4 + 2 * ncomp:
             return None
-        if stype == 4:
+        if stype in (4, 6, 7):
             try:
                 bpf = int(doc.resolve(sd.get("/BitsPerFlag")))
             except (TypeError, ValueError):
                 return None
             if bpf not in (2, 4, 8):
                 return None
-            rec_bits = bpf + 2 * bpc + ncomp * bpcomp
+            if stype == 4:
+                rec_bits = bpf + 2 * bpc + ncomp * bpcomp
+            else:
+                npts = 12 if stype == 6 else 16
+                rec_bits = bpf + npts * 2 * bpc + 4 * ncomp * bpcomp
         else:
             try:
                 vpr = int(doc.resolve(sd.get("/VerticesPerRow", 0)))
@@ -836,9 +851,12 @@ class PdfCodec(DocumentCodec):
         cmax = (1 << bpc) - 1
         compmax = (1 << bpcomp) - 1
 
-        def read_vertex() -> tuple:
+        def read_point() -> tuple:
             x = decode[0] + rd(bpc) * (decode[1] - decode[0]) / cmax
             y = decode[2] + rd(bpc) * (decode[3] - decode[2]) / cmax
+            return x, y
+
+        def read_gray() -> int:
             comps = [
                 decode[4 + 2 * k]
                 + rd(bpcomp) * (decode[5 + 2 * k] - decode[4 + 2 * k])
@@ -847,7 +865,11 @@ class PdfCodec(DocumentCodec):
             ]
             if fn is not None:
                 comps = self._eval_pdf_function(doc, fn, comps[0])
-            return x, y, minipdf._luma(comps)
+            return minipdf._luma(comps)
+
+        def read_vertex() -> tuple:
+            x, y = read_point()
+            return x, y, read_gray()
 
         tris: list[tuple] = []
         try:
@@ -870,7 +892,7 @@ class PdfCodec(DocumentCodec):
                     else:
                         return None  # malformed flag sequence
                     tris.append((va, vb, vc))
-            else:
+            elif stype == 5:
                 rows: list[list[tuple]] = []
                 while True:
                     row = [read_vertex() for _ in range(vpr)]
@@ -880,12 +902,83 @@ class PdfCodec(DocumentCodec):
                         for i in range(vpr - 1):
                             tris.append((r0[i], r0[i + 1], r1[i]))
                             tris.append((r0[i + 1], r1[i], r1[i + 1]))
+            else:  # 6 (Coons) / 7 (tensor): tessellate each patch
+                N = 12  # parameter-grid density (fixed, deterministic)
+                npts = 12 if stype == 6 else 16
+
+                def bez(p0, p1, p2, p3, t):
+                    u = 1.0 - t
+                    return (
+                        u * u * u * p0[0] + 3 * u * u * t * p1[0]
+                        + 3 * u * t * t * p2[0] + t * t * t * p3[0],
+                        u * u * u * p0[1] + 3 * u * u * t * p1[1]
+                        + 3 * u * t * t * p2[1] + t * t * t * p3[1],
+                    )
+
+                while True:
+                    flag = rd(bpf)
+                    if flag != 0:
+                        # edge-sharing continuation (1-3): declined —
+                        # the sharing table is not self-validatable
+                        return None
+                    p = [read_point() for _ in range(npts)]
+                    cols = [read_gray() for _ in range(4)]
+                    # corners (u,v): (0,0)=p1 (1,0)=p4 (1,1)=p7
+                    # (0,1)=p10; boundary cubics counterclockwise.
+                    # Coons surface: edge blend minus corner bilinear;
+                    # corner colors bilinear in (u,v).
+                    grid_pts: list[list[tuple]] = []
+                    for i in range(N + 1):
+                        v = i / N
+                        lv = bez(p[9], p[10], p[11], p[0], 1.0 - v)
+                        rv = bez(p[3], p[4], p[5], p[6], v)
+                        row_pts = []
+                        for j in range(N + 1):
+                            u = j / N
+                            bu = bez(p[0], p[1], p[2], p[3], u)
+                            tu = bez(p[6], p[7], p[8], p[9], 1.0 - u)
+                            sx = ((1 - v) * bu[0] + v * tu[0]
+                                  + (1 - u) * lv[0] + u * rv[0]
+                                  - ((1 - u) * (1 - v) * p[0][0]
+                                     + u * (1 - v) * p[3][0]
+                                     + u * v * p[6][0]
+                                     + (1 - u) * v * p[9][0]))
+                            sy = ((1 - v) * bu[1] + v * tu[1]
+                                  + (1 - u) * lv[1] + u * rv[1]
+                                  - ((1 - u) * (1 - v) * p[0][1]
+                                     + u * (1 - v) * p[3][1]
+                                     + u * v * p[6][1]
+                                     + (1 - u) * v * p[9][1]))
+                            g = ((1 - u) * (1 - v) * cols[0]
+                                 + u * (1 - v) * cols[1]
+                                 + u * v * cols[2]
+                                 + (1 - u) * v * cols[3])
+                            row_pts.append((sx, sy, g))
+                        grid_pts.append(row_pts)
+                    for i in range(N):
+                        r0, r1 = grid_pts[i], grid_pts[i + 1]
+                        for j in range(N):
+                            tris.append((r0[j], r0[j + 1], r1[j]))
+                            tris.append((r0[j + 1], r1[j], r1[j + 1]))
+                    if len(tris) > 3 * self._MAX_MESH_VERTICES:
+                        return None  # hostile patch count
         except EOFError:
             pass  # trailing padding / truncation: keep complete tris
         except (TypeError, ValueError, KeyError, IndexError):
             return None  # unsupported function / malformed values
         if not tris:
             return None
+
+        return self._rasterize_triangles(tris, ctm, clip, box)
+
+    def _rasterize_triangles(self, tris, ctm, clip, box):
+        """Gouraud-rasterize ``[(x,y,gray) x3]`` user-space triangles
+        into a masked patch (shared back end of the mesh and
+        Coons/tensor rasterizers). Barycentric interpolation in
+        device space; per-triangle clipped-bbox raster budget
+        (``_MAX_MESH_RASTER_PX``) bounds hostile inputs; returns the
+        standard 5-tuple patch or None."""
+        import numpy as np
 
         grid = self._patch_grid(clip, box)
         if grid is None:
@@ -1013,7 +1106,8 @@ class PdfCodec(DocumentCodec):
         shdict = doc.resolve(res0.get("/Shading")) \
             if isinstance(res0, dict) else None
         _patch_fn = {2: self._axial_patch, 3: self._radial_patch,
-                     4: self._mesh_patch, 5: self._mesh_patch}
+                     4: self._mesh_patch, 5: self._mesh_patch,
+                     6: self._mesh_patch, 7: self._mesh_patch}
 
         def add_shading_patch(sh, sctm, sclip) -> None:
             # mesh shadings (4/5) are STREAM objects: params in sdict
@@ -1026,9 +1120,9 @@ class PdfCodec(DocumentCodec):
                 except (TypeError, ValueError):
                     stype = 0
             fn = _patch_fn.get(stype)
-            # dict-shadings (2/3) take the params dict; mesh (4/5)
-            # needs the stream object itself for its vertex data
-            sh_arg = sh if stype in (4, 5) else sdict
+            # dict-shadings (2/3) take the params dict; mesh/patch
+            # types (4-7) need the stream object for their vertex data
+            sh_arg = sh if stype in (4, 5, 6, 7) else sdict
             patch = fn(doc, sh_arg, sctm, sclip, (x0, y0, x1, y1)) \
                 if fn is not None else None
             if patch is not None:

@@ -1695,6 +1695,127 @@ class TestMeshShading:
         ) is None
 
 
+class TestCoonsTensorShading:
+    """Round-8: /ShadingType 6 (Coons) and 7 (tensor) patches
+    tessellate the Coons surface into Gouraud triangles. Expected
+    grays are HAND-DERIVED from the corner-bilinear formula; the
+    tessellation's piecewise-linear error is under 1 gray level at
+    the 12x12 grid, so assertions allow +/-1."""
+
+    import struct as _struct
+
+    # flat patch: counterclockwise boundary of the square
+    # (96,96)-(336,336), control points at exact thirds -> straight
+    # edges; corners c1..c4 = 0, 255, 128, 64 at p1, p4, p7, p10
+    FLAT_PTS = [
+        (96, 96), (176, 96), (256, 96), (336, 96),
+        (336, 176), (336, 256), (336, 336),
+        (256, 336), (176, 336), (96, 336),
+        (96, 256), (96, 176),
+    ]
+    COLS = [0, 255, 128, 64]
+
+    @classmethod
+    def _obj(cls, stype, pts, cols, flag=0, extra=b""):
+        data = bytes([flag]) + b"".join(
+            cls._struct.pack(">HH", x, y) for x, y in pts
+        ) + bytes(cols)
+        return (b"<< /ShadingType " + str(stype).encode()
+                + b" /BitsPerFlag 8 /BitsPerCoordinate 16 "
+                b"/BitsPerComponent 8 "
+                b"/Decode [0 65535 0 65535 0 1.0] " + extra
+                + b"/Length " + str(len(data)).encode()
+                + b" >>\nstream\n" + data + b"\nendstream")
+
+    def _at(self, obj):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        content = b"BT /F1 12 Tf 72 700 Td (coons page) Tj ET\n/Sh0 sh"
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << "
+            b"/Sh0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            obj,
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+        return lambda x, y: px[(hh - 1 - y) * w + x]
+
+    def test_flat_coons_corner_bilinear(self):
+        at = self._at(self._obj(6, self.FLAT_PTS, self.COLS))
+        # (150,150) center (150.5,150.5): u=v=54.5/240 -> hand-derived
+        # g = u(1-v)*255 + uv*128 + (1-u)v*64 = 62.59 -> 63
+        assert abs(at(150, 150) - 63) <= 1
+        # near-c1 corner: u=v=4.5/240 -> 5.91 -> 6
+        assert abs(at(100, 100) - 6) <= 1
+        # near-c2 corner (330,100): u=234.5/240, v=4.5/240:
+        # 0.958763*255 + 0.018320*128 + 0.000430*64 = 246.86 -> 247
+        assert abs(at(330, 100) - 247) <= 1
+        assert at(90, 150) == 255   # outside the patch
+        assert at(150, 340) == 255
+
+    def test_curved_bottom_edge_bulges(self):
+        pts = list(self.FLAT_PTS)
+        pts[1] = (176, 36)  # bottom-edge controls dip below
+        pts[2] = (256, 36)
+        at = self._at(self._obj(6, pts, self.COLS))
+        # cubic midpoint: y = (96 + 3*36 + 3*36 + 96)/8 = 51 at x=216
+        assert at(216, 70) != 255   # inside the bulge, painted
+        assert at(108, 80) == 255   # near u=0.05 the curve is ~87.4
+        assert at(150, 150) != 255  # interior still painted
+
+    def test_tensor_patch_matches_flat_coons(self):
+        # type 7: 4 interior points (ignored by the documented
+        # approximation) appended after the boundary 12
+        pts = self.FLAT_PTS + [(176, 176), (256, 176),
+                               (176, 256), (256, 256)]
+        at = self._at(self._obj(7, pts, self.COLS))
+        assert abs(at(150, 150) - 63) <= 1
+        assert at(90, 150) == 255
+
+    def test_declines_by_name(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources.minipdf import StreamObj
+
+        class _Doc:
+            def resolve(self, v):
+                return v
+
+            def stream_bytes(self, o):
+                return o.raw
+
+        codec = PdfCodec()
+        doc = _Doc()
+
+        def patch_of(stype, flag, bpf=8):
+            data = bytes([flag]) + b"\x00" * 52
+            sd = {"/ShadingType": stype, "/BitsPerFlag": bpf,
+                  "/BitsPerCoordinate": 16, "/BitsPerComponent": 8,
+                  "/Decode": [0, 65535, 0, 65535, 0, 1.0]}
+            return codec._mesh_patch(
+                doc, StreamObj(sd, data), (1, 0, 0, 1, 0, 0), None,
+                (0, 0, 612, 792))
+
+        # edge-sharing continuation flags decline
+        for f in (1, 2, 3):
+            assert patch_of(6, f) is None
+        # missing /BitsPerFlag declines
+        sd = {"/ShadingType": 6, "/BitsPerCoordinate": 16,
+              "/BitsPerComponent": 8,
+              "/Decode": [0, 65535, 0, 65535, 0, 1.0]}
+        assert PdfCodec()._mesh_patch(
+            doc, StreamObj(sd, b"\x00" * 53), (1, 0, 0, 1, 0, 0),
+            None, (0, 0, 612, 792)) is None
+
+
 class TestCalculatorFunctions:
     """Round-7: Type 4 PostScript-calculator shading functions run in
     a step-budgeted mini-interpreter; malformed/hostile programs
