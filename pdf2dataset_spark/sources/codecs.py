@@ -746,6 +746,140 @@ class PdfCodec(DocumentCodec):
         return pw, ph, patch.tobytes(), placement, \
             ok.astype(np.uint8).tobytes()
 
+    def _function_patch(self, doc, sh, ctm, clip, box):
+        """/ShadingType 1 (function-based, ISO 32000-1 8.7.4.5.2):
+        gray(x, y) = Function(x, y) over /Domain [x0 x1 y0 y1] in
+        SHADING space; /Matrix maps shading space to user space, so
+        device pixels map back through (Matrix · CTM)⁻¹. Supported
+        function: one 2-in /FunctionType 0 sampled stream — the
+        sample grid evaluates VECTORIZED (numpy gather + bilinear,
+        8/16/32-bit samples, 1/3/4 outputs through the BT.601 luma).
+        Pixels outside /Domain are transparent (/Background is not
+        painted — same unpainted posture). DECLINED BY NAME: non-
+        sampled 2-in functions (a per-pixel calculator interpretation
+        is an unbounded hostile-input surface), function arrays,
+        other sample widths, singular matrices, over-budget sample
+        grids."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources.minipdf import StreamObj
+
+        if not isinstance(sh, dict):
+            return None
+        try:
+            dom = [float(doc.resolve(v)) for v in doc.resolve(
+                sh.get("/Domain", [0.0, 1.0, 0.0, 1.0]))][:4]
+            if len(dom) < 4 or dom[1] <= dom[0] or dom[3] <= dom[2]:
+                return None
+            mat = doc.resolve(sh.get("/Matrix"))
+            from pdf2dataset_spark.sources import minipdf
+            smat = tuple(float(doc.resolve(v)) for v in mat)[:6] \
+                if isinstance(mat, list) and len(mat) >= 6 \
+                else minipdf._ID6
+            total = minipdf._mat_mul(smat, ctm)  # shading -> device
+            a, b, c, d, e, f = total
+            det = a * d - c * b
+            if abs(det) < 1e-12:
+                return None
+            fn = doc.resolve(sh.get("/Function"))
+            if not isinstance(fn, StreamObj):
+                return None  # arrays / dict functions: declined
+            fdata = doc.stream_bytes(fn)
+            fd = fn.sdict
+            if int(doc.resolve(fd.get("/FunctionType", -1))) != 0:
+                return None  # 2-in calculator: declined by name
+            fdom = [float(doc.resolve(v))
+                    for v in doc.resolve(fd.get("/Domain", []))][:4]
+            sizes = [int(doc.resolve(v))
+                     for v in doc.resolve(fd.get("/Size", []))][:2]
+            bps = int(doc.resolve(fd.get("/BitsPerSample", 0)))
+            rng = [float(doc.resolve(v))
+                   for v in doc.resolve(fd.get("/Range", []))]
+        except (TypeError, ValueError, KeyError, IndexError):
+            return None
+        if len(fdom) < 4 or len(sizes) < 2 or bps not in (8, 16, 32) \
+                or not rng:
+            return None
+        s0, s1 = sizes
+        n_out = len(rng) // 2
+        if s0 < 1 or s1 < 1 or n_out not in (1, 3, 4) \
+                or s0 * s1 * n_out > 4_000_000:
+            return None
+        need = (s0 * s1 * n_out * bps + 7) // 8
+        if len(fdata) < need:
+            return None
+        try:
+            enc = [float(doc.resolve(v)) for v in doc.resolve(
+                fd.get("/Encode",
+                       [0, s0 - 1, 0, s1 - 1]))][:4]
+            dec = [float(doc.resolve(v)) for v in doc.resolve(
+                fd.get("/Decode", rng))][:2 * n_out]
+        except (TypeError, ValueError):
+            return None
+        if len(enc) < 4 or len(dec) < 2 * n_out:
+            return None
+        grid = self._patch_grid(clip, box)
+        if grid is None:
+            return None
+        rx0, ry0, pw, ph, xs, ys = grid
+        # device -> shading space through total⁻¹
+        X = xs[None, :] - e
+        Y = ys[:, None] - f
+        u = (d * X - c * Y) / det
+        v = (-b * X + a * Y) / det
+        ok = ((u >= dom[0]) & (u <= dom[1])
+              & (v >= dom[2]) & (v <= dom[3]))
+        # clamp into the function's own domain, then Encode into the
+        # sample index space (7.10.2), clamp to [0, Size_i - 1]
+        u = np.clip(u, fdom[0], fdom[1])
+        v = np.clip(v, fdom[2], fdom[3])
+        su = enc[0] + (u - fdom[0]) / (fdom[1] - fdom[0] or 1.0) \
+            * (enc[1] - enc[0])
+        sv = enc[2] + (v - fdom[2]) / (fdom[3] - fdom[2] or 1.0) \
+            * (enc[3] - enc[2])
+        su = np.clip(su, 0.0, s0 - 1.0)
+        sv = np.clip(sv, 0.0, s1 - 1.0)
+        i0 = np.floor(su).astype(np.int64)
+        j0 = np.floor(sv).astype(np.int64)
+        i1 = np.minimum(i0 + 1, s0 - 1)
+        j1 = np.minimum(j0 + 1, s1 - 1)
+        fu = su - i0
+        fv = sv - j0
+        dt = {8: ">u1", 16: ">u2", 32: ">u4"}[bps]
+        samples = np.frombuffer(
+            fdata[: s0 * s1 * n_out * (bps // 8)], dtype=dt
+        ).astype(np.float64).reshape(s1, s0, n_out)
+        maxv = float((1 << bps) - 1)
+        comps = []
+        for k in range(n_out):
+            plane = samples[:, :, k]
+            # first input varies fastest (7.10.2): index [j, i]
+            val = (plane[j0, i0] * (1 - fu) * (1 - fv)
+                   + plane[j0, i1] * fu * (1 - fv)
+                   + plane[j1, i0] * (1 - fu) * fv
+                   + plane[j1, i1] * fu * fv)
+            lo, hi = dec[2 * k], dec[2 * k + 1]
+            comps.append(lo + val / maxv * (hi - lo))
+        # vectorized _luma twin (same formulas, same rounding)
+        if n_out == 1:
+            lum = comps[0]
+        elif n_out == 3:
+            lum = 0.299 * comps[0] + 0.587 * comps[1] + 0.114 * comps[2]
+        else:
+            cy = np.minimum(
+                1.0, (comps[0] + comps[1] + comps[2]) / 3.0)
+            lum = (1.0 - np.minimum(1.0, comps[3])) * (1.0 - cy)
+        patch = np.where(
+            ok,
+            np.clip(
+                np.round(lum * 255), 0, 255
+            ).astype(np.uint8),
+            np.uint8(255),
+        )
+        placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
+        return pw, ph, patch.tobytes(), placement, \
+            ok.astype(np.uint8).tobytes()
+
     #: vertex budget per mesh-shading paint
     _MAX_MESH_VERTICES = 1 << 16
     #: total rasterized bounding-box pixel budget per mesh paint — a
@@ -1105,7 +1239,8 @@ class PdfCodec(DocumentCodec):
         res0 = doc.resolve(pg.get("/Resources"))
         shdict = doc.resolve(res0.get("/Shading")) \
             if isinstance(res0, dict) else None
-        _patch_fn = {2: self._axial_patch, 3: self._radial_patch,
+        _patch_fn = {1: self._function_patch,
+                     2: self._axial_patch, 3: self._radial_patch,
                      4: self._mesh_patch, 5: self._mesh_patch,
                      6: self._mesh_patch, 7: self._mesh_patch}
 

@@ -1695,6 +1695,87 @@ class TestMeshShading:
         ) is None
 
 
+class TestFunctionShading:
+    """Round-8: /ShadingType 1 (function-based) with a 2-in sampled
+    function rasterizes vectorized; everything non-sampled declines
+    by name. Expected grays hand-derived from the bilinear sample
+    interpolation."""
+
+    def _pdf(self, fn_obj, shading_extra=b""):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        content = b"BT /F1 12 Tf 72 700 Td (fn page) Tj ET\n/Sh0 sh"
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << "
+            b"/Sh0 << /ShadingType 1 /Domain [0 1 0 1] "
+            b"/Matrix [200 0 0 100 100 300] " + shading_extra
+            + b"/Function 5 0 R >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            fn_obj,
+        ])
+
+    @staticmethod
+    def _at(pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+        return lambda x, y: px[(hh - 1 - y) * w + x]
+
+    def test_sampled_2d_bilinear_ramp(self):
+        # 2x2 samples, x-ramp 0 -> 255 (first input varies fastest):
+        # gray(x) = (x - 100)/200 inside the Matrix-mapped rect
+        data = bytes([0, 255, 0, 255])
+        fn = (b"<< /FunctionType 0 /Domain [0 1 0 1] /Size [2 2] "
+              b"/BitsPerSample 8 /Range [0 1] /Length 4 >>\nstream\n"
+              + data + b"\nendstream")
+        at = self._at(self._pdf(fn))
+        # (150,350) center (150.5,350.5): 0.2525*255 = 64.39 -> 64
+        assert at(150, 350) == 64
+        assert at(290, 350) == round((190.5 / 200) * 255)  # 243
+        assert at(50, 350) == 255   # outside /Domain: transparent
+        assert at(150, 500) == 255
+
+    def test_y_axis_and_rgb_outputs(self):
+        # 2x2 RGB samples: red at v=0 row, blue at v=1 row ->
+        # BT.601 ramp 76 -> 29 along y
+        data = bytes([255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255])
+        fn = (b"<< /FunctionType 0 /Domain [0 1 0 1] /Size [2 2] "
+              b"/BitsPerSample 8 /Range [0 1 0 1 0 1] /Length 12 "
+              b">>\nstream\n" + data + b"\nendstream")
+        at = self._at(self._pdf(fn))
+        assert abs(at(200, 310) - 71) <= 2   # near red row: ~76 - 10%
+        assert abs(at(200, 390) - 34) <= 2   # near blue row
+        assert at(200, 310) > at(200, 390)   # monotone red->blue
+
+    def test_nonsampled_declines(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources import minipdf
+
+        # calculator (type 4) 2-in: declined -> page renders without
+        # the shading (text-only page -> grid raster, still works)
+        prog = b"{ pop }"
+        fn = (b"<< /FunctionType 4 /Domain [0 1 0 1] /Range [0 1] "
+              b"/Length " + str(len(prog)).encode() + b" >>\nstream\n"
+              + prog + b"\nendstream")
+        pdf = self._pdf(fn)
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        doc = h.doc
+        pg = doc.pages()[0]
+        shs = doc.resolve(doc.resolve(pg.get("/Resources")).get("/Shading"))
+        sh = doc.resolve(shs.get("/Sh0"))
+        assert codec._function_patch(
+            doc, sh, (1, 0, 0, 1, 0, 0), None, (0, 0, 612, 792)) is None
+
+
 class TestCoonsTensorShading:
     """Round-8: /ShadingType 6 (Coons) and 7 (tensor) patches
     tessellate the Coons surface into Gouraud triangles. Expected
