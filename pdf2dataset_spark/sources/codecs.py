@@ -880,6 +880,103 @@ class PdfCodec(DocumentCodec):
         return pw, ph, patch.tobytes(), placement, \
             ok.astype(np.uint8).tobytes()
 
+    #: cell-raster pixel budget for one tiling-pattern cell
+    _MAX_TILE_CELL_PX = 1 << 16
+
+    def _tiling_patch(self, doc, pat, prect, box):
+        """/PatternType 1 (tiling, ISO 32000-1 8.7.3.3), PaintType 1
+        (colored): the cell's content stream rasterizes ONCE at 1 px
+        per pattern unit (fills/polys/lines through the standard
+        draw-ops walker; a parallel all-black pass derives the paint
+        MASK, so unpainted cell area stays transparent), then the
+        fill region samples the cell by pattern-space modulo — gaps
+        (XStep/YStep beyond the /BBox) stay transparent, and the
+        phase anchors to the page's default user space through
+        /Matrix. Returns the standard masked 5-tuple patch.
+
+        DECLINED BY NAME: PaintType 2 (uncolored — color comes from
+        scn operands), rotated/skewed or mirrored /Matrix (the cell
+        sampler is axis-aligned), overlapping tiles (XStep/YStep
+        smaller than the cell), cells with nested images/shadings/
+        patterns, over-budget cells."""
+        import numpy as np
+
+        from pdf2dataset_spark.sources import minipdf, raster
+
+        sd = pat.sdict
+        try:
+            if int(doc.resolve(sd.get("/PaintType", 1))) != 1:
+                return None
+            bbox = [float(doc.resolve(v))
+                    for v in doc.resolve(sd.get("/BBox"))][:4]
+            bx0, by0, bx1, by1 = bbox
+            cw, ch = int(bx1 - bx0), int(by1 - by0)
+            xstep = float(doc.resolve(sd.get("/XStep", bx1 - bx0)))
+            ystep = float(doc.resolve(sd.get("/YStep", by1 - by0)))
+            mat = doc.resolve(sd.get("/Matrix"))
+            pmat = tuple(float(doc.resolve(v)) for v in mat)[:6] \
+                if isinstance(mat, list) and len(mat) >= 6 \
+                else minipdf._ID6
+            content = doc.stream_bytes(pat)
+        except (TypeError, ValueError, KeyError, IndexError):
+            return None
+        a, b, c, d, e, f = pmat
+        if b or c or a <= 0 or d <= 0:
+            return None  # rotated/skewed/mirrored matrix: declined
+        if cw < 1 or ch < 1 or cw * ch > self._MAX_TILE_CELL_PX:
+            return None
+        if xstep < cw or ystep < ch:
+            return None  # overlapping tiles: declined
+        try:
+            draw = minipdf.content_draw_ops(content)
+        except (ValueError, KeyError):
+            return None
+        if draw["images"] or draw["shadings"] or draw["pattern_fills"]:
+            return None  # nested resources in the cell: declined
+        if not (draw["fills"] or draw["polys"] or draw["lines"]):
+            return None
+
+        def cell(gray_override: int | None):
+            g = gray_override
+            _, _, px = raster.compose_page(
+                cw, ch,
+                fills=[(x0 - bx0, y0 - by0, x1 - bx0, y1 - by0,
+                        gg if g is None else g)
+                       for x0, y0, x1, y1, gg in draw["fills"]],
+                polys=[([(x - bx0, y - by0) for x, y in pts],
+                        gg if g is None else g)
+                       for pts, gg in draw["polys"]],
+                lines=[(x0 - bx0, y0 - by0, x1 - bx0, y1 - by0,
+                        gg if g is None else g)
+                       for x0, y0, x1, y1, gg in draw["lines"]],
+            )
+            return np.frombuffer(bytes(px), dtype=np.uint8) \
+                .reshape(ch, cw)
+
+        color_cell = cell(None)
+        mask_cell = cell(0) != 255  # black pass: painted pixels only
+        grid = self._patch_grid(prect, box)
+        if grid is None:
+            return None
+        rx0, ry0, pw, ph, xs, ys = grid
+        # device -> pattern space (axis-aligned matrix)
+        U = (xs[None, :] - e) / a
+        V = (ys[:, None] - f) / d
+        pu = np.mod(U - bx0, xstep)
+        pv = np.mod(V - by0, ystep)
+        inside = (pu < cw) & (pv < ch)
+        j = np.clip(pu.astype(np.int64), 0, cw - 1)
+        i = np.clip((ch - pv).astype(np.int64), 0, ch - 1)
+        i = np.broadcast_to(i, inside.shape)
+        j = np.broadcast_to(j, inside.shape)
+        ok = inside & mask_cell[i, j]
+        if not ok.any():
+            return None
+        patch = np.where(ok, color_cell[i, j], np.uint8(255))
+        placement = (float(pw), 0.0, 0.0, float(ph), float(rx0), float(ry0))
+        return pw, ph, patch.tobytes(), placement, \
+            ok.astype(np.uint8).tobytes()
+
     #: vertex budget per mesh-shading paint
     _MAX_MESH_VERTICES = 1 << 16
     #: total rasterized bounding-box pixel budget per mesh paint — a
@@ -1278,11 +1375,12 @@ class PdfCodec(DocumentCodec):
             if len(shading_patches) > n0:
                 shading_map[i] = n0
         # shading-PATTERN fills (/Pattern cs + scn + re f): the fill
-        # rect clips the pattern's shading; the pattern /Matrix maps
+        # rect clips the pattern's paint; the pattern /Matrix maps
         # pattern space to the page's DEFAULT user space (ISO 32000-1
-        # 8.7.3.1), independent of the CTM at paint time. Tiling
-        # patterns (/PatternType 1) and non-rect pattern regions are
-        # declined by name. The order journal places each pattern
+        # 8.7.3.1), independent of the CTM at paint time. Shading
+        # patterns (type 2) route through the shading rasterizers;
+        # colored tiling patterns (type 1) through _tiling_patch.
+        # Non-rect pattern regions are declined by name. The order journal places each pattern
         # fill at its exact content-stream z-position.
         patdict = doc.resolve(res0.get("/Pattern")) \
             if isinstance(res0, dict) else None
@@ -1295,9 +1393,27 @@ class PdfCodec(DocumentCodec):
             if not isinstance(pd_, dict):
                 continue
             try:
-                if int(doc.resolve(pd_.get("/PatternType", 0))) != 2:
-                    continue  # tiling pattern: declined by name
+                ptype = int(doc.resolve(pd_.get("/PatternType", 0)))
             except (TypeError, ValueError):
+                continue
+            if ptype == 1:
+                # colored tiling pattern: cell raster sampled by
+                # pattern-space modulo over the fill rect
+                if isinstance(pat, minipdf.StreamObj):
+                    tp = self._tiling_patch(
+                        doc, pat, prect, (x0, y0, x1, y1))
+                    if tp is not None:
+                        pw_, ph_, ppx, pctm, pmask = tp
+                        pa, pb, pc, pd, pe, pf = pctm
+                        shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
+                        if rot:
+                            shifted = minipdf._mat_mul(
+                                shifted, _rot_d[rot])
+                        shading_patches.append(
+                            (pw_, ph_, ppx, shifted, pmask))
+                        pattern_map[i] = _n0
+                continue
+            if ptype != 2:
                 continue
             mat = doc.resolve(pd_.get("/Matrix"))
             try:

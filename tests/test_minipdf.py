@@ -2890,7 +2890,9 @@ class TestShadingPatternFills:
         assert at(50, 150) == 255   # outside the fill rect
         assert at(150, 250) == 255  # above it
 
-    def test_tiling_pattern_declines(self):
+    def test_streamless_tiling_pattern_declines(self):
+        # a tiling pattern authored as a bare dict (no cell stream)
+        # cannot paint — declined, the rest of the page intact
         from pdf2dataset_spark.queries.tier_a import _content_pdf
         from pdf2dataset_spark.sources.codecs import PdfCodec
 
@@ -2912,7 +2914,7 @@ class TestShadingPatternFills:
         def at(x, y):
             return px[(hh - 1 - y) * w + x]
 
-        assert at(150, 150) == 255  # tiling pattern: unpainted
+        assert at(150, 150) == 255  # no cell content: unpainted
         assert at(420, 420) == 0    # plain fill untouched
 
 
@@ -3053,7 +3055,85 @@ class TestStreamOrderPainting:
         assert px[(h - 1 - 20) * w + 20] == 0  # index 0 painted LAST
 
 
-class TestFormXObjectText:
+class TestTilingPatterns:
+    """Round-8: colored tiling patterns (PatternType 1) — the cell
+    content rasterizes once and the fill rect samples it by
+    pattern-space modulo; unpainted cell area and XStep/YStep gaps
+    stay transparent."""
+
+    CELL = b"0 g 0 0 5 5 re f 5 5 5 5 re f"  # checkerboard quadrants
+
+    def _pdf(self, xstep=10, ystep=10, matrix=b"[1 0 0 1 0 0]",
+             paint_type=1, cell=None):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        cell = self.CELL if cell is None else cell
+        content = (b"BT /F1 12 Tf 72 700 Td (tile page) Tj ET\n"
+                   b"/Pattern cs /P0 scn 100 100 100 80 re f")
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+            b"/P0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /PatternType 1 /PaintType " + str(paint_type).encode()
+            + b" /TilingType 1 /BBox [0 0 10 10] /XStep "
+            + str(xstep).encode() + b" /YStep " + str(ystep).encode()
+            + b" /Matrix " + matrix + b" /Length "
+            + str(len(cell)).encode() + b" >>\nstream\n"
+            + cell + b"\nendstream",
+        ])
+
+    @staticmethod
+    def _at(pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        if out is None:
+            # whole paint declined -> text-only page, grid raster
+            # route: everything reads as unpainted
+            return lambda x, y: 255
+        w, hh, px = out
+        return lambda x, y: px[(hh - 1 - y) * w + x]
+
+    def test_checkerboard_tiles(self):
+        at = self._at(self._pdf())
+        # pattern space == device space: 10-unit cells, dark 5x5
+        # squares at the lower-left and upper-right quadrants
+        assert at(102, 102) == 0    # lower-left quadrant painted
+        assert at(107, 107) == 0    # upper-right quadrant painted
+        assert at(107, 102) == 255  # empty quadrant transparent
+        assert at(102, 107) == 255
+        assert at(142, 142) == 0    # fourth tile over, same phase
+        assert at(202, 102) == 255  # outside the fill rect
+        assert at(102, 185) == 255  # above it
+
+    def test_step_gaps_stay_transparent(self):
+        at = self._at(self._pdf(xstep=20))
+        assert at(102, 102) == 0
+        assert at(112, 102) == 255  # gap between tiles
+        assert at(122, 102) == 0    # next tile at 20
+
+    def test_matrix_translation_shifts_phase(self):
+        at = self._at(self._pdf(matrix=b"[1 0 0 1 3 0]"))
+        # phase shifted +3 in x: painted quadrant now at [103,108)
+        assert at(102, 102) == 255
+        assert at(105, 102) == 0
+
+    def test_declines_by_name(self):
+        # PaintType 2 (uncolored) declines
+        at = self._at(self._pdf(paint_type=2))
+        assert at(102, 102) == 255
+        # rotated matrix declines
+        at = self._at(self._pdf(matrix=b"[0 1 -1 0 0 0]"))
+        assert at(102, 102) == 255
+        # overlapping tiles (XStep < cell) decline
+        at = self._at(self._pdf(xstep=5))
+        assert at(102, 102) == 255
     """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
     layers) extracts through Do — /Matrix composes into the CTM, the
     form's own fonts merge over the page's, graphics/text state
