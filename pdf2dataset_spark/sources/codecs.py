@@ -1434,21 +1434,30 @@ class PdfCodec(DocumentCodec):
         # (declined items — undecodable images, declined shadings/
         # patterns — drop out of the sequence)
         compose_order: list[tuple] = []
+        compose_alphas: dict = {}
+        draw_alphas = draw.get("alphas", {})
+
+        def _put_order(kind, idx, src_kind, src_idx):
+            compose_order.append((kind, idx))
+            a = draw_alphas.get((src_kind, src_idx))
+            if a is not None:
+                compose_alphas[(kind, idx)] = a
+
         for kind, idx in draw.get("order", ()):
             if kind == "images":
                 j = img_map.get(idx)
                 if j is not None:
-                    compose_order.append(("images", j))
+                    _put_order("images", j, kind, idx)
             elif kind == "shadings":
                 j = shading_map.get(idx)
                 if j is not None:
-                    compose_order.append(("base_images", j))
+                    _put_order("base_images", j, kind, idx)
             elif kind == "pattern_fills":
                 j = pattern_map.get(idx)
                 if j is not None:
-                    compose_order.append(("base_images", j))
+                    _put_order("base_images", j, kind, idx)
             else:
-                compose_order.append((kind, idx))
+                _put_order(kind, idx, kind, idx)
         runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
         # /Rotate page with in-plane-rotated text (the scanner
@@ -1469,6 +1478,7 @@ class PdfCodec(DocumentCodec):
             images=placed,
             base_images=shading_patches,
             order=compose_order,
+            alphas=compose_alphas,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"]) for r in runs
             ],

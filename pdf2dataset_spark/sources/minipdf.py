@@ -1222,10 +1222,12 @@ class PdfDocument:
         """Resolved /ExtGState entries of a page's /Resources (ISO
         32000-1 8.4.5), restricted to the graphics parameters the
         renderer honors through the ``gs`` operator: ``LW`` (line
-        width) and ``D`` (dash pattern, ``None`` = explicit solid
-        reset). Other ExtGState parameters (alpha /CA /ca, blend
-        modes, /Font, soft masks) are declined by name — paints stay
-        opaque, text state unchanged."""
+        width), ``D`` (dash pattern, ``None`` = explicit solid
+        reset), and ``ca``/``CA`` (constant fill/stroke alpha, the
+        watermark idiom — geometry, image and shading paints blend
+        Normal over the backdrop). Other ExtGState parameters (blend
+        modes other than Normal, /Font, soft masks) are declined by
+        name — text rendering stays opaque."""
         res = self.resolve(page.get("/Resources"))
         gsd = self.resolve(res.get("/ExtGState")) \
             if isinstance(res, dict) else None
@@ -1243,6 +1245,13 @@ class PdfDocument:
                     entry["LW"] = max(0.0, float(lw))
                 except (TypeError, ValueError):
                     pass
+            for key, out_key in (("/ca", "ca"), ("/CA", "CA")):
+                av = self.resolve(g.get(key))
+                if av is not None:
+                    try:
+                        entry[out_key] = min(1.0, max(0.0, float(av)))
+                    except (TypeError, ValueError):
+                        pass
             dsh = self.resolve(g.get("/D"))
             if isinstance(dsh, list) and len(dsh) >= 2:
                 arr = self.resolve(dsh[0])
@@ -2701,6 +2710,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     line_w = 1.0
     dash: tuple | None = None  # (pattern user units, phase) | solid
     fill_pattern: str | None = None  # /Pattern cs + scn name active
+    fill_alpha = stroke_alpha = 1.0  # ExtGState /ca and /CA
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
@@ -2715,6 +2725,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     shadings: list[tuple] = []
     pattern_fills: list[tuple] = []  # (pattern name, device rect)
     order: list[tuple] = []  # (category, index) in stream paint order
+    alphas: dict = {}  # (category, index) -> constant alpha < 1.0
 
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
@@ -2776,12 +2787,16 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 if len(pts) >= 3:
                     polys.append((pts, fill_g))
                     order.append(("polys", len(polys) - 1))
+                    if fill_alpha < 1.0:
+                        alphas[("polys", len(polys) - 1)] = fill_alpha
             for x, y, w, h in rects:
                 r = dev_rect(x, y, w, h)
                 if r is None:
                     continue
                 fills.append((*r, fill_g))
                 order.append(("fills", len(fills) - 1))
+                if fill_alpha < 1.0:
+                    alphas[("fills", len(fills) - 1)] = fill_alpha
         if stroke:
             all_segs = list(segs)
             for x, y, w, h in rects:
@@ -2824,6 +2839,9 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         if len(quad) >= 3:
                             polys.append((quad, stroke_g))
                             order.append(("polys", len(polys) - 1))
+                            if stroke_alpha < 1.0:
+                                alphas[("polys", len(polys) - 1)] = \
+                                    stroke_alpha
                     return
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
@@ -2832,6 +2850,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         return
                 lines.append((*seg, stroke_g))
                 order.append(("lines", len(lines) - 1))
+                if stroke_alpha < 1.0:
+                    alphas[("lines", len(lines) - 1)] = stroke_alpha
 
             for (x0, y0), (x1, y1) in all_segs:
                 p0, p1 = pt(x0, y0), pt(x1, y1)
@@ -2882,11 +2902,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             if op == b"q":
                 ctm_stack.append(
                     (ctm, clip, fill_g, stroke_g, line_w, dash,
-                     fill_pattern))
+                     fill_pattern, fill_alpha, stroke_alpha))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, clip, fill_g, stroke_g, line_w, dash,
-                     fill_pattern) = ctm_stack.pop()
+                     fill_pattern, fill_alpha,
+                     stroke_alpha) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
@@ -2901,6 +2922,10 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         line_w = g["LW"]
                     if "D" in g:
                         dash = g["D"]
+                    if "ca" in g:
+                        fill_alpha = g["ca"]
+                    if "CA" in g:
+                        stroke_alpha = g["CA"]
             elif op == b"d" and len(stack) >= 2 \
                     and isinstance(stack[-2], list):
                 arr = [float(v) for v in stack[-2]]
@@ -2990,14 +3015,19 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             elif op == b"Do" and stack and isinstance(stack[-1], str):
                 images.append((stack[-1], ctm))
                 order.append(("images", len(images) - 1))
+                if fill_alpha < 1.0:
+                    alphas[("images", len(images) - 1)] = fill_alpha
             elif op == b"sh" and stack and isinstance(stack[-1], str):
                 # sh paints the CURRENT CLIP region with the shading
                 shadings.append((stack[-1], ctm, clip))
                 order.append(("shadings", len(shadings) - 1))
+                if fill_alpha < 1.0:
+                    alphas[("shadings", len(shadings) - 1)] = fill_alpha
         except (TypeError, ValueError):
             continue
     return {"fills": fills, "polys": polys, "lines": lines,
             "pattern_fills": pattern_fills, "order": order,
+            "alphas": alphas,
             "images": images, "shadings": shadings}
 
 

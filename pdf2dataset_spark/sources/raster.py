@@ -398,6 +398,7 @@ def compose_page(
     polys: list | None = None,
     base_images: list | None = None,
     order: list | None = None,
+    alphas: dict | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
     ``scale`` px per PDF unit. With ``order`` — a list of
@@ -437,14 +438,18 @@ def compose_page(
     H = max(1, int(round(page_h * scale)))
     px = bytearray(b"\xff" * (W * H))
 
-    def put(cx: int, cy: int, g: int) -> None:
+    def put(cx: int, cy: int, g: int, a: float | None = None) -> None:
         if 0 <= cx < W and 0 <= cy < H:
-            px[cy * W + cx] = g
+            if a is None:
+                px[cy * W + cx] = g
+            else:
+                old = px[cy * W + cx]
+                px[cy * W + cx] = int(a * g + (1 - a) * old + 0.5)
 
     def dev(x: float, y: float) -> tuple[int, int]:
         return int(round(x * scale)), int(round((page_h - y) * scale))
 
-    def stamp(entries) -> None:
+    def stamp(entries, a: float | None = None) -> None:
         for entry in entries or ():
             if len(entry) == 5:
                 # optional paint mask: 0 = transparent (skip-stamp) —
@@ -471,9 +476,15 @@ def compose_page(
                 for tx in range(max(0, tx0), min(W, tx0 + tw)):
                     sxp = min(iw - 1, (tx - tx0) * iw // tw)
                     if imask is None or imask[srow + sxp]:
-                        px[row + tx] = ipx[srow + sxp]
+                        if a is None:
+                            px[row + tx] = ipx[srow + sxp]
+                        else:
+                            old = px[row + tx]
+                            px[row + tx] = int(
+                                a * ipx[srow + sxp] + (1 - a) * old
+                                + 0.5)
 
-    def paint_fill(item) -> None:
+    def paint_fill(item, a: float | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy1 = dev(x0, y0)
         cx1, cy0 = dev(x1, y1)
@@ -481,9 +492,15 @@ def compose_page(
             row = cy * W
             lo, hi = max(0, cx0), min(W, cx1)
             if hi > lo:
-                px[row + lo : row + hi] = bytes([g]) * (hi - lo)
+                if a is None:
+                    px[row + lo : row + hi] = bytes([g]) * (hi - lo)
+                else:
+                    ag = a * g
+                    px[row + lo : row + hi] = bytes(
+                        int(ag + (1 - a) * px[row + i] + 0.5)
+                        for i in range(lo, hi))
 
-    def paint_poly(item) -> None:
+    def paint_poly(item, a: float | None = None) -> None:
         pts, g = item
         if len(pts) < 3:
             return
@@ -506,11 +523,17 @@ def compose_page(
                 lo = max(0, _ceil(lo_f - 0.5))
                 hi = min(W, _ceil(hi_f - 0.5))
                 if hi > lo:
+                    if a is not None:
+                        ag = a * g
+                        px[row + lo : row + hi] = bytes(
+                            int(ag + (1 - a) * px[row + i] + 0.5)
+                            for i in range(lo, hi))
+                        continue
                     if fill_b is None:
                         fill_b = bytes([g])
                     px[row + lo : row + hi] = fill_b * (hi - lo)
 
-    def paint_line(item) -> None:
+    def paint_line(item, a: float | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy0 = dev(x0, y0)
         cx1, cy1 = dev(x1, y1)
@@ -519,7 +542,7 @@ def compose_page(
         sy = 1 if cy0 < cy1 else -1
         err = dx + dy
         while True:
-            put(cx0, cy0, g)
+            put(cx0, cy0, g, a)
             if cx0 == cx1 and cy0 == cy1:
                 break
             e2 = 2 * err
@@ -537,13 +560,15 @@ def compose_page(
             "fills": (fills or (), paint_fill),
             "polys": (polys or (), paint_poly),
             "lines": (lines or (), paint_line),
-            "images": (images or (), lambda e: stamp([e])),
-            "base_images": (base_images or (), lambda e: stamp([e])),
+            "images": (images or (), lambda e, a=None: stamp([e], a)),
+            "base_images": (base_images or (),
+                            lambda e, a=None: stamp([e], a)),
         }
         for kind, idx in order:
             lst, fn = painters.get(kind, ((), None))
             if fn is not None and 0 <= idx < len(lst):
-                fn(lst[idx])
+                fn(lst[idx],
+                   (alphas or {}).get((kind, idx)))
     else:
         stamp(base_images)
         for item in fills or ():

@@ -2808,7 +2808,8 @@ class TestExtGState:
         doc = minipdf.PdfDocument(pdf)
         pg = doc.pages()[0]
         egs = doc.page_ext_gstates(pg)
-        assert egs == {"/G1": {"LW": 8.0, "D": ([30.0, 30.0], 0.0)}}
+        assert egs == {"/G1": {"LW": 8.0, "D": ([30.0, 30.0], 0.0),
+                               "CA": 0.5}}
         # end-to-end: the codec threads it into the composite render
         from pdf2dataset_spark.sources.codecs import PdfCodec
 
@@ -2821,8 +2822,9 @@ class TestExtGState:
         def at(x, y):
             return px[(hh - 1 - y) * w + x]
 
-        assert at(110, 50) == 0    # first ON dash, 8 wide
-        assert at(110, 52) == 0
+        # /CA 0.5 now blends the dashed stroke: 0.5*0+0.5*255 -> 128
+        assert at(110, 50) == 128  # first ON dash, 8 wide, blended
+        assert at(110, 52) == 128
         assert at(140, 50) == 255  # OFF gap
 
 
@@ -3053,6 +3055,67 @@ class TestStreamOrderPainting:
             40, 40, fills=fills, order=[("fills", 1), ("fills", 0)]
         )
         assert px[(h - 1 - 20) * w + 20] == 0  # index 0 painted LAST
+
+
+class TestConstantAlpha:
+    """Round-8: ExtGState /ca and /CA (constant alpha) blend fills,
+    strokes, images and shadings Normal over the backdrop — the
+    watermark idiom. Expected values hand-derived from
+    result = a*src + (1-a)*backdrop."""
+
+    def _at(self, content, extra=b""):
+        from pdf2dataset_spark.queries.tier_a import _content_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pdf = _content_pdf(
+            content,
+            page_extra=(
+                b"/MediaBox [0 0 612 792] /Resources << /ExtGState << "
+                b"/Ghalf << /ca 0.5 /CA 0.25 >> >> " + extra + b">>"
+            ),
+        )
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        w, hh, px = out
+        return lambda x, y: px[(hh - 1 - y) * w + x]
+
+    def test_fill_alpha_over_white_and_over_fill(self):
+        # gs state persists until Q — scope each alpha paint
+        at = self._at(
+            b"q /Ghalf gs 0 g 100 100 100 50 re f Q\n"
+            b"0 g 300 100 100 50 re f\n"
+            b"q /Ghalf gs 0.75 g 300 100 100 50 re f Q"
+        )
+        # 0.5*0 + 0.5*255 = 127.5 -> 128 (half-up)
+        assert at(150, 120) == 128
+        # second: backdrop 0 (opaque black), src 191 (0.75 g):
+        # 0.5*191 + 0.5*0 = 95.5 -> 96
+        assert at(350, 120) == 96
+
+    def test_stroke_alpha_independent(self):
+        at = self._at(b"/Ghalf gs 0 G 100 300 m 200 300 l S")
+        # CA 0.25: 0.25*0 + 0.75*255 = 191.25 -> 191; Bresenham rows
+        # round at dev() (y=300 lands one row below the probe row)
+        assert at(150, 299) == 191
+
+    def test_alpha_restores_with_q(self):
+        at = self._at(
+            b"q /Ghalf gs Q 0 g 100 100 100 50 re f"
+        )
+        assert at(150, 120) == 0  # opaque after Q
+
+    def test_shading_alpha(self):
+        at = self._at(
+            b"/Ghalf gs q 100 400 100 50 re W n /Sh0 sh Q",
+            extra=(b"/Shading << /Sh0 << /ShadingType 2 "
+                   b"/Coords [0 400 0 450] /Function "
+                   b"<< /FunctionType 2 /C0 [0.0] /C1 [0.0] /N 1 >> "
+                   b"/Extend [true true] >> >> "),
+        )
+        # constant-black shading at ca 0.5 over white -> 128
+        assert at(150, 420) == 128
 
 
 class TestTilingPatterns:
