@@ -17,9 +17,16 @@ Scope (per the CFF spec, Adobe TN #5176):
   encodings (Standard/Expert) return {} — the PDF-side base-encoding
   default already covers those fonts, and the interesting failure is
   exactly the custom-encoding subset.
-- CID-keyed fonts (ROS in the Top DICT) return {}: their charset maps
-  GID→CID, not to named glyphs, so no unicode is recoverable without
-  external registry tables — documented fallback, not a guess.
+- CID-keyed fonts (ROS in the Top DICT) return {} from
+  :func:`code_to_glyph_names`: their charset maps GID→CID, not to
+  named glyphs. :func:`cid_font_info` parses that charset (GID→CID,
+  inverted to CID→GID), the FDArray and the FDSelect (formats 0/3)
+  instead, so a Type0/CIDFontType0 consumer can compose the mapping
+  with an sfnt ``cmap`` (OpenType-wrapped CFF) to recover unicode;
+  :func:`gid_to_name` serves the name-keyed-CFF-in-a-CIDFont-slot
+  case (ISO 32000-1 §9.7.4.2: the CID is then used as the GID).
+  A bare CID-keyed CFF with no cmap stays a documented fallback —
+  its CIDs are registry-ordering values with no in-font unicode.
 - Standard strings 0-228 (the text-bearing set) are transcribed; the
   Expert-set tail (229-390: small-caps/oldstyle variants) resolves to
   opaque ``sidNNN`` names the AGL lookup rejects — honest unknowns.
@@ -236,6 +243,110 @@ def _parse_encoding(data: bytes, off: int) -> dict[int, int] | None:
     return out
 
 
+def _parse_fdselect(data: bytes, off: int, n_glyphs: int) -> list[int]:
+    """FDSelect (CFF spec §19) → FD index per glyph. Formats 0
+    (byte-per-glyph) and 3 (ranges) — the only two the spec defines."""
+    fmt = data[off]
+    if fmt == 0:
+        chunk = data[off + 1 : off + 1 + n_glyphs]
+        if len(chunk) < n_glyphs:
+            raise ValueError("FDSelect format 0 truncated")
+        return list(chunk)
+    if fmt == 3:
+        n_ranges = struct.unpack_from(">H", data, off + 1)[0]
+        out = [0] * n_glyphs
+        pos = off + 3
+        for _ in range(n_ranges):
+            first = struct.unpack_from(">H", data, pos)[0]
+            fd = data[pos + 2]
+            nxt = struct.unpack_from(">H", data, pos + 3)[0]
+            if nxt < first:
+                raise ValueError("FDSelect range out of order")
+            for g in range(first, min(nxt, n_glyphs)):
+                out[g] = fd
+            pos += 3
+        return out
+    raise ValueError(f"unsupported FDSelect format {fmt}")
+
+
+def _top_and_strings(font: bytes) -> tuple[dict[int, list], list[bytes]]:
+    if len(font) < 4 or font[0] != 1:
+        raise ValueError("not a CFF version-1 font")
+    hdr_size = font[2]
+    _, pos = _read_index(font, hdr_size)  # Name INDEX
+    top_dicts, pos = _read_index(font, pos)
+    if not top_dicts:
+        raise ValueError("CFF has no Top DICT")
+    strings, _ = _read_index(font, pos)
+    return _parse_dict(top_dicts[0]), strings
+
+
+def cid_font_info(font: bytes) -> dict | None:
+    """Parse a CID-keyed CFF (ROS in the Top DICT, CFF spec §16-19):
+    the charset as GID→CID (plus its CID→GID inverse — lowest GID
+    wins on duplicate CIDs), the FDSelect (FD index per glyph) and
+    the FDArray font DICTs. Returns None for a name-keyed font — the
+    :func:`code_to_glyph_names` path owns those. Raises ValueError on
+    malformed structures (the caller treats that as undecodable)."""
+    top, strings = _top_and_strings(font)
+    ros = top.get(1230)
+    if ros is None:
+        return None
+    cs_off = top.get(17)
+    if not cs_off:
+        raise ValueError("CID-keyed CFF lacks CharStrings")
+    charstrings, _ = _read_index(font, int(cs_off[0]))
+    n_glyphs = len(charstrings)
+    gid_to_cid = _parse_charset(font, int(top.get(15, [0])[0]), n_glyphs)
+    if gid_to_cid is None:
+        # predefined Expert charsets are name-keyed-only constructs;
+        # a CID font pointing at them is malformed
+        raise ValueError("CID-keyed CFF uses a predefined name charset")
+    fds_off = top.get(1237)
+    fd_of_gid = (
+        _parse_fdselect(font, int(fds_off[0]), n_glyphs) if fds_off else
+        [0] * n_glyphs
+    )
+    fd_dicts: list[dict[int, list]] = []
+    fda_off = top.get(1236)
+    if fda_off:
+        fd_entries, _ = _read_index(font, int(fda_off[0]))
+        fd_dicts = [_parse_dict(e) for e in fd_entries]
+    if fd_dicts and any(fd >= len(fd_dicts) for fd in fd_of_gid):
+        raise ValueError("FDSelect points past the FDArray")
+    cid_to_gid: dict[int, int] = {}
+    for gid, cid in enumerate(gid_to_cid):
+        cid_to_gid.setdefault(cid, gid)
+    return {
+        "registry": _sid_name(int(ros[0]), strings),
+        "ordering": _sid_name(int(ros[1]), strings),
+        "supplement": int(ros[2]) if len(ros) > 2 else 0,
+        "n_glyphs": n_glyphs,
+        "gid_to_cid": gid_to_cid,
+        "cid_to_gid": cid_to_gid,
+        "fd_of_gid": fd_of_gid,
+        "fd_dicts": fd_dicts,
+    }
+
+
+def gid_to_name(font: bytes) -> dict[int, str] | None:
+    """Charset of a NAME-KEYED CFF as ``{gid → glyph name}`` (for the
+    name-keyed-CFF-used-as-CIDFont case, where CID == GID per ISO
+    32000-1 §9.7.4.2). Returns None when the font is CID-keyed or
+    uses a predefined Expert charset."""
+    top, strings = _top_and_strings(font)
+    if 1230 in top:
+        return None
+    cs_off = top.get(17)
+    if not cs_off:
+        raise ValueError("CFF Top DICT lacks CharStrings")
+    charstrings, _ = _read_index(font, int(cs_off[0]))
+    sids = _parse_charset(font, int(top.get(15, [0])[0]), len(charstrings))
+    if sids is None:
+        return None
+    return {gid: _sid_name(sid, strings) for gid, sid in enumerate(sids)}
+
+
 def code_to_glyph_names(font: bytes) -> dict[int, str]:
     """Parse a (non-CID) CFF font's built-in encoding into
     ``{byte code → glyph name}``. Returns {} when the font is
@@ -344,4 +455,115 @@ def build_cff(code_to_name: dict[int, str], font_name: str = "TestFont") -> byte
     return (
         header + name_index + top_index + string_index + gsubr_index
         + charset + encoding + charstrings
+    )
+
+
+def _encode_charset(cids: list[int], fmt: int) -> bytes:
+    """Charset table (gid 0 = .notdef implied; ``cids`` covers gids
+    1..n-1) in the requested format 0/1/2."""
+    if fmt == 0:
+        return b"\x00" + b"".join(struct.pack(">H", c) for c in cids)
+    width, cap = (1, 0xFF) if fmt == 1 else (2, 0xFFFF)
+    out = bytearray([fmt])
+    i = 0
+    while i < len(cids):
+        first = cids[i]
+        n_left = 0
+        while (
+            i + n_left + 1 < len(cids)
+            and cids[i + n_left + 1] == first + n_left + 1
+            and n_left < cap
+        ):
+            n_left += 1
+        out += struct.pack(">H", first)
+        out += bytes([n_left]) if width == 1 else struct.pack(">H", n_left)
+        i += n_left + 1
+    return bytes(out)
+
+
+def _encode_fdselect(fd_of_gid: list[int], fmt: int) -> bytes:
+    if fmt == 0:
+        return b"\x00" + bytes(fd_of_gid)
+    if fmt != 3:
+        raise ValueError("FDSelect fixture format must be 0 or 3")
+    ranges: list[tuple[int, int]] = []  # (first gid, fd)
+    for gid, fd in enumerate(fd_of_gid):
+        if not ranges or ranges[-1][1] != fd:
+            ranges.append((gid, fd))
+    out = b"\x03" + struct.pack(">H", len(ranges))
+    for first, fd in ranges:
+        out += struct.pack(">HB", first, fd)
+    return out + struct.pack(">H", len(fd_of_gid))  # sentinel
+
+
+def build_cff_cid(
+    cid_of_gid: list[int],
+    font_name: str = "TestCID",
+    charset_fmt: int = 2,
+    fdselect_fmt: int = 3,
+    fd_of_gid: list[int] | None = None,
+    registry: str = "Adobe",
+    ordering: str = "Identity",
+    supplement: int = 0,
+) -> bytes:
+    """Write a minimal valid CID-keyED CFF (ROS + charset + FDArray +
+    FDSelect, CFF spec §16-19) whose charset realizes ``cid_of_gid``
+    (the CID for each gid ≥ 1; gid 0 is .notdef) — the parsing
+    inverse of :func:`cid_font_info` for fixtures and PDF goldens."""
+    n_glyphs = len(cid_of_gid) + 1
+    if fd_of_gid is None:
+        fd_of_gid = [0] * n_glyphs
+    if len(fd_of_gid) != n_glyphs:
+        raise ValueError("fd_of_gid must cover every glyph incl. .notdef")
+    n_fds = max(fd_of_gid) + 1
+
+    header = bytes([1, 0, 4, 1])
+    name_index = _write_index([font_name.encode("latin-1")])
+    string_index = _write_index(
+        [registry.encode("latin-1"), ordering.encode("latin-1")]
+    )
+    gsubr_index = _write_index([])
+    charset = _encode_charset(cid_of_gid, charset_fmt)
+    fdselect = _encode_fdselect(fd_of_gid, fdselect_fmt)
+    charstrings = _write_index([b"\x0e"] * n_glyphs)
+
+    def op29(v: int) -> bytes:
+        return b"\x1d" + struct.pack(">i", v)
+
+    def fd_dict(priv_off: int) -> bytes:
+        # Private DICT op 18: [size, offset]; size 0 = empty private
+        return op29(0) + op29(priv_off) + b"\x12"
+
+    fd_len = len(fd_dict(0))
+
+    def fd_array(priv_off: int) -> bytes:
+        return _write_index([fd_dict(priv_off)] * n_fds)
+
+    def top_dict(chs: int, cstr: int, fda: int, fds: int) -> bytes:
+        return (
+            op29(N_STD_SIDS) + op29(N_STD_SIDS + 1) + op29(supplement)
+            + b"\x0c\x1e"  # ROS
+            + op29(chs) + b"\x0f"     # charset
+            + op29(cstr) + b"\x11"    # CharStrings
+            + op29(fda) + b"\x0c\x24"  # FDArray
+            + op29(fds) + b"\x0c\x25"  # FDSelect
+        )
+
+    tdi_len = len(_write_index([bytes(len(top_dict(0, 0, 0, 0)))]))
+    base = (
+        len(header) + len(name_index) + tdi_len + len(string_index)
+        + len(gsubr_index)
+    )
+    charset_off = base
+    fdselect_off = charset_off + len(charset)
+    chs_off = fdselect_off + len(fdselect)
+    fda_off = chs_off + len(charstrings)
+    assert len(fd_array(0)) == len(fd_array(charset_off))
+    top_index = _write_index(
+        [top_dict(charset_off, chs_off, fda_off, fdselect_off)]
+    )
+    assert len(top_index) == tdi_len
+    return (
+        header + name_index + top_index + string_index + gsubr_index
+        + charset + fdselect + charstrings + fd_array(charset_off)
     )

@@ -1023,6 +1023,21 @@ class PdfDocument:
         self._pages_cache = out
         return out
 
+    _UCS2_MAP: dict[int, str] | None = None
+
+    @classmethod
+    def _ucs2_identity_map(cls) -> dict[int, str]:
+        """code → chr(code) over the BMP minus surrogates, built once
+        per process (the predefined Uni*-UCS2-* CMaps are identity on
+        unicode by construction)."""
+        if cls._UCS2_MAP is None:
+            cls._UCS2_MAP = {
+                c: chr(c)
+                for c in range(0x10000)
+                if not 0xD800 <= c <= 0xDFFF
+            }
+        return cls._UCS2_MAP
+
     def page_fonts(self, page: dict) -> dict[str, tuple[dict[int, str], int]]:
         """Per-font decoder maps for a page ({font name → (code →
         unicode map, code byte length)}): /ToUnicode CMaps first
@@ -1056,6 +1071,15 @@ class PdfDocument:
                 cid_map = self._type0_fontfile_map(f)
                 if cid_map:
                     out[name] = (cid_map, 2)
+                    continue
+                # predefined UCS2 CMaps (/UniJIS-UCS2-H etc., ISO
+                # 32000-1 §9.7.5.2 table 118): the 2-byte CODE is the
+                # UCS-2 codepoint itself, so text needs no font data
+                enc_name = self.resolve(f.get("/Encoding"))
+                if isinstance(enc_name, str) and re.fullmatch(
+                    r"/Uni[A-Za-z0-9]+-UCS2-[HV]", enc_name
+                ):
+                    out[name] = (self._ucs2_identity_map(), 2)
                     continue
             enc = f.get("/Encoding")
             if enc is not None and self.resolve(enc) != "/Identity-H":
@@ -1117,13 +1141,19 @@ class PdfDocument:
         return out
 
     def _type0_fontfile_map(self, f: dict) -> dict[int, str] | None:
-        """CID → unicode for a Type0 font from its EMBEDDED TrueType
-        program: the content stream's 2-byte CIDs map to glyph ids via
-        /CIDToGIDMap (/Identity default, or the 2-bytes-per-CID stream
-        form), and the font's own cmap maps glyphs back to unicode
-        (sources/sfnt). Returns None when anything needed is absent or
-        malformed — decoding then falls back honestly rather than
-        guessing."""
+        """CID → unicode for a Type0 font from its EMBEDDED font
+        program. TrueType (/FontFile2): the content stream's 2-byte
+        CIDs map to glyph ids via /CIDToGIDMap (/Identity default, or
+        the 2-bytes-per-CID stream form), and the font's own cmap maps
+        glyphs back to unicode (sources/sfnt). CFF (/FontFile3,
+        CIDFontType0): OpenType-wrapped programs compose the sfnt cmap
+        (unicode→gid) with the CID-keyed CFF charset (gid→cid,
+        sources/cff cid_font_info); a bare NAME-keyed CFF in the
+        CIDFont slot uses CID==GID (ISO 32000-1 §9.7.4.2) and the
+        charset's glyph names through the AGL. A bare CID-keyed CFF
+        with no cmap carries no in-font unicode — documented fallback.
+        Returns None when anything needed is absent or malformed —
+        decoding then falls back honestly rather than guessing."""
         try:
             desc = self.resolve(f.get("/DescendantFonts"))
             if isinstance(desc, list) and desc:
@@ -1135,7 +1165,10 @@ class PdfDocument:
                 return None
             ff2 = self.resolve(fd.get("/FontFile2"))
             if not isinstance(ff2, StreamObj):
-                return None  # CFF (/FontFile3) out of scope, documented
+                ff3 = self.resolve(fd.get("/FontFile3"))
+                if isinstance(ff3, StreamObj):
+                    return self._cid_cff_map(self.stream_bytes(ff3))
+                return None
             from pdf2dataset_spark.sources import sfnt
 
             g2u = sfnt.gid_to_unicode(self.stream_bytes(ff2))
@@ -1159,6 +1192,47 @@ class PdfDocument:
         if c2g in (None, "/Identity"):
             return dict(g2u)  # CID == GID
         return None
+
+    @staticmethod
+    def _cid_cff_map(data: bytes) -> dict[int, str] | None:
+        """CID → unicode from a /FontFile3 program (round-8 close of
+        what's-missing #3 — CID-keyed CFF text recovery). Three forms:
+
+        - OpenType-wrapped ('OTTO'/TrueType tags) CID-keyed CFF: the
+          sfnt ``cmap`` gives unicode→gid and the inner ``CFF ``
+          table's charset gives gid→cid — composing them recovers
+          cid→unicode (lowest codepoint wins on shared glyphs).
+        - OpenType-wrapped name-keyed CFF: CID == GID, so the
+          inverted cmap is the map directly.
+        - Bare NAME-keyed CFF used as a CIDFont: CID == GID (ISO
+          32000-1 §9.7.4.2) and the charset names glyphs → AGL.
+
+        A bare CID-keyed CFF has no unicode source in the font —
+        returns None (documented honest fallback)."""
+        from pdf2dataset_spark.sources import cff, sfnt
+
+        if data[:4] in (b"OTTO", b"\x00\x01\x00\x00", b"true", b"ttcf"):
+            inner = sfnt.table(data, b"CFF ")
+            info = cff.cid_font_info(inner) if inner else None
+            if info is None:
+                return dict(sfnt.gid_to_unicode(data)) or None
+            g2c = info["gid_to_cid"]
+            out: dict[int, str] = {}
+            for u, gid in sorted(sfnt.unicode_to_gid(data).items()):
+                if 0 <= gid < len(g2c):
+                    out.setdefault(g2c[gid], chr(u))
+            return out or None
+        if cff.cid_font_info(data) is not None:
+            return None  # bare CID-keyed: no in-font unicode source
+        names = cff.gid_to_name(data)
+        if not names:
+            return None
+        out = {}
+        for gid, gname in names.items():
+            u = _glyph_to_unicode(gname)
+            if u is not None:
+                out[gid] = u
+        return out or None
 
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("/Contents"))

@@ -148,6 +148,28 @@ def _parse_subtable(font: bytes, off: int) -> dict[int, int]:
     return out
 
 
+def table(font: bytes, tag: bytes) -> bytes | None:
+    """Raw bytes of the first face's ``tag`` table, or None — used to
+    pull the ``CFF `` table out of an OpenType-wrapped (OTTO) CID
+    font so sources/cff can parse its charset."""
+    if len(font) < 12:
+        raise ValueError("not an sfnt font: too short")
+    face_off = 0
+    if font[:4] == b"ttcf":
+        if len(font) < 16:
+            raise ValueError("truncated ttc header")
+        face_off = _u32(font, 12)
+    num_tables = _u16(font, face_off + 4)
+    for i in range(num_tables):
+        rec = face_off + 12 + 16 * i
+        if font[rec : rec + 4] == tag:
+            off, length = _u32(font, rec + 8), _u32(font, rec + 12)
+            if off + length > len(font):
+                raise ValueError(f"sfnt table {tag!r} out of bounds")
+            return font[off : off + length]
+    return None
+
+
 def gid_to_unicode(font: bytes) -> dict[int, str]:
     """Inverted cmap: glyph id → unicode char. When several
     codepoints share a glyph (common for space/nbsp), the LOWEST
@@ -161,12 +183,19 @@ def gid_to_unicode(font: bytes) -> dict[int, str]:
     return out
 
 
-def build_sfnt_cmap(mapping: dict[int, int]) -> bytes:
-    """Minimal single-table sfnt carrying a format-4 cmap that encodes
-    ``mapping`` (codepoint → glyph id) — one segment per codepoint
-    plus the mandatory 0xFFFF terminator. Fixture-writer inverse of
-    :func:`unicode_to_gid`; not a renderable font (no glyf/head), but
-    a spec-valid table layout for cmap consumers."""
+def build_sfnt_cmap(
+    mapping: dict[int, int],
+    extra_tables: dict[bytes, bytes] | None = None,
+    version_tag: int = 0x00010000,
+) -> bytes:
+    """Minimal sfnt carrying a format-4 cmap that encodes ``mapping``
+    (codepoint → glyph id) — one segment per codepoint plus the
+    mandatory 0xFFFF terminator — plus any ``extra_tables``
+    ({4-byte tag → raw bytes}, e.g. a ``CFF `` table with
+    ``version_tag=0x4F54544F`` 'OTTO' for an OpenType CID fixture).
+    Fixture-writer inverse of :func:`unicode_to_gid` /
+    :func:`table`; not a renderable font (no glyf/head), but a
+    spec-valid table layout for cmap consumers."""
     segs = sorted(mapping)
     nseg = len(segs) + 1  # + terminator
     seg2 = 2 * nseg
@@ -197,7 +226,13 @@ def build_sfnt_cmap(mapping: dict[int, int]) -> bytes:
     ranges = b"\x00\x00" * nseg
     subtable = sub + ends + b"\x00\x00" + starts + deltas + ranges
     cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + subtable
-    # sfnt wrapper: one table
-    header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
-    rec = b"cmap" + struct.pack(">III", 0, 28, len(cmap))
-    return header + rec + cmap
+    tables = {b"cmap": cmap, **(extra_tables or {})}
+    tags = sorted(tables)  # table records must be tag-sorted per spec
+    header = struct.pack(">IHHHH", version_tag, len(tables), 16, 0, 0)
+    data_off = 12 + 16 * len(tables)
+    recs, body = b"", b""
+    for tag in tags:
+        tbl = tables[tag]
+        recs += tag + struct.pack(">III", 0, data_off + len(body), len(tbl))
+        body += tbl + b"\x00" * (-len(tbl) % 4)  # 4-byte table alignment
+    return header + recs + body

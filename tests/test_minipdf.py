@@ -1637,6 +1637,143 @@ class TestCffBuiltinEncoding:
         assert cff.code_to_glyph_names(patched) == {}
 
 
+class TestCidKeyedCff:
+    """Round-8 close of what's-missing #3: CID-keyed CFF parsing
+    (charset→CID, FDArray, FDSelect) and the three Type0/FontFile3
+    text-recovery paths built on it."""
+
+    def test_cid_font_info_roundtrip_all_formats(self):
+        from pdf2dataset_spark.sources import cff
+
+        cids = [100, 101, 102, 500, 7, 8, 9, 10, 40000]
+        fds = [0, 0, 1, 1, 1, 0, 2, 2, 0, 0]
+        for cfmt in (0, 1, 2):
+            for ffmt in (0, 3):
+                font = cff.build_cff_cid(
+                    cids, charset_fmt=cfmt, fdselect_fmt=ffmt,
+                    fd_of_gid=fds,
+                )
+                info = cff.cid_font_info(font)
+                assert info["gid_to_cid"] == [0] + cids, (cfmt, ffmt)
+                assert info["fd_of_gid"] == fds, (cfmt, ffmt)
+                assert info["registry"] == "Adobe"
+                assert info["ordering"] == "Identity"
+                assert len(info["fd_dicts"]) == 3
+                assert info["cid_to_gid"][500] == 4
+                # name-oriented APIs must decline the CID-keyed font
+                assert cff.gid_to_name(font) is None
+                assert cff.code_to_glyph_names(font) == {}
+
+    def test_cid_font_info_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pdf2dataset_spark.sources import cff
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            cids=st.lists(
+                st.integers(min_value=0, max_value=0xFFFF),
+                min_size=1, max_size=40, unique=True,
+            ),
+            cfmt=st.sampled_from([0, 1, 2]),
+            ffmt=st.sampled_from([0, 3]),
+            data=st.data(),
+        )
+        def check(cids, cfmt, ffmt, data):
+            n = len(cids) + 1
+            fds = data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=3),
+                    min_size=n, max_size=n,
+                )
+            )
+            font = cff.build_cff_cid(
+                cids, charset_fmt=cfmt, fdselect_fmt=ffmt, fd_of_gid=fds
+            )
+            info = cff.cid_font_info(font)
+            assert info["gid_to_cid"] == [0] + cids
+            assert info["fd_of_gid"] == fds
+            # inverse maps every CID to its lowest gid
+            for gid, cid in enumerate(info["gid_to_cid"]):
+                assert info["cid_to_gid"][cid] <= gid
+
+        check()
+
+    def test_name_keyed_gid_to_name(self):
+        from pdf2dataset_spark.sources import cff
+
+        font = cff.build_cff({65: "A", 66: "B", 97: "aacute"})
+        assert cff.gid_to_name(font) == {
+            0: ".notdef", 1: "A", 2: "B", 3: "aacute",
+        }
+        assert cff.cid_font_info(font) is None
+
+    def test_sfnt_table_accessor(self):
+        from pdf2dataset_spark.sources import cff, sfnt
+
+        inner = cff.build_cff_cid([5, 6])
+        otto = sfnt.build_sfnt_cmap(
+            {0x41: 1}, extra_tables={b"CFF ": inner},
+            version_tag=0x4F54544F,
+        )
+        assert sfnt.table(otto, b"CFF ") == inner
+        assert sfnt.table(otto, b"glyf") is None
+        assert sfnt.unicode_to_gid(otto) == {0x41: 1}
+
+    def test_otto_cid_keyed_text_recovery(self):
+        from pdf2dataset_spark.queries.tier_a import _cid_keyed_otto_pdf
+
+        text = "中文 CID ✓"
+        pdf = _cid_keyed_otto_pdf(text)
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_named_cff_in_cidfont_slot(self):
+        from pdf2dataset_spark.queries.tier_a import _named_cff_cid_pdf
+
+        text = "Named CFF, as CIDFont!"
+        assert minipdf.extract_page_texts(_named_cff_cid_pdf(text)) == [text]
+
+    def test_ucs2_predefined_cmap(self):
+        from pdf2dataset_spark.queries.tier_a import _ucs2_cmap_pdf
+
+        text = "統一碼 via UCS2"
+        assert minipdf.extract_page_texts(_ucs2_cmap_pdf(text)) == [text]
+
+    def test_bare_cid_keyed_cff_honest_fallback(self):
+        # a bare CIDFontType0C with NO cmap and NO /ToUnicode has no
+        # in-font unicode: the decoder must fall back (replacement
+        # chars for wide codes), never guess
+        from pdf2dataset_spark.queries.tier_a import _type0_ff3_pdf
+        from pdf2dataset_spark.sources import cff
+
+        font = cff.build_cff_cid([1000, 1001, 1002])
+        pdf = _type0_ff3_pdf([1000, 1001], font)
+        [text] = minipdf.extract_page_texts(pdf)
+        # no map registered → the raw show bytes ride the documented
+        # Latin-1 fallback, exactly as any unmapped font does
+        codes = b"\x03\xe8\x03\xe9"  # 1000, 1001 big-endian
+        assert text == codes.decode("latin-1")
+
+    def test_malformed_fdselect_declines(self):
+        from pdf2dataset_spark.sources import cff
+
+        font = bytearray(cff.build_cff_cid([7, 8], fdselect_fmt=0))
+        # find the FDSelect (format-0: 0x00 then 3 fd bytes) right
+        # after the charset; corrupt its format byte to 9
+        info = cff.cid_font_info(bytes(font))
+        assert info is not None  # sanity
+        # brute-force: corrupt every byte position in turn; parsing
+        # must either succeed or raise a clean declared error — no
+        # other exception may escape (untrusted embedded fonts)
+        for i in range(len(font)):
+            mutated = bytes(font[:i]) + b"\x09" + bytes(font[i + 1:])
+            try:
+                cff.cid_font_info(mutated)
+            except (ValueError, IndexError, struct.error):
+                pass
+
+
 def _type1_simple_pdf(content: bytes, font: bytes) -> bytes:
     """One page whose /F1 is a simple Type1 font embedded as
     /FontFile (PostScript program), no /ToUnicode, no /Encoding."""
