@@ -98,6 +98,11 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a32_form_xobject_extract",
     "a33_shading_render",
     "a34_feature_torture",
+    # round 8 session 2 — CID-keyed CFF recovery (a17 fixtures +
+    # minipdf Type0 path) and Type3 glyph painting (text-run font
+    # tagging touches every composite render)
+    "a17_cid_font_extract",
+    "a23_annotations_outline_extract",
     # round 8 — maybe_broadcast estimate cache (TTL'd): every query
     # routing corpus-growing relations through the guard
     "sql4_q14_promo_revenue",

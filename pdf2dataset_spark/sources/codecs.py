@@ -1426,6 +1426,33 @@ class PdfCodec(DocumentCodec):
                 doc.resolve(pd_.get("/Shading")), pmatrix, prect)
             if len(shading_patches) > _n0:
                 pattern_map[i] = _n0
+        # Type3 glyph painting (round-8 ask #3): _text_runs emits a
+        # (font, code, glyph-matrix) event per shown Type3 glyph; each
+        # /CharProc executes through the geometry interpreter with the
+        # glyph matrix prepended as a `cm`, and the resulting fills/
+        # polys/lines merge into the journal after the page's own
+        # geometry (glyphs paint on top, same as the builtin raster).
+        t3fonts = doc.page_type3_fonts(pg)
+        t3_glyphs: list = []
+        runs = minipdf._text_runs(
+            content, fonts=doc.page_fonts(pg),
+            t3_fonts=t3fonts or None, t3_glyphs=t3_glyphs,
+        )
+        for fname, code, gm in t3_glyphs:
+            proc = t3fonts.get(fname, {}).get("procs", {}).get(code)
+            if proc is None:
+                continue
+            prefix = (
+                " ".join(f"{v:.8g}" for v in gm) + " cm\n"
+            ).encode("ascii")
+            try:
+                sub = minipdf.content_draw_ops(prefix + proc)
+            except (ValueError, KeyError):
+                continue
+            for kind, idx in sub["order"]:
+                if kind in ("fills", "polys", "lines"):
+                    draw[kind].append(sub[kind][idx])
+                    draw["order"].append((kind, len(draw[kind]) - 1))
         if not (draw["fills"] or draw["polys"] or draw["lines"]
                 or placed or shading_patches):
             return None
@@ -1458,12 +1485,14 @@ class PdfCodec(DocumentCodec):
                     _put_order("base_images", j, kind, idx)
             else:
                 _put_order(kind, idx, kind, idx)
-        runs = minipdf._text_runs(content, fonts=doc.page_fonts(pg))
         # glyphs render horizontally at their DISPLAYED anchors; a
         # /Rotate page with in-plane-rotated text (the scanner
         # convention) therefore composes upright, while normal text
         # under /Rotate keeps horizontal glyphs at rotated anchors
         # (vertical glyph rasterization is declined geometry).
+        # Type3 runs paint via their CharProc geometry above, so they
+        # are EXCLUDED from the builtin 5×7 glyph raster (no double
+        # paint).
         w, h, px = raster.compose_page(
             bh if rot in (90, 270) else bw,
             bw if rot in (90, 270) else bh,
@@ -1480,7 +1509,9 @@ class PdfCodec(DocumentCodec):
             order=compose_order,
             alphas=compose_alphas,
             glyph_runs=[
-                (*dpt(r["x"] - x0, r["y"] - y0), r["text"]) for r in runs
+                (*dpt(r["x"] - x0, r["y"] - y0), r["text"])
+                for r in runs
+                if not t3fonts or r.get("font") not in t3fonts
             ],
         )
         return w, h, bytes(px)

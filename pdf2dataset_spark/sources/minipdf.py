@@ -1344,6 +1344,74 @@ class PdfDocument:
                 out[name] = entry
         return out
 
+    def page_type3_fonts(self, page: dict) -> dict:
+        """/Type3 fonts on the page (ISO 32000-1 §9.6.5), for
+        COMPOSITE glyph painting (round-8 ask #3): ``{font name:
+        {"procs": {code: CharProc content bytes}, "matrix":
+        /FontMatrix 6-tuple, "widths": {code: glyph-space wx}}}``.
+        Codes come from /Encoding /Differences (the only way Type3
+        glyphs are addressable); fonts without /CharProcs or
+        /Differences are skipped (nothing paintable). The CharProc's
+        ``d0``/``d1`` width operators are ignored by the geometry
+        interpreter; the d1-vs-d0 color distinction is simplified to
+        the CharProc's own color state (black default) — a documented
+        decline, not a guess at the caller's fill color."""
+        res = self.resolve(page.get("/Resources"))
+        fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) \
+            else None
+        out: dict = {}
+        if not isinstance(fonts, dict):
+            return out
+        for name, ref in fonts.items():
+            f = self.resolve(ref)
+            if not isinstance(f, dict) \
+                    or self.resolve(f.get("/Subtype")) != "/Type3":
+                continue
+            procs_d = self.resolve(f.get("/CharProcs"))
+            enc = self.resolve(f.get("/Encoding"))
+            diffs = self.resolve(enc.get("/Differences")) \
+                if isinstance(enc, dict) else None
+            if not isinstance(procs_d, dict) or not isinstance(diffs, list):
+                continue
+            code_to_name: dict[int, str] = {}
+            code = 0
+            for item in diffs:
+                item = self.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, str):
+                    code_to_name[code] = item
+                    code += 1
+            procs: dict[int, bytes] = {}
+            for code, gname in code_to_name.items():
+                st = self.resolve(procs_d.get(gname))
+                if isinstance(st, StreamObj):
+                    try:
+                        procs[code] = self.stream_bytes(st)
+                    except (ValueError, IndexError, zlib.error):
+                        continue
+            mat = self.resolve(f.get("/FontMatrix"))
+            try:
+                matrix = tuple(float(self.resolve(v)) for v in mat)[:6] \
+                    if isinstance(mat, list) and len(mat) >= 6 \
+                    else (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+            except (TypeError, ValueError):
+                matrix = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+            widths: dict[int, float] = {}
+            fc = self.resolve(f.get("/FirstChar"))
+            ws = self.resolve(f.get("/Widths"))
+            if isinstance(ws, list) and isinstance(fc, (int, float)):
+                for i, w in enumerate(ws):
+                    try:
+                        widths[int(fc) + i] = float(self.resolve(w))
+                    except (TypeError, ValueError):
+                        continue
+            if procs:
+                out[name] = {
+                    "procs": procs, "matrix": matrix, "widths": widths,
+                }
+        return out
+
     def page_images(self, page: dict, decode_pixels: bool = False) -> list[dict]:
         """Embedded image XObjects of a page (ISO 32000-1 §8.9.5), in
         /XObject name order. Each entry carries the declared metadata
@@ -2026,16 +2094,29 @@ def _text_runs(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
     forms: dict | None = None,
+    t3_fonts: dict | None = None,
+    t3_glyphs: list | None = None,
 ) -> list[dict]:
     """Interpret the positioning + showing operators into runs:
-    ``{x, y, x_end, size, text}`` with device-space baseline origin
-    (x, y), estimated end, and effective device font size. ``forms``
+    ``{x, y, x_end, size, text, font}`` with device-space baseline
+    origin (x, y), estimated end, effective device font size, and
+    the active font's resource name. ``forms``
     (from :meth:`PdfDocument.page_forms`) makes ``Do`` of a /Form
     XObject execute the form's content inline — its /Matrix composes
     into the CTM, its own fonts merge over the caller's, and the
     graphics/text state restores afterward (the spec's implicit q/Q
     around Do) — so letterhead/stamp/OCR-layer text participates in
-    reading order exactly as poppler extracts it."""
+    reading order exactly as poppler extracts it.
+
+    ``t3_fonts`` (from :meth:`PdfDocument.page_type3_fonts`) +
+    ``t3_glyphs`` (caller-owned output list) switch shows in a Type3
+    font to PER-GLYPH mode: each 1-byte code appends ``(font name,
+    code, glyph matrix)`` to ``t3_glyphs`` — the matrix is
+    FontMatrix · [Tfs·Th 0 0 Tfs 0 0] · Tm · CTM (ISO 32000-1
+    §9.2.4/§9.6.5), ready to prepend as a ``cm`` before executing
+    the CharProc — and the advance uses the REAL /Widths through
+    FontMatrix instead of the estimation heuristic. Extraction paths
+    don't pass these, so their run geometry is unchanged."""
     import math
 
     runs: list[dict] = []
@@ -2047,6 +2128,7 @@ def _text_runs(
     tz = 100.0
     tl = 0.0
     cur_cmap: tuple | None = None
+    cur_font: str | None = None
     in_text = False
 
     def advance_em(txt: str) -> float:
@@ -2067,13 +2149,38 @@ def _text_runs(
         xscale = math.hypot(a, b) or 1.0
         if parts is None:
             parts = [raw]
+        t3 = (
+            t3_fonts.get(cur_font)
+            if t3_fonts and t3_glyphs is not None and cur_font
+            else None
+        )
         texts: list[str] = []
         adv = 0.0
         for el in parts:
             if isinstance(el, bytes):
                 s = _decode_shown(el, cur_cmap)
                 texts.append(s)
-                adv += advance_em(s)
+                if t3 is not None:
+                    # per-glyph events with REAL /Widths advances
+                    fm, widths = t3["matrix"], t3["widths"]
+                    for code in el:  # Type3 codes are 1-byte
+                        local_tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                        gm = _mat_mul(
+                            fm,
+                            _mat_mul(
+                                (tfs * tz / 100.0, 0.0, 0.0, tfs,
+                                 0.0, 0.0),
+                                _mat_mul(local_tm, ctm),
+                            ),
+                        )
+                        t3_glyphs.append((cur_font, code, gm))
+                        wx = widths.get(code, 0.0)
+                        adv += (
+                            fm[0] * wx * tfs + tc
+                            + (tw if code == 32 else 0.0)
+                        ) * tz / 100.0
+                else:
+                    adv += advance_em(s)
             elif isinstance(el, (int, float)):
                 adv += -el / 1000.0 * tfs * tz / 100.0
                 if el <= -_TJ_WORD_BREAK and texts and not texts[-1].endswith(" "):
@@ -2089,6 +2196,7 @@ def _text_runs(
                 "x_end": e + adv * xscale,
                 "size": size if size > 0 else 12.0,
                 "text": text,
+                "font": cur_font,
                 # device-space text direction (unit), for dominant-
                 # orientation detection on rotated pages
                 "ux": a / xscale,
@@ -2108,7 +2216,8 @@ def _text_runs(
         frame_forms: dict | None,
         depth: int,
     ) -> None:
-        nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, in_text
+        nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, \
+            cur_font, in_text
         for op, stack in _iter_content_ops(ops_content):
             try:
                 if op == b"BT":
@@ -2141,8 +2250,10 @@ def _text_runs(
                 elif op == b"Tz" and stack:
                     tz = float(stack[-1])
                 elif op == b"Tf" and len(stack) >= 2:
-                    if isinstance(stack[-2], str) and frame_fonts:
-                        cur_cmap = frame_fonts.get(stack[-2])
+                    if isinstance(stack[-2], str):
+                        cur_font = stack[-2]
+                        if frame_fonts:
+                            cur_cmap = frame_fonts.get(stack[-2])
                     tfs = float(stack[-1])
                 elif op == b"Tj":
                     if in_text and stack and isinstance(stack[-1], bytes):
@@ -2174,7 +2285,7 @@ def _text_runs(
                     # CALLER's saved entries, which a length-truncate
                     # alone cannot restore.
                     saved = (ctm, tm, tlm, tfs, tc, tw, tz, tl,
-                             cur_cmap, in_text)
+                             cur_cmap, cur_font, in_text)
                     saved_stack = list(ctm_stack)
                     ctm = _mat_mul(fmatrix, ctm)
                     in_text = False
@@ -2183,7 +2294,7 @@ def _text_runs(
                              {**(frame_forms or {}), **(fforms or {})},
                              depth + 1)
                     (ctm, tm, tlm, tfs, tc, tw, tz, tl,
-                     cur_cmap, in_text) = saved
+                     cur_cmap, cur_font, in_text) = saved
                     ctm_stack[:] = saved_stack
             except (TypeError, ValueError):
                 continue  # malformed operands: skip the op, keep going

@@ -1990,3 +1990,110 @@ class TestCalculatorFunctions:
 
         assert at(150, 102) > 240   # t=0 -> 1.0 white
         assert at(150, 198) < 12    # t=1 -> 0.0 black
+
+
+class TestType3Render:
+    """Round-8 ask #3: Type3 /CharProcs execute into the composite
+    render (glyph matrix = FontMatrix · [Tfs 0 0 Tfs 0 0] · Tm · CTM,
+    real /Widths advances, builtin 5×7 raster suppressed for Type3
+    runs)."""
+
+    @staticmethod
+    def _pdf(content: bytes, media: bytes = b"[0 0 200 150]") -> bytes:
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        sq = b"10 0 d0 1 1 8 8 re f"
+        tri = b"10 0 d0 1 1 m 9 1 l 5 9 l h f"
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox "
+            + media + b" /Resources << /Font << /F3 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+            b"/FontMatrix [0.1 0 0 0.1 0 0] /CharProcs 6 0 R "
+            b"/Encoding << /Type /Encoding "
+            b"/Differences [65 /square 66 /tri] >> "
+            b"/FirstChar 65 /LastChar 66 /Widths [10 10] >>",
+            b"<< /square 7 0 R /tri 8 0 R >>",
+            b"<< /Length " + str(len(sq)).encode() + b" >>\nstream\n"
+            + sq + b"\nendstream",
+            b"<< /Length " + str(len(tri)).encode() + b" >>\nstream\n"
+            + tri + b"\nendstream",
+        ])
+
+    def _pixels(self, pdf: bytes):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+
+        def at(x, y):  # bottom-left PDF origin
+            return px[(hh - 1 - y) * w + x]
+
+        return w, hh, at
+
+    def test_charproc_geometry_hand_law(self):
+        # /F3 24 Tf, FontMatrix 0.1 → glyph cell 10·0.1·24 = 24 user
+        # units; 'A' square CharProc fills glyph (1,1)-(9,9) →
+        # device (102.4,102.4)-(121.6,121.6)
+        pdf = self._pdf(b"BT /F3 24 Tf 100 100 Td (AB) Tj ET")
+        w, hh, at = self._pixels(pdf)
+        assert (w, hh) == (200, 150)
+        assert at(110, 110) == 0            # inside the square
+        assert at(101, 101) == 255          # gutter inside cell, outside glyph
+        assert at(123, 110) == 255          # between the two glyphs
+        # 'B' triangle advanced by REAL width 10·0.1·24 = 24 units:
+        # base (125.4..145.6, y≈102.4), apex x=136 y≈121.6
+        assert at(136, 105) == 0            # inside the triangle
+        assert at(127, 118) == 255          # above the left slope
+        assert at(136, 119) == 0            # near the apex, inside
+
+    def test_no_double_paint_with_builtin_glyphs(self):
+        # the Type3 run must NOT also render via the builtin 5×7
+        # table: with nothing but a Type3 show, every dark pixel
+        # belongs to a CharProc cell (square spans ≥18px, the 5×7
+        # grid raster would paint far outside it)
+        pdf = self._pdf(b"BT /F3 24 Tf 100 100 Td (A) Tj ET")
+        w, hh, at = self._pixels(pdf)
+        dark = [
+            (x, y)
+            for y in range(hh)
+            for x in range(w)
+            if at(x, y) < 128
+        ]
+        assert dark
+        assert all(102 <= x <= 122 and 102 <= y <= 122 for x, y in dark)
+
+    def test_tz_scaling_and_tc_affect_advance(self):
+        # 200 Tz doubles the horizontal advance (placement of the 2nd
+        # glyph) while each glyph cell also stretches ×2 horizontally
+        pdf = self._pdf(b"BT /F3 24 Tf 200 Tz 10 100 Td (AB) Tj ET")
+        w, hh, at = self._pixels(pdf)
+        # square now spans x 10+2·2.4 .. 10+2·21.6 = 14.8..53.2
+        assert at(30, 110) == 0
+        # triangle base starts at 10+48+2·2.4 = 62.8
+        assert at(90, 105) == 0  # apex column x = 10+48+2·12 = 82?  generous interior probe
+        assert at(57, 110) == 255  # gap between the stretched cells
+
+    def test_mixed_builtin_and_type3(self):
+        # a Helvetica run still rasterizes via the 5×7 table on the
+        # same composite page (suppression is per-run, not global)
+        content = (b"BT /F1 8 Tf 20 130 Td (hi) Tj ET\n"
+                   b"BT /F3 24 Tf 100 100 Td (A) Tj ET")
+        pdf = self._pdf(content)
+        w, hh, at = self._pixels(pdf)
+        assert at(110, 110) == 0  # Type3 square
+        # builtin glyphs for 'hi' paint somewhere in their line box
+        band = [
+            at(x, y) for y in range(126, 142) for x in range(18, 40)
+        ]
+        assert min(band) < 128
+
+    def test_extraction_text_unchanged(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = self._pdf(b"BT /F3 24 Tf 100 100 Td (AB) Tj ET")
+        assert minipdf.extract_page_texts(pdf) == ["AB"]
