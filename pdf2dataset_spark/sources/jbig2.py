@@ -34,13 +34,16 @@ pHash paths exactly like JPEG and CCITT ones do:
   segments (types 4/36/40) are retained for reference, never
   composited (§8.2). TRUE AGGREGATES (REFAGGNINST > 1, §6.5.8.2.2)
   decode as nested text regions over the in-progress symbol pool
-  with the dictionary's shared contexts. Huffman-coded refinement
-  raises :class:`JBIG2Unsupported` with a named reason (kept
-  honest; the compressed payload is preserved either way).
+  with the dictionary's shared contexts.
 - **Huffman regime** (T.88 Annex B via :mod:`sources.jbig2_huffman`):
   SDHUFF symbol dictionaries with per-height-class collective
   bitmaps (uncompressed or MMR), SBHUFF text regions with
-  runcode-built symbol ID codes, standard + custom (type 53) tables.
+  runcode-built symbol ID codes, standard + custom (type 53) tables,
+  and (round 8) SBREFINE=1 refined instances (§6.4.11: raw RI bit,
+  B.14/B.15 delta tables, byte-aligned embedded MQ refinement of
+  BMSIZE bytes). Huffman refinement/aggregate symbol DICTIONARIES
+  (SDHUFF=1 + SDREFAGG=1) still raise :class:`JBIG2Unsupported`
+  with a named reason (kept honest; payload preserved).
 - **Pattern dictionary + halftone regions** (T.88 §6.7 / §6.6):
   Gray-coded arithmetic/MMR grayscale bitplanes stamping dictionary
   patterns on the (skewable) 8.8 fixed-point grid — the dithered-
@@ -73,8 +76,8 @@ class JBIG2Error(ValueError):
 
 class JBIG2Unsupported(JBIG2Error):
     """Valid JBIG2 feature outside this decoder's scope (e.g.
-    Huffman-coded refinement, unvalidated standard Huffman
-    tables)."""
+    Huffman refinement/aggregate symbol dictionaries, unvalidated
+    standard Huffman tables B.7/B.10)."""
 
 
 #: default decode-size sanity bound (pixels): ample for any real
@@ -1461,10 +1464,17 @@ def _decode_text_region_huffman(seg_data: bytes, pos: int, flags: int,
     """SBHUFF=1 text region (§6.4 + §7.4.4.5): a 16-bit Huffman-flags
     field selects the FS/DS/DT (and refinement-delta) tables, symbol
     IDs get a runcode-built canonical code, CURT is log2(SBSTRIPS)
-    raw bits. Refinement in Huffman regions is declined by name
-    upstream."""
+    raw bits. SBREFINE=1 (§6.4.11, the Huffman-refinement regime,
+    round-8 close): each instance reads a raw RI bit; refined
+    instances decode RDW/RDH/RDX/RDY through their selected tables
+    and BMSIZE through the RSIZE table, byte-align, then
+    arithmetically decode the refinement bitmap from the next BMSIZE
+    bytes against the symbol shifted by floor(RDW/2)+RDX /
+    floor(RDH/2)+RDY, with a fresh GR context per instance."""
     from pdf2dataset_spark.sources import jbig2_huffman as jh
 
+    refine = bool(flags & 2)
+    rtemplate = (flags >> 15) & 1
     log_strips = (flags >> 2) & 3
     strips = 1 << log_strips
     ref_corner = (flags >> 4) & 3
@@ -1499,14 +1509,18 @@ def _decode_text_region_huffman(seg_data: bytes, pos: int, flags: int,
     tb_fs = select(hflags & 3, 6, 7, None, "FS")
     tb_ds = select((hflags >> 2) & 3, 8, 9, 10, "DS")
     tb_dt = select((hflags >> 4) & 3, 11, 12, 13, "DT")
-    # RDW/RDH/RDX/RDY/RSIZE selections only matter with refinement
-    # (rejected upstream), but sel==3 still consumes a referred table
+    # RDW/RDH/RDX/RDY: B.14 (sel 0) / B.15 (sel 1) / custom (sel 3)
+    # per §7.4.4.1.4-7; RSIZE: B.1 (sel 0) / custom (sel 1). A sel-3
+    # custom table consumes a referred segment even without SBREFINE.
+    tb_rd = {}
     for shift, what in ((6, "RDW"), (8, "RDH"), (10, "RDX"),
                         (12, "RDY")):
-        if (hflags >> shift) & 3 == 3:
-            custom(what)
-    if (hflags >> 14) & 1:
-        custom("RSIZE")
+        tb_rd[what] = select((hflags >> shift) & 3, 14, 15, None, what)
+    tb_rsize = custom("RSIZE") if (hflags >> 14) & 1 \
+        else jh.standard_table(1)
+    rat: tuple = ()
+    if refine and rtemplate == 0:
+        rat, pos = _read_at(seg_data, pos, 2)
     num_instances = struct.unpack_from(">I", seg_data, pos)[0]
     pos += 4
     if num_instances > 8 * len(seg_data) + 64:
@@ -1548,6 +1562,34 @@ def _decode_text_region_huffman(seg_data: bytes, pos: int, flags: int,
             bm = syms[sym_id]
             sh = len(bm)
             sw = len(bm[0]) if sh else 0
+            if refine and br.bit():  # RI (§6.4.11: one raw bit)
+                deltas = {}
+                for what in ("RDW", "RDH", "RDX", "RDY"):
+                    v = tb_rd[what].decode(br)
+                    if v is jh.OOB:
+                        raise JBIG2Error(f"OOB {what}")
+                    deltas[what] = v
+                bmsize = tb_rsize.decode(br)
+                if bmsize is jh.OOB or bmsize <= 0:
+                    # BMSIZE 0 ("until exhausted") has no delimiter
+                    # inside a Huffman bit stream — crafted/corrupt
+                    raise JBIG2Error("bad refinement BMSIZE")
+                start = br.align()
+                if start + bmsize > len(seg_data):
+                    raise JBIG2Error("refinement data past segment end")
+                new_w = sw + deltas["RDW"]
+                new_h = sh + deltas["RDH"]
+                if not (0 < new_w <= w + 64 and 0 < new_h <= h + 64):
+                    raise JBIG2Error("refined symbol size out of range")
+                bm = decode_refinement(
+                    MQDecoder(seg_data[start:start + bmsize]), {},
+                    new_w, new_h, bm,
+                    dx=(deltas["RDW"] >> 1) + deltas["RDX"],
+                    dy=(deltas["RDH"] >> 1) + deltas["RDY"],
+                    template=rtemplate, at=rat,
+                )
+                sw, sh = new_w, new_h
+                br.seek_byte(start + bmsize)
             if transposed:
                 x0 = t if not (ref_corner & 2) else t - sw + 1
                 y0 = curs
@@ -1572,8 +1614,6 @@ def _decode_text_region(seg_data: bytes, syms: list,
     flags = struct.unpack_from(">H", seg_data, pos)[0]
     pos += 2
     if flags & 1:
-        if flags & 2:
-            raise JBIG2Unsupported("Huffman text region with refinement")
         return _decode_text_region_huffman(
             seg_data, pos, flags, syms, tables or [],
             w, h, x, y, combop,
@@ -2566,6 +2606,7 @@ def encode_huffman_text_page(
     collective: str = "uncompressed",
     custom_dw: bool = False,
     split_globals: bool = False,
+    refinements: dict | None = None,
 ):
     """Author a HUFFMAN-coded symbol/text page (the second JBIG2
     entropy regime — §6.5/6.4 with SDHUFF=SBHUFF=1): symbol
@@ -2575,6 +2616,14 @@ def encode_huffman_text_page(
     tables B.4/B.2/B.1 (dict) + B.11/B.6/B.8 (region).
     ``custom_dw`` routes the width deltas through a CUSTOM table
     segment (type 53) instead of B.2, exercising §7.4.13.
+
+    ``refinements`` (round-8: the Huffman-REFINEMENT regime,
+    §6.4.11) maps a placement index to ``(target_rows, rdx, rdy)``:
+    that instance sets RI=1, encodes RDW/RDH/RDX/RDY through B.15
+    and BMSIZE through B.1, byte-aligns, and embeds the
+    MQ-arithmetic refinement of the symbol into ``target_rows``
+    (template 0, nominal AT, fresh GR contexts). SBREFINE is set on
+    the region and S-advances use the REFINED widths.
 
     Returns ``(data, globals)`` like :func:`encode_text_page`."""
     from pdf2dataset_spark.sources import ccitt
@@ -2652,9 +2701,12 @@ def encode_huffman_text_page(
     tb_dt = jh.standard_table(11)
     tb_fs = jh.standard_table(6)
     tb_ds = jh.standard_table(8)
+    refinements = refinements or {}
+    tb_rd = jh.standard_table(15)
+    tb_rsize = jh.standard_table(1)
     by_t: dict = {}
-    for sym_i, px_, py_ in placements:
-        by_t.setdefault(py_, []).append((px_, sym_i))
+    for k, (sym_i, px_, py_) in enumerate(placements):
+        by_t.setdefault(py_, []).append((px_, k, sym_i))
     tb_dt.encode(bw, 1)  # STRIPT value 1 → stript = -1
     stript = -1
     firsts = 0
@@ -2666,17 +2718,48 @@ def encode_huffman_text_page(
         tb_fs.encode(bw, first_x - firsts)
         firsts = first_x
         curs = firsts
-        for j, (px_, sym_i) in enumerate(xs):
+        for j, (px_, k, sym_i) in enumerate(xs):
             if j:
                 tb_ds.encode(bw, px_ - curs)
                 curs = px_
             symtab.encode(bw, exported_pos[sym_i])
-            curs += len(symbols[sym_i][0]) - 1
+            inst_w = len(symbols[sym_i][0])
+            spec = refinements.get(k)
+            if refinements:
+                bw.bit(1 if spec else 0)  # RI: one raw bit (§6.4.11)
+            if spec:
+                target, rdx, rdy = spec
+                rdw = len(target[0]) - len(symbols[sym_i][0])
+                rdh = len(target) - len(symbols[sym_i])
+                for v in (rdw, rdh, rdx, rdy):
+                    tb_rd.encode(bw, v)
+                enc = MQEncoder()
+                encode_refinement(
+                    enc, {}, target, symbols[sym_i],
+                    dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+                    template=0,
+                )
+                data = enc.flush()
+                tb_rsize.encode(bw, len(data))
+                bw.align()
+                bw.raw_bytes(data)
+                inst_w = len(target[0])
+            curs += inst_w - 1
         tb_ds.encode(bw, jh.OOB)
     tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
     tr.append(0)  # OR onto page
-    tr += struct.pack(">H", 1 | (1 << 4))  # SBHUFF, TOPLEFT corner
-    tr += struct.pack(">H", 0)  # Huffman flags: all standard sel-0
+    # SBHUFF, TOPLEFT corner (+ SBREFINE with template-0 AT pixels
+    # when any instance refines)
+    tr += struct.pack(">H", 1 | (1 << 4) | (2 if refinements else 0))
+    # Huffman flags: standard sel-0 everywhere; refined regions
+    # select B.15 (sel 1) for RDW/RDH/RDX/RDY, B.1 (sel 0) for RSIZE
+    tr += struct.pack(
+        ">H",
+        (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
+        if refinements else 0,
+    )
+    if refinements:
+        tr += struct.pack(">bbbb", -1, -1, -1, -1)  # nominal GR AT
     tr += struct.pack(">I", len(placements))
     tr += bw.getvalue()
     page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])

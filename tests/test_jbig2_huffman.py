@@ -313,3 +313,72 @@ class TestEmptyHeightClass:
         # the 3x2 glyph landed at (2, 2)
         assert rows[2][2:5] == bytearray([1, 1, 1])
         assert rows[3][2:5] == bytearray([1, 0, 1])
+
+
+class TestHuffmanRefinement:
+    """§6.4.11 SBREFINE=1 in a SBHUFF=1 text region (round-8 close of
+    the last declared JBIG2 decline): raw RI bit, B.15-coded
+    RDW/RDH/RDX/RDY, B.1 BMSIZE, byte-aligned embedded MQ refinement
+    with fresh GR contexts, S-advance by the REFINED width."""
+
+    @staticmethod
+    def _syms():
+        box = [bytearray([1, 1, 1, 1]) for _ in range(4)]
+        bar = [bytearray([1, 1, 1, 1, 1]) for _ in range(3)]
+        return [box, bar]
+
+    def test_refined_instance_roundtrip(self):
+        syms = self._syms()
+        target = [bytearray([1, 1, 1, 1, 1, 1]) for _ in range(4)]
+        target[0][0] = 0
+        target[1][2] = 0
+        target[3][5] = 0
+        data, g = jbig2.encode_huffman_text_page(
+            syms, [(0, 2, 2), (1, 10, 2), (0, 20, 2)], 30, 10,
+            refinements={1: (target, 0, 0)},
+        )
+        w, h, rows = jbig2.decode_embedded(data, g)
+        assert (w, h) == (30, 10)
+        # unrefined boxes at (2,2) and (20,2)
+        assert rows[2][2:6] == bytearray([1, 1, 1, 1])
+        assert rows[2][20:24] == bytearray([1, 1, 1, 1])
+        # refined bar: grew to 6x4 with the three notches, bit-exact
+        got = [bytearray(rows[2 + y][10:16]) for y in range(4)]
+        assert got == target
+
+    def test_refined_shrink_and_offset(self):
+        # negative RDW/RDH and nonzero RDX/RDY exercise the signed
+        # B.15 paths and the floor(RDW/2)+RDX reference shift
+        syms = self._syms()
+        target = [bytearray([0, 1, 1]) for _ in range(2)]
+        data, g = jbig2.encode_huffman_text_page(
+            syms, [(0, 1, 1), (0, 12, 1)], 24, 8,
+            refinements={1: (target, 1, -1)},
+        )
+        w, h, rows = jbig2.decode_embedded(data, g)
+        got = [bytearray(rows[1 + y][12:15]) for y in range(2)]
+        assert got == target
+        # the unrefined first box is intact
+        assert rows[1][1:5] == bytearray([1, 1, 1, 1])
+
+    def test_all_instances_refined(self):
+        syms = [self._syms()[0]]
+        t1 = [bytearray([1, 0, 1, 0, 1]) for _ in range(4)]
+        t2 = [bytearray([0, 1, 0]) for _ in range(5)]
+        data, g = jbig2.encode_huffman_text_page(
+            syms, [(0, 0, 0), (0, 8, 0)], 16, 8,
+            refinements={0: (t1, 0, 0), 1: (t2, 0, 0)},
+        )
+        w, h, rows = jbig2.decode_embedded(data, g)
+        assert [bytearray(rows[y][0:5]) for y in range(4)] == t1
+        assert [bytearray(rows[y][8:11]) for y in range(5)] == t2
+
+    def test_truncated_refinement_data_raises(self):
+        syms = self._syms()
+        target = [bytearray([1, 1, 1, 1, 1, 1]) for _ in range(4)]
+        data, g = jbig2.encode_huffman_text_page(
+            syms, [(1, 2, 2)], 20, 8,
+            refinements={0: (target, 0, 0)},
+        )
+        with pytest.raises(jbig2.JBIG2Error):
+            jbig2.decode_embedded(data[:-6], g)
