@@ -104,6 +104,8 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "a17_cid_font_extract",
     "a23_annotations_outline_extract",
     "a25_jbig2_scan_extract",
+    "a26_jpx_image_extract",
+    "a27_lossy_jpx_extract",
     # round 8 — maybe_broadcast estimate cache (TTL'd): every query
     # routing corpus-growing relations through the guard
     "sql4_q14_promo_revenue",

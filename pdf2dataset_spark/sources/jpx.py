@@ -51,10 +51,22 @@ vertically CAUSAL context formation, predictable termination
 (decode no-op), and SEGMENTATION SYMBOLS (validated — corrupt
 block data surfaces as a named error). ROI decodes via the MAXSHIFT
 method (RGN marker, Annex H: magnitude-thresholded downshift).
+
+Round 8 closed the last two declared declines: CANVAS OFFSETS (SIZ
+XOsiz/YOsiz/XTOsiz/YTOsiz per B.3, with precinct AND code-block
+grids anchored at the canvas origin per B.6/B.7 — offset tiles get
+partial first windows and edge blocks) and genuinely DIFFERING
+per-component COC coding styles (A.6.2: levels / transform /
+code-block style / precincts per component), including per-TILE
+COD/COC/QCD/QCC overrides parsed from the first tile-part's header
+with the A.6 precedence (tile-COC > tile-COD > main-COC > main-COD).
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
 compressed payload is preserved by the caller either way):
-precincts small enough to split the 64x64 code block, and
-non-maxshift ROI styles.
+precincts small enough to split the 64x64 code block, non-maxshift
+ROI styles, canvas offsets whose tile-component origins are not
+multiples of 2^levels (the 5/3 lifting phase is position-dependent;
+supporting those needs phase-aware band geometry), and canvas
+offsets combined with component subsampling.
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1355,13 +1367,30 @@ def _bands_for_resolution(w: int, h: int, levels: int, r: int) -> list:
     ]
 
 
-def _codeblocks(bw: int, bh: int) -> list:
-    """Code-block grid over a band: (gx, gy, x, y, w, h) band-local."""
-    out = []
+def _cb_edges(origin: int, extent: int) -> list:
+    """Split [0, extent) at the canvas-anchored 64-grid boundaries
+    ((origin + x) % 64 == 0) → [(grid index, x, w)]. With origin 0
+    this is the plain 0-anchored 64-grid."""
     cb = 1 << _CB_EXP
-    for gy, y in enumerate(range(0, bh, cb)):
-        for gx, x in enumerate(range(0, bw, cb)):
-            out.append((gx, gy, x, y, min(cb, bw - x), min(cb, bh - y)))
+    out = []
+    x = 0
+    while x < extent:
+        nxt = min(extent, ((origin + x) // cb + 1) * cb - origin)
+        out.append(((origin + x) >> _CB_EXP, x, nxt - x))
+        x = nxt
+    return out
+
+
+def _codeblocks(bw: int, bh: int, obx: int = 0, oby: int = 0) -> list:
+    """Code-block grid over a band: (gx, gy, x, y, w, h) with
+    band-LOCAL x/y and CANVAS-anchored grid indices (T.800 B.7: the
+    partition is anchored at the canvas origin; ``obx``/``oby`` are
+    the band's absolute origin — 0 for untiled zero-offset streams,
+    where this reduces to the plain local 64-grid)."""
+    out = []
+    for gy, y, ch in _cb_edges(oby, bh):
+        for gx, x, cw in _cb_edges(obx, bw):
+            out.append((gx, gy, x, y, cw, ch))
     return out
 
 
@@ -1374,22 +1403,29 @@ _GUARD_BITS = 1
 
 
 def _encode_tile_component(plane, w: int, h: int, levels: int,
-                           cbstyle: int = 0):
+                           cbstyle: int = 0, origin: tuple = (0, 0)):
     """EBCOT-encode one component's coefficient plane → (per-resolution
     band/block structures, per-subband max plane counts in QCD order).
     When ``cbstyle`` carries terminations (bypass/termall) each
     block's data is its codeword-SEGMENT list instead of one byte
-    string; other style bits keep a single (styled) segment."""
+    string; other style bits keep a single (styled) segment.
+    ``origin`` is the PHASE-SAFE tile-component origin (tcx0, tcy0)
+    for canvas-offset streams — it anchors the code-block grids
+    (T.800 B.7) without touching the coefficient layout."""
     terminated = bool(cbstyle & 0x05)
     styled = bool(cbstyle & 0x2F)  # any bit that changes the coding
+    tcx0, tcy0 = origin
     resolutions = []
     exps = []
     for r in range(levels + 1):
         bands = _bands_for_resolution(w, h, levels, r)
+        s = levels - r
+        obx = tcx0 >> (s if r == 0 else s + 1)
+        oby = tcy0 >> (s if r == 0 else s + 1)
         per_band = []
         for name, bx, by, bw, bh in bands:
             blocks = []
-            for gx, gy, x, y, cw, ch in _codeblocks(bw, bh):
+            for gx, gy, x, y, cw, ch in _codeblocks(bw, bh, obx, oby):
                 coeffs = [
                     plane[by + y + yy][bx + x + xx]
                     for yy in range(ch)
@@ -1417,27 +1453,47 @@ def _encode_tile_component(plane, w: int, h: int, levels: int,
 
 
 def _precinct_info(comp_tile_dims: list, levels: int,
-                   precincts: list | None, subs: list) -> dict:
+                   precincts: list | None, subs: list,
+                   origins: list | None = None,
+                   comp_levels: list | None = None,
+                   comp_precincts: list | None = None) -> dict:
     """Per-(resolution, component) precinct layout for one tile:
-    ``pinfo[(r, c)] = (npx, npy, step_x, step_y, ppx, ppy)`` where
-    npx x npy is the precinct grid over the resolution-r grid
-    (B.6 — 2^PPx x 2^PPy cells anchored at 0; ``precincts`` None
-    means the default 2^15, i.e. one precinct) and step_x/step_y are
-    the precinct anchor strides on the REFERENCE grid (component
-    separation x 2^(PPx + levels - r)) that the position-dependent
-    progression orders iterate (B.12)."""
+    ``pinfo[(r, c)] = (npx, npy, step_x, step_y, ppx, ppy, base_x,
+    base_y, obx, oby)`` where npx x npy is the precinct grid over
+    the resolution-r grid (B.6 — 2^PPx x 2^PPy cells anchored at the
+    CANVAS origin; ``precincts`` None means the default 2^15),
+    step_x/step_y are the precinct anchor strides on the REFERENCE
+    grid (component separation x 2^(PPx + levels - r)) that the
+    position-dependent progression orders iterate (B.12), base_x/
+    base_y are the first precinct's canvas grid indices
+    (floor(trx0 / 2^PPx)) and obx/oby the bands' absolute origins.
+
+    ``origins`` (per-component (tcx0, tcy0), canvas-offset streams)
+    activates the canvas-anchored geometry; it requires PHASE-SAFE
+    origins (tcx0 ≡ 0 mod 2^levels — exact band origins, unchanged
+    DWT phase). Without it (every zero-offset stream) base/obx are 0
+    and the layout reduces to the engine's tile-local convention."""
     pinfo = {}
     for c, (tcw, tch) in enumerate(comp_tile_dims):
         xr, yr = subs[c]
-        for r in range(levels + 1):
-            ppx, ppy = (15, 15) if precincts is None else precincts[r]
-            s = levels - r
+        tcx0, tcy0 = origins[c] if origins else (0, 0)
+        lv = comp_levels[c] if comp_levels is not None else levels
+        prec = comp_precincts[c] if comp_precincts is not None \
+            else precincts
+        for r in range(lv + 1):
+            ppx, ppy = (15, 15) if prec is None else prec[r]
+            s = lv - r
+            trx0, try0 = tcx0 >> s, tcy0 >> s
             rw = -(-tcw // (1 << s)) if tcw > 0 else 0
             rh = -(-tch // (1 << s)) if tch > 0 else 0
-            npx = max(1, -(-rw // (1 << ppx)))
-            npy = max(1, -(-rh // (1 << ppy)))
+            base_x, base_y = trx0 >> ppx, try0 >> ppy
+            npx = max(1, -(-(trx0 + rw) // (1 << ppx)) - base_x)
+            npy = max(1, -(-(try0 + rh) // (1 << ppy)) - base_y)
+            scale = 0 if r == 0 else 1
             pinfo[(r, c)] = (npx, npy, xr << (ppx + s),
-                             yr << (ppy + s), ppx, ppy)
+                             yr << (ppy + s), ppx, ppy,
+                             base_x, base_y,
+                             tcx0 >> (s + scale), tcy0 >> (s + scale))
     return pinfo
 
 
@@ -1468,46 +1524,56 @@ def _check_precinct_alignment(boxes: list, levels: int,
 
 
 def _precinct_band_windows(band_dims: list, r: int, ppx: int,
-                           ppy: int, pxi: int, pyi: int) -> list:
+                           ppy: int, pxi: int, pyi: int,
+                           base_x: int = 0, base_y: int = 0,
+                           obx: int = 0, oby: int = 0) -> list:
     """Precinct (pxi, pyi)'s window in each band's LOCAL coordinates:
     per (bw, bh) in ``band_dims``, an (x0, y0, x1, y1) clamped to the
     band. Resolution-grid precinct cells map to band cells at half
     scale for r > 0 (the bands sit one decomposition below the
-    resolution grid); the engine's precinct floor (PPx >= 7 for
-    r > 0, >= 6 at r = 0) keeps every window 64-aligned so code
-    blocks are never split."""
+    resolution grid). The grid is CANVAS-anchored: cell pxi covers
+    band-absolute [(base_x + pxi)·pw, +pw) against the band origin
+    ``obx`` (both 0 for zero-offset streams — the tile-local shape);
+    the engine's precinct floor (PPx >= 7 for r > 0, >= 6 at r = 0)
+    keeps every window edge on the canvas 64-grid so code blocks are
+    never split."""
     scale = 0 if r == 0 else 1
     pw = 1 << (ppx - scale)
     ph = 1 << (ppy - scale)
     out = []
     for bw, bh in band_dims:
-        x0 = min(pxi * pw, bw)
-        y0 = min(pyi * ph, bh)
-        out.append((x0, y0, min(x0 + pw, bw), min(y0 + ph, bh)))
+        ax0 = (base_x + pxi) * pw - obx
+        ay0 = (base_y + pyi) * ph - oby
+        x0 = min(max(ax0, 0), bw)
+        y0 = min(max(ay0, 0), bh)
+        out.append((x0, y0, min(max(ax0 + pw, 0), bw),
+                    min(max(ay0 + ph, 0), bh)))
     return out
 
 
-def _precinct_codeblocks(bw: int, bh: int, win: tuple) -> list:
+def _precinct_codeblocks(bw: int, bh: int, win: tuple,
+                         obx: int = 0, oby: int = 0) -> list:
     """Code blocks of one band inside a precinct window: global grid
     indices plus LOCAL tag-tree indices —
-    (gx, gy, lx, ly, x, y, cw, ch). The global 64-grid is anchored at
-    the band origin; windows are 64-aligned, so the local grid is a
-    contiguous sub-rectangle of it."""
+    (gx, gy, lx, ly, x, y, cw, ch). The global 64-grid and the
+    precinct windows are both CANVAS-anchored (band origin
+    ``obx``/``oby``); window edges land on the canvas 64-grid, so the
+    local grid is a contiguous sub-rectangle of it. The band's own
+    start/end may cut the first/last blocks short."""
     x0, y0, x1, y1 = win
     if x1 <= x0 or y1 <= y0:
         return []
-    cb = 1 << _CB_EXP
-    gx0, gy0 = x0 >> _CB_EXP, y0 >> _CB_EXP
+    gx0, gy0 = (obx + x0) >> _CB_EXP, (oby + y0) >> _CB_EXP
     out = []
-    for ly, y in enumerate(range(y0, y1, cb)):
-        for lx, x in enumerate(range(x0, x1, cb)):
-            out.append((gx0 + lx, gy0 + ly, lx, ly, x, y,
-                        min(cb, x1 - x), min(cb, y1 - y)))
+    for gy, y, ch in _cb_edges(oby + y0, y1 - y0):
+        for gx, x, cw in _cb_edges(obx + x0, x1 - x0):
+            out.append((gx, gy, gx - gx0, gy - gy0,
+                        x0 + x, y0 + y, cw, ch))
     return out
 
 
 def _packet_order(prog: int, layers: int, levels: int, ncomp: int,
-                  pinfo: dict) -> list:
+                  pinfo: dict, comp_levels: list | None = None) -> list:
     """Packet (layer, resolution, component, precinct) sequence for
     the five progression orders (B.12) with zero tile/image offsets:
     precinct anchors sit at multiples of their reference-grid stride,
@@ -1516,13 +1582,16 @@ def _packet_order(prog: int, layers: int, levels: int, ncomp: int,
     everywhere this reproduces the classic (l, r, c) nestings
     bit-for-bit."""
     events = []  # (r, c, p, x, y)
-    for r in range(levels + 1):
-        for c in range(ncomp):
+    for c in range(ncomp):
+        lv = comp_levels[c] if comp_levels is not None else levels
+        for r in range(lv + 1):
             npx, npy, sx, sy = pinfo[(r, c)][:4]
+            base_x, base_y = pinfo[(r, c)][6:8] or (0, 0)
             for pyi in range(npy):
                 for pxi in range(npx):
                     events.append(
-                        (r, c, pyi * npx + pxi, pxi * sx, pyi * sy)
+                        (r, c, pyi * npx + pxi,
+                         (base_x + pxi) * sx, (base_y + pyi) * sy)
                     )
     rng_l = range(layers)
     if prog == 0:    # LRCP
@@ -1548,7 +1617,8 @@ def _packet_order(prog: int, layers: int, levels: int, ncomp: int,
 def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                   sop: bool, eph: bool, prog: int = 0,
                   pinfo: dict | None = None,
-                  cbstyle: int = 0) -> list:
+                  cbstyle: int = 0,
+                  comp_levels: list | None = None) -> list:
     """Build one tile's packets (list of byte strings, SOP markers
     attached): code blocks are assigned round-robin to quality layers
     (first-inclusion layer), packets iterate in ``prog`` order over
@@ -1558,22 +1628,33 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
     builder (tag-tree coordinates are precinct-local, which for one
     precinct IS the band grid)."""
     ncomp = len(all_res)
+    if comp_levels is None:
+        comp_levels = [levels] * ncomp
     if pinfo is None:
         pinfo = {
             (r, c): (1, 1, 1 << 30, 1 << 30, 15, 15)
-            for r in range(levels + 1) for c in range(ncomp)
+            for c in range(ncomp)
+            for r in range(comp_levels[c] + 1)
         }
     counter = 0
     states: dict = {}
-    for r in range(levels + 1):
+    # r-major like the original single-levels builder: the counter's
+    # round-robin layer assignment is part of the byte format
+    for r in range(max(comp_levels) + 1):
         for c in range(ncomp):
-            npx, npy, _, _, ppx, ppy = pinfo[(r, c)]
+            if r > comp_levels[c]:
+                continue
+            info = pinfo[(r, c)]
+            npx, npy, _, _, ppx, ppy = info[:6]
+            base_x, base_y = (info[6:8] or (0, 0))
+            obx, oby = (info[8:10] or (0, 0))
             band_dims = [(bw, bh) for _, bw, bh, _ in all_res[c][r]]
             plist = []
             for pyi in range(npy):
                 for pxi in range(npx):
                     wins = _precinct_band_windows(
-                        band_dims, r, ppx, ppy, pxi, pyi
+                        band_dims, r, ppx, ppy, pxi, pyi,
+                        base_x, base_y, obx, oby,
                     )
                     per = []
                     for bi, (name, bw, bh, blocks) in enumerate(
@@ -1583,9 +1664,11 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                         if x1 <= x0 or y1 <= y0 or not blocks:
                             per.append(None)
                             continue
-                        gx0, gy0 = x0 >> _CB_EXP, y0 >> _CB_EXP
-                        gx1 = (x1 + (1 << _CB_EXP) - 1) >> _CB_EXP
-                        gy1 = (y1 + (1 << _CB_EXP) - 1) >> _CB_EXP
+                        cbm = (1 << _CB_EXP) - 1
+                        gx0, gy0 = ((obx + x0) >> _CB_EXP,
+                                    (oby + y0) >> _CB_EXP)
+                        gx1 = (obx + x1 + cbm) >> _CB_EXP
+                        gy1 = (oby + y1 + cbm) >> _CB_EXP
                         # precinct-local block list, local tag coords
                         sel = [
                             (gx - gx0, gy - gy0, data, np_, nb)
@@ -1626,7 +1709,7 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
     packets = []
     nsop = 0
     for l, r, c, p in _packet_order(prog, layers, levels, ncomp,
-                                    pinfo):
+                                    pinfo, comp_levels=comp_levels):
         pkt = b""
         if sop:
             pkt += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
@@ -1639,17 +1722,22 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
 
 
 def _emit_tile(out: bytearray, isot: int, packets: list,
-               tile_parts: int) -> None:
+               tile_parts: int, header_bytes: bytes = b"") -> None:
     """Emit one tile's packets as ``tile_parts`` tile-part segments
-    (TPsot order, packets split at packet boundaries)."""
+    (TPsot order, packets split at packet boundaries).
+    ``header_bytes`` (per-tile COD/COC/QCD/QCC marker segments) go in
+    the FIRST tile-part's header, between SOT and SOD (A.4.2)."""
     n = max(1, min(tile_parts, len(packets)))
     for tp in range(n):
         chunk = b"".join(
             packets[tp * len(packets) // n:(tp + 1) * len(packets) // n]
         )
-        sot = struct.pack(">HIBB", isot, 12 + 2 + len(chunk), tp, n)
+        hdrb = header_bytes if tp == 0 else b""
+        sot = struct.pack(
+            ">HIBB", isot, 12 + len(hdrb) + 2 + len(chunk), tp, n
+        )
         out += b"\xff\x90" + struct.pack(">H", 10) + sot
-        out += b"\xff\x93" + chunk
+        out += hdrb + b"\xff\x93" + chunk
 
 
 def _build_packet_layer(per_band, l: int, eph: bool,
@@ -1805,13 +1893,18 @@ def _decimate_rows(rows: list, xr: int, yr: int) -> list:
     return [row[::xr] for row in rows[::yr]]
 
 
-def _tile_comp_box(tx, ty, xts, yts, width, height, xr, yr):
-    """Tile (tx, ty)'s span in component coordinates (B.3, zero
-    offsets): (tcx0, tcy0, tcw, tch)."""
-    tcx0 = -(-(tx * xts) // xr)
-    tcy0 = -(-(ty * yts) // yr)
-    tcx1 = -(-min((tx + 1) * xts, width) // xr)
-    tcy1 = -(-min((ty + 1) * yts, height) // yr)
+def _tile_comp_box(tx, ty, xts, yts, width, height, xr, yr,
+                   xo=0, yo=0, xto=0, yto=0):
+    """Tile (tx, ty)'s span in component coordinates (B.3):
+    (tcx0, tcy0, tcw, tch). ``width``/``height`` are Xsiz/Ysiz;
+    canvas offsets XO/YO clamp the first row/column of tiles and
+    XTO/YTO anchor the tile grid."""
+    tx0 = max(xto + tx * xts, xo)
+    ty0 = max(yto + ty * yts, yo)
+    tcx0 = -(-tx0 // xr)
+    tcy0 = -(-ty0 // yr)
+    tcx1 = -(-min(xto + (tx + 1) * xts, width) // xr)
+    tcy1 = -(-min(yto + (ty + 1) * yts, height) // yr)
     return tcx0, tcy0, tcx1 - tcx0, tcy1 - tcy0
 
 
@@ -1838,6 +1931,10 @@ def encode_jpx(
     bypass: bool = False,
     cbstyle: int = 0,
     roi: tuple | None = None,
+    image_offset: tuple = (0, 0),
+    tile_offset: tuple = (0, 0),
+    coc: dict | None = None,
+    tile_coc: dict | None = None,
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -1862,7 +1959,23 @@ def encode_jpx(
 
     ``tile_size=(tw, th)`` splits the image into independently coded
     tiles (one tile-part each, raster Isot order); ``sop``/``eph``
-    emit the A.8 resync markers real scanner codestreams carry."""
+    emit the A.8 resync markers real scanner codestreams carry.
+
+    ``image_offset=(XO, YO)`` / ``tile_offset=(XTO, YTO)`` anchor the
+    image area and tile grid on the reference CANVAS (B.3, round-8):
+    Xsiz = XO + width, the first tile row/column is clamped to the
+    image area, and precinct + code-block grids anchor at the canvas
+    origin. Offsets require PHASE-SAFE tile-component origins
+    (multiples of 2^levels — the DWT phase is position-dependent),
+    1x1 subsampling, the reversible path, and no ROI.
+
+    ``coc={component: levels}`` emits main-header COC + QCC segments
+    giving that component its OWN decomposition depth (A.6.2);
+    ``tile_coc={tile: {component: levels}}`` puts the COC + QCC in
+    that tile's first tile-part HEADER (per-tile coding styles).
+    Both are reversible-path only; with ``precincts`` the per-
+    resolution sizes must be uniform (each COC re-signals its own
+    list for its own depth)."""
     if ncomp not in (1, 3):
         raise JPXError("encode_jpx handles 1 or 3 components")
     if len(samples) != width * height * ncomp:
@@ -1878,6 +1991,33 @@ def encode_jpx(
             "the fixture encoder codes ROI in the reversible path "
             "(the decoder handles both)"
         )
+    xo, yo = (int(v) for v in image_offset)
+    xto, yto = (int(v) for v in tile_offset)
+    canvas = bool(xo or yo or xto or yto)
+    if canvas and (irreversible or roi is not None
+                   or any(s != (1, 1) for s in subs)):
+        raise JPXError(
+            "canvas offsets need the reversible path, 1x1 "
+            "subsampling and no ROI"
+        )
+    coc = {int(k): int(v) for k, v in (coc or {}).items()}
+    tile_coc = {
+        int(t): {int(k): int(v) for k, v in d.items()}
+        for t, d in (tile_coc or {}).items()
+    }
+    if coc or tile_coc:
+        if irreversible or roi is not None:
+            raise JPXError(
+                "per-component/per-tile COC is reversible-path only"
+            )
+        for d in [coc, *tile_coc.values()]:
+            for c, lv in d.items():
+                if not 0 <= c < ncomp or not 0 <= lv <= 32:
+                    raise JPXError(f"bad COC override {c}: {lv}")
+        if precincts is not None and len(set(precincts)) != 1:
+            raise JPXError(
+                "COC overrides need uniform precinct sizes"
+            )
     if irreversible:
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
@@ -1935,11 +2075,15 @@ def encode_jpx(
     xts, yts = tile_size or (width, height)
     if xts <= 0 or yts <= 0:
         raise JPXError("non-positive tile size")
+    xsiz, ysiz = xo + width, yo + height
+    if not (0 <= xto <= xo < xto + xts and 0 <= yto <= yo < yto + yts):
+        raise JPXError("inconsistent canvas offsets")
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     # SIZ
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, width, height, 0, 0, xts, yts, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, xsiz, ysiz, xo, yo, xts, yts, xto, yto,
+        ncomp
     )
     for xr, yr in subs:
         siz += bytes([7, xr, yr])  # 8-bit unsigned
@@ -1961,22 +2105,34 @@ def encode_jpx(
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     # encode every tile first (QCD + zero-bitplane signaling need the
     # per-band exponents max-merged across components AND tiles)
-    ntx = (width + xts - 1) // xts
-    nty = (height + yts - 1) // yts
+    ntx = (xsiz - xto + xts - 1) // xts
+    nty = (ysiz - yto + yts - 1) // yts
     # forward transforms first — ROI needs the cross-tile background
     # maximum BEFORE any block is entropy-coded
+    def eff_levels(isot: int, c: int) -> int:
+        tl = tile_coc.get(isot, {})
+        return tl[c] if c in tl else coc.get(c, levels)
+
     tile_planes: dict = {}
     for isot in range(ntx * nty):
         tx, ty = isot % ntx, isot // ntx
         planes = []
-        for (xr, yr), plane_rows in zip(subs, comps):
+        for c, ((xr, yr), plane_rows) in enumerate(zip(subs, comps)):
+            lv = eff_levels(isot, c)
             tcx0, tcy0, tcw, tch = _tile_comp_box(
-                tx, ty, xts, yts, width, height, xr, yr
+                tx, ty, xts, yts, xsiz, ysiz, xr, yr, xo, yo, xto, yto
             )
-            sub = [row[tcx0:tcx0 + tcw]
-                   for row in plane_rows[tcy0:tcy0 + tch]]
+            if canvas and (tcx0 % (1 << lv) or tcy0 % (1 << lv)):
+                raise JPXError(
+                    f"tile-component origin ({tcx0}, {tcy0}) not "
+                    f"phase-safe (multiple of 2^{lv})"
+                )
+            # component planes cover the IMAGE AREA: index from the
+            # component origin (== the offset, 1x1 subsampling)
+            sub = [row[tcx0 - xo:tcx0 - xo + tcw]
+                   for row in plane_rows[tcy0 - yo:tcy0 - yo + tch]]
             planes.append(
-                (dwt53_forward_2d(sub, levels), tcw, tch, tcx0, tcy0)
+                (dwt53_forward_2d(sub, lv), tcw, tch, tcx0, tcy0)
             )
         tile_planes[isot] = planes
     sprgn = 0
@@ -2005,32 +2161,81 @@ def encode_jpx(
                     if in_roi:
                         row[i] <<= sprgn
     tile_res: dict = {}
-    exps = None
+    exps_tc: dict = {}  # (isot, c) -> per-subband max plane counts
     for isot in range(ntx * nty):
         all_res = []
-        for plane, tcw, tch, _, _ in tile_planes[isot]:
+        for c, (plane, tcw, tch, tcx0, tcy0) in enumerate(
+            tile_planes[isot]
+        ):
             res, comp_exps = _encode_tile_component(
-                plane, tcw, tch, levels, cbstyle
+                plane, tcw, tch, eff_levels(isot, c), cbstyle,
+                origin=(tcx0, tcy0) if canvas else (0, 0),
             )
             all_res.append(res)
-            exps = (comp_exps if exps is None
-                    else [max(a, b) for a, b in zip(exps, comp_exps)])
+            exps_tc[(isot, c)] = comp_exps
         tile_res[isot] = all_res
-    mbs_by_r = []
-    k = 0
-    for r in range(levels + 1):
-        n = 1 if r == 0 else 3
-        mbs_by_r.append(exps[k : k + n])
-        k += n
-    mbs_by_cr = [mbs_by_r] * len(comps)
-    # QCD: reversible (style 0), guard bits, one exponent per subband
-    # (Mb = eps + guard - 1 must reproduce the per-band plane count)
-    if any(e + 1 - _GUARD_BITS > 31 for e in exps):
+    # quantization governors (A.6.4/5): tile QCC > main QCC (emitted
+    # for main-COC comps) > QCD; exponents max-merge within each
+    # governor so the signaled Mb is valid for every tile it covers
+    def governor(isot: int, c: int):
+        if c in tile_coc.get(isot, {}):
+            return ("tqcc", isot, c)
+        if c in coc:
+            return ("qcc", c)
+        return ("qcd",)
+
+    gov_exps: dict = {}
+    for (isot, c), e in exps_tc.items():
+        g = governor(isot, c)
+        cur = gov_exps.get(g)
+        gov_exps[g] = (list(e) if cur is None
+                       else [max(a, b) for a, b in zip(cur, e)])
+    if any(e + 1 - _GUARD_BITS > 31
+           for es in gov_exps.values() for e in es):
         raise JPXError("coefficient magnitudes exceed the 5-bit exponent")
-    qcd = bytes([_GUARD_BITS << 5]) + bytes(
-        max(0, e + 1 - _GUARD_BITS) << 3 for e in exps
+
+    def mbs_for(isot: int, c: int) -> list:
+        """Per-resolution Mb slices for one tile-component from its
+        governing quantization segment."""
+        es = gov_exps[governor(isot, c)]
+        out_r = []
+        k = 0
+        for r in range(eff_levels(isot, c) + 1):
+            n = 1 if r == 0 else 3
+            out_r.append(es[k:k + n])
+            k += n
+        return out_r
+
+    def _exp_bytes(es: list) -> bytes:
+        return bytes(max(0, e + 1 - _GUARD_BITS) << 3 for e in es)
+
+    def _coc_seg(c: int, lv: int) -> bytes:
+        scoc = 1 if precincts is not None else 0
+        body = bytes([c, scoc, lv, _CB_EXP - 2, _CB_EXP - 2,
+                      cbstyle, 1])
+        if precincts is not None:
+            ppx, ppy = precincts[0]
+            body += bytes([ppx | (ppy << 4)]) * (lv + 1)
+        return b"\xff\x53" + struct.pack(">H", len(body) + 2) + body
+
+    def _qcc_seg(c: int, es: list) -> bytes:
+        body = bytes([c, _GUARD_BITS << 5]) + _exp_bytes(es)
+        return b"\xff\x5d" + struct.pack(">H", len(body) + 2) + body
+
+    # main-header COC + QCC for per-component overrides
+    for c in sorted(coc):
+        out += _coc_seg(c, coc[c])
+    # QCD: reversible (style 0), guard bits, one exponent per subband
+    # (Mb = eps + guard - 1 must reproduce the per-band plane count).
+    # When EVERY (tile, comp) is governed by a QCC, a placeholder QCD
+    # for the COD depth is still required (A.6.4).
+    qcd_exps = gov_exps.get(
+        ("qcd",), [_GUARD_BITS] * (1 + 3 * levels)
     )
+    qcd = bytes([_GUARD_BITS << 5]) + _exp_bytes(qcd_exps)
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    for c in sorted(coc):
+        out += _qcc_seg(c, gov_exps[("qcc", c)])
     if roi is not None:
         for cc in range(ncomp):  # RGN maxshift per component (A.6.3)
             out += b"\xff\x5e" + struct.pack(">H", 5) + bytes(
@@ -2039,17 +2244,39 @@ def encode_jpx(
     # tiles: LRCP over 1 layer → resolution-major, component-minor
     for isot in range(ntx * nty):
         tx, ty = isot % ntx, isot // ntx
-        tboxes = [_tile_comp_box(tx, ty, xts, yts, width, height,
-                                 xr, yr) for xr, yr in subs]
-        _check_precinct_alignment(tboxes, levels, precincts)
+        tboxes = [_tile_comp_box(tx, ty, xts, yts, xsiz, ysiz,
+                                 xr, yr, xo, yo, xto, yto)
+                  for xr, yr in subs]
+        comp_levels = [eff_levels(isot, c) for c in range(ncomp)]
+        comp_precincts = [
+            None if precincts is None
+            else (precincts if lv == levels
+                  else [precincts[0]] * (lv + 1))
+            for lv in comp_levels
+        ]
+        if not canvas:
+            for c in range(ncomp):
+                _check_precinct_alignment(
+                    [tboxes[c]], comp_levels[c], comp_precincts[c]
+                )
         pinfo = _precinct_info(
-            [b[2:] for b in tboxes], levels, precincts, subs,
+            [b[2:] for b in tboxes], max(comp_levels), None, subs,
+            origins=[b[:2] for b in tboxes] if canvas else None,
+            comp_levels=comp_levels, comp_precincts=comp_precincts,
         )
+        hdrb = b""
+        for c in sorted(tile_coc.get(isot, {})):
+            hdrb += _coc_seg(c, tile_coc[isot][c])
+            hdrb += _qcc_seg(c, gov_exps[("tqcc", isot, c)])
         _emit_tile(
             out, isot,
-            _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
-                          sop, eph, prog, pinfo, cbstyle),
+            _tile_packets(tile_res[isot],
+                          [mbs_for(isot, c) for c in range(ncomp)],
+                          max(comp_levels), layers,
+                          sop, eph, prog, pinfo, cbstyle,
+                          comp_levels=comp_levels),
             tile_parts,
+            header_bytes=hdrb,
         )
     out += b"\xff\xd9"  # EOC
     if not jp2:
@@ -2341,6 +2568,121 @@ def _encode_jpx_lossy(
 # =====================================================================
 
 
+def _parse_cod(seg: bytes) -> dict:
+    """COD segment (A.6.1) → the coding-style dict keys."""
+    scod = seg[0]
+    prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
+    mct = seg[4]
+    if layers < 1:
+        raise JPXError("zero quality layers")
+    if prog > 4:
+        raise JPXError(f"bad progression order {prog}")
+    levels = seg[5]
+    cbw, cbh = seg[6] + 2, seg[7] + 2
+    cbstyle = seg[8]
+    if cbstyle & ~0x3F:
+        raise JPXError(
+            f"undefined code-block style bits 0x{cbstyle:02x}"
+        )
+    transform = seg[9]
+    if transform not in (0, 1):
+        raise JPXError(f"bad wavelet transform byte {transform}")
+    precincts = _parse_precinct_bytes(seg[10:], levels) \
+        if scod & 0x01 else None
+    return dict(
+        prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
+        transform=transform, layers=layers, cbstyle=cbstyle,
+        sop=bool(scod & 0x02), eph=bool(scod & 0x04),
+        precincts=precincts,
+    )
+
+
+def _parse_precinct_bytes(pp: bytes, levels: int) -> list:
+    """Per-resolution precinct-size bytes (B.6) → [(ppx, ppy)],
+    enforcing the engine's 64x64 code-block floor."""
+    if len(pp) < levels + 1:
+        raise JPXError("precinct byte list truncated")
+    precincts = [(b & 0x0F, b >> 4) for b in pp[:levels + 1]]
+    for r, (ppx, ppy) in enumerate(precincts):
+        # the engine's 64x64 code blocks must not be SPLIT by
+        # precinct boundaries (band-domain precinct dims are halved
+        # for r > 0)
+        floor_exp = _CB_EXP if r == 0 else _CB_EXP + 1
+        if ppx < floor_exp or ppy < floor_exp:
+            raise JPXUnsupported(
+                f"precinct size 2^{ppx}x2^{ppy} at resolution {r} "
+                "splits the 64x64 code block"
+            )
+    return precincts
+
+
+def _parse_coc(seg: bytes, ncomp: int) -> tuple[int, dict]:
+    """COC segment (A.6.2) → (component, per-component coding-style
+    overrides: levels / cb_exp / cbstyle / transform / precincts)."""
+    if ncomp < 257:
+        comp, at = seg[0], 1
+    else:
+        comp, at = struct.unpack_from(">H", seg, 0)[0], 2
+    if len(seg) < at + 6:
+        raise JPXError("truncated COC segment")
+    scoc = seg[at]
+    levels = seg[at + 1]
+    cb = (seg[at + 2] + 2, seg[at + 3] + 2)
+    cbstyle = seg[at + 4]
+    if cbstyle & ~0x3F:
+        raise JPXError(
+            f"undefined COC code-block style bits 0x{cbstyle:02x}"
+        )
+    transform = seg[at + 5]
+    if transform not in (0, 1):
+        raise JPXError(f"bad COC wavelet transform byte {transform}")
+    precincts = _parse_precinct_bytes(seg[at + 6:], levels) \
+        if scoc & 0x01 else None
+    return comp, dict(
+        levels=levels, cb_exp=cb, cbstyle=cbstyle,
+        transform=transform, precincts=precincts,
+    )
+
+
+def _parse_qcd(seg: bytes) -> dict:
+    """QCD segment (A.6.4) → quantization entry."""
+    style = seg[0] & 0x1F
+    entry = {"guard": seg[0] >> 5, "qstyle": style}
+    if style == 0:  # no quantization (reversible): 8-bit exps
+        entry["exps"] = [b >> 3 for b in seg[1:]]
+    elif style in (1, 2):  # scalar derived / expounded: 16-bit
+        entry["qvals"] = [
+            ((v := struct.unpack_from(">H", seg, i)[0]) >> 11,
+             v & 0x7FF)
+            for i in range(1, len(seg) - 1, 2)
+        ]
+    else:
+        raise JPXError(f"bad quantization style {style}")
+    return entry
+
+
+def _parse_qcc(seg: bytes, ncomp: int) -> tuple[int, dict]:
+    """QCC segment (A.6.5) → (component, quantization entry)."""
+    if ncomp < 257:
+        comp, at = seg[0], 1
+    else:
+        comp, at = struct.unpack_from(">H", seg, 0)[0], 2
+    sqcc = seg[at]
+    style = sqcc & 0x1F
+    entry = {"guard": sqcc >> 5, "qstyle": style}
+    if style == 0:
+        entry["exps"] = [b >> 3 for b in seg[at + 1:]]
+    elif style in (1, 2):
+        entry["qvals"] = [
+            ((v := struct.unpack_from(">H", seg, i)[0]) >> 11,
+             v & 0x7FF)
+            for i in range(at + 1, len(seg) - 1, 2)
+        ]
+    else:
+        raise JPXError(f"bad QCC quantization style {style}")
+    return comp, entry
+
+
 def _parse_markers(data: bytes):
     """Main-header markers up to SOT → dict + tile-part offset."""
     if data[:2] != b"\xff\x4f":
@@ -2362,11 +2704,18 @@ def _parse_markers(data: bytes):
             (rsiz, xs, ys, xo, yo, xts, yts, xto, yto, ncomp) = (
                 struct.unpack_from(">HIIIIIIIIH", seg, 0)
             )
-            if xo or yo or xto or yto:
-                raise JPXUnsupported("non-zero image/tile offsets")
             if xts <= 0 or yts <= 0:
                 raise JPXError("non-positive tile size")
-            ntiles = ((xs + xts - 1) // xts) * ((ys + yts - 1) // yts)
+            # canvas offsets (B.3, round-8): XTO/YTO must not exceed
+            # XO/YO and the first tile must reach the image area
+            if not (0 <= xto <= xo < xto + xts
+                    and 0 <= yto <= yo < yto + yts):
+                raise JPXError(
+                    f"inconsistent canvas offsets XO={xo} YO={yo} "
+                    f"XTO={xto} YTO={yto}"
+                )
+            ntiles = (((xs - xto) + xts - 1) // xts) \
+                * (((ys - yto) + yts - 1) // yts)
             if ntiles > 1 << 16:  # Isot is 16-bit
                 raise JPXError("implausible tile count")
             depths = []
@@ -2397,84 +2746,25 @@ def _parse_markers(data: bytes):
                     f"image dimensions {xs}x{ys}x{ncomp} exceed the "
                     f"{_MAX_PIXELS}-sample decode bound"
                 )
+            if xs <= xo or ys <= yo:
+                raise JPXError("empty image area (Xsiz <= XOsiz)")
             hdr.update(width=xs, height=ys, ncomp=ncomp,
                        depth=depths[0], tile_w=xts, tile_h=yts,
-                       subs=subs)
+                       subs=subs, xo=xo, yo=yo, xto=xto, yto=yto)
         elif marker == 0x52:  # COD
-            scod = seg[0]
-            prog, layers = seg[1], struct.unpack_from(">H", seg, 2)[0]
-            mct = seg[4]
-            if layers < 1:
-                raise JPXError("zero quality layers")
-            if prog > 4:
-                raise JPXError(f"bad progression order {prog}")
-            levels = seg[5]
-            cbw, cbh = seg[6] + 2, seg[7] + 2
-            cbstyle = seg[8]
-            if cbstyle & ~0x3F:
-                raise JPXError(
-                    f"undefined code-block style bits 0x{cbstyle:02x}"
-                )
-            transform = seg[9]
-            if transform not in (0, 1):
-                raise JPXError(f"bad wavelet transform byte {transform}")
-            precincts = None
-            if scod & 0x01:  # per-resolution precinct sizes (B.6)
-                pp = seg[10:10 + levels + 1]
-                if len(pp) < levels + 1:
-                    raise JPXError("COD precinct byte list truncated")
-                precincts = [(b & 0x0F, b >> 4) for b in pp]
-                for r, (ppx, ppy) in enumerate(precincts):
-                    # the engine's 64x64 code blocks must not be
-                    # SPLIT by precinct boundaries (band-domain
-                    # precinct dims are halved for r > 0)
-                    floor_exp = _CB_EXP if r == 0 else _CB_EXP + 1
-                    if ppx < floor_exp or ppy < floor_exp:
-                        raise JPXUnsupported(
-                            f"precinct size 2^{ppx}x2^{ppy} at "
-                            f"resolution {r} splits the 64x64 code "
-                            "block"
-                        )
-            hdr.update(
-                prog=prog, levels=levels, cb_exp=(cbw, cbh), mct=mct,
-                transform=transform, layers=layers, cbstyle=cbstyle,
-                sop=bool(scod & 0x02), eph=bool(scod & 0x04),
-                precincts=precincts,
-            )
+            hdr.update(_parse_cod(seg))
         elif marker == 0x5C:  # QCD
-            style = seg[0] & 0x1F
-            hdr["guard"] = seg[0] >> 5
-            hdr["qstyle"] = style
-            if style == 0:  # no quantization (reversible): 8-bit exps
-                hdr["exps"] = [b >> 3 for b in seg[1:]]
-            elif style in (1, 2):  # scalar derived / expounded: 16-bit
-                vals = [
-                    struct.unpack_from(">H", seg, i)[0]
-                    for i in range(1, len(seg) - 1, 2)
-                ]
-                hdr["qvals"] = [(v >> 11, v & 0x7FF) for v in vals]
-            else:
-                raise JPXError(f"bad quantization style {style}")
+            entry = _parse_qcd(seg)
+            hdr["guard"] = entry["guard"]
+            hdr["qstyle"] = entry["qstyle"]
+            if "exps" in entry:
+                hdr["exps"] = entry["exps"]
+            if "qvals" in entry:
+                hdr["qvals"] = entry["qvals"]
         elif marker == 0x5D:  # QCC: per-component quantization
             if "ncomp" not in hdr:
                 raise JPXError("QCC before SIZ")
-            if hdr["ncomp"] < 257:
-                comp, at = seg[0], 1
-            else:
-                comp, at = struct.unpack_from(">H", seg, 0)[0], 2
-            sqcc = seg[at]
-            style = sqcc & 0x1F
-            entry = {"guard": sqcc >> 5, "qstyle": style}
-            if style == 0:
-                entry["exps"] = [b >> 3 for b in seg[at + 1:]]
-            elif style in (1, 2):
-                entry["qvals"] = [
-                    ((v := struct.unpack_from(">H", seg, i)[0]) >> 11,
-                     v & 0x7FF)
-                    for i in range(at + 1, len(seg) - 1, 2)
-                ]
-            else:
-                raise JPXError(f"bad QCC quantization style {style}")
+            comp, entry = _parse_qcc(seg, hdr["ncomp"])
             hdr.setdefault("qcc", {})[comp] = entry
         elif marker == 0x5E:  # RGN: region of interest (H.1)
             if "ncomp" not in hdr:
@@ -2516,7 +2806,7 @@ class _ResolutionState:
     __slots__ = ("bands", "mbs", "per_band", "cbstyle")
 
     def __init__(self, bands, mbs: list, wins: list | None = None,
-                 cbstyle: int = 0):
+                 cbstyle: int = 0, obx: int = 0, oby: int = 0):
         self.bands = bands
         self.mbs = mbs
         self.cbstyle = cbstyle
@@ -2524,16 +2814,17 @@ class _ResolutionState:
         if wins is None:
             wins = [(0, 0, bw, bh) for (_, _, _, bw, bh) in bands]
         for (name, bx, by, bw, bh), mb, win in zip(bands, mbs, wins):
-            cells = _precinct_codeblocks(bw, bh, win)
+            cells = _precinct_codeblocks(bw, bh, win, obx, oby)
             if bw <= 0 or bh <= 0 or not cells:
                 self.per_band.append(None)
                 continue
             x0, y0, x1, y1 = win
-            gw = ((x1 + (1 << _CB_EXP) - 1) >> _CB_EXP) - (
-                x0 >> _CB_EXP
+            cbm = (1 << _CB_EXP) - 1
+            gw = ((obx + x1 + cbm) >> _CB_EXP) - (
+                (obx + x0) >> _CB_EXP
             )
-            gh = ((y1 + (1 << _CB_EXP) - 1) >> _CB_EXP) - (
-                y0 >> _CB_EXP
+            gh = ((oby + y1 + cbm) >> _CB_EXP) - (
+                (oby + y0) >> _CB_EXP
             )
             self.per_band.append({
                 "incl": TagTreeDecoder(gw, gh),
@@ -2680,7 +2971,19 @@ def decode_codestream(data: bytes):
     w, h = hdr["width"], hdr["height"]
     ncomp, levels = hdr["ncomp"], hdr["levels"]
     subs = hdr.get("subs") or [(1, 1)] * ncomp
-    comp_dims = [(-(-w // xr), -(-h // yr)) for xr, yr in subs]
+    xo, yo = hdr.get("xo", 0), hdr.get("yo", 0)
+    xto, yto = hdr.get("xto", 0), hdr.get("yto", 0)
+    canvas = bool(xo or yo or xto or yto)
+    if canvas and any(s != (1, 1) for s in subs):
+        raise JPXUnsupported(
+            "canvas offsets combined with component subsampling"
+        )
+    # component planes span [ceil(XO/XR), ceil(Xsiz/XR))
+    comp_orig = [(-(-xo // xr), -(-yo // yr)) for xr, yr in subs]
+    comp_dims = [
+        (-(-w // xr) - cox, -(-h // yr) - coy)
+        for (xr, yr), (cox, coy) in zip(subs, comp_orig)
+    ]
     # T.800 constrains the component transformation to components
     # 0-2 with identical separations — a stream signaling MCT over
     # mixed-subsampling components is malformed, not a regime
@@ -2688,41 +2991,48 @@ def decode_codestream(data: bytes):
         raise JPXError(
             "MCT signaled over components with different subsampling"
         )
-    if hdr["cb_exp"] != (_CB_EXP, _CB_EXP):
-        raise JPXUnsupported(
-            f"code-block size {hdr['cb_exp']} (engine uses 64x64)"
-        )
-    guard = hdr.get("guard", _GUARD_BITS)
-    transform, qstyle = hdr["transform"], hdr["qstyle"]
-    # T.800 Table A.30: "no quantization" pairs with the reversible
-    # 5/3 transform, scalar quantization with the irreversible 9/7 —
-    # a mismatch is a malformed stream, not a supported regime
-    if transform == 1 and qstyle != 0:
-        raise JPXError("reversible 5/3 transform with scalar quantization")
-    if transform == 0 and qstyle == 0:
-        raise JPXError("irreversible 9/7 transform without quantization")
     depth = hdr["depth"]
-    # COC segments: some encoders emit per-component styles that just
-    # restate the COD — accept those; a genuinely different style
-    # stays a named unsupported (it would change band geometry)
+    # per-component coding parameters (round-8): COD defaults,
+    # main-header COC overrides (A.6.2 — levels/transform/cbstyle/
+    # precincts may genuinely DIFFER per component now); tile-part
+    # COD/COC/QCD/QCC (parsed from the first tile-part's header
+    # below) override further, with the A.6 precedence tile-COC >
+    # tile-COD > main-COC > main-COD.
+    main_coc: dict = {}
     for seg in hdr.get("coc_raw", ()):
-        at = 1 if hdr["ncomp"] < 257 else 2
-        if len(seg) < at + 6:
-            raise JPXError("truncated COC segment")
-        scoc = seg[at]
-        c_levels = seg[at + 1]
-        c_cb = (seg[at + 2] + 2, seg[at + 3] + 2)
-        c_style = seg[at + 4]
-        c_transform = seg[at + 5]
-        if (scoc & 1 or c_levels != hdr["levels"]
-                or c_cb != hdr["cb_exp"]
-                or c_style != hdr.get("cbstyle", 0)
-                or c_transform != hdr["transform"]):
-            raise JPXUnsupported(
-                "per-component coding style differs from COD (COC)"
-            )
+        comp, o = _parse_coc(seg, ncomp)
+        if comp >= ncomp:
+            raise JPXError(f"COC for component {comp} of {ncomp}")
+        main_coc[comp] = o
 
-    def quant_pairs(entry: dict):
+    def resolve_params(cod: dict, coc_by_c: dict) -> list:
+        """Effective per-component coding params from a COD dict +
+        COC overrides. A COC without its own precinct list resets to
+        the 2^15 default (A.6.2), mirroring COD's Scod bit 0."""
+        out = []
+        for c in range(ncomp):
+            p = dict(levels=cod["levels"], transform=cod["transform"],
+                     cbstyle=cod.get("cbstyle", 0),
+                     precincts=cod.get("precincts"),
+                     cb_exp=cod["cb_exp"])
+            o = coc_by_c.get(c)
+            if o is not None:
+                p.update(levels=o["levels"], transform=o["transform"],
+                         cbstyle=o["cbstyle"], cb_exp=o["cb_exp"],
+                         precincts=o["precincts"])
+            if p["cb_exp"] != (_CB_EXP, _CB_EXP):
+                raise JPXUnsupported(
+                    f"code-block size {p['cb_exp']} (engine uses "
+                    "64x64)"
+                )
+            if p["levels"] > 32:  # T.800 A.6.1: 0..32 levels
+                raise JPXError(
+                    f"bad decomposition level count {p['levels']}"
+                )
+            out.append(p)
+        return out
+
+    def quant_pairs(entry: dict, lv: int):
         """(eps, mu) per subband in QCD order from a QCD/QCC entry."""
         st = entry["qstyle"]
         if st == 0:
@@ -2733,88 +3043,125 @@ def decode_codestream(data: bytes):
             raise JPXError("empty quantization segment")
         e0, mu0 = entry["qvals"][0]
         out = [(e0, mu0)]
-        for r in range(1, levels + 1):
+        for r in range(1, lv + 1):
             out += [(e0 + 1 - r, mu0)] * 3
         return out
 
-    qcd_entry = {"qstyle": qstyle, "guard": guard,
-                 "exps": hdr.get("exps"), "qvals": hdr.get("qvals")}
-    # per-component quantization: QCD defaults, QCC overrides (A.6.5)
-    comp_entries = []
-    for c in range(hdr["ncomp"]):
-        e = hdr.get("qcc", {}).get(c, qcd_entry)
-        if (e["qstyle"] == 0) != (transform == 1):
-            raise JPXError(
-                "quantization style inconsistent with the transform"
-            )
-        comp_entries.append(e)
-    comp_pairs = [quant_pairs(e) for e in comp_entries]
-    comp_mbs = [
-        [eps + e["guard"] - 1 for eps, _ in p]
-        for e, p in zip(comp_entries, comp_pairs)
-    ]
-    # per-component, per-resolution Mb slices + (lossy) step sizes
-    qcd_index = {}  # (r, c) -> Mb slice
-    deltas = {}     # (r, c) -> step sizes
-    for c in range(ncomp):
-        k = 0
-        for r in range(levels + 1):
-            names = ["LL"] if r == 0 else ["HL", "LH", "HH"]
-            sl = comp_mbs[c][k:k + len(names)]
-            if len(sl) < len(names):
+    def resolve_quant(params: list, base_qcd: dict, qcc: dict):
+        """(qcd_index, deltas) keyed (r, c) for one tile: per-subband
+        Mb and (lossy) step sizes under the effective params.
+        T.800 Table A.30: "no quantization" pairs with the reversible
+        5/3 transform, scalar quantization with the irreversible 9/7
+        — a mismatch is a malformed stream, not a regime."""
+        qcd_index: dict = {}
+        deltas: dict = {}
+        for c, p in enumerate(params):
+            e = qcc.get(c, base_qcd)
+            if e is None or e.get("qstyle") is None:
+                raise JPXError("missing quantization segment")
+            tr = p["transform"]
+            if tr == 1 and e["qstyle"] != 0:
                 raise JPXError(
-                    "quantization exponent list shorter than subbands"
+                    "reversible 5/3 transform with scalar quantization"
                 )
-            qcd_index[(r, c)] = sl
-            if transform == 0:
-                deltas[(r, c)] = [
-                    _quant_delta(depth, _band_gain(nm),
-                                 *comp_pairs[c][k + i])
-                    for i, nm in enumerate(names)
-                ]
-            k += len(names)
-    prog = hdr["prog"]
-    precincts = hdr.get("precincts")
-    cbstyle = hdr.get("cbstyle", 0)
+            if tr == 0 and e["qstyle"] == 0:
+                raise JPXError(
+                    "irreversible 9/7 transform without quantization"
+                )
+            pairs = quant_pairs(e, p["levels"])
+            mbs = [eps + e["guard"] - 1 for eps, _ in pairs]
+            k = 0
+            for r in range(p["levels"] + 1):
+                names = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+                sl = mbs[k:k + len(names)]
+                if len(sl) < len(names):
+                    raise JPXError(
+                        "quantization exponent list shorter than "
+                        "subbands"
+                    )
+                qcd_index[(r, c)] = sl
+                if tr == 0:
+                    deltas[(r, c)] = [
+                        _quant_delta(depth, _band_gain(nm),
+                                     *pairs[k + i])
+                        for i, nm in enumerate(names)
+                    ]
+                k += len(names)
+        return qcd_index, deltas
+
+    main_params = resolve_params(hdr, main_coc)
+    # T.800 G: the component transformation needs one transform on
+    # components 0-2 — mixed per-component transforms under MCT are
+    # malformed
+    if hdr["mct"] and ncomp >= 3 and len(
+        {main_params[c]["transform"] for c in range(3)}
+    ) != 1:
+        raise JPXError("MCT over mixed per-component transforms")
+    main_qcd = {"qstyle": hdr.get("qstyle"),
+                "guard": hdr.get("guard", _GUARD_BITS),
+                "exps": hdr.get("exps"), "qvals": hdr.get("qvals")}
+    main_qcc = hdr.get("qcc", {})
     rgn = hdr.get("rgn", {})
     xts, yts = hdr["tile_w"], hdr["tile_h"]
-    ntx = (w + xts - 1) // xts
-    nty = (h + yts - 1) // yts
+    ntx = (w - xto + xts - 1) // xts
+    nty = (h - yto + yts - 1) // yts
     ntiles = ntx * nty
-    sop, eph = hdr.get("sop", False), hdr.get("eph", False)
     import numpy as np
 
-    layers = hdr.get("layers", 1)
-    if levels > 32:  # T.800 A.6.1: 0..32 decomposition levels
-        raise JPXError(f"bad decomposition level count {levels}")
     # every packet costs at least one header bit, so the packet count
     # a stream can legitimately carry is bounded by its bit length —
     # reject crafted layer/level counts BEFORE materializing any
     # per-packet state (the no-OOM invariant the SIZ bound promises)
-    if layers * (levels + 1) * ncomp > 8 * len(data) + 64:
+    max_levels = max(p["levels"] for p in main_params)
+    if hdr["layers"] * (max_levels + 1) * ncomp > 8 * len(data) + 64:
         raise JPXError(
-            f"{layers} layers x {levels + 1} resolutions x {ncomp} "
-            "components exceeds the stream's packet budget"
+            f"{hdr['layers']} layers x {max_levels + 1} resolutions "
+            f"x {ncomp} components exceeds the stream's packet budget"
         )
 
     def tile_comp_boxes(tx: int, ty: int):
         """Per-component (tcx0, tcy0, tcw, tch) of tile (tx, ty) in
         component coordinates (B.3 — the shared module helper)."""
         return [
-            _tile_comp_box(tx, ty, xts, yts, w, h, xr, yr)
+            _tile_comp_box(tx, ty, xts, yts, w, h, xr, yr,
+                           xo, yo, xto, yto)
             for xr, yr in subs
         ]
 
-    def decode_tile_planes(buf: bytes, boxes: list):
+    def decode_tile_planes(buf: bytes, boxes: list, tp: dict):
+        params = tp["params"]
+        qcd_index = tp["qcd_index"]
+        layers, prog = tp["layers"], tp["prog"]
+        sop, eph = tp["sop"], tp["eph"]
+        comp_levels = [p["levels"] for p in params]
+        comp_precincts = [p["precincts"] for p in params]
         pos = 0
         planes = [
             np.zeros((tch, tcw), np.int64)
             for (_, _, tcw, tch) in boxes
         ]
-        _check_precinct_alignment(boxes, levels, precincts)
+        for c, (tcx0, tcy0, tcw, tch) in enumerate(boxes):
+            if canvas:
+                # canvas-anchored geometry needs PHASE-SAFE origins:
+                # the band origins must divide exactly or the 5/3
+                # lifting phase (and the band dims) would shift
+                # (T.800 F.3)
+                lv = comp_levels[c]
+                if tcx0 % (1 << lv) or tcy0 % (1 << lv):
+                    raise JPXUnsupported(
+                        f"tile-component origin ({tcx0}, {tcy0}) not "
+                        f"a multiple of 2^{lv}: canvas offsets "
+                        "would shift the DWT phase"
+                    )
+            else:
+                _check_precinct_alignment(
+                    [boxes[c]], comp_levels[c], comp_precincts[c]
+                )
         pinfo = _precinct_info(
             [(tcw, tch) for (_, _, tcw, tch) in boxes],
-            levels, precincts, subs,
+            max(comp_levels), None, subs,
+            origins=[(b[0], b[1]) for b in boxes] if canvas else None,
+            comp_levels=comp_levels, comp_precincts=comp_precincts,
         )
         # every packet costs >= 1 header bit: reject crafted
         # layer/precinct counts BEFORE materializing the packet
@@ -2828,22 +3175,26 @@ def decode_codestream(data: bytes):
                 f"{layers} layers x {n_precincts} precincts exceeds "
                 "the tile's packet budget"
             )
-        order = _packet_order(prog, layers, levels, ncomp, pinfo)
+        order = _packet_order(prog, layers, max(comp_levels), ncomp,
+                              pinfo, comp_levels=comp_levels)
         states = {}
-        for r in range(levels + 1):
-            for c in range(ncomp):
+        for c in range(ncomp):
+            for r in range(comp_levels[c] + 1):
                 bands = _bands_for_resolution(
-                    boxes[c][2], boxes[c][3], levels, r
+                    boxes[c][2], boxes[c][3], comp_levels[c], r
                 )
                 band_dims = [(bw, bh) for (_, _, _, bw, bh) in bands]
-                npx, npy, _, _, ppx, ppy = pinfo[(r, c)]
+                info = pinfo[(r, c)]
+                npx, npy, _, _, ppx, ppy = info[:6]
+                base_x, base_y, obx, oby = info[6:10]
                 states[(r, c)] = [
                     _ResolutionState(
                         bands, qcd_index[(r, c)],
                         _precinct_band_windows(
-                            band_dims, r, ppx, ppy, pxi, pyi
+                            band_dims, r, ppx, ppy, pxi, pyi,
+                            base_x, base_y, obx, oby,
                         ),
-                        cbstyle,
+                        params[c]["cbstyle"], obx, oby,
                     )
                     for pyi in range(npy) for pxi in range(npx)
                 ]
@@ -2873,8 +3224,14 @@ def decode_codestream(data: bytes):
     pos = hdr["sot"]
     # a tile's packet stream may be SPLIT across tile-parts (TPsot
     # order, A.4.2) — collect every part's body, then decode each
-    # tile's concatenation as one stream
+    # tile's concatenation as one stream. The FIRST tile-part's
+    # header may carry per-tile COD/COC/QCD/QCC overrides (A.6.1-5,
+    # round-8: per-tile coding styles decode instead of erroring).
     parts: dict = {}
+    tile_cod: dict = {}
+    tile_coc: dict = {}
+    tile_qcd: dict = {}
+    tile_qcc: dict = {}
     while pos < len(data) and data[pos:pos + 2] != b"\xff\xd9":
         if data[pos:pos + 2] != b"\xff\x90":
             raise JPXError("expected SOT between tiles")
@@ -2886,8 +3243,41 @@ def decode_codestream(data: bytes):
             raise JPXError(f"bad tile index {isot}")
         tile_end = pos + psot if psot else len(data)
         body = pos + 2 + lsot
-        if data[body:body + 2] != b"\xff\x93":
-            raise JPXError("expected SOD")
+        while data[body:body + 2] != b"\xff\x93":  # SOD
+            if body + 4 > len(data) or data[body] != 0xFF:
+                raise JPXError("bad tile-part header marker")
+            tmark = data[body + 1]
+            tlen = struct.unpack_from(">H", data, body + 2)[0]
+            seg = data[body + 4:body + 2 + tlen]
+            if tmark in (0x52, 0x53, 0x5C, 0x5D) and tpsot != 0:
+                raise JPXError(
+                    "coding-style marker outside the first tile-part"
+                )
+            if tmark == 0x52:  # tile COD
+                cod = _parse_cod(seg)
+                if cod["mct"] != hdr["mct"]:
+                    raise JPXUnsupported(
+                        "per-tile MCT differs from the main header"
+                    )
+                tile_cod[isot] = cod
+            elif tmark == 0x53:  # tile COC
+                comp, o = _parse_coc(seg, ncomp)
+                if comp >= ncomp:
+                    raise JPXError(
+                        f"COC for component {comp} of {ncomp}"
+                    )
+                tile_coc.setdefault(isot, {})[comp] = o
+            elif tmark == 0x5C:  # tile QCD
+                tile_qcd[isot] = _parse_qcd(seg)
+            elif tmark == 0x5D:  # tile QCC
+                comp, entry = _parse_qcc(seg, ncomp)
+                tile_qcc.setdefault(isot, {})[comp] = entry
+            elif tmark in (0x5E, 0x5F, 0x61, 0x63):
+                raise JPXUnsupported(
+                    f"tile-part header marker 0x{tmark:02x}"
+                )
+            # COM/PLT/TLM and others: skip
+            body += 2 + tlen
         plist = parts.setdefault(isot, [])
         if any(tp == tpsot for tp, _ in plist):
             raise JPXError(f"duplicate tile-part {tpsot} of tile {isot}")
@@ -2897,41 +3287,80 @@ def decode_codestream(data: bytes):
         if not psot:  # unknown length: only legal for the last part
             break
         pos = tile_end
+
+    def tile_context(isot: int) -> dict:
+        """Effective decode parameters for one tile (A.6 precedence:
+        tile-COC > tile-COD > main-COC > main-COD; quantization
+        tile-QCC > tile-QCD > main-QCC > main-QCD)."""
+        cod = tile_cod.get(isot)
+        base = cod if cod is not None else hdr
+        coc: dict = {} if cod is not None else dict(main_coc)
+        coc.update(tile_coc.get(isot, {}))
+        params = resolve_params(base, coc)
+        if hdr["mct"] and ncomp >= 3 and len(
+            {params[c]["transform"] for c in range(3)}
+        ) != 1:
+            raise JPXError("MCT over mixed per-component transforms")
+        qcd = tile_qcd.get(isot)
+        qcc: dict = {} if qcd is not None else dict(main_qcc)
+        qcc.update(tile_qcc.get(isot, {}))
+        qcd_index, deltas = resolve_quant(
+            params, qcd if qcd is not None else main_qcd, qcc
+        )
+        return dict(
+            params=params, qcd_index=qcd_index, deltas=deltas,
+            layers=base.get("layers", hdr["layers"]),
+            prog=base.get("prog", hdr["prog"]),
+            sop=base.get("sop", hdr.get("sop", False)),
+            eph=base.get("eph", hdr.get("eph", False)),
+        )
+
     tiles: dict = {}
+    tile_ctx: dict = {}
     for isot, plist in parts.items():
         plist.sort()
         if [tp for tp, _ in plist] != list(range(len(plist))):
             raise JPXError(f"tile {isot} tile-parts not contiguous")
         tx, ty = isot % ntx, isot // ntx
+        tile_ctx[isot] = tile_context(isot)
         tiles[isot] = decode_tile_planes(
-            b"".join(b for _, b in plist), tile_comp_boxes(tx, ty)
+            b"".join(b for _, b in plist), tile_comp_boxes(tx, ty),
+            tile_ctx[isot],
         )
     if len(tiles) != ntiles:
         raise JPXError(
             f"codestream has {len(tiles)} of {ntiles} tiles"
         )
-    # per-tile inverse transform, assembled into the (component-
-    # resolution) image planes
+    # per-tile inverse transform (per-tile, per-component levels and
+    # transform), assembled into the component image planes
     out_comps = []
-    dtype = np.int64 if transform == 1 else np.float64
+    comp_irrev = [
+        any(tile_ctx[i]["params"][c]["transform"] == 0 for i in tiles)
+        for c in range(ncomp)
+    ]
     for c in range(ncomp):
         cw_c, ch_c = comp_dims[c]
-        img = np.zeros((ch_c, cw_c), dtype)
+        cox, coy = comp_orig[c]
+        img = np.zeros(
+            (ch_c, cw_c), np.float64 if comp_irrev[c] else np.int64
+        )
         for isot, tplanes in tiles.items():
             tx, ty = isot % ntx, isot // ntx
             tcx0, tcy0, tcw, tch = tile_comp_boxes(tx, ty)[c]
             if tcw <= 0 or tch <= 0:
                 continue
+            pc = tile_ctx[isot]["params"][c]
+            lv, tr = pc["levels"], pc["transform"]
             p = tplanes[c]
-            if transform == 1:
-                rec = _dwt53_inverse_2d_np(p, tcw, tch, levels)
+            if tr == 1:
+                rec = _dwt53_inverse_2d_np(p, tcw, tch, lv)
             else:
                 # scalar dequantization (E.1.1, midpoint r = 1/2)
                 f = np.zeros((tch, tcw), np.float64)
-                for r in range(levels + 1):
+                for r in range(lv + 1):
                     for (nm, bx, by, bw, bh), dl in zip(
-                        _bands_for_resolution(tcw, tch, levels, r),
-                        deltas[(r, c)],
+                        _bands_for_resolution(tcw, tch, lv, r),
+                        tile_ctx[isot]["deltas"][(r, c)],
                     ):
                         if bw <= 0 or bh <= 0:
                             continue
@@ -2939,11 +3368,12 @@ def decode_codestream(data: bytes):
                         f[by:by + bh, bx:bx + bw] = (
                             np.sign(q) * (np.abs(q) + 0.5) * dl
                         )
-                rec = _dwt97_inverse_2d_np(f, tcw, tch, levels)
-            img[tcy0:tcy0 + tch, tcx0:tcx0 + tcw] = rec
+                rec = _dwt97_inverse_2d_np(f, tcw, tch, lv)
+            img[tcy0 - coy:tcy0 - coy + tch,
+                tcx0 - cox:tcx0 - cox + tcw] = rec
         out_comps.append(img)
-    return (w, h, ncomp, out_comps, depth, bool(hdr["mct"]),
-            transform == 0, subs)
+    return (w - xo, h - yo, ncomp, out_comps, depth, bool(hdr["mct"]),
+            any(comp_irrev), subs)
 
 def _unwrap_jp2_info(data: bytes) -> tuple:
     """Extract the contiguous codestream from a JP2 container plus

@@ -263,10 +263,19 @@ class TestPerComponentQuantization:
         data = bytearray(base)
         data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc) + 2) + coc
         assert decode_jpx(bytes(data))[2] == bytes(range(64))
-        # a COC that DIFFERS from the COD stays named unsupported
-        coc2 = bytes([0, 0, 3, 4, 4, 0, 1])  # levels differ
+        # a COC that DIFFERS from the COD in levels now DECODES
+        # (round-8: per-component coding styles) — but the QCD must
+        # then carry enough subband exponents for the deeper
+        # decomposition, else the stream is malformed
+        coc2 = bytes([0, 0, 3, 4, 4, 0, 1])  # levels 3 vs COD's 1
         data = bytearray(base)
         data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc2) + 2) + coc2
+        with pytest.raises(JPXError, match="exponent list shorter"):
+            decode_jpx(bytes(data))
+        # a COC with an unsupported code-block size stays named
+        coc3 = bytes([0, 0, 1, 3, 3, 0, 1])  # 32x32 blocks
+        data = bytearray(base)
+        data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc3) + 2) + coc3
         with pytest.raises(JPXUnsupported):
             decode_jpx(bytes(data))
         # a truncated COC is malformed
