@@ -102,23 +102,36 @@ def _first_embedded_image(ctx: PageContext) -> bytes | None:
 
 
 def _embedded_image_meta(ctx: PageContext) -> str | None:
+    import hashlib
     import json
 
     imgs = ctx.codec.page_embedded_images(ctx.handle, ctx.page)
     if not imgs:
         return None
-    return json.dumps(
-        [
-            {
-                k: v
-                for k, v in e.items()
-                if k in ("name", "format", "width", "height",
-                         "colorspace", "bits", "decodable")
+
+    def one(e: dict) -> dict:
+        d = {
+            k: v
+            for k, v in e.items()
+            if k in ("name", "format", "width", "height",
+                     "colorspace", "bits", "decodable")
+        }
+        sm = e.get("smask")
+        if sm is not None:
+            # /SMask alpha surfaced as metadata + content hash (the
+            # raw alpha plane itself stays off the meta column — a
+            # consumer re-reads it via page_embedded_images)
+            d["smask"] = {
+                "width": sm["width"], "height": sm["height"],
+                "bits": sm["bits"], "decodable": sm["decodable"],
+                "alpha_sha256": (
+                    hashlib.sha256(sm["alpha"]).hexdigest()
+                    if sm.get("alpha") is not None else None
+                ),
             }
-            for e in imgs
-        ],
-        sort_keys=True,
-    )
+        return d
+
+    return json.dumps([one(e) for e in imgs], sort_keys=True)
 
 
 # embedded (as-authored) raster assets — distinct from `image`, which

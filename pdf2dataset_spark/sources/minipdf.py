@@ -1622,8 +1622,57 @@ class PdfDocument:
                 entry["decodable"] = True
                 if decode_pixels:
                     entry["pixels"] = data
+            # /SMask soft-mask alpha (ISO 32000-1 §11.6.5.2, round-8
+            # ask #9): surfaced ALONGSIDE the base payload as decoded
+            # 8-bit alpha samples — consumers compose RGBA instead of
+            # losing transparency
+            sm = self.resolve(sdict.get("/SMask")) \
+                if isinstance(sdict, dict) else None
+            if isinstance(sm, StreamObj):
+                entry["smask"] = self._smask_entry(sm)
             out.append(entry)
         return out
+
+    def _smask_entry(self, sm: StreamObj) -> dict:
+        """Decode a /SMask image stream into {width, height, bits,
+        decodable, alpha} — ``alpha`` is the raw 8-bit /DeviceGray
+        sample bytes when the chain fully decodes (Flate/raw) or the
+        payload is a decodable JPEG; honest decodable=False (alpha
+        None, compressed payload kept) otherwise."""
+        sd = sm.sdict
+        entry = {
+            "width": int(self.resolve(sd.get("/Width", 0)) or 0),
+            "height": int(self.resolve(sd.get("/Height", 0)) or 0),
+            "bits": int(
+                self.resolve(sd.get("/BitsPerComponent", 0)) or 0
+            ),
+            "decodable": False,
+            "alpha": None,
+        }
+        try:
+            data, stopped = self._decode_filters(sm, stop_at_image=True)
+        except (ValueError, zlib.error, IndexError, KeyError,
+                struct.error) as e:
+            entry["error"] = str(e)
+            return entry
+        if stopped is None:
+            entry["decodable"] = True
+            entry["alpha"] = data
+        elif stopped == "/DCTDecode":
+            try:
+                from pdf2dataset_spark.sources.jpeg import decode_jpeg
+
+                w, h, px = decode_jpeg(data)
+                entry["decodable"] = True
+                entry["alpha"] = px
+                entry["width"] = entry["width"] or w
+                entry["height"] = entry["height"] or h
+            except (ValueError, IndexError, struct.error, KeyError,
+                    zlib.error):
+                entry["data"] = data  # honest: compressed, kept
+        else:
+            entry["data"] = data
+        return entry
 
 
 # ---------------------------------------------------------------------
@@ -3366,6 +3415,14 @@ def build_pdf(
         if _img.get("globals") is not None:
             glob_nums[_j] = _next
             _next += 1
+    # images may carry an ``"smask"`` dict ({width, height, data,
+    # filter?, bits?}) → a /DeviceGray soft-mask image object
+    # referenced from the base image's /SMask (ISO 32000-1 §11.6.5)
+    smask_nums: dict[int, int] = {}
+    for _j, _img in enumerate(images):
+        if _img.get("smask") is not None:
+            smask_nums[_j] = _next
+            _next += 1
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
     objs.append(
@@ -3435,6 +3492,8 @@ def build_pdf(
             f" /BitsPerComponent {img.get('bits', 8)}"
             + (f" /Filter {filt}" if filt else "")
             + parms_s
+            + (f" /SMask {smask_nums[j]} 0 R" if j in smask_nums
+               else "")
             + f" /Length {len(payload)} >>"
         )
         objs.append(
@@ -3447,6 +3506,23 @@ def build_pdf(
         objs.append(
             f"<< /Length {len(payload)} >>".encode()
             + b"\nstream\n" + payload + b"\nendstream"
+        )
+    for j, _num in sorted(smask_nums.items(), key=lambda kv: kv[1]):
+        sm = images[j]["smask"]
+        payload = sm["data"]
+        if enc_key is not None:
+            payload = obj_enc(_num, payload)
+        sfilt = sm.get("filter")
+        head = (
+            f"<< /Type /XObject /Subtype /Image"
+            f" /Width {sm['width']} /Height {sm['height']}"
+            f" /ColorSpace /DeviceGray"
+            f" /BitsPerComponent {sm.get('bits', 8)}"
+            + (f" /Filter {sfilt}" if sfilt else "")
+            + f" /Length {len(payload)} >>"
+        )
+        objs.append(
+            head.encode() + b"\nstream\n" + payload + b"\nendstream"
         )
     info_clause = b""
     if info:

@@ -3483,3 +3483,95 @@ class TestTilingPatterns:
         by_word = {b["word"]: b for b in boxes}
         assert by_word["big"]["y1"] - by_word["big"]["y0"] == 150.0
         assert by_word["after"]["y1"] - by_word["after"]["y0"] == 12.0
+
+
+class TestSMask:
+    """/SMask soft-mask alpha surfaced alongside embedded images
+    (round-8 ask #9, ISO 32000-1 §11.6.5.2)."""
+
+    @staticmethod
+    def _masked_pdf(encrypt=None, smask_filter="/FlateDecode"):
+        w, h = 16, 8
+        px = bytes((x * 16 + y) % 256 for y in range(h) for x in range(w))
+        alpha = bytes(
+            255 if x < w // 2 else 40 for y in range(h) for x in range(w)
+        )
+        data = zlib.compress(alpha) if smask_filter else alpha
+        kwargs = {}
+        if encrypt is not None:
+            kwargs = dict(encrypt=encrypt, encrypt_rev=4)
+        pdf = minipdf.build_pdf(
+            ["masked"],
+            images=[{
+                "width": w, "height": h, "data": px,
+                "smask": {"width": w, "height": h, "data": data,
+                          "filter": smask_filter},
+            }],
+            **kwargs,
+        )
+        return pdf, px, alpha
+
+    def test_smask_alpha_roundtrip(self):
+        pdf, px, alpha = self._masked_pdf()
+        doc = minipdf.PdfDocument(pdf)
+        [e] = doc.page_images(doc.pages()[0])
+        assert e["data"] == px
+        sm = e["smask"]
+        assert (sm["width"], sm["height"]) == (16, 8)
+        assert sm["decodable"] is True
+        assert sm["alpha"] == alpha
+
+    def test_smask_uncompressed(self):
+        pdf, _, alpha = self._masked_pdf(smask_filter=None)
+        doc = minipdf.PdfDocument(pdf)
+        [e] = doc.page_images(doc.pages()[0])
+        assert e["smask"]["alpha"] == alpha
+
+    def test_smask_through_encryption(self):
+        pdf, _, alpha = self._masked_pdf(encrypt="pw")
+        codec = PdfCodec(password="pw")
+        hd = codec.open(pdf)
+        [e] = codec.page_embedded_images(hd, 1)
+        assert e["smask"]["alpha"] == alpha
+
+    def test_smask_meta_json(self):
+        import hashlib
+        import json
+
+        from pdf2dataset_spark.operators.features import (
+            _embedded_image_meta,
+            PageContext,
+        )
+
+        pdf, _, alpha = self._masked_pdf()
+        codec = PdfCodec()
+        hd = codec.open(pdf)
+        ctx = PageContext(
+            path="masked.pdf", codec=codec, handle=hd, page=1
+        )
+        [m] = json.loads(_embedded_image_meta(ctx))
+        assert m["smask"]["decodable"] is True
+        assert m["smask"]["alpha_sha256"] == hashlib.sha256(
+            alpha
+        ).hexdigest()
+
+    def test_corrupt_smask_honest_false(self):
+        # a /FlateDecode smask whose payload is not flate at all
+        # (the tolerant inflater recovers clobbered HEADERS, so the
+        # fixture must be undecodable outright)
+        w, h = 16, 8
+        broken = minipdf.build_pdf(
+            ["masked"],
+            images=[{
+                "width": w, "height": h, "data": bytes(64),
+                "smask": {"width": w, "height": h,
+                          "data": b"definitely not a flate stream",
+                          "filter": "/FlateDecode"},
+            }],
+        )
+        doc = minipdf.PdfDocument(broken)
+        [e] = doc.page_images(doc.pages()[0])
+        sm = e["smask"]
+        assert sm["decodable"] is False and sm["alpha"] is None
+        # the base image still extracts
+        assert e["decodable"] is True
