@@ -39,11 +39,14 @@ pHash paths exactly like JPEG and CCITT ones do:
   SDHUFF symbol dictionaries with per-height-class collective
   bitmaps (uncompressed or MMR), SBHUFF text regions with
   runcode-built symbol ID codes, standard + custom (type 53) tables,
-  and (round 8) SBREFINE=1 refined instances (§6.4.11: raw RI bit,
-  B.14/B.15 delta tables, byte-aligned embedded MQ refinement of
-  BMSIZE bytes). Huffman refinement/aggregate symbol DICTIONARIES
-  (SDHUFF=1 + SDREFAGG=1) still raise :class:`JBIG2Unsupported`
-  with a named reason (kept honest; payload preserved).
+  and (round 8) the full Huffman-REFINEMENT regime: SBREFINE=1 text
+  region instances (§6.4.11: raw RI bit, B.14/B.15 delta tables,
+  byte-aligned embedded MQ refinement of BMSIZE bytes) AND
+  SDREFAGG=1 symbol dictionaries (§6.5.8.2: per-symbol REFAGGNINST,
+  raw-bit pool ID, B.15 deltas, embedded MQ refinement). Huffman
+  TRUE aggregates (REFAGGNINST > 1 — a nested Huffman text region)
+  still raise :class:`JBIG2Unsupported` with a named reason (kept
+  honest; payload preserved).
 - **Pattern dictionary + halftone regions** (T.88 §6.7 / §6.6):
   Gray-coded arithmetic/MMR grayscale bitplanes stamping dictionary
   patterns on the (skewable) 8.8 fixed-point grid — the dithered-
@@ -76,8 +79,8 @@ class JBIG2Error(ValueError):
 
 class JBIG2Unsupported(JBIG2Error):
     """Valid JBIG2 feature outside this decoder's scope (e.g.
-    Huffman refinement/aggregate symbol dictionaries, unvalidated
-    standard Huffman tables B.7/B.10)."""
+    Huffman TRUE-aggregate symbol dictionaries with REFAGGNINST > 1,
+    unvalidated standard Huffman tables B.7/B.10)."""
 
 
 #: default decode-size sanity bound (pixels): ample for any real
@@ -1050,10 +1053,6 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
     flags = struct.unpack_from(">H", seg_data, 0)[0]
     pos = 2
     if flags & 1:
-        if flags & 2:
-            raise JBIG2Unsupported(
-                "Huffman refinement/aggregate symbol dictionary"
-            )
         return _decode_symbol_dict_huffman(
             seg_data, pos, flags, input_syms, tables or []
         ), None
@@ -1196,11 +1195,23 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
     heights/widths via Annex-B tables, per-height-class bitmaps as
     one collective bitmap — BMSIZE=0 → uncompressed row-padded,
     else MMR — sliced apart by the decoded widths. Export runs use
-    Table B.1 (§6.5.10)."""
+    Table B.1 (§6.5.10).
+
+    SDREFAGG=1 (§6.5.8.2, the Huffman-REFINEMENT dictionary regime,
+    round-8 close): every new symbol decodes individually —
+    REFAGGNINST through its selected table, and for the single-
+    instance case the reference symbol ID as raw log2(pool) bits,
+    RDX/RDY through Table B.15, BMSIZE through the SDHUFFBMSIZE
+    table, then a byte-aligned embedded MQ-arithmetic refinement of
+    BMSIZE bytes against the pool symbol. Huffman TRUE aggregates
+    (REFAGGNINST > 1 — a nested Huffman text region) stay a named
+    decline."""
     from pdf2dataset_spark.sources import jbig2_huffman as jh
 
     if flags & 0x100 or flags & 0x200:
         raise JBIG2Unsupported("retained bitmap coding contexts")
+    refagg = bool(flags & 2)
+    rtemplate = (flags >> 12) & 1
     it = iter(tables)
 
     def custom(what: str):
@@ -1220,8 +1231,12 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
     tb_dw = (jh.standard_table(2) if dw_sel == 0
              else jh.standard_table(3) if dw_sel == 1 else custom("DW"))
     tb_bm = jh.standard_table(1) if bm_sel == 0 else custom("BMSIZE")
-    if ag_sel:  # consume to keep reference order; unused without REFAGG
-        custom("AGG")
+    tb_ag = jh.standard_table(1) if ag_sel == 0 else custom("AGG")
+    rat: tuple = ()
+    if refagg and rtemplate == 0:
+        if pos + 4 > len(seg_data):
+            raise JBIG2Error("truncated refinement AT pixels")
+        rat, pos = _read_at(seg_data, pos, 2)
     if pos + 8 > len(seg_data):
         raise JBIG2Error("truncated symbol dictionary header")
     num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
@@ -1258,7 +1273,47 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
             _check_dims(sym_width, hc_height, "symbol")
             if len(new_syms) + len(widths) >= num_new:
                 raise JBIG2Error("more new symbols than declared")
-            widths.append(sym_width)
+            if not refagg:
+                widths.append(sym_width)
+                continue
+            # §6.5.8.2 with SDHUFF=1: the symbol decodes HERE as a
+            # refinement of an already-available pool symbol
+            ninst = tb_ag.decode(br)
+            if ninst is jh.OOB:
+                raise JBIG2Error("OOB aggregate instance count")
+            if ninst != 1:
+                raise JBIG2Unsupported(
+                    "Huffman true-aggregate symbol dictionary "
+                    f"(REFAGGNINST {ninst})"
+                )
+            pool = len(input_syms) + num_new
+            codelen = max(1, ceil(log2(max(2, pool))))
+            ref_id = br.bits(codelen)
+            rdx = jh.standard_table(15).decode(br)
+            rdy = jh.standard_table(15).decode(br)
+            if rdx is jh.OOB or rdy is jh.OOB:
+                raise JBIG2Error("OOB refinement offset")
+            bmsize = tb_bm.decode(br)
+            if bmsize is jh.OOB or bmsize <= 0:
+                raise JBIG2Error("bad refinement BMSIZE")
+            avail = input_syms + new_syms
+            if not 0 <= ref_id < len(avail):
+                raise JBIG2Error(
+                    f"refinement base {ref_id} out of range"
+                )
+            start = br.align()
+            if start + bmsize > len(seg_data):
+                raise JBIG2Error("refinement data past segment end")
+            new_syms.append(
+                decode_refinement(
+                    MQDecoder(seg_data[start:start + bmsize]), {},
+                    sym_width, hc_height, avail[ref_id],
+                    dx=rdx, dy=rdy, template=rtemplate, at=rat,
+                )
+            )
+            br.seek_byte(start + bmsize)
+        if refagg:
+            continue  # symbols decoded inline: no collective bitmap
         if not widths:
             # T.88 6.5.5 permits a height class with no symbols
             # (immediate OOB): a no-op — no collective bitmap follows
@@ -2595,6 +2650,166 @@ def encode_halftone_page(patterns, values, hgx: int = 0, hgy: int = 0,
     body += _segment_header(
         2, SEG_HALFTONE[2], 1, len(ht), refs=(1,)
     ) + bytes(ht)
+    return bytes(body)
+
+
+def encode_huffman_refagg_page(
+    bases,
+    refined,
+    placements,
+    width: int,
+    height: int,
+):
+    """Author a page whose SECOND symbol dictionary is the Huffman-
+    REFINEMENT regime (SDHUFF=1 + SDREFAGG=1, §6.5.8.2 — the round-8
+    close): dictionary 1 is a plain SDHUFF collective-bitmap dict
+    exporting ``bases``; dictionary 2 refines pool symbols into new
+    ones — ``refined`` is a list of ``(base index, target rows, rdx,
+    rdy)`` — each coded as REFAGGNINST=1 (B.1), a raw-bit symbol ID,
+    B.15 deltas, B.1 BMSIZE and a byte-aligned embedded MQ
+    refinement. The text region indexes dictionary 2's exports
+    (bases first in dict-1 export order, then the refined symbols in
+    ``refined`` order); ``placements`` are (symbol, x, y) against
+    that order. Returns the embedded JBIG2 body (globals inline)."""
+    from pdf2dataset_spark.sources import jbig2_huffman as jh
+
+    bases = [[bytearray(r) for r in s] for s in bases]
+    if not bases or not refined or not placements:
+        raise JBIG2Error("need bases, refinements and placements")
+    # ---- dictionary 1: plain SDHUFF, uncompressed collective
+    order1 = sorted(range(len(bases)),
+                    key=lambda i: (len(bases[i]), len(bases[i][0])))
+    tb_dh = jh.standard_table(4)
+    tb_dw = jh.standard_table(2)
+    tb_bm = jh.standard_table(1)
+    tb_ex = jh.standard_table(1)
+    tb_rd = jh.standard_table(15)
+    bw = jh.BitWriter()
+    hc_height = 0
+    i = 0
+    while i < len(order1):
+        hgt = len(bases[order1[i]])
+        tb_dh.encode(bw, hgt - hc_height)
+        hc_height = hgt
+        group = []
+        while i < len(order1) and len(bases[order1[i]]) == hgt:
+            group.append(order1[i])
+            i += 1
+        sym_width = 0
+        for si in group:
+            tb_dw.encode(bw, len(bases[si][0]) - sym_width)
+            sym_width = len(bases[si][0])
+        tb_dw.encode(bw, jh.OOB)
+        tot = sum(len(bases[si][0]) for si in group)
+        tb_bm.encode(bw, 0)
+        bw.align()
+        stride = (tot + 7) >> 3
+        packed = bytearray(stride * hgt)
+        x0 = 0
+        for si in group:
+            for yy in range(hgt):
+                for xx, bit in enumerate(bases[si][yy]):
+                    if bit:
+                        packed[yy * stride + ((x0 + xx) >> 3)] |= (
+                            0x80 >> ((x0 + xx) & 7)
+                        )
+            x0 += len(bases[si][0])
+        bw.raw_bytes(bytes(packed))
+    tb_ex.encode(bw, 0)
+    tb_ex.encode(bw, len(bases))
+    sd1 = (struct.pack(">H", 1)
+           + struct.pack(">II", len(bases), len(bases))
+           + bw.getvalue())
+    pool1 = [bases[si] for si in order1]  # dict-1 export order
+    # ---- dictionary 2: SDHUFF + SDREFAGG refinement symbols
+    n_pool = len(pool1) + len(refined)
+    codelen = max(1, ceil(log2(max(2, n_pool))))
+    order2 = sorted(
+        range(len(refined)),
+        key=lambda i: (len(refined[i][1]), len(refined[i][1][0])),
+    )
+    bw = jh.BitWriter()
+    hc_height = 0
+    i = 0
+    while i < len(order2):
+        hgt = len(refined[order2[i]][1])
+        tb_dh.encode(bw, hgt - hc_height)
+        hc_height = hgt
+        sym_width = 0
+        while i < len(order2) and len(refined[order2[i]][1]) == hgt:
+            base_i, target, rdx, rdy = refined[order2[i]]
+            target = [bytearray(r) for r in target]
+            tb_dw.encode(bw, len(target[0]) - sym_width)
+            sym_width = len(target[0])
+            tb_bm.encode(bw, 1)  # REFAGGNINST = 1 (via B.1)
+            bw.bits(base_i, codelen)  # raw-bit pool symbol ID
+            tb_rd.encode(bw, rdx)
+            tb_rd.encode(bw, rdy)
+            enc = MQEncoder()
+            encode_refinement(
+                enc, {}, target, pool1[base_i],
+                dx=rdx, dy=rdy, template=0,
+            )
+            data = enc.flush()
+            tb_bm.encode(bw, len(data))
+            bw.align()
+            bw.raw_bytes(data)
+            i += 1
+        tb_dw.encode(bw, jh.OOB)
+    tb_ex.encode(bw, 0)
+    tb_ex.encode(bw, n_pool)  # export the whole pool
+    sd2 = (struct.pack(">H", 1 | 2)  # SDHUFF | SDREFAGG, template 0
+           + struct.pack(">bbbb", -1, -1, -1, -1)  # nominal GR AT
+           + struct.pack(">II", n_pool, len(refined))
+           + bw.getvalue())
+    # ---- text region over dictionary 2's exports
+    exported = pool1 + [
+        [bytearray(r) for r in refined[i][1]] for i in order2
+    ]
+    bw = jh.BitWriter()
+    symtab = jh.write_symbol_id_codes(bw, len(exported))
+    tb_dt = jh.standard_table(11)
+    tb_fs = jh.standard_table(6)
+    tb_ds = jh.standard_table(8)
+    by_t: dict = {}
+    for sym_i, px_, py_ in placements:
+        by_t.setdefault(py_, []).append((px_, sym_i))
+    tb_dt.encode(bw, 1)
+    stript = -1
+    firsts = 0
+    for t in sorted(by_t):
+        tb_dt.encode(bw, t - stript)
+        stript = t
+        xs = sorted(by_t[t])
+        first_x = xs[0][0]
+        tb_fs.encode(bw, first_x - firsts)
+        firsts = first_x
+        curs = firsts
+        for j, (px_, sym_i) in enumerate(xs):
+            if j:
+                tb_ds.encode(bw, px_ - curs)
+                curs = px_
+            symtab.encode(bw, sym_i)
+            curs += len(exported[sym_i][0]) - 1
+        tb_ds.encode(bw, jh.OOB)
+    tr = bytearray(struct.pack(">IIII", width, height, 0, 0))
+    tr.append(0)
+    tr += struct.pack(">H", 1 | (1 << 4))  # SBHUFF, TOPLEFT
+    tr += struct.pack(">H", 0)
+    tr += struct.pack(">I", len(placements))
+    tr += bw.getvalue()
+    page_info = (struct.pack(">IIII", width, height, 0, 0) + bytes([0])
+                 + struct.pack(">H", 0))
+    body = bytearray()
+    body += _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) \
+        + page_info
+    body += _segment_header(1, SEG_SYMBOL_DICT, 1, len(sd1)) + bytes(sd1)
+    body += _segment_header(
+        2, SEG_SYMBOL_DICT, 1, len(sd2), refs=(1,)
+    ) + bytes(sd2)
+    body += _segment_header(
+        3, SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), refs=(2,)
+    ) + bytes(tr)
     return bytes(body)
 
 

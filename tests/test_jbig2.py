@@ -248,15 +248,15 @@ class TestEmbeddedStream:
     def test_huffman_symbol_dict_named_unsupported(self):
         page_info = (struct.pack(">IIII", 8, 8, 0, 0) + bytes([0])
                      + struct.pack(">H", 0))
-        # SDHUFF+SDREFAGG stays a NAMED unsupported regime; a bare
-        # truncated SDHUFF dictionary is now decoded (and fails as
-        # malformed, not unsupported — Huffman dictionaries are real)
+        # SDHUFF+SDREFAGG now DECODES (round 8, §6.5.8.2): a
+        # grammar-valid dictionary with the flags but a TRUNCATED
+        # body fails as malformed, not unsupported
         sd = struct.pack(">H", 3)  # SDHUFF=1, SDREFAGG=1
         stream = (
             _segment_header(0, SEG_PAGE_INFO, 1, len(page_info)) + page_info
             + _segment_header(1, SEG_SYMBOL_DICT, 1, len(sd)) + sd
         )
-        with pytest.raises(JBIG2Unsupported):
+        with pytest.raises(JBIG2Error):
             decode_embedded(stream)
         sd = struct.pack(">H", 1)  # SDHUFF=1, truncated body
         stream = (

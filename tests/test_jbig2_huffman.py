@@ -251,7 +251,10 @@ class TestHuffmanPage:
         with pytest.raises(jh.JBIG2Error):
             jbig2.decode_embedded(bytes(out))
 
-    def test_huffman_refagg_dict_named_unsupported(self):
+    def test_huffman_refagg_dict_truncated_is_malformed(self):
+        # SDHUFF | SDREFAGG now DECODES (round 8) — a dictionary
+        # with the flags but a truncated body is a malformed stream,
+        # not an unsupported regime
         page_info = (struct.pack(">IIII", 8, 8, 0, 0) + bytes([0])
                      + struct.pack(">H", 0))
         sd = struct.pack(">H", 3)  # SDHUFF | SDREFAGG
@@ -262,8 +265,69 @@ class TestHuffmanPage:
             + jbig2._segment_header(1, jbig2.SEG_SYMBOL_DICT, 1, len(sd))
             + sd
         )
-        with pytest.raises(jh.JBIG2Unsupported):
+        with pytest.raises(jh.JBIG2Error):
             jbig2.decode_embedded(stream)
+
+
+class TestHuffmanRefAggDictionary:
+    """§6.5.8.2 with SDHUFF=1 (round-8 close): refinement-coded
+    dictionary symbols — REFAGGNINST via B.1, raw-bit pool ID, B.15
+    deltas, B.1 BMSIZE, byte-aligned embedded MQ refinement."""
+
+    @staticmethod
+    def _fixture():
+        ring = [bytearray([1, 1, 1]), bytearray([1, 0, 1]),
+                bytearray([1, 1, 1])]
+        box = [bytearray([1, 1, 1, 1]) for _ in range(4)]
+        t1 = [bytearray([1, 1, 1, 0, 0]), bytearray([1, 0, 1, 0, 0]),
+              bytearray([1, 1, 1, 1, 1]), bytearray([0, 0, 0, 0, 1])]
+        t2 = [bytearray([1, 1, 0]), bytearray([1, 1, 0]),
+              bytearray([0, 0, 1])]
+        return [ring, box], [(0, t1, 0, 0), (1, t2, 1, -1)], t1, t2
+
+    def test_refagg_dict_roundtrip(self):
+        bases, refined, t1, t2 = self._fixture()
+        data = jbig2.encode_huffman_refagg_page(
+            bases, refined,
+            [(0, 1, 1), (1, 6, 1), (2, 12, 1), (3, 17, 1)], 24, 8,
+        )
+        w, h, rows = jbig2.decode_embedded(data)
+        assert (w, h) == (24, 8)
+        # refined symbols decode bit-exact at their placements
+        # (exports: ring, box, t2 [3x3 sorts first], t1)
+        got_t2 = [bytearray(rows[1 + y][12:15]) for y in range(3)]
+        assert got_t2 == [bytearray(r) for r in t2]
+        got_t1 = [bytearray(rows[1 + y][17:22]) for y in range(4)]
+        assert got_t1 == [bytearray(r) for r in t1]
+        # the plain base symbols ride along unrefined
+        assert rows[1][1] == 1 and rows[2][2] == 0
+
+    def test_true_aggregate_stays_named_decline(self):
+        bases, refined, _, _ = self._fixture()
+        data = bytearray(jbig2.encode_huffman_refagg_page(
+            bases, refined, [(0, 1, 1)], 16, 8,
+        ))
+        # REFAGGNINST rides B.1 whose first line codes 0..15 in
+        # '1' + 4 bits; flipping the encoded value from 1 to 2 turns
+        # the single-instance case into a TRUE aggregate
+        from pdf2dataset_spark.sources import jbig2_huffman as jhm
+
+        # locate dict 2's bit body: third segment header (number 2)
+        # ... simpler: decode must raise once any REFAGGNINST != 1;
+        # brute-force single-bit flips until the named error appears
+        seen = False
+        for i in range(len(data) * 8):
+            mutated = bytearray(data)
+            mutated[i // 8] ^= 0x80 >> (i % 8)
+            try:
+                jbig2.decode_embedded(bytes(mutated))
+            except jh.JBIG2Unsupported as e:
+                if "true-aggregate" in str(e).lower():
+                    seen = True
+                    break
+            except jh.JBIG2Error:
+                continue
+        assert seen, "no flip produced the named true-aggregate decline"
 
 
 class TestEmptyHeightClass:
