@@ -1452,7 +1452,11 @@ class PdfCodec(DocumentCodec):
             for kind, idx in sub["order"]:
                 if kind in ("fills", "polys", "lines"):
                     draw[kind].append(sub[kind][idx])
-                    draw["order"].append((kind, len(draw[kind]) - 1))
+                    nkey = (kind, len(draw[kind]) - 1)
+                    draw["order"].append(nkey)
+                    st = sub.get("stencils", {}).get((kind, idx))
+                    if st:
+                        draw["stencils"][nkey] = st
         if not (draw["fills"] or draw["polys"] or draw["lines"]
                 or placed or shading_patches):
             return None
@@ -1462,13 +1466,36 @@ class PdfCodec(DocumentCodec):
         # patterns — drop out of the sequence)
         compose_order: list[tuple] = []
         compose_alphas: dict = {}
+        compose_stencils: dict = {}
         draw_alphas = draw.get("alphas", {})
+        draw_stencils = draw.get("stencils", {})
+        _mapped_chains: dict = {}
+
+        def _map_stencil(chain):
+            """Stencil polygons into the DISPLAYED frame (the same
+            MediaBox shift + /Rotate transform the item geometry
+            gets); mapped once per distinct chain so the
+            compositor's per-chain mask cache still hits."""
+            m = _mapped_chains.get(id(chain))
+            if m is None:
+                m = tuple(
+                    tuple(
+                        tuple(dpt(vx - x0, vy - y0) for vx, vy in poly)
+                        for poly in group
+                    )
+                    for group in chain
+                )
+                _mapped_chains[id(chain)] = m
+            return m
 
         def _put_order(kind, idx, src_kind, src_idx):
             compose_order.append((kind, idx))
             a = draw_alphas.get((src_kind, src_idx))
             if a is not None:
                 compose_alphas[(kind, idx)] = a
+            st = draw_stencils.get((src_kind, src_idx))
+            if st:
+                compose_stencils[(kind, idx)] = _map_stencil(st)
 
         for kind, idx in draw.get("order", ()):
             if kind == "images":
@@ -1508,6 +1535,7 @@ class PdfCodec(DocumentCodec):
             base_images=shading_patches,
             order=compose_order,
             alphas=compose_alphas,
+            stencils=compose_stencils,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"])
                 for r in runs

@@ -2917,12 +2917,21 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     alpha, blend modes, soft masks and /Font are declined by name).
     Colors, width, dash, CTM and clip all save/restore with q/Q per
     the spec's graphics state.
+    NON-RECT / MULTI-RECT / ROTATED-CTM CLIP PATHS are honored
+    (round-8): the path becomes a device-space polygon STENCIL group
+    (the rect clip shrinks to its bbox for the cheap paths), chains
+    of clips AND together, and every emitted item — fills, polys,
+    lines, image placements, shadings, pattern fills — carries the
+    active chain in ``stencils`` for exact per-pixel gating in
+    :func:`raster.compose_page`. ``W`` (nonzero) rides the fill
+    surface's documented even-odd approximation, diverging only on
+    self-overlapping clip paths.
     DECLINED BY NAME (not drawn / not clipped, render stays
-    deterministic): polygons past the vertex budget, non-rectangular
-    or multi-rect or rotated-CTM clip paths (the clip is left
-    unchanged rather than mis-approximated by a bounding box, which
-    would under-clip), clipping of image placements, self-overlap
-    nonzero/even-odd divergence, pattern (scn) paints. ``sh``
+    deterministic): polygons past the vertex budget, clip paths past
+    the stencil budgets (64 polygons / 4x vertex budget per group, 8
+    chained groups — the clip is left unchanged rather than
+    under-clipped), self-overlap nonzero/even-odd divergence,
+    non-rect pattern-fill REGIONS. ``sh``
     shading paints are CAPTURED (name, ctm, device clip) for the
     codec to resolve against the page's /Shading resources and
     rasterize (axial under any invertible CTM, radial under
@@ -2939,6 +2948,13 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     # (ctm, clip, fill_g, stroke_g, lw, dash)
     ctm_stack: list[tuple] = []
     clip: tuple | None = None  # device-space (x0, y0, x1, y1)
+    # non-rect clip STENCIL chain (round-8): a tuple of polygon
+    # GROUPS in device space; the true clip region is the rect
+    # ``clip`` ∩ (for every group: the even-odd union of its
+    # polygons). Emitted items carry the active chain so the
+    # compositor can gate their pixels exactly.
+    clip_stencils: tuple = ()
+    stencils_out: dict = {}  # (category, index) -> stencil chain
     pending_clip = False
     fill_g = stroke_g = 0  # PDF initial color is black
     line_w = 1.0
@@ -2964,6 +2980,17 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
         return (a * x + c * y + e, b * x + d * y + f)
+
+    def _emit(kind: str, lst: list, item, alpha: float = 1.0) -> None:
+        """Append an item + its order entry, carrying the active
+        constant alpha and non-rect clip stencil chain."""
+        lst.append(item)
+        key = (kind, len(lst) - 1)
+        order.append(key)
+        if alpha < 1.0:
+            alphas[key] = alpha
+        if clip_stencils:
+            stencils_out[key] = clip_stencils
 
     def dev_rect(x: float, y: float, w: float, h: float):
         """User rect -> clipped device bbox, or None when fully
@@ -2996,19 +3023,19 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
 
     def paint(fill: bool, stroke: bool) -> None:
         nonlocal rects, segs, subpaths, cur_pt, start_pt
-        nonlocal clip, pending_clip
+        nonlocal clip, clip_stencils, pending_clip
         if fill and fill_pattern is not None:
             # shading-pattern fill (/Pattern cs + scn name): the
             # filled RECT region becomes the pattern's clip — the
-            # codec rasterizes the pattern's shading inside it.
-            # Non-rect pattern regions are declined by name (the
-            # clip machinery is rect-only).
+            # codec rasterizes the pattern's shading inside it
+            # (a non-rect CLIP gates it further via the stencil).
+            # Non-rect pattern fill REGIONS are declined by name.
             for x, y, w, h in rects:
                 r = dev_rect(x, y, w, h)
                 if r is None:
                     continue
-                pattern_fills.append((fill_pattern, r))
-                order.append(("pattern_fills", len(pattern_fills) - 1))
+                _emit("pattern_fills", pattern_fills,
+                      (fill_pattern, r))
         elif fill:
             # non-rect subpaths fill as polygons (even-odd scanline
             # in raster.compose_page); PDF fill implicitly closes
@@ -3019,18 +3046,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 if clip is not None:
                     pts = _clip_poly(pts, clip)
                 if len(pts) >= 3:
-                    polys.append((pts, fill_g))
-                    order.append(("polys", len(polys) - 1))
-                    if fill_alpha < 1.0:
-                        alphas[("polys", len(polys) - 1)] = fill_alpha
+                    _emit("polys", polys, (pts, fill_g), fill_alpha)
             for x, y, w, h in rects:
                 r = dev_rect(x, y, w, h)
                 if r is None:
                     continue
-                fills.append((*r, fill_g))
-                order.append(("fills", len(fills) - 1))
-                if fill_alpha < 1.0:
-                    alphas[("fills", len(fills) - 1)] = fill_alpha
+                _emit("fills", fills, (*r, fill_g), fill_alpha)
         if stroke:
             all_segs = list(segs)
             for x, y, w, h in rects:
@@ -3071,21 +3092,15 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         if clip is not None:
                             quad = _clip_poly(quad, clip)
                         if len(quad) >= 3:
-                            polys.append((quad, stroke_g))
-                            order.append(("polys", len(polys) - 1))
-                            if stroke_alpha < 1.0:
-                                alphas[("polys", len(polys) - 1)] = \
-                                    stroke_alpha
+                            _emit("polys", polys, (quad, stroke_g),
+                                  stroke_alpha)
                     return
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
                     seg = _clip_seg(*seg, clip)
                     if seg is None:
                         return
-                lines.append((*seg, stroke_g))
-                order.append(("lines", len(lines) - 1))
-                if stroke_alpha < 1.0:
-                    alphas[("lines", len(lines) - 1)] = stroke_alpha
+                _emit("lines", lines, (*seg, stroke_g), stroke_alpha)
 
             for (x0, y0), (x1, y1) in all_segs:
                 p0, p1 = pt(x0, y0), pt(x1, y1)
@@ -3112,10 +3127,18 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         (p0[0] + vx * d1 / seglen, p0[1] + vy * d1 / seglen),
                     )
         if pending_clip:
-            # §8.5.4: the clip updates AFTER the path paints. Only a
+            # §8.5.4: the clip updates AFTER the path paints. A
             # single-rect path whose CTM maps rects to axis-aligned
-            # rects becomes a clip; anything else is declined by name
-            # (see docstring) and leaves the clip unchanged.
+            # rects stays the fast rect clip; ANY OTHER path
+            # (polygons, multiple rects, rotated CTMs — round-8)
+            # becomes a device-space polygon STENCIL group: the clip
+            # rect shrinks to the path's bbox (conservative, keeps
+            # Liang-Barsky/rect paths working) and emitted items
+            # carry the stencil chain for exact per-pixel gating.
+            # The nonzero/even-odd distinction (W vs W*) follows the
+            # fill surface's documented even-odd approximation.
+            # Paths past the vertex/group budgets leave the clip
+            # unchanged (the old decline) rather than under-clip.
             a, b, c, d, _, _ = ctm
             axis_aligned = (b == 0 and c == 0) or (a == 0 and d == 0)
             if len(rects) == 1 and not segs and axis_aligned:
@@ -3127,6 +3150,28 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     max(clip[0], new[0]), max(clip[1], new[1]),
                     min(clip[2], new[2]), min(clip[3], new[3]),
                 )
+            elif rects or subpaths:
+                group: list = []
+                for x, y, w, h in rects:
+                    group.append([pt(x, y), pt(x + w, y),
+                                  pt(x + w, y + h), pt(x, y + h)])
+                for sp in subpaths:
+                    if 3 <= len(sp) <= _MAX_POLY_VERTICES:
+                        group.append([pt(px_, py_) for px_, py_ in sp])
+                total = sum(len(p) for p in group)
+                if group and len(group) <= 64 \
+                        and total <= 4 * _MAX_POLY_VERTICES \
+                        and len(clip_stencils) < 8:
+                    xs = [v[0] for p in group for v in p]
+                    ys_ = [v[1] for p in group for v in p]
+                    new = (min(xs), min(ys_), max(xs), max(ys_))
+                    clip = new if clip is None else (
+                        max(clip[0], new[0]), max(clip[1], new[1]),
+                        min(clip[2], new[2]), min(clip[3], new[3]),
+                    )
+                    clip_stencils = clip_stencils + (
+                        tuple(tuple(p) for p in group),
+                    )
             pending_clip = False
         rects, segs, subpaths = [], [], []
         cur_pt, start_pt = None, None
@@ -3135,12 +3180,13 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         try:
             if op == b"q":
                 ctm_stack.append(
-                    (ctm, clip, fill_g, stroke_g, line_w, dash,
-                     fill_pattern, fill_alpha, stroke_alpha))
+                    (ctm, clip, clip_stencils, fill_g, stroke_g,
+                     line_w, dash, fill_pattern, fill_alpha,
+                     stroke_alpha))
             elif op == b"Q":
                 if ctm_stack:
-                    (ctm, clip, fill_g, stroke_g, line_w, dash,
-                     fill_pattern, fill_alpha,
+                    (ctm, clip, clip_stencils, fill_g, stroke_g,
+                     line_w, dash, fill_pattern, fill_alpha,
                      stroke_alpha) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
@@ -3247,21 +3293,16 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             elif op == b"n":
                 paint(False, False)
             elif op == b"Do" and stack and isinstance(stack[-1], str):
-                images.append((stack[-1], ctm))
-                order.append(("images", len(images) - 1))
-                if fill_alpha < 1.0:
-                    alphas[("images", len(images) - 1)] = fill_alpha
+                _emit("images", images, (stack[-1], ctm), fill_alpha)
             elif op == b"sh" and stack and isinstance(stack[-1], str):
                 # sh paints the CURRENT CLIP region with the shading
-                shadings.append((stack[-1], ctm, clip))
-                order.append(("shadings", len(shadings) - 1))
-                if fill_alpha < 1.0:
-                    alphas[("shadings", len(shadings) - 1)] = fill_alpha
+                _emit("shadings", shadings, (stack[-1], ctm, clip),
+                      fill_alpha)
         except (TypeError, ValueError):
             continue
     return {"fills": fills, "polys": polys, "lines": lines,
             "pattern_fills": pattern_fills, "order": order,
-            "alphas": alphas,
+            "alphas": alphas, "stencils": stencils_out,
             "images": images, "shadings": shadings}
 
 

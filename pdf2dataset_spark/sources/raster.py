@@ -399,6 +399,7 @@ def compose_page(
     base_images: list | None = None,
     order: list | None = None,
     alphas: dict | None = None,
+    stencils: dict | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
     ``scale`` px per PDF unit. With ``order`` — a list of
@@ -421,6 +422,13 @@ def compose_page(
       (below fills) — the shading-patch layer.
     - ``glyph_runs``: ``(x, y, text)`` baselines; glyphs render with
       the built-in 5x7 table at native size.
+    - ``stencils``: ``{(category, index): groups}`` per-item CLIP
+      stencils (round-8: non-rect/multi-rect clip paths) — ``groups``
+      is a tuple of polygon groups; a pixel passes when it is inside
+      EVERY group, a group's interior being the EVEN-ODD union of its
+      polygons (page coords, same space as the item geometry). Masks
+      rasterize once per distinct ``groups`` object and gate every
+      painter per pixel.
 
     PDF y grows UP; the canvas row 0 is the page TOP.
 
@@ -438,8 +446,10 @@ def compose_page(
     H = max(1, int(round(page_h * scale)))
     px = bytearray(b"\xff" * (W * H))
 
-    def put(cx: int, cy: int, g: int, a: float | None = None) -> None:
-        if 0 <= cx < W and 0 <= cy < H:
+    def put(cx: int, cy: int, g: int, a: float | None = None,
+            m: bytearray | None = None) -> None:
+        if 0 <= cx < W and 0 <= cy < H \
+                and (m is None or m[cy * W + cx]):
             if a is None:
                 px[cy * W + cx] = g
             else:
@@ -449,7 +459,57 @@ def compose_page(
     def dev(x: float, y: float) -> tuple[int, int]:
         return int(round(x * scale)), int(round((page_h - y) * scale))
 
-    def stamp(entries, a: float | None = None) -> None:
+    _mask_cache: dict = {}
+
+    def _group_spans(group, cy: int) -> list:
+        """Even-odd scanline spans of one polygon GROUP at canvas
+        row ``cy`` (crossings pooled over every polygon — the
+        multi-subpath even-odd interior)."""
+        yc = cy + 0.5
+        xs: list = []
+        for pts in group:
+            cpts = [(x * scale, (page_h - y) * scale) for x, y in pts]
+            for (xa, ya), (xb, yb) in zip(cpts, cpts[1:] + cpts[:1]):
+                if (ya <= yc < yb) or (yb <= yc < ya):
+                    xs.append(xa + (yc - ya) * (xb - xa) / (yb - ya))
+        xs.sort()
+        return xs
+
+    def stencil_mask(groups) -> bytearray:
+        """1-byte-per-pixel mask for a stencil chain: pixel passes
+        iff inside every group's even-odd interior."""
+        m = _mask_cache.get(id(groups))
+        if m is not None:
+            return m
+        m = bytearray(W * H)
+        first = True
+        for group in groups:
+            for cy in range(H):
+                xs = _group_spans(group, cy)
+                row = cy * W
+                if first:
+                    for lo_f, hi_f in zip(xs[::2], xs[1::2]):
+                        lo = max(0, _ceil(lo_f - 0.5))
+                        hi = min(W, _ceil(hi_f - 0.5))
+                        if hi > lo:
+                            m[row + lo:row + hi] = b"\x01" * (hi - lo)
+                else:
+                    # AND with this group: keep only pixels inside
+                    keep = bytearray(W)
+                    for lo_f, hi_f in zip(xs[::2], xs[1::2]):
+                        lo = max(0, _ceil(lo_f - 0.5))
+                        hi = min(W, _ceil(hi_f - 0.5))
+                        if hi > lo:
+                            keep[lo:hi] = b"\x01" * (hi - lo)
+                    for i in range(W):
+                        if not keep[i]:
+                            m[row + i] = 0
+            first = False
+        _mask_cache[id(groups)] = m
+        return m
+
+    def stamp(entries, a: float | None = None,
+              m: bytearray | None = None) -> None:
         for entry in entries or ():
             if len(entry) == 5:
                 # optional paint mask: 0 = transparent (skip-stamp) —
@@ -475,7 +535,8 @@ def compose_page(
                 row = ty * W
                 for tx in range(max(0, tx0), min(W, tx0 + tw)):
                     sxp = min(iw - 1, (tx - tx0) * iw // tw)
-                    if imask is None or imask[srow + sxp]:
+                    if (imask is None or imask[srow + sxp]) \
+                            and (m is None or m[row + tx]):
                         if a is None:
                             px[row + tx] = ipx[srow + sxp]
                         else:
@@ -484,23 +545,39 @@ def compose_page(
                                 a * ipx[srow + sxp] + (1 - a) * old
                                 + 0.5)
 
-    def paint_fill(item, a: float | None = None) -> None:
+    def _span(row: int, lo: int, hi: int, g: int,
+              a: float | None, m: bytearray | None,
+              fill_b: bytes | None) -> None:
+        """Paint one horizontal span honoring alpha + stencil."""
+        if m is None:
+            if a is None:
+                px[row + lo:row + hi] = (fill_b or bytes([g])) \
+                    * (hi - lo)
+            else:
+                ag = a * g
+                px[row + lo:row + hi] = bytes(
+                    int(ag + (1 - a) * px[row + i] + 0.5)
+                    for i in range(lo, hi))
+            return
+        ag = None if a is None else a * g
+        for i in range(lo, hi):
+            if m[row + i]:
+                px[row + i] = g if ag is None else int(
+                    ag + (1 - a) * px[row + i] + 0.5)
+
+    def paint_fill(item, a: float | None = None,
+                   m: bytearray | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy1 = dev(x0, y0)
         cx1, cy0 = dev(x1, y1)
+        fill_b = bytes([g])
         for cy in range(max(0, cy0), min(H, cy1)):
-            row = cy * W
             lo, hi = max(0, cx0), min(W, cx1)
             if hi > lo:
-                if a is None:
-                    px[row + lo : row + hi] = bytes([g]) * (hi - lo)
-                else:
-                    ag = a * g
-                    px[row + lo : row + hi] = bytes(
-                        int(ag + (1 - a) * px[row + i] + 0.5)
-                        for i in range(lo, hi))
+                _span(cy * W, lo, hi, g, a, m, fill_b)
 
-    def paint_poly(item, a: float | None = None) -> None:
+    def paint_poly(item, a: float | None = None,
+                   m: bytearray | None = None) -> None:
         pts, g = item
         if len(pts) < 3:
             return
@@ -509,7 +586,7 @@ def compose_page(
         ys = [p[1] for p in cpts]
         y_lo = max(0, int(min(ys)))
         y_hi = min(H, int(max(ys)) + 1)
-        fill_b = None
+        fill_b = bytes([g])
         for cy in range(y_lo, y_hi):
             yc = cy + 0.5
             xs = []
@@ -523,17 +600,10 @@ def compose_page(
                 lo = max(0, _ceil(lo_f - 0.5))
                 hi = min(W, _ceil(hi_f - 0.5))
                 if hi > lo:
-                    if a is not None:
-                        ag = a * g
-                        px[row + lo : row + hi] = bytes(
-                            int(ag + (1 - a) * px[row + i] + 0.5)
-                            for i in range(lo, hi))
-                        continue
-                    if fill_b is None:
-                        fill_b = bytes([g])
-                    px[row + lo : row + hi] = fill_b * (hi - lo)
+                    _span(row, lo, hi, g, a, m, fill_b)
 
-    def paint_line(item, a: float | None = None) -> None:
+    def paint_line(item, a: float | None = None,
+                   m: bytearray | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy0 = dev(x0, y0)
         cx1, cy1 = dev(x1, y1)
@@ -542,7 +612,7 @@ def compose_page(
         sy = 1 if cy0 < cy1 else -1
         err = dx + dy
         while True:
-            put(cx0, cy0, g, a)
+            put(cx0, cy0, g, a, m)
             if cx0 == cx1 and cy0 == cy1:
                 break
             e2 = 2 * err
@@ -560,15 +630,18 @@ def compose_page(
             "fills": (fills or (), paint_fill),
             "polys": (polys or (), paint_poly),
             "lines": (lines or (), paint_line),
-            "images": (images or (), lambda e, a=None: stamp([e], a)),
+            "images": (images or (),
+                       lambda e, a=None, m=None: stamp([e], a, m)),
             "base_images": (base_images or (),
-                            lambda e, a=None: stamp([e], a)),
+                            lambda e, a=None, m=None: stamp([e], a, m)),
         }
         for kind, idx in order:
             lst, fn = painters.get(kind, ((), None))
             if fn is not None and 0 <= idx < len(lst):
+                groups = (stencils or {}).get((kind, idx))
                 fn(lst[idx],
-                   (alphas or {}).get((kind, idx)))
+                   (alphas or {}).get((kind, idx)),
+                   stencil_mask(groups) if groups else None)
     else:
         stamp(base_images)
         for item in fills or ():

@@ -2630,22 +2630,47 @@ class TestDrawOpsCurvesAndClipping:
         )
         assert d["fills"] == [(50.0, 50.0, 100.0, 100.0, 0)]
 
-    def test_declined_clips_leave_state_unchanged(self):
-        # skew CTM: transformed rect is not axis-aligned
+    def test_general_clips_become_stencils(self):
+        # round-8: non-rect/multi-rect/rotated-CTM clips are honored
+        # as polygon STENCIL groups (bbox shrinks the rect clip,
+        # emitted items carry the chain for exact per-pixel gating)
+        # skew CTM: transformed rect is not axis-aligned -> stencil;
+        # Q restores, so the later fill is unaffected
         d = minipdf.content_draw_ops(
             b"q 1 0.5 0 1 0 0 cm 10 10 20 20 re W n Q 0 0 9 9 re f"
         )
         assert d["fills"] == [(0.0, 0.0, 9.0, 9.0, 0)]
-        # multi-rect clip path (union is not a rect)
+        assert d["stencils"] == {}
+        # multi-rect clip path: fill clipped to the union's BBOX and
+        # stenciled by the two rect polygons
         d = minipdf.content_draw_ops(
             b"0 0 10 10 re 50 50 10 10 re W n 0 0 100 100 re f"
         )
-        assert d["fills"] == [(0.0, 0.0, 100.0, 100.0, 0)]
-        # curved clip path
+        assert d["fills"] == [(0.0, 0.0, 60.0, 60.0, 0)]
+        [chain] = [d["stencils"][("fills", 0)]]
+        assert len(chain) == 1 and len(chain[0]) == 2
+        assert chain[0][0] == ((0.0, 0.0), (10.0, 0.0),
+                               (10.0, 10.0), (0.0, 10.0))
+        # curved clip path: the flattened subpath becomes the group
         d = minipdf.content_draw_ops(
             b"0 0 m 10 20 30 20 40 0 c W n 0 0 100 100 re f"
         )
+        [(x0, y0, x1, y1, g)] = d["fills"]
+        assert (x0, y0, x1, g) == (0.0, 0.0, 40.0, 0)
+        assert 10.0 <= y1 <= 20.0  # Bézier bbox height
+        chain = d["stencils"][("fills", 0)]
+        assert len(chain) == 1 and len(chain[0][0]) >= 4
+
+    def test_declined_clips_leave_state_unchanged(self):
+        # past the stencil budget: > 64 subpaths in one clip path
+        parts = b" ".join(
+            b"%d 0 10 10 re" % (20 * i) for i in range(70)
+        )
+        d = minipdf.content_draw_ops(
+            parts + b" W n 0 0 100 100 re f"
+        )
         assert d["fills"] == [(0.0, 0.0, 100.0, 100.0, 0)]
+        assert d["stencils"] == {}
 
     def test_rotated_ctm_rect_clip_still_clips(self):
         # a 90-degree CTM maps rects to axis-aligned rects: the clip

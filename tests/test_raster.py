@@ -2097,3 +2097,97 @@ class TestType3Render:
 
         pdf = self._pdf(b"BT /F3 24 Tf 100 100 Td (AB) Tj ET")
         assert minipdf.extract_page_texts(pdf) == ["AB"]
+
+
+class TestClipStencils:
+    """Round-8: non-rect / multi-rect / chained clip paths gate every
+    painter per pixel via polygon stencil chains."""
+
+    @staticmethod
+    def _pdf(content: bytes, extra_objs: list | None = None,
+             resources: bytes = b"") -> bytes:
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 200 150]" + resources + b" >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ] + (extra_objs or [])
+        return _raw_pdf(objs)
+
+    def _pixels(self, pdf: bytes):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+
+        def at(x, y):
+            return px[(hh - 1 - y) * w + x]
+
+        return w, hh, at
+
+    def test_triangle_clip_gates_fill(self):
+        content = (b"BT /F1 12 Tf 10 140 Td (t) Tj ET\n"
+                   b"q 20 20 m 120 20 l 70 120 l h W n "
+                   b"0 0 200 150 re f Q")
+        _, _, at = self._pixels(self._pdf(content))
+        assert at(70, 50) == 0 and at(70, 110) == 0
+        assert at(30, 100) == 255 and at(110, 100) == 255
+        assert at(10, 10) == 255  # outside the triangle bbox
+
+    def test_multi_rect_clip_union(self):
+        content = (b"BT /F1 12 Tf 10 140 Td (t) Tj ET\n"
+                   b"q 130 20 20 20 re 160 20 20 20 re W n "
+                   b"128 10 60 60 re f Q")
+        _, _, at = self._pixels(self._pdf(content))
+        assert at(140, 30) == 0 and at(165, 30) == 0
+        assert at(155, 30) == 255 and at(140, 50) == 255
+
+    def test_chained_clips_intersect(self):
+        # rect clip then triangle clip: only the AND survives
+        content = (b"BT /F1 12 Tf 10 140 Td (t) Tj ET\n"
+                   b"q 0 0 70 150 re W n "
+                   b"20 20 m 120 20 l 70 120 l h W n "
+                   b"0 0 200 150 re f Q")
+        _, _, at = self._pixels(self._pdf(content))
+        assert at(50, 40) == 0          # inside both
+        assert at(90, 40) == 255        # inside triangle, outside rect
+        assert at(30, 100) == 255       # inside rect, outside triangle
+
+    def test_clip_gates_strokes_and_images(self):
+        px_img = bytes([0] * (8 * 8))  # solid black 8x8
+        img = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+               b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               b"/Length 64 >>\nstream\n" + px_img + b"\nendstream")
+        content = (b"BT /F1 12 Tf 10 140 Td (t) Tj ET\n"
+                   b"q 20 20 m 120 20 l 70 120 l h W n "
+                   b"0 60 200 0.8 re f "   # thin bar through the tri
+                   b"q 40 0 0 40 50 25 cm /Im0 Do Q Q")
+        pdf = self._pdf(
+            content, extra_objs=[img],
+            resources=b" /Resources << /XObject << /Im0 5 0 R >> >>",
+        )
+        _, _, at = self._pixels(pdf)
+        # the bar paints only inside the triangle at y=60
+        assert at(60, 60) == 0 and at(10, 60) == 255
+        # the image (50..90, 25..65) is gated by the triangle too:
+        # its bottom-left corner (52,27) is OUTSIDE the triangle edge
+        assert at(70, 45) == 0          # image center, inside tri
+        assert at(27, 27) == 255        # left of tri, no image there
+
+    def test_rotated_ctm_rect_clip_becomes_stencil(self):
+        # a 45-degree CTM: the rect clip is a diamond now — honored
+        content = (b"BT /F1 12 Tf 10 140 Td (t) Tj ET\n"
+                   b"q 0.7071 0.7071 -0.7071 0.7071 100 20 cm "
+                   b"0 0 40 40 re W n "
+                   b"0 0 200 150 re f Q")
+        _, _, at = self._pixels(self._pdf(content))
+        # diamond corners: (100,20),(128,48),(100,77),(72,48)
+        assert at(100, 48) == 0         # center
+        assert at(100, 24) == 0         # near the bottom corner
+        assert at(78, 26) == 255        # inside bbox, outside diamond
+        assert at(124, 70) == 255
