@@ -1023,21 +1023,6 @@ class PdfDocument:
         self._pages_cache = out
         return out
 
-    _UCS2_MAP: dict[int, str] | None = None
-
-    @classmethod
-    def _ucs2_identity_map(cls) -> dict[int, str]:
-        """code → chr(code) over the BMP minus surrogates, built once
-        per process (the predefined Uni*-UCS2-* CMaps are identity on
-        unicode by construction)."""
-        if cls._UCS2_MAP is None:
-            cls._UCS2_MAP = {
-                c: chr(c)
-                for c in range(0x10000)
-                if not 0xD800 <= c <= 0xDFFF
-            }
-        return cls._UCS2_MAP
-
     def page_fonts(self, page: dict) -> dict[str, tuple[dict[int, str], int]]:
         """Per-font decoder maps for a page ({font name → (code →
         unicode map, code byte length)}): /ToUnicode CMaps first
@@ -1072,14 +1057,18 @@ class PdfDocument:
                 if cid_map:
                     out[name] = (cid_map, 2)
                     continue
-                # predefined UCS2 CMaps (/UniJIS-UCS2-H etc., ISO
-                # 32000-1 §9.7.5.2 table 118): the 2-byte CODE is the
-                # UCS-2 codepoint itself, so text needs no font data
+                # predefined unicode CMaps (/UniJIS-UCS2-H,
+                # /UniGB-UTF16-H etc., ISO 32000-1 §9.7.5.2 table
+                # 118): the code bytes ARE the text — UCS-2 directly,
+                # UTF-16 including surrogate PAIRS for supplementary-
+                # plane CJK/emoji — so no font data is needed; the
+                # show string decodes as UTF-16BE (UCS-2 is its
+                # BMP subset)
                 enc_name = self.resolve(f.get("/Encoding"))
                 if isinstance(enc_name, str) and re.fullmatch(
-                    r"/Uni[A-Za-z0-9]+-UCS2-[HV]", enc_name
+                    r"/Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]", enc_name
                 ):
-                    out[name] = (self._ucs2_identity_map(), 2)
+                    out[name] = ("utf16", 2)
                     continue
             enc = f.get("/Encoding")
             if enc is not None and self.resolve(enc) != "/Identity-H":
@@ -2007,6 +1996,9 @@ def _decode_shown(raw: bytes, cmap: tuple | None) -> str:
     """Decode a shown glyph string through the active font's map."""
     if cmap is None:
         return _decode_text_string(raw)
+    if cmap[0] == "utf16":  # predefined Uni*-UCS2/UTF16-* CMaps:
+        # the code bytes are the text (surrogate pairs combine)
+        return raw.decode("utf-16-be", errors="replace")
     if len(cmap) == 3:  # 1-byte map with a translate table
         return raw.decode("latin-1").translate(cmap[2])
     return _decode_with_cmap(raw, cmap[0], cmap[1])

@@ -3600,3 +3600,29 @@ class TestSMask:
         assert sm["decodable"] is False and sm["alpha"] is None
         # the base image still extracts
         assert e["decodable"] is True
+
+
+class TestPredefinedUnicodeCmaps:
+    """Predefined Uni*-UCS2/UTF16-[HV] encodings (ISO 32000-1
+    §9.7.5.2): the show bytes ARE the text; UTF-16 surrogate pairs
+    combine into supplementary-plane characters."""
+
+    def test_utf16_surrogate_pairs(self):
+        from pdf2dataset_spark.queries.tier_a import _ucs2_cmap_pdf
+
+        text = "emoji \U0001F600 and \U00020BB7 ok"
+        pdf = _ucs2_cmap_pdf(text, enc=b"/UniGB-UTF16-H")
+        assert minipdf.extract_page_texts(pdf) == [text]
+
+    def test_ucs2_still_decodes(self):
+        from pdf2dataset_spark.queries.tier_a import _ucs2_cmap_pdf
+
+        text = "統一碼 via UCS2"
+        assert minipdf.extract_page_texts(_ucs2_cmap_pdf(text)) == [text]
+
+    def test_tounicode_still_wins(self):
+        # a /ToUnicode CMap outranks the predefined-encoding shortcut
+        from pdf2dataset_spark.queries.tier_a import _cid_pdf
+
+        text = "Ünïcode vía CMap — ∑ligatures"
+        assert minipdf.extract_page_texts(_cid_pdf(text)) == [text]
