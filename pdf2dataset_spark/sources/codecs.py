@@ -883,29 +883,33 @@ class PdfCodec(DocumentCodec):
     #: cell-raster pixel budget for one tiling-pattern cell
     _MAX_TILE_CELL_PX = 1 << 16
 
-    def _tiling_patch(self, doc, pat, prect, box):
-        """/PatternType 1 (tiling, ISO 32000-1 8.7.3.3), PaintType 1
-        (colored): the cell's content stream rasterizes ONCE at 1 px
-        per pattern unit (fills/polys/lines through the standard
-        draw-ops walker; a parallel all-black pass derives the paint
-        MASK, so unpainted cell area stays transparent), then the
-        fill region samples the cell by pattern-space modulo — gaps
-        (XStep/YStep beyond the /BBox) stay transparent, and the
-        phase anchors to the page's default user space through
-        /Matrix. Returns the standard masked 5-tuple patch.
+    def _tiling_patch(self, doc, pat, prect, box, scn_gray: int = 0):
+        """/PatternType 1 (tiling, ISO 32000-1 8.7.3.3): the cell's
+        content stream rasterizes ONCE at 1 px per pattern unit
+        (fills/polys/lines through the standard draw-ops walker; a
+        parallel all-black pass derives the paint MASK, so unpainted
+        cell area stays transparent), then the fill region samples
+        the cell by pattern-space modulo — gaps (XStep/YStep beyond
+        the /BBox) stay transparent, and the phase anchors to the
+        page's default user space through /Matrix. PaintType 1
+        (colored) keeps the cell's own colors; PaintType 2
+        (UNCOLORED, round-8) paints the cell's geometry as a stencil
+        in ``scn_gray`` — the color the scn operands selected — with
+        the cell's own color operators ignored per §8.7.3.3.
+        Returns the standard masked 5-tuple patch.
 
-        DECLINED BY NAME: PaintType 2 (uncolored — color comes from
-        scn operands), rotated/skewed or mirrored /Matrix (the cell
-        sampler is axis-aligned), overlapping tiles (XStep/YStep
-        smaller than the cell), cells with nested images/shadings/
-        patterns, over-budget cells."""
+        DECLINED BY NAME: rotated/skewed or mirrored /Matrix (the
+        cell sampler is axis-aligned), overlapping tiles (XStep/
+        YStep smaller than the cell), cells with nested images/
+        shadings/patterns, over-budget cells."""
         import numpy as np
 
         from pdf2dataset_spark.sources import minipdf, raster
 
         sd = pat.sdict
         try:
-            if int(doc.resolve(sd.get("/PaintType", 1))) != 1:
+            paint_type = int(doc.resolve(sd.get("/PaintType", 1)))
+            if paint_type not in (1, 2):
                 return None
             bbox = [float(doc.resolve(v))
                     for v in doc.resolve(sd.get("/BBox"))][:4]
@@ -953,8 +957,11 @@ class PdfCodec(DocumentCodec):
             return np.frombuffer(bytes(px), dtype=np.uint8) \
                 .reshape(ch, cw)
 
-        color_cell = cell(None)
         mask_cell = cell(0) != 255  # black pass: painted pixels only
+        # uncolored cells are pure stencils: every painted pixel
+        # takes the scn color, whatever colors the cell stream set
+        color_cell = (cell(None) if paint_type == 1
+                      else cell(int(scn_gray)))
         grid = self._patch_grid(prect, box)
         if grid is None:
             return None
@@ -1384,7 +1391,9 @@ class PdfCodec(DocumentCodec):
         # fill at its exact content-stream z-position.
         patdict = doc.resolve(res0.get("/Pattern")) \
             if isinstance(res0, dict) else None
-        for i, (name, prect) in enumerate(draw.get("pattern_fills", ())):
+        for i, (name, prect, scn_g) in enumerate(
+            draw.get("pattern_fills", ())
+        ):
             _n0 = len(shading_patches)
             pat = doc.resolve(patdict.get(name)) \
                 if isinstance(patdict, dict) else None
@@ -1397,11 +1406,13 @@ class PdfCodec(DocumentCodec):
             except (TypeError, ValueError):
                 continue
             if ptype == 1:
-                # colored tiling pattern: cell raster sampled by
-                # pattern-space modulo over the fill rect
+                # tiling pattern: cell raster sampled by
+                # pattern-space modulo over the fill rect (uncolored
+                # PaintType 2 cells paint in the scn operands' color)
                 if isinstance(pat, minipdf.StreamObj):
                     tp = self._tiling_patch(
-                        doc, pat, prect, (x0, y0, x1, y1))
+                        doc, pat, prect, (x0, y0, x1, y1),
+                        scn_gray=scn_g)
                     if tp is not None:
                         pw_, ph_, ppx, pctm, pmask = tp
                         pa, pb, pc, pd, pe, pf = pctm

@@ -2952,6 +2952,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     line_w = 1.0
     dash: tuple | None = None  # (pattern user units, phase) | solid
     fill_pattern: str | None = None  # /Pattern cs + scn name active
+    fill_pattern_g = 0  # scn's numeric operands (uncolored tiling)
     fill_alpha = stroke_alpha = 1.0  # ExtGState /ca and /CA
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
@@ -3027,7 +3028,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 if r is None:
                     continue
                 _emit("pattern_fills", pattern_fills,
-                      (fill_pattern, r))
+                      (fill_pattern, r, fill_pattern_g))
         elif fill:
             # non-rect subpaths fill as polygons (even-odd scanline
             # in raster.compose_page); PDF fill implicitly closes
@@ -3173,13 +3174,13 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             if op == b"q":
                 ctm_stack.append(
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
-                     line_w, dash, fill_pattern, fill_alpha,
-                     stroke_alpha))
+                     line_w, dash, fill_pattern, fill_pattern_g,
+                     fill_alpha, stroke_alpha))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
-                     line_w, dash, fill_pattern, fill_alpha,
-                     stroke_alpha) = ctm_stack.pop()
+                     line_w, dash, fill_pattern, fill_pattern_g,
+                     fill_alpha, stroke_alpha) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
@@ -3226,7 +3227,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 if stack[-1] != "/Pattern":
                     fill_pattern = None
             elif op == b"scn" and stack and isinstance(stack[-1], str):
+                # numeric operands before the name carry the COLOR
+                # an UNCOLORED (PaintType 2) tiling pattern paints in
                 fill_pattern = stack[-1]
+                nums = [v for v in stack[:-1]
+                        if isinstance(v, (int, float))]
+                fill_pattern_g = _luma(nums[-4:]) if nums else 0
             elif op == b"re" and len(stack) >= 4:
                 x, y, w, h = (float(v) for v in stack[-4:])
                 rects.append((x, y, w, h))

@@ -2998,7 +2998,7 @@ class TestShadingPatternFills:
     def test_capture_reset_and_restore(self):
         ops = b"/Pattern cs /P0 scn 100 100 200 100 re f"
         d = minipdf.content_draw_ops(ops)
-        assert d["pattern_fills"] == [("/P0", (100.0, 100.0, 300.0, 200.0))]
+        assert d["pattern_fills"] == [("/P0", (100.0, 100.0, 300.0, 200.0), 0)]
         assert d["fills"] == []  # no gray fill for the pattern paint
         # g drops the pattern colorspace
         d = minipdf.content_draw_ops(
@@ -3022,7 +3022,7 @@ class TestShadingPatternFills:
             b"150 0 100 792 re W n /Pattern cs /P0 scn "
             b"100 100 200 100 re f"
         )
-        assert d["pattern_fills"] == [("/P0", (150.0, 100.0, 250.0, 200.0))]
+        assert d["pattern_fills"] == [("/P0", (150.0, 100.0, 250.0, 200.0), 0)]
 
     def test_axial_pattern_fill_end_to_end(self):
         from pdf2dataset_spark.queries.tier_a import _content_pdf
@@ -3349,10 +3349,13 @@ class TestTilingPatterns:
         assert at(102, 102) == 255
         assert at(105, 102) == 0
 
-    def test_declines_by_name(self):
-        # PaintType 2 (uncolored) declines
+    def test_uncolored_now_paints_in_scn_black(self):
+        # PaintType 2 (round-8): the cell geometry paints in the scn
+        # color — the default scn here carries no numerics → black
         at = self._at(self._pdf(paint_type=2))
-        assert at(102, 102) == 255
+        assert at(102, 102) == 0
+
+    def test_declines_by_name(self):
         # rotated matrix declines
         at = self._at(self._pdf(matrix=b"[0 1 -1 0 0 0]"))
         assert at(102, 102) == 255

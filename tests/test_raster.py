@@ -2191,3 +2191,92 @@ class TestClipStencils:
         assert at(100, 24) == 0         # near the bottom corner
         assert at(78, 26) == 255        # inside bbox, outside diamond
         assert at(124, 70) == 255
+
+
+class TestUncoloredTiling:
+    """PaintType 2 (uncolored) tiling patterns (round-8): the cell's
+    geometry is a pure stencil painted in the scn operands' color;
+    the cell's own color operators are ignored (ISO 32000-1
+    8.7.3.3)."""
+
+    @staticmethod
+    def _pdf(scn: bytes, cell: bytes) -> bytes:
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        content = (b"BT /F1 12 Tf 10 140 Td (u) Tj ET\n"
+                   b"/Pattern cs " + scn + b" 20 20 100 80 re f")
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 200 150] "
+            b"/Resources << /Pattern << /P0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /PatternType 1 /PaintType 2 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << >> /Length " + str(len(cell)).encode()
+            + b" >>\nstream\n" + cell + b"\nendstream",
+        ])
+
+    def _counts(self, pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+        by_val: dict = {}
+        for cy in range(hh):
+            for x in range(w):
+                v = px[cy * w + x]
+                if v != 255:
+                    y = hh - 1 - cy
+                    by_val.setdefault(v, []).append((x, y))
+        return by_val
+
+    def test_scn_gray_paints_the_stencil(self):
+        by_val = self._counts(self._pdf(b"0.2 /P0 scn",
+                                        b"0 0 m 10 10 l S"))
+        pts = by_val.get(51, [])
+        assert len(pts) > 50  # the hatch exists, in scn gray
+        assert all(19 <= x <= 121 and 19 <= y <= 101 for x, y in pts)
+
+    def test_cell_colors_ignored_for_uncolored(self):
+        # the cell SETS red, but PaintType 2 must paint scn's 0.2
+        by_val = self._counts(self._pdf(
+            b"0.2 /P0 scn", b"1 0 0 rg 2 2 6 6 re f"))
+        assert 51 in by_val and len(by_val[51]) > 500
+        assert 76 not in by_val  # luma(1,0,0)=76 must NOT appear
+
+    def test_rgb_scn_operands(self):
+        # scn 0.1 0.9 0.1 -> BT.601 luma
+        by_val = self._counts(self._pdf(
+            b"0.1 0.9 0.1 /P0 scn", b"2 2 6 6 re f"))
+        lum = round((0.299 * 0.1 + 0.587 * 0.9 + 0.114 * 0.1) * 255)
+        assert lum in by_val and len(by_val[lum]) > 500
+
+    def test_colored_cells_keep_their_colors(self):
+        # PaintType 1 regression: cell colors win, scn gray ignored
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        cell = b"0.5 g 2 2 6 6 re f"
+        content = (b"BT /F1 12 Tf 10 140 Td (u) Tj ET\n"
+                   b"/Pattern cs /P0 scn 20 20 100 80 re f")
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 200 150] "
+            b"/Resources << /Pattern << /P0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << >> /Length " + str(len(cell)).encode()
+            + b" >>\nstream\n" + cell + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        w, hh, px = codec._composite_pixels(h, 1)
+        assert 128 in set(px)
