@@ -103,6 +103,7 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # tagging touches every composite render)
     "a17_cid_font_extract",
     "a18_embedded_image_extract",
+    "a19_color_image_extract",
     "a23_annotations_outline_extract",
     "a25_jbig2_scan_extract",
     "a26_jpx_image_extract",

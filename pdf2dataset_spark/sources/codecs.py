@@ -925,8 +925,9 @@ class PdfCodec(DocumentCodec):
         except (TypeError, ValueError, KeyError, IndexError):
             return None
         a, b, c, d, e, f = pmat
-        if b or c or a <= 0 or d <= 0:
-            return None  # rotated/skewed/mirrored matrix: declined
+        det = a * d - b * c
+        if abs(det) < 1e-12:
+            return None  # singular pattern matrix: nothing to paint
         if cw < 1 or ch < 1 or cw * ch > self._MAX_TILE_CELL_PX:
             return None
         if xstep < cw or ystep < ch:
@@ -966,9 +967,13 @@ class PdfCodec(DocumentCodec):
         if grid is None:
             return None
         rx0, ry0, pw, ph, xs, ys = grid
-        # device -> pattern space (axis-aligned matrix)
-        U = (xs[None, :] - e) / a
-        V = (ys[:, None] - f) / d
+        # device -> pattern space through the FULL matrix inverse
+        # (round-8: rotated / skewed / mirrored /Matrix sample the
+        # same axis-aligned cell raster in pattern space)
+        dx = xs[None, :] - e
+        dy = ys[:, None] - f
+        U = (dx * d - dy * c) / det
+        V = (-dx * b + dy * a) / det
         pu = np.mod(U - bx0, xstep)
         pv = np.mod(V - by0, ystep)
         inside = (pu < cw) & (pv < ch)

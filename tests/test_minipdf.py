@@ -3355,10 +3355,18 @@ class TestTilingPatterns:
         at = self._at(self._pdf(paint_type=2))
         assert at(102, 102) == 0
 
-    def test_declines_by_name(self):
-        # rotated matrix declines
+    def test_rotated_matrix_samples_through_inverse(self):
+        # round-8: a 90-degree /Matrix is honored — the device grid
+        # maps to pattern space through the full matrix inverse, so
+        # the painted cell quadrant appears rotated, not declined
         at = self._at(self._pdf(matrix=b"[0 1 -1 0 0 0]"))
-        assert at(102, 102) == 255
+        painted = sum(
+            1 for y in range(100, 140) for x in range(100, 140)
+            if at(x, y) == 0
+        )
+        assert painted > 0
+
+    def test_declines_by_name(self):
         # overlapping tiles (XStep < cell) decline
         at = self._at(self._pdf(xstep=5))
         assert at(102, 102) == 255
