@@ -3248,6 +3248,8 @@ def decode_codestream(data: bytes):
                 raise JPXError("bad tile-part header marker")
             tmark = data[body + 1]
             tlen = struct.unpack_from(">H", data, body + 2)[0]
+            if tlen < 2 or body + 2 + tlen > len(data):
+                raise JPXError("truncated tile-part header segment")
             seg = data[body + 4:body + 2 + tlen]
             if tmark in (0x52, 0x53, 0x5C, 0x5D) and tpsot != 0:
                 raise JPXError(

@@ -1088,3 +1088,30 @@ class TestCanvasOffsetsAndCoc:
         with pytest.raises(JPXError, match="offsets"):
             encode_jpx(w, h, px, 1, levels=0, image_offset=(0, 4),
                        tile_offset=(0, 8), tile_size=(64, 64))
+
+
+class TestOffsetCocFuzz:
+    def test_bitflip_fuzz_clean_errors_only(self):
+        """Crash-freedom on the round-8 surface: bit-flipped canvas-
+        offset + per-tile-COC streams either decode or raise the
+        declared error types — never hang or leak foreign
+        exceptions."""
+        import random
+        import struct as _struct
+
+        px = bytes((x * 7 + y * 13) % 256
+                   for y in range(40) for x in range(162))
+        cs = encode_jpx(162, 40, px, 1, levels=2, prog=2,
+                        image_offset=(8, 4), tile_offset=(4, 0),
+                        tile_size=(128, 64), precincts=(7, 7),
+                        tile_coc={1: {0: 1}})
+        rng = random.Random(7)
+        for _ in range(150):
+            data = bytearray(cs)
+            for _ in range(rng.randint(1, 4)):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            try:
+                decode_jpx(bytes(data))
+            except (JPXError, ValueError, IndexError, KeyError,
+                    OverflowError, _struct.error):
+                pass
