@@ -203,6 +203,7 @@ class PdfCodec(DocumentCodec):
                     rotate=minipdf.page_rotation(doc, p),
                     media_box=minipdf.page_media_box(doc, p),
                     forms=doc.page_forms(p),
+                    ext_gstates=doc.page_ext_gstates(p),
                 )
                 for p in doc.pages()
             ]
@@ -212,6 +213,7 @@ class PdfCodec(DocumentCodec):
                     doc.page_content(p),
                     fonts=doc.page_fonts(p),
                     forms=doc.page_forms(p),
+                    ext_gstates=doc.page_ext_gstates(p),
                 )
                 for p in doc.pages()
             ]
@@ -1453,6 +1455,7 @@ class PdfCodec(DocumentCodec):
         runs = minipdf._text_runs(
             content, fonts=doc.page_fonts(pg),
             t3_fonts=t3fonts or None, t3_glyphs=t3_glyphs,
+            ext_gstates=doc.page_ext_gstates(pg),
         )
         for fname, code, gm in t3_glyphs:
             proc = t3fonts.get(fname, {}).get("procs", {}).get(code)
@@ -1628,6 +1631,7 @@ class PdfCodec(DocumentCodec):
             rotate=minipdf.page_rotation(handle.doc, pg),
             media_box=minipdf.page_media_box(handle.doc, pg),
             forms=handle.doc.page_forms(pg),
+            ext_gstates=handle.doc.page_ext_gstates(pg),
         )
 
     def page_paragraphs(self, handle: "_PdfHandle", page: int) -> list[str]:
@@ -1645,6 +1649,7 @@ class PdfCodec(DocumentCodec):
             rotate=minipdf.page_rotation(handle.doc, pg),
             media_box=minipdf.page_media_box(handle.doc, pg),
             forms=handle.doc.page_forms(pg),
+            ext_gstates=handle.doc.page_ext_gstates(pg),
         )
 
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:

@@ -1045,52 +1045,63 @@ class PdfDocument:
             f = self.resolve(ref)
             if not isinstance(f, dict):
                 continue
-            tu = self.resolve(f.get("/ToUnicode"))
-            if isinstance(tu, StreamObj):
-                try:
-                    out[name] = parse_tounicode_cmap(self.stream_bytes(tu))
-                    continue
-                except (ValueError, IndexError, zlib.error):
-                    pass
-            if self.resolve(f.get("/Subtype")) == "/Type0":
-                cid_map = self._type0_fontfile_map(f)
-                if cid_map:
-                    out[name] = (cid_map, 2)
-                    continue
-                # predefined unicode CMaps (/UniJIS-UCS2-H,
-                # /UniGB-UTF16-H etc., ISO 32000-1 §9.7.5.2 table
-                # 118): the code bytes ARE the text — UCS-2 directly,
-                # UTF-16 including surrogate PAIRS for supplementary-
-                # plane CJK/emoji — so no font data is needed; the
-                # show string decodes as UTF-16BE (UCS-2 is its
-                # BMP subset)
-                enc_name = self.resolve(f.get("/Encoding"))
-                if isinstance(enc_name, str) and re.fullmatch(
-                    r"/Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]", enc_name
-                ):
-                    out[name] = ("utf16", 2)
-                    continue
-            enc = f.get("/Encoding")
-            if enc is not None and self.resolve(enc) != "/Identity-H":
-                emap = encoding_map(enc, self.resolve)
-                # pure-Latin-1 maps add nothing over the fallback
-                if any(emap.get(b) != chr(b) for b in range(256)):
-                    out[name] = (emap, 1)
-            if name not in out:
-                # subset Type1C with a CUSTOM built-in encoding and no
-                # PDF-side map: the CFF's own Encoding+charset name the
-                # glyphs (sources/cff), AGL names them to unicode
-                cff_map = self._fontfile3_builtin_map(f)
-                if cff_map:
-                    out[name] = (cff_map, 1)
+            m = self._font_decode_map(f)
+            if m is not None:
+                out[name] = m
         for name, (mapping, code_len) in out.items():
-            if code_len == 1:
-                # 1-byte maps decode via str.translate (C-speed) —
-                # a per-char Python loop would tax EVERY show op
-                out[name] = (mapping, 1, str.maketrans(
-                    {chr(c): v for c, v in mapping.items()}
-                ))
+            out[name] = self._finish_font_map(mapping, code_len)
         return out
+
+    @staticmethod
+    def _finish_font_map(mapping, code_len: int) -> tuple:
+        """1-byte maps decode via str.translate (C-speed) — a
+        per-char Python loop would tax EVERY show op."""
+        if code_len == 1:
+            return (mapping, 1, str.maketrans(
+                {chr(c): v for c, v in mapping.items()}
+            ))
+        return (mapping, code_len)
+
+    def _font_decode_map(self, f: dict) -> tuple | None:
+        """The decode map for ONE font dict (the per-name body of
+        :meth:`page_fonts`, shared with ExtGState /Font): (mapping,
+        code byte length) or the ("utf16", 2) sentinel; None when the
+        font adds nothing over the Latin-1 fallback."""
+        tu = self.resolve(f.get("/ToUnicode"))
+        if isinstance(tu, StreamObj):
+            try:
+                return parse_tounicode_cmap(self.stream_bytes(tu))
+            except (ValueError, IndexError, zlib.error):
+                pass
+        if self.resolve(f.get("/Subtype")) == "/Type0":
+            cid_map = self._type0_fontfile_map(f)
+            if cid_map:
+                return (cid_map, 2)
+            # predefined unicode CMaps (/UniJIS-UCS2-H,
+            # /UniGB-UTF16-H etc., ISO 32000-1 §9.7.5.2 table
+            # 118): the code bytes ARE the text — UCS-2 directly,
+            # UTF-16 including surrogate PAIRS for supplementary-
+            # plane CJK/emoji — so no font data is needed; the
+            # show string decodes as UTF-16BE (UCS-2 is its
+            # BMP subset)
+            enc_name = self.resolve(f.get("/Encoding"))
+            if isinstance(enc_name, str) and re.fullmatch(
+                r"/Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]", enc_name
+            ):
+                return ("utf16", 2)
+        enc = f.get("/Encoding")
+        if enc is not None and self.resolve(enc) != "/Identity-H":
+            emap = encoding_map(enc, self.resolve)
+            # pure-Latin-1 maps add nothing over the fallback
+            if any(emap.get(b) != chr(b) for b in range(256)):
+                return (emap, 1)
+        # subset Type1C with a CUSTOM built-in encoding and no
+        # PDF-side map: the CFF's own Encoding+charset name the
+        # glyphs (sources/cff), AGL names them to unicode
+        cff_map = self._fontfile3_builtin_map(f)
+        if cff_map:
+            return (cff_map, 1)
+        return None
 
     def _fontfile3_builtin_map(self, f: dict) -> dict[int, str] | None:
         """code → unicode for a simple font from its embedded font
@@ -1286,10 +1297,13 @@ class PdfDocument:
         32000-1 8.4.5), restricted to the graphics parameters the
         renderer honors through the ``gs`` operator: ``LW`` (line
         width), ``D`` (dash pattern, ``None`` = explicit solid
-        reset), and ``ca``/``CA`` (constant fill/stroke alpha, the
+        reset), ``ca``/``CA`` (constant fill/stroke alpha, the
         watermark idiom — geometry, image and shading paints blend
-        Normal over the backdrop). Other ExtGState parameters (blend
-        modes other than Normal, /Font, soft masks) are declined by
+        Normal over the backdrop), and ``Font`` (round-8: a
+        ``(decode map, size)`` pair resolved from the /Font entry's
+        FONT OBJECT, so the TEXT interpreters switch fonts on ``gs``
+        per ISO 32000-1 Table 58). Other ExtGState parameters (blend
+        modes other than Normal, soft masks) are declined by
         name — text rendering stays opaque."""
         res = self.resolve(page.get("/Resources"))
         gsd = self.resolve(res.get("/ExtGState")) \
@@ -1315,6 +1329,27 @@ class PdfDocument:
                         entry[out_key] = min(1.0, max(0.0, float(av)))
                     except (TypeError, ValueError):
                         pass
+            fnt = self.resolve(g.get("/Font"))
+            if isinstance(fnt, list) and len(fnt) >= 2:
+                # /Font [fontRef size] (ISO 32000-1 Table 58,
+                # round-8): the decode map resolves from the FONT
+                # OBJECT itself (no resource name involved) so the
+                # text interpreters can switch on `gs`
+                fd = self.resolve(fnt[0])
+                try:
+                    size = float(self.resolve(fnt[1]))
+                except (TypeError, ValueError):
+                    size = 12.0
+                fmap = None
+                if isinstance(fd, dict):
+                    try:
+                        fmap = self._font_decode_map(fd)
+                    except (ValueError, IndexError, zlib.error,
+                            struct.error):
+                        fmap = None
+                if fmap is not None:
+                    fmap = self._finish_font_map(*fmap)
+                entry["Font"] = (fmap, size)
             dsh = self.resolve(g.get("/D"))
             if isinstance(dsh, list) and len(dsh) >= 2:
                 arr = self.resolve(dsh[0])
@@ -2008,6 +2043,7 @@ def content_text(
     content: bytes,
     fonts: dict[str, tuple] | None = None,
     forms: dict | None = None,
+    ext_gstates: dict | None = None,
 ) -> str:
     """Text shown by a content stream IN STREAM ORDER: ``Tj``/``TJ``/
     ``'``/``"`` emit glyph strings; ``Td/TD/T*/Tm/ET`` mark line
@@ -2017,7 +2053,10 @@ def content_text(
     glyph strings decode through their CMap while unmapped fonts keep
     the BOM/Latin-1 fallback. ``forms`` (see
     :meth:`PdfDocument.page_forms`) inlines /Form XObject text at its
-    ``Do`` site in stream order. For reading order (two-column
+    ``Do`` site in stream order. ``ext_gstates`` (see
+    :meth:`PdfDocument.page_ext_gstates`) makes ``gs`` with an
+    ExtGState /Font switch the active decode map (ISO 32000-1 Table
+    58, round-8). For reading order (two-column
     layouts, out-of-order text operators) use
     :func:`content_text_layout`."""
     out: list[str] = []
@@ -2062,6 +2101,11 @@ def content_text(
                 if frame_fonts and len(stack) >= 2 \
                         and isinstance(stack[-2], str):
                     cur_cmap = frame_fonts.get(stack[-2])
+            elif op == b"gs" and stack and isinstance(stack[-1], str) \
+                    and ext_gstates:
+                g = ext_gstates.get(stack[-1])
+                if g and "Font" in g:
+                    cur_cmap = g["Font"][0]
             elif op == b"Do" and stack and isinstance(stack[-1], str) \
                     and frame_forms and depth < 8:
                 ent = frame_forms.get(stack[-1])
@@ -2137,6 +2181,7 @@ def _text_runs(
     forms: dict | None = None,
     t3_fonts: dict | None = None,
     t3_glyphs: list | None = None,
+    ext_gstates: dict | None = None,
 ) -> list[dict]:
     """Interpret the positioning + showing operators into runs:
     ``{x, y, x_end, size, text, font}`` with device-space baseline
@@ -2296,6 +2341,12 @@ def _text_runs(
                         if frame_fonts:
                             cur_cmap = frame_fonts.get(stack[-2])
                     tfs = float(stack[-1])
+                elif op == b"gs" and stack \
+                        and isinstance(stack[-1], str) and ext_gstates:
+                    g = ext_gstates.get(stack[-1])
+                    if g and "Font" in g:
+                        cur_cmap, tfs = g["Font"][0], g["Font"][1]
+                        cur_font = None
                 elif op == b"Tj":
                     if in_text and stack and isinstance(stack[-1], bytes):
                         show(stack[-1])
@@ -2480,6 +2531,7 @@ def content_word_boxes(
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
+    ext_gstates: dict | None = None,
 ) -> list[dict]:
     """Word-level boxes (the ``pdftotext -bbox`` shape): every
     whitespace-delimited word with its device-space baseline box
@@ -2491,7 +2543,9 @@ def content_word_boxes(
     engine uses, so boxes are approximate but reproducible. y0 is the
     baseline, y1 = baseline + the device font size (ascent box)."""
     runs = _reading_frame(
-        _rotate_runs(_text_runs(content, fonts, forms), rotate, media_box),
+        _rotate_runs(_text_runs(content, fonts, forms,
+                        ext_gstates=ext_gstates),
+             rotate, media_box),
         frame=_display_frame(rotate, media_box),
     )
     out: list[dict] = []
@@ -2540,6 +2594,7 @@ def extract_page_word_boxes(data: bytes) -> list[list[dict]]:
             rotate=page_rotation(doc, p),
             media_box=page_media_box(doc, p),
             forms=doc.page_forms(p),
+            ext_gstates=doc.page_ext_gstates(p),
         )
         for p in doc.pages()
     ]
@@ -2551,6 +2606,7 @@ def content_text_layout(
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
+    ext_gstates: dict | None = None,
 ) -> str:
     """Text shown by a content stream in READING ORDER (pdftotext
     parity): runs are placed in device space by the full positioning
@@ -2564,7 +2620,7 @@ def content_text_layout(
     see :func:`_rotate_runs`."""
     return "\n".join(
         t for _, _, t in _layout_lines(content, fonts, rotate, media_box,
-                                       forms)
+                                       forms, ext_gstates)
     )
 
 
@@ -2574,12 +2630,15 @@ def _layout_lines(
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
+    ext_gstates: dict | None = None,
 ) -> list[tuple[float, float, str]]:
     """Reading-order lines as ``(y, size, text)`` — the shared back
     end of :func:`content_text_layout` and
     :func:`content_paragraphs`."""
     runs = _reading_frame(
-        _rotate_runs(_text_runs(content, fonts, forms), rotate, media_box),
+        _rotate_runs(_text_runs(content, fonts, forms,
+                        ext_gstates=ext_gstates),
+             rotate, media_box),
         frame=_display_frame(rotate, media_box),
     )
     if not runs:
@@ -2623,6 +2682,7 @@ def content_paragraphs(
     rotate: int = 0,
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
+    ext_gstates: dict | None = None,
 ) -> list[str]:
     """PARAGRAPH segmentation over the reading-order lines — the
     layout-aware chunking unit a training pipeline wants. A new
@@ -2635,7 +2695,7 @@ def content_paragraphs(
     lines = [
         (y, size, t)
         for y, size, t in _layout_lines(content, fonts, rotate, media_box,
-                                        forms)
+                                        forms, ext_gstates)
         if t.strip()
     ]
     if not lines:
@@ -2904,9 +2964,11 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     dash around corners); pattern lengths scale with the CTM like
     line width; degenerate or sub-pixel patterns (any element under
     0.5 device units — below raster resolution, also the run-count
-    DoS bound) stroke solid. The ``gs`` operator applies /LW and /D
-    from ``ext_gstates`` (see :meth:`PdfDocument.page_ext_gstates`;
-    alpha, blend modes, soft masks and /Font are declined by name).
+    DoS bound) stroke solid. The ``gs`` operator applies /LW, /D
+    and /ca//CA from ``ext_gstates`` (see
+    :meth:`PdfDocument.page_ext_gstates`; /Font feeds the TEXT
+    interpreters; blend modes other than Normal and soft masks are
+    declined by name).
     Colors, width, dash, CTM and clip all save/restore with q/Q per
     the spec's graphics state.
     NON-RECT / MULTI-RECT / ROTATED-CTM CLIP PATHS are honored
@@ -3318,12 +3380,14 @@ def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:
                 rotate=page_rotation(doc, p),
                 media_box=page_media_box(doc, p),
                 forms=doc.page_forms(p),
+                ext_gstates=doc.page_ext_gstates(p),
             )
             for p in doc.pages()
         ]
     return [
         content_text(doc.page_content(p), fonts=doc.page_fonts(p),
-                     forms=doc.page_forms(p))
+                     forms=doc.page_forms(p),
+                     ext_gstates=doc.page_ext_gstates(p))
         for p in doc.pages()
     ]
 

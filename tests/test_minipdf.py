@@ -3637,3 +3637,70 @@ class TestPredefinedUnicodeCmaps:
 
         text = "Ünïcode vía CMap — ∑ligatures"
         assert minipdf.extract_page_texts(_cid_pdf(text)) == [text]
+
+
+class TestExtGStateFont:
+    """ExtGState /Font (ISO 32000-1 Table 58, round-8): `gs` with a
+    /Font [fontRef size] entry switches the active decode map in
+    every text interpreter — no /Tf, no /Resources /Font name."""
+
+    @staticmethod
+    def _pdf(text: str) -> bytes:
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        bf = "".join(
+            f"<{i + 1:04X}> <{ord(c):04X}>\n" for i, c in enumerate(text)
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(text)} beginbfchar\n{bf}endbfchar\nendcmap end\n"
+        ).encode()
+        codes = "".join(f"{i + 1:04X}" for i in range(len(text)))
+        content = f"BT /G1 gs 72 700 Td <{codes}> Tj ET".encode()
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /ExtGState << /G1 << /Type /ExtGState "
+            b"/Font [5 0 R 14] >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /GSF "
+            b"/ToUnicode 6 0 R >>",
+            b"<< /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream",
+        ])
+
+    def test_stream_and_layout_extraction(self):
+        text = "GS Font — ünïcode!"
+        pdf = self._pdf(text)
+        assert minipdf.extract_page_texts(pdf) == [text]
+        assert minipdf.extract_page_texts(pdf, layout=True) == [text]
+
+    def test_tf_overrides_after_gs(self):
+        # Tf AFTER gs re-selects a resource font (here: none mapped →
+        # Latin-1 fallback), pinning that gs doesn't pin the state
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        content = (b"BT /G1 gs /F9 7 Tf (plain) Tj ET")
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /ExtGState << /G1 << "
+            b"/Font [5 0 R 14] >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ])
+        assert minipdf.extract_page_texts(pdf) == ["plain"]
+
+    def test_gs_font_size_feeds_layout(self):
+        # the size operand lands in the run's font size (layout uses
+        # it for line grouping) — smoke via word boxes not crashing
+        pdf = self._pdf("sized")
+        [boxes] = minipdf.extract_page_word_boxes(pdf)
+        assert boxes and boxes[0]["word"] == "sized"
+        # y1 - y0 == the gs size operand (14)
+        assert boxes[0]["y1"] - boxes[0]["y0"] == 14.0
