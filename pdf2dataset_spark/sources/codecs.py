@@ -900,10 +900,12 @@ class PdfCodec(DocumentCodec):
         the cell's own color operators ignored per §8.7.3.3.
         Returns the standard masked 5-tuple patch.
 
-        DECLINED BY NAME: rotated/skewed or mirrored /Matrix (the
-        cell sampler is axis-aligned), overlapping tiles (XStep/
-        YStep smaller than the cell), cells with nested images/
-        shadings/patterns, over-budget cells."""
+        DECLINED BY NAME: singular /Matrix, overlapping tiles
+        (XStep/YStep smaller than the cell), cells with nested
+        images/shadings/patterns, over-budget cells. (Rotated/
+        skewed/mirrored /Matrix are HONORED since round-8: the
+        device→pattern mapping goes through the full matrix
+        inverse.)"""
         import numpy as np
 
         from pdf2dataset_spark.sources import minipdf, raster

@@ -39,6 +39,7 @@ round-trip tests — text → PDF bytes → extracted text must be exact.
 
 from __future__ import annotations
 
+import math
 import re
 import struct
 import zlib
@@ -2261,9 +2262,13 @@ def _text_runs(
                         )
                         t3_glyphs.append((cur_font, code, gm))
                         wx = widths.get(code, 0.0)
+                        # advance = text-space LENGTH of (wx, 0)
+                        # through the full /FontMatrix — a rotated or
+                        # skewed FontMatrix contributes fm[1] too
+                        # (ISO 32000-1 §9.6.5; round-9 advice fix)
                         adv += (
-                            fm[0] * wx * tfs + tc
-                            + (tw if code == 32 else 0.0)
+                            math.hypot(fm[0] * wx, fm[1] * wx) * tfs
+                            + tc + (tw if code == 32 else 0.0)
                         ) * tz / 100.0
                 else:
                     adv += advance_em(s)
@@ -3294,7 +3299,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 fill_pattern = stack[-1]
                 nums = [v for v in stack[:-1]
                         if isinstance(v, (int, float))]
-                fill_pattern_g = _luma(nums[-4:]) if nums else 0
+                # only g/rg/k arities carry a color; any other
+                # operand count is malformed — keep the prior color
+                # rather than silently painting black (round-9
+                # advice fix)
+                if len(nums) in (1, 3, 4):
+                    fill_pattern_g = _luma(nums[-4:])
             elif op == b"re" and len(stack) >= 4:
                 x, y, w, h = (float(v) for v in stack[-4:])
                 rects.append((x, y, w, h))
