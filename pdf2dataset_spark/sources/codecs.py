@@ -261,6 +261,31 @@ class PdfCodec(DocumentCodec):
             return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
         return None
 
+    @staticmethod
+    def _entry_alpha(e: dict, w: int, h: int) -> bytes | None:
+        """Per-pixel /SMask alpha plane of a decoded page_images
+        entry, nearest-resampled to the BASE image's ``w`` x ``h``
+        grid (round-9: the composite render honors image soft masks,
+        ISO 32000-1 §11.6.5.2); None when absent, undecoded, or not
+        8-bit (the honest decline the smask entry already records)."""
+        sm = e.get("smask") if isinstance(e, dict) else None
+        if not isinstance(sm, dict) or not sm.get("decodable"):
+            return None
+        alpha, sw, sh = sm.get("alpha"), sm.get("width"), sm.get("height")
+        if alpha is None or not sw or not sh \
+                or sm.get("bits", 8) not in (0, 8) \
+                or len(alpha) < sw * sh:
+            return None
+        if (sw, sh) == (w, h):
+            return bytes(alpha[:w * h])
+        import numpy as np
+
+        src = np.frombuffer(bytes(alpha[:sw * sh]), np.uint8) \
+            .reshape(sh, sw)
+        yi = np.minimum((np.arange(h) * sh) // h, sh - 1)
+        xi = np.minimum((np.arange(w) * sw) // w, sw - 1)
+        return src[yi[:, None], xi[None, :]].tobytes()
+
 
 
     #: execution-step budget for Type 4 calculator functions — a
@@ -1343,7 +1368,16 @@ class PdfCodec(DocumentCodec):
                     if rot:
                         shifted = minipdf._mat_mul(shifted, _rot_d[rot])
                     img_map[i] = len(placed)
-                    placed.append((gray[0], gray[1], gray[2], shifted))
+                    alpha = self._entry_alpha(e, gray[0], gray[1])
+                    if alpha is None:
+                        placed.append(
+                            (gray[0], gray[1], gray[2], shifted))
+                    else:
+                        # 6-tuple: per-pixel /SMask alpha (round-9),
+                        # resampled to the base image's grid
+                        placed.append(
+                            (gray[0], gray[1], gray[2], shifted,
+                             None, alpha))
         # shadings rasterize as masked gray patches (axial under any
         # invertible CTM, radial under similarity CTMs), painted at
         # their exact content-stream z-position via the order journal;
@@ -1487,8 +1521,10 @@ class PdfCodec(DocumentCodec):
         # patterns — drop out of the sequence)
         compose_order: list[tuple] = []
         compose_alphas: dict = {}
+        compose_blends: dict = {}
         compose_stencils: dict = {}
         draw_alphas = draw.get("alphas", {})
+        draw_blends = draw.get("blends", {})
         draw_stencils = draw.get("stencils", {})
         _mapped_chains: dict = {}
 
@@ -1514,6 +1550,9 @@ class PdfCodec(DocumentCodec):
             a = draw_alphas.get((src_kind, src_idx))
             if a is not None:
                 compose_alphas[(kind, idx)] = a
+            bm = draw_blends.get((src_kind, src_idx))
+            if bm is not None:
+                compose_blends[(kind, idx)] = bm
             st = draw_stencils.get((src_kind, src_idx))
             if st:
                 compose_stencils[(kind, idx)] = _map_stencil(st)
@@ -1556,6 +1595,7 @@ class PdfCodec(DocumentCodec):
             base_images=shading_patches,
             order=compose_order,
             alphas=compose_alphas,
+            blends=compose_blends,
             stencils=compose_stencils,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"])

@@ -1299,13 +1299,22 @@ class PdfDocument:
         renderer honors through the ``gs`` operator: ``LW`` (line
         width), ``D`` (dash pattern, ``None`` = explicit solid
         reset), ``ca``/``CA`` (constant fill/stroke alpha, the
-        watermark idiom — geometry, image and shading paints blend
-        Normal over the backdrop), and ``Font`` (round-8: a
-        ``(decode map, size)`` pair resolved from the /Font entry's
-        FONT OBJECT, so the TEXT interpreters switch fonts on ``gs``
-        per ISO 32000-1 Table 58). Other ExtGState parameters (blend
-        modes other than Normal, soft masks) are declined by
-        name — text rendering stays opaque."""
+        watermark idiom), ``Font`` (round-8: a ``(decode map,
+        size)`` pair resolved from the /Font entry's FONT OBJECT, so
+        the TEXT interpreters switch fonts on ``gs`` per ISO 32000-1
+        Table 58), and ``BM`` (round-9: the SEPARABLE blend modes of
+        ISO 32000-1 §11.3.5 — Multiply, Screen, Overlay, Darken,
+        Lighten, ColorDodge, ColorBurn, HardLight, SoftLight,
+        Difference, Exclusion — applied per-pixel on the gray
+        composite by raster.compose_page; /Normal and /Compatible
+        reset to plain over-compositing; an ARRAY takes its first
+        supported member per the pre-ISO convention). Non-separable
+        blend modes (Hue/Saturation/Color/Luminosity — identity for
+        gray-on-gray backdrops anyway) map to Normal; ExtGState
+        /SMask (luminosity soft-mask GROUPS) stays declined by
+        name — image /SMask per-pixel alpha is honored on the image
+        paint path (codecs.PdfCodec._composite_pixels). Text
+        rendering stays opaque."""
         res = self.resolve(page.get("/Resources"))
         gsd = self.resolve(res.get("/ExtGState")) \
             if isinstance(res, dict) else None
@@ -1330,6 +1339,19 @@ class PdfDocument:
                         entry[out_key] = min(1.0, max(0.0, float(av)))
                     except (TypeError, ValueError):
                         pass
+            bm = self.resolve(g.get("/BM"))
+            if isinstance(bm, list):
+                # pre-ISO array form: first supported member wins
+                bm = next((self.resolve(v) for v in bm
+                           if isinstance(self.resolve(v), str)), None)
+            if isinstance(bm, str):
+                mode = bm.lstrip("/")
+                if mode in _SEPARABLE_BLEND_MODES:
+                    entry["BM"] = mode
+                else:
+                    # Normal/Compatible and the non-separable modes
+                    # (identity on gray backdrops): explicit reset
+                    entry["BM"] = None
             fnt = self.resolve(g.get("/Font"))
             if isinstance(fnt, list) and len(fnt) >= 2:
                 # /Font [fontRef size] (ISO 32000-1 Table 58,
@@ -2161,6 +2183,15 @@ _EST_CHAR_EM = 0.5
 
 _ID6 = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
+#: separable blend modes the composite render applies per-pixel
+#: (ISO 32000-1 §11.3.5 Table 136; the gray-channel B(b, s)
+#: functions live in raster._blend_gray)
+_SEPARABLE_BLEND_MODES = frozenset({
+    "Multiply", "Screen", "Overlay", "Darken", "Lighten",
+    "ColorDodge", "ColorBurn", "HardLight", "SoftLight",
+    "Difference", "Exclusion",
+})
+
 
 def _mat_mul(m1, m2):
     """PDF row-vector convention: apply m1, then m2."""
@@ -2969,11 +3000,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     dash around corners); pattern lengths scale with the CTM like
     line width; degenerate or sub-pixel patterns (any element under
     0.5 device units — below raster resolution, also the run-count
-    DoS bound) stroke solid. The ``gs`` operator applies /LW, /D
-    and /ca//CA from ``ext_gstates`` (see
+    DoS bound) stroke solid. The ``gs`` operator applies /LW, /D,
+    /ca//CA and /BM from ``ext_gstates`` (see
     :meth:`PdfDocument.page_ext_gstates`; /Font feeds the TEXT
-    interpreters; blend modes other than Normal and soft masks are
-    declined by name).
+    interpreters; separable blend modes ride the journal in
+    ``blends`` for per-pixel application in raster.compose_page;
+    ExtGState soft-mask GROUPS are declined by name).
     Colors, width, dash, CTM and clip all save/restore with q/Q per
     the spec's graphics state.
     NON-RECT / MULTI-RECT / ROTATED-CTM CLIP PATHS are honored
@@ -3021,6 +3053,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     fill_pattern: str | None = None  # /Pattern cs + scn name active
     fill_pattern_g = 0  # scn's numeric operands (uncolored tiling)
     fill_alpha = stroke_alpha = 1.0  # ExtGState /ca and /CA
+    blend: str | None = None  # ExtGState /BM separable mode (round-9)
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
@@ -3036,6 +3069,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     pattern_fills: list[tuple] = []  # (pattern name, device rect)
     order: list[tuple] = []  # (category, index) in stream paint order
     alphas: dict = {}  # (category, index) -> constant alpha < 1.0
+    blends: dict = {}  # (category, index) -> separable blend mode
 
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
@@ -3049,6 +3083,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         order.append(key)
         if alpha < 1.0:
             alphas[key] = alpha
+        if blend is not None:
+            blends[key] = blend
         if clip_stencils:
             stencils_out[key] = clip_stencils
 
@@ -3242,12 +3278,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 ctm_stack.append(
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
                      line_w, dash, fill_pattern, fill_pattern_g,
-                     fill_alpha, stroke_alpha))
+                     fill_alpha, stroke_alpha, blend))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
                      line_w, dash, fill_pattern, fill_pattern_g,
-                     fill_alpha, stroke_alpha) = ctm_stack.pop()
+                     fill_alpha, stroke_alpha, blend) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
@@ -3266,6 +3302,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         fill_alpha = g["ca"]
                     if "CA" in g:
                         stroke_alpha = g["CA"]
+                    if "BM" in g:
+                        blend = g["BM"]
             elif op == b"d" and len(stack) >= 2 \
                     and isinstance(stack[-2], list):
                 arr = [float(v) for v in stack[-2]]
@@ -3372,7 +3410,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             continue
     return {"fills": fills, "polys": polys, "lines": lines,
             "pattern_fills": pattern_fills, "order": order,
-            "alphas": alphas, "stencils": stencils_out,
+            "alphas": alphas, "blends": blends,
+            "stencils": stencils_out,
             "images": images, "shadings": shadings}
 
 

@@ -382,6 +382,45 @@ def _ocr_ncc(
 _MAX_CANVAS_PIXELS = 1 << 26
 
 
+def _blend_gray(mode: str, b: int, s: int) -> int:
+    """Separable blend B(backdrop, source) on one 8-bit gray channel
+    (ISO 32000-1 §11.3.5 Table 136). ``b``/``s`` and the result are
+    0-255; unknown modes pass the source through (Normal)."""
+    bf, sf = b / 255.0, s / 255.0
+    if mode == "Multiply":
+        r = bf * sf
+    elif mode == "Screen":
+        r = bf + sf - bf * sf
+    elif mode == "Overlay":
+        r = 2 * bf * sf if bf <= 0.5 else 1 - 2 * (1 - bf) * (1 - sf)
+    elif mode == "Darken":
+        r = min(bf, sf)
+    elif mode == "Lighten":
+        r = max(bf, sf)
+    elif mode == "ColorDodge":
+        r = 0.0 if bf <= 0 else \
+            (1.0 if sf >= 1 else min(1.0, bf / (1 - sf)))
+    elif mode == "ColorBurn":
+        r = 1.0 if bf >= 1 else \
+            (0.0 if sf <= 0 else 1 - min(1.0, (1 - bf) / sf))
+    elif mode == "HardLight":
+        r = 2 * sf * bf if sf <= 0.5 else 1 - 2 * (1 - sf) * (1 - bf)
+    elif mode == "SoftLight":
+        if sf <= 0.5:
+            r = bf - (1 - 2 * sf) * bf * (1 - bf)
+        else:
+            d = ((16 * bf - 12) * bf + 4) * bf if bf <= 0.25 \
+                else bf ** 0.5
+            r = bf + (2 * sf - 1) * (d - bf)
+    elif mode == "Difference":
+        r = abs(bf - sf)
+    elif mode == "Exclusion":
+        r = bf + sf - 2 * bf * sf
+    else:
+        r = sf
+    return int(r * 255 + 0.5)
+
+
 def _ceil(v: float) -> int:
     i = int(v)
     return i if i >= v else i + 1
@@ -400,6 +439,7 @@ def compose_page(
     order: list | None = None,
     alphas: dict | None = None,
     stencils: dict | None = None,
+    blends: dict | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
     ``scale`` px per PDF unit. With ``order`` — a list of
@@ -429,6 +469,12 @@ def compose_page(
       polygons (page coords, same space as the item geometry). Masks
       rasterize once per distinct ``groups`` object and gate every
       painter per pixel.
+    - ``blends``: ``{(category, index): mode}`` separable blend modes
+      (round-9, ISO 32000-1 §11.3.5): the painted value becomes
+      ``B(backdrop, source)`` before alpha compositing. ``images``/
+      ``base_images`` entries may carry a 6th element — a per-pixel
+      8-bit ALPHA plane (image /SMask) multiplied into the item's
+      constant alpha.
 
     PDF y grows UP; the canvas row 0 is the page TOP.
 
@@ -447,14 +493,17 @@ def compose_page(
     px = bytearray(b"\xff" * (W * H))
 
     def put(cx: int, cy: int, g: int, a: float | None = None,
-            m: bytearray | None = None) -> None:
+            m: bytearray | None = None,
+            bm: str | None = None) -> None:
         if 0 <= cx < W and 0 <= cy < H \
                 and (m is None or m[cy * W + cx]):
-            if a is None:
+            if a is None and bm is None:
                 px[cy * W + cx] = g
             else:
                 old = px[cy * W + cx]
-                px[cy * W + cx] = int(a * g + (1 - a) * old + 0.5)
+                s_ = _blend_gray(bm, old, g) if bm else g
+                px[cy * W + cx] = s_ if a is None else int(
+                    a * s_ + (1 - a) * old + 0.5)
 
     def dev(x: float, y: float) -> tuple[int, int]:
         return int(round(x * scale)), int(round((page_h - y) * scale))
@@ -509,9 +558,15 @@ def compose_page(
         return m
 
     def stamp(entries, a: float | None = None,
-              m: bytearray | None = None) -> None:
+              m: bytearray | None = None,
+              bm: str | None = None) -> None:
         for entry in entries or ():
-            if len(entry) == 5:
+            ialpha = None
+            if len(entry) == 6:
+                # 6-tuple (round-9): per-pixel /SMask alpha plane,
+                # 0-255 per SOURCE pixel, multiplied into ``a``
+                iw, ih, ipx, ictm, imask, ialpha = entry
+            elif len(entry) == 5:
                 # optional paint mask: 0 = transparent (skip-stamp) —
                 # unpainted shading pixels must not erase layers below
                 iw, ih, ipx, ictm, imask = entry
@@ -519,7 +574,8 @@ def compose_page(
                 iw, ih, ipx, ictm = entry
                 imask = None
             if not iw or not ih or len(ipx) < iw * ih \
-                    or (imask is not None and len(imask) < iw * ih):
+                    or (imask is not None and len(imask) < iw * ih) \
+                    or (ialpha is not None and len(ialpha) < iw * ih):
                 continue  # malformed entry: skip, never IndexError
             ia, ib, ic, id_, ie, if_ = ictm
             ixs = (ie, ia + ie, ic + ie, ia + ic + ie)
@@ -537,19 +593,30 @@ def compose_page(
                     sxp = min(iw - 1, (tx - tx0) * iw // tw)
                     if (imask is None or imask[srow + sxp]) \
                             and (m is None or m[row + tx]):
-                        if a is None:
-                            px[row + tx] = ipx[srow + sxp]
+                        ae = a
+                        if ialpha is not None:
+                            ae = (1.0 if ae is None else ae) \
+                                * ialpha[srow + sxp] / 255.0
+                            if ae <= 0.0:
+                                continue
+                            if ae >= 1.0:
+                                ae = None
+                        src = ipx[srow + sxp]
+                        if ae is None and bm is None:
+                            px[row + tx] = src
                         else:
                             old = px[row + tx]
-                            px[row + tx] = int(
-                                a * ipx[srow + sxp] + (1 - a) * old
-                                + 0.5)
+                            s_ = _blend_gray(bm, old, src) if bm \
+                                else src
+                            px[row + tx] = s_ if ae is None else int(
+                                ae * s_ + (1 - ae) * old + 0.5)
 
     def _span(row: int, lo: int, hi: int, g: int,
               a: float | None, m: bytearray | None,
-              fill_b: bytes | None) -> None:
-        """Paint one horizontal span honoring alpha + stencil."""
-        if m is None:
+              fill_b: bytes | None, bm: str | None = None) -> None:
+        """Paint one horizontal span honoring alpha + stencil +
+        blend mode."""
+        if m is None and bm is None:
             if a is None:
                 px[row + lo:row + hi] = (fill_b or bytes([g])) \
                     * (hi - lo)
@@ -559,14 +626,16 @@ def compose_page(
                     int(ag + (1 - a) * px[row + i] + 0.5)
                     for i in range(lo, hi))
             return
-        ag = None if a is None else a * g
         for i in range(lo, hi):
-            if m[row + i]:
-                px[row + i] = g if ag is None else int(
-                    ag + (1 - a) * px[row + i] + 0.5)
+            if m is None or m[row + i]:
+                old = px[row + i]
+                s_ = _blend_gray(bm, old, g) if bm else g
+                px[row + i] = s_ if a is None else int(
+                    a * s_ + (1 - a) * old + 0.5)
 
     def paint_fill(item, a: float | None = None,
-                   m: bytearray | None = None) -> None:
+                   m: bytearray | None = None,
+                   bm: str | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy1 = dev(x0, y0)
         cx1, cy0 = dev(x1, y1)
@@ -574,10 +643,11 @@ def compose_page(
         for cy in range(max(0, cy0), min(H, cy1)):
             lo, hi = max(0, cx0), min(W, cx1)
             if hi > lo:
-                _span(cy * W, lo, hi, g, a, m, fill_b)
+                _span(cy * W, lo, hi, g, a, m, fill_b, bm)
 
     def paint_poly(item, a: float | None = None,
-                   m: bytearray | None = None) -> None:
+                   m: bytearray | None = None,
+                   bm: str | None = None) -> None:
         pts, g = item
         if len(pts) < 3:
             return
@@ -600,10 +670,11 @@ def compose_page(
                 lo = max(0, _ceil(lo_f - 0.5))
                 hi = min(W, _ceil(hi_f - 0.5))
                 if hi > lo:
-                    _span(row, lo, hi, g, a, m, fill_b)
+                    _span(row, lo, hi, g, a, m, fill_b, bm)
 
     def paint_line(item, a: float | None = None,
-                   m: bytearray | None = None) -> None:
+                   m: bytearray | None = None,
+                   bm: str | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy0 = dev(x0, y0)
         cx1, cy1 = dev(x1, y1)
@@ -612,7 +683,7 @@ def compose_page(
         sy = 1 if cy0 < cy1 else -1
         err = dx + dy
         while True:
-            put(cx0, cy0, g, a, m)
+            put(cx0, cy0, g, a, m, bm)
             if cx0 == cx1 and cy0 == cy1:
                 break
             e2 = 2 * err
@@ -631,9 +702,11 @@ def compose_page(
             "polys": (polys or (), paint_poly),
             "lines": (lines or (), paint_line),
             "images": (images or (),
-                       lambda e, a=None, m=None: stamp([e], a, m)),
+                       lambda e, a=None, m=None, bm=None:
+                       stamp([e], a, m, bm)),
             "base_images": (base_images or (),
-                            lambda e, a=None, m=None: stamp([e], a, m)),
+                            lambda e, a=None, m=None, bm=None:
+                            stamp([e], a, m, bm)),
         }
         for kind, idx in order:
             lst, fn = painters.get(kind, ((), None))
@@ -641,7 +714,8 @@ def compose_page(
                 groups = (stencils or {}).get((kind, idx))
                 fn(lst[idx],
                    (alphas or {}).get((kind, idx)),
-                   stencil_mask(groups) if groups else None)
+                   stencil_mask(groups) if groups else None,
+                   (blends or {}).get((kind, idx)))
     else:
         stamp(base_images)
         for item in fills or ():

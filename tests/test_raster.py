@@ -2280,3 +2280,150 @@ class TestUncoloredTiling:
         h = codec.open(pdf)
         w, hh, px = codec._composite_pixels(h, 1)
         assert 128 in set(px)
+
+
+class TestBlendSoftMask:
+    """Round-9: separable blend modes (ISO 32000-1 §11.3.5) and
+    per-pixel image /SMask alpha in the composite render."""
+
+    def test_blend_gray_laws(self):
+        from pdf2dataset_spark.sources.raster import _blend_gray
+
+        for b in (0, 51, 128, 204, 255):
+            for s in (0, 51, 128, 204, 255):
+                mul = _blend_gray("Multiply", b, s)
+                scr = _blend_gray("Screen", b, s)
+                # screen is multiply's dual: 1-(1-b)(1-s)
+                assert abs(scr - (255 - _blend_gray(
+                    "Multiply", 255 - b, 255 - s))) <= 1
+                # overlay(b,s) == hardlight(s,b) (roles swapped)
+                assert _blend_gray("Overlay", b, s) == \
+                    _blend_gray("HardLight", s, b)
+                assert _blend_gray("Darken", b, s) == min(b, s)
+                assert _blend_gray("Lighten", b, s) == max(b, s)
+                assert _blend_gray("Difference", b, s) == abs(b - s)
+                # exclusion == difference on the extremes
+                if b in (0, 255) or s in (0, 255):
+                    assert abs(_blend_gray("Exclusion", b, s)
+                               - abs(b - s)) <= 1
+                assert mul <= min(b, s) + 1
+                assert scr >= max(b, s) - 1
+                for m in ("ColorDodge", "ColorBurn", "SoftLight"):
+                    assert 0 <= _blend_gray(m, b, s) <= 255
+        # identity edges of dodge/burn (Table 136)
+        assert _blend_gray("ColorDodge", 0, 128) == 0
+        assert _blend_gray("ColorDodge", 128, 255) == 255
+        assert _blend_gray("ColorBurn", 255, 128) == 255
+        assert _blend_gray("ColorBurn", 128, 0) == 0
+        # white multiply / black screen are identities
+        assert _blend_gray("Multiply", 77, 255) == 77
+        assert _blend_gray("Screen", 77, 0) == 77
+
+    def test_compose_page_blend_and_pixel_alpha(self):
+        from pdf2dataset_spark.sources import raster
+
+        # 10x10 canvas: backdrop fill 204, then a Multiply fill with
+        # a per-item blend, then an image with a per-pixel alpha ramp
+        ialpha = bytes([0, 128, 255, 255])
+        img = (2, 2, bytes([0, 0, 0, 0]),
+               (4.0, 0.0, 0.0, 2.0, 0.0, 2.0), None, ialpha)
+        w, h, px = raster.compose_page(
+            10, 10,
+            fills=[(0, 0, 10, 10, 204), (0, 0, 10, 10, 128)],
+            images=[img],
+            order=[("fills", 0), ("fills", 1), ("images", 0)],
+            blends={("fills", 1): "Multiply"},
+        )
+        # multiply: 204*128/255 = 102
+        assert px[0] == 102
+        # image covers x [0,4), y [2,4): TOP source row (alpha 0,
+        # 128) lands on canvas row 6, bottom row (alpha 255) on 7
+        top, bot = 6 * 10, 7 * 10
+        assert px[top + 0] == 102          # alpha 0: untouched
+        assert abs(px[top + 2] - 51) <= 1  # alpha 128: half toward 0
+        assert px[bot + 0] == 0            # alpha 255: opaque src
+
+    @staticmethod
+    def _smask_blend_pdf():
+        import zlib
+
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        base = bytes([40] * 16)
+        alpha = bytes((0 if x < 2 else 255)
+                      for y in range(4) for x in range(4))
+        img_data = zlib.compress(base)
+        sm_data = zlib.compress(alpha)
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (smask blend page) Tj ET\n"
+            b"0.8 g 100 380 200 120 re f\n"
+            b"q 120 0 0 80 110 400 cm /Im0 Do Q\n"
+            b"/Gm gs 0.5 g 90 360 220 60 re f\n"
+        )
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << "
+            b"/XObject << /Im0 5 0 R >> "
+            b"/ExtGState << /Gm << /BM /Multiply >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /SMask 6 0 R "
+            b"/Length " + str(len(img_data)).encode()
+            + b" >>\nstream\n" + img_data + b"\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode "
+            b"/Length " + str(len(sm_data)).encode()
+            + b" >>\nstream\n" + sm_data + b"\nendstream",
+        ])
+
+    def test_codec_smask_multiply_laws(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        hdl = codec.open(self._smask_blend_pdf())
+        W, H, px = codec._composite_pixels(hdl, 1)
+
+        def g(x, y):
+            return px[(H - y) * W + x]
+
+        assert g(130, 450) == 204  # smask=0: backdrop shows through
+        assert g(200, 450) == 40   # smask=255: opaque image gray
+        assert g(150, 390) == 102  # multiply over 0.8 g: 204*128/255
+        assert g(95, 365) == 128   # multiply over white: source gray
+
+    def test_ext_gstate_bm_parsing(self):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /ExtGState << "
+            b"/Ga << /BM /Darken >> "
+            b"/Gb << /BM [/Screen /Multiply] >> "
+            b"/Gc << /BM /Normal >> "
+            b"/Gd << /BM /Luminosity >> >> >> >>",
+            b"<< /Length 4 >>\nstream\n0 g\nendstream",
+        ])
+        doc = minipdf.PdfDocument(pdf)
+        gs = doc.page_ext_gstates(doc.pages()[0])
+        assert gs["/Ga"]["BM"] == "Darken"
+        assert gs["/Gb"]["BM"] == "Screen"  # array: first member
+        assert gs["/Gc"]["BM"] is None      # Normal: explicit reset
+        assert gs["/Gd"]["BM"] is None      # non-separable -> Normal
+
+    def test_blend_save_restore(self):
+        """q/Q restores the blend mode like the rest of gstate."""
+        from pdf2dataset_spark.sources import minipdf
+
+        d = minipdf.content_draw_ops(
+            b"q /Gm gs 0.5 g 0 0 10 10 re f Q 0.5 g 20 0 10 10 re f",
+            ext_gstates={"/Gm": {"BM": "Multiply"}},
+        )
+        assert d["blends"] == {("fills", 0): "Multiply"}
