@@ -1043,16 +1043,19 @@ class PdfCodec(DocumentCodec):
         vertex records (the spec's padding rule for fractional-byte
         records is ambiguous across readers — aligned layouts, i.e.
         virtually every real file with 8-bit flags and 16/24-bit
-        coordinates, are identical under every reading), over-budget
-        vertex counts or raster area, malformed flag sequences,
-        unsupported functions, and (for types 6/7) edge-sharing
-        continuation records (flags 1-3 — every patch must be fully
-        specified; flag-0-only streams are what common writers emit).
+        coordinates, are identical under every reading; for types
+        6/7 BOTH the flag-0 and continuation record layouts must
+        align), over-budget vertex counts or raster area, malformed
+        flag sequences, and unsupported functions.
 
         Types 6 (Coons) and 7 (tensor) tessellate each patch's Coons
         surface — boundary cubics blended per the classic Coons
         formula, corner colors bilinear in (u, v) — into Gouraud
-        triangles on a fixed 12x12 parameter grid. Type 7's four
+        triangles on a fixed 12x12 parameter grid. Edge-sharing
+        continuation records (flags 1-3, ISO 32000-1 §8.7.4.5.7
+        Tables 85-86 — how real mesh shadings mostly encode,
+        round-9) reuse the previous patch's edge control points and
+        edge colors as the new patch's p1-p4 / c1-c2. Type 7's four
         interior control points are IGNORED (documented
         approximation: the boundary and corner colors are exact; only
         interior geometry of wildly-warped tensor patches deviates
@@ -1094,6 +1097,13 @@ class PdfCodec(DocumentCodec):
             else:
                 npts = 12 if stype == 6 else 16
                 rec_bits = bpf + npts * 2 * bpc + 4 * ncomp * bpcomp
+                # continuation records (flags 1-3) reuse 4 edge
+                # points + 2 colors; both layouts must byte-align
+                # for the aligned-records policy to hold
+                cont_bits = bpf + (npts - 4) * 2 * bpc \
+                    + 2 * ncomp * bpcomp
+                if cont_bits % 8:
+                    return None
         else:
             try:
                 vpr = int(doc.resolve(sd.get("/VerticesPerRow", 0)))
@@ -1187,14 +1197,33 @@ class PdfCodec(DocumentCodec):
                         + 3 * u * t * t * p2[1] + t * t * t * p3[1],
                     )
 
+                # edge-sharing continuation (ISO 32000-1
+                # §8.7.4.5.7 Tables 85-86, round-9): flags 1-3 reuse
+                # the previous patch's edge D2 points and its two
+                # edge colors as the new patch's p1-p4 / c1-c2
+                _share = {1: ((3, 4, 5, 6), (1, 2)),
+                          2: ((6, 7, 8, 9), (2, 3)),
+                          3: ((9, 10, 11, 0), (3, 0))}
+                prev_p: list | None = None
+                prev_c: list | None = None
                 while True:
                     flag = rd(bpf)
-                    if flag != 0:
-                        # edge-sharing continuation (1-3): declined —
-                        # the sharing table is not self-validatable
+                    if flag == 0:
+                        p = [read_point() for _ in range(npts)]
+                        cols = [read_gray() for _ in range(4)]
+                    elif flag in _share and prev_p is not None:
+                        pidx, cidx = _share[flag]
+                        shared = [prev_p[i] for i in pidx]
+                        shared_c = [prev_c[i] for i in cidx]
+                        p = shared + [read_point()
+                                      for _ in range(npts - 4)]
+                        cols = shared_c + [read_gray()
+                                           for _ in range(2)]
+                    else:
+                        # flag 1-3 with no previous patch, or an
+                        # out-of-range flag: malformed stream
                         return None
-                    p = [read_point() for _ in range(npts)]
-                    cols = [read_gray() for _ in range(4)]
+                    prev_p, prev_c = p, cols
                     # corners (u,v): (0,0)=p1 (1,0)=p4 (1,1)=p7
                     # (0,1)=p10; boundary cubics counterclockwise.
                     # Coons surface: edge blend minus corner bilinear;

@@ -1862,6 +1862,125 @@ class TestCoonsTensorShading:
         assert abs(at(150, 150) - 63) <= 1
         assert at(90, 150) == 255
 
+    @staticmethod
+    def _edge(a, b):
+        """Interior control points of a straight cubic a -> b."""
+        return [(a[0] + (b[0] - a[0]) // 3, a[1] + (b[1] - a[1]) // 3),
+                (a[0] + 2 * (b[0] - a[0]) // 3,
+                 a[1] + 2 * (b[1] - a[1]) // 3)]
+
+    @classmethod
+    def _square12(cls, p1, p4, p7, p10):
+        """12-point counterclockwise boundary with straight edges."""
+        return ([p1] + cls._edge(p1, p4) + [p4] + cls._edge(p4, p7)
+                + [p7] + cls._edge(p7, p10) + [p10]
+                + cls._edge(p10, p1))
+
+    def test_flag1_continuation_extends_right(self):
+        """Flag-1 record (round-9): the previous patch's RIGHT edge
+        (p4-p7) becomes the new patch's bottom edge; corner colors
+        chain c2,c3 -> c1,c2 (ISO 32000-1 Table 85)."""
+        patch1 = self._square12((100, 100), (200, 100),
+                                (200, 200), (100, 200))
+        # continuation square (200,100)-(300,200): p1=prevp4=(200,100)
+        # p4=prevp7=(200,200) implied; new points p5..p12
+        np7, np10 = (300, 200), (300, 100)
+        cont = (self._edge((200, 200), np7) + [np7]
+                + self._edge(np7, np10) + [np10]
+                + self._edge(np10, (200, 100)))
+        data = (b"\x00" + b"".join(
+            self._struct.pack(">HH", x, y) for x, y in patch1)
+            + bytes([0, 64, 128, 192])
+            + b"\x01" + b"".join(
+                self._struct.pack(">HH", x, y) for x, y in cont)
+            + bytes([255, 255]))
+        obj = (b"<< /ShadingType 6 /BitsPerFlag 8 "
+               b"/BitsPerCoordinate 16 /BitsPerComponent 8 "
+               b"/Decode [0 65535 0 65535 0 1.0] /Length "
+               + str(len(data)).encode() + b" >>\nstream\n"
+               + data + b"\nendstream")
+        at = self._at(obj)
+        # patch1 center: bilinear(0,64,128,192)/4 = 96
+        assert abs(at(150, 150) - 96) <= 1
+        # patch2 corners c1=64 c2=128 c3=255 c4=255 -> center 175.5
+        assert abs(at(250, 150) - 176) <= 1
+        # contiguous across the shared edge, white outside
+        assert at(199, 150) != 255 and at(201, 150) != 255
+        assert at(350, 150) == 255
+
+    def test_flag123_chain_renders(self):
+        """A flag-1 + flag-2 + flag-3 chain decodes (each sharing
+        the spec'd edge of ITS previous patch) and paints all four
+        squares."""
+        sq = self._square12
+        patch1 = sq((100, 100), (200, 100), (200, 200), (100, 200))
+        # flag1: new p1=(200,100) p4=(200,200); square to the right
+        c1 = (self._edge((200, 200), (300, 200)) + [(300, 200)]
+              + self._edge((300, 200), (300, 100)) + [(300, 100)]
+              + self._edge((300, 100), (200, 100)))
+        # that patch: p1=(200,100) p4=(200,200) p7=(300,200)
+        # p10=(300,100). flag2 shares p7..p10 -> new p1=(300,200)
+        # p4=(300,100): square further right (300..400)
+        c2 = (self._edge((300, 100), (400, 100)) + [(400, 100)]
+              + self._edge((400, 100), (400, 200)) + [(400, 200)]
+              + self._edge((400, 200), (300, 200)))
+        # that patch: p1=(300,200) p4=(300,100) p7=(400,100)
+        # p10=(400,200). flag3 shares p10,p11,p12,p1 -> new
+        # p1=(400,200) p4=(300,200): square above (300..400, 200..300)
+        c3 = (self._edge((300, 200), (300, 300)) + [(300, 300)]
+              + self._edge((300, 300), (400, 300)) + [(400, 300)]
+              + self._edge((400, 300), (400, 200)))
+        pk = self._struct.pack
+        data = (b"\x00" + b"".join(pk(">HH", x, y) for x, y in patch1)
+                + bytes([0, 64, 128, 192])
+                + b"\x01" + b"".join(pk(">HH", x, y) for x, y in c1)
+                + bytes([255, 255])
+                + b"\x02" + b"".join(pk(">HH", x, y) for x, y in c2)
+                + bytes([32, 32])
+                + b"\x03" + b"".join(pk(">HH", x, y) for x, y in c3)
+                + bytes([96, 96]))
+        obj = (b"<< /ShadingType 6 /BitsPerFlag 8 "
+               b"/BitsPerCoordinate 16 /BitsPerComponent 8 "
+               b"/Decode [0 65535 0 65535 0 1.0] /Length "
+               + str(len(data)).encode() + b" >>\nstream\n"
+               + data + b"\nendstream")
+        at = self._at(obj)
+        # all four squares painted, surroundings white
+        for cx, cy in ((150, 150), (250, 150), (350, 150), (350, 250)):
+            assert at(cx, cy) != 255, (cx, cy)
+        assert at(450, 150) == 255
+        assert at(250, 250) == 255
+        # flag-2 patch: c1=prev c3=255, c2=prev c4=255, c3=c4=32
+        # -> center ~(255+255+32+32)/4 = 143.5 (pixel-center u,v
+        # lands a hair off exact center -> +/-3)
+        assert abs(at(350, 150) - 144) <= 3
+
+    def test_tensor_continuation_reads_12_points(self):
+        """Type 7 continuation records carry 12 new points (p5-p16);
+        the 4 interior ones are ignored like flag-0 records."""
+        patch1 = self._square12((100, 100), (200, 100),
+                                (200, 200), (100, 200)) \
+            + [(130, 130), (170, 130), (130, 170), (170, 170)]
+        np7, np10 = (300, 200), (300, 100)
+        cont = (self._edge((200, 200), np7) + [np7]
+                + self._edge(np7, np10) + [np10]
+                + self._edge(np10, (200, 100))
+                + [(230, 130), (270, 130), (230, 170), (270, 170)])
+        pk = self._struct.pack
+        data = (b"\x00" + b"".join(pk(">HH", x, y) for x, y in patch1)
+                + bytes([0, 64, 128, 192])
+                + b"\x01" + b"".join(pk(">HH", x, y) for x, y in cont)
+                + bytes([255, 255]))
+        obj = (b"<< /ShadingType 7 /BitsPerFlag 8 "
+               b"/BitsPerCoordinate 16 /BitsPerComponent 8 "
+               b"/Decode [0 65535 0 65535 0 1.0] /Length "
+               + str(len(data)).encode() + b" >>\nstream\n"
+               + data + b"\nendstream")
+        at = self._at(obj)
+        assert abs(at(150, 150) - 96) <= 1
+        assert abs(at(250, 150) - 176) <= 1
+        assert at(350, 150) == 255
+
     def test_declines_by_name(self):
         from pdf2dataset_spark.sources.codecs import PdfCodec
         from pdf2dataset_spark.sources.minipdf import StreamObj
@@ -1885,7 +2004,7 @@ class TestCoonsTensorShading:
                 doc, StreamObj(sd, data), (1, 0, 0, 1, 0, 0), None,
                 (0, 0, 612, 792))
 
-        # edge-sharing continuation flags decline
+        # a continuation flag with NO previous patch is malformed
         for f in (1, 2, 3):
             assert patch_of(6, f) is None
         # missing /BitsPerFlag declines
