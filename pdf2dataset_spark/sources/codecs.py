@@ -1459,7 +1459,10 @@ class PdfCodec(DocumentCodec):
         # 8.7.3.1), independent of the CTM at paint time. Shading
         # patterns (type 2) route through the shading rasterizers;
         # colored tiling patterns (type 1) through _tiling_patch.
-        # Non-rect pattern regions are declined by name. The order journal places each pattern
+        # Non-rect pattern REGIONS (round-9) arrive as the region's
+        # device bbox + a polygon stencil on the journal entry — the
+        # patch rasterizes over the bbox and the stencil gates it
+        # per pixel. The order journal places each pattern
         # fill at its exact content-stream z-position.
         patdict = doc.resolve(res0.get("/Pattern")) \
             if isinstance(res0, dict) else None

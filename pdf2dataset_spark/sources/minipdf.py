@@ -3021,8 +3021,10 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     deterministic): polygons past the vertex budget, clip paths past
     the stencil budgets (64 polygons / 4x vertex budget per group, 8
     chained groups — the clip is left unchanged rather than
-    under-clipped), self-overlap nonzero/even-odd divergence,
-    non-rect pattern-fill REGIONS. ``sh``
+    under-clipped), self-overlap nonzero/even-odd divergence.
+    Non-rect pattern-fill REGIONS (round-9) paint through the
+    stencil machinery: the region polygon joins the item's stencil
+    chain and the pattern patch rasterizes over its bbox. ``sh``
     shading paints are CAPTURED (name, ctm, device clip) for the
     codec to resolve against the page's /Shading resources and
     rasterize (axial under any invertible CTM, radial under
@@ -3075,9 +3077,13 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         a, b, c, d, e, f = ctm
         return (a * x + c * y + e, b * x + d * y + f)
 
-    def _emit(kind: str, lst: list, item, alpha: float = 1.0) -> None:
+    def _emit(kind: str, lst: list, item, alpha: float = 1.0,
+              region: tuple | None = None) -> None:
         """Append an item + its order entry, carrying the active
-        constant alpha and non-rect clip stencil chain."""
+        constant alpha, blend mode and non-rect clip stencil chain.
+        ``region`` (round-9): an extra device-space polygon GROUP
+        appended to the chain — the non-rect REGION of a pattern
+        fill, gating the pattern patch exactly like a clip."""
         lst.append(item)
         key = (kind, len(lst) - 1)
         order.append(key)
@@ -3085,8 +3091,10 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             alphas[key] = alpha
         if blend is not None:
             blends[key] = blend
-        if clip_stencils:
-            stencils_out[key] = clip_stencils
+        chain = clip_stencils if region is None \
+            else clip_stencils + (region,)
+        if chain:
+            stencils_out[key] = chain
 
     def dev_rect(x: float, y: float, w: float, h: float):
         """User rect -> clipped device bbox, or None when fully
@@ -3121,17 +3129,33 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
         nonlocal rects, segs, subpaths, cur_pt, start_pt
         nonlocal clip, clip_stencils, pending_clip
         if fill and fill_pattern is not None:
-            # shading-pattern fill (/Pattern cs + scn name): the
-            # filled RECT region becomes the pattern's clip — the
-            # codec rasterizes the pattern's shading inside it
-            # (a non-rect CLIP gates it further via the stencil).
-            # Non-rect pattern fill REGIONS are declined by name.
+            # pattern fill (/Pattern cs + scn name): the filled
+            # region becomes the pattern's clip — the codec
+            # rasterizes the pattern inside it (a non-rect CLIP
+            # gates it further via the stencil). NON-RECT regions
+            # (round-9): the subpath rides the stencil machinery —
+            # the pattern patch rasterizes over the region's device
+            # BBOX and the polygon gates it per pixel.
             for x, y, w, h in rects:
                 r = dev_rect(x, y, w, h)
                 if r is None:
                     continue
                 _emit("pattern_fills", pattern_fills,
                       (fill_pattern, r, fill_pattern_g))
+            for sp in subpaths:
+                if not 3 <= len(sp) <= _MAX_POLY_VERTICES:
+                    continue
+                pts = [pt(px_, py_) for px_, py_ in sp]
+                if clip is not None:
+                    pts = _clip_poly(pts, clip)
+                if len(pts) < 3:
+                    continue
+                xs_ = [v[0] for v in pts]
+                ys_ = [v[1] for v in pts]
+                r = (min(xs_), min(ys_), max(xs_), max(ys_))
+                _emit("pattern_fills", pattern_fills,
+                      (fill_pattern, r, fill_pattern_g),
+                      region=(tuple(pts),))
         elif fill:
             # non-rect subpaths fill as polygons (even-odd scanline
             # in raster.compose_page); PDF fill implicitly closes

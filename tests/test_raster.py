@@ -2546,3 +2546,81 @@ class TestBlendSoftMask:
             ext_gstates={"/Gm": {"BM": "Multiply"}},
         )
         assert d["blends"] == {("fills", 0): "Multiply"}
+
+
+class TestNonRectPatternFill:
+    """Round-9: non-rect pattern-fill REGIONS — the filled subpath
+    becomes a polygon stencil gating the pattern patch."""
+
+    @staticmethod
+    def _render():
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        cell = b"0 0 m 10 10 l S"
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (poly pattern) Tj ET\n"
+            b"/Pattern cs /P0 scn 100 100 m 300 100 l 200 300 l h f\n"
+            b"/Pattern cs 0.2 /P1 scn 350 100 m 550 100 l "
+            b"450 300 l h f\n"
+        )
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+            b"/P0 << /PatternType 2 /Matrix [1 0 0 1 0 0] "
+            b"/Shading << /ShadingType 2 /Coords [100 0 300 0] "
+            b"/Function << /FunctionType 2 /C0 [0.1] /C1 [0.9] "
+            b"/N 1 >> /Extend [true true] >> >> /P1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /PatternType 1 /PaintType 2 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << >> "
+            b"/Length " + str(len(cell)).encode() + b" >>\nstream\n"
+            + cell + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        W, H, px = out
+        return lambda x, y: px[(H - y) * W + x]
+
+    def test_shading_pattern_in_triangle(self):
+        g = self._render()
+        # interior: the axial ramp paints (x=200 -> t=0.5 -> 128)
+        assert g(200, 150) == 128
+        # bbox corners OUTSIDE the triangle stay white
+        assert g(110, 290) == 255
+        assert g(290, 290) == 255
+        # region edge gates exactly: just inside vs just outside
+        assert g(200, 101) != 255
+        assert g(200, 310) == 255
+
+    def test_tiling_pattern_in_triangle(self):
+        g = self._render()
+        ink = sum(1 for x in range(360, 540) for y in range(110, 290)
+                  if g(x, y) != 255)
+        assert ink > 500  # hatch painted inside
+        # hatch ink is the scn gray (0.2 -> 51)
+        grays = {g(x, y) for x in range(360, 540)
+                 for y in range(110, 290)} - {255}
+        assert grays == {51}
+        # bbox-corner regions outside the triangle: no ink
+        assert all(g(x, y) == 255 for x in range(355, 370)
+                   for y in range(280, 295))
+
+    def test_draw_ops_emits_region_stencil(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        d = minipdf.content_draw_ops(
+            b"/Pattern cs /P0 scn 10 10 m 110 10 l 60 110 l h f")
+        assert len(d["pattern_fills"]) == 1
+        name, rect, scn_g = d["pattern_fills"][0]
+        assert name == "/P0" and rect == (10.0, 10.0, 110.0, 110.0)
+        chain = d["stencils"][("pattern_fills", 0)]
+        assert len(chain) == 1  # the region polygon group
+        # the triangle (h re-appends the start point -> 4 vertices)
+        assert len(chain[0][0]) == 4
