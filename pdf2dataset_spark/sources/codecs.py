@@ -925,9 +925,20 @@ class PdfCodec(DocumentCodec):
         the cell's own color operators ignored per §8.7.3.3.
         Returns the standard masked 5-tuple patch.
 
-        DECLINED BY NAME: singular /Matrix, overlapping tiles
-        (XStep/YStep smaller than the cell), cells with nested
-        images/shadings/patterns, over-budget cells. (Rotated/
+        OVERLAPPING TILES (round-9: XStep/YStep smaller than the
+        cell, integer steps >= 1) composite into an effective
+        PERIOD cell first: tiles paint in increasing-origin order,
+        so at each period pixel the nearest covering tile's painted
+        pixel wins and earlier tiles show through its gaps. Cells
+        that ``Do`` IMAGE XObjects (round-9) resolve them against
+        the pattern's own /Resources (the form-XObject pseudo-page
+        route) and stamp them at the cell's z-order; an uncolored
+        (PaintType 2) cell stamps the image FOOTPRINT in scn_gray,
+        per the stencil rule.
+
+        DECLINED BY NAME: singular /Matrix, fractional-step
+        overlap, cells with nested shadings/patterns or an
+        undecodable nested image, over-budget cells. (Rotated/
         skewed/mirrored /Matrix are HONORED since round-8: the
         device→pattern mapping goes through the full matrix
         inverse.)"""
@@ -959,15 +970,50 @@ class PdfCodec(DocumentCodec):
             return None  # singular pattern matrix: nothing to paint
         if cw < 1 or ch < 1 or cw * ch > self._MAX_TILE_CELL_PX:
             return None
-        if xstep < cw or ystep < ch:
-            return None  # overlapping tiles: declined
+        overlap = xstep < cw or ystep < ch
+        if overlap and (xstep < 1 or ystep < 1
+                        or xstep != int(xstep)
+                        or ystep != int(ystep)):
+            return None  # fractional-step overlap: declined
         try:
             draw = minipdf.content_draw_ops(content)
         except (ValueError, KeyError):
             return None
-        if draw["images"] or draw["shadings"] or draw["pattern_fills"]:
-            return None  # nested resources in the cell: declined
-        if not (draw["fills"] or draw["polys"] or draw["lines"]):
+        if draw["shadings"] or draw["pattern_fills"]:
+            return None  # nested shadings/patterns: declined
+        placed_cell: list[tuple] = []
+        cell_order: list[tuple] = []
+        if draw["images"]:
+            # nested IMAGE resources (round-9): Do targets resolve
+            # against the PATTERN's own /Resources via the same
+            # pseudo-page route form XObjects use
+            try:
+                entries = {
+                    en.get("name"): en
+                    for en in doc.page_images(
+                        {"/Resources": sd.get("/Resources")},
+                        decode_pixels=True)
+                }
+            except (ValueError, KeyError, IndexError):
+                return None
+            img_ok: dict[int, int] = {}
+            for i, (nm, ictm) in enumerate(draw["images"]):
+                en = entries.get(nm)
+                gray = self._entry_gray(en) if en else None
+                if gray is None:
+                    return None  # undecodable nested image: decline
+                ia, ib, ic, id_, ie, if_ = ictm
+                img_ok[i] = len(placed_cell)
+                placed_cell.append(
+                    (gray[0], gray[1], gray[2],
+                     (ia, ib, ic, id_, ie - bx0, if_ - by0)))
+            for kind, idx in draw["order"]:
+                if kind == "images":
+                    cell_order.append(("images", img_ok[idx]))
+                elif kind in ("fills", "polys", "lines"):
+                    cell_order.append((kind, idx))
+        if not (draw["fills"] or draw["polys"] or draw["lines"]
+                or placed_cell):
             return None
 
         def cell(gray_override: int | None):
@@ -983,6 +1029,12 @@ class PdfCodec(DocumentCodec):
                 lines=[(x0 - bx0, y0 - by0, x1 - bx0, y1 - by0,
                         gg if g is None else g)
                        for x0, y0, x1, y1, gg in draw["lines"]],
+                images=[
+                    (iw_, ih_,
+                     ipx_ if g is None else bytes([g]) * (iw_ * ih_),
+                     ictm_)
+                    for iw_, ih_, ipx_, ictm_ in placed_cell],
+                order=cell_order if placed_cell else None,
             )
             return np.frombuffer(bytes(px), dtype=np.uint8) \
                 .reshape(ch, cw)
@@ -992,6 +1044,34 @@ class PdfCodec(DocumentCodec):
         # takes the scn color, whatever colors the cell stream set
         color_cell = (cell(None) if paint_type == 1
                       else cell(int(scn_gray)))
+        if overlap:
+            # composite overlapping tiles into ONE period-sized
+            # effective cell: tiles paint in increasing-origin
+            # order, so the nearest covering tile (offset 0) is
+            # painted LAST — its painted pixels win, and farther
+            # tiles (larger offsets) only show through the gaps
+            exx, eyy = int(xstep), int(ystep)
+            cps = np.flipud(color_cell)   # row index = pattern v
+            mps = np.flipud(mask_cell)
+            ec = np.full((eyy, exx), 255, dtype=np.uint8)
+            em = np.zeros((eyy, exx), dtype=bool)
+            for jy in range((ch + eyy - 1) // eyy):
+                for jx in range((cw + exx - 1) // exx):
+                    v0, u0 = jy * eyy, jx * exx
+                    vh = min(eyy, ch - v0)
+                    uw = min(exx, cw - u0)
+                    if vh <= 0 or uw <= 0:
+                        continue
+                    sub_m = np.zeros((eyy, exx), dtype=bool)
+                    sub_c = np.zeros((eyy, exx), dtype=np.uint8)
+                    sub_m[:vh, :uw] = mps[v0:v0 + vh, u0:u0 + uw]
+                    sub_c[:vh, :uw] = cps[v0:v0 + vh, u0:u0 + uw]
+                    take = sub_m & ~em
+                    ec[take] = sub_c[take]
+                    em |= sub_m
+            color_cell = np.flipud(ec).copy()
+            mask_cell = np.flipud(em).copy()
+            cw, ch = exx, eyy
         grid = self._patch_grid(prect, box)
         if grid is None:
             return None

@@ -2624,3 +2624,127 @@ class TestNonRectPatternFill:
         assert len(chain) == 1  # the region polygon group
         # the triangle (h re-appends the start point -> 4 vertices)
         assert len(chain[0][0]) == 4
+
+
+class TestTilingNestedAndOverlap:
+    """Round-9: tiling cells that Do image XObjects, and overlapping
+    tiles (XStep/YStep < cell) composited into a period cell."""
+
+    @staticmethod
+    def _pdf(cell, pat_extra=b"/Resources << >> ", objs_extra=(),
+             fill=b"100 100 60 30 re f", paint=b"/P1 scn"):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        content = (b"BT /F1 12 Tf 72 700 Td (tiles) Tj ET\n"
+                   b"/Pattern cs " + paint + b" " + fill)
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+            b"/P1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            cell[0] + pat_extra + b"/Length "
+            + str(len(cell[1])).encode() + b" >>\nstream\n"
+            + cell[1] + b"\nendstream",
+            *objs_extra,
+        ])
+
+    @classmethod
+    def _render(cls, pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        W, H, px = out
+        return lambda x, y: px[(H - y) * W + x]
+
+    def test_nested_image_in_cell(self):
+        import zlib
+
+        img_data = zlib.compress(bytes([30] * 36))
+        img_obj = (
+            b"<< /Type /XObject /Subtype /Image /Width 6 /Height 6 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length "
+            + str(len(img_data)).encode() + b" >>\nstream\n"
+            + img_data + b"\nendstream")
+        g = self._render(self._pdf(
+            (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+             b"/BBox [0 0 10 10] /XStep 10 /YStep 10 ",
+             b"q 6 0 0 6 2 2 cm /Ic Do Q"),
+            pat_extra=b"/Resources << /XObject << /Ic 6 0 R >> >> ",
+            objs_extra=(img_obj,),
+            fill=b"100 100 200 100 re f"))
+        # image footprint [2,8) per 10-unit tile, phase at page origin
+        assert g(105, 105) == 30   # inside the stamped image
+        assert g(101, 109) == 255  # tile gap stays transparent
+        ink = sum(1 for x in range(100, 300) for y in range(100, 200)
+                  if g(x, y) == 30)
+        assert ink == 36 * 20 * 10  # exact planted rate
+
+    def test_nested_image_uncolored_stencil(self):
+        """PaintType 2: the image FOOTPRINT paints in scn gray."""
+        import zlib
+
+        img_data = zlib.compress(bytes([30] * 36))
+        img_obj = (
+            b"<< /Type /XObject /Subtype /Image /Width 6 /Height 6 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length "
+            + str(len(img_data)).encode() + b" >>\nstream\n"
+            + img_data + b"\nendstream")
+        g = self._render(self._pdf(
+            (b"<< /PatternType 1 /PaintType 2 /TilingType 1 "
+             b"/BBox [0 0 10 10] /XStep 10 /YStep 10 ",
+             b"q 6 0 0 6 2 2 cm /Ic Do Q"),
+            pat_extra=b"/Resources << /XObject << /Ic 6 0 R >> >> ",
+            objs_extra=(img_obj,),
+            paint=b"0.2 /P1 scn"))
+        assert g(105, 105) == 51   # scn 0.2, not the image's 30
+        assert g(101, 109) == 255
+
+    def test_overlapping_tiles_full_coverage(self):
+        """Cell wider than XStep: the union covers every column."""
+        g = self._render(self._pdf(
+            (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+             b"/BBox [0 0 10 10] /XStep 6 /YStep 10 ",
+             b"0.2 g 0 0 8 10 re f")))
+        assert {g(x, 115) for x in range(100, 160)} == {51}
+
+    def test_overlapping_tiles_nearest_wins(self):
+        """Where tiles overlap, the nearest covering tile's pixel
+        wins (tiles paint in increasing-origin order)."""
+        # cell: columns [0,2) dark 0.1, [2,8) light 0.8; XStep 6.
+        # At u mod 6 in [0,2): nearest tile paints dark; [2,6): light
+        # (the overlap from the previous tile's [6,8) stripe is
+        # UNDER the nearest tile's paint).
+        g = self._render(self._pdf(
+            (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+             b"/BBox [0 0 10 10] /XStep 6 /YStep 10 ",
+             b"0.1 g 0 0 2 10 re f 0.8 g 2 0 6 10 re f")))
+        dark, light = round(0.1 * 255), round(0.8 * 255)
+        for x in range(102, 160):
+            expect = dark if x % 6 < 2 else light
+            assert g(x, 115) == expect, (x, g(x, 115), expect)
+
+    def test_fractional_overlap_declines(self):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = self._pdf(
+            (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+             b"/BBox [0 0 10 10] /XStep 6.5 /YStep 10 ",
+             b"0.2 g 0 0 8 10 re f"))
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        doc = h.doc
+        pg = doc.pages()[0]
+        res = doc.resolve(pg.get("/Resources"))
+        pat = doc.resolve(doc.resolve(res.get("/Pattern")).get("/P1"))
+        out = codec._tiling_patch(doc, pat, (100, 100, 160, 130),
+                                  (0, 0, 612, 792))
+        assert out is None
