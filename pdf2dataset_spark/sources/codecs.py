@@ -239,15 +239,41 @@ class PdfCodec(DocumentCodec):
     def page_text(self, handle: "_PdfHandle", page: int) -> str:
         return handle.pages[page - 1]
 
-    @staticmethod
-    def _entry_gray(e: dict) -> tuple[int, int, bytes] | None:
+    def _entry_gray(
+        self, e: dict, doc=None
+    ) -> tuple[int, int, bytes] | None:
         """Decoded page_images entry -> (w, h, 8-bit gray pixels);
-        None for undecodable / sub-byte payloads."""
+        None for undecodable / sub-byte payloads. Round-9 colorspace
+        fidelity (ISO 32000-1 §8.6.5-8.6.6): /Separation tint
+        samples map through the TINT TRANSFORM into the alternate
+        space (then luma) via a 256-entry LUT — tint 0 is NO ink
+        (white), so the naive raw-gray reading would render such
+        plates inverted; /ICCBased images interpret samples by the
+        profile's /N (1=gray, 3=RGB luma, 4=CMYK via the k-operator
+        formula — the spec's component-count fallback when no CMM is
+        wired); bare 4-component (DeviceCMYK) sample planes convert
+        the same way."""
         px = e.get("pixels")
         w, h = e.get("width"), e.get("height")
         if px is None or not w or not h:
             return None
         if len(px) == w * h:
+            if e.get("cs_kind") == "separation":
+                from pdf2dataset_spark.sources.minipdf import _luma
+
+                fn = e.get("cs_sep_fn")
+                if doc is None or fn is None:
+                    return None  # tint uninterpretable: decline
+                try:
+                    lut = bytes(
+                        _luma(
+                            self._eval_pdf_function(doc, fn, t / 255.0)
+                        )
+                        for t in range(256)
+                    )
+                except (ValueError, KeyError, TypeError, IndexError):
+                    return None  # unsupported tint fn: decline
+                return w, h, bytes(px).translate(lut)
             return w, h, bytes(px)
         if len(px) == 3 * w * h:  # RGB -> BT.601 luma
             import numpy as np
@@ -259,6 +285,23 @@ class PdfCodec(DocumentCodec):
             )
             y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
             return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes()
+        if len(px) == 4 * w * h:  # CMYK (DeviceCMYK / ICCBased N=4)
+            import numpy as np
+
+            cmyk = (
+                np.frombuffer(bytes(px), np.uint8)
+                .reshape(h, w, 4)
+                .astype(np.float64)
+            ) / 255.0
+            v = (1.0 - np.minimum(1.0, cmyk[..., 3])) * (
+                1.0 - np.minimum(
+                    1.0,
+                    (cmyk[..., 0] + cmyk[..., 1] + cmyk[..., 2]) / 3.0,
+                )
+            )
+            return w, h, np.clip(
+                np.round(v * 255.0), 0, 255
+            ).astype(np.uint8).tobytes()
         return None
 
     @staticmethod
@@ -999,7 +1042,7 @@ class PdfCodec(DocumentCodec):
             img_ok: dict[int, int] = {}
             for i, (nm, ictm) in enumerate(draw["images"]):
                 en = entries.get(nm)
-                gray = self._entry_gray(en) if en else None
+                gray = self._entry_gray(en, doc) if en else None
                 if gray is None:
                     return None  # undecodable nested image: decline
                 ia, ib, ic, id_, ie, if_ = ictm
@@ -1467,7 +1510,7 @@ class PdfCodec(DocumentCodec):
             }
             for i, (name, ctm) in enumerate(draw["images"]):
                 e = entries.get(name)
-                gray = self._entry_gray(e) if e else None
+                gray = self._entry_gray(e, doc) if e else None
                 if gray is not None:
                     # translate the placement into MediaBox-origin
                     # space (same shift the glyph runs get), then
@@ -1838,7 +1881,7 @@ class PdfCodec(DocumentCodec):
             handle.doc.pages()[page - 1], decode_pixels=True
         )
         for e in entries:
-            gray = self._entry_gray(e)
+            gray = self._entry_gray(e, handle.doc)
             if gray is None:
                 continue  # undecodable / sub-byte payloads: skip
             w, h, px = gray

@@ -1520,6 +1520,32 @@ class PdfDocument:
                     self.resolve(sdict.get("/BitsPerComponent", 0)) or 0
                 ),
             }
+            # structured ARRAY-colorspace info (round-9, ISO 32000-1
+            # §8.6.5-8.6.6): /ICCBased surfaces its /N component
+            # count (sample interpretation = the N-component device
+            # space, the spec's no-CMM fallback), /Separation its
+            # tint-transform function + alternate space so consumers
+            # can map tint samples through it (codecs._entry_gray)
+            csv = self.resolve(sdict.get("/ColorSpace"))
+            if isinstance(csv, list) and csv:
+                fam = self.resolve(csv[0])
+                if fam == "/ICCBased" and len(csv) >= 2:
+                    icc = self.resolve(csv[1])
+                    if isinstance(icc, StreamObj):
+                        try:
+                            entry["cs_kind"] = "icc"
+                            entry["cs_ncomp"] = int(
+                                self.resolve(icc.sdict.get("/N", 0))
+                            )
+                        except (TypeError, ValueError):
+                            entry.pop("cs_ncomp", None)
+                elif fam == "/Separation" and len(csv) >= 4:
+                    alt = self.resolve(csv[2])
+                    entry["cs_kind"] = "separation"
+                    entry["cs_ncomp"] = 1
+                    entry["cs_sep_alt"] = alt \
+                        if isinstance(alt, str) else None
+                    entry["cs_sep_fn"] = csv[3]
             try:
                 if isinstance(src, StreamObj):
                     data, stopped = self._decode_filters(

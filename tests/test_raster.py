@@ -2748,3 +2748,110 @@ class TestTilingNestedAndOverlap:
         out = codec._tiling_patch(doc, pat, (100, 100, 160, 130),
                                   (0, 0, 612, 792))
         assert out is None
+
+
+class TestImageColorspaces:
+    """Round-9: /Separation tint transforms and /ICCBased N /
+    DeviceCMYK sample interpretation in _entry_gray."""
+
+    @staticmethod
+    def _doc(objs):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources import minipdf
+
+        return minipdf.PdfDocument(_raw_pdf(objs))
+
+    def _entry(self, doc):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pg = doc.pages()[0]
+        e = doc.page_images(pg, decode_pixels=True)[0]
+        return e, PdfCodec()._entry_gray(e, doc)
+
+    def test_separation_tint_maps_through_transform(self):
+        import zlib
+
+        tint = bytes([0, 128, 255, 255] * 2)
+        data = zlib.compress(tint)
+        doc = self._doc([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 100 100] /Resources << /XObject << "
+            b"/Im0 5 0 R >> >> >>",
+            b"<< /Length 4 >>\nstream\n0 g\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+            b"/ColorSpace [/Separation /Ink /DeviceGray "
+            b"<< /FunctionType 2 /Domain [0 1] /C0 [1] /C1 [0] "
+            b"/N 1 >>] /BitsPerComponent 8 /Filter /FlateDecode "
+            b"/Length " + str(len(data)).encode() + b" >>\nstream\n"
+            + data + b"\nendstream",
+        ])
+        e, g = self._entry(doc)
+        assert e["cs_kind"] == "separation"
+        w, h, px = g
+        # tint 0 -> alt gray 1.0 -> 255 (no ink = WHITE); tint 255
+        # -> alt gray 0 -> 0; tint 128 -> ~127
+        assert px[0] == 255
+        assert abs(px[1] - 127) <= 1
+        assert px[2] == 0
+
+    def test_separation_unsupported_fn_declines(self):
+        import zlib
+
+        data = zlib.compress(bytes(8))
+        doc = self._doc([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 100 100] /Resources << /XObject << "
+            b"/Im0 5 0 R >> >> >>",
+            b"<< /Length 4 >>\nstream\n0 g\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+            b"/ColorSpace [/Separation /Ink /DeviceGray "
+            b"<< /FunctionType 99 >>] "
+            b"/BitsPerComponent 8 /Filter /FlateDecode "
+            b"/Length " + str(len(data)).encode() + b" >>\nstream\n"
+            + data + b"\nendstream",
+        ])
+        e, g = self._entry(doc)
+        assert g is None  # decline, never mis-paint
+
+    def test_iccbased_n4_converts_as_cmyk(self):
+        import zlib
+
+        px4 = bytes([255, 0, 0, 0, 0, 0, 0, 255] * 4)
+        data = zlib.compress(px4)
+        doc = self._doc([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 100 100] /Resources << /XObject << "
+            b"/Im0 5 0 R >> >> >>",
+            b"<< /Length 4 >>\nstream\n0 g\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+            b"/ColorSpace [/ICCBased 6 0 R] /BitsPerComponent 8 "
+            b"/Filter /FlateDecode "
+            b"/Length " + str(len(data)).encode() + b" >>\nstream\n"
+            + data + b"\nendstream",
+            b"<< /N 4 /Length 4 >>\nstream\nfake\nendstream",
+        ])
+        e, g = self._entry(doc)
+        assert e["cs_kind"] == "icc" and e["cs_ncomp"] == 4
+        w, h, px = g
+        assert px[0] == 170  # pure cyan: (1-0)*(1-1/3) = 2/3
+        assert px[1] == 0    # pure black
+        # matches the k-operator luma the geometry path uses
+        from pdf2dataset_spark.sources.minipdf import _luma
+        assert px[0] == _luma([1.0, 0.0, 0.0, 0.0])
+
+    def test_device_cmyk_raw_plane(self):
+        """A bare 4-component sample plane (DeviceCMYK raw) converts
+        without any cs_kind tag."""
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        e = {"pixels": bytes([0, 0, 0, 0, 0, 0, 0, 255]),
+             "width": 2, "height": 1}
+        w, h, px = PdfCodec()._entry_gray(e)
+        assert (w, h) == (2, 1)
+        assert px[0] == 255 and px[1] == 0
