@@ -17,6 +17,14 @@ exceeds the executors' unified-memory budget, then asserts:
    spill; AQE may instead stream some aggregations — the bound plus
    completion is the law, spill bytes the evidence when present).
 
+Check #4 (round-9): the FUSED EXTRACTION PIPELINE — executor-
+synthesized multi-page PDFs fanned out to page grain through the
+one-pass mapInPandas features operator with a PNG render per page —
+completes on the same constrained shape with exact page-count
+conservation and zero error rows; the Arrow batch cap
+(session.py's maxRecordsPerBatch) bounds each Python worker's
+in-flight slice of the wide binary rows.
+
 Usage: python tools/spill_check.py [n_rows]
 Topology via env (round-7 verdict item 7 — the law must hold on a
 heterogeneous cluster shape, not just 2x1): SPILL_EXECUTORS (default
@@ -209,9 +217,71 @@ def main() -> None:
         assert total_joined == total_direct, (total_joined, total_direct)
         return {"regions": by_region.count()}
 
+    def extraction_law():
+        # round-9 ask #7: the FUSED extraction pipeline — wide
+        # binary rows through mapInPandas — on the constrained
+        # cluster. Documents are SYNTHESIZED ON EXECUTORS (the
+        # driver never holds the corpus), fan out to page grain
+        # through the one-pass features operator, and each page
+        # renders a PNG (wide binary output). The Arrow batch cap
+        # (session.py maxRecordsPerBatch) is what keeps each Python
+        # worker's in-flight batch bounded; the law is completion +
+        # exact page-count conservation + zero error rows.
+        from pdf2dataset_spark.operators.features import (
+            extract_features,
+        )
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        n_docs, pages_per_doc = 300, 8
+        pad = "lorem ipsum dolor sit amet " * 300  # ~8KB/page
+
+        def make_docs(batches):
+            import pandas as pd
+
+            from pdf2dataset_spark.sources.minipdf import build_pdf
+
+            for pdf in batches:
+                paths, blobs = [], []
+                for i in pdf["id"]:
+                    pages = [
+                        f"doc {int(i)} page {p}\n{pad}"
+                        for p in range(pages_per_doc)
+                    ]
+                    paths.append(f"doc{int(i):05d}.pdf")
+                    blobs.append(build_pdf(pages))
+                yield pd.DataFrame({"path": paths, "content": blobs})
+
+        mf = (
+            spark.range(n_docs)
+            .repartition(8)
+            .mapInPandas(make_docs, "path string, content binary")
+        )
+        out = extract_features(
+            mf, ["text", "image"], codec=PdfCodec()
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count("error").alias("errors"),
+            F.sum(F.length("image")).alias("png_bytes"),
+            F.sum(F.length("text")).alias("text_bytes"),
+        ).collect()[0]
+        assert agg.rows == n_docs * pages_per_doc, agg
+        assert agg.errors == 0, agg
+        assert agg.png_bytes > 0 and agg.text_bytes > 0
+        arrow_cap = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+        return {
+            "pages": agg.rows,
+            "png_mb": int(agg.png_bytes) >> 20,
+            "text_mb": int(agg.text_bytes) >> 20,
+            "arrow_batch_cap": arrow_cap,
+        }
+
     check("sort_under_pressure", sorted_law)
     check("running_window_under_pressure", window_law)
     check("broadcast_join_agg_under_pressure", join_agg_law)
+    check("extraction_pipeline_under_pressure", extraction_law)
 
     spill = _spill_bytes(spark)
     ok = all(v["ok"] for v in results.values())
