@@ -83,39 +83,25 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 8 — PDF render/extraction: form-resource Do fallback +
-    # CTM-stack restore (every text path), per-pixel axial shading
-    # (any CTM), mesh shadings 4/5, dash patterns, ExtGState LW/D,
-    # shading-pattern fills, content-stream z-order compositor
+    # round 9 — render/extraction fidelity tail: separable blend
+    # modes + per-pixel image /SMask (every composite render),
+    # Coons/tensor continuation flags, non-rect pattern fills,
+    # tiling nested-image cells + overlapping tiles, Type3 advance
+    # under full FontMatrix, scn arity guard (text + render paths)
     "a5_pdf_extract",
     "a6_page_render_ocr",
     "a20_scanned_page_ocr",
-    "a22_embedded_font_cmap_extract",
-    "a28_layout_order_extract",
-    "a29_word_boxes_extract",
-    "a30_paragraph_extract",
-    "a31_structural_pdf_extract",
-    "a32_form_xobject_extract",
     "a33_shading_render",
     "a34_feature_torture",
-    # round 8 session 2 — CID-keyed CFF recovery (a17 fixtures +
-    # minipdf Type0 path) and Type3 glyph painting (text-run font
-    # tagging touches every composite render)
-    "a17_cid_font_extract",
+    "a35_type3_render",
+    "a36_clip_render",
+    # round 9 — JBIG2 standard tables B.7/B.10 now ship
+    "a25_jbig2_scan_extract",
+    # round 9 — structured colorspace info on page_images entries +
+    # Separation/ICC/CMYK sample interpretation in _entry_gray
     "a18_embedded_image_extract",
     "a19_color_image_extract",
-    "a23_annotations_outline_extract",
-    "a25_jbig2_scan_extract",
     "a26_jpx_image_extract",
-    "a27_lossy_jpx_extract",
-    # round 8 — maybe_broadcast estimate cache (TTL'd): every query
-    # routing corpus-growing relations through the guard
-    "sql4_q14_promo_revenue",
-    "sql20_q2_min_cost_supplier",
-    "sql23_q2_partsupp_min_cost",
-    "sql26_q9_partsupp_profit",
-    "d11_star_join_revenue",
-    "g7_stream_static_join",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows
