@@ -3080,6 +3080,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     dash: tuple | None = None  # (pattern user units, phase) | solid
     fill_pattern: str | None = None  # /Pattern cs + scn name active
     fill_pattern_g = 0  # scn's numeric operands (uncolored tiling)
+    stroke_pattern: str | None = None  # /Pattern CS + SCN (round-9)
+    stroke_pattern_g = 0
     fill_alpha = stroke_alpha = 1.0  # ExtGState /ca and /CA
     blend: str | None = None  # ExtGState /BM separable mode (round-9)
     # current path: rect fills + polyline segments + ordered
@@ -3238,9 +3240,25 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         if clip is not None:
                             quad = _clip_poly(quad, clip)
                         if len(quad) >= 3:
-                            _emit("polys", polys, (quad, stroke_g),
-                                  stroke_alpha)
+                            if stroke_pattern is not None:
+                                # STROKE pattern (round-9): the quad
+                                # region pattern-fills exactly like a
+                                # non-rect fill region
+                                xs_ = [v[0] for v in quad]
+                                ys2 = [v[1] for v in quad]
+                                _emit(
+                                    "pattern_fills", pattern_fills,
+                                    (stroke_pattern,
+                                     (min(xs_), min(ys2),
+                                      max(xs_), max(ys2)),
+                                     stroke_pattern_g),
+                                    region=(tuple(quad),))
+                            else:
+                                _emit("polys", polys,
+                                      (quad, stroke_g), stroke_alpha)
                     return
+                if stroke_pattern is not None:
+                    return  # sub-pixel pattern stroke: declined
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
                     seg = _clip_seg(*seg, clip)
@@ -3328,11 +3346,13 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 ctm_stack.append(
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
                      line_w, dash, fill_pattern, fill_pattern_g,
+                     stroke_pattern, stroke_pattern_g,
                      fill_alpha, stroke_alpha, blend))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
                      line_w, dash, fill_pattern, fill_pattern_g,
+                     stroke_pattern, stroke_pattern_g,
                      fill_alpha, stroke_alpha, blend) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
@@ -3366,21 +3386,27 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 fill_pattern = None  # colorspace left /Pattern
             elif op == b"G" and stack:
                 stroke_g = _luma(stack[-1:])
+                stroke_pattern = None
             elif op == b"rg" and len(stack) >= 3:
                 fill_g = _luma(stack[-3:])
                 fill_pattern = None
             elif op == b"RG" and len(stack) >= 3:
                 stroke_g = _luma(stack[-3:])
+                stroke_pattern = None
             elif op == b"k" and len(stack) >= 4:
                 fill_g = _luma(stack[-4:])
                 fill_pattern = None
             elif op == b"K" and len(stack) >= 4:
                 stroke_g = _luma(stack[-4:])
+                stroke_pattern = None
             elif op == b"cs" and stack:
                 # entering a non-/Pattern fill colorspace drops any
                 # active pattern; /Pattern arms scn name selection
                 if stack[-1] != "/Pattern":
                     fill_pattern = None
+            elif op == b"CS" and stack:
+                if stack[-1] != "/Pattern":
+                    stroke_pattern = None
             elif op == b"scn" and stack and isinstance(stack[-1], str):
                 # numeric operands before the name carry the COLOR
                 # an UNCOLORED (PaintType 2) tiling pattern paints in
@@ -3393,6 +3419,15 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 # advice fix)
                 if len(nums) in (1, 3, 4):
                     fill_pattern_g = _luma(nums[-4:])
+            elif op == b"SCN" and stack and isinstance(stack[-1], str):
+                # STROKE pattern (round-9): thick strokes paint their
+                # quad region with the pattern via the region-stencil
+                # path; sub-pixel strokes decline by name
+                stroke_pattern = stack[-1]
+                nums = [v for v in stack[:-1]
+                        if isinstance(v, (int, float))]
+                if len(nums) in (1, 3, 4):
+                    stroke_pattern_g = _luma(nums[-4:])
             elif op == b"re" and len(stack) >= 4:
                 x, y, w, h = (float(v) for v in stack[-4:])
                 rects.append((x, y, w, h))

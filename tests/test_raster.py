@@ -2855,3 +2855,53 @@ class TestImageColorspaces:
         w, h, px = PdfCodec()._entry_gray(e)
         assert (w, h) == (2, 1)
         assert px[0] == 255 and px[1] == 0
+
+
+class TestStrokePatterns:
+    """Round-9: /Pattern CS + SCN stroke patterns — thick-stroke
+    quads pattern-fill through the region-stencil path; sub-pixel
+    pattern strokes decline by name."""
+
+    def test_thick_pattern_stroke_paints_quad(self):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (stroke pattern) Tj ET\n"
+            b"/Pattern CS /P0 SCN 10 w 100 300 m 300 300 l S\n"
+            b"/Pattern CS /P0 SCN 0.5 w 100 200 m 300 200 l S\n"
+        )
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+            b"/P0 << /PatternType 2 /Matrix [1 0 0 1 0 0] "
+            b"/Shading << /ShadingType 2 /Coords [100 0 300 0] "
+            b"/Function << /FunctionType 2 /C0 [0.1] /C1 [0.9] "
+            b"/N 1 >> /Extend [true true] >> >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        W, H, px = codec._composite_pixels(h, 1)
+
+        def g(x, y):
+            return px[(H - y) * W + x]
+
+        # inside the 10-wide stroke band: the axial ramp paints
+        assert g(200, 300) == 128   # t=0.5 along the ramp
+        assert g(110, 300) != 255 and g(290, 300) != 255
+        # outside the band (6px above): white
+        assert g(200, 308) == 255
+        # the sub-pixel pattern stroke declined: nothing at y=200
+        assert g(200, 200) == 255
+
+    def test_color_ops_clear_stroke_pattern(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        d = minipdf.content_draw_ops(
+            b"/Pattern CS /P0 SCN 1 w 0.5 G 0 0 m 50 0 l S")
+        assert d["pattern_fills"] == []
+        assert len(d["lines"]) == 1
