@@ -3011,11 +3011,17 @@ class TestShadingPatternFills:
         )
         assert d["pattern_fills"] == [] and len(d["fills"]) == 1
 
-    def test_nonrect_pattern_region_declines(self):
+    def test_nonrect_pattern_region_emits_stencil(self):
+        # round-9: a polygon region pattern-fills via its bbox plus
+        # a region stencil (was a decline through round 8)
         d = minipdf.content_draw_ops(
             b"/Pattern cs /P0 scn 100 100 m 300 100 l 200 250 l h f"
         )
-        assert d["pattern_fills"] == [] and d["polys"] == []
+        assert d["pattern_fills"] == [
+            ("/P0", (100.0, 100.0, 300.0, 250.0), 0)
+        ]
+        assert ("pattern_fills", 0) in d["stencils"]
+        assert d["polys"] == []
 
     def test_clip_intersects_pattern_rect(self):
         d = minipdf.content_draw_ops(
@@ -3366,10 +3372,18 @@ class TestTilingPatterns:
         )
         assert painted > 0
 
-    def test_declines_by_name(self):
-        # overlapping tiles (XStep < cell) decline
+    def test_overlap_composites_fractional_declines(self):
+        # round-9: integer-step overlap COMPOSITES (the 5-step
+        # checkerboard unions to full black coverage)...
         at = self._at(self._pdf(xstep=5))
+        assert at(102, 102) == 0
+        assert at(104, 107) == 0
+        # ...while fractional-step overlap still declines by name
+        at = self._at(self._pdf(xstep=5.5))
         assert at(102, 102) == 255
+
+
+class TestFormXObjectText:
     """Round-7: text inside /Form XObjects (letterheads, stamps, OCR
     layers) extracts through Do — /Matrix composes into the CTM, the
     form's own fonts merge over the page's, graphics/text state
