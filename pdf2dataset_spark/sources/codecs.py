@@ -1678,10 +1678,134 @@ class PdfCodec(DocumentCodec):
         compose_alphas: dict = {}
         compose_blends: dict = {}
         compose_stencils: dict = {}
+        compose_pixel_masks: dict = {}
         draw_alphas = draw.get("alphas", {})
         draw_blends = draw.get("blends", {})
+        draw_softmasks = draw.get("softmasks", {})
         draw_stencils = draw.get("stencils", {})
         _mapped_chains: dict = {}
+        # ExtGState /SMask LUMINOSITY GROUPS (round-9): rasterize
+        # each referenced mask form ONCE into a full-canvas alpha
+        # plane (painted pixels -> their gray luminosity, unpainted
+        # -> /BC, default black = alpha 0) and gate the item's
+        # pixels with it. Declined on rotated pages (the mask
+        # raster is built in the unrotated frame) and for /Alpha
+        # subtype groups (page_ext_gstates leaves those out).
+        _mask_cache: dict = {}
+
+        def _luminosity_mask(gs_name):
+            if gs_name in _mask_cache:
+                return _mask_cache[gs_name]
+            mask = None
+            g = doc.page_ext_gstates(pg).get(gs_name) or {}
+            smv = g.get("SMask")
+            if smv is not None and not rot:
+                grp, bc_g = smv
+                try:
+                    gcontent = doc.stream_bytes(grp)
+                    mat = doc.resolve(grp.sdict.get("/Matrix"))
+                    gm = tuple(float(doc.resolve(v))
+                               for v in mat)[:6] \
+                        if isinstance(mat, list) and len(mat) >= 6 \
+                        else minipdf._ID6
+                    prefix = (" ".join(
+                        f"{v:.8g}" for v in gm
+                    ) + " cm\n").encode("ascii")
+                    gdraw = minipdf.content_draw_ops(
+                        prefix + gcontent)
+                except (ValueError, KeyError, TypeError):
+                    gdraw = None
+                if gdraw is not None and (
+                    gdraw["fills"] or gdraw["polys"]
+                    or gdraw["lines"] or gdraw["shadings"]
+                ):
+                    import numpy as np
+
+                    # shading resources resolve against the mask
+                    # FORM's own /Resources
+                    gres = doc.resolve(
+                        grp.sdict.get("/Resources"))
+                    gsh = doc.resolve(gres.get("/Shading")) \
+                        if isinstance(gres, dict) else None
+                    patches = []
+                    for (nm, sctm, sclip) in gdraw["shadings"]:
+                        sh = doc.resolve(gsh.get(nm)) \
+                            if isinstance(gsh, dict) else None
+                        sdict2 = sh.sdict if isinstance(
+                            sh, minipdf.StreamObj) else (
+                            sh if isinstance(sh, dict) else None)
+                        stype2 = 0
+                        if isinstance(sdict2, dict):
+                            try:
+                                stype2 = int(doc.resolve(
+                                    sdict2.get("/ShadingType", 0)))
+                            except (TypeError, ValueError):
+                                stype2 = 0
+                        fn2 = _patch_fn.get(stype2)
+                        sh_arg2 = sh if stype2 in (4, 5, 6, 7) \
+                            else sdict2
+                        patch = fn2(
+                            doc, sh_arg2, sctm, sclip,
+                            (x0, y0, x1, y1)
+                        ) if fn2 is not None else None
+                        if patch is not None:
+                            pw2, ph2, ppx2, pctm2, pmask2 = patch
+                            pa2, pb2, pc2, pd2, pe2, pf2 = pctm2
+                            patches.append(
+                                (pw2, ph2, ppx2,
+                                 (pa2, pb2, pc2, pd2,
+                                  pe2 - x0, pf2 - y0), pmask2))
+                    corder = []
+                    for kind, idx in gdraw["order"]:
+                        if kind in ("fills", "polys", "lines"):
+                            corder.append((kind, idx))
+                    corder = corder + [
+                        ("base_images", i)
+                        for i in range(len(patches))
+                    ]
+
+                    patches_black = [
+                        (pw2, ph2, b"\x00" * (pw2 * ph2),
+                         pctm2, pmask2)
+                        for pw2, ph2, _ppx2, pctm2, pmask2
+                        in patches
+                    ]
+
+                    def _geo(g_override):
+                        _, _, mp = raster.compose_page(
+                            bw, bh,
+                            fills=[(fx0 - x0, fy0 - y0,
+                                    fx1 - x0, fy1 - y0,
+                                    gg if g_override is None
+                                    else g_override)
+                                   for fx0, fy0, fx1, fy1, gg
+                                   in gdraw["fills"]],
+                            polys=[([(vx - x0, vy - y0)
+                                     for vx, vy in pts],
+                                    gg if g_override is None
+                                    else g_override)
+                                   for pts, gg in gdraw["polys"]],
+                            lines=[(lx0 - x0, ly0 - y0,
+                                    lx1 - x0, ly1 - y0,
+                                    gg if g_override is None
+                                    else g_override)
+                                   for lx0, ly0, lx1, ly1, gg
+                                   in gdraw["lines"]],
+                            base_images=patches
+                            if g_override is None else patches_black,
+                            order=corder,
+                        )
+                        return np.frombuffer(
+                            bytes(mp), dtype=np.uint8)
+
+                    lum = _geo(None)
+                    painted = _geo(0) != 255
+                    out_mask = np.full(
+                        lum.shape, bc_g, dtype=np.uint8)
+                    out_mask[painted] = lum[painted]
+                    mask = out_mask.tobytes()
+            _mask_cache[gs_name] = mask
+            return mask
 
         def _map_stencil(chain):
             """Stencil polygons into the DISPLAYED frame (the same
@@ -1708,6 +1832,11 @@ class PdfCodec(DocumentCodec):
             bm = draw_blends.get((src_kind, src_idx))
             if bm is not None:
                 compose_blends[(kind, idx)] = bm
+            smn = draw_softmasks.get((src_kind, src_idx))
+            if smn is not None:
+                pmask = _luminosity_mask(smn)
+                if pmask is not None:
+                    compose_pixel_masks[(kind, idx)] = pmask
             st = draw_stencils.get((src_kind, src_idx))
             if st:
                 compose_stencils[(kind, idx)] = _map_stencil(st)
@@ -1751,6 +1880,7 @@ class PdfCodec(DocumentCodec):
             order=compose_order,
             alphas=compose_alphas,
             blends=compose_blends,
+            pixel_masks=compose_pixel_masks,
             stencils=compose_stencils,
             glyph_runs=[
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"])

@@ -1339,6 +1339,23 @@ class PdfDocument:
                         entry[out_key] = min(1.0, max(0.0, float(av)))
                     except (TypeError, ValueError):
                         pass
+            sm = self.resolve(g.get("/SMask"))
+            if sm == "/None":
+                entry["SMask"] = None  # explicit reset
+            elif isinstance(sm, dict):
+                sub = self.resolve(sm.get("/S"))
+                grp = self.resolve(sm.get("/G"))
+                if sub == "/Luminosity" and isinstance(grp, StreamObj):
+                    bc = self.resolve(sm.get("/BC"))
+                    try:
+                        bc_g = _luma([
+                            float(self.resolve(v)) for v in bc
+                        ]) if isinstance(bc, list) and bc else 0
+                    except (TypeError, ValueError):
+                        bc_g = 0
+                    entry["SMask"] = (grp, bc_g)
+                # /Alpha groups decline by name (no per-object alpha
+                # tracking in the gray compositor): key absent
             bm = self.resolve(g.get("/BM"))
             if isinstance(bm, list):
                 # pre-ISO array form: first supported member wins
@@ -3084,6 +3101,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     stroke_pattern_g = 0
     fill_alpha = stroke_alpha = 1.0  # ExtGState /ca and /CA
     blend: str | None = None  # ExtGState /BM separable mode (round-9)
+    soft_mask: str | None = None  # active ExtGState NAME with /SMask
     # current path: rect fills + polyline segments + ordered
     # subpaths (for polygon fills), in USER space
     rects: list[tuple] = []
@@ -3100,6 +3118,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     order: list[tuple] = []  # (category, index) in stream paint order
     alphas: dict = {}  # (category, index) -> constant alpha < 1.0
     blends: dict = {}  # (category, index) -> separable blend mode
+    softmasks: dict = {}  # (category, index) -> ExtGState name
 
     def pt(x: float, y: float) -> tuple:
         a, b, c, d, e, f = ctm
@@ -3119,6 +3138,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             alphas[key] = alpha
         if blend is not None:
             blends[key] = blend
+        if soft_mask is not None:
+            softmasks[key] = soft_mask
         chain = clip_stencils if region is None \
             else clip_stencils + (region,)
         if chain:
@@ -3347,13 +3368,14 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
                      line_w, dash, fill_pattern, fill_pattern_g,
                      stroke_pattern, stroke_pattern_g,
-                     fill_alpha, stroke_alpha, blend))
+                     fill_alpha, stroke_alpha, blend, soft_mask))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, clip, clip_stencils, fill_g, stroke_g,
                      line_w, dash, fill_pattern, fill_pattern_g,
                      stroke_pattern, stroke_pattern_g,
-                     fill_alpha, stroke_alpha, blend) = ctm_stack.pop()
+                     fill_alpha, stroke_alpha, blend,
+                     soft_mask) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"w" and stack:
@@ -3374,6 +3396,12 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                         stroke_alpha = g["CA"]
                     if "BM" in g:
                         blend = g["BM"]
+                    if "SMask" in g:
+                        # value None = the /None reset; a tuple =
+                        # a luminosity group -> remember WHICH gs
+                        # name so the codec can rasterize its form
+                        soft_mask = stack[-1] \
+                            if g["SMask"] is not None else None
             elif op == b"d" and len(stack) >= 2 \
                     and isinstance(stack[-2], list):
                 arr = [float(v) for v in stack[-2]]
@@ -3496,7 +3524,7 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     return {"fills": fills, "polys": polys, "lines": lines,
             "pattern_fills": pattern_fills, "order": order,
             "alphas": alphas, "blends": blends,
-            "stencils": stencils_out,
+            "softmasks": softmasks, "stencils": stencils_out,
             "images": images, "shadings": shadings}
 
 

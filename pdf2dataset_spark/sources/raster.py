@@ -440,6 +440,7 @@ def compose_page(
     alphas: dict | None = None,
     stencils: dict | None = None,
     blends: dict | None = None,
+    pixel_masks: dict | None = None,
 ) -> tuple[int, int, bytearray]:
     """Deterministic page compositor (pure stdlib): white canvas at
     ``scale`` px per PDF unit. With ``order`` — a list of
@@ -475,6 +476,12 @@ def compose_page(
       ``base_images`` entries may carry a 6th element — a per-pixel
       8-bit ALPHA plane (image /SMask) multiplied into the item's
       constant alpha.
+    - ``pixel_masks``: ``{(category, index): bytes}`` full-canvas
+      W*H per-pixel alpha (0-255) — the rasterized ExtGState
+      /SMask LUMINOSITY GROUP gating the item (round-9); multiplies
+      into the item's constant alpha at every painted pixel. A mask
+      whose length does not match the canvas is ignored (scale-
+      clamped canvases decline rather than misalign).
 
     PDF y grows UP; the canvas row 0 is the page TOP.
 
@@ -494,9 +501,16 @@ def compose_page(
 
     def put(cx: int, cy: int, g: int, a: float | None = None,
             m: bytearray | None = None,
-            bm: str | None = None) -> None:
+            bm: str | None = None,
+            pm: bytes | None = None) -> None:
         if 0 <= cx < W and 0 <= cy < H \
                 and (m is None or m[cy * W + cx]):
+            if pm is not None:
+                a = (1.0 if a is None else a) * pm[cy * W + cx] / 255.0
+                if a <= 0.0:
+                    return
+                if a >= 1.0:
+                    a = None
             if a is None and bm is None:
                 px[cy * W + cx] = g
             else:
@@ -559,7 +573,8 @@ def compose_page(
 
     def stamp(entries, a: float | None = None,
               m: bytearray | None = None,
-              bm: str | None = None) -> None:
+              bm: str | None = None,
+              pm: bytes | None = None) -> None:
         for entry in entries or ():
             ialpha = None
             if len(entry) == 6:
@@ -597,6 +612,10 @@ def compose_page(
                         if ialpha is not None:
                             ae = (1.0 if ae is None else ae) \
                                 * ialpha[srow + sxp] / 255.0
+                        if pm is not None:
+                            ae = (1.0 if ae is None else ae) \
+                                * pm[row + tx] / 255.0
+                        if ae is not None:
                             if ae <= 0.0:
                                 continue
                             if ae >= 1.0:
@@ -613,9 +632,22 @@ def compose_page(
 
     def _span(row: int, lo: int, hi: int, g: int,
               a: float | None, m: bytearray | None,
-              fill_b: bytes | None, bm: str | None = None) -> None:
+              fill_b: bytes | None, bm: str | None = None,
+              pm: bytes | None = None) -> None:
         """Paint one horizontal span honoring alpha + stencil +
-        blend mode."""
+        blend mode + per-pixel soft mask."""
+        if pm is not None:
+            base_a = 1.0 if a is None else a
+            for i in range(lo, hi):
+                if m is None or m[row + i]:
+                    ae = base_a * pm[row + i] / 255.0
+                    if ae <= 0.0:
+                        continue
+                    old = px[row + i]
+                    s_ = _blend_gray(bm, old, g) if bm else g
+                    px[row + i] = s_ if ae >= 1.0 else int(
+                        ae * s_ + (1 - ae) * old + 0.5)
+            return
         if m is None and bm is None:
             if a is None:
                 px[row + lo:row + hi] = (fill_b or bytes([g])) \
@@ -635,7 +667,8 @@ def compose_page(
 
     def paint_fill(item, a: float | None = None,
                    m: bytearray | None = None,
-                   bm: str | None = None) -> None:
+                   bm: str | None = None,
+                   pm: bytes | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy1 = dev(x0, y0)
         cx1, cy0 = dev(x1, y1)
@@ -643,11 +676,12 @@ def compose_page(
         for cy in range(max(0, cy0), min(H, cy1)):
             lo, hi = max(0, cx0), min(W, cx1)
             if hi > lo:
-                _span(cy * W, lo, hi, g, a, m, fill_b, bm)
+                _span(cy * W, lo, hi, g, a, m, fill_b, bm, pm)
 
     def paint_poly(item, a: float | None = None,
                    m: bytearray | None = None,
-                   bm: str | None = None) -> None:
+                   bm: str | None = None,
+                   pm: bytes | None = None) -> None:
         pts, g = item
         if len(pts) < 3:
             return
@@ -670,11 +704,12 @@ def compose_page(
                 lo = max(0, _ceil(lo_f - 0.5))
                 hi = min(W, _ceil(hi_f - 0.5))
                 if hi > lo:
-                    _span(row, lo, hi, g, a, m, fill_b, bm)
+                    _span(row, lo, hi, g, a, m, fill_b, bm, pm)
 
     def paint_line(item, a: float | None = None,
                    m: bytearray | None = None,
-                   bm: str | None = None) -> None:
+                   bm: str | None = None,
+                   pm: bytes | None = None) -> None:
         x0, y0, x1, y1, g = item
         cx0, cy0 = dev(x0, y0)
         cx1, cy1 = dev(x1, y1)
@@ -683,7 +718,7 @@ def compose_page(
         sy = 1 if cy0 < cy1 else -1
         err = dx + dy
         while True:
-            put(cx0, cy0, g, a, m, bm)
+            put(cx0, cy0, g, a, m, bm, pm)
             if cx0 == cx1 and cy0 == cy1:
                 break
             e2 = 2 * err
@@ -702,20 +737,24 @@ def compose_page(
             "polys": (polys or (), paint_poly),
             "lines": (lines or (), paint_line),
             "images": (images or (),
-                       lambda e, a=None, m=None, bm=None:
-                       stamp([e], a, m, bm)),
+                       lambda e, a=None, m=None, bm=None, pm=None:
+                       stamp([e], a, m, bm, pm)),
             "base_images": (base_images or (),
-                            lambda e, a=None, m=None, bm=None:
-                            stamp([e], a, m, bm)),
+                            lambda e, a=None, m=None, bm=None,
+                            pm=None: stamp([e], a, m, bm, pm)),
         }
         for kind, idx in order:
             lst, fn = painters.get(kind, ((), None))
             if fn is not None and 0 <= idx < len(lst):
                 groups = (stencils or {}).get((kind, idx))
+                pmask = (pixel_masks or {}).get((kind, idx))
+                if pmask is not None and len(pmask) != W * H:
+                    pmask = None  # scale-clamped canvas: ignore
                 fn(lst[idx],
                    (alphas or {}).get((kind, idx)),
                    stencil_mask(groups) if groups else None,
-                   (blends or {}).get((kind, idx)))
+                   (blends or {}).get((kind, idx)),
+                   pmask)
     else:
         stamp(base_images)
         for item in fills or ():

@@ -2905,3 +2905,103 @@ class TestStrokePatterns:
             b"/Pattern CS /P0 SCN 1 w 0.5 G 0 0 m 50 0 l S")
         assert d["pattern_fills"] == []
         assert len(d["lines"]) == 1
+
+
+class TestLuminosityMask:
+    """Round-9: ExtGState /SMask LUMINOSITY groups — the mask form
+    rasterizes once (painted pixels -> their gray, unpainted -> /BC)
+    and gates every subsequent paint's alpha per pixel."""
+
+    @staticmethod
+    def _pdf(bc=b"", mask_body=None, content=None):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        mask_body = mask_body or (
+            b"q 100 300 200 100 re W n /Sh0 sh Q")
+        mask_form = (
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            b"/Group << /S /Transparency /CS /DeviceGray >> "
+            b"/Resources << /Shading << /Sh0 << /ShadingType 2 "
+            b"/Coords [100 0 300 0] "
+            b"/Function << /FunctionType 2 /C0 [1.0] /C1 [0.0] "
+            b"/N 1 >> /Extend [true true] >> >> >> /Length "
+            + str(len(mask_body)).encode() + b" >>\nstream\n"
+            + mask_body + b"\nendstream")
+        content = content or (
+            b"BT /F1 12 Tf 72 700 Td (luma mask) Tj ET\n"
+            b"/Gm gs 0 g 100 300 200 100 re f\n"
+            b"q /Gn gs 0.5 g 100 500 100 50 re f Q\n")
+        return _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /ExtGState << "
+            b"/Gm << /SMask << /S /Luminosity /G 5 0 R " + bc
+            + b" >> >> /Gn << /SMask /None >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            mask_form,
+        ])
+
+    @staticmethod
+    def _render(pdf):
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        W, H, px = out
+        return lambda x, y: px[(H - y) * W + x]
+
+    def test_gradient_mask_fades_fill(self):
+        g = self._render(self._pdf())
+        assert g(101, 350) <= 4     # lum ~1: opaque black fill
+        assert abs(g(200, 350) - 128) <= 2  # lum 0.5: half fade
+        assert g(295, 350) >= 246   # lum ~0: backdrop shows
+        # outside the mask's painted band: BC default 0 -> alpha 0
+        assert g(150, 290) == 255
+        # /None reset: the second fill paints opaque
+        assert g(150, 520) == 128
+
+    def test_bc_backdrop_luminosity(self):
+        # mask band covers only the LOWER half of the fill; the
+        # upper half is backdrop territory: /BC [1] (white = alpha
+        # 1) paints it fully, the default /BC (black = alpha 0)
+        # leaves it untouched
+        half_band = b"q 100 300 200 50 re W n /Sh0 sh Q"
+        g = self._render(self._pdf(bc=b"/BC [1]",
+                                   mask_body=half_band))
+        assert g(150, 375) <= 4    # outside band: BC=1 -> opaque
+        g = self._render(self._pdf(mask_body=half_band))
+        assert g(150, 375) == 255  # default BC=0 -> transparent
+        assert g(150, 325) <= 70   # inside band both ways
+
+    def test_alpha_subtype_declines(self):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /ExtGState << "
+            b"/Ga << /SMask << /S /Alpha /G 5 0 R >> >> >> >> >>",
+            b"<< /Length 4 >>\nstream\n0 g\nendstream",
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+            b"/Length 14 >>\nstream\n0 0 5 5 re f\nendstream",
+        ])
+        doc = minipdf.PdfDocument(pdf)
+        gs = doc.page_ext_gstates(doc.pages()[0])
+        assert "SMask" not in gs.get("/Ga", {})  # declined by name
+
+    def test_journal_carries_gs_name(self):
+        from pdf2dataset_spark.sources import minipdf
+
+        d = minipdf.content_draw_ops(
+            b"/Gm gs 0 g 0 0 10 10 re f "
+            b"/Gn gs 0.5 g 20 0 10 10 re f",
+            ext_gstates={"/Gm": {"SMask": (object(), 0)},
+                         "/Gn": {"SMask": None}},
+        )
+        assert d["softmasks"] == {("fills", 0): "/Gm"}
