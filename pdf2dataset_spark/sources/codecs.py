@@ -1450,6 +1450,40 @@ class PdfCodec(DocumentCodec):
         return pw, ph, patch.tobytes(), placement, \
             mask.astype(np.uint8).tobytes()
 
+    @staticmethod
+    def _displayed_patch(patch, x0, y0, rot, rot_d):
+        """Map a page-space masked patch into the DISPLAYED frame
+        under /Rotate (round-9): raster.stamp() places by
+        AXIS-ALIGNED bbox, so handing it a rotated ctm would stamp
+        the patch's gradient along the wrong axis. Instead the
+        pixel + mask planes rotate with np.rot90 and the placement
+        stays axis-aligned in display space. Patch placements out
+        of _patch_grid are always axis-aligned scale+translate, so
+        the two bbox corners suffice."""
+        pw_, ph_, ppx, pctm, pmask = patch
+        pa, pb, pc, pd, pe, pf = pctm
+        ux0, vy0 = pe - x0, pf - y0
+        if not rot:
+            return pw_, ph_, ppx, (pa, pb, pc, pd, ux0, vy0), pmask
+        import numpy as np
+
+        k = {90: -1, 180: 2, 270: 1}[rot]
+        P = np.frombuffer(bytes(ppx), np.uint8).reshape(ph_, pw_)
+        M = np.frombuffer(bytes(pmask), np.uint8).reshape(ph_, pw_)
+        P2 = np.rot90(P, k)
+        M2 = np.rot90(M, k)
+        nh, nw = P2.shape
+        ra, rb, rc, rd, re, rf = rot_d[rot]
+        xs, ys = [], []
+        for (uu, vv) in ((ux0, vy0), (ux0 + pa, vy0 + pd)):
+            xs.append(ra * uu + rc * vv + re)
+            ys.append(rb * uu + rd * vv + rf)
+        bx0, by0 = min(xs), min(ys)
+        return (nw, nh, P2.tobytes(),
+                (float(max(xs) - bx0), 0.0, 0.0,
+                 float(max(ys) - by0), bx0, by0),
+                M2.tobytes())
+
     def _composite_pixels(
         self, handle: "_PdfHandle", page: int
     ) -> tuple[int, int, bytes] | None:
@@ -1560,12 +1594,8 @@ class PdfCodec(DocumentCodec):
             patch = fn(doc, sh_arg, sctm, sclip, (x0, y0, x1, y1)) \
                 if fn is not None else None
             if patch is not None:
-                pw_, ph_, ppx, pctm, pmask = patch
-                pa, pb, pc, pd, pe, pf = pctm
-                shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
-                if rot:
-                    shifted = minipdf._mat_mul(shifted, _rot_d[rot])
-                shading_patches.append((pw_, ph_, ppx, shifted, pmask))
+                shading_patches.append(
+                    self._displayed_patch(patch, x0, y0, rot, _rot_d))
 
         shading_map: dict[int, int] = {}  # shading idx -> patch idx
         pattern_map: dict[int, int] = {}  # pattern_fill idx -> patch idx
@@ -1612,14 +1642,9 @@ class PdfCodec(DocumentCodec):
                         doc, pat, prect, (x0, y0, x1, y1),
                         scn_gray=scn_g)
                     if tp is not None:
-                        pw_, ph_, ppx, pctm, pmask = tp
-                        pa, pb, pc, pd, pe, pf = pctm
-                        shifted = (pa, pb, pc, pd, pe - x0, pf - y0)
-                        if rot:
-                            shifted = minipdf._mat_mul(
-                                shifted, _rot_d[rot])
                         shading_patches.append(
-                            (pw_, ph_, ppx, shifted, pmask))
+                            self._displayed_patch(
+                                tp, x0, y0, rot, _rot_d))
                         pattern_map[i] = _n0
                 continue
             if ptype != 2:
@@ -1699,7 +1724,7 @@ class PdfCodec(DocumentCodec):
             mask = None
             g = doc.page_ext_gstates(pg).get(gs_name) or {}
             smv = g.get("SMask")
-            if smv is not None and not rot:
+            if smv is not None:
                 grp, bc_g = smv
                 try:
                     gcontent = doc.stream_bytes(grp)
@@ -1749,12 +1774,9 @@ class PdfCodec(DocumentCodec):
                             (x0, y0, x1, y1)
                         ) if fn2 is not None else None
                         if patch is not None:
-                            pw2, ph2, ppx2, pctm2, pmask2 = patch
-                            pa2, pb2, pc2, pd2, pe2, pf2 = pctm2
                             patches.append(
-                                (pw2, ph2, ppx2,
-                                 (pa2, pb2, pc2, pd2,
-                                  pe2 - x0, pf2 - y0), pmask2))
+                                self._displayed_patch(
+                                    patch, x0, y0, rot, _rot_d))
                     corder = []
                     for kind, idx in gdraw["order"]:
                         if kind in ("fills", "polys", "lines"):
@@ -1772,23 +1794,28 @@ class PdfCodec(DocumentCodec):
                     ]
 
                     def _geo(g_override):
+                        # the mask composes in the DISPLAYED frame
+                        # (same drect/dpt/dseg mapping the item
+                        # geometry gets), so /Rotate pages mask
+                        # correctly too (round-9 follow-up)
                         _, _, mp = raster.compose_page(
-                            bw, bh,
-                            fills=[(fx0 - x0, fy0 - y0,
-                                    fx1 - x0, fy1 - y0,
-                                    gg if g_override is None
-                                    else g_override)
+                            bh if rot in (90, 270) else bw,
+                            bw if rot in (90, 270) else bh,
+                            fills=[drect(fx0 - x0, fy0 - y0,
+                                         fx1 - x0, fy1 - y0,
+                                         gg if g_override is None
+                                         else g_override)
                                    for fx0, fy0, fx1, fy1, gg
                                    in gdraw["fills"]],
-                            polys=[([(vx - x0, vy - y0)
+                            polys=[([dpt(vx - x0, vy - y0)
                                      for vx, vy in pts],
                                     gg if g_override is None
                                     else g_override)
                                    for pts, gg in gdraw["polys"]],
-                            lines=[(lx0 - x0, ly0 - y0,
-                                    lx1 - x0, ly1 - y0,
-                                    gg if g_override is None
-                                    else g_override)
+                            lines=[dseg(lx0 - x0, ly0 - y0,
+                                        lx1 - x0, ly1 - y0,
+                                        gg if g_override is None
+                                        else g_override)
                                    for lx0, ly0, lx1, ly1, gg
                                    in gdraw["lines"]],
                             base_images=patches

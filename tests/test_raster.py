@@ -3005,3 +3005,43 @@ class TestLuminosityMask:
                          "/Gn": {"SMask": None}},
         )
         assert d["softmasks"] == {("fills", 0): "/Gm"}
+
+
+class TestRotatedShadingOrientation:
+    """Round-9: shading patches on /Rotate pages rotate their PIXEL
+    CONTENTS into the displayed frame (codecs._displayed_patch) —
+    the gradient axis must follow the page, not the canvas."""
+
+    @pytest.mark.parametrize("rotv", [0, 90, 180, 270])
+    def test_axial_gradient_follows_page_axis(self, rotv):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+        from pdf2dataset_spark.sources.minipdf import rotate_point
+
+        content = b"q 100 300 200 100 re W n /Sh0 sh Q"
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /Rotate "
+            + str(rotv).encode() + b" >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << "
+            b"/Sh0 << /ShadingType 2 /Coords [100 0 300 0] "
+            b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] "
+            b"/N 1 >> /Extend [true true] >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        W, H, px = codec._composite_pixels(h, 1)
+
+        def at_page(u, v):
+            x, y = rotate_point(u, v, rotv, 612, 792)
+            return px[min(H - 1, H - int(y)) * W + min(W - 1, int(x))]
+
+        # the ramp runs along page-u regardless of /Rotate
+        assert at_page(102, 350) <= 6
+        assert abs(at_page(200, 350) - 128) <= 3
+        assert at_page(297, 350) >= 248
+        # constant along page-v
+        assert abs(at_page(200, 320) - at_page(200, 380)) <= 2
