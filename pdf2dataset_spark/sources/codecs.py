@@ -1522,6 +1522,15 @@ class PdfCodec(DocumentCodec):
         def dpt(u: float, v: float) -> tuple[float, float]:
             return minipdf.rotate_point(u, v, rot, bw, bh)
 
+        def _disp_dir(ux: float, uy: float) -> tuple[float, float]:
+            # text direction in the DISPLAYED frame (round-9:
+            # vertical glyph rasterization) — the run's device
+            # direction through /Rotate's linear part
+            if not rot:
+                return ux, uy
+            ra, rb, rc, rd, _, _ = _rot_d[rot]
+            return ux * ra + uy * rc, ux * rb + uy * rd
+
         def drect(u0: float, v0: float, u1: float, v1: float, g):
             (a0, b0), (a1, b1) = dpt(u0, v0), dpt(u1, v1)
             return (min(a0, a1), min(b0, b1), max(a0, a1), max(b0, b1), g)
@@ -1910,7 +1919,8 @@ class PdfCodec(DocumentCodec):
             pixel_masks=compose_pixel_masks,
             stencils=compose_stencils,
             glyph_runs=[
-                (*dpt(r["x"] - x0, r["y"] - y0), r["text"])
+                (*dpt(r["x"] - x0, r["y"] - y0), r["text"],
+                 *_disp_dir(r.get("ux", 1.0), r.get("uy", 0.0)))
                 for r in runs
                 if not t3fonts or r.get("font") not in t3fonts
             ],

@@ -766,14 +766,42 @@ def compose_page(
         # embedded-image placements (unit square through the CTM,
         # axis-aligned stamp — rotated placements draw their bbox)
         stamp(images)
-    for gx, gy, text in glyph_runs or ():
+    for run in glyph_runs or ():
+        if len(run) == 5:
+            # (x, y, text, dx, dy): displayed text DIRECTION
+            # (round-9) — axis-aligned vertical/reverse directions
+            # rasterize the 5x7 cells rotated; anything else keeps
+            # the horizontal fallback (documented approximation)
+            gx, gy, text, dx, dy = run
+            key = (round(dx), round(dy))
+            if key not in ((0, 1), (0, -1), (-1, 0)) \
+                    or abs(dx - key[0]) > 0.01 \
+                    or abs(dy - key[1]) > 0.01:
+                key = (1, 0)
+        else:
+            gx, gy, text = run
+            key = (1, 0)
         cx0, cby = dev(gx, gy)
-        top = cby - GLYPH_H
+        if key == (1, 0):
+            top = cby - GLYPH_H
+            for ci, ch in enumerate(text):
+                rows = glyph_rows(ch)
+                ox = cx0 + ci * CELL_W
+                for r, bits in enumerate(rows):
+                    for col in range(GLYPH_W):
+                        if bits & (1 << (GLYPH_W - 1 - col)):
+                            put(ox + col, top + r, 0)
+            continue
+        dxi, dyi = key
         for ci, ch in enumerate(text):
             rows = glyph_rows(ch)
-            ox = cx0 + ci * CELL_W
             for r, bits in enumerate(rows):
+                b_up = GLYPH_H - r  # height above baseline, y-up
                 for col in range(GLYPH_W):
                     if bits & (1 << (GLYPH_W - 1 - col)):
-                        put(ox + col, top + r, 0)
+                        a = ci * CELL_W + col  # along-baseline
+                        # device pos = anchor + (dx,dy)*a +
+                        # (-dy,dx)*b_up; canvas y grows DOWN
+                        put(cx0 + dxi * a - dyi * b_up,
+                            cby - dyi * a - dxi * b_up, 0)
     return W, H, px

@@ -3045,3 +3045,50 @@ class TestRotatedShadingOrientation:
         assert at_page(297, 350) >= 248
         # constant along page-v
         assert abs(at_page(200, 320) - at_page(200, 380)) <= 2
+
+
+class TestVerticalGlyphs:
+    """Round-9: glyph runs follow the DISPLAYED text direction —
+    axis-aligned vertical/reverse directions rasterize rotated 5x7
+    cells; oblique directions keep the horizontal fallback."""
+
+    @staticmethod
+    def _ink_bbox(rotv, content=b"BT /F1 12 Tf 100 700 Td (HELLO) Tj ET"):
+        import numpy as np
+
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        body = content + b"\n0.5 g 50 50 20 20 re f\n"
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /Rotate "
+            + str(rotv).encode() + b" >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] >>",
+            b"<< /Length " + str(len(body)).encode() + b" >>\nstream\n"
+            + body + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        W, H, px = codec._composite_pixels(h, 1)
+        arr = np.frombuffer(bytes(px), np.uint8).reshape(H, W)
+        ys, xs = np.where(arr == 0)
+        return (ys.max() - ys.min(), xs.max() - xs.min())
+
+    def test_rotated_page_text_rasterizes_vertically(self):
+        bb_h, bb_w = self._ink_bbox(90)
+        assert bb_h > bb_w  # the run now extends along the column
+        bb_h, bb_w = self._ink_bbox(270)
+        assert bb_h > bb_w
+
+    def test_unrotated_page_stays_horizontal(self):
+        bb_h, bb_w = self._ink_bbox(0)
+        assert bb_w > bb_h
+
+    def test_scanner_convention_composes_upright(self):
+        # in-plane 90-degree text on a /Rotate 90 page: the two
+        # rotations cancel to a horizontal displayed run
+        bb_h, bb_w = self._ink_bbox(
+            90, content=b"BT 0 1 -1 0 100 300 Tm /F1 12 Tf (HELLO) Tj ET")
+        assert bb_w > bb_h
