@@ -1755,12 +1755,11 @@ class TestFunctionShading:
         assert abs(at(200, 390) - 34) <= 2   # near blue row
         assert at(200, 310) > at(200, 390)   # monotone red->blue
 
-    def test_nonsampled_declines(self):
+    def test_calculator_routes_to_lattice_fallback(self):
         from pdf2dataset_spark.sources.codecs import PdfCodec
-        from pdf2dataset_spark.sources import minipdf
 
-        # calculator (type 4) 2-in: declined -> page renders without
-        # the shading (text-only page -> grid raster, still works)
+        # round-9: a type-4 2-in function no longer declines — it
+        # evaluates on the budgeted lattice (gray = x here)
         prog = b"{ pop }"
         fn = (b"<< /FunctionType 4 /Domain [0 1 0 1] /Range [0 1] "
               b"/Length " + str(len(prog)).encode() + b" >>\nstream\n"
@@ -1772,8 +1771,22 @@ class TestFunctionShading:
         pg = doc.pages()[0]
         shs = doc.resolve(doc.resolve(pg.get("/Resources")).get("/Shading"))
         sh = doc.resolve(shs.get("/Sh0"))
+        patch = codec._function_patch(
+            doc, sh, (1, 0, 0, 1, 0, 0), None, (0, 0, 612, 792))
+        assert patch is not None
+        # a malformed function type still declines
+        bad = (b"<< /FunctionType 9 /Domain [0 1 0 1] /Range [0 1] "
+               b"/Length 2 >>\nstream\n{}\nendstream")
+        pdf2 = self._pdf(bad)
+        h2 = codec.open(pdf2)
+        doc2 = h2.doc
+        pg2 = doc2.pages()[0]
+        shs2 = doc2.resolve(
+            doc2.resolve(pg2.get("/Resources")).get("/Shading"))
+        sh2 = doc2.resolve(shs2.get("/Sh0"))
         assert codec._function_patch(
-            doc, sh, (1, 0, 0, 1, 0, 0), None, (0, 0, 612, 792)) is None
+            doc2, sh2, (1, 0, 0, 1, 0, 0), None,
+            (0, 0, 612, 792)) is None
 
 
 class TestCoonsTensorShading:
@@ -3092,3 +3105,73 @@ class TestVerticalGlyphs:
         bb_h, bb_w = self._ink_bbox(
             90, content=b"BT 0 1 -1 0 100 300 Tm /F1 12 Tf (HELLO) Tj ET")
         assert bb_w > bb_h
+
+
+class TestCalculatorShading:
+    """Round-9: /ShadingType 1 with /FunctionType 4 calculators and
+    function ARRAYS — budgeted lattice evaluation + bilinear
+    per-pixel interpolation (codecs._function_patch_generic)."""
+
+    CONTENT = b"q 100 300 200 100 re W n /Sh0 sh Q"
+
+    @classmethod
+    def _render(cls, shading, fn_objs):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Shading << "
+            b"/Sh0 " + shading + b" >> >> >>",
+            b"<< /Length " + str(len(cls.CONTENT)).encode()
+            + b" >>\nstream\n" + cls.CONTENT + b"\nendstream",
+            *fn_objs,
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        if out is None:
+            return None
+        W, H, px = out
+        return lambda x, y: px[(H - y) * W + x]
+
+    @staticmethod
+    def _fn4(body, rng=b"[0 1]"):
+        return (b"<< /FunctionType 4 /Domain [0 1 0 1] /Range " + rng
+                + b" /Length " + str(len(body)).encode()
+                + b" >>\nstream\n" + body + b"\nendstream")
+
+    def test_calculator_ramp(self):
+        g = self._render(
+            b"<< /ShadingType 1 /Domain [0 1 0 1] "
+            b"/Matrix [200 0 0 100 100 300] /Function 5 0 R >>",
+            [self._fn4(b"{ pop }")])  # gray = x
+        assert g is not None
+        assert g(101, 350) <= 4
+        assert abs(g(200, 350) - 128) <= 2
+        assert g(298, 350) >= 250
+        assert g(150, 290) == 255  # outside /Domain: transparent
+
+    def test_function_array_luma(self):
+        g = self._render(
+            b"<< /ShadingType 1 /Domain [0 1 0 1] "
+            b"/Matrix [200 0 0 100 100 300] "
+            b"/Function [5 0 R 6 0 R 5 0 R] >>",
+            [self._fn4(b"{ pop }"), self._fn4(b"{ exch pop }")])
+        assert g is not None
+        for (x, y) in ((150, 320), (250, 380), (120, 390)):
+            u = (x - 100) / 200
+            v = (y - 300) / 100
+            exp = round((0.413 * u + 0.587 * v) * 255)
+            assert abs(g(x, y) - exp) <= 2, (x, y)
+
+    def test_hostile_calculator_declines(self):
+        # a program that blows the step budget declines the paint
+        body = b"{ " + b"dup 0.5 mul " * 4000 + b"pop pop }"
+        g = self._render(
+            b"<< /ShadingType 1 /Domain [0 1 0 1] "
+            b"/Matrix [200 0 0 100 100 300] /Function 5 0 R >>",
+            [self._fn4(body)])
+        assert g is None or g(200, 350) == 255
