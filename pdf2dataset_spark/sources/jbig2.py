@@ -1189,6 +1189,102 @@ def _decode_symbol_dict(seg_data: bytes, input_syms: list,
     return exported, ((gb_cx, gr_cx) if retain_ctx else None)
 
 
+def _huffman_aggregate_text(data: bytes, pool: list, avail: int,
+                            sym_w: int, sym_h: int, ninst: int,
+                            rtemplate: int, rat: tuple) -> list:
+    """TRUE-aggregate nested Huffman text region (T.88 §6.5.8.2.2,
+    SDHUFF=1, round-9): the new symbol's bitmap decodes as a text
+    region of ``ninst`` instances drawn from the in-progress pool —
+    fixed parameters per the spec: SBSTRIPS=1, TOPLEFT corner, OR
+    composition, SBDEFPIXEL=0, SBDSOFFSET=0, SBREFINE=1 with the
+    dictionary's refinement template/AT, tables B.11 (DT), B.6
+    (FS), B.8 (DS), B.15 (RDW/RDH/RDX/RDY), B.1 (RSIZE), and
+    FIXED-LENGTH symbol IDs of ceil(log2(SBNUMSYMS)) bits
+    (§6.5.8.2.3). ``pool`` holds the symbols decodable so far;
+    ``avail`` is how many are valid (later ids are malformed)."""
+    from pdf2dataset_spark.sources import jbig2_huffman as jh
+
+    br = jh.BitReader(data)
+    tb_dt = jh.standard_table(11)
+    tb_fs = jh.standard_table(6)
+    tb_ds = jh.standard_table(8)
+    tb_rd = jh.standard_table(15)
+    tb_rsize = jh.standard_table(1)
+    codelen = max(1, ceil(log2(max(2, len(pool)))))
+    rows = [bytearray(sym_w) for _ in range(sym_h)]
+    stript = tb_dt.decode(br)
+    if stript is jh.OOB:
+        raise JBIG2Error("OOB aggregate STRIPT")
+    stript = -stript
+    firsts = 0
+    done = 0
+    while done < ninst:
+        dt = tb_dt.decode(br)
+        if dt is jh.OOB:
+            raise JBIG2Error("OOB aggregate DT")
+        stript += dt
+        dfs = tb_fs.decode(br)
+        if dfs is jh.OOB:
+            raise JBIG2Error("OOB aggregate first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while done < ninst:
+            if not first:
+                ids = tb_ds.decode(br)
+                if ids is jh.OOB:
+                    break
+                curs += ids
+            first = False
+            sym_id = br.bits(codelen)
+            if not 0 <= sym_id < avail:
+                raise JBIG2Error(
+                    f"aggregate symbol id {sym_id} out of range")
+            bm = pool[sym_id]
+            sh_ = len(bm)
+            sw_ = len(bm[0]) if sh_ else 0
+            if br.bit():  # RI (§6.4.11)
+                deltas = []
+                for _ in range(4):
+                    v = tb_rd.decode(br)
+                    if v is jh.OOB:
+                        raise JBIG2Error("OOB aggregate RD value")
+                    deltas.append(v)
+                rdw, rdh, rdx, rdy = deltas
+                bmsize = tb_rsize.decode(br)
+                if bmsize is jh.OOB or bmsize <= 0:
+                    raise JBIG2Error("bad aggregate refinement BMSIZE")
+                start = br.align()
+                if start + bmsize > len(data):
+                    raise JBIG2Error("aggregate refinement past end")
+                new_w, new_h = sw_ + rdw, sh_ + rdh
+                if not (0 < new_w <= sym_w + 64
+                        and 0 < new_h <= sym_h + 64):
+                    raise JBIG2Error("aggregate refined size invalid")
+                bm = decode_refinement(
+                    MQDecoder(data[start:start + bmsize]), {},
+                    new_w, new_h, bm,
+                    dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+                    template=rtemplate, at=rat,
+                )
+                sw_, sh_ = new_w, new_h
+                br.seek_byte(start + bmsize)
+            # TOPLEFT, OR-composite, clipped to the symbol canvas
+            for yy in range(sh_):
+                ty = stript + yy
+                if not 0 <= ty < sym_h:
+                    continue
+                row = rows[ty]
+                srow = bm[yy]
+                for xx in range(sw_):
+                    tx = curs + xx
+                    if 0 <= tx < sym_w and srow[xx]:
+                        row[tx] = 1
+            curs += sw_ - 1
+            done += 1
+    return rows
+
+
 def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
                                 input_syms: list, tables: list) -> list:
     """SDHUFF=1 symbol dictionary (§6.5 + 6.5.9 collective bitmaps):
@@ -1282,10 +1378,28 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
             if ninst is jh.OOB:
                 raise JBIG2Error("OOB aggregate instance count")
             if ninst != 1:
-                raise JBIG2Unsupported(
-                    "Huffman true-aggregate symbol dictionary "
-                    f"(REFAGGNINST {ninst})"
-                )
+                # TRUE aggregate (round-9): BMSIZE via B.1, then a
+                # byte-aligned NESTED Huffman text region of ninst
+                # instances (§6.5.8.2.2) becomes the new symbol
+                if ninst < 0 or ninst > 8 * len(seg_data) + 64:
+                    raise JBIG2Error(
+                        "implausible aggregate instance count")
+                agg_size = tb_bm.decode(br)
+                if agg_size is jh.OOB or agg_size <= 0:
+                    raise JBIG2Error("bad aggregate BMSIZE")
+                start = br.align()
+                if start + agg_size > len(seg_data):
+                    raise JBIG2Error("aggregate region past end")
+                full_pool = list(input_syms) + new_syms
+                new_syms.append(_huffman_aggregate_text(
+                    seg_data[start:start + agg_size],
+                    full_pool + [[bytearray(1)]] * (
+                        len(input_syms) + num_new - len(full_pool)),
+                    len(full_pool), sym_width, hc_height, ninst,
+                    rtemplate, rat,
+                ))
+                br.seek_byte(start + agg_size)
+                continue
             pool = len(input_syms) + num_new
             codelen = max(1, ceil(log2(max(2, pool))))
             ref_id = br.bits(codelen)
@@ -2667,7 +2781,12 @@ def encode_huffman_refagg_page(
     ones — ``refined`` is a list of ``(base index, target rows, rdx,
     rdy)`` — each coded as REFAGGNINST=1 (B.1), a raw-bit symbol ID,
     B.15 deltas, B.1 BMSIZE and a byte-aligned embedded MQ
-    refinement. The text region indexes dictionary 2's exports
+    refinement. A ``("agg", w, h, [(pool index, x, y), ...])`` entry
+    instead authors a TRUE AGGREGATE (round-9, §6.5.8.2.2):
+    REFAGGNINST = the instance count, then B.1 BMSIZE and a
+    byte-aligned NESTED Huffman text region placing dict-1 pool
+    symbols (fixed-length IDs, RI=0, B.11/B.6/B.8 tables, one strip
+    per distinct y). The text region indexes dictionary 2's exports
     (bases first in dict-1 export order, then the refined symbols in
     ``refined`` order); ``placements`` are (symbol, x, y) against
     that order. Returns the embedded JBIG2 body (globals inline)."""
@@ -2724,20 +2843,77 @@ def encode_huffman_refagg_page(
     # ---- dictionary 2: SDHUFF + SDREFAGG refinement symbols
     n_pool = len(pool1) + len(refined)
     codelen = max(1, ceil(log2(max(2, n_pool))))
+
+    def _entry_dims(e):
+        if e[0] == "agg":
+            return e[2], e[1]  # (h, w)
+        return len(e[1]), len(e[1][0])
+
+    def _agg_bitmap(aw, ah, insts):
+        rows = [bytearray(aw) for _ in range(ah)]
+        for pid, px_, py_ in insts:
+            bm = pool1[pid]
+            for yy in range(len(bm)):
+                if not 0 <= py_ + yy < ah:
+                    continue
+                for xx in range(len(bm[0])):
+                    if 0 <= px_ + xx < aw and bm[yy][xx]:
+                        rows[py_ + yy][px_ + xx] = 1
+        return rows
+
     order2 = sorted(
         range(len(refined)),
-        key=lambda i: (len(refined[i][1]), len(refined[i][1][0])),
+        key=lambda i: _entry_dims(refined[i]),
     )
+    tb_dt2 = jh.standard_table(11)
+    tb_fs2 = jh.standard_table(6)
+    tb_ds2 = jh.standard_table(8)
     bw = jh.BitWriter()
     hc_height = 0
     i = 0
     while i < len(order2):
-        hgt = len(refined[order2[i]][1])
+        hgt = _entry_dims(refined[order2[i]])[0]
         tb_dh.encode(bw, hgt - hc_height)
         hc_height = hgt
         sym_width = 0
-        while i < len(order2) and len(refined[order2[i]][1]) == hgt:
-            base_i, target, rdx, rdy = refined[order2[i]]
+        while i < len(order2) \
+                and _entry_dims(refined[order2[i]])[0] == hgt:
+            entry = refined[order2[i]]
+            if entry[0] == "agg":
+                # TRUE aggregate (round-9): nested text region
+                _, aw, ah, insts = entry
+                tb_dw.encode(bw, aw - sym_width)
+                sym_width = aw
+                tb_bm.encode(bw, len(insts))  # REFAGGNINST > 1
+                nbw = jh.BitWriter()
+                by_t: dict = {}
+                for pid, px_, py_ in insts:
+                    by_t.setdefault(py_, []).append((px_, pid))
+                tb_dt2.encode(nbw, 1)  # STRIPT -> -1
+                stript = -1
+                firsts = 0
+                for t in sorted(by_t):
+                    tb_dt2.encode(nbw, t - stript)
+                    stript = t
+                    xs2 = sorted(by_t[t])
+                    tb_fs2.encode(nbw, xs2[0][0] - firsts)
+                    firsts = xs2[0][0]
+                    curs = firsts
+                    for j, (px_, pid) in enumerate(xs2):
+                        if j:
+                            tb_ds2.encode(nbw, px_ - curs)
+                            curs = px_
+                        nbw.bits(pid, codelen)
+                        nbw.bit(0)  # RI = 0
+                        curs += len(pool1[pid][0]) - 1
+                    tb_ds2.encode(nbw, jh.OOB)
+                data = nbw.getvalue()
+                tb_bm.encode(bw, len(data))
+                bw.align()
+                bw.raw_bytes(data)
+                i += 1
+                continue
+            base_i, target, rdx, rdy = entry
             target = [bytearray(r) for r in target]
             tb_dw.encode(bw, len(target[0]) - sym_width)
             sym_width = len(target[0])
@@ -2764,7 +2940,10 @@ def encode_huffman_refagg_page(
            + bw.getvalue())
     # ---- text region over dictionary 2's exports
     exported = pool1 + [
-        [bytearray(r) for r in refined[i][1]] for i in order2
+        _agg_bitmap(refined[i][1], refined[i][2], refined[i][3])
+        if refined[i][0] == "agg"
+        else [bytearray(r) for r in refined[i][1]]
+        for i in order2
     ]
     bw = jh.BitWriter()
     symtab = jh.write_symbol_id_codes(bw, len(exported))

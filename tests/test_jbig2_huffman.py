@@ -316,32 +316,24 @@ class TestHuffmanRefAggDictionary:
         # the plain base symbols ride along unrefined
         assert rows[1][1] == 1 and rows[2][2] == 0
 
-    def test_true_aggregate_stays_named_decline(self):
+    def test_bit_flips_never_decline_or_hang(self):
+        """Round-9: TRUE aggregates now DECODE (§6.5.8.2.2), so no
+        single-bit flip may surface the old JBIG2Unsupported
+        decline — every mutation either decodes (possibly to other
+        pixels) or raises a plain bounded JBIG2Error."""
         bases, refined, _, _ = self._fixture()
         data = bytearray(jbig2.encode_huffman_refagg_page(
             bases, refined, [(0, 1, 1)], 16, 8,
         ))
-        # REFAGGNINST rides B.1 whose first line codes 0..15 in
-        # '1' + 4 bits; flipping the encoded value from 1 to 2 turns
-        # the single-instance case into a TRUE aggregate
-        from pdf2dataset_spark.sources import jbig2_huffman as jhm
-
-        # locate dict 2's bit body: third segment header (number 2)
-        # ... simpler: decode must raise once any REFAGGNINST != 1;
-        # brute-force single-bit flips until the named error appears
-        seen = False
         for i in range(len(data) * 8):
             mutated = bytearray(data)
             mutated[i // 8] ^= 0x80 >> (i % 8)
             try:
                 jbig2.decode_embedded(bytes(mutated))
             except jh.JBIG2Unsupported as e:
-                if "true-aggregate" in str(e).lower():
-                    seen = True
-                    break
+                assert "true-aggregate" not in str(e).lower(), i
             except jh.JBIG2Error:
                 continue
-        assert seen, "no flip produced the named true-aggregate decline"
 
 
 class TestEmptyHeightClass:
@@ -497,3 +489,59 @@ class TestB7B10EndToEnd:
         up9 = [lo for _, _, lo, k in b9.lines if k == "u"][0]
         up10 = [lo for _, _, lo, k in b10.lines if k == "u"][0]
         assert up10 == 2 * up9 - 1
+
+
+class TestHuffmanTrueAggregate:
+    """Round-9: SDHUFF=1 symbol dictionaries with REFAGGNINST > 1 —
+    the new symbol decodes as a NESTED Huffman text region
+    (§6.5.8.2.2) instead of declining by name."""
+
+    BOX = [bytearray([1, 1, 1]), bytearray([1, 0, 1]),
+           bytearray([1, 1, 1])]
+    BAR = [bytearray([1, 1, 1, 1])]
+
+    def test_aggregate_symbol_roundtrip(self):
+        # dict-1 exports sort by height: id 0 = BAR, id 1 = BOX
+        data = jbig2.encode_huffman_refagg_page(
+            [self.BOX, self.BAR],
+            [("agg", 12, 5,
+              [(0, 0, 0), (1, 5, 1), (0, 8, 4)])],
+            [(2, 2, 2), (1, 20, 3)],
+            36, 12,
+        )
+        w, h, rows = jbig2.decode_embedded(data)
+        assert (w, h) == (36, 12)
+        # aggregate at (2,2): bar at +0,+0 / box at +5,+1 / bar +8,+4
+        assert rows[2][2:6] == bytearray([1, 1, 1, 1])
+        assert rows[3][7:10] == bytearray([1, 1, 1])
+        assert rows[4][7:10] == bytearray([1, 0, 1])
+        assert rows[5][7:10] == bytearray([1, 1, 1])
+        assert rows[6][10:14] == bytearray([1, 1, 1, 1])
+        # the directly-placed base box at (20,3)
+        assert rows[3][20:23] == bytearray([1, 1, 1])
+
+    def test_multi_instance_same_strip(self):
+        # two instances in ONE strip exercises the DS table path
+        data = jbig2.encode_huffman_refagg_page(
+            [self.BOX, self.BAR],
+            [("agg", 14, 3, [(1, 0, 0), (1, 6, 0)])],
+            [(2, 1, 1)],
+            24, 8,
+        )
+        w, h, rows = jbig2.decode_embedded(data)
+        assert rows[1][1:4] == bytearray([1, 1, 1])
+        assert rows[1][7:10] == bytearray([1, 1, 1])
+        assert rows[2][1:4] == bytearray([1, 0, 1])
+        assert rows[2][7:10] == bytearray([1, 0, 1])
+
+    def test_hostile_aggregate_declines(self):
+        # an aggregate whose BMSIZE runs past the segment must raise
+        data = jbig2.encode_huffman_refagg_page(
+            [self.BOX, self.BAR],
+            [("agg", 12, 5, [(0, 0, 0), (1, 5, 1)])],
+            [(2, 2, 2)],
+            36, 12,
+        )
+        # truncate the stream hard: the decoder must error, not hang
+        with pytest.raises(jh.JBIG2Error):
+            jbig2.decode_embedded(data[:len(data) - 30])
