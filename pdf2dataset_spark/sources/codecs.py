@@ -1085,13 +1085,15 @@ class PdfCodec(DocumentCodec):
         pixel wins and earlier tiles show through its gaps. Cells
         that ``Do`` IMAGE XObjects (round-9) resolve them against
         the pattern's own /Resources (the form-XObject pseudo-page
-        route) and stamp them at the cell's z-order; an uncolored
-        (PaintType 2) cell stamps the image FOOTPRINT in scn_gray,
-        per the stencil rule.
+        route) and stamp them at the cell's z-order; cells that
+        paint SHADINGS rasterize them against the pattern's own
+        /Shading resources in cell space (round-9); an uncolored
+        (PaintType 2) cell stamps the image/shading FOOTPRINT in
+        scn_gray, per the stencil rule.
 
         DECLINED BY NAME: singular /Matrix, fractional-step
-        overlap, cells with nested shadings/patterns or an
-        undecodable nested image, over-budget cells. (Rotated/
+        overlap, cells with nested PATTERNS or an undecodable
+        nested image/shading, over-budget cells. (Rotated/
         skewed/mirrored /Matrix are HONORED since round-8: the
         device→pattern mapping goes through the full matrix
         inverse.)"""
@@ -1132,10 +1134,51 @@ class PdfCodec(DocumentCodec):
             draw = minipdf.content_draw_ops(content)
         except (ValueError, KeyError):
             return None
-        if draw["shadings"] or draw["pattern_fills"]:
-            return None  # nested shadings/patterns: declined
+        if draw["pattern_fills"]:
+            return None  # nested patterns-in-patterns: declined
         placed_cell: list[tuple] = []
+        cell_patches: list[tuple] = []
         cell_order: list[tuple] = []
+        sh_ok: dict[int, int] = {}
+        if draw["shadings"]:
+            # nested SHADING resources (round-9): rasterize each sh
+            # paint against the PATTERN's own /Resources /Shading in
+            # cell space; an undecodable nested shading declines the
+            # whole pattern (never a half-painted cell)
+            pres = doc.resolve(sd.get("/Resources"))
+            shd = doc.resolve(pres.get("/Shading")) \
+                if isinstance(pres, dict) else None
+            _pf = {1: self._function_patch,
+                   2: self._axial_patch, 3: self._radial_patch,
+                   4: self._mesh_patch, 5: self._mesh_patch,
+                   6: self._mesh_patch, 7: self._mesh_patch}
+            for i, (nm, sctm, sclip) in enumerate(draw["shadings"]):
+                sh = doc.resolve(shd.get(nm)) \
+                    if isinstance(shd, dict) else None
+                sdict2 = sh.sdict \
+                    if isinstance(sh, minipdf.StreamObj) \
+                    else (sh if isinstance(sh, dict) else None)
+                stype2 = 0
+                if isinstance(sdict2, dict):
+                    try:
+                        stype2 = int(doc.resolve(
+                            sdict2.get("/ShadingType", 0)))
+                    except (TypeError, ValueError):
+                        stype2 = 0
+                fn2 = _pf.get(stype2)
+                sh_arg2 = sh if stype2 in (4, 5, 6, 7) else sdict2
+                patch = fn2(doc, sh_arg2, sctm, sclip,
+                            (bx0, by0, bx1, by1)) \
+                    if fn2 is not None else None
+                if patch is None:
+                    return None
+                pw_, ph_, ppx_, pctm_, pmask_ = patch
+                pa_, pb_, pc_, pd_, pe_, pf_ = pctm_
+                sh_ok[i] = len(cell_patches)
+                cell_patches.append(
+                    (pw_, ph_, ppx_,
+                     (pa_, pb_, pc_, pd_, pe_ - bx0, pf_ - by0),
+                     pmask_))
         if draw["images"]:
             # nested IMAGE resources (round-9): Do targets resolve
             # against the PATTERN's own /Resources via the same
@@ -1160,13 +1203,21 @@ class PdfCodec(DocumentCodec):
                 placed_cell.append(
                     (gray[0], gray[1], gray[2],
                      (ia, ib, ic, id_, ie - bx0, if_ - by0)))
+        if placed_cell or cell_patches:
+            img_ok_ = img_ok if draw["images"] else {}
             for kind, idx in draw["order"]:
                 if kind == "images":
-                    cell_order.append(("images", img_ok[idx]))
+                    j = img_ok_.get(idx)
+                    if j is not None:
+                        cell_order.append(("images", j))
+                elif kind == "shadings":
+                    j = sh_ok.get(idx)
+                    if j is not None:
+                        cell_order.append(("base_images", j))
                 elif kind in ("fills", "polys", "lines"):
                     cell_order.append((kind, idx))
         if not (draw["fills"] or draw["polys"] or draw["lines"]
-                or placed_cell):
+                or placed_cell or cell_patches):
             return None
 
         def cell(gray_override: int | None):
@@ -1187,7 +1238,15 @@ class PdfCodec(DocumentCodec):
                      ipx_ if g is None else bytes([g]) * (iw_ * ih_),
                      ictm_)
                     for iw_, ih_, ipx_, ictm_ in placed_cell],
-                order=cell_order if placed_cell else None,
+                base_images=[
+                    (pw_, ph_,
+                     ppx_ if g is None
+                     else bytes([g]) * (pw_ * ph_),
+                     pctm_, pmask_)
+                    for pw_, ph_, ppx_, pctm_, pmask_
+                    in cell_patches],
+                order=cell_order
+                if (placed_cell or cell_patches) else None,
             )
             return np.frombuffer(bytes(px), dtype=np.uint8) \
                 .reshape(ch, cw)

@@ -3175,3 +3175,57 @@ class TestCalculatorShading:
             b"/Matrix [200 0 0 100 100 300] /Function 5 0 R >>",
             [self._fn4(body)])
         assert g is None or g(200, 350) == 255
+
+
+class TestTilingNestedShading:
+    """Round-9 follow-up: tiling cells that paint SHADINGS — the sh
+    patch rasterizes against the pattern's own /Shading resources in
+    cell space and samples per tile."""
+
+    @staticmethod
+    def _render(paint_type=1, paint=b"/P1 scn"):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        cell = b"q 0 0 10 10 re W n /Shc sh Q"
+        content = (b"BT /F1 12 Tf 72 700 Td (shade tile) Tj ET\n"
+                   b"/Pattern cs " + paint + b" 100 100 40 30 re f")
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+            b"/P1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /PatternType 1 /PaintType "
+            + str(paint_type).encode() + b" /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << /Shading << /Shc << /ShadingType 2 "
+            b"/Coords [0 0 10 0] "
+            b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] "
+            b"/N 1 >> /Extend [true true] >> >> >> "
+            b"/Length " + str(len(cell)).encode() + b" >>\nstream\n"
+            + cell + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        assert out is not None
+        W, H, px = out
+        return lambda x, y: px[(H - y) * W + x]
+
+    def test_gradient_repeats_per_tile(self):
+        g = self._render()
+        assert g(101, 110) <= 45          # tile-local ramp start
+        assert abs(g(105, 110) - 140) <= 8
+        assert g(109, 110) >= 230
+        # the NEXT tile restarts the ramp
+        assert abs(g(111, 110) - g(101, 110)) <= 2
+        assert g(145, 110) == 255         # outside the fill
+
+    def test_uncolored_cell_stencils_shading_footprint(self):
+        # PaintType 2: the shading FOOTPRINT paints in scn gray
+        g = self._render(paint_type=2, paint=b"0.2 /P1 scn")
+        vals = {g(x, 110) for x in range(101, 139)} - {255}
+        assert vals == {51}
