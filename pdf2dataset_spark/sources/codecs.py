@@ -1903,7 +1903,7 @@ class PdfCodec(DocumentCodec):
             g = doc.page_ext_gstates(pg).get(gs_name) or {}
             smv = g.get("SMask")
             if smv is not None:
-                grp, bc_g = smv
+                grp, bc_g, subtype = smv
                 try:
                     gcontent = doc.stream_bytes(grp)
                     mat = doc.resolve(grp.sdict.get("/Matrix"))
@@ -2003,10 +2003,16 @@ class PdfCodec(DocumentCodec):
                         return np.frombuffer(
                             bytes(mp), dtype=np.uint8)
 
-                    lum = _geo(None)
                     painted = _geo(0) != 255
+                    if subtype == "alpha":
+                        # group alpha == painted footprint in the
+                        # opaque-paint model (round-9)
+                        lum = np.full(painted.shape, 255,
+                                      dtype=np.uint8)
+                    else:
+                        lum = _geo(None)
                     out_mask = np.full(
-                        lum.shape, bc_g, dtype=np.uint8)
+                        painted.shape, bc_g, dtype=np.uint8)
                     out_mask[painted] = lum[painted]
                     mask = out_mask.tobytes()
             _mask_cache[gs_name] = mask

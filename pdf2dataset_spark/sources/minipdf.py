@@ -1310,9 +1310,12 @@ class PdfDocument:
         reset to plain over-compositing; an ARRAY takes its first
         supported member per the pre-ISO convention). Non-separable
         blend modes (Hue/Saturation/Color/Luminosity — identity for
-        gray-on-gray backdrops anyway) map to Normal; ExtGState
-        /SMask (luminosity soft-mask GROUPS) stays declined by
-        name — image /SMask per-pixel alpha is honored on the image
+        gray-on-gray backdrops anyway) map to Normal. ExtGState
+        /SMask GROUPS composite since round-9: /Luminosity masks by
+        the rasterized group's gray, /Alpha by its painted
+        footprint (the group alpha this compositor's opaque-paint
+        model implies), /BC supplying the backdrop value and /None
+        resetting; image /SMask per-pixel alpha rides the image
         paint path (codecs.PdfCodec._composite_pixels). Text
         rendering stays opaque."""
         res = self.resolve(page.get("/Resources"))
@@ -1345,7 +1348,8 @@ class PdfDocument:
             elif isinstance(sm, dict):
                 sub = self.resolve(sm.get("/S"))
                 grp = self.resolve(sm.get("/G"))
-                if sub == "/Luminosity" and isinstance(grp, StreamObj):
+                if sub in ("/Luminosity", "/Alpha") \
+                        and isinstance(grp, StreamObj):
                     bc = self.resolve(sm.get("/BC"))
                     try:
                         bc_g = _luma([
@@ -1353,9 +1357,13 @@ class PdfDocument:
                         ]) if isinstance(bc, list) and bc else 0
                     except (TypeError, ValueError):
                         bc_g = 0
-                    entry["SMask"] = (grp, bc_g)
-                # /Alpha groups decline by name (no per-object alpha
-                # tracking in the gray compositor): key absent
+                    # /Alpha (round-9): under this compositor's
+                    # opaque-paint model the group's alpha IS its
+                    # painted footprint — mask = 255 where painted,
+                    # /BC elsewhere (the luminosity machinery with
+                    # the luminosity read replaced by the footprint)
+                    entry["SMask"] = (grp, bc_g,
+                                      sub.lstrip("/").lower())
             bm = self.resolve(g.get("/BM"))
             if isinstance(bm, list):
                 # pre-ISO array form: first supported member wins

@@ -2990,23 +2990,42 @@ class TestLuminosityMask:
         assert g(150, 375) == 255  # default BC=0 -> transparent
         assert g(150, 325) <= 70   # inside band both ways
 
-    def test_alpha_subtype_declines(self):
+    def test_alpha_subtype_masks_by_footprint(self):
+        """Round-9: /Alpha groups mask by the group's PAINTED
+        FOOTPRINT (alpha == 1 where painted in the opaque-paint
+        model), regardless of the group's own gray values."""
         from pdf2dataset_spark.queries.tier_a import _raw_pdf
-        from pdf2dataset_spark.sources import minipdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
 
+        # the mask form paints a LIGHT (0.9 g) band over the lower
+        # half of the fill area: luminosity would fade the fill to
+        # ~10%; /Alpha must paint it fully there and not at all
+        # outside the footprint
+        body = b"0.9 g 100 300 200 50 re f"
+        form = (b"<< /Type /XObject /Subtype /Form "
+                b"/BBox [0 0 612 792] /Length "
+                + str(len(body)).encode() + b" >>\nstream\n"
+                + body + b"\nendstream")
+        content = b"/Ga gs 0 g 100 300 200 100 re f\n"
         pdf = _raw_pdf([
             b"<< /Type /Catalog /Pages 2 0 R >>",
             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
             b"/MediaBox [0 0 612 792] /Resources << /ExtGState << "
             b"/Ga << /SMask << /S /Alpha /G 5 0 R >> >> >> >> >>",
-            b"<< /Length 4 >>\nstream\n0 g\nendstream",
-            b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
-            b"/Length 14 >>\nstream\n0 0 5 5 re f\nendstream",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            form,
         ])
-        doc = minipdf.PdfDocument(pdf)
-        gs = doc.page_ext_gstates(doc.pages()[0])
-        assert "SMask" not in gs.get("/Ga", {})  # declined by name
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        W, H, px = codec._composite_pixels(h, 1)
+
+        def g(x, y):
+            return px[(H - y) * W + x]
+
+        assert g(150, 325) == 0    # inside footprint: fully painted
+        assert g(150, 375) == 255  # outside footprint: alpha 0
 
     def test_journal_carries_gs_name(self):
         from pdf2dataset_spark.sources import minipdf
@@ -3014,7 +3033,7 @@ class TestLuminosityMask:
         d = minipdf.content_draw_ops(
             b"/Gm gs 0 g 0 0 10 10 re f "
             b"/Gn gs 0.5 g 20 0 10 10 re f",
-            ext_gstates={"/Gm": {"SMask": (object(), 0)},
+            ext_gstates={"/Gm": {"SMask": (object(), 0, "luminosity")},
                          "/Gn": {"SMask": None}},
         )
         assert d["softmasks"] == {("fills", 0): "/Gm"}
