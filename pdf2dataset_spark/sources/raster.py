@@ -770,19 +770,23 @@ def compose_page(
         if len(run) == 5:
             # (x, y, text, dx, dy): displayed text DIRECTION
             # (round-9) — axis-aligned vertical/reverse directions
-            # rasterize the 5x7 cells rotated; anything else keeps
-            # the horizontal fallback (documented approximation)
+            # rasterize the 5x7 cells exactly rotated; OBLIQUE
+            # directions (round-9 follow-up) paint each glyph pixel
+            # at its nearest device pixel along the rotated frame —
+            # a faithful orientation with the 1-px nearest-sample
+            # approximation an un-hinted bitmap font implies.
+            # Degenerate directions fall back to horizontal.
             gx, gy, text, dx, dy = run
-            key = (round(dx), round(dy))
-            if key not in ((0, 1), (0, -1), (-1, 0)) \
-                    or abs(dx - key[0]) > 0.01 \
-                    or abs(dy - key[1]) > 0.01:
-                key = (1, 0)
+            n = (dx * dx + dy * dy) ** 0.5
+            if n < 1e-6:
+                dxu, dyu = 1.0, 0.0
+            else:
+                dxu, dyu = dx / n, dy / n
         else:
             gx, gy, text = run
-            key = (1, 0)
+            dxu, dyu = 1.0, 0.0
         cx0, cby = dev(gx, gy)
-        if key == (1, 0):
+        if (dxu, dyu) == (1.0, 0.0):
             top = cby - GLYPH_H
             for ci, ch in enumerate(text):
                 rows = glyph_rows(ch)
@@ -792,7 +796,6 @@ def compose_page(
                         if bits & (1 << (GLYPH_W - 1 - col)):
                             put(ox + col, top + r, 0)
             continue
-        dxi, dyi = key
         for ci, ch in enumerate(text):
             rows = glyph_rows(ch)
             for r, bits in enumerate(rows):
@@ -802,6 +805,7 @@ def compose_page(
                         a = ci * CELL_W + col  # along-baseline
                         # device pos = anchor + (dx,dy)*a +
                         # (-dy,dx)*b_up; canvas y grows DOWN
-                        put(cx0 + dxi * a - dyi * b_up,
-                            cby - dyi * a - dxi * b_up, 0)
+                        put(int(round(cx0 + dxu * a - dyu * b_up)),
+                            int(round(cby - dyu * a - dxu * b_up)),
+                            0)
     return W, H, px

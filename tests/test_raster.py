@@ -3248,3 +3248,43 @@ class TestTilingNestedShading:
         g = self._render(paint_type=2, paint=b"0.2 /P1 scn")
         vals = {g(x, 110) for x in range(101, 139)} - {255}
         assert vals == {51}
+
+
+class TestObliqueGlyphs:
+    """Round-9 follow-up: OBLIQUE text directions rasterize each
+    glyph pixel along the rotated frame (nearest device pixel)
+    instead of falling back to horizontal."""
+
+    def test_30_degree_text_slopes(self):
+        import math
+
+        import numpy as np
+
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        c, s_ = math.cos(math.pi / 6), math.sin(math.pi / 6)
+        tm = f"{c:.4f} {s_:.4f} {-s_:.4f} {c:.4f} 100 300".encode()
+        content = (b"BT " + tm + b" Tm /F1 12 Tf (HELLOHELLO) Tj ET\n"
+                   b"0.5 g 50 50 20 20 re f\n")
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        W, H, px = codec._composite_pixels(h, 1)
+        arr = np.frombuffer(bytes(px), np.uint8).reshape(H, W)
+        ys, xs = np.where(arr == 0)
+        bb_h, bb_w = ys.max() - ys.min(), xs.max() - xs.min()
+        # the run rises along 30 degrees: height/width ~ tan30 plus
+        # the glyph-height contribution — far from both horizontal
+        # (~0.13) and vertical (>1)
+        assert 0.4 <= bb_h / bb_w <= 0.85, (bb_h, bb_w)
+        # ink sits above the anchor row as the run climbs
+        anchor_row = H - 300
+        assert ys.min() < anchor_row - 20
