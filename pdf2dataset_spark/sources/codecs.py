@@ -1063,7 +1063,8 @@ class PdfCodec(DocumentCodec):
     #: cell-raster pixel budget for one tiling-pattern cell
     _MAX_TILE_CELL_PX = 1 << 16
 
-    def _tiling_patch(self, doc, pat, prect, box, scn_gray: int = 0):
+    def _tiling_patch(self, doc, pat, prect, box,
+                      scn_gray: int = 0, _depth: int = 0):
         """/PatternType 1 (tiling, ISO 32000-1 8.7.3.3): the cell's
         content stream rasterizes ONCE at 1 px per pattern unit
         (fills/polys/lines through the standard draw-ops walker; a
@@ -1091,9 +1092,14 @@ class PdfCodec(DocumentCodec):
         (PaintType 2) cell stamps the image/shading FOOTPRINT in
         scn_gray, per the stencil rule.
 
+        Cells may themselves fill with a SHADING or TILING
+        pattern from their own /Resources (round-9: ONE nesting
+        level — pattern-in-pattern-in-pattern declines).
+
         DECLINED BY NAME: singular /Matrix, fractional-step
-        overlap, cells with nested PATTERNS or an undecodable
-        nested image/shading, over-budget cells. (Rotated/
+        overlap, depth-2 pattern nesting, stenciled (non-rect)
+        nested pattern regions, undecodable nested
+        images/shadings/patterns, over-budget cells. (Rotated/
         skewed/mirrored /Matrix are HONORED since round-8: the
         device→pattern mapping goes through the full matrix
         inverse.)"""
@@ -1134,12 +1140,79 @@ class PdfCodec(DocumentCodec):
             draw = minipdf.content_draw_ops(content)
         except (ValueError, KeyError):
             return None
-        if draw["pattern_fills"]:
-            return None  # nested patterns-in-patterns: declined
         placed_cell: list[tuple] = []
         cell_patches: list[tuple] = []
         cell_order: list[tuple] = []
         sh_ok: dict[int, int] = {}
+        pat_ok: dict[int, int] = {}
+        if draw["pattern_fills"]:
+            # PATTERN-IN-PATTERN (round-9): one level of recursion —
+            # nested fills resolve against THIS pattern's /Resources
+            # /Pattern and rasterize in cell space; deeper nesting,
+            # stenciled (non-rect) nested regions and undecodable
+            # nested patterns decline the whole paint
+            if _depth >= 1:
+                return None
+            pres2 = doc.resolve(sd.get("/Resources"))
+            pdict2 = doc.resolve(pres2.get("/Pattern")) \
+                if isinstance(pres2, dict) else None
+            for i, (nm, nrect, nscn) in enumerate(
+                    draw["pattern_fills"]):
+                if ("pattern_fills", i) in draw.get("stencils", {}):
+                    return None  # stenciled nested region: declined
+                np_ = doc.resolve(pdict2.get(nm)) \
+                    if isinstance(pdict2, dict) else None
+                nd = np_.sdict if isinstance(np_, minipdf.StreamObj) \
+                    else (np_ if isinstance(np_, dict) else None)
+                if not isinstance(nd, dict):
+                    return None
+                try:
+                    nptype = int(doc.resolve(nd.get("/PatternType", 0)))
+                except (TypeError, ValueError):
+                    return None
+                patch = None
+                if nptype == 1 and isinstance(np_, minipdf.StreamObj):
+                    patch = self._tiling_patch(
+                        doc, np_, nrect, (bx0, by0, bx1, by1),
+                        scn_gray=nscn, _depth=_depth + 1)
+                elif nptype == 2:
+                    nmat = doc.resolve(nd.get("/Matrix"))
+                    try:
+                        npm = tuple(float(doc.resolve(v))
+                                    for v in nmat)[:6] \
+                            if isinstance(nmat, list) \
+                            and len(nmat) >= 6 else minipdf._ID6
+                    except (TypeError, ValueError):
+                        npm = minipdf._ID6
+                    nsh = doc.resolve(nd.get("/Shading"))
+                    nsd = nsh.sdict \
+                        if isinstance(nsh, minipdf.StreamObj) \
+                        else (nsh if isinstance(nsh, dict) else None)
+                    nst = 0
+                    if isinstance(nsd, dict):
+                        try:
+                            nst = int(doc.resolve(
+                                nsd.get("/ShadingType", 0)))
+                        except (TypeError, ValueError):
+                            nst = 0
+                    _pf2 = {1: self._function_patch,
+                            2: self._axial_patch,
+                            3: self._radial_patch,
+                            4: self._mesh_patch, 5: self._mesh_patch,
+                            6: self._mesh_patch, 7: self._mesh_patch}
+                    fn3 = _pf2.get(nst)
+                    sh_arg3 = nsh if nst in (4, 5, 6, 7) else nsd
+                    patch = fn3(doc, sh_arg3, npm, nrect,
+                                (bx0, by0, bx1, by1)) \
+                        if fn3 is not None else None
+                if patch is None:
+                    return None
+                qw, qh, qpx, qctm, qmask = patch
+                qa, qb, qc, qd, qe, qf = qctm
+                pat_ok[i] = len(cell_patches)
+                cell_patches.append(
+                    (qw, qh, qpx,
+                     (qa, qb, qc, qd, qe - bx0, qf - by0), qmask))
         if draw["shadings"]:
             # nested SHADING resources (round-9): rasterize each sh
             # paint against the PATTERN's own /Resources /Shading in
@@ -1212,6 +1285,10 @@ class PdfCodec(DocumentCodec):
                         cell_order.append(("images", j))
                 elif kind == "shadings":
                     j = sh_ok.get(idx)
+                    if j is not None:
+                        cell_order.append(("base_images", j))
+                elif kind == "pattern_fills":
+                    j = pat_ok.get(idx)
                     if j is not None:
                         cell_order.append(("base_images", j))
                 elif kind in ("fills", "polys", "lines"):

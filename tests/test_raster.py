@@ -3288,3 +3288,100 @@ class TestObliqueGlyphs:
         # ink sits above the anchor row as the run climbs
         anchor_row = H - 300
         assert ys.min() < anchor_row - 20
+
+
+class TestPatternInPattern:
+    """Round-9 follow-up: ONE level of pattern nesting — a tiling
+    cell may fill with a shading or tiling pattern from its own
+    /Resources; depth-2 nesting declines."""
+
+    @staticmethod
+    def _render(objs, content):
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+            b"/P0 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            *objs,
+        ])
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        out = codec._composite_pixels(h, 1)
+        if out is None:
+            return None
+        W, H, px = out
+        return lambda x, y: px[(H - y) * W + x]
+
+    CONTENT = (b"BT /F1 12 Tf 72 700 Td (nested pat) Tj ET\n"
+               b"/Pattern cs /P0 scn 100 100 40 30 re f")
+
+    def test_shading_pattern_in_cell(self):
+        cell = b"/Pattern cs /Pn scn 1 1 8 8 re f"
+        outer = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << /Pattern << /Pn << /PatternType 2 "
+            b"/Matrix [1 0 0 1 0 0] /Shading << /ShadingType 2 "
+            b"/Coords [0 0 10 0] "
+            b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] "
+            b"/N 1 >> /Extend [true true] >> >> >> >> "
+            b"/Length " + str(len(cell)).encode() + b" >>\nstream\n"
+            + cell + b"\nendstream")
+        g = self._render([outer], self.CONTENT)
+        assert g is not None
+        assert g(100, 115) == 255   # cell gap (fill starts at 1)
+        assert g(102, 115) <= 80    # ramp start
+        assert g(108, 115) >= 190   # ramp end
+        assert abs(g(112, 115) - g(102, 115)) <= 2  # repeats per tile
+
+    def test_tiling_pattern_in_cell(self):
+        cell = b"/Pattern cs 0.2 /Pn scn 0 0 10 10 re f"
+        inner = (
+            b"<< /PatternType 1 /PaintType 2 /TilingType 1 "
+            b"/BBox [0 0 5 5] /XStep 5 /YStep 5 /Resources << >> "
+            b"/Length 14 >>\nstream\n0 0 2 5 re f\nendstream")
+        outer = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << /Pattern << /Pn 6 0 R >> >> "
+            b"/Length " + str(len(cell)).encode() + b" >>\nstream\n"
+            + cell + b"\nendstream")
+        g = self._render([outer, inner], self.CONTENT)
+        assert g is not None
+        # the inner 5-period stripe (cols 0-1 of each 5) in scn 0.2
+        ink = sum(1 for x in range(100, 140) for y in range(100, 130)
+                  if g(x, y) == 51)
+        assert ink > 300
+        assert g(103, 115) == 255  # stripe gap
+
+    def test_depth_two_declines(self):
+        # outer cell -> middle pattern whose cell uses ANOTHER
+        # pattern: depth 2 declines the whole paint
+        cell_mid = b"/Pattern cs /Pq scn 0 0 5 5 re f"
+        cell_out = b"/Pattern cs /Pn scn 0 0 10 10 re f"
+        inner2 = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 2 2] /XStep 2 /YStep 2 /Resources << >> "
+            b"/Length 13 >>\nstream\n0 0 1 2 re f\nendstream")
+        mid = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 5 5] /XStep 5 /YStep 5 "
+            b"/Resources << /Pattern << /Pq 7 0 R >> >> "
+            b"/Length " + str(len(cell_mid)).encode()
+            + b" >>\nstream\n" + cell_mid + b"\nendstream")
+        outer = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << /Pattern << /Pn 6 0 R >> >> "
+            b"/Length " + str(len(cell_out)).encode()
+            + b" >>\nstream\n" + cell_out + b"\nendstream")
+        g = self._render([outer, mid, inner2], self.CONTENT)
+        # the pattern declines -> the text-only page may keep the
+        # grid raster (render None) or paint nothing in the rect
+        assert g is None or g(105, 115) == 255
