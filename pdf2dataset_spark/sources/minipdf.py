@@ -3253,13 +3253,19 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
             prev_end: tuple | None = None
 
             def emit(p0: tuple, p1: tuple) -> None:
-                if dev_w > 1.5:
+                # a PATTERN stroke always takes the quad path: thin
+                # strokes widen to one device unit so the pattern
+                # has a region to fill (round-9 — the sub-pixel
+                # decline reduced to the raster's own 1-px floor)
+                if dev_w > 1.5 or stroke_pattern is not None:
                     # thick stroke: perpendicular-offset quad (butt
                     # caps), filled as a polygon so clip applies too
                     vx, vy = p1[0] - p0[0], p1[1] - p0[1]
                     n = (vx * vx + vy * vy) ** 0.5
                     if n > 0:
-                        ox, oy = -vy / n * dev_w / 2, vx / n * dev_w / 2
+                        w_eff = dev_w if dev_w > 1.0 else 1.0
+                        ox = -vy / n * w_eff / 2
+                        oy = vx / n * w_eff / 2
                         quad = [
                             (p0[0] + ox, p0[1] + oy),
                             (p1[0] + ox, p1[1] + oy),
@@ -3286,8 +3292,6 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                                 _emit("polys", polys,
                                       (quad, stroke_g), stroke_alpha)
                     return
-                if stroke_pattern is not None:
-                    return  # sub-pixel pattern stroke: declined
                 seg = (p0[0], p0[1], p1[0], p1[1])
                 if clip is not None:
                     seg = _clip_seg(*seg, clip)

@@ -598,8 +598,22 @@ def compose_page(
             tx0, ty1 = dev(min(ixs), min(iys))
             tx1, ty0 = dev(max(ixs), max(iys))
             tw, th = tx1 - tx0, ty1 - ty0
-            if tw <= 0 or th <= 0:
-                continue
+            # a placement with REAL extent must not vanish to
+            # banker's rounding (round-9: half-unit-aligned thin
+            # pattern strokes) — degenerate target spans widen to
+            # the one pixel whose CENTER falls inside the span (the
+            # stencil machinery's pixel-center rule, so the two
+            # agree); zero-extent placements still skip
+            if tw <= 0:
+                if max(ixs) - min(ixs) <= 0:
+                    continue
+                tx0 = _ceil(min(ixs) * scale - 0.5)
+                tw = 1
+            if th <= 0:
+                if max(iys) - min(iys) <= 0:
+                    continue
+                ty0 = _ceil((page_h - max(iys)) * scale - 0.5)
+                th = 1
             for ty in range(max(0, ty0), min(H, ty0 + th)):
                 sy = min(ih - 1, (ty - ty0) * ih // th)
                 srow = sy * iw

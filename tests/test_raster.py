@@ -2871,9 +2871,9 @@ class TestImageColorspaces:
 
 
 class TestStrokePatterns:
-    """Round-9: /Pattern CS + SCN stroke patterns — thick-stroke
-    quads pattern-fill through the region-stencil path; sub-pixel
-    pattern strokes decline by name."""
+    """Round-9: /Pattern CS + SCN stroke patterns — stroke quads
+    pattern-fill through the region-stencil path; thin strokes
+    widen to the raster's 1-px floor."""
 
     def test_thick_pattern_stroke_paints_quad(self):
         from pdf2dataset_spark.queries.tier_a import _raw_pdf
@@ -2908,8 +2908,11 @@ class TestStrokePatterns:
         assert g(110, 300) != 255 and g(290, 300) != 255
         # outside the band (6px above): white
         assert g(200, 308) == 255
-        # the sub-pixel pattern stroke declined: nothing at y=200
-        assert g(200, 200) == 255
+        # round-9 follow-up: the thin pattern stroke widens to the
+        # raster's 1-px floor and paints the ramp along the line
+        # (the half-unit quad may land on either adjacent scanline)
+        assert g(200, 200) != 255 or g(200, 201) != 255
+        assert g(200, 206) == 255  # still thin: nothing 6px away
 
     def test_color_ops_clear_stroke_pattern(self):
         from pdf2dataset_spark.sources import minipdf
