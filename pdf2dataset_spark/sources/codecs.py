@@ -1080,8 +1080,10 @@ class PdfCodec(DocumentCodec):
         Returns the standard masked 5-tuple patch.
 
         OVERLAPPING TILES (round-9: XStep/YStep smaller than the
-        cell, integer steps >= 1) composite into an effective
-        PERIOD cell first: tiles paint in increasing-origin order,
+        cell, steps >= 1 expressible in EIGHTHS of a unit — the
+        cell supersamples at q px/unit so the period stays
+        integer-sized) composite into an effective PERIOD cell
+        first: tiles paint in increasing-origin order,
         so at each period pixel the nearest covering tile's painted
         pixel wins and earlier tiles show through its gaps. Cells
         that ``Do`` IMAGE XObjects (round-9) resolve them against
@@ -1096,10 +1098,11 @@ class PdfCodec(DocumentCodec):
         pattern from their own /Resources (round-9: ONE nesting
         level — pattern-in-pattern-in-pattern declines).
 
-        DECLINED BY NAME: singular /Matrix, fractional-step
-        overlap, depth-2 pattern nesting, stenciled (non-rect)
-        nested pattern regions, undecodable nested
-        images/shadings/patterns, over-budget cells. (Rotated/
+        DECLINED BY NAME: singular /Matrix, overlap steps not
+        expressible in eighths or under one unit, depth-2 pattern
+        nesting, stenciled (non-rect) nested pattern regions,
+        undecodable nested images/shadings/patterns, over-budget
+        (incl. supersampled) cells. (Rotated/
         skewed/mirrored /Matrix are HONORED since round-8: the
         device→pattern mapping goes through the full matrix
         inverse.)"""
@@ -1132,10 +1135,20 @@ class PdfCodec(DocumentCodec):
         if cw < 1 or ch < 1 or cw * ch > self._MAX_TILE_CELL_PX:
             return None
         overlap = xstep < cw or ystep < ch
-        if overlap and (xstep < 1 or ystep < 1
-                        or xstep != int(xstep)
-                        or ystep != int(ystep)):
-            return None  # fractional-step overlap: declined
+        q = 1  # supersampling factor for fractional-step overlap
+        if overlap:
+            if xstep < 1 or ystep < 1:
+                return None  # hostile sub-unit step: declined
+            for cand in (1, 2, 4, 8):
+                if (xstep * cand == int(xstep * cand)
+                        and ystep * cand == int(ystep * cand)):
+                    q = cand
+                    break
+            else:
+                # steps not expressible in eighths: declined
+                return None
+            if cw * ch * q * q > self._MAX_TILE_CELL_PX:
+                return None  # supersampled cell over budget
         try:
             draw = minipdf.content_draw_ops(content)
         except (ValueError, KeyError):
@@ -1298,9 +1311,12 @@ class PdfCodec(DocumentCodec):
             return None
 
         def cell(gray_override: int | None):
+            # fractional-step overlap (round-9): the cell rasterizes
+            # SUPERSAMPLED at q px per pattern unit so the period
+            # cell (xstep*q x ystep*q) stays integer-sized
             g = gray_override
             _, _, px = raster.compose_page(
-                cw, ch,
+                cw, ch, scale=q,
                 fills=[(x0 - bx0, y0 - by0, x1 - bx0, y1 - by0,
                         gg if g is None else g)
                        for x0, y0, x1, y1, gg in draw["fills"]],
@@ -1326,7 +1342,7 @@ class PdfCodec(DocumentCodec):
                 if (placed_cell or cell_patches) else None,
             )
             return np.frombuffer(bytes(px), dtype=np.uint8) \
-                .reshape(ch, cw)
+                .reshape(ch * q, cw * q)
 
         mask_cell = cell(0) != 255  # black pass: painted pixels only
         # uncolored cells are pure stencils: every painted pixel
@@ -1339,16 +1355,17 @@ class PdfCodec(DocumentCodec):
             # order, so the nearest covering tile (offset 0) is
             # painted LAST — its painted pixels win, and farther
             # tiles (larger offsets) only show through the gaps
-            exx, eyy = int(xstep), int(ystep)
+            exx, eyy = int(xstep * q), int(ystep * q)
+            cwq, chq = cw * q, ch * q
             cps = np.flipud(color_cell)   # row index = pattern v
             mps = np.flipud(mask_cell)
             ec = np.full((eyy, exx), 255, dtype=np.uint8)
             em = np.zeros((eyy, exx), dtype=bool)
-            for jy in range((ch + eyy - 1) // eyy):
-                for jx in range((cw + exx - 1) // exx):
+            for jy in range((chq + eyy - 1) // eyy):
+                for jx in range((cwq + exx - 1) // exx):
                     v0, u0 = jy * eyy, jx * exx
-                    vh = min(eyy, ch - v0)
-                    uw = min(exx, cw - u0)
+                    vh = min(eyy, chq - v0)
+                    uw = min(exx, cwq - u0)
                     if vh <= 0 or uw <= 0:
                         continue
                     sub_m = np.zeros((eyy, exx), dtype=bool)
@@ -1360,7 +1377,6 @@ class PdfCodec(DocumentCodec):
                     em |= sub_m
             color_cell = np.flipud(ec).copy()
             mask_cell = np.flipud(em).copy()
-            cw, ch = exx, eyy
         grid = self._patch_grid(prect, box)
         if grid is None:
             return None
@@ -1374,9 +1390,15 @@ class PdfCodec(DocumentCodec):
         V = (-dx * b + dy * a) / det
         pu = np.mod(U - bx0, xstep)
         pv = np.mod(V - by0, ystep)
-        inside = (pu < cw) & (pv < ch)
-        j = np.clip(pu.astype(np.int64), 0, cw - 1)
-        i = np.clip((ch - pv).astype(np.int64), 0, ch - 1)
+        # the sample arrays hold the CELL (cw x ch units) or, under
+        # overlap, the composited PERIOD (xstep x ystep units) — at
+        # q px per unit either way
+        ah, aw = mask_cell.shape
+        cw_u = xstep if overlap else cw
+        ch_u = ystep if overlap else ch
+        inside = (pu < cw_u) & (pv < ch_u)
+        j = np.clip((pu * q).astype(np.int64), 0, aw - 1)
+        i = np.clip(((ch_u - pv) * q).astype(np.int64), 0, ah - 1)
         i = np.broadcast_to(i, inside.shape)
         j = np.broadcast_to(j, inside.shape)
         ok = inside & mask_cell[i, j]

@@ -3372,15 +3372,19 @@ class TestTilingPatterns:
         )
         assert painted > 0
 
-    def test_overlap_composites_fractional_declines(self):
+    def test_overlap_composites_integer_and_fractional(self):
         # round-9: integer-step overlap COMPOSITES (the 5-step
         # checkerboard unions to full black coverage)...
         at = self._at(self._pdf(xstep=5))
         assert at(102, 102) == 0
         assert at(104, 107) == 0
-        # ...while fractional-step overlap still declines by name
+        # ...and a HALF-step overlap supersamples (q=2): the
+        # bottom-left square covers u mod 5.5 in [0, 5) on the
+        # bottom band, leaving a half-unit gap at [5, 5.5)
         at = self._at(self._pdf(xstep=5.5))
-        assert at(102, 102) == 255
+        # pixel CENTERS sample: (102.5 - 100 anchor-free) mod 5.5
+        assert at(102, 102) == 0    # center 102.5 mod 5.5 = 3.5
+        assert at(109, 102) == 255  # center 109.5 mod 5.5 = 5.0: gap
 
 
 class TestFormXObjectText:

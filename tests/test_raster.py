@@ -2744,13 +2744,22 @@ class TestTilingNestedAndOverlap:
             expect = dark if x % 6 < 2 else light
             assert g(x, 115) == expect, (x, g(x, 115), expect)
 
-    def test_fractional_overlap_declines(self):
+    def test_fractional_overlap_supersamples(self):
+        """Round-9 follow-up: fractional steps expressible in
+        eighths composite via a supersampled period cell; deeper
+        fractions still decline."""
         from pdf2dataset_spark.sources.codecs import PdfCodec
-        from pdf2dataset_spark.sources import minipdf
 
-        pdf = self._pdf(
+        # 8-wide stripe on XStep 6.5 (q=2): union covers everything
+        g = self._render(self._pdf(
             (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
              b"/BBox [0 0 10 10] /XStep 6.5 /YStep 10 ",
+             b"0.2 g 0 0 8 10 re f")))
+        assert {g(x, 115) for x in range(100, 160)} == {51}
+        # an eighths-inexpressible step declines by name
+        pdf = self._pdf(
+            (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+             b"/BBox [0 0 10 10] /XStep 6.3 /YStep 10 ",
              b"0.2 g 0 0 8 10 re f"))
         codec = PdfCodec()
         h = codec.open(pdf)
