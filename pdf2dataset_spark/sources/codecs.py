@@ -2166,11 +2166,11 @@ class PdfCodec(DocumentCodec):
                     _put_order("base_images", j, kind, idx)
             else:
                 _put_order(kind, idx, kind, idx)
-        # glyphs render horizontally at their DISPLAYED anchors; a
-        # /Rotate page with in-plane-rotated text (the scanner
-        # convention) therefore composes upright, while normal text
-        # under /Rotate keeps horizontal glyphs at rotated anchors
-        # (vertical glyph rasterization is declined geometry).
+        # glyph runs carry their DISPLAYED direction (round-9):
+        # axis-aligned vertical/reverse runs rasterize rotated 5x7
+        # cells, oblique runs paint nearest-pixel along the rotated
+        # frame, and scanner-convention text (in-plane rotation
+        # cancelling /Rotate) still composes upright.
         # Type3 runs paint via their CharProc geometry above, so they
         # are EXCLUDED from the builtin 5×7 glyph raster (no double
         # paint).

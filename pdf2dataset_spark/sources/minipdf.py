@@ -3055,8 +3055,8 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
     /ca//CA and /BM from ``ext_gstates`` (see
     :meth:`PdfDocument.page_ext_gstates`; /Font feeds the TEXT
     interpreters; separable blend modes ride the journal in
-    ``blends`` for per-pixel application in raster.compose_page;
-    ExtGState soft-mask GROUPS are declined by name).
+    ``blends`` and the active /SMask gs name in ``softmasks``, both
+    applied per pixel in raster.compose_page).
     Colors, width, dash, CTM and clip all save/restore with q/Q per
     the spec's graphics state.
     NON-RECT / MULTI-RECT / ROTATED-CTM CLIP PATHS are honored
@@ -3460,9 +3460,9 @@ def content_draw_ops(content: bytes, ext_gstates: dict | None = None) -> dict:
                 if len(nums) in (1, 3, 4):
                     fill_pattern_g = _luma(nums[-4:])
             elif op == b"SCN" and stack and isinstance(stack[-1], str):
-                # STROKE pattern (round-9): thick strokes paint their
-                # quad region with the pattern via the region-stencil
-                # path; sub-pixel strokes decline by name
+                # STROKE pattern (round-9): strokes paint their quad
+                # region with the pattern via the region-stencil
+                # path (thin strokes widen to the 1-px raster floor)
                 stroke_pattern = stack[-1]
                 nums = [v for v in stack[:-1]
                         if isinstance(v, (int, float))]
