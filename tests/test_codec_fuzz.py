@@ -248,3 +248,74 @@ class TestDecodeBudgets:
         assert out[0x41] == 10 and out[0x5A] == 10 + 25
         assert out[0x1F600] == 99 and out[0x1F603] == 102
         assert len(out) == 26 + 4
+
+
+class TestCompositorFuzz:
+    """Round-9: the blend/soft-mask/pixel-alpha compositor paths
+    under randomized inputs — output bytes stay in [0, 255], no
+    exception escapes, and Normal-blend identity holds."""
+
+    def test_random_blend_mask_alpha_never_crashes(self):
+        import random
+
+        from pdf2dataset_spark.sources import raster
+
+        rng = random.Random(99)
+        modes = ["Multiply", "Screen", "Overlay", "Darken", "Lighten",
+                 "ColorDodge", "ColorBurn", "HardLight", "SoftLight",
+                 "Difference", "Exclusion", "Bogus", None]
+        for trial in range(40):
+            W = H = 24
+            n_items = rng.randrange(1, 5)
+            fills, order, alphas, blends, pmasks = [], [], {}, {}, {}
+            images = []
+            for i in range(n_items):
+                kind = rng.choice(["fills", "images"])
+                if kind == "fills":
+                    x0, y0 = rng.uniform(-5, 20), rng.uniform(-5, 20)
+                    fills.append((x0, y0, x0 + rng.uniform(0, 15),
+                                  y0 + rng.uniform(0, 15),
+                                  rng.randrange(256)))
+                    key = ("fills", len(fills) - 1)
+                else:
+                    iw, ih = rng.randrange(1, 5), rng.randrange(1, 5)
+                    entry = [iw, ih,
+                             bytes(rng.randrange(256)
+                                   for _ in range(iw * ih)),
+                             (rng.uniform(1, 10), 0.0, 0.0,
+                              rng.uniform(1, 10),
+                              rng.uniform(-3, 20), rng.uniform(-3, 20))]
+                    if rng.random() < 0.5:
+                        entry.append(None)
+                        entry.append(bytes(rng.randrange(256)
+                                           for _ in range(iw * ih)))
+                    images.append(tuple(entry))
+                    key = ("images", len(images) - 1)
+                order.append(key)
+                if rng.random() < 0.5:
+                    alphas[key] = rng.uniform(0, 1)
+                m = rng.choice(modes)
+                if m:
+                    blends[key] = m
+                if rng.random() < 0.4:
+                    pmasks[key] = bytes(rng.randrange(256)
+                                        for _ in range(W * H))
+                elif rng.random() < 0.1:
+                    pmasks[key] = b"\x01"  # wrong length: ignored
+            w, h, px = raster.compose_page(
+                W, H, fills=fills, images=images, order=order,
+                alphas=alphas, blends=blends, pixel_masks=pmasks,
+            )
+            assert (w, h) == (W, H)
+            assert len(px) == W * H
+            assert all(0 <= v <= 255 for v in px)
+
+    def test_normal_blend_is_identity(self):
+        from pdf2dataset_spark.sources import raster
+
+        base = dict(fills=[(2, 2, 20, 20, 77)],
+                    order=[("fills", 0)])
+        _, _, a = raster.compose_page(24, 24, **base)
+        _, _, b = raster.compose_page(
+            24, 24, blends={("fills", 0): "Normal"}, **base)
+        assert bytes(a) == bytes(b)
