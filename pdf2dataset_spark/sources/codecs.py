@@ -1239,6 +1239,11 @@ class PdfCodec(DocumentCodec):
                    4: self._mesh_patch, 5: self._mesh_patch,
                    6: self._mesh_patch, 7: self._mesh_patch}
             for i, (nm, sctm, sclip) in enumerate(draw["shadings"]):
+                if ("shadings", i) in draw.get("stencils", {}):
+                    # round-10 (advisor): a nested shading under a
+                    # non-rect clip stencil would paint its full
+                    # rect-clip bbox — decline, never mis-paint
+                    return None
                 sh = doc.resolve(shd.get(nm)) \
                     if isinstance(shd, dict) else None
                 sdict2 = sh.sdict \
@@ -1280,6 +1285,10 @@ class PdfCodec(DocumentCodec):
                 return None
             img_ok: dict[int, int] = {}
             for i, (nm, ictm) in enumerate(draw["images"]):
+                if ("images", i) in draw.get("stencils", {}):
+                    # round-10 (advisor): same stencil decline as
+                    # nested patterns/shadings above
+                    return None
                 en = entries.get(nm)
                 gray = self._entry_gray(en, doc) if en else None
                 if gray is None:
@@ -1986,13 +1995,18 @@ class PdfCodec(DocumentCodec):
         draw_softmasks = draw.get("softmasks", {})
         draw_stencils = draw.get("stencils", {})
         _mapped_chains: dict = {}
-        # ExtGState /SMask LUMINOSITY GROUPS (round-9): rasterize
+        # ExtGState /SMask SOFT-MASK GROUPS (round-9): rasterize
         # each referenced mask form ONCE into a full-canvas alpha
-        # plane (painted pixels -> their gray luminosity, unpainted
-        # -> /BC, default black = alpha 0) and gate the item's
-        # pixels with it. Declined on rotated pages (the mask
-        # raster is built in the unrotated frame) and for /Alpha
-        # subtype groups (page_ext_gstates leaves those out).
+        # plane and gate the item's pixels with it. /Luminosity
+        # groups: painted pixels -> their gray luminosity,
+        # unpainted -> /BC (default black = alpha 0). /Alpha
+        # subtype groups map the painted footprint to alpha 255
+        # (the opaque-paint model has no fractional group alpha).
+        # The mask composes in the DISPLAYED frame via the same
+        # drect/dpt/dseg mapping the item geometry gets, so
+        # /Rotate pages mask correctly too (the _geo closure
+        # below; round-9 follow-up — this replaced the earlier
+        # rotated-page decline).
         _mask_cache: dict = {}
 
         def _luminosity_mask(gs_name):

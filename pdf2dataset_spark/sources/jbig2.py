@@ -79,8 +79,9 @@ class JBIG2Error(ValueError):
 
 class JBIG2Unsupported(JBIG2Error):
     """Valid JBIG2 feature outside this decoder's scope (e.g.
-    Huffman TRUE-aggregate symbol dictionaries with REFAGGNINST > 1,
-    unvalidated standard Huffman tables B.7/B.10)."""
+    retained bitmap coding contexts; the former named declines —
+    Huffman TRUE aggregates, tables B.7/B.10 — decode since
+    rounds 9/10)."""
 
 
 #: default decode-size sanity bound (pixels): ample for any real
@@ -1300,8 +1301,9 @@ def _decode_symbol_dict_huffman(seg_data: bytes, pos: int, flags: int,
     RDX/RDY through Table B.15, BMSIZE through the SDHUFFBMSIZE
     table, then a byte-aligned embedded MQ-arithmetic refinement of
     BMSIZE bytes against the pool symbol. Huffman TRUE aggregates
-    (REFAGGNINST > 1 — a nested Huffman text region) stay a named
-    decline."""
+    (REFAGGNINST > 1) decode since round-9 as a nested Huffman text
+    region (§6.5.8.2.2) via :func:`_huffman_aggregate_text`, using
+    the fixed tables B.11/B.6/B.8/B.15/B.1 §6.5.8.2.3 prescribes."""
     from pdf2dataset_spark.sources import jbig2_huffman as jh
 
     if flags & 0x100 or flags & 0x200:

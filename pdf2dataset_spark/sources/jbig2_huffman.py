@@ -10,20 +10,21 @@ Provides:
   prefix-code assignment, decode AND encode (fixture twin);
 - the STANDARD tables. Every shipped table passes two independent
   self-consistency checks: the Kraft sum of all prefix lengths
-  equals exactly 1 (complete prefix code — the published tables are
-  complete) and the normal lines tile one contiguous value range
-  that meets the lower/upper 32-bit escape lines exactly. B.7
-  (round-9) is transcribed like the other FS/DT tables and passes
-  both checks — it is B.6's positive-shifted sibling for the first-S
-  selection (same mid-section, [-1024, 2048) span). B.10 (round-9)
-  is DERIVED, not transcribed: the three delta-S tables form a
-  mechanical scaling family — ``_double_ds_lines`` maps every B.8
-  row onto its B.9 twin verbatim (value -> 2v-1, rangelen + 1, same
-  prefix length; the old length-2 center splits into the two
-  length-3 center rows, the Kraft-equivalent exception), and that
-  law, verified at import by regenerating B.9 from B.8, applied to
-  B.9 yields B.10. Both pass Kraft + contiguity at first use;
-  custom-table segments (§7.4.13) remain the spec-exact escape
+  equals its published value and the normal lines tile one
+  contiguous value range that meets the lower/upper 32-bit escape
+  lines exactly. Fourteen of the fifteen published tables are
+  complete prefix codes (Kraft == 1); B.10 is the published
+  exception — its Kraft sum is exactly 59/64 (the code space under
+  prefixes 11011/111011/1110101111110… is unused), which the B.3
+  assignment procedure permits (it only needs Kraft <= 1). B.7
+  (round-9) is B.6's positive-shifted sibling for the first-S
+  selection (same mid-section, [-1024, 2048) span). B.10 (round-10)
+  is TRANSCRIBED from T.88 Table B.10 like every other table —
+  span [-21, 4166) with escapes at -22/4166 — replacing round-9's
+  incorrect scaling-law derivation from B.9 (the published table
+  does not follow the B.8->B.9 doubling pattern; rows like the
+  4-value center {2,2,-2} and the 64-value {2,6,6} break it).
+  Custom-table segments (§7.4.13) remain the spec-exact escape
   hatch for any stream whose encoder disagrees;
 - custom table segment (type 53) parse + build;
 - the runcode-based symbol-ID code-length machinery (§7.4.4.5).
@@ -36,6 +37,7 @@ encode/decode round trips over every representable value class).
 from __future__ import annotations
 
 import struct
+from fractions import Fraction
 
 from pdf2dataset_spark.sources.jbig2 import (  # noqa: F401
     JBIG2Error,
@@ -158,16 +160,17 @@ class HuffTable:
     # -- validation (used by the standard tables + tests) ------------
 
     def kraft_sum(self):
-        from fractions import Fraction
-
         return sum(Fraction(1, 1 << ln[0]) for ln in self.lines)
 
-    def check_complete_and_contiguous(self) -> None:
-        """Raise unless the prefix code is complete (Kraft == 1) and
-        the normal lines tile one contiguous range meeting the
-        lower/upper escape lines exactly."""
-        if self.kraft_sum() != 1:
-            raise JBIG2Error("Huffman table prefix code not complete")
+    def check_complete_and_contiguous(self, expect_kraft=1) -> None:
+        """Raise unless the prefix code's Kraft sum equals
+        ``expect_kraft`` (1 — a complete code — for every published
+        table except B.10, whose published sum is 59/64) and the
+        normal lines tile one contiguous range meeting the
+        lower/upper escape lines exactly. A sum below 1 is still a
+        valid prefix code (unused code space); above 1 is not."""
+        if self.kraft_sum() != expect_kraft:
+            raise JBIG2Error("Huffman table Kraft sum mismatch")
         normals = sorted(
             (ln for ln in self.lines if ln[3] == _NORMAL),
             key=lambda ln: ln[2],
@@ -282,6 +285,18 @@ _STD_LINES = {
         _t(6, 8, 523), _t(7, 9, 779), _t(6, 11, 1291),
         _t(9, 32, -32, _LOWER), _t(9, 32, 3339, _UPPER),
         _t(2, 0, 0, _OOBK)],
+    # B.10 (round-10): transcribed from T.88 Table B.10. NOT a
+    # doubled B.9 — the published table keeps a 4-value preflen-2
+    # center row at -2, seven single-value rows around it, and a
+    # 64-value preflen-2 row at 6; its Kraft sum is 59/64
+    # (incomplete by publication, see module doc).
+    10: [_t(7, 4, -21), _t(8, 0, -5), _t(7, 0, -4), _t(5, 0, -3),
+         _t(2, 2, -2), _t(5, 0, 2), _t(6, 0, 3), _t(7, 0, 4),
+         _t(8, 0, 5), _t(2, 6, 6), _t(5, 5, 70), _t(6, 5, 102),
+         _t(7, 6, 134), _t(8, 7, 198), _t(9, 8, 326),
+         _t(10, 9, 582), _t(11, 10, 1094), _t(12, 11, 2118),
+         _t(13, 32, -22, _LOWER), _t(13, 32, 4166, _UPPER),
+         _t(2, 0, 0, _OOBK)],
     11: [_t(1, 0, 1), _t(2, 1, 2), _t(4, 0, 4), _t(4, 1, 5),
          _t(5, 1, 7), _t(5, 2, 9), _t(6, 2, 13), _t(7, 2, 17),
          _t(7, 3, 21), _t(7, 4, 29), _t(7, 5, 45), _t(7, 6, 77),
@@ -302,61 +317,23 @@ _STD_LINES = {
          _t(7, 32, -25, _LOWER), _t(7, 32, 25, _UPPER)],
 }
 
-def _double_ds_lines(lines):
-    """The delta-S family's scaling law (round-9): every value v
-    maps to 2v-1, every normal range doubles (rangelen + 1), prefix
-    lengths are preserved, and a rangelen-1 row containing the old
-    center splits into two rows one bit longer covering its doubled
-    halves (the Kraft-equivalent center exception the published
-    B.8 -> B.9 pair exhibits). Applied to B.9 this yields B.10;
-    :func:`standard_table` verifies the law by regenerating B.9
-    from B.8 before trusting the derivation."""
-    out = []
-    for pl, rl, lo, kind in lines:
-        if kind == _NORMAL:
-            nlo = 2 * lo - 1
-            if rl == 1 and lo <= 0 < lo + 2:
-                # center split: [2lo-1, 2lo+3) as two 2-wide rows
-                out.append(_t(pl + 1, 1, nlo))
-                out.append(_t(pl + 1, 1, nlo + 2))
-            else:
-                out.append(_t(pl, rl + 1, nlo))
-        elif kind == _LOWER:
-            out.append(_t(pl, 32, 2 * (lo + 1) - 2, _LOWER))
-        elif kind == _UPPER:
-            out.append(_t(pl, 32, 2 * lo - 1, _UPPER))
-        else:
-            out.append(_t(pl, rl, lo, _OOBK))
-    return out
-
-
-def _derived_b10_lines():
-    """B.10 = the scaling law applied to B.9 — but only after the
-    law reproduces the published B.9 from the published B.8
-    verbatim (self-check; raises if the law ever drifts)."""
-    regen = _double_ds_lines(_STD_LINES[8])
-    if regen != _STD_LINES[9]:
-        raise JBIG2Error(
-            "delta-S scaling law failed to reproduce B.9 from B.8"
-        )
-    return _double_ds_lines(_STD_LINES[9])
-
-
 _STD_CACHE: dict = {}
+
+#: Published Kraft sums — 1 (complete) everywhere except B.10,
+#: whose published code leaves 5/64 of the code space unused.
+_STD_KRAFT = {10: Fraction(59, 64)}
 
 
 def standard_table(index: int) -> HuffTable:
-    """Standard table B.<index> (all fifteen ship since round-9;
-    B.10 derives from B.9 via the verified delta-S scaling law —
-    see the module doc)."""
-    if index not in _STD_LINES and index != 10:
+    """Standard table B.<index> (all fifteen transcribed; B.10's
+    published-incomplete Kraft sum is pinned — see the module
+    doc)."""
+    if index not in _STD_LINES:
         raise JBIG2Error(f"no standard Huffman table B.{index}")
     tb = _STD_CACHE.get(index)
     if tb is None:
-        lines = _derived_b10_lines() if index == 10 \
-            else _STD_LINES[index]
-        tb = HuffTable(lines)
-        tb.check_complete_and_contiguous()
+        tb = HuffTable(_STD_LINES[index])
+        tb.check_complete_and_contiguous(_STD_KRAFT.get(index, 1))
         _STD_CACHE[index] = tb
     return tb
 

@@ -2344,12 +2344,19 @@ def _text_runs(
                         )
                         t3_glyphs.append((cur_font, code, gm))
                         wx = widths.get(code, 0.0)
-                        # advance = text-space LENGTH of (wx, 0)
-                        # through the full /FontMatrix — a rotated or
-                        # skewed FontMatrix contributes fm[1] too
-                        # (ISO 32000-1 §9.6.5; round-9 advice fix)
+                        # advance = text-space displacement of
+                        # (wx, 0) through the full /FontMatrix — a
+                        # rotated or skewed FontMatrix contributes
+                        # fm[1] too (ISO 32000-1 §9.6.5; round-9
+                        # advice fix). hypot is unsigned, so a
+                        # MIRRORED FontMatrix (fm[0] < 0) must keep
+                        # its sign or glyph runs advance the wrong
+                        # way (round-10 advice fix).
                         adv += (
-                            math.hypot(fm[0] * wx, fm[1] * wx) * tfs
+                            math.copysign(
+                                math.hypot(fm[0] * wx, fm[1] * wx),
+                                fm[0] or 1.0,
+                            ) * tfs
                             + tc + (tw if code == 32 else 0.0)
                         ) * tz / 100.0
                 else:

@@ -1,16 +1,18 @@
 """JBIG2 Huffman regime tests (T.88 Annex B + §7.4.3/7.4.4).
 
 The standard tables are transcriptions; every shipped one must pass
-two independent self-consistency checks — Kraft completeness (the
-published tables are complete prefix codes) and range contiguity
-(normal lines tile one range meeting the 32-bit escape lines
-exactly). Since round-9 all fifteen ship: B.7 transcribed, B.10
-derived by the verified delta-S scaling law (rounds 1-8 declined
-both by name; custom table segments covered those selections).
+two independent self-consistency checks — the published Kraft sum
+(1, a complete prefix code, for all tables except B.10, whose
+published sum is 59/64) and range contiguity (normal lines tile one
+range meeting the 32-bit escape lines exactly). Since round-10 all
+fifteen are TRANSCRIBED (round-9's B.10 was wrongly derived by a
+scaling law from B.9; the published table does not follow it —
+caught by the round-9 advisor, fixed + value-pinned here).
 """
 
 import random
 import struct
+from fractions import Fraction
 
 import pytest
 
@@ -24,15 +26,57 @@ class TestStandardTables:
     @pytest.mark.parametrize("idx", SHIPPED)
     def test_kraft_complete_and_contiguous(self, idx):
         tb = jh.standard_table(idx)
-        assert tb.kraft_sum() == 1
-        tb.check_complete_and_contiguous()
+        expect = Fraction(59, 64) if idx == 10 else 1
+        assert tb.kraft_sum() == expect
+        tb.check_complete_and_contiguous(expect)
 
-    def test_b10_derivation_law_reproduces_b9(self):
-        """Round-9: the delta-S scaling law that generates B.10
-        from B.9 must regenerate the published B.9 from the
-        published B.8 verbatim (including the center split)."""
-        assert jh._double_ds_lines(jh._STD_LINES[8]) == \
-            jh._STD_LINES[9]
+    def test_b10_published_lines(self):
+        """Pin the PUBLISHED T.88 Table B.10 line values (round-10:
+        replaces the wrong round-9 scaling-law derivation). This is
+        a double-entry transcription check — the tuples here were
+        typed independently of the source module, so a silent edit
+        to either copy fails the test."""
+        published = [
+            (7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3),
+            (2, 2, -2), (5, 0, 2), (6, 0, 3), (7, 0, 4),
+            (8, 0, 5), (2, 6, 6), (5, 5, 70), (6, 5, 102),
+            (7, 6, 134), (8, 7, 198), (9, 8, 326), (10, 9, 582),
+            (11, 10, 1094), (12, 11, 2118),
+        ]
+        tb = jh.standard_table(10)
+        normals = [(pl, rl, lo) for pl, rl, lo, k in tb.lines
+                   if k == "n"]
+        assert normals == published
+        assert [(pl, lo) for pl, _, lo, k in tb.lines
+                if k == "l"] == [(13, -22)]
+        assert [(pl, lo) for pl, _, lo, k in tb.lines
+                if k == "u"] == [(13, 4166)]
+        assert [pl for pl, _, _, k in tb.lines if k == "o"] == [2]
+
+    def test_b10_canonical_codewords(self):
+        """Decode hand-assigned B.3 canonical codewords (NOT an
+        encoder round-trip — the codes below were derived by hand
+        from the published prefix lengths: three length-2 codes
+        00/01/10 for the -2 row, the 6 row, and OOB; length-5
+        codes then start at 11000)."""
+        tb = jh.standard_table(10)
+
+        def dec(bits):
+            pad = bits + "0" * ((8 - len(bits) % 8) % 8)
+            data = bytes(int(pad[i:i + 8], 2)
+                         for i in range(0, len(pad), 8))
+            return tb.decode(jh.BitReader(data))
+
+        assert dec("00" + "11") == 1        # {2,2,-2}: -2 + 0b11
+        assert dec("01" + "000000") == 6    # {2,6,6}: 6 + 0
+        assert dec("01" + "111111") == 69
+        assert dec("10") is jh.OOB
+        assert dec("11000") == -3           # first length-5 code
+        assert dec("11001") == 2
+        assert dec("11010" + "00000") == 70  # {5,5,70}
+        # length-13 escapes: lower then upper
+        assert dec("1110101111110" + "0" * 31 + "1") == -23
+        assert dec("1110101111111" + "0" * 31 + "1") == 4167
 
     def test_b7_is_b6_positive_sibling(self):
         """B.7 shares B.6's mid-section rows and shifts the span
@@ -478,17 +522,14 @@ class TestB7B10EndToEnd:
             jbig2.encode_huffman_text_page(
                 [glyph], [(0, 0, 0)], 4, 4, ds_sel=3)
 
-    def test_b10_spans_b9(self):
-        """B.10's normal range doubles B.9's span (the scaling-law
-        sanity check on the DERIVED table)."""
-        b9 = jh.standard_table(9)
+    def test_b10_published_span(self):
+        """The published B.10 spans [-21, 4166) — NOT a doubled
+        B.9 span (round-9's derivation predicted [-63, 6677) and
+        was wrong; see test_b10_published_lines)."""
         b10 = jh.standard_table(10)
-        lo9 = min(lo for _, _, lo, k in b9.lines if k == "n")
-        lo10 = min(lo for _, _, lo, k in b10.lines if k == "n")
-        assert lo10 == 2 * lo9 - 1
-        up9 = [lo for _, _, lo, k in b9.lines if k == "u"][0]
-        up10 = [lo for _, _, lo, k in b10.lines if k == "u"][0]
-        assert up10 == 2 * up9 - 1
+        assert min(lo for _, _, lo, k in b10.lines if k == "n") == -21
+        assert [lo for _, _, lo, k in b10.lines if k == "u"][0] == 4166
+        assert [lo for _, _, lo, k in b10.lines if k == "l"][0] == -22
 
 
 class TestHuffmanTrueAggregate:

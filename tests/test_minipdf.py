@@ -859,6 +859,34 @@ def test_type3_font_differences_text_recovery():
     assert minipdf.extract_page_texts(pdf) == ["αβ∑∞"]
 
 
+def test_type3_mirrored_fontmatrix_advance_sign():
+    """Round-10 advice fix: the Type3 advance is the text-space
+    displacement of (wx, 0) through /FontMatrix — hypot alone is
+    unsigned, so a MIRRORED matrix (fm[0] < 0) must advance LEFT
+    (negative), a skewed one keeps the round-9 hypot magnitude."""
+    content = b"BT /F1 10 Tf (AB) Tj ET"
+    widths = {65: 50.0, 66: 50.0}
+
+    def glyph_es(fm):
+        glyphs: list = []
+        minipdf._text_runs(
+            content,
+            t3_fonts={"/F1": {"procs": {}, "matrix": fm,
+                              "widths": widths}},
+            t3_glyphs=glyphs,
+        )
+        assert len(glyphs) == 2
+        return [gm[4] for _, _, gm in glyphs]
+
+    # plain 0.01 matrix: second glyph starts 50*0.01*10 = +5 right
+    assert glyph_es((0.01, 0, 0, 0.01, 0, 0)) == [0.0, 5.0]
+    # mirrored: same magnitude, LEFTWARD
+    assert glyph_es((-0.01, 0, 0, 0.01, 0, 0)) == [0.0, -5.0]
+    # skewed + mirrored: signed hypot of (fm0*wx, fm1*wx)
+    es = glyph_es((-0.006, 0.008, 0, 0.01, 0, 0))
+    assert es[0] == 0.0 and abs(es[1] + 5.0) < 1e-9
+
+
 def test_plain_helvetica_pdfs_unaffected_by_encoding_path():
     """build_pdf emits /WinAnsiEncoding Helvetica — the encoding map
     must not perturb plain ASCII round-trips (regression guard)."""

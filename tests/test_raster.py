@@ -2720,6 +2720,43 @@ class TestTilingNestedAndOverlap:
         assert g(105, 105) == 51   # scn 0.2, not the image's 30
         assert g(101, 109) == 255
 
+    def test_stenciled_nested_image_declines(self):
+        """Round-10 advice fix: a nested image Do'd under a
+        NON-RECT clip in the cell declines the whole pattern (its
+        paint would ignore the stencil and over-paint)."""
+        import zlib
+
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        img_data = zlib.compress(bytes([30] * 36))
+        img_obj = (
+            b"<< /Type /XObject /Subtype /Image /Width 6 /Height 6 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length "
+            + str(len(img_data)).encode() + b" >>\nstream\n"
+            + img_data + b"\nendstream")
+        for clip, expect_none in (
+            (b"q 0 0 m 10 0 l 0 10 l h W n ", True),
+            (b"", False),
+        ):
+            pdf = self._pdf(
+                (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+                 b"/BBox [0 0 10 10] /XStep 10 /YStep 10 ",
+                 clip + b"q 6 0 0 6 2 2 cm /Ic Do Q"
+                 + (b" Q" if clip else b"")),
+                pat_extra=b"/Resources << /XObject << /Ic 6 0 R "
+                          b">> >> ",
+                objs_extra=(img_obj,))
+            codec = PdfCodec()
+            doc = codec.open(pdf).doc
+            pg = doc.pages()[0]
+            res = doc.resolve(pg.get("/Resources"))
+            pat = doc.resolve(
+                doc.resolve(res.get("/Pattern")).get("/P1"))
+            out = codec._tiling_patch(
+                doc, pat, (100, 100, 160, 130), (0, 0, 612, 792))
+            assert (out is None) == expect_none
+
     def test_overlapping_tiles_full_coverage(self):
         """Cell wider than XStep: the union covers every column."""
         g = self._render(self._pdf(
@@ -3254,6 +3291,47 @@ class TestTilingNestedShading:
         # the NEXT tile restarts the ramp
         assert abs(g(111, 110) - g(101, 110)) <= 2
         assert g(145, 110) == 255         # outside the fill
+
+    def test_stenciled_cell_shading_declines(self):
+        """Round-10 advice fix: a shading painted under a NON-RECT
+        clip inside the cell would over-paint its rect-clip bbox —
+        the whole pattern declines (never mis-paints), mirroring
+        the stenciled nested-pattern-region decline."""
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        for clip, expect_none in (
+            (b"0 0 m 10 0 l 0 10 l h", True),   # triangle: stencil
+            (b"0 0 10 10 re", False),           # rect: composites
+        ):
+            cell = b"q " + clip + b" W n /Shc sh Q"
+            content = (b"/Pattern cs /P1 scn 100 100 40 30 re f")
+            pdf = _raw_pdf([
+                b"<< /Type /Catalog /Pages 2 0 R >>",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/MediaBox [0 0 612 792] /Resources << /Pattern << "
+                b"/P1 5 0 R >> >> >>",
+                b"<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream",
+                b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+                b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+                b"/Resources << /Shading << /Shc << /ShadingType 2 "
+                b"/Coords [0 0 10 0] "
+                b"/Function << /FunctionType 2 /C0 [0.0] /C1 [1.0] "
+                b"/N 1 >> /Extend [true true] >> >> >> "
+                b"/Length " + str(len(cell)).encode()
+                + b" >>\nstream\n" + cell + b"\nendstream",
+            ])
+            codec = PdfCodec()
+            doc = codec.open(pdf).doc
+            pg = doc.pages()[0]
+            res = doc.resolve(pg.get("/Resources"))
+            pat = doc.resolve(
+                doc.resolve(res.get("/Pattern")).get("/P1"))
+            out = codec._tiling_patch(
+                doc, pat, (100, 100, 140, 130), (0, 0, 612, 792))
+            assert (out is None) == expect_none
 
     def test_uncolored_cell_stencils_shading_footprint(self):
         # PaintType 2: the shading FOOTPRINT paints in scn gray
