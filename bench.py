@@ -3,7 +3,10 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ...}.
+ "extract": {...pages/s...}, "sf": ...}. ``value`` totals the
+relational headliners only; the real-PDF extraction timing
+(round-10) rides ``queries``/``extract`` so the per-query gate
+covers it without shifting the cross-round total.
 
 Each query is executed once as a warm-up-free timed run with a
 count()-style action that forces full evaluation without
@@ -193,6 +196,55 @@ def main() -> None:
         timings[name] = round(best, 3)
         wall_runs[name] = runs
 
+    # Extraction hot path (round-10 verdict ask #8): BENCH_r*.json
+    # previously carried only relational headliners, so a tier-A
+    # fused-pipeline regression could hide from the driver artifact.
+    # This times the REAL-PDF path (build_pdf fixtures -> PdfCodec
+    # parse + layout text through the one fused mapInPandas pass)
+    # under the same 5-run/load-annotation protocol. Its seconds ride
+    # the ``queries`` map (so tools/bench_compare.py gates it from
+    # the next round on) but NOT the headline ``value`` total, which
+    # stays comparable across rounds; ``extract`` carries the
+    # derived pages/s.
+    from pdf2dataset_spark.extraction import ExtractionPipeline
+    from pdf2dataset_spark.sources.codecs import PdfCodec
+    from pdf2dataset_spark.sources.minipdf import build_pdf
+
+    ex_docs, ex_pages = 128, 6
+    body = " ".join(f"w{j}" for j in range(80))
+    docs = {
+        f"doc{i:04d}.pdf": build_pdf(
+            [f"doc {i} page {p} {body}" for p in range(ex_pages)],
+            compress=True,
+        )
+        for i in range(ex_docs)
+    }
+    pipe = ExtractionPipeline(
+        spark=spark, features=["text"], codec=PdfCodec()
+    )
+    ex_name = "a5x_pdf_extract"
+    best = float("inf")
+    runs = []
+    for _ in range(5):
+        c0 = _cpu_seconds()
+        t0 = time.perf_counter()
+        pipe.pages(docs).select("path", "page", "text") \
+            .write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        c1 = _cpu_seconds()
+        runs.append(round(wall, 3))
+        if wall < best:
+            best = wall
+            if c0 is not None and c1 is not None:
+                cpu_best[ex_name] = round(c1 - c0, 3)
+    timings[ex_name] = round(best, 3)
+    wall_runs[ex_name] = runs
+    extract_info = {
+        "docs": ex_docs,
+        "pages": ex_docs * ex_pages,
+        "pages_per_sec": round(ex_docs * ex_pages / best, 1),
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -202,9 +254,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(
+                    sum(v for k, v in timings.items() if k != ex_name), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
+                "extract": extract_info,
                 "sf": sf_val,
                 "noisy": noisy,
                 "load": {

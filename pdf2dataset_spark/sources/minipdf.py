@@ -1804,6 +1804,11 @@ _AGL: dict[str, str] = {
     "Euro": "€", "cent": "¢", "sterling": "£",
     "yen": "¥", "currency": "¤", "section": "§",
     "paragraph": "¶", "copyright": "©",
+    # TeX glyph names (poppler's GlyphList TeX extension): plain
+    # TeX's \copyright \ooaligns a text 'c' inside CMSY's circle
+    # glyph — the circle reads as © (round-10; the overlaid 'c' is
+    # dropped by the _layout_lines overlay rule)
+    "circlecopyrt": "©",
     "registered": "®", "degree": "°", "plusminus": "±",
     "multiply": "×", "divide": "÷", "mu": "µ",
     "exclamdown": "¡", "questiondown": "¿",
@@ -2742,6 +2747,34 @@ def _layout_lines(
     lines = _xy_cut(runs, med)
     out: list[tuple[float, float, str]] = []
     for line in lines:
+        # TeX \copyright overlay (round-10, from the real-corpus
+        # libtasn1.pdf): plain TeX composes © by painting a text
+        # 'c' INSIDE the CMSY circlecopyrt glyph (\ooalign). Once
+        # that circle maps to ©, a single-char 'c' run starting
+        # inside a © run's extent on the same line is the same
+        # character painted twice — drop it, keep the ©.
+        cps = [r for r in line if r["text"] == "©"]
+        if cps:
+            kept = []
+            for r in line:
+                host = next(
+                    (q for q in cps
+                     if q is not r
+                     and q["x"] - 0.1 <= r["x"] <= q["x_end"]
+                     and r["size"] <= 2 * q["size"]),
+                    None,
+                ) if r["text"] == "c" else None
+                if host is None:
+                    kept.append(r)
+                else:
+                    # fold the companion into the ©: its extent is
+                    # the union, and the © stands as its own word
+                    # (TeX sources always set \copyright off with
+                    # spaces; the char-estimate gap test undershoots
+                    # the compound's true metrics)
+                    host["x_end"] = max(host["x_end"], r["x_end"])
+                    host["_word"] = True
+            line = kept
         parts: list[str] = []
         for i, r in enumerate(line):
             if i and parts and any(parts):
@@ -2760,6 +2793,8 @@ def _layout_lines(
                     and (
                         gap > 0.3 * ref
                         or r["x"] <= line[i - 1]["x"] + 0.3 * ref
+                        or r.get("_word")
+                        or line[i - 1].get("_word")
                     )
                     and not parts[-1].endswith(" ")
                     and not r["text"].startswith(" ")

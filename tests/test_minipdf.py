@@ -859,6 +859,33 @@ def test_type3_font_differences_text_recovery():
     assert minipdf.extract_page_texts(pdf) == ["αβ∑∞"]
 
 
+def test_tex_copyright_overlay_composes():
+    """Round-10 (from the real /usr/share/doc corpus): plain TeX's
+    \\copyright paints a text 'c' INSIDE CMSY's circlecopyrt glyph.
+    The circle maps to © and the overlaid companion 'c' folds into
+    it — layout text reads "Copyright © 2001", one word, no
+    control chars. A FREE-STANDING 'c' outside the © extent
+    survives (the rule is positional, not textual)."""
+    content = (b"BT /F1 10 Tf 72 700 Td (Copyright) Tj "
+               b"53 0.3 Td (c) Tj -2.8 -0.3 Td (\\015) Tj "
+               b"13.4 0 Td (2001) Tj 30 0 Td (c) Tj ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [13 /circlecopyrt] >> >>",
+    ]
+    pdf = _wrap_pdf(objs)
+    [txt] = minipdf.extract_page_texts(pdf, layout=True)
+    assert "Copyright © 2001 c" in txt
+    assert "\r" not in txt and "©c" not in txt and "c©" not in txt
+
+
 def test_type3_mirrored_fontmatrix_advance_sign():
     """Round-10 advice fix: the Type3 advance is the text-space
     displacement of (wx, 0) through /FontMatrix — hypot alone is
