@@ -1062,6 +1062,15 @@ class PdfCodec(DocumentCodec):
 
     #: cell-raster pixel budget for one tiling-pattern cell
     _MAX_TILE_CELL_PX = 1 << 16
+    #: max denominator when recognizing a fractional tile step as an
+    #: exact rational (round-10); the area budget above is what
+    #: actually bounds the supersampled cell's cost
+    _MAX_TILE_Q = 256
+    #: nested-pattern recursion budget (round-10; was a hardcoded
+    #: single level): a cell may fill with a pattern whose cell
+    #: fills with a pattern (depth 0 -> 1 -> 2); one level deeper
+    #: declines. Also what bounds SELF-referencing pattern cycles.
+    _TILE_NEST_BUDGET = 2
 
     def _tiling_patch(self, doc, pat, prect, box,
                       scn_gray: int = 0, _depth: int = 0):
@@ -1079,10 +1088,12 @@ class PdfCodec(DocumentCodec):
         the cell's own color operators ignored per §8.7.3.3.
         Returns the standard masked 5-tuple patch.
 
-        OVERLAPPING TILES (round-9: XStep/YStep smaller than the
-        cell, steps >= 1 expressible in EIGHTHS of a unit — the
-        cell supersamples at q px/unit so the period stays
-        integer-sized) composite into an effective PERIOD cell
+        OVERLAPPING TILES (round-9; round-10 generalized: XStep/
+        YStep smaller than the cell, steps >= 1 that are EXACT
+        RATIONALS with denominator <= _MAX_TILE_Q — the cell
+        supersamples at q = lcm of the denominators px/unit so the
+        period stays integer-sized, raster budget permitting)
+        composite into an effective PERIOD cell
         first: tiles paint in increasing-origin order,
         so at each period pixel the nearest covering tile's painted
         pixel wins and earlier tiles show through its gaps. Cells
@@ -1094,13 +1105,16 @@ class PdfCodec(DocumentCodec):
         (PaintType 2) cell stamps the image/shading FOOTPRINT in
         scn_gray, per the stencil rule.
 
-        Cells may themselves fill with a SHADING or TILING
-        pattern from their own /Resources (round-9: ONE nesting
-        level — pattern-in-pattern-in-pattern declines).
+        Cells may themselves fill with a SHADING or TILING pattern
+        from their own /Resources (round-9: one level; round-10:
+        a generic ``_TILE_NEST_BUDGET``-deep recursion, so
+        pattern-in-pattern-in-pattern composites and one level
+        deeper — or a self-referencing cycle — declines).
 
-        DECLINED BY NAME: singular /Matrix, overlap steps not
-        expressible in eighths or under one unit, depth-2 pattern
-        nesting, stenciled (non-rect) nested pattern regions,
+        DECLINED BY NAME: singular /Matrix, overlap steps that are
+        not exact small rationals or are under one unit, depth-2
+        pattern nesting, stenciled (non-rect) nested regions
+        (patterns, shadings and images alike — round-10),
         undecodable nested images/shadings/patterns, over-budget
         (incl. supersampled) cells. (Rotated/
         skewed/mirrored /Matrix are HONORED since round-8: the
@@ -1139,14 +1153,21 @@ class PdfCodec(DocumentCodec):
         if overlap:
             if xstep < 1 or ystep < 1:
                 return None  # hostile sub-unit step: declined
-            for cand in (1, 2, 4, 8):
-                if (xstep * cand == int(xstep * cand)
-                        and ystep * cand == int(ystep * cand)):
-                    q = cand
-                    break
-            else:
-                # steps not expressible in eighths: declined
-                return None
+            # round-10 (verdict ask #4): any EXACT rational step
+            # composites — q is the lcm of the steps' denominators
+            # (round-9 allowed only eighths), so the period cell
+            # (xstep*q x ystep*q px) stays integer-sized. The
+            # raster-area budget below bounds the cost; a step whose
+            # double is not exactly p/q for q <= _MAX_TILE_Q
+            # (irrational or deeper fraction) still declines.
+            from fractions import Fraction
+            from math import lcm
+
+            fx = Fraction(xstep).limit_denominator(self._MAX_TILE_Q)
+            fy = Fraction(ystep).limit_denominator(self._MAX_TILE_Q)
+            if float(fx) != xstep or float(fy) != ystep:
+                return None  # not an exact small rational: declined
+            q = lcm(fx.denominator, fy.denominator)
             if cw * ch * q * q > self._MAX_TILE_CELL_PX:
                 return None  # supersampled cell over budget
         try:
@@ -1159,12 +1180,13 @@ class PdfCodec(DocumentCodec):
         sh_ok: dict[int, int] = {}
         pat_ok: dict[int, int] = {}
         if draw["pattern_fills"]:
-            # PATTERN-IN-PATTERN (round-9): one level of recursion —
-            # nested fills resolve against THIS pattern's /Resources
-            # /Pattern and rasterize in cell space; deeper nesting,
-            # stenciled (non-rect) nested regions and undecodable
-            # nested patterns decline the whole paint
-            if _depth >= 1:
+            # PATTERN-IN-PATTERN (round-9; round-10: generic depth
+            # budget) — nested fills resolve against THIS pattern's
+            # /Resources /Pattern and rasterize in cell space;
+            # nesting past _TILE_NEST_BUDGET levels, stenciled
+            # (non-rect) nested regions and undecodable nested
+            # patterns decline the whole paint
+            if _depth >= self._TILE_NEST_BUDGET:
                 return None
             pres2 = doc.resolve(sd.get("/Resources"))
             pdict2 = doc.resolve(pres2.get("/Pattern")) \
@@ -1364,7 +1386,9 @@ class PdfCodec(DocumentCodec):
             # order, so the nearest covering tile (offset 0) is
             # painted LAST — its painted pixels win, and farther
             # tiles (larger offsets) only show through the gaps
-            exx, eyy = int(xstep * q), int(ystep * q)
+            # exact by construction (q is the steps' lcm denominator);
+            # round() guards the one-ulp float product error
+            exx, eyy = round(xstep * q), round(ystep * q)
             cwq, chq = cw * q, ch * q
             cps = np.flipud(color_cell)   # row index = pattern v
             mps = np.flipud(mask_cell)

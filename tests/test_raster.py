@@ -2782,31 +2782,60 @@ class TestTilingNestedAndOverlap:
             assert g(x, 115) == expect, (x, g(x, 115), expect)
 
     def test_fractional_overlap_supersamples(self):
-        """Round-9 follow-up: fractional steps expressible in
-        eighths composite via a supersampled period cell; deeper
-        fractions still decline."""
+        """Round-9 introduced eighths-only fractional steps;
+        round-10 (verdict ask #4) generalizes to ANY exact rational
+        — q is the lcm of the step denominators, capped only by the
+        raster-area budget. Irrational and sub-unit steps still
+        decline by name."""
         from pdf2dataset_spark.sources.codecs import PdfCodec
 
-        # 8-wide stripe on XStep 6.5 (q=2): union covers everything
+        # 8-wide stripe: XStep 6.5 (q=2) and 6.3 (q=10, declined
+        # before round-10) both cover every column
+        for step in (b"6.5", b"6.3"):
+            g = self._render(self._pdf(
+                (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+                 b"/BBox [0 0 10 10] /XStep " + step + b" /YStep 10 ",
+                 b"0.2 g 0 0 8 10 re f")))
+            assert {g(x, 115) for x in range(100, 160)} == {51}, step
+        # tenths with TWO stripes: dark [0,2) / light [2,10) on
+        # XStep 6.3 — nearest-tile-wins at the exact rational
+        # period (u = x mod 6.3; skip the sub-pixel stripe
+        # boundaries, assert exact grays elsewhere)
         g = self._render(self._pdf(
             (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
-             b"/BBox [0 0 10 10] /XStep 6.5 /YStep 10 ",
-             b"0.2 g 0 0 8 10 re f")))
-        assert {g(x, 115) for x in range(100, 160)} == {51}
-        # an eighths-inexpressible step declines by name
-        pdf = self._pdf(
-            (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
              b"/BBox [0 0 10 10] /XStep 6.3 /YStep 10 ",
-             b"0.2 g 0 0 8 10 re f"))
-        codec = PdfCodec()
-        h = codec.open(pdf)
-        doc = h.doc
-        pg = doc.pages()[0]
-        res = doc.resolve(pg.get("/Resources"))
-        pat = doc.resolve(doc.resolve(res.get("/Pattern")).get("/P1"))
-        out = codec._tiling_patch(doc, pat, (100, 100, 160, 130),
-                                  (0, 0, 612, 792))
-        assert out is None
+             b"0.1 g 0 0 2 10 re f 0.8 g 2 0 8 10 re f")))
+        dark, light = round(0.1 * 255), round(0.8 * 255)
+        checked = 0
+        for x in range(102, 160):
+            u = x % 6.3
+            if min(u, abs(u - 2), 6.3 - u) < 1.0:
+                continue  # stripe-edge pixel: rasterization edge
+            assert g(x, 115) == (dark if u < 2 else light), (x, u)
+            checked += 1
+        assert checked >= 15  # the skip must not hollow out the law
+
+        def _decline(step: bytes):
+            pdf = self._pdf(
+                (b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+                 b"/BBox [0 0 10 10] /XStep " + step + b" /YStep 10 ",
+                 b"0.2 g 0 0 8 10 re f"))
+            codec = PdfCodec()
+            doc = codec.open(pdf).doc
+            pg = doc.pages()[0]
+            res = doc.resolve(pg.get("/Resources"))
+            pat = doc.resolve(
+                doc.resolve(res.get("/Pattern")).get("/P1"))
+            return codec._tiling_patch(
+                doc, pat, (100, 100, 160, 130), (0, 0, 612, 792))
+
+        # irrational (sqrt(2)*5 to full double precision): declined
+        assert _decline(b"7.0710678118654755") is None
+        # sub-unit step: still declined
+        assert _decline(b"0.9") is None
+        # exact rational whose q blows the area budget
+        # (6.01 -> q=100: 10*10*100*100 px >> 2^16): declined
+        assert _decline(b"6.01") is None
 
 
 class TestImageColorspaces:
@@ -3381,9 +3410,11 @@ class TestObliqueGlyphs:
 
 
 class TestPatternInPattern:
-    """Round-9 follow-up: ONE level of pattern nesting — a tiling
-    cell may fill with a shading or tiling pattern from its own
-    /Resources; depth-2 nesting declines."""
+    """Round-9 follow-up: pattern nesting — a tiling cell may fill
+    with a shading or tiling pattern from its own /Resources.
+    Round-10: the recursion carries an explicit depth budget
+    (_TILE_NEST_BUDGET = 2), so pattern-in-pattern-in-pattern
+    composites and one level deeper declines."""
 
     @staticmethod
     def _render(objs, content):
@@ -3450,9 +3481,10 @@ class TestPatternInPattern:
         assert ink > 300
         assert g(103, 115) == 255  # stripe gap
 
-    def test_depth_two_declines(self):
-        # outer cell -> middle pattern whose cell uses ANOTHER
-        # pattern: depth 2 declines the whole paint
+    def test_depth_two_composites(self):
+        """Round-10: pattern-in-pattern-in-pattern (a round-9
+        decline) composites — the innermost 2-period stripe
+        surfaces through both enclosing cells."""
         cell_mid = b"/Pattern cs /Pq scn 0 0 5 5 re f"
         cell_out = b"/Pattern cs /Pn scn 0 0 10 10 re f"
         inner2 = (
@@ -3472,6 +3504,56 @@ class TestPatternInPattern:
             b"/Length " + str(len(cell_out)).encode()
             + b" >>\nstream\n" + cell_out + b"\nendstream")
         g = self._render([outer, mid, inner2], self.CONTENT)
-        # the pattern declines -> the text-only page may keep the
-        # grid raster (render None) or paint nothing in the rect
+        assert g is not None
+        # innermost stripe: black on u mod 2 in [0,1), white else
+        ink = sum(1 for x in range(100, 140) for y in range(100, 130)
+                  if g(x, y) == 0)
+        white = sum(1 for x in range(100, 140) for y in range(100, 130)
+                    if g(x, y) == 255)
+        assert ink > 400 and white > 400   # ~half-and-half stripes
+        assert ink + white == 40 * 30      # nothing but the stripe
+
+    def test_depth_three_declines(self):
+        """One level past _TILE_NEST_BUDGET: the whole paint
+        declines (never a half-painted cell); a SELF-referencing
+        pattern cycle hits the same budget."""
+        cell_out = b"/Pattern cs /Pn scn 0 0 10 10 re f"
+        cell_mid = b"/Pattern cs /Pq scn 0 0 5 5 re f"
+        cell_in2 = b"/Pattern cs /Pr scn 0 0 4 4 re f"
+        inner3 = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 2 2] /XStep 2 /YStep 2 /Resources << >> "
+            b"/Length 13 >>\nstream\n0 0 1 2 re f\nendstream")
+        inner2 = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 4 4] /XStep 4 /YStep 4 "
+            b"/Resources << /Pattern << /Pr 8 0 R >> >> "
+            b"/Length " + str(len(cell_in2)).encode()
+            + b" >>\nstream\n" + cell_in2 + b"\nendstream")
+        mid = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 5 5] /XStep 5 /YStep 5 "
+            b"/Resources << /Pattern << /Pq 7 0 R >> >> "
+            b"/Length " + str(len(cell_mid)).encode()
+            + b" >>\nstream\n" + cell_mid + b"\nendstream")
+        outer = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << /Pattern << /Pn 6 0 R >> >> "
+            b"/Length " + str(len(cell_out)).encode()
+            + b" >>\nstream\n" + cell_out + b"\nendstream")
+        g = self._render([outer, mid, inner2, inner3], self.CONTENT)
+        # declines -> render may be None (no other paint) or the
+        # rect stays white
         assert g is None or g(105, 115) == 255
+        # self-reference: P0's cell fills with P0 — the cycle is cut
+        # by the depth budget, the paint declines, never recurses
+        cell_self = b"/Pattern cs /Pn scn 0 0 10 10 re f"
+        selfpat = (
+            b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+            b"/BBox [0 0 10 10] /XStep 10 /YStep 10 "
+            b"/Resources << /Pattern << /Pn 5 0 R >> >> "
+            b"/Length " + str(len(cell_self)).encode()
+            + b" >>\nstream\n" + cell_self + b"\nendstream")
+        g2 = self._render([selfpat], self.CONTENT)
+        assert g2 is None or g2(105, 115) == 255
