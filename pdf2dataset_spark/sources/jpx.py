@@ -60,13 +60,22 @@ per-component COC coding styles (A.6.2: levels / transform /
 code-block style / precincts per component), including per-TILE
 COD/COC/QCD/QCC overrides parsed from the first tile-part's header
 with the A.6 precedence (tile-COC > tile-COD > main-COC > main-COD).
+Round 10 closed the canvas-offset phase decline: tile-component
+origins that are NOT multiples of 2^levels — including fully odd
+XOsiz/YOsiz — decode bit-exact. The 5/3 and 9/7 lifting are
+phase-aware (F.3/F.4 on the absolute interval, PSE folds computed
+on the extended signal), band dims/origins follow B-15 (ceil/floor
+halving per gain, pinned in tests against the closed form), and
+precinct/code-block grids anchor at each band's own absolute
+origin (B.6/B.7).
+
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
 compressed payload is preserved by the caller either way):
 precincts small enough to split the 64x64 code block, non-maxshift
-ROI styles, canvas offsets whose tile-component origins are not
-multiples of 2^levels (the 5/3 lifting phase is position-dependent;
-supporting those needs phase-aware band geometry), and canvas
-offsets combined with component subsampling.
+ROI styles, canvas offsets combined with component subsampling, and
+the 9/7 single-sample odd-phase window (F.3.4 publishes the
+one-sample rule for the reversible path only; guessing the
+irreversible normalization is the round-9 B.10 mistake).
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -98,128 +107,163 @@ class JPXUnsupported(JPXError):
 # =====================================================================
 
 
-def _dwt53_forward_1d(x: list) -> tuple[list, list]:
-    """One 5/3 lifting level on a signal (len >= 1): returns (low,
-    high) subbands with the (2n, 2n+1) even/odd split and
-    whole-sample symmetric extension (F.3/F.4)."""
+def _dwt53_forward_1d(x: list, i0: int = 0) -> tuple[list, list]:
+    """One 5/3 lifting level on a signal occupying the absolute
+    interval [i0, i0+n) (T.800 F.4, the 1D_SD procedure): returns
+    (low, high) where low holds the samples at EVEN absolute
+    positions (count ceil(i1/2) - ceil(i0/2)) and high the odd ones.
+    Only i0's parity matters (extension is translation-invariant
+    under even shifts), so callers may pass tcx0 or tcx0 & 1 alike.
+    Round-10: the odd phase (i0 & 1 == 1 — canvas-offset streams)
+    is supported; with i0 even this is bit-identical to the round-8
+    zero-phase transform. Out-of-range lifting taps are computed
+    directly on the PSE-extended signal (F.3.7), which is the
+    normative formulation and subsumes every band-mirror identity.
+    A single sample at an odd position becomes 2x the sample in the
+    high band (F.3.4's one-sample rule — without the doubling the
+    high-pass of a constant extension would be 0 and the sample
+    would vanish)."""
     n = len(x)
+    i0 &= 1
+    i1 = i0 + n
     if n == 1:
-        return [x[0]], []
+        return ([x[0]], []) if i0 == 0 else ([], [2 * x[0]])
 
-    def xe(i: int) -> int:  # mirror in the full-signal index domain
-        if i < 0:
-            i = -i
-        if i >= n:
-            i = 2 * (n - 1) - i
-        return x[i]
+    def xa(i: int) -> int:  # PSE in the absolute index domain
+        j = i - i0
+        if j < 0:
+            j = -j
+        if j >= n:
+            j = 2 * (n - 1) - j
+        return x[j]
 
-    high = [
-        x[2 * k + 1] - ((x[2 * k] + xe(2 * k + 2)) >> 1)
-        for k in range(n // 2)
-    ]
+    kh0, kh1 = i0 // 2, i1 // 2
+    kl0, kl1 = (i0 + 1) // 2, (i1 + 1) // 2
+    hmap: dict[int, int] = {}
 
-    def he(k: int) -> int:  # high extension: mirror around the edges
-        m = len(high)
-        if k < 0:
-            return high[-k - 1] if m else 0
-        if k >= m:
-            return high[2 * m - 1 - k] if m else 0
-        return high[k]
+    def ha(k: int) -> int:
+        v = hmap.get(k)
+        if v is None:
+            v = xa(2 * k + 1) - ((xa(2 * k) + xa(2 * k + 2)) >> 1)
+            hmap[k] = v
+        return v
 
+    high = [ha(k) for k in range(kh0, kh1)]
     low = [
-        x[2 * k] + ((he(k - 1) + he(k) + 2) >> 2)
-        for k in range((n + 1) // 2)
+        xa(2 * k) + ((ha(k - 1) + ha(k) + 2) >> 2)
+        for k in range(kl0, kl1)
     ]
     return low, high
 
 
-def _dwt53_inverse_1d(low: list, high: list) -> list:
-    """Inverse of :func:`_dwt53_forward_1d`."""
+def _dwt53_inverse_1d(low: list, high: list, i0: int = 0) -> list:
+    """Inverse of :func:`_dwt53_forward_1d` (same phase contract)."""
     n = len(low) + len(high)
+    i0 &= 1
+    i1 = i0 + n
     if n == 1:
-        return [low[0]]
-    m_h = len(high)
+        return [low[0]] if i0 == 0 else [high[0] // 2]
+    kh0, kh1 = i0 // 2, i1 // 2
+    kl0, kl1 = (i0 + 1) // 2, (i1 + 1) // 2
 
-    def he(k: int) -> int:
-        if k < 0:
-            return high[-k - 1] if m_h else 0
-        if k >= m_h:
-            return high[2 * m_h - 1 - k] if m_h else 0
-        return high[k]
+    def ha(k: int) -> int:
+        # band extension = the X-domain PSE reflections (about i0
+        # and i1-1) folded onto the high indices
+        while not (kh0 <= k < kh1):
+            k = i0 - k - 1 if k < kh0 else i1 - k - 2
+        return high[k - kh0]
 
-    even = [
-        low[k] - ((he(k - 1) + he(k) + 2) >> 2) for k in range(len(low))
-    ]
+    even = {
+        k: low[k - kl0] - ((ha(k - 1) + ha(k) + 2) >> 2)
+        for k in range(kl0, kl1)
+    }
 
-    def ee(i: int) -> int:
-        # even-sample value at full index 2i, mirrored in the FULL
-        # domain: 2i >= n → full mirror 2(n-1)-2i → even[n-1-i]
-        if i < len(even):
-            return even[i]
-        return even[n - 1 - i]
+    def ea(k: int) -> int:
+        while not (kl0 <= k < kl1):
+            k = i0 - k if k < kl0 else i1 - 1 - k
+        return even[k]
 
     out = []
-    for i in range(n):
+    for i in range(i0, i1):
         if i % 2 == 0:
             out.append(even[i // 2])
         else:
             k = i // 2
-            out.append(high[k] + ((ee(k) + ee(k + 1)) >> 1))
+            out.append(high[k - kh0] + ((ea(k) + ea(k + 1)) >> 1))
     return out
 
 
-def dwt53_forward_2d(rows: list, levels: int) -> list:
+def _dwt_level_geom(width: int, height: int, levels: int,
+                    origin: tuple = (0, 0)) -> list:
+    """Per-split geometry of the multi-level DWT on the ABSOLUTE
+    window [(x0, y0), (x0+w, y0+h)) (T.800 B-14: level d's window is
+    the ceil-halving of level d-1's): one entry per performed split,
+    ``(ch, cw, phy, phx, nlo_h, nlo_w)`` — the window dims, the axis
+    parities (the lifting phase) and the low-band split points. With
+    origin (0, 0) this is the round-8 zero-phase geometry (parities
+    0, nlo = ceil(n/2))."""
+    x0, y0 = origin
+    w, h = width, height
+    out = []
+    for _ in range(levels):
+        lx0, lx1 = (x0 + 1) // 2, (x0 + w + 1) // 2
+        ly0, ly1 = (y0 + 1) // 2, (y0 + h + 1) // 2
+        out.append((h, w, y0 & 1, x0 & 1, ly1 - ly0, lx1 - lx0))
+        x0, y0, w, h = lx0, ly0, lx1 - lx0, ly1 - ly0
+    return out
+
+
+def dwt53_forward_2d(rows: list, levels: int,
+                     origin: tuple = (0, 0)) -> list:
     """Multi-level 2D 5/3 forward DWT. Input: list of lists of ints.
     Returns the coefficient plane in the standard layout (LL at the
     top-left, per-level subbands around it) as a mutable list of
-    lists, plus nothing — the layout carries the structure."""
+    lists — the layout carries the structure. ``origin`` is the
+    tile-component's absolute canvas origin; an odd coordinate
+    shifts the lifting phase and the low/high split point at every
+    level it propagates to (round-10 — zero-origin output is
+    bit-identical to round-8)."""
     h = len(rows)
     w = len(rows[0]) if h else 0
     plane = [list(r) for r in rows]
-    ch, cw = h, w
-    for _ in range(levels):
-        if ch <= 1 and cw <= 1:
-            break
+    for ch, cw, phy, phx, _nlh, _nlw in _dwt_level_geom(
+            w, h, levels, origin):
+        # a 1x1 window at an EVEN position is a fixed point; at an
+        # odd one the single-sample rule still applies per level
+        if ch <= 1 and cw <= 1 and not (phx or phy):
+            continue
         # Integer lifting is NOT pass-order commutative: T.800's
         # normative inverse (F.3.4/F.3.5) is HOR_SR (rows) then
         # VER_SR (columns), so the forward must be columns then rows.
         for x in range(cw):
             col = [plane[y][x] for y in range(ch)]
-            lo, hi = _dwt53_forward_1d(col)
+            lo, hi = _dwt53_forward_1d(col, phy)
             merged = lo + hi
             for y in range(ch):
                 plane[y][x] = merged[y]
         for y in range(ch):
-            lo, hi = _dwt53_forward_1d(plane[y][:cw])
+            lo, hi = _dwt53_forward_1d(plane[y][:cw], phx)
             plane[y][:cw] = lo + hi
-        ch = (ch + 1) // 2
-        cw = (cw + 1) // 2
     return plane
 
 
-def dwt53_inverse_2d(plane: list, width: int, height: int, levels: int) -> list:
-    """Inverse of :func:`dwt53_forward_2d`."""
+def dwt53_inverse_2d(plane: list, width: int, height: int,
+                     levels: int, origin: tuple = (0, 0)) -> list:
+    """Inverse of :func:`dwt53_forward_2d` (same origin contract)."""
     plane = [list(r) for r in plane]
-    dims = []
-    ch, cw = height, width
-    for _ in range(levels):
-        dims.append((ch, cw))
-        ch = (ch + 1) // 2
-        cw = (cw + 1) // 2
-    for ch, cw in reversed(dims):
-        if ch <= 1 and cw <= 1:
+    for ch, cw, phy, phx, nlo_h, nlo_w in reversed(
+            _dwt_level_geom(width, height, levels, origin)):
+        if ch <= 1 and cw <= 1 and not (phx or phy):
             continue
-        nlo_h = (ch + 1) // 2
-        nlo_w = (cw + 1) // 2
         # normative order (F.3.4/F.3.5): rows (HOR_SR) then columns
         # (VER_SR) — the forward ran columns first to mirror this
         for y in range(ch):
             row = plane[y][:cw]
-            rec = _dwt53_inverse_1d(row[:nlo_w], row[nlo_w:])
+            rec = _dwt53_inverse_1d(row[:nlo_w], row[nlo_w:], phx)
             plane[y][:cw] = rec
         for x in range(cw):
             col = [plane[y][x] for y in range(ch)]
-            rec = _dwt53_inverse_1d(col[:nlo_h], col[nlo_h:])
+            rec = _dwt53_inverse_1d(col[:nlo_h], col[nlo_h:], phy)
             for y in range(ch):
                 plane[y][x] = rec[y]
     return plane
@@ -1347,24 +1391,64 @@ def _level_dims(w: int, h: int, levels: int) -> list:
     return dims
 
 
-def _bands_for_resolution(w: int, h: int, levels: int, r: int) -> list:
+def _level_windows(x0: int, y0: int, w: int, h: int,
+                   levels: int) -> list:
+    """ABSOLUTE tile-component windows [(x0, y0, x1, y1)] for
+    d = 0..levels (B-14: each level ceil-halves both edges). Entry 0
+    is the full window; entry `levels` the final LL window."""
+    out = [(x0, y0, x0 + w, y0 + h)]
+    for _ in range(levels):
+        px0, py0, px1, py1 = out[-1]
+        out.append((
+            (px0 + 1) // 2, (py0 + 1) // 2,
+            (px1 + 1) // 2, (py1 + 1) // 2,
+        ))
+    return out
+
+
+def _bands_for_resolution(w: int, h: int, levels: int, r: int,
+                          origin: tuple = (0, 0)) -> list:
     """Subbands of resolution r as (name, x0, y0, bw, bh) in the
-    :func:`dwt53_forward_2d` plane layout."""
-    dims = _level_dims(w, h, levels)
+    :func:`dwt53_forward_2d` plane layout. ``origin`` is the
+    tile-component's absolute canvas origin (round-10): odd
+    coordinates shift the low/high split at the levels they reach
+    (B-15 — low size = #even absolute positions in the window), so
+    the band DIMENSIONS are phase-dependent; with origin (0, 0)
+    this is the round-8 zero-phase layout."""
+    wins = _level_windows(origin[0], origin[1], w, h, levels)
     if r == 0:
-        if not dims:  # levels == 0: the image itself is the LL band
-            return [("LL", 0, 0, w, h)]
-        lw, lh = dims[-1]
-        return [("LL", 0, 0, (lw + 1) // 2, (lh + 1) // 2)]
+        x0, y0, x1, y1 = wins[levels]
+        return [("LL", 0, 0, x1 - x0, y1 - y0)]
     d = levels - r + 1  # decomposition level of these bands
-    cw, ch = dims[d - 1]
-    lw, lh = (cw + 1) // 2, (ch + 1) // 2
+    x0, y0, x1, y1 = wins[d - 1]
+    cw, ch = x1 - x0, y1 - y0
+    lw = (x1 + 1) // 2 - (x0 + 1) // 2
+    lh = (y1 + 1) // 2 - (y0 + 1) // 2
     hw, hh = cw - lw, ch - lh
     return [
         ("HL", lw, 0, hw, lh),
         ("LH", 0, lh, lw, hh),
         ("HH", lw, lh, hw, hh),
     ]
+
+
+def _band_abs_origins(w: int, h: int, levels: int, r: int,
+                      origin: tuple = (0, 0)) -> list:
+    """ABSOLUTE origin of each band of resolution r on its own band
+    grid (B-15: tbx0 = ceil((tcx0 - 2^(lev-1)·xob) / 2^lev), i.e.
+    the ceil-halved window edge for a low axis and the floor-halved
+    one for a high axis), ordered like
+    :func:`_bands_for_resolution`. Anchors the canvas code-block
+    64-grid and the precinct windows; all zeros at origin (0, 0)."""
+    x0, y0 = origin
+    wins = _level_windows(x0, y0, w, h, levels)
+    if r == 0:
+        return [(wins[levels][0], wins[levels][1])]
+    d = levels - r + 1
+    px0, py0, _, _ = wins[d - 1]
+    lx, ly = (px0 + 1) // 2, (py0 + 1) // 2
+    hx, hy = px0 // 2, py0 // 2
+    return [(hx, ly), (lx, hy), (hx, hy)]
 
 
 def _cb_edges(origin: int, extent: int) -> list:
@@ -1409,21 +1493,20 @@ def _encode_tile_component(plane, w: int, h: int, levels: int,
     When ``cbstyle`` carries terminations (bypass/termall) each
     block's data is its codeword-SEGMENT list instead of one byte
     string; other style bits keep a single (styled) segment.
-    ``origin`` is the PHASE-SAFE tile-component origin (tcx0, tcy0)
-    for canvas-offset streams — it anchors the code-block grids
-    (T.800 B.7) without touching the coefficient layout."""
+    ``origin`` is the tile-component origin (tcx0, tcy0) for
+    canvas-offset streams — round-10: it no longer needs to be
+    phase-safe; it shifts the band dims/split points (B-15) and
+    anchors each band's code-block grid at that band's own absolute
+    origin (T.800 B.7)."""
     terminated = bool(cbstyle & 0x05)
     styled = bool(cbstyle & 0x2F)  # any bit that changes the coding
-    tcx0, tcy0 = origin
     resolutions = []
     exps = []
     for r in range(levels + 1):
-        bands = _bands_for_resolution(w, h, levels, r)
-        s = levels - r
-        obx = tcx0 >> (s if r == 0 else s + 1)
-        oby = tcy0 >> (s if r == 0 else s + 1)
+        bands = _bands_for_resolution(w, h, levels, r, origin)
+        borigins = _band_abs_origins(w, h, levels, r, origin)
         per_band = []
-        for name, bx, by, bw, bh in bands:
+        for (name, bx, by, bw, bh), (obx, oby) in zip(bands, borigins):
             blocks = []
             for gx, gy, x, y, cw, ch in _codeblocks(bw, bh, obx, oby):
                 coeffs = [
@@ -1469,10 +1552,14 @@ def _precinct_info(comp_tile_dims: list, levels: int,
     (floor(trx0 / 2^PPx)) and obx/oby the bands' absolute origins.
 
     ``origins`` (per-component (tcx0, tcy0), canvas-offset streams)
-    activates the canvas-anchored geometry; it requires PHASE-SAFE
-    origins (tcx0 ≡ 0 mod 2^levels — exact band origins, unchanged
-    DWT phase). Without it (every zero-offset stream) base/obx are 0
-    and the layout reduces to the engine's tile-local convention."""
+    activates the canvas-anchored geometry. Round-10: origins need
+    NOT be phase-safe any more — the resolution-grid origin is the
+    normative ceil (B-14: trx0 = ceil(tcx0 / 2^(NL-r))), extents are
+    edge differences, and slot 8 carries each band's own absolute
+    origin from :func:`_band_abs_origins` (the three bands of a
+    resolution differ at odd phases). Without origins (every
+    zero-offset stream) base/band origins are 0 and the layout
+    reduces to the engine's tile-local convention, bit-identically."""
     pinfo = {}
     for c, (tcw, tch) in enumerate(comp_tile_dims):
         xr, yr = subs[c]
@@ -1483,17 +1570,18 @@ def _precinct_info(comp_tile_dims: list, levels: int,
         for r in range(lv + 1):
             ppx, ppy = (15, 15) if prec is None else prec[r]
             s = lv - r
-            trx0, try0 = tcx0 >> s, tcy0 >> s
-            rw = -(-tcw // (1 << s)) if tcw > 0 else 0
-            rh = -(-tch // (1 << s)) if tch > 0 else 0
+            trx0 = -(-tcx0 // (1 << s))
+            try0 = -(-tcy0 // (1 << s))
+            rw = -(-(tcx0 + tcw) // (1 << s)) - trx0 if tcw > 0 else 0
+            rh = -(-(tcy0 + tch) // (1 << s)) - try0 if tch > 0 else 0
             base_x, base_y = trx0 >> ppx, try0 >> ppy
             npx = max(1, -(-(trx0 + rw) // (1 << ppx)) - base_x)
             npy = max(1, -(-(try0 + rh) // (1 << ppy)) - base_y)
-            scale = 0 if r == 0 else 1
             pinfo[(r, c)] = (npx, npy, xr << (ppx + s),
                              yr << (ppy + s), ppx, ppy,
                              base_x, base_y,
-                             tcx0 >> (s + scale), tcy0 >> (s + scale))
+                             _band_abs_origins(
+                                 tcw, tch, lv, r, (tcx0, tcy0)))
     return pinfo
 
 
@@ -1526,22 +1614,25 @@ def _check_precinct_alignment(boxes: list, levels: int,
 def _precinct_band_windows(band_dims: list, r: int, ppx: int,
                            ppy: int, pxi: int, pyi: int,
                            base_x: int = 0, base_y: int = 0,
-                           obx: int = 0, oby: int = 0) -> list:
+                           borigins: list | None = None) -> list:
     """Precinct (pxi, pyi)'s window in each band's LOCAL coordinates:
     per (bw, bh) in ``band_dims``, an (x0, y0, x1, y1) clamped to the
     band. Resolution-grid precinct cells map to band cells at half
     scale for r > 0 (the bands sit one decomposition below the
     resolution grid). The grid is CANVAS-anchored: cell pxi covers
-    band-absolute [(base_x + pxi)·pw, +pw) against the band origin
-    ``obx`` (both 0 for zero-offset streams — the tile-local shape);
-    the engine's precinct floor (PPx >= 7 for r > 0, >= 6 at r = 0)
-    keeps every window edge on the canvas 64-grid so code blocks are
-    never split."""
+    band-absolute [(base_x + pxi)·pw, +pw) against EACH band's own
+    absolute origin in ``borigins`` (round-10: per band — the three
+    bands of a resolution differ at odd phases; all 0 for
+    zero-offset streams — the tile-local shape); the engine's
+    precinct floor (PPx >= 7 for r > 0, >= 6 at r = 0) keeps every
+    window edge on the canvas 64-grid so code blocks are never
+    split."""
     scale = 0 if r == 0 else 1
     pw = 1 << (ppx - scale)
     ph = 1 << (ppy - scale)
     out = []
-    for bw, bh in band_dims:
+    for bi, (bw, bh) in enumerate(band_dims):
+        obx, oby = borigins[bi] if borigins else (0, 0)
         ax0 = (base_x + pxi) * pw - obx
         ay0 = (base_y + pyi) * ph - oby
         x0 = min(max(ax0, 0), bw)
@@ -1647,19 +1738,21 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
             info = pinfo[(r, c)]
             npx, npy, _, _, ppx, ppy = info[:6]
             base_x, base_y = (info[6:8] or (0, 0))
-            obx, oby = (info[8:10] or (0, 0))
+            borigins = info[8] if len(info) > 8 else None
             band_dims = [(bw, bh) for _, bw, bh, _ in all_res[c][r]]
             plist = []
             for pyi in range(npy):
                 for pxi in range(npx):
                     wins = _precinct_band_windows(
                         band_dims, r, ppx, ppy, pxi, pyi,
-                        base_x, base_y, obx, oby,
+                        base_x, base_y, borigins,
                     )
                     per = []
                     for bi, (name, bw, bh, blocks) in enumerate(
                         all_res[c][r]
                     ):
+                        obx, oby = borigins[bi] if borigins \
+                            else (0, 0)
                         x0, y0, x1, y1 = wins[bi]
                         if x1 <= x0 or y1 <= y0 or not blocks:
                             per.append(None)
@@ -2122,17 +2215,20 @@ def encode_jpx(
             tcx0, tcy0, tcw, tch = _tile_comp_box(
                 tx, ty, xts, yts, xsiz, ysiz, xr, yr, xo, yo, xto, yto
             )
-            if canvas and (tcx0 % (1 << lv) or tcy0 % (1 << lv)):
-                raise JPXError(
-                    f"tile-component origin ({tcx0}, {tcy0}) not "
-                    f"phase-safe (multiple of 2^{lv})"
-                )
             # component planes cover the IMAGE AREA: index from the
-            # component origin (== the offset, 1x1 subsampling)
+            # component origin (== the offset, 1x1 subsampling).
+            # round-10: CANVAS origins need not be phase-safe — the
+            # forward DWT takes the absolute origin and shifts its
+            # lifting phase/split points accordingly. Zero-offset
+            # streams keep the engine's established tile-local
+            # phase (identical to absolute for the aligned tile
+            # sizes _check_precinct_alignment admits).
             sub = [row[tcx0 - xo:tcx0 - xo + tcw]
                    for row in plane_rows[tcy0 - yo:tcy0 - yo + tch]]
             planes.append(
-                (dwt53_forward_2d(sub, lv), tcw, tch, tcx0, tcy0)
+                (dwt53_forward_2d(
+                    sub, lv, (tcx0, tcy0) if canvas else (0, 0)),
+                 tcw, tch, tcx0, tcy0)
             )
         tile_planes[isot] = planes
     sprgn = 0
@@ -2806,14 +2902,17 @@ class _ResolutionState:
     __slots__ = ("bands", "mbs", "per_band", "cbstyle")
 
     def __init__(self, bands, mbs: list, wins: list | None = None,
-                 cbstyle: int = 0, obx: int = 0, oby: int = 0):
+                 cbstyle: int = 0, borigins: list | None = None):
         self.bands = bands
         self.mbs = mbs
         self.cbstyle = cbstyle
         self.per_band = []
         if wins is None:
             wins = [(0, 0, bw, bh) for (_, _, _, bw, bh) in bands]
-        for (name, bx, by, bw, bh), mb, win in zip(bands, mbs, wins):
+        if borigins is None:
+            borigins = [(0, 0)] * len(bands)
+        for (name, bx, by, bw, bh), mb, win, (obx, oby) in zip(
+                bands, mbs, wins, borigins):
             cells = _precinct_codeblocks(bw, bh, win, obx, oby)
             if bw <= 0 or bh <= 0 or not cells:
                 self.per_band.append(None)
@@ -3141,19 +3240,12 @@ def decode_codestream(data: bytes):
             for (_, _, tcw, tch) in boxes
         ]
         for c, (tcx0, tcy0, tcw, tch) in enumerate(boxes):
-            if canvas:
-                # canvas-anchored geometry needs PHASE-SAFE origins:
-                # the band origins must divide exactly or the 5/3
-                # lifting phase (and the band dims) would shift
-                # (T.800 F.3)
-                lv = comp_levels[c]
-                if tcx0 % (1 << lv) or tcy0 % (1 << lv):
-                    raise JPXUnsupported(
-                        f"tile-component origin ({tcx0}, {tcy0}) not "
-                        f"a multiple of 2^{lv}: canvas offsets "
-                        "would shift the DWT phase"
-                    )
-            else:
+            if not canvas:
+                # round-10: canvas origins no longer need to be
+                # phase-safe — band geometry, precinct/code-block
+                # anchoring and the 5/3+9/7 lifting are all
+                # origin-aware (B-14/B-15, F.3-F.4); the former
+                # named decline is gone
                 _check_precinct_alignment(
                     [boxes[c]], comp_levels[c], comp_precincts[c]
                 )
@@ -3181,20 +3273,21 @@ def decode_codestream(data: bytes):
         for c in range(ncomp):
             for r in range(comp_levels[c] + 1):
                 bands = _bands_for_resolution(
-                    boxes[c][2], boxes[c][3], comp_levels[c], r
+                    boxes[c][2], boxes[c][3], comp_levels[c], r,
+                    (boxes[c][0], boxes[c][1]) if canvas else (0, 0),
                 )
                 band_dims = [(bw, bh) for (_, _, _, bw, bh) in bands]
                 info = pinfo[(r, c)]
                 npx, npy, _, _, ppx, ppy = info[:6]
-                base_x, base_y, obx, oby = info[6:10]
+                base_x, base_y, borigins = info[6], info[7], info[8]
                 states[(r, c)] = [
                     _ResolutionState(
                         bands, qcd_index[(r, c)],
                         _precinct_band_windows(
                             band_dims, r, ppx, ppy, pxi, pyi,
-                            base_x, base_y, obx, oby,
+                            base_x, base_y, borigins,
                         ),
-                        params[c]["cbstyle"], obx, oby,
+                        params[c]["cbstyle"], borigins,
                     )
                     for pyi in range(npy) for pxi in range(npx)
                 ]
@@ -3353,15 +3446,16 @@ def decode_codestream(data: bytes):
                 continue
             pc = tile_ctx[isot]["params"][c]
             lv, tr = pc["levels"], pc["transform"]
+            orig = (tcx0, tcy0) if canvas else (0, 0)
             p = tplanes[c]
             if tr == 1:
-                rec = _dwt53_inverse_2d_np(p, tcw, tch, lv)
+                rec = _dwt53_inverse_2d_np(p, tcw, tch, lv, orig)
             else:
                 # scalar dequantization (E.1.1, midpoint r = 1/2)
                 f = np.zeros((tch, tcw), np.float64)
                 for r in range(lv + 1):
                     for (nm, bx, by, bw, bh), dl in zip(
-                        _bands_for_resolution(tcw, tch, lv, r),
+                        _bands_for_resolution(tcw, tch, lv, r, orig),
                         tile_ctx[isot]["deltas"][(r, c)],
                     ):
                         if bw <= 0 or bh <= 0:
@@ -3370,7 +3464,7 @@ def decode_codestream(data: bytes):
                         f[by:by + bh, bx:bx + bw] = (
                             np.sign(q) * (np.abs(q) + 0.5) * dl
                         )
-                rec = _dwt97_inverse_2d_np(f, tcw, tch, lv)
+                rec = _dwt97_inverse_2d_np(f, tcw, tch, lv, orig)
             img[tcy0 - coy:tcy0 - coy + tch,
                 tcx0 - cox:tcx0 - cox + tcw] = rec
         out_comps.append(img)
@@ -3524,61 +3618,83 @@ def decode_jpx_gray(data: bytes) -> tuple[int, int, bytes]:
 # =====================================================================
 
 
-def _dwt53_inverse_level_np(p, ch: int, cw: int):
-    """One inverse level on the top-left ch x cw window of int64
-    array `p`, in the normative order (rows then columns)."""
+def _lift_fold_idx(n: int, ph: int):
+    """The four PSE fold index arrays the lifting gathers need at
+    phase ``ph`` on a length-n axis (absolute interval [ph, ph+n)):
+    ``(hm1, h0)`` — high-band local indices of H(k-1) / H(k) over the
+    low positions k in [kl0, kl1) — and ``(e0, e1)`` — low/even
+    local indices of E(k) / E(k+1) over the high positions k in
+    [kh0, kh1). The folds iterate the two X-domain reflections
+    (about i0 and i1-1, F.3.7) until the index lands in band range;
+    ph == 0 reproduces the round-8 `_he_index`/`_ee_next` mirrors."""
     import numpy as np
 
-    def inv_axis(a, n):
-        # a: (rows, n) int64 — inverse 1D lifting along axis 1
-        if n == 1:
-            return a[:, :1]
-        nlo = (n + 1) // 2
-        m_h = n - nlo
-        L = a[:, :nlo]
-        H = a[:, nlo:n]
-        # he(k) for k = -1 .. nlo-1 with edge mirroring
-        idx = np.empty(nlo + 1, np.int64)
-        for j, k in enumerate(range(-1, nlo)):
-            if k < 0:
-                idx[j] = -k - 1 if m_h else 0
-            elif k >= m_h:
-                idx[j] = 2 * m_h - 1 - k if m_h else 0
-            else:
-                idx[j] = k
-        He = H[:, idx] if m_h else np.zeros((a.shape[0], nlo + 1), np.int64)
-        even = L - ((He[:, :-1] + He[:, 1:] + 2) >> 2)
-        out = np.empty((a.shape[0], n), np.int64)
-        out[:, 0::2] = even
-        if m_h:
-            if m_h == nlo:  # n even: ee(nlo) mirrors to even[nlo-1]
-                ee_next = np.concatenate(
-                    [even[:, 1:], even[:, nlo - 1 : nlo]], axis=1
-                )
-            else:  # n odd: k+1 <= m_h <= nlo-1, no overflow
-                ee_next = even[:, 1 : m_h + 1]
-            out[:, 1::2] = H + ((even[:, :m_h] + ee_next) >> 1)
-        return out
+    i0, i1 = ph, ph + n
+    kh0, kh1 = i0 // 2, i1 // 2
+    kl0, kl1 = (i0 + 1) // 2, (i1 + 1) // 2
 
+    def hfold(k: int) -> int:
+        while not (kh0 <= k < kh1):
+            k = i0 - k - 1 if k < kh0 else i1 - k - 2
+        return k - kh0
+
+    def efold(k: int) -> int:
+        while not (kl0 <= k < kl1):
+            k = i0 - k if k < kl0 else i1 - 1 - k
+        return k - kl0
+
+    hm1 = np.array([hfold(k - 1) for k in range(kl0, kl1)], np.int64)
+    h0 = np.array([hfold(k) for k in range(kl0, kl1)], np.int64)
+    e0 = np.array([efold(k) for k in range(kh0, kh1)], np.int64)
+    e1 = np.array([efold(k + 1) for k in range(kh0, kh1)], np.int64)
+    return hm1, h0, e0, e1
+
+
+def _inv53_axis_np(a, n: int, ph: int = 0):
+    """Inverse 5/3 along axis 1 of int64 `a` at lifting phase
+    ``ph`` (0 = round-8 zero-phase, bit-identical)."""
+    import numpy as np
+
+    if n == 1:
+        return a[:, :1] if ph == 0 else a[:, :1] >> 1
+    nlo = (n + 1) // 2 if ph == 0 else n // 2
+    L = a[:, :nlo]
+    H = a[:, nlo:n]
+    hm1, h0, e0, e1 = _lift_fold_idx(n, ph)
+    even = L - ((H[:, hm1] + H[:, h0] + 2) >> 2)
+    out = np.empty((a.shape[0], n), np.int64)
+    odd = H + ((even[:, e0] + even[:, e1]) >> 1)
+    if ph == 0:
+        out[:, 0::2] = even
+        out[:, 1::2] = odd
+    else:
+        out[:, 1::2] = even
+        out[:, 0::2] = odd
+    return out
+
+
+def _dwt53_inverse_level_np(p, ch: int, cw: int,
+                            phy: int = 0, phx: int = 0,
+                            nlo_h: int | None = None,
+                            nlo_w: int | None = None):
+    """One inverse level on the top-left ch x cw window of int64
+    array `p`, in the normative order (rows then columns), at the
+    window's lifting phase (round-10: odd canvas origins)."""
     win = p[:ch, :cw]
-    win = inv_axis(win, cw)                      # HOR_SR (rows)
-    win = inv_axis(win.T.copy(), ch).T           # VER_SR (columns)
+    win = _inv53_axis_np(win, cw, phx)            # HOR_SR (rows)
+    win = _inv53_axis_np(win.T.copy(), ch, phy).T  # VER_SR (columns)
     p[:ch, :cw] = win
 
 
-def _dwt53_inverse_2d_np(p, width: int, height: int, levels: int):
+def _dwt53_inverse_2d_np(p, width: int, height: int, levels: int,
+                         origin: tuple = (0, 0)):
     """numpy twin of :func:`dwt53_inverse_2d` (bitwise-equal output;
     pinned by tests). `p` is an int64 array mutated in place."""
-    dims = []
-    ch, cw = height, width
-    for _ in range(levels):
-        dims.append((ch, cw))
-        ch = (ch + 1) // 2
-        cw = (cw + 1) // 2
-    for ch, cw in reversed(dims):
-        if ch <= 1 and cw <= 1:
+    for ch, cw, phy, phx, _nlh, _nlw in reversed(
+            _dwt_level_geom(width, height, levels, origin)):
+        if ch <= 1 and cw <= 1 and not (phx or phy):
             continue
-        _dwt53_inverse_level_np(p, ch, cw)
+        _dwt53_inverse_level_np(p, ch, cw, phy, phx)
     return p
 
 
@@ -3612,105 +3728,91 @@ DWT97_ANALYSIS_HIGH = (
 )
 
 
-def _he_index(nlo: int, m_h: int):
-    """Mirror index array for the high (odd) subband at positions
-    k-1..nlo-1 — identical extension rule to the 5/3 paths."""
-    import numpy as np
-
-    idx = np.empty(nlo + 1, np.int64)
-    for j, k in enumerate(range(-1, nlo)):
-        if k < 0:
-            idx[j] = -k - 1 if m_h else 0
-        elif k >= m_h:
-            idx[j] = 2 * m_h - 1 - k if m_h else 0
-        else:
-            idx[j] = k
-    return idx
-
-
-def _ee_next(even, n: int, nlo: int, m_h: int):
-    """even[k+1] for k in 0..m_h-1 with full-domain mirroring."""
-    import numpy as np
-
-    if m_h == nlo:  # n even: ee(nlo) mirrors to even[nlo-1]
-        return np.concatenate([even[:, 1:], even[:, nlo - 1: nlo]], axis=1)
-    return even[:, 1: m_h + 1]  # n odd
-
-
-def _dwt97_inverse_axis(a, n: int):
-    """Inverse 9/7 along axis 1 of float64 array `a` (n samples)."""
+def _dwt97_inverse_axis(a, n: int, ph: int = 0):
+    """Inverse 9/7 along axis 1 of float64 array `a` (n samples) at
+    lifting phase ``ph`` (round-10; 0 = round-8 zero phase,
+    bit-identical — the generic fold indices reproduce
+    `_he_index`/`_ee_next` there)."""
     import numpy as np
 
     if n == 1:
+        if ph:
+            # F.3.4's one-sample rule is published for the 5/3;
+            # the 9/7 odd single-sample normalization has no
+            # independent published pin available here — decline by
+            # name rather than guess (the round-9 B.10 lesson)
+            raise JPXUnsupported(
+                "9/7 single-sample odd-phase window"
+            )
         return a[:, :1]
-    nlo = (n + 1) // 2
-    m_h = n - nlo
+    nlo = (n + 1) // 2 if ph == 0 else n // 2
     even = a[:, :nlo] * _K97          # undo low normalization (1/K)
     d = a[:, nlo:n] * (1.0 / _K97)    # undo high normalization (K)
-    idx = _he_index(nlo, m_h)
+    hm1, h0, e0, e1 = _lift_fold_idx(n, ph)
     for c_even, c_odd in ((_DELTA97, _GAMMA97), (_BETA97, _ALPHA97)):
-        He = d[:, idx]
-        even = even - c_even * (He[:, :-1] + He[:, 1:])
-        d = d - c_odd * (even[:, :m_h] + _ee_next(even, n, nlo, m_h))
+        even = even - c_even * (d[:, hm1] + d[:, h0])
+        d = d - c_odd * (even[:, e0] + even[:, e1])
     out = np.empty((a.shape[0], n), np.float64)
-    out[:, 0::2] = even
-    out[:, 1::2] = d
+    if ph == 0:
+        out[:, 0::2] = even
+        out[:, 1::2] = d
+    else:
+        out[:, 1::2] = even
+        out[:, 0::2] = d
     return out
 
 
-def _dwt97_forward_axis(a, n: int):
-    """Forward 9/7 along axis 1 → [low | high] layout (float64)."""
+def _dwt97_forward_axis(a, n: int, ph: int = 0):
+    """Forward 9/7 along axis 1 → [low | high] layout (float64) at
+    lifting phase ``ph``."""
     import numpy as np
 
     if n == 1:
+        if ph:
+            raise JPXUnsupported(
+                "9/7 single-sample odd-phase window"
+            )
         return a[:, :1]
-    nlo = (n + 1) // 2
-    m_h = n - nlo
-    even = a[:, 0::2].astype(np.float64)
-    d = a[:, 1::2].astype(np.float64)
-    idx = _he_index(nlo, m_h)
+    nlo = (n + 1) // 2 if ph == 0 else n // 2
+    even = a[:, ph::2].astype(np.float64)
+    d = a[:, 1 - ph::2].astype(np.float64)
+    hm1, h0, e0, e1 = _lift_fold_idx(n, ph)
     for c_odd, c_even in ((_ALPHA97, _BETA97), (_GAMMA97, _DELTA97)):
-        d = d + c_odd * (even[:, :m_h] + _ee_next(even, n, nlo, m_h))
-        He = d[:, idx]
-        even = even + c_even * (He[:, :-1] + He[:, 1:])
+        d = d + c_odd * (even[:, e0] + even[:, e1])
+        even = even + c_even * (d[:, hm1] + d[:, h0])
     out = np.empty((a.shape[0], n), np.float64)
     out[:, :nlo] = even * (1.0 / _K97)   # normative low
     out[:, nlo:n] = d * _K97             # normative high
     return out
 
 
-def _dwt97_inverse_2d_np(p, width: int, height: int, levels: int):
+def _dwt97_inverse_2d_np(p, width: int, height: int, levels: int,
+                         origin: tuple = (0, 0)):
     """Multi-level inverse 9/7 on float64 array `p` (in place),
     normative per-level order: rows (HOR_SR) then columns (VER_SR)."""
-    dims = []
-    ch, cw = height, width
-    for _ in range(levels):
-        dims.append((ch, cw))
-        ch = (ch + 1) // 2
-        cw = (cw + 1) // 2
-    for ch, cw in reversed(dims):
-        if ch <= 1 and cw <= 1:
+    for ch, cw, phy, phx, _nlh, _nlw in reversed(
+            _dwt_level_geom(width, height, levels, origin)):
+        if ch <= 1 and cw <= 1 and not (phx or phy):
             continue
         win = p[:ch, :cw]
-        win = _dwt97_inverse_axis(win, cw)
-        win = _dwt97_inverse_axis(win.T.copy(), ch).T
+        win = _dwt97_inverse_axis(win, cw, phx)
+        win = _dwt97_inverse_axis(win.T.copy(), ch, phy).T
         p[:ch, :cw] = win
     return p
 
 
-def _dwt97_forward_2d_np(p, width: int, height: int, levels: int):
+def _dwt97_forward_2d_np(p, width: int, height: int, levels: int,
+                         origin: tuple = (0, 0)):
     """Multi-level forward 9/7 (columns then rows per level, the
     mirror of the normative inverse order)."""
-    ch, cw = height, width
-    for _ in range(levels):
-        if ch <= 1 and cw <= 1:
-            break
+    for ch, cw, phy, phx, _nlh, _nlw in _dwt_level_geom(
+            width, height, levels, origin):
+        if ch <= 1 and cw <= 1 and not (phx or phy):
+            continue
         win = p[:ch, :cw]
-        win = _dwt97_forward_axis(win.T.copy(), ch).T
-        win = _dwt97_forward_axis(win, cw)
+        win = _dwt97_forward_axis(win.T.copy(), ch, phy).T
+        win = _dwt97_forward_axis(win, cw, phx)
         p[:ch, :cw] = win
-        ch = (ch + 1) // 2
-        cw = (cw + 1) // 2
     return p
 
 

@@ -73,6 +73,49 @@ class TestDWT53:
         lo, hi = _dwt53_forward_1d(x)
         assert all(v == 0 for v in hi)
 
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9, 16, 17])
+    def test_1d_odd_phase_roundtrip(self, n):
+        """Round-10: the odd lifting phase (signal starting at an
+        odd absolute position — canvas-offset streams). Band counts
+        swap (low = n//2) and the single sample doubles into the
+        high band (F.3.4's one-sample rule)."""
+        rng = random.Random(1000 + n)
+        for _ in range(5):
+            x = [rng.randrange(-255, 256) for _ in range(n)]
+            lo, hi = _dwt53_forward_1d(x, 1)
+            assert len(lo) == n // 2 and len(hi) == (n + 1) // 2
+            assert _dwt53_inverse_1d(lo, hi, 1) == x
+        if n == 1:
+            assert _dwt53_forward_1d([7], 1) == ([], [14])
+
+    @pytest.mark.parametrize(
+        "ox,oy,w,h,lv",
+        [(1, 0, 5, 3, 2), (0, 1, 16, 16, 3), (1, 1, 17, 13, 4),
+         (3, 5, 64, 48, 5), (7, 2, 1, 31, 3), (9, 9, 1, 1, 3)],
+    )
+    def test_2d_odd_origin_roundtrip_and_np_twin(self, ox, oy, w, h,
+                                                 lv):
+        import numpy as np
+
+        from pdf2dataset_spark.sources.jpx import _dwt53_inverse_2d_np
+
+        rng = random.Random(ox * 7 + oy * 13 + w * h + lv)
+        img = [[rng.randrange(-255, 256) for _ in range(w)]
+               for _ in range(h)]
+        plane = dwt53_forward_2d(img, lv, (ox, oy))
+        assert dwt53_inverse_2d(plane, w, h, lv, (ox, oy)) == img
+        arr = np.array(plane, np.int64).reshape(h, w)
+        assert _dwt53_inverse_2d_np(
+            arr, w, h, lv, (ox, oy)).tolist() == img
+
+    def test_odd_phase_shifts_are_not_relabelings(self):
+        """The two phases are genuinely different transforms: on a
+        signal where they could only agree by accident, the band
+        contents differ (guards against a parity argument being
+        silently ignored)."""
+        x = [3, 1, 4, 1, 5, 9, 2, 6]
+        assert _dwt53_forward_1d(x, 0) != _dwt53_forward_1d(x, 1)
+
 
 class TestTagTree:
     @pytest.mark.parametrize("tw,th", [(1, 1), (3, 2), (4, 4), (7, 5)])
@@ -1016,22 +1059,73 @@ class TestCanvasOffsetsAndCoc:
                         sop=True, eph=True)
         assert decode_jpx(cs)[2] == px
 
-    def test_phase_unsafe_offset_declines(self):
-        # origin 2 with levels 2 shifts the DWT phase: named decline
-        w, h = 64, 64
-        px = self._px(w, h)
-        with pytest.raises(JPXError, match="phase-safe"):
-            encode_jpx(w, h, px, 1, levels=2, image_offset=(2, 0))
-        # decoder side: patch a valid stream's SIZ offsets
-        cs = bytearray(encode_jpx(w, h, px, 1, levels=2))
-        at = bytes(cs).index(b"\xff\x51") + 4
-        import struct as _s
-        # XOsiz at +2+8, also grow Xsiz so the area stays non-empty
-        xs = _s.unpack_from(">I", cs, at + 2)[0]
-        _s.pack_into(">I", cs, at + 2, xs + 2)
-        _s.pack_into(">I", cs, at + 10, 2)
-        with pytest.raises(JPXUnsupported, match="DWT phase"):
-            decode_jpx(bytes(cs))
+    def test_phase_shifting_offsets_roundtrip(self):
+        """Round-10 (verdict ask #6): canvas origins that are NOT
+        multiples of 2^levels — including fully ODD XO/YO — decode
+        bit-exact (the round-9 named decline). The DWT lifting
+        phase, the band dims/origins (B-15) and the precinct/
+        code-block anchoring (B.6/B.7) all follow the absolute
+        origin."""
+        for xo, yo, lv in ((2, 0, 2), (1, 0, 1), (0, 3, 2),
+                           (5, 7, 2), (1, 1, 3), (9, 3, 3)):
+            w, h = 64, 48
+            px = self._px(w, h, seed=xo * 31 + yo)
+            cs = encode_jpx(w, h, px, 1, levels=lv,
+                            image_offset=(xo, yo))
+            gw, gh, out = decode_jpx(cs)
+            assert (gw, gh) == (w, h), (xo, yo, lv)
+            assert out == px, (xo, yo, lv)
+
+    def test_odd_offset_tiled_multilayer_roundtrip(self):
+        """Odd origins through the hard paths together: tiling (odd
+        tile-component origins per tile), 2^7 precincts, two layers,
+        RPCL progression, SOP/EPH resync."""
+        w, h = 150, 90
+        px = self._px(w, h, seed=41)
+        cs = encode_jpx(w, h, px, 1, levels=2, image_offset=(3, 5),
+                        tile_size=(64, 64), precincts=(7, 7),
+                        layers=2, prog=2, sop=True, eph=True)
+        assert decode_jpx(cs)[2] == px
+
+    def test_odd_offset_rgb_mct_roundtrip(self):
+        w, h = 37, 29
+        rgb = bytes((x * 5 + y * 11 + c * 43) % 256
+                    for y in range(h) for x in range(w)
+                    for c in range(3))
+        cs = encode_jpx(w, h, rgb, 3, levels=2, mct=True,
+                        image_offset=(7, 1))
+        assert decode_jpx(cs)[2] == rgb
+
+    def test_odd_offset_band_geometry_matches_b15(self):
+        """Band dims/origins from the INDEPENDENT B-15 closed form
+        (tbx0 = ceil((tcx0 - 2^(lev-1)·xob)/2^lev)) — not from the
+        engine's iterated-halving code path — for a spread of odd
+        origins. Guards the geometry against a self-consistent
+        wrong derivation (the round-9 B.10 lesson)."""
+        import math
+
+        from pdf2dataset_spark.sources import jpx
+
+        def b15(tc0, tc1, lev, ob):
+            lo = math.ceil((tc0 - (1 << (lev - 1)) * ob) / (1 << lev))
+            hi = math.ceil((tc1 - (1 << (lev - 1)) * ob) / (1 << lev))
+            return lo, hi - lo
+
+        for x0, y0, w, h, lv in ((1, 0, 13, 7, 2), (5, 3, 20, 9, 3),
+                                 (7, 7, 8, 8, 2), (2, 1, 31, 17, 4)):
+            for r in range(1, lv + 1):
+                lev = lv - r + 1
+                bands = jpx._bands_for_resolution(
+                    w, h, lv, r, (x0, y0))
+                origs = jpx._band_abs_origins(w, h, lv, r, (x0, y0))
+                for (name, _, _, bw, bh), (abx, aby) in zip(
+                        bands, origs):
+                    xob = 1 if name in ("HL", "HH") else 0
+                    yob = 1 if name in ("LH", "HH") else 0
+                    ex0, ew = b15(x0, x0 + w, lev, xob)
+                    ey0, eh = b15(y0, y0 + h, lev, yob)
+                    assert (bw, bh) == (ew, eh), (name, x0, y0, r)
+                    assert (abx, aby) == (ex0, ey0), (name, x0, y0, r)
 
     def test_main_coc_levels_roundtrip(self):
         w, h = 96, 64

@@ -79,6 +79,59 @@ class TestDwt97:
             b = _dwt97_inverse_2d_np(f.copy(), w, h, lv)
             assert np.allclose(b, p, atol=1e-8), (w, h, lv)
 
+    def test_lifting_matches_convolution_odd_phase(self):
+        """Round-10: the ODD lifting phase (canvas-offset streams)
+        against the same independent Table F.4 convolution
+        formulation — low samples sit at even ABSOLUTE positions,
+        so the band counts swap and the boundary folds reflect
+        about the absolute signal edges."""
+        from pdf2dataset_spark.sources.jpx import (
+            DWT97_ANALYSIS_HIGH,
+            DWT97_ANALYSIS_LOW,
+        )
+
+        rng = np.random.default_rng(21)
+        for n in (2, 3, 5, 8, 16, 17, 33):
+            x = rng.normal(size=n) * 100
+
+            def xa(i):
+                j = i - 1  # absolute interval [1, 1+n)
+                while not (0 <= j < n):
+                    j = -j if j < 0 else 2 * (n - 1) - j
+                return x[j]
+
+            i0, i1 = 1, 1 + n
+            conv_low = [
+                sum(DWT97_ANALYSIS_LOW[abs(t)] * xa(2 * k + t)
+                    for t in range(-4, 5))
+                for k in range((i0 + 1) // 2, (i1 + 1) // 2)
+            ]
+            conv_high = [
+                sum(DWT97_ANALYSIS_HIGH[abs(t)] * xa(2 * k + 1 + t)
+                    for t in range(-3, 4))
+                for k in range(i0 // 2, i1 // 2)
+            ]
+            lift = _dwt97_forward_axis(x[None, :].copy(), n, 1)[0]
+            assert np.allclose(
+                lift, np.array(conv_low + conv_high), atol=1e-9), n
+
+    def test_odd_phase_roundtrip_and_single_sample_decline(self):
+        from pdf2dataset_spark.sources.jpx import JPXUnsupported
+
+        rng = np.random.default_rng(22)
+        for n in (2, 3, 7, 20, 65):
+            x = rng.normal(size=(3, n)) * 50
+            f = _dwt97_forward_axis(x.copy(), n, 1)
+            b = _dwt97_inverse_axis(f, n, 1)
+            assert np.allclose(b, x, atol=1e-9), n
+        # the one-sample odd window is a NAMED decline (F.3.4's rule
+        # is published for the reversible path only — round-10
+        # declines rather than guessing the 9/7 normalization)
+        with pytest.raises(JPXUnsupported, match="single-sample"):
+            _dwt97_forward_axis(np.ones((1, 1)), 1, 1)
+        with pytest.raises(JPXUnsupported, match="single-sample"):
+            _dwt97_inverse_axis(np.ones((1, 1)), 1, 1)
+
     def test_dc_gain_is_one(self):
         # Table F.4 low-pass sums to 1: a constant signal's LL stays
         # at that constant through every level
