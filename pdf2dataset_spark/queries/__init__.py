@@ -83,25 +83,26 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 9 — render/extraction fidelity tail: separable blend
-    # modes + per-pixel image /SMask (every composite render),
-    # Coons/tensor continuation flags, non-rect pattern fills,
-    # tiling nested-image cells + overlapping tiles, Type3 advance
-    # under full FontMatrix, scn arity guard (text + render paths)
-    "a5_pdf_extract",
-    "a6_page_render_ocr",
-    "a20_scanned_page_ocr",
+    # round 10 — the first real-world (non-engine-authored) golden:
+    # /usr/share/doc corpus per-page layout-text pins
+    "a38_realworld_extract",
+    # round 10 — JBIG2 B.10 transcribed from T.88 (replacing the
+    # wrong round-9 derivation; huffb710 stream re-pinned)
+    "a25_jbig2_scan_extract",
+    # round 10 — JPX canvas offsets at any phase (odd XO/YO):
+    # phase-aware 5/3+9/7 lifting + B-15 band geometry; new oddoff
+    # fixture
+    "a26_jpx_image_extract",
+    # round 10 — rational-step tile overlap + depth-2 pattern
+    # nesting (tileimg re-pinned), stencil declines for nested
+    # shadings/images in cells
+    "a36_clip_render",
     "a33_shading_render",
     "a34_feature_torture",
+    # round 10 — TeX \copyright overlay composition + mirrored
+    # Type3 FontMatrix advance (layout-text paths)
+    "a5_pdf_extract",
     "a35_type3_render",
-    "a36_clip_render",
-    # round 9 — JBIG2 standard tables B.7/B.10 now ship
-    "a25_jbig2_scan_extract",
-    # round 9 — structured colorspace info on page_images entries +
-    # Separation/ICC/CMYK sample interpretation in _entry_gray
-    "a18_embedded_image_extract",
-    "a19_color_image_extract",
-    "a26_jpx_image_extract",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows
