@@ -2058,9 +2058,10 @@ def encode_jpx(
     image area and tile grid on the reference CANVAS (B.3, round-8):
     Xsiz = XO + width, the first tile row/column is clamped to the
     image area, and precinct + code-block grids anchor at the canvas
-    origin. Offsets require PHASE-SAFE tile-component origins
-    (multiples of 2^levels — the DWT phase is position-dependent),
-    1x1 subsampling, the reversible path, and no ROI.
+    origin. Round-10: offsets may be ANY phase (odd origins shift
+    the 5/3/9/7 lifting phase and the B-15 band geometry — both
+    phase-aware now) and work on the lossy path too; they still
+    require 1x1 subsampling and no ROI.
 
     ``coc={component: levels}`` emits main-header COC + QCC segments
     giving that component its OWN decomposition depth (A.6.2);
@@ -2087,11 +2088,13 @@ def encode_jpx(
     xo, yo = (int(v) for v in image_offset)
     xto, yto = (int(v) for v in tile_offset)
     canvas = bool(xo or yo or xto or yto)
-    if canvas and (irreversible or roi is not None
+    if canvas and (roi is not None
                    or any(s != (1, 1) for s in subs)):
+        # round-10: the LOSSY path supports canvas offsets too (the
+        # phase-aware 9/7); ROI and subsampling stay reversible/
+        # zero-offset-only
         raise JPXError(
-            "canvas offsets need the reversible path, 1x1 "
-            "subsampling and no ROI"
+            "canvas offsets need 1x1 subsampling and no ROI"
         )
     coc = {int(k): int(v) for k, v in (coc or {}).items()}
     tile_coc = {
@@ -2116,7 +2119,7 @@ def encode_jpx(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
             prog, chroma_quality_bits, tile_parts, subs, precincts,
-            cbstyle,
+            cbstyle, image_offset=(xo, yo), tile_offset=(xto, yto),
         )
     external_ycc = False
     comps = []
@@ -2425,17 +2428,27 @@ def _encode_jpx_lossy(
     subs: list | None = None,
     precincts: list | None = None,
     cbstyle: int = 0,
+    image_offset: tuple = (0, 0),
+    tile_offset: tuple = (0, 0),
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
     ``chroma_quality_bits`` quantizes components 1-2 (Cb/Cr after the
     ICT) with their own coarser steps, signaled via per-component QCC
-    segments (A.6.5) — the real-world chroma-subquality shape."""
+    segments (A.6.5) — the real-world chroma-subquality shape.
+    ``image_offset``/``tile_offset`` (round-10) anchor the canvas
+    like the reversible path — any phase, including odd origins,
+    through the phase-aware 9/7 (1x1 subsampling only; guarded in
+    :func:`encode_jpx`)."""
     import numpy as np
 
     if quant_style not in ("expounded", "derived"):
         raise JPXError(f"unknown quant_style {quant_style!r}")
     subs = subs or [(1, 1)] * ncomp
+    xo, yo = (int(v) for v in image_offset)
+    xto, yto = (int(v) for v in tile_offset)
+    canvas = bool(xo or yo or xto or yto)
+    xsiz, ysiz = xo + width, yo + height
     external_ycc = False
     if ncomp == 1:
         arr = np.frombuffer(samples, np.uint8).astype(np.float64)
@@ -2461,25 +2474,32 @@ def _encode_jpx_lossy(
     fcomps = [
         c[::yr, ::xr] for c, (xr, yr) in zip(fcomps, subs)
     ]
-    xts, yts = tile_size or (width, height)
+    xts, yts = tile_size or (xsiz - xto, ysiz - yto)
     if xts <= 0 or yts <= 0:
         raise JPXError("non-positive tile size")
-    ntx = (width + xts - 1) // xts
-    nty = (height + yts - 1) // yts
+    ntx = (xsiz - xto + xts - 1) // xts
+    nty = (ysiz - yto + yts - 1) // yts
 
     def comp_box(isot, cc):
         tx, ty = isot % ntx, isot // ntx
-        return _tile_comp_box(tx, ty, xts, yts, width, height,
-                              *subs[cc])
+        return _tile_comp_box(tx, ty, xts, yts, xsiz, ysiz,
+                              *subs[cc], xo, yo, xto, yto)
 
-    # forward 9/7 per tile (tiles transform independently)
+    def comp_origin(isot, cc):
+        tcx0, tcy0, _, _ = comp_box(isot, cc)
+        return (tcx0, tcy0) if canvas else (0, 0)
+
+    # forward 9/7 per tile (tiles transform independently; canvas
+    # streams take the absolute origin — phase-aware, round-10)
     tile_coeff: dict = {}
     for isot in range(ntx * nty):
         planes = []
         for cc, c in enumerate(fcomps):
-            ox, oy, tw, th = comp_box(isot, cc)
+            tcx0, tcy0, tw, th = comp_box(isot, cc)
             planes.append(_dwt97_forward_2d_np(
-                c[oy:oy + th, ox:ox + tw].copy(), tw, th, levels
+                c[tcy0 - yo:tcy0 - yo + th,
+                  tcx0 - xo:tcx0 - xo + tw].copy(),
+                tw, th, levels, comp_origin(isot, cc)
             ))
         tile_coeff[isot] = planes
     # per-subband step selection from the cross-tile/component max;
@@ -2496,7 +2516,8 @@ def _encode_jpx_lossy(
             for cc in (range(ncomp) if comps_sel is None
                        else comps_sel):
                 _, _, tw, th = comp_box(isot, cc)
-                bands = _bands_for_resolution(tw, th, levels, r)
+                bands = _bands_for_resolution(
+                    tw, th, levels, r, comp_origin(isot, cc))
                 nm2, bx, by, bw, bh = bands[
                     0 if r == 0 else ["HL", "LH", "HH"].index(nm)
                 ]
@@ -2564,7 +2585,7 @@ def _encode_jpx_lossy(
             k = 0
             for r in range(levels + 1):
                 for nm, bx, by, bw, bh in _bands_for_resolution(
-                    tw, th, levels, r
+                    tw, th, levels, r, comp_origin(isot, cc)
                 ):
                     dl = comp_deltas[cc][k]
                     k += 1
@@ -2575,7 +2596,8 @@ def _encode_jpx_lossy(
                         np.sign(v) * np.floor(np.abs(v) / dl)
                     ).astype(np.int64)
             res, comp_exps = _encode_tile_component(
-                ip.tolist(), tw, th, levels, cbstyle
+                ip.tolist(), tw, th, levels, cbstyle,
+                origin=comp_origin(isot, cc),
             )
             all_res.append(res)
             comp_maxq[cc] = [max(a, b) for a, b in
@@ -2609,7 +2631,8 @@ def _encode_jpx_lossy(
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, width, height, 0, 0, xts, yts, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, xsiz, ysiz, xo, yo, xts, yts, xto, yto,
+        ncomp
     )
     for xr, yr in subs:
         siz += bytes([7, xr, yr])
@@ -2642,9 +2665,12 @@ def _encode_jpx_lossy(
             out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
     for isot in range(ntx * nty):
         tboxes = [comp_box(isot, cc) for cc in range(ncomp)]
-        _check_precinct_alignment(tboxes, levels, precincts)
+        if not canvas:
+            _check_precinct_alignment(tboxes, levels, precincts)
         pinfo = _precinct_info(
             [b[2:] for b in tboxes], levels, precincts, subs,
+            origins=[(b[0], b[1]) for b in tboxes] if canvas
+            else None,
         )
         _emit_tile(
             out, isot,

@@ -236,6 +236,40 @@ class TestLossyRoundTrip:
             encode_jpx(8, 8, bytes(64), 1, irreversible=True,
                        quant_style="nope")
 
+    def test_odd_canvas_offsets_lossy(self):
+        """Round-10: canvas offsets work on the LOSSY path at any
+        phase (odd XO/YO shift the 9/7 lifting phase and the B-15
+        band geometry). The reconstruction error must match the
+        zero-offset encode of the same image — a mis-phased lifting
+        would not just blur, it would scramble entire subbands."""
+        w, h = 40, 28
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        img = ((np.sin(xx / 5.0) + np.cos(yy / 4.0)) * 55 + 128
+               ).astype(np.uint8)
+        px = img.tobytes()
+        base = self._err(
+            px, decode_jpx(encode_jpx(
+                w, h, px, 1, levels=2, irreversible=True,
+                quality_bits=9))[2]
+        ).max()
+        for xo, yo, ts in ((1, 0, None), (3, 5, None),
+                           (3, 5, (24, 16)), (7, 7, (16, 16))):
+            cs = encode_jpx(w, h, px, 1, levels=2, irreversible=True,
+                            quality_bits=9, image_offset=(xo, yo),
+                            tile_size=ts)
+            gw, gh, out = decode_jpx(cs)
+            assert (gw, gh) == (w, h), (xo, yo, ts)
+            assert self._err(px, out).max() <= base + 2, (xo, yo, ts)
+        # lossy offsets still deny ROI (the earlier reversible-only
+        # ROI guard or the canvas guard — either is a refusal)
+        with pytest.raises(JPXError, match="ROI"):
+            encode_jpx(w, h, px, 1, irreversible=True,
+                       image_offset=(3, 5), roi=(0, 0, 8, 8))
+        with pytest.raises(JPXError, match="subsampling|ROI"):
+            encode_jpx(24, 16, bytes(24 * 16 * 3), 3,
+                       irreversible=True, image_offset=(3, 5),
+                       subsampling=((1, 1), (2, 2), (2, 2)))
+
 
 class TestMinipdfLossyIntegration:
     def test_page_images_decodes_lossy_jpx(self):
