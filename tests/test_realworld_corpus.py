@@ -3,8 +3,9 @@ round-10: RUNS IN EVERY ci GATE).
 
 Runs when ``SPARK_GRAFT_CORPUS`` points at a directory staged by
 ``tools/fetch_corpus.py --from-dir``. The sandbox ships two genuine
-third-party PDFs under /usr/share/doc (libtasn1.pdf — pdfTeX +
-Type1 fonts; shared-mime-info-spec.pdf — DocBook/FOP), and ci.sh
+third-party PDFs under /usr/share/doc (libtasn1.pdf — texinfo/pdfTeX
+with CM Type1 fonts; shared-mime-info-spec.pdf — DocBook-sourced
+LaTeX/pdfTeX-hyperref with URW Nimbus fonts), and ci.sh
 stages them automatically, so since round-10 this module executes in
 every gate instead of auto-skipping. Every staged document goes
 through the engine's full extraction surface with these laws:
@@ -110,8 +111,10 @@ def test_libtasn1_layout_pins():
 
 
 def test_mimespec_layout_pins():
-    """DocBook/FOP output (the second shipped real file): different
-    producer, different font machinery — both text layers hold."""
+    """The second shipped real file: DocBook-sourced
+    LaTeX/pdfTeX-hyperref with URW Nimbus fonts (a different
+    generator and font family than libtasn1's texinfo/CM) — both
+    text layers hold."""
     path = _staged_by_sha(_MIMESPEC)
     if path is None:
         pytest.skip("shared-mime-info-spec.pdf not in this corpus")
@@ -125,6 +128,59 @@ def test_mimespec_layout_pins():
     assert "shared" in p1.lower() and "mime" in p1.lower()
     for pg in range(1, 18):
         assert codec.page_text(h, pg).strip(), pg
+
+
+def test_real_metadata_and_outline():
+    """Document-level surfaces on real files (round-10): /Info
+    metadata and the bookmark outline — both produced by genuine
+    TeX toolchains, pinned because the files ship in the image."""
+    from pdf2dataset_spark.sources.codecs import PdfCodec
+
+    codec = PdfCodec()
+    path = _staged_by_sha(_LIBTASN1)
+    if path is not None:
+        with open(path, "rb") as f:
+            h = codec.open(f.read())
+        info = codec.doc_info(h)
+        assert info.get("Producer") == "pdfTeX-1.40.24"
+        assert info.get("Creator") == "TeX"
+        ol = codec.doc_outline(h)
+        assert len(ol) == 21
+        assert ol[0] == (0, "1 Introduction")
+        assert (1, "ASN.1 syntax") in ol
+    path = _staged_by_sha(_MIMESPEC)
+    if path is not None:
+        with open(path, "rb") as f:
+            h = codec.open(f.read())
+        info = codec.doc_info(h)
+        assert info.get("Creator") == "LaTeX with hyperref"
+        ol = codec.doc_outline(h)
+        assert len(ol) == 24
+        assert ol[0] == (0, "1. Introduction")
+
+
+def test_mid_document_render_smoke():
+    """Render a MIDDLE page of every staged document (page 1 is
+    often atypical — title pages); the composite render must emit a
+    parseable PNG with ink on it for text-bearing pages."""
+    from pdf2dataset_spark.sources import raster
+    from pdf2dataset_spark.sources.codecs import PdfCodec
+
+    codec = PdfCodec()
+    for path in _staged():
+        with open(path, "rb") as f:
+            data = f.read()
+        h = codec.open(data)
+        n = codec.page_count(h)
+        if n < 3:
+            continue
+        pg = n // 2
+        png = codec.page_image(h, pg)
+        w, hh, px = raster.decode_png(png)
+        assert w > 0 and hh > 0, path
+        if codec.page_text(h, pg).strip():
+            ink = sum(1 for v in px if v != 255)
+            assert ink > 100, (path, pg, ink)
 
 
 def test_no_crashes_full_extraction():

@@ -4,7 +4,7 @@
 
 This sandbox has no network, but it DOES ship real third-party PDFs
 under /usr/share/doc (libtasn1.pdf — 36 pp pdfTeX/Type1;
-shared-mime-info-spec.pdf — 17 pp DocBook/FOP), which ci.sh stages
+shared-mime-info-spec.pdf — 17 pp LaTeX/pdfTeX-hyperref), which ci.sh stages
 through this tool automatically (round-10 verdict ask #1). The
 poppler / pytesseract differential tests
 (tests/test_pdftotext_differential.py, TestPytesseractDifferential)
