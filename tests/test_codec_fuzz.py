@@ -105,6 +105,46 @@ class TestJPXFuzz:
         ]
         _contract(jpx.decode_jpx, payloads, rng, 40)
 
+    def test_mutated_odd_offset_streams_fail_cleanly(self):
+        """Round-10: the phase-aware canvas-offset paths (odd XO/YO
+        through 5/3 AND 9/7, odd per-tile origins, per-band
+        anchoring) under the same mutation contract — typed errors
+        or a decode, never a hang/crash. Includes direct SIZ-offset
+        patching so the decoder sees offsets the encoder never
+        produced (arbitrary phases against a mismatched body)."""
+        import struct
+
+        rng = random.Random(206)
+        px = bytes(rng.randrange(256) for _ in range(32 * 24))
+        payloads = [
+            jpx.encode_jpx(32, 24, px, 1, levels=2,
+                           image_offset=(3, 5)),
+            jpx.encode_jpx(32, 24, px, 1, levels=3,
+                           image_offset=(1, 1), tile_size=(16, 16),
+                           precincts=(7, 7), prog=2),
+            jpx.encode_jpx(32, 24, px, 1, levels=2,
+                           irreversible=True, quality_bits=8,
+                           image_offset=(7, 3), tile_size=(24, 16)),
+        ]
+        _contract(jpx.decode_jpx, payloads, rng, 40)
+        # SIZ-patched phases: rewrite XOsiz/YOsiz (and Xsiz/Ysiz to
+        # keep the area non-empty) on a valid zero-offset stream —
+        # body geometry no longer matches; must fail typed or decode
+        base = jpx.encode_jpx(32, 24, px, 1, levels=2)
+        at = base.index(b"\xff\x51") + 4
+        for xo, yo in ((1, 0), (2, 3), (5, 5), (31, 23)):
+            cs = bytearray(base)
+            xs = struct.unpack_from(">I", cs, at + 2)[0]
+            ys = struct.unpack_from(">I", cs, at + 6)[0]
+            struct.pack_into(">I", cs, at + 2, xs + xo)
+            struct.pack_into(">I", cs, at + 6, ys + yo)
+            struct.pack_into(">I", cs, at + 10, xo)
+            struct.pack_into(">I", cs, at + 14, yo)
+            try:
+                jpx.decode_jpx(bytes(cs))
+            except jpx.JPXError:
+                pass  # typed failure is the contract
+
 
 class TestCcittFuzz:
     def test_mutated_streams_fail_cleanly(self):
@@ -248,6 +288,69 @@ class TestDecodeBudgets:
         assert out[0x41] == 10 and out[0x5A] == 10 + 25
         assert out[0x1F600] == 99 and out[0x1F603] == 102
         assert len(out) == 26 + 4
+
+
+class TestTilingPatternFuzz:
+    """Round-10: the rational-step supersampling and depth-budgeted
+    nesting paths under randomized patterns — _tiling_patch returns
+    a patch or None (decline), never raises, in bounded time."""
+
+    def test_random_steps_and_nesting_never_crash(self):
+        import random
+        import time
+
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+        from pdf2dataset_spark.sources.codecs import PdfCodec
+
+        rng = random.Random(1010)
+        t0 = time.monotonic()
+        for trial in range(30):
+            depth = rng.randrange(1, 5)  # 1..4 chained patterns
+            step_pool = ["10", "6", "6.5", "6.3", "6.25", "0.9",
+                         "7.0710678118654755", "6.01", "9.875"]
+            objs = []
+            nobj = 5  # first pattern object number
+            for d in range(depth):
+                if d + 1 < depth:
+                    cell = (f"/Pattern cs /Pn scn 0 0 "
+                            f"{rng.randrange(2, 11)} 10 re f"
+                            ).encode()
+                    res = (f"/Resources << /Pattern << /Pn "
+                           f"{nobj + d + 1} 0 R >> >> ").encode()
+                else:
+                    g = rng.choice(["0.1", "0.5", "0.8"])
+                    cell = (f"{g} g 0 0 {rng.randrange(1, 11)} "
+                            f"10 re f").encode()
+                    res = b"/Resources << >> "
+                xs = rng.choice(step_pool).encode()
+                objs.append(
+                    b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+                    b"/BBox [0 0 10 10] /XStep " + xs +
+                    b" /YStep 10 " + res +
+                    b"/Length " + str(len(cell)).encode()
+                    + b" >>\nstream\n" + cell + b"\nendstream")
+            content = b"/Pattern cs /P1 scn 100 100 60 30 re f"
+            pdf = _raw_pdf([
+                b"<< /Type /Catalog /Pages 2 0 R >>",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/MediaBox [0 0 612 792] /Resources << /Pattern "
+                b"<< /P1 5 0 R >> >> >>",
+                b"<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream",
+                *objs,
+            ])
+            codec = PdfCodec()
+            doc = codec.open(pdf).doc
+            pg = doc.pages()[0]
+            pres = doc.resolve(pg.get("/Resources"))
+            pat = doc.resolve(
+                doc.resolve(pres.get("/Pattern")).get("/P1"))
+            out = codec._tiling_patch(
+                doc, pat, (100, 100, 160, 130), (0, 0, 612, 792))
+            # contract: a 5-tuple patch or a None decline
+            assert out is None or len(out) == 5, trial
+        assert time.monotonic() - t0 < 30.0
 
 
 class TestCompositorFuzz:
