@@ -330,3 +330,98 @@ class TestOverprintDedup:
                b"1 0 0 1 72 695 Tm", b"(100) Tj", b"ET"]
         out = minipdf.content_text_layout(b"\n".join(ops))
         assert out.count("100") == 2
+
+
+class TestDwtPhaseProperties:
+    """Round-10: phase-aware DWT invariants under hypothesis — the
+    parametrized unit tests cover chosen shapes; these sweep random
+    signals, dims, levels and ORIGINS (the canvas-offset phase)."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 40),
+        ph=st.integers(0, 1),
+        data=st.data(),
+    )
+    def test_53_1d_identity_any_phase(self, n, ph, data):
+        from pdf2dataset_spark.sources import jpx
+
+        x = data.draw(st.lists(
+            st.integers(-4000, 4000), min_size=n, max_size=n))
+        lo, hi = jpx._dwt53_forward_1d(x, ph)
+        # band sizes = #even / #odd absolute positions in [ph, ph+n)
+        assert len(lo) == ((n + 1) // 2 if ph == 0 else n // 2)
+        assert len(lo) + len(hi) == n
+        assert jpx._dwt53_inverse_1d(lo, hi, ph) == x
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 17),
+        lv=st.integers(1, 4),
+        ox=st.integers(0, 9),
+        oy=st.integers(0, 9),
+        data=st.data(),
+    )
+    def test_53_2d_identity_and_np_twin_any_origin(
+            self, w, h, lv, ox, oy, data):
+        import numpy as np
+
+        from pdf2dataset_spark.sources import jpx
+
+        rows = [
+            data.draw(st.lists(
+                st.integers(-255, 255), min_size=w, max_size=w))
+            for _ in range(h)
+        ]
+        plane = jpx.dwt53_forward_2d(rows, lv, (ox, oy))
+        assert jpx.dwt53_inverse_2d(plane, w, h, lv, (ox, oy)) == rows
+        arr = np.array(plane, np.int64).reshape(h, w)
+        assert jpx._dwt53_inverse_2d_np(
+            arr, w, h, lv, (ox, oy)).tolist() == rows
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        x0=st.integers(0, 33),
+        y0=st.integers(0, 33),
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        lv=st.integers(1, 5),
+    )
+    def test_band_geometry_tiles_the_plane(self, x0, y0, w, h, lv):
+        """Every resolution's bands tile the plane layout exactly:
+        sizes are non-negative, the r-0 LL plus each level's
+        HL/LH/HH partition the level window, and the per-band
+        absolute origins agree with the closed-form B-15."""
+        import math
+
+        from pdf2dataset_spark.sources import jpx
+
+        for r in range(lv + 1):
+            bands = jpx._bands_for_resolution(w, h, lv, r, (x0, y0))
+            origs = jpx._band_abs_origins(w, h, lv, r, (x0, y0))
+            assert len(bands) == len(origs)
+            for (name, bx, by, bw, bh), (abx, aby) in zip(bands, origs):
+                assert bw >= 0 and bh >= 0
+                if r == 0:
+                    continue
+                lev = lv - r + 1
+                xob = 1 if name in ("HL", "HH") else 0
+                yob = 1 if name in ("LH", "HH") else 0
+                tb = lambda t0, t1, ob: (
+                    math.ceil((t0 - (1 << (lev - 1)) * ob) / (1 << lev)),
+                    math.ceil((t1 - (1 << (lev - 1)) * ob) / (1 << lev)),
+                )
+                ex0, ex1 = tb(x0, x0 + w, xob)
+                ey0, ey1 = tb(y0, y0 + h, yob)
+                assert (bw, bh) == (ex1 - ex0, ey1 - ey0), (name, r)
+                assert (abx, aby) == (ex0, ey0), (name, r)
+            if r > 0:
+                # the three bands + the next LL partition the window
+                lev = lv - r + 1
+                wins = jpx._level_windows(x0, y0, w, h, lv)
+                px0, py0, px1, py1 = wins[lev - 1]
+                area = sum(bw * bh for _, _, _, bw, bh in bands)
+                ll = jpx._level_windows(x0, y0, w, h, lv)[lev]
+                ll_area = (ll[2] - ll[0]) * (ll[3] - ll[1])
+                assert area + ll_area == (px1 - px0) * (py1 - py0)
