@@ -60,14 +60,18 @@ per-component COC coding styles (A.6.2: levels / transform /
 code-block style / precincts per component), including per-TILE
 COD/COC/QCD/QCC overrides parsed from the first tile-part's header
 with the A.6 precedence (tile-COC > tile-COD > main-COC > main-COD).
-Round 10 closed the canvas-offset phase decline: tile-component
-origins that are NOT multiples of 2^levels — including fully odd
-XOsiz/YOsiz — decode bit-exact. The 5/3 and 9/7 lifting are
-phase-aware (F.3/F.4 on the absolute interval, PSE folds computed
-on the extended signal), band dims/origins follow B-15 (ceil/floor
-halving per gain, pinned in tests against the closed form), and
-precinct/code-block grids anchor at each band's own absolute
-origin (B.6/B.7).
+Round 10 closed the canvas-offset phase decline AND the tile-local
+convention behind it: EVERY tile-component now transforms and
+anchors at its ABSOLUTE canvas origin — origins that are not
+multiples of 2^levels, including fully odd XOsiz/YOsiz and
+unaligned multi-tile grids, decode bit-exact. The 5/3 and 9/7
+lifting are phase-aware (F.3/F.4 on the absolute interval, PSE
+folds computed on the extended signal), band dims/origins follow
+B-15 (ceil/floor halving per gain, pinned in tests against the
+closed form), and precinct/code-block grids anchor at each band's
+own absolute origin (B.6/B.7) — the former
+"canvas-anchored precinct grid offset against tile origin" decline
+is gone with the convention that caused it.
 
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
 compressed payload is preserved by the caller either way):
@@ -1551,15 +1555,18 @@ def _precinct_info(comp_tile_dims: list, levels: int,
     base_y are the first precinct's canvas grid indices
     (floor(trx0 / 2^PPx)) and obx/oby the bands' absolute origins.
 
-    ``origins`` (per-component (tcx0, tcy0), canvas-offset streams)
-    activates the canvas-anchored geometry. Round-10: origins need
-    NOT be phase-safe any more — the resolution-grid origin is the
-    normative ceil (B-14: trx0 = ceil(tcx0 / 2^(NL-r))), extents are
-    edge differences, and slot 8 carries each band's own absolute
-    origin from :func:`_band_abs_origins` (the three bands of a
-    resolution differ at odd phases). Without origins (every
-    zero-offset stream) base/band origins are 0 and the layout
-    reduces to the engine's tile-local convention, bit-identically."""
+    ``origins`` (per-component (tcx0, tcy0)) anchors the geometry at
+    the ABSOLUTE canvas position. Round-10: every codestream path
+    passes them (canvas-offset or not — T.800 anchors everything at
+    the canvas origin; the engine's former tile-local convention
+    for zero-offset multi-tile streams is gone) and origins need
+    not be phase-safe: the resolution-grid origin is the normative
+    ceil (B-14: trx0 = ceil(tcx0 / 2^(NL-r))), extents are edge
+    differences, and slot 8 carries each band's own absolute origin
+    from :func:`_band_abs_origins` (the three bands of a resolution
+    differ at odd phases). Single-tile zero-offset streams — the
+    PDF-embedded norm — have all-zero origins, bit-identically to
+    the old layout."""
     pinfo = {}
     for c, (tcw, tch) in enumerate(comp_tile_dims):
         xr, yr = subs[c]
@@ -1585,32 +1592,6 @@ def _precinct_info(comp_tile_dims: list, levels: int,
     return pinfo
 
 
-def _check_precinct_alignment(boxes: list, levels: int,
-                              precincts: list | None) -> None:
-    """T.800 B.6 anchors precinct grids at the CANVAS origin
-    (numprecincts = ceil(trx1/2^PPx) - floor(trx0/2^PPx)); this
-    engine's band/code-block geometry is tile-local, which is
-    identical exactly when every tile-component's resolution-grid
-    origin is a multiple of the precinct size. Decline the
-    divergent shape by name instead of mis-walking a conforming
-    stream's packets (single-tile images — the PDF-embedded norm —
-    always pass: origins are zero)."""
-    if precincts is None:
-        return
-    for tcx0, tcy0, tcw, tch in boxes:
-        for r in range(levels + 1):
-            s = levels - r
-            trx0 = -(-tcx0 // (1 << s))
-            try0 = -(-tcy0 // (1 << s))
-            ppx, ppy = precincts[r]
-            if trx0 % (1 << ppx) or try0 % (1 << ppy):
-                raise JPXUnsupported(
-                    "canvas-anchored precinct grid offset against "
-                    f"tile origin at resolution {r} (tile-component "
-                    f"origin ({tcx0}, {tcy0}))"
-                )
-
-
 def _precinct_band_windows(band_dims: list, r: int, ppx: int,
                            ppy: int, pxi: int, pyi: int,
                            base_x: int = 0, base_y: int = 0,
@@ -1623,7 +1604,7 @@ def _precinct_band_windows(band_dims: list, r: int, ppx: int,
     band-absolute [(base_x + pxi)·pw, +pw) against EACH band's own
     absolute origin in ``borigins`` (round-10: per band — the three
     bands of a resolution differ at odd phases; all 0 for
-    zero-offset streams — the tile-local shape); the engine's
+    zero-offset single-tile streams); the engine's
     precinct floor (PPx >= 7 for r > 0, >= 6 at r = 0) keeps every
     window edge on the canvas 64-grid so code blocks are never
     split."""
@@ -2220,18 +2201,18 @@ def encode_jpx(
             )
             # component planes cover the IMAGE AREA: index from the
             # component origin (== the offset, 1x1 subsampling).
-            # round-10: CANVAS origins need not be phase-safe — the
-            # forward DWT takes the absolute origin and shifts its
-            # lifting phase/split points accordingly. Zero-offset
-            # streams keep the engine's established tile-local
-            # phase (identical to absolute for the aligned tile
-            # sizes _check_precinct_alignment admits).
+            # round-10: EVERY tile-component transforms at its
+            # ABSOLUTE canvas origin (B-14/F.3 — the lifting phase
+            # and split points are position-dependent). Zero-offset
+            # single-tile streams — the PDF-embedded norm — have
+            # origin (0, 0), so their bytes are unchanged; unaligned
+            # multi-tile streams now match the spec instead of the
+            # engine's former tile-local convention.
             sub = [row[tcx0 - xo:tcx0 - xo + tcw]
                    for row in plane_rows[tcy0 - yo:tcy0 - yo + tch]]
             planes.append(
-                (dwt53_forward_2d(
-                    sub, lv, (tcx0, tcy0) if canvas else (0, 0)),
-                 tcw, tch, tcx0, tcy0)
+                (dwt53_forward_2d(sub, lv, (tcx0, tcy0)), tcw, tch,
+                 tcx0, tcy0)
             )
         tile_planes[isot] = planes
     sprgn = 0
@@ -2268,7 +2249,7 @@ def encode_jpx(
         ):
             res, comp_exps = _encode_tile_component(
                 plane, tcw, tch, eff_levels(isot, c), cbstyle,
-                origin=(tcx0, tcy0) if canvas else (0, 0),
+                origin=(tcx0, tcy0),
             )
             all_res.append(res)
             exps_tc[(isot, c)] = comp_exps
@@ -2353,14 +2334,9 @@ def encode_jpx(
                   else [precincts[0]] * (lv + 1))
             for lv in comp_levels
         ]
-        if not canvas:
-            for c in range(ncomp):
-                _check_precinct_alignment(
-                    [tboxes[c]], comp_levels[c], comp_precincts[c]
-                )
         pinfo = _precinct_info(
             [b[2:] for b in tboxes], max(comp_levels), None, subs,
-            origins=[b[:2] for b in tboxes] if canvas else None,
+            origins=[b[:2] for b in tboxes],
             comp_levels=comp_levels, comp_precincts=comp_precincts,
         )
         hdrb = b""
@@ -2447,7 +2423,6 @@ def _encode_jpx_lossy(
     subs = subs or [(1, 1)] * ncomp
     xo, yo = (int(v) for v in image_offset)
     xto, yto = (int(v) for v in tile_offset)
-    canvas = bool(xo or yo or xto or yto)
     xsiz, ysiz = xo + width, yo + height
     external_ycc = False
     if ncomp == 1:
@@ -2487,7 +2462,7 @@ def _encode_jpx_lossy(
 
     def comp_origin(isot, cc):
         tcx0, tcy0, _, _ = comp_box(isot, cc)
-        return (tcx0, tcy0) if canvas else (0, 0)
+        return (tcx0, tcy0)
 
     # forward 9/7 per tile (tiles transform independently; canvas
     # streams take the absolute origin — phase-aware, round-10)
@@ -2665,12 +2640,9 @@ def _encode_jpx_lossy(
             out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
     for isot in range(ntx * nty):
         tboxes = [comp_box(isot, cc) for cc in range(ncomp)]
-        if not canvas:
-            _check_precinct_alignment(tboxes, levels, precincts)
         pinfo = _precinct_info(
             [b[2:] for b in tboxes], levels, precincts, subs,
-            origins=[(b[0], b[1]) for b in tboxes] if canvas
-            else None,
+            origins=[(b[0], b[1]) for b in tboxes],
         )
         _emit_tile(
             out, isot,
@@ -3265,20 +3237,16 @@ def decode_codestream(data: bytes):
             np.zeros((tch, tcw), np.int64)
             for (_, _, tcw, tch) in boxes
         ]
-        for c, (tcx0, tcy0, tcw, tch) in enumerate(boxes):
-            if not canvas:
-                # round-10: canvas origins no longer need to be
-                # phase-safe — band geometry, precinct/code-block
-                # anchoring and the 5/3+9/7 lifting are all
-                # origin-aware (B-14/B-15, F.3-F.4); the former
-                # named decline is gone
-                _check_precinct_alignment(
-                    [boxes[c]], comp_levels[c], comp_precincts[c]
-                )
+        # round-10: EVERY tile-component decodes at its absolute
+        # canvas origin — band geometry, precinct/code-block
+        # anchoring and the 5/3+9/7 lifting are all origin-aware
+        # (B-14/B-15, F.3-F.4), so both former named declines
+        # (phase-shifting offsets, tile-local precinct mis-anchor)
+        # are gone
         pinfo = _precinct_info(
             [(tcw, tch) for (_, _, tcw, tch) in boxes],
             max(comp_levels), None, subs,
-            origins=[(b[0], b[1]) for b in boxes] if canvas else None,
+            origins=[(b[0], b[1]) for b in boxes],
             comp_levels=comp_levels, comp_precincts=comp_precincts,
         )
         # every packet costs >= 1 header bit: reject crafted
@@ -3300,7 +3268,7 @@ def decode_codestream(data: bytes):
             for r in range(comp_levels[c] + 1):
                 bands = _bands_for_resolution(
                     boxes[c][2], boxes[c][3], comp_levels[c], r,
-                    (boxes[c][0], boxes[c][1]) if canvas else (0, 0),
+                    (boxes[c][0], boxes[c][1]),
                 )
                 band_dims = [(bw, bh) for (_, _, _, bw, bh) in bands]
                 info = pinfo[(r, c)]
@@ -3472,7 +3440,7 @@ def decode_codestream(data: bytes):
                 continue
             pc = tile_ctx[isot]["params"][c]
             lv, tr = pc["levels"], pc["transform"]
-            orig = (tcx0, tcy0) if canvas else (0, 0)
+            orig = (tcx0, tcy0)
             p = tplanes[c]
             if tr == 1:
                 rec = _dwt53_inverse_2d_np(p, tcw, tch, lv, orig)

@@ -685,20 +685,29 @@ class TestPrecincts:
                         precincts=(7, 7), tile_size=(256, 256))
         assert decode_jpx(cs)[2] == px
 
-    def test_misaligned_tile_precinct_grid_declines(self):
-        """Canvas-anchored precinct grids (B.6) that cut through a
-        tile whose resolution-grid origin is off-grid are DECLINED
-        by name — the engine's tile-local geometry would mis-walk a
-        conforming stream's packets (silent garbage is worse than an
-        honest error row)."""
+    def test_misaligned_tile_precinct_grid_roundtrips(self):
+        """Round-10: canvas-anchored precinct grids (B.6) that cut
+        through a tile whose resolution-grid origin is off-grid
+        ROUND-TRIP (the round-9 named decline) — every
+        tile-component transforms and anchors at its absolute
+        canvas origin now, so the tile-local convention that
+        mis-walked this shape is gone. Tile origins here (150, 140)
+        are not multiples of 2^(PP+levels), and 150/4, 140/4 are
+        not integers at level 2 either — so this exercises BOTH the
+        anchoring and the odd lifting phase per tile."""
         import numpy as np
 
         rng = np.random.default_rng(8)
         w, h = 300, 280
         px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
-        with pytest.raises(JPXError):  # encoder refuses to author it
-            encode_jpx(w, h, px, 1, levels=2, precincts=(7, 8),
-                       tile_size=(150, 140))
+        cs = encode_jpx(w, h, px, 1, levels=2, precincts=(7, 8),
+                        tile_size=(150, 140))
+        assert decode_jpx(cs)[2] == px
+        # and the same shape with layers + RPCL + resync markers
+        cs = encode_jpx(w, h, px, 1, levels=2, precincts=(7, 7),
+                        tile_size=(150, 140), layers=2, prog=2,
+                        sop=True, eph=True)
+        assert decode_jpx(cs)[2] == px
 
     def test_lossy_subsampled_with_precincts(self):
         import numpy as np
