@@ -73,13 +73,19 @@ own absolute origin (B.6/B.7) — the former
 "canvas-anchored precinct grid offset against tile origin" decline
 is gone with the convention that caused it.
 
+Late round 10 also closed the code-block-size tail: any T.800
+A.6.1-legal SIGNALED size decodes (xcb/ycb 2..10, sum <= 12 — the
+64x64-only decline is gone), and precincts smaller than the block
+SHRINK the effective block grid per B-17 (xcb' = min(xcb, PPx) at
+r = 0, min(xcb, PPx - 1) above) instead of declining.
+
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
 compressed payload is preserved by the caller either way):
-precincts small enough to split the 64x64 code block, non-maxshift
-ROI styles, canvas offsets combined with component subsampling, and
-the 9/7 single-sample odd-phase window (F.3.4 publishes the
-one-sample rule for the reversible path only; guessing the
-irreversible normalization is the round-9 B.10 mistake).
+non-maxshift ROI styles, canvas offsets combined with component
+subsampling, and the 9/7 single-sample odd-phase window (F.3.4
+publishes the one-sample rule for the reversible path only;
+guessing the irreversible normalization is the round-9 B.10
+mistake).
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -1455,29 +1461,44 @@ def _band_abs_origins(w: int, h: int, levels: int, r: int,
     return [(hx, ly), (lx, hy), (hx, hy)]
 
 
-def _cb_edges(origin: int, extent: int) -> list:
-    """Split [0, extent) at the canvas-anchored 64-grid boundaries
-    ((origin + x) % 64 == 0) → [(grid index, x, w)]. With origin 0
-    this is the plain 0-anchored 64-grid."""
-    cb = 1 << _CB_EXP
+def _eff_cb_exp(r: int, ppx: int, ppy: int,
+                cb_exp: tuple = (6, 6)) -> tuple:
+    """EFFECTIVE code-block exponents inside resolution r's
+    precincts (T.800 B.7 / Eq. B-17: xcb' = min(xcb, PPx) at r = 0
+    and min(xcb, PPx - 1) for r > 0 — a precinct smaller than the
+    signaled code block SHRINKS the blocks instead of splitting
+    them). With the default 2^15 precincts this is the signaled
+    size (round-10: both small signaled sizes and precinct-clamped
+    sizes decode; the former 64x64-only decline is gone)."""
+    s = 0 if r == 0 else 1
+    return min(cb_exp[0], ppx - s), min(cb_exp[1], ppy - s)
+
+
+def _cb_edges(origin: int, extent: int, exp: int = _CB_EXP) -> list:
+    """Split [0, extent) at the canvas-anchored 2^exp-grid
+    boundaries ((origin + x) % 2^exp == 0) → [(grid index, x, w)].
+    With origin 0 this is the plain 0-anchored grid."""
+    cb = 1 << exp
     out = []
     x = 0
     while x < extent:
         nxt = min(extent, ((origin + x) // cb + 1) * cb - origin)
-        out.append(((origin + x) >> _CB_EXP, x, nxt - x))
+        out.append(((origin + x) >> exp, x, nxt - x))
         x = nxt
     return out
 
 
-def _codeblocks(bw: int, bh: int, obx: int = 0, oby: int = 0) -> list:
+def _codeblocks(bw: int, bh: int, obx: int = 0, oby: int = 0,
+                xcb: int = _CB_EXP, ycb: int = _CB_EXP) -> list:
     """Code-block grid over a band: (gx, gy, x, y, w, h) with
     band-LOCAL x/y and CANVAS-anchored grid indices (T.800 B.7: the
     partition is anchored at the canvas origin; ``obx``/``oby`` are
     the band's absolute origin — 0 for untiled zero-offset streams,
-    where this reduces to the plain local 64-grid)."""
+    where this reduces to the plain local grid). ``xcb``/``ycb``
+    are the EFFECTIVE exponents (see :func:`_eff_cb_exp`)."""
     out = []
-    for gy, y, ch in _cb_edges(oby, bh):
-        for gx, x, cw in _cb_edges(obx, bw):
+    for gy, y, ch in _cb_edges(oby, bh, ycb):
+        for gx, x, cw in _cb_edges(obx, bw, xcb):
             out.append((gx, gy, x, y, cw, ch))
     return out
 
@@ -1491,7 +1512,9 @@ _GUARD_BITS = 1
 
 
 def _encode_tile_component(plane, w: int, h: int, levels: int,
-                           cbstyle: int = 0, origin: tuple = (0, 0)):
+                           cbstyle: int = 0, origin: tuple = (0, 0),
+                           precincts: list | None = None,
+                           cb_exp: tuple = (_CB_EXP, _CB_EXP)):
     """EBCOT-encode one component's coefficient plane → (per-resolution
     band/block structures, per-subband max plane counts in QCD order).
     When ``cbstyle`` carries terminations (bypass/termall) each
@@ -1501,18 +1524,22 @@ def _encode_tile_component(plane, w: int, h: int, levels: int,
     canvas-offset streams — round-10: it no longer needs to be
     phase-safe; it shifts the band dims/split points (B-15) and
     anchors each band's code-block grid at that band's own absolute
-    origin (T.800 B.7)."""
+    origin (T.800 B.7). ``precincts``/``cb_exp`` (round-10) size
+    the EFFECTIVE per-resolution block grid (B-17)."""
     terminated = bool(cbstyle & 0x05)
     styled = bool(cbstyle & 0x2F)  # any bit that changes the coding
     resolutions = []
     exps = []
     for r in range(levels + 1):
+        ppx, ppy = (15, 15) if precincts is None else precincts[r]
+        xcb, ycb = _eff_cb_exp(r, ppx, ppy, cb_exp)
         bands = _bands_for_resolution(w, h, levels, r, origin)
         borigins = _band_abs_origins(w, h, levels, r, origin)
         per_band = []
         for (name, bx, by, bw, bh), (obx, oby) in zip(bands, borigins):
             blocks = []
-            for gx, gy, x, y, cw, ch in _codeblocks(bw, bh, obx, oby):
+            for gx, gy, x, y, cw, ch in _codeblocks(bw, bh, obx, oby,
+                                                    xcb, ycb):
                 coeffs = [
                     plane[by + y + yy][bx + x + xx]
                     for yy in range(ch)
@@ -1624,21 +1651,25 @@ def _precinct_band_windows(band_dims: list, r: int, ppx: int,
 
 
 def _precinct_codeblocks(bw: int, bh: int, win: tuple,
-                         obx: int = 0, oby: int = 0) -> list:
+                         obx: int = 0, oby: int = 0,
+                         xcb: int = _CB_EXP,
+                         ycb: int = _CB_EXP) -> list:
     """Code blocks of one band inside a precinct window: global grid
     indices plus LOCAL tag-tree indices —
-    (gx, gy, lx, ly, x, y, cw, ch). The global 64-grid and the
-    precinct windows are both CANVAS-anchored (band origin
-    ``obx``/``oby``); window edges land on the canvas 64-grid, so the
-    local grid is a contiguous sub-rectangle of it. The band's own
-    start/end may cut the first/last blocks short."""
+    (gx, gy, lx, ly, x, y, cw, ch). The global 2^xcb/2^ycb grid and
+    the precinct windows are both CANVAS-anchored (band origin
+    ``obx``/``oby``); window edges land on the canvas block grid
+    (the effective exponents never exceed the band-domain precinct
+    size, B-17), so the local grid is a contiguous sub-rectangle of
+    it. The band's own start/end may cut the first/last blocks
+    short."""
     x0, y0, x1, y1 = win
     if x1 <= x0 or y1 <= y0:
         return []
-    gx0, gy0 = (obx + x0) >> _CB_EXP, (oby + y0) >> _CB_EXP
+    gx0, gy0 = (obx + x0) >> xcb, (oby + y0) >> ycb
     out = []
-    for gy, y, ch in _cb_edges(oby + y0, y1 - y0):
-        for gx, x, cw in _cb_edges(obx + x0, x1 - x0):
+    for gy, y, ch in _cb_edges(oby + y0, y1 - y0, ycb):
+        for gx, x, cw in _cb_edges(obx + x0, x1 - x0, xcb):
             out.append((gx, gy, gx - gx0, gy - gy0,
                         x0 + x, y0 + y, cw, ch))
     return out
@@ -1690,7 +1721,8 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                   sop: bool, eph: bool, prog: int = 0,
                   pinfo: dict | None = None,
                   cbstyle: int = 0,
-                  comp_levels: list | None = None) -> list:
+                  comp_levels: list | None = None,
+                  cb_exp: tuple = (_CB_EXP, _CB_EXP)) -> list:
     """Build one tile's packets (list of byte strings, SOP markers
     attached): code blocks are assigned round-robin to quality layers
     (first-inclusion layer), packets iterate in ``prog`` order over
@@ -1720,6 +1752,7 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
             npx, npy, _, _, ppx, ppy = info[:6]
             base_x, base_y = (info[6:8] or (0, 0))
             borigins = info[8] if len(info) > 8 else None
+            xcb, ycb = _eff_cb_exp(r, ppx, ppy, cb_exp)
             band_dims = [(bw, bh) for _, bw, bh, _ in all_res[c][r]]
             plist = []
             for pyi in range(npy):
@@ -1738,11 +1771,10 @@ def _tile_packets(all_res, mbs_by_cr: list, levels: int, layers: int,
                         if x1 <= x0 or y1 <= y0 or not blocks:
                             per.append(None)
                             continue
-                        cbm = (1 << _CB_EXP) - 1
-                        gx0, gy0 = ((obx + x0) >> _CB_EXP,
-                                    (oby + y0) >> _CB_EXP)
-                        gx1 = (obx + x1 + cbm) >> _CB_EXP
-                        gy1 = (oby + y1 + cbm) >> _CB_EXP
+                        gx0, gy0 = ((obx + x0) >> xcb,
+                                    (oby + y0) >> ycb)
+                        gx1 = (obx + x1 + (1 << xcb) - 1) >> xcb
+                        gy1 = (oby + y1 + (1 << ycb) - 1) >> ycb
                         # precinct-local block list, local tag coords
                         sel = [
                             (gx - gx0, gy - gy0, data, np_, nb)
@@ -1893,12 +1925,26 @@ def _build_packet_layer(per_band, l: int, eph: bool,
     return hw.flush() + eph_m + bytes(body)
 
 
+def _check_cb_exp(cb_exp: tuple) -> None:
+    """Validate a SIGNALED code-block exponent pair (T.800 A.6.1:
+    xcb, ycb in 2..10 and xcb + ycb <= 12 — at most 4096 samples per
+    block)."""
+    xcb, ycb = cb_exp
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise JPXError(
+            f"code-block exponents {xcb}/{ycb} outside T.800 A.6.1 "
+            "(2..10 each, sum <= 12)"
+        )
+
+
 def _check_precincts(precincts, levels: int) -> list | None:
     """Normalize an encoder precinct spec: a single (PPx, PPy) pair
     applies to every resolution; a list gives one pair per
-    resolution (r = 0 first). Enforces the engine's precinct floor
-    (>= 2^7 for r > 0, >= 2^6 at r = 0 — windows stay 64-aligned)
-    and the 4-bit field range."""
+    resolution (r = 0 first). Round-10: precincts smaller than the
+    signaled code block no longer decline — they SHRINK the
+    effective block size per B-17 (:func:`_eff_cb_exp`); only the
+    4-bit field range and the r>0 >= 2^1 band-domain minimum are
+    enforced."""
     if precincts is None:
         return None
     if (len(precincts) == 2
@@ -1910,11 +1956,10 @@ def _check_precincts(precincts, levels: int) -> list | None:
     for r, (ppx, ppy) in enumerate(precincts):
         if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
             raise JPXError(f"precinct exponents {ppx}/{ppy} out of range")
-        floor_exp = _CB_EXP if r == 0 else _CB_EXP + 1
-        if ppx < floor_exp or ppy < floor_exp:
+        if r > 0 and (ppx < 1 or ppy < 1):
             raise JPXError(
-                f"precinct size 2^{ppx}x2^{ppy} at resolution {r} "
-                "would split the 64x64 code block"
+                "precinct exponent 0 is only legal at resolution 0 "
+                "(T.800 Table A.21)"
             )
     return precincts
 
@@ -2009,6 +2054,7 @@ def encode_jpx(
     tile_offset: tuple = (0, 0),
     coc: dict | None = None,
     tile_coc: dict | None = None,
+    cb_exp: tuple = (_CB_EXP, _CB_EXP),
 ) -> bytes:
     """Author a JPEG 2000 codestream (or JP2 file with ``jp2``) from
     8-bit samples (gray, or interleaved RGB with the color transform
@@ -2058,6 +2104,8 @@ def encode_jpx(
     levels = max(0, min(levels, 32))
     subs = _check_subsampling(subsampling, ncomp)
     precincts = _check_precincts(precincts, levels)
+    cb_exp = tuple(int(v) for v in cb_exp)
+    _check_cb_exp(cb_exp)
     cbstyle = (cbstyle | (0x01 if bypass else 0)) & 0xFF
     if cbstyle & ~0x3F:
         raise JPXError(f"undefined code-block style bits 0x{cbstyle:02x}")
@@ -2101,6 +2149,7 @@ def encode_jpx(
             quality_bits, quant_style, tile_size, sop, eph, layers,
             prog, chroma_quality_bits, tile_parts, subs, precincts,
             cbstyle, image_offset=(xo, yo), tile_offset=(xto, yto),
+            cb_exp=cb_exp,
         )
     external_ycc = False
     comps = []
@@ -2174,7 +2223,7 @@ def encode_jpx(
     if precincts is not None:
         scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
-        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2,
+        [1 if use_mct else 0, levels, cb_exp[0] - 2, cb_exp[1] - 2,
          cbstyle, 1]
     )
     if precincts is not None:
@@ -2247,9 +2296,15 @@ def encode_jpx(
         for c, (plane, tcw, tch, tcx0, tcy0) in enumerate(
             tile_planes[isot]
         ):
+            lv_c = eff_levels(isot, c)
+            prec_c = None if precincts is None else (
+                precincts if lv_c == levels
+                else [precincts[0]] * (lv_c + 1)
+            )
             res, comp_exps = _encode_tile_component(
-                plane, tcw, tch, eff_levels(isot, c), cbstyle,
-                origin=(tcx0, tcy0),
+                plane, tcw, tch, lv_c, cbstyle,
+                origin=(tcx0, tcy0), precincts=prec_c,
+                cb_exp=cb_exp,
             )
             all_res.append(res)
             exps_tc[(isot, c)] = comp_exps
@@ -2291,7 +2346,7 @@ def encode_jpx(
 
     def _coc_seg(c: int, lv: int) -> bytes:
         scoc = 1 if precincts is not None else 0
-        body = bytes([c, scoc, lv, _CB_EXP - 2, _CB_EXP - 2,
+        body = bytes([c, scoc, lv, cb_exp[0] - 2, cb_exp[1] - 2,
                       cbstyle, 1])
         if precincts is not None:
             ppx, ppy = precincts[0]
@@ -2349,7 +2404,7 @@ def encode_jpx(
                           [mbs_for(isot, c) for c in range(ncomp)],
                           max(comp_levels), layers,
                           sop, eph, prog, pinfo, cbstyle,
-                          comp_levels=comp_levels),
+                          comp_levels=comp_levels, cb_exp=cb_exp),
             tile_parts,
             header_bytes=hdrb,
         )
@@ -2406,6 +2461,7 @@ def _encode_jpx_lossy(
     cbstyle: int = 0,
     image_offset: tuple = (0, 0),
     tile_offset: tuple = (0, 0),
+    cb_exp: tuple = (_CB_EXP, _CB_EXP),
 ) -> bytes:
     """Lossy (9/7 + scalar quantization) body of :func:`encode_jpx`.
 
@@ -2572,7 +2628,8 @@ def _encode_jpx_lossy(
                     ).astype(np.int64)
             res, comp_exps = _encode_tile_component(
                 ip.tolist(), tw, th, levels, cbstyle,
-                origin=comp_origin(isot, cc),
+                origin=comp_origin(isot, cc), precincts=precincts,
+                cb_exp=cb_exp,
             )
             all_res.append(res)
             comp_maxq[cc] = [max(a, b) for a, b in
@@ -2621,7 +2678,7 @@ def _encode_jpx_lossy(
     if precincts is not None:
         scod |= 0x01
     cod = bytes([scod, prog]) + struct.pack(">H", layers) + bytes(
-        [1 if use_mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2,
+        [1 if use_mct else 0, levels, cb_exp[0] - 2, cb_exp[1] - 2,
          cbstyle, 0]
     )
     if precincts is not None:
@@ -2647,7 +2704,8 @@ def _encode_jpx_lossy(
         _emit_tile(
             out, isot,
             _tile_packets(tile_res[isot], mbs_by_cr, levels, layers,
-                          sop, eph, prog, pinfo, cbstyle),
+                          sop, eph, prog, pinfo, cbstyle,
+                          cb_exp=cb_exp),
             tile_parts,
         )
     out += b"\xff\xd9"  # EOC
@@ -2698,14 +2756,12 @@ def _parse_precinct_bytes(pp: bytes, levels: int) -> list:
         raise JPXError("precinct byte list truncated")
     precincts = [(b & 0x0F, b >> 4) for b in pp[:levels + 1]]
     for r, (ppx, ppy) in enumerate(precincts):
-        # the engine's 64x64 code blocks must not be SPLIT by
-        # precinct boundaries (band-domain precinct dims are halved
-        # for r > 0)
-        floor_exp = _CB_EXP if r == 0 else _CB_EXP + 1
-        if ppx < floor_exp or ppy < floor_exp:
-            raise JPXUnsupported(
-                f"precinct size 2^{ppx}x2^{ppy} at resolution {r} "
-                "splits the 64x64 code block"
+        # round-10: small precincts SHRINK the effective code-block
+        # size per B-17 instead of declining; only the Table A.21
+        # structural minimum remains
+        if r > 0 and (ppx < 1 or ppy < 1):
+            raise JPXError(
+                "precinct exponent 0 is only legal at resolution 0"
             )
     return precincts
 
@@ -2900,28 +2956,30 @@ class _ResolutionState:
     __slots__ = ("bands", "mbs", "per_band", "cbstyle")
 
     def __init__(self, bands, mbs: list, wins: list | None = None,
-                 cbstyle: int = 0, borigins: list | None = None):
+                 cbstyle: int = 0, borigins: list | None = None,
+                 cb_exp: tuple = (_CB_EXP, _CB_EXP)):
         self.bands = bands
         self.mbs = mbs
         self.cbstyle = cbstyle
         self.per_band = []
+        xcb, ycb = cb_exp
         if wins is None:
             wins = [(0, 0, bw, bh) for (_, _, _, bw, bh) in bands]
         if borigins is None:
             borigins = [(0, 0)] * len(bands)
         for (name, bx, by, bw, bh), mb, win, (obx, oby) in zip(
                 bands, mbs, wins, borigins):
-            cells = _precinct_codeblocks(bw, bh, win, obx, oby)
+            cells = _precinct_codeblocks(bw, bh, win, obx, oby,
+                                         xcb, ycb)
             if bw <= 0 or bh <= 0 or not cells:
                 self.per_band.append(None)
                 continue
             x0, y0, x1, y1 = win
-            cbm = (1 << _CB_EXP) - 1
-            gw = ((obx + x1 + cbm) >> _CB_EXP) - (
-                (obx + x0) >> _CB_EXP
+            gw = ((obx + x1 + (1 << xcb) - 1) >> xcb) - (
+                (obx + x0) >> xcb
             )
-            gh = ((oby + y1 + cbm) >> _CB_EXP) - (
-                (oby + y0) >> _CB_EXP
+            gh = ((oby + y1 + (1 << ycb) - 1) >> ycb) - (
+                (oby + y0) >> ycb
             )
             self.per_band.append({
                 "incl": TagTreeDecoder(gw, gh),
@@ -3117,11 +3175,11 @@ def decode_codestream(data: bytes):
                 p.update(levels=o["levels"], transform=o["transform"],
                          cbstyle=o["cbstyle"], cb_exp=o["cb_exp"],
                          precincts=o["precincts"])
-            if p["cb_exp"] != (_CB_EXP, _CB_EXP):
-                raise JPXUnsupported(
-                    f"code-block size {p['cb_exp']} (engine uses "
-                    "64x64)"
-                )
+            # round-10: any A.6.1-legal signaled code-block size
+            # decodes (the former 64x64-only decline is gone);
+            # precinct-clamped effective sizes come from
+            # _eff_cb_exp at state-build time
+            _check_cb_exp(p["cb_exp"])
             if p["levels"] > 32:  # T.800 A.6.1: 0..32 levels
                 raise JPXError(
                     f"bad decomposition level count {p['levels']}"
@@ -3274,6 +3332,7 @@ def decode_codestream(data: bytes):
                 info = pinfo[(r, c)]
                 npx, npy, _, _, ppx, ppy = info[:6]
                 base_x, base_y, borigins = info[6], info[7], info[8]
+                eff = _eff_cb_exp(r, ppx, ppy, params[c]["cb_exp"])
                 states[(r, c)] = [
                     _ResolutionState(
                         bands, qcd_index[(r, c)],
@@ -3281,7 +3340,7 @@ def decode_codestream(data: bytes):
                             band_dims, r, ppx, ppy, pxi, pyi,
                             base_x, base_y, borigins,
                         ),
-                        params[c]["cbstyle"], borigins,
+                        params[c]["cbstyle"], borigins, eff,
                     )
                     for pyi in range(npy) for pxi in range(npx)
                 ]

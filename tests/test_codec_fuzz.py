@@ -125,6 +125,11 @@ class TestJPXFuzz:
             jpx.encode_jpx(32, 24, px, 1, levels=2,
                            irreversible=True, quality_bits=8,
                            image_offset=(7, 3), tile_size=(24, 16)),
+            # round-10 late: small signaled blocks + clamping
+            # precincts (effective 8x8 blocks at r>0)
+            jpx.encode_jpx(32, 24, px, 1, levels=2, cb_exp=(4, 4)),
+            jpx.encode_jpx(32, 24, px, 1, levels=2,
+                           precincts=(4, 4), prog=2, layers=2),
         ]
         _contract(jpx.decode_jpx, payloads, rng, 40)
         # SIZ-patched phases: rewrite XOsiz/YOsiz (and Xsiz/Ysiz to

@@ -650,10 +650,11 @@ class TestSubsampling:
 
 class TestPrecincts:
     """Non-default precincts (COD Scod bit 0, B.6) — per-precinct
-    tag trees and position-correct packet ordering (B.12). The
-    engine supports precinct sizes down to the 64x64 code block
-    (2^7 at r > 0 where band cells are half the resolution cell;
-    2^6 at r = 0) and names anything smaller."""
+    tag trees and position-correct packet ordering (B.12).
+    Round-10: precincts SMALLER than the code block no longer
+    decline — the effective block size shrinks per B-17
+    (min(xcb, PPx - 1) for r > 0), so any Table A.21-legal precinct
+    spec decodes."""
 
     def test_roundtrip_all_progressions(self):
         import numpy as np
@@ -777,23 +778,56 @@ class TestPrecincts:
         pcrl = _packet_order(3, 1, 0, 2, pinfo)
         assert pcrl == [(0, 0, 0, 0), (0, 0, 1, 0), (0, 0, 0, 1)]
 
-    def test_small_precincts_named_unsupported(self):
+    def test_small_precincts_shrink_code_blocks(self):
+        """Round-10 (the former named decline): precincts smaller
+        than the signaled code block round-trip — the effective
+        block grid shrinks to the band-domain precinct size, so
+        blocks are never split."""
+        import numpy as np
+
+        rng = np.random.default_rng(77)
+        w, h = 200, 150
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        for prec, prog in (((6, 6), 0), ((5, 5), 2), ((6, 5), 4),
+                           ((5, 7), 3)):
+            cs = encode_jpx(w, h, px, 1, levels=2, precincts=prec,
+                            prog=prog, layers=2, sop=True, eph=True)
+            assert decode_jpx(cs)[2] == px, (prec, prog)
+        # a foreign-patched small-precinct COD against a 2^7 body:
+        # geometry mismatch must fail typed or decode, never crash
         data = bytearray(
             encode_jpx(300, 280, bytes(300 * 280), 1, levels=2,
                        precincts=(7, 7))
         )
         cod_at = bytes(data).index(b"\xff\x52")
-        # r=1 precinct byte -> 2^6x2^6: splits the 64x64 code block
         data[cod_at + 4 + 10 + 1] = 0x66
-        with pytest.raises(JPXUnsupported):
+        try:
             decode_jpx(bytes(data))
+        except JPXError:
+            pass
+
+    def test_signaled_small_code_blocks(self):
+        """Round-10: A.6.1-legal signaled block sizes (32x32 down
+        to 4x4, rectangular too) round-trip; illegal ones refuse."""
+        import numpy as np
+
+        rng = np.random.default_rng(78)
+        w, h = 150, 100
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        for cb in ((5, 5), (4, 6), (2, 2), (10, 2)):
+            cs = encode_jpx(w, h, px, 1, levels=2, cb_exp=cb)
+            assert decode_jpx(cs)[2] == px, cb
+        for bad in ((1, 4), (11, 2), (7, 6)):
+            with pytest.raises(JPXError):
+                encode_jpx(w, h, px, 1, cb_exp=bad)
 
     def test_encoder_precinct_validation(self):
         with pytest.raises(JPXError):
-            encode_jpx(8, 8, bytes(64), 1, levels=1, precincts=(6, 7))
-        with pytest.raises(JPXError):
             encode_jpx(8, 8, bytes(64), 1, levels=2,
                        precincts=[(7, 7)])  # wrong count
+        with pytest.raises(JPXError):  # PPx=0 at r>0 (Table A.21)
+            encode_jpx(8, 8, bytes(64), 1, levels=1,
+                       precincts=[(6, 6), (0, 4)])
         # r=0 may go down to 2^6 (band cells are full scale there)
         px = bytes(range(256)) * 16
         cs = encode_jpx(64, 64, px, 1, levels=0, precincts=(6, 6))

@@ -359,11 +359,23 @@ class TestPerComponentQuantization:
         data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc2) + 2) + coc2
         with pytest.raises(JPXError, match="exponent list shorter"):
             decode_jpx(bytes(data))
-        # a COC with an unsupported code-block size stays named
+        # round-10: an A.6.1-LEGAL differing code-block size PARSES
+        # (32x32 here); this patched stream's body was coded with
+        # 64x64 blocks, so the decode either fails typed or decodes
+        # mismatched data — never an unnamed crash
         coc3 = bytes([0, 0, 1, 3, 3, 0, 1])  # 32x32 blocks
         data = bytearray(base)
         data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc3) + 2) + coc3
-        with pytest.raises(JPXUnsupported):
+        try:
+            decode_jpx(bytes(data))
+        except JPXError:
+            pass
+        # an A.6.1-ILLEGAL size (2^12 wide: xcb=10+2? byte 10 ->
+        # exponent 12) still refuses by name
+        coc4 = bytes([0, 0, 1, 11, 3, 0, 1])
+        data = bytearray(base)
+        data[at:at] = b"\xff\x53" + struct.pack(">H", len(coc4) + 2) + coc4
+        with pytest.raises(JPXError):
             decode_jpx(bytes(data))
         # a truncated COC is malformed
         data = bytearray(base)
