@@ -3322,6 +3322,7 @@ def decode_codestream(data: bytes):
         order = _packet_order(prog, layers, max(comp_levels), ncomp,
                               pinfo, comp_levels=comp_levels)
         states = {}
+        n_blocks = 0
         for c in range(ncomp):
             for r in range(comp_levels[c] + 1):
                 bands = _bands_for_resolution(
@@ -3333,6 +3334,20 @@ def decode_codestream(data: bytes):
                 npx, npy, _, _, ppx, ppy = info[:6]
                 base_x, base_y, borigins = info[6], info[7], info[8]
                 eff = _eff_cb_exp(r, ppx, ppy, params[c]["cb_exp"])
+                # tiny effective blocks (legal since round-10) make
+                # per-block state O(area / block_area): bound the
+                # CELL COUNT a crafted small-block header can demand
+                # before materializing it (the area bound alone
+                # admits 2^27 one-sample blocks)
+                for bw, bh in band_dims:
+                    n_blocks += (
+                        ((bw >> eff[0]) + 1) * ((bh >> eff[1]) + 1)
+                    )
+                if n_blocks > (1 << 21):
+                    raise JPXError(
+                        "code-block count exceeds the per-tile "
+                        "2^21 decode budget"
+                    )
                 states[(r, c)] = [
                     _ResolutionState(
                         bands, qcd_index[(r, c)],
