@@ -90,9 +90,12 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # wrong round-9 derivation; huffb710 stream re-pinned)
     "a25_jbig2_scan_extract",
     # round 10 — JPX canvas offsets at any phase (odd XO/YO):
-    # phase-aware 5/3+9/7 lifting + B-15 band geometry; new oddoff
-    # fixture
+    # phase-aware 5/3+9/7 lifting + B-15 band geometry; new oddoff/
+    # smallblk fixtures; absolute canvas anchoring everywhere;
+    # signaled/clamped code-block sizes; lossy odd offsets (a27
+    # oddlossy)
     "a26_jpx_image_extract",
+    "a27_lossy_jpx_extract",
     # round 10 — rational-step tile overlap + depth-2 pattern
     # nesting (tileimg re-pinned), stencil declines for nested
     # shadings/images in cells
