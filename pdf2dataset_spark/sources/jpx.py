@@ -1573,14 +1573,18 @@ def _precinct_info(comp_tile_dims: list, levels: int,
                    comp_precincts: list | None = None) -> dict:
     """Per-(resolution, component) precinct layout for one tile:
     ``pinfo[(r, c)] = (npx, npy, step_x, step_y, ppx, ppy, base_x,
-    base_y, obx, oby)`` where npx x npy is the precinct grid over
+    base_y, borigins)`` where npx x npy is the precinct grid over
     the resolution-r grid (B.6 — 2^PPx x 2^PPy cells anchored at the
-    CANVAS origin; ``precincts`` None means the default 2^15),
+    CANVAS origin; ``precincts`` None means the default 2^15; an
+    EMPTY resolution grid — trx1 == trx0 or try1 == try0 — has NO
+    precincts and therefore no packets, npx = npy = 0 per B-16),
     step_x/step_y are the precinct anchor strides on the REFERENCE
     grid (component separation x 2^(PPx + levels - r)) that the
     position-dependent progression orders iterate (B.12), base_x/
     base_y are the first precinct's canvas grid indices
-    (floor(trx0 / 2^PPx)) and obx/oby the bands' absolute origins.
+    (floor(trx0 / 2^PPx)), and slot 8 is the per-band absolute
+    origins list from :func:`_band_abs_origins` (the three bands of
+    a resolution differ at odd phases).
 
     ``origins`` (per-component (tcx0, tcy0)) anchors the geometry at
     the ABSOLUTE canvas position. Round-10: every codestream path
@@ -1609,8 +1613,16 @@ def _precinct_info(comp_tile_dims: list, levels: int,
             rw = -(-(tcx0 + tcw) // (1 << s)) - trx0 if tcw > 0 else 0
             rh = -(-(tcy0 + tch) // (1 << s)) - try0 if tch > 0 else 0
             base_x, base_y = trx0 >> ppx, try0 >> ppy
-            npx = max(1, -(-(trx0 + rw) // (1 << ppx)) - base_x)
-            npy = max(1, -(-(try0 + rh) // (1 << ppy)) - base_y)
+            if rw > 0 and rh > 0:
+                npx = -(-(trx0 + rw) // (1 << ppx)) - base_x
+                npy = -(-(try0 + rh) // (1 << ppy)) - base_y
+            else:
+                # B-16: numprecincts = 0 when the resolution grid is
+                # empty (trx1 == trx0 or try1 == try0) — a tiny
+                # odd-origin tile-component can collapse at coarse
+                # resolutions (tcx0=1, tcx1=2 at s=1 gives
+                # trx0=trx1=1); such resolutions carry NO packets
+                npx = npy = 0
             pinfo[(r, c)] = (npx, npy, xr << (ppx + s),
                              yr << (ppy + s), ppx, ppy,
                              base_x, base_y,
@@ -1631,10 +1643,12 @@ def _precinct_band_windows(band_dims: list, r: int, ppx: int,
     band-absolute [(base_x + pxi)·pw, +pw) against EACH band's own
     absolute origin in ``borigins`` (round-10: per band — the three
     bands of a resolution differ at odd phases; all 0 for
-    zero-offset single-tile streams); the engine's
-    precinct floor (PPx >= 7 for r > 0, >= 6 at r = 0) keeps every
-    window edge on the canvas 64-grid so code blocks are never
-    split."""
+    zero-offset single-tile streams). Window edges land on the
+    canvas code-block grid because the EFFECTIVE code-block
+    exponents are clamped to the band-domain precinct size (B-17,
+    :func:`_eff_cb_exp`) — a block can never straddle a precinct
+    edge, so the local tag-tree grid is a contiguous sub-rectangle
+    of the global one."""
     scale = 0 if r == 0 else 1
     pw = 1 << (ppx - scale)
     ph = 1 << (ppy - scale)

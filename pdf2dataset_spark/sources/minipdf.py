@@ -2750,9 +2750,17 @@ def _layout_lines(
         # TeX \copyright overlay (round-10, from the real-corpus
         # libtasn1.pdf): plain TeX composes © by painting a text
         # 'c' INSIDE the CMSY circlecopyrt glyph (\ooalign). Once
-        # that circle maps to ©, a single-char 'c' run starting
-        # inside a © run's extent on the same line is the same
-        # character painted twice — drop it, keep the ©.
+        # that circle maps to ©, a single-char 'c' run CENTERED on
+        # a © run on the same baseline is the same character
+        # painted twice — drop it, keep the ©. The guard is
+        # center-coincidence (round-11 advice), not merely
+        # start-inside-extent: a legitimate kerned 'c' beginning a
+        # word right after © (TJ-split 'c'+'opyright', '©company')
+        # starts inside the ©'s ESTIMATED extent too — the 0.5 em
+        # estimate undershoots the wide circle glyph — but its
+        # center sits >= ~0.5 em past the ©'s center, while a true
+        # \ooalign overlay centers within ~0.3 em (0.28 em on the
+        # real libtasn1 page) and shares the baseline.
         cps = [r for r in line if r["text"] == "©"]
         if cps:
             kept = []
@@ -2761,6 +2769,10 @@ def _layout_lines(
                     (q for q in cps
                      if q is not r
                      and q["x"] - 0.1 <= r["x"] <= q["x_end"]
+                     and abs((r["x"] + r["x_end"])
+                             - (q["x"] + q["x_end"])) / 2.0
+                     <= 0.35 * q["size"]
+                     and abs(r["y"] - q["y"]) <= 0.15 * q["size"]
                      and r["size"] <= 2 * q["size"]),
                     None,
                 ) if r["text"] == "c" else None

@@ -1226,6 +1226,34 @@ class TestCanvasOffsetsAndCoc:
             encode_jpx(w, h, px, 1, levels=0, image_offset=(0, 4),
                        tile_offset=(0, 8), tile_size=(64, 64))
 
+    def test_empty_coarse_resolution_has_no_precincts(self):
+        """B-16 (round-11 advice): a tiny odd-origin tile-component
+        can have an EMPTY resolution grid (tcx0=1, tcx1=2 at s=1
+        gives trx0=trx1=1) — numprecincts is then 0 and the packet
+        walk carries NO packets for that resolution, instead of a
+        clamped phantom precinct that would desync a spec-conforming
+        third-party stream."""
+        from pdf2dataset_spark.sources.jpx import _precinct_info
+
+        pinfo = _precinct_info([(1, 5)], 1, None, [(1, 1)],
+                               origins=[(1, 1)])
+        # r=0: trx0 = trx1 = ceil(1/2) = 1 in x -> empty -> 0 packets
+        assert pinfo[(0, 0)][:2] == (0, 0)
+        assert pinfo[(1, 0)][:2] == (1, 1)
+
+    def test_empty_coarse_resolution_roundtrips(self):
+        """End-to-end: 1-px-wide and 1x1 images at odd canvas origins
+        whose coarse resolutions are empty encode with no packets
+        there and decode bit-exact."""
+        for w, h, off, lv in ((1, 5, (1, 1), 1), (1, 1, (1, 3), 2),
+                              (2, 7, (1, 0), 2)):
+            px = self._px(w, h, seed=lv)
+            cs = encode_jpx(w, h, px, 1, levels=lv, image_offset=off,
+                            tile_size=(16, 16))
+            gw, gh, out = decode_jpx(cs)
+            assert (gw, gh) == (w, h), (w, h, off, lv)
+            assert out == px, (w, h, off, lv)
+
 
 class TestOffsetCocFuzz:
     def test_bitflip_fuzz_clean_errors_only(self):

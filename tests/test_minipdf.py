@@ -886,6 +886,32 @@ def test_tex_copyright_overlay_composes():
     assert "\r" not in txt and "©c" not in txt and "c©" not in txt
 
 
+def test_kerned_c_after_copyright_survives():
+    """Round-11 advice: the overlay rule is CENTER-coincidence, not
+    start-inside-extent. A legitimate 'c' beginning a word tightly
+    kerned after © ('©company' with negative kerning, or a TJ-split
+    'c'+'ompany') starts inside the ©'s ESTIMATED extent — the
+    0.5 em/char estimate undershoots the wide circle glyph — but its
+    center sits ~0.46 em past the ©'s center, so it must NOT be
+    deleted."""
+    content = (b"BT /F1 10 Tf 72 700 Td (\\015) Tj "
+               b"4.6 0 Td (c) Tj 5 0 Td (ompany) Tj ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [13 /circlecopyrt] >> >>",
+    ]
+    pdf = _wrap_pdf(objs)
+    [txt] = minipdf.extract_page_texts(pdf, layout=True)
+    assert "©company" in txt
+
+
 def test_type3_mirrored_fontmatrix_advance_sign():
     """Round-10 advice fix: the Type3 advance is the text-space
     displacement of (wx, 0) through /FontMatrix — hypot alone is
