@@ -1049,8 +1049,11 @@ class PdfDocument:
             m = self._font_decode_map(f)
             if m is not None:
                 out[name] = m
-        for name, (mapping, code_len) in out.items():
-            out[name] = self._finish_font_map(mapping, code_len)
+        for name, m in out.items():
+            if m[0] == "vert":  # vertical wrapper: finish the inner map
+                out[name] = ("vert", self._finish_font_map(*m[1]))
+            else:
+                out[name] = self._finish_font_map(*m)
         return out
 
     @staticmethod
@@ -1067,29 +1070,25 @@ class PdfDocument:
         """The decode map for ONE font dict (the per-name body of
         :meth:`page_fonts`, shared with ExtGState /Font): (mapping,
         code byte length) or the ("utf16", 2) sentinel; None when the
-        font adds nothing over the Latin-1 fallback."""
+        font adds nothing over the Latin-1 fallback. A Type0 font in
+        VERTICAL writing mode (/Identity-V or a predefined *-V CMap,
+        WMode 1 — ISO 32000-1 §9.7.5.2) wraps its map as ("vert",
+        inner): CIDs decode exactly as the -H twin, but text
+        assembly advances DOWNWARD (see :func:`_text_runs`)."""
+        if self.resolve(f.get("/Subtype")) == "/Type0":
+            enc_name = self.resolve(f.get("/Encoding"))
+            vertical = isinstance(enc_name, str) \
+                and enc_name.endswith("-V")
+            m = self._type0_decode_map(f, enc_name)
+            if m is not None and vertical:
+                return ("vert", m)
+            return m
         tu = self.resolve(f.get("/ToUnicode"))
         if isinstance(tu, StreamObj):
             try:
                 return parse_tounicode_cmap(self.stream_bytes(tu))
             except (ValueError, IndexError, zlib.error):
                 pass
-        if self.resolve(f.get("/Subtype")) == "/Type0":
-            cid_map = self._type0_fontfile_map(f)
-            if cid_map:
-                return (cid_map, 2)
-            # predefined unicode CMaps (/UniJIS-UCS2-H,
-            # /UniGB-UTF16-H etc., ISO 32000-1 §9.7.5.2 table
-            # 118): the code bytes ARE the text — UCS-2 directly,
-            # UTF-16 including surrogate PAIRS for supplementary-
-            # plane CJK/emoji — so no font data is needed; the
-            # show string decodes as UTF-16BE (UCS-2 is its
-            # BMP subset)
-            enc_name = self.resolve(f.get("/Encoding"))
-            if isinstance(enc_name, str) and re.fullmatch(
-                r"/Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]", enc_name
-            ):
-                return ("utf16", 2)
         enc = f.get("/Encoding")
         if enc is not None and self.resolve(enc) != "/Identity-H":
             emap = encoding_map(enc, self.resolve)
@@ -1102,6 +1101,29 @@ class PdfDocument:
         cff_map = self._fontfile3_builtin_map(f)
         if cff_map:
             return (cff_map, 1)
+        return None
+
+    def _type0_decode_map(self, f: dict, enc_name) -> tuple | None:
+        """Decode map for a Type0 font, H and V alike (the caller
+        adds the vertical wrapper): /ToUnicode first (authoritative),
+        then the embedded font program, then the predefined unicode
+        CMaps (/UniJIS-UCS2-H, /UniGB-UTF16-V etc., ISO 32000-1
+        §9.7.5.2 table 118) whose code bytes ARE the text — UCS-2
+        directly, UTF-16 including surrogate PAIRS for
+        supplementary-plane CJK/emoji."""
+        tu = self.resolve(f.get("/ToUnicode"))
+        if isinstance(tu, StreamObj):
+            try:
+                return parse_tounicode_cmap(self.stream_bytes(tu))
+            except (ValueError, IndexError, zlib.error):
+                pass
+        cid_map = self._type0_fontfile_map(f)
+        if cid_map:
+            return (cid_map, 2)
+        if isinstance(enc_name, str) and re.fullmatch(
+            r"/Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]", enc_name
+        ):
+            return ("utf16", 2)
         return None
 
     def _fontfile3_builtin_map(self, f: dict) -> dict[int, str] | None:
@@ -2110,6 +2132,8 @@ def _decode_shown(raw: bytes, cmap: tuple | None) -> str:
     """Decode a shown glyph string through the active font's map."""
     if cmap is None:
         return _decode_text_string(raw)
+    if cmap[0] == "vert":  # vertical writing decodes like its -H twin
+        cmap = cmap[1]
     if cmap[0] == "utf16":  # predefined Uni*-UCS2/UTF16-* CMaps:
         # the code bytes are the text (surrogate pairs combine)
         return raw.decode("utf-16-be", errors="replace")
@@ -2321,6 +2345,10 @@ def _text_runs(
         a, b, c, d, e, f = trm
         size = tfs * math.hypot(c, d)
         xscale = math.hypot(a, b) or 1.0
+        cmap = cur_cmap
+        vertical = cmap is not None and cmap[0] == "vert"
+        if vertical:
+            cmap = cmap[1]
         if parts is None:
             parts = [raw]
         t3 = (
@@ -2332,7 +2360,7 @@ def _text_runs(
         adv = 0.0
         for el in parts:
             if isinstance(el, bytes):
-                s = _decode_shown(el, cur_cmap)
+                s = _decode_shown(el, cmap)
                 texts.append(s)
                 if t3 is not None:
                     # per-glyph events with REAL /Widths advances
@@ -2364,16 +2392,47 @@ def _text_runs(
                             ) * tfs
                             + tc + (tw if code == 32 else 0.0)
                         ) * tz / 100.0
+                elif vertical:
+                    # WMode 1 (ISO 32000-1 §9.7.4.3): glyphs advance
+                    # DOWN the column by the default vertical
+                    # displacement — /DW2's w1y default −1000/1000 =
+                    # one full em per glyph (CJK glyphs are
+                    # full-height); Tz scales horizontal displacements
+                    # only, Tw applies to 1-byte code 32 only (these
+                    # codes are 2-byte), Tc applies per glyph
+                    adv += (1.0 * tfs + tc) * len(s)
                 else:
                     adv += advance_em(s)
             elif isinstance(el, (int, float)):
-                adv += -el / 1000.0 * tfs * tz / 100.0
+                delta = -el / 1000.0 * tfs
+                adv += delta if vertical else delta * tz / 100.0
                 if el <= -_TJ_WORD_BREAK and texts and not texts[-1].endswith(" "):
                     texts.append(" ")
         text = "".join(texts)
         # empty shows still anchor a line (a `() Tj` on its own
         # baseline is a BLANK line — content_text emits its break,
         # so reading order must too)
+        if vertical:
+            # reading direction = the advance direction (image of
+            # text-space (0,-1)); x_end carries the run LENGTH along
+            # it — _reading_frame rotates (x, y) and re-derives the
+            # end from the length, so pre-rotation x_end need not be
+            # a device x
+            yscale = math.hypot(c, d) or 1.0
+            runs.append(
+                {
+                    "x": e,
+                    "y": f,
+                    "x_end": e + adv * yscale,
+                    "size": size if size > 0 else 12.0,
+                    "text": text,
+                    "font": cur_font,
+                    "ux": -c / yscale,
+                    "uy": -d / yscale,
+                }
+            )
+            tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
+            return
         runs.append(
             {
                 "x": e,
@@ -2492,6 +2551,146 @@ def _text_runs(
 
     exec_ops(content, fonts, forms, 0)
     return runs
+
+
+# bracket pairs swapped when a visual RTL segment is restored to
+# logical order (UAX #9 rule L4 inverted: display mirrors glyphs in
+# RTL runs, so the visually shown "(" in an RTL run IS the logical
+# ")")
+_BIDI_MIRROR = str.maketrans("()[]{}<>«»", ")(][}{><»«")
+
+
+def _bidi_class(ch: str) -> str:
+    """Collapsed UAX #9 class for the visual→logical pass: 'R'
+    (strong RTL: R/AL), 'L' (strong LTR), 'D' (digits: EN/AN — shown
+    left-to-right inside either base direction), 'N' (everything
+    else: neutrals, weak marks, whitespace)."""
+    import unicodedata
+
+    bd = unicodedata.bidirectional(ch)
+    if bd in ("R", "AL"):
+        return "R"
+    if bd == "L":
+        return "L"
+    if bd in ("EN", "AN"):
+        return "D"
+    return "N"
+
+
+def _segments_with_interior_neutrals(cls: list[str], member) -> list[tuple]:
+    """Maximal [i, j) spans whose ends are ``member`` classes and
+    whose interior may also contain 'N' runs BETWEEN two members
+    (UAX #9 N1: neutrals take the surrounding direction only when
+    both neighbors agree)."""
+    spans = []
+    i, n = 0, len(cls)
+    while i < n:
+        if not member(cls[i]):
+            i += 1
+            continue
+        j = i + 1
+        k = j
+        while k < n:
+            if member(cls[k]):
+                j = k + 1
+                k = j
+            elif cls[k] == "N":
+                k += 1
+            else:
+                break
+        spans.append((i, j))
+        i = k if k > j else j
+    return spans
+
+
+def _restore_ltr_islands(chars: list[str], cls: list[str]) -> list[str]:
+    """Given a fully REVERSED visual line (base RTL), re-reverse the
+    embedded LTR islands (strong-L and digit spans, with interior
+    neutrals) back to their left-to-right order and mirror paired
+    brackets in the RTL remainder."""
+    out = list(chars)
+    island = [False] * len(out)
+    for i, j in _segments_with_interior_neutrals(
+        cls, lambda c: c in ("L", "D")
+    ):
+        out[i:j] = out[i:j][::-1]
+        for k in range(i, j):
+            island[k] = True
+    for k, ch in enumerate(out):
+        if not island[k]:
+            out[k] = ch.translate(_BIDI_MIRROR)
+    return out
+
+
+def _reverse_rtl_segment(seg: str) -> str:
+    """One maximal VISUAL RTL segment → logical order: reverse the
+    whole segment, then restore digit islands (numbers read
+    left-to-right even inside RTL text) and mirror paired brackets
+    in the RTL part."""
+    rev = seg[::-1]
+    cls = [_bidi_class(ch) for ch in rev]
+    out = list(rev)
+    island = [False] * len(out)
+    for i, j in _segments_with_interior_neutrals(
+        cls, lambda c: c == "D"
+    ):
+        out[i:j] = out[i:j][::-1]
+        for k in range(i, j):
+            island[k] = True
+    for k, ch in enumerate(out):
+        if not island[k]:
+            out[k] = ch.translate(_BIDI_MIRROR)
+    return "".join(out)
+
+
+def _bidi_logical(line: str) -> str:
+    """VISUAL-order line text → LOGICAL order (UAX #9 subset,
+    inverted — round-11 close of the RTL what's-missing item). A PDF
+    paints glyphs at positions, so the x-sorted line assembly yields
+    VISUAL order; Hebrew/Arabic text must be re-ordered to logical
+    (memory) order the way pdftotext emits it. Rules applied:
+
+    - Base direction by strong-character majority (R/AL vs L; P2/P3
+      approximated per line).
+    - Base RTL: the whole line reverses, then embedded LTR islands
+      (strong-L / digit spans with interior neutrals, N1) restore
+      their internal order.
+    - Base LTR: each maximal visual RTL segment (strong-R spans,
+      interior neutrals/digits allowed between strong Rs) reverses
+      in place.
+    - Digits stay left-to-right in all contexts (EN/AN islands).
+    - Paired brackets in reversed RTL context mirror (L4 inverted).
+
+    Lines with no strong RTL character return unchanged (the common
+    path — one any() scan, no allocation)."""
+    has_r = False
+    for ch in line:
+        o = ord(ch)
+        # cheap block prefilter (Hebrew..Arabic Extended-A, Hebrew/
+        # Arabic presentation forms); _bidi_class decides precisely
+        if 0x0590 <= o <= 0x08FF or 0xFB1D <= o <= 0xFEFC:
+            has_r = True
+            break
+    if not has_r:
+        return line
+    cls = [_bidi_class(ch) for ch in line]
+    if "R" not in cls:
+        return line
+    if cls.count("R") > cls.count("L"):
+        rev = line[::-1]
+        return "".join(
+            _restore_ltr_islands(list(rev), [_bidi_class(c) for c in rev])
+        )
+    out = []
+    pos = 0
+    for i, j in _segments_with_interior_neutrals(
+        cls, lambda c: c == "R"
+    ):
+        out.append(line[pos:i])
+        out.append(_reverse_rtl_segment(line[i:j]))
+        pos = j
+    out.append(line[pos:])
+    return "".join(out)
 
 
 def _projection_gaps(intervals: list[tuple], min_gap: float) -> list[float]:
@@ -2813,7 +3012,11 @@ def _layout_lines(
                 ):
                     parts.append(" ")
             parts.append(r["text"])
-        out.append((line[0]["y"], line[0]["size"], "".join(parts)))
+        # x-sorted assembly is VISUAL order; RTL scripts re-order to
+        # logical (UAX #9 subset, pdftotext parity) — a no-op scan
+        # for lines with no RTL character
+        out.append((line[0]["y"], line[0]["size"],
+                    _bidi_logical("".join(parts))))
     return out
 
 

@@ -3803,3 +3803,103 @@ class TestExtGStateFont:
         assert boxes and boxes[0]["word"] == "sized"
         # y1 - y0 == the gs size operand (14)
         assert boxes[0]["y1"] - boxes[0]["y0"] == 14.0
+
+
+# ---------------------------------------------------------------------
+# RTL/bidi logical order + vertical writing (round 11)
+# ---------------------------------------------------------------------
+
+from pdf2dataset_spark.queries.tier_a import _positioned_cid_pdf
+
+
+class TestBidiLogicalOrder:
+    def test_visual_to_logical_table(self):
+        """The UAX #9-subset inverse on assembled visual lines."""
+        cases = [
+            ("hello world", "hello world"),
+            # pure Hebrew: the visual line is the reversed logical
+            ("םלוע םולש", "שלום עולם"),
+            # RTL base with an embedded LTR island (kept LTR)
+            ("רמשנ test.pdf ץבוקה", "הקובץ test.pdf נשמר"),
+            # digits read LTR inside RTL text
+            ("לקש 123 ריחמ", "מחיר 123 שקל"),
+            # LTR base with an embedded RTL segment
+            ("file םולש saved", "file שלום saved"),
+            # paired brackets mirror back (L4 inverted)
+            ("(םולש)", "(שלום)"),
+            # Arabic
+            ("ءيش لك", "كل شيء"),
+            ("123 abc", "123 abc"),
+        ]
+        for vis, want in cases:
+            assert minipdf._bidi_logical(vis) == want, vis
+
+    def test_rtl_page_extracts_logical_order(self):
+        """A page painting Hebrew in VISUAL order (the only way a PDF
+        can paint it) extracts in LOGICAL order; a separate mixed
+        line keeps its Latin island intact."""
+        pdf = _positioned_cid_pdf([
+            (72, 700, "םלוע םולש"),
+            # mixed line painted as three runs, left-to-right
+            (72, 680, "רמשנ"), (105, 680, "test.pdf"),
+            (162, 680, "ץבוקה"),
+        ])
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt.split("\n") == [
+            "שלום עולם", "הקובץ test.pdf נשמר",
+        ]
+
+    def test_ltr_lines_unchanged(self):
+        # the bidi pass must be a strict no-op without RTL chars
+        pdf = _positioned_cid_pdf([(72, 700, "plain latin 123")])
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt == "plain latin 123"
+
+
+class TestVerticalWriting:
+    def test_identity_v_columns_right_to_left(self):
+        """/Identity-V (WMode 1): glyphs advance DOWN one em per
+        glyph; columns read right-to-left, each column one line."""
+        pdf = _positioned_cid_pdf(
+            [(300, 700, "春眠不覚暁"), (280, 700, "処処聞啼鳥")],
+            enc=b"/Identity-V",
+        )
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt.split("\n") == ["春眠不覚暁", "処処聞啼鳥"]
+
+    def test_identity_v_multi_show_continues_column(self):
+        """Consecutive shows in one text object continue DOWN the
+        same column (the vertical advance lands in Tm)."""
+        text = "縦書き試験"
+        bfchars = "".join(
+            f"<{i + 1:04X}> <{ord(c):04X}>\n" for i, c in enumerate(text)
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(text)} beginbfchar\n{bfchars}endbfchar\nendcmap end\n"
+        ).encode("ascii")
+        content = (b"BT /F1 12 Tf 300 700 Td "
+                   b"<000100020003> Tj <00040005> Tj ET")
+        pdf = _wrap_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /TestCID "
+            b"/Encoding /Identity-V /ToUnicode 6 0 R >>",
+            b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream",
+        ])
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt == "縦書き試験"
+
+    def test_identity_h_unaffected(self):
+        # the same fixture with -H reads as one horizontal line
+        pdf = _positioned_cid_pdf(
+            [(72, 700, "春眠"), (100, 700, "不覚")],
+        )
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert "春眠" in txt and "不覚" in txt and "\n" not in txt
