@@ -2006,6 +2006,67 @@ def _roi_mask_for_plane(tcw: int, tch: int, levels: int, rect):
     return mask
 
 
+def _roi_interval_back(a: int, b: int) -> tuple:
+    """1-D dependency closure of the sample interval [a, b) through
+    one reversible 5/3 synthesis level (zero-phase): the low (s) and
+    high (d) coefficient index intervals, each [lo, hi), whose
+    coefficients influence any sample in [a, b). Derived from the
+    engine's OWN lifting (not a transcribed table): s[n] reaches
+    x[2n-1..2n+1] (x[2n] = even[n] directly; even[n] feeds the
+    predict step of x[2n-1] and x[2n+1]) and d[n] reaches
+    x[2n-1..2n+3] (direct at 2n+1; via the update step into even[n]
+    and even[n+1], which feed x[2n-1] and x[2n+3])."""
+    if b <= a:
+        return (0, 0), (0, 0)
+    s_lo = max(-(-(a - 1) // 2), 0)   # 2n+1 >= a
+    d_lo = max(-(-(a - 3) // 2), 0)   # 2n+3 >= a
+    hi = b // 2 + 1                   # 2n-1 <= b-1
+    return (s_lo, hi), (d_lo, hi)
+
+
+def _roi_band_rects(tcw: int, tch: int, levels: int, rect) -> list:
+    """Scaling-based ROI (T.801 Srgn=1) coefficient rectangles, in
+    PLANE coordinates, for a rectangular region ``rect`` = (x0, y0,
+    x1, y1) in tile-local component coordinates: per decomposition
+    level, the 1-D dependency closures (:func:`_roi_interval_back`)
+    compose separably, so each band's mask is a single rectangle —
+    bands are disjoint plane regions, so the rects are disjoint and
+    cover exactly the coefficients that influence the region. Both
+    the encoder (upshift) and the decoder (downshift) derive the
+    mask from this one function, so the scaling inverts exactly.
+    Zero-offset phases only (the encoder declines ROI + canvas
+    offsets)."""
+    ax, ay = max(rect[0], 0), max(rect[1], 0)
+    bx, by = min(rect[2], tcw), min(rect[3], tch)
+    if bx <= ax or by <= ay:
+        return []
+    rects = []
+    for r in range(levels, 0, -1):
+        lowx = -(-tcw // (1 << (levels - r + 1)))
+        lowy = -(-tch // (1 << (levels - r + 1)))
+        (sx0, sx1), (dx0, dx1) = _roi_interval_back(ax, bx)
+        (sy0, sy1), (dy0, dy1) = _roi_interval_back(ay, by)
+        for name, bpx, bpy, bw, bh in _bands_for_resolution(
+            tcw, tch, levels, r
+        ):
+            if name == "HL":    # x high-pass, y low-pass
+                ix0, ix1, iy0, iy1 = dx0, dx1, sy0, sy1
+            elif name == "LH":  # x low-pass, y high-pass
+                ix0, ix1, iy0, iy1 = sx0, sx1, dy0, dy1
+            elif name == "HH":
+                ix0, ix1, iy0, iy1 = dx0, dx1, dy0, dy1
+            else:
+                continue
+            ix1, iy1 = min(ix1, bw), min(iy1, bh)
+            if ix1 > ix0 and iy1 > iy0:
+                rects.append((bpx + ix0, bpy + iy0, bpx + ix1, bpy + iy1))
+        ax, bx = sx0, min(sx1, lowx)
+        ay, by = sy0, min(sy1, lowy)
+    if bx > ax and by > ay:  # the r = 0 LL sits at the plane origin
+        rects.append((ax, ay, bx, by))
+    return rects
+
+
 def _check_subsampling(subsampling, ncomp: int) -> list:
     """Validate a per-component (XRsiz, YRsiz) list → normalized."""
     if subsampling is None:
@@ -2064,6 +2125,8 @@ def encode_jpx(
     bypass: bool = False,
     cbstyle: int = 0,
     roi: tuple | None = None,
+    roi_style: int = 0,
+    roi_shift: int = 6,
     image_offset: tuple = (0, 0),
     tile_offset: tuple = (0, 0),
     coc: dict | None = None,
@@ -2128,6 +2191,14 @@ def encode_jpx(
             "the fixture encoder codes ROI in the reversible path "
             "(the decoder handles both)"
         )
+    if roi_style not in (0, 1):
+        raise JPXError("roi_style must be 0 (maxshift) or 1 (scaling)")
+    if roi_style == 1 and roi is not None:
+        if not 1 <= int(roi_shift) <= 37:
+            raise JPXError("scaling ROI shift must be in 1..37")
+        if any(s != (1, 1) for s in _check_subsampling(
+                subsampling, ncomp)):
+            raise JPXError("scaling ROI needs 1x1 subsampling")
     xo, yo = (int(v) for v in image_offset)
     xto, yto = (int(v) for v in tile_offset)
     canvas = bool(xo or yo or xto or yto)
@@ -2279,7 +2350,24 @@ def encode_jpx(
             )
         tile_planes[isot] = planes
     sprgn = 0
-    if roi is not None:
+    if roi is not None and roi_style == 1:
+        # scaling-based ROI (T.801 Srgn=1): the region is SIGNALED in
+        # the RGN segment, so the shift is encoder-chosen (no
+        # background-magnitude floor) and the decoder identifies ROI
+        # coefficients geometrically — encoder and decoder share
+        # _roi_band_rects, so the upshift inverts exactly
+        sprgn = int(roi_shift)
+        rx0, ry0, rx1, ry1 = (int(v) for v in roi)
+        for isot, planes in tile_planes.items():
+            for cc, (plane, tcw, tch, tcx0, tcy0) in enumerate(planes):
+                rect = (rx0 - tcx0, ry0 - tcy0,
+                        rx1 - tcx0, ry1 - tcy0)
+                for (wx0, wy0, wx1, wy1) in _roi_band_rects(
+                        tcw, tch, levels, rect):
+                    for row in plane[wy0:wy1]:
+                        for i in range(wx0, wx1):
+                            row[i] <<= sprgn
+    elif roi is not None:
         # maxshift (H.1): s must exceed every BACKGROUND magnitude's
         # bit length so the decoder's 2^s threshold is unambiguous
         rx0, ry0, rx1, ry1 = (int(v) for v in roi)
@@ -2385,7 +2473,17 @@ def encode_jpx(
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     for c in sorted(coc):
         out += _qcc_seg(c, gov_exps[("qcc", c)])
-    if roi is not None:
+    if roi is not None and roi_style == 1:
+        # scaling-based rectangle ROI (T.801 Srgn=1): the segment
+        # carries the shift AND the region — XArgn/YArgn/WArgn/HArgn
+        # as 32-bit reference-grid values after SPrgn
+        rx0, ry0, rx1, ry1 = (int(v) for v in roi)
+        body = struct.pack(">IIII", rx0, ry0, rx1 - rx0, ry1 - ry0)
+        for cc in range(ncomp):
+            out += b"\xff\x5e" + struct.pack(
+                ">H", 5 + len(body)
+            ) + bytes([cc, 1, sprgn]) + body
+    elif roi is not None:
         for cc in range(ncomp):  # RGN maxshift per component (A.6.3)
             out += b"\xff\x5e" + struct.pack(">H", 5) + bytes(
                 [cc, 0, sprgn]
@@ -2942,11 +3040,31 @@ def _parse_markers(data: bytes):
             if len(seg) < at2 + 2:
                 raise JPXError("truncated RGN segment")
             srgn, sprgn = seg[at2], seg[at2 + 1]
-            if srgn != 0:
-                raise JPXUnsupported(f"ROI style {srgn} (maxshift only)")
-            if sprgn > 37:
-                raise JPXError(f"RGN shift {sprgn} out of range")
-            hdr.setdefault("rgn", {})[comp] = sprgn
+            if srgn == 0:  # implicit maxshift (T.800 H.1)
+                if sprgn > 37:
+                    raise JPXError(f"RGN shift {sprgn} out of range")
+                hdr.setdefault("rgn", {})[comp] = sprgn
+            elif srgn == 1:
+                # scaling-based rectangle ROI (T.801, round-11): the
+                # region is signaled (XArgn/YArgn/WArgn/HArgn, 32-bit
+                # reference-grid values after SPrgn) and the decoder
+                # downshifts geometrically (_roi_band_rects)
+                if sprgn > 37:
+                    raise JPXError(f"RGN shift {sprgn} out of range")
+                if len(seg) < at2 + 18:
+                    raise JPXError("truncated RGN segment")
+                rx0, ry0, rw_, rh_ = struct.unpack_from(
+                    ">IIII", seg, at2 + 2
+                )
+                hdr.setdefault("rgn", {})[comp] = (
+                    "rect", sprgn, rx0, ry0, rx0 + rw_, ry0 + rh_
+                )
+            else:
+                # Srgn=2 (elliptic, T.801) and reserved styles stay a
+                # NAMED decline
+                raise JPXUnsupported(
+                    f"ROI style {srgn} (maxshift + scaling rect only)"
+                )
         elif marker == 0x53:  # COC: tolerated when it matches COD
             hdr.setdefault("coc_raw", []).append(seg)
         elif marker == 0x90:  # SOT
@@ -3271,6 +3389,15 @@ def decode_codestream(data: bytes):
                 "exps": hdr.get("exps"), "qvals": hdr.get("qvals")}
     main_qcc = hdr.get("qcc", {})
     rgn = hdr.get("rgn", {})
+    if any(isinstance(v, tuple) for v in rgn.values()) and (
+        canvas or any(s != (1, 1) for s in subs)
+    ):
+        # the geometric mask derivation is zero-phase; offset or
+        # subsampled scaling-ROI streams stay a NAMED decline until
+        # the phase-aware closure is pinned
+        raise JPXUnsupported(
+            "scaling-based ROI with canvas offsets or subsampling"
+        )
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w - xto + xts - 1) // xts
     nty = (h - yto + yts - 1) // yts
@@ -3385,11 +3512,26 @@ def decode_codestream(data: bytes):
                     ).reshape(ch, cw)
         if pos > len(buf):
             raise JPXError("tile body overran its tile-parts")
-        # ROI maxshift (H.1.2): coefficients at or above 2^SPrgn are
-        # ROI — scale them back down; background magnitudes sit
-        # strictly below the threshold by the encoder's choice of s
+        # ROI downscale: maxshift (H.1.2) is MAGNITUDE-based —
+        # coefficients at or above 2^SPrgn are ROI; scaling-based
+        # rects (T.801 Srgn=1, round-11) are GEOMETRIC — the decoder
+        # rebuilds the same disjoint band rectangles the encoder
+        # scaled (_roi_band_rects) and downshifts exactly those
         for c, s in rgn.items():
-            if c < len(planes) and s:
+            if c >= len(planes):
+                continue
+            if isinstance(s, tuple):
+                _, sp, rx0, ry0, rx1, ry1 = s
+                if not sp:
+                    continue
+                tcx0, tcy0, tcw, tch = boxes[c]
+                rect = (rx0 - tcx0, ry0 - tcy0,
+                        rx1 - tcx0, ry1 - tcy0)
+                for (wx0, wy0, wx1, wy1) in _roi_band_rects(
+                        tcw, tch, params[c]["levels"], rect):
+                    sub = planes[c][wy0:wy1, wx0:wx1]
+                    sub[:] = np.sign(sub) * (np.abs(sub) >> sp)
+            elif s:
                 arr = planes[c]
                 a = np.abs(arr)
                 roi = a >= (1 << s)

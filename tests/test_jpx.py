@@ -1048,20 +1048,127 @@ class TestROIMaxshift:
         got = decode_jpx(bytes(cs))[2]
         assert got != px
 
-    def test_non_maxshift_style_named(self):
-        import struct as _s
-
+    def test_unknown_roi_style_named(self):
         cs = bytearray(encode_jpx(8, 8, bytes(64), 1, levels=1,
                                   roi=(0, 0, 4, 4)))
         rgn_at = bytes(cs).index(b"\xff\x5e")
-        cs[rgn_at + 5] = 1  # Srgn != 0
+        cs[rgn_at + 5] = 2  # Srgn = 2 (elliptic, T.801): named decline
         with pytest.raises(JPXUnsupported):
+            decode_jpx(bytes(cs))
+
+    def test_truncated_scaling_rgn_is_error(self):
+        # Srgn = 1 without the 16 region bytes: clean parse error,
+        # not a decline and not a desync
+        cs = bytearray(encode_jpx(8, 8, bytes(64), 1, levels=1,
+                                  roi=(0, 0, 4, 4)))
+        rgn_at = bytes(cs).index(b"\xff\x5e")
+        cs[rgn_at + 5] = 1
+        with pytest.raises(JPXError):
             decode_jpx(bytes(cs))
 
     def test_roi_rejected_with_lossy_fixture_path(self):
         with pytest.raises(JPXError):
             encode_jpx(8, 8, bytes(64), 1, irreversible=True,
                        roi=(0, 0, 4, 4))
+
+
+class TestROIScaling:
+    """Scaling-based rectangle ROI (T.801 Srgn=1, round-11 verdict
+    ask #3): the region is SIGNALED in the RGN segment
+    (SPrgn + XArgn/YArgn/WArgn/HArgn), the shift is encoder-chosen,
+    and the decoder identifies ROI coefficients GEOMETRICALLY — both
+    sides derive the same disjoint per-band rectangles from the
+    dependency closure of the region through the engine's own 5/3
+    lifting (_roi_band_rects)."""
+
+    def test_roundtrips(self):
+        import numpy as np
+
+        rng = np.random.default_rng(33)
+        w, h = 120, 90
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        for rect, kw in (
+            ((20, 10, 70, 50), {}),
+            ((0, 0, 30, 30), {"layers": 2, "prog": 2}),
+            ((40, 10, 90, 50), {"tile_size": (64, 48)}),
+            ((5, 5, 25, 20), {"bypass": True}),
+        ):
+            cs = encode_jpx(w, h, px, 1, levels=2, roi=rect,
+                            roi_style=1, roi_shift=5, **kw)
+            assert b"\xff\x5e" in cs
+            assert decode_jpx(cs)[2] == px, (rect, kw)
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+        cs = encode_jpx(w, h, rgb, 3, levels=2, mct=True,
+                        roi=(10, 10, 40, 40), roi_style=1, roi_shift=4)
+        assert decode_jpx(cs)[2] == rgb
+
+    def test_mask_is_dependency_closure(self):
+        """Zeroing every coefficient OUTSIDE the band rects must
+        still reconstruct the ROI samples EXACTLY (the H.2 mask
+        concept: the mask is precisely the coefficients the region
+        depends on). Seeded sweep over sizes/levels/rects incl.
+        1-wide edges."""
+        import random
+
+        from pdf2dataset_spark.sources.jpx import (
+            _roi_band_rects, dwt53_forward_2d, dwt53_inverse_2d)
+
+        rnd = random.Random(7)
+        for _ in range(40):
+            w, h = rnd.randint(1, 40), rnd.randint(1, 40)
+            lv = rnd.randint(0, 4)
+            x0 = rnd.randint(0, w - 1); x1 = rnd.randint(x0 + 1, w)
+            y0 = rnd.randint(0, h - 1); y1 = rnd.randint(y0 + 1, h)
+            rows = [[rnd.randint(-128, 127) for _ in range(w)]
+                    for _ in range(h)]
+            plane = dwt53_forward_2d([r[:] for r in rows], lv)
+            keep = [[0] * w for _ in range(h)]
+            for (a, b, c, d) in _roi_band_rects(
+                    w, h, lv, (x0, y0, x1, y1)):
+                for y in range(b, d):
+                    keep[y][a:c] = plane[y][a:c]
+            rec = dwt53_inverse_2d(keep, w, h, lv)
+            for y in range(y0, y1):
+                assert rec[y][x0:x1] == rows[y][x0:x1], \
+                    (w, h, lv, (x0, y0, x1, y1), y)
+
+    def test_shift_is_load_bearing(self):
+        """Patch SPrgn to 0 in the stream: the decode must come back
+        WRONG (the signaled rect + downshift really participate)."""
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        w, h = 64, 64
+        px = rng.integers(0, 256, (h, w), np.uint8).tobytes()
+        cs = bytearray(encode_jpx(w, h, px, 1, levels=1,
+                                  roi=(0, 0, 32, 32), roi_style=1,
+                                  roi_shift=6))
+        rgn_at = bytes(cs).index(b"\xff\x5e")
+        assert cs[rgn_at + 5] == 1  # Srgn
+        cs[rgn_at + 6] = 0  # SPrgn := 0
+        assert decode_jpx(bytes(cs))[2] != px
+
+    def test_offset_or_subsampled_scaling_roi_named(self):
+        # the geometric mask is zero-phase: the interaction stays a
+        # NAMED decline on both sides
+        with pytest.raises(JPXError):
+            encode_jpx(16, 16, bytes(256), 1, levels=1,
+                       roi=(0, 0, 8, 8), roi_style=1,
+                       image_offset=(1, 0), tile_size=(32, 32))
+        cs = bytearray(encode_jpx(16, 16, bytes(256), 1, levels=1,
+                                  roi=(0, 0, 8, 8), roi_style=1))
+        # splice a canvas offset into SIZ: XOsiz at +4+2+4+4+4=..., do
+        # it via re-encode with offsets and a patched-in RGN instead:
+        base = bytearray(encode_jpx(16, 16, bytes(256), 1, levels=1,
+                                    image_offset=(2, 0),
+                                    tile_size=(32, 32)))
+        src = bytes(cs)
+        rgn_at = src.index(b"\xff\x5e")
+        rgn_seg = src[rgn_at:rgn_at + 2 + 21]
+        sot_at = bytes(base).index(b"\xff\x90")
+        patched = bytes(base[:sot_at]) + rgn_seg + bytes(base[sot_at:])
+        with pytest.raises(JPXUnsupported):
+            decode_jpx(patched)
 
 
 class TestCanvasOffsetsAndCoc:
