@@ -50,7 +50,10 @@ B.10.7.4), per-pass context RESET, TERMALL per-pass termination,
 vertically CAUSAL context formation, predictable termination
 (decode no-op), and SEGMENTATION SYMBOLS (validated — corrupt
 block data surfaces as a named error). ROI decodes via the MAXSHIFT
-method (RGN marker, Annex H: magnitude-thresholded downshift).
+method (RGN marker, Annex H: magnitude-thresholded downshift) AND
+the scaling-based rectangle style (T.801 Srgn=1, round-11: the RGN
+segment signals the region; decode downshifts the dependency-
+closure band rectangles — see :func:`_roi_band_rects`).
 
 Round 8 closed the last two declared declines: CANVAS OFFSETS (SIZ
 XOsiz/YOsiz/XTOsiz/YTOsiz per B.3, with precinct AND code-block
@@ -79,10 +82,18 @@ A.6.1-legal SIGNALED size decodes (xcb/ycb 2..10, sum <= 12 — the
 SHRINK the effective block grid per B-17 (xcb' = min(xcb, PPx) at
 r = 0, min(xcb, PPx - 1) above) instead of declining.
 
+Round 11 closed two more: the scaling-based rectangle ROI above,
+and CANVAS OFFSETS COMBINED WITH COMPONENT SUBSAMPLING — every
+component anchors at its own ceil-division origin (B.3), the
+lifting phase follows it, decimation and the replication upsample
+map the offset phase (pinned against an independent numpy replica
+of the B.2/B.3 mapping).
+
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
 compressed payload is preserved by the caller either way):
-non-maxshift ROI styles, canvas offsets combined with component
-subsampling, and the 9/7 single-sample odd-phase window (F.3.4
+elliptic/reserved ROI styles (T.801 Srgn >= 2), scaling-based ROI
+combined with canvas offsets or subsampling (the closure is
+zero-phase), and the 9/7 single-sample odd-phase window (F.3.4
 publishes the one-sample rule for the reversible path only;
 guessing the irreversible normalization is the round-9 B.10
 mistake).
@@ -2080,11 +2091,18 @@ def _check_subsampling(subsampling, ncomp: int) -> list:
     return subs
 
 
-def _decimate_rows(rows: list, xr: int, yr: int) -> list:
-    """Top-left-rule decimation of a list-of-rows plane."""
+def _decimate_rows(rows: list, xr: int, yr: int,
+                   xo: int = 0, yo: int = 0) -> list:
+    """Top-left-rule decimation of a list-of-rows plane anchored at
+    reference-grid (xo, yo): component samples sit at grid multiples
+    of the separation (B.2), so the first kept row/column is the
+    first multiple >= the offset — ceil(xo/xr)·xr − xo into the
+    plane. Zero offsets reduce to plain ``[::xr]``."""
     if xr == 1 and yr == 1:
         return rows
-    return [row[::xr] for row in rows[::yr]]
+    x0 = -(-xo // xr) * xr - xo
+    y0 = -(-yo // yr) * yr - yo
+    return [row[x0::xr] for row in rows[y0::yr]]
 
 
 def _tile_comp_box(tx, ty, xts, yts, width, height, xr, yr,
@@ -2202,14 +2220,12 @@ def encode_jpx(
     xo, yo = (int(v) for v in image_offset)
     xto, yto = (int(v) for v in tile_offset)
     canvas = bool(xo or yo or xto or yto)
-    if canvas and (roi is not None
-                   or any(s != (1, 1) for s in subs)):
+    if canvas and roi is not None:
         # round-10: the LOSSY path supports canvas offsets too (the
-        # phase-aware 9/7); ROI and subsampling stay reversible/
-        # zero-offset-only
-        raise JPXError(
-            "canvas offsets need 1x1 subsampling and no ROI"
-        )
+        # phase-aware 9/7); round-11: subsampling works with offsets
+        # (per-component ceil-division origins anchor the phase);
+        # ROI stays zero-offset-only
+        raise JPXError("canvas offsets need no ROI")
     coc = {int(k): int(v) for k, v in (coc or {}).items()}
     tile_coc = {
         int(t): {int(k): int(v) for k, v in d.items()}
@@ -2281,7 +2297,8 @@ def encode_jpx(
         else:
             comps = [rs, gs, bs]
     comps = [
-        _decimate_rows(p, xr, yr) for p, (xr, yr) in zip(comps, subs)
+        _decimate_rows(p, xr, yr, xo, yo)
+        for p, (xr, yr) in zip(comps, subs)
     ]
     xts, yts = tile_size or (width, height)
     if xts <= 0 or yts <= 0:
@@ -2334,7 +2351,9 @@ def encode_jpx(
                 tx, ty, xts, yts, xsiz, ysiz, xr, yr, xo, yo, xto, yto
             )
             # component planes cover the IMAGE AREA: index from the
-            # component origin (== the offset, 1x1 subsampling).
+            # component origin ceil(offset / separation) (B.3;
+            # round-11 — with 1x1 subsampling this is the offset
+            # itself, the round-10 convention, bytes unchanged).
             # round-10: EVERY tile-component transforms at its
             # ABSOLUTE canvas origin (B-14/F.3 — the lifting phase
             # and split points are position-dependent). Zero-offset
@@ -2342,8 +2361,9 @@ def encode_jpx(
             # origin (0, 0), so their bytes are unchanged; unaligned
             # multi-tile streams now match the spec instead of the
             # engine's former tile-local convention.
-            sub = [row[tcx0 - xo:tcx0 - xo + tcw]
-                   for row in plane_rows[tcy0 - yo:tcy0 - yo + tch]]
+            cox, coy = -(-xo // xr), -(-yo // yr)
+            sub = [row[tcx0 - cox:tcx0 - cox + tcw]
+                   for row in plane_rows[tcy0 - coy:tcy0 - coy + tch]]
             planes.append(
                 (dwt53_forward_2d(sub, lv, (tcx0, tcy0)), tcw, tch,
                  tcx0, tcy0)
@@ -2582,8 +2602,8 @@ def _encode_jpx_lossy(
     segments (A.6.5) — the real-world chroma-subquality shape.
     ``image_offset``/``tile_offset`` (round-10) anchor the canvas
     like the reversible path — any phase, including odd origins,
-    through the phase-aware 9/7 (1x1 subsampling only; guarded in
-    :func:`encode_jpx`)."""
+    through the phase-aware 9/7; round-11: subsampling composes with
+    offsets (per-component ceil-division origins, B.3)."""
     import numpy as np
 
     if quant_style not in ("expounded", "derived"):
@@ -2615,7 +2635,10 @@ def _encode_jpx_lossy(
         else:
             fcomps = [rgb[..., c].copy() for c in range(3)]
     fcomps = [
-        c[::yr, ::xr] for c, (xr, yr) in zip(fcomps, subs)
+        # top-left-rule decimation anchored at the per-component
+        # ceil-division origin (B.3; zero offsets reduce to [::xr])
+        c[(-(-yo // yr) * yr - yo)::yr, (-(-xo // xr) * xr - xo)::xr]
+        for c, (xr, yr) in zip(fcomps, subs)
     ]
     xts, yts = tile_size or (xsiz - xto, ysiz - yto)
     if xts <= 0 or yts <= 0:
@@ -2639,9 +2662,11 @@ def _encode_jpx_lossy(
         planes = []
         for cc, c in enumerate(fcomps):
             tcx0, tcy0, tw, th = comp_box(isot, cc)
+            xr, yr = subs[cc]
+            cox, coy = -(-xo // xr), -(-yo // yr)
             planes.append(_dwt97_forward_2d_np(
-                c[tcy0 - yo:tcy0 - yo + th,
-                  tcx0 - xo:tcx0 - xo + tw].copy(),
+                c[tcy0 - coy:tcy0 - coy + th,
+                  tcx0 - cox:tcx0 - cox + tw].copy(),
                 tw, th, levels, comp_origin(isot, cc)
             ))
         tile_coeff[isot] = planes
@@ -3261,10 +3286,11 @@ def decode_codestream(data: bytes):
     xo, yo = hdr.get("xo", 0), hdr.get("yo", 0)
     xto, yto = hdr.get("xto", 0), hdr.get("yto", 0)
     canvas = bool(xo or yo or xto or yto)
-    if canvas and any(s != (1, 1) for s in subs):
-        raise JPXUnsupported(
-            "canvas offsets combined with component subsampling"
-        )
+    # round-11: canvas offsets compose with component subsampling —
+    # every component anchors at its own ceil-division origin
+    # (B.3), which the tile boxes, band geometry and lifting phase
+    # already consume; the replication upsample maps the offset
+    # phase back (see decode_jpx)
     # component planes span [ceil(XO/XR), ceil(Xsiz/XR))
     comp_orig = [(-(-xo // xr), -(-yo // yr)) for xr, yr in subs]
     comp_dims = [
@@ -3693,7 +3719,7 @@ def decode_codestream(data: bytes):
                 tcx0 - cox:tcx0 - cox + tcw] = rec
         out_comps.append(img)
     return (w - xo, h - yo, ncomp, out_comps, depth, bool(hdr["mct"]),
-            any(comp_irrev), subs)
+            any(comp_irrev), subs, (xo, yo))
 
 def _unwrap_jp2_info(data: bytes) -> tuple:
     """Extract the contiguous codestream from a JP2 container plus
@@ -3768,7 +3794,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
     import numpy as np
 
     cs, enumcs = _unwrap_jp2_info(data)
-    w, h, ncomp, comps, depth, mct, irrev, subs = decode_codestream(cs)
+    (w, h, ncomp, comps, depth, mct, irrev, subs,
+     (xo, yo)) = decode_codestream(cs)
     shift = 1 << (depth - 1)
     top = (1 << depth) - 1
     if ncomp >= 3 and mct:
@@ -3786,11 +3813,24 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
             comps = [vv + g, g, uu + g]  # R, G, B
 
     def upsample(plane, xr, yr):
-        if yr != 1:
-            plane = np.repeat(plane, yr, axis=0)
-        if xr != 1:
-            plane = np.repeat(plane, xr, axis=1)
-        return plane[:h, :w]
+        if xr == 1 and yr == 1:
+            return plane[:h, :w]
+        if xo == 0 and yo == 0:
+            if yr != 1:
+                plane = np.repeat(plane, yr, axis=0)
+            if xr != 1:
+                plane = np.repeat(plane, xr, axis=1)
+            return plane[:h, :w]
+        # canvas-offset phase (B.2 with B.3 origins): image pixel
+        # (ix, iy) sits at grid (xo+ix, yo+iy) and reads component
+        # sample (grid // separation) − ceil(offset / separation);
+        # grid points below the first component sample clamp to it
+        cox, coy = -(-xo // xr), -(-yo // yr)
+        iy = np.clip((np.arange(h) + yo) // yr - coy,
+                     0, plane.shape[0] - 1)
+        ix = np.clip((np.arange(w) + xo) // xr - cox,
+                     0, plane.shape[1] - 1)
+        return plane[iy][:, ix]
 
     comps = [upsample(p, xr, yr) for p, (xr, yr) in zip(comps, subs)]
     if ncomp >= 3 and not mct and enumcs == 18:

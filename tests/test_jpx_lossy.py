@@ -265,10 +265,34 @@ class TestLossyRoundTrip:
         with pytest.raises(JPXError, match="ROI"):
             encode_jpx(w, h, px, 1, irreversible=True,
                        image_offset=(3, 5), roi=(0, 0, 8, 8))
-        with pytest.raises(JPXError, match="subsampling|ROI"):
-            encode_jpx(24, 16, bytes(24 * 16 * 3), 3,
-                       irreversible=True, image_offset=(3, 5),
-                       subsampling=((1, 1), (2, 2), (2, 2)))
+
+    def test_odd_offsets_with_subsampling_lossy(self):
+        """Round-11 (the former decline): lossy 4:2:0 at ODD canvas
+        offsets — each component's 9/7 phase follows its own
+        ceil-division origin. On a smooth image the reconstruction
+        error must match the zero-offset encode of the same image."""
+        w, h = 24, 16
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        rgb = np.stack([
+            (np.sin(xx / 6.0) * 50 + 128),
+            (np.cos(yy / 5.0) * 50 + 128),
+            ((xx + yy) * 3 + 40),
+        ], axis=-1).astype(np.uint8)
+        subs = ((1, 1), (2, 2), (2, 2))
+        base = self._err(
+            rgb.tobytes(), decode_jpx(encode_jpx(
+                w, h, rgb.tobytes(), 3, levels=2, irreversible=True,
+                quality_bits=9, subsampling=subs))[2]
+        ).max()
+        for xo, yo, ts in ((1, 0, None), (3, 5, None), (3, 5, (16, 16))):
+            cs = encode_jpx(w, h, rgb.tobytes(), 3, levels=2,
+                            irreversible=True, quality_bits=9,
+                            subsampling=subs, image_offset=(xo, yo),
+                            tile_size=ts)
+            gw, gh, out = decode_jpx(cs)
+            assert (gw, gh) == (w, h), (xo, yo, ts)
+            assert self._err(rgb.tobytes(), out).max() <= base + 3, \
+                (xo, yo, ts)
 
 
 class TestMinipdfLossyIntegration:
