@@ -4126,3 +4126,52 @@ def build_pdf(
         + f" >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(buf)
+
+
+def append_update(data: bytes, updates: dict[int, bytes]) -> bytes:
+    """Append one INCREMENTAL-UPDATE section (ISO 32000-1 §7.5.6) to
+    an existing file: the updated object bodies, a new xref table
+    covering exactly them, and a trailer whose /Prev points at the
+    previous xref — the structure viewers write on save. The
+    original bytes are untouched (that is the point of incremental
+    updates); a later generation of an object number REPLACES the
+    earlier one for any conforming reader, which the engine's
+    last-definition-wins object scan honors. Chain calls for
+    multi-generation files. Fixture twin of the A-tier
+    incremental-update goldens."""
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", data):
+        pass
+    prev_pos = int(m.group(1)) if m else 0
+    sizes = re.findall(rb"/Size\s+(\d+)", data)
+    old_size = int(sizes[-1]) if sizes else 0
+    rm = None
+    for rm in re.finditer(rb"/Root\s+(\d+)\s+0\s+R", data):
+        pass
+    root = int(rm.group(1)) if rm else 1
+    buf = bytearray(data)
+    if not buf.endswith(b"\n"):
+        buf += b"\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(updates):
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + updates[num] + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += b"xref\n"
+    nums = sorted(offsets)
+    i = 0
+    while i < len(nums):  # one subsection per contiguous run
+        j = i
+        while j + 1 < len(nums) and nums[j + 1] == nums[j] + 1:
+            j += 1
+        buf += f"{nums[i]} {j - i + 1}\n".encode()
+        for n in nums[i:j + 1]:
+            buf += f"{offsets[n]:010d} 00000 n \n".encode()
+        i = j + 1
+    size = max(old_size, max(nums) + 1)
+    buf += (
+        f"trailer\n<< /Size {size} /Root {root} 0 R"
+        f" /Prev {prev_pos} >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(buf)

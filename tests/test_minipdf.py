@@ -3903,3 +3903,49 @@ class TestVerticalWriting:
         )
         [txt] = minipdf.extract_page_texts(pdf, layout=True)
         assert "春眠" in txt and "不覚" in txt and "\n" not in txt
+
+
+class TestIncrementalUpdates:
+    """append_update (ISO 32000-1 §7.5.6 fixture twin) + the
+    last-definition-wins scan, end-to-end (round 11)."""
+
+    @staticmethod
+    def _content(text):
+        body = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        return (b"<< /Length " + str(len(body)).encode()
+                + b" >>\nstream\n" + body + b"\nendstream")
+
+    def test_three_generations_latest_wins(self):
+        base = minipdf.build_pdf(["one", "two"])
+        g1 = minipdf.append_update(base, {4: self._content("one v2")})
+        g2 = minipdf.append_update(g1, {6: self._content("two v2")})
+        g3 = minipdf.append_update(g2, {4: self._content("one v3")})
+        assert minipdf.extract_page_texts(base) == ["one", "two"]
+        assert minipdf.extract_page_texts(g1) == ["one v2", "two"]
+        assert minipdf.extract_page_texts(g3) == ["one v3", "two v2"]
+        # the update sections really chain: each generation's trailer
+        # carries /Prev and the original bytes are a strict prefix
+        assert g3.startswith(g2) and g2.startswith(g1)
+        assert g1.startswith(base)
+        assert g3.count(b"/Prev") == 3
+
+    def test_truncated_tail_recovers_intact_objects(self):
+        base = minipdf.build_pdf(["one", "two"])
+        g1 = minipdf.append_update(base, {4: self._content("one v2")})
+        cut = g1[:g1.rfind(b"xref") + 6]  # xref table chopped mid-way
+        assert minipdf.extract_page_texts(cut) == ["one v2", "two"]
+        # cut INSIDE the updated object: the damaged generation can't
+        # parse, so the previous generation stays live
+        cut2 = g1[:len(base) + 20]
+        assert minipdf.extract_page_texts(cut2) == ["one", "two"]
+
+    def test_update_can_append_a_page(self):
+        base = minipdf.build_pdf(["one", "two"])
+        add = minipdf.append_update(base, {
+            2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 8 0 R] /Count 3 >>",
+            8: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Contents 9 0 R /Resources "
+               b"<< /Font << /F1 7 0 R >> >> >>",
+            9: self._content("three"),
+        })
+        assert minipdf.extract_page_texts(add) == ["one", "two", "three"]
