@@ -158,3 +158,83 @@ class TestWordBoxDifferential:
             # baseline+size box vs ink extents, top-origin flip
             assert abs((page_h - b["y1"]) - ty0) <= 6.0, (w, b, theirs)
             assert abs((page_h - b["y0"]) - ty1) <= 6.0, (w, b, theirs)
+
+
+# ---------------------------------------------------------------------
+# Real-corpus differential (round-11 verdict ask #7): the staged
+# third-party corpus (SPARK_GRAFT_CORPUS) is parametrized here NOW,
+# skip-gated on poppler — the first environment that ships pdftotext
+# immediately yields parity evidence on genuine third-party input,
+# not just authored fixtures.
+# ---------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+
+def _corpus_files() -> list[str]:
+    corpus = _os.environ.get("SPARK_GRAFT_CORPUS", "")
+    mf = _os.path.join(corpus, "manifest.json")
+    if not (corpus and _os.path.isdir(corpus) and _os.path.exists(mf)):
+        return []
+    with open(mf) as f:
+        manifest = _json.load(f)
+    return sorted(
+        _os.path.join(corpus, m["staged"])
+        for m in manifest
+        if m.get("ok") and m.get("staged")
+    )
+
+
+_CORPUS_FILES = _corpus_files()
+
+
+@pytest.mark.skipif(
+    not _CORPUS_FILES,
+    reason="no real-world corpus staged (run tools/fetch_corpus.py "
+           "and export SPARK_GRAFT_CORPUS)",
+)
+class TestRealCorpusDifferential:
+    """pdftotext parity on REAL third-party PDFs. Documented
+    tolerances (third-party text is not under fixture control):
+
+    - page COUNT parity is exact;
+    - per-page word-token MULTISET overlap (multiset Jaccard) must
+      be >= 0.93 — poppler normalizes some TeX ligatures/dashes and
+      may merge or split hyphenated line-break tokens differently,
+      so exact multiset equality is not the right contract on
+      arbitrary input, but a reading-order or decode bug collapses
+      the overlap far below this;
+    - pages the engine reads as text-bearing must be text-bearing
+      for poppler too (and vice versa) — a layer mismatch is a
+      decode gap, not a tokenization difference.
+    """
+
+    @pytest.mark.parametrize(
+        "path", _CORPUS_FILES or ["<no-corpus>"],
+        ids=[_os.path.basename(p) for p in _CORPUS_FILES] or None,
+    )
+    def test_per_page_token_overlap(self, path, tmp_path):
+        from collections import Counter
+
+        with open(path, "rb") as f:
+            data = f.read()
+        ours_pages = minipdf.extract_page_texts(data, layout=True)
+        theirs_raw = _run([], data, tmp_path)
+        theirs_pages = theirs_raw.split("\f")
+        if theirs_pages and not theirs_pages[-1].strip():
+            theirs_pages.pop()
+        assert len(theirs_pages) == len(ours_pages), path
+        for i, (a, b) in enumerate(zip(ours_pages, theirs_pages)):
+            wa, wb = Counter(a.split()), Counter(b.split())
+            assert bool(wa) == bool(wb), (path, i + 1)
+            union = sum((wa | wb).values())
+            if union == 0:
+                continue
+            inter = sum((wa & wb).values())
+            overlap = inter / union
+            assert overlap >= 0.93, (
+                path, i + 1, round(overlap, 3),
+                sorted((wa - wb).items())[:10],
+                sorted((wb - wa).items())[:10],
+            )

@@ -44,19 +44,17 @@ echo "== real-world differential (auto-widens when available) =="
 # poppler/pytesseract differential still widens only when those
 # binaries exist.
 if [ -z "${SPARK_GRAFT_CORPUS:-}" ]; then
-  for CAND in /usr/share/doc; do
-    if [ -d "$CAND" ]; then
-      CORPUS_DIR=/tmp/pdf_corpus_ci
-      echo "staging real-PDF corpus from $CAND -> $CORPUS_DIR"
-      if python tools/fetch_corpus.py --from-dir "$CAND" \
-           --out "$CORPUS_DIR"; then
-        export SPARK_GRAFT_CORPUS="$CORPUS_DIR"
-      else
-        echo "WARN: no openable PDFs under $CAND (corpus not staged)"
-      fi
-      break
-    fi
-  done
+  # round-11: no --from-dir = the tool's multi-root candidate list
+  # (/usr/share, /usr/local/share, /opt, /mnt, /media, /srv, /data) —
+  # any image that ships more PDFs widens the gate automatically;
+  # roots.json in the corpus dir records per-root probe counts
+  CORPUS_DIR=/tmp/pdf_corpus_ci
+  echo "staging real-PDF corpus (multi-root probe) -> $CORPUS_DIR"
+  if python tools/fetch_corpus.py --out "$CORPUS_DIR"; then
+    export SPARK_GRAFT_CORPUS="$CORPUS_DIR"
+  else
+    echo "WARN: no openable PDFs under the candidate roots (corpus not staged)"
+  fi
 fi
 DIFF_AVAILABLE=0
 if command -v pdftotext >/dev/null 2>&1; then

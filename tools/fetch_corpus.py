@@ -96,10 +96,29 @@ def probe(path: str) -> dict:
     return info
 
 
+#: Probed in order when no --from-dir is given (round-11 verdict ask
+#: #6): any sandbox/image that ships MORE PDFs under these trees
+#: widens the real-world gate automatically on the next ci run.
+#: Non-existent roots are skipped silently; /usr/share subsumes the
+#: original /usr/share/doc.
+DEFAULT_ROOTS = (
+    "/usr/share", "/usr/local/share", "/opt",
+    "/mnt", "/media", "/srv", "/data",
+)
+
+#: Bound on probe work for crafted/huge trees: staging stops at
+#: --max, probing stops a while after (declined files still get
+#: manifest rows up to this cap).
+MAX_PROBES = 1000
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--from-dir", required=True,
-                    help="directory to scan recursively for *.pdf")
+    ap.add_argument("--from-dir", action="append", default=None,
+                    help="directory to scan recursively for *.pdf; "
+                         "repeatable. Omit to probe the default "
+                         "multi-root candidate list "
+                         f"({', '.join(DEFAULT_ROOTS)})")
     ap.add_argument("--out", default="/tmp/pdf_corpus",
                     help="corpus output directory (default "
                          "/tmp/pdf_corpus; export SPARK_GRAFT_CORPUS "
@@ -108,31 +127,62 @@ def main(argv: list[str] | None = None) -> int:
                     help="max PDFs to stage (default 200)")
     args = ap.parse_args(argv)
 
-    if not os.path.isdir(args.from_dir):
-        print(f"--from-dir {args.from_dir} is not a directory",
-              file=sys.stderr)
-        return 2
+    if args.from_dir:
+        roots = list(args.from_dir)
+        for r in roots:
+            if not os.path.isdir(r):
+                print(f"--from-dir {r} is not a directory",
+                      file=sys.stderr)
+                return 2
+    else:
+        roots = [r for r in DEFAULT_ROOTS if os.path.isdir(r)]
+        if not roots:
+            print("no default roots exist on this image",
+                  file=sys.stderr)
+            return 2
     os.makedirs(args.out, exist_ok=True)
     manifest: list[dict] = []
     staged = 0
-    for root, _dirs, files in os.walk(args.from_dir):
-        for fn in sorted(files):
-            if not fn.lower().endswith(".pdf"):
-                continue
-            src = os.path.join(root, fn)
-            info = probe(src)
-            if info.get("ok") and staged < args.max:
-                dst = os.path.join(
-                    args.out, f"{info['sha256'][:16]}.pdf"
-                )
-                if not os.path.exists(dst):
-                    shutil.copyfile(src, dst)
-                info["staged"] = os.path.basename(dst)
-                staged += 1
-            manifest.append(info)
+    seen_sha: set[str] = set()
+    root_counts: dict[str, dict] = {}
+    for top in roots:
+        counts = root_counts.setdefault(
+            top, {"probed": 0, "ok": 0, "staged": 0}
+        )
+        for root, _dirs, files in os.walk(top):
+            for fn in sorted(files):
+                if not fn.lower().endswith(".pdf"):
+                    continue
+                if len(manifest) >= MAX_PROBES:
+                    break
+                src = os.path.join(root, fn)
+                info = probe(src)
+                info["root"] = top
+                counts["probed"] += 1
+                if info.get("ok"):
+                    counts["ok"] += 1
+                # same file reachable under two roots: probe rows for
+                # both, stage once
+                if (info.get("ok") and staged < args.max
+                        and info["sha256"] not in seen_sha):
+                    seen_sha.add(info["sha256"])
+                    dst = os.path.join(
+                        args.out, f"{info['sha256'][:16]}.pdf"
+                    )
+                    if not os.path.exists(dst):
+                        shutil.copyfile(src, dst)
+                    info["staged"] = os.path.basename(dst)
+                    staged += 1
+                    counts["staged"] += 1
+                manifest.append(info)
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+    with open(os.path.join(args.out, "roots.json"), "w") as f:
+        json.dump(root_counts, f, indent=1)
     ok = sum(1 for m in manifest if m.get("ok"))
+    for top, c in root_counts.items():
+        print(f"  {top}: {c['probed']} probed, {c['ok']} openable, "
+              f"{c['staged']} staged")
     print(f"probed {len(manifest)} PDFs, {ok} openable, "
           f"{staged} staged into {args.out}")
     print(f"export SPARK_GRAFT_CORPUS={args.out}  # to enable "
