@@ -83,29 +83,25 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 10 — the first real-world (non-engine-authored) golden:
-    # /usr/share/doc corpus per-page layout-text pins
+    # round 11 — NEW: RTL/bidi logical-order + /Identity-V vertical
+    # writing (UAX #9 subset in the layout line assembler)
+    "a39_rtl_extract",
+    # round 11 — NEW: multi-generation incremental updates +
+    # truncated-tail recovery (append_update fixture twin)
+    "a40_incremental_update_extract",
+    # round 11 — the bidi pass and the tightened (center-coincident)
+    # TeX \copyright overlay rule run inside EVERY layout-text
+    # extraction; a5/a38 pin the authored + real-world goldens
+    "a5_pdf_extract",
     "a38_realworld_extract",
-    # round 10 — JBIG2 B.10 transcribed from T.88 (replacing the
-    # wrong round-9 derivation; huffb710 stream re-pinned)
-    "a25_jbig2_scan_extract",
-    # round 10 — JPX canvas offsets at any phase (odd XO/YO):
-    # phase-aware 5/3+9/7 lifting + B-15 band geometry; new oddoff/
-    # smallblk fixtures; absolute canvas anchoring everywhere;
-    # signaled/clamped code-block sizes; lossy odd offsets (a27
-    # oddlossy)
+    # round 11 — Type0 decode-map lookup hoisted (_type0_decode_map,
+    # H+V shared; a17 pins the CID families)
+    "a17_cid_font_extract",
+    # round 11 — JPX: scaling-based rectangle ROI (T.801 Srgn=1,
+    # a26 roi.pdf), canvas offsets x component subsampling (a27
+    # oddycc.pdf), B-16 zero-precinct empty resolutions
     "a26_jpx_image_extract",
     "a27_lossy_jpx_extract",
-    # round 10 — rational-step tile overlap + depth-2 pattern
-    # nesting (tileimg re-pinned), stencil declines for nested
-    # shadings/images in cells
-    "a36_clip_render",
-    "a33_shading_render",
-    "a34_feature_torture",
-    # round 10 — TeX \copyright overlay composition + mirrored
-    # Type3 FontMatrix advance (layout-text paths)
-    "a5_pdf_extract",
-    "a35_type3_render",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows
