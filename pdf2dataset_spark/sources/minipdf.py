@@ -2563,8 +2563,10 @@ _BIDI_MIRROR = str.maketrans("()[]{}<>«»", ")(][}{><»«")
 def _bidi_class(ch: str) -> str:
     """Collapsed UAX #9 class for the visual→logical pass: 'R'
     (strong RTL: R/AL), 'L' (strong LTR), 'D' (digits: EN/AN — shown
-    left-to-right inside either base direction), 'N' (everything
-    else: neutrals, weak marks, whitespace)."""
+    left-to-right inside either base direction), 'S' (number
+    separators ES/CS — part of the number when single between two
+    digits, W4), 'N' (everything else: neutrals, weak marks,
+    whitespace)."""
     import unicodedata
 
     bd = unicodedata.bidirectional(ch)
@@ -2574,14 +2576,54 @@ def _bidi_class(ch: str) -> str:
         return "L"
     if bd in ("EN", "AN"):
         return "D"
+    if bd in ("ES", "CS"):
+        return "S"
     return "N"
 
 
-def _segments_with_interior_neutrals(cls: list[str], member) -> list[tuple]:
+def _w4_merge(cls: list[str]) -> list[str]:
+    """UAX #9 W4 on the collapsed classes: a SINGLE separator (ES/CS)
+    between two digits becomes part of the number ('3-2', '1.5',
+    '1,000'); doubled separators and separators next to non-digits
+    stay neutral-ish."""
+    n = len(cls)
+    return [
+        "D"
+        if c == "S" and 0 < i < n - 1
+        and cls[i - 1] == "D" and cls[i + 1] == "D"
+        else c
+        for i, c in enumerate(cls)
+    ]
+
+
+def _digit_islands(cls: list[str]) -> list[tuple]:
+    """Maximal number runs after W4: digits glued through single
+    ES/CS separators, NOT through whitespace — two space-separated
+    numbers inside RTL text are separate islands that swap with the
+    surrounding RTL run."""
+    merged = _w4_merge(cls)
+    runs = []
+    i, n = 0, len(merged)
+    while i < n:
+        if merged[i] == "D":
+            j = i
+            while j < n and merged[j] == "D":
+                j += 1
+            runs.append((i, j))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def _segments_with_interior_neutrals(
+    cls: list[str], member, interior: tuple = ("N",)
+) -> list[tuple]:
     """Maximal [i, j) spans whose ends are ``member`` classes and
-    whose interior may also contain 'N' runs BETWEEN two members
-    (UAX #9 N1: neutrals take the surrounding direction only when
-    both neighbors agree)."""
+    whose interior may also contain ``interior``-class runs BETWEEN
+    two members (UAX #9 N1: neutrals take the surrounding direction
+    only when both neighbors agree; digits glue RTL runs because N1
+    treats EN/AN as R)."""
     spans = []
     i, n = 0, len(cls)
     while i < n:
@@ -2594,7 +2636,7 @@ def _segments_with_interior_neutrals(cls: list[str], member) -> list[tuple]:
             if member(cls[k]):
                 j = k + 1
                 k = j
-            elif cls[k] == "N":
+            elif cls[k] in interior:
                 k += 1
             else:
                 break
@@ -2605,14 +2647,38 @@ def _segments_with_interior_neutrals(cls: list[str], member) -> list[tuple]:
 
 def _restore_ltr_islands(chars: list[str], cls: list[str]) -> list[str]:
     """Given a fully REVERSED visual line (base RTL), re-reverse the
-    embedded LTR islands (strong-L and digit spans, with interior
-    neutrals) back to their left-to-right order and mirror paired
-    brackets in the RTL remainder."""
+    embedded LTR islands back to their left-to-right order and
+    mirror paired brackets in the RTL remainder. Two island kinds,
+    per the W7 distinction: digits whose nearest preceding strong is
+    L join the STRONG-L island (whitespace glues, N1 — 'test 123'
+    is one island), while digits in RTL context ('d') island alone,
+    glued only through single number separators (W4) — two
+    space-separated numbers swap with the RTL text around them."""
     out = list(chars)
-    island = [False] * len(out)
+    n = len(out)
+    # Digit typing, inverted for the REVERSED frame: logically a
+    # digit run belongs to an L island only when a strong L PRECEDES
+    # it (W7) — and an island reverses as a whole, so in the
+    # reversed-visual string that L sits AFTER the digits. Type 'l'
+    # when the next strong (scanning right, over weaks) is L.
+    typed = list(cls)
+    nxt = "R"  # base RTL: eor is R
+    for i in range(n - 1, -1, -1):
+        c = cls[i]
+        if c in ("R", "L"):
+            nxt = c
+        elif c == "D":
+            typed[i] = "l" if nxt == "L" else "d"
+    island = [False] * n
     for i, j in _segments_with_interior_neutrals(
-        cls, lambda c: c in ("L", "D")
+        typed, lambda c: c in ("L", "l"), interior=("N", "S")
     ):
+        out[i:j] = out[i:j][::-1]
+        for k in range(i, j):
+            island[k] = True
+    for i, j in _digit_islands(cls):
+        if island[i]:  # l-digits already restored inside an L island
+            continue
         out[i:j] = out[i:j][::-1]
         for k in range(i, j):
             island[k] = True
@@ -2624,16 +2690,15 @@ def _restore_ltr_islands(chars: list[str], cls: list[str]) -> list[str]:
 
 def _reverse_rtl_segment(seg: str) -> str:
     """One maximal VISUAL RTL segment → logical order: reverse the
-    whole segment, then restore digit islands (numbers read
-    left-to-right even inside RTL text) and mirror paired brackets
-    in the RTL part."""
+    whole segment, then restore digit islands (maximal number runs
+    after W4 — numbers read left-to-right even inside RTL text, and
+    a single ES/CS between digits is part of the number) and mirror
+    paired brackets in the RTL part."""
     rev = seg[::-1]
     cls = [_bidi_class(ch) for ch in rev]
     out = list(rev)
     island = [False] * len(out)
-    for i, j in _segments_with_interior_neutrals(
-        cls, lambda c: c == "D"
-    ):
+    for i, j in _digit_islands(cls):
         out[i:j] = out[i:j][::-1]
         for k in range(i, j):
             island[k] = True
@@ -2683,8 +2748,12 @@ def _bidi_logical(line: str) -> str:
         )
     out = []
     pos = 0
+    # base-LTR: a visual RTL segment glues THROUGH interior digits
+    # and neutrals (N1 treats EN/AN as R), so "price 123 shekel" in
+    # Hebrew reorders as one span — the words around the number swap
+    # back — while digits inside restore left-to-right
     for i, j in _segments_with_interior_neutrals(
-        cls, lambda c: c == "R"
+        cls, lambda c: c == "R", interior=("N", "S", "D")
     ):
         out.append(line[pos:i])
         out.append(_reverse_rtl_segment(line[i:j]))

@@ -3949,3 +3949,173 @@ class TestIncrementalUpdates:
             9: self._content("three"),
         })
         assert minipdf.extract_page_texts(add) == ["one", "two", "three"]
+
+
+# ---------------------------------------------------------------------
+# Bidi round-trip property: an INDEPENDENT UAX #9-subset forward model
+# (embedding levels + rule L2/L4 — a different algorithm family from
+# the engine's segment-reversal inverse) renders logical text to
+# visual; the engine's inverse must recover a logical string that
+# renders back to the IDENTICAL visual. Visual→logical is many-to-one
+# at direction boundaries (two logicals can share a display), so
+# display∘inverse∘display == display is the strongest sound property;
+# exact round-trip is additionally pinned on the common shapes above.
+# ---------------------------------------------------------------------
+
+_BIDI_MIRROR_FWD = str.maketrans("()[]{}<>«»", ")(][}{><»«")
+
+
+def _uax9_display(logical: str) -> str:
+    """Forward UAX #9 subset: W4 (single ES/CS between digits joins
+    the number), W7 (digits after strong L act L), N1 with EN/AN
+    treated as R, implicit levels, L2 run reversal, L4 mirroring."""
+    import unicodedata
+
+    def cl(ch):
+        bd = unicodedata.bidirectional(ch)
+        if bd in ("R", "AL"):
+            return "R"
+        if bd == "L":
+            return "L"
+        if bd in ("EN", "AN"):
+            return "D"
+        if bd in ("ES", "CS"):
+            return "S"
+        return "N"
+
+    cs = [cl(c) for c in logical]
+    if "R" not in cs:
+        return logical
+    base = 1 if cs.count("R") > cs.count("L") else 0
+    n = len(cs)
+    w4 = [
+        "D" if c == "S" and 0 < i < n - 1
+        and cs[i - 1] == "D" and cs[i + 1] == "D" else c
+        for i, c in enumerate(cs)
+    ]
+    w4 = ["N" if c == "S" else c for c in w4]
+    typed = list(w4)
+    last = "L" if base == 0 else "R"
+    for i, c in enumerate(w4):
+        if c in ("R", "L"):
+            last = c
+        elif c == "D":
+            typed[i] = "l" if last == "L" else "d"
+    side = {"R": "R", "d": "R", "L": "L", "l": "L"}
+    lev = [0] * n
+    for i, t in enumerate(typed):
+        if t == "R":
+            lev[i] = 1
+        elif t in ("L", "l"):
+            lev[i] = 0 if base == 0 else 2
+        elif t == "d":
+            lev[i] = 2
+    for i, t in enumerate(typed):
+        if t != "N":
+            continue
+        ls = rs = None
+        ll = rl = None
+        j = i - 1
+        while j >= 0:
+            if typed[j] != "N":
+                ls, ll = side[typed[j]], lev[j]
+                break
+            j -= 1
+        j = i + 1
+        while j < n:
+            if typed[j] != "N":
+                rs, rl = side[typed[j]], lev[j]
+                break
+            j += 1
+        if ls is not None and ls == rs:
+            lev[i] = 1 if ls == "R" else (min(ll, rl) if base else 0)
+        else:
+            lev[i] = base
+    out = [
+        c.translate(_BIDI_MIRROR_FWD) if lev[i] % 2 else c
+        for i, c in enumerate(logical)
+    ]
+    for level in range(max(lev), 0, -1):
+        i = 0
+        while i < n:
+            if lev[i] >= level:
+                j = i
+                while j < n and lev[j] >= level:
+                    j += 1
+                out[i:j] = out[i:j][::-1]
+                i = j
+            else:
+                i += 1
+    return "".join(out)
+
+
+class TestBidiRoundTripProperty:
+    _HEB = ["שלום", "עולם", "הקובץ", "נשמר", "מחיר", "שח", "ספר"]
+    _ARA = ["كل", "شيء", "نص", "شكل"]
+    _LAT = ["test", "file", "saved", "pdf", "a", "end"]
+
+    def _token(self, rnd):
+        r = rnd.random()
+        if r < 0.35:
+            return rnd.choice(self._HEB)
+        if r < 0.45:
+            return rnd.choice(self._ARA)
+        if r < 0.70:
+            return rnd.choice(self._LAT)
+        if r < 0.85:
+            t = str(rnd.randint(0, 9999))
+            if rnd.random() < 0.3:
+                t += rnd.choice(".,-") + str(rnd.randint(0, 99))
+            return t
+        t = self._token(rnd)
+        return ("(" + t + ")" if rnd.random() < 0.5
+                else t + rnd.choice(".,:"))
+
+    def test_display_fixpoint_on_token_lines(self):
+        """display(inverse(display(L))) == display(L) over 4000
+        seeded token-structured lines: whatever preimage the inverse
+        picks must RENDER identically — the strongest property a
+        many-to-one display admits."""
+        import random
+
+        rnd = random.Random(7)
+        for _ in range(4000):
+            logical = " ".join(
+                self._token(rnd) for _ in range(rnd.randint(1, 8))
+            )
+            vis = _uax9_display(logical)
+            back = minipdf._bidi_logical(vis)
+            assert _uax9_display(back) == vis, (logical, vis, back)
+
+    def test_exact_roundtrip_on_unambiguous_lines(self):
+        """Exact logical recovery where the preimage is unique in
+        practice: single-script lines, L/digit islands inside RTL,
+        RTL words (with interior numbers) inside LTR."""
+        cases = [
+            "שלום עולם",
+            "הקובץ test.pdf נשמר",
+            "הקובץ test 123 נשמר",
+            "מחיר 123 שקל",
+            "מחיר 123 456 שח",
+            "file שלום saved",
+            "total מחיר 123 שח end",
+            "ab שלום 12 עולם cd",
+            "(שלום)",
+            "كل شيء",
+            "מחיר 3.5-4 שח",
+        ]
+        for logical in cases:
+            vis = _uax9_display(logical)
+            assert minipdf._bidi_logical(vis) == logical, (logical, vis)
+
+    def test_no_rtl_is_identity_everywhere(self):
+        import random
+
+        rnd = random.Random(3)
+        for _ in range(500):
+            s = "".join(
+                rnd.choice("abc 0123.,()-:")
+                for _ in range(rnd.randint(0, 20))
+            )
+            assert minipdf._bidi_logical(s) == s
+            assert _uax9_display(s) == s
