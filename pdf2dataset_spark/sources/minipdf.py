@@ -1418,7 +1418,10 @@ class PdfDocument:
                             struct.error):
                         fmap = None
                 if fmap is not None:
-                    fmap = self._finish_font_map(*fmap)
+                    if fmap[0] == "vert":  # vertical wrapper
+                        fmap = ("vert", self._finish_font_map(*fmap[1]))
+                    else:
+                        fmap = self._finish_font_map(*fmap)
                 entry["Font"] = (fmap, size)
             dsh = self.resolve(g.get("/D"))
             if isinstance(dsh, list) and len(dsh) >= 2:

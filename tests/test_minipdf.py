@@ -4119,3 +4119,113 @@ class TestBidiRoundTripProperty:
             )
             assert minipdf._bidi_logical(s) == s
             assert _uax9_display(s) == s
+
+
+class TestVerticalAndBidiComposition:
+    """Round-11 hardening: the vertical/bidi machinery composes with
+    the other frame features (predefined -V CMaps, /Rotate pages,
+    word boxes, ExtGState fonts)."""
+
+    def test_predefined_ucs2_v_cmap_vertical(self):
+        """/UniJIS-UCS2-V: codes ARE UCS-2 (no ToUnicode, no font
+        program) AND the -V suffix drives vertical advances — two
+        columns read right-to-left."""
+        def col(x, text):
+            hexs = text.encode("utf-16-be").hex().upper()
+            return f"BT /F1 12 Tf {x} 700 Td <{hexs}> Tj ET"
+        content = (col(300, "縦書き") + "\n" + col(280, "二列目")).encode()
+        pdf = _wrap_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /V "
+            b"/Encoding /UniJIS-UCS2-V /DescendantFonts [6 0 R] >>",
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /V >>",
+        ])
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt.split("\n") == ["縦書き", "二列目"]
+
+    def test_rtl_on_rotated_page(self):
+        """RTL logical ordering composes with the /Rotate display
+        transform: a 90-rotated page whose text displays upright
+        still reorders Hebrew to logical."""
+        from pdf2dataset_spark.queries.tier_a import _raw_pdf
+
+        # visual-order Hebrew painted with the text matrix rotating
+        # content 90 deg CCW so /Rotate 90 displays it upright
+        text = "םלוע םולש"
+        bfchars = "".join(
+            f"<{i + 1:04X}> <{ord(c):04X}>\n" for i, c in enumerate(text)
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(text)} beginbfchar\n{bfchars}endbfchar\nendcmap end\n"
+        ).encode("ascii")
+        codes = "".join(f"{i + 1:04X}" for i in range(len(text)))
+        content = (
+            f"BT /F1 12 Tf 0 1 -1 0 500 100 Tm <{codes}> Tj ET"
+        ).encode("ascii")
+        pdf = _raw_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Rotate 90 /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /RTL "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+            b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream",
+        ])
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt == "שלום עולם"
+
+    def test_vertical_word_boxes_smoke(self):
+        """Word boxes on an /Identity-V page: the words surface in
+        column order with finite coordinates (the reading-frame
+        rotation applies to boxes too)."""
+        pdf = _positioned_cid_pdf(
+            [(300, 700, "春眠不覚暁"), (280, 700, "処処聞啼鳥")],
+            enc=b"/Identity-V",
+        )
+        [boxes] = minipdf.extract_page_word_boxes(pdf)
+        words = [b["word"] for b in boxes]
+        assert words == ["春眠不覚暁", "処処聞啼鳥"]
+        for b in boxes:
+            assert b["x1"] > b["x0"] and all(
+                isinstance(b[k], float) for k in ("x0", "y0", "x1", "y1")
+            )
+
+    def test_extgstate_vertical_font(self):
+        """gs with an ExtGState /Font pointing at a vertical Type0
+        font: the wrapped map flows through the gs path and the
+        advance goes down-column."""
+        text = "縦書"
+        bfchars = "".join(
+            f"<{i + 1:04X}> <{ord(c):04X}>\n" for i, c in enumerate(text)
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(text)} beginbfchar\n{bfchars}endbfchar\nendcmap end\n"
+        ).encode("ascii")
+        content = b"BT /G1 gs 300 700 Td <00010002> Tj ET"
+        pdf = _wrap_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /ExtGState << /G1 << /Font [5 0 R 12] >> >> >> >>",
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /V "
+            b"/Encoding /Identity-V /ToUnicode 6 0 R >>",
+            b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream",
+        ])
+        [txt] = minipdf.extract_page_texts(pdf, layout=True)
+        assert txt == "縦書"
