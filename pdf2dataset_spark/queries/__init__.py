@@ -102,6 +102,10 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # oddycc.pdf), B-16 zero-precinct empty resolutions
     "a26_jpx_image_extract",
     "a27_lossy_jpx_extract",
+    # round 11 — NEW curation operators: Gopher repetition signals
+    # + benchmark decontamination (broadcast bench side)
+    "f45_gopher_repetition",
+    "f46_decontamination",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

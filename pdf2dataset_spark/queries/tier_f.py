@@ -2177,3 +2177,139 @@ def f44_dsir_importance_score(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     scores = dsir_scores(d, F.col("lang") == "en")
     return scores.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------- F45
+@query(
+    "f45_gopher_repetition",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+      FROM words GROUP BY doc_id
+    ),
+    w2 AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM w2,
+           LATERAL unnest(range(1, greatest(len(w), 1))) t(i)
+      WHERE i < len(w)
+    ),
+    bgc AS (
+      SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+    ),
+    bgs AS (
+      SELECT doc_id,
+             CAST(max(c) AS BIGINT) AS top_bigram_n,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct_words,
+           top_bigram_n, n_bigrams, n_distinct_bigrams
+    FROM ws JOIN bgs USING (doc_id)
+    """,
+    tier="F",
+)
+def f45_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (F-tier curation; Rae
+    et al. 2021 §A1.1): per document, the EXACT-INTEGER numerators
+    and denominators behind the published filters — duplicate-word
+    mass (n_words vs n_distinct_words) and top-2-gram coverage
+    (top_bigram_n / n_bigrams) plus duplicate-bigram mass
+    (n_bigrams vs n_distinct_bigrams). Integers, not ratios, so the
+    oracle is bitwise and the caller picks thresholds. Scale shape:
+    word stats and bigram stats are two branches of ONE exploded
+    scan with map-side partial aggregation; bigrams are built
+    JVM-side (transform over the split array — no Python in the
+    loop); the final join is doc_id-keyed on two already-aggregated
+    (corpus-row-sized, not token-sized) relations."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    words = d.select("doc_id", F.explode("w").alias("word"))
+    ws = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("word").alias("n_distinct_words"),
+    )
+    bg = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(w[i], ' ', w[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    bgc = bg.groupBy("doc_id", "bg").count()
+    bgs = bgc.groupBy("doc_id").agg(
+        F.max("count").alias("top_bigram_n"),
+        F.sum("count").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    return ws.join(bgs, "doc_id")
+
+
+# --------------------------------------------------------------- F46
+@query(
+    "f46_decontamination",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM words,
+           LATERAL unnest(range(1, greatest(len(w) - 3, 1))) t(i)
+      WHERE len(w) >= 5 AND i <= len(w) - 4
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+    hits AS (
+      SELECT sh.doc_id,
+             CAST(count(DISTINCT sh.s) AS BIGINT) AS n_contaminated
+      FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id >= 20
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_contaminated FROM hits
+    """,
+    tier="F",
+)
+def f46_decontamination(spark, sf_dir):
+    """Benchmark DECONTAMINATION scan (F-tier curation; the
+    GPT-3/PaLM-style n-gram overlap check): every corpus document
+    that shares any 5-word shingle with the benchmark set (here:
+    docs 0-19 stand in for a held-out eval set) surfaces with its
+    distinct-overlap count — the report a pipeline uses to drop or
+    flag contaminated training documents. Shingles are joined as
+    STRINGS (hash functions differ cross-engine; equality does
+    not). Scale shape: the benchmark side is tiny by nature, so it
+    is explicitly broadcast — the corpus-sized shingle stream is
+    never shuffled for the join; only the per-doc count aggregates
+    (map-side partial on (doc_id, s))."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = d.filter(F.size("w") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 5),"
+                " i -> concat_ws(' ', slice(w, i + 1, 5)))"
+            )
+        ).alias("s"),
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_contaminated"))
+    )

@@ -475,6 +475,10 @@ _PINNED_BROADCAST_ALLOWLIST = {
     "tier_f.py": {
         "q", "ref", "n_docs", "n1",  # single-row / query-side frames
         "vocab",              # .limit(200) by construction
+        "bench",              # f46: the held-out benchmark shingle
+                              # set — bounded by the fixed eval-suite
+                              # definition (doc_id < 20), not by the
+                              # corpus being scanned
     },
     "tier_a.py": set(),
     "tier_b.py": set(),
@@ -623,3 +627,25 @@ def test_partsupp_cost_cores_survive_broadcast_off(spark, registry):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert rows == baseline, f"{qname}: broadcast-off rows diverge"
+
+
+def test_f46_benchmark_broadcasts_corpus_never_shuffles_for_join(
+    spark, registry
+):
+    """Decontamination (round-11): the benchmark shingle side is
+    explicitly broadcast — the corpus-sized shingle stream must join
+    WITHOUT a shuffle (only the per-doc count aggregates)."""
+    df = q(registry, "f46_decontamination", spark)
+    assert has_broadcast_join(df), audit(df)
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    assert "SortMergeJoin" not in explain_string(df), audit(df)
+    assert "Cartesian" not in explain_string(df), audit(df)
+
+
+def test_f45_prunes_to_two_columns(spark, registry):
+    """Gopher repetition signals read doc_id + text only — a scan
+    that drags lang/source/n_chars along is wrong at 100 TB."""
+    df = q(registry, "f45_gopher_repetition", spark)
+    cols = scan_columns(df)
+    assert cols == {"doc_id", "text"}, cols
