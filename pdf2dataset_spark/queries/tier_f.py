@@ -2265,51 +2265,50 @@ def f45_gopher_repetition(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     sh AS (
-      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
       FROM words,
-           LATERAL unnest(range(1, greatest(len(w) - 3, 1))) t(i)
-      WHERE len(w) >= 5 AND i <= len(w) - 4
+           LATERAL unnest(range(1, greatest(len(w) - 4, 1) + 1)) t(i)
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh WHERE doc_id >= 20 GROUP BY doc_id
     ),
     bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
     hits AS (
-      SELECT sh.doc_id,
-             CAST(count(DISTINCT sh.s) AS BIGINT) AS n_contaminated
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hit
       FROM sh JOIN bench USING (s)
       WHERE sh.doc_id >= 20
       GROUP BY sh.doc_id
     )
-    SELECT doc_id, n_contaminated FROM hits
+    SELECT doc_id, n_shingles, n_hit
+    FROM totals JOIN hits USING (doc_id)
+    WHERE n_hit > 0
     """,
     tier="F",
 )
 def f46_decontamination(spark, sf_dir):
     """Benchmark DECONTAMINATION scan (F-tier curation; the
-    GPT-3/PaLM-style n-gram overlap check): every corpus document
-    that shares any 5-word shingle with the benchmark set (here:
-    docs 0-19 stand in for a held-out eval set) surfaces with its
-    distinct-overlap count — the report a pipeline uses to drop or
-    flag contaminated training documents. Shingles are joined as
-    STRINGS (hash functions differ cross-engine; equality does
-    not). Scale shape: the benchmark side is tiny by nature, so it
-    is explicitly broadcast — the corpus-sized shingle stream is
-    never shuffled for the join; only the per-doc count aggregates
-    (map-side partial on (doc_id, s))."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    GPT-3/PaLM-style n-gram overlap check) through the PRODUCTION
+    operator ``operators/dedup.ngram_contamination``: every corpus
+    document that shares any 5-word shingle with the benchmark set
+    (docs 0-19 stand in for a held-out eval suite) surfaces with its
+    distinct-shingle total and overlap count — the report a pipeline
+    uses to drop or flag contaminated training documents. Shingles
+    are joined as STRINGS (hash functions differ cross-engine;
+    equality does not). Scale shape (see the operator): the corpus
+    explodes once, probes the benchmark's distinct shingle set with
+    a broadcast LEFT SEMI join — the corpus-sized stream never
+    shuffles for the join — and one doc-keyed groupBy closes the
+    loop. The SQL twin mirrors the operator's short-text clamp (a
+    sub-n-word doc yields one short shingle)."""
+    from pdf2dataset_spark.operators.dedup import ngram_contamination
+
+    d = t(spark, sf_dir, "documents")
+    rep = ngram_contamination(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        n=5,
     )
-    sh = d.filter(F.size("w") >= 5).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 5),"
-                " i -> concat_ws(' ', slice(w, i + 1, 5)))"
-            )
-        ).alias("s"),
-    )
-    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
-    return (
-        sh.filter(F.col("doc_id") >= 20)
-        .join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_contaminated"))
+    return rep.filter(F.col("n_hit") > 0).select(
+        "doc_id", "n_shingles", "n_hit"
     )

@@ -2906,7 +2906,11 @@ def content_word_boxes(
     """Word-level boxes (the ``pdftotext -bbox`` shape): every
     whitespace-delimited word with its device-space baseline box
     ``{word, x0, y0, x1, y1}``, in reading order (same XY-cut as
-    :func:`content_text_layout`). Run-start positions are EXACT (they
+    :func:`content_text_layout`). RTL lines stay in VISUAL order
+    here — boxes are geometry, and per-word geometry has no logical
+    reordering (the text surface :func:`content_text_layout` is the
+    one that emits UAX #9 logical order). Run-start positions are
+    EXACT (they
     come from the positioning operators; /Rotate pages are mapped
     into the displayed frame first); intra-run word offsets use
     the same deterministic 0.5 em/char advance estimate the layout
