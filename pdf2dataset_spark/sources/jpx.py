@@ -89,14 +89,18 @@ lifting phase follows it, decimation and the replication upsample
 map the offset phase (pinned against an independent numpy replica
 of the B.2/B.3 mapping).
 
+Both ROI styles compose with canvas offsets, tiling and component
+subsampling (late round-11: the dependency closure works in
+ABSOLUTE coordinates — low coefficients sit at absolute even
+positions whatever the phase — and the region divides to component
+coordinates the way maxshift's always did).
+
 Out of scope, surfaced as named :class:`JPXUnsupported` errors (the
 compressed payload is preserved by the caller either way):
-elliptic/reserved ROI styles (T.801 Srgn >= 2), scaling-based ROI
-combined with canvas offsets or subsampling (the closure is
-zero-phase), and the 9/7 single-sample odd-phase window (F.3.4
-publishes the one-sample rule for the reversible path only;
-guessing the irreversible normalization is the round-9 B.10
-mistake).
+elliptic/reserved ROI styles (T.801 Srgn >= 2) and the 9/7
+single-sample odd-phase window (F.3.4 publishes the one-sample rule
+for the reversible path only; guessing the irreversible
+normalization is the round-9 B.10 mistake).
 
 Output convention matches the other codecs: 8-bit samples, gray or
 interleaved RGB.
@@ -2035,7 +2039,8 @@ def _roi_interval_back(a: int, b: int) -> tuple:
     return (s_lo, hi), (d_lo, hi)
 
 
-def _roi_band_rects(tcw: int, tch: int, levels: int, rect) -> list:
+def _roi_band_rects(tcw: int, tch: int, levels: int, rect,
+                    origin: tuple = (0, 0)) -> list:
     """Scaling-based ROI (T.801 Srgn=1) coefficient rectangles, in
     PLANE coordinates, for a rectangular region ``rect`` = (x0, y0,
     x1, y1) in tile-local component coordinates: per decomposition
@@ -2045,21 +2050,29 @@ def _roi_band_rects(tcw: int, tch: int, levels: int, rect) -> list:
     cover exactly the coefficients that influence the region. Both
     the encoder (upshift) and the decoder (downshift) derive the
     mask from this one function, so the scaling inverts exactly.
-    Zero-offset phases only (the encoder declines ROI + canvas
-    offsets)."""
-    ax, ay = max(rect[0], 0), max(rect[1], 0)
-    bx, by = min(rect[2], tcw), min(rect[3], tch)
+
+    ``origin`` is the tile-component's ABSOLUTE canvas origin
+    (round-11: offsets compose with scaling ROI): the interval
+    closure works in absolute sample coordinates — low coefficients
+    sit at absolute even positions whatever the phase, so the s/d
+    reach formulas are phase-invariant — and band-local indices are
+    absolute minus each band's own B-15 origin. origin (0, 0)
+    reproduces the zero-phase layout bit-for-bit."""
+    ox, oy = origin
+    ax, ay = max(rect[0], 0) + ox, max(rect[1], 0) + oy
+    bx, by = min(rect[2], tcw) + ox, min(rect[3], tch) + oy
     if bx <= ax or by <= ay:
         return []
     rects = []
+    # absolute extents of the current level's window
+    wx0, wx1 = ox, ox + tcw
+    wy0, wy1 = oy, oy + tch
     for r in range(levels, 0, -1):
-        lowx = -(-tcw // (1 << (levels - r + 1)))
-        lowy = -(-tch // (1 << (levels - r + 1)))
         (sx0, sx1), (dx0, dx1) = _roi_interval_back(ax, bx)
         (sy0, sy1), (dy0, dy1) = _roi_interval_back(ay, by)
-        for name, bpx, bpy, bw, bh in _bands_for_resolution(
-            tcw, tch, levels, r
-        ):
+        bands = _bands_for_resolution(tcw, tch, levels, r, origin)
+        origs = _band_abs_origins(tcw, tch, levels, r, origin)
+        for (name, bpx, bpy, bw, bh), (abx, aby) in zip(bands, origs):
             if name == "HL":    # x high-pass, y low-pass
                 ix0, ix1, iy0, iy1 = dx0, dx1, sy0, sy1
             elif name == "LH":  # x low-pass, y high-pass
@@ -2068,13 +2081,24 @@ def _roi_band_rects(tcw: int, tch: int, levels: int, rect) -> list:
                 ix0, ix1, iy0, iy1 = dx0, dx1, dy0, dy1
             else:
                 continue
-            ix1, iy1 = min(ix1, bw), min(iy1, bh)
-            if ix1 > ix0 and iy1 > iy0:
-                rects.append((bpx + ix0, bpy + iy0, bpx + ix1, bpy + iy1))
-        ax, bx = sx0, min(sx1, lowx)
-        ay, by = sy0, min(sy1, lowy)
-    if bx > ax and by > ay:  # the r = 0 LL sits at the plane origin
-        rects.append((ax, ay, bx, by))
+            # absolute band-grid interval -> band-local, clamped
+            lx0 = max(ix0 - abx, 0)
+            ly0 = max(iy0 - aby, 0)
+            lx1 = min(ix1 - abx, bw)
+            ly1 = min(iy1 - aby, bh)
+            if lx1 > lx0 and ly1 > ly0:
+                rects.append((bpx + lx0, bpy + ly0,
+                              bpx + lx1, bpy + ly1))
+        # recurse into the low band: its absolute k-extent is the
+        # ceil/floor halving of the window (B-14)
+        wx0, wx1 = -(-wx0 // 2), -(-wx1 // 2)
+        wy0, wy1 = -(-wy0 // 2), -(-wy1 // 2)
+        ax, bx = max(sx0, wx0), min(sx1, wx1)
+        ay, by = max(sy0, wy0), min(sy1, wy1)
+    if bx > ax and by > ay:
+        # the r = 0 LL sits at the plane origin; its absolute origin
+        # is the fully-halved window edge
+        rects.append((ax - wx0, ay - wy0, bx - wx0, by - wy0))
     return rects
 
 
@@ -2211,21 +2235,17 @@ def encode_jpx(
         )
     if roi_style not in (0, 1):
         raise JPXError("roi_style must be 0 (maxshift) or 1 (scaling)")
-    if roi_style == 1 and roi is not None:
-        if not 1 <= int(roi_shift) <= 37:
-            raise JPXError("scaling ROI shift must be in 1..37")
-        if any(s != (1, 1) for s in _check_subsampling(
-                subsampling, ncomp)):
-            raise JPXError("scaling ROI needs 1x1 subsampling")
+    if roi_style == 1 and roi is not None \
+            and not 1 <= int(roi_shift) <= 37:
+        raise JPXError("scaling ROI shift must be in 1..37")
     xo, yo = (int(v) for v in image_offset)
     xto, yto = (int(v) for v in tile_offset)
     canvas = bool(xo or yo or xto or yto)
-    if canvas and roi is not None:
-        # round-10: the LOSSY path supports canvas offsets too (the
-        # phase-aware 9/7); round-11: subsampling works with offsets
-        # (per-component ceil-division origins anchor the phase);
-        # ROI stays zero-offset-only
-        raise JPXError("canvas offsets need no ROI")
+    # round-10: the LOSSY path supports canvas offsets (phase-aware
+    # 9/7); round-11: subsampling composes with offsets, and BOTH
+    # ROI styles compose with offsets and subsampling — the
+    # dependency-closure mask works in absolute coordinates and the
+    # maxshift decode rule is magnitude-based (mask-free) anyway
     coc = {int(k): int(v) for k, v in (coc or {}).items()}
     tile_coc = {
         int(t): {int(k): int(v) for k, v in d.items()}
@@ -2380,10 +2400,11 @@ def encode_jpx(
         rx0, ry0, rx1, ry1 = (int(v) for v in roi)
         for isot, planes in tile_planes.items():
             for cc, (plane, tcw, tch, tcx0, tcy0) in enumerate(planes):
-                rect = (rx0 - tcx0, ry0 - tcy0,
-                        rx1 - tcx0, ry1 - tcy0)
+                xr, yr = subs[cc]
+                rect = (rx0 // xr - tcx0, ry0 // yr - tcy0,
+                        -(-rx1 // xr) - tcx0, -(-ry1 // yr) - tcy0)
                 for (wx0, wy0, wx1, wy1) in _roi_band_rects(
-                        tcw, tch, levels, rect):
+                        tcw, tch, levels, rect, (tcx0, tcy0)):
                     for row in plane[wy0:wy1]:
                         for i in range(wx0, wx1):
                             row[i] <<= sprgn
@@ -3415,15 +3436,6 @@ def decode_codestream(data: bytes):
                 "exps": hdr.get("exps"), "qvals": hdr.get("qvals")}
     main_qcc = hdr.get("qcc", {})
     rgn = hdr.get("rgn", {})
-    if any(isinstance(v, tuple) for v in rgn.values()) and (
-        canvas or any(s != (1, 1) for s in subs)
-    ):
-        # the geometric mask derivation is zero-phase; offset or
-        # subsampled scaling-ROI streams stay a NAMED decline until
-        # the phase-aware closure is pinned
-        raise JPXUnsupported(
-            "scaling-based ROI with canvas offsets or subsampling"
-        )
     xts, yts = hdr["tile_w"], hdr["tile_h"]
     ntx = (w - xto + xts - 1) // xts
     nty = (h - yto + yts - 1) // yts
@@ -3551,10 +3563,12 @@ def decode_codestream(data: bytes):
                 if not sp:
                     continue
                 tcx0, tcy0, tcw, tch = boxes[c]
-                rect = (rx0 - tcx0, ry0 - tcy0,
-                        rx1 - tcx0, ry1 - tcy0)
+                xr, yr = subs[c]
+                rect = (rx0 // xr - tcx0, ry0 // yr - tcy0,
+                        -(-rx1 // xr) - tcx0, -(-ry1 // yr) - tcy0)
                 for (wx0, wy0, wx1, wy1) in _roi_band_rects(
-                        tcw, tch, params[c]["levels"], rect):
+                        tcw, tch, params[c]["levels"], rect,
+                        (tcx0, tcy0)):
                     sub = planes[c][wy0:wy1, wx0:wx1]
                     sub[:] = np.sign(sub) * (np.abs(sub) >> sp)
             elif s:

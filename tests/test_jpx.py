@@ -1237,27 +1237,72 @@ class TestROIScaling:
         cs[rgn_at + 6] = 0  # SPrgn := 0
         assert decode_jpx(bytes(cs))[2] != px
 
-    def test_offset_or_subsampled_scaling_roi_named(self):
-        # the geometric mask is zero-phase: the interaction stays a
-        # NAMED decline on both sides
-        with pytest.raises(JPXError):
-            encode_jpx(16, 16, bytes(256), 1, levels=1,
-                       roi=(0, 0, 8, 8), roi_style=1,
-                       image_offset=(1, 0), tile_size=(32, 32))
-        cs = bytearray(encode_jpx(16, 16, bytes(256), 1, levels=1,
-                                  roi=(0, 0, 8, 8), roi_style=1))
-        # splice a canvas offset into SIZ: XOsiz at +4+2+4+4+4=..., do
-        # it via re-encode with offsets and a patched-in RGN instead:
-        base = bytearray(encode_jpx(16, 16, bytes(256), 1, levels=1,
-                                    image_offset=(2, 0),
-                                    tile_size=(32, 32)))
-        src = bytes(cs)
-        rgn_at = src.index(b"\xff\x5e")
-        rgn_seg = src[rgn_at:rgn_at + 2 + 21]
-        sot_at = bytes(base).index(b"\xff\x90")
-        patched = bytes(base[:sot_at]) + rgn_seg + bytes(base[sot_at:])
-        with pytest.raises(JPXUnsupported):
-            decode_jpx(patched)
+    def test_scaling_roi_composes_with_offsets_and_subsampling(self):
+        """Round-11 (the interaction decline closed same-round): the
+        dependency-closure mask works in ABSOLUTE coordinates — low
+        coefficients sit at absolute even positions whatever the
+        phase — so scaling ROI composes with odd canvas offsets,
+        tiling, and per-component subsampling (the region divides to
+        component coordinates like maxshift's). Bit-exact."""
+        import numpy as np
+
+        px = bytes((x * 7 + y * 13) % 256
+                   for y in range(48) for x in range(64))
+        for off, ts in (((3, 5), (32, 32)), ((1, 0), (64, 64)),
+                        ((7, 7), (16, 16))):
+            cs = encode_jpx(64, 48, px, 1, levels=2,
+                            roi=(10, 8, 40, 30), roi_style=1,
+                            roi_shift=5, image_offset=off,
+                            tile_size=ts)
+            assert decode_jpx(cs)[2] == px, (off, ts)
+            # maxshift at offsets too (magnitude-based decode rule
+            # is mask-free, so the phase never mattered for it)
+            cs = encode_jpx(64, 48, px, 1, levels=2,
+                            roi=(10, 8, 40, 30), image_offset=off,
+                            tile_size=ts)
+            assert decode_jpx(cs)[2] == px, ("maxshift", off, ts)
+        rng = np.random.default_rng(9)
+        rgb = rng.integers(0, 256, (32, 40, 3), np.uint8).tobytes()
+        for off in ((0, 0), (3, 1)):
+            kw = dict(mct=False,
+                      subsampling=((1, 1), (2, 2), (2, 2)),
+                      image_offset=off, tile_size=(64, 64))
+            with_roi = decode_jpx(encode_jpx(
+                40, 32, rgb, 3, levels=2, roi=(8, 8, 30, 24),
+                roi_style=1, roi_shift=4, **kw))[2]
+            without = decode_jpx(encode_jpx(40, 32, rgb, 3,
+                                            levels=2, **kw))[2]
+            # ROI scaling must be TRANSPARENT on the lossless path
+            assert with_roi == without, off
+
+    def test_phase_aware_roi_mask_is_dependency_closure(self):
+        """The absolute-coordinate closure at RANDOM origins: zero
+        everything outside the band rects, inverse-transform at the
+        same origin, and the ROI samples reconstruct exactly."""
+        import random
+
+        from pdf2dataset_spark.sources.jpx import (
+            _roi_band_rects, dwt53_forward_2d, dwt53_inverse_2d)
+
+        rnd = random.Random(11)
+        for _ in range(40):
+            w, h = rnd.randint(1, 40), rnd.randint(1, 40)
+            lv = rnd.randint(0, 4)
+            org = (rnd.randint(0, 9), rnd.randint(0, 9))
+            x0 = rnd.randint(0, w - 1); x1 = rnd.randint(x0 + 1, w)
+            y0 = rnd.randint(0, h - 1); y1 = rnd.randint(y0 + 1, h)
+            rows = [[rnd.randint(-128, 127) for _ in range(w)]
+                    for _ in range(h)]
+            plane = dwt53_forward_2d([r[:] for r in rows], lv, org)
+            keep = [[0] * w for _ in range(h)]
+            for (a, b, c, d) in _roi_band_rects(
+                    w, h, lv, (x0, y0, x1, y1), org):
+                for y in range(b, d):
+                    keep[y][a:c] = plane[y][a:c]
+            rec = dwt53_inverse_2d(keep, w, h, lv, org)
+            for y in range(y0, y1):
+                assert rec[y][x0:x1] == rows[y][x0:x1], \
+                    (w, h, lv, org, (x0, y0, x1, y1), y)
 
 
 class TestCanvasOffsetsAndCoc:
