@@ -4229,3 +4229,22 @@ class TestVerticalAndBidiComposition:
         ])
         [txt] = minipdf.extract_page_texts(pdf, layout=True)
         assert txt == "縦書"
+
+
+def test_vertical_and_rtl_pages_render_to_png():
+    """Composite render smoke on the round-11 text shapes: vertical
+    (/Identity-V) and RTL pages produce valid PNGs — the glyph
+    raster follows each run's displayed direction (round-9), so the
+    new vertical run direction (0,-1) paints down-column instead of
+    crashing or overlapping at a point."""
+    from pdf2dataset_spark.queries.tier_a import _positioned_cid_pdf
+    from pdf2dataset_spark.sources.codecs import PdfCodec
+
+    codec = PdfCodec()
+    for pdf in (
+        _positioned_cid_pdf([(300, 700, "ABC DE"), (280, 700, "FGH")],
+                            enc=b"/Identity-V"),
+        _positioned_cid_pdf([(72, 700, "םלוע םולש")]),
+    ):
+        img = codec.page_image(codec.open(pdf), 1)
+        assert img[:4] == b"\x89PNG"
