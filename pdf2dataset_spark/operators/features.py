@@ -217,6 +217,18 @@ attachment_names_feature = Feature(
 )
 attachment_feature = Feature("attachment", "binary", _first_attachment)
 
+def _hidden_text_rate(ctx: PageContext) -> float | None:
+    fn = getattr(ctx.codec, "page_hidden_char_fraction", None)
+    return fn(ctx.handle, ctx.page) if fn is not None else None
+
+
+# fraction of the page's characters in invisible rendering mode
+# (Tr 3/7 — the searchable-OCR-layer idiom): ~1.0 flags pages whose
+# machine text is OCR output, a first-class curation signal
+hidden_text_rate_feature = Feature(
+    "hidden_text_rate", "float64", _hidden_text_rate
+)
+
 annotations_feature = Feature("annotations", "string", _annotations)
 n_annotations_feature = Feature(
     "n_annotations",
@@ -238,6 +250,7 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         embedded_image_meta_feature,
         word_boxes_feature,
         paragraphs_feature,
+        hidden_text_rate_feature,
         annotations_feature,
         n_annotations_feature,
         outline_feature,

@@ -89,6 +89,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 11 — NEW: multi-generation incremental updates +
     # truncated-tail recovery (append_update fixture twin)
     "a40_incremental_update_extract",
+    # round 11 — NEW: /ActualText marked-content replacement +
+    # Tr invisible-text handling + hidden_text_rate curation feature
+    "a41_actualtext_hidden_extract",
     # round 11 — the bidi pass and the tightened (center-coincident)
     # TeX \copyright overlay rule run inside EVERY layout-text
     # extraction; a5/a38 pin the authored + real-world goldens

@@ -204,6 +204,7 @@ class PdfCodec(DocumentCodec):
                     media_box=minipdf.page_media_box(doc, p),
                     forms=doc.page_forms(p),
                     ext_gstates=doc.page_ext_gstates(p),
+                    props=doc.page_properties(p),
                 )
                 for p in doc.pages()
             ]
@@ -214,6 +215,7 @@ class PdfCodec(DocumentCodec):
                     fonts=doc.page_fonts(p),
                     forms=doc.page_forms(p),
                     ext_gstates=doc.page_ext_gstates(p),
+                    props=doc.page_properties(p),
                 )
                 for p in doc.pages()
             ]
@@ -1982,6 +1984,7 @@ class PdfCodec(DocumentCodec):
             content, fonts=doc.page_fonts(pg),
             t3_fonts=t3fonts or None, t3_glyphs=t3_glyphs,
             ext_gstates=doc.page_ext_gstates(pg),
+            props=doc.page_properties(pg),
         )
         for fname, code, gm in t3_glyphs:
             proc = t3fonts.get(fname, {}).get("procs", {}).get(code)
@@ -2234,7 +2237,11 @@ class PdfCodec(DocumentCodec):
                 (*dpt(r["x"] - x0, r["y"] - y0), r["text"],
                  *_disp_dir(r.get("ux", 1.0), r.get("uy", 0.0)))
                 for r in runs
-                if not t3fonts or r.get("font") not in t3fonts
+                # Tr 3 (invisible, the OCR-layer idiom) and Tr 7
+                # (clip-only) neither fill nor stroke (ISO 32000-1
+                # §9.3.6): extracted, never painted
+                if r.get("mode", 0) not in (3, 7)
+                and (not t3fonts or r.get("font") not in t3fonts)
             ],
         )
         return w, h, bytes(px)
@@ -2308,7 +2315,40 @@ class PdfCodec(DocumentCodec):
             media_box=minipdf.page_media_box(handle.doc, pg),
             forms=handle.doc.page_forms(pg),
             ext_gstates=handle.doc.page_ext_gstates(pg),
+            props=handle.doc.page_properties(pg),
         )
+
+    def page_hidden_char_fraction(
+        self, handle: "_PdfHandle", page: int
+    ) -> float:
+        """Fraction of the page's extracted (non-whitespace)
+        characters shown with text rendering mode 3 (invisible) or 7
+        (clip-only) — ISO 32000-1 §9.3.6. Mode-3 text under a
+        scanned image is the searchable-OCR-layer idiom every
+        Acrobat/ABBYY/tesseract-OCRed scan uses, so ~1.0 here is a
+        strong curation signal: the page's machine text carries the
+        OCR engine's quality, not the author's. 0.0 = all glyphs
+        visible, or no text at all."""
+        if handle.doc is None:
+            return 0.0
+        from pdf2dataset_spark.sources import minipdf
+
+        doc = handle.doc
+        pg = doc.pages()[page - 1]
+        runs = minipdf._text_runs(
+            doc.page_content(pg),
+            fonts=doc.page_fonts(pg),
+            forms=doc.page_forms(pg),
+            ext_gstates=doc.page_ext_gstates(pg),
+            props=doc.page_properties(pg),
+        )
+        tot = hid = 0
+        for r in runs:
+            n = sum(1 for ch in r["text"] if not ch.isspace())
+            tot += n
+            if r.get("mode", 0) in (3, 7):
+                hid += n
+        return hid / tot if tot else 0.0
 
     def page_paragraphs(self, handle: "_PdfHandle", page: int) -> list[str]:
         """Layout-aware paragraph segmentation (reading-order lines
@@ -2326,6 +2366,7 @@ class PdfCodec(DocumentCodec):
             media_box=minipdf.page_media_box(handle.doc, pg),
             forms=handle.doc.page_forms(pg),
             ext_gstates=handle.doc.page_ext_gstates(pg),
+            props=handle.doc.page_properties(pg),
         )
 
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:

@@ -867,6 +867,26 @@ class PdfDocument:
                     out.append(v[1:])  # name-valued field (radio/choice)
         return out
 
+    def page_properties(self, page: dict) -> dict:
+        """Resolved /Properties entries of a page's /Resources (ISO
+        32000-1 §14.6.2): marked-content property lists referenced
+        BY NAME from ``BDC`` operators (``/Span /P1 BDC``). Each
+        value is the property dict with its members resolved one
+        level (an /ActualText carried as an indirect string resolves
+        to its bytes). Inline ``BDC`` dicts never pass through here —
+        the content lexer parses those directly."""
+        res = self.resolve(page.get("/Resources"))
+        pd = self.resolve(res.get("/Properties")) \
+            if isinstance(res, dict) else None
+        out: dict = {}
+        if not isinstance(pd, dict):
+            return out
+        for name, ref in pd.items():
+            d = self.resolve(ref)
+            if isinstance(d, dict):
+                out[name] = {k: self.resolve(v) for k, v in d.items()}
+        return out
+
     def outline(self) -> list[tuple[int, str]]:
         """Flattened document outline (bookmarks, ISO 32000 §12.3.3):
         (depth, title) pairs in reading order — depth-first /First
@@ -2150,6 +2170,7 @@ def content_text(
     fonts: dict[str, tuple] | None = None,
     forms: dict | None = None,
     ext_gstates: dict | None = None,
+    props: dict | None = None,
 ) -> str:
     """Text shown by a content stream IN STREAM ORDER: ``Tj``/``TJ``/
     ``'``/``"`` emit glyph strings; ``Td/TD/T*/Tm/ET`` mark line
@@ -2162,31 +2183,71 @@ def content_text(
     ``Do`` site in stream order. ``ext_gstates`` (see
     :meth:`PdfDocument.page_ext_gstates`) makes ``gs`` with an
     ExtGState /Font switch the active decode map (ISO 32000-1 Table
-    58, round-8). For reading order (two-column
+    58, round-8). ``props`` (see
+    :meth:`PdfDocument.page_properties`) resolves NAMED ``BDC``
+    property lists; /ActualText marked content (ISO 32000-1
+    §14.9.4) replaces everything shown inside its BDC..EMC scope
+    with the declared string (ligature/hyphenation/OCR-overlay
+    fidelity, the pdftotext behavior) — the OUTERMOST scope wins
+    when scopes nest, and an empty /ActualText deletes its content
+    (the soft-hyphen idiom). Named property lookups resolve against
+    the page-level map in nested /Form XObjects too (form-local
+    /Properties dicts are not merged; inline BDC dicts — the common
+    authoring form — always work). For reading order (two-column
     layouts, out-of-order text operators) use
     :func:`content_text_layout`."""
     out: list[str] = []
     shown = False  # a show op happened since the last break marker
     pending = False  # a break marker happened after a show op
     cur_cmap: tuple | None = None
+    mc_stack: list[bool] = []  # True = opened the ACTIVE ActualText scope
+    at_text: str | None = None  # active scope's replacement text
 
-    def show(raw: bytes) -> None:
+    def emit(s: str) -> None:
         nonlocal shown, pending
         if pending:
             out.append("\n")
             pending = False
-        out.append(_decode_shown(raw, cur_cmap))
+        out.append(s)
         shown = True
+
+    def show(raw: bytes) -> None:
+        if at_text is not None:
+            return  # replaced wholesale at the scope's EMC
+        emit(_decode_shown(raw, cur_cmap))
 
     def mark() -> None:
         nonlocal pending
-        if shown:
+        if shown and at_text is None:
             pending = True
 
+    def finalize_scope() -> None:
+        nonlocal at_text
+        t, at_text = at_text, None
+        if t:
+            emit(t)
+
     def exec_ops(ops_content, frame_fonts, frame_forms, depth):
-        nonlocal cur_cmap
+        nonlocal cur_cmap, at_text
         for op, stack in _iter_content_ops(ops_content):
-            if op == b"Tj":
+            if op == b"BDC":
+                pd = stack[-1] if stack else None
+                if isinstance(pd, str) and props:
+                    pd = props.get(pd)
+                at = None
+                if at_text is None and isinstance(pd, dict):
+                    v = pd.get("/ActualText")
+                    if isinstance(v, bytes):
+                        at = _decode_text_string(v)
+                mc_stack.append(at is not None)
+                if at is not None:
+                    at_text = at
+            elif op == b"BMC":
+                mc_stack.append(False)
+            elif op == b"EMC":
+                if mc_stack and mc_stack.pop():
+                    finalize_scope()
+            elif op == b"Tj":
                 if stack and isinstance(stack[-1], bytes):
                     show(stack[-1])
             elif op == b"TJ":
@@ -2218,6 +2279,7 @@ def content_text(
                 if ent is not None:
                     fcontent, ffonts, _, fforms = ent
                     saved = cur_cmap
+                    mc_len = len(mc_stack)
                     mark()
                     exec_ops(
                         fcontent,
@@ -2230,12 +2292,20 @@ def content_text(
                         {**(frame_forms or {}), **(fforms or {})},
                         depth + 1,
                     )
+                    # marked content must nest within one stream
+                    # (§14.6): a form's unclosed BDCs end at the form
+                    # boundary, never leak into the caller's scope
+                    while len(mc_stack) > mc_len:
+                        if mc_stack.pop():
+                            finalize_scope()
                     mark()
                     cur_cmap = saved
             elif op in _SHOW_LINE_OPS:
                 mark()
 
     exec_ops(content, fonts, forms, 0)
+    if at_text is not None:  # malformed stream: scope never closed
+        finalize_scope()
     return "".join(out)
 
 
@@ -2297,6 +2367,7 @@ def _text_runs(
     t3_fonts: dict | None = None,
     t3_glyphs: list | None = None,
     ext_gstates: dict | None = None,
+    props: dict | None = None,
 ) -> list[dict]:
     """Interpret the positioning + showing operators into runs:
     ``{x, y, x_end, size, text, font}`` with device-space baseline
@@ -2317,7 +2388,23 @@ def _text_runs(
     §9.2.4/§9.6.5), ready to prepend as a ``cm`` before executing
     the CharProc — and the advance uses the REAL /Widths through
     FontMatrix instead of the estimation heuristic. Extraction paths
-    don't pass these, so their run geometry is unchanged."""
+    don't pass these, so their run geometry is unchanged.
+
+    Every run carries ``mode``, the active text rendering mode
+    (``Tr``, ISO 32000-1 §9.3.6): extraction keeps invisible (mode
+    3) text — the OCR-layer idiom, pdftotext parity — while the
+    composite renderer skips modes 3 and 7 (neither fills nor
+    strokes). /ActualText marked content (ISO 32000-1 §14.9.4,
+    ``props`` resolving named BDC property lists per
+    :meth:`PdfDocument.page_properties`) collapses everything shown
+    inside its BDC..EMC scope into ONE run carrying the declared
+    string, anchored at the first replaced run's position with the
+    scope's united extent — ligatures, dropcaps and hyphenation
+    artifacts extract as the author-declared text; an empty
+    /ActualText deletes its scope (the soft-hyphen idiom); the
+    outermost scope wins when scopes nest. Positioning state still
+    advances through replaced shows, so text AFTER the scope lands
+    exactly where the glyphs put it."""
     import math
 
     runs: list[dict] = []
@@ -2331,6 +2418,11 @@ def _text_runs(
     cur_cmap: tuple | None = None
     cur_font: str | None = None
     in_text = False
+    mode = 0  # Tr text rendering mode
+    mc_stack: list[bool] = []  # True = opened the ACTIVE ActualText scope
+    at_text: str | None = None  # active scope's replacement text
+    at_start: int | None = None  # len(runs) at scope open
+    at_t3_start: int | None = None  # len(t3_glyphs) at scope open
 
     def advance_em(txt: str) -> float:
         """Text-space advance of ``txt`` under current state."""
@@ -2378,7 +2470,11 @@ def _text_runs(
                                 _mat_mul(local_tm, ctm),
                             ),
                         )
-                        t3_glyphs.append((cur_font, code, gm))
+                        if mode not in (3, 7):
+                            # invisible/clip glyphs never paint, but
+                            # their REAL advances still position what
+                            # follows
+                            t3_glyphs.append((cur_font, code, gm))
                         wx = widths.get(code, 0.0)
                         # advance = text-space displacement of
                         # (wx, 0) through the full /FontMatrix — a
@@ -2432,6 +2528,7 @@ def _text_runs(
                     "font": cur_font,
                     "ux": -c / yscale,
                     "uy": -d / yscale,
+                    "mode": mode,
                 }
             )
             tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
@@ -2448,9 +2545,65 @@ def _text_runs(
                 # orientation detection on rotated pages
                 "ux": a / xscale,
                 "uy": b / xscale,
+                "mode": mode,
             }
         )
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+    def finalize_scope() -> None:
+        """Close the active /ActualText scope: replace every run it
+        produced with one run carrying the declared string (empty
+        string = delete), and drop any Type3 glyph-paint events the
+        replaced shows emitted."""
+        nonlocal at_text, at_start, at_t3_start
+        t, at_text = at_text, None
+        seg = runs[at_start:] if at_start is not None else []
+        if at_start is not None:
+            del runs[at_start:]
+        if t3_glyphs is not None and at_t3_start is not None:
+            del t3_glyphs[at_t3_start:]
+        at_start = at_t3_start = None
+        if not t:
+            return
+        if seg:
+            first, last = seg[0], seg[-1]
+            font = first["font"]
+            if t3_fonts and font in t3_fonts:
+                # the replacement paints via the builtin glyph
+                # raster, not the (dropped) CharProc events
+                font = None
+            runs.append(
+                {
+                    "x": first["x"],
+                    "y": first["y"],
+                    "x_end": last["x_end"],
+                    "size": first["size"],
+                    "text": t,
+                    "font": font,
+                    "ux": first["ux"],
+                    "uy": first["uy"],
+                    "mode": first.get("mode", 0),
+                }
+            )
+            return
+        # no show inside the scope: anchor at the current position
+        trm = _mat_mul(tm, ctm)
+        a, b, c, d, e, f = trm
+        size = tfs * math.hypot(c, d)
+        xs = math.hypot(a, b) or 1.0
+        runs.append(
+            {
+                "x": e,
+                "y": f,
+                "x_end": e + advance_em(t) * xs,
+                "size": size if size > 0 else 12.0,
+                "text": t,
+                "font": None,
+                "ux": a / xs,
+                "uy": b / xs,
+                "mode": mode,
+            }
+        )
 
     def td(tx: float, ty: float) -> None:
         nonlocal tm, tlm
@@ -2464,10 +2617,34 @@ def _text_runs(
         depth: int,
     ) -> None:
         nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, \
-            cur_font, in_text
+            cur_font, in_text, mode, at_text, at_start, at_t3_start
         for op, stack in _iter_content_ops(ops_content):
             try:
-                if op == b"BT":
+                if op == b"BDC":
+                    pd = stack[-1] if stack else None
+                    if isinstance(pd, str) and props:
+                        pd = props.get(pd)
+                    at = None
+                    if at_text is None and isinstance(pd, dict):
+                        v = pd.get("/ActualText")
+                        if isinstance(v, bytes):
+                            at = _decode_text_string(v)
+                    mc_stack.append(at is not None)
+                    if at is not None:
+                        at_text = at
+                        at_start = len(runs)
+                        at_t3_start = (
+                            len(t3_glyphs) if t3_glyphs is not None
+                            else None
+                        )
+                elif op == b"BMC":
+                    mc_stack.append(False)
+                elif op == b"EMC":
+                    if mc_stack and mc_stack.pop():
+                        finalize_scope()
+                elif op == b"Tr" and stack:
+                    mode = int(float(stack[-1]))
+                elif op == b"BT":
                     in_text = True
                     tm = tlm = _ID6
                 elif op == b"ET":
@@ -2538,21 +2715,30 @@ def _text_runs(
                     # CALLER's saved entries, which a length-truncate
                     # alone cannot restore.
                     saved = (ctm, tm, tlm, tfs, tc, tw, tz, tl,
-                             cur_cmap, cur_font, in_text)
+                             cur_cmap, cur_font, in_text, mode)
                     saved_stack = list(ctm_stack)
+                    mc_len = len(mc_stack)
                     ctm = _mat_mul(fmatrix, ctm)
                     in_text = False
                     merged = {**(frame_fonts or {}), **(ffonts or {})}
                     exec_ops(fcontent, merged,
                              {**(frame_forms or {}), **(fforms or {})},
                              depth + 1)
+                    # marked content must nest within one stream
+                    # (§14.6): a form's unclosed BDCs end here, never
+                    # leak into the caller's scope
+                    while len(mc_stack) > mc_len:
+                        if mc_stack.pop():
+                            finalize_scope()
                     (ctm, tm, tlm, tfs, tc, tw, tz, tl,
-                     cur_cmap, cur_font, in_text) = saved
+                     cur_cmap, cur_font, in_text, mode) = saved
                     ctm_stack[:] = saved_stack
             except (TypeError, ValueError):
                 continue  # malformed operands: skip the op, keep going
 
     exec_ops(content, fonts, forms, 0)
+    if at_text is not None:  # malformed stream: scope never closed
+        finalize_scope()
     return runs
 
 
@@ -2902,6 +3088,7 @@ def content_word_boxes(
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
     ext_gstates: dict | None = None,
+    props: dict | None = None,
 ) -> list[dict]:
     """Word-level boxes (the ``pdftotext -bbox`` shape): every
     whitespace-delimited word with its device-space baseline box
@@ -2918,7 +3105,7 @@ def content_word_boxes(
     baseline, y1 = baseline + the device font size (ascent box)."""
     runs = _reading_frame(
         _rotate_runs(_text_runs(content, fonts, forms,
-                        ext_gstates=ext_gstates),
+                        ext_gstates=ext_gstates, props=props),
              rotate, media_box),
         frame=_display_frame(rotate, media_box),
     )
@@ -2981,6 +3168,7 @@ def content_text_layout(
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
     ext_gstates: dict | None = None,
+    props: dict | None = None,
 ) -> str:
     """Text shown by a content stream in READING ORDER (pdftotext
     parity): runs are placed in device space by the full positioning
@@ -2994,7 +3182,7 @@ def content_text_layout(
     see :func:`_rotate_runs`."""
     return "\n".join(
         t for _, _, t in _layout_lines(content, fonts, rotate, media_box,
-                                       forms, ext_gstates)
+                                       forms, ext_gstates, props)
     )
 
 
@@ -3005,13 +3193,14 @@ def _layout_lines(
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
     ext_gstates: dict | None = None,
+    props: dict | None = None,
 ) -> list[tuple[float, float, str]]:
     """Reading-order lines as ``(y, size, text)`` — the shared back
     end of :func:`content_text_layout` and
     :func:`content_paragraphs`."""
     runs = _reading_frame(
         _rotate_runs(_text_runs(content, fonts, forms,
-                        ext_gstates=ext_gstates),
+                        ext_gstates=ext_gstates, props=props),
              rotate, media_box),
         frame=_display_frame(rotate, media_box),
     )
@@ -3103,6 +3292,7 @@ def content_paragraphs(
     media_box: tuple[float, float, float, float] | None = None,
     forms: dict | None = None,
     ext_gstates: dict | None = None,
+    props: dict | None = None,
 ) -> list[str]:
     """PARAGRAPH segmentation over the reading-order lines — the
     layout-aware chunking unit a training pipeline wants. A new
@@ -3115,7 +3305,7 @@ def content_paragraphs(
     lines = [
         (y, size, t)
         for y, size, t in _layout_lines(content, fonts, rotate, media_box,
-                                        forms, ext_gstates)
+                                        forms, ext_gstates, props)
         if t.strip()
     ]
     if not lines:
@@ -3888,13 +4078,15 @@ def extract_page_texts(data: bytes, layout: bool = False) -> list[str]:
                 media_box=page_media_box(doc, p),
                 forms=doc.page_forms(p),
                 ext_gstates=doc.page_ext_gstates(p),
+                props=doc.page_properties(p),
             )
             for p in doc.pages()
         ]
     return [
         content_text(doc.page_content(p), fonts=doc.page_fonts(p),
                      forms=doc.page_forms(p),
-                     ext_gstates=doc.page_ext_gstates(p))
+                     ext_gstates=doc.page_ext_gstates(p),
+                     props=doc.page_properties(p))
         for p in doc.pages()
     ]
 

@@ -4248,3 +4248,172 @@ def test_vertical_and_rtl_pages_render_to_png():
     ):
         img = codec.page_image(codec.open(pdf), 1)
         assert img[:4] == b"\x89PNG"
+
+
+class TestActualText:
+    """/ActualText marked content (ISO 32000-1 §14.9.4): BDC..EMC
+    scopes replace their shown glyphs with the author-declared
+    string in BOTH walkers — ligature/dropcap/hyphenation fidelity,
+    the pdftotext behavior."""
+
+    LIG = (b"BT /F1 12 Tf 72 700 Td (e) Tj "
+           b"/Span << /ActualText (ffi) >> BDC (\xef) Tj EMC "
+           b"(cient) Tj ET")
+
+    def test_ligature_replaced_stream_order(self):
+        assert minipdf.content_text(self.LIG) == "efficient"
+
+    def test_ligature_replaced_reading_order(self):
+        assert minipdf.content_text_layout(self.LIG) == "efficient"
+
+    def test_empty_actualtext_deletes_soft_hyphen(self):
+        c = (b"BT /F1 12 Tf 72 700 Td (estab) Tj "
+             b"/Span << /ActualText () >> BDC (-) Tj EMC ET "
+             b"BT /F1 12 Tf 72 686 Td (lish) Tj ET")
+        assert minipdf.content_text_layout(c) == "estab\nlish"
+        assert minipdf.content_text(c) == "estab\nlish"
+
+    def test_nested_scopes_outermost_wins(self):
+        c = (b"BT /F1 12 Tf 72 700 Td "
+             b"/Span << /ActualText (OUTER) >> BDC (a) Tj "
+             b"/Span << /ActualText (inner) >> BDC (b) Tj EMC "
+             b"(c) Tj EMC ET")
+        assert minipdf.content_text(c) == "OUTER"
+        assert minipdf.content_text_layout(c) == "OUTER"
+
+    def test_named_properties_resolve(self):
+        c = b"BT /F1 12 Tf 72 700 Td /Span /P7 BDC (x) Tj EMC ET"
+        props = {"/P7": {"/ActualText": b"hello"}}
+        assert minipdf.content_text(c, props=props) == "hello"
+        assert minipdf.content_text_layout(c, props=props) == "hello"
+        # unknown name: scope is inert, glyphs extract as-is
+        assert minipdf.content_text(c) == "x"
+
+    def test_utf16_actualtext_decodes(self):
+        at = "﻿Łódź".encode("utf-16-be")
+        c = (b"BT /F1 12 Tf 72 700 Td /Span << /ActualText <"
+             + at.hex().encode() + b"> >> BDC (Lodz) Tj EMC ET")
+        assert minipdf.content_text_layout(c) == "Łódź"
+
+    def test_bmc_artifact_scope_is_inert(self):
+        c = (b"/Artifact BMC BT /F1 12 Tf 72 700 Td (pg 3) Tj ET EMC "
+             b"EMC")  # trailing unmatched EMC tolerated
+        assert minipdf.content_text_layout(c) == "pg 3"
+
+    def test_positioning_advances_through_scope(self):
+        # glyphs AFTER the scope land where the replaced shows put
+        # them: the scope shows 3 glyphs, the replacement is 1 char,
+        # yet the following run's x must continue from the glyphs
+        c = (b"BT /F1 12 Tf 72 700 Td "
+             b"/Span << /ActualText (W) >> BDC (abc) Tj EMC "
+             b"(tail) Tj ET")
+        runs = minipdf._text_runs(c)
+        assert [r["text"] for r in runs] == ["W", "tail"]
+        # 3 glyphs * 0.5 em * 12pt = 18pt advance
+        assert runs[1]["x"] == pytest.approx(72 + 18.0)
+
+    def test_unclosed_scope_finalizes_at_stream_end(self):
+        c = (b"BT /F1 12 Tf 72 700 Td "
+             b"/Span << /ActualText (oops) >> BDC (x) Tj ET")
+        assert minipdf.content_text(c) == "oops"
+        assert minipdf.content_text_layout(c) == "oops"
+
+    def test_form_scope_never_leaks(self):
+        # a form whose BDC is never closed must finalize at the form
+        # boundary, not swallow the caller's following text
+        fcontent = (b"BT /F1 12 Tf 0 0 Td "
+                    b"/Span << /ActualText (FORM) >> BDC (f) Tj ET")
+        forms = {"/Fm1": (fcontent, {}, (1, 0, 0, 1, 0, 0), {})}
+        c = (b"BT /F1 12 Tf 72 700 Td (pre ) Tj ET /Fm1 Do "
+             b"BT /F1 12 Tf 72 650 Td (post) Tj ET")
+        out = minipdf.content_text(c, forms=forms)
+        assert "FORM" in out and "post" in out
+        out2 = minipdf.content_text_layout(c, forms=forms)
+        assert "FORM" in out2 and "post" in out2
+
+    def test_inline_dict_end_to_end_through_codec(self):
+        extra = (b"BT /F1 12 Tf 72 600 Td "
+                 b"/Span << /ActualText (DAFFODIL) >> BDC (D\x01F) Tj "
+                 b"EMC ET")
+        pdf = minipdf.build_pdf(["plain"], extra_content=extra)
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        assert codec.page_text(h, 1) == "plain\nDAFFODIL"
+
+    def test_named_properties_end_to_end_through_codec(self):
+        # a NAMED property list resolved from the page's /Resources
+        # /Properties dict via PdfDocument.page_properties. build_pdf
+        # doesn't author /Properties, so splice one into the page's
+        # resources — the stale xref this leaves exercises the
+        # object-scanner resilience path too (the a19 trick).
+        extra = b"BT /F1 12 Tf 72 600 Td /Span /AT1 BDC (Xy) Tj EMC ET"
+        pdf = minipdf.build_pdf(["plain"], extra_content=extra)
+        assert pdf.count(b"/Resources <<") >= 1
+        pdf = pdf.replace(
+            b"/Resources <<",
+            b"/Resources << /Properties << /AT1 "
+            b"<< /ActualText (NAMED) >> >>",
+            1,
+        )
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        assert codec.page_text(h, 1) == "plain\nNAMED"
+
+
+class TestTextRenderMode:
+    """Tr (ISO 32000-1 §9.3.6): invisible (mode 3) and clip-only
+    (mode 7) text EXTRACTS — the searchable-OCR-layer idiom,
+    pdftotext parity — but never PAINTS in the composite render."""
+
+    def test_invisible_text_extracts(self):
+        c = b"BT /F1 12 Tf 3 Tr 72 700 Td (ghost) Tj 0 Tr (vis) Tj ET"
+        assert minipdf.content_text_layout(c) == "ghostvis"
+        runs = minipdf._text_runs(c)
+        assert [(r["text"], r["mode"]) for r in runs] == [
+            ("ghost", 3), ("vis", 0)]
+
+    def test_mode_restores_across_form(self):
+        forms = {"/Fm1": (b"BT /F1 12 Tf 3 Tr 0 0 Td (in) Tj ET",
+                          {}, (1, 0, 0, 1, 0, 0), {})}
+        c = b"/Fm1 Do BT /F1 12 Tf 72 700 Td (out) Tj ET"
+        runs = minipdf._text_runs(c, forms=forms)
+        by_text = {r["text"]: r["mode"] for r in runs}
+        assert by_text == {"in": 3, "out": 0}
+
+    def test_composite_render_skips_invisible(self):
+        from pdf2dataset_spark.sources import raster
+
+        extra = (b"0.5 g 100 100 40 20 re f\n"
+                 b"BT /F1 12 Tf 3 Tr 72 600 Td (SECRETLAYER) Tj ET\n")
+        pdf = minipdf.build_pdf(["SHOWN"], extra_content=extra)
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        assert "SECRETLAYER" in codec.page_text(h, 1)
+        w, hh, px = raster.decode_png(codec.page_image(h, 1))
+        dark_rows = {r for r in range(hh)
+                     if any(v < 100 for v in px[r * w:(r + 1) * w])}
+        # the visible "SHOWN" line paints (top band); the invisible
+        # line's band (y=600 -> row ~192) must stay empty
+        assert any(r < 100 for r in dark_rows)
+        assert not any(180 <= r <= 200 for r in dark_rows)
+        # flipping to Tr 0 paints that band (the guard is load-bearing)
+        h2 = codec.open(minipdf.build_pdf(
+            ["SHOWN"], extra_content=extra.replace(b"3 Tr", b"0 Tr")))
+        w2, hh2, px2 = raster.decode_png(codec.page_image(h2, 1))
+        dark2 = {r for r in range(hh2)
+                 if any(v < 100 for v in px2[r * w2:(r + 1) * w2])}
+        assert any(180 <= r <= 200 for r in dark2)
+
+    def test_hidden_char_fraction_feature(self):
+        extra = (b"BT /F1 12 Tf 3 Tr 72 600 Td (HIDDENTEXTS) Tj ET")
+        pdf = minipdf.build_pdf(["VISIBLETEXT"], extra_content=extra)
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        # 11 hidden of 22 non-space chars
+        assert codec.page_hidden_char_fraction(h, 1) == pytest.approx(0.5)
+        # all-visible page
+        h2 = codec.open(minipdf.build_pdf(["abc"]))
+        assert codec.page_hidden_char_fraction(h2, 1) == 0.0
+        # empty page
+        h3 = codec.open(minipdf.build_pdf([""]))
+        assert codec.page_hidden_char_fraction(h3, 1) == 0.0
