@@ -217,6 +217,40 @@ attachment_names_feature = Feature(
 )
 attachment_feature = Feature("attachment", "binary", _first_attachment)
 
+def _body_paragraphs(ctx: PageContext) -> str | None:
+    """Like ``paragraphs`` but with /Artifact pagination furniture
+    (running headers/footers/page numbers in tagged PDFs) dropped
+    before segmentation — the curation-grade body text."""
+    fn = getattr(ctx.codec, "page_paragraphs", None)
+    if fn is None:
+        return None
+    import json
+
+    try:
+        paras = fn(ctx.handle, ctx.page, drop_artifacts=True)
+    except TypeError:  # codec without the artifact knob
+        paras = fn(ctx.handle, ctx.page)
+    return json.dumps(paras) if paras else None
+
+
+body_paragraphs_feature = Feature(
+    "body_paragraphs", "string", _body_paragraphs
+)
+
+
+def _artifact_text_rate(ctx: PageContext) -> float | None:
+    fn = getattr(ctx.codec, "page_artifact_char_fraction", None)
+    return fn(ctx.handle, ctx.page) if fn is not None else None
+
+
+# fraction of the page's characters inside /Artifact marked content
+# (tagged-PDF pagination furniture): high values flag header/footer-
+# dominated pages
+artifact_text_rate_feature = Feature(
+    "artifact_text_rate", "float64", _artifact_text_rate
+)
+
+
 def _hidden_text_rate(ctx: PageContext) -> float | None:
     fn = getattr(ctx.codec, "page_hidden_char_fraction", None)
     return fn(ctx.handle, ctx.page) if fn is not None else None
@@ -251,6 +285,8 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         word_boxes_feature,
         paragraphs_feature,
         hidden_text_rate_feature,
+        body_paragraphs_feature,
+        artifact_text_rate_feature,
         annotations_feature,
         n_annotations_feature,
         outline_feature,

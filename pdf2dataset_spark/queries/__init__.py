@@ -92,6 +92,12 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 11 — NEW: /ActualText marked-content replacement +
     # Tr invisible-text handling + hidden_text_rate curation feature
     "a41_actualtext_hidden_extract",
+    # round 11 — NEW: /Artifact pagination tagging + dehyphenating
+    # paragraph reflow (body_paragraphs / artifact_text_rate)
+    "a42_artifact_body_extract",
+    # round 11 — paragraph reflow gained dehyphenation (a30 pins the
+    # unhyphenated golden stays byte-identical)
+    "a30_paragraph_extract",
     # round 11 — the bidi pass and the tightened (center-coincident)
     # TeX \copyright overlay rule run inside EVERY layout-text
     # extraction; a5/a38 pin the authored + real-world goldens

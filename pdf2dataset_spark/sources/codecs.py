@@ -2318,6 +2318,36 @@ class PdfCodec(DocumentCodec):
             props=handle.doc.page_properties(pg),
         )
 
+    def page_artifact_char_fraction(
+        self, handle: "_PdfHandle", page: int
+    ) -> float:
+        """Fraction of the page's extracted (non-whitespace)
+        characters living inside /Artifact marked content (ISO
+        32000-1 §14.8.2.2) — running headers, footers, page numbers,
+        watermarks in tagged PDFs. High values flag pages that are
+        mostly pagination furniture; page_paragraphs(drop_artifacts)
+        is the surgical cut."""
+        if handle.doc is None:
+            return 0.0
+        from pdf2dataset_spark.sources import minipdf
+
+        doc = handle.doc
+        pg = doc.pages()[page - 1]
+        runs = minipdf._text_runs(
+            doc.page_content(pg),
+            fonts=doc.page_fonts(pg),
+            forms=doc.page_forms(pg),
+            ext_gstates=doc.page_ext_gstates(pg),
+            props=doc.page_properties(pg),
+        )
+        tot = art = 0
+        for r in runs:
+            n = sum(1 for ch in r["text"] if not ch.isspace())
+            tot += n
+            if r.get("artifact"):
+                art += n
+        return art / tot if tot else 0.0
+
     def page_hidden_char_fraction(
         self, handle: "_PdfHandle", page: int
     ) -> float:
@@ -2350,9 +2380,14 @@ class PdfCodec(DocumentCodec):
                 hid += n
         return hid / tot if tot else 0.0
 
-    def page_paragraphs(self, handle: "_PdfHandle", page: int) -> list[str]:
+    def page_paragraphs(
+        self, handle: "_PdfHandle", page: int,
+        drop_artifacts: bool = False,
+    ) -> list[str]:
         """Layout-aware paragraph segmentation (reading-order lines
-        reflowed; blank-line gaps and column jumps split) — see
+        reflowed with line-break dehyphenation; blank-line gaps and
+        column jumps split; ``drop_artifacts=True`` removes
+        /Artifact pagination furniture first) — see
         minipdf.content_paragraphs."""
         if handle.doc is None:
             return []
@@ -2367,6 +2402,7 @@ class PdfCodec(DocumentCodec):
             forms=handle.doc.page_forms(pg),
             ext_gstates=handle.doc.page_ext_gstates(pg),
             props=handle.doc.page_properties(pg),
+            drop_artifacts=drop_artifacts,
         )
 
     def page_embedded_images(self, handle: "_PdfHandle", page: int) -> list[dict]:

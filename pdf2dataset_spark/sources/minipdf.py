@@ -2419,10 +2419,12 @@ def _text_runs(
     cur_font: str | None = None
     in_text = False
     mode = 0  # Tr text rendering mode
-    mc_stack: list[bool] = []  # True = opened the ACTIVE ActualText scope
+    #: marked-content stack: (opened_active_actualtext, is_artifact)
+    mc_stack: list[tuple[bool, bool]] = []
     at_text: str | None = None  # active scope's replacement text
     at_start: int | None = None  # len(runs) at scope open
     at_t3_start: int | None = None  # len(t3_glyphs) at scope open
+    art_depth = 0  # nesting depth inside /Artifact marked content
 
     def advance_em(txt: str) -> float:
         """Text-space advance of ``txt`` under current state."""
@@ -2529,6 +2531,7 @@ def _text_runs(
                     "ux": -c / yscale,
                     "uy": -d / yscale,
                     "mode": mode,
+                    "artifact": art_depth > 0,
                 }
             )
             tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
@@ -2546,6 +2549,7 @@ def _text_runs(
                 "ux": a / xscale,
                 "uy": b / xscale,
                 "mode": mode,
+                "artifact": art_depth > 0,
             }
         )
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
@@ -2583,6 +2587,7 @@ def _text_runs(
                     "ux": first["ux"],
                     "uy": first["uy"],
                     "mode": first.get("mode", 0),
+                    "artifact": first.get("artifact", False),
                 }
             )
             return
@@ -2602,6 +2607,7 @@ def _text_runs(
                 "ux": a / xs,
                 "uy": b / xs,
                 "mode": mode,
+                "artifact": art_depth > 0,
             }
         )
 
@@ -2617,10 +2623,12 @@ def _text_runs(
         depth: int,
     ) -> None:
         nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, \
-            cur_font, in_text, mode, at_text, at_start, at_t3_start
+            cur_font, in_text, mode, at_text, at_start, at_t3_start, \
+            art_depth
         for op, stack in _iter_content_ops(ops_content):
             try:
                 if op == b"BDC":
+                    tag = stack[-2] if len(stack) >= 2 else None
                     pd = stack[-1] if stack else None
                     if isinstance(pd, str) and props:
                         pd = props.get(pd)
@@ -2629,7 +2637,10 @@ def _text_runs(
                         v = pd.get("/ActualText")
                         if isinstance(v, bytes):
                             at = _decode_text_string(v)
-                    mc_stack.append(at is not None)
+                    is_art = tag == "/Artifact"
+                    mc_stack.append((at is not None, is_art))
+                    if is_art:
+                        art_depth += 1
                     if at is not None:
                         at_text = at
                         at_start = len(runs)
@@ -2638,10 +2649,17 @@ def _text_runs(
                             else None
                         )
                 elif op == b"BMC":
-                    mc_stack.append(False)
+                    is_art = bool(stack) and stack[-1] == "/Artifact"
+                    mc_stack.append((False, is_art))
+                    if is_art:
+                        art_depth += 1
                 elif op == b"EMC":
-                    if mc_stack and mc_stack.pop():
-                        finalize_scope()
+                    if mc_stack:
+                        opened, is_art = mc_stack.pop()
+                        if is_art:
+                            art_depth -= 1
+                        if opened:
+                            finalize_scope()
                 elif op == b"Tr" and stack:
                     mode = int(float(stack[-1]))
                 elif op == b"BT":
@@ -2728,7 +2746,10 @@ def _text_runs(
                     # (§14.6): a form's unclosed BDCs end here, never
                     # leak into the caller's scope
                     while len(mc_stack) > mc_len:
-                        if mc_stack.pop():
+                        opened, is_art = mc_stack.pop()
+                        if is_art:
+                            art_depth -= 1
+                        if opened:
                             finalize_scope()
                     (ctm, tm, tlm, tfs, tc, tw, tz, tl,
                      cur_cmap, cur_font, in_text, mode) = saved
@@ -3181,8 +3202,9 @@ def content_text_layout(
     /Rotate and /MediaBox) map runs into the DISPLAYED frame first —
     see :func:`_rotate_runs`."""
     return "\n".join(
-        t for _, _, t in _layout_lines(content, fonts, rotate, media_box,
-                                       forms, ext_gstates, props)
+        t for _, _, t, _ in _layout_lines(content, fonts, rotate,
+                                          media_box, forms, ext_gstates,
+                                          props)
     )
 
 
@@ -3194,10 +3216,14 @@ def _layout_lines(
     forms: dict | None = None,
     ext_gstates: dict | None = None,
     props: dict | None = None,
-) -> list[tuple[float, float, str]]:
-    """Reading-order lines as ``(y, size, text)`` — the shared back
-    end of :func:`content_text_layout` and
-    :func:`content_paragraphs`."""
+) -> list[tuple[float, float, str, bool]]:
+    """Reading-order lines as ``(y, size, text, artifact)`` — the
+    shared back end of :func:`content_text_layout` and
+    :func:`content_paragraphs`. ``artifact`` is True when EVERY run
+    on the line sits inside /Artifact marked content (ISO 32000-1
+    §14.8.2.2 — running headers/footers/page numbers in tagged
+    PDFs), the signal :func:`content_paragraphs` uses to drop
+    pagination furniture from training text."""
     runs = _reading_frame(
         _rotate_runs(_text_runs(content, fonts, forms,
                         ext_gstates=ext_gstates, props=props),
@@ -3281,7 +3307,8 @@ def _layout_lines(
         # logical (UAX #9 subset, pdftotext parity) — a no-op scan
         # for lines with no RTL character
         out.append((line[0]["y"], line[0]["size"],
-                    _bidi_logical("".join(parts))))
+                    _bidi_logical("".join(parts)),
+                    all(r.get("artifact") for r in line)))
     return out
 
 
@@ -3293,6 +3320,7 @@ def content_paragraphs(
     forms: dict | None = None,
     ext_gstates: dict | None = None,
     props: dict | None = None,
+    drop_artifacts: bool = False,
 ) -> list[str]:
     """PARAGRAPH segmentation over the reading-order lines — the
     layout-aware chunking unit a training pipeline wants. A new
@@ -3300,13 +3328,27 @@ def content_paragraphs(
     exceeds 1.8x the median line advance (a blank-line-sized gap),
     or when y does not decrease (a column/section jump from the
     XY-cut). Lines within a paragraph join with a single space
-    (reflow), blank lines are dropped. Deterministic — a pure
-    function of the positioning operators."""
+    (reflow), blank lines are dropped. DEHYPHENATION at the join: a
+    line ending letter+'-' whose next line starts with a lowercase
+    letter is a typographic line break, so the hyphen drops and the
+    halves join solid ('estab-'+'lish' -> 'establish'); a
+    CAPITALIZED continuation is a compound's second half, so the
+    hyphen stays and the halves join without a space
+    ('Euler-'+'Lagrange' -> 'Euler-Lagrange'); anything else joins
+    with a space. (A lowercase compound split exactly at its own
+    hyphen joins solid — undecidable without a lexicon, the
+    standard trade-off every dehyphenating pipeline makes.)
+    ``drop_artifacts=True`` removes lines living
+    entirely inside /Artifact marked content (running headers,
+    footers, page numbers — ISO 32000-1 §14.8.2.2) BEFORE
+    segmentation, the tagged-PDF curation cut. Deterministic — a
+    pure function of the positioning operators."""
     lines = [
         (y, size, t)
-        for y, size, t in _layout_lines(content, fonts, rotate, media_box,
-                                        forms, ext_gstates, props)
-        if t.strip()
+        for y, size, t, art in _layout_lines(content, fonts, rotate,
+                                             media_box, forms,
+                                             ext_gstates, props)
+        if t.strip() and not (drop_artifacts and art)
     ]
     if not lines:
         return []
@@ -3324,7 +3366,30 @@ def content_paragraphs(
             paras.append([t])
         else:
             paras[-1].append(t)
-    return [" ".join(p) for p in paras]
+
+    def reflow(p: list[str]) -> str:
+        out = p[0]
+        for t in p[1:]:
+            broken = (
+                len(out) >= 2 and out.endswith("-") and out[-2].isalpha()
+            )
+            if broken and t[:1].islower():
+                # typographic line-break hyphen: drop it. (A
+                # lowercase-continued compound like 'well-known'
+                # split exactly at its hyphen is indistinguishable
+                # without a lexicon and joins solid — the standard
+                # dehyphenation trade-off.)
+                out = out[:-1] + t
+            elif broken and t[:1].isupper():
+                # capitalized continuation = a compound's second
+                # half ('Euler-'+'Lagrange'): keep the hyphen,
+                # join without a space
+                out = out + t
+            else:
+                out = out + " " + t
+        return out
+
+    return [reflow(p) for p in paras]
 
 
 # ---------------------------------------------------------------------

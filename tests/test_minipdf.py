@@ -4417,3 +4417,73 @@ class TestTextRenderMode:
         # empty page
         h3 = codec.open(minipdf.build_pdf([""]))
         assert codec.page_hidden_char_fraction(h3, 1) == 0.0
+
+
+class TestArtifactAndDehyphenation:
+    """/Artifact marked content (ISO 32000-1 §14.8.2.2) tags
+    pagination furniture; content_paragraphs reflow dehyphenates
+    typographic line breaks."""
+
+    OPS = b"\n".join([
+        b"/Artifact << /Type /Pagination >> BDC "
+        b"BT /F1 10 Tf 72 770 Td (Running Header) Tj ET EMC",
+        b"BT /F1 12 Tf 72 700 Td (The quick estab-) Tj ET",
+        b"BT /F1 12 Tf 72 686 Td (lishment carried on) Tj ET",
+        b"BT /F1 12 Tf 72 672 Td (the Euler-) Tj ET",
+        b"BT /F1 12 Tf 72 658 Td (Lagrange way) Tj ET",
+        b"/Artifact BMC BT /F1 10 Tf 300 40 Td (3) Tj ET EMC",
+    ])
+
+    def test_runs_carry_artifact_flag(self):
+        runs = minipdf._text_runs(self.OPS)
+        flags = {r["text"]: r["artifact"] for r in runs}
+        assert flags["Running Header"] is True
+        assert flags["3"] is True
+        assert flags["The quick estab-"] is False
+
+    def test_layout_text_keeps_artifacts(self):
+        # pdftotext parity: plain text extraction keeps headers
+        out = minipdf.content_text_layout(self.OPS)
+        assert "Running Header" in out and "3" in out
+
+    def test_paragraphs_drop_artifacts(self):
+        paras = minipdf.content_paragraphs(self.OPS, drop_artifacts=True)
+        assert all("Running Header" not in p for p in paras)
+        assert all(p != "3" for p in paras)
+        kept = minipdf.content_paragraphs(self.OPS)
+        assert any("Running Header" in p for p in kept)
+
+    def test_dehyphenation_lowercase_joins_solid(self):
+        paras = minipdf.content_paragraphs(self.OPS, drop_artifacts=True)
+        joined = " ".join(paras)
+        assert "establishment" in joined
+        assert "estab- lish" not in joined
+
+    def test_dehyphenation_capitalized_keeps_hyphen(self):
+        paras = minipdf.content_paragraphs(self.OPS, drop_artifacts=True)
+        assert any("Euler-Lagrange" in p for p in paras)
+
+    def test_non_letter_hyphen_untouched(self):
+        ops = b"\n".join([
+            b"BT /F1 12 Tf 72 700 Td (value is 5 -) Tj ET",
+            b"BT /F1 12 Tf 72 686 Td (ish at best) Tj ET",
+        ])
+        # hyphen after a space (a dash, not a break) joins with space
+        assert minipdf.content_paragraphs(ops) == ["value is 5 - ish at best"]
+
+    def test_artifact_depth_restores_across_form(self):
+        forms = {"/Fm1": (b"/Artifact BMC BT /F1 10 Tf 0 0 Td (hdr) "
+                          b"Tj ET",  # EMC missing: ends at form
+                          {}, (1, 0, 0, 1, 0, 0), {})}
+        c = b"/Fm1 Do BT /F1 12 Tf 72 700 Td (body) Tj ET"
+        runs = minipdf._text_runs(c, forms=forms)
+        flags = {r["text"]: r["artifact"] for r in runs}
+        assert flags == {"hdr": True, "body": False}
+
+    def test_artifact_char_fraction_accessor(self):
+        pdf = minipdf.build_pdf(["BODYTEXTGOESHERE"], extra_content=(
+            b"/Artifact BMC BT /F1 10 Tf 72 40 Td (HDRS) Tj ET EMC\n"))
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        # 4 artifact chars of 20 non-space total
+        assert codec.page_artifact_char_fraction(h, 1) == pytest.approx(0.2)
