@@ -95,6 +95,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 11 — NEW: /Artifact pagination tagging + dehyphenating
     # paragraph reflow (body_paragraphs / artifact_text_rate)
     "a42_artifact_body_extract",
+    # round 11 — NEW: optional-content (OCG/OCMD) default-visibility
+    # suppression in both walkers + page_forms
+    "a43_ocg_layer_extract",
     # round 11 — paragraph reflow gained dehyphenation (a30 pins the
     # unhyphenated golden stays byte-identical)
     "a30_paragraph_extract",

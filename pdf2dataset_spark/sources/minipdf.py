@@ -874,7 +874,16 @@ class PdfDocument:
         value is the property dict with its members resolved one
         level (an /ActualText carried as an indirect string resolves
         to its bytes). Inline ``BDC`` dicts never pass through here —
-        the content lexer parses those directly."""
+        the content lexer parses those directly.
+
+        OPTIONAL CONTENT (§8.11): an entry that is an /OCG or /OCMD
+        hidden under the document's DEFAULT configuration
+        (/OCProperties /D — BaseState, then /ON, then /OFF) gets a
+        private ``"__oc_hidden__": True`` member, the signal the
+        text walkers use to suppress ``/OC .. BDC`` scopes the way
+        every viewer and pdftotext do (a hidden language layer or
+        alternate-content layer must not leak into extracted
+        text)."""
         res = self.resolve(page.get("/Resources"))
         pd = self.resolve(res.get("/Properties")) \
             if isinstance(res, dict) else None
@@ -884,8 +893,74 @@ class PdfDocument:
         for name, ref in pd.items():
             d = self.resolve(ref)
             if isinstance(d, dict):
-                out[name] = {k: self.resolve(v) for k, v in d.items()}
+                entry = {k: self.resolve(v) for k, v in d.items()}
+                if self._oc_value_hidden(ref):
+                    entry["__oc_hidden__"] = True
+                out[name] = entry
         return out
+
+    def _oc_off_nums(self) -> frozenset:
+        """Object numbers of OCGs hidden under the DEFAULT optional-
+        content configuration (ISO 32000-1 §8.11.4.3): /BaseState
+        first (default /ON), then /ON turns groups on, then /OFF
+        turns groups off (last wins). Empty when the document has no
+        /OCProperties. Memoized."""
+        cached = getattr(self, "_oc_off_cache", None)
+        if cached is not None:
+            return cached
+        out: frozenset = frozenset()
+        try:
+            cat = self._catalog()
+        except ValueError:
+            cat = None
+        ocp = self.resolve(cat.get("/OCProperties")) if cat else None
+        if isinstance(ocp, dict):
+            d = self.resolve(ocp.get("/D"))
+            if isinstance(d, dict):
+                on = {r.num for r in
+                      (self.resolve(d.get("/ON")) or [])
+                      if isinstance(r, Ref)}
+                off = {r.num for r in
+                       (self.resolve(d.get("/OFF")) or [])
+                       if isinstance(r, Ref)}
+                if self.resolve(d.get("/BaseState")) == "/OFF":
+                    base = {r.num for r in
+                            (self.resolve(ocp.get("/OCGs")) or [])
+                            if isinstance(r, Ref)}
+                    out = frozenset((base - on) | off)
+                else:
+                    out = frozenset(off)
+        self._oc_off_cache = out
+        return out
+
+    def _oc_value_hidden(self, raw: Any) -> bool:
+        """True when an optional-content entry (an /OCG reference or
+        an /OCMD) is hidden by the default configuration. OCMD
+        visibility follows /P over its /OCGs (§8.11.2.2): /AnyOn
+        (the default), /AllOn, /AnyOff, /AllOff; a /VE visibility
+        expression is out of scope and falls back to /P."""
+        off = self._oc_off_nums()
+        if not off:
+            return False
+        d = self.resolve(raw)
+        if not isinstance(d, dict):
+            return False
+        if self.resolve(d.get("/Type")) == "/OCMD":
+            ocgs = d.get("/OCGs")
+            refs = ocgs if isinstance(ocgs, list) else [ocgs]
+            nums = [r.num for r in refs if isinstance(r, Ref)]
+            if not nums:
+                return False
+            onflags = [n not in off for n in nums]
+            p = self.resolve(d.get("/P")) or "/AnyOn"
+            visible = {
+                "/AnyOn": any(onflags),
+                "/AllOn": all(onflags),
+                "/AnyOff": not all(onflags),
+                "/AllOff": not any(onflags),
+            }.get(p, any(onflags))
+            return not visible
+        return isinstance(raw, Ref) and raw.num in off
 
     def outline(self) -> list[tuple[int, str]]:
         """Flattened document outline (bookmarks, ISO 32000 §12.3.3):
@@ -1316,6 +1391,8 @@ class PdfDocument:
                 continue
             if id(obj) in _seen:
                 continue  # cycle: a form (indirectly) invoking itself
+            if "/OC" in sd and self._oc_value_hidden(sd.get("/OC")):
+                continue  # optional-content form hidden by default
             try:
                 content = self.stream_bytes(obj)
             except (ValueError, KeyError):
@@ -2200,8 +2277,10 @@ def content_text(
     shown = False  # a show op happened since the last break marker
     pending = False  # a break marker happened after a show op
     cur_cmap: tuple | None = None
-    mc_stack: list[bool] = []  # True = opened the ACTIVE ActualText scope
+    #: marked-content stack: (opened_active_actualtext, is_hidden_oc)
+    mc_stack: list[tuple[bool, bool]] = []
     at_text: str | None = None  # active scope's replacement text
+    oc_depth = 0  # nesting depth inside HIDDEN optional content
 
     def emit(s: str) -> None:
         nonlocal shown, pending
@@ -2212,8 +2291,8 @@ def content_text(
         shown = True
 
     def show(raw: bytes) -> None:
-        if at_text is not None:
-            return  # replaced wholesale at the scope's EMC
+        if at_text is not None or oc_depth > 0:
+            return  # replaced at the scope's EMC / hidden layer
         emit(_decode_shown(raw, cur_cmap))
 
     def mark() -> None:
@@ -2224,13 +2303,14 @@ def content_text(
     def finalize_scope() -> None:
         nonlocal at_text
         t, at_text = at_text, None
-        if t:
+        if t and oc_depth == 0:
             emit(t)
 
     def exec_ops(ops_content, frame_fonts, frame_forms, depth):
-        nonlocal cur_cmap, at_text
+        nonlocal cur_cmap, at_text, oc_depth
         for op, stack in _iter_content_ops(ops_content):
             if op == b"BDC":
+                tag = stack[-2] if len(stack) >= 2 else None
                 pd = stack[-1] if stack else None
                 if isinstance(pd, str) and props:
                     pd = props.get(pd)
@@ -2239,14 +2319,22 @@ def content_text(
                     v = pd.get("/ActualText")
                     if isinstance(v, bytes):
                         at = _decode_text_string(v)
-                mc_stack.append(at is not None)
+                is_oc = (tag == "/OC" and isinstance(pd, dict)
+                         and bool(pd.get("__oc_hidden__")))
+                mc_stack.append((at is not None, is_oc))
+                if is_oc:
+                    oc_depth += 1
                 if at is not None:
                     at_text = at
             elif op == b"BMC":
-                mc_stack.append(False)
+                mc_stack.append((False, False))
             elif op == b"EMC":
-                if mc_stack and mc_stack.pop():
-                    finalize_scope()
+                if mc_stack:
+                    opened, is_oc = mc_stack.pop()
+                    if is_oc:
+                        oc_depth -= 1
+                    if opened:
+                        finalize_scope()
             elif op == b"Tj":
                 if stack and isinstance(stack[-1], bytes):
                     show(stack[-1])
@@ -2296,7 +2384,10 @@ def content_text(
                     # (§14.6): a form's unclosed BDCs end at the form
                     # boundary, never leak into the caller's scope
                     while len(mc_stack) > mc_len:
-                        if mc_stack.pop():
+                        opened, is_oc = mc_stack.pop()
+                        if is_oc:
+                            oc_depth -= 1
+                        if opened:
                             finalize_scope()
                     mark()
                     cur_cmap = saved
@@ -2419,12 +2510,14 @@ def _text_runs(
     cur_font: str | None = None
     in_text = False
     mode = 0  # Tr text rendering mode
-    #: marked-content stack: (opened_active_actualtext, is_artifact)
-    mc_stack: list[tuple[bool, bool]] = []
+    #: marked-content stack:
+    #: (opened_active_actualtext, is_artifact, is_hidden_oc)
+    mc_stack: list[tuple[bool, bool, bool]] = []
     at_text: str | None = None  # active scope's replacement text
     at_start: int | None = None  # len(runs) at scope open
     at_t3_start: int | None = None  # len(t3_glyphs) at scope open
     art_depth = 0  # nesting depth inside /Artifact marked content
+    oc_depth = 0  # nesting depth inside HIDDEN optional content
 
     def advance_em(txt: str) -> float:
         """Text-space advance of ``txt`` under current state."""
@@ -2472,10 +2565,10 @@ def _text_runs(
                                 _mat_mul(local_tm, ctm),
                             ),
                         )
-                        if mode not in (3, 7):
-                            # invisible/clip glyphs never paint, but
-                            # their REAL advances still position what
-                            # follows
+                        if mode not in (3, 7) and oc_depth == 0:
+                            # invisible/clip/hidden-layer glyphs
+                            # never paint, but their REAL advances
+                            # still position what follows
                             t3_glyphs.append((cur_font, code, gm))
                         wx = widths.get(code, 0.0)
                         # advance = text-space displacement of
@@ -2520,6 +2613,9 @@ def _text_runs(
             # end from the length, so pre-rotation x_end need not be
             # a device x
             yscale = math.hypot(c, d) or 1.0
+            if oc_depth > 0:  # hidden layer: advance, never emit
+                tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
+                return
             runs.append(
                 {
                     "x": e,
@@ -2535,6 +2631,9 @@ def _text_runs(
                 }
             )
             tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
+            return
+        if oc_depth > 0:  # hidden layer: advance, never emit
+            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
             return
         runs.append(
             {
@@ -2567,7 +2666,7 @@ def _text_runs(
         if t3_glyphs is not None and at_t3_start is not None:
             del t3_glyphs[at_t3_start:]
         at_start = at_t3_start = None
-        if not t:
+        if not t or oc_depth > 0:
             return
         if seg:
             first, last = seg[0], seg[-1]
@@ -2624,7 +2723,7 @@ def _text_runs(
     ) -> None:
         nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, \
             cur_font, in_text, mode, at_text, at_start, at_t3_start, \
-            art_depth
+            art_depth, oc_depth
         for op, stack in _iter_content_ops(ops_content):
             try:
                 if op == b"BDC":
@@ -2638,9 +2737,15 @@ def _text_runs(
                         if isinstance(v, bytes):
                             at = _decode_text_string(v)
                     is_art = tag == "/Artifact"
-                    mc_stack.append((at is not None, is_art))
+                    # /OC scope whose property list the document's
+                    # default config hides (page_properties marks it)
+                    is_oc = (tag == "/OC" and isinstance(pd, dict)
+                             and bool(pd.get("__oc_hidden__")))
+                    mc_stack.append((at is not None, is_art, is_oc))
                     if is_art:
                         art_depth += 1
+                    if is_oc:
+                        oc_depth += 1
                     if at is not None:
                         at_text = at
                         at_start = len(runs)
@@ -2650,14 +2755,16 @@ def _text_runs(
                         )
                 elif op == b"BMC":
                     is_art = bool(stack) and stack[-1] == "/Artifact"
-                    mc_stack.append((False, is_art))
+                    mc_stack.append((False, is_art, False))
                     if is_art:
                         art_depth += 1
                 elif op == b"EMC":
                     if mc_stack:
-                        opened, is_art = mc_stack.pop()
+                        opened, is_art, is_oc = mc_stack.pop()
                         if is_art:
                             art_depth -= 1
+                        if is_oc:
+                            oc_depth -= 1
                         if opened:
                             finalize_scope()
                 elif op == b"Tr" and stack:
@@ -2746,9 +2853,11 @@ def _text_runs(
                     # (§14.6): a form's unclosed BDCs end here, never
                     # leak into the caller's scope
                     while len(mc_stack) > mc_len:
-                        opened, is_art = mc_stack.pop()
+                        opened, is_art, is_oc = mc_stack.pop()
                         if is_art:
                             art_depth -= 1
+                        if is_oc:
+                            oc_depth -= 1
                         if opened:
                             finalize_scope()
                     (ctm, tm, tlm, tfs, tc, tw, tz, tl,

@@ -4487,3 +4487,125 @@ class TestArtifactAndDehyphenation:
         h = codec.open(pdf)
         # 4 artifact chars of 20 non-space total
         assert codec.page_artifact_char_fraction(h, 1) == pytest.approx(0.2)
+
+
+class TestOptionalContent:
+    """Optional content (ISO 32000-1 §8.11): /OC BDC..EMC scopes and
+    /OC-keyed form XObjects hidden by the DEFAULT configuration
+    (/OCProperties /D) must not leak into extracted text — viewer
+    and pdftotext behavior for hidden layers."""
+
+    @staticmethod
+    def _doc(ocprops: bytes, extra: bytes, props: bytes):
+        base = minipdf.build_pdf(["Visible body"], extra_content=extra)
+        return minipdf.append_update(base, {
+            1: b"<< /Type /Catalog /Pages 2 0 R /OCProperties "
+               + ocprops + b" >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> /Properties "
+               + props + b" >> >>",
+            20: b"<< /Type /OCG /Name (LayerA) >>",
+            21: b"<< /Type /OCG /Name (LayerB) >>",
+        })
+
+    EXTRA = (b"/OC /L1 BDC BT /F1 12 Tf 72 650 Td (on layer) Tj ET EMC\n"
+             b"/OC /L2 BDC BT /F1 12 Tf 72 620 Td (off layer) Tj ET EMC\n")
+    PROPS = b"<< /L1 20 0 R /L2 21 0 R >>"
+
+    def test_off_layer_suppressed_both_walkers(self):
+        pdf = self._doc(
+            b"<< /OCGs [20 0 R 21 0 R] /D << /OFF [21 0 R] >> >>",
+            self.EXTRA, self.PROPS)
+        for layout in (True, False):
+            codec = PdfCodec(layout=layout)
+            h = codec.open(pdf)
+            t = codec.page_text(h, 1)
+            assert "on layer" in t and "off layer" not in t
+
+    def test_no_ocproperties_shows_everything(self):
+        base = minipdf.build_pdf(["Visible body"], extra_content=self.EXTRA)
+        pdf = minipdf.append_update(base, {
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> /Properties "
+               + self.PROPS + b" >> >>",
+            20: b"<< /Type /OCG /Name (LayerA) >>",
+            21: b"<< /Type /OCG /Name (LayerB) >>",
+        })
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        t = codec.page_text(h, 1)
+        assert "on layer" in t and "off layer" in t
+
+    def test_basestate_off_with_on_list(self):
+        pdf = self._doc(
+            b"<< /OCGs [20 0 R 21 0 R] "
+            b"/D << /BaseState /OFF /ON [20 0 R] >> >>",
+            self.EXTRA, self.PROPS)
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        t = codec.page_text(h, 1)
+        assert "on layer" in t and "off layer" not in t
+
+    def test_ocmd_anyon_policy(self):
+        # OCMD over {A(on), B(off)} with default /AnyOn stays visible;
+        # with /AllOn it hides
+        extra = (b"/OC /M1 BDC BT /F1 12 Tf 72 650 Td (anyon) Tj ET EMC\n"
+                 b"/OC /M2 BDC BT /F1 12 Tf 72 620 Td (allon) Tj ET EMC\n")
+        base = minipdf.build_pdf(["Visible body"], extra_content=extra)
+        pdf = minipdf.append_update(base, {
+            1: b"<< /Type /Catalog /Pages 2 0 R /OCProperties "
+               b"<< /OCGs [20 0 R 21 0 R] /D << /OFF [21 0 R] >> >> >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> /Properties "
+               b"<< /M1 22 0 R /M2 23 0 R >> >> >>",
+            20: b"<< /Type /OCG /Name (LayerA) >>",
+            21: b"<< /Type /OCG /Name (LayerB) >>",
+            22: b"<< /Type /OCMD /OCGs [20 0 R 21 0 R] >>",
+            23: b"<< /Type /OCMD /OCGs [20 0 R 21 0 R] /P /AllOn >>",
+        })
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        t = codec.page_text(h, 1)
+        assert "anyon" in t and "allon" not in t
+
+    def test_hidden_form_xobject_skipped(self):
+        # a /Form XObject carrying /OC to an off OCG never executes
+        base = minipdf.build_pdf(["Visible body"])
+        form = b"BT /F1 12 Tf 0 0 Td (form layer) Tj ET"
+        pdf = minipdf.append_update(base, {
+            1: b"<< /Type /Catalog /Pages 2 0 R /OCProperties "
+               b"<< /OCGs [20 0 R] /D << /OFF [20 0 R] >> >> >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> /XObject "
+               b"<< /Fm1 24 0 R >> >> >>",
+            20: b"<< /Type /OCG /Name (LayerA) >>",
+            24: b"<< /Type /XObject /Subtype /Form /OC 20 0 R "
+                b"/BBox [0 0 612 792] /Length "
+                + str(len(form)).encode() + b" >>\nstream\n"
+                + form + b"\nendstream",
+        })
+        # page content must invoke the form; splice a Do into content
+        doc = minipdf.PdfDocument(pdf)
+        pg = doc.pages()[0]
+        forms = doc.page_forms(pg)
+        assert forms == {}  # hidden form filtered at discovery
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        assert "form layer" not in codec.page_text(h, 1)
+
+    def test_positioning_advances_through_hidden_scope(self):
+        # hidden-layer shows advance tm: following text in the SAME
+        # text object must land after the hidden glyphs
+        extra = (b"BT /F1 12 Tf 72 650 Td "
+                 b"/OC /L2 BDC (HIDE) Tj EMC (tail) Tj ET\n")
+        pdf = self._doc(
+            b"<< /OCGs [20 0 R 21 0 R] /D << /OFF [21 0 R] >> >>",
+            extra, self.PROPS)
+        doc = minipdf.PdfDocument(pdf)
+        pg = doc.pages()[0]
+        runs = minipdf._text_runs(
+            doc.page_content(pg), fonts=doc.page_fonts(pg),
+            props=doc.page_properties(pg))
+        tail = [r for r in runs if r["text"] == "tail"]
+        assert tail and tail[0]["x"] == pytest.approx(72 + 4 * 6.0)
+        assert not any(r["text"] == "HIDE" for r in runs)
