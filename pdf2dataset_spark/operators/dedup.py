@@ -397,6 +397,99 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """PARAGRAPH-grain boilerplate removal (the CCNet/RefinedWeb
+    cut): a paragraph whose normalized form recurs across many
+    DISTINCT documents is template furniture — cookie banners,
+    navigation, subscription prompts, copyright footers — not
+    authored content, and is dropped from every document.
+
+    Plan (all JVM-side, no Python, no driver collect):
+
+    1. ``split`` + ``posexplode`` to (id, idx, para) rows;
+       normalization = :func:`normalize_text` + digit-stripping (so
+       'Copyright 2023' == 'Copyright 2024'); key = ``xxhash64`` of
+       the normalized form (64-bit keys shuffle instead of full
+       paragraph strings — the CCNet trade: a 2^-64 collision can
+       drop a unique paragraph).
+    2. distinct-document counts per key: one ``groupBy(key)``
+       shuffle with map-side partial aggregation.
+    3. boilerplate keys = count >= ``min_docs`` (absolute), or
+       count >= ``min_doc_frac`` * total docs — the total arrives
+       as a broadcast 1-row aggregate, so the fraction form is
+       still one lazy plan (no driver-side ``count()``).
+    4. ``left_anti`` join segments against boilerplate keys (both
+       sides hash-partitioned on the key — AQE reuses the agg's
+       partitioning), then reassemble per document with
+       ``array_sort(collect_list(struct(idx, para)))`` — paragraph
+       ORDER is restored exactly, independent of shuffle order.
+
+    ``keep_empty=True`` (default) retains documents whose every
+    paragraph was boilerplate as empty strings — corpus row counts
+    stay stable for downstream joins; ``False`` drops them.
+
+    At 100 TB: three shuffles (para-key agg, para-key anti-join,
+    doc-id regroup), each on a well-distributed key; the hot key
+    problem is structurally absent from the anti-join's STREAM side
+    (every para row is unique by (id, idx)) and the build side is
+    the count table (one row per distinct paragraph). Returns
+    (id_col, text_col) with paragraphs rejoined by ``sep``."""
+    if (min_docs is None) == (min_doc_frac is None):
+        raise ValueError("pass exactly one of min_docs / min_doc_frac")
+    cid = F.col(id_col)
+    seg = df.select(
+        cid.alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__idx", "__para"
+        ),
+    )
+    norm = F.regexp_replace(normalize_text(F.col("__para")), r"\d+", "")
+    keyed = seg.withColumn("__key", F.xxhash64(norm))
+    counts = keyed.groupBy("__key").agg(
+        F.countDistinct("__id").alias("__n_docs")
+    )
+    if min_docs is not None:
+        boiler = counts.filter(F.col("__n_docs") >= min_docs)
+    else:
+        total = df.select(
+            F.countDistinct(cid).alias("__total")
+        )
+        boiler = counts.crossJoin(F.broadcast(total)).filter(
+            F.col("__n_docs").cast("double")
+            >= F.lit(float(min_doc_frac)) * F.col("__total")
+        )
+    kept = keyed.join(
+        boiler.select("__key"), on="__key", how="left_anti"
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__idx", "__para"))
+                ),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    if keep_empty:
+        rebuilt = (
+            df.select(cid.alias("__id"))
+            .distinct()
+            .join(rebuilt, on="__id", how="left")
+            .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        )
+    return rebuilt.select(F.col("__id").alias(id_col), text_col)
+
+
 def ngram_contamination(
     eval_df: DataFrame,
     bench_df: DataFrame,

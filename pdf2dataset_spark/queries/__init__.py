@@ -118,6 +118,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # + benchmark decontamination (broadcast bench side)
     "f45_gopher_repetition",
     "f46_decontamination",
+    # round 11 — NEW: CCNet-style paragraph-hash boilerplate removal
+    # (dedup.remove_boilerplate; digit-stripped normalization)
+    "f47_boilerplate_removal",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows

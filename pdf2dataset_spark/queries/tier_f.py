@@ -2312,3 +2312,54 @@ def f46_decontamination(spark, sf_dir):
     return rep.filter(F.col("n_hit") > 0).select(
         "doc_id", "n_shingles", "n_hit"
     )
+
+
+@query(
+    "f47_boilerplate_removal",
+    sql="""
+    SELECT doc_id, text, CAST(2 AS BIGINT) AS n_removed
+    FROM documents
+    """,
+    tier="F",
+)
+def f47_boilerplate_removal(spark, sf_dir):
+    """Paragraph-grain boilerplate removal (CCNet/RefinedWeb cut;
+    operators/dedup.remove_boilerplate): paragraphs whose normalized,
+    DIGIT-STRIPPED form recurs across >= min_docs distinct documents
+    are template furniture and drop from every document. The query
+    plants a subscription header on every document and a copyright
+    footer whose YEAR varies per document (2020 + doc_id % 7) — the
+    digit-stripping normalization is what makes all seven variants
+    one boilerplate key — then runs the operator and proves EXACT
+    reconstruction: every cleaned document equals its original
+    single-paragraph body, with exactly 2 paragraphs removed. The
+    oracle is therefore the documents table itself — the strongest
+    possible pin on split/normalize/count/anti-join/reassemble.
+
+    Scale shape (see the operator docstring): three keyed shuffles
+    (paragraph-key agg with map-side partials, paragraph-key
+    anti-join, doc-id regroup), order restored via
+    array_sort(collect_list(struct(idx, para))) — no Python, no
+    driver collect, no unpartitioned window."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our Newsletter!\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            (F.lit(2020) + F.col("doc_id") % 7).cast("string"),
+            F.lit(" Example Corp"),
+        ).alias("text"),
+    )
+    cleaned = dd.remove_boilerplate(aug, min_docs=50)
+    n_in = aug.select(
+        "doc_id", F.size(F.split("text", "\n")).alias("__n_in")
+    )
+    return cleaned.join(n_in, "doc_id").select(
+        "doc_id",
+        "text",
+        (
+            F.col("__n_in") - F.size(F.split(F.col("text"), "\n"))
+        ).cast("long").alias("n_removed"),
+    )

@@ -1003,3 +1003,98 @@ class TestPii:
         got = {r["id"]: r["ok"] for r in df.select(
             "id", pii.luhn_valid("s").alias("ok")).collect()}
         assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+class TestRemoveBoilerplate:
+    """dedup.remove_boilerplate: CCNet-style paragraph-hash
+    boilerplate removal with digit-stripped normalization, order-
+    exact reassembly, and empty-document retention."""
+
+    @staticmethod
+    def _df(spark, docs):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+        )
+
+    def test_min_docs_cut_and_order(self, spark):
+        from pdf2dataset_spark.operators.dedup import remove_boilerplate
+
+        docs = [
+            "HEADER\nbody one alpha\nmiddle one\nFOOTER",
+            "HEADER\nbody two beta\nmiddle two\nFOOTER",
+            "HEADER\nbody three gamma\nmiddle three\nFOOTER",
+        ]
+        out = remove_boilerplate(
+            self._df(spark, docs), min_docs=3
+        ).orderBy("doc_id").collect()
+        assert [r["text"] for r in out] == [
+            "body one alpha\nmiddle one",
+            "body two beta\nmiddle two",
+            "body three gamma\nmiddle three",
+        ]
+
+    def test_digit_stripped_normalization(self, spark):
+        from pdf2dataset_spark.operators.dedup import remove_boilerplate
+
+        docs = [
+            "Copyright 2021 Corp\nunique a",
+            "Copyright 2022 Corp\nunique b",
+            "copyright   2023 CORP\nunique c",  # case+ws+digit variants
+        ]
+        out = remove_boilerplate(
+            self._df(spark, docs), min_docs=3
+        ).orderBy("doc_id").collect()
+        assert [r["text"] for r in out] == [
+            "unique a", "unique b", "unique c"]
+
+    def test_frac_threshold_lazy_total(self, spark):
+        from pdf2dataset_spark.operators.dedup import remove_boilerplate
+
+        docs = ["SHARED\nalpha", "SHARED\nbeta", "SHARED\ngamma",
+                "only\ndelta"]
+        # SHARED in 3/4 docs: frac 0.5 cuts it, frac 0.9 keeps it
+        cut = remove_boilerplate(
+            self._df(spark, docs), min_doc_frac=0.5
+        ).orderBy("doc_id").collect()
+        assert [r["text"] for r in cut] == [
+            "alpha", "beta", "gamma", "only\ndelta"]
+        keep = remove_boilerplate(
+            self._df(spark, docs), min_doc_frac=0.9
+        ).orderBy("doc_id").collect()
+        assert [r["text"] for r in keep] == docs
+
+    def test_repeat_within_one_doc_not_boilerplate(self, spark):
+        from pdf2dataset_spark.operators.dedup import remove_boilerplate
+
+        # distinct-DOC counting: a paragraph repeated inside ONE doc
+        # is repetition (Gopher's problem), not cross-doc boilerplate
+        # (digit-stripped normalization means 'body2' would equal
+        # 'body' — keep the second doc's paragraphs disjoint)
+        docs = ["dup\ndup\ndup\nbody", "other\nelse"]
+        out = remove_boilerplate(
+            self._df(spark, docs), min_docs=2
+        ).orderBy("doc_id").collect()
+        assert out[0]["text"] == "dup\ndup\ndup\nbody"
+
+    def test_keep_empty_retains_all_boilerplate_docs(self, spark):
+        from pdf2dataset_spark.operators.dedup import remove_boilerplate
+
+        docs = ["SAME", "SAME", "SAME", "fresh text"]
+        kept = remove_boilerplate(
+            self._df(spark, docs), min_docs=3, keep_empty=True
+        ).orderBy("doc_id").collect()
+        assert [r["text"] for r in kept] == ["", "", "", "fresh text"]
+        dropped = remove_boilerplate(
+            self._df(spark, docs), min_docs=3, keep_empty=False
+        ).orderBy("doc_id").collect()
+        assert [r["doc_id"] for r in dropped] == [3]
+
+    def test_param_validation(self, spark):
+        from pdf2dataset_spark.operators.dedup import remove_boilerplate
+        import pytest as _pt
+
+        df = self._df(spark, ["x"])
+        with _pt.raises(ValueError):
+            remove_boilerplate(df)
+        with _pt.raises(ValueError):
+            remove_boilerplate(df, min_docs=2, min_doc_frac=0.5)

@@ -649,3 +649,22 @@ def test_f45_prunes_to_two_columns(spark, registry):
     df = q(registry, "f45_gopher_repetition", spark)
     cols = scan_columns(df)
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_boilerplate_removal_plan_shape(spark, registry):
+    """f47: paragraph-key agg + anti-join + doc regroup — keyed
+    shuffles only, no cartesian product, no unpartitioned data
+    window; the frac variant's corpus total rides a broadcast 1-row
+    aggregate (lazy, no driver count)."""
+    from pdf2dataset_spark.operators.dedup import remove_boilerplate
+    from pdf2dataset_spark.plans.audit import explain_string
+
+    plan = explain_string(q(registry, "f47_boilerplate_removal", spark))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    fplan = explain_string(remove_boilerplate(df, min_doc_frac=0.5))
+    assert "CartesianProduct" not in fplan
+    # the 1-row total joins broadcast-side (BroadcastNestedLoopJoin
+    # over a single-row aggregate is the lazy-scalar idiom)
+    assert "Broadcast" in fplan
