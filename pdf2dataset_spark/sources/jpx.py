@@ -2216,8 +2216,13 @@ def encode_jpx(
     Both are reversible-path only; with ``precincts`` the per-
     resolution sizes must be uniform (each COC re-signals its own
     list for its own depth)."""
-    if ncomp not in (1, 3):
-        raise JPXError("encode_jpx handles 1 or 3 components")
+    if ncomp not in (1, 2, 3, 4):
+        raise JPXError("encode_jpx handles 1-4 components")
+    if ncomp in (2, 4) and mct:
+        raise JPXError(
+            "MCT is a 3-component transform (T.800 G); pass "
+            "mct=False for gray+alpha / CMYK"
+        )
     if len(samples) != width * height * ncomp:
         raise JPXError("sample buffer does not match dimensions")
     levels = max(0, min(levels, 32))
@@ -2265,6 +2270,8 @@ def encode_jpx(
                 "COC overrides need uniform precinct sizes"
             )
     if irreversible:
+        if ncomp not in (1, 3):
+            raise JPXError("the lossy fixture path is 1/3-component")
         return _encode_jpx_lossy(
             width, height, samples, ncomp, levels, jp2, mct,
             quality_bits, quant_style, tile_size, sop, eph, layers,
@@ -2279,6 +2286,17 @@ def encode_jpx(
             [[samples[y * width + x] - 128 for x in range(width)]
              for y in range(height)]
         )
+        use_mct = False
+    elif ncomp in (2, 4):
+        # gray+opacity / CMYK: components code independently (no
+        # inter-component transform); the JP2 colr box carries the
+        # colorspace (EnumCS 12 for 4 components)
+        comps = [
+            [[samples[(y * width + x) * ncomp + c] - 128
+              for x in range(width)]
+             for y in range(height)]
+            for c in range(ncomp)
+        ]
         use_mct = False
     else:
         rs, gs, bs = [], [], []
@@ -2577,7 +2595,7 @@ def _jp2_container(codestream: bytes, width: int, height: int,
         return struct.pack(">I", len(payload) + 8) + btype + payload
 
     if enumcs is None:
-        enumcs = 17 if ncomp == 1 else 16
+        enumcs = 17 if ncomp <= 2 else (12 if ncomp == 4 else 16)
     sig = box(b"jP\x20\x20", b"\x0d\x0a\x87\x0a")
     ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
     ihdr = box(
@@ -3813,6 +3831,9 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
     shift = 1 << (depth - 1)
     top = (1 << depth) - 1
     if ncomp >= 3 and mct:
+        # the MCT covers the FIRST THREE components (T.800 G.1);
+        # components past them (e.g. the K plane of a CMYK stream)
+        # pass through untouched
         if irrev:  # ICT inverse (T.800 G.3), exact forward inverse
             yy, cb, cr = comps[0], comps[1], comps[2]
             comps = [
@@ -3820,11 +3841,11 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
                 yy - (0.114 * 1.772 / 0.587) * cb
                 - (0.299 * 1.402 / 0.587) * cr,
                 yy + 1.772 * cb,
-            ]
+            ] + comps[3:]
         else:
             yy, uu, vv = comps[0], comps[1], comps[2]
             g = yy - ((uu + vv) >> 2)
-            comps = [vv + g, g, uu + g]  # R, G, B
+            comps = [vv + g, g, uu + g] + comps[3:]  # R, G, B
 
     def upsample(plane, xr, yr):
         if xr == 1 and yr == 1:
@@ -3858,7 +3879,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
             yy - (0.114 * 1.772 / 0.587) * cb
             - (0.299 * 1.402 / 0.587) * cr,
             yy + 1.772 * cb,
-        ]
+        ] + comps[3:]
 
     def to_u8(plane):
         v = plane + shift
@@ -3870,7 +3891,31 @@ def decode_jpx(data: bytes) -> tuple[int, int, bytes]:
 
     if ncomp == 1:
         return w, h, to_u8(comps[0]).tobytes()
+    if ncomp == 2:
+        # gray + opacity (the JP2 gray/alpha shape): the color
+        # channel is the image; opacity has no place in the
+        # opaque-sample output convention
+        return w, h, to_u8(comps[0]).tobytes()
+    if ncomp >= 4 and enumcs == 12:
+        # CMYK (JP2 colr EnumCS 12, the PDF/X print shape): direct
+        # ink values — same naive un-profiled conversion as the
+        # plain-CMYK JPEG path (R = (top-C)(top-K)/top)
+        c_, m_, y_, k_ = (
+            to_u8(comps[i]).astype(np.float64) for i in range(4)
+        )
+        kk = 255.0 - k_
+        rgb = np.stack(
+            [(255.0 - c_) * kk, (255.0 - m_) * kk,
+             (255.0 - y_) * kk],
+            axis=-1,
+        ) / 255.0
+        return w, h, np.clip(
+            np.round(rgb), 0, 255
+        ).astype(np.uint8).tobytes()
     if ncomp >= 3:
+        # RGB, or RGBA-style extra channels (alpha dropped — the
+        # cdef-less convention); a colr box other than CMYK leaves
+        # the first three as the color channels
         rgb = np.stack([to_u8(c) for c in comps[:3]], axis=-1)
         return w, h, rgb.tobytes()
     raise JPXUnsupported(f"{ncomp}-component image")

@@ -1521,3 +1521,84 @@ class TestOffsetCocFuzz:
             except (JPXError, ValueError, IndexError, KeyError,
                     OverflowError, _struct.error):
                 pass
+
+
+class TestMultiComponentColor:
+    """Round-11: 4-component CMYK (JP2 colr EnumCS 12) and
+    2-component gray+opacity decode — the former silent-first-3 /
+    decline shapes."""
+
+    def _rand(self, n, seed=7):
+        import numpy as np
+
+        return np.random.default_rng(seed).integers(
+            0, 256, size=n, dtype=np.uint8
+        ).tobytes()
+
+    def test_cmyk_bitwise_against_replica(self):
+        import numpy as np
+
+        w, h = 23, 17
+        cmyk = self._rand(w * h * 4)
+        data = encode_jpx(w, h, cmyk, 4, mct=False, levels=2, jp2=True)
+        ww, hh, px = decode_jpx(data)
+        assert (ww, hh) == (w, h) and len(px) == w * h * 3
+        arr = np.frombuffer(cmyk, np.uint8).reshape(-1, 4).astype(
+            np.float64)
+        kk = 255.0 - arr[:, 3]
+        exp = np.clip(np.round(np.stack(
+            [(255.0 - arr[:, 0]) * kk, (255.0 - arr[:, 1]) * kk,
+             (255.0 - arr[:, 2]) * kk], axis=-1) / 255.0),
+            0, 255).astype(np.uint8)
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(-1, 3), exp)
+
+    def test_k_only_text_reconstructs_gray(self):
+        import numpy as np
+
+        from pdf2dataset_spark.sources import raster
+
+        w, h, px = raster._rasterize("CMYK K PLANE")
+        px = bytes(px)
+        cmyk = bytes(b for v in px for b in (0, 0, 0, 255 - v))
+        ww, hh, out = decode_jpx(
+            encode_jpx(w, h, cmyk, 4, mct=False, levels=2, jp2=True))
+        rgb = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(
+            rgb[..., 0],
+            np.frombuffer(px, np.uint8).reshape(h, w))
+        assert np.array_equal(rgb[..., 0], rgb[..., 1])
+        assert np.array_equal(rgb[..., 0], rgb[..., 2])
+
+    def test_gray_alpha_drops_opacity(self):
+        import numpy as np
+
+        w, h = 19, 13
+        ga = self._rand(w * h * 2)
+        ww, hh, px = decode_jpx(
+            encode_jpx(w, h, ga, 2, mct=False, levels=1, jp2=True))
+        assert len(px) == w * h
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8),
+            np.frombuffer(ga, np.uint8)[0::2])
+
+    def test_raw_codestream_four_components_first_three(self):
+        import numpy as np
+
+        # no JP2 colr box -> no CMYK claim: the first three
+        # components are the color channels (RGBA-style convention)
+        w, h = 11, 9
+        quad = self._rand(w * h * 4)
+        ww, hh, px = decode_jpx(
+            encode_jpx(w, h, quad, 4, mct=False, jp2=False))
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(-1, 3),
+            np.frombuffer(quad, np.uint8).reshape(-1, 4)[:, :3])
+
+    def test_mct_with_four_components_raises_in_encoder(self):
+        with pytest.raises(JPXError):
+            encode_jpx(4, 4, bytes(64), 4, mct=True)
+
+    def test_lossy_path_stays_three_component(self):
+        with pytest.raises(JPXError):
+            encode_jpx(4, 4, bytes(64), 4, mct=False, irreversible=True)
