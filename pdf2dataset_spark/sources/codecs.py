@@ -259,6 +259,11 @@ class PdfCodec(DocumentCodec):
         w, h = e.get("width"), e.get("height")
         if px is None or not w or not h:
             return None
+        if e.get("cs_kind") == "indexed":
+            # palette indices, NOT gray values — and the only
+            # sample shape here that is legitimately sub-byte
+            # (1/2/4-bit palettes are the norm for diagrams)
+            return self._indexed_gray(e, px, w, h)
         if len(px) == w * h:
             if e.get("cs_kind") == "separation":
                 from pdf2dataset_spark.sources.minipdf import _luma
@@ -305,6 +310,68 @@ class PdfCodec(DocumentCodec):
                 np.round(v * 255.0), 0, 255
             ).astype(np.uint8).tobytes()
         return None
+
+    @staticmethod
+    def _indexed_gray(e: dict, px, w: int, h: int):
+        """/Indexed image samples -> 8-bit gray (ISO 32000-1
+        §8.6.6.3): row-padded 1/2/4/8-bit indices unpack, map
+        through the lookup table into the BASE space (gray / RGB
+        luma / CMYK k-formula), indices past hival clamp to the
+        last entry, a short lookup string zero-fills (black). None
+        for base spaces this engine cannot interpret."""
+        import numpy as np
+
+        bits = e.get("bits") or 8
+        bn = e.get("cs_base_ncomp")
+        hival = e.get("cs_hival")
+        pal = e.get("cs_palette")
+        if not bn or pal is None or hival is None                 or bits not in (1, 2, 4, 8):
+            return None
+        rowlen = (w * bits + 7) // 8
+        if len(px) < rowlen * h:
+            return None
+        a = np.frombuffer(bytes(px[:rowlen * h]), np.uint8)             .reshape(h, rowlen)
+        if bits == 8:
+            idx = a[:, :w]
+        elif bits == 4:
+            u = np.empty((h, rowlen * 2), np.uint8)
+            u[:, 0::2] = a >> 4
+            u[:, 1::2] = a & 0x0F
+            idx = u[:, :w]
+        elif bits == 2:
+            u = np.empty((h, rowlen * 4), np.uint8)
+            for i, sft in enumerate((6, 4, 2, 0)):
+                u[:, i::4] = (a >> sft) & 0x03
+            idx = u[:, :w]
+        else:
+            idx = np.unpackbits(a, axis=1)[:, :w]
+        n = hival + 1
+        need = n * bn
+        pal_b = bytes(pal)[:need]
+        if len(pal_b) < need:
+            pal_b = pal_b + b"\x00" * (need - len(pal_b))
+        table = np.frombuffer(pal_b, np.uint8).reshape(n, bn)             .astype(np.float64)
+        rows = table[np.minimum(idx, n - 1)]
+        if bn == 1:
+            g = rows[..., 0]
+        elif bn == 3:
+            g = (0.299 * rows[..., 0] + 0.587 * rows[..., 1]
+                 + 0.114 * rows[..., 2])
+        elif bn == 4:
+            cmyk = rows / 255.0
+            g = 255.0 * (
+                (1.0 - np.minimum(1.0, cmyk[..., 3]))
+                * (1.0 - np.minimum(
+                    1.0,
+                    (cmyk[..., 0] + cmyk[..., 1] + cmyk[..., 2])
+                    / 3.0,
+                ))
+            )
+        else:
+            return None
+        return w, h, np.clip(
+            np.round(g), 0, 255
+        ).astype(np.uint8).tobytes()
 
     @staticmethod
     def _entry_alpha(e: dict, w: int, h: int) -> bytes | None:

@@ -1693,6 +1693,44 @@ class PdfDocument:
                     entry["cs_sep_alt"] = alt \
                         if isinstance(alt, str) else None
                     entry["cs_sep_fn"] = csv[3]
+                elif fam == "/Indexed" and len(csv) >= 4:
+                    # [/Indexed base hival lookup] (§8.6.6.3):
+                    # samples are PALETTE INDICES; carry the lookup
+                    # table + base component count so consumers
+                    # (codecs._entry_gray) map indices to colors
+                    # instead of reading them as gray values
+                    base = self.resolve(csv[1])
+                    base_n = None
+                    if isinstance(base, str):
+                        base_n = _CS_COMPONENTS.get(base)
+                    elif isinstance(base, list) and base:
+                        bfam = self.resolve(base[0])
+                        if bfam == "/ICCBased" and len(base) >= 2:
+                            icc = self.resolve(base[1])
+                            if isinstance(icc, StreamObj):
+                                try:
+                                    base_n = int(self.resolve(
+                                        icc.sdict.get("/N", 0)
+                                    )) or None
+                                except (TypeError, ValueError):
+                                    base_n = None
+                    lookup = self.resolve(csv[3])
+                    if isinstance(lookup, StreamObj):
+                        try:
+                            lookup = self.stream_bytes(lookup)
+                        except (ValueError, zlib.error, IndexError):
+                            lookup = None
+                    try:
+                        hival = int(self.resolve(csv[2]))
+                    except (TypeError, ValueError):
+                        hival = -1
+                    if (isinstance(lookup, bytes) and base_n
+                            and 0 <= hival <= 255):
+                        entry["cs_kind"] = "indexed"
+                        entry["cs_ncomp"] = 1
+                        entry["cs_base_ncomp"] = base_n
+                        entry["cs_hival"] = hival
+                        entry["cs_palette"] = lookup
             try:
                 if isinstance(src, StreamObj):
                     data, stopped = self._decode_filters(

@@ -4609,3 +4609,84 @@ class TestOptionalContent:
         tail = [r for r in runs if r["text"] == "tail"]
         assert tail and tail[0]["x"] == pytest.approx(72 + 4 * 6.0)
         assert not any(r["text"] == "HIDE" for r in runs)
+
+
+class TestIndexedImages:
+    """/Indexed palette images (ISO 32000-1 §8.6.6.3): samples are
+    lookup-table indices — round-11 maps them through the palette
+    (1/2/4/8-bit packed, gray/RGB/CMYK bases) instead of reading
+    them as gray values."""
+
+    @staticmethod
+    def _pack(vals, w, h, bits):
+        rowlen = (w * bits + 7) // 8
+        out = bytearray(rowlen * h)
+        per = 8 // bits
+        for y in range(h):
+            for x in range(w):
+                sft = (per - 1 - (x % per)) * bits
+                out[y * rowlen + x // per] |= vals[y * w + x] << sft
+        return bytes(out)
+
+    def _decode(self, data, cs, bits, w, h):
+        from pdf2dataset_spark.sources import minipdf
+
+        pdf = minipdf.build_pdf([""], images=[{
+            "width": w, "height": h, "data": data,
+            "colorspace": cs, "bits": bits}])
+        codec = PdfCodec()
+        hd = codec.open(pdf)
+        doc = hd.doc
+        e = doc.page_images(doc.pages()[0], decode_pixels=True)[0]
+        return codec._entry_gray(e, doc)
+
+    def test_palette_is_load_bearing_inverted_gray(self):
+        w, h = 6, 2
+        samples = bytes(range(12))
+        pal = bytes(255 - i for i in range(256))
+        got = self._decode(
+            samples,
+            "[/Indexed /DeviceGray 255 <" + pal.hex() + ">]", 8, w, h)
+        assert got is not None
+        assert got[2] == bytes(255 - v for v in samples)
+
+    def test_two_bit_packing_and_rgb_luma(self):
+        w, h = 5, 3
+        vals = bytes([0, 1, 2, 3, 0, 3, 2, 1, 0, 1, 2, 3, 0, 1, 2])
+        # palette: pure R, pure G, pure B, white
+        pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,
+                     255, 255, 255])
+        got = self._decode(
+            self._pack(vals, w, h, 2),
+            "[/Indexed /DeviceRGB 3 <" + pal.hex() + ">]", 2, w, h)
+        lum = [76, 150, 29, 255]  # BT.601 of the four entries
+        assert list(got[2]) == [lum[v] for v in vals]
+
+    def test_index_past_hival_clamps(self):
+        # §8.6.6.3: out-of-range indices clamp to the last entry
+        got = self._decode(
+            bytes([0, 5, 200]), "[/Indexed /DeviceGray 1 <10f0>]",
+            8, 3, 1)
+        assert list(got[2]) == [0x10, 0xF0, 0xF0]
+
+    def test_short_lookup_zero_fills(self):
+        got = self._decode(
+            bytes([0, 1, 2]), "[/Indexed /DeviceGray 2 <aabb>]",
+            8, 3, 1)
+        assert list(got[2]) == [0xAA, 0xBB, 0x00]
+
+    def test_one_bit_row_padding(self):
+        # 3-wide rows pad to a byte boundary per row
+        w, h = 3, 2
+        vals = bytes([1, 0, 1, 0, 1, 0])
+        got = self._decode(
+            self._pack(vals, w, h, 1),
+            "[/Indexed /DeviceGray 1 <ff00>]", 1, w, h)
+        assert list(got[2]) == [0x00, 0xFF, 0x00, 0xFF, 0x00, 0xFF]
+
+    def test_cmyk_base_k_formula(self):
+        got = self._decode(
+            bytes([0, 1]),
+            "[/Indexed /DeviceCMYK 1 <00000000" + "000000ff" + ">]",
+            8, 2, 1)
+        assert list(got[2]) == [255, 0]
