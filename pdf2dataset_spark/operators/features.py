@@ -217,6 +217,22 @@ attachment_names_feature = Feature(
 )
 attachment_feature = Feature("attachment", "binary", _first_attachment)
 
+def _creation_date(ctx: PageContext) -> str | None:
+    fn = getattr(ctx.codec, "doc_dates", None)
+    return fn(ctx.handle)[0] if fn is not None else None
+
+
+def _mod_date(ctx: PageContext) -> str | None:
+    fn = getattr(ctx.codec, "doc_dates", None)
+    return fn(ctx.handle)[1] if fn is not None else None
+
+
+# document timestamps as sortable ISO-8601 strings (/Info D:-dates
+# normalized, XMP fallback) — recency filters and dedup tie-breaks
+creation_date_feature = Feature("creation_date", "string", _creation_date)
+mod_date_feature = Feature("mod_date", "string", _mod_date)
+
+
 def _body_paragraphs(ctx: PageContext) -> str | None:
     """Like ``paragraphs`` but with /Artifact pagination furniture
     (running headers/footers/page numbers in tagged PDFs) dropped
@@ -285,6 +301,8 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         word_boxes_feature,
         paragraphs_feature,
         hidden_text_rate_feature,
+        creation_date_feature,
+        mod_date_feature,
         body_paragraphs_feature,
         artifact_text_rate_feature,
         annotations_feature,

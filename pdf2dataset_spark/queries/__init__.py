@@ -101,6 +101,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 11 — NEW: /Indexed palette image decode (1/2/4/8-bit
     # packed indices through gray/RGB/CMYK-base lookup tables)
     "a44_indexed_image_extract",
+    # round 11 — NEW: ISO-8601 date normalization + XMP metadata
+    # fallback (creation_date/mod_date features, doc_info merge)
+    "a45_metadata_extract",
     # round 11 — paragraph reflow gained dehyphenation (a30 pins the
     # unhyphenated golden stays byte-identical)
     "a30_paragraph_extract",

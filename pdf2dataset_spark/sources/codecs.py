@@ -222,7 +222,33 @@ class PdfCodec(DocumentCodec):
         return _PdfHandle(content=content, pages=pages, doc=doc)
 
     def doc_info(self, handle: "_PdfHandle") -> dict[str, str]:
-        return handle.doc.info() if handle.doc is not None else {}
+        """/Info dictionary with XMP fallback (ISO 32000-1 §14.3):
+        a key absent from /Info fills from the catalog's /Metadata
+        XMP packet (Title/Author/CreationDate/ModDate) — real files
+        increasingly carry XMP only. /Info wins where both exist."""
+        if handle.doc is None:
+            return {}
+        info = dict(handle.doc.info())
+        for k, v in handle.doc.xmp().items():
+            info.setdefault(k, v)
+        return info
+
+    def doc_dates(
+        self, handle: "_PdfHandle"
+    ) -> tuple[str | None, str | None]:
+        """(creation, modification) as ISO-8601 strings — /Info
+        D:-form dates normalized via minipdf.parse_pdf_date, XMP
+        ISO dates passed through; None where absent/garbled. The
+        document-age curation surface (dedup tie-breaks, recency
+        filters) in one sortable format."""
+        from pdf2dataset_spark.sources.minipdf import PdfDocument
+
+        info = self.doc_info(handle)
+        p = PdfDocument.parse_pdf_date
+        return (
+            p(info.get("CreationDate") or ""),
+            p(info.get("ModDate") or ""),
+        )
 
     def page_annotations(self, handle: "_PdfHandle", page: int) -> list[str]:
         if handle.doc is None:

@@ -867,6 +867,101 @@ class PdfDocument:
                     out.append(v[1:])  # name-valued field (radio/choice)
         return out
 
+    def xmp(self) -> dict[str, str]:
+        """XMP metadata (ISO 32000-1 §14.3.1: the catalog's
+        /Metadata XML stream) reduced to the flat keys the /Info
+        dictionary also carries: Title / Author / CreationDate /
+        ModDate. dc:title and dc:creator read their first rdf:li
+        (element form) or the attribute form; date values pass
+        through as the ISO-8601 strings XMP already uses. Empty
+        dict when absent or unparseable — XMP is the FALLBACK
+        surface, /Info wins where both exist. Memoized."""
+        cached = getattr(self, "_xmp_cache", None)
+        if cached is not None:
+            return cached
+        out: dict[str, str] = {}
+        try:
+            cat = self._catalog()
+            md = self.resolve(cat.get("/Metadata"))
+            if isinstance(md, StreamObj):
+                import xml.etree.ElementTree as ET
+
+                xml_bytes = self.stream_bytes(md)
+                root = ET.fromstring(xml_bytes)
+                want = {
+                    "title": "Title", "creator": "Author",
+                    "createdate": "CreationDate",
+                    "modifydate": "ModDate",
+                }
+
+                def local(tag: str) -> str:
+                    return tag.rsplit("}", 1)[-1].lower()
+
+                for el in root.iter():
+                    key = want.get(local(el.tag))
+                    if key is not None and key not in out:
+                        # element form: first rdf:li descendant,
+                        # else the element's own text
+                        txt = None
+                        for li in el.iter():
+                            if local(li.tag) == "li" and li.text:
+                                txt = li.text
+                                break
+                        if txt is None and el.text and el.text.strip():
+                            txt = el.text
+                        if txt and txt.strip():
+                            out[key] = txt.strip()
+                    # attribute form (rdf:Description dc:title="...")
+                    for ak, av in el.attrib.items():
+                        key = want.get(local(ak))
+                        if key is not None and key not in out \
+                                and av.strip():
+                            out[key] = av.strip()
+        except (ValueError, zlib.error, IndexError, SyntaxError):
+            pass  # malformed stream / XML: keep whatever parsed
+        self._xmp_cache = out
+        return out
+
+    @staticmethod
+    def parse_pdf_date(s: str) -> str | None:
+        """PDF date string (ISO 32000-1 §7.9.4,
+        ``D:YYYYMMDDHHmmSSOHH'mm``) → ISO 8601
+        (``YYYY-MM-DDTHH:MM:SS±HH:MM`` / trailing ``Z`` / bare
+        date-time when no offset). Lenient the way real files
+        require: optional ``D:``, any truncation after YYYY
+        (missing month/day default 01, missing time 00), offset
+        minutes optional, trailing apostrophes ignored. None for
+        strings that do not start with a 4-digit year. Values
+        already in ISO form (XMP dates) pass through unchanged."""
+        if not s:
+            return None
+        s = s.strip()
+        if re.match(r"^\d{4}-\d{2}-\d{2}", s):
+            return s  # already ISO (the XMP convention)
+        if s.startswith("D:"):
+            s = s[2:]
+        m = re.match(
+            r"^(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+            r"(?:([+\-Z])(?:(\d{2})'?(\d{2})?'?)?)?",
+            s,
+        )
+        if not m or m.group(1) is None:
+            return None
+        y = m.group(1)
+        mo, dy = m.group(2) or "01", m.group(3) or "01"
+        hh, mi, ss = (m.group(4) or "00", m.group(5) or "00",
+                      m.group(6) or "00")
+        if not (1 <= int(mo) <= 12 and 1 <= int(dy) <= 31
+                and int(hh) <= 23 and int(mi) <= 59 and int(ss) <= 60):
+            return None
+        base = f"{y}-{mo}-{dy}T{hh}:{mi}:{ss}"
+        o = m.group(7)
+        if o == "Z":
+            return base + "Z"
+        if o in ("+", "-") and m.group(8):
+            return f"{base}{o}{m.group(8)}:{m.group(9) or '00'}"
+        return base
+
     def page_properties(self, page: dict) -> dict:
         """Resolved /Properties entries of a page's /Resources (ISO
         32000-1 §14.6.2): marked-content property lists referenced

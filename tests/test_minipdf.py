@@ -4690,3 +4690,84 @@ class TestIndexedImages:
             "[/Indexed /DeviceCMYK 1 <00000000" + "000000ff" + ">]",
             8, 2, 1)
         assert list(got[2]) == [255, 0]
+
+
+class TestMetadataDatesAndXmp:
+    """parse_pdf_date (ISO 32000-1 §7.9.4 -> ISO 8601) and the XMP
+    /Metadata fallback surface (§14.3)."""
+
+    @pytest.mark.parametrize("inp,want", [
+        ("D:20240131120000+01'00'", "2024-01-31T12:00:00+01:00"),
+        ("D:20240131120000Z", "2024-01-31T12:00:00Z"),
+        ("D:20240131", "2024-01-31T00:00:00"),
+        ("D:2024", "2024-01-01T00:00:00"),
+        ("20051211093000-05'00'", "2005-12-11T09:30:00-05:00"),
+        ("D:20230704102030+05'30", "2023-07-04T10:20:30+05:30"),
+        ("2023-07-04T10:20:30Z", "2023-07-04T10:20:30Z"),
+        ("D:20241399", None),
+        ("D:20240132", None),
+        ("garbage", None),
+        ("", None),
+    ])
+    def test_parse_pdf_date(self, inp, want):
+        assert minipdf.PdfDocument.parse_pdf_date(inp) == want
+
+    XMP = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+           b'<rdf:RDF xmlns:rdf='
+           b'"http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+           b'<rdf:Description rdf:about=""'
+           b' xmlns:dc="http://purl.org/dc/elements/1.1/"'
+           b' xmlns:xmp="http://ns.adobe.com/xap/1.0/">'
+           b'<dc:title><rdf:Alt><rdf:li>T1</rdf:li></rdf:Alt>'
+           b'</dc:title>'
+           b'<dc:creator><rdf:Seq><rdf:li>A1</rdf:li></rdf:Seq>'
+           b'</dc:creator>'
+           b'<xmp:CreateDate>2019-05-06T07:08:09Z</xmp:CreateDate>'
+           b'</rdf:Description></rdf:RDF></x:xmpmeta>')
+
+    def _with_xmp(self, base, xmp=None):
+        xmp = xmp if xmp is not None else self.XMP
+        return minipdf.append_update(base, {
+            1: b"<< /Type /Catalog /Pages 2 0 R /Metadata 20 0 R >>",
+            20: b"<< /Type /Metadata /Subtype /XML /Length "
+                + str(len(xmp)).encode() + b" >>\nstream\n" + xmp
+                + b"\nendstream",
+        })
+
+    def test_xmp_fills_missing_info(self):
+        pdf = self._with_xmp(minipdf.build_pdf(["b"]))
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        info = codec.doc_info(h)
+        assert info["Title"] == "T1" and info["Author"] == "A1"
+        assert codec.doc_dates(h) == ("2019-05-06T07:08:09Z", None)
+
+    def test_info_wins_over_xmp(self):
+        pdf = self._with_xmp(
+            minipdf.build_pdf(["b"], info={"Title": "From Info"}))
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        info = codec.doc_info(h)
+        assert info["Title"] == "From Info"
+        assert info["Author"] == "A1"  # XMP still fills the gap
+
+    def test_malformed_xmp_is_inert(self):
+        pdf = self._with_xmp(minipdf.build_pdf(["b"]),
+                             xmp=b"<not-xml <<<")
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        assert codec.doc_info(h) == {}
+        assert codec.doc_dates(h) == (None, None)
+
+    def test_attribute_form_xmp(self):
+        xmp = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+               b'<rdf:RDF xmlns:rdf='
+               b'"http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+               b'<rdf:Description rdf:about=""'
+               b' xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+               b' xmp:ModifyDate="2021-02-03T04:05:06Z"/>'
+               b'</rdf:RDF></x:xmpmeta>')
+        pdf = self._with_xmp(minipdf.build_pdf(["b"]), xmp=xmp)
+        codec = PdfCodec()
+        h = codec.open(pdf)
+        assert codec.doc_dates(h) == (None, "2021-02-03T04:05:06Z")
