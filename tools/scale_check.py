@@ -800,8 +800,47 @@ def main() -> None:
         assert hinted[0] == n
         return {"rows": n, "dim_rows": dims, "total": int(hinted[1])}
 
+    # 20. remove_boilerplate at 2M docs / 6M paragraphs: a planted
+    #     header (all docs) and a per-doc-year footer (digit-stripped
+    #     to ONE key) must vanish exactly; every unique body must
+    #     survive byte-identical; empty-doc retention keeps counts.
+    def boilerplate_law():
+        n = int(2_000_000 * mult)
+        # bodies must stay unique under the operator's DIGIT-STRIPPED
+        # normalization: encode the id as letters (hex digits
+        # translated g-p)
+        letter_id = F.translate(
+            F.hex(F.col("doc_id")), "0123456789", "ghijklmnop"
+        )
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+        ).select(
+            "doc_id",
+            F.concat(
+                F.lit("Subscribe Now\n"),
+                F.lit("body "), letter_id, F.lit(" unique"),
+                F.lit("\nCopyright "),
+                (F.lit(2000) + F.col("doc_id") % 25).cast("string"),
+                F.lit(" Corp"),
+            ).alias("text"),
+        )
+        out = dd.remove_boilerplate(docs, min_doc_frac=0.5)
+        agg = out.select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("body "), letter_id, F.lit(" unique"))
+            .alias("want"),
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("text") == F.col("want")).cast("long"))
+            .alias("exact"),
+        ).collect()[0]
+        assert agg["cnt"] == n and agg["exact"] == n, dict(agg.asDict())
+        return {"docs": n, "paras": 3 * n}
+
     check("pq_ivfpq_dup_law_1M", pq_ivfpq_dup_law)
     check("guarded_broadcast_fallback_10M", guarded_broadcast_fallback)
+    check("boilerplate_removal_law_2M", boilerplate_law)
     # the ranked frames persisted by checks 1/2/12 are no longer
     # needed once their actions finish — release so a long harness run
     # doesn't hold cached RDDs (and to exercise the cleanup path)
