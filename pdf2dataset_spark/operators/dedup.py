@@ -397,6 +397,18 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
+def boilerplate_key(col: Column | str) -> Column:
+    """64-bit key of a paragraph's boilerplate-normal form:
+    whitespace-collapsed, lowercased, DIGIT-STRIPPED (so 'Copyright
+    2023' == 'Copyright 2024' == 'Copyright Corp' once the residual
+    gap re-collapses), xxhash64. Shared by the batch operator
+    (:func:`remove_boilerplate`) and the streaming ingest
+    (streaming/boilerplate.py) so their stores interoperate."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(normalize_text(c), r"\d+", "")
+    return F.xxhash64(F.trim(F.regexp_replace(stripped, r"\s+", " ")))
+
+
 def remove_boilerplate(
     df: DataFrame,
     text_col: str = "text",
@@ -451,8 +463,7 @@ def remove_boilerplate(
             "__idx", "__para"
         ),
     )
-    norm = F.regexp_replace(normalize_text(F.col("__para")), r"\d+", "")
-    keyed = seg.withColumn("__key", F.xxhash64(norm))
+    keyed = seg.withColumn("__key", boilerplate_key(F.col("__para")))
     counts = keyed.groupBy("__key").agg(
         F.countDistinct("__id").alias("__n_docs")
     )

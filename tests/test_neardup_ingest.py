@@ -230,3 +230,76 @@ def test_semantic_ingest_checkpoint_restart_no_duplicates(spark, tmp_path):
         assert len(st) == len({(r.doc_id, r.list_id) for r in st})
     finally:
         q.stop()
+
+
+def test_streaming_boilerplate_ingest_across_batches(spark, tmp_path):
+    """streaming/boilerplate.py: cumulative paragraph counts cross
+    the min_docs threshold ACROSS micro-batches; suppression then
+    holds store-driven even when the triggering batch carries a
+    single copy."""
+    from pdf2dataset_spark.streaming.boilerplate import boilerplate_ingest
+
+    src = str(tmp_path / "bp_src")
+    out = str(tmp_path / "bp_out")
+    store = str(tmp_path / "bp_counts")
+    ckpt = str(tmp_path / "bp_ckpt")
+    schema = "doc_id long, text string"
+    hdr = "Subscribe to our newsletter"
+
+    def doc(i):  # unique letter-only body (digit-strip-safe)
+        body = "body " + "x" * (i + 1) + " unique"
+        return (i, f"{hdr}\n{body}")
+
+    # batch 1: 3 docs — header count 3 < 4, everything survives
+    spark.createDataFrame([doc(0), doc(1), doc(2)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = boilerplate_ingest(stream, out, store, ckpt, min_docs=4)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+        assert all(t.startswith(hdr + "\n") for t in got.values())
+
+        # batch 2: 2 more docs — cumulative 5 >= 4: header dropped
+        # from batch 2 (batch 1's already-written rows keep theirs)
+        spark.createDataFrame([doc(3), doc(4)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+        assert got[3] == "body xxxx unique"
+        assert got[4] == "body xxxxx unique"
+        assert got[0].startswith(hdr)  # history not rewritten
+
+        # batch 3: ONE doc — suppression is store-driven now; a
+        # year-varying copyright line (digit-stripped key) does not
+        # yet hit the threshold and survives
+        spark.createDataFrame(
+            [(5, f"{hdr}\nbody yyy unique\nCopyright 2024 Corp")],
+            schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+        assert got[5] == "body yyy unique\nCopyright 2024 Corp"
+
+        # batch 4: an ALL-boilerplate document stays as ""
+        spark.createDataFrame([(6, hdr)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+        assert got[6] == ""
+        assert len(got) == 7
+    finally:
+        q.stop()
+
+
+def test_boilerplate_ingest_key_matches_batch_operator(spark):
+    """The streaming key IS the batch operator's key: digit-stripped
+    normalized forms collide across year variants in both."""
+    from pdf2dataset_spark.operators.dedup import boilerplate_key
+
+    df = spark.createDataFrame(
+        [("Copyright 2021 Corp",), ("copyright   2024 CORP",),
+         ("Copyright Corp",), ("unrelated",)], ["p"])
+    keys = [r.k for r in df.select(
+        boilerplate_key("p").alias("k")).collect()]
+    assert keys[0] == keys[1] == keys[2] != keys[3]
