@@ -217,6 +217,30 @@ attachment_names_feature = Feature(
 )
 attachment_feature = Feature("attachment", "binary", _first_attachment)
 
+def _profile_field(key: str, default=None):
+    def get(ctx: PageContext):
+        fn = getattr(ctx.codec, "doc_profile", None)
+        return fn(ctx.handle).get(key, default) if fn is not None \
+            else default
+    return get
+
+
+# structural document facts (doc-level, repeated per page row):
+# corpus facets for curation — web-optimized (linearized), tagged
+# (accessibility structure, correlates with clean extraction),
+# encrypted, header-vs-catalog version, XMP presence
+pdf_version_feature = Feature(
+    "pdf_version", "string", _profile_field("version"))
+is_linearized_feature = Feature(
+    "is_linearized", "bool", _profile_field("linearized"))
+is_tagged_feature = Feature(
+    "is_tagged", "bool", _profile_field("tagged"))
+is_encrypted_feature = Feature(
+    "is_encrypted", "bool", _profile_field("encrypted"))
+has_xmp_feature = Feature(
+    "has_xmp", "bool", _profile_field("has_xmp"))
+
+
 def _creation_date(ctx: PageContext) -> str | None:
     fn = getattr(ctx.codec, "doc_dates", None)
     return fn(ctx.handle)[0] if fn is not None else None
@@ -303,6 +327,11 @@ BUILTIN_FEATURES: dict[str, Feature] = {
         hidden_text_rate_feature,
         creation_date_feature,
         mod_date_feature,
+        pdf_version_feature,
+        is_linearized_feature,
+        is_tagged_feature,
+        is_encrypted_feature,
+        has_xmp_feature,
         body_paragraphs_feature,
         artifact_text_rate_feature,
         annotations_feature,

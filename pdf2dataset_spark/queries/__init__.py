@@ -104,6 +104,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 11 — NEW: ISO-8601 date normalization + XMP metadata
     # fallback (creation_date/mod_date features, doc_info merge)
     "a45_metadata_extract",
+    # round 11 — NEW: structural doc profile facets (version,
+    # linearized, tagged, encrypted, has_xmp)
+    "a46_doc_profile_extract",
     # round 11 — paragraph reflow gained dehyphenation (a30 pins the
     # unhyphenated golden stays byte-identical)
     "a30_paragraph_extract",

@@ -233,6 +233,16 @@ class PdfCodec(DocumentCodec):
             info.setdefault(k, v)
         return info
 
+    def doc_profile(self, handle: "_PdfHandle") -> dict:
+        """Structural facts — version / linearized / tagged /
+        encrypted (+ has_xmp) — the corpus-faceting surface; see
+        minipdf.PdfDocument.profile."""
+        if handle.doc is None:
+            return {}
+        out = dict(handle.doc.profile())
+        out["has_xmp"] = bool(handle.doc.xmp())
+        return out
+
     def doc_dates(
         self, handle: "_PdfHandle"
     ) -> tuple[str | None, str | None]:

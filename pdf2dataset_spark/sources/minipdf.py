@@ -867,6 +867,68 @@ class PdfDocument:
                     out.append(v[1:])  # name-valued field (radio/choice)
         return out
 
+    def profile(self) -> dict:
+        """Structural document facts (the corpus-faceting surface):
+
+        - ``version``: the ``%PDF-1.x`` header, overridden by the
+          catalog's /Version name when present (ISO 32000-1 §7.7.2
+          — incremental updates upgrade the version there, not in
+          the immutable header).
+        - ``linearized``: a ``/Linearized`` dictionary in the first
+          2 KiB (§F.3.1 puts the linearization parameter dict first
+          in the file; web-optimized documents).
+        - ``tagged``: catalog /MarkInfo /Marked true, or a
+          /StructTreeRoot (§14.7/14.8 — accessibility/structure
+          trees, strongly correlated with clean extraction).
+        - ``encrypted``: any trailer (classic or xref-stream)
+          carrying /Encrypt — true even after successful
+          decryption.
+
+        Memoized."""
+        cached = getattr(self, "_profile_cache", None)
+        if cached is not None:
+            return cached
+        out: dict = {}
+        m = re.match(rb"%PDF-(\d+\.\d+)", self._data[:16])
+        ver = m.group(1).decode("ascii") if m else None
+        try:
+            cat = self._catalog()
+        except ValueError:
+            cat = {}
+        v = self.resolve(cat.get("/Version")) if cat else None
+        if isinstance(v, str) and v.startswith("/"):
+            ver = v[1:]
+        out["version"] = ver
+        out["linearized"] = bool(
+            re.search(rb"/Linearized\b", self._data[:2048])
+        )
+        mi = self.resolve(cat.get("/MarkInfo")) if cat else None
+        out["tagged"] = bool(
+            (isinstance(mi, dict)
+             and self.resolve(mi.get("/Marked")) is True)
+            or (cat and self.resolve(cat.get("/StructTreeRoot"))
+                is not None)
+        )
+        enc = False
+        for tm in re.finditer(rb"trailer\b", self._data):
+            try:
+                d, _ = parse_value(self._data, tm.end())
+            except (ValueError, IndexError):
+                continue
+            if isinstance(d, dict) and "/Encrypt" in d:
+                enc = True
+                break
+        if not enc:
+            for obj in self.objects.values():
+                sv = obj.sdict if isinstance(obj, StreamObj) else obj
+                if isinstance(sv, dict) and sv.get("/Type") == "/XRef" \
+                        and "/Encrypt" in sv:
+                    enc = True
+                    break
+        out["encrypted"] = enc
+        self._profile_cache = out
+        return out
+
     def xmp(self) -> dict[str, str]:
         """XMP metadata (ISO 32000-1 §14.3.1: the catalog's
         /Metadata XML stream) reduced to the flat keys the /Info

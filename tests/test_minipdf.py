@@ -4771,3 +4771,43 @@ class TestMetadataDatesAndXmp:
         codec = PdfCodec()
         h = codec.open(pdf)
         assert codec.doc_dates(h) == (None, "2021-02-03T04:05:06Z")
+
+
+class TestDocProfile:
+    """PdfDocument.profile(): structural corpus facets — version
+    (header + catalog override), linearization, tagged-PDF marks,
+    encryption flag surviving decryption."""
+
+    def test_plain_defaults(self):
+        doc = minipdf.PdfDocument(minipdf.build_pdf(["b"]))
+        p = doc.profile()
+        assert p == {"version": "1.4", "linearized": False,
+                     "tagged": False, "encrypted": False}
+
+    def test_catalog_version_overrides_header(self):
+        pdf = minipdf.append_update(minipdf.build_pdf(["b"]), {
+            1: b"<< /Type /Catalog /Pages 2 0 R /Version /2.0 >>"})
+        assert minipdf.PdfDocument(pdf).profile()["version"] == "2.0"
+
+    def test_structtreeroot_flags_tagged(self):
+        pdf = minipdf.append_update(minipdf.build_pdf(["b"]), {
+            1: b"<< /Type /Catalog /Pages 2 0 R "
+               b"/StructTreeRoot 30 0 R >>",
+            30: b"<< /Type /StructTreeRoot >>"})
+        assert minipdf.PdfDocument(pdf).profile()["tagged"] is True
+
+    def test_encrypted_flag_survives_decryption(self):
+        pdf = minipdf.build_pdf(["secret b"], encrypt="pw")
+        doc = minipdf.PdfDocument(pdf, password=b"pw")
+        assert doc.profile()["encrypted"] is True
+        # and the document really did decrypt
+        assert minipdf.content_text(
+            doc.page_content(doc.pages()[0])) == "secret b"
+
+    def test_linearized_dict_detected_not_comment(self):
+        base = minipdf.build_pdf(["b"])
+        head, rest = base.split(b"\n", 1)
+        lin = (head + b"\n9 0 obj\n<< /Linearized 1 /L 9 /H [0 0] "
+               b"/O 3 /E 1 /N 1 /T 5 >>\nendobj\n" + rest)
+        assert minipdf.PdfDocument(lin).profile()["linearized"] is True
+        assert minipdf.PdfDocument(base).profile()["linearized"] is False
