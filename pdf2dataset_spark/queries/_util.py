@@ -125,6 +125,24 @@ _EST_TTL_S = 120.0
 _EST_CACHE: dict = {}  # (session id, semanticHash, schema) -> (bytes, t)
 
 
+def ordered_small(df: DataFrame, *cols) -> DataFrame:
+    """Total ORDER BY for a result whose row count is bounded by a
+    FIXED KEYSPACE (return flags, brands, nations — not by corpus
+    size): route the result through one partition and sort within it.
+
+    A plain ``orderBy`` plans a range-partitioned sort, which costs a
+    separate range-boundary SAMPLING JOB plus a range exchange into
+    ``spark.sql.shuffle.partitions`` reducers — pure overhead when the
+    output is a handful of rows at any scale (measured −0.07 s per
+    bench headliner at sf0.1; the sampling pass re-executes the
+    aggregate child). Here the upstream aggregate keeps its parallel
+    reducers; only the bounded result rows cross one single-partition
+    exchange, and the in-partition sort over one partition IS a total
+    order. Do NOT use for outputs that grow with the corpus (global
+    sorts, per-user/session results) — those need the range sort."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def dec(col: Column | str, prec: int = 12, scale: int = 2) -> Column:
     """Lossless decimal view of a 2-decimal double column."""
     c = F.col(col) if isinstance(col, str) else col

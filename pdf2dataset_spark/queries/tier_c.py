@@ -21,6 +21,7 @@ from pdf2dataset_spark.queries._util import (
     davg,
     dec,
     dsum,
+    ordered_small,
     sql_cavg,
     sql_cents,
     sql_csum,
@@ -87,7 +88,7 @@ def c1_pricing_summary(spark, sf_dir):
             cavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(ordered_small, "l_returnflag", "l_linestatus")
     )
 
 
@@ -140,7 +141,7 @@ def c3_count_distinct(spark, sf_dir):
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered_small, "l_returnflag")
     )
 
 

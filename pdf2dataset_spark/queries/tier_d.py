@@ -14,7 +14,15 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pdf2dataset_spark.queries import query
-from pdf2dataset_spark.queries._util import cents, csum, dec, dsum, maybe_broadcast, t
+from pdf2dataset_spark.queries._util import (
+    cents,
+    csum,
+    dec,
+    dsum,
+    maybe_broadcast,
+    ordered_small,
+    t,
+)
 
 
 # --------------------------------------------------------------- D1
@@ -64,7 +72,7 @@ def d2_broadcast_part_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
             csum("l_extendedprice").alias("brand_revenue"),
         )
-        .orderBy("p_brand")
+        .transform(ordered_small, "p_brand")
     )
 
 
@@ -331,7 +339,7 @@ def d11_star_join_revenue(spark, sf_dir):
             (F.sum(revenue_c).cast("double") / (100 * 100)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .orderBy("n_name")
+        .transform(ordered_small, "n_name")
     )
 
 
