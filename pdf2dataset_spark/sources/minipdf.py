@@ -2418,6 +2418,61 @@ def _decode_text_string(raw: bytes) -> str:
 
 _SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
 
+#: optional whitespace + numeric token in ONE C-level match — the
+#: TJ-array fast path (arrays of kern numbers dominate text-heavy
+#: content streams)
+_WS_NUM_RE = re.compile(rb"[\x00\t\n\x0c\r ]*([+-]?(?:\d+\.\d*|\.\d+|\d+))")
+
+
+def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
+    """One DIRECT object value from a content stream.
+
+    Content streams shall not contain indirect references (ISO
+    32000-1 §7.8.2), so unlike :func:`parse_value` this skips the
+    ``N G R`` lookahead — which costs an extra whitespace skip plus a
+    second number match for EVERY numeric token and dominated
+    TJ-array lexing on real text-heavy documents."""
+    m = _WS_NUM_RE.match(data, pos)
+    if m:
+        tok = m.group(1)
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    pos = _skip_ws(data, pos)
+    c = data[pos]
+    if c == 0x3C:  # '<' — dict or hex string
+        if data[pos + 1 : pos + 2] == b"<":
+            pos += 2
+            d: dict = {}
+            while True:
+                pos = _skip_ws(data, pos)
+                if data[pos : pos + 2] == b">>":
+                    return d, pos + 2
+                key, pos = _parse_name(data, pos)
+                val, pos = _parse_content_value(data, pos)
+                d[key] = val
+        return _parse_hex_string(data, pos)
+    if c == 0x28:
+        return _parse_literal_string(data, pos)
+    if c == 0x5B:  # '['
+        pos += 1
+        arr: list = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            v, pos = _parse_content_value(data, pos)
+            arr.append(v)
+    if c == 0x2F:
+        return _parse_name(data, pos)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    raise ValueError(
+        f"cannot parse content value at byte {pos}: {data[pos:pos+20]!r}"
+    )
+
 
 def _iter_content_ops(content: bytes):
     """Lex a content stream into ``(operator, operands)`` pairs —
@@ -2438,10 +2493,10 @@ def _iter_content_ops(content: bytes):
             s, pos = _parse_hex_string(content, pos)
             stack.append(s)
         elif c == 0x3C:  # inline dict (marked content / inline image)
-            v, pos = parse_value(content, pos)
+            v, pos = _parse_content_value(content, pos)
             stack.append(v)
         elif c == 0x5B:
-            v, pos = parse_value(content, pos)
+            v, pos = _parse_content_value(content, pos)
             stack.append(v)
         elif c == 0x2F:
             v, pos = _parse_name(content, pos)
