@@ -130,6 +130,20 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 11 — NEW: CCNet-style paragraph-hash boilerplate removal
     # (dedup.remove_boilerplate; digit-stripped normalization)
     "f47_boilerplate_removal",
+    # round 11 OPTIMIZATION phase — content-stream lexer fast paths +
+    # per-font decode-map caching run inside EVERY extraction query
+    # (a5/a38/a17/a30/a39 above already rotate; a0 covers the
+    # Arrow-shipped, bytes-partitioned in-memory manifest source)
+    "a0_extract_pipeline",
+    "a16_encrypted_pdf_extract",
+    "a22_embedded_font_cmap_extract",
+    # round 11 OPTIMIZATION phase — bounded-keyspace ORDER BY via
+    # _util.ordered_small (single-partition exchange replaces the
+    # range-sampling sort; rows + order proven identical)
+    "c1_pricing_summary",
+    "c3_count_distinct",
+    "d2_broadcast_part_join",
+    "d11_star_join_revenue",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows
