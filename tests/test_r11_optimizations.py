@@ -1,0 +1,165 @@
+"""Focused tests for the round-11 optimization internals.
+
+Each optimization that changed an operator's internals gets a direct
+assertion here: the minipdf lexer fast paths (bulk literal-string
+copy, one-slice names, regex whitespace, the direct-object content
+parser), the per-document font decode-map cache, the Arrow-shipped
+bytes-partitioned in-memory manifest, and the bounded-keyspace
+single-partition ORDER BY helper.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf2dataset_spark.sources import minipdf
+from pdf2dataset_spark.sources.minipdf import (
+    PdfDocument,
+    _parse_content_value,
+    _parse_literal_string,
+    _parse_name,
+    _skip_ws,
+    build_pdf,
+    encoding_map,
+    parse_value,
+)
+
+
+# ------------------------------------------------------------ lexer
+class TestLexerFastPaths:
+    def test_literal_string_bulk_and_escapes(self):
+        # ordinary run + every escape class + nesting + continuation
+        data = b"(abc\\n\\r\\t\\b\\f\\(\\)\\\\xy\\101\\41\\7(in(ner))tail\\\r\nz)"
+        out, pos = _parse_literal_string(data, 0)
+        assert out == b"abc\n\r\t\x08\x0c()\\xyA!\x07(in(ner))tailz"
+        assert pos == len(data)
+
+    def test_literal_string_unterminated_raises(self):
+        with pytest.raises(ValueError):
+            _parse_literal_string(b"(never closed", 0)
+
+    def test_literal_string_unknown_escape_kept(self):
+        out, _ = _parse_literal_string(b"(a\\qb)", 0)
+        assert out == b"aqb"
+
+    def test_name_fast_and_hex_escape_paths(self):
+        assert _parse_name(b"/Simple ", 0) == ("/Simple", 7)
+        # '#xx' routes through the escape path; stop set unchanged
+        assert _parse_name(b"/A#20B/next", 0) == ("/A B", 6)
+        assert _parse_name(b"/X]", 0) == ("/X", 2)
+        assert _parse_name(b"/ ", 0) == ("/", 1)  # empty name
+
+    def test_skip_ws_comments_and_runs(self):
+        data = b"  % comment to eol\r\n\t \x00next"
+        assert data[_skip_ws(data, 0) :] == b"next"
+        assert _skip_ws(b"abc", 0) == 0
+        assert _skip_ws(b"   ", 0) == 3  # runs to end without error
+
+    def test_content_value_matches_parse_value_on_direct_objects(self):
+        cases = [
+            b"[(ab) -12 (c) 3.5 /Nm [1 2] <</K 1>> true false null]",
+            b"[]",
+            b"<</A 1 /B (x) /C [4 5.25]>>",
+            b"(str)",
+            b"<414243>",
+            b"-42",
+            b"3.25",
+            b"/Name",
+        ]
+        for data in cases:
+            want = parse_value(data, 0)
+            got = _parse_content_value(data, 0)
+            assert got == want, data
+
+    def test_content_value_skips_ref_lookahead(self):
+        # 'N G R' is illegal in content streams (ISO 32000-1 §7.8.2);
+        # the content parser must yield plain numbers, not a Ref
+        v, pos = _parse_content_value(b"5 0 R", 0)
+        assert v == 5 and pos == 1
+        # while the general parser still folds it into a reference
+        ref, _ = parse_value(b"5 0 R", 0)
+        assert isinstance(ref, minipdf.Ref) and ref.num == 5
+
+
+# ----------------------------------------------------- font caching
+class TestFontMapCache:
+    def test_decode_map_built_once_per_font_object(self):
+        doc = PdfDocument(build_pdf(["page one", "page two", "three"]))
+        pages = doc.pages()
+        maps = [doc.page_fonts(p) for p in pages]
+        # the same font object must yield the IDENTICAL finished map
+        # (cache hit), not an equal rebuild
+        first = {k: id(v) for k, v in maps[0].items()}
+        for m in maps[1:]:
+            for k, v in m.items():
+                if k in first:
+                    assert id(v) == first[k]
+        assert doc._font_map_cache  # populated
+
+    def test_encoding_map_returns_fresh_mutable_dict(self):
+        # the shared base table must never leak: mutating one result
+        # cannot affect the next call
+        m1 = encoding_map("/WinAnsiEncoding", lambda v: v)
+        m1[65] = "Z"
+        m2 = encoding_map("/WinAnsiEncoding", lambda v: v)
+        assert m2[65] == "A"
+
+    def test_differences_still_apply_over_cached_base(self):
+        enc = {"/BaseEncoding": "/WinAnsiEncoding", "/Differences": [65, "/bullet"]}
+        m = encoding_map(enc, lambda v: v)
+        assert m[65] == "•" and m[66] == "B"
+
+
+# ------------------------------------------- in-memory manifest source
+class TestFromDictPartitioning:
+    def test_partitions_scale_with_bytes_not_core_count(self, spark):
+        from pdf2dataset_spark.sources import from_dict
+        from pdf2dataset_spark.sources.memory import _TARGET_BYTES_PER_SLICE
+
+        tiny = from_dict(spark, {"a.pdf": b"x" * 100})
+        assert tiny.rdd.getNumPartitions() == 1
+        n_docs, doc_bytes = 12, _TARGET_BYTES_PER_SLICE // 2
+        mid = from_dict(
+            spark, {f"d{i}.pdf": b"y" * doc_bytes for i in range(n_docs)}
+        )
+        expect = min(
+            spark.sparkContext.defaultParallelism,
+            -(-(n_docs * doc_bytes) // _TARGET_BYTES_PER_SLICE),
+        )
+        assert mid.rdd.getNumPartitions() == expect
+
+    def test_schema_and_rows_survive_arrow_ship(self, spark):
+        from pdf2dataset_spark.sources import from_dict
+
+        payload = b"\x00\xff\x89PNG binary"
+        df = from_dict(spark, {"z.bin": payload, "a.bin": b"first"})
+        assert df.schema.simpleString() == "struct<path:string,content:binary>"
+        rows = df.orderBy("path").collect()
+        assert [r.path for r in rows] == ["a.bin", "z.bin"]
+        assert bytes(rows[1].content) == payload
+
+    def test_empty_dict(self, spark):
+        from pdf2dataset_spark.sources import from_dict
+
+        df = from_dict(spark, {})
+        assert df.count() == 0
+        assert df.schema.simpleString() == "struct<path:string,content:binary>"
+
+
+# --------------------------------------------- bounded ORDER BY helper
+class TestOrderedSmall:
+    def test_total_order_and_single_partition_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf2dataset_spark.queries._util import ordered_small
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+        )
+        agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+        want = [r.asDict() for r in agg.orderBy("k").collect()]
+        got_df = ordered_small(agg, "k")
+        assert [r.asDict() for r in got_df.collect()] == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" in plan
+        assert "rangepartitioning" not in plan
