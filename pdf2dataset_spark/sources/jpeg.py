@@ -787,37 +787,117 @@ def encode_jpeg_progressive(
 
 # ----------------------------------------------------------------- decode
 class _BitReader:
+    """MSB-first entropy-stream reader with byte-stuffing removal.
+
+    Optimized (round 11): the accumulator buffers WHOLE BYTES (``_n``
+    real bits live in ``_acc``), so ``read_bits(n)`` is one shift+mask
+    and the Huffman fast path can peek 9 bits at once instead of
+    walking bit-by-bit. ``_costs`` records each buffered byte's INPUT
+    cost (2 for a stuffed ``FF 00``) so :meth:`tail_pos` can report
+    what a lazy bit-at-a-time reader's position would be — just past
+    the last byte containing a consumed bit — which is what the
+    scan-resync and restart-marker logic rely on. Error behavior is
+    identical to the lazy reader: hard fills raise on truncation or
+    an unexpected marker at exactly the same consumed-bit offsets."""
+
+    __slots__ = ("data", "pos", "_acc", "_n", "_stuff")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self._acc = 0
         self._n = 0
+        #: stuffing history: bit i set = the (i+1)-th NEWEST buffered
+        #: byte cost 2 input bytes (FF 00). Only the newest few bytes
+        #: ever matter (the window is < 4 unconsumed bytes).
+        self._stuff = 0
+
+    def _fill_hard(self) -> None:
+        """Buffer one more entropy byte; original error semantics."""
+        data = self.data
+        p = self.pos
+        if p >= len(data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = data[p]
+        p += 1
+        st = 0
+        if b == 0xFF:
+            if p >= len(data) or data[p] != 0x00:
+                raise ValueError("unexpected marker in entropy data")
+            p += 1  # skip stuffed zero
+            st = 1
+        self.pos = p
+        n = self._n
+        self._acc = ((self._acc & ((1 << n) - 1)) << 8) | b
+        self._n = n + 8
+        self._stuff = ((self._stuff << 1) | st) & 0xFFFFFF
+
+    def _fill_soft24(self) -> None:
+        """Batch-buffer bytes until >= 24 bits are available, stopping
+        silently at end-of-data or a marker — speculative peeks only."""
+        data = self.data
+        ln = len(data)
+        p = self.pos
+        n = self._n
+        acc = self._acc & ((1 << n) - 1)
+        stuff = self._stuff
+        while n < 24:
+            if p >= ln:
+                break
+            b = data[p]
+            if b == 0xFF:
+                if p + 1 >= ln or data[p + 1] != 0x00:
+                    break
+                p += 2
+                stuff = (stuff << 1) | 1
+            else:
+                p += 1
+                stuff = stuff << 1
+            acc = (acc << 8) | b
+            n += 8
+        self.pos = p
+        self._acc = acc
+        self._n = n
+        self._stuff = stuff & 0xFFFFFF
 
     def read_bit(self) -> int:
         if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("unexpected marker in entropy data")
-                self.pos += 1  # skip stuffed zero
-            self._acc = b
-            self._n = 8
+            self._fill_hard()
         self._n -= 1
         return (self._acc >> self._n) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        while self._n < n:
+            self._fill_hard()
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
+    def peek9(self) -> int:
+        """Next 9 bits MSB-first, zero-padded past end-of-stream;
+        never raises (soft fill)."""
+        n = self._n
+        if n < 9:
+            self._fill_soft24()
+            n = self._n
+            if n < 9:
+                return ((self._acc & ((1 << n) - 1)) << (9 - n)) & 0x1FF
+        return (self._acc >> (n - 9)) & 0x1FF
+
+    def tail_pos(self) -> int:
+        """Input position just past the last byte containing a
+        consumed bit (== the lazy reader's ``pos``)."""
+        p = self.pos
+        stuff = self._stuff
+        for i in range(self._n >> 3):  # roll back unconsumed bytes
+            p -= 2 if (stuff >> i) & 1 else 1
+        return p
 
     def restart(self) -> None:
         """Byte-align and consume an RSTn marker (ITU-T T.81 §E.2.4)."""
+        self.pos = self.tail_pos()
         self._acc = 0
         self._n = 0
+        self._stuff = 0
         if (
             self.pos + 1 >= len(self.data)
             or self.data[self.pos] != 0xFF
@@ -828,27 +908,50 @@ class _BitReader:
 
 
 def _decode_tree(bits: list[int], vals: list[int]):
-    """code-space map: (length, code) -> symbol."""
+    """Huffman decode tables: ((length, code) -> symbol map, 9-bit
+    LUT). The dense LUT resolves every code of <= 9 bits (the vast
+    majority of DC/AC symbols) from one peek; longer codes fall back
+    to the exact per-bit walk over the map."""
     table = {}
+    lut: list[tuple[int, int] | None] = [None] * 512
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            sym = vals[k]
+            table[(length, code)] = sym
+            if length <= 9:
+                base = code << (9 - length)
+                entry = (sym, length)
+                for i in range(1 << (9 - length)):
+                    lut[base + i] = entry
             code += 1
             k += 1
         code <<= 1
-    return table
+    return table, lut
 
 
-def _read_symbol(br: _BitReader, table) -> int:
+def _read_symbol_slow(br: _BitReader, bylen) -> int:
+    """Exact per-bit walk — long codes (10-16 bits), stream edges and
+    invalid prefixes, with the lazy reader's error behavior."""
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        sym = bylen.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    bylen, lut = table
+    e = lut[br.peek9()]
+    if e is not None:
+        sym, ln = e
+        if ln <= br._n:  # enough REAL bits: consume and go
+            br._n -= ln
+            return sym
+    return _read_symbol_slow(br, bylen)
 
 
 def _extend(raw: int, cat: int) -> int:
@@ -857,22 +960,62 @@ def _extend(raw: int, cat: int) -> int:
 
 
 def _block_seq(br: _BitReader, dc_t, ac_t, prev_dc: int, zz) -> int:
-    """Sequential full-band block into the zigzag view ``zz``."""
+    """Sequential full-band block into the zigzag view ``zz``.
+
+    The dominant real-world decode loop (baseline scans), so the
+    9-bit-LUT symbol fast path and EXTEND are inlined here with the
+    reader's hot methods hoisted to locals; semantics are identical
+    to `_read_symbol` + `_extend` per coefficient (the slow path is
+    the shared per-bit walk)."""
+    ac_lut = ac_t[1]
     cat = _read_symbol(br, dc_t)
     diff = _extend(br.read_bits(cat), cat) if cat else 0
     prev_dc += diff
     zz[0] = prev_dc
     i = 1
     while i < 64:
+        # fast path: symbol (<=9 bits) AND its magnitude bits served
+        # from the local accumulator in one go
+        if br._n < 20:
+            br._fill_soft24()
+        n = br._n
+        acc = br._acc
+        if n >= 9:
+            e = ac_lut[(acc >> (n - 9)) & 0x1FF]
+        else:
+            e = ac_lut[((acc & ((1 << n) - 1)) << (9 - n)) & 0x1FF]
+        if e is not None:
+            sym = e[0]
+            cat = sym & 0x0F
+            if e[1] + cat <= n:
+                n -= e[1]
+                if sym == 0x00:  # EOB
+                    br._n = n
+                    break
+                if sym == 0xF0:  # ZRL
+                    br._n = n
+                    i += 16
+                    continue
+                i += sym >> 4
+                n -= cat
+                br._n = n
+                raw = (acc >> n) & ((1 << cat) - 1)
+                v = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+                if i < 64:
+                    zz[i] = v
+                i += 1
+                continue
+        # slow path: long code, stream edge, or invalid symbol
         sym = _read_symbol(br, ac_t)
         if sym == 0x00:  # EOB
             break
         if sym == 0xF0:  # ZRL
             i += 16
             continue
-        run, cat = sym >> 4, sym & 0x0F
-        i += run
-        v = _extend(br.read_bits(cat), cat)
+        cat = sym & 0x0F
+        i += sym >> 4
+        raw = br.read_bits(cat)
+        v = raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
         if i < 64:
             zz[i] = v
         i += 1
@@ -1082,7 +1225,10 @@ def _decode_scan(
                         br, ac_t, zz, ss, se, al, eobrun
                     )
                 n += 1
-    return start + br.pos
+    # the buffered reader may have prefetched bytes past the last
+    # consumed bit; report the lazy reader's position for the
+    # caller's marker resync
+    return start + br.tail_pos()
 
 
 def _parse_dht(payload: bytes, into: dict, key_with_class: bool) -> None:

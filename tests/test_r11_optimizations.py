@@ -110,6 +110,73 @@ class TestFontMapCache:
         assert m[65] == "•" and m[66] == "B"
 
 
+# ------------------------------------------------ jpeg entropy reader
+class TestJpegBitReader:
+    def test_lut_agrees_with_tree_walk_on_every_code(self):
+        from pdf2dataset_spark.sources.jpeg import (
+            _BitReader,
+            _decode_tree,
+            _read_symbol,
+            _read_symbol_slow,
+        )
+
+        # a table with short AND long codes (1..16 bits)
+        bits = [0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+        vals = list(range(sum(bits)))
+        table = _decode_tree(bits, vals)
+        bylen, lut = table
+        for (length, code), sym in bylen.items():
+            # encode the code MSB-first into a byte stream
+            nbytes = (length + 7) // 8
+            stream = (code << (nbytes * 8 - length)).to_bytes(nbytes, "big")
+            fast = _read_symbol(_BitReader(stream), table)
+            slow = _read_symbol_slow(_BitReader(stream), bylen)
+            assert fast == slow == sym, (length, code)
+
+    def test_tail_pos_accounts_for_stuffed_bytes(self):
+        from pdf2dataset_spark.sources.jpeg import _BitReader
+
+        # AA FF00 BB CC: 4 entropy bytes, byte 2 is stuffed (cost 2)
+        data = b"\xaa\xff\x00\xbb\xcc"
+        br = _BitReader(data)
+        assert br.read_bits(4) == 0xA
+        assert br.tail_pos() == 1  # only AA contains consumed bits
+        br.read_bits(8)  # consume across the stuffed byte
+        assert br.tail_pos() == 3  # past FF 00
+        br.peek9()  # prefetch must NOT move the logical position
+        assert br.tail_pos() == 3
+
+    def test_reader_error_parity(self):
+        from pdf2dataset_spark.sources.jpeg import _BitReader
+
+        br = _BitReader(b"\xaa")
+        br.read_bits(8)
+        with pytest.raises(ValueError, match="truncated"):
+            br.read_bit()
+        br = _BitReader(b"\xff\xd9")  # marker where entropy expected
+        with pytest.raises(ValueError, match="marker"):
+            br.read_bit()
+        # peek past the marker must NOT raise (soft), and the slow
+        # path after it must still raise at the same consumed offset
+        br = _BitReader(b"\xaa\xff\xd9")
+        br.read_bits(4)
+        br.peek9()
+        assert br.tail_pos() == 1
+        br.read_bits(4)
+        with pytest.raises(ValueError, match="marker"):
+            br.read_bit()
+
+    def test_restart_byte_aligns_from_prefetched_state(self):
+        from pdf2dataset_spark.sources.jpeg import _BitReader
+
+        # one entropy byte, RST0, one more entropy byte
+        br = _BitReader(b"\xab\xff\xd0\xcd")
+        assert br.read_bits(3) == 0b101
+        br.peek9()  # force prefetch up to the marker
+        br.restart()
+        assert br.read_bits(8) == 0xCD
+
+
 # ------------------------------------------- in-memory manifest source
 class TestFromDictPartitioning:
     def test_partitions_scale_with_bytes_not_core_count(self, spark):
