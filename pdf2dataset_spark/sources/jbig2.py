@@ -72,6 +72,8 @@ from __future__ import annotations
 import struct
 from math import ceil, log2
 
+import numpy as np
+
 
 class JBIG2Error(ValueError):
     """Malformed JBIG2 stream."""
@@ -1940,9 +1942,12 @@ _COMBOPS = {
 
 
 def _blit(dst_rows, src_rows, x0: int, y0: int, op: int) -> None:
+    """Combine ``src_rows`` onto ``dst_rows`` at (x0, y0) under the
+    §4 external combination operator — vectorized per ROW (round 11):
+    the per-pixel lambda dispatch was ~35% of whole-page decode; a
+    clipped numpy op per row is equivalent (bitmaps are 0/1 ints)."""
     if op not in _COMBOPS:
         raise JBIG2Error(f"bad combination operator {op}")
-    f = _COMBOPS[op]
     hh = len(dst_rows)
     for sy, srow in enumerate(src_rows):
         yy = y0 + sy
@@ -1950,10 +1955,37 @@ def _blit(dst_rows, src_rows, x0: int, y0: int, op: int) -> None:
             continue
         drow = dst_rows[yy]
         ww = len(drow)
-        for sx, v in enumerate(srow):
-            xx = x0 + sx
-            if 0 <= xx < ww:
-                drow[xx] = f(drow[xx], v)
+        sstart = -x0 if x0 < 0 else 0
+        dstart = x0 if x0 > 0 else 0
+        n = min(len(srow) - sstart, ww - dstart)
+        if n <= 0:
+            continue
+        if n < 48:  # tiny blits (text-region symbols): the scalar
+            f = _COMBOPS[op]  # loop beats numpy's per-call overhead
+            if sstart == 0 and n == len(srow):  # fully inside (common)
+                xx = dstart
+                for v in srow:
+                    drow[xx] = f(drow[xx], v)
+                    xx += 1
+            else:
+                for k in range(n):
+                    dk = dstart + k
+                    drow[dk] = f(drow[dk], srow[sstart + k])
+            continue
+        s = np.asarray(srow[sstart:sstart + n], dtype=np.uint8)
+        if op == 4:  # REPLACE
+            out = s
+        else:
+            d = np.asarray(drow[dstart:dstart + n], dtype=np.uint8)
+            if op == 0:
+                out = d | s
+            elif op == 1:
+                out = d & s
+            elif op == 2:
+                out = d ^ s
+            else:  # XNOR
+                out = np.uint8(1) - (d ^ s)
+        drow[dstart:dstart + n] = out.tolist()
 
 
 # =====================================================================
