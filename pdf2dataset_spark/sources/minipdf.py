@@ -2469,6 +2469,10 @@ def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
         return False, pos + 5
     if data.startswith(b"null", pos):
         return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:  # number behind a '%' comment: the fused fast path above
+        tok = m.group()  # stops at the comment, _skip_ws consumed it
+        return (float(tok) if b"." in tok else int(tok)), m.end()
     raise ValueError(
         f"cannot parse content value at byte {pos}: {data[pos:pos+20]!r}"
     )

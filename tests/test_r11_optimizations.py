@@ -71,6 +71,12 @@ class TestLexerFastPaths:
             got = _parse_content_value(data, 0)
             assert got == want, data
 
+    def test_content_value_numbers_behind_comments(self):
+        # the fused ws+number fast path stops at '%'; the fallback
+        # must still lex the number after the comment
+        for data in (b"% note\n 42 ", b"[% c\n1 2]", b"[1 % mid\n2]"):
+            assert _parse_content_value(data, 0) == parse_value(data, 0)
+
     def test_content_value_skips_ref_lookahead(self):
         # 'N G R' is illegal in content streams (ISO 32000-1 §7.8.2);
         # the content parser must yield plain numbers, not a Ref
