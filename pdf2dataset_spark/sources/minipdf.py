@@ -86,9 +86,16 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 #: between them is copied in one slice instead of per byte
 _LITSTR_SPECIAL = re.compile(rb"[\\()]")
 
+#: a string with no escapes and no nested parens — the overwhelmingly
+#: common show-string shape — lexes in ONE match
+_LITSTR_SIMPLE = re.compile(rb"\(([^\\()]*)\)")
+
 
 def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
     """``(...)`` with nested parens and backslash escapes."""
+    m = _LITSTR_SIMPLE.match(data, pos)
+    if m:
+        return m.group(1), m.end()
     if data[pos] != 0x28:
         raise ValueError("expected literal string")
     pos += 1
@@ -184,6 +191,34 @@ def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
     return "/" + out.decode("latin-1"), pos
 
 
+#: optional whitespace + one OBJECT-array element in ONE C-level
+#: match: an ``N G R`` indirect reference (plain-whitespace
+#: separators), a number that provably CANNOT open a reference (not
+#: followed by ws+digit+ws+R) with no %-comment ambiguity nearby, or
+#: the closing ``]``. Anything else — comments between tokens,
+#: strings, names, nested containers, signed "refs" — falls back to
+#: the exact recursive path.
+_WS_OBJELEM_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*"
+    rb"(?:(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"|([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    # token boundary FIRST: without it the engine backtracks the
+    # greedy \d+ to a shorter digit run to satisfy the negative
+    # lookaheads ('12 34R' must not lex as '1' + ...)
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"(?![\x00\t\n\x0c\r ]*%)"
+    rb"(?![\x00\t\n\x0c\r ]*\d+[\x00\t\n\x0c\r ]*[R%])"
+    rb"|(\]))"
+)
+
+#: optional whitespace + the next DICT token in ONE C-level match:
+#: the closing ``>>`` or a key name (body after '/')
+_WS_DICTKEY_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*(?:(>>)|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
+)
+
+
 def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
     """One PDF object value starting at ``pos`` (after whitespace)."""
     pos = _skip_ws(data, pos)
@@ -192,11 +227,22 @@ def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
         if data[pos + 1 : pos + 2] == b"<":
             pos += 2
             d: dict = {}
+            key_match = _WS_DICTKEY_RE.match
             while True:
-                pos = _skip_ws(data, pos)
-                if data[pos : pos + 2] == b">>":
-                    return d, pos + 2
-                key, pos = _parse_name(data, pos)
+                m = key_match(data, pos)
+                if m is None:  # comment / malformed: exact slow path
+                    pos = _skip_ws(data, pos)
+                    if data[pos : pos + 2] == b">>":
+                        return d, pos + 2
+                    key, pos = _parse_name(data, pos)
+                elif m.lastindex == 1:  # '>>'
+                    return d, m.end()
+                else:
+                    body = m.group(2)
+                    if 0x23 in body:  # '#xx' escape: exact decode
+                        key, pos = _parse_name(data, m.start(2) - 1)
+                    else:
+                        key, pos = "/" + body.decode("latin-1"), m.end()
                 val, pos = parse_value(data, pos)
                 d[key] = val
         return _parse_hex_string(data, pos)
@@ -205,12 +251,26 @@ def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
     if c == 0x5B:  # '['
         pos += 1
         arr: list = []
+        elem_match = _WS_OBJELEM_RE.match
+        append = arr.append
         while True:
-            pos = _skip_ws(data, pos)
-            if data[pos] == 0x5D:
-                return arr, pos + 1
-            v, pos = parse_value(data, pos)
-            arr.append(v)
+            m = elem_match(data, pos)
+            if m is None:  # string/name/container/comment/edge case
+                pos = _skip_ws(data, pos)
+                if data[pos] == 0x5D:
+                    return arr, pos + 1
+                v, pos = parse_value(data, pos)
+                append(v)
+                continue
+            pos = m.end()
+            gi = m.lastindex
+            if gi == 2:  # 'N G R' (groups 1+2)
+                append(Ref(int(m.group(1))))
+            elif gi == 3:  # number that cannot be a reference
+                tok = m.group(3)
+                append(float(tok) if b"." in tok else int(tok))
+            else:  # ']'
+                return arr, pos
     if c == 0x2F:
         return _parse_name(data, pos)
     if data.startswith(b"true", pos):
@@ -222,10 +282,12 @@ def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
     m = _NUM_RE.match(data, pos)
     if m:
         tok = m.group()
+        if b"." in tok:  # a real can never open an 'N G R' reference
+            return float(tok), m.end()
         after = _skip_ws(data, m.end())
         # 'N G R' lookahead → indirect reference
         m2 = _NUM_RE.match(data, after)
-        if m2 and b"." not in tok:
+        if m2:
             after2 = _skip_ws(data, m2.end())
             if data[after2 : after2 + 1] == b"R" and (
                 after2 + 1 >= len(data)
@@ -233,8 +295,6 @@ def parse_value(data: bytes, pos: int) -> tuple[Any, int]:
                 or data[after2 + 1] in _DELIM
             ):
                 return Ref(int(tok)), after2 + 1
-        if b"." in tok:
-            return float(tok), m.end()
         return int(tok), m.end()
     raise ValueError(f"cannot parse PDF value at byte {pos}: {data[pos:pos+20]!r}")
 
@@ -2418,10 +2478,35 @@ def _decode_text_string(raw: bytes) -> str:
 
 _SHOW_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"ET"))
 
+#: every operator the LAYOUT interpreter acts on — path/paint/color
+#: ops (the other ~25% of a real content stream) skip the dispatch
+#: chain on one set probe
+_LAYOUT_OPS = frozenset((
+    b"TJ", b"Tj", b"Td", b"Tf", b"Tm", b"cm", b"BT", b"ET", b"q",
+    b"Q", b"TD", b"T*", b"TL", b"Tc", b"Tw", b"Tz", b"'", b'"',
+    b"Tr", b"BDC", b"BMC", b"EMC", b"gs", b"Do",
+))
+
+#: every operator the STREAM-ORDER text interpreter acts on
+_CTEXT_OPS = frozenset((
+    b"Tj", b"TJ", b"'", b'"', b"Tf", b"gs", b"Do",
+    b"BDC", b"BMC", b"EMC",
+)) | _SHOW_LINE_OPS
+
 #: optional whitespace + numeric token in ONE C-level match — the
 #: TJ-array fast path (arrays of kern numbers dominate text-heavy
 #: content streams)
 _WS_NUM_RE = re.compile(rb"[\x00\t\n\x0c\r ]*([+-]?(?:\d+\.\d*|\.\d+|\d+))")
+
+#: optional whitespace + one TJ-array element — kern number, simple
+#: literal string (no escape/nesting), or the closing ``]`` — in ONE
+#: C-level match
+_WS_ELEM_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*"
+    rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|\(([^\\()]*)\)"
+    rb"|(\]))"
+)
 
 
 def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
@@ -2455,12 +2540,36 @@ def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
     if c == 0x5B:  # '['
         pos += 1
         arr: list = []
+        elem_match = _WS_ELEM_RE.match
+        append = arr.append
         while True:
-            pos = _skip_ws(data, pos)
-            if data[pos] == 0x5D:
-                return arr, pos + 1
-            v, pos = _parse_content_value(data, pos)
-            arr.append(v)
+            # TJ arrays are (string) kern (string) kern ... ]: lex
+            # all three hot element kinds in ONE C-level match,
+            # skipping the recursive call (and its duplicate
+            # whitespace skip) per element
+            m = elem_match(data, pos)
+            if m is None:
+                # comment / escaped or nested string / hex string /
+                # anything else: the exact slow path
+                pos = _skip_ws(data, pos)
+                ch = data[pos]
+                if ch == 0x5D:
+                    return arr, pos + 1
+                if ch == 0x28:
+                    v, pos = _parse_literal_string(data, pos)
+                else:
+                    v, pos = _parse_content_value(data, pos)
+                append(v)
+                continue
+            pos = m.end()
+            gi = m.lastindex
+            if gi == 1:  # kern number
+                tok = m.group(1)
+                append(float(tok) if b"." in tok else int(tok))
+            elif gi == 2:  # simple (no escape, no nesting) string
+                append(m.group(2))
+            else:  # ']'
+                return arr, pos
     if c == 0x2F:
         return _parse_name(data, pos)
     if data.startswith(b"true", pos):
@@ -2478,6 +2587,20 @@ def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
     )
 
 
+#: fused whitespace/comment skip + one token, in ONE C-level match:
+#: group 1 = number, group 2 = name body (after '/'), group 3 =
+#: operator (name-body run whose first byte cannot start a number).
+#: Strings, dicts, arrays and oddball tokens fall back to the
+#: byte-dispatch path below.
+_CTOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+.\-]"
+    rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
+)
+
+
 def _iter_content_ops(content: bytes):
     """Lex a content stream into ``(operator, operands)`` pairs —
     the shared front end of :func:`content_text` (stream order) and
@@ -2485,42 +2608,57 @@ def _iter_content_ops(content: bytes):
     (``BI``..``EI``) are skipped without lexing their binary data."""
     pos, n = 0, len(content)
     stack: list[Any] = []
+    append = stack.append
+    match_tok = _CTOK_RE.match
     while pos < n:
-        pos = _skip_ws(content, pos)
-        if pos >= n:
-            break
-        c = content[pos]
-        if c == 0x28:
-            s, pos = _parse_literal_string(content, pos)
-            stack.append(s)
-        elif c == 0x3C and content[pos + 1 : pos + 2] != b"<":
-            s, pos = _parse_hex_string(content, pos)
-            stack.append(s)
-        elif c == 0x3C:  # inline dict (marked content / inline image)
-            v, pos = _parse_content_value(content, pos)
-            stack.append(v)
-        elif c == 0x5B:
-            v, pos = _parse_content_value(content, pos)
-            stack.append(v)
-        elif c == 0x2F:
-            v, pos = _parse_name(content, pos)
-            stack.append(v)
-        elif (m := _NUM_RE.match(content, pos)) and (c not in b"Ee"):
-            tok = m.group()
-            stack.append(float(tok) if b"." in tok else int(tok))
+        m = match_tok(content, pos)
+        if m is not None:
             pos = m.end()
-        else:  # operator token
-            op = _NAME_BODY.match(content, pos).group()
-            if not op:  # stray delimiter; skip it
-                pos += 1
+            gi = m.lastindex
+            if gi == 1:  # number
+                tok = m.group(1)
+                append(float(tok) if b"." in tok else int(tok))
                 continue
-            pos += len(op)
+            if gi == 2:  # name
+                body = m.group(2)
+                if 0x23 in body:  # '#xx' escape: exact decode
+                    v, pos = _parse_name(content, m.start(2) - 1)
+                    append(v)
+                else:
+                    append("/" + body.decode("latin-1"))
+                continue
+            op = m.group(3)
             if op == b"BI":
                 # inline image: skip to EI to avoid lexing binary data
                 e = content.find(b"EI", pos)
                 pos = n if e == -1 else e + 2
                 stack.clear()
                 continue
+            yield op, stack
+            stack.clear()
+            continue
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x28:
+            s, pos = _parse_literal_string(content, pos)
+            append(s)
+        elif c == 0x3C and content[pos + 1 : pos + 2] != b"<":
+            s, pos = _parse_hex_string(content, pos)
+            append(s)
+        elif c == 0x3C:  # inline dict (marked content / inline image)
+            v, pos = _parse_content_value(content, pos)
+            append(v)
+        elif c == 0x5B:
+            v, pos = _parse_content_value(content, pos)
+            append(v)
+        else:  # oddball token ('+'/'-'/'.' runs) or stray delimiter
+            op = _NAME_BODY.match(content, pos).group()
+            if not op:  # stray delimiter; skip it
+                pos += 1
+                continue
+            pos += len(op)
             yield op, stack
             stack.clear()
 
@@ -2606,7 +2744,20 @@ def content_text(
     def exec_ops(ops_content, frame_fonts, frame_forms, depth):
         nonlocal cur_cmap, at_text, oc_depth
         for op, stack in _iter_content_ops(ops_content):
-            if op == b"BDC":
+            if op not in _CTEXT_OPS:
+                continue  # path/color/etc: one set probe, no chain
+            if op == b"Tj":
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    buf = b"".join(
+                        e for e in stack[-1] if isinstance(e, bytes)
+                    )
+                    show(buf)
+            elif op in _SHOW_LINE_OPS:
+                mark()
+            elif op == b"BDC":
                 tag = stack[-2] if len(stack) >= 2 else None
                 pd = stack[-1] if stack else None
                 if isinstance(pd, str) and props:
@@ -2632,15 +2783,6 @@ def content_text(
                         oc_depth -= 1
                     if opened:
                         finalize_scope()
-            elif op == b"Tj":
-                if stack and isinstance(stack[-1], bytes):
-                    show(stack[-1])
-            elif op == b"TJ":
-                if stack and isinstance(stack[-1], list):
-                    buf = b"".join(
-                        e for e in stack[-1] if isinstance(e, bytes)
-                    )
-                    show(buf)
             elif op == b"'":
                 mark()
                 if stack and isinstance(stack[-1], bytes):
@@ -2688,8 +2830,6 @@ def content_text(
                             finalize_scope()
                     mark()
                     cur_cmap = saved
-            elif op in _SHOW_LINE_OPS:
-                mark()
 
     exec_ops(content, fonts, forms, 0)
     if at_text is not None:  # malformed stream: scope never closed
@@ -2892,8 +3032,14 @@ def _text_runs(
                     # only, Tw applies to 1-byte code 32 only (these
                     # codes are 2-byte), Tc applies per glyph
                     adv += (1.0 * tfs + tc) * len(s)
-                else:
-                    adv += advance_em(s)
+                else:  # advance_em(s), inlined for the hot path
+                    nch = len(s)
+                    adv += (
+                        (_EST_CHAR_EM * tfs * nch + tc * nch
+                         + tw * s.count(" "))
+                        * tz
+                        / 100.0
+                    )
             elif isinstance(el, (int, float)):
                 delta = -el / 1000.0 * tfs
                 adv += delta if vertical else delta * tz / 100.0
@@ -3022,8 +3168,66 @@ def _text_runs(
             cur_font, in_text, mode, at_text, at_start, at_t3_start, \
             art_depth, oc_depth
         for op, stack in _iter_content_ops(ops_content):
+            if op not in _LAYOUT_OPS:
+                continue  # path/color/etc: one set probe, no chain
             try:
-                if op == b"BDC":
+                # dispatch ordered by real-corpus frequency (TJ/Td/Tf
+                # carry text-heavy pages); semantics per-op unchanged
+                if op == b"TJ":
+                    if in_text and stack and isinstance(stack[-1], list):
+                        show(b"", parts=stack[-1])
+                elif op == b"Tj":
+                    if in_text and stack and isinstance(stack[-1], bytes):
+                        show(stack[-1])
+                elif op == b"Td" and len(stack) >= 2:
+                    td(float(stack[-2]), float(stack[-1]))
+                elif op == b"Tf" and len(stack) >= 2:
+                    if isinstance(stack[-2], str):
+                        cur_font = stack[-2]
+                        if frame_fonts:
+                            cur_cmap = frame_fonts.get(stack[-2])
+                    tfs = float(stack[-1])
+                elif op == b"Tm" and len(stack) >= 6:
+                    tm = tlm = tuple(float(v) for v in stack[-6:])
+                elif op == b"cm" and len(stack) >= 6:
+                    ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+                elif op == b"BT":
+                    in_text = True
+                    tm = tlm = _ID6
+                elif op == b"ET":
+                    in_text = False
+                elif op == b"q":
+                    ctm_stack.append(ctm)
+                elif op == b"Q":
+                    if ctm_stack:
+                        ctm = ctm_stack.pop()
+                elif op == b"TD" and len(stack) >= 2:
+                    tl = -float(stack[-1])
+                    td(float(stack[-2]), float(stack[-1]))
+                elif op == b"T*":
+                    td(0.0, -tl)
+                elif op == b"TL" and stack:
+                    tl = float(stack[-1])
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    tz = float(stack[-1])
+                elif op == b"'":
+                    if in_text and stack and isinstance(stack[-1], bytes):
+                        td(0.0, -tl)
+                        show(stack[-1])
+                elif op == b'"':
+                    if in_text and len(stack) >= 3 \
+                            and isinstance(stack[-1], bytes):
+                        tw = float(stack[-3])
+                        tc = float(stack[-2])
+                        td(0.0, -tl)
+                        show(stack[-1])
+                elif op == b"Tr" and stack:
+                    mode = int(float(stack[-1]))
+                elif op == b"BDC":
                     tag = stack[-2] if len(stack) >= 2 else None
                     pd = stack[-1] if stack else None
                     if isinstance(pd, str) and props:
@@ -3064,66 +3268,12 @@ def _text_runs(
                             oc_depth -= 1
                         if opened:
                             finalize_scope()
-                elif op == b"Tr" and stack:
-                    mode = int(float(stack[-1]))
-                elif op == b"BT":
-                    in_text = True
-                    tm = tlm = _ID6
-                elif op == b"ET":
-                    in_text = False
-                elif op == b"q":
-                    ctm_stack.append(ctm)
-                elif op == b"Q":
-                    if ctm_stack:
-                        ctm = ctm_stack.pop()
-                elif op == b"cm" and len(stack) >= 6:
-                    ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
-                elif op == b"Tm" and len(stack) >= 6:
-                    tm = tlm = tuple(float(v) for v in stack[-6:])
-                elif op == b"Td" and len(stack) >= 2:
-                    td(float(stack[-2]), float(stack[-1]))
-                elif op == b"TD" and len(stack) >= 2:
-                    tl = -float(stack[-1])
-                    td(float(stack[-2]), float(stack[-1]))
-                elif op == b"T*":
-                    td(0.0, -tl)
-                elif op == b"TL" and stack:
-                    tl = float(stack[-1])
-                elif op == b"Tc" and stack:
-                    tc = float(stack[-1])
-                elif op == b"Tw" and stack:
-                    tw = float(stack[-1])
-                elif op == b"Tz" and stack:
-                    tz = float(stack[-1])
-                elif op == b"Tf" and len(stack) >= 2:
-                    if isinstance(stack[-2], str):
-                        cur_font = stack[-2]
-                        if frame_fonts:
-                            cur_cmap = frame_fonts.get(stack[-2])
-                    tfs = float(stack[-1])
                 elif op == b"gs" and stack \
                         and isinstance(stack[-1], str) and ext_gstates:
                     g = ext_gstates.get(stack[-1])
                     if g and "Font" in g:
                         cur_cmap, tfs = g["Font"][0], g["Font"][1]
                         cur_font = None
-                elif op == b"Tj":
-                    if in_text and stack and isinstance(stack[-1], bytes):
-                        show(stack[-1])
-                elif op == b"TJ":
-                    if in_text and stack and isinstance(stack[-1], list):
-                        show(b"", parts=stack[-1])
-                elif op == b"'":
-                    if in_text and stack and isinstance(stack[-1], bytes):
-                        td(0.0, -tl)
-                        show(stack[-1])
-                elif op == b'"':
-                    if in_text and len(stack) >= 3 \
-                            and isinstance(stack[-1], bytes):
-                        tw = float(stack[-3])
-                        tc = float(stack[-2])
-                        td(0.0, -tl)
-                        show(stack[-1])
                 elif op == b"Do" and stack and isinstance(stack[-1], str) \
                         and frame_forms and depth < 8:
                     ent = frame_forms.get(stack[-1])

@@ -87,6 +87,140 @@ class TestLexerFastPaths:
         assert isinstance(ref, minipdf.Ref) and ref.num == 5
 
 
+class TestFusedLexerPaths:
+    """The session-3 single-match fast paths (object arrays, dict
+    keys, content tokens, simple literal strings) must keep the exact
+    semantics of the recursive paths they bypass."""
+
+    def test_object_array_refs_and_numbers(self):
+        Ref = minipdf.Ref
+        arr, pos = parse_value(b"[1 0 R 500 520 540 2 0 R]", 0)
+        assert arr == [Ref(1), 500, 520, 540, Ref(2)]
+        # separators between G and R may be EMPTY (legacy files)
+        arr, _ = parse_value(b"[12 34R]", 0)
+        assert arr == [Ref(12)]
+        # a signed object number still folds into a reference
+        arr, _ = parse_value(b"[-5 6 R]", 0)
+        assert arr == [Ref(-5)]
+        # a real can never open a reference: 1.5 stays a float and
+        # the 2 0 R after it is its own element
+        arr, _ = parse_value(b"[1.5 2 0 R]", 0)
+        assert arr == [1.5, Ref(2)]
+        # R not delimited -> not a reference ('RG' is a regular run)
+        with pytest.raises(ValueError):
+            parse_value(b"[500 520 RG]", 0)
+
+    def test_object_array_comment_separated_ref(self):
+        # %-comments are whitespace between reference components
+        Ref = minipdf.Ref
+        arr, _ = parse_value(b"[7 % c\n 0 % c\n R 9]", 0)
+        assert arr == [Ref(7), 9]
+        arr, _ = parse_value(b"[% lead\n 3 4]", 0)
+        assert arr == [3, 4]
+
+    def test_object_array_mixed_elements(self):
+        arr, _ = parse_value(b"[(s) /Nm <0102> [1] <</K 2>> true null]", 0)
+        assert arr == [b"s", "/Nm", b"\x01\x02", [1], {"/K": 2}, True, None]
+
+    def test_dict_key_fast_and_escaped(self):
+        d, pos = parse_value(b"<</Simple 1 /A#20B 2>>", 0)
+        assert d == {"/Simple": 1, "/A B": 2}
+        assert pos == 22
+        # comment before a key and before the closer
+        d, _ = parse_value(b"<<% c\n/K 3 % c\n>>", 0)
+        assert d == {"/K": 3}
+
+    def test_iter_content_ops_token_kinds(self):
+        ops = list(minipdf._iter_content_ops(
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm [(a) -250 (b)] TJ ET"
+        ))
+        assert [op for op, _ in ops] == [b"BT", b"Tf", b"Tm", b"TJ", b"ET"]
+        # operands of the LAST yield survive until the next iteration
+        tf = [list(st) for op, st in ops]  # consumed live above; re-lex
+        ops2 = [(op, list(st)) for op, st in minipdf._iter_content_ops(
+            b"/F1 12 Tf [(a) -250 (b)] TJ"
+        )]
+        assert ops2 == [
+            (b"Tf", ["/F1", 12]),
+            (b"TJ", [[b"a", -250, b"b"]]),
+        ]
+
+    def test_iter_content_ops_oddball_tokens(self):
+        # '--5' and '.' are not numbers: they lex as (unknown)
+        # operator tokens and CLEAR the operand stack, so the
+        # following Tj has no operand
+        ops = [(op, list(st)) for op, st in
+               minipdf._iter_content_ops(b"(A) --5 Tj")]
+        assert ops == [(b"--5", [b"A"]), (b"Tj", [])]
+        # a name with a #xx escape decodes exactly
+        ops = [(op, list(st)) for op, st in
+               minipdf._iter_content_ops(b"/A#20B gs")]
+        assert ops == [(b"gs", ["/A B"])]
+        # stray delimiters are skipped without clearing the stack
+        ops = [(op, list(st)) for op, st in
+               minipdf._iter_content_ops(b"(A) ] Tj")]
+        assert ops == [(b"Tj", [b"A"])]
+
+    def test_iter_content_ops_inline_image_skipped(self):
+        ops = [(op, list(st)) for op, st in minipdf._iter_content_ops(
+            b"q BI /W 2 /H 2 ID \x00\xff\x01\x02 EI Q (t) Tj"
+        )]
+        assert ops == [(b"q", []), (b"Q", []), (b"Tj", [b"t"])]
+
+    def test_simple_literal_string_fast_path(self):
+        assert _parse_literal_string(b"()", 0) == (b"", 2)
+        assert _parse_literal_string(b"(plain run) more", 0) == (
+            b"plain run", 11)
+        # escapes and nesting still take the exact scanner
+        assert _parse_literal_string(b"(a\\)b)", 0) == (b"a)b", 6)
+        assert _parse_literal_string(b"(a(b)c)", 0) == (b"a(b)c", 7)
+
+    def test_tj_array_hex_and_escaped_strings(self):
+        v, _ = _parse_content_value(b"[(a) <4243> -100 (c\\)d) 2]", 0)
+        assert v == [b"a", b"BC", -100, b"c)d", 2]
+
+    def test_object_array_roundtrip_fuzz(self):
+        # seeded serialize->parse roundtrip over the element kinds
+        # the fused regex discriminates (a backtracking slip here
+        # once lexed '12 34R' as '1' + ...)
+        import random
+
+        rng = random.Random(1107)
+        Ref = minipdf.Ref
+        for _ in range(300):
+            want, toks = [], []
+            for _ in range(rng.randrange(0, 12)):
+                kind = rng.randrange(6)
+                if kind == 0:
+                    v = rng.randrange(-999, 10000)
+                    want.append(v)
+                    toks.append(str(v).encode())
+                elif kind == 1:
+                    v = rng.randrange(0, 10000) + 0.25
+                    want.append(v)
+                    toks.append(str(v).encode())
+                elif kind == 2:
+                    n = rng.randrange(1, 5000)
+                    want.append(Ref(n))
+                    toks.append(f"{n} 0 R".encode())
+                elif kind == 3:
+                    s = bytes(rng.randrange(97, 123)
+                              for _ in range(rng.randrange(0, 6)))
+                    want.append(s)
+                    toks.append(b"(" + s + b")")
+                elif kind == 4:
+                    want.append("/Nm")
+                    toks.append(b"/Nm")
+                else:
+                    want.append(None)
+                    toks.append(b"null")
+            sep = rng.choice([b" ", b"  ", b"\n", b" % c\n "])
+            data = b"[" + sep.join(toks) + b"]"
+            got, pos = parse_value(data, 0)
+            assert got == want, data
+            assert pos == len(data)
+
+
 # ----------------------------------------------------- font caching
 class TestFontMapCache:
     def test_decode_map_built_once_per_font_object(self):
