@@ -2601,11 +2601,15 @@ _CTOK_RE = re.compile(
 )
 
 
-def _iter_content_ops(content: bytes):
+def _iter_content_ops(content: bytes, wanted: frozenset | None = None):
     """Lex a content stream into ``(operator, operands)`` pairs —
     the shared front end of :func:`content_text` (stream order) and
     :func:`content_text_layout` (reading order). Inline images
-    (``BI``..``EI``) are skipped without lexing their binary data."""
+    (``BI``..``EI``) are skipped without lexing their binary data.
+    ``wanted`` filters the yields to that operator set (operands of
+    skipped ops are still lexed and cleared, exactly as if the
+    consumer had ignored the yield) — path/color ops never pay the
+    generator round-trip."""
     pos, n = 0, len(content)
     stack: list[Any] = []
     append = stack.append
@@ -2634,7 +2638,8 @@ def _iter_content_ops(content: bytes):
                 pos = n if e == -1 else e + 2
                 stack.clear()
                 continue
-            yield op, stack
+            if wanted is None or op in wanted:
+                yield op, stack
             stack.clear()
             continue
         pos = _skip_ws(content, pos)
@@ -2659,7 +2664,8 @@ def _iter_content_ops(content: bytes):
                 pos += 1
                 continue
             pos += len(op)
-            yield op, stack
+            if wanted is None or op in wanted:
+                yield op, stack
             stack.clear()
 
 
@@ -2743,9 +2749,7 @@ def content_text(
 
     def exec_ops(ops_content, frame_fonts, frame_forms, depth):
         nonlocal cur_cmap, at_text, oc_depth
-        for op, stack in _iter_content_ops(ops_content):
-            if op not in _CTEXT_OPS:
-                continue  # path/color/etc: one set probe, no chain
+        for op, stack in _iter_content_ops(ops_content, _CTEXT_OPS):
             if op == b"Tj":
                 if stack and isinstance(stack[-1], bytes):
                     show(stack[-1])
@@ -2983,11 +2987,19 @@ def _text_runs(
             if t3_fonts and t3_glyphs is not None and cur_font
             else None
         )
+        # hoist the decode dispatch out of the parts loop: the hot
+        # shape is the 1-byte translate map (len-3 tuple; the
+        # "vert"/"utf16" sentinels are len-2, so the test is exact)
+        trans = cmap[2] if cmap is not None and len(cmap) == 3 else None
         texts: list[str] = []
         adv = 0.0
         for el in parts:
             if isinstance(el, bytes):
-                s = _decode_shown(el, cmap)
+                s = (
+                    el.decode("latin-1").translate(trans)
+                    if trans is not None
+                    else _decode_shown(el, cmap)
+                )
                 texts.append(s)
                 if t3 is not None:
                     # per-glyph events with REAL /Widths advances
@@ -3167,9 +3179,7 @@ def _text_runs(
         nonlocal ctm, tm, tlm, tfs, tc, tw, tz, tl, cur_cmap, \
             cur_font, in_text, mode, at_text, at_start, at_t3_start, \
             art_depth, oc_depth
-        for op, stack in _iter_content_ops(ops_content):
-            if op not in _LAYOUT_OPS:
-                continue  # path/color/etc: one set probe, no chain
+        for op, stack in _iter_content_ops(ops_content, _LAYOUT_OPS):
             try:
                 # dispatch ordered by real-corpus frequency (TJ/Td/Tf
                 # carry text-heavy pages); semantics per-op unchanged
