@@ -50,6 +50,10 @@ from typing import Any
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+#: sentinel for "not parsed yet" in the lazy ObjStm member table
+#: (PDF ``null`` parses to None, so None cannot mark absence)
+_UNSET = object()
+
 
 @dataclass(frozen=True)
 class Ref:
@@ -625,6 +629,7 @@ class PdfDocument:
         #: The cache holds the font dict itself so the id stays
         #: valid for the document's lifetime.
         self._font_map_cache: dict[int, tuple[Any, dict]] = {}
+        self._lazy: dict[int, list] = {}  # filled by _expand_object_streams
         self._scan(data)
         self._setup_encryption(password)
         self._expand_object_streams()
@@ -841,6 +846,19 @@ class PdfDocument:
                 self.objects[num] = dec_strings(obj, okey)
 
     def _expand_object_streams(self) -> None:
+        """Register /ObjStm members for LAZY parsing: the payload
+        decode and (num, offset) header parse stay eager — so a
+        malformed stream (zlib error, bad header) drops ALL its
+        members exactly as the old eager loop did — but each member's
+        ``parse_value`` is deferred to its first :meth:`resolve`.
+        Most compressed objects (structure-tree elements, link
+        annotations, name trees) are never touched by extraction, and
+        parsing every member dominated document open time (~65-90%
+        of members go unread on the real corpus). Claim precedence is
+        unchanged: a top-level object, or an earlier stream's member,
+        owns the number (the eager loop's ``setdefault``)."""
+        #: onum -> [stream_rec, member_index, memoized value or _UNSET]
+        self._lazy: dict[int, list] = {}
         for obj in list(self.objects.values()):
             if (
                 isinstance(obj, StreamObj)
@@ -851,19 +869,50 @@ class PdfDocument:
                     n = self.resolve(obj.sdict.get("/N"))
                     first = self.resolve(obj.sdict.get("/First"))
                     header = payload[:first].split()
-                    for i in range(n):
-                        onum = int(header[2 * i])
-                        off = first + int(header[2 * i + 1])
-                        val, _ = parse_value(payload, off)
-                        self.objects.setdefault(onum, val)
-                except (ValueError, IndexError, zlib.error):
+                    members = [
+                        (int(header[2 * i]),
+                         first + int(header[2 * i + 1]))
+                        for i in range(n)
+                    ]
+                except (ValueError, IndexError, TypeError, zlib.error):
                     continue
+                rec = (payload, members)
+                lazy = self._lazy
+                for idx, (onum, _off) in enumerate(members):
+                    if onum not in self.objects and onum not in lazy:
+                        lazy[onum] = [rec, idx, _UNSET]
+
+    def _materialize(self, num: int) -> Any:
+        """Parse ObjStm member ``num`` on first access (memoized).
+        Members are INDEPENDENT (ISO 32000-1 §7.5.7 addresses each at
+        its own offset): one that fails to parse drops only itself.
+        The old eager loop incidentally dropped every later member of
+        the stream too; independence salvages strictly more data from
+        a corrupt file, and no extraction surface or golden depends
+        on the old suffix-drop."""
+        ent = self._lazy.get(num)
+        if ent is None:
+            return None
+        if ent[2] is not _UNSET:
+            return ent[2]
+        rec, idx = ent[0], ent[1]
+        try:
+            val, _ = parse_value(rec[0], rec[1][idx][1])
+        except (ValueError, IndexError):
+            del self._lazy[num]  # absent, like any unparseable object
+            return None
+        ent[2] = val
+        return val
 
     # -- access -------------------------------------------------------
     def resolve(self, v: Any) -> Any:
         seen = 0
+        objects = self.objects
         while isinstance(v, Ref):
-            v = self.objects.get(v.num)
+            num = v.num
+            v = objects.get(num, _UNSET)
+            if v is _UNSET:
+                v = self._materialize(num)
             seen += 1
             if seen > 32:
                 raise ValueError("reference cycle")
@@ -1310,6 +1359,32 @@ class PdfDocument:
     def _catalog(self) -> dict:
         for obj in self.objects.values():
             v = obj.sdict if isinstance(obj, StreamObj) else obj
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                return v
+        # the pdfTeX norm: the catalog lives inside an /ObjStm. Walk
+        # the lazy table in registration order (stream scan order,
+        # then header order — the old eager loop's insertion order);
+        # a cheap bytes hint skips whole streams that cannot contain
+        # one, so only candidate members pay a parse.
+        hint: dict[int, bool] = {}  # id(stream_rec) -> payload has it
+        for num in list(self._lazy):
+            ent = self._lazy.get(num)
+            if ent is None:
+                continue
+            if ent[2] is _UNSET:
+                rec = ent[0]
+                k = id(rec)
+                if k not in hint:
+                    hint[k] = b"/Catalog" in rec[0]
+                if not hint[k]:
+                    continue
+            v = self._materialize(num)
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                return v
+        # a '#'-escaped /Catalog name defeats the bytes hint: full
+        # materialization pass (= the old eager cost) before giving up
+        for num in list(self._lazy):
+            v = self._materialize(num)
             if isinstance(v, dict) and v.get("/Type") == "/Catalog":
                 return v
         raise ValueError("no /Catalog object found")

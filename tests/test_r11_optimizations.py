@@ -370,3 +370,100 @@ class TestOrderedSmall:
         plan = got_df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" in plan
         assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------- lazy ObjStm members
+class TestLazyObjStm:
+    """ObjStm members parse on first resolve(), not at open — members
+    are independent (a malformed one drops only itself) and claim
+    precedence is unchanged (top-level beats ObjStm; earlier stream
+    beats later)."""
+
+    @staticmethod
+    def _objstm_pdf(members: list[tuple[int, bytes]]) -> bytes:
+        import zlib
+
+        header = b""
+        body = b""
+        for onum, obody in members:
+            header += b"%d %d " % (onum, len(body))
+            body += obody + b" "
+        payload = zlib.compress(header + body)
+        out = bytearray(b"%PDF-1.5\n")
+        c = b"BT /F1 12 Tf 72 700 Td (lazy body) Tj ET"
+        out += b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c) + c \
+            + b"\nendstream\nendobj\n"
+        out += (
+            b"5 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (len(members), len(header), len(payload))
+        ) + payload + b"\nendstream\nendobj\n"
+        out += b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"
+        return bytes(out)
+
+    PAGE_TREE = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+
+    def test_members_parse_lazily_and_memoize(self):
+        pdf = self._objstm_pdf(
+            self.PAGE_TREE + [(7, b"<< /Unused (never read) >>")]
+        )
+        doc = PdfDocument(pdf)
+        # nothing parsed at open; all four members registered lazy
+        assert set(doc._lazy) == {1, 2, 3, 7}
+        assert all(e[2] is minipdf._UNSET for e in doc._lazy.values())
+        assert minipdf.extract_page_texts(pdf) == ["lazy body"]
+        doc2 = PdfDocument(pdf)
+        doc2.pages()
+        # the page walk materialized the tree but not the unused obj
+        assert doc2._lazy[7][2] is minipdf._UNSET
+        assert doc2._lazy[3][2] is not minipdf._UNSET
+        # memoized: second resolve returns the same parsed dict
+        assert doc2.resolve(minipdf.Ref(3)) is doc2.resolve(minipdf.Ref(3))
+
+    def test_malformed_member_drops_only_itself(self):
+        pdf = self._objstm_pdf(
+            self.PAGE_TREE
+            + [
+                (7, b"<< /Ok (fine) >>"),
+                (8, b"[ 1 2"),  # unterminated array: parse fails
+                (9, b"<< /After (fine too) >>"),
+            ]
+        )
+        doc = PdfDocument(pdf)
+        # members are independent (§7.5.7): 8 fails and drops only
+        # itself — 9 still parses (the old eager loop dropped the
+        # whole suffix; independence salvages more of a corrupt file)
+        assert doc.resolve(minipdf.Ref(9)) == {"/After": b"fine too"}
+        assert doc.resolve(minipdf.Ref(8)) is None
+        assert 8 not in doc._lazy  # failure memoized as absent
+        assert doc.resolve(minipdf.Ref(7)) == {"/Ok": b"fine"}
+        assert minipdf.extract_page_texts(pdf) == ["lazy body"]
+
+    def test_top_level_object_wins_over_objstm_member(self):
+        pdf = bytearray(self._objstm_pdf(
+            self.PAGE_TREE + [(7, b"(shadowed)")]
+        ))
+        # append a top-level 7 (scan inserts it before expansion runs;
+        # claim precedence must keep it)
+        pdf = bytes(pdf).replace(
+            b"trailer\n",
+            b"7 0 obj\n(top-level wins)\nendobj\ntrailer\n",
+        )
+        doc = PdfDocument(pdf)
+        assert 7 not in doc._lazy
+        assert doc.resolve(minipdf.Ref(7)) == b"top-level wins"
+
+    def test_catalog_found_inside_objstm_without_full_expand(self):
+        pdf = self._objstm_pdf(
+            [(7, b"<< /NotIt (x) >>")] + self.PAGE_TREE
+            + [(8, b"<< /AlsoNot (y) >>")]
+        )
+        doc = PdfDocument(pdf)
+        cat = doc._catalog()
+        assert cat.get("/Type") == "/Catalog"
+        # members after the catalog in header order stayed unparsed
+        assert doc._lazy[8][2] is minipdf._UNSET
