@@ -134,6 +134,20 @@ _QE = (
     (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
 )
 
+#: flat per-column views of ``_QE`` for the decode hot paths. The
+#: dominant decode branch (MPS, no renormalization) needs only Qe —
+#: and because the C register is kept below 2**32 at every DECODE
+#: entry (every write is either masked by the renorm shift or a
+#: subtraction of a value it was just proven >= to), the spec's
+#: ``Chigh < Qe`` test is exactly ``C < (Qe << 16)``; pre-shifting Qe
+#: removes the per-decision shift/mask pair, and splitting the table
+#: defers the NMPS/NLPS/SWITCH loads to the rare exchange branches.
+_QE_Q = tuple(r[0] for r in _QE)
+_QE_Q16 = tuple(r[0] << 16 for r in _QE)
+_QE_NMPS = tuple(r[1] for r in _QE)
+_QE_NLPS = tuple(r[2] for r in _QE)
+_QE_SW = tuple(r[3] for r in _QE)
+
 
 class MQDecoder:
     """T.88 E.3 decoder (software conventions: DECODE/BYTEIN/RENORMD).
@@ -173,31 +187,33 @@ class MQDecoder:
             self.ct = 8
 
     def decode(self, cx: list) -> int:
-        qe, nmps, nlps, switch = _QE[cx[0]]
+        i = cx[0]
+        qe = _QE_Q[i]
+        qe16 = _QE_Q16[i]
         self.a -= qe
-        if ((self.c >> 16) & 0xFFFF) < qe:
+        if self.c < qe16:  # == Chigh < Qe (C < 2**32 invariant)
             # LPS exchange path (E.3.2 DECODE lower branch)
             if self.a < qe:
                 d = cx[1]
-                cx[0] = nmps
+                cx[0] = _QE_NMPS[i]
             else:
                 d = 1 - cx[1]
-                if switch:
-                    cx[1] = 1 - cx[1]
-                cx[0] = nlps
+                if _QE_SW[i]:
+                    cx[1] = d
+                cx[0] = _QE_NLPS[i]
             self.a = qe
         else:
-            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+            self.c -= qe16  # stays >= 0: c >= qe16 on this branch
             if self.a & 0x8000:
                 return cx[1]
             if self.a < qe:
                 d = 1 - cx[1]
-                if switch:
-                    cx[1] = 1 - cx[1]
-                cx[0] = nlps
+                if _QE_SW[i]:
+                    cx[1] = d
+                cx[0] = _QE_NLPS[i]
             else:
                 d = cx[1]
-                cx[0] = nmps
+                cx[0] = _QE_NMPS[i]
         # RENORMD
         while True:
             if self.ct == 0:
@@ -553,10 +569,21 @@ def _decode_generic_fast(
     sh1 = n0
     r2 = span2[1] if span2 else 0  # right edge dx of each window
     r1 = span1[1]
+    l2 = span2[0] if span2 else 0  # left edge dx of each window
+    l1 = span1[0]
     # per-row padded neighbor reads: pad right so x+right_dx is safe
     pad = 4
     zero_row = bytes(width + pad)
-    qe_tab = _QE
+    # the w2/w1 windows depend ONLY on rows y-2/y-1, so their merged
+    # contribution (w2 << sh2) | (w1 << sh1) is precomputable per ROW
+    # — vectorized for wide rows (one shifted-or per template dx),
+    # leaving just the current-row w0 slide in the pixel loop. Narrow
+    # rows (symbol-dictionary glyph bitmaps) keep the scalar slide:
+    # numpy's per-call overhead loses below ~32 px.
+    use_np = width >= 32
+    npl = max(-l1, -l2, 0)  # left zero-pad so negative dx reads 0
+    qe_q, qe_q16 = _QE_Q, _QE_Q16
+    qe_nmps, qe_nlps, qe_sw = _QE_NMPS, _QE_NLPS, _QE_SW
     # local MQ state (restored to the decoder object on exit)
     data = dec.data
     bp = dec.bp
@@ -579,33 +606,35 @@ def _decode_generic_fast(
         if tpgdon:
             # inline one MQ decode for the SLTP pseudo-pixel
             state = getstate(sltp_cx)
-            qe, nmps, nlps, switch = qe_tab[state[0]]
+            i_st = state[0]
+            qe = qe_q[i_st]
+            qe16 = qe_q16[i_st]
             a_reg -= qe
-            if ((c_reg >> 16) & 0xFFFF) < qe:
+            if c_reg < qe16:  # == Chigh < Qe (C < 2**32 invariant)
                 if a_reg < qe:
                     bit = state[1]
-                    state[0] = nmps
+                    state[0] = qe_nmps[i_st]
                 else:
                     bit = 1 - state[1]
-                    if switch:
-                        state[1] = 1 - state[1]
-                    state[0] = nlps
+                    if qe_sw[i_st]:
+                        state[1] = bit
+                    state[0] = qe_nlps[i_st]
                 a_reg = qe
                 renorm = True
             else:
-                c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+                c_reg -= qe16  # stays >= 0: c >= qe16 here
                 if a_reg & 0x8000:
                     bit = state[1]
                     renorm = False
                 else:
                     if a_reg < qe:
                         bit = 1 - state[1]
-                        if switch:
-                            state[1] = 1 - state[1]
-                        state[0] = nlps
+                        if qe_sw[i_st]:
+                            state[1] = bit
+                        state[0] = qe_nlps[i_st]
                     else:
                         bit = state[1]
-                        state[0] = nmps
+                        state[0] = qe_nmps[i_st]
                     renorm = True
             if renorm:
                 while True:
@@ -638,52 +667,81 @@ def _decode_generic_fast(
         row = bytearray(width)
         p2 = padded[y - 2] if y >= 2 else zero_row
         p1 = padded[y - 1] if y >= 1 else zero_row
-        # prime the windows for x=0: bits at dx in [left, -1] are out
-        # of range (zero); dx in [0, right] come from the row
-        w2 = 0
-        if span2:
-            for dx in range(0, r2 + 1):
-                w2 = (w2 << 1) | p2[dx]
-            w2 &= mask2
-        w1 = 0
-        for dx in range(0, r1 + 1):
-            w1 = (w1 << 1) | p1[dx]
-        w1 &= mask1
+        if use_np:
+            # top[x] = (w2 << sh2) | (w1 << sh1) at pixel x: the
+            # window bit for dx=k lands at shift sh + (right - k)
+            ext1 = np.zeros(npl + width + pad, np.int32)
+            ext1[npl:] = np.frombuffer(p1, np.uint8)
+            acc = ext1[npl + l1 : npl + l1 + width] << (sh1 + r1 - l1)
+            for k in range(l1 + 1, r1 + 1):
+                acc = acc | (
+                    ext1[npl + k : npl + k + width] << (sh1 + r1 - k)
+                )
+            if span2:
+                ext2 = np.zeros(npl + width + pad, np.int32)
+                ext2[npl:] = np.frombuffer(p2, np.uint8)
+                for k in range(l2, r2 + 1):
+                    acc = acc | (
+                        ext2[npl + k : npl + k + width] << (sh2 + r2 - k)
+                    )
+            top = acc.tolist()
+        else:
+            # scalar twin: prime the windows for x=0 (bits at dx in
+            # [left, -1] are out of range = zero; dx in [0, right]
+            # come from the row), then slide
+            w2 = 0
+            if span2:
+                for dx in range(0, r2 + 1):
+                    w2 = (w2 << 1) | p2[dx]
+                w2 &= mask2
+            w1 = 0
+            for dx in range(0, r1 + 1):
+                w1 = (w1 << 1) | p1[dx]
+            w1 &= mask1
+            top = []
+            top_append = top.append
+            for x in range(width):
+                top_append((w2 << sh2) | (w1 << sh1))
+                if span2:
+                    w2 = ((w2 << 1) | p2[x + 1 + r2]) & mask2
+                w1 = ((w1 << 1) | p1[x + 1 + r1]) & mask1
         w0 = 0
-        for x in range(width):
-            ctx_val = (w2 << sh2) | (w1 << sh1) | w0
+        for x, ctx_top in enumerate(top):
+            ctx_val = ctx_top | w0
             state = cx.get(ctx_val)
             if state is None:
                 state = [0, 0]
                 cx[ctx_val] = state
             # ---- inlined MQ DECODE ----
-            qe, nmps, nlps, switch = qe_tab[state[0]]
+            i_st = state[0]
+            qe = qe_q[i_st]
+            qe16 = qe_q16[i_st]
             a_reg -= qe
-            if ((c_reg >> 16) & 0xFFFF) < qe:
+            if c_reg < qe16:  # == Chigh < Qe (C < 2**32 invariant)
                 if a_reg < qe:
                     bit = state[1]
-                    state[0] = nmps
+                    state[0] = qe_nmps[i_st]
                 else:
                     bit = 1 - state[1]
-                    if switch:
-                        state[1] = 1 - state[1]
-                    state[0] = nlps
+                    if qe_sw[i_st]:
+                        state[1] = bit
+                    state[0] = qe_nlps[i_st]
                 a_reg = qe
                 renorm = True
             else:
-                c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+                c_reg -= qe16  # stays >= 0: c >= qe16 here
                 if a_reg & 0x8000:
                     bit = state[1]
                     renorm = False
                 else:
                     if a_reg < qe:
                         bit = 1 - state[1]
-                        if switch:
-                            state[1] = 1 - state[1]
-                        state[0] = nlps
+                        if qe_sw[i_st]:
+                            state[1] = bit
+                        state[0] = qe_nlps[i_st]
                     else:
                         bit = state[1]
-                        state[0] = nmps
+                        state[0] = qe_nmps[i_st]
                     renorm = True
             if renorm:
                 while True:
@@ -709,11 +767,7 @@ def _decode_generic_fast(
                         break
             # ---------------------------
             row[x] = bit
-            # slide the windows to x+1
-            if span2:
-                w2 = ((w2 << 1) | p2[x + 1 + r2]) & mask2
-            w1 = ((w1 << 1) | p1[x + 1 + r1]) & mask1
-            w0 = ((w0 << 1) | bit) & mask0
+            w0 = ((w0 << 1) | bit) & mask0  # current-row slide only
         rows.append(row)
         padded.append(bytes(row) + b"\x00" * pad)
     dec.bp = bp

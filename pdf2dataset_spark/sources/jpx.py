@@ -110,7 +110,15 @@ from __future__ import annotations
 
 import struct
 
-from pdf2dataset_spark.sources.jbig2 import _QE, MQDecoder, MQEncoder
+from pdf2dataset_spark.sources.jbig2 import (
+    _QE_NLPS,
+    _QE_NMPS,
+    _QE_Q,
+    _QE_Q16,
+    _QE_SW,
+    MQDecoder,
+    MQEncoder,
+)
 
 
 #: decode-size sanity bound (samples = w*h*ncomp): large enough for
@@ -423,6 +431,22 @@ def _sig_ctx(h: int, v: int, d: int, band: str) -> int:
         return 5 if hv >= 2 else (4 if hv == 1 else 3)
     return 2 if hv >= 2 else (1 if hv == 1 else 0)
 
+
+#: flat per-band views of :func:`_sig_ctx` for the decode hot path —
+#: indexed ``h * 15 + v * 5 + d`` (h, v in 0..2; d in 0..4). The
+#: decoder tracks the three neighbor counts incrementally (bumped on
+#: the rare became-significant events), so each significance decision
+#: is one LUT load instead of a function call that rescans 8
+#: neighbors.
+_SIG_LUT = {
+    band: tuple(
+        _sig_ctx(h, v, d, band)
+        for h in range(3)
+        for v in range(3)
+        for d in range(5)
+    )
+    for band in ("LL", "LH", "HL", "HH")
+}
 
 # sign-coding: (hsum, vsum) clamped to [-1,1] -> (context, xor-bit)
 _SIGN_CTX = {
@@ -994,10 +1018,19 @@ def decode_codeblock(
     sign = bytearray(size)
     mag = [0] * size
     nbr = bytearray(size)  # significant neighbors among the 8
+    hcn = bytearray(size)  # significant horizontal (left/right) nbrs
+    vcn = bytearray(size)  # significant vertical (up/down) nbrs
+    dcn = bytearray(size)  # significant diagonal nbrs
+    # mirror the old per-band branch exactly: anything that is not
+    # HL/HH classifies as the no-swap (LL/LH) table
+    sig_lut = (
+        _SIG_LUT["HL"]
+        if band == "HL"
+        else (_SIG_LUT["HH"] if band == "HH" else _SIG_LUT["LL"])
+    )
     cx = _fresh_contexts()
-    qe_tab = _QE
-    hh_band = band == "HH"
-    hl_band = band == "HL"
+    qe_q, qe_q16 = _QE_Q, _QE_Q16
+    qe_nmps, qe_nlps, qe_sw = _QE_NMPS, _QE_NLPS, _QE_SW
     # local MQ registers (same INITDEC as MQDecoder)
     bp = 0
     b0 = data[0] if data else 0xFF
@@ -1023,30 +1056,32 @@ def decode_codeblock(
 
     def mq(state):
         nonlocal bp, c_reg, ct, a_reg
-        qe, nmps, nlps, switch = qe_tab[state[0]]
+        i_st = state[0]
+        qe = qe_q[i_st]
+        qe16 = qe_q16[i_st]
         a_reg -= qe
-        if ((c_reg >> 16) & 0xFFFF) < qe:
+        if c_reg < qe16:  # == Chigh < Qe (C < 2**32 invariant)
             if a_reg < qe:
                 bit = state[1]
-                state[0] = nmps
+                state[0] = qe_nmps[i_st]
             else:
                 bit = 1 - state[1]
-                if switch:
-                    state[1] = 1 - state[1]
-                state[0] = nlps
+                if qe_sw[i_st]:
+                    state[1] = bit
+                state[0] = qe_nlps[i_st]
             a_reg = qe
         else:
-            c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+            c_reg -= qe16  # stays >= 0: c >= qe16 here
             if a_reg & 0x8000:
                 return state[1]
             if a_reg < qe:
                 bit = 1 - state[1]
-                if switch:
-                    state[1] = 1 - state[1]
-                state[0] = nlps
+                if qe_sw[i_st]:
+                    state[1] = bit
+                state[0] = qe_nlps[i_st]
             else:
                 bit = state[1]
-                state[0] = nmps
+                state[0] = qe_nmps[i_st]
         while True:
             if ct == 0:
                 bb = data[bp] if bp < ndata else 0xFF
@@ -1070,49 +1105,6 @@ def decode_codeblock(
                 break
         return bit
 
-    def sig_ctx(i, x, y):
-        hc = vc = dc = 0
-        left = x > 0
-        right = x < w - 1
-        if left and sig[i - 1]:
-            hc += 1
-        if right and sig[i + 1]:
-            hc += 1
-        if y > 0:
-            if sig[i - w]:
-                vc += 1
-            if left and sig[i - w - 1]:
-                dc += 1
-            if right and sig[i - w + 1]:
-                dc += 1
-        if y < h - 1:
-            if sig[i + w]:
-                vc += 1
-            if left and sig[i + w - 1]:
-                dc += 1
-            if right and sig[i + w + 1]:
-                dc += 1
-        if hl_band:
-            hc, vc = vc, hc
-        if not hh_band:
-            if hc == 2:
-                return 8
-            if hc == 1:
-                return 7 if vc >= 1 else (6 if dc >= 1 else 5)
-            if vc == 2:
-                return 4
-            if vc == 1:
-                return 3
-            return 2 if dc >= 2 else (1 if dc == 1 else 0)
-        hv = hc + vc
-        if dc >= 3:
-            return 8
-        if dc == 2:
-            return 7 if hv >= 1 else 6
-        if dc == 1:
-            return 5 if hv >= 2 else (4 if hv == 1 else 3)
-        return 2 if hv >= 2 else (1 if hv == 1 else 0)
-
     def decode_sign_and_set(i, x, y, plane_bit):
         # sign context from h/v neighbor contributions
         hs = vs = 0
@@ -1130,28 +1122,39 @@ def decode_codeblock(
         sign[i] = mq(cx[sctx]) ^ xor
         mag[i] |= plane_bit
         sig[i] = 1
-        # bump neighbor significance counts (the rare event)
+        # bump neighbor significance counts (the rare event): the
+        # total (scan-skip predicate) plus the h/v/d split that
+        # indexes the significance-context LUT
         y0 = y > 0
         y1 = y < h - 1
         x0 = x > 0
         x1 = x < w - 1
         if x0:
             nbr[i - 1] += 1
+            hcn[i - 1] += 1
         if x1:
             nbr[i + 1] += 1
+            hcn[i + 1] += 1
         if y0:
             nbr[i - w] += 1
+            vcn[i - w] += 1
             if x0:
                 nbr[i - w - 1] += 1
+                dcn[i - w - 1] += 1
             if x1:
                 nbr[i - w + 1] += 1
+                dcn[i - w + 1] += 1
         if y1:
             nbr[i + w] += 1
+            vcn[i + w] += 1
             if x0:
                 nbr[i + w - 1] += 1
+                dcn[i + w - 1] += 1
             if x1:
                 nbr[i + w + 1] += 1
+                dcn[i + w + 1] += 1
 
+    zeros = bytes(size)
     plane = nplanes - 1
     p = 0
     while p < npasses and plane >= 0:
@@ -1160,14 +1163,18 @@ def decode_codeblock(
             # ---- significance propagation pass ----
             for ys in range(0, h, 4):
                 ye = ys + 4 if ys + 4 <= h else h
+                base = ys * w
                 for x in range(w):
+                    i = base + x
                     for y in range(ys, ye):
-                        i = y * w + x
                         if sig[i] or not nbr[i]:
+                            i += w
                             continue
                         visited[i] = 1
-                        if mq(cx[sig_ctx(i, x, y)]):
+                        if mq(cx[sig_lut[
+                            hcn[i] * 15 + vcn[i] * 5 + dcn[i]]]):
                             decode_sign_and_set(i, x, y, plane_bit)
+                        i += w
             p += 1
             if p >= npasses:
                 break
@@ -1179,43 +1186,47 @@ def decode_codeblock(
             ctx16 = cx[_CTX_MR_LATER]
             for ys in range(0, h, 4):
                 ye = ys + 4 if ys + 4 <= h else h
+                base = ys * w
                 for x in range(w):
+                    i = base + x
                     for y in range(ys, ye):
-                        i = y * w + x
                         if not sig[i] or visited[i]:
+                            i += w
                             continue
                         if refined[i]:
                             state = ctx16
                         else:
                             state = ctx15 if nbr[i] else ctx14
                         # -- inlined MQ DECODE --
-                        qe, nmps, nlps, switch = qe_tab[state[0]]
+                        i_st = state[0]
+                        qe = qe_q[i_st]
+                        qe16 = qe_q16[i_st]
                         a_reg -= qe
-                        if ((c_reg >> 16) & 0xFFFF) < qe:
+                        if c_reg < qe16:  # == Chigh < Qe
                             if a_reg < qe:
                                 bit = state[1]
-                                state[0] = nmps
+                                state[0] = qe_nmps[i_st]
                             else:
                                 bit = 1 - state[1]
-                                if switch:
-                                    state[1] = 1 - state[1]
-                                state[0] = nlps
+                                if qe_sw[i_st]:
+                                    state[1] = bit
+                                state[0] = qe_nlps[i_st]
                             a_reg = qe
                             renorm = True
                         else:
-                            c_reg = (c_reg - (qe << 16)) & 0xFFFFFFFF
+                            c_reg -= qe16  # c >= qe16 here
                             if a_reg & 0x8000:
                                 bit = state[1]
                                 renorm = False
                             else:
                                 if a_reg < qe:
                                     bit = 1 - state[1]
-                                    if switch:
-                                        state[1] = 1 - state[1]
-                                    state[0] = nlps
+                                    if qe_sw[i_st]:
+                                        state[1] = bit
+                                    state[0] = qe_nlps[i_st]
                                 else:
                                     bit = state[1]
-                                    state[0] = nmps
+                                    state[0] = qe_nmps[i_st]
                                 renorm = True
                         if renorm:
                             while True:
@@ -1245,6 +1256,7 @@ def decode_codeblock(
                             mag[i] |= plane_bit
                         refined[i] = 1
                         visited[i] = 1
+                        i += w
             p += 1
             if p >= npasses:
                 break
@@ -1273,14 +1285,15 @@ def decode_codeblock(
                         i = y * w + x
                         decode_sign_and_set(i, x, y, plane_bit)
                         y += 1
+                i = y * w + x
                 while y < ye:
-                    i = y * w + x
                     if not (visited[i] or sig[i]):
-                        if mq(cx[sig_ctx(i, x, y)]):
+                        if mq(cx[sig_lut[
+                            hcn[i] * 15 + vcn[i] * 5 + dcn[i]]]):
                             decode_sign_and_set(i, x, y, plane_bit)
                     y += 1
-        for i in range(size):
-            visited[i] = 0
+                    i += w
+        visited[:] = zeros  # C-level clear (was a size-long loop)
         p += 1
         plane -= 1
     return [-m if s else m for m, s in zip(mag, sign)]
