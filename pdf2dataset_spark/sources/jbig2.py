@@ -885,7 +885,18 @@ def decode_refinement(
 ) -> list:
     """Generic refinement decode: bitmap (width x height) coded
     against reference `ref` shifted by (dx, dy). `cx` is the shared
-    refinement context dict of the enclosing scope."""
+    refinement context dict of the enclosing scope. Nominal-AT rows
+    wide enough to amortize numpy take a fast path (all template
+    reads except the just-decoded left pixel are static per row);
+    custom AT pixels and narrow symbol-refinement bitmaps keep the
+    general per-pixel template walk."""
+    at_eff = (
+        tuple(tuple(p) for p in at) if at else NOMINAL_GR_AT
+    )
+    if width >= 32 and (template == 1 or at_eff == NOMINAL_GR_AT):
+        return _decode_refinement_fast(
+            dec, cx, width, height, ref, dx, dy, template, tpgron
+        )
     coding, reference = _gr_templates(template, at)
     sltp_cx = _GR_SLTP_CX[template]
     rows: list = []
@@ -905,6 +916,241 @@ def decode_refinement(
             c = _gr_context(rows, ref, x, y, dx, dy, coding, reference)
             state = cx.setdefault(c, [0, 0])
             row[x] = dec.decode(state)
+    return rows
+
+
+def _decode_refinement_fast(
+    dec: MQDecoder,
+    cx: dict,
+    width: int,
+    height: int,
+    ref,
+    dx: int,
+    dy: int,
+    template: int,
+    tpgron: bool,
+) -> list:
+    """Nominal-AT refinement decode. Every template read except the
+    current row's (-1, 0) pixel comes from the fixed reference layer
+    or the already-finished previous coding row, so their merged
+    contribution is a per-ROW numpy precompute (bounded gathers with
+    zero fill replicate :func:`_ref_px` range clamping); the pixel
+    loop keeps only the just-decoded-bit slide, with the MQ
+    DECODE/BYTEIN/RENORMD procedures inlined as in
+    :func:`_decode_generic_fast`. TPGRON typical pixels (uniform 3x3
+    reference neighbourhood) are likewise vectorized per row."""
+    coding, reference = _gr_templates(template, None)
+    sltp_cx = _GR_SLTP_CX[template]
+    nbits = len(coding) + len(reference)
+    # shifts: concat order (coding then reference), MSB first
+    prev_coding = []  # (dx, shift) reads of decoded row y-1
+    sh_cur = None  # shift of the sliding (-1, 0) coding pixel
+    for k, (cdx, cdy) in enumerate(coding):
+        sh = nbits - 1 - k
+        if cdy == 0:
+            sh_cur = sh  # nominal templates: only (-1, 0) has dy 0
+        else:
+            prev_coding.append((cdx, sh))
+    ref_reads = [
+        (rdx - dx, rdy - dy, nbits - 1 - len(coding) - k)
+        for k, (rdx, rdy) in enumerate(reference)
+    ]
+    nref = len(ref)
+    ref_np: dict = {}  # ref row y' -> (np row, len) or None if OOB
+
+    def _ref_row(ry):
+        got = ref_np.get(ry, False)
+        if got is False:
+            if 0 <= ry < nref:
+                rrow = ref[ry]
+                got = (np.frombuffer(bytes(rrow), np.uint8),
+                       len(rrow))
+            else:
+                got = None
+            ref_np[ry] = got
+        return got
+
+    def _gather(src, base):
+        """width-length int32 of src[x + base], zero outside src."""
+        out = np.zeros(width, np.int32)
+        if src is not None:
+            arr, n_src = src
+            lo = 0 if base >= 0 else -base
+            hi = width if n_src - base > width else n_src - base
+            if hi > lo:
+                out[lo:hi] = arr[lo + base:hi + base]
+        return out
+
+    # local MQ state (restored to the decoder object on exit), same
+    # register conventions as _decode_generic_fast
+    data = dec.data
+    bp = dec.bp
+    c_reg = dec.c
+    ct = dec.ct
+    a_reg = dec.a
+    ndata = len(data)
+    qe_q, qe_q16 = _QE_Q, _QE_Q16
+    qe_nmps, qe_nlps, qe_sw = _QE_NMPS, _QE_NLPS, _QE_SW
+    zero_src = None
+    rows: list = []
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            # inline one MQ decode for the SLTP pseudo-pixel
+            state = cx.get(sltp_cx)
+            if state is None:
+                state = cx[sltp_cx] = [0, 0]
+            i_st = state[0]
+            qe = qe_q[i_st]
+            qe16 = qe_q16[i_st]
+            a_reg -= qe
+            if c_reg < qe16:  # == Chigh < Qe (C < 2**32 invariant)
+                if a_reg < qe:
+                    bit = state[1]
+                    state[0] = qe_nmps[i_st]
+                else:
+                    bit = 1 - state[1]
+                    if qe_sw[i_st]:
+                        state[1] = bit
+                    state[0] = qe_nlps[i_st]
+                a_reg = qe
+                renorm = True
+            else:
+                c_reg -= qe16  # stays >= 0: c >= qe16 here
+                if a_reg & 0x8000:
+                    bit = state[1]
+                    renorm = False
+                else:
+                    if a_reg < qe:
+                        bit = 1 - state[1]
+                        if qe_sw[i_st]:
+                            state[1] = bit
+                        state[0] = qe_nlps[i_st]
+                    else:
+                        bit = state[1]
+                        state[0] = qe_nmps[i_st]
+                    renorm = True
+            if renorm:
+                while True:
+                    if ct == 0:
+                        b = data[bp] if bp < ndata else 0xFF
+                        b1 = data[bp + 1] if bp + 1 < ndata else 0xFF
+                        if b == 0xFF:
+                            if b1 > 0x8F:
+                                c_reg += 0xFF00
+                                ct = 8
+                            else:
+                                bp += 1
+                                c_reg += b1 << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c_reg += b1 << 8
+                            ct = 8
+                    a_reg = (a_reg << 1) & 0xFFFF
+                    c_reg = (c_reg << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a_reg & 0x8000:
+                        break
+            ltp ^= bit
+        # static per-row context contribution: previous coding row +
+        # all reference-layer reads
+        if rows:
+            psrc = (np.frombuffer(bytes(rows[-1]), np.uint8), width)
+        else:
+            psrc = zero_src
+        acc = np.zeros(width, np.int32)
+        for cdx, sh in prev_coding:
+            acc |= _gather(psrc, cdx) << sh
+        for base, rdy, sh in ref_reads:
+            acc |= _gather(_ref_row(y + rdy), base) << sh
+        top = acc.tolist()
+        if ltp:
+            # TPGRON: typical where the 3x3 reference neighbourhood
+            # (zero-filled outside, exactly like _ref_px) is uniform
+            g0 = _gather(_ref_row(y - dy - 1), -dx - 1)
+            uni = np.ones(width, bool)
+            for j in (-1, 0, 1):
+                src = _ref_row(y - dy + j)
+                for i in (-1, 0, 1):
+                    if i == -1 and j == -1:
+                        continue
+                    uni &= _gather(src, -dx + i) == g0
+            uniform = uni.tolist()
+            typ = g0.tolist()
+        row = bytearray(width)
+        rows.append(row)
+        prev_bit = 0
+        for x, ctx_top in enumerate(top):
+            if ltp and uniform[x]:
+                bit = typ[x]
+                row[x] = bit
+                prev_bit = bit
+                continue
+            ctx_val = ctx_top | (prev_bit << sh_cur)
+            state = cx.get(ctx_val)
+            if state is None:
+                state = cx[ctx_val] = [0, 0]
+            # ---- inlined MQ DECODE ----
+            i_st = state[0]
+            qe = qe_q[i_st]
+            qe16 = qe_q16[i_st]
+            a_reg -= qe
+            if c_reg < qe16:  # == Chigh < Qe (C < 2**32 invariant)
+                if a_reg < qe:
+                    bit = state[1]
+                    state[0] = qe_nmps[i_st]
+                else:
+                    bit = 1 - state[1]
+                    if qe_sw[i_st]:
+                        state[1] = bit
+                    state[0] = qe_nlps[i_st]
+                a_reg = qe
+                renorm = True
+            else:
+                c_reg -= qe16  # stays >= 0: c >= qe16 here
+                if a_reg & 0x8000:
+                    bit = state[1]
+                    renorm = False
+                else:
+                    if a_reg < qe:
+                        bit = 1 - state[1]
+                        if qe_sw[i_st]:
+                            state[1] = bit
+                        state[0] = qe_nlps[i_st]
+                    else:
+                        bit = state[1]
+                        state[0] = qe_nmps[i_st]
+                    renorm = True
+            if renorm:
+                while True:
+                    if ct == 0:
+                        b = data[bp] if bp < ndata else 0xFF
+                        b1 = data[bp + 1] if bp + 1 < ndata else 0xFF
+                        if b == 0xFF:
+                            if b1 > 0x8F:
+                                c_reg += 0xFF00
+                                ct = 8
+                            else:
+                                bp += 1
+                                c_reg += b1 << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c_reg += b1 << 8
+                            ct = 8
+                    a_reg = (a_reg << 1) & 0xFFFF
+                    c_reg = (c_reg << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a_reg & 0x8000:
+                        break
+            # ---------------------------
+            row[x] = bit
+            prev_bit = bit
+    dec.bp = bp
+    dec.c = c_reg
+    dec.ct = ct
+    dec.a = a_reg
     return rows
 
 

@@ -467,3 +467,103 @@ class TestLazyObjStm:
         assert cat.get("/Type") == "/Catalog"
         # members after the catalog in header order stayed unparsed
         assert doc._lazy[8][2] is minipdf._UNSET
+
+
+class TestRefinementFastPath:
+    """The nominal-AT refinement fast path (_decode_refinement_fast)
+    must make the exact coding decisions of the reference per-pixel
+    template walk — same pixels, same MQ register state afterwards
+    (the stream continues past a refinement in symbol dictionaries)."""
+
+    @staticmethod
+    def _reference_decode(dec, cx, width, height, ref, dx, dy,
+                          template, tpgron):
+        from pdf2dataset_spark.sources import jbig2
+
+        coding, reference = jbig2._gr_templates(template, None)
+        sltp_cx = jbig2._GR_SLTP_CX[template]
+        rows = []
+        ltp = 0
+        for y in range(height):
+            if tpgron:
+                state = cx.setdefault(sltp_cx, [0, 0])
+                ltp ^= dec.decode(state)
+            row = bytearray(width)
+            rows.append(row)
+            for x in range(width):
+                if ltp:
+                    typ = jbig2._gr_typical(ref, x, y, dx, dy)
+                    if typ is not None:
+                        row[x] = typ
+                        continue
+                c = jbig2._gr_context(
+                    rows, ref, x, y, dx, dy, coding, reference
+                )
+                state = cx.setdefault(c, [0, 0])
+                row[x] = dec.decode(state)
+        return rows
+
+    @pytest.mark.parametrize("template", [0, 1])
+    @pytest.mark.parametrize("tpgron", [False, True])
+    def test_fast_matches_reference_walk(self, template, tpgron):
+        import random
+
+        from pdf2dataset_spark.sources import jbig2
+
+        rng = random.Random(1107 + template + 2 * tpgron)
+        for trial in range(8):
+            w = rng.choice([32, 45, 64])
+            h = rng.randint(4, 24)
+            dx, dy = rng.randint(-3, 3), rng.randint(-3, 3)
+            rw, rh = max(1, w + rng.randint(-5, 5)), max(
+                1, h + rng.randint(-4, 4)
+            )
+            ref = [
+                bytearray(rng.getrandbits(1) for _ in range(rw))
+                for _ in range(rh)
+            ]
+            target = [
+                bytearray(
+                    (ref[y][x] if y < rh and x < rw else 0)
+                    for x in range(w)
+                )
+                for y in range(h)
+            ]
+            for _ in range(w * h // 10):
+                target[rng.randrange(h)][rng.randrange(w)] ^= 1
+            enc = jbig2.MQEncoder()
+            jbig2.encode_refinement(
+                enc, {}, target, ref, dx, dy, template, None, tpgron
+            )
+            data = enc.flush()
+            d1 = jbig2.MQDecoder(data)
+            fast = jbig2.decode_refinement(
+                d1, {}, w, h, ref, dx, dy, template, None, tpgron
+            )
+            d2 = jbig2.MQDecoder(data)
+            slow = self._reference_decode(
+                d2, {}, w, h, ref, dx, dy, template, tpgron
+            )
+            assert [bytes(r) for r in fast] == [bytes(r) for r in slow]
+            assert [bytes(r) for r in fast] == [
+                bytes(r) for r in target
+            ]
+            assert (d1.bp, d1.c, d1.ct, d1.a) == (
+                d2.bp, d2.c, d2.ct, d2.a,
+            )
+
+    def test_narrow_bitmaps_keep_reference_walk(self):
+        """Symbol-refinement-sized bitmaps (< 32 px) stay on the
+        general path (numpy per-row overhead loses there)."""
+        from pdf2dataset_spark.sources import jbig2
+
+        ref = [bytearray([1, 0, 1, 0, 1]) for _ in range(5)]
+        target = [bytearray(r) for r in ref]
+        target[2][2] ^= 1
+        enc = jbig2.MQEncoder()
+        jbig2.encode_refinement(enc, {}, target, ref, 0, 0, 0, None,
+                                False)
+        dec = jbig2.MQDecoder(enc.flush())
+        out = jbig2.decode_refinement(dec, {}, 5, 5, ref, 0, 0, 0,
+                                      None, False)
+        assert [bytes(r) for r in out] == [bytes(r) for r in target]
