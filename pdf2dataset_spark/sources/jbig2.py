@@ -2243,9 +2243,11 @@ _COMBOPS = {
 
 def _blit(dst_rows, src_rows, x0: int, y0: int, op: int) -> None:
     """Combine ``src_rows`` onto ``dst_rows`` at (x0, y0) under the
-    §4 external combination operator — vectorized per ROW (round 11):
-    the per-pixel lambda dispatch was ~35% of whole-page decode; a
-    clipped numpy op per row is equivalent (bitmaps are 0/1 ints)."""
+    §4 external combination operator. Rows hold 0/1 BYTES, so every
+    operator is a whole-row big-int byte op (round 11: this replaced
+    a per-pixel lambda dispatch, ~35% of whole-page decode, and the
+    interim per-row numpy op — int.from_bytes/OR/to_bytes run at C
+    speed at ANY clip width, tiny glyph blits included)."""
     if op not in _COMBOPS:
         raise JBIG2Error(f"bad combination operator {op}")
     hh = len(dst_rows)
@@ -2260,32 +2262,21 @@ def _blit(dst_rows, src_rows, x0: int, y0: int, op: int) -> None:
         n = min(len(srow) - sstart, ww - dstart)
         if n <= 0:
             continue
-        if n < 48:  # tiny blits (text-region symbols): the scalar
-            f = _COMBOPS[op]  # loop beats numpy's per-call overhead
-            if sstart == 0 and n == len(srow):  # fully inside (common)
-                xx = dstart
-                for v in srow:
-                    drow[xx] = f(drow[xx], v)
-                    xx += 1
-            else:
-                for k in range(n):
-                    dk = dstart + k
-                    drow[dk] = f(drow[dk], srow[sstart + k])
+        dend = dstart + n
+        if op == 4:  # REPLACE: straight slice copy
+            drow[dstart:dend] = srow[sstart:sstart + n]
             continue
-        s = np.asarray(srow[sstart:sstart + n], dtype=np.uint8)
-        if op == 4:  # REPLACE
-            out = s
-        else:
-            d = np.asarray(drow[dstart:dstart + n], dtype=np.uint8)
-            if op == 0:
-                out = d | s
-            elif op == 1:
-                out = d & s
-            elif op == 2:
-                out = d ^ s
-            else:  # XNOR
-                out = np.uint8(1) - (d ^ s)
-        drow[dstart:dstart + n] = out.tolist()
+        si = int.from_bytes(bytes(srow[sstart:sstart + n]), "big")
+        di = int.from_bytes(bytes(drow[dstart:dend]), "big")
+        if op == 0:
+            r = di | si
+        elif op == 1:
+            r = di & si
+        elif op == 2:
+            r = di ^ si
+        else:  # XNOR on 0/1 bytes: (a ^ b) ^ 1 per byte
+            r = (di ^ si) ^ (((1 << (8 * n)) - 1) // 255)
+        drow[dstart:dend] = r.to_bytes(n, "big")
 
 
 # =====================================================================

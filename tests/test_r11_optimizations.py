@@ -567,3 +567,42 @@ class TestRefinementFastPath:
         out = jbig2.decode_refinement(dec, {}, 5, 5, ref, 0, 0, 0,
                                       None, False)
         assert [bytes(r) for r in out] == [bytes(r) for r in target]
+
+
+class TestBlitByteOps:
+    """_blit's big-int byte ops must equal the per-pixel §4 operator
+    semantics for every op under arbitrary clipping."""
+
+    def test_all_ops_all_clips_match_scalar_reference(self):
+        import random
+
+        from pdf2dataset_spark.sources.jbig2 import _COMBOPS, _blit
+
+        rng = random.Random(3)
+        for _ in range(150):
+            big_w, big_h = rng.randint(1, 90), rng.randint(1, 6)
+            sw, sh = rng.randint(1, 100), rng.randint(1, 6)
+            x0 = rng.randint(-sw - 2, big_w + 2)
+            y0 = rng.randint(-sh - 2, big_h + 2)
+            op = rng.randrange(5)
+            dst = [
+                bytearray(rng.getrandbits(1) for _ in range(big_w))
+                for _ in range(big_h)
+            ]
+            src = [
+                bytearray(rng.getrandbits(1) for _ in range(sw))
+                for _ in range(sh)
+            ]
+            ref = [bytearray(r) for r in dst]
+            f = _COMBOPS[op]
+            for sy in range(sh):
+                yy = y0 + sy
+                if not 0 <= yy < big_h:
+                    continue
+                for sx in range(sw):
+                    xx = x0 + sx
+                    if not 0 <= xx < big_w:
+                        continue
+                    ref[yy][xx] = f(ref[yy][xx], src[sy][sx])
+            _blit(dst, src, x0, y0, op)
+            assert dst == ref, (big_w, big_h, sw, sh, x0, y0, op)
