@@ -162,39 +162,91 @@ _WHITE_DEC = _decode_table(_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP)
 _BLACK_DEC = _decode_table(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
 
 
+def _run_lut(dec: dict) -> list:
+    """Dense 13-bit-peek LUT: index = the next 13 bits (zero-padded
+    past stream end), value = ``(run, code_length)`` of the unique
+    prefix-free match, or None (no run code within 13 bits)."""
+    lut: list = [None] * 8192
+    for (ln, code), run in dec.items():
+        shift = 13 - ln
+        base = code << shift
+        for k in range(1 << shift):
+            if lut[base + k] is not None:  # pragma: no cover
+                raise AssertionError("run codes not prefix-free")
+            lut[base + k] = (run, ln)
+    return lut
+
+
+_WHITE_LUT = _run_lut(_WHITE_DEC)
+_BLACK_LUT = _run_lut(_BLACK_DEC)
+
+# 2D mode codes (T.4 table 4 / T.6): 7-bit-peek LUT -> (kind, dv,
+# code_length). The two unassigned prefixes (000000x) stay None —
+# the per-bit reference walk declared them invalid after 6 reads.
+_MODE_LUT: list = [None] * 128
+for _code, _ln, _kind, _dv in (
+    (0b1, 1, "v", 0),
+    (0b011, 3, "v", 1),
+    (0b010, 3, "v", -1),
+    (0b001, 3, "h", 0),
+    (0b0001, 4, "p", 0),
+    (0b000011, 6, "v", 2),
+    (0b000010, 6, "v", -2),
+    (0b0000011, 7, "v", 3),
+    (0b0000010, 7, "v", -3),
+):
+    for _k in range(1 << (7 - _ln)):
+        _MODE_LUT[(_code << (7 - _ln)) + _k] = (_kind, _dv, _ln)
+del _code, _ln, _kind, _dv, _k
+
+
 class _Bits:
-    """MSB-first bit reader with byte-align support."""
+    """MSB-first bit reader with byte-align support. Hot paths peek
+    a whole code (zero-padded past the end) and consume its length;
+    callers re-create the per-bit reader's truncation errors by
+    checking the consumed length against ``nbits``."""
+
+    __slots__ = ("data", "bitpos", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.bitpos = 0
+        self.nbits = 8 * len(data)
 
     def eof(self) -> bool:
-        return self.bitpos >= 8 * len(self.data)
+        return self.bitpos >= self.nbits
 
     def read(self) -> int:
-        if self.eof():
+        if self.bitpos >= self.nbits:
             raise ValueError("CCITT stream truncated")
         b = self.data[self.bitpos >> 3]
         bit = (b >> (7 - (self.bitpos & 7))) & 1
         self.bitpos += 1
         return bit
 
+    def peek(self, n: int) -> int:
+        """Next ``n`` (<= 20) bits MSB-first, zero-padded past the
+        stream end; does not advance."""
+        bp = self.bitpos
+        byte = bp >> 3
+        chunk = self.data[byte:byte + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\x00" * (4 - len(chunk))
+        word = int.from_bytes(chunk, "big")
+        return (word >> (32 - (bp & 7) - n)) & ((1 << n) - 1)
+
     def peek_is_eofb_or_end(self) -> bool:
         """True at stream end or at an EOL prefix (000000000001 —
         T.6 uses two of them as EOFB)."""
-        save = self.bitpos
-        try:
-            zeros = 0
-            while zeros < 11:
-                if self.read() == 1:
-                    return False
-                zeros += 1
-            return self.read() == 1
-        except ValueError:
+        rem = self.nbits - self.bitpos
+        if rem <= 0:
             return True
-        finally:
-            self.bitpos = save
+        if rem < 12:
+            # the per-bit walk hit EOF (-> True) unless a 1 appeared
+            # among the remaining bits first
+            return self.peek(rem) == 0
+        v = self.peek(12)
+        return (v >> 1) == 0 and (v & 1) == 1
 
     def align(self) -> None:
         self.bitpos = (self.bitpos + 7) & ~7
@@ -225,20 +277,25 @@ class _BitsOut:
 
 def _read_run(bits: _Bits, table: dict, color_name: str) -> int:
     """One MH run: makeup codes (multiples of 64) accumulate until a
-    terminating code (< 64) ends the run."""
+    terminating code (< 64) ends the run. Codes resolve with one
+    13-bit peek against the dense LUT; the per-bit walk's truncation
+    error is re-created whenever a match (or the 14-bit invalid-code
+    read) would cross the stream end."""
+    lut = _WHITE_LUT if table is _WHITE_DEC else _BLACK_LUT
+    nbits = bits.nbits
     total = 0
     while True:
-        code = 0
-        ln = 0
-        run = None
-        while ln < 14:
-            code = (code << 1) | bits.read()
-            ln += 1
-            run = table.get((ln, code))
-            if run is not None:
-                break
-        if run is None:
+        hit = lut[bits.peek(13)]
+        if hit is None:
+            # the reference walk read 14 bits before declaring the
+            # code invalid; EOF inside those reads was 'truncated'
+            if nbits - bits.bitpos < 14:
+                raise ValueError("CCITT stream truncated")
             raise ValueError(f"invalid CCITT {color_name} run code")
+        run, ln = hit
+        if bits.bitpos + ln > nbits:
+            raise ValueError("CCITT stream truncated")
+        bits.bitpos += ln
         total += run
         if run < 64:
             return total
@@ -311,32 +368,24 @@ def _decode_2d_line(bits: _Bits, ref: list[int], columns: int) -> list[int]:
     cur: list[int] = []
     a0 = -1  # imaginary element just before pixel 0
     color = 0  # white
+    nbits = bits.nbits
+    mode_lut = _MODE_LUT
     while (a0 if a0 > 0 else 0) < columns:
         bi = _b1_index(ref, a0, color)
         b1 = ref[bi] if bi < len(ref) else columns
         b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
-        # mode code
-        if bits.read():  # '1' -> V0
-            mode = ("v", 0)
-        else:
-            b = bits.read()
-            if b and bits.read():  # '011' VR1 / '010x'...
-                mode = ("v", 1)
-            elif b:  # '010' VL1
-                mode = ("v", -1)
-            elif bits.read():  # '001' horizontal
-                mode = ("h", 0)
-            elif bits.read():  # '0001' pass
-                mode = ("p", 0)
-            else:
-                # 00001xx / 00000 1x: VR2/VL2/VR3/VL3
-                if bits.read():
-                    mode = ("v", 2) if bits.read() else ("v", -2)
-                elif bits.read():
-                    mode = ("v", 3) if bits.read() else ("v", -3)
-                else:
-                    raise ValueError("invalid CCITT G4 mode code")
-        kind, dv = mode
+        # mode code: one 7-bit peek against the LUT
+        hit = mode_lut[bits.peek(7)]
+        if hit is None:
+            # '000000' prefix: the per-bit walk read 6 bits before
+            # declaring it invalid; EOF inside those was 'truncated'
+            if nbits - bits.bitpos < 6:
+                raise ValueError("CCITT stream truncated")
+            raise ValueError("invalid CCITT G4 mode code")
+        kind, dv, ln = hit
+        if bits.bitpos + ln > nbits:
+            raise ValueError("CCITT stream truncated")
+        bits.bitpos += ln
         if kind == "p":
             a0 = b2
             continue
