@@ -428,13 +428,14 @@ def _transitions_to_gray(
     render ink as dark."""
     px = bytearray()
     for cur in lines:
-        row = bytearray(columns)
+        row = bytearray(columns)  # zero-initialized = black
         pos = 0
         color = 0
         for t in cur + [columns]:
-            fill = 0 if color else 255
-            for i in range(pos, min(t, columns)):
-                row[i] = fill
+            if color == 0:  # white run: C-level slice fill
+                e = t if t < columns else columns
+                if e > pos:
+                    row[pos:e] = b"\xff" * (e - pos)
             pos = t
             color ^= 1
         px += row

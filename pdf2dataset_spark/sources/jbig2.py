@@ -2441,6 +2441,10 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None,
     return page_w, len(page_rows), page_rows
 
 
+#: 0/1 pixel byte -> 8-bit gray (ink black = 0), via C-level translate
+_GRAY_FROM_BIT = bytes(255 if i == 0 else 0 for i in range(256))
+
+
 def decode_jbig2_gray(
     data: bytes, globals_data: bytes | None = None,
     max_pixels: int | None = None,
@@ -2451,8 +2455,7 @@ def decode_jbig2_gray(
     px = bytearray(w * h)
     for y, row in enumerate(rows):
         base = y * w
-        for x, v in enumerate(row):
-            px[base + x] = 0 if v else 255
+        px[base:base + len(row)] = bytes(row).translate(_GRAY_FROM_BIT)
     return w, h, bytes(px)
 
 
