@@ -52,11 +52,12 @@ OOB = object()
 class BitReader:
     """MSB-first bit reader over a bytes buffer."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_nbits")
 
     def __init__(self, data: bytes, byte_pos: int = 0):
         self.data = data
         self.pos = byte_pos * 8
+        self._nbits = len(data) * 8
 
     def bit(self) -> int:
         i = self.pos
@@ -67,10 +68,25 @@ class BitReader:
         return (self.data[byte] >> (7 - (i & 7))) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        i = self.pos
+        if i + n > self._nbits:
+            raise JBIG2Error("bit read past end of segment")
+        self.pos = i + n
+        first = i >> 3
+        last = (i + n + 7) >> 3
+        window = int.from_bytes(self.data[first:last], "big")
+        return (window >> ((last - first) * 8 - (i & 7) - n)) & ((1 << n) - 1)
+
+    def peek_pad(self, n: int) -> int:
+        """The next ``n`` bits without consuming, zero-padded past the
+        end of the buffer (LUT probes; pad bits are don't-cares for
+        any code short enough to be real)."""
+        i = self.pos
+        first = i >> 3
+        last = (i + n + 7) >> 3
+        chunk = self.data[first:last]
+        window = int.from_bytes(chunk, "big") << ((last - first - len(chunk)) * 8)
+        return (window >> ((last - first) * 8 - (i & 7) - n)) & ((1 << n) - 1)
 
     def align(self) -> int:
         """Skip to the next byte boundary; return the byte offset."""
@@ -156,6 +172,22 @@ class HuffTable:
                 raise JBIG2Error("Huffman table prefix overflow")
             self._decode_map[(preflen, codeval)] = ln
             self._encode_map[id(ln)] = (codeval, preflen)
+        self._lut = None  # dense whole-code LUT, built on first decode
+        self._lut_bits = min(maxlen, 13)
+
+    def _build_lut(self):
+        """Dense ``2**_lut_bits`` table: index = the next ``_lut_bits``
+        stream bits, value = the line whose prefix code starts there
+        (codes up to ``_lut_bits`` long; longer codes and unassigned
+        prefixes stay ``None`` and take the exact per-bit walk)."""
+        width = self._lut_bits
+        lut = [None] * (1 << width)
+        for (preflen, codeval), ln in self._decode_map.items():
+            if preflen <= width:
+                base = codeval << (width - preflen)
+                span = 1 << (width - preflen)
+                lut[base:base + span] = [ln] * span
+        self._lut = lut
 
     # -- validation (used by the standard tables + tests) ------------
 
@@ -191,17 +223,30 @@ class HuffTable:
     # -- decode ------------------------------------------------------
 
     def decode(self, br: BitReader):
-        length = 0
-        code = 0
-        dm = self._decode_map
-        while True:
-            code = (code << 1) | br.bit()
-            length += 1
-            ln = dm.get((length, code))
-            if ln is not None:
-                break
-            if length > 32:
-                raise JBIG2Error("Huffman prefix longer than any code")
+        lut = self._lut
+        if lut is None:
+            self._build_lut()
+            lut = self._lut
+        # One peek resolves any code up to _lut_bits long (the prefix
+        # property makes pad bits past the buffer end don't-cares);
+        # longer codes, unassigned prefixes and truncation fall back
+        # to the exact per-bit walk below, which reproduces the old
+        # reader's behavior bit for bit.
+        ln = lut[br.peek_pad(self._lut_bits)]
+        if ln is not None and br.pos + ln[0] <= br._nbits:
+            br.pos += ln[0]
+        else:
+            length = 0
+            code = 0
+            dm = self._decode_map
+            while True:
+                code = (code << 1) | br.bit()
+                length += 1
+                ln = dm.get((length, code))
+                if ln is not None:
+                    break
+                if length > 32:
+                    raise JBIG2Error("Huffman prefix longer than any code")
         preflen, rangelen, rangelow, kind = ln
         if kind == _OOBK:
             return OOB
