@@ -833,27 +833,41 @@ class _BitReader:
         self._stuff = ((self._stuff << 1) | st) & 0xFFFFFF
 
     def _fill_soft24(self) -> None:
-        """Batch-buffer bytes until >= 24 bits are available, stopping
-        silently at end-of-data or a marker — speculative peeks only."""
+        """Batch-buffer bytes until >= 56 bits are available, stopping
+        silently at end-of-data or a marker — speculative peeks only.
+        Runs without 0xFF (the overwhelmingly common case) are
+        consumed in one ``find`` + ``int.from_bytes`` shot, so the
+        per-coefficient refill in ``_block_seq`` amortizes to one
+        bulk copy per several symbols."""
         data = self.data
         ln = len(data)
         p = self.pos
         n = self._n
         acc = self._acc & ((1 << n) - 1)
         stuff = self._stuff
-        while n < 24:
+        while n < 56:
             if p >= ln:
                 break
-            b = data[p]
-            if b == 0xFF:
-                if p + 1 >= ln or data[p + 1] != 0x00:
-                    break
-                p += 2
-                stuff = (stuff << 1) | 1
-            else:
-                p += 1
-                stuff = stuff << 1
-            acc = (acc << 8) | b
+            q = p + ((56 - n + 7) >> 3)
+            if q > ln:
+                q = ln
+            f = data.find(0xFF, p, q)
+            if f != p:
+                if f < 0:
+                    f = q
+                m = f - p
+                acc = (acc << (m * 8)) | int.from_bytes(data[p:f], "big")
+                stuff <<= m
+                n += m * 8
+                p = f
+                continue
+            # data[p] == 0xFF: stuffed zero buffers as one 0xFF byte;
+            # a real marker (or a truncated FF) stops the fill
+            if p + 1 >= ln or data[p + 1] != 0x00:
+                break
+            p += 2
+            stuff = (stuff << 1) | 1
+            acc = (acc << 8) | 0xFF
             n += 8
         self.pos = p
         self._acc = acc
@@ -975,8 +989,9 @@ def _block_seq(br: _BitReader, dc_t, ac_t, prev_dc: int, zz) -> int:
     i = 1
     while i < 64:
         # fast path: symbol (<=9 bits) AND its magnitude bits served
-        # from the local accumulator in one go
-        if br._n < 20:
+        # from the local accumulator in one go (9 + 15 = 24 bits max,
+        # so >= 24 buffered bits guarantee it when the code is short)
+        if br._n < 24:
             br._fill_soft24()
         n = br._n
         acc = br._acc
