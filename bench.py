@@ -267,6 +267,15 @@ def main() -> None:
                     "loadavg_start": load_start,
                     "loadavg_end": _loadavg(),
                     "ncpus": os.cpu_count(),
+                    # Effective parallelism evidence (round-11 verdict
+                    # item 1): ncpus is the HOST core count; the knob
+                    # that actually governs the run is SPARK_GRAFT_CPUS
+                    # via master local[N]. Reporting all three lets a
+                    # low-core run be verified from the JSON alone.
+                    "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                    "master": spark.sparkContext.master,
+                    "default_parallelism": spark.sparkContext.defaultParallelism,
+                    "sf_dir": sf_dir,
                     "wall_runs": wall_runs,
                     "cpu_sec_best_run": cpu_best,
                     "quiet_window": quiet_info,
