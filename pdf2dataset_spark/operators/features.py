@@ -34,7 +34,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from typing import Any
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -358,6 +358,32 @@ def resolve_features(features: list[str | Feature]) -> list[Feature]:
     return out
 
 
+# Spark type → Arrow type for the flat feature-column types the
+# registry admits (schemas.PYARROW_TO_SPARK values). Used to declare
+# the mapInArrow batch schema explicitly — Spark requires the returned
+# RecordBatch types to match the declared output schema exactly.
+_SPARK_TO_ARROW: dict[type, pa.DataType] = {
+    T.StringType: pa.string(),
+    T.BinaryType: pa.binary(),
+    T.BooleanType: pa.bool_(),
+    T.ByteType: pa.int8(),
+    T.ShortType: pa.int16(),
+    T.IntegerType: pa.int32(),
+    T.LongType: pa.int64(),
+    T.FloatType: pa.float32(),
+    T.DoubleType: pa.float64(),
+    T.DateType: pa.date32(),
+    T.TimestampNTZType: pa.timestamp("us"),
+}
+
+
+def _arrow_type_for(dt: T.DataType) -> pa.DataType:
+    try:
+        return _SPARK_TO_ARROW[type(dt)]
+    except KeyError:  # pragma: no cover - defensive
+        raise ValueError(f"unsupported feature Spark type {dt}") from None
+
+
 def output_schema(features: list[Feature]) -> T.StructType:
     """Core schema (path, page) + declared feature columns + error."""
     fields = [
@@ -391,43 +417,63 @@ def extract_features(
     """
     feats = resolve_features(features)
     schema = output_schema(feats)
-    out_cols = [f.name for f in schema.fields]
     codec = codec or default_codec()
     lo, hi = page_range if page_range is not None else (1, None)
+    # mapInArrow (not mapInPandas): the input's binary payload column
+    # stays an Arrow buffer until sliced per document, and the output
+    # batch is assembled column-wise straight into Arrow arrays — no
+    # pandas block manager / Series-of-objects round-trip on either
+    # side of the boundary (guide §4.1/§4.2).
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _arrow_type_for(f.dataType), f.nullable)
+         for f in schema.fields]
+    )
+    feat_types = [_arrow_type_for(f.spark_type) for f in feats]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # Per-worker init happens here, once per Python worker process
         # (iterator-UDF pattern, SURVEY §2 H3) — e.g. OCR engine spin-up.
         codec.init_worker()
-        for pdf in batches:
-            rows: list[dict[str, Any]] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+        for batch in batches:
+            names = batch.schema.names
+            paths = batch.column(names.index("path")).to_pylist()
+            contents = batch.column(names.index("content")).to_pylist()
+            path_col: list[str] = []
+            page_col: list[int] = []
+            err_col: list[str | None] = []
+            feat_cols: list[list[Any]] = [[] for _ in feats]
+            for path, content in zip(paths, contents):
                 try:
                     handle = codec.open(bytes(content))
                     n_pages = codec.page_count(handle)
                 except Exception:
-                    rows.append(
-                        {
-                            "path": path,
-                            "page": ERROR_PAGE,
-                            "error": traceback.format_exc(),
-                        }
-                    )
+                    path_col.append(path)
+                    page_col.append(ERROR_PAGE)
+                    err_col.append(traceback.format_exc())
+                    for fc in feat_cols:
+                        fc.append(None)
                     continue
                 last = n_pages if hi is None else min(hi, n_pages)
                 for page in range(max(lo, 1), last + 1):
-                    row: dict[str, Any] = {"path": path, "page": page, "error": None}
+                    path_col.append(path)
+                    page_col.append(page)
+                    ctx = PageContext(
+                        path=path, page=page, codec=codec, handle=handle
+                    )
                     errs = []
-                    for f in feats:
-                        ctx = PageContext(path=path, page=page, codec=codec, handle=handle)
+                    for f, fc in zip(feats, feat_cols):
                         try:
-                            row[f.name] = f.fn(ctx)
+                            fc.append(f.fn(ctx))
                         except Exception:
-                            row[f.name] = None
+                            fc.append(None)
                             errs.append(traceback.format_exc())
-                    if errs:
-                        row["error"] = "\n".join(errs)
-                    rows.append(row)
-            yield pd.DataFrame(rows, columns=out_cols)
+                    err_col.append("\n".join(errs) if errs else None)
+            arrays = [
+                pa.array(path_col, type=pa.string()),
+                pa.array(page_col, type=pa.int32()),
+                *(pa.array(fc, type=t) for fc, t in zip(feat_cols, feat_types)),
+                pa.array(err_col, type=pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return manifest.mapInPandas(run, schema=schema)
+    return manifest.mapInArrow(run, schema=schema)
