@@ -44,6 +44,7 @@ import math
 import re
 import struct
 import zlib
+from bisect import bisect_left, bisect_right
 from dataclasses import dataclass
 from typing import Any
 
@@ -2583,6 +2584,19 @@ _WS_ELEM_RE = re.compile(
     rb"|(\]))"
 )
 
+#: a WHOLE simple TJ array body — only kern numbers and simple
+#: strings up to the closing ``]`` — validated in ONE C-level match;
+#: elements then lex via ``_WS_ELEM_RE.findall`` (two C scans total
+#: instead of one Python loop iteration per element). The element
+#: loop is POSSESSIVE (``*+``, atomic elements): on a non-simple
+#: array the match must fail in O(n), not backtrack into the 2^k
+#: ways a digit run could split across loop iterations.
+_TJ_ARR_FAST_RE = re.compile(
+    rb"(?:(?>[\x00\t\n\x0c\r ]*"
+    rb"(?:[+-]?(?:\d+\.\d*|\.\d+|\d+)|\([^\\()]*\))))*+"
+    rb"[\x00\t\n\x0c\r ]*\]"
+)
+
 
 def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
     """One DIRECT object value from a content stream.
@@ -2615,6 +2629,21 @@ def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
     if c == 0x5B:  # '['
         pos += 1
         arr: list = []
+        m = _TJ_ARR_FAST_RE.match(data, pos)
+        if m is not None:
+            # the whole array is numbers/simple strings: lex every
+            # element with one findall over the validated span. A
+            # number match always captures >= 1 byte, so an empty
+            # first group means a string element (possibly b"") or
+            # the closing bracket.
+            end = m.end()
+            append = arr.append
+            for tok, s, br in _WS_ELEM_RE.findall(data, pos, end):
+                if tok:
+                    append(float(tok) if b"." in tok else int(tok))
+                elif not br:
+                    append(s)
+            return arr, end
         elem_match = _WS_ELEM_RE.match
         append = arr.append
         while True:
@@ -2670,21 +2699,184 @@ def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
 _CTOK_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
     rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    # group 2: the REST of a ws-separated number run ("0 0 1 50 700"
+    # before Tm/cm/Td) — fused into the same C-level match, split out
+    # by findall only when non-empty. Atomic+possessive so a failed
+    # continuation can never re-split digits across iterations.
+    rb"((?:(?>[\x00\t\n\x0c\r ]+[+-]?(?:\d+\.\d*|\.\d+|\d+)))*+)"
     rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+.\-]"
     rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
 )
 
+#: bare numeric tokens inside an already-validated number run
+_NUM_FINDALL_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+
+
+#: ONE total tokenizer for content streams: every byte of a clean
+#: stream is consumed by exactly one alternative, so ``findall`` is a
+#: contiguous tokenization (group 7 catches any byte no other
+#: alternative starts, which flags the stream for the exact
+#: match-loop lexer). Ordered by corpus frequency after the
+#: first-char quick-fail alternatives.
+_CONTENT_TOKENS_RE = re.compile(
+    # the skip is POSSESSIVE: at EOF it must fail the whole match
+    # instead of backtracking trailing whitespace into the
+    # catch-all-byte group
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"
+    rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"  # 1 number
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"  # 2 name body
+    # 3 a WHOLE simple array (numbers + escape-free strings) — the TJ
+    #   shape — as one token; atomic+possessive so a non-simple array
+    #   fails in O(n) and falls to the bare '[' delimiter below
+    rb"|(\[(?:(?>[\x00\t\n\x0c\r ]*"
+    rb"(?:[+-]?(?:\d+\.\d*|\.\d+|\d+)|\([^\\()]*\))))*+"
+    rb"[\x00\t\n\x0c\r ]*\])"
+    # 4 flat literal string (escapes allowed, no nested parens)
+    rb"|(\((?:[^\\()]|\\[\s\S])*\))"
+    # 5 container delimiters and hex strings (hex digits + PDF ws
+    #   only — anything else must take the exact path to reproduce
+    #   its error behavior)
+    rb"|(<<|>>|\[|\]|<[0-9A-Fa-f\x00\t\n\x0c\r ]*>)"
+    # 6 operator / keyword
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+.\-]"
+    rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|([\s\S]))"  # 7 anomaly byte
+)
+
+
+def _lex_content_fast(
+    content: bytes, wanted: frozenset | None
+) -> list | None:
+    """Tokenize a clean content stream in two C passes (one findall,
+    one branch-dispatch loop) into the ``[(operator, operands), ...]``
+    list the generator yields. Returns ``None`` whenever ANYTHING
+    falls outside the clean-token grammar — ``BI`` inline images,
+    ``#``-escaped or empty names, nested-paren strings, stray bytes,
+    malformed containers — so the exact match-loop lexer reproduces
+    the historical behavior (including its exceptions) byte for
+    byte."""
+    ops: list = []
+    stack: list = []
+    cstack: list = []  # enclosing (container, kind) frames
+    cur = stack
+    ckind = -1  # -1 top level, 0 list, 1 dict item list
+    for num, name, arr, lit, delim, op, junk in \
+            _CONTENT_TOKENS_RE.findall(content):
+        if num:
+            cur.append(float(num) if b"." in num else int(num))
+        elif arr:
+            sub: list = []
+            sapp = sub.append
+            for tok, s, br in _WS_ELEM_RE.findall(arr, 1):
+                if tok:
+                    sapp(float(tok) if b"." in tok else int(tok))
+                elif not br:
+                    sapp(s)
+            cur.append(sub)
+        elif lit:
+            if 0x5C in lit:  # backslash: unescape on the span
+                try:
+                    v, end = _parse_literal_string(lit, 0)
+                except ValueError:
+                    return None
+                if end != len(lit):
+                    return None
+                cur.append(v)
+            else:
+                cur.append(lit[1:-1])
+        elif op:
+            if ckind >= 0:  # keyword VALUE inside a container
+                if op == b"true":
+                    cur.append(True)
+                elif op == b"false":
+                    cur.append(False)
+                elif op == b"null":
+                    cur.append(None)
+                else:
+                    return None
+            elif op == b"BI":  # inline image: binary follows
+                return None
+            elif wanted is None or op in wanted:
+                ops.append((op, stack))
+                cur = stack = []
+            else:
+                stack.clear()
+        elif name:
+            if 0x23 in name:  # '#xx' escape: exact decode path
+                return None
+            cur.append("/" + name.decode("latin-1"))
+        elif delim:
+            if delim == b"[":
+                cstack.append((cur, ckind))
+                cur = []
+                ckind = 0
+            elif delim == b"]":
+                if ckind == 0:
+                    closed = cur
+                    cur, ckind = cstack.pop()
+                    cur.append(closed)
+                elif ckind == 1:
+                    return None
+                # stray ']' at top level: skipped, as the exact
+                # lexer's stray-delimiter branch does
+            elif delim == b"<<":
+                cstack.append((cur, ckind))
+                cur = []
+                ckind = 1
+            elif delim == b">>":
+                if ckind == 1:
+                    items = cur
+                    cur, ckind = cstack.pop()
+                    if len(items) % 2:
+                        return None
+                    d: dict = {}
+                    for i in range(0, len(items), 2):
+                        k = items[i]
+                        if type(k) is not str:
+                            return None
+                        d[k] = items[i + 1]
+                    cur.append(d)
+                elif ckind == 0:
+                    return None
+                # stray '>>' at top level: skipped
+            else:  # hex string
+                hx = bytes(
+                    c for c in delim[1:-1] if c not in _WS
+                ).decode("ascii")
+                if len(hx) % 2:
+                    hx += "0"
+                cur.append(bytes.fromhex(hx))
+        else:  # anomaly byte (or empty name '/')
+            return None
+    if ckind >= 0:  # unterminated container
+        return None
+    return ops
+
 
 def _iter_content_ops(content: bytes, wanted: frozenset | None = None):
     """Lex a content stream into ``(operator, operands)`` pairs —
     the shared front end of :func:`content_text` (stream order) and
-    :func:`content_text_layout` (reading order). Inline images
-    (``BI``..``EI``) are skipped without lexing their binary data.
-    ``wanted`` filters the yields to that operator set (operands of
-    skipped ops are still lexed and cleared, exactly as if the
-    consumer had ignored the yield) — path/color ops never pay the
-    generator round-trip."""
+    :func:`content_text_layout` (reading order). Clean streams take
+    :func:`_lex_content_fast`; anything unusual delegates to the
+    exact match-loop lexer below, whose behavior (down to its
+    exceptions on malformed input) is the contract."""
+    ops = _lex_content_fast(content, wanted)
+    if ops is None:
+        yield from _iter_content_ops_matchloop(content, wanted)
+    else:
+        yield from ops
+
+
+def _iter_content_ops_matchloop(
+    content: bytes, wanted: frozenset | None = None
+):
+    """The exact (historical) lexer: one match per token. Inline
+    images (``BI``..``EI``) are skipped without lexing their binary
+    data. ``wanted`` filters the yields to that operator set
+    (operands of skipped ops are still lexed and cleared, exactly as
+    if the consumer had ignored the yield) — path/color ops never pay
+    the generator round-trip."""
     pos, n = 0, len(content)
     stack: list[Any] = []
     append = stack.append
@@ -2693,20 +2885,22 @@ def _iter_content_ops(content: bytes, wanted: frozenset | None = None):
         m = match_tok(content, pos)
         if m is not None:
             pos = m.end()
-            gi = m.lastindex
-            if gi == 1:  # number
-                tok = m.group(1)
+            # one C call for all four groups beats lastindex + a
+            # second group() lookup on every token
+            tok, rest, body, op = m.group(1, 2, 3, 4)
+            if tok is not None:  # number (possibly a fused run)
                 append(float(tok) if b"." in tok else int(tok))
+                if rest:
+                    for tok in _NUM_FINDALL_RE.findall(rest):
+                        append(float(tok) if b"." in tok else int(tok))
                 continue
-            if gi == 2:  # name
-                body = m.group(2)
+            if op is None:  # name
                 if 0x23 in body:  # '#xx' escape: exact decode
-                    v, pos = _parse_name(content, m.start(2) - 1)
+                    v, pos = _parse_name(content, m.start(3) - 1)
                     append(v)
                 else:
                     append("/" + body.decode("latin-1"))
                 continue
-            op = m.group(3)
             if op == b"BI":
                 # inline image: skip to EI to avoid lexing binary data
                 e = content.find(b"EI", pos)
@@ -3045,12 +3239,35 @@ def _text_runs(
             / 100.0
         )
 
+    # frame cache: (a, b, c, d, size, xscale) of the text rendering
+    # matrix depend only on tm's a..d, the ctm and tfs — all of which
+    # change orders of magnitude less often than shows happen (Tm/cm
+    # vs one show per TJ). Keyed by identity/value compare, recomputed
+    # on miss; e/f (the origin) are recomputed per show from tm's
+    # translation row.
+    fr_key: tuple | None = None
+    fr_ctm: tuple | None = None
+    fr_val = (0.0, 0.0, 0.0, 1.0, 12.0, 1.0)
+    hypot = math.hypot
+
     def show(raw: bytes, parts: list | None = None) -> None:
-        nonlocal tm
-        trm = _mat_mul(tm, ctm)
-        a, b, c, d, e, f = trm
-        size = tfs * math.hypot(c, d)
-        xscale = math.hypot(a, b) or 1.0
+        nonlocal tm, fr_key, fr_ctm, fr_val
+        tm0, tm1, tm2, tm3, tm4, tm5 = tm
+        ca, cb, cc, cd, ce, cf = ctm
+        if ctm is fr_ctm and fr_key == (tm0, tm1, tm2, tm3, tfs):
+            a, b, c, d, size, xscale = fr_val
+        else:
+            a = tm0 * ca + tm1 * cc
+            b = tm0 * cb + tm1 * cd
+            c = tm2 * ca + tm3 * cc
+            d = tm2 * cb + tm3 * cd
+            size = tfs * hypot(c, d)
+            xscale = hypot(a, b) or 1.0
+            fr_ctm = ctm
+            fr_key = (tm0, tm1, tm2, tm3, tfs)
+            fr_val = (a, b, c, d, size, xscale)
+        e = tm4 * ca + tm5 * cc + ce
+        f = tm4 * cb + tm5 * cd + cf
         cmap = cur_cmap
         vertical = cmap is not None and cmap[0] == "vert"
         if vertical:
@@ -3068,6 +3285,38 @@ def _text_runs(
         trans = cmap[2] if cmap is not None and len(cmap) == 3 else None
         texts: list[str] = []
         adv = 0.0
+        if t3 is None and not vertical:
+            # hot path (no Type3, horizontal): all text state into
+            # locals (closure cell loads per element add up over long
+            # TJ arrays), expression shapes kept bit-identical
+            l_tc = tc
+            l_tw = tw
+            l_tz = tz
+            l_tfs = tfs
+            em_tfs = _EST_CHAR_EM * l_tfs
+            neg_wb = -_TJ_WORD_BREAK
+            t_append = texts.append
+            for el in parts:
+                if type(el) is bytes:
+                    s = (
+                        el.decode("latin-1").translate(trans)
+                        if trans is not None
+                        else _decode_shown(el, cmap)
+                    )
+                    t_append(s)
+                    nch = len(s)
+                    adv += (
+                        (em_tfs * nch + l_tc * nch
+                         + l_tw * s.count(" "))
+                        * l_tz
+                        / 100.0
+                    )
+                elif isinstance(el, (int, float)):
+                    adv += -el / 1000.0 * l_tfs * l_tz / 100.0
+                    if el <= neg_wb and texts \
+                            and not texts[-1].endswith(" "):
+                        t_append(" ")
+            parts = ()
         for el in parts:
             if isinstance(el, bytes):
                 s = (
@@ -3142,9 +3391,10 @@ def _text_runs(
             # it — _reading_frame rotates (x, y) and re-derives the
             # end from the length, so pre-rotation x_end need not be
             # a device x
-            yscale = math.hypot(c, d) or 1.0
+            yscale = hypot(c, d) or 1.0
             if oc_depth > 0:  # hidden layer: advance, never emit
-                tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
+                tm = (tm0, tm1, tm2, tm3,
+                      tm4 - adv * tm2, tm5 - adv * tm3)
                 return
             runs.append(
                 {
@@ -3160,10 +3410,12 @@ def _text_runs(
                     "artifact": art_depth > 0,
                 }
             )
-            tm = _mat_mul((1, 0, 0, 1, 0.0, -adv), tm)
+            tm = (tm0, tm1, tm2, tm3,
+                  tm4 - adv * tm2, tm5 - adv * tm3)
             return
         if oc_depth > 0:  # hidden layer: advance, never emit
-            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+            tm = (tm0, tm1, tm2, tm3,
+                  tm4 + adv * tm0, tm5 + adv * tm1)
             return
         runs.append(
             {
@@ -3181,7 +3433,8 @@ def _text_runs(
                 "artifact": art_depth > 0,
             }
         )
-        tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+        tm = (tm0, tm1, tm2, tm3,
+              tm4 + adv * tm0, tm5 + adv * tm1)
 
     def finalize_scope() -> None:
         """Close the active /ActualText scope: replace every run it
@@ -3631,23 +3884,41 @@ def _emit_lines(runs: list[dict]) -> list[list[dict]]:
     at (nearly) the same position as another on its line — the
     fake-bold double-draw — is emitted once."""
     lines: list[list[dict]] = []
+    # each new line's head y is <= every existing head (runs arrive
+    # y-descending), so heads are non-increasing and the candidate
+    # lines for a run — |head_y - y| <= 0.5*min(head_size, size) <=
+    # 0.5*size — live in a bisect window of the (negated, ascending)
+    # head list instead of a full scan. First match in CREATION
+    # order wins, exactly as the full scan did.
+    neg_heads: list[float] = []
     for r in sorted(runs, key=lambda r: (-r["y"], r["x"])):
-        for line in lines:
-            if abs(line[0]["y"] - r["y"]) <= 0.5 * min(line[0]["size"], r["size"]):
+        ry = r["y"]
+        rs = r["size"]
+        lo = bisect_left(neg_heads, -ry - 0.5 * rs)
+        hi = bisect_right(neg_heads, -ry + 0.5 * rs)
+        for li in range(lo, hi):
+            line = lines[li]
+            head = line[0]
+            if abs(head["y"] - ry) <= 0.5 * min(head["size"], rs):
                 # overprint radius is TIGHT in y too (~0.15 em, the
                 # fake-bold offset scale) — the line-grouping
                 # tolerance above is far wider, and identical values
                 # on nearby but distinct baselines are real data
-                if not any(
-                    p["text"] == r["text"]
-                    and abs(p["x"] - r["x"]) <= 0.15 * r["size"]
-                    and abs(p["y"] - r["y"]) <= 0.15 * r["size"]
-                    for p in line
-                ):
+                rt = r["text"]
+                rx = r["x"]
+                for p in line:
+                    if (
+                        p["text"] == rt
+                        and abs(p["x"] - rx) <= 0.15 * rs
+                        and abs(p["y"] - ry) <= 0.15 * rs
+                    ):
+                        break
+                else:
                     line.append(r)
                 break
         else:
             lines.append([r])
+            neg_heads.append(-ry)
     for line in lines:
         line.sort(key=lambda r: r["x"])
     lines.sort(key=lambda ln: -ln[0]["y"])
