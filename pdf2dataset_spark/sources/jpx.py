@@ -409,6 +409,28 @@ class TagTreeEncoder:
 # =====================================================================
 
 # significance-coding context tables: (H, V, D) -> context 0..8
+#: strip-scan-order flat-index arrays per code-block shape: iterating
+#: the array visits pixels in the EBCOT order (4-row strips, columns
+#: within a strip, rows within a column)
+_STRIP_ORDER_CACHE: dict = {}
+
+
+def _strip_order(w: int, h: int):
+    key = (w, h)
+    o = _STRIP_ORDER_CACHE.get(key)
+    if o is None:
+        import numpy as np
+
+        idx = np.arange(w * h, dtype=np.intp).reshape(h, w)
+        o = np.concatenate(
+            [idx[ys:ys + 4].T.ravel() for ys in range(0, h, 4)]
+        )
+        if len(_STRIP_ORDER_CACHE) > 64:
+            _STRIP_ORDER_CACHE.clear()
+        _STRIP_ORDER_CACHE[key] = o
+    return o
+
+
 def _sig_ctx(h: int, v: int, d: int, band: str) -> int:
     if band == "HL":  # transpose
         h, v = v, h
@@ -1017,10 +1039,11 @@ def decode_codeblock(
     refined = bytearray(size)
     sign = bytearray(size)
     mag = [0] * size
-    nbr = bytearray(size)  # significant neighbors among the 8
-    hcn = bytearray(size)  # significant horizontal (left/right) nbrs
-    vcn = bytearray(size)  # significant vertical (up/down) nbrs
-    dcn = bytearray(size)  # significant diagonal nbrs
+    # ONE precombined significance-context index per pixel:
+    # horizontal neighbors weigh 15, vertical 5, diagonal 1 — exactly
+    # the old hcn*15 + vcn*5 + dcn LUT index (max 2*15+2*5+4 = 44),
+    # and nonzero iff the old nbr count was nonzero
+    cidx = bytearray(size)
     # mirror the old per-band branch exactly: anything that is not
     # HL/HH classifies as the no-swap (LL/LH) table
     sig_lut = (
@@ -1122,59 +1145,113 @@ def decode_codeblock(
         sign[i] = mq(cx[sctx]) ^ xor
         mag[i] |= plane_bit
         sig[i] = 1
-        # bump neighbor significance counts (the rare event): the
-        # total (scan-skip predicate) plus the h/v/d split that
-        # indexes the significance-context LUT
+        # bump neighbor significance-context indexes (the rare
+        # event): h neighbors +15, v +5, d +1 — one array carries
+        # both the scan-skip predicate (nonzero) and the LUT index
         y0 = y > 0
         y1 = y < h - 1
         x0 = x > 0
         x1 = x < w - 1
         if x0:
-            nbr[i - 1] += 1
-            hcn[i - 1] += 1
+            cidx[i - 1] += 15
         if x1:
-            nbr[i + 1] += 1
-            hcn[i + 1] += 1
+            cidx[i + 1] += 15
         if y0:
-            nbr[i - w] += 1
-            vcn[i - w] += 1
+            cidx[i - w] += 5
             if x0:
-                nbr[i - w - 1] += 1
-                dcn[i - w - 1] += 1
+                cidx[i - w - 1] += 1
             if x1:
-                nbr[i - w + 1] += 1
-                dcn[i - w + 1] += 1
+                cidx[i - w + 1] += 1
         if y1:
-            nbr[i + w] += 1
-            vcn[i + w] += 1
+            cidx[i + w] += 5
             if x0:
-                nbr[i + w - 1] += 1
-                dcn[i + w - 1] += 1
+                cidx[i + w - 1] += 1
             if x1:
-                nbr[i + w + 1] += 1
-                dcn[i + w + 1] += 1
+                cidx[i + w + 1] += 1
 
     zeros = bytes(size)
+    # numpy snapshot walkers (exact; see each pass) only pay off when
+    # the per-pixel Python scan they replace is long enough
+    if size >= 1024:
+        import numpy as np
+
+        sig_np = np.frombuffer(sig, dtype=np.uint8)
+        vis_np = np.frombuffer(visited, dtype=np.uint8)
+        ref_np = np.frombuffer(refined, dtype=np.uint8)
+        cidx_np = np.frombuffer(cidx, dtype=np.uint8)
+        order = _strip_order(w, h)
+    else:
+        np = None
     plane = nplanes - 1
     p = 0
     while p < npasses and plane >= 0:
         plane_bit = 1 << plane
         if p > 0:
             # ---- significance propagation pass ----
-            for ys in range(0, h, 4):
-                ye = ys + 4 if ys + 4 <= h else h
-                base = ys * w
-                for x in range(w):
-                    i = base + x
-                    for y in range(ys, ye):
-                        if sig[i] or not nbr[i]:
-                            i += w
-                            continue
+            if np is not None:
+                # per-strip snapshot: eligibility (not sig, has sig
+                # neighbors) can only be GAINED during the pass, and
+                # only by neighbors of a became-significant event —
+                # so the snapshot is exact up to the first event that
+                # decodes 1, after which the remainder of the strip
+                # runs the per-pixel live loop. Strips snapshot
+                # lazily (after all earlier strips), so cross-strip
+                # effects are always visible.
+                for ys in range(0, h, 4):
+                    ye = ys + 4 if ys + 4 <= h else h
+                    seg_el = (
+                        (sig_np[ys * w:ye * w] == 0)
+                        & (cidx_np[ys * w:ye * w] != 0)
+                    )
+                    if not seg_el.any():
+                        continue
+                    xs_i, rys_i = np.nonzero(
+                        seg_el.reshape(ye - ys, w).T
+                    )
+                    ev_x = ev_y = -1
+                    for x, ry in zip(xs_i.tolist(), rys_i.tolist()):
+                        y = ys + ry
+                        i = y * w + x
                         visited[i] = 1
-                        if mq(cx[sig_lut[
-                            hcn[i] * 15 + vcn[i] * 5 + dcn[i]]]):
+                        if mq(cx[sig_lut[cidx[i]]]):
                             decode_sign_and_set(i, x, y, plane_bit)
-                        i += w
+                            ev_x, ev_y = x, y
+                            break
+                    if ev_x < 0:
+                        continue
+                    # exact live remainder: rest of the event column,
+                    # then the remaining columns of the strip
+                    x = ev_x
+                    y = ev_y + 1
+                    i = y * w + x
+                    while True:
+                        while y < ye:
+                            if not sig[i] and cidx[i]:
+                                visited[i] = 1
+                                if mq(cx[sig_lut[cidx[i]]]):
+                                    decode_sign_and_set(
+                                        i, x, y, plane_bit)
+                            y += 1
+                            i += w
+                        x += 1
+                        if x >= w:
+                            break
+                        y = ys
+                        i = ys * w + x
+            else:
+                for ys in range(0, h, 4):
+                    ye = ys + 4 if ys + 4 <= h else h
+                    base = ys * w
+                    for x in range(w):
+                        i = base + x
+                        for y in range(ys, ye):
+                            if sig[i] or not cidx[i]:
+                                i += w
+                                continue
+                            visited[i] = 1
+                            if mq(cx[sig_lut[cidx[i]]]):
+                                decode_sign_and_set(i, x, y, plane_bit)
+                            i += w
             p += 1
             if p >= npasses:
                 break
@@ -1184,79 +1261,163 @@ def decode_codeblock(
             ctx14 = cx[_CTX_MR_FIRST]
             ctx15 = cx[_CTX_MR_FIRST_NBR]
             ctx16 = cx[_CTX_MR_LATER]
-            for ys in range(0, h, 4):
-                ye = ys + 4 if ys + 4 <= h else h
-                base = ys * w
-                for x in range(w):
-                    i = base + x
-                    for y in range(ys, ye):
-                        if not sig[i] or visited[i]:
-                            i += w
-                            continue
-                        if refined[i]:
-                            state = ctx16
-                        else:
-                            state = ctx15 if nbr[i] else ctx14
-                        # -- inlined MQ DECODE --
+            if np is not None:
+                # the refinement pass decodes exactly the significant,
+                # not-yet-visited coefficients and NOTHING becomes
+                # significant during it — candidate set and context
+                # classes are frozen for the whole pass, so one numpy
+                # snapshot in strip order replaces the per-pixel scan
+                mr_mask = (sig_np != 0) & (vis_np == 0)
+                if mr_mask.any():
+                    cand = order[mr_mask[order]]
+                    cls = np.where(
+                        ref_np[cand] != 0, 2,
+                        (cidx_np[cand] != 0).astype(np.int8),
+                    )
+                    ctx_by = (ctx14, ctx15, ctx16)
+                    # every name this loop touches is hoisted out of
+                    # its closure cell into a plain local (mq() and
+                    # decode_sign_and_set are never called here, so
+                    # the registers are exclusively ours), written
+                    # back once at the end of the pass
+                    l_a, l_c, l_ct, l_bp = a_reg, c_reg, ct, bp
+                    l_data, l_nd, l_mag = data, ndata, mag
+                    l_qq, l_q16 = qe_q, qe_q16
+                    l_nm, l_nl, l_sw = qe_nmps, qe_nlps, qe_sw
+                    for i, k in zip(cand.tolist(), cls.tolist()):
+                        state = ctx_by[k]
+                        # -- inlined MQ DECODE (same as below) --
                         i_st = state[0]
-                        qe = qe_q[i_st]
-                        qe16 = qe_q16[i_st]
-                        a_reg -= qe
-                        if c_reg < qe16:  # == Chigh < Qe
-                            if a_reg < qe:
+                        qe = l_qq[i_st]
+                        qe16 = l_q16[i_st]
+                        l_a -= qe
+                        if l_c < qe16:  # == Chigh < Qe
+                            if l_a < qe:
                                 bit = state[1]
-                                state[0] = qe_nmps[i_st]
+                                state[0] = l_nm[i_st]
                             else:
                                 bit = 1 - state[1]
-                                if qe_sw[i_st]:
+                                if l_sw[i_st]:
                                     state[1] = bit
-                                state[0] = qe_nlps[i_st]
-                            a_reg = qe
-                            renorm = True
+                                state[0] = l_nl[i_st]
+                            l_a = qe
                         else:
-                            c_reg -= qe16  # c >= qe16 here
-                            if a_reg & 0x8000:
-                                bit = state[1]
-                                renorm = False
+                            l_c -= qe16  # c >= qe16 here
+                            if l_a & 0x8000:
+                                if bit := state[1]:
+                                    l_mag[i] |= plane_bit
+                                continue
+                            if l_a < qe:
+                                bit = 1 - state[1]
+                                if l_sw[i_st]:
+                                    state[1] = bit
+                                state[0] = l_nl[i_st]
                             else:
+                                bit = state[1]
+                                state[0] = l_nm[i_st]
+                        while True:
+                            if l_ct == 0:
+                                bb = (l_data[l_bp]
+                                      if l_bp < l_nd else 0xFF)
+                                bb1 = (l_data[l_bp + 1]
+                                       if l_bp + 1 < l_nd else 0xFF)
+                                if bb == 0xFF:
+                                    if bb1 > 0x8F:
+                                        l_c += 0xFF00
+                                        l_ct = 8
+                                    else:
+                                        l_bp += 1
+                                        l_c += bb1 << 9
+                                        l_ct = 7
+                                else:
+                                    l_bp += 1
+                                    l_c += bb1 << 8
+                                    l_ct = 8
+                            l_a = (l_a << 1) & 0xFFFF
+                            l_c = (l_c << 1) & 0xFFFFFFFF
+                            l_ct -= 1
+                            if l_a & 0x8000:
+                                break
+                        # -----------------------
+                        if bit:
+                            l_mag[i] |= plane_bit
+                    a_reg, c_reg, ct, bp = l_a, l_c, l_ct, l_bp
+                    ref_np[cand] = 1
+                    vis_np[cand] = 1
+            else:
+                for ys in range(0, h, 4):
+                    ye = ys + 4 if ys + 4 <= h else h
+                    base = ys * w
+                    for x in range(w):
+                        i = base + x
+                        for y in range(ys, ye):
+                            if not sig[i] or visited[i]:
+                                i += w
+                                continue
+                            if refined[i]:
+                                state = ctx16
+                            else:
+                                state = ctx15 if cidx[i] else ctx14
+                            # -- inlined MQ DECODE --
+                            i_st = state[0]
+                            qe = qe_q[i_st]
+                            qe16 = qe_q16[i_st]
+                            a_reg -= qe
+                            if c_reg < qe16:  # == Chigh < Qe
                                 if a_reg < qe:
+                                    bit = state[1]
+                                    state[0] = qe_nmps[i_st]
+                                else:
                                     bit = 1 - state[1]
                                     if qe_sw[i_st]:
                                         state[1] = bit
                                     state[0] = qe_nlps[i_st]
-                                else:
-                                    bit = state[1]
-                                    state[0] = qe_nmps[i_st]
+                                a_reg = qe
                                 renorm = True
-                        if renorm:
-                            while True:
-                                if ct == 0:
-                                    bb = data[bp] if bp < ndata else 0xFF
-                                    bb1 = (data[bp + 1]
-                                           if bp + 1 < ndata else 0xFF)
-                                    if bb == 0xFF:
-                                        if bb1 > 0x8F:
-                                            c_reg += 0xFF00
-                                            ct = 8
+                            else:
+                                c_reg -= qe16  # c >= qe16 here
+                                if a_reg & 0x8000:
+                                    bit = state[1]
+                                    renorm = False
+                                else:
+                                    if a_reg < qe:
+                                        bit = 1 - state[1]
+                                        if qe_sw[i_st]:
+                                            state[1] = bit
+                                        state[0] = qe_nlps[i_st]
+                                    else:
+                                        bit = state[1]
+                                        state[0] = qe_nmps[i_st]
+                                    renorm = True
+                            if renorm:
+                                while True:
+                                    if ct == 0:
+                                        bb = data[bp] if bp < ndata else 0xFF
+                                        bb1 = (data[bp + 1]
+                                               if bp + 1 < ndata else 0xFF)
+                                        if bb == 0xFF:
+                                            if bb1 > 0x8F:
+                                                c_reg += 0xFF00
+                                                ct = 8
+                                            else:
+                                                bp += 1
+                                                c_reg += bb1 << 9
+                                                ct = 7
                                         else:
                                             bp += 1
-                                            c_reg += bb1 << 9
-                                            ct = 7
-                                    else:
-                                        bp += 1
-                                        c_reg += bb1 << 8
-                                        ct = 8
-                                a_reg = (a_reg << 1) & 0xFFFF
-                                c_reg = (c_reg << 1) & 0xFFFFFFFF
-                                ct -= 1
-                                if a_reg & 0x8000:
-                                    break
-                        # -----------------------
-                        if bit:
-                            mag[i] |= plane_bit
-                        refined[i] = 1
-                        visited[i] = 1
-                        i += w
+                                            c_reg += bb1 << 8
+                                            ct = 8
+                                    a_reg = (a_reg << 1) & 0xFFFF
+                                    c_reg = (c_reg << 1) & 0xFFFFFFFF
+                                    ct -= 1
+                                    if a_reg & 0x8000:
+                                        break
+                            # -----------------------
+                            if bit:
+                                mag[i] |= plane_bit
+                            refined[i] = 1
+                            visited[i] = 1
+                            i += w
             p += 1
             if p >= npasses:
                 break
@@ -1266,31 +1427,70 @@ def decode_codeblock(
         for ys in range(0, h, 4):
             full = ys + 4 <= h
             ye = ys + 4 if full else h
+            event = False
+            skip_l = quiet_l = None
+            if np is not None and full:
+                # strip snapshot: a column whose four pixels are all
+                # visited|significant consumes NO decisions — that
+                # only grows during the pass, so skip flags stay
+                # exact across events. Run-mode (quiet) flags are
+                # exact only until the first became-significant
+                # event; after one, quietness re-checks live.
+                s0 = ys * w
+                occ = vis_np[s0:s0 + 4 * w] | sig_np[s0:s0 + 4 * w]
+                occ4 = occ.reshape(4, w)
+                col_skip = occ4.min(axis=0) != 0
+                if col_skip.all():
+                    continue
+                skip_l = col_skip.tolist()
+                quiet_l = (
+                    ((occ | cidx_np[s0:s0 + 4 * w]).reshape(4, w)
+                     .max(axis=0) == 0).tolist()
+                )
             for x in range(w):
                 y = ys
                 if full:
                     i0 = ys * w + x
-                    if not (
-                        visited[i0] or sig[i0] or nbr[i0]
-                        or visited[i0 + w] or sig[i0 + w] or nbr[i0 + w]
-                        or visited[i0 + 2 * w] or sig[i0 + 2 * w]
-                        or nbr[i0 + 2 * w]
-                        or visited[i0 + 3 * w] or sig[i0 + 3 * w]
-                        or nbr[i0 + 3 * w]
-                    ):
+                    if skip_l is not None:
+                        if skip_l[x]:
+                            continue
+                        if event:
+                            qcol = not (
+                                visited[i0] or sig[i0] or cidx[i0]
+                                or visited[i0 + w] or sig[i0 + w]
+                                or cidx[i0 + w]
+                                or visited[i0 + 2 * w]
+                                or sig[i0 + 2 * w] or cidx[i0 + 2 * w]
+                                or visited[i0 + 3 * w]
+                                or sig[i0 + 3 * w] or cidx[i0 + 3 * w]
+                            )
+                        else:
+                            qcol = quiet_l[x]
+                    else:
+                        qcol = not (
+                            visited[i0] or sig[i0] or cidx[i0]
+                            or visited[i0 + w] or sig[i0 + w]
+                            or cidx[i0 + w]
+                            or visited[i0 + 2 * w] or sig[i0 + 2 * w]
+                            or cidx[i0 + 2 * w]
+                            or visited[i0 + 3 * w] or sig[i0 + 3 * w]
+                            or cidx[i0 + 3 * w]
+                        )
+                    if qcol:
                         if not mq(run_state):
                             continue  # whole column stays insignificant
                         r = (mq(uni_state) << 1) | mq(uni_state)
                         y = ys + r
                         i = y * w + x
                         decode_sign_and_set(i, x, y, plane_bit)
+                        event = True
                         y += 1
                 i = y * w + x
                 while y < ye:
                     if not (visited[i] or sig[i]):
-                        if mq(cx[sig_lut[
-                            hcn[i] * 15 + vcn[i] * 5 + dcn[i]]]):
+                        if mq(cx[sig_lut[cidx[i]]]):
                             decode_sign_and_set(i, x, y, plane_bit)
+                            event = True
                     y += 1
                     i += w
         visited[:] = zeros  # C-level clear (was a size-long loop)
