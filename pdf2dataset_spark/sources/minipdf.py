@@ -2861,6 +2861,13 @@ def _iter_content_ops(content: bytes, wanted: frozenset | None = None):
     :func:`_lex_content_fast`; anything unusual delegates to the
     exact match-loop lexer below, whose behavior (down to its
     exceptions on malformed input) is the contract."""
+    # tiny streams (a heading page, a stamp) lex cheaper through the
+    # match loop: the findall pass has per-call fixed cost (token
+    # tuple list, container bookkeeping) that only pays off once a
+    # stream carries a few dozen tokens
+    if len(content) < 1024:
+        yield from _iter_content_ops_matchloop(content, wanted)
+        return
     ops = _lex_content_fast(content, wanted)
     if ops is None:
         yield from _iter_content_ops_matchloop(content, wanted)
