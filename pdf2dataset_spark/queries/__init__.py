@@ -83,67 +83,39 @@ _LOADED = False
 #: query here when this round's diffs touch code it executes, so every
 #: change lands with fresh driver evidence. Reset each round.
 TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 11 — NEW: RTL/bidi logical-order + /Identity-V vertical
-    # writing (UAX #9 subset in the layout line assembler)
-    "a39_rtl_extract",
-    # round 11 — NEW: multi-generation incremental updates +
-    # truncated-tail recovery (append_update fixture twin)
-    "a40_incremental_update_extract",
-    # round 11 — NEW: /ActualText marked-content replacement +
-    # Tr invisible-text handling + hidden_text_rate curation feature
-    "a41_actualtext_hidden_extract",
-    # round 11 — NEW: /Artifact pagination tagging + dehyphenating
-    # paragraph reflow (body_paragraphs / artifact_text_rate)
-    "a42_artifact_body_extract",
-    # round 11 — NEW: optional-content (OCG/OCMD) default-visibility
-    # suppression in both walkers + page_forms
-    "a43_ocg_layer_extract",
-    # round 11 — NEW: /Indexed palette image decode (1/2/4/8-bit
-    # packed indices through gray/RGB/CMYK-base lookup tables)
+    # round 12 — a19's environment-sensitive CMYK payload golden
+    # re-pinned to the value this runtime reproducibly measures
+    "a19_color_image_extract",
+    # round 12 — the fused extraction pass now runs through
+    # mapInArrow (column-wise Arrow batch assembly, typed feature
+    # columns); a0 pins the manifest plan law, a45/a46 the
+    # int/bool/double metadata columns, a18/a44 binary payloads
+    "a0_extract_pipeline",
+    "a18_embedded_image_extract",
     "a44_indexed_image_extract",
-    # round 11 — NEW: ISO-8601 date normalization + XMP metadata
-    # fallback (creation_date/mod_date features, doc_info merge)
     "a45_metadata_extract",
-    # round 11 — NEW: structural doc profile facets (version,
-    # linearized, tagged, encrypted, has_xmp)
     "a46_doc_profile_extract",
-    # round 11 — paragraph reflow gained dehyphenation (a30 pins the
-    # unhyphenated golden stays byte-identical)
-    "a30_paragraph_extract",
-    # round 11 — the bidi pass and the tightened (center-coincident)
-    # TeX \copyright overlay rule run inside EVERY layout-text
-    # extraction; a5/a38 pin the authored + real-world goldens
+    # round 12 — findall total tokenizer for clean content streams +
+    # show()/_emit_lines fast paths run inside EVERY text extraction;
+    # these pin the authored, real-world, RTL, CID, encrypted,
+    # ActualText/artifact/OCG and paragraph goldens over that path
     "a5_pdf_extract",
     "a38_realworld_extract",
-    # round 11 — Type0 decode-map lookup hoisted (_type0_decode_map,
-    # H+V shared; a17 pins the CID families)
+    "a39_rtl_extract",
+    "a30_paragraph_extract",
     "a17_cid_font_extract",
-    # round 11 — JPX: scaling-based rectangle ROI (T.801 Srgn=1,
-    # a26 roi.pdf), canvas offsets x component subsampling (a27
-    # oddycc.pdf), B-16 zero-precinct empty resolutions
-    "a26_jpx_image_extract",
-    "a27_lossy_jpx_extract",
-    # round 11 — NEW curation operators: Gopher repetition signals
-    # + benchmark decontamination (broadcast bench side)
-    "f45_gopher_repetition",
-    "f46_decontamination",
-    # round 11 — NEW: CCNet-style paragraph-hash boilerplate removal
-    # (dedup.remove_boilerplate; digit-stripped normalization)
-    "f47_boilerplate_removal",
-    # round 11 OPTIMIZATION phase — content-stream lexer fast paths +
-    # per-font decode-map caching run inside EVERY extraction query
-    # (a5/a38/a17/a30/a39 above already rotate; a0 covers the
-    # Arrow-shipped, bytes-partitioned in-memory manifest source)
-    "a0_extract_pipeline",
     "a16_encrypted_pdf_extract",
     "a22_embedded_font_cmap_extract",
-    # round 11 OPTIMIZATION phase — bounded-keyspace ORDER BY via
-    # _util.ordered_small (single-partition exchange replaces the
-    # range-sampling sort; rows + order proven identical)
-    "c1_pricing_summary",
-    "c3_count_distinct",
-    "d2_broadcast_part_join",
-    "d11_star_join_revenue",
+    "a29_word_boxes_extract",
+    "a40_incremental_update_extract",
+    "a41_actualtext_hidden_extract",
+    "a42_artifact_body_extract",
+    "a43_ocg_layer_extract",
+    # round 12 — JPX tier-1 pass walkers rebuilt on numpy snapshots
+    # with the MQ decode inlined (decode_codeblock); a26/a27 pin the
+    # lossless/lossy/ROI/subsampled families
+    "a26_jpx_image_extract",
+    "a27_lossy_jpx_extract",
 )
 
 #: Driver-window size: the verification driver emits CORRECTNESS rows
