@@ -281,7 +281,13 @@ def _read_run(bits: _Bits, table: dict, color_name: str) -> int:
     13-bit peek against the dense LUT; the per-bit walk's truncation
     error is re-created whenever a match (or the 14-bit invalid-code
     read) would cross the stream end."""
-    lut = _WHITE_LUT if table is _WHITE_DEC else _BLACK_LUT
+    if table is _WHITE_DEC:
+        lut = _WHITE_LUT
+    else:
+        # fail loudly if a future caller passes some third table —
+        # decoding it with the black LUT would produce silent garbage
+        assert table is _BLACK_DEC, "unknown CCITT run table"
+        lut = _BLACK_LUT
     nbits = bits.nbits
     total = 0
     while True:

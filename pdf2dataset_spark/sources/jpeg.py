@@ -809,7 +809,9 @@ class _BitReader:
         self._n = 0
         #: stuffing history: bit i set = the (i+1)-th NEWEST buffered
         #: byte cost 2 input bytes (FF 00). Only the newest few bytes
-        #: ever matter (the window is < 4 unconsumed bytes).
+        #: ever matter: _fill_soft24 buffers up to 56 bits, so at most
+        #: 7 unconsumed bytes are live — well within the 24-bit mask
+        #: tail_pos/restart rewind through.
         self._stuff = 0
 
     def _fill_hard(self) -> None:
