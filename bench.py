@@ -41,6 +41,22 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _proc_stat() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+    Hypervisor steal is invisible to loadavg: a co-tenant can halve
+    the host's effective speed while the load average stays near
+    zero. Deltas across the run let the bench JSON say so."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"] or len(parts) < 9:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
 def _cpu_seconds() -> float | None:
     """Cumulative CPU seconds of THIS container (driver + JVM + python
     workers): cgroup v2 cpu.stat when present, else process-tree rusage
@@ -175,6 +191,7 @@ def main() -> None:
     # best-of-3 was reporting warm-up, not the plan.
     noisy, quiet_info = _quiet_window()
     load_start = _loadavg()
+    stat_start = _proc_stat()
     timings: dict[str, float] = {}
     wall_runs: dict[str, list[float]] = {}
     cpu_best: dict[str, float] = {}
@@ -276,6 +293,19 @@ def main() -> None:
                     "master": spark.sparkContext.master,
                     "default_parallelism": spark.sparkContext.defaultParallelism,
                     "sf_dir": sf_dir,
+                    # hypervisor steal across the whole bench window:
+                    # the one slowdown loadavg cannot see. None when
+                    # /proc/stat is unavailable.
+                    "cpu_steal_pct": (
+                        round(
+                            100.0
+                            * (stat_end[0] - stat_start[0])
+                            / max(1, stat_end[1] - stat_start[1]),
+                            1,
+                        )
+                        if stat_start and (stat_end := _proc_stat())
+                        else None
+                    ),
                     "wall_runs": wall_runs,
                     "cpu_sec_best_run": cpu_best,
                     "quiet_window": quiet_info,
