@@ -18,8 +18,13 @@ engine is the explicit ``small=True`` path, mirroring upstream.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
 
-import pandas as pd
+if TYPE_CHECKING:  # annotation-only (PEP 563 strings at runtime):
+    # pandas costs ~0.4 s to import and every reused Spark python
+    # worker pays it once just to unpickle the mapInArrow closure —
+    # the extraction path itself never touches pandas anymore
+    import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 

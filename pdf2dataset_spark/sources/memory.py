@@ -9,8 +9,6 @@ memory); large corpora should land on storage and use
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 
 _SCHEMA = "path string, content binary"
@@ -46,6 +44,12 @@ def from_dict(spark: SparkSession, docs: dict[str, bytes]) -> DataFrame:
     needing explicit control pass ``ExtractionPipeline.num_partitions``
     (a repartition downstream of this)."""
     pairs = sorted(docs.items())
+    # driver-only import: this function never runs on executors, and
+    # a module-level pandas import would make every reused Spark
+    # python worker pay ~0.4 s just to unpickle extraction closures
+    # whose import chain passes through this package
+    import pandas as pd
+
     pdf = pd.DataFrame(pairs, columns=["path", "content"])
     df = spark.createDataFrame(pdf, schema=_SCHEMA)
     total = sum(len(v) for _, v in pairs)
