@@ -1196,7 +1196,14 @@ def decode_codeblock(
                 # decodes 1, after which the remainder of the strip
                 # runs the per-pixel live loop. Strips snapshot
                 # lazily (after all earlier strips), so cross-strip
-                # effects are always visible.
+                # effects are always visible. The MQ decode is
+                # inlined on pass-local registers; the closure cells
+                # sync around each decode_sign_and_set (whose sign
+                # decision still goes through mq()).
+                l_a, l_c, l_ct, l_bp = a_reg, c_reg, ct, bp
+                l_data, l_nd = data, ndata
+                l_qq, l_q16 = qe_q, qe_q16
+                l_nm, l_nl, l_sw = qe_nmps, qe_nlps, qe_sw
                 for ys in range(0, h, 4):
                     ye = ys + 4 if ys + 4 <= h else h
                     seg_el = (
@@ -1213,8 +1220,65 @@ def decode_codeblock(
                         y = ys + ry
                         i = y * w + x
                         visited[i] = 1
-                        if mq(cx[sig_lut[cidx[i]]]):
+                        # -- inlined MQ DECODE --
+                        state = cx[sig_lut[cidx[i]]]
+                        i_st = state[0]
+                        qe = l_qq[i_st]
+                        qe16 = l_q16[i_st]
+                        l_a -= qe
+                        if l_c < qe16:
+                            if l_a < qe:
+                                bit = state[1]
+                                state[0] = l_nm[i_st]
+                            else:
+                                bit = 1 - state[1]
+                                if l_sw[i_st]:
+                                    state[1] = bit
+                                state[0] = l_nl[i_st]
+                            l_a = qe
+                            renorm = True
+                        else:
+                            l_c -= qe16
+                            if l_a & 0x8000:
+                                bit = state[1]
+                                renorm = False
+                            else:
+                                if l_a < qe:
+                                    bit = 1 - state[1]
+                                    if l_sw[i_st]:
+                                        state[1] = bit
+                                    state[0] = l_nl[i_st]
+                                else:
+                                    bit = state[1]
+                                    state[0] = l_nm[i_st]
+                                renorm = True
+                        if renorm:
+                            while True:
+                                if l_ct == 0:
+                                    bb = l_data[l_bp] if l_bp < l_nd else 0xFF
+                                    bb1 = (l_data[l_bp + 1]
+                                           if l_bp + 1 < l_nd else 0xFF)
+                                    if bb == 0xFF:
+                                        if bb1 > 0x8F:
+                                            l_c += 0xFF00
+                                            l_ct = 8
+                                        else:
+                                            l_bp += 1
+                                            l_c += bb1 << 9
+                                            l_ct = 7
+                                    else:
+                                        l_bp += 1
+                                        l_c += bb1 << 8
+                                        l_ct = 8
+                                l_a = (l_a << 1) & 0xFFFF
+                                l_c = (l_c << 1) & 0xFFFFFFFF
+                                l_ct -= 1
+                                if l_a & 0x8000:
+                                    break
+                        if bit:
+                            a_reg, c_reg, ct, bp = l_a, l_c, l_ct, l_bp
                             decode_sign_and_set(i, x, y, plane_bit)
+                            l_a, l_c, l_ct, l_bp = a_reg, c_reg, ct, bp
                             ev_x, ev_y = x, y
                             break
                     if ev_x < 0:
@@ -1228,9 +1292,68 @@ def decode_codeblock(
                         while y < ye:
                             if not sig[i] and cidx[i]:
                                 visited[i] = 1
-                                if mq(cx[sig_lut[cidx[i]]]):
+                                # -- inlined MQ DECODE --
+                                state = cx[sig_lut[cidx[i]]]
+                                i_st = state[0]
+                                qe = l_qq[i_st]
+                                qe16 = l_q16[i_st]
+                                l_a -= qe
+                                if l_c < qe16:
+                                    if l_a < qe:
+                                        bit = state[1]
+                                        state[0] = l_nm[i_st]
+                                    else:
+                                        bit = 1 - state[1]
+                                        if l_sw[i_st]:
+                                            state[1] = bit
+                                        state[0] = l_nl[i_st]
+                                    l_a = qe
+                                    renorm = True
+                                else:
+                                    l_c -= qe16
+                                    if l_a & 0x8000:
+                                        bit = state[1]
+                                        renorm = False
+                                    else:
+                                        if l_a < qe:
+                                            bit = 1 - state[1]
+                                            if l_sw[i_st]:
+                                                state[1] = bit
+                                            state[0] = l_nl[i_st]
+                                        else:
+                                            bit = state[1]
+                                            state[0] = l_nm[i_st]
+                                        renorm = True
+                                if renorm:
+                                    while True:
+                                        if l_ct == 0:
+                                            bb = l_data[l_bp] if l_bp < l_nd else 0xFF
+                                            bb1 = (l_data[l_bp + 1]
+                                                   if l_bp + 1 < l_nd else 0xFF)
+                                            if bb == 0xFF:
+                                                if bb1 > 0x8F:
+                                                    l_c += 0xFF00
+                                                    l_ct = 8
+                                                else:
+                                                    l_bp += 1
+                                                    l_c += bb1 << 9
+                                                    l_ct = 7
+                                            else:
+                                                l_bp += 1
+                                                l_c += bb1 << 8
+                                                l_ct = 8
+                                        l_a = (l_a << 1) & 0xFFFF
+                                        l_c = (l_c << 1) & 0xFFFFFFFF
+                                        l_ct -= 1
+                                        if l_a & 0x8000:
+                                            break
+                                if bit:
+                                    a_reg, c_reg, ct, bp = \
+                                        l_a, l_c, l_ct, l_bp
                                     decode_sign_and_set(
                                         i, x, y, plane_bit)
+                                    l_a, l_c, l_ct, l_bp = \
+                                        a_reg, c_reg, ct, bp
                             y += 1
                             i += w
                         x += 1
@@ -1238,6 +1361,7 @@ def decode_codeblock(
                             break
                         y = ys
                         i = ys * w + x
+                a_reg, c_reg, ct, bp = l_a, l_c, l_ct, l_bp
             else:
                 for ys in range(0, h, 4):
                     ye = ys + 4 if ys + 4 <= h else h
@@ -1424,6 +1548,12 @@ def decode_codeblock(
         # ---- cleanup pass ----
         run_state = cx[_CTX_RUNLENGTH]
         uni_state = cx[_CTX_UNIFORM]
+        # MQ inlined on pass-local registers (cells sync around each
+        # decode_sign_and_set / run-length uniform decode)
+        l_a, l_c, l_ct, l_bp = a_reg, c_reg, ct, bp
+        l_data, l_nd = data, ndata
+        l_qq, l_q16 = qe_q, qe_q16
+        l_nm, l_nl, l_sw = qe_nmps, qe_nlps, qe_sw
         for ys in range(0, h, 4):
             full = ys + 4 <= h
             ye = ys + 4 if full else h
@@ -1477,22 +1607,137 @@ def decode_codeblock(
                             or cidx[i0 + 3 * w]
                         )
                     if qcol:
-                        if not mq(run_state):
+                        # -- inlined MQ DECODE (run-length ctx) --
+                        state = run_state
+                        i_st = state[0]
+                        qe = l_qq[i_st]
+                        qe16 = l_q16[i_st]
+                        l_a -= qe
+                        if l_c < qe16:
+                            if l_a < qe:
+                                bit = state[1]
+                                state[0] = l_nm[i_st]
+                            else:
+                                bit = 1 - state[1]
+                                if l_sw[i_st]:
+                                    state[1] = bit
+                                state[0] = l_nl[i_st]
+                            l_a = qe
+                            renorm = True
+                        else:
+                            l_c -= qe16
+                            if l_a & 0x8000:
+                                bit = state[1]
+                                renorm = False
+                            else:
+                                if l_a < qe:
+                                    bit = 1 - state[1]
+                                    if l_sw[i_st]:
+                                        state[1] = bit
+                                    state[0] = l_nl[i_st]
+                                else:
+                                    bit = state[1]
+                                    state[0] = l_nm[i_st]
+                                renorm = True
+                        if renorm:
+                            while True:
+                                if l_ct == 0:
+                                    bb = l_data[l_bp] if l_bp < l_nd else 0xFF
+                                    bb1 = (l_data[l_bp + 1]
+                                           if l_bp + 1 < l_nd else 0xFF)
+                                    if bb == 0xFF:
+                                        if bb1 > 0x8F:
+                                            l_c += 0xFF00
+                                            l_ct = 8
+                                        else:
+                                            l_bp += 1
+                                            l_c += bb1 << 9
+                                            l_ct = 7
+                                    else:
+                                        l_bp += 1
+                                        l_c += bb1 << 8
+                                        l_ct = 8
+                                l_a = (l_a << 1) & 0xFFFF
+                                l_c = (l_c << 1) & 0xFFFFFFFF
+                                l_ct -= 1
+                                if l_a & 0x8000:
+                                    break
+                        if not bit:
                             continue  # whole column stays insignificant
+                        a_reg, c_reg, ct, bp = l_a, l_c, l_ct, l_bp
                         r = (mq(uni_state) << 1) | mq(uni_state)
                         y = ys + r
                         i = y * w + x
                         decode_sign_and_set(i, x, y, plane_bit)
+                        l_a, l_c, l_ct, l_bp = a_reg, c_reg, ct, bp
                         event = True
                         y += 1
                 i = y * w + x
                 while y < ye:
                     if not (visited[i] or sig[i]):
-                        if mq(cx[sig_lut[cidx[i]]]):
+                        # -- inlined MQ DECODE --
+                        state = cx[sig_lut[cidx[i]]]
+                        i_st = state[0]
+                        qe = l_qq[i_st]
+                        qe16 = l_q16[i_st]
+                        l_a -= qe
+                        if l_c < qe16:
+                            if l_a < qe:
+                                bit = state[1]
+                                state[0] = l_nm[i_st]
+                            else:
+                                bit = 1 - state[1]
+                                if l_sw[i_st]:
+                                    state[1] = bit
+                                state[0] = l_nl[i_st]
+                            l_a = qe
+                            renorm = True
+                        else:
+                            l_c -= qe16
+                            if l_a & 0x8000:
+                                bit = state[1]
+                                renorm = False
+                            else:
+                                if l_a < qe:
+                                    bit = 1 - state[1]
+                                    if l_sw[i_st]:
+                                        state[1] = bit
+                                    state[0] = l_nl[i_st]
+                                else:
+                                    bit = state[1]
+                                    state[0] = l_nm[i_st]
+                                renorm = True
+                        if renorm:
+                            while True:
+                                if l_ct == 0:
+                                    bb = l_data[l_bp] if l_bp < l_nd else 0xFF
+                                    bb1 = (l_data[l_bp + 1]
+                                           if l_bp + 1 < l_nd else 0xFF)
+                                    if bb == 0xFF:
+                                        if bb1 > 0x8F:
+                                            l_c += 0xFF00
+                                            l_ct = 8
+                                        else:
+                                            l_bp += 1
+                                            l_c += bb1 << 9
+                                            l_ct = 7
+                                    else:
+                                        l_bp += 1
+                                        l_c += bb1 << 8
+                                        l_ct = 8
+                                l_a = (l_a << 1) & 0xFFFF
+                                l_c = (l_c << 1) & 0xFFFFFFFF
+                                l_ct -= 1
+                                if l_a & 0x8000:
+                                    break
+                        if bit:
+                            a_reg, c_reg, ct, bp = l_a, l_c, l_ct, l_bp
                             decode_sign_and_set(i, x, y, plane_bit)
+                            l_a, l_c, l_ct, l_bp = a_reg, c_reg, ct, bp
                             event = True
                     y += 1
                     i += w
+        a_reg, c_reg, ct, bp = l_a, l_c, l_ct, l_bp
         visited[:] = zeros  # C-level clear (was a size-long loop)
         p += 1
         plane -= 1
