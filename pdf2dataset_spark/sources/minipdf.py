@@ -2697,7 +2697,15 @@ def _parse_content_value(data: bytes, pos: int) -> tuple[Any, int]:
 #: Strings, dicts, arrays and oddball tokens fall back to the
 #: byte-dispatch path below.
 _CTOK_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    # POSSESSIVE skip: comments must be consumed atomically. A
+    # backtrackable skip re-lexed the tail of a comment as a phantom
+    # operator token whenever the next real token started with a
+    # delimiter this pattern has no alternative for ('(', '<', '[')
+    # or the stream ended — clearing accumulated operands as a side
+    # effect. With the possessive skip those cases fail the match and
+    # take the byte-dispatch fallback below, which handles them
+    # properly.
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"
     rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"
     # group 2: the REST of a ws-separated number run ("0 0 1 50 700"
     # before Tm/cm/Td) — fused into the same C-level match, split out
@@ -2720,10 +2728,14 @@ _NUM_FINDALL_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 #: match-loop lexer). Ordered by corpus frequency after the
 #: first-char quick-fail alternatives.
 _CONTENT_TOKENS_RE = re.compile(
-    # the skip is POSSESSIVE: at EOF it must fail the whole match
-    # instead of backtracking trailing whitespace into the
-    # catch-all-byte group
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"
+    # POSSESSIVE skip (a failed match would let findall resync INSIDE
+    # a comment and invent phantom tokens), and only EOL-TERMINATED
+    # comments are skippable: a comment running to EOF would strand
+    # the skip at end-of-input with no token to anchor on, so its '%'
+    # is left for the catch-all group instead — flagging the stream
+    # for the exact match-loop lexer, which ends it cleanly. The
+    # caller rstrips trailing PDF whitespace for the same reason.
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*(?=[\r\n]))*+"
     rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"  # 1 number
     rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"  # 2 name body
     # 3 a WHOLE simple array (numbers + escape-free strings) — the TJ
@@ -2761,8 +2773,13 @@ def _lex_content_fast(
     cstack: list = []  # enclosing (container, kind) frames
     cur = stack
     ckind = -1  # -1 top level, 0 list, 1 dict item list
+    # trailing PDF whitespace would strand the skip at EOF with no
+    # token to anchor on (see the pattern comment); stripping it is
+    # behavior-neutral — the match loop ends cleanly on a whitespace
+    # tail without yielding
     for num, name, arr, lit, delim, op, junk in \
-            _CONTENT_TOKENS_RE.findall(content):
+            _CONTENT_TOKENS_RE.findall(
+                content.rstrip(b"\x00\t\n\x0c\r ")):
         if num:
             cur.append(float(num) if b"." in num else int(num))
         elif arr:
