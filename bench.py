@@ -114,35 +114,63 @@ def _reference_load(repo_root: str) -> tuple[int, float] | None:
     return best
 
 
-#: Quiet-window rule (round-5 verdict item 9): a run whose starting
-#: 1-min loadavg exceeds ~2x the comparison round's (with a 1.0
-#: absolute floor so near-idle references don't trip on trivia) first
+#: Quiet-window rule (round-5 verdict item 9, extended round 12): a
+#: run whose starting 1-min loadavg exceeds ~2x the comparison
+#: round's (with a 1.0 absolute floor so near-idle references don't
+#: trip on trivia) — OR whose sampled hypervisor CPU steal exceeds
+#: _QUIET_STEAL_PCT, the slowdown loadavg cannot see (a co-tenant
+#: burst made identical trees measure 1.7x apart this round) — first
 #: WAITS for the host to calm down (up to _QUIET_TRIES sleeps), then
 #: proceeds and stamps the JSON ``noisy: true`` so cross-round drift
 #: adjudications become a one-line read.
-_QUIET_TRIES = 3
+_QUIET_TRIES = 6
 _QUIET_SLEEP_S = 20.0
+_QUIET_STEAL_PCT = 3.0
+_STEAL_SAMPLE_S = 3.0
+
+
+def _steal_sample() -> float | None:
+    s0 = _proc_stat()
+    if s0 is None:
+        return None
+    time.sleep(_STEAL_SAMPLE_S)
+    s1 = _proc_stat()
+    if s1 is None:
+        return None
+    return 100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1])
 
 
 def _quiet_window() -> tuple[bool, dict]:
     ref = _reference_load(os.path.dirname(os.path.abspath(__file__)))
     info: dict = {"reference_round": ref[0] if ref else None,
                   "reference_loadavg": ref[1] if ref else None}
-    if ref is None:
-        return False, info
-    threshold = max(2.0 * ref[1], 1.0)
-    info["threshold"] = round(threshold, 2)
+    threshold = max(2.0 * ref[1], 1.0) if ref else None
+    if threshold is not None:
+        info["threshold"] = round(threshold, 2)
     waited = 0.0
-    for _ in range(_QUIET_TRIES):
+    la = steal = None
+    for attempt in range(_QUIET_TRIES + 1):
+        if attempt:
+            time.sleep(_QUIET_SLEEP_S)
+            waited += _QUIET_SLEEP_S
         la = _loadavg()
-        if la is None or la[0] <= threshold:
+        la_ok = (
+            threshold is None or la is None or la[0] <= threshold
+        )
+        steal = _steal_sample()
+        waited += _STEAL_SAMPLE_S
+        steal_ok = steal is None or steal <= _QUIET_STEAL_PCT
+        if la_ok and steal_ok:
             info["waited_sec"] = round(waited, 1)
+            info["start_steal_pct"] = (
+                None if steal is None else round(steal, 1)
+            )
             return False, info
-        time.sleep(_QUIET_SLEEP_S)
-        waited += _QUIET_SLEEP_S
-    la = _loadavg()
     info["waited_sec"] = round(waited, 1)
-    noisy = la is not None and la[0] > threshold
+    info["start_steal_pct"] = None if steal is None else round(steal, 1)
+    noisy = (
+        threshold is not None and la is not None and la[0] > threshold
+    ) or (steal is not None and steal > _QUIET_STEAL_PCT)
     return noisy, info
 
 
